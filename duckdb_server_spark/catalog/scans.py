@@ -1,0 +1,441 @@
+"""Scans + projections/filters/predicates (SURVEY.md §2.1 S1-S7, §2.2 P1-P14).
+
+Every capability here is reachable in the reference via the verbatim SQL
+passthrough (main.go:229); anchors per row are cited in SURVEY.md. Spark
+side is pure DataFrame API so Catalyst gets full pushdown/pruning freedom —
+``plans.assert_pushdown`` checks the parquet scans actually receive the
+filters at bench time.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_server_spark.catalog import query
+from duckdb_server_spark.functions.scalar import glob_match
+from duckdb_server_spark.session import load_table as t
+
+
+# --- flagship (S1 + P1-P3 + A1 + A3 + O1): TPC-H-Q1-style pricing summary ---
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: filter → hash agg → sort on the fact table.
+
+    At scale: the shipdate filter is pushed to the parquet scan (row-group
+    skip), aggregation is partial+final over 2×~4 groups (tiny shuffle),
+    sort is on the aggregated handful of rows — the plan survives 100×.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_last(), F.col("l_linestatus").asc_nulls_last())
+    )
+
+
+# --- S2: CSV scan with header+inference (DuckDB read_csv_auto analog) ---
+@query(
+    "s02_csv_scan",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey ASC NULLS LAST
+    """,
+)
+def s02_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip an integer/string table through CSV to exercise the
+    inferring CSV reader (S2). Int/string only — lossless through text."""
+    out = os.path.join(tempfile.gettempdir(), "dss_csv_nation")
+    t(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    return (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(out)
+        .select(
+            F.col("n_nationkey").cast("int"),
+            "n_name",
+            F.col("n_regionkey").cast("int"),
+        )
+        .orderBy(F.col("n_nationkey").asc_nulls_last())
+    )
+
+
+# --- S3: JSON scan (read_json_auto analog) ---
+@query(
+    "s03_json_scan",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    ORDER BY r_regionkey ASC NULLS LAST
+    """,
+)
+def s03_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(tempfile.gettempdir(), "dss_json_region")
+    t(spark, sf_dir, "region").coalesce(1).write.mode("overwrite").json(out)
+    return (
+        spark.read.json(out)
+        .select(F.col("r_regionkey").cast("int"), "r_name")
+        .orderBy(F.col("r_regionkey").asc_nulls_last())
+    )
+
+
+# --- S5: views (CREATE VIEW analog, k8s/main.yaml:133) ---
+@query(
+    "s05_view",
+    oracle="""
+    WITH big_orders AS (SELECT * FROM orders WHERE o_totalprice > 100000)
+    SELECT o_orderpriority, count(*) AS n FROM big_orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC NULLS LAST
+    """,
+)
+def s05_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    ).createOrReplaceTempView("dss_big_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n FROM dss_big_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority ASC NULLS LAST
+        """
+    )
+
+
+# --- S6: inline rows (VALUES, main.go:507; smoke query client/main.py:11) ---
+@query(
+    "s06_inline_values",
+    oracle="""
+    SELECT a, b FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z')) AS v(a, b)
+    ORDER BY a ASC NULLS LAST
+    """,
+)
+def s06_inline_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        "SELECT a, b FROM VALUES (1, 'x'), (2, 'y'), (3, 'z') AS v(a, b) "
+        "ORDER BY a ASC NULLS LAST"
+    )
+
+
+# --- S7: metadata-as-a-table (duckdb_extensions() analog, main.go:77) ---
+@query("s07_capability_registry")  # rows-only: engine-specific contents
+def s07_capability_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_server_spark.session import register_capabilities
+
+    return register_capabilities(spark).filter(F.col("installed")).select(
+        "extension_name", "description"
+    ).orderBy("extension_name")
+
+
+# --- P1/P2: projection with alias + computed expressions ---
+@query(
+    "p01_projection_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           l_quantity * 2 AS double_qty,
+           (l_quantity > 25 AND l_discount < 0.05) AS bulk_cheap
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST
+    """,
+)
+def p01_projection_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_linenumber") <= 2)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                2,
+            ).alias("charge"),
+            (F.col("l_quantity") * 2).alias("double_qty"),
+            ((F.col("l_quantity") > 25) & (F.col("l_discount") < 0.05)).alias("bulk_cheap"),
+        )
+        .orderBy(F.col("l_orderkey").asc_nulls_last(), F.col("l_linenumber").asc_nulls_last())
+    )
+
+
+# --- P3: filter ---
+@query(
+    "p03_filter",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 50000
+    ORDER BY o_orderkey ASC NULLS LAST
+    """,
+)
+def p03_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") >= 50000))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy(F.col("o_orderkey").asc_nulls_last())
+    )
+
+
+# --- P4: DISTINCT ---
+@query(
+    "p04_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST
+    """,
+)
+def p04_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy(F.col("l_returnflag").asc_nulls_last(), F.col("l_linestatus").asc_nulls_last())
+    )
+
+
+# --- P5: IN (list) and IN (subquery) ---
+@query(
+    "p05_in_list",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+    ORDER BY c_custkey ASC NULLS LAST
+    """,
+)
+def p05_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+        .select("c_custkey", "c_mktsegment")
+        .orderBy(F.col("c_custkey").asc_nulls_last())
+    )
+
+
+@query(
+    "p05_in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    ORDER BY o_orderkey ASC NULLS LAST
+    """,
+)
+def p05_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) → left-semi join (what Catalyst plans for IN anyway).
+    The rich-customer side is small → Spark broadcast-converts it via AQE."""
+    orders = t(spark, sf_dir, "orders")
+    rich = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        orders.join(rich, orders.o_custkey == rich.c_custkey, "leftsemi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_orderkey").asc_nulls_last())
+    )
+
+
+# --- P6: BETWEEN ---
+@query(
+    "p06_between",
+    oracle="""
+    SELECT p_partkey, p_size FROM part
+    WHERE p_size BETWEEN 10 AND 20
+    ORDER BY p_partkey ASC NULLS LAST
+    """,
+)
+def p06_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(10, 20))
+        .select("p_partkey", "p_size")
+        .orderBy(F.col("p_partkey").asc_nulls_last())
+    )
+
+
+# --- P7: LIKE ---
+@query(
+    "p07_like",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_name LIKE '%gold%' OR p_name LIKE 'sm_ll%'
+    ORDER BY p_partkey ASC NULLS LAST
+    """,
+)
+def p07_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%gold%") | F.col("p_name").like("sm_ll%"))
+        .select("p_partkey", "p_name")
+        .orderBy(F.col("p_partkey").asc_nulls_last())
+    )
+
+
+# --- P8: GLOB (main.go:428) via glob→regex translation ---
+@query(
+    "p08_glob",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_name GLOB '*re*'
+    ORDER BY p_partkey ASC NULLS LAST
+    """,
+)
+def p08_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "part")
+        .filter(glob_match(F.col("p_name"), "*re*"))
+        .select("p_partkey", "p_name")
+        .orderBy(F.col("p_partkey").asc_nulls_last())
+    )
+
+
+# --- P9: REGEXP (main.go:479) ---
+@query(
+    "p09_regexp",
+    oracle="""
+    SELECT p_partkey, p_type FROM part
+    WHERE regexp_matches(p_type, '^(STANDARD|SMALL).*BRASS$')
+    ORDER BY p_partkey ASC NULLS LAST
+    """,
+)
+def p09_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_type").rlike("^(STANDARD|SMALL).*BRASS$"))
+        .select("p_partkey", "p_type")
+        .orderBy(F.col("p_partkey").asc_nulls_last())
+    )
+
+
+# --- P10: IS [NOT] NULL ---
+@query(
+    "p10_null_checks",
+    oracle="""
+    SELECT
+      count(*) FILTER (WHERE c_acctbal IS NOT NULL) AS n_notnull,
+      count(*) FILTER (WHERE c_acctbal IS NULL) AS n_null
+    FROM customer
+    """,
+)
+def p10_null_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(F.when(F.col("c_acctbal").isNotNull(), 1)).alias("n_notnull"),
+        F.count(F.when(F.col("c_acctbal").isNull(), 1)).alias("n_null"),
+    )
+
+
+# --- P11: EXISTS / correlated subquery (main.go:417) ---
+@query(
+    "p11_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+    )
+    ORDER BY c_custkey ASC NULLS LAST
+    """,
+)
+def p11_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS decorrelates to a left-semi join on the correlation key."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "leftsemi")
+        .select("c_custkey", "c_name")
+        .orderBy(F.col("c_custkey").asc_nulls_last())
+    )
+
+
+# --- P12: CASE WHEN ---
+@query(
+    "p12_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 150000 THEN 'high'
+                WHEN o_totalprice >= 50000 THEN 'mid'
+                ELSE 'low' END AS price_band
+    FROM orders
+    ORDER BY o_orderkey ASC NULLS LAST
+    """,
+)
+def p12_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") >= 150000, "high")
+            .when(F.col("o_totalprice") >= 50000, "mid")
+            .otherwise("low")
+            .alias("price_band"),
+        )
+        .orderBy(F.col("o_orderkey").asc_nulls_last())
+    )
+
+
+# --- P13: CAST (main.go:387, declared BIGINT→INTEGER main.go:522-524) ---
+@query(
+    "p13_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(o_orderdate AS DATE) AS order_day
+    FROM orders
+    ORDER BY o_orderkey ASC NULLS LAST
+    """,
+)
+def p13_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Note: double→int casts diverge (DuckDB rounds, Spark truncates), so
+    the declared query floors first — deterministic on both engines."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.floor("o_totalprice").cast("bigint").alias("price_int"),
+            F.col("o_orderkey").cast("string").alias("key_str"),
+            F.col("o_orderdate").cast("date").alias("order_day"),
+        )
+        .orderBy(F.col("o_orderkey").asc_nulls_last())
+    )
+
+
+# --- P14: star EXCLUDE (main.go:415) → drop ---
+@query(
+    "p14_exclude",
+    oracle="""
+    SELECT * EXCLUDE (n_regionkey) FROM nation
+    ORDER BY n_nationkey ASC NULLS LAST
+    """,
+)
+def p14_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "nation")
+        .drop("n_regionkey")
+        .orderBy(F.col("n_nationkey").asc_nulls_last())
+    )

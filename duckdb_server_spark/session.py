@@ -1,0 +1,174 @@
+"""SparkSession bootstrap — the analog of the reference server's startup.
+
+Reference lifecycle (main.go:44-119): open/create the DuckDB file (`-db`),
+connect read-only, LOAD installed extensions, run `-init` SQL. Here the
+"database" is a directory of parquet tables registered as views, the
+"init SQL" is an optional list of SQL statements run at bootstrap, and the
+extension registry becomes a static capability view (main.go:77's
+``duckdb_extensions()`` analog).
+
+Scale notes: AQE is enabled for runtime re-planning (skew joins, partition
+coalescing); session timezone is pinned to UTC because the test corpus
+stores naive wall-clock timestamps (FIXTURES.md); Arrow transfer is enabled
+so driver-side collection matches the reference's Arrow-batch result model
+(main.go:235-243).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver's test corpus tables (TESTDATA.md). Mirrors the view set the
+# oracle harness pre-registers.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def default_configs(shuffle_partitions: int | None = None) -> dict[str, str]:
+    """Engine configs. ``SET``-style engine config is the analog of the
+    reference's `SET secret_directory/extension_directory` (k8s/main.yaml:107-108).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    return {
+        # Result model parity: Arrow end-to-end (main.go:235-243).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Test corpus timestamps are naive wall-clock (FIXTURES.md).
+        "spark.sql.session.timeZone": "UTC",
+        # Runtime re-planning: partition coalescing, skew-join splitting,
+        # broadcast-join conversion — required posture for the 100 TB target.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # DuckDB errors on division-by-zero / overflow / bad casts; Spark
+        # matches only under ANSI mode (SURVEY.md §7 phase 3).
+        "spark.sql.ansi.enabled": "true",
+    }
+
+
+def get_spark(
+    app_name: str = "duckdb_server_spark",
+    master: str | None = None,
+    configs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    One shared session mirrors the reference's single shared connection
+    (main.go:70) — all queries run on one engine instance.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    for k, v in default_configs().items():
+        builder = builder.config(k, v)
+    for k, v in (configs or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one warehouse table (S1: parquet scan with pushdown built in)."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: Iterable[str] = TABLES
+) -> dict[str, DataFrame]:
+    """The `-db` analog: expose the warehouse as named views (S4/S5).
+
+    The reference serves tables persisted in a DuckDB file
+    (main.go:31,44-57); here each parquet table becomes a temp view so both
+    the DataFrame API and ``spark.sql`` reach the same catalog.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def run_init_sql(spark: SparkSession, statements: Iterable[str]) -> None:
+    """The `-init` analog (main.go:107-111): run bootstrap SQL statements
+    (view definitions, SET commands, …) before serving queries."""
+    for stmt in statements:
+        if stmt.strip():
+            spark.sql(stmt)
+
+
+def register_sql_info(spark: SparkSession) -> DataFrame:
+    """The ``GetSqlInfo`` metadata analog (main.go:352-526): a small static
+    view describing the server. Reported truthfully (the reference reports
+    read_only=false even when the connection is read-only — main.go:357)."""
+    import pyspark
+
+    rows = [
+        ("server_name", "duckdb_server_spark"),
+        ("server_version", f"spark {pyspark.__version__}"),
+        ("server_arrow_version", "pyspark-arrow"),
+        ("server_read_only", "true"),
+        ("identifier_quote_char", '"'),
+    ]
+    df = spark.createDataFrame(rows, "info_name string, value string")
+    df.createOrReplaceTempView("sql_info")
+    return df
+
+
+def register_capabilities(spark: SparkSession) -> DataFrame:
+    """The ``duckdb_extensions()`` analog (main.go:77): a capability registry
+    view enumerating the loaded feature modules of this engine."""
+    caps = [
+        ("core_sql", True, "projection/filter/join/agg/window/setops/CTE"),
+        ("parquet", True, "parquet scan + pushdown (S1)"),
+        ("csv", True, "csv scan with inference (S2)"),
+        ("json", True, "json scan + json functions (S3)"),
+        ("httpfs", True, "s3a object-store access (S8)"),
+        ("streaming", True, "structured streaming windows (§2.10)"),
+        ("dedup", True, "exact/minhash/simhash dedup"),
+        ("similarity", True, "embedding cosine/L2 top-k"),
+        ("text", True, "lang-id/quality/tokens/fingerprint"),
+    ]
+    df = spark.createDataFrame(
+        caps, "extension_name string, installed boolean, description string"
+    )
+    df.createOrReplaceTempView("capabilities")
+    return df
+
+
+def bootstrap(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    init_sql: Iterable[str] = (),
+) -> dict[str, DataFrame]:
+    """Full server bootstrap: views + metadata + init SQL (main.go:44-119)."""
+    views = register_views(spark, sf_dir)
+    register_sql_info(spark)
+    register_capabilities(spark)
+    run_init_sql(spark, init_sql)
+    return views
