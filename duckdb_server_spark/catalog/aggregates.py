@@ -1,1 +1,358 @@
-"""Placeholder — filled in as operators land (SURVEY.md §2)."""
+"""Aggregations (SURVEY.md §2.4 A1-A14). All reachable in the reference via
+SQL passthrough (main.go:229); GROUP BY/HAVING/FILTER/DISTINCT keyword
+anchors main.go:429,384,431,420,407.
+
+Scale notes: every groupBy here is partial+final hash aggregation (map-side
+combine before the shuffle) — Spark's default physical plan; grouping keys
+are low-cardinality so the shuffle moves only partial aggregates.
+count(DISTINCT) expands to a two-phase plan automatically. The rollup/cube
+queries shuffle once per grouping-set pass over pre-aggregated data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_server_spark.catalog import query
+from duckdb_server_spark.session import load_table as t
+
+
+# --- A1+A2+A3: group-by + HAVING + core aggregates ---
+@query(
+    "a01_groupby_having",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    ORDER BY o_custkey ASC NULLS LAST
+    """,
+)
+def a01_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spent"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .filter(F.col("n_orders") >= 12)
+        .orderBy(F.col("o_custkey").asc_nulls_last())
+    )
+
+
+# --- A4: count(DISTINCT), sum(DISTINCT) ---
+@query(
+    "a04_distinct_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           round(sum(DISTINCT l_quantity), 2) AS sum_uq
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC NULLS LAST
+    """,
+)
+def a04_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_uq"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_last())
+    )
+
+
+# --- A5: aggregate FILTER (WHERE …) clause (main.go:420) ---
+@query(
+    "a05_agg_filter",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS returned_value
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus ASC NULLS LAST
+    """,
+)
+def a05_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).cast(
+                    "decimal(18,2)"
+                )
+            ).cast("double").alias("returned_value"),
+        )
+        .orderBy(F.col("l_linestatus").asc_nulls_last())
+    )
+
+
+# --- A6: ROLLUP / CUBE / GROUPING() ---
+@query(
+    "a06_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag ASC NULLS LAST, g_status ASC NULLS LAST,
+             l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST
+    """,
+)
+def a06_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
+        .orderBy(
+            F.col("g_flag").asc_nulls_last(),
+            F.col("g_status").asc_nulls_last(),
+            F.col("l_returnflag").asc_nulls_last(),
+            F.col("l_linestatus").asc_nulls_last(),
+        )
+    )
+
+
+@query(
+    "a06_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST
+    """,
+)
+def a06_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+        )
+    )
+
+
+# --- A7: approximate count-distinct (HLL) — rows-only (approximate) ---
+@query("a07_approx_count_distinct")
+def a07_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch, rsd=5%. Approximate by design → rows-only check; the
+    exactness test is a04. At 100 TB this is the right default for ad-hoc
+    cardinality (no shuffle of distinct values, just sketch merge)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"))
+        .orderBy(F.col("l_returnflag").asc_nulls_last())
+    )
+
+
+# --- A8: statistical aggregates ---
+@query(
+    "a08_stats_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC NULLS LAST
+    """,
+)
+def a08_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_last())
+    )
+
+
+# --- A9: ordered-set aggregates: median / percentile / mode ---
+@query(
+    "a09_median_percentile",
+    oracle="""
+    SELECT l_linestatus,
+           round(median(l_quantity), 4) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus ASC NULLS LAST
+    """,
+)
+def a09_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/percentile (continuous interpolation — matches DuckDB
+    quantile_cont). At 100 TB prefer approx_percentile; exactness is the
+    declared contract here."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.median("l_quantity"), 4).alias("med_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        )
+        .orderBy(F.col("l_linestatus").asc_nulls_last())
+    )
+
+
+# --- A10: string_agg / array_agg (sorted for determinism) ---
+@query(
+    "a10_collect_aggs",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(n_name)) AS nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nation_csv
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey ASC NULLS LAST
+    """,
+)
+def a10_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nation_csv"),
+        )
+        .orderBy(F.col("n_regionkey").asc_nulls_last())
+    )
+
+
+# --- A11: arg_max / arg_min (max_by / min_by) ---
+@query(
+    "a11_arg_max_min",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC NULLS LAST
+    """,
+)
+def a11_arg_max_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max/arg_min are deterministic here because o_totalprice values
+    are distinct per group at the test scale (doubles from a continuous
+    distribution)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        )
+        .orderBy(F.col("o_orderpriority").asc_nulls_last())
+    )
+
+
+# --- A12: first/last/any_value — nondeterministic → pinned with ordering ---
+@query(
+    "a12_first_last",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, event_id) AS first_event,
+           arg_max(event_type, event_id) AS last_event
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id ASC NULLS LAST
+    """,
+)
+def a12_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last pinned to a deterministic order key (event_id) — expressed
+    as min_by/max_by so the result is partition-order-independent (the
+    determinism rule from SURVEY.md §5)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_type", "event_id").alias("first_event"),
+            F.max_by("event_type", "event_id").alias("last_event"),
+        )
+        .orderBy(F.col("user_id").asc_nulls_last())
+    )
+
+
+# --- A13: bool_and / bool_or ---
+@query(
+    "a13_bool_aggs",
+    oracle="""
+    SELECT c_mktsegment,
+           bool_and(c_acctbal > 0) AS all_positive,
+           bool_or(c_acctbal > 9000) AS any_rich
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment ASC NULLS LAST
+    """,
+)
+def a13_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+            F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+        )
+        .orderBy(F.col("c_mktsegment").asc_nulls_last())
+    )
+
+
+# --- A14: DISTINCT ON → window row_number rewrite ---
+@query(
+    "a14_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_custkey ASC NULLS LAST, o_totalprice DESC NULLS LAST,
+             o_orderkey ASC NULLS LAST
+    """,
+)
+def a14_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB DISTINCT ON (keep first row per key under ORDER BY) →
+    row_number over a window, filter rn=1. The o_orderkey tiebreak makes
+    the pair deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc_nulls_last()
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_custkey").asc_nulls_last())
+    )

@@ -25,11 +25,15 @@ from duckdb_server_spark.session import load_table as t
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_discount), 4) AS avg_disc,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           sum(l_quantity) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -43,19 +47,27 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: the shipdate filter is pushed to the parquet scan (row-group
     skip), aggregation is partial+final over 2×~4 groups (tiny shuffle),
     sort is on the aggregated handful of rows — the plan survives 100×.
+
+    Money columns are summed as DECIMAL(18,2) (exact, partition-order-
+    independent) and cast back to double — Spark's parallel double
+    summation is order-dependent and round() tie behavior differs between
+    engines (determinism rules, SURVEY.md §5). Quantities are
+    integer-valued doubles, exact under any summation order.
     """
     li = t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(price_dec).cast("double").alias("sum_base_price"),
+            F.sum(price_dec * (F.lit(1) - disc_dec)).cast("double").alias("sum_disc_price"),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            (F.sum(disc_dec).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy(F.col("l_returnflag").asc_nulls_last(), F.col("l_linestatus").asc_nulls_last())
     )
@@ -160,7 +172,7 @@ def s07_capability_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p01_projection_expr",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
            l_quantity * 2 AS double_qty,
            (l_quantity > 25 AND l_discount < 0.05) AS bulk_cheap
     FROM lineitem
@@ -175,9 +187,10 @@ def p01_projection_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
-                2,
+            # raw IEEE result — same expression tree evaluates bit-identically
+            # on both engines; round() tie behavior diverges, so don't round
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
             ).alias("charge"),
             (F.col("l_quantity") * 2).alias("double_qty"),
             ((F.col("l_quantity") > 25) & (F.col("l_discount") < 0.05)).alias("bulk_cheap"),

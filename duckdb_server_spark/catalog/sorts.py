@@ -1,1 +1,176 @@
-"""Placeholder — filled in as operators land (SURVEY.md §2)."""
+"""Sorts / limits / top-k / set ops (SURVEY.md §2.6 O1-O7, §2.7 U1-U3).
+
+Scale notes: ORDER BY+LIMIT plans as TakeOrderedAndProject (per-partition
+top-k, then a k-row merge on the driver — no global sort); full sorts are
+range-partitioned sample-based exchanges. Set ops are hash shuffles on the
+full row; EXCEPT/INTERSECT use the same machinery as joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_server_spark.catalog import query
+from duckdb_server_spark.session import load_table as t
+
+
+# --- O1+O2: multi-key sort with explicit null placement ---
+@query(
+    "o01_multi_key_sort",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+    ORDER BY c_mktsegment ASC NULLS LAST, c_acctbal DESC NULLS LAST,
+             c_custkey ASC NULLS LAST
+    """,
+)
+def o01_multi_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_last(),
+            F.col("c_acctbal").desc_nulls_last(),
+            F.col("c_custkey").asc_nulls_last(),
+        )
+    )
+
+
+# --- O3+O4+O5: top-k with offset ---
+@query(
+    "o03_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST
+    LIMIT 20 OFFSET 5
+    """,
+)
+def o03_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(
+            F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc_nulls_last()
+        )
+        .offset(5)
+        .limit(20)
+    )
+
+
+# --- O6: WITH TIES → rank() rewrite ---
+@query(
+    "o06_with_ties",
+    oracle="""
+    SELECT p_size, p_partkey FROM (
+      SELECT p_size, p_partkey,
+             rank() OVER (ORDER BY p_size ASC NULLS LAST) AS rnk
+      FROM part
+    ) WHERE rnk <= 10
+    ORDER BY p_size ASC NULLS LAST, p_partkey ASC NULLS LAST
+    """,
+)
+def o06_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FETCH FIRST 10 ROWS WITH TIES`` ≡ rank() <= 10 (keeps all peers of
+    the 10th row) — the rewrite from SURVEY.md O6; both sides expressed as
+    the rank form so the oracle pins identical semantics."""
+    w = Window.orderBy(F.col("p_size").asc_nulls_last())
+    return (
+        t(spark, sf_dir, "part")
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("p_size", "p_partkey")
+        .orderBy(F.col("p_size").asc_nulls_last(), F.col("p_partkey").asc_nulls_last())
+    )
+
+
+# --- O7: COLLATE — case-insensitive ordering via normalized key ---
+@query(
+    "o07_collate_ci",
+    oracle="""
+    SELECT p_brand, count(*) AS n FROM part
+    GROUP BY p_brand
+    ORDER BY lower(p_brand) ASC NULLS LAST, p_brand ASC NULLS LAST
+    """,
+)
+def o07_collate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATE NOCASE analog: normalize-key ordering (lower()) — the
+    portable strategy from SURVEY.md O7 (Spark 4 collations exist but the
+    normalized key keeps the oracle comparable)."""
+    return (
+        t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.lower(F.col("p_brand")).asc_nulls_last(), F.col("p_brand").asc_nulls_last())
+    )
+
+
+# --- U1: UNION / UNION ALL ---
+@query(
+    "u01_union",
+    oracle="""
+    SELECT k FROM (
+      SELECT c_nationkey AS k FROM customer
+      UNION
+      SELECT s_nationkey AS k FROM supplier
+    ) ORDER BY k ASC NULLS LAST
+    """,
+)
+def u01_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().orderBy(F.col("k").asc_nulls_last())
+
+
+@query(
+    "u01_union_all",
+    oracle="""
+    SELECT k, count(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer
+      UNION ALL
+      SELECT s_nationkey AS k FROM supplier
+    ) GROUP BY k ORDER BY k ASC NULLS LAST
+    """,
+)
+def u01_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return (
+        c.union(s)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("k").asc_nulls_last())
+    )
+
+
+# --- U2: INTERSECT [ALL] ---
+@query(
+    "u02_intersect",
+    oracle="""
+    SELECT k FROM (
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT
+      SELECT s_nationkey AS k FROM supplier
+    ) ORDER BY k ASC NULLS LAST
+    """,
+)
+def u02_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy(F.col("k").asc_nulls_last())
+
+
+# --- U3: EXCEPT [ALL] ---
+@query(
+    "u03_except",
+    oracle="""
+    SELECT k FROM (
+      SELECT c_nationkey AS k FROM customer
+      EXCEPT
+      SELECT s_nationkey AS k FROM supplier
+    ) ORDER BY k ASC NULLS LAST
+    """,
+)
+def u03_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.subtract(s).orderBy(F.col("k").asc_nulls_last())

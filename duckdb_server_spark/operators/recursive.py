@@ -1,0 +1,42 @@
+"""Recursive CTE (Q2): ``WITH RECURSIVE`` via a driver-side fixpoint loop.
+
+The keyword is declared in the reference (RECURSIVE, main.go:477) and
+executes in its embedded engine; Spark SQL has no recursive CTE, so the
+standard re-expression is iterate-until-fixpoint: seed frame, apply the
+recursive step, union new rows, stop when the step yields nothing
+(SURVEY.md §7 phase 3).
+
+Scale notes: each iteration is a distributed job; ``localCheckpoint``
+truncates the exponentially growing lineage so iteration N doesn't replay
+1..N-1. Iteration count — not data size — is the driver-side cost; the data
+never collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def recursive_fixpoint(
+    seed: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    max_iterations: int = 100,
+    distinct: bool = True,
+) -> DataFrame:
+    """UNION-semantics recursive CTE: accumulate ``seed ∪ step(frontier)``
+    until the frontier is empty (new rows only, like WITH RECURSIVE's
+    implicit dedup against all prior rows when UNION is used)."""
+    acc = seed.localCheckpoint(eager=True)
+    frontier = acc
+    for _ in range(max_iterations):
+        nxt = step(frontier)
+        if distinct:
+            nxt = nxt.subtract(acc)
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            return acc
+        acc = acc.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    raise RuntimeError(f"recursive_fixpoint: no fixpoint in {max_iterations} iterations")

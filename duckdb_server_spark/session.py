@@ -61,6 +61,9 @@ def default_configs(shuffle_partitions: int | None = None) -> dict[str, str]:
         # DuckDB errors on division-by-zero / overflow / bad casts; Spark
         # matches only under ANSI mode (SURVEY.md §7 phase 3).
         "spark.sql.ansi.enabled": "true",
+        # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark
+        # rejects by default; read as int64 ns and normalize in load_table.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
 
 
@@ -89,9 +92,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as int64 ns
+# (nanosAsLong) and we truncate to µs TimestampType — the same truncation
+# DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so oracle
+# comparisons stay exact.
+NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one warehouse table (S1: parquet scan with pushdown built in)."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    # Set defensively: the driver's own session may lack the bootstrap conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
 
 
 def register_views(
