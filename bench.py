@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round perf gate (BASELINE.md).
+
+Runs the headline queries from the declared catalog at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution uses the ``noop`` sink so the full physical plan runs on the
+executors (scan → shuffle → agg) without driver-side materialization —
+the honest analog of a 1000-executor run, unlike ``collect()`` which
+rewards tiny results, or ``count()`` which lets Catalyst prune the work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: one per major operator family (SURVEY.md §2) —
+# scan+agg, multi-way join, cube, windows, as-of, sessionization,
+# percentiles, plus the beyond-reference pipeline ops when registered.
+HEADLINE = [
+    "q01_pricing_summary",   # S1+P+A: scan, filter, groupBy, sort
+    "j01_inner_join",        # J1: multi-table equi-join
+    "j07_theta_join",        # J7: inequality join
+    "j08_asof_join",         # J8: custom as-of rewrite
+    "a06_cube",              # A6: grouping sets
+    "a09_median_percentile", # A9: ordered-set aggs
+    "w04_running_agg",       # W4/W5: window frames
+    "st_session_window",     # §2.10: gaps-and-islands sessionization
+    "b01_exact_dedup",       # beyond: exact dedup
+    "b03_minhash_lsh_pairs", # beyond: MinHash LSH near-dup
+    "b10_knn_bruteforce",    # beyond: cosine top-k
+    "b20_text_quality",      # beyond: text quality scoring
+]
+
+
+def main() -> None:
+    from duckdb_server_spark import catalog
+    from duckdb_server_spark.session import get_spark
+
+    catalog.load_all()
+
+    spark = get_spark(app_name="dss-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in catalog.QUERIES]
+    # Warm the JVM + parquet footers once so timings measure the plans.
+    catalog.QUERIES[names[0]](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = catalog.QUERIES[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

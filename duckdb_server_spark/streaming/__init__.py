@@ -1,0 +1,107 @@
+"""Structured Streaming capability extension (SURVEY.md §2.10).
+
+The reference has no streaming surface (its only extensibility hook,
+DoAction, is Unimplemented — main.go:121-124); this package adds the
+Spark-native streaming operators the corpus's ``events`` table implies:
+tumbling/sliding/session windows, watermarks, stateful dedup.
+
+Design: every transformation is written against a DataFrame, so the SAME
+code runs in batch mode (oracle-checkable against DuckDB) and as a
+Structured Streaming query (readStream → transform → writeStream). The
+``run_stream_to_memory`` harness executes the streaming path with an
+available-now trigger, which drains all input and stops — deterministic,
+so even the streaming path hash-matches the batch oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_server_spark.session import load_table
+
+
+def tumbling_window(df: DataFrame, ts_col: str, width: str) -> DataFrame:
+    """Tumbling event-time windows: groupBy(window(ts, width))."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), width).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window(df: DataFrame, ts_col: str, width: str, slide: str) -> DataFrame:
+    """Sliding windows: each event lands in width/slide overlapping windows."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), width, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "n_events")
+    )
+
+
+def session_window(df: DataFrame, ts_col: str, key: str, gap: str) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge."""
+    return (
+        df.groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col(key), F.col("win.start").alias("session_start"), "n_events")
+    )
+
+
+def stateful_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Dedup by key — dropDuplicates works identically on batch and stream
+    (streaming keeps key state; add a watermark to bound it)."""
+    return df.dropDuplicates(keys)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, with_watermark: str | None = "1 hour"
+) -> DataFrame:
+    """File-source stream over the events table.
+
+    The streaming file source requires a directory, so the parquet file is
+    staged into a temp dir once per (session, sf_dir). The ns→µs timestamp
+    normalization from load_table is preserved by staging the normalized
+    batch frame.
+    """
+    staged = os.path.join(
+        tempfile.gettempdir(), f"dss_stream_events_{abs(hash(sf_dir))}"
+    )
+    marker = os.path.join(staged, "_SUCCESS")
+    batch = load_table(spark, sf_dir, "events")
+    if not os.path.exists(marker):
+        batch.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(batch.schema).parquet(staged)
+    if with_watermark:
+        stream = stream.withWatermark("ts", with_watermark)
+    return stream
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame with an available-now trigger into a
+    memory sink; returns the drained result as a batch DataFrame.
+
+    This is the micro-batch analog of the reference's finite DoGet result
+    stream (main.go:241-243): process everything available, then stop.
+    """
+    name = f"dss_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
