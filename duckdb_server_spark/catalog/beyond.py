@@ -1,1 +1,321 @@
-"""Placeholder — filled in as operators land (SURVEY.md §2)."""
+"""Beyond-reference pipeline operators as declared queries (SURVEY.md §7
+phase 5): dedup, similarity search, text analysis, multimodal plumbing
+over the ``documents`` / ``embeddings`` fixtures.
+
+The reference has none of these (its surface ends at SQL passthrough,
+main.go:229); they are the operators a 100 TB training-data pipeline needs,
+built Spark-first: JVM codegen expressions on the hot path, hash-groupBy /
+bucket-join shuffles that carry compact keys, broadcast for small sides,
+mapInPandas (Arrow) only where Python is genuinely required.
+
+Oracle strategy: hash-free semantics (exact dedup by content, n-gram
+Jaccard over deterministic pairs, text metrics, brute-force top-k) get
+full DuckDB oracles; hash-derived outputs (minhash/simhash/LSH buckets
+use Spark's xxhash64, which DuckDB cannot reproduce) are declared
+rows-only — their *verification* step (Jaccard / cosine) is the part with
+an oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_server_spark.catalog import query
+from duckdb_server_spark.operators import dedup, multimodal, similarity, text
+from duckdb_server_spark.session import load_table as t
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b01_exact_dedup",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def b01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: groupBy on xxhash64(text) — the shuffle carries 8-byte
+    keys, not document bodies (oracle groups by the text itself; identical
+    result absent 64-bit collisions)."""
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "b02_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(string_split_regex(text, '\\s+')) - 2 <= 0
+               THEN [text]
+               ELSE list_transform(
+                 range(1, len(string_split_regex(text, '\\s+')) - 1),
+                 i -> array_to_string(
+                   array_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))
+             END) AS shingle_set
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))), 6)
+             AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id < 200
+    """,
+)
+def b02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard verification over a deterministic pair set (adjacent
+    doc ids) — the hash-free step of the near-dup pipeline, so it gets a
+    full oracle."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = docs.filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    out = dedup.ngram_jaccard(pairs, docs, "text", "doc_id", n=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("b03_minhash_lsh_pairs")  # rows-only: bucket ids derive from xxhash64
+def b03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: signatures scan-side, one shuffle on
+    (band_id, band_hash); pairs only materialize within buckets — never the
+    N² cross join."""
+    return dedup.minhash_lsh_candidates(
+        t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=32, bands=8
+    )
+
+
+@query("b04_simhash")  # rows-only: fingerprint derives from xxhash64
+def b04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: per-bit majority votes aggregate map-side
+    behind one groupBy on doc_id."""
+    return dedup.simhash_fingerprint(
+        t(spark, sf_dir, "documents"), "text", "doc_id", bits=32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+# Fixed random-hyperplane set (seed literal, 8 planes over 16 dims) for the
+# LSH variants — literals keep the signature a pure codegen expression.
+_HYPERPLANES = [
+    [((i * 37 + j * 11) % 19 - 9) / 9.0 for j in range(16)] for i in range(8)
+]
+
+
+@query(
+    "b10_knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(q.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(c.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cs
+      FROM q CROSS JOIN embeddings c),
+    ranked AS (
+      SELECT query_id, vec_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def b10_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query batch, score via
+    zip_with/aggregate codegen over one corpus scan, window top-k — no N²
+    shuffle, no Python."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+@query("b11_lsh_topk")  # rows-only: single-probe ANN (recall < 1 by design)
+def b11_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k probing only the query's hyperplane-LSH bucket: the
+    bucket equi-join replaces the full per-query corpus scan — the plan
+    that survives a 100 TB corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries, _HYPERPLANES, k=5)
+
+
+@query("b12_embedding_near_dup")  # rows-only: pair set depends on buckets
+def b12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs scored only within LSH buckets,
+    filtered at cosine ≥ 0.9."""
+    return similarity.embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), _HYPERPLANES, threshold=0.9
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b20_text_quality",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           round(list_aggregate(list_transform(
+                   string_split_regex(trim(text), '\\s+'), w -> len(w)), 'sum')
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6)
+             AS avg_word_len,
+           round(CAST(len(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                 / len(text), 6) AS alpha_ratio,
+           round(0.4 * (CASE WHEN len(text) BETWEEN 20 AND 100000
+                             THEN 1.0 ELSE 0.3 END)
+                 + 0.3 * (CASE WHEN
+                     list_aggregate(list_transform(
+                       string_split_regex(trim(text), '\\s+'), w -> len(w)), 'sum')
+                     / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                     BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
+                 + 0.3 * (CAST(len(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+                          AS DOUBLE) / len(text)), 6) AS quality
+    FROM documents
+    """,
+)
+def b20_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (C4/Gopher-style cheap filters) as pure Column
+    expressions — runs at scan speed, no shuffle at all."""
+    docs = t(spark, sf_dir, "documents")
+    col = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(col).alias("n_tokens"),
+        F.round(text.avg_word_length(col), 6).alias("avg_word_len"),
+        F.round(text.alpha_ratio(col), 6).alias("alpha_ratio"),
+        text.quality_score(col).alias("quality"),
+    )
+
+
+@query(
+    "b21_lang_id",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents),
+    hits AS (
+      SELECT doc_id,
+        len(list_filter(words, x -> x IN ('the','and','of','to','in'))) AS h_en,
+        len(list_filter(words, x -> x IN ('el','la','de','que','y'))) AS h_es,
+        len(list_filter(words, x -> x IN ('le','la','de','et','un'))) AS h_fr,
+        len(list_filter(words, x -> x IN ('der','die','und','das','ist'))) AS h_de
+      FROM w)
+    SELECT CASE WHEN greatest(h_en, h_es, h_fr, h_de) <= 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+                WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+                WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+                ELSE 'de' END AS lang_guess,
+           count(*) AS n_docs
+    FROM hits GROUP BY 1
+    """,
+)
+def b21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID histogram: stopword-hit heuristic, earliest language
+    wins ties (the oracle reproduces the tie-break exactly)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(text.lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "b22_fingerprint_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint
+      FROM documents)
+    SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS n_docs
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def b22_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (md5 over the sorted distinct
+    token set) + dedup count — catches token-shuffled copies that exact
+    dedup misses."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "b23_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                           s -> s != ''))
+           + len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+             AS n_subwords
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def b23_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword counting via boundary-regex split — the cheap token
+    estimator for budget accounting."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id", text.bpe_ish_token_count(F.col("text")).alias("n_subwords")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query("b30_multimodal_features")  # rows-only: mapInPandas feature extraction
+def b30_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: opaque binary payload + modality tag →
+    Arrow-batched mapInPandas feature extraction (decode step stubbed with
+    deterministic byte features; a real codec drops into _byte_features
+    unchanged)."""
+    docs = t(spark, sf_dir, "documents")
+    binary_df = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    return multimodal.extract_features(binary_df)
+
+
+@query(
+    "b31_multimodal_metadata",
+    oracle="""
+    SELECT 'image/fake' AS modality, count(*) AS n_docs,
+           sum(strlen(text)) AS total_bytes,
+           round(avg(strlen(text)), 6) AS avg_bytes
+    FROM documents
+    """,
+)
+def b31_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only path over binary payloads (byte stats without decode)
+    — pure Column expressions on the binary column."""
+    docs = t(spark, sf_dir, "documents")
+    binary_df = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    return binary_df.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.round(F.avg(F.length("payload")), 6).alias("avg_bytes"),
+    )

@@ -47,16 +47,34 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
     )
 
 
-def minhash_signature(shingle_col: F.Column, num_hashes: int = 32) -> F.Column:
-    """MinHash signature: per seed, min over shingle hashes. Seeded by
-    concatenating a per-permutation salt before hashing (deterministic)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(
-                shingle_col, lambda s: F.xxhash64(F.concat(s, seed.cast("string")))
-            )
-        ),
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc as an ``array<bigint>`` column ``__sig``.
+
+    Scale path: explode shingles (map-side, no shuffle), hash each shingle
+    string ONCE to a 64-bit int, then derive all ``num_hashes``
+    permutations as cheap integer re-hashes ``xxhash64(h, seed)`` inside
+    one hash-aggregate on the doc id — a single shuffle whose agg state is
+    ``num_hashes`` longs per doc. The naive formulation (min over
+    ``xxhash64(shingle || seed)`` per seed) re-hashes every shingle string
+    ``num_hashes`` times and is ~100× slower at sf0.1.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__s")
+    ).withColumn("__h", F.xxhash64("__s"))
+    mins = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*mins)
+    return per_doc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
     )
 
 
@@ -72,13 +90,12 @@ def minhash_lsh_candidates(
 
     Signature → split into ``bands`` bands of ``num_hashes/bands`` rows;
     docs colliding on any full band become a candidate pair. Returns
-    (id_a, id_b) with id_a < id_b, distinct across bands.
+    (id_a, id_b) with id_a < id_b, distinct across bands. Pairs only ever
+    materialize within a (band_id, band_hash) bucket — never the N² cross
+    join.
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("__sig"),
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = sig.select(
         id_col,
         F.explode(
