@@ -1,0 +1,86 @@
+"""Flight serving façade tests — mirrors the reference's smoke clients
+(client/main.py, client/main.go) plus error and metadata paths."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.flight as flight
+import pytest
+
+from duckdb_server_spark import server as srv
+from duckdb_server_spark.session import bootstrap
+
+
+@pytest.fixture(scope="module")
+def flight_port(spark, sf_dir):
+    bootstrap(spark, sf_dir)
+    server, _thread = srv.serve_in_background(spark)
+    yield server.port
+    server.shutdown()
+
+
+def test_raw_ticket_select1(flight_port):
+    """The reference's first smoke: SELECT 1 AS a (client/main.py:11)."""
+    table = srv.query_raw(flight_port, "SELECT 1 AS a")
+    assert table.column_names == ["a"]
+    assert table.to_pydict() == {"a": [1]}
+
+
+def test_two_step_select(flight_port):
+    """The reference's ADBC smoke: SELECT 1 AS a, 2 AS b (client/main.py:23)."""
+    table = srv.query_two_step(flight_port, "SELECT 1 AS a, 2 AS b")
+    assert table.to_pydict() == {"a": [1], "b": [2]}
+
+
+def test_two_step_schema_matches_result(flight_port):
+    """GetFlightInfo's analysis-only schema must equal the executed schema."""
+    sql = "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey LIMIT 10"
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        info = client.get_flight_info(flight.FlightDescriptor.for_command(sql.encode()))
+        result = client.do_get(info.endpoints[0].ticket).read_all()
+    finally:
+        client.close()
+    assert info.schema.names == result.schema.names
+    assert result.num_rows == 10
+
+
+def test_warehouse_query_streams_batches(flight_port):
+    """A real multi-batch result over the registered warehouse views."""
+    table = srv.query_raw(
+        flight_port,
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    )
+    assert table.num_rows >= 2
+    assert set(table.column_names) == {"l_returnflag", "n"}
+
+
+def test_sql_info(flight_port):
+    """Metadata path (main.go:201-223 analog): (info_name, value) rows."""
+    table = srv.get_sql_info(flight_port)
+    assert table.column_names == ["info_name", "value"]
+    info = dict(zip(table.column(0).to_pylist(), table.column(1).to_pylist()))
+    assert info["server_name"] == "duckdb_server_spark"
+    assert info["server_read_only"] == "true"
+
+
+def test_engine_error_surfaces(flight_port):
+    """Engine errors cross the wire as Flight errors (main.go:230-232)."""
+    with pytest.raises(flight.FlightServerError):
+        srv.query_raw(flight_port, "SELECT * FROM no_such_table")
+
+
+def test_do_action_unimplemented(flight_port):
+    """DoAction is Unimplemented, like the reference (main.go:121-124)."""
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        with pytest.raises(pa.ArrowNotImplementedError):
+            list(client.do_action(flight.Action("begin_transaction", b"")))
+    finally:
+        client.close()
+
+
+def test_empty_result(flight_port):
+    table = srv.query_raw(flight_port, "SELECT 1 AS a WHERE 1 = 0")
+    assert table.num_rows == 0
+    assert table.column_names == ["a"]
