@@ -52,5 +52,6 @@ def load_all() -> None:
         setops_cte,
         sorts,
         streaming_analog,
+        udfs_sinks,
         windows,
     )
