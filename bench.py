@@ -29,6 +29,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # percentiles, plus the beyond-reference pipeline ops when registered.
 HEADLINE = [
     "q01_pricing_summary",   # S1+P+A: scan, filter, groupBy, sort
+    "t03_shipping_priority", # TPC-H Q3 analog: 3-way join top-k
+    "t05_region_supplier_volume",  # TPC-H Q5 analog: dimension chain
+    "t10_returned_items",    # TPC-H Q10 analog
     "j01_inner_join",        # J1: multi-table equi-join
     "j07_theta_join",        # J7: inequality join
     "j08_asof_join",         # J8: custom as-of rewrite
@@ -40,6 +43,7 @@ HEADLINE = [
     "b03_minhash_lsh_pairs", # beyond: MinHash LSH near-dup
     "b10_knn_bruteforce",    # beyond: cosine top-k
     "b20_text_quality",      # beyond: text quality scoring
+    "b40_training_data_pipeline",  # beyond: filter -> dedup -> budget
 ]
 
 

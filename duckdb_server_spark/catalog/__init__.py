@@ -52,6 +52,7 @@ def load_all() -> None:
         setops_cte,
         sorts,
         streaming_analog,
+        tpch,
         udfs_sinks,
         windows,
     )

@@ -1,0 +1,81 @@
+"""Physical-plan audits (SURVEY.md §4): the scale properties — pushdown,
+pruning, broadcast, codegen — asserted as tests so a regression fails CI
+instead of becoming a 100× slowdown at cluster scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_server_spark import catalog, plans
+from duckdb_server_spark.session import load_table
+
+catalog.load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q01's shipdate predicate must appear in the parquet scan's
+    PushedFilters — at 100 TB this is the difference between reading one
+    row-group and reading the table."""
+    df = catalog.QUERIES["q01_pricing_summary"](spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    """q01 touches 6 of lineitem's 16 columns; the scan must read only
+    those (ReadSchema is the projection actually hitting parquet)."""
+    df = catalog.QUERIES["q01_pricing_summary"](spark, sf_dir)
+    (cols,) = plans.read_schema_columns(df)
+    assert 0 < len(cols) <= 6
+    assert "l_comment" not in cols
+
+
+def test_small_dim_broadcasts(spark, sf_dir):
+    """nation/region-sized dimensions must broadcast, not shuffle."""
+    df = catalog.QUERIES["j01_inner_join"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+def test_codegen_on_hot_path(spark, sf_dir):
+    """The flagship aggregation must stay inside whole-stage codegen."""
+    df = catalog.QUERIES["q01_pricing_summary"](spark, sf_dir)
+    assert plans.wholestage_codegen_spans(df) >= 1
+
+
+def test_semi_join_for_in_subquery(spark, sf_dir):
+    """IN (subquery) must plan as a semi join, not materialize + isin."""
+    df = catalog.QUERIES["p05_in_subquery"](spark, sf_dir)
+    text = plans.explain_string(df, "simple")
+    assert "SemiJoin" in text or "semi" in text.lower()
+
+
+def test_knn_has_no_shuffle_before_topk(spark, sf_dir):
+    """Brute-force kNN must broadcast the query batch: the corpus side is
+    scanned once with zero pre-join shuffle (the 100 TB-survivable plan)."""
+    df = catalog.QUERIES["b10_knn_bruteforce"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+def test_dedup_shuffle_carries_hash_not_text(spark, sf_dir):
+    """Exact dedup groups by the 8-byte xxhash64, so the shuffle's
+    ReadSchema still needs the text column scan-side but the agg keys are
+    the hash — assert the plan contains the hash expression."""
+    df = catalog.QUERIES["b01_exact_dedup"](spark, sf_dir)
+    assert "xxhash64" in plans.explain_string(df, "simple")
+
+
+def test_no_python_udf_in_core_queries(spark, sf_dir):
+    """Core relational queries must not contain Python evaluation nodes
+    (BatchEvalPython/ArrowEvalPython) — the JVM-side guarantee."""
+    for name in (
+        "q01_pricing_summary",
+        "j01_inner_join",
+        "a06_cube",
+        "w04_running_agg",
+        "b01_exact_dedup",
+        "b10_knn_bruteforce",
+        "b20_text_quality",
+    ):
+        text = plans.explain_string(catalog.QUERIES[name](spark, sf_dir), "simple")
+        assert "EvalPython" not in text, f"{name} fell off the JVM path"
