@@ -64,20 +64,28 @@ def stateful_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, with_watermark: str | None = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    with_watermark: str | None = "1 hour",
+    single_file: bool = False,
 ) -> DataFrame:
     """File-source stream over the events table.
 
     The streaming file source requires a directory, so the parquet file is
     staged into a temp dir once per (session, sf_dir). The ns→µs timestamp
     normalization from load_table is preserved by staging the normalized
-    batch frame.
+    batch frame. ``single_file=True`` coalesces the staging to one file so
+    an availableNow run is exactly one micro-batch (deterministic update-
+    mode output for oracle checks).
     """
+    suffix = "_1f" if single_file else ""
     staged = os.path.join(
-        tempfile.gettempdir(), f"dss_stream_events_{abs(hash(sf_dir))}"
+        tempfile.gettempdir(), f"dss_stream_events_{abs(hash(sf_dir))}{suffix}"
     )
     marker = os.path.join(staged, "_SUCCESS")
     batch = load_table(spark, sf_dir, "events")
+    if single_file:
+        batch = batch.coalesce(1)
     if not os.path.exists(marker):
         batch.write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(batch.schema).parquet(staged)

@@ -1,0 +1,67 @@
+"""Scale-machinery tests: bucketed co-located joins elide shuffles,
+salted operators preserve semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_server_spark.operators.skew import salted_join
+from duckdb_server_spark.session import load_table
+from duckdb_server_spark.sources.bucketing import colocated_join, write_bucketed
+
+
+def _final_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir):
+    """Both sides bucketed by the join key with equal bucket counts →
+    sort-merge join with NO Exchange (the 100 TB fact⋈fact layout)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "b_lineitem", "l_orderkey", num_buckets=8)
+    write_bucketed(orders, "b_orders", "l_orderkey", num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        plan = _final_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_unbucketed_join_does_shuffle(spark, sf_dir):
+    """Control: the same join over raw parquet shuffles both sides."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _final_plan(li.join(orders, "l_orderkey"))
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """salted_join is a physical rewrite: result must equal the plain join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    supp = supp.withColumnRenamed("s_suppkey", "l_suppkey")
+    plain = li.join(supp, "l_suppkey").groupBy("s_name").count()
+    salted = salted_join(li, supp, "l_suppkey", salt_buckets=8).groupBy(
+        "s_name"
+    ).count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
