@@ -48,6 +48,7 @@ def load_all() -> None:
         functions_numeric,
         functions_string,
         joins,
+        remote_sources,
         scale,
         scans,
         setops_cte,

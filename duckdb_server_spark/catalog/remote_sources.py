@@ -1,0 +1,67 @@
+"""Declared queries for remote sources: HTTP fetch (S9) and cross-engine
+federation over Arrow Flight (S10). The S3 path (S8) is config-only —
+see sources/remote.py:configure_s3 and tests/test_remote.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_server_spark.catalog import query
+from duckdb_server_spark.session import load_table as t
+from duckdb_server_spark.sources.remote import attach_flight_table, http_table
+
+
+@query(
+    "s09_http_scan",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50
+    """,
+)
+def s09_http_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 (http_client analog, k8s/main.yaml:111): fetch a JSON payload
+    by URL and materialize it. Staged to a file:// URL so the test is
+    hermetic; the fetch path is identical for http(s)://."""
+    staged = os.path.join(tempfile.gettempdir(), f"dss_http_{abs(hash(sf_dir))}")
+    marker = os.path.join(staged, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+        docs.select("doc_id", "lang", "n_chars").coalesce(1).write.mode(
+            "overwrite"
+        ).json(staged)
+    (part,) = glob.glob(os.path.join(staged, "part-*.json"))
+    df = http_table(spark, f"file://{part}", format="json")
+    return df.select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "s10_federated_flight",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def s10_federated_flight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 (ATTACH TYPE AIRPORT analog, k8s/main.yaml:153-155): pull a
+    remote engine's table through a real gRPC Arrow Flight hop and
+    register it locally. The "remote" is this engine's own Flight façade
+    serving the same warehouse — one process, two engine instances, a
+    genuine network hop, exactly the reference's sidecar topology."""
+    from duckdb_server_spark.server import serve_in_background
+    from duckdb_server_spark.session import register_views
+
+    register_views(spark, sf_dir, tables=("nation",))
+    server, _ = serve_in_background(spark)
+    try:
+        return attach_flight_table(
+            spark,
+            f"grpc://127.0.0.1:{server.port}",
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+            "federated_nation",
+        )
+    finally:
+        server.shutdown()

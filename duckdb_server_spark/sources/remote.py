@@ -1,0 +1,125 @@
+"""Remote sources: object-store config (S8), HTTP fetch (S9), and
+cross-engine federation (S10).
+
+Reference anchors:
+- S8: ``INSTALL httpfs`` + ``CREATE SECRET (TYPE s3, KEY_ID …, ENDPOINT …,
+  URL_STYLE path)`` (k8s/main.yaml:110-125) → Spark's s3a Hadoop configs.
+- S9: ``INSTALL http_client FROM community`` (k8s/main.yaml:111) →
+  driver-side stdlib fetch materialized into a DataFrame (small payloads
+  only — a control-plane convenience, not a data-plane scan).
+- S10: ``ATTACH 'x' (TYPE AIRPORT, location 'grpc://…')`` exposing a
+  remote engine's tables locally (k8s/main.yaml:153-155) → an Arrow
+  Flight hop: fetch the remote query result as Arrow record batches and
+  register it as a temp view. Works against any Flight server, including
+  this engine's own façade (server.py) — tested that way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def configure_s3(
+    spark: SparkSession,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    endpoint: str | None = None,
+    path_style: bool = True,
+) -> None:
+    """The httpfs/S3-secret analog (S8, k8s/main.yaml:115-125): after
+    this, ``spark.read.parquet("s3a://bucket/…")`` works (given the
+    hadoop-aws jars on the cluster classpath)."""
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if access_key:
+        conf.set("fs.s3a.access.key", access_key)
+    if secret_key:
+        conf.set("fs.s3a.secret.key", secret_key)
+    if endpoint:
+        conf.set("fs.s3a.endpoint", endpoint)
+    conf.set("fs.s3a.path.style.access", "true" if path_style else "false")
+
+
+def http_table(
+    spark: SparkSession, url: str, format: str = "json", view_name: str | None = None
+) -> DataFrame:
+    """S9: fetch a small remote payload (http/https/file URL) on the
+    driver and materialize it as a DataFrame. JSON payloads parse via
+    ``spark.read.json`` on a parallelized line collection, CSV via
+    header-splitting. Driver-side by design — for bulk data use s3a (S8)."""
+    import urllib.request
+
+    with urllib.request.urlopen(url) as resp:  # noqa: S310 — caller-supplied URL
+        body = resp.read().decode("utf-8")
+    lines = [ln for ln in body.splitlines() if ln.strip()]
+    if format == "json":
+        df = spark.read.json(spark.sparkContext.parallelize(lines))
+    elif format == "csv":
+        header = lines[0].split(",")
+        rows = [ln.split(",") for ln in lines[1:]]
+        df = spark.createDataFrame(rows, header)
+    else:
+        raise ValueError(f"unsupported http_table format: {format}")
+    if view_name:
+        df.createOrReplaceTempView(view_name)
+    return df
+
+
+def attach_flight_table(
+    spark: SparkSession, location: str, sql: str, view_name: str
+) -> DataFrame:
+    """S10: the ``ATTACH (TYPE AIRPORT, location 'grpc://…')`` analog —
+    run ``sql`` on the remote Flight server, pull the Arrow result, and
+    register it locally as ``view_name``.
+
+    The remote result materializes on the driver (like DuckDB's airport
+    ATTACH, each query crosses one gRPC hop, k8s/main.yaml:153-155); for
+    partition-parallel remote scans use JDBC/DSv2 instead."""
+    import pyarrow.flight as flight
+
+    client = flight.connect(location)
+    try:
+        table = client.do_get(flight.Ticket(sql.encode("utf-8"))).read_all()
+    finally:
+        client.close()
+    df = spark.createDataFrame(table.to_pandas())
+    df.createOrReplaceTempView(view_name)
+    return df
+
+
+def attach_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    remote_table: str,
+    view_name: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    **options: str,
+) -> DataFrame:
+    """S10 (scale path): register a remote JDBC table as a local view.
+    With a ``partition_column`` the scan parallelizes across executors —
+    the federation mode that survives big remote tables."""
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", remote_table
+    )
+    if partition_column:
+        bounds = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option(
+                "dbtable",
+                f"(SELECT min({partition_column}) lo, max({partition_column}) hi "
+                f"FROM {remote_table}) b",
+            )
+            .options(**options)
+            .load()
+            .collect()[0]
+        )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(bounds["lo"]))
+            .option("upperBound", str(bounds["hi"]))
+            .option("numPartitions", str(num_partitions))
+        )
+    df = reader.options(**options).load()
+    df.createOrReplaceTempView(view_name)
+    return df
