@@ -33,18 +33,37 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(text_col: str, n: int = 3) -> F.Column:
-    """Word n-gram shingles as an array column (JVM higher-order fns)."""
-    words = F.split(F.col(text_col), r"\s+")
+def with_words(df: DataFrame, text_col: str) -> DataFrame:
+    """Append a ``__words`` column with the split computed EXACTLY ONCE.
+
+    A plain ``withColumn("w", split(...))`` is useless as a sharing point:
+    CollapseProject inlines the split into every downstream reference, so
+    an expression referencing the word array k times re-splits the text k
+    times (measured 8× slowdown at sf0.1 for shingling). Routing the split
+    through ``explode(array(...))`` puts it in a Generate node, which is
+    not collapsed — downstream projections see an attribute, not the
+    expression. Zero shuffle, one extra row-identity generator."""
+    return df.select("*", F.explode(F.array(F.split(F.col(text_col), r"\s+"))).alias("__words"))
+
+
+def shingles_from_words(words: F.Column, text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingles from a pre-split word array: zip_with over
+    ``n`` shifted slices (k-independent cost). Short texts (< n words)
+    fall back to the whole raw text as the single shingle."""
     k = F.size(words) - (n - 1)
-    return F.when(k <= 0, F.array(F.col(text_col))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-            )
-        )
-    )
+    acc = F.slice(words, 1, F.greatest(k, F.lit(0)))
+    for i in range(1, n):
+        shifted = F.slice(words, 1 + i, F.greatest(k, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(k <= 0, F.array(F.col(text_col))).otherwise(F.array_distinct(acc))
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingles as a standalone Column expression.
+
+    Prefer :func:`with_words` + :func:`shingles_from_words` in pipelines —
+    this form recomputes the split wherever Catalyst inlines it."""
+    return shingles_from_words(F.split(F.col(text_col), r"\s+"), text_col, n)
 
 
 def minhash_signatures(
@@ -64,9 +83,16 @@ def minhash_signatures(
     ``xxhash64(shingle || seed)`` per seed) re-hashes every shingle string
     ``num_hashes`` times and is ~100× slower at sf0.1.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__s")
-    ).withColumn("__h", F.xxhash64("__s"))
+    exploded = (
+        with_words(df, text_col)
+        .select(
+            F.col(id_col),
+            F.explode(
+                shingles_from_words(F.col("__words"), text_col, shingle_n)
+            ).alias("__s"),
+        )
+        .withColumn("__h", F.xxhash64("__s"))
+    )
     mins = [
         F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
         for i in range(num_hashes)
@@ -131,8 +157,11 @@ def ngram_jaccard(
     df_pairs: DataFrame, texts: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity."""
-    sh = texts.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("__sh")
+    sh = with_words(texts, text_col).select(
+        F.col(id_col),
+        F.array_distinct(shingles_from_words(F.col("__words"), text_col, n)).alias(
+            "__sh"
+        ),
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
