@@ -156,6 +156,22 @@ def b11_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, _HYPERPLANES, k=5)
 
 
+@query("b13_ivf_topk")  # rows-only: single/low-probe ANN (recall < 1 by design)
+def b13_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: frozen coarse quantizer (here: the first 8 corpus
+    vectors standing in for offline-trained KMeans centroids), cell
+    assignment scan-side, 2-probe cell equi-join."""
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = [
+        [float(v) for v in row.embedding]
+        for row in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, centroids, n_probe=2, k=5)
+
+
 @query("b12_embedding_near_dup")  # rows-only: pair set depends on buckets
 def b12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs scored only within LSH buckets,
@@ -298,6 +314,16 @@ def b30_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     binary_df = multimodal.attach_binary_payload(docs, "text", "doc_id")
     return multimodal.extract_features(binary_df)
+
+
+@query("b32_frame_sample")  # rows-only: mapInPandas row expansion
+def b32_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: 1 payload row → N sampled
+    frame rows inside the Arrow batch stream (stride-64 byte windows as
+    the deterministic decode fake)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    binary_df = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    return multimodal.sample_frames(binary_df, stride=64)
 
 
 @query(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_server_spark.catalog import query
+from duckdb_server_spark.catalog import ORACLE, query
 from duckdb_server_spark.session import load_table as t
 from duckdb_server_spark.streaming import (
     read_events_stream,
@@ -145,3 +145,19 @@ def st_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir, with_watermark="1 hour")
     agg = tumbling_window(stream, "ts", "10 minutes")
     return run_stream_to_memory(agg, output_mode="append")
+
+
+_SESSION_ORACLE = ORACLE["st_session_window"]
+
+
+@query("st_stream_session", oracle=_SESSION_ORACLE)
+def st_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME session-window aggregation executed on the REAL
+    Structured Streaming path (readStream → session_window → memory sink,
+    availableNow over a single staged file, complete mode) — and it still
+    hash-matches the batch gaps-and-islands oracle."""
+    stream = read_events_stream(spark, sf_dir, with_watermark=None, single_file=True)
+    agg = session_window(stream, "ts", "user_id", "30 minutes")
+    return run_stream_to_memory(agg, output_mode="complete").orderBy(
+        F.col("user_id").asc_nulls_last(), F.col("session_start").asc_nulls_last()
+    )

@@ -73,6 +73,66 @@ def _byte_features(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", IntegerType()),
+        StructField("frame_head", IntegerType()),
+    ]
+)
+
+
+def decode_video_frames(payload: bytes, stride: int):
+    """Real video decode — requires ffmpeg/codec libs not present here.
+
+    Plug point: replace the raise with av.open(BytesIO(payload)) frame
+    iteration.
+    """
+    raise NotImplementedError(
+        "video codec not available in this environment; fixed-stride byte "
+        "windows stand in as deterministic fake frames"
+    )
+
+
+def _sample_frames(stride: int):
+    """Frame-sampling mapInPandas body: every ``stride``-th fixed-size
+    byte window of the payload becomes one output row (the deterministic
+    fake standing in for decoded video frames; a real decoder swaps into
+    :func:`decode_video_frames` with the same batch shape)."""
+
+    def inner(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            ids, idxs, sizes, heads = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                windows = [
+                    payload[off : off + stride]
+                    for off in range(0, len(payload), stride)
+                ]
+                for i, w in enumerate(windows[::2]):  # sample every 2nd frame
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(w))
+                    heads.append(w[0] if len(w) else -1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int32"),
+                    "frame_head": pd.Series(heads, dtype="int32"),
+                }
+            )
+
+    return inner
+
+
+def sample_frames(binary_df: DataFrame, stride: int = 64) -> DataFrame:
+    """Distributed frame sampling over binary payloads (1 input row → N
+    frame rows) via mapInPandas — payloads never visit the driver, and
+    the row-expansion happens inside the Arrow batch stream."""
+    return binary_df.mapInPandas(_sample_frames(stride), FRAME_SCHEMA)
+
+
 def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build the multimodal frame shape from the documents fixture: an
     opaque binary payload + modality tag (deterministic fake: the UTF-8

@@ -121,6 +121,84 @@ def lsh_topk(
     )
 
 
+def l2_distance_to(vec_col, centroid: list[float]) -> F.Column:
+    """Squared L2 distance from a vector column to a literal centroid."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(_as_double(vec_col), c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: a coarse quantizer assigns every
+    corpus vector to its nearest centroid scan-side; each query probes its
+    ``n_probe`` nearest cells only.
+
+    ``centroids`` arrive as literals (train them offline — e.g. MLlib
+    KMeans on a sample — exactly how a 100 TB deployment would ship a
+    frozen coarse quantizer to the scan). Cell assignment is a pure
+    codegen expression; the probe is a cell-id equi-join, so cost scales
+    with cells probed, not corpus size."""
+    dists = lambda col: F.array(  # noqa: E731
+        *[l2_distance_to(col, c) for c in centroids]
+    )
+    cell = lambda col: (  # noqa: E731 — argmin over the distance array
+        F.array_position(dists(col), F.array_min(dists(col))) - 1
+    ).cast("int")
+
+    c = corpus.select(
+        F.col(corpus_id), F.col(vec_col).alias("__cvec"), cell(F.col(vec_col)).alias("__cell")
+    )
+    # Query probes: indices of the n_probe smallest centroid distances.
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dists(F.col(vec_col)),
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            ),
+            lambda s: s.getField("i"),
+        ),
+        1,
+        n_probe,
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(probe_cells).alias("__cell"),
+        )
+    )
+    scored = c.join(q, "__cell").select(
+        query_id,
+        corpus_id,
+        cosine_similarity(_as_double(F.col("__qvec")), _as_double(F.col("__cvec"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col(corpus_id).asc_nulls_last()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id, corpus_id, "cos_sim", F.col("__rn").alias("rank"))
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     hyperplanes: list[list[float]],
