@@ -63,6 +63,41 @@ class Engine:
 
         return explain_string(self.spark.sql(query), mode)
 
+    # -- init-phase data management (main.go:107-111 / k8s init container) --
+    def create_table(self, name: str, source: DataFrame | str) -> DataFrame:
+        """CREATE TABLE AS — the init-phase mutation path (§1.4: the
+        reference writes only during init, k8s/main.yaml:100-135; serving
+        stays read-only). Persists parquet into the warehouse dir and
+        registers the view."""
+        import os
+
+        df = self.sql(source) if isinstance(source, str) else source
+        path = os.path.join(self.warehouse_dir_writable(), name)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        out.createOrReplaceTempView(name)
+        self.views[name] = out
+        return out
+
+    def drop_table(self, name: str) -> None:
+        self.spark.catalog.dropTempView(name)
+        self.views.pop(name, None)
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            t.name for t in self.spark.catalog.listTables() if t.isTemporary
+        )
+
+    def warehouse_dir_writable(self) -> str:
+        """Managed-table storage: a sibling of the (read-only) source
+        warehouse, or a temp dir when that is not writable."""
+        import os
+        import tempfile
+
+        candidate = os.path.join(tempfile.gettempdir(), "dss_managed_tables")
+        os.makedirs(candidate, exist_ok=True)
+        return candidate
+
     # -- serving ------------------------------------------------------------
     def serve(self, port: int = 32010, block: bool = False):
         """Start the Flight façade (the reference serves :32010,

@@ -58,8 +58,10 @@ def default_configs(shuffle_partitions: int | None = None) -> dict[str, str]:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.cbo.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
-        # DuckDB errors on division-by-zero / overflow / bad casts; Spark
-        # matches only under ANSI mode (SURVEY.md §7 phase 3).
+        # DuckDB errors on overflow / bad casts; Spark matches only under
+        # ANSI mode (SURVEY.md §7 phase 3). Known divergence: DuckDB 1.0
+        # yields NULL for division by zero while ANSI Spark raises —
+        # declared queries guard denominators (tests/test_semantics.py).
         "spark.sql.ansi.enabled": "true",
         # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark
         # rejects by default; read as int64 ns and normalize in load_table.

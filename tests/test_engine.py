@@ -33,3 +33,15 @@ def test_engine_udfs_registered(spark, sf_dir):
     eng = Engine(warehouse_dir=sf_dir, spark=spark)
     row = eng.sql("SELECT round(sigmoid(CAST(0.0 AS DOUBLE)), 3) AS s").collect()[0]
     assert row.s == 0.5
+
+
+def test_engine_create_table_as(spark, sf_dir):
+    eng = Engine(warehouse_dir=sf_dir, spark=spark)
+    eng.create_table(
+        "top_nations",
+        "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5",
+    )
+    assert eng.sql("SELECT count(*) AS n FROM top_nations").collect()[0].n == 5
+    assert "top_nations" in eng.list_tables()
+    eng.drop_table("top_nations")
+    assert "top_nations" not in eng.list_tables()

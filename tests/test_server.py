@@ -84,3 +84,21 @@ def test_empty_result(flight_port):
     table = srv.query_raw(flight_port, "SELECT 1 AS a WHERE 1 = 0")
     assert table.num_rows == 0
     assert table.column_names == ["a"]
+
+
+def test_concurrent_clients(flight_port):
+    """The reference serializes every request onto one DuckDB connection
+    (main.go:70); this engine serves concurrent DoGets — verify parallel
+    clients each get complete, correct results."""
+    import concurrent.futures
+
+    def one(i: int):
+        table = srv.query_raw(
+            flight_port,
+            f"SELECT count(*) AS n FROM lineitem WHERE l_linenumber = {i % 7 + 1}",
+        )
+        return table.column(0)[0].as_py()
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(one, range(16)))
+    assert all(isinstance(r, int) and r > 0 for r in results)
