@@ -41,18 +41,20 @@ def avg_word_length(text: Column) -> Column:
     words = F.split(F.trim(text), r"\s+")
     return F.aggregate(
         words, F.lit(0.0), lambda acc, w: acc + F.length(w)
-    ) / F.size(words)
+    ) / F.nullif(F.size(words), F.lit(0))
 
 
 def stopword_ratio(text: Column, stopwords: tuple[str, ...]) -> Column:
     words = F.split(F.lower(F.trim(text)), r"\s+")
     hits = F.size(F.filter(words, lambda w: w.isin(*stopwords)))
-    return hits / F.size(words)
+    return hits / F.nullif(F.size(words), F.lit(0))
 
 
 def alpha_ratio(text: Column) -> Column:
     """Fraction of characters that are a-z/A-Z or space."""
-    return F.length(F.regexp_replace(text, "[^a-zA-Z ]", "")) / F.length(text)
+    return F.length(F.regexp_replace(text, "[^a-zA-Z ]", "")) / F.nullif(
+        F.length(text), F.lit(0)
+    )
 
 
 def quality_score(text: Column) -> Column:
