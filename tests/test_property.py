@@ -133,3 +133,64 @@ def test_random_aggregate_consistency(spark, duck, pred):
     sql = f"SELECT count(*) AS n FROM lineitem WHERE {pred}"
     srows, drows = _run_both(spark, duck, sql)
     assert srows == drows, f"aggregate divergence: {pred}"
+
+
+JOIN_TYPES = ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(JOIN_TYPES),
+    pred=atomic_pred(),
+    exists=st.sampled_from(["EXISTS", "NOT EXISTS"]),
+)
+def test_random_joins_and_subqueries(spark, duck, how, pred, exists):
+    """Join types share SQL syntax on both engines; semi/anti exercised
+    through (NOT) EXISTS which Catalyst rewrites to semi/anti joins."""
+    sql = (
+        f"SELECT o_orderkey, count(l_linenumber) AS n "
+        f"FROM orders {how} lineitem ON l_orderkey = o_orderkey AND ({pred}) "
+        f"WHERE {exists} (SELECT 1 FROM customer "
+        f"                WHERE c_custkey = o_custkey AND c_acctbal > 0) "
+        f"GROUP BY o_orderkey"
+    )
+    srows, drows = _run_both(spark, duck, sql)
+    assert srows == drows, f"join divergence: {how} / {pred} / {exists}"
+
+
+WINDOW_FUNCS = [
+    "rank()",
+    "dense_rank()",
+    "count(*)",
+    "sum(l_quantity)",
+    "min(l_extendedprice)",
+]
+PARTITION_COLS = ["l_returnflag", "l_linestatus", "l_returnflag, l_linestatus"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(fn=st.sampled_from(WINDOW_FUNCS), part=st.sampled_from(PARTITION_COLS))
+def test_random_window_functions(spark, duck, fn, part):
+    """Window functions with the default (RANGE-to-current-row) frame:
+    the fixture has duplicate (l_orderkey, l_linenumber) pairs, so ROWS
+    frames and row_number are legitimately nondeterministic under ties —
+    the default frame includes all peers, and rank/dense_rank/aggregates
+    over it are tie-stable on both engines. (Explicit RANGE is rejected
+    by Spark for ranking functions, hence the bare OVER clause.)"""
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST({fn} OVER (PARTITION BY {part} "
+        f"ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST"
+        f") AS DOUBLE) AS v "
+        f"FROM lineitem WHERE l_orderkey < 500"
+    )
+    srows, drows = _run_both(spark, duck, sql)
+    assert _canon(srows) == _canon(drows), f"window divergence: {fn} / {part}"
