@@ -113,8 +113,13 @@ NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one warehouse table (S1: parquet scan with pushdown built in)."""
-    # Set defensively: the driver's own session may lack the bootstrap conf.
+    # Set defensively: the driver's own session may lack the bootstrap
+    # configs. Runtime-settable subset only — timezone parity (naive
+    # wall-clock corpus timestamps, FIXTURES.md) and ns-timestamp reads
+    # are correctness-critical for the oracle comparison.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
