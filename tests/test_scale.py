@@ -65,3 +65,38 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         "s_name"
     ).count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_partition_pruning_static_and_dynamic(spark, sf_dir):
+    """Hive-partitioned layout (S12) must prune at read time: static
+    filters become PartitionFilters, and a join against a filtered dim
+    triggers Dynamic Partition Pruning — at 100 TB this is the difference
+    between scanning one date partition and the whole table."""
+    import os
+    import tempfile
+
+    from duckdb_server_spark.sources import write_parquet
+
+    out = os.path.join(tempfile.gettempdir(), "dss_dpp_orders")
+    orders = load_table(spark, sf_dir, "orders")
+    write_parquet(orders, out, partition_by=("o_orderpriority",))
+    fact = spark.read.parquet(out)
+
+    # Static pruning: the partition predicate must NOT appear as a data
+    # filter — it prunes directories before the scan.
+    pruned = fact.filter(F.col("o_orderpriority") == "1-URGENT")
+    text = pruned._jdf.queryExecution().executedPlan().toString()
+    pruned.collect()
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in text or (
+        "o_orderpriority" in text.split("PartitionFilters")[1].split("]")[0]
+    ), "partition predicate must reach PartitionFilters"
+
+    # Dynamic pruning: the dim filters on a NON-join column (so the
+    # partition predicate cannot be inferred statically) — the planner
+    # must inject a dynamicpruning subquery into the fact scan.
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("5-LOW", 0)], "o_orderpriority string, wanted int"
+    ).filter(F.col("wanted") == 1)
+    joined = fact.join(dim, "o_orderpriority").select("o_orderkey", "wanted")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP must be planned"
