@@ -73,3 +73,71 @@ def st_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, with_watermark=None, single_file=True
     )
     return st.run_stream_to_memory(running_totals(stream), output_mode="update")
+
+
+@query(
+    "j07b_banded_range_join",
+    oracle="""
+    SELECT s_suppkey, count(*) AS n_matches
+    FROM supplier s JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 50.0 AND s.s_acctbal + 50.0
+    GROUP BY s_suppkey
+    """,
+)
+def j07b_banded_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 at scale: the banded rewrite of an inequality join — band-id
+    equi-join + exact post-filter instead of the O(N*M) nested loop Spark
+    would otherwise plan. Identical semantics to the BETWEEN oracle."""
+    from duckdb_server_spark.operators.rangejoin import banded_range_join
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_acctbal")
+        .withColumn("lo", F.col("s_acctbal") - 50.0)
+        .withColumn("hi", F.col("s_acctbal") + 50.0)
+    )
+    joined = banded_range_join(
+        cust, supp, left_point="c_acctbal", right_lo="lo", right_hi="hi",
+        band_width=100.0,
+    )
+    return joined.groupBy("s_suppkey").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+@query(
+    "fn_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def fn_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the closest analog of how the reference moves data
+    (raw Arrow record batches, main.go:241-243): the Python function
+    receives pyarrow.RecordBatch objects directly, zero pandas
+    conversion. Used here for batch-level vector math."""
+    import math
+
+    import pyarrow as pa
+
+    def batch_norms(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            embs = batch.column("embedding")
+            dims, norms = [], []
+            for emb in embs:
+                vals = [float(v.as_py()) for v in emb]
+                dims.append(len(vals))
+                norms.append(round(math.sqrt(sum(v * v for v in vals)), 6))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(dims, pa.int32()), pa.array(norms, pa.float64())],
+                names=["vec_id", "dim", "l2_norm"],
+            )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return emb.select("vec_id", "embedding").mapInArrow(
+        batch_norms, "vec_id long, dim int, l2_norm double"
+    )
