@@ -55,6 +55,7 @@ def load_all() -> None:
         sorts,
         streaming_analog,
         tpch,
+        tpch_suite,
         udfs_sinks,
         windows,
     )
