@@ -32,6 +32,9 @@ HEADLINE = [
     "t03_shipping_priority", # TPC-H Q3 analog: 3-way join top-k
     "t05_region_supplier_volume",  # TPC-H Q5 analog: dimension chain
     "t10_returned_items",    # TPC-H Q10 analog
+    "t07_volume_shipping",   # TPC-H Q7 analog: 6-way join, 2x broadcast dim
+    "t18_large_volume_customer",  # TPC-H Q18 analog: semi join on HAVING set
+    "t21_waiting_supplier",  # TPC-H Q21 analog: semi + anti join chain
     "j01_inner_join",        # J1: multi-table equi-join
     "j07_theta_join",        # J7: inequality join
     "j08_asof_join",         # J8: custom as-of rewrite

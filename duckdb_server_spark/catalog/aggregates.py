@@ -157,6 +157,46 @@ def a06_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a06_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status ASC NULLS LAST, g_prio ASC NULLS LAST,
+             o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST
+    """,
+)
+def a06_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A6) with grouping() indicators — the
+    DataFrame `groupingSets` API (Spark 4.x) plans one Expand + one hash
+    aggregate, not N unioned scans; grouping() disambiguates real NULLs
+    from superaggregate rows."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n")
+        .orderBy(
+            F.col("g_status").asc_nulls_last(),
+            F.col("g_prio").asc_nulls_last(),
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+        )
+    )
+
+
 # --- A7: approximate count-distinct (HLL) — rows-only (approximate) ---
 @query("a07_approx_count_distinct")
 def a07_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -209,6 +209,77 @@ def w07_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w07b_exclude_frames",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_linestatus
+             ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
+                      l_quantity ASC NULLS LAST, l_extendedprice ASC NULLS LAST,
+                      l_partkey ASC NULLS LAST, l_suppkey ASC NULLS LAST
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)
+             AS DOUBLE) AS nbr_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_linestatus
+             ORDER BY l_quantity ASC NULLS LAST
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES)
+             AS DOUBLE) AS cum_qty_excl_ties
+    FROM lineitem
+    ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST
+    """,
+)
+def w07b_exclude_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame EXCLUDE rewrites (SURVEY.md W7 — Spark has no EXCLUDE
+    clause):
+
+    - ``ROWS … EXCLUDE CURRENT ROW`` ≡ sum over the frame minus the
+      current value (total order key → deterministic);
+    - ``RANGE … EXCLUDE TIES``      ≡ cumulative range sum minus the
+      peer-group sum plus the current value (range frames depend only on
+      order-key values, so ties are deterministic).
+
+    All sums in decimal(18,2) so both engines agree exactly; both
+    rewrites are single extra window/group aggregates — no self-join, so
+    the plan stays one shuffle per partition key at scale."""
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    # (l_orderkey, l_linenumber) is NOT unique in the corpus — extend the
+    # ordering until residual ties are frame-value-identical (equal
+    # quantity → interchangeable rows → multiset-equal output).
+    w_rows = (
+        Window.partitionBy("l_linestatus")
+        .orderBy(
+            F.col("l_orderkey").asc_nulls_last(),
+            F.col("l_linenumber").asc_nulls_last(),
+            F.col("l_quantity").asc_nulls_last(),
+            F.col("l_extendedprice").asc_nulls_last(),
+            F.col("l_partkey").asc_nulls_last(),
+            F.col("l_suppkey").asc_nulls_last(),
+        )
+        .rowsBetween(-2, 2)
+    )
+    w_cum = (
+        Window.partitionBy("l_linestatus")
+        .orderBy(F.col("l_quantity").asc_nulls_last())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_peers = Window.partitionBy("l_linestatus", "l_quantity")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.sum(q).over(w_rows) - q).cast("double").alias("nbr_qty"),
+            (F.sum(q).over(w_cum) - F.sum(q).over(w_peers) + q)
+            .cast("double")
+            .alias("cum_qty_excl_ties"),
+        )
+        .orderBy(
+            F.col("l_orderkey").asc_nulls_last(), F.col("l_linenumber").asc_nulls_last()
+        )
+    )
+
+
 # --- W9: QUALIFY-style filter on window result ---
 @query(
     "w09_qualify",
