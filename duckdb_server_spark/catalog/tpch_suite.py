@@ -17,7 +17,7 @@ predicate); explicit NULLS FIRST/LAST.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_server_spark.catalog import query
@@ -636,4 +636,281 @@ def t22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy(F.col("cntrycode").asc_nulls_last())
+    )
+
+
+@query(
+    "t02_min_cost_supplier",
+    oracle="""
+    WITH eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    offers AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+      GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+    FROM part
+    JOIN offers ON pk = p_partkey
+    JOIN eu ON sk = s_suppkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+      AND unit_cost = (SELECT min(unit_cost) FROM offers o2 WHERE o2.pk = p_partkey)
+    ORDER BY s_acctbal DESC NULLS LAST, n_name ASC NULLS LAST,
+             s_name ASC NULLS LAST, p_partkey ASC NULLS LAST
+    """,
+)
+def t02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (no partsupp in the corpus, FIXTURES.md — the
+    observed lineitem unit price stands in for ps_supplycost). The
+    correlated `= (SELECT min …)` becomes a window min over the offers
+    aggregate — one shuffle on partkey, no self-join. Unit cost is one
+    double division per row — IEEE-identical in both engines, and min()
+    never sums, so equality is exact.
+
+    Scale shape: the supplier→nation→region chain is a broadcast
+    (thousands of rows at any SF); the only fact shuffle is the
+    (partkey, suppkey) partial agg, and the per-part min reuses that
+    tiny aggregate — no second pass over lineitem."""
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = F.broadcast(
+        t(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        t(spark, sf_dir, "lineitem")
+        .join(eu.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    parts = F.broadcast(
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_brand")
+    )
+    best = offers.withColumn(
+        "best_cost", F.min("unit_cost").over(Window.partitionBy("pk"))
+    ).filter(F.col("unit_cost") == F.col("best_cost"))
+    return (
+        parts.join(best, F.col("pk") == F.col("p_partkey"))
+        .join(eu, F.col("sk") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost")
+        .orderBy(
+            F.col("s_acctbal").desc_nulls_last(),
+            F.col("n_name").asc_nulls_last(),
+            F.col("s_name").asc_nulls_last(),
+            F.col("p_partkey").asc_nulls_last(),
+        )
+    )
+
+
+@query(
+    "t11_important_part_value",
+    oracle="""
+    WITH natl AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+               AS value_dec
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l_partkey)
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM natl, (SELECT sum(value_dec) AS total FROM natl)
+    WHERE value_dec * 1000 > total
+    ORDER BY part_value DESC NULLS LAST, l_partkey ASC NULLS LAST
+    """,
+)
+def t11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (lineitem revenue per part stands in for the
+    missing partsupp value). The HAVING-vs-global-sum threshold is
+    cross-multiplied (`value * 1000 > total`) so both engines compare
+    exact decimals. The global total is a one-row broadcast reused from
+    the same partial aggregate — lineitem is scanned once."""
+    nat = F.broadcast(
+        t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    )
+    sup = F.broadcast(
+        t(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    natl = (
+        t(spark, sf_dir, "lineitem")
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue()).alias("value_dec"))
+    )
+    total = F.broadcast(natl.agg(F.sum("value_dec").alias("total")))
+    return (
+        natl.crossJoin(total)
+        .filter(F.col("value_dec") * 1000 > F.col("total"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc_nulls_last(), F.col("l_partkey").asc_nulls_last())
+    )
+
+
+@query(
+    "t12_priority_lines",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC NULLS LAST
+    """,
+)
+def t12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog (l_returnflag stands in for the missing
+    l_shipmode). Conditional counts via sum(CASE …) — integer-exact, no
+    float hazard. The ship-date filter pushes to the lineitem scan; the
+    orders join carries only (o_orderkey, o_orderpriority) after column
+    pruning, and the final agg is 3 groups — partial map-side combine
+    collapses it before the shuffle."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_last())
+    )
+
+
+@query(
+    "t16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC NULLS LAST, p_brand ASC NULLS LAST,
+             p_type ASC NULLS LAST, p_size ASC NULLS LAST
+    """,
+)
+def t16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: distinct-supplier counts per part attribute,
+    excluding a supplier blocklist. NOT IN on a never-null key is a
+    broadcast anti join (blocklist is tiny at any SF); the part filter
+    broadcasts too, so lineitem shuffles once — on the grouping keys for
+    the count-distinct expand."""
+    bad = F.broadcast(
+        t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    parts = F.broadcast(
+        t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "leftanti")
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc_nulls_last(),
+            F.col("p_brand").asc_nulls_last(),
+            F.col("p_type").asc_nulls_last(),
+            F.col("p_size").asc_nulls_last(),
+        )
+    )
+
+
+@query(
+    "t20_potential_promotion",
+    oracle="""
+    WITH qty AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey),
+    tot AS (
+      SELECT l_partkey AS pk, sum(supp_qty) AS total_qty
+      FROM qty GROUP BY l_partkey)
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM qty
+        JOIN tot ON pk = l_partkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%' AND supp_qty * 2 > total_qty)
+    ORDER BY s_name ASC NULLS LAST
+    """,
+)
+def t20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (a supplier's own 1997 shipped share of a part
+    stands in for ps_availqty vs half the part's volume — no partsupp in
+    the corpus). The correlated `> 0.5 * sum(...)` is cross-multiplied
+    to exact decimals (`supp_qty * 2 > total_qty`). One lineitem scan
+    feeds both the per-(part,supp) and per-part aggregates; the IN
+    subquery is a left-semi join on s_suppkey, and the part-name filter
+    broadcasts."""
+    date_lo = F.lit("1997-01-01").cast("timestamp")
+    date_hi = F.lit("1998-01-01").cast("timestamp")
+    qty = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") < date_hi))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("supp_qty"))
+    )
+    tot = qty.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    small = F.broadcast(
+        t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    )
+    dominant = (
+        qty.join(tot, F.col("pk") == F.col("l_partkey"))
+        .join(small, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.col("supp_qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    nat = F.broadcast(
+        t(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+        )
+    )
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+        .select("s_name", "n_name")
+        .orderBy(F.col("s_name").asc_nulls_last())
     )
