@@ -396,3 +396,69 @@ def a14_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "o_orderkey", "o_totalprice")
         .orderBy(F.col("o_custkey").asc_nulls_last())
     )
+
+
+@query(
+    "a15_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC NULLS LAST
+    """,
+)
+def a15_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (DuckDB `PIVOT … ON … USING`, reachable via the reference's
+    SQL passthrough main.go:229) → `groupBy().pivot(col, values)`. The
+    explicit value list matters at scale: without it Spark runs an extra
+    distinct-collect job over the fact table to discover the columns.
+    One hash aggregate, no shuffle beyond the groupBy; sums in
+    decimal(18,2), displayed as double."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .select(
+            "o_orderpriority",
+            F.col("F").cast("double").alias("f"),
+            F.col("O").cast("double").alias("o"),
+            F.col("P").cast("double").alias("p"),
+        )
+        .orderBy(F.col("o_orderpriority").asc_nulls_last())
+    )
+
+
+@query(
+    "a16_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, value FROM (
+      SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+      FROM orders)
+    ORDER BY o_orderkey ASC NULLS LAST, metric ASC NULLS LAST
+    """,
+)
+def a16_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (DuckDB `UNPIVOT`, reachable via passthrough main.go:229)
+    → `DataFrame.unpivot` (Spark ≥3.4), which plans a single Expand node
+    — one scan, no union of N subqueries (the oracle's UNION ALL form
+    would scan the table once per measure at 100 TB)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_custkey").cast("double").alias("o_custkey"),
+        )
+        .unpivot("o_orderkey", ["o_totalprice", "o_custkey"], "metric", "value")
+        .orderBy(F.col("o_orderkey").asc_nulls_last(), F.col("metric").asc_nulls_last())
+    )

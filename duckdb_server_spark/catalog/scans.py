@@ -452,3 +452,27 @@ def p14_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_regionkey")
         .orderBy(F.col("n_nationkey").asc_nulls_last())
     )
+
+
+@query(
+    "s07b_range_series",
+    oracle="""
+    SELECT CAST(range AS BIGINT) AS n,
+           CAST(range * range AS BIGINT) AS n_sq
+    FROM range(0, 1000)
+    ORDER BY n ASC NULLS LAST
+    """,
+)
+def s07b_range_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series-generating table function (DuckDB `range()` /
+    `generate_series`, reachable via passthrough main.go:229; SURVEY.md
+    S7) → `spark.range`, which distributes the series across partitions
+    with no data movement — the generator itself is the source."""
+    return (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").alias("n"),
+            (F.col("id") * F.col("id")).alias("n_sq"),
+        )
+        .orderBy(F.col("n").asc_nulls_last())
+    )
