@@ -281,3 +281,39 @@ def j09_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .orderBy(F.col("doc_id").asc_nulls_last(), F.col("word").asc_nulls_last())
     )
+
+
+@query(
+    "j10_positional_join",
+    oracle="""
+    WITH a AS (SELECT doc_id, n_chars,
+                      row_number() OVER (ORDER BY doc_id ASC NULLS LAST) AS rn
+               FROM documents),
+         b AS (SELECT label,
+                      row_number() OVER (ORDER BY vec_id ASC NULLS LAST) AS rn
+               FROM embeddings)
+    SELECT a.doc_id, a.n_chars, b.label
+    FROM a JOIN b USING (rn)
+    ORDER BY a.doc_id ASC NULLS LAST
+    """,
+)
+def j10_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL JOIN (DuckDB-specific row-order join, reachable via
+    passthrough main.go:229), in its deterministic form: both relations
+    are given an explicit total order and paired by rank — raw file
+    order is not a contract either engine preserves under parallel scan.
+
+    Scale shape: `operators.rank.positional_join` avoids the naive
+    single-partition `Window.orderBy` rank — each side range-partitions
+    and sorts in parallel, per-partition counts prefix-sum into offsets
+    (a #partitions-row window), and the global rank is offset + local
+    row_number. The rank join itself is a plain equi-join on rn."""
+    from duckdb_server_spark.operators.rank import positional_join
+
+    a = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        positional_join(a, b, ["doc_id"], ["vec_id"])
+        .select("doc_id", "n_chars", "label")
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )

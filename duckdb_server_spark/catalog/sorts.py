@@ -174,3 +174,44 @@ def u03_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
     return c.subtract(s).orderBy(F.col("k").asc_nulls_last())
+
+
+@query(
+    "o08_deterministic_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    ORDER BY o_orderkey ASC NULLS LAST
+    """,
+)
+def o08_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% sample (DuckDB `USING SAMPLE`, reachable via
+    passthrough main.go:229, made reproducible): filter on a hash of the
+    key instead of an engine RNG, so both engines select the identical
+    rows. md5 is the one hash both engines share bit-for-bit (Spark
+    `hash`/xxhash64 and DuckDB `hash` are different algorithms). At
+    100 TB this is the right sampling primitive anyway — stable under
+    retries, partition-local (no shuffle), and composable with pushed
+    filters. `df.sample(fraction, seed)` covers the engine-RNG form
+    (rows-only; see o08b)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+        )
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_orderkey").asc_nulls_last())
+    )
+
+
+@query("o08b_tablesample")
+def o08b_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-RNG TABLESAMPLE (`df.sample`): Bernoulli per row, seeded —
+    deterministic within Spark but not across engines, so rows-only.
+    Scale note: sample() is a partition-local filter, no shuffle."""
+    return (
+        t(spark, sf_dir, "orders")
+        .sample(fraction=0.1, seed=42)
+        .select("o_orderkey", "o_totalprice")
+    )

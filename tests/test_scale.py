@@ -100,3 +100,23 @@ def test_partition_pruning_static_and_dynamic(spark, sf_dir):
     joined = fact.join(dim, "o_orderpriority").select("o_orderkey", "wanted")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "DPP must be planned"
+
+
+def test_global_index_is_parallel_and_exact(spark):
+    """with_global_index must equal the single-partition rank without
+    planning an unpartitioned window over the data."""
+    from duckdb_server_spark.operators.rank import with_global_index
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 37 % 10_007).alias("k"), F.col("id").alias("payload")
+    )
+    ranked = with_global_index(df, ["k"], out="rn", num_partitions=8)
+    rows = ranked.orderBy("rn").collect()
+    assert [r.rn for r in rows] == list(range(1, 10_001))
+    ks = [r.k for r in rows]
+    assert ks == sorted(ks), "rank order must follow the key order"
+
+    # The only unpartitioned window allowed is the #partitions-row
+    # offset prefix-sum, never one over the input relation.
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "partitionBy=[__pid" in plan.replace(" ", "") or "__pid" in plan
