@@ -161,3 +161,75 @@ def w08_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC NULLS LAST)
         """
     )
+
+
+@query(
+    "s13_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS new_price
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT -(range + 1) AS o_orderkey,
+             CAST(1000 AS DECIMAL(18,2)) AS new_price
+      FROM range(50))
+    SELECT coalesce(o.o_orderkey, u.o_orderkey) AS o_orderkey,
+           CAST(coalesce(u.new_price, CAST(o.o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS merged_price,
+           CAST(CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                     WHEN u.o_orderkey IS NULL THEN 'keep'
+                     ELSE 'update' END AS VARCHAR) AS action
+    FROM orders o FULL JOIN updates u ON o.o_orderkey = u.o_orderkey
+    ORDER BY o_orderkey ASC NULLS LAST
+    """,
+)
+def s13_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert analog. The reference declares INSERT/UPDATE/DELETE
+    (main.go:440,504,404) but serves read-only (main.go:61) — mutation is
+    an init-phase concern. On immutable parquet the idiomatic Spark form
+    is copy-on-write, decomposed to keep every join broadcastable — a
+    naive FULL OUTER join forbids broadcast (Spark rejects the hint:
+    "build right for full outer join") and forces a sort-merge shuffle of
+    the whole target:
+
+    - WHEN MATCHED / NOT MATCHED BY SOURCE → target LEFT JOIN broadcast
+      (updates): a map-side join over the target scan, zero shuffle;
+    - NOT MATCHED BY TARGET → updates ANTI JOIN target on the key: the
+      target side is column-pruned to the key alone before the shuffle.
+
+    At real scale a lakehouse table format turns this into file-level
+    copy-on-write; the join core is identical."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 2).alias("new_price"),
+        )
+        .unionByName(
+            spark.range(0, 50).select(
+                (-(F.col("id") + 1)).alias("o_orderkey"),
+                F.lit(1000).cast("decimal(18,2)").alias("new_price"),
+            )
+        )
+    )
+    o, u = orders.alias("o"), F.broadcast(updates.alias("u"))
+    merged = o.join(u, F.col("o.o_orderkey") == F.col("u.o_orderkey"), "left").select(
+        F.col("o.o_orderkey").alias("o_orderkey"),
+        F.coalesce(
+            F.col("u.new_price"), F.col("o.o_totalprice").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("merged_price"),
+        F.when(F.col("u.o_orderkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+    inserts = updates.join(
+        orders.select("o_orderkey"), "o_orderkey", "leftanti"
+    ).select(
+        "o_orderkey",
+        F.col("new_price").cast("double").alias("merged_price"),
+        F.lit("insert").alias("action"),
+    )
+    return merged.unionByName(inserts).orderBy(F.col("o_orderkey").asc_nulls_last())
