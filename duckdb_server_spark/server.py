@@ -165,3 +165,41 @@ def get_sql_info(port: int) -> pa.Table:
         return client.do_get(info.endpoints[0].ticket).read_all()
     finally:
         client.close()
+
+
+# ---------------------------------------------------------------------------
+# CLI entrypoint — the reference's flag surface (main.go:31-42)
+# ---------------------------------------------------------------------------
+
+
+def main(argv: list[str] | None = None) -> None:
+    """``python -m duckdb_server_spark.server`` — serve a parquet warehouse
+    over Arrow Flight, mirroring the reference's CLI (main.go:31-42):
+
+    - ``--warehouse DIR`` ↔ ``-db``: directory of ``<table>.parquet``
+      registered as views at startup (serve-time is read-only by
+      construction — the session only ever reads them, main.go:61).
+    - ``--init SQL``      ↔ ``-init``: ';'-separated statements run once
+      after the views register (main.go:107-111).
+    - ``--port N``        ↔ the fixed ``:32010`` (main.go:258).
+    """
+    import argparse
+
+    from duckdb_server_spark.session import DEFAULT_SF_DIR, bootstrap, get_spark
+
+    parser = argparse.ArgumentParser(description="PySpark Arrow Flight SQL server")
+    parser.add_argument("--warehouse", default=DEFAULT_SF_DIR)
+    parser.add_argument("--init", default="", help="';'-separated init SQL")
+    parser.add_argument("--port", type=int, default=32010)
+    args = parser.parse_args(argv)
+
+    spark = get_spark(app_name="dss-server")
+    statements = [s.strip() for s in args.init.split(";") if s.strip()]
+    bootstrap(spark, args.warehouse, init_sql=statements)
+    server = SparkFlightServer(spark, f"grpc://0.0.0.0:{args.port}")
+    print(f"serving warehouse={args.warehouse} port={server.port}", flush=True)
+    server.serve()
+
+
+if __name__ == "__main__":
+    main()
