@@ -161,3 +161,25 @@ def st_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, output_mode="complete").orderBy(
         F.col("user_id").asc_nulls_last(), F.col("session_start").asc_nulls_last()
     )
+
+
+@query(
+    "st_stream_tws_rollup",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, max(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id ASC NULLS LAST
+    """,
+)
+def st_stream_tws_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state per-key rollup on Spark 4's
+    ``transformWithStateInPandas`` (named ValueState, processor
+    lifecycle) — the successor to applyInPandasWithState (see
+    st_stateful_totals). Count + max are integer/order-insensitive, so
+    the result hash-matches the batch oracle regardless of micro-batch
+    boundaries. Environment-gated: without protobuf the same pandas
+    fold runs via batch applyInPandas (streaming/tws.py docstring)."""
+    from duckdb_server_spark.streaming.tws import user_rollup
+
+    return user_rollup(spark, sf_dir).orderBy(F.col("user_id").asc_nulls_last())

@@ -45,3 +45,30 @@ def test_engine_create_table_as(spark, sf_dir):
     assert "top_nations" in eng.list_tables()
     eng.drop_table("top_nations")
     assert "top_nations" not in eng.list_tables()
+
+
+def test_tws_streaming_path_when_deps_present(spark, sf_dir):
+    """transformWithStateInPandas needs protobuf (its state-server
+    protocol); this container lacks it, so the catalog query runs the
+    shared-logic batch fallback (oracle-checked in test_oracle). Where
+    protobuf exists this test drives the REAL streaming path and checks
+    it against the batch result."""
+    import pytest
+
+    from duckdb_server_spark.streaming.tws import HAVE_TWS_DEPS, user_rollup
+
+    if not HAVE_TWS_DEPS:
+        pytest.skip("protobuf absent — batch fallback covered by oracle test")
+
+    got = sorted(tuple(r) for r in user_rollup(spark, sf_dir).collect())
+    from duckdb_server_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    want = sorted(
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+        .collect()
+    )
+    assert got == want
