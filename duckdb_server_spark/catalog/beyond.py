@@ -18,7 +18,7 @@ an oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_server_spark.catalog import query
@@ -344,4 +344,136 @@ def b31_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("payload")).alias("total_bytes"),
         F.round(F.avg(F.length("payload")), 6).alias("avg_bytes"),
+    )
+
+
+@query(
+    "b05_dup_components",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS s
+      FROM documents),
+    e AS (
+      SELECT a.doc_id AS id,
+             CASE WHEN len(list_intersect(a.s, b.s)) >= 8 THEN 1 ELSE 0 END
+               AS linked_prev
+      FROM w a LEFT JOIN w b ON b.doc_id = a.doc_id - 1),
+    isl AS (
+      SELECT id, sum(1 - linked_prev) OVER (ORDER BY id ASC) AS grp FROM e)
+    SELECT id AS doc_id, min(id) OVER (PARTITION BY grp) AS component
+    FROM isl
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b05_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: candidate pairs → connected components →
+    canonical (min) doc per cluster. This is the step between pair
+    generation (b02/b03) and actually dropping duplicates.
+
+    The Spark side runs the generic iterative min-label operator
+    (operators/components.py) on word-overlap edges between consecutive
+    doc ids. Because that edge set is a chain, the DuckDB oracle can
+    state the expected components non-recursively (gaps-and-islands) —
+    the operator itself is topology-agnostic (cycles/stars exercised in
+    tests/test_scale.py)."""
+    from duckdb_server_spark.operators.components import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.array_distinct(F.split("text", r"\s+")).alias("s")
+    )
+    a = w.select(F.col("doc_id").alias("src"), F.col("s").alias("sa"))
+    b = w.select(F.col("doc_id").alias("dst"), F.col("s").alias("sb"))
+    edges = (
+        a.join(b, F.col("dst") == F.col("src") + 1)
+        .filter(F.size(F.array_intersect("sa", "sb")) >= 8)
+        .select("src", "dst")
+    )
+    labels = connected_components(edges)
+    return (
+        docs.select("doc_id")
+        .join(labels, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+        )
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )
+
+
+@query(
+    "b41_balanced_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+      FROM documents)
+    WHERE rn <= 50
+    ORDER BY lang ASC NULLS LAST, doc_id ASC NULLS LAST
+    """,
+)
+def b41_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-mix sampling: a deterministic per-language quota
+    (50 docs/lang), drawn by ranking on a key hash — reproducible across
+    engines and retries, unlike RNG sampling (`sampleBy` is the
+    engine-RNG form). One shuffle on lang; if one language dominates at
+    100 TB, pre-aggregate a salted per-(lang, salt) top-k first and
+    re-rank the k·salts survivors — same result, bounded partition."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+        .orderBy(F.col("lang").asc_nulls_last(), F.col("doc_id").asc_nulls_last())
+    )
+
+
+@query(
+    "b42_token_shards",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, doc_id, len(string_split_regex(text, '\s+')) AS n_tokens
+      FROM documents)
+    SELECT source, doc_id, n_tokens,
+           CAST(floor(
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS DOUBLE) / 2000) AS BIGINT) AS shard
+    FROM tok
+    ORDER BY source ASC NULLS LAST, doc_id ASC NULLS LAST
+    """,
+)
+def b42_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (greedy sequential fill, ~2000 tokens
+    per shard): the write-side step that turns a filtered/deduped corpus
+    into training shards. Shard id = floor(tokens-before-this-doc /
+    budget), from a running sum within each source — integer-exact in
+    both engines.
+
+    Scale shape: packing is per-source (parallel across sources, one
+    shuffle); a global pack would serialize — if required, use
+    operators/rank.py::with_global_index for the prefix sums instead."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    return (
+        tok.withColumn(
+            "shard",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double")
+                / F.lit(2000)
+            ).cast("bigint"),
+        )
+        .orderBy(F.col("source").asc_nulls_last(), F.col("doc_id").asc_nulls_last())
     )

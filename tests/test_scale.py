@@ -120,3 +120,21 @@ def test_global_index_is_parallel_and_exact(spark):
     # offset prefix-sum, never one over the input relation.
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "partitionBy=[__pid" in plan.replace(" ", "") or "__pid" in plan
+
+
+def test_connected_components_topologies(spark):
+    """Min-label CC on star + long chain + cycle: the 60-node chain
+    converges only because of the pointer-jump step (plain one-hop
+    propagation would need 60 rounds, > max_iter)."""
+    from duckdb_server_spark.operators.components import connected_components
+
+    edges = (
+        [(100, k) for k in (1, 2, 3)]                    # star
+        + [(10 + i, 11 + i) for i in range(60)]          # chain 10..70
+        + [(200, 201), (201, 202), (202, 200)]           # cycle
+    )
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.component for r in connected_components(df, max_iter=12).collect()}
+    assert {got[k] for k in (100, 1, 2, 3)} == {1}
+    assert {got[10 + i] for i in range(61)} == {10}
+    assert {got[k] for k in (200, 201, 202)} == {200}
