@@ -39,7 +39,7 @@ HEADLINE = [
     "j07_theta_join",        # J7: inequality join
     "j08_asof_join",         # J8: custom as-of rewrite
     "a06_cube",              # A6: grouping sets
-    "a09_median_percentile", # A9: ordered-set aggs
+    "a09b_median_percentile_vectorized",  # A9: exact ordered-set aggs (fast path)
     "w04_running_agg",       # W4/W5: window frames
     "st_session_window",     # §2.10: gaps-and-islands sessionization
     "b01_exact_dedup",       # beyond: exact dedup
@@ -47,6 +47,8 @@ HEADLINE = [
     "b10_knn_bruteforce",    # beyond: cosine top-k
     "b20_text_quality",      # beyond: text quality scoring
     "b40_training_data_pipeline",  # beyond: filter -> dedup -> budget
+    "b41_balanced_sample",   # beyond: per-language training-mix quota
+    "b42_token_shards",      # beyond: token-budget shard packing
 ]
 
 
