@@ -215,3 +215,39 @@ def o08b_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sample(fraction=0.1, seed=42)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "u02b_intersect_all",
+    oracle="""
+    SELECT k FROM (
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS k FROM supplier
+    ) ORDER BY k ASC NULLS LAST
+    """,
+)
+def u02b_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — min multiplicity per value):
+    `intersectAll` plans one aggregate per side + a join, no distinct."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersectAll(s).orderBy(F.col("k").asc_nulls_last())
+
+
+@query(
+    "u03b_except_all",
+    oracle="""
+    SELECT k FROM (
+      SELECT c_nationkey AS k FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS k FROM supplier
+    ) ORDER BY k ASC NULLS LAST
+    """,
+)
+def u03b_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference — multiplicities subtract):
+    `exceptAll`, vs `subtract` which is the DISTINCT form (u03)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.exceptAll(s).orderBy(F.col("k").asc_nulls_last())
