@@ -98,6 +98,47 @@ def main() -> None:
         )
     )
 
+    if "--compare-duckdb" in sys.argv:
+        # Transparency mode: time each oracle-backed headline query in
+        # embedded DuckDB on the same parquet (the reference's engine at
+        # the same scale). Prints a SECOND JSON line; the driver only
+        # reads the first. Expect DuckDB to win at sf0.1 — a 600k-row
+        # corpus is far below the scale where Spark's distribution pays
+        # for its constant per-query overhead; the engine is designed
+        # for the 100 TB regime the embedded engine cannot reach.
+        import duckdb
+
+        con = duckdb.connect()
+        for tbl in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {tbl} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{tbl}.parquet')"
+            )
+        duck: dict[str, float] = {}
+        for name in names:
+            if name not in catalog.ORACLE:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(catalog.ORACLE[name]).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck[name] = round(best, 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "duckdb_oracle_total",
+                    "value": round(sum(duck.values()), 3),
+                    "unit": "sec",
+                    "queries": duck,
+                    "sf": sf_val,
+                }
+            )
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -79,3 +79,23 @@ def test_no_python_udf_in_core_queries(spark, sf_dir):
     ):
         text = plans.explain_string(catalog.QUERIES[name](spark, sf_dir), "simple")
         assert "EvalPython" not in text, f"{name} fell off the JVM path"
+
+
+def test_t02_no_sort_merge_join(spark, sf_dir):
+    """Q2 analog: dims broadcast and the per-part min is a window over
+    the offers aggregate — no sort-merge self-join anywhere."""
+    df = catalog.QUERIES["t02_min_cost_supplier"](spark, sf_dir)
+    df.collect()  # AQE finalizes join strategies at execution
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in text
+    assert "BroadcastHashJoin" in text
+
+
+def test_merge_upsert_all_joins_broadcast(spark, sf_dir):
+    """MERGE decomposition exists to keep every join broadcastable (a
+    FULL OUTER join would force a sort-merge shuffle of the target)."""
+    df = catalog.QUERIES["s13_merge_upsert"](spark, sf_dir)
+    df.collect()
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in text
+    assert "BroadcastHashJoin" in text
