@@ -93,3 +93,31 @@ def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(text, r"\s+", "|").alias("piped"),
         F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_source"),
     ).orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
+    "fn_string_accents",
+    oracle="""
+    SELECT s, strip_accents(s) AS plain
+    FROM (VALUES ('café'), ('naïve'), ('Zürich'), ('São Paulo'),
+                 ('ŌŘŃŏ'), ('plain ascii')) t(s)
+    ORDER BY s ASC NULLS LAST
+    """,
+)
+def fn_string_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strip_accents (DuckDB core, SURVEY.md §2.9) — Spark has no
+    built-in, so the shim is a single translate() over a Latin accent
+    table (functions/scalar.py): stays in whole-stage codegen, no UDF.
+    Checked on inline accented VALUES, identical rows in both engines.
+
+    ('Ř' decomposes to R in DuckDB and in the table; chars outside the
+    table — e.g. ß — are not accents and pass through both engines.)"""
+    from duckdb_server_spark.functions.scalar import strip_accents
+
+    rows = [("café",), ("naïve",), ("Zürich",), ("São Paulo",),
+            ("ŌŘŃŏ",), ("plain ascii",)]
+    return (
+        spark.createDataFrame(rows, "s string")
+        .select("s", strip_accents(F.col("s")).alias("plain"))
+        .orderBy(F.col("s").asc_nulls_last())
+    )

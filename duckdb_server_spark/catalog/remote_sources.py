@@ -65,3 +65,44 @@ def s10_federated_flight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         server.shutdown()
+
+
+@query(
+    "s09b_python_datasource",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50
+    """,
+)
+def s09b_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S14 via PySpark 4's Python DataSource API: a registered reader
+    class with source-side partition planning (sources/pydatasource.py)
+    — the scalable form of the extension mechanism; reads parallelize
+    across executors instead of staging through the driver. Hermetic: a
+    deterministic JSONL payload staged once per (session, sf_dir)."""
+    import json as _json
+
+    from duckdb_server_spark.sources.pydatasource import FORMAT_NAME, register
+
+    staged = os.path.join(
+        tempfile.gettempdir(), f"dss_pyds_{abs(hash(sf_dir))}.jsonl"
+    )
+    if not os.path.exists(staged):
+        rows = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", "lang", "n_chars")
+            .orderBy("doc_id")
+            .collect()
+        )
+        with open(staged + ".tmp", "w", encoding="utf-8") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r.asDict()) + "\n")
+        os.replace(staged + ".tmp", staged)
+    register(spark)
+    return (
+        spark.read.format(FORMAT_NAME)
+        .option("path", staged)
+        .option("partitions", "4")
+        .load()
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )

@@ -100,3 +100,27 @@ def current_time_string() -> Column:
     """``CURRENT_TIME`` (main.go:398): Spark has no TIME type — the
     reference-compatible rendering is an HH:mm:ss string of now()."""
     return F.date_format(F.current_timestamp(), "HH:mm:ss")
+
+
+# DuckDB strip_accents does full NFD decomposition; Spark has no
+# built-in. A translate() table covers the Latin-1 + Latin-Extended
+# range the corpus can contain — one codegen'd expression, no UDF.
+_ACCENTED = (
+    "àáâãäåāăąèéêëēĕėęěìíîïĩīĭįòóôõöōŏőùúûüũūŭůçćĉċčñńņňýÿŷ"
+    "ŕŗřśŝşšźżžţťďĝğġģĥĵŵ"
+    "ÀÁÂÃÄÅĀĂĄÈÉÊËĒĔĖĘĚÌÍÎÏĨĪĬĮÒÓÔÕÖŌŎŐÙÚÛÜŨŪŬŮÇĆĈĊČÑŃŅŇÝŸŶ"
+    "ŔŖŘŚŜŞŠŹŻŽŢŤĎĜĞĠĢĤĴŴ"
+)
+_PLAIN = (
+    "aaaaaaaaaeeeeeeeeeiiiiiiiioooooooouuuuuuuucccccnnnnyyy"
+    "rrrsssszzzttdgggghjw"
+    "AAAAAAAAAEEEEEEEEEIIIIIIIIOOOOOOOOUUUUUUUUCCCCCNNNNYYY"
+    "RRRSSSSZZZTTDGGGGHJW"
+)
+assert len(_ACCENTED) == len(_PLAIN)
+
+
+def strip_accents(col: Column) -> Column:
+    """DuckDB ``strip_accents`` analog via a 1:1 translate table
+    (SURVEY.md §2.9 string row)."""
+    return F.translate(col, _ACCENTED, _PLAIN)
