@@ -317,3 +317,39 @@ def j10_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "label")
         .orderBy(F.col("doc_id").asc_nulls_last())
     )
+
+
+@query(
+    "j09b_lateral_topk",
+    oracle="""
+    SELECT n_name, c_name, c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS LAST
+      LIMIT 2) top2
+    ORDER BY n_name ASC NULLS LAST, c_acctbal DESC NULLS LAST,
+             c_name ASC NULLS LAST
+    """,
+)
+def j09b_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (J9 beyond LATERAL VIEW explode):
+    top-2 customers per nation via a per-row dependent subquery with
+    ORDER BY + LIMIT. Spark SQL ≥3.2 decorrelates this into a
+    ranked-window join rather than re-executing the inner query per
+    outer row — the identical plan a hand-written
+    row_number-over-partition rewrite (a14) would give."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("dss_nation_j9")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("dss_customer_j9")
+    return spark.sql(
+        """
+        SELECT n_name, c_name, c_acctbal
+        FROM dss_nation_j9, LATERAL (
+          SELECT c_name, c_acctbal FROM dss_customer_j9
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS LAST
+          LIMIT 2) top2
+        ORDER BY n_name ASC NULLS LAST, c_acctbal DESC NULLS LAST,
+                 c_name ASC NULLS LAST
+        """
+    )
