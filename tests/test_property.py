@@ -12,7 +12,7 @@ from __future__ import annotations
 import math
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 # Column → safe constant range (FIXTURES.md domains; constants stay inside
@@ -194,3 +194,55 @@ def test_random_window_functions(spark, duck, fn, part):
     )
     srows, drows = _run_both(spark, duck, sql)
     assert _canon(srows) == _canon(drows), f"window divergence: {fn} / {part}"
+
+
+GROUPING_SHAPES = [
+    "GROUPING SETS ((l_returnflag), (l_linestatus), ())",
+    "GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))",
+    "ROLLUP (l_returnflag, l_linestatus)",
+    "CUBE (l_returnflag, l_linestatus)",
+]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(shape=st.sampled_from(GROUPING_SHAPES), pred=boolean_pred())
+def test_random_grouping_sets(spark, duck, shape, pred):
+    """Superaggregate shapes × random predicates: grouping() indicators
+    disambiguate real NULL group keys from the superaggregate rows.
+    Empty inputs are assumed away: Spark omits the standard's ()
+    grand-total row over zero rows (pinned in test_semantics.py)."""
+    assume(
+        duck.execute(f"SELECT count(*) FROM lineitem WHERE {pred}").fetchone()[0]
+        > 0
+    )
+    sql = (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(grouping(l_returnflag) AS INT) AS g1, "
+        "CAST(grouping(l_linestatus) AS INT) AS g2, "
+        f"count(*) AS n FROM lineitem WHERE {pred} GROUP BY {shape}"
+    )
+    srows, drows = _run_both(spark, duck, sql)
+    assert srows == drows, f"grouping divergence: {shape} / {pred}"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=boolean_pred())
+def test_random_set_operations(spark, duck, pred):
+    """INTERSECT/EXCEPT [ALL] between predicate-split halves of the same
+    relation — bag semantics must match exactly."""
+    for op in ("INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"):
+        sql = (
+            f"SELECT l_suppkey FROM lineitem WHERE {pred} "
+            f"{op} "
+            f"SELECT l_suppkey FROM lineitem WHERE l_quantity > 25"
+        )
+        srows, drows = _run_both(spark, duck, sql)
+        assert srows == drows, f"set-op divergence: {op} / {pred}"

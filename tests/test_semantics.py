@@ -84,3 +84,20 @@ def test_timestamp_ns_truncation_parity(spark, duck, sf_dir):
         "SELECT CAST(min(ts) AS TIMESTAMP), CAST(max(ts) AS TIMESTAMP) FROM events"
     ).fetchall()[0]
     assert srow.lo == dlo and srow.hi == dhi
+
+
+def test_grand_total_grouping_set_on_empty_input_diverges(spark, duck):
+    """SQL standard: the () grouping set is a global aggregate — one row
+    (count 0) even over zero input rows, and DuckDB does that. Spark
+    lowers grouping sets to Expand + groupBy(gid, keys): empty input →
+    no groups → NO grand-total row (found by the property fuzzer).
+    Declared grouping-set queries run over non-empty relations, where
+    both engines agree (a06_grouping_sets/a06_cube/a06_rollup)."""
+    sql = (
+        "SELECT count(*) AS n FROM lineitem WHERE l_linenumber < 1 "
+        "GROUP BY GROUPING SETS (())"
+    )
+    spark.sql("SELECT 1").collect()  # session warm
+    srows = spark.sql(sql).collect()
+    drows = duck.execute(sql).fetchall()
+    assert srows == [] and drows == [(0,)]
