@@ -246,3 +246,41 @@ def test_random_set_operations(spark, duck, pred):
         )
         srows, drows = _run_both(spark, duck, sql)
         assert srows == drows, f"set-op divergence: {op} / {pred}"
+
+
+@st.composite
+def string_fn_expr(draw) -> str:
+    """Random string-function expression over documents.text — probes the
+    declared string surface (SURVEY.md §2.9: SUBSTR/TRIM/LENGTH/REPLACE/
+    UPPER/LOWER/INSTR are 1-based/semantics-sensitive)."""
+    start = draw(st.integers(-3, 12))
+    length = draw(st.integers(0, 9))
+    needle = draw(st.sampled_from(["a", "e", "th", "zz", " ", ""]))
+    return draw(
+        st.sampled_from(
+            [
+                f"substr(text, {start}, {length})",
+                f"upper(substr(text, {start}))",
+                f"instr(text, '{needle}')",
+                f"length(replace(text, '{needle}', '#'))",
+                "ltrim(rtrim(concat('  ', text, '  ')))",
+                f"left(text, {length})",
+                f"right(text, {length})",
+                f"lpad(substr(text, 1, 4), {length + 4}, '.')",
+                "reverse(lower(text))",
+                f"split_part(text, ' ', {max(1, start)})",
+            ]
+        )
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=string_fn_expr())
+def test_random_string_functions(spark, duck, expr):
+    sql = f"SELECT doc_id, {expr} AS v FROM documents WHERE doc_id < 100"
+    srows, drows = _run_both(spark, duck, sql)
+    assert srows == drows, f"string fn divergence: {expr}"
