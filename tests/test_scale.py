@@ -138,3 +138,40 @@ def test_connected_components_topologies(spark):
     assert {got[k] for k in (100, 1, 2, 3)} == {1}
     assert {got[10 + i] for i in range(61)} == {10}
     assert {got[k] for k in (200, 201, 202)} == {200}
+
+
+def test_aqe_splits_skewed_join(spark):
+    """A 95%-one-key fact joined without broadcast must trigger AQE's
+    skew-join split (SortMergeJoin(skew=true)): at 100 TB this is the
+    difference between one straggler task owning half the shuffle and
+    the runtime re-planning it into parallel chunks. Thresholds are
+    lowered to make a 2M-row local shuffle legible to the detector."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") % 100 < 95, 7).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k").select(F.sum(F.col("v") + F.col("w")).alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE skew-join split must engage"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
