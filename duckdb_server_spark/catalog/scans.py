@@ -476,3 +476,41 @@ def s07b_range_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").asc_nulls_last())
     )
+
+
+@query(
+    "p07b_ilike",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE lang ILIKE 'E%' OR text ILIKE '%THE FAST%'
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def p07b_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive LIKE (DuckDB ILIKE, reachable via passthrough
+    main.go:229) → Column.ilike (Spark ≥3.3); stays a codegen'd string
+    predicate, pushable like any LIKE."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang").ilike("E%") | F.col("text").ilike("%THE FAST%"))
+        .select("doc_id", "lang")
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )
+
+
+@query(
+    "p15_columns_regex",
+    oracle="""
+    SELECT COLUMNS('l_.*key'), l_linenumber FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST
+    """,
+)
+def p15_columns_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB `COLUMNS('regex')` star-expansion → `df.colRegex`. Column
+    pruning still reaches the scan: the regex resolves at analysis time
+    to a concrete projection list."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(li.colRegex("`l_.*key`"), "l_linenumber").orderBy(
+        F.col("l_orderkey").asc_nulls_last(), F.col("l_linenumber").asc_nulls_last()
+    )
