@@ -38,24 +38,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Driver-check priority. The driver verifies queries in registration order
+# under a wall-clock budget (round 1 covered only the first 50 of 152), so
+# order is part of the contract surface: queries whose driver evidence is
+# stale or missing go first, r1-green rows re-verify last. Names listed here
+# are re-inserted first (in this order); everything else keeps module import
+# order behind them.
+_PRIORITY_R2: tuple[str, ...] = (
+    # r1 red rows, now fixed — must flip green this round.
+    "fn_numeric_core",
+    "b31_multimodal_metadata",
+    "a10_collect_aggs",
+    "fn_array_transform",
+    "b12_embedding_near_dup",
+)
+
+# Module import order: never-driver-checked families first (joins resumed
+# exactly where round 1's budget ran out), r1-green families last.
+_MODULE_ORDER = (
+    "joins",
+    "windows",
+    "sorts",
+    "setops_cte",
+    "scans",
+    "tpch",
+    "tpch_suite",
+    "streaming_analog",
+    "udfs_sinks",
+    "remote_sources",
+    "scale",
+    "functions_string",
+    "functions_datetime",
+    "functions_nested",
+    "functions_numeric",
+    "aggregates",
+    "beyond",
+)
+
+
 def load_all() -> None:
-    """Import every catalog module so registration side effects run."""
-    from duckdb_server_spark.catalog import (  # noqa: F401
-        aggregates,
-        beyond,
-        functions_datetime,
-        functions_nested,
-        functions_numeric,
-        functions_string,
-        joins,
-        remote_sources,
-        scale,
-        scans,
-        setops_cte,
-        sorts,
-        streaming_analog,
-        tpch,
-        tpch_suite,
-        udfs_sinks,
-        windows,
-    )
+    """Import every catalog module so registration side effects run, then
+    re-order the registry so driver verification hits the highest-value
+    queries inside its budget (see _PRIORITY_R2)."""
+    import importlib
+
+    for mod in _MODULE_ORDER:
+        importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
+
+    ordered = [n for n in _PRIORITY_R2 if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in _PRIORITY_R2]
+    for registry in (QUERIES, ORACLE):
+        snapshot = {n: registry[n] for n in ordered if n in registry}
+        registry.clear()
+        registry.update(snapshot)

@@ -273,7 +273,7 @@ def a09_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a10_collect_aggs",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations,
+           array_to_string(list_sort(list(n_name)), '|') AS nations,
            string_agg(n_name, ',' ORDER BY n_name) AS nation_csv
     FROM nation
     GROUP BY n_regionkey
@@ -281,11 +281,15 @@ def a09_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a10_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 list/string_agg. The ``list(...)`` aggregate stays in the plan
+    (ObjectHashAggregate over collect_list); the array is serialized with a
+    '|' join at output on BOTH sides because the driver's pandas
+    canonicalizer cannot sort raw list cells (unhashable type)."""
     return (
         t(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("nations"),
             F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nation_csv"),
         )
         .orderBy(F.col("n_regionkey").asc_nulls_last())

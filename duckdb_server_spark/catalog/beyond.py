@@ -175,9 +175,25 @@ def b13_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("b12_embedding_near_dup")  # rows-only: pair set depends on buckets
 def b12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs scored only within LSH buckets,
-    filtered at cosine ≥ 0.9."""
+    filtered at cosine ≥ 0.99.
+
+    The synthetic corpus is random vectors with no natural near-dups
+    (max random cosine ≪ 0.99), so the staged input plants deterministic
+    near-duplicates: clones of vec_id < 25 at id+1_000_000 with a ±1%
+    per-element perturbation (cosine ≈ 0.9999 to the original). The
+    operator then demonstrably emits the planted pairs — and nothing else
+    — via the bucketed (never N²) join. Asserted non-empty in
+    tests/test_property.py."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    clones = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1.0 + 0.01 * ((i % 3) - 1))
+        ).cast(vec_type).alias("embedding"),
+    )
     return similarity.embedding_near_dup_pairs(
-        t(spark, sf_dir, "embeddings"), _HYPERPLANES, threshold=0.9
+        emb.unionByName(clones), _HYPERPLANES, threshold=0.99
     )
 
 
@@ -330,7 +346,7 @@ def b32_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b31_multimodal_metadata",
     oracle="""
     SELECT 'image/fake' AS modality, count(*) AS n_docs,
-           sum(strlen(text)) AS total_bytes,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
            round(avg(strlen(text)), 6) AS avg_bytes
     FROM documents
     """,
@@ -417,20 +433,24 @@ def b41_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced training-mix sampling: a deterministic per-language quota
     (50 docs/lang), drawn by ranking on a key hash — reproducible across
     engines and retries, unlike RNG sampling (`sampleBy` is the
-    engine-RNG form). One shuffle on lang; if one language dominates at
-    100 TB, pre-aggregate a salted per-(lang, salt) top-k first and
-    re-rank the k·salts survivors — same result, bounded partition."""
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
-    )
-    return (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "lang")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 50)
-        .drop("rn")
-        .orderBy(F.col("lang").asc_nulls_last(), F.col("doc_id").asc_nulls_last())
-    )
+    engine-RNG form).
+
+    Skew-safe: uses operators/skew.py::salted_group_topk — phase 1 ranks
+    within (lang, salt) so a dominant language at 100 TB spreads over 16
+    tasks instead of serializing one window partition; phase 2 re-ranks
+    only the ≤ 50·16 survivors per language. Result is identical to the
+    plain window (the oracle is the plain window)."""
+    from duckdb_server_spark.operators.skew import salted_group_topk
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return salted_group_topk(
+        docs,
+        ["lang"],
+        [F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()],
+        k=50,
+        salt_col=F.pmod(F.xxhash64("doc_id"), F.lit(16)),
+        salt_buckets=16,
+    ).orderBy(F.col("lang").asc_nulls_last(), F.col("doc_id").asc_nulls_last())
 
 
 @query(

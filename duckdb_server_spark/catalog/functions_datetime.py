@@ -59,7 +59,8 @@ def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
            strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
            strftime(o_orderdate, '%Y|%m') AS year_month,
-           make_date(2024, CAST(month(o_orderdate) AS INT), 1) AS month_2024,
+           CAST(make_date(2024, CAST(month(o_orderdate) AS INT), 1) AS TIMESTAMP)
+             AS month_2024,
            CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
     FROM orders
     ORDER BY o_orderkey ASC NULLS LAST
@@ -79,7 +80,10 @@ def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.date_format(od, "yyyy-MM-dd").alias("iso_day"),
         F.date_format(od, "yyyy|MM").alias("year_month"),
-        F.make_date(F.lit(2024), F.month(od), F.lit(1)).alias("month_2024"),
+        # DATE outputs become TIMESTAMP: DuckDB's pandas bridge renders DATE
+        # as datetime64 while Spark yields datetime.date — a driver-hash
+        # mismatch even when the dates are equal.
+        F.make_date(F.lit(2024), F.month(od), F.lit(1)).cast("timestamp").alias("month_2024"),
         F.unix_timestamp(od).alias("epoch_s"),
     ).orderBy(F.col("o_orderkey").asc_nulls_last())
 

@@ -57,8 +57,8 @@ def fn_array_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            round(CAST(list_transform(embedding, x -> x * 2)[1] AS DOUBLE), 6)
              AS doubled_first,
-           list_sort(list_transform(embedding[1:4],
-                                    x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)))
+           array_to_string(list_sort(list_transform(embedding[1:4],
+                                    x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT))), ',')
              AS sorted_scaled_head,
            list_contains(list_transform(embedding, x -> x > 0.5), true) AS any_gt_half
     FROM embeddings
@@ -73,11 +73,16 @@ def fn_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(F.transform(emb, lambda x: x * 2), 1).cast("double"), 6).alias(
             "doubled_first"
         ),
-        F.sort_array(
-            F.transform(
-                F.slice(emb, 1, 4),
-                lambda x: F.round(x.cast("double") * 100).cast("bigint"),
-            )
+        # Serialized with a ',' join (not raw array) so the driver's pandas
+        # canonicalizer can sort the result cells.
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.transform(
+                    F.slice(emb, 1, 4),
+                    lambda x: F.round(x.cast("double") * 100).cast("bigint"),
+                )
+            ).cast("array<string>"),
         ).alias("sorted_scaled_head"),
         F.array_contains(F.transform(emb, lambda x: x > 0.5), True).alias("any_gt_half"),
     ).orderBy(F.col("vec_id").asc_nulls_last())

@@ -88,8 +88,8 @@ def fn_numeric_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("p_retailprice")
     return p.select(
         "p_partkey",
-        F.ceil(price).alias("ceil_price"),
-        F.floor(price).alias("floor_price"),
+        F.ceil(price).cast("double").alias("ceil_price"),
+        F.floor(price).cast("double").alias("floor_price"),
         F.round(F.exp(size / 25.0), 6).alias("exp_x"),
         F.round(F.log(price), 6).alias("ln_price"),
         F.round(F.log10(price), 6).alias("log10_price"),

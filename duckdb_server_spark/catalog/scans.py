@@ -418,21 +418,24 @@ def p12_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(floor(o_totalprice) AS BIGINT) AS price_int,
            CAST(o_orderkey AS VARCHAR) AS key_str,
-           CAST(o_orderdate AS DATE) AS order_day
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_day
     FROM orders
     ORDER BY o_orderkey ASC NULLS LAST
     """,
 )
 def p13_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Note: double→int casts diverge (DuckDB rounds, Spark truncates), so
-    the declared query floors first — deterministic on both engines."""
+    the declared query floors first — deterministic on both engines. The
+    date cast round-trips back to TIMESTAMP at output: DuckDB's pandas
+    bridge renders DATE as datetime64 while Spark yields datetime.date
+    objects, which the driver's value hash treats as different."""
     return (
         t(spark, sf_dir, "orders")
         .select(
             "o_orderkey",
             F.floor("o_totalprice").cast("bigint").alias("price_int"),
             F.col("o_orderkey").cast("string").alias("key_str"),
-            F.col("o_orderdate").cast("date").alias("order_day"),
+            F.col("o_orderdate").cast("date").cast("timestamp").alias("order_day"),
         )
         .orderBy(F.col("o_orderkey").asc_nulls_last())
     )

@@ -182,7 +182,7 @@ def t10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT fp, min(doc_id) AS doc_id, min(lang) AS lang,
              min(source) AS source, min(n_tokens) AS n_tokens
       FROM profiled GROUP BY fp)
-    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM deduped GROUP BY lang
     ORDER BY lang ASC NULLS LAST
     """,

@@ -187,8 +187,9 @@ def w06_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w07_groups_frame",
     oracle="""
     SELECT p_size,
-           sum(n) OVER (ORDER BY p_size ASC NULLS LAST
-                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS grp_window_n
+           CAST(sum(n) OVER (ORDER BY p_size ASC NULLS LAST
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)
+             AS grp_window_n
     FROM (SELECT p_size, count(*) AS n FROM part GROUP BY p_size)
     ORDER BY p_size ASC NULLS LAST
     """,

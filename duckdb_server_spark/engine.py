@@ -89,14 +89,15 @@ class Engine:
         )
 
     def warehouse_dir_writable(self) -> str:
-        """Managed-table storage: a sibling of the (read-only) source
-        warehouse, or a temp dir when that is not writable."""
-        import os
+        """Managed-table storage: a private per-engine directory (created
+        lazily with mkdtemp). A fixed world-shared path would let two
+        engine instances silently overwrite each other's managed tables
+        and invites symlink squatting on multi-user hosts."""
         import tempfile
 
-        candidate = os.path.join(tempfile.gettempdir(), "dss_managed_tables")
-        os.makedirs(candidate, exist_ok=True)
-        return candidate
+        if getattr(self, "_managed_dir", None) is None:
+            self._managed_dir = tempfile.mkdtemp(prefix="dss_managed_")
+        return self._managed_dir
 
     # -- serving ------------------------------------------------------------
     def serve(self, port: int = 32010, block: bool = False):

@@ -1,0 +1,271 @@
+"""Minimal Flight SQL wire-protocol compatibility layer.
+
+The reference speaks the Arrow Flight SQL protobuf dialect: its
+``GetFlightInfo`` unmarshals a ``google.protobuf.Any`` wrapping
+``arrow.flight.protocol.sql.CommandStatementQuery`` (main.go:129-139), and
+its ``GetSqlInfo`` answers with the standard ``SqlInfo`` dense-union schema
+(main.go:173-175, 202-223), so off-the-shelf ADBC / flightsql clients work
+(client/main.go:13-17).
+
+The python ``protobuf`` package is not available in this environment, so
+this module implements the few needed messages directly on the (public,
+stable) protobuf wire format:
+
+- ``Any``                  : field 1 ``type_url`` (string), field 2 ``value`` (bytes)
+- ``CommandStatementQuery``: field 1 ``query`` (string)
+- ``CommandGetSqlInfo``    : field 1 repeated ``info`` (uint32)
+- ``TicketStatementQuery`` : field 1 ``statement_handle`` (bytes)
+
+Wire format reference: https://protobuf.dev/programming-guides/encoding/
+(varint keys ``(field_no << 3) | wire_type``; length-delimited = type 2).
+Flight SQL message/schema definitions: Apache Arrow ``FlightSql.proto`` and
+the C++/Go server implementations (public Apache-2.0 sources).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+TYPE_URL_PREFIX = "type.googleapis.com/arrow.flight.protocol.sql."
+CMD_STATEMENT_QUERY = TYPE_URL_PREFIX + "CommandStatementQuery"
+CMD_GET_SQL_INFO = TYPE_URL_PREFIX + "CommandGetSqlInfo"
+TICKET_STATEMENT_QUERY = TYPE_URL_PREFIX + "TicketStatementQuery"
+
+# SqlInfo codes published by the reference (main.go:352-365) — values from
+# the public FlightSql.proto enum.
+FLIGHT_SQL_SERVER_NAME = 0
+FLIGHT_SQL_SERVER_VERSION = 1
+FLIGHT_SQL_SERVER_ARROW_VERSION = 2
+FLIGHT_SQL_SERVER_READ_ONLY = 3
+SQL_IDENTIFIER_QUOTE_CHAR = 508
+
+
+# ---------------------------------------------------------------------------
+# Protobuf wire-format primitives
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        b = buf[pos]
+        result |= (b & 0x7F) << shift
+        pos += 1
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def _write_varint(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        bits = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(bits | 0x80)
+        else:
+            out.append(bits)
+            return bytes(out)
+
+
+def parse_fields(buf: bytes) -> dict[int, list[bytes | int]]:
+    """Decode one message into {field_no: [raw values]} — length-delimited
+    fields yield ``bytes``, varint fields yield ``int``. Fixed32/64 are
+    skipped (none of the handled messages use them)."""
+    fields: dict[int, list[bytes | int]] = {}
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field_no, wire_type = key >> 3, key & 0x07
+        if wire_type == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+            fields.setdefault(field_no, []).append(val)
+        elif wire_type == 2:  # length-delimited
+            length, pos = _read_varint(buf, pos)
+            if pos + length > len(buf):
+                raise ValueError("truncated length-delimited field")
+            fields.setdefault(field_no, []).append(buf[pos : pos + length])
+            pos += length
+        elif wire_type == 5:  # fixed32
+            pos += 4
+        elif wire_type == 1:  # fixed64
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire_type}")
+    return fields
+
+
+def _field_bytes(field_no: int, payload: bytes) -> bytes:
+    return _write_varint((field_no << 3) | 2) + _write_varint(len(payload)) + payload
+
+
+def _field_varint(field_no: int, value: int) -> bytes:
+    return _write_varint(field_no << 3) + _write_varint(value)
+
+
+# ---------------------------------------------------------------------------
+# Message codecs (Any + the three Flight SQL messages we speak)
+# ---------------------------------------------------------------------------
+
+
+def pack_any(type_url: str, value: bytes) -> bytes:
+    return _field_bytes(1, type_url.encode()) + _field_bytes(2, value)
+
+
+def unpack_any(buf: bytes) -> tuple[str, bytes] | None:
+    """Return (type_url, value) if ``buf`` parses as a protobuf ``Any`` with
+    a Flight SQL type_url, else None (raw-SQL descriptors and the legacy
+    sentinel fall through to the caller)."""
+    try:
+        fields = parse_fields(buf)
+    except ValueError:
+        return None
+    urls = fields.get(1)
+    if not urls or not isinstance(urls[0], bytes):
+        return None
+    try:
+        type_url = urls[0].decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    if not type_url.startswith(TYPE_URL_PREFIX):
+        return None
+    values = fields.get(2, [b""])
+    value = values[0] if isinstance(values[0], bytes) else b""
+    return type_url, value
+
+
+def encode_command_statement_query(sql: str) -> bytes:
+    """Any(CommandStatementQuery{query=sql}) — what a flightsql/ADBC client
+    sends as the FlightDescriptor command (reference main.go:129-139)."""
+    return pack_any(CMD_STATEMENT_QUERY, _field_bytes(1, sql.encode()))
+
+
+def decode_command_statement_query(value: bytes) -> str:
+    fields = parse_fields(value)
+    queries = fields.get(1, [b""])
+    raw = queries[0] if isinstance(queries[0], bytes) else b""
+    return raw.decode("utf-8")
+
+
+def encode_command_get_sql_info(info_codes: list[int] | None = None) -> bytes:
+    body = b""
+    for code in info_codes or []:
+        body += _field_varint(1, code)
+    return pack_any(CMD_GET_SQL_INFO, body)
+
+
+def decode_command_get_sql_info(value: bytes) -> list[int]:
+    fields = parse_fields(value)
+    out: list[int] = []
+    for v in fields.get(1, []):
+        if isinstance(v, int):
+            out.append(v)
+        else:  # packed repeated encoding: varints concatenated
+            pos = 0
+            while pos < len(v):
+                code, pos = _read_varint(v, pos)
+                out.append(code)
+    return out
+
+
+def encode_ticket_statement_query(handle: bytes) -> bytes:
+    return pack_any(TICKET_STATEMENT_QUERY, _field_bytes(1, handle))
+
+
+def decode_ticket_statement_query(value: bytes) -> bytes:
+    fields = parse_fields(value)
+    handles = fields.get(1, [b""])
+    return handles[0] if isinstance(handles[0], bytes) else b""
+
+
+# ---------------------------------------------------------------------------
+# Standard SqlInfo result table (dense-union value column)
+# ---------------------------------------------------------------------------
+
+_SQL_INFO_VALUE_TYPE = pa.dense_union(
+    [
+        pa.field("string_value", pa.string()),
+        pa.field("bool_value", pa.bool_()),
+        pa.field("bigint_value", pa.int64()),
+        pa.field("int32_bitmask", pa.int32()),
+        pa.field("string_list", pa.list_(pa.string())),
+        pa.field(
+            "int32_to_int32_list_map", pa.map_(pa.int32(), pa.list_(pa.int32()))
+        ),
+    ],
+    type_codes=[0, 1, 2, 3, 4, 5],
+)
+
+SQL_INFO_SCHEMA = pa.schema(
+    [
+        pa.field("info_name", pa.uint32(), nullable=False),
+        pa.field("value", _SQL_INFO_VALUE_TYPE),
+    ]
+)
+
+
+def server_sql_info() -> dict[int, str | bool]:
+    """The reference's published info set (main.go:352-365): server
+    name/version/arrow-version/read-only/quote char. Read-only is reported
+    truthfully (the reference claims false even when serving read-only —
+    main.go:357 vs main.go:61)."""
+    import pyspark
+
+    return {
+        FLIGHT_SQL_SERVER_NAME: "duckdb_server_spark",
+        FLIGHT_SQL_SERVER_VERSION: f"spark {pyspark.__version__}",
+        FLIGHT_SQL_SERVER_ARROW_VERSION: f"pyarrow {pa.__version__}",
+        FLIGHT_SQL_SERVER_READ_ONLY: True,
+        SQL_IDENTIFIER_QUOTE_CHAR: '"',
+    }
+
+
+def sql_info_table(info_codes: list[int] | None = None) -> pa.Table:
+    """Build the standard dense-union SqlInfo table (main.go:173-175,
+    202-223). ``info_codes`` filters the published set; empty/None → all."""
+    info = server_sql_info()
+    codes = [c for c in (info_codes or sorted(info)) if c in info]
+    type_ids: list[int] = []
+    offsets: list[int] = []
+    strings: list[str] = []
+    bools: list[bool] = []
+    for code in codes:
+        val = info[code]
+        if isinstance(val, bool):
+            type_ids.append(1)
+            offsets.append(len(bools))
+            bools.append(val)
+        else:
+            type_ids.append(0)
+            offsets.append(len(strings))
+            strings.append(val)
+    children = [
+        pa.array(strings, pa.string()),
+        pa.array(bools, pa.bool_()),
+        pa.array([], pa.int64()),
+        pa.array([], pa.int32()),
+        pa.array([], pa.list_(pa.string())),
+        pa.array([], pa.map_(pa.int32(), pa.list_(pa.int32()))),
+    ]
+    value = pa.UnionArray.from_dense(
+        pa.array(type_ids, pa.int8()),
+        pa.array(offsets, pa.int32()),
+        children,
+        field_names=[
+            "string_value",
+            "bool_value",
+            "bigint_value",
+            "int32_bitmask",
+            "string_list",
+            "int32_to_int32_list_map",
+        ],
+        type_codes=[0, 1, 2, 3, 4, 5],
+    )
+    return pa.Table.from_arrays(
+        [pa.array(codes, pa.uint32()), value], schema=SQL_INFO_SCHEMA
+    )

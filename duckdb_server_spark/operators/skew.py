@@ -57,6 +57,47 @@ def _agg_kind(expr: Column) -> str:
 _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 
+def salted_group_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    salt_col: Column,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe per-group top-k: two-phase salted window.
+
+    A plain ``row_number() OVER (PARTITION BY group)`` serializes each
+    group onto one task — at 100 TB a dominant group (e.g. one language
+    holding most of a corpus) becomes a single-partition sort. Phase 1
+    ranks within (group…, salt) — the hot group's rows spread over
+    ``salt_buckets`` tasks — and keeps each salt's local top-k; phase 2
+    re-ranks only the ≤ k·salt_buckets survivors per group. The global
+    top-k of a group is always contained in the union of its per-salt
+    top-k, so the result is exactly the unsalted window's.
+
+    ``salt_col`` must be deterministic per row (e.g.
+    ``pmod(xxhash64(id), buckets)``) so retries and both phases agree —
+    never ``rand()`` here, because phase 1 evaluates it inside a shuffle
+    that may be recomputed.
+    """
+    from pyspark.sql import Window
+
+    salted = df.withColumn("__salt", salt_col % salt_buckets)
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1", "__salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -6,66 +6,140 @@ Parity target: the reference is an Arrow Flight SQL server on ``:32010``
 ``DoGet`` executing the ticket's SQL and streaming Arrow record batches
 (main.go:196-250), and ``DoAction`` left Unimplemented (main.go:121-124).
 
+Protocol surface (all three dialects served):
+- **Flight SQL protobuf** (what off-the-shelf ADBC / flightsql clients
+  speak, reference client/main.go:13-17): ``GetFlightInfo`` unmarshals a
+  protobuf ``Any`` wrapping ``CommandStatementQuery`` (main.go:129-139) and
+  answers ``CommandGetSqlInfo`` with the standard ``SqlInfo`` dense-union
+  schema (main.go:173-175, 202-223). Tickets are
+  ``Any(TicketStatementQuery)``. Wire codecs: ``flightsql.py``.
+- **Raw tickets** (reference client/main.py:9-11): ticket bytes ARE the SQL.
+- **Legacy sentinel** ``CommandGetSqlInfo`` (plain bytes): the relational
+  (info_name, value) metadata table, kept for round-1 clients.
+
 Spark-first differences (improvements, documented in SURVEY.md §3):
 - ``GetFlightInfo`` resolves the result schema via Catalyst **analysis
   only** (``spark.sql(q).schema`` — parse → analyze, no job). The
   reference executes the full query just to read the schema and then
   discards the result (main.go:142-148), doubling every two-step query.
-- The ticket protocol is the reference's raw path: ticket bytes ARE the
-  SQL string (main.go:199). The protobuf-Any quirk of the reference's
-  two-step path (main.go:129-139) is deliberately not replicated.
-- Results stream as Arrow record batches exactly like the reference's
-  ``DoGet`` loop (main.go:241-243); collection uses Spark's Arrow path
-  (``df.toArrow()``), re-chunked to bounded batch sizes.
+- Results stream **incrementally**: each executor serializes its Arrow
+  batches to IPC and the driver forwards them one at a time
+  (``toLocalIterator`` — bounded driver memory), matching the reference's
+  pipelined DoGet loop (main.go:241-243). No full-result materialization.
 
-Read-only serving: the session serves a parquet warehouse registered as
-temp views (the ``-db`` file analog, main.go:31,61); no write path is
-exposed through the Flight surface.
+Read-only serving, enforced: every statement is gated at **parse time**
+(before ``spark.sql`` can eagerly execute a command) — only query-shaped
+plans and read-only metadata commands (EXPLAIN/SHOW/DESCRIBE) run; DDL,
+DML, SET and other side-effecting statements are rejected with a Flight
+error. This is the engine-level analog of the reference's
+``access_mode=read_only`` connection (main.go:61). Authentication is out
+of scope, as in the reference (no auth handlers in main.go).
 """
 
 from __future__ import annotations
 
 import threading
-from collections.abc import Iterable
+from collections.abc import Iterator
 
 import pyarrow as pa
 import pyarrow.flight as flight
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
-# Sentinel mirroring the reference's metadata path (main.go:201).
+from duckdb_server_spark import flightsql
+
+# Legacy sentinel mirroring the reference's metadata path (main.go:201).
 SQL_INFO_TICKET = b"CommandGetSqlInfo"
 
-# Batch rows per streamed RecordBatch (the reference streams whatever
-# batch size DuckDB produces; we bound it explicitly).
+# Rows per streamed RecordBatch (the reference streams whatever batch size
+# DuckDB produces; we re-chunk to a bounded size).
 BATCH_ROWS = 8192
 
+# Read-only command prefixes allowed through the statement gate.
+_READONLY_COMMAND_PREFIXES = ("Explain", "Show", "Describe")
 
-def _sql_info_table() -> pa.Table:
-    """The GetSqlInfo payload (main.go:352-526 analog).
 
-    The reference encodes values as a dense union (main.go:281-350);
-    Arrow-python Flight results are plainer as typed string values — the
-    (info_name, value) relational shape is preserved. Reported truthfully:
-    the reference claims read_only=false even when serving read-only
-    (main.go:357 vs main.go:61).
+def _legacy_sql_info_table() -> pa.Table:
+    """Round-1 relational (info_name, value) metadata table — kept for
+    legacy clients; standard Flight SQL clients get the dense-union form
+    (flightsql.sql_info_table)."""
+    info = flightsql.server_sql_info()
+    names = {
+        flightsql.FLIGHT_SQL_SERVER_NAME: "server_name",
+        flightsql.FLIGHT_SQL_SERVER_VERSION: "server_version",
+        flightsql.FLIGHT_SQL_SERVER_ARROW_VERSION: "server_arrow_version",
+        flightsql.FLIGHT_SQL_SERVER_READ_ONLY: "server_read_only",
+        flightsql.SQL_IDENTIFIER_QUOTE_CHAR: "identifier_quote_char",
+    }
+    return pa.table(
+        {
+            "info_name": [names[c] for c in sorted(names)],
+            "value": [str(info[c]).lower() if isinstance(info[c], bool) else str(info[c])
+                      for c in sorted(names)],
+        }
+    )
+
+
+def assert_query_shaped(spark: SparkSession, sql: str) -> None:
+    """Reject non-query statements at parse time (read-only gate).
+
+    ``spark.sql`` executes commands (DDL/DML/SET) **eagerly** at DataFrame
+    creation, so the gate must run on the *parsed* plan before any
+    ``spark.sql`` call. Deny when the parsed plan is a Catalyst ``Command``
+    (SET/CREATE/DROP/CACHE/ADD JAR/...) other than read-only metadata
+    commands, or an INSERT statement (``InsertIntoStatement`` /
+    ``InsertIntoDir`` are not ``Command`` subclasses at parse time).
     """
-    import pyspark
+    jspark = spark._jsparkSession
+    try:
+        parsed = jspark.sessionState().sqlParser().parsePlan(sql)
+    except Exception as exc:
+        raise flight.FlightServerError(f"parse error: {exc}") from exc
+    name = parsed.getClass().getSimpleName()
+    if name.startswith("InsertInto"):
+        raise flight.FlightServerError(
+            f"read-only server: statement {name!r} is not allowed"
+        )
+    command_cls = spark._jvm.java.lang.Class.forName(
+        "org.apache.spark.sql.catalyst.plans.logical.Command"
+    )
+    if command_cls.isInstance(parsed) and not name.startswith(
+        _READONLY_COMMAND_PREFIXES
+    ):
+        raise flight.FlightServerError(
+            f"read-only server: statement {name!r} is not allowed"
+        )
 
-    names = [
-        "server_name",
-        "server_version",
-        "server_arrow_version",
-        "server_read_only",
-        "identifier_quote_char",
-    ]
-    values = [
-        "duckdb_server_spark",
-        f"spark {pyspark.__version__}",
-        f"pyarrow {pa.__version__}",
-        "true",
-        '"',
-    ]
-    return pa.table({"info_name": names, "value": values})
+
+def iter_arrow_batches(df: DataFrame, schema: pa.Schema) -> Iterator[pa.RecordBatch]:
+    """Stream a DataFrame's result as Arrow batches with bounded driver
+    memory (the reference's pipelined DoGet loop, main.go:241-243).
+
+    Each executor serializes its Arrow batches to IPC bytes inside
+    ``mapInArrow`` (no row-at-a-time Python); the driver pulls one
+    partition at a time via ``toLocalIterator(prefetchPartitions=True)``
+    and forwards the deserialized batches. Partition order — and therefore
+    any ORDER BY in the query — is preserved.
+    """
+
+    def _serialize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for chunk_start in range(0, batch.num_rows, BATCH_ROWS):
+                chunk = batch.slice(chunk_start, BATCH_ROWS)
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, chunk.schema) as writer:
+                    writer.write_batch(chunk)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([sink.getvalue().to_pybytes()], pa.binary())],
+                    names=["ipc"],
+                )
+
+    blobs = df.mapInArrow(_serialize, "ipc binary")
+    for row in blobs.toLocalIterator(prefetchPartitions=True):
+        with pa.ipc.open_stream(row.ipc) as reader:
+            for batch in reader:
+                if batch.schema != schema:
+                    batch = pa.Table.from_batches([batch]).cast(schema).to_batches()[0]
+                yield batch
 
 
 class SparkFlightServer(flight.FlightServerBase):
@@ -77,37 +151,72 @@ class SparkFlightServer(flight.FlightServerBase):
         self.spark = spark
         self._location = location
 
+    # -- statement resolution ----------------------------------------------
+    def _resolve_command(self, raw: bytes) -> tuple[str, str | None, list[int]]:
+        """Classify descriptor/ticket bytes → (kind, sql, info_codes).
+        kind ∈ {'sql_info_legacy', 'sql_info', 'query'}."""
+        if raw == SQL_INFO_TICKET:
+            return "sql_info_legacy", None, []
+        unpacked = flightsql.unpack_any(raw)
+        if unpacked is not None:
+            type_url, value = unpacked
+            if type_url == flightsql.CMD_GET_SQL_INFO:
+                return "sql_info", None, flightsql.decode_command_get_sql_info(value)
+            if type_url == flightsql.CMD_STATEMENT_QUERY:
+                return "query", flightsql.decode_command_statement_query(value), []
+            if type_url == flightsql.TICKET_STATEMENT_QUERY:
+                handle = flightsql.decode_ticket_statement_query(value)
+                return "query", handle.decode("utf-8"), []
+            raise flight.FlightServerError(f"unsupported Flight SQL command {type_url}")
+        return "query", raw.decode("utf-8"), []
+
     # -- entry point 2: schema probe (main.go:126-194) ----------------------
     def get_flight_info(self, context, descriptor):
-        if descriptor.command == SQL_INFO_TICKET:
-            schema = _sql_info_table().schema
+        kind, sql, _codes = self._resolve_command(descriptor.command)
+        if kind == "sql_info_legacy":
+            schema = _legacy_sql_info_table().schema
             ticket = flight.Ticket(SQL_INFO_TICKET)
+        elif kind == "sql_info":
+            schema = flightsql.SQL_INFO_SCHEMA
+            ticket = flight.Ticket(descriptor.command)
         else:
-            query = descriptor.command.decode("utf-8")
+            # Gate BEFORE spark.sql — commands would otherwise execute
+            # eagerly during the schema probe.
+            assert_query_shaped(self.spark, sql)
             from pyspark.sql.pandas.types import to_arrow_schema
 
             # Catalyst analysis only — no job runs (vs the reference's
             # full double execution, main.go:144-148).
-            schema = to_arrow_schema(self.spark.sql(query).schema)
-            ticket = flight.Ticket(descriptor.command)
+            try:
+                schema = to_arrow_schema(self.spark.sql(sql).schema)
+            except flight.FlightServerError:
+                raise
+            except Exception as exc:
+                raise flight.FlightServerError(str(exc)) from exc
+            ticket = flight.Ticket(
+                flightsql.encode_ticket_statement_query(sql.encode("utf-8"))
+            )
         endpoint = flight.FlightEndpoint(ticket, [self._location])
-        # Unknown cardinality, like the reference (main.go:164-165).
-        return flight.FlightInfo(schema, descriptor, [endpoint], 0, -1)
+        # Unknown cardinality: -1 records / -1 bytes, like the reference
+        # (main.go:164-165).
+        return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
     # -- entry point 1: execute + stream (main.go:196-250) ------------------
     def do_get(self, context, ticket):
-        if ticket.ticket == SQL_INFO_TICKET:
-            return flight.RecordBatchStream(_sql_info_table())
-        query = ticket.ticket.decode("utf-8")
+        kind, sql, codes = self._resolve_command(ticket.ticket)
+        if kind == "sql_info_legacy":
+            return flight.RecordBatchStream(_legacy_sql_info_table())
+        if kind == "sql_info":
+            return flight.RecordBatchStream(flightsql.sql_info_table(codes))
+        assert_query_shaped(self.spark, sql)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         try:
-            df = self.spark.sql(query)
-            table = df.toArrow()
+            df = self.spark.sql(sql)
+            schema = to_arrow_schema(df.schema)
         except Exception as exc:  # engine error → Flight error (main.go:230-232)
             raise flight.FlightServerError(str(exc)) from exc
-        batches = table.to_batches(max_chunksize=BATCH_ROWS)
-        if not batches:
-            batches = [pa.RecordBatch.from_pylist([], schema=table.schema)]
-        return flight.GeneratorStream(table.schema, iter(batches))
+        return flight.GeneratorStream(schema, iter_arrow_batches(df, schema))
 
     # -- DoAction: Unimplemented, like the reference (main.go:121-124) ------
     def do_action(self, context, action):
@@ -156,8 +265,39 @@ def query_two_step(port: int, sql: str) -> pa.Table:
         client.close()
 
 
-def get_sql_info(port: int) -> pa.Table:
-    """Metadata path (main.go:170-191 analog)."""
+def query_flightsql(port: int, sql: str) -> pa.Table:
+    """Standard Flight SQL two-step (reference client/main.go:13-27): the
+    descriptor carries ``Any(CommandStatementQuery)``, the endpoint ticket
+    is passed back opaquely — the exact wire exchange an ADBC /
+    flightsql-go driver performs."""
+    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    try:
+        descriptor = flight.FlightDescriptor.for_command(
+            flightsql.encode_command_statement_query(sql)
+        )
+        info = client.get_flight_info(descriptor)
+        tables = [client.do_get(ep.ticket).read_all() for ep in info.endpoints]
+        return pa.concat_tables(tables)
+    finally:
+        client.close()
+
+
+def get_sql_info(port: int, codes: list[int] | None = None) -> pa.Table:
+    """Standard Flight SQL GetSqlInfo (main.go:170-191 analog): dense-union
+    value column, optional code filter."""
+    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    try:
+        descriptor = flight.FlightDescriptor.for_command(
+            flightsql.encode_command_get_sql_info(codes)
+        )
+        info = client.get_flight_info(descriptor)
+        return client.do_get(info.endpoints[0].ticket).read_all()
+    finally:
+        client.close()
+
+
+def get_sql_info_legacy(port: int) -> pa.Table:
+    """Round-1 relational metadata path (plain sentinel ticket)."""
     client = flight.connect(f"grpc://127.0.0.1:{port}")
     try:
         descriptor = flight.FlightDescriptor.for_command(SQL_INFO_TICKET)
@@ -177,10 +317,11 @@ def main(argv: list[str] | None = None) -> None:
     over Arrow Flight, mirroring the reference's CLI (main.go:31-42):
 
     - ``--warehouse DIR`` ↔ ``-db``: directory of ``<table>.parquet``
-      registered as views at startup (serve-time is read-only by
-      construction — the session only ever reads them, main.go:61).
+      registered as views at startup; serving is read-only — enforced by
+      the parse-time statement gate (main.go:61's access_mode=read_only).
     - ``--init SQL``      ↔ ``-init``: ';'-separated statements run once
-      after the views register (main.go:107-111).
+      after the views register (main.go:107-111) — init SQL is NOT gated,
+      matching the reference's init-phase write window (k8s/main.yaml).
     - ``--port N``        ↔ the fixed ``:32010`` (main.go:258).
     """
     import argparse

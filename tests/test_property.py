@@ -284,3 +284,16 @@ def test_random_string_functions(spark, duck, expr):
     sql = f"SELECT doc_id, {expr} AS v FROM documents WHERE doc_id < 100"
     srows, drows = _run_both(spark, duck, sql)
     assert srows == drows, f"string fn divergence: {expr}"
+
+
+def test_embedding_near_dup_emits_planted_pairs(spark, sf_dir):
+    """b12 must demonstrably emit the planted near-dup pairs (the corpus
+    itself has no natural near-dups): every pair links an original to its
+    +1_000_000 clone at cosine ≥ 0.99."""
+    from duckdb_server_spark.catalog.beyond import b12_embedding_near_dup
+
+    rows = b12_embedding_near_dup(spark, sf_dir).collect()
+    assert len(rows) > 0, "planted near-dups must surface"
+    for r in rows:
+        assert r.id_b == r.id_a + 1_000_000
+        assert r.cos_sim >= 0.99

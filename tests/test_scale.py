@@ -175,3 +175,31 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_group_topk_matches_plain_window(spark):
+    """salted_group_topk must equal the unsalted per-group top-k, and its
+    phase-1 window must partition by (group, salt) — no single-partition
+    window over a skewed group. 90% of rows share one group."""
+    from pyspark.sql import Window
+
+    from duckdb_server_spark.operators.skew import salted_group_topk
+
+    df = spark.range(0, 100_000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise("cold").alias("g"),
+        F.col("id").alias("v"),
+    )
+    order = [F.md5(F.col("v").cast("string")).asc(), F.col("v").asc()]
+    got = salted_group_topk(
+        df, ["g"], order, k=25,
+        salt_col=F.pmod(F.xxhash64("v"), F.lit(16)), salt_buckets=16,
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString().replace(" ", "")
+    assert "__salt" in plan, "phase-1 window must be salted"

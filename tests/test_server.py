@@ -55,13 +55,98 @@ def test_warehouse_query_streams_batches(flight_port):
     assert set(table.column_names) == {"l_returnflag", "n"}
 
 
-def test_sql_info(flight_port):
-    """Metadata path (main.go:201-223 analog): (info_name, value) rows."""
-    table = srv.get_sql_info(flight_port)
+def test_sql_info_legacy(flight_port):
+    """Round-1 metadata path (plain sentinel): (info_name, value) rows."""
+    table = srv.get_sql_info_legacy(flight_port)
     assert table.column_names == ["info_name", "value"]
     info = dict(zip(table.column(0).to_pylist(), table.column(1).to_pylist()))
     assert info["server_name"] == "duckdb_server_spark"
     assert info["server_read_only"] == "true"
+
+
+def test_sql_info_standard_dense_union(flight_port):
+    """Standard Flight SQL GetSqlInfo (main.go:173-175, 202-223): protobuf
+    Any(CommandGetSqlInfo) descriptor, dense-union value column."""
+    from duckdb_server_spark import flightsql
+
+    table = srv.get_sql_info(flight_port)
+    assert table.schema.equals(flightsql.SQL_INFO_SCHEMA)
+    info = {r["info_name"]: r["value"] for r in table.to_pylist()}
+    assert info[flightsql.FLIGHT_SQL_SERVER_NAME] == "duckdb_server_spark"
+    assert info[flightsql.FLIGHT_SQL_SERVER_READ_ONLY] is True
+    # Code filter narrows the result (main.go:207-212).
+    filtered = srv.get_sql_info(flight_port, [flightsql.FLIGHT_SQL_SERVER_NAME])
+    assert filtered.num_rows == 1
+
+
+def test_flightsql_statement_query(flight_port):
+    """The ADBC / flightsql-go wire exchange (client/main.go:13-27):
+    Any(CommandStatementQuery) descriptor → opaque endpoint ticket → DoGet."""
+    table = srv.query_flightsql(
+        flight_port, "SELECT count(*) AS n FROM lineitem"
+    )
+    assert table.column_names == ["n"]
+    assert table.column(0)[0].as_py() > 0
+
+
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        "SET spark.sql.ansi.enabled=false",
+        "CREATE OR REPLACE TEMP VIEW pwned AS SELECT 1",
+        "DROP TABLE lineitem",
+        "INSERT OVERWRITE DIRECTORY '/tmp/dss_gate_test' USING parquet SELECT 1",
+        "CACHE TABLE lineitem",
+    ],
+)
+def test_readonly_gate_rejects_mutations(flight_port, stmt, spark):
+    """The statement gate (main.go:61 access_mode=read_only analog): DDL /
+    DML / SET are rejected on BOTH entry points, before any execution."""
+    ansi_before = spark.conf.get("spark.sql.ansi.enabled")
+    with pytest.raises(flight.FlightError):
+        srv.query_raw(flight_port, stmt)
+    with pytest.raises(flight.FlightError):
+        srv.query_two_step(flight_port, stmt)
+    assert spark.conf.get("spark.sql.ansi.enabled") == ansi_before
+    assert "pwned" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_readonly_gate_allows_metadata(flight_port):
+    """EXPLAIN / SHOW / DESCRIBE are read-only commands and pass the gate."""
+    table = srv.query_raw(flight_port, "SHOW TABLES")
+    assert table.num_rows >= 5
+    table = srv.query_raw(flight_port, "EXPLAIN SELECT 1")
+    assert table.num_rows >= 1
+
+
+def test_large_result_streams_incrementally(flight_port, monkeypatch):
+    """Full-table result arrives as multiple bounded batches in order
+    (the reference's pipelined DoGet, main.go:241-243) — not one
+    driver-materialized table. Batch size shrunk so the test corpus spans
+    many batches."""
+    monkeypatch.setattr(srv, "BATCH_ROWS", 512)
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        reader = client.do_get(
+            flight.Ticket(b"SELECT l_orderkey FROM lineitem ORDER BY l_orderkey")
+        )
+        n_batches = 0
+        n_rows = 0
+        last = -1
+        ordered = True
+        for chunk in reader:
+            n_batches += 1
+            n_rows += chunk.data.num_rows
+            assert chunk.data.num_rows <= srv.BATCH_ROWS
+            col = chunk.data.column(0).to_pylist()
+            if col:
+                ordered = ordered and last <= col[0] and col == sorted(col)
+                last = col[-1]
+    finally:
+        client.close()
+    assert n_batches > 1
+    assert n_rows > srv.BATCH_ROWS
+    assert ordered
 
 
 def test_engine_error_surfaces(flight_port):
