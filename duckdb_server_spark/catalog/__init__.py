@@ -51,6 +51,11 @@ _PRIORITY_R2: tuple[str, ...] = (
     "a10_collect_aggs",
     "fn_array_transform",
     "b12_embedding_near_dup",
+    # rows-only → full-oracle conversions and new operators this round.
+    "a07_approx_count_distinct",
+    "b30_multimodal_features",
+    "b32_frame_sample",
+    "a09c_distributed_quantiles",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

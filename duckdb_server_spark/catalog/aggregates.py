@@ -197,16 +197,35 @@ def a06_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- A7: approximate count-distinct (HLL) — rows-only (approximate) ---
-@query("a07_approx_count_distinct")
+# --- A7: approximate count-distinct (HLL) — tolerance-style oracle ---
+@query(
+    "a07_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag, true AS within_rsd
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC NULLS LAST
+    """,
+)
 def a07_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketch, rsd=5%. Approximate by design → rows-only check; the
-    exactness test is a04. At 100 TB this is the right default for ad-hoc
-    cardinality (no shuffle of distinct values, just sketch merge)."""
+    """HLL sketch, rsd=5%. The sketch value itself is engine-specific, so
+    the checkable output is the tolerance claim: the HLL estimate lies
+    within 4×rsd of the exact distinct count (true for every group with
+    overwhelming probability; the oracle asserts the same rows of `true`).
+    Exactness of plain count(DISTINCT) is a04. At 100 TB the sketch is the
+    right default for ad-hoc cardinality — no shuffle of distinct values,
+    just mergeable sketch state."""
+    est = F.approx_count_distinct("l_partkey", 0.05)
+    exact = F.count_distinct(F.col("l_partkey"))
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"))
+        .agg(
+            (
+                F.abs(est.cast("double") - exact.cast("double"))
+                <= 0.2 * exact.cast("double")
+            ).alias("within_rsd")
+        )
         .orderBy(F.col("l_returnflag").asc_nulls_last())
     )
 
@@ -518,3 +537,39 @@ def a09b_median_percentile_vectorized(spark: SparkSession, sf_dir: str) -> DataF
         .applyInPandas(q, "l_linestatus string, med_qty double, p90_price double")
         .orderBy(F.col("l_linestatus").asc_nulls_last())
     )
+
+
+@query(
+    "a09c_distributed_quantiles",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus ASC NULLS LAST
+    """,
+)
+def a09c_distributed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile_cont with NO per-group materialization anywhere —
+    the 100 TB percentile path (operators/percentile.py). a09b's Arrow
+    kernel (and Spark's built-in exact percentile) put each whole group
+    in one task's memory; this form global-sorts (group, value), selects
+    the two needed ranks per (group, prob) via broadcast join, and
+    interpolates — skewed/huge groups just span more range partitions.
+    Exactness checked against the same quantile_cont oracle."""
+    from duckdb_server_spark.operators.percentile import exact_group_quantiles
+
+    q = exact_group_quantiles(
+        t(spark, sf_dir, "lineitem"),
+        "l_linestatus",
+        "l_extendedprice",
+        {"p50_price": 0.5, "p90_price": 0.9, "p99_price": 0.99},
+    )
+    return q.select(
+        "l_linestatus",
+        F.round("p50_price", 4).alias("p50_price"),
+        F.round("p90_price", 4).alias("p90_price"),
+        F.round("p99_price", 4).alias("p99_price"),
+    ).orderBy(F.col("l_linestatus").asc_nulls_last())

@@ -321,22 +321,48 @@ def b23_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("b30_multimodal_features")  # rows-only: mapInPandas feature extraction
+@query(
+    "b30_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS head_byte,
+           CAST(list_aggregate(list_transform(range(1, strlen(text) + 1),
+                 i -> ascii(substr(text, CAST(i AS INT), 1))), 'sum') AS DOUBLE)
+             / strlen(text) AS byte_mean,
+           'image/fake' AS modality
+    FROM documents
+    """,
+)
 def b30_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing: opaque binary payload + modality tag →
     Arrow-batched mapInPandas feature extraction (decode step stubbed with
     deterministic byte features; a real codec drops into _byte_features
-    unchanged)."""
+    unchanged). The fake features are pure byte functions of the ASCII
+    corpus, so the oracle reproduces them exactly (integer byte sums →
+    bit-identical division)."""
     docs = t(spark, sf_dir, "documents")
     binary_df = multimodal.attach_binary_payload(docs, "text", "doc_id")
     return multimodal.extract_features(binary_df)
 
 
-@query("b32_frame_sample")  # rows-only: mapInPandas row expansion
+@query(
+    "b32_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, strlen(text) AS L
+               FROM documents WHERE doc_id < 100),
+    n AS (SELECT CAST(i AS INT) AS i FROM range(0, 10000) t(i))
+    SELECT doc_id, i AS frame_idx,
+           CAST(least(64, L - 128 * i) AS INT) AS frame_bytes,
+           ascii(substr(text, 128 * i + 1, 1)) AS frame_head
+    FROM d JOIN n ON 128 * n.i < d.L
+    """,
+)
 def b32_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads: 1 payload row → N sampled
     frame rows inside the Arrow batch stream (stride-64 byte windows as
-    the deterministic decode fake)."""
+    the deterministic decode fake — every 2nd window, i.e. byte offsets
+    128·i, which the oracle reproduces with a numbers join)."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     binary_df = multimodal.attach_binary_payload(docs, "text", "doc_id")
     return multimodal.sample_frames(binary_df, stride=64)

@@ -203,3 +203,38 @@ def test_salted_group_topk_matches_plain_window(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     plan = got._jdf.queryExecution().executedPlan().toString().replace(" ", "")
     assert "__salt" in plan, "phase-1 window must be salted"
+
+
+def test_distributed_quantiles_no_group_materialization(spark):
+    """exact_group_quantiles must match numpy's exact quantile_cont and
+    plan neither a per-group pandas kernel (FlatMapGroupsInPandas) nor a
+    single-partition window over the input relation — the two shapes
+    that OOM on a huge group."""
+    import numpy as np
+
+    from duckdb_server_spark.operators.percentile import exact_group_quantiles
+
+    df = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise("cold").alias("g"),
+        (F.sin(F.col("id").cast("double")) * 1000).alias("v"),
+    )
+    got = exact_group_quantiles(df, "g", "v", {"p50": 0.5, "p95": 0.95})
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    # every window in the plan must be partitioned (by __pid); no
+    # unpartitioned window over the data relation
+    for line in plan.splitlines():
+        if "Window " in line and "partitionBy" not in line.replace(
+            "PartitionBy", "partitionBy"
+        ):
+            assert "windowspecdefinition(__pid" in line or "__pid" in line, line
+
+    rows = {r.g: (r.p50, r.p95) for r in got.collect()}
+    pdf = df.toPandas()
+    for g, grp in pdf.groupby("g"):
+        v = np.sort(grp["v"].to_numpy())
+        for i, p in enumerate((0.5, 0.95)):
+            pos = p * (len(v) - 1)
+            lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+            want = v[lo] + (pos - lo) * (v[hi] - v[lo])
+            assert abs(rows[g][i] - want) < 1e-9, (g, p, rows[g][i], want)
