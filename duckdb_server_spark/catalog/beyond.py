@@ -100,11 +100,41 @@ def b04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
-# Fixed random-hyperplane set (seed literal, 8 planes over 16 dims) for the
+# Fixed random-hyperplane set (deterministic literal, 8 planes over 64 dims) for the
 # LSH variants — literals keep the signature a pure codegen expression.
-_HYPERPLANES = [
-    [((i * 37 + j * 11) % 19 - 9) / 9.0 for j in range(16)] for i in range(8)
-]
+def _make_hyperplanes(n_planes: int, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, mean-centered per plane.
+
+    Two properties are load-bearing (both violated by the round-1 planes,
+    which made every vector land in ONE bucket — the "bucketed" joins
+    silently degraded to full N² self-joins):
+
+    - ``dim`` must equal the embedding dimension (64): ``zip_with`` pads a
+      shorter plane with NULLs, the dot product becomes NULL, and
+      ``NULL > 0`` is false for every plane → bucket 0 for all vectors.
+    - coefficients are spatial-hash pseudo-random (not a short cyclic
+      residue pattern) and centered per plane, so sign splits are
+      ~50/50 and planes are mutually uncorrelated.
+    """
+    planes = []
+    for i in range(n_planes):
+        raw = [
+            (((i + 1) * 73856093 ^ (j + 1) * 19349663) % 2003) / 2003.0 - 0.5
+            for j in range(dim)
+        ]
+        mean = sum(raw) / dim
+        planes.append([round(v - mean, 6) for v in raw])
+    return planes
+
+
+_HYPERPLANES = _make_hyperplanes(8)
+
+# Near-dup detection wants finer buckets than top-k search: the
+# within-bucket self-join scores ~Σ n_bucket² pairs, so more planes →
+# fewer candidate cosines. True near-dups (cosine ≈ 1) almost always
+# share all signs; top-k search (b11) keeps the coarser 8 planes for
+# recall.
+_HYPERPLANES_DEDUP = _make_hyperplanes(12)
 
 
 @query(
@@ -193,7 +223,7 @@ def b12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast(vec_type).alias("embedding"),
     )
     return similarity.embedding_near_dup_pairs(
-        emb.unionByName(clones), _HYPERPLANES, threshold=0.99
+        emb.unionByName(clones), _HYPERPLANES_DEDUP, threshold=0.99
     )
 
 

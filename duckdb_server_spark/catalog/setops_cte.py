@@ -70,8 +70,12 @@ def q1_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q2_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-sum series 1..15: seed row + recursive step, iterated to
-    fixpoint. UNION ALL semantics (rows are distinct by construction)."""
-    seed = spark.createDataFrame([(1, 1)], "n int, total int")
+    fixpoint. UNION ALL semantics (rows are distinct by construction).
+    The seed is a SQL VALUES LocalRelation, NOT createDataFrame: a
+    python-parallelized seed pickles onto defaultParallelism slices and
+    every localCheckpoint in the loop pays a python-worker launch per
+    slice (~4 s measured); the LocalRelation stays JVM-side (~0.2 s)."""
+    seed = spark.sql("SELECT CAST(1 AS INT) AS n, CAST(1 AS INT) AS total")
 
     def step(frontier: DataFrame) -> DataFrame:
         return frontier.filter(F.col("n") < 15).select(
@@ -107,6 +111,7 @@ def q2_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = (
         nation.filter(F.col("n_nationkey") < 5)
         .select(F.col("n_regionkey").alias("src"), F.col("n_nationkey").alias("dst"))
+        .coalesce(1)
     )
 
     def step(frontier: DataFrame) -> DataFrame:

@@ -55,6 +55,17 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # Convergence probe: labels are monotonically non-increasing (every
+    # update goes through least()), so the label sum strictly decreases
+    # iff any label changed — one aggregate over the checkpointed frame
+    # replaces a per-round old-vs-new self-join. decimal(38,0) so huge id
+    # sums cannot overflow under ANSI.
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # Hook: pull the minimum label from direct neighbors.
         neighbor_min = (
@@ -85,14 +96,9 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels

@@ -37,6 +37,10 @@ def recursive_fixpoint(
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             return acc
-        acc = acc.unionByName(nxt).localCheckpoint(eager=True)
+        # No accumulator checkpoint: acc is a union of already-checkpointed
+        # frontiers, so its lineage is one shallow Union over materialized
+        # blocks — re-checkpointing it would re-materialize the whole
+        # accumulated set every iteration (O(N²) total writes).
+        acc = acc.unionByName(nxt)
         frontier = nxt
     raise RuntimeError(f"recursive_fixpoint: no fixpoint in {max_iterations} iterations")

@@ -253,7 +253,11 @@ def string_fn_expr(draw) -> str:
     """Random string-function expression over documents.text — probes the
     declared string surface (SURVEY.md §2.9: SUBSTR/TRIM/LENGTH/REPLACE/
     UPPER/LOWER/INSTR are 1-based/semantics-sensitive)."""
-    start = draw(st.integers(-3, 12))
+    # Pinned divergence (see test_semantics): substr position 0 — Spark
+    # clamps 0 to 1 while DuckDB yields '' (0 consumes part of the length
+    # window before character 1). Declared queries use 1-based positions;
+    # the fuzzer skips 0.
+    start = draw(st.integers(-3, 12).filter(lambda s: s != 0))
     length = draw(st.integers(0, 9))
     needle = draw(st.sampled_from(["a", "e", "th", "zz", " ", ""]))
     return draw(
@@ -297,3 +301,31 @@ def test_embedding_near_dup_emits_planted_pairs(spark, sf_dir):
     for r in rows:
         assert r.id_b == r.id_a + 1_000_000
         assert r.cos_sim >= 0.99
+
+
+def test_lsh_buckets_actually_partition(spark, sf_dir):
+    """Hyperplane LSH must produce many balanced buckets — round 1's
+    planes were 16-dim against 64-dim vectors (zip_with NULL-padded the
+    dot product) and every vector landed in bucket 0, silently turning
+    the 'bucketed' joins into full N² self-joins."""
+    from pyspark.sql import functions as F
+
+    from duckdb_server_spark.catalog.beyond import _HYPERPLANES, _HYPERPLANES_DEDUP
+    from duckdb_server_spark.operators import similarity
+    from duckdb_server_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    dim = len(emb.first().embedding)
+    assert all(len(p) == dim for p in _HYPERPLANES + _HYPERPLANES_DEDUP)
+    n = emb.count()
+    for planes, min_buckets in ((_HYPERPLANES, 32), (_HYPERPLANES_DEDUP, 64)):
+        sig = emb.select(
+            similarity.hyperplane_signature(F.col("embedding"), planes).alias("b")
+        )
+        stats = (
+            sig.groupBy("b").count()
+            .agg(F.count("*").alias("nb"), F.max("count").alias("mx"))
+            .collect()[0]
+        )
+        assert stats.nb >= min_buckets, f"only {stats.nb} buckets"
+        assert stats.mx <= max(8, n // 4), f"dominant bucket of {stats.mx}/{n}"

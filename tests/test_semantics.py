@@ -101,3 +101,15 @@ def test_grand_total_grouping_set_on_empty_input_diverges(spark, duck):
     srows = spark.sql(sql).collect()
     drows = duck.execute(sql).fetchall()
     assert srows == [] and drows == [(0,)]
+
+
+def test_substr_position_zero_diverges(spark, duck):
+    """substr(s, 0, n): Spark clamps position 0 to the string start and
+    still returns n characters; DuckDB lets the length window start at
+    position 0, so only n-1 characters of the string are covered (n=1 →
+    ''). Found by the string-function fuzzer; declared queries use
+    1-based positions only, where both engines agree."""
+    srow = spark.sql("SELECT substr('theta', 0, 1) AS a, substr('theta', 1, 1) AS b").collect()[0]
+    drow = duck.execute("SELECT substr('theta', 0, 1), substr('theta', 1, 1)").fetchall()[0]
+    assert (srow.a, srow.b) == ("t", "t")
+    assert drow == ("", "t")

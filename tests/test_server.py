@@ -187,3 +187,19 @@ def test_concurrent_clients(flight_port):
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
         results = list(pool.map(one, range(16)))
     assert all(isinstance(r, int) and r > 0 for r in results)
+
+
+def test_flightsql_long_statement(flight_port):
+    """SQL ≥ 128 bytes: the reference's hand-rolled Any decode breaks when
+    the inner length header grows past one byte (main.go:138-139 quirk);
+    the wire codec here must handle multi-byte varint lengths."""
+    long_sql = (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
+        "sum(l_quantity) AS sum_qty, avg(l_extendedprice) AS avg_price "
+        "FROM lineitem WHERE l_quantity > 0 AND l_linenumber BETWEEN 1 AND 7 "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    )
+    assert len(long_sql.encode()) > 127
+    table = srv.query_flightsql(flight_port, long_sql)
+    assert table.num_rows >= 2
+    assert "sum_qty" in table.column_names
