@@ -30,6 +30,9 @@ TYPE_URL_PREFIX = "type.googleapis.com/arrow.flight.protocol.sql."
 CMD_STATEMENT_QUERY = TYPE_URL_PREFIX + "CommandStatementQuery"
 CMD_GET_SQL_INFO = TYPE_URL_PREFIX + "CommandGetSqlInfo"
 TICKET_STATEMENT_QUERY = TYPE_URL_PREFIX + "TicketStatementQuery"
+CMD_GET_CATALOGS = TYPE_URL_PREFIX + "CommandGetCatalogs"
+CMD_GET_DB_SCHEMAS = TYPE_URL_PREFIX + "CommandGetDbSchemas"
+CMD_GET_TABLES = TYPE_URL_PREFIX + "CommandGetTables"
 
 # SqlInfo codes published by the reference (main.go:352-365) — values from
 # the public FlightSql.proto enum.
@@ -181,6 +184,68 @@ def decode_ticket_statement_query(value: bytes) -> bytes:
     fields = parse_fields(value)
     handles = fields.get(1, [b""])
     return handles[0] if isinstance(handles[0], bytes) else b""
+
+
+def encode_command_get_catalogs() -> bytes:
+    return pack_any(CMD_GET_CATALOGS, b"")
+
+
+def encode_command_get_db_schemas(catalog: str | None = None) -> bytes:
+    body = _field_bytes(1, catalog.encode()) if catalog is not None else b""
+    return pack_any(CMD_GET_DB_SCHEMAS, body)
+
+
+def encode_command_get_tables(
+    table_name_pattern: str | None = None, include_schema: bool = False
+) -> bytes:
+    body = b""
+    if table_name_pattern is not None:
+        body += _field_bytes(3, table_name_pattern.encode())
+    if include_schema:
+        body += _field_varint(5, 1)
+    return pack_any(CMD_GET_TABLES, body)
+
+
+def decode_command_get_tables(value: bytes) -> tuple[str | None, bool]:
+    """→ (table_name_filter_pattern, include_schema). Catalog/db-schema
+    filters (fields 1, 2) are accepted and ignored — this engine serves a
+    single flat temp-view namespace."""
+    fields = parse_fields(value)
+    pattern = None
+    pats = fields.get(3)
+    if pats and isinstance(pats[0], bytes):
+        pattern = pats[0].decode("utf-8")
+    inc = fields.get(5, [0])
+    include_schema = bool(inc[0]) if isinstance(inc[0], int) else False
+    return pattern, include_schema
+
+
+# Standard Flight SQL metadata result schemas (FlightSql.proto comments —
+# the column names/types ADBC drivers expect).
+GET_CATALOGS_SCHEMA = pa.schema([pa.field("catalog_name", pa.string(), nullable=False)])
+GET_DB_SCHEMAS_SCHEMA = pa.schema(
+    [
+        pa.field("catalog_name", pa.string()),
+        pa.field("db_schema_name", pa.string(), nullable=False),
+    ]
+)
+GET_TABLES_SCHEMA = pa.schema(
+    [
+        pa.field("catalog_name", pa.string()),
+        pa.field("db_schema_name", pa.string()),
+        pa.field("table_name", pa.string(), nullable=False),
+        pa.field("table_type", pa.string(), nullable=False),
+    ]
+)
+GET_TABLES_SCHEMA_WITH_SCHEMA = GET_TABLES_SCHEMA.append(
+    pa.field("table_schema", pa.binary(), nullable=False)
+)
+
+
+def serialize_schema(schema: pa.Schema) -> bytes:
+    """IPC-serialized schema bytes, as CommandGetTables(include_schema)
+    expects in the table_schema column."""
+    return schema.serialize().to_pybytes()
 
 
 # ---------------------------------------------------------------------------

@@ -152,34 +152,97 @@ class SparkFlightServer(flight.FlightServerBase):
         self._location = location
 
     # -- statement resolution ----------------------------------------------
-    def _resolve_command(self, raw: bytes) -> tuple[str, str | None, list[int]]:
-        """Classify descriptor/ticket bytes → (kind, sql, info_codes).
-        kind ∈ {'sql_info_legacy', 'sql_info', 'query'}."""
+    def _resolve_command(self, raw: bytes):
+        """Classify descriptor/ticket bytes → (kind, payload).
+        kind ∈ {'sql_info_legacy', 'sql_info', 'catalogs', 'db_schemas',
+        'tables', 'query'}; payload is the SQL string for 'query', the
+        requested info codes for 'sql_info', the decoded filter tuple for
+        'tables', else None."""
         if raw == SQL_INFO_TICKET:
-            return "sql_info_legacy", None, []
+            return "sql_info_legacy", None
         unpacked = flightsql.unpack_any(raw)
         if unpacked is not None:
             type_url, value = unpacked
             if type_url == flightsql.CMD_GET_SQL_INFO:
-                return "sql_info", None, flightsql.decode_command_get_sql_info(value)
+                return "sql_info", flightsql.decode_command_get_sql_info(value)
             if type_url == flightsql.CMD_STATEMENT_QUERY:
-                return "query", flightsql.decode_command_statement_query(value), []
+                return "query", flightsql.decode_command_statement_query(value)
             if type_url == flightsql.TICKET_STATEMENT_QUERY:
                 handle = flightsql.decode_ticket_statement_query(value)
-                return "query", handle.decode("utf-8"), []
+                return "query", handle.decode("utf-8")
+            if type_url == flightsql.CMD_GET_CATALOGS:
+                return "catalogs", None
+            if type_url == flightsql.CMD_GET_DB_SCHEMAS:
+                return "db_schemas", None
+            if type_url == flightsql.CMD_GET_TABLES:
+                return "tables", flightsql.decode_command_get_tables(value)
             raise flight.FlightServerError(f"unsupported Flight SQL command {type_url}")
-        return "query", raw.decode("utf-8"), []
+        return "query", raw.decode("utf-8")
+
+    # -- FlightSQL metadata result tables -----------------------------------
+    _CATALOG_NAME = "spark_catalog"
+    _DB_SCHEMA_NAME = "default"
+
+    def _metadata_table(self, kind: str, payload) -> pa.Table:
+        if kind == "sql_info_legacy":
+            return _legacy_sql_info_table()
+        if kind == "sql_info":
+            return flightsql.sql_info_table(payload)
+        if kind == "catalogs":
+            return pa.Table.from_arrays(
+                [pa.array([self._CATALOG_NAME])], schema=flightsql.GET_CATALOGS_SCHEMA
+            )
+        if kind == "db_schemas":
+            return pa.Table.from_arrays(
+                [pa.array([self._CATALOG_NAME]), pa.array([self._DB_SCHEMA_NAME])],
+                schema=flightsql.GET_DB_SCHEMAS_SCHEMA,
+            )
+        # tables: the served temp-view namespace (the '-db' warehouse).
+        pattern, include_schema = payload
+        import fnmatch
+
+        names = sorted(
+            t.name
+            for t in self.spark.catalog.listTables()
+            if t.isTemporary
+            and (pattern is None or fnmatch.fnmatch(t.name, pattern.replace("%", "*")))
+        )
+        arrays = [
+            pa.array([self._CATALOG_NAME] * len(names)),
+            pa.array([self._DB_SCHEMA_NAME] * len(names)),
+            pa.array(names),
+            pa.array(["VIEW"] * len(names)),
+        ]
+        schema = flightsql.GET_TABLES_SCHEMA
+        if include_schema:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrays.append(
+                pa.array(
+                    [
+                        flightsql.serialize_schema(
+                            to_arrow_schema(self.spark.table(n).schema)
+                        )
+                        for n in names
+                    ],
+                    pa.binary(),
+                )
+            )
+            schema = flightsql.GET_TABLES_SCHEMA_WITH_SCHEMA
+        return pa.Table.from_arrays(arrays, schema=schema)
 
     # -- entry point 2: schema probe (main.go:126-194) ----------------------
     def get_flight_info(self, context, descriptor):
-        kind, sql, _codes = self._resolve_command(descriptor.command)
+        kind, payload = self._resolve_command(descriptor.command)
         if kind == "sql_info_legacy":
             schema = _legacy_sql_info_table().schema
             ticket = flight.Ticket(SQL_INFO_TICKET)
-        elif kind == "sql_info":
-            schema = flightsql.SQL_INFO_SCHEMA
+        elif kind != "query":
+            # Metadata commands: cheap to build; schema from the result.
+            schema = self._metadata_table(kind, payload).schema
             ticket = flight.Ticket(descriptor.command)
         else:
+            sql = payload
             # Gate BEFORE spark.sql — commands would otherwise execute
             # eagerly during the schema probe.
             assert_query_shaped(self.spark, sql)
@@ -201,13 +264,28 @@ class SparkFlightServer(flight.FlightServerBase):
         # (main.go:164-165).
         return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
+    # -- GetSchema: schema-only probe (no ticket, no execution) -------------
+    def get_schema(self, context, descriptor):
+        kind, payload = self._resolve_command(descriptor.command)
+        if kind != "query":
+            return flight.SchemaResult(self._metadata_table(kind, payload).schema)
+        sql = payload
+        assert_query_shaped(self.spark, sql)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        try:
+            return flight.SchemaResult(to_arrow_schema(self.spark.sql(sql).schema))
+        except flight.FlightServerError:
+            raise
+        except Exception as exc:
+            raise flight.FlightServerError(str(exc)) from exc
+
     # -- entry point 1: execute + stream (main.go:196-250) ------------------
     def do_get(self, context, ticket):
-        kind, sql, codes = self._resolve_command(ticket.ticket)
-        if kind == "sql_info_legacy":
-            return flight.RecordBatchStream(_legacy_sql_info_table())
-        if kind == "sql_info":
-            return flight.RecordBatchStream(flightsql.sql_info_table(codes))
+        kind, payload = self._resolve_command(ticket.ticket)
+        if kind != "query":
+            return flight.RecordBatchStream(self._metadata_table(kind, payload))
+        sql = payload
         assert_query_shaped(self.spark, sql)
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -289,6 +367,23 @@ def get_sql_info(port: int, codes: list[int] | None = None) -> pa.Table:
     try:
         descriptor = flight.FlightDescriptor.for_command(
             flightsql.encode_command_get_sql_info(codes)
+        )
+        info = client.get_flight_info(descriptor)
+        return client.do_get(info.endpoints[0].ticket).read_all()
+    finally:
+        client.close()
+
+
+def get_tables(
+    port: int, pattern: str | None = None, include_schema: bool = False
+) -> pa.Table:
+    """Standard Flight SQL CommandGetTables (beyond the reference, which
+    implements only GetSqlInfo — this is what ADBC's adbc_get_objects
+    drives). Catalogs/db-schemas commands work the same way."""
+    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    try:
+        descriptor = flight.FlightDescriptor.for_command(
+            flightsql.encode_command_get_tables(pattern, include_schema)
         )
         info = client.get_flight_info(descriptor)
         return client.do_get(info.endpoints[0].ticket).read_all()

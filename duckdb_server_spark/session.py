@@ -148,6 +148,11 @@ def tune_session(spark: SparkSession, sf_dir: str) -> None:
     cannot reach. On a real cluster the engine session is built by
     ``get_spark``/``SPARK_GRAFT_CPUS`` and this path never triggers.
     """
+    # load_table runs several times per query; the py4j conf round-trips
+    # are only needed once per (session, corpus).
+    if getattr(spark, "_dss_tuned_for", None) == sf_dir:
+        return
+    spark._dss_tuned_for = sf_dir
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "true")

@@ -329,3 +329,91 @@ def test_lsh_buckets_actually_partition(spark, sf_dir):
         )
         assert stats.nb >= min_buckets, f"only {stats.nb} buckets"
         assert stats.mx <= max(8, n // 4), f"dominant bucket of {stats.mx}/{n}"
+
+
+def test_minhash_lsh_finds_planted_duplicates(spark, sf_dir):
+    """MinHash-LSH must surface genuinely similar pairs as candidates:
+    plant exact and one-word-edit copies of real texts and assert each
+    planted pair is in the candidate set (the corpus itself has no
+    near-dups, so without planting this operator's recall is untestable)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_server_spark.operators.dedup import minhash_lsh_candidates
+    from duckdb_server_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    exact = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    edited = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzedit")).alias("text"),
+    )
+    staged = docs.unionByName(exact).unionByName(edited)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(staged, "text", "doc_id").collect()
+    }
+    for i in range(10):
+        assert (i, i + 10_000) in pairs, f"exact dup {i} not a candidate"
+    hits = sum((i, i + 20_000) in pairs for i in range(10))
+    assert hits >= 8, f"only {hits}/10 one-word-edit dups surfaced"
+
+
+def test_lsh_and_ivf_topk_selfhit_and_subset(spark, sf_dir):
+    """ANN sanity: every query's rank-1 hit is itself (cos ≈ 1 — the
+    query vector is in the corpus and always shares its own bucket/cell),
+    and every (query, hit, score) the ANN emits matches the brute-force
+    score exactly (ANN may miss neighbors, never mis-score them)."""
+    from duckdb_server_spark.catalog.beyond import (
+        b10_knn_bruteforce,
+        b11_lsh_topk,
+        b13_ivf_topk,
+    )
+
+    brute = {
+        (r.query_id, r.vec_id): r.cos_sim for r in b10_knn_bruteforce(spark, sf_dir).collect()
+    }
+    for fn in (b11_lsh_topk, b13_ivf_topk):
+        rows = fn(spark, sf_dir).collect()
+        by_query = {}
+        for r in rows:
+            by_query.setdefault(r.query_id, []).append(r)
+        for qid, hits in by_query.items():
+            top = min(hits, key=lambda r: r.rank)
+            assert top.vec_id == qid and top.cos_sim > 0.999, (fn.__name__, qid)
+            for r in hits:
+                if (r.query_id, r.vec_id) in brute:
+                    assert abs(round(r.cos_sim, 6) - brute[(r.query_id, r.vec_id)]) < 1e-6
+
+
+def test_simhash_identical_for_copies_near_for_edits(spark, sf_dir):
+    """SimHash must give identical fingerprints for exact copies and
+    small Hamming distance for one-word edits (the property dedup relies
+    on); unrelated docs should differ in many bits."""
+    from pyspark.sql import functions as F
+
+    from duckdb_server_spark.operators.dedup import simhash_fingerprint
+    from duckdb_server_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    copies = docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    edits = docs.select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzedit")).alias("text"),
+    )
+    fp = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprint(
+            docs.unionByName(copies).unionByName(edits), "text", "doc_id"
+        ).collect()
+    }
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & 0xFFFFFFFF).count("1")
+
+    for i in range(20):
+        assert fp[i] == fp[i + 10_000], "exact copy must hash identically"
+        assert hamming(fp[i], fp[i + 20_000]) <= 6, "one-word edit must stay near"
+    far = [hamming(fp[i], fp[j]) for i in range(10) for j in range(10, 20)]
+    assert sum(d > 6 for d in far) >= len(far) * 0.8, "unrelated docs must differ"

@@ -203,3 +203,71 @@ def test_flightsql_long_statement(flight_port):
     table = srv.query_flightsql(flight_port, long_sql)
     assert table.num_rows >= 2
     assert "sum_qty" in table.column_names
+
+
+def test_get_schema_rpc(flight_port):
+    """GetSchema: analysis-only schema probe for both raw and FlightSQL
+    descriptors — no execution, commands rejected."""
+    from duckdb_server_spark import flightsql
+
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        raw = client.get_schema(
+            flight.FlightDescriptor.for_command(b"SELECT 1 AS a, 'x' AS b")
+        ).schema
+        assert raw.names == ["a", "b"]
+        fsql = client.get_schema(
+            flight.FlightDescriptor.for_command(
+                flightsql.encode_command_statement_query(
+                    "SELECT l_orderkey FROM lineitem"
+                )
+            )
+        ).schema
+        assert fsql.names == ["l_orderkey"]
+        # pyarrow surfaces get_schema server errors as ArrowException
+        # (not FlightError); the gate message must still cross the wire.
+        with pytest.raises(pa.ArrowException, match="read-only server"):
+            client.get_schema(
+                flight.FlightDescriptor.for_command(b"DROP TABLE lineitem")
+            )
+    finally:
+        client.close()
+
+
+def test_flightsql_metadata_commands(flight_port):
+    """CommandGetCatalogs / CommandGetDbSchemas / CommandGetTables (the
+    ADBC object-enumeration path; beyond the reference's GetSqlInfo-only
+    metadata surface)."""
+    from duckdb_server_spark import flightsql
+
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        for cmd, schema in (
+            (flightsql.encode_command_get_catalogs(), flightsql.GET_CATALOGS_SCHEMA),
+            (
+                flightsql.encode_command_get_db_schemas(),
+                flightsql.GET_DB_SCHEMAS_SCHEMA,
+            ),
+        ):
+            info = client.get_flight_info(flight.FlightDescriptor.for_command(cmd))
+            table = client.do_get(info.endpoints[0].ticket).read_all()
+            assert table.schema.equals(schema)
+            assert table.num_rows == 1
+    finally:
+        client.close()
+
+    tables = srv.get_tables(flight_port)
+    names = tables.column("table_name").to_pylist()
+    assert "lineitem" in names and "orders" in names
+    assert set(tables.column("table_type").to_pylist()) == {"VIEW"}
+
+    filtered = srv.get_tables(flight_port, pattern="line%")
+    assert filtered.column("table_name").to_pylist() == ["lineitem"]
+
+    with_schema = srv.get_tables(flight_port, pattern="nation", include_schema=True)
+    assert with_schema.num_rows == 1
+    import pyarrow as pa_mod
+
+    buf = with_schema.column("table_schema")[0].as_py()
+    schema = pa_mod.ipc.read_schema(pa_mod.BufferReader(buf))
+    assert "n_nationkey" in schema.names
