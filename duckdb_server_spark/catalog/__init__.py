@@ -56,6 +56,11 @@ _PRIORITY_R2: tuple[str, ...] = (
     "b30_multimodal_features",
     "b32_frame_sample",
     "a09c_distributed_quantiles",
+    # dialect-parity queries added this round.
+    "a17_group_by_all",
+    "o09_order_by_all",
+    "u04_union_by_name",
+    "p16_try_cast",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

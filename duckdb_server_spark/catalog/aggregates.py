@@ -573,3 +573,32 @@ def a09c_distributed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p90_price", 4).alias("p90_price"),
         F.round("p99_price", 4).alias("p99_price"),
     ).orderBy(F.col("l_linestatus").asc_nulls_last())
+
+
+# --- A17: GROUP BY ALL (DuckDB dialect, supported verbatim by Spark SQL) ---
+@query(
+    "a17_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST
+    """,
+)
+def a17_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (every non-aggregate select item becomes a group
+    key) — identical SQL text runs on both engines; money sum through
+    decimal for order-independent exactness."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem_gba
+        GROUP BY ALL
+        ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST
+        """
+    )

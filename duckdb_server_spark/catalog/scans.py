@@ -517,3 +517,30 @@ def p15_columns_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(li.colRegex("`l_.*key`"), "l_linenumber").orderBy(
         F.col("l_orderkey").asc_nulls_last(), F.col("l_linenumber").asc_nulls_last()
     )
+
+
+# --- P16: TRY_CAST (error-free casting, same keyword on both engines) ---
+@query(
+    "p16_try_cast",
+    oracle="""
+    SELECT p_partkey,
+           try_cast(CASE WHEN p_partkey % 3 = 0 THEN 'not-a-number'
+                         ELSE CAST(p_size AS VARCHAR) END AS INT) AS maybe_size,
+           try_cast(p_name AS DOUBLE) AS name_num
+    FROM part
+    ORDER BY p_partkey ASC NULLS LAST
+    """,
+)
+def p16_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TRY_CAST`` — NULL instead of error on bad input, on BOTH
+    engines (under ANSI mode plain CAST raises in Spark, so this is the
+    dialect feature users reach for)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "try_cast(CASE WHEN p_partkey % 3 = 0 THEN 'not-a-number' "
+            "ELSE CAST(p_size AS STRING) END AS INT)"
+        ).alias("maybe_size"),
+        F.expr("try_cast(p_name AS DOUBLE)").alias("name_num"),
+    ).orderBy(F.col("p_partkey").asc_nulls_last())

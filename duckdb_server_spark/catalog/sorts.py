@@ -251,3 +251,44 @@ def u03b_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
     return c.exceptAll(s).orderBy(F.col("k").asc_nulls_last())
+
+
+# --- O9: ORDER BY ALL (DuckDB dialect, supported verbatim by Spark SQL) ---
+@query(
+    "o09_order_by_all",
+    oracle="""
+    SELECT n_regionkey, n_name FROM nation ORDER BY ALL
+    """,
+)
+def o09_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY ALL`` — identical SQL text runs on both engines (no
+    NULLs in these columns, so the default null-order divergence is
+    moot)."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation_oba")
+    return spark.sql("SELECT n_regionkey, n_name FROM nation_oba ORDER BY ALL")
+
+
+# --- U4: UNION BY NAME (DuckDB SQL dialect ↔ Spark unionByName API) ---
+@query(
+    "u04_union_by_name",
+    oracle="""
+    SELECT * FROM (
+      SELECT n_name AS name, n_nationkey AS key FROM nation
+      UNION ALL BY NAME
+      SELECT r_regionkey AS key, r_name AS name FROM region)
+    ORDER BY key ASC NULLS LAST, name ASC NULLS LAST
+    """,
+)
+def u04_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's ``UNION ALL BY NAME`` aligns columns by name, not
+    position; Spark's equivalent is the ``unionByName`` DataFrame op
+    (the SQL keyword does not parse in Spark)."""
+    a = t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"), F.col("n_nationkey").alias("key")
+    )
+    b = t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("key"), F.col("r_name").alias("name")
+    )
+    return a.unionByName(b).orderBy(
+        F.col("key").asc_nulls_last(), F.col("name").asc_nulls_last()
+    )

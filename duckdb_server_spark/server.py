@@ -99,9 +99,12 @@ def assert_query_shaped(spark: SparkSession, sql: str) -> None:
         raise flight.FlightServerError(
             f"read-only server: statement {name!r} is not allowed"
         )
-    command_cls = spark._jvm.java.lang.Class.forName(
-        "org.apache.spark.sql.catalyst.plans.logical.Command"
-    )
+    command_cls = getattr(spark, "_dss_command_cls", None)
+    if command_cls is None:
+        command_cls = spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.catalyst.plans.logical.Command"
+        )
+        spark._dss_command_cls = command_cls
     if command_cls.isInstance(parsed) and not name.startswith(
         _READONLY_COMMAND_PREFIXES
     ):

@@ -417,3 +417,45 @@ def test_simhash_identical_for_copies_near_for_edits(spark, sf_dir):
         assert hamming(fp[i], fp[i + 20_000]) <= 6, "one-word edit must stay near"
     far = [hamming(fp[i], fp[j]) for i in range(10) for j in range(10, 20)]
     assert sum(d > 6 for d in far) >= len(far) * 0.8, "unrelated docs must differ"
+
+
+DT_EXPRS = [
+    "year({c})",
+    "month({c})",
+    "day({c})",
+    "quarter({c})",
+    "hour({c})",
+    "minute({c})",
+    "CAST(date_trunc('year', {c}) AS TIMESTAMP)",
+    "CAST(date_trunc('month', {c}) AS TIMESTAMP)",
+    "CAST(date_trunc('day', {c}) AS TIMESTAMP)",
+    "CAST(date_trunc('hour', {c}) AS TIMESTAMP)",
+    "{c} + INTERVAL 7 DAY",
+    "{c} - INTERVAL 36 HOUR",
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=st.sampled_from(DT_EXPRS),
+    cutoff=st.sampled_from(
+        ["1995-06-17", "1997-01-01", "1998-11-30", "2001-02-28"]
+    ),
+)
+def test_random_datetime_functions(spark, duck, expr, cutoff):
+    """Datetime function family over o_orderdate with random cutoffs —
+    the same shared-dialect differential as the string fuzzer. Output
+    cast to TIMESTAMP/BIGINT so both pandas bridges agree."""
+    e = expr.format(c="o_orderdate")
+    cast = "CAST({} AS TIMESTAMP)" if "INTERVAL" in expr or "TIMESTAMP" in expr else "CAST({} AS BIGINT)"
+    sql = (
+        f"SELECT o_orderkey, {cast.format(e)} AS v FROM orders "
+        f"WHERE o_orderdate >= TIMESTAMP '{cutoff} 00:00:00' "
+        f"ORDER BY o_orderkey ASC NULLS LAST LIMIT 500"
+    )
+    srows, drows = _run_both(spark, duck, sql)
+    assert srows == drows, f"datetime divergence: {e} @ {cutoff}"
