@@ -589,7 +589,8 @@ def a09c_distributed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a17_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``GROUP BY ALL`` (every non-aggregate select item becomes a group
-    key) — identical SQL text runs on both engines; money sum through
+    key; passthrough main.go:229, GROUP keyword main.go:429, ALL
+    main.go:377) — identical SQL text runs on both engines; money sum through
     decimal for order-independent exactness."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gba")
     return spark.sql(

@@ -532,7 +532,8 @@ def p15_columns_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def p16_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``TRY_CAST`` — NULL instead of error on bad input, on BOTH
+    """``TRY_CAST`` (passthrough main.go:229; CAST keyword main.go:387)
+    — NULL instead of error on bad input, on BOTH
     engines (under ANSI mode plain CAST raises in Spark, so this is the
     dialect feature users reach for)."""
     p = t(spark, sf_dir, "part")

@@ -261,7 +261,9 @@ def u03b_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def o09_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``ORDER BY ALL`` — identical SQL text runs on both engines (no
+    """``ORDER BY ALL`` (DuckDB dialect, reachable in the reference via
+    the SQL passthrough, main.go:229; ALL keyword main.go:377) — identical
+    SQL text runs on both engines (no
     NULLs in these columns, so the default null-order divergence is
     moot)."""
     t(spark, sf_dir, "nation").createOrReplaceTempView("nation_oba")
@@ -280,7 +282,8 @@ def o09_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def u04_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DuckDB's ``UNION ALL BY NAME`` aligns columns by name, not
+    """DuckDB's ``UNION ALL BY NAME`` (passthrough main.go:229; UNION
+    keyword main.go:502) aligns columns by name, not
     position; Spark's equivalent is the ``unionByName`` DataFrame op
     (the SQL keyword does not parse in Spark)."""
     a = t(spark, sf_dir, "nation").select(

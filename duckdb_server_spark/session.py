@@ -229,7 +229,10 @@ def register_sql_info(spark: SparkSession) -> DataFrame:
         ("server_read_only", "true"),
         ("identifier_quote_char", '"'),
     ]
-    df = spark.createDataFrame(rows, "info_name string, value string")
+    # SQL VALUES → JVM LocalRelation (a python-parallelized createDataFrame
+    # pays a python-worker launch per slice on every evaluation).
+    values = ", ".join(f"('{k}', '{v}')" for k, v in rows)
+    df = spark.sql(f"SELECT * FROM VALUES {values} AS t(info_name, value)")
     df.createOrReplaceTempView("sql_info")
     return df
 
@@ -248,8 +251,11 @@ def register_capabilities(spark: SparkSession) -> DataFrame:
         ("similarity", True, "embedding cosine/L2 top-k"),
         ("text", True, "lang-id/quality/tokens/fingerprint"),
     ]
-    df = spark.createDataFrame(
-        caps, "extension_name string, installed boolean, description string"
+    values = ", ".join(
+        f"('{name}', {str(flag).lower()}, '{desc}')" for name, flag, desc in caps
+    )
+    df = spark.sql(
+        f"SELECT * FROM VALUES {values} AS t(extension_name, installed, description)"
     )
     df.createOrReplaceTempView("capabilities")
     return df

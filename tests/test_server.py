@@ -261,8 +261,12 @@ def test_flightsql_metadata_commands(flight_port):
     assert "lineitem" in names and "orders" in names
     assert set(tables.column("table_type").to_pylist()) == {"VIEW"}
 
+    # Other tests may have registered extra temp views (e.g. lineitem_gba)
+    # in the shared session — assert pattern semantics, not an exact list.
     filtered = srv.get_tables(flight_port, pattern="line%")
-    assert filtered.column("table_name").to_pylist() == ["lineitem"]
+    fnames = filtered.column("table_name").to_pylist()
+    assert "lineitem" in fnames
+    assert all(n.startswith("line") for n in fnames)
 
     with_schema = srv.get_tables(flight_port, pattern="nation", include_schema=True)
     assert with_schema.num_rows == 1
