@@ -61,6 +61,12 @@ _PRIORITY_R2: tuple[str, ...] = (
     "o09_order_by_all",
     "u04_union_by_name",
     "p16_try_cast",
+    "p17_star_replace",
+    "a18_pivot_dynamic",
+    "w10_window_filter",
+    # storage-layout operators added this round.
+    "s15_bucketed_join",
+    "s16_partition_pruning",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

@@ -603,3 +603,42 @@ def a17_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST
         """
     )
+
+
+# --- A18: dynamic PIVOT (no explicit value list — DuckDB `PIVOT … ON`) ---
+@query(
+    "a18_pivot_dynamic",
+    oracle="""
+    SELECT l_returnflag,
+           round(COALESCE("F", 0), 4) AS F,
+           round(COALESCE("O", 0), 4) AS O
+    FROM (PIVOT (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+          ON l_linestatus USING sum(l_quantity))
+    ORDER BY l_returnflag ASC NULLS LAST
+    """,
+)
+def a18_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic PIVOT — DuckDB's ``PIVOT … ON col`` discovers the output
+    columns from the data (main.go:229 passthrough); Spark's equivalent
+    is ``pivot(col)`` with NO value list, which runs an eager distinct
+    job over the pivot column to discover them. That extra full pass is
+    the documented scale cost of dynamic pivoting (a15 shows the
+    explicit-list form that avoids it); the distinct is on one low-NDV
+    dictionary-encoded column, so the pass is scan-bound, not
+    shuffle-bound. Sums coalesced to 0 and rounded on both sides."""
+    pivoted = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+    # A (group, value) combo with no rows pivots to NULL — zero-fill the
+    # discovered columns to mirror the oracle's COALESCE.
+    zeroed = [
+        F.coalesce(F.col(f"`{c}`"), F.lit(0.0)).alias(c)
+        for c in pivoted.columns
+        if c != "l_returnflag"
+    ]
+    return pivoted.select("l_returnflag", *zeroed).orderBy(
+        F.col("l_returnflag").asc_nulls_last()
+    )

@@ -545,3 +545,160 @@ def p16_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("maybe_size"),
         F.expr("try_cast(p_name AS DOUBLE)").alias("name_num"),
     ).orderBy(F.col("p_partkey").asc_nulls_last())
+
+
+# --- P17: SELECT * REPLACE (DuckDB star-modifier dialect) ---
+@query(
+    "p17_star_replace",
+    oracle="""
+    SELECT * REPLACE (upper(n_name) AS n_name,
+                      n_regionkey * 10 AS n_regionkey)
+    FROM nation
+    ORDER BY n_nationkey ASC NULLS LAST
+    """,
+)
+def p17_star_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB ``SELECT * REPLACE (expr AS col)`` star modifier
+    (reachable through the reference's SQL passthrough, main.go:229) —
+    Spark has no ``* REPLACE`` syntax, so the equivalent is
+    ``withColumn``, which substitutes the expression **in place**,
+    preserving the star's column order exactly like the modifier does.
+    Pure projection: column pruning and codegen are unaffected."""
+    n = t(spark, sf_dir, "nation")
+    return (
+        n.withColumn("n_name", F.upper("n_name"))
+        .withColumn("n_regionkey", F.col("n_regionkey") * F.lit(10))
+        .orderBy(F.col("n_nationkey").asc_nulls_last())
+    )
+
+
+# --- S15: bucketed co-located join (storage layout eliminates the shuffle) ---
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage lineitem/orders once per (session, sf_dir) as bucketed tables
+    (8 buckets on the join key, bucket-sorted). Bucketing metadata lives
+    in the session catalog, so both sides of an equi-join on the bucket
+    key arrive pre-partitioned and pre-sorted — Catalyst plans the join
+    with NO Exchange and no per-query Sort (asserted in
+    tests/test_plans.py). This is the 100 TB co-located-join pattern: pay
+    the shuffle once at write time, never again per query."""
+    import hashlib
+
+    key = hashlib.md5(f"{sf_dir}".encode()).hexdigest()[:8]
+    li_name, ord_name = f"li_bkt_{key}", f"ord_bkt_{key}"
+    if not spark.catalog.tableExists(li_name):
+        base = tempfile.mkdtemp(prefix="dss_bucketed_")
+        (
+            t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(base, li_name))
+            .saveAsTable(li_name)
+        )
+        (
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(base, ord_name))
+            .saveAsTable(ord_name)
+        )
+    return li_name, ord_name
+
+
+@query(
+    "s15_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC NULLS LAST
+    """,
+)
+def s15_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two bucket-co-located tables on the bucket key (DuckDB gets
+    the same effect from its single-node hash join; the reference serves
+    it via passthrough main.go:229 — bucketing is the *distributed*
+    re-expression of 'no data movement at query time'). Results are
+    identical to the plain parquet join; the plan differs: zero Exchange
+    nodes under a disabled broadcast threshold. Revenue summed in
+    decimal(18,2) for order-independent exactness."""
+    li_name, ord_name = _bucketed_pair(spark, sf_dir)
+    li, od = spark.table(li_name), spark.table(ord_name)
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("o_orderpriority").asc_nulls_last())
+    )
+
+
+# --- S16: partition-pruned scan (hive-partitioned layout + pruning) ---
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events once per sf_dir as a hive-partitioned parquet layout
+    (one directory per event_date). Stable on-disk key so concurrent
+    sessions reuse the same staging."""
+    import hashlib
+
+    key = hashlib.md5(f"{sf_dir}".encode()).hexdigest()[:8]
+    pdir = os.path.join(tempfile.gettempdir(), f"dss_part_events_{key}")
+    if not os.path.exists(pdir):
+        tmp = pdir + ".tmp"
+        (
+            t(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(tmp)
+        )
+        os.replace(tmp, pdir)
+    return pdir
+
+
+@query(
+    "s16_partition_pruning",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-11'
+    GROUP BY event_type
+    ORDER BY event_type ASC NULLS LAST
+    """,
+)
+def s16_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a date-partitioned layout with a filter on the partition
+    column: Catalyst prunes to the 7 matching directories at planning
+    time — the scan never opens the other 23 days' files
+    (PartitionFilters asserted in tests/test_plans.py). At 100 TB,
+    date-partitioned ingest + partition pruning is the difference
+    between scanning a week and scanning three years. DuckDB reaches the
+    same rows via its own zone-map/row-group pruning on ts (the
+    single-file analog)."""
+    pdir = _partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(pdir)
+    return (
+        ev.filter(
+            F.col("event_date").between(F.lit("2024-01-05"), F.lit("2024-01-11"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_last())
+    )

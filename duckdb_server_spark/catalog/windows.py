@@ -310,3 +310,43 @@ def w09_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").asc_nulls_last(),
         )
     )
+
+
+# --- W10: aggregate FILTER inside a window (DuckDB dialect) ---
+@query(
+    "w10_window_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           count(*) FILTER (WHERE o_orderstatus = 'F')
+             OVER (PARTITION BY o_custkey) AS n_fulfilled,
+           CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY o_custkey) AS BIGINT) AS n_large
+    FROM orders
+    ORDER BY o_orderkey ASC NULLS LAST
+    """,
+)
+def w10_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB allows ``agg(...) FILTER (WHERE …) OVER (…)`` (passthrough
+    main.go:229; FILTER keyword main.go:409); Spark windows take no
+    FILTER clause, so the standard rewrite is a conditional aggregate —
+    ``sum(CASE WHEN …)`` / ``count(when(...))`` over the same window.
+    Identical window partitioning, one shuffle on o_custkey, same
+    single-pass plan shape as the native form."""
+    w = Window.partitionBy("o_custkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.count(F.when(F.col("o_orderstatus") == "F", F.lit(1)))
+            .over(w)
+            .alias("n_fulfilled"),
+            F.sum(
+                F.when(F.col("o_totalprice") > 100000, F.lit(1)).otherwise(F.lit(0))
+            )
+            .over(w)
+            .cast("bigint")
+            .alias("n_large"),
+        )
+        .orderBy(F.col("o_orderkey").asc_nulls_last())
+    )

@@ -99,3 +99,40 @@ def test_merge_upsert_all_joins_broadcast(spark, sf_dir):
     text = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in text
     assert "BroadcastHashJoin" in text
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """s15: both join sides are bucketed on the join key with equal
+    bucket counts, so the sort-merge join must plan with ZERO Exchange
+    nodes — the write-once/join-many co-location contract that makes the
+    join free of data movement at 100 TB."""
+    from duckdb_server_spark.catalog.scans import _bucketed_pair
+
+    li_name, ord_name = _bucketed_pair(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li, od = spark.table(li_name), spark.table(ord_name)
+        j = li.join(od, li.l_orderkey == od.o_orderkey)
+        text = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in text
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partition_pruning_engages(spark, sf_dir):
+    """s16: the event_date filter must prune at the directory level —
+    the plan's PartitionFilters carry the predicate and the scan reads
+    only the 7 matching of 30 daily partitions."""
+    from duckdb_server_spark.catalog.scans import _partitioned_events
+
+    pdir = _partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(pdir).filter(
+        F.col("event_date").between(F.lit("2024-01-05"), F.lit("2024-01-11"))
+    )
+    text = plans.explain_string(ev, "formatted")
+    assert "PartitionFilters" in text and "event_date" in text
+    # files actually selected: 7 date directories
+    selected = ev.select(F.input_file_name()).distinct().collect()
+    days = {p[0].split("event_date=")[1].split("/")[0] for p in selected}
+    assert days == {f"2024-01-{d:02d}" for d in range(5, 12)}
