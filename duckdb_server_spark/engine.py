@@ -16,12 +16,15 @@ Lifecycle parity (main.go:44-119): construct → register warehouse views
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterable
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 from duckdb_server_spark.session import DEFAULT_SF_DIR, bootstrap, get_spark
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
 class Engine:
@@ -98,6 +101,74 @@ class Engine:
         if getattr(self, "_managed_dir", None) is None:
             self._managed_dir = tempfile.mkdtemp(prefix="dss_managed_")
         return self._managed_dir
+
+    # -- multi-warehouse (DuckDB ATTACH parity) -----------------------------
+    def attach(self, warehouse_dir: str, alias: str) -> list[str]:
+        """DuckDB ``ATTACH 'other.db' AS alias`` analog (the reference's
+        ``-db`` flag mounts exactly one database, main.go:54-61; DuckDB
+        users attach more at runtime through the SQL passthrough). Spark
+        re-expression: a catalog **database** named ``alias`` holding one
+        external parquet table per file in ``warehouse_dir`` — queries
+        use real two-part names (``alias.nation``), cross-database joins
+        are ordinary joins, and the scans stay pushdown/pruning-capable
+        external tables (no data copied)."""
+        import glob as _glob
+        import os
+
+        if not _IDENT.fullmatch(alias):
+            raise ValueError(f"alias must be an identifier, got {alias!r}")
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {alias}")
+        tables = []
+        for path in sorted(_glob.glob(os.path.join(warehouse_dir, "*.parquet"))):
+            name = os.path.splitext(os.path.basename(path))[0]
+            if not _IDENT.fullmatch(name):
+                continue
+            self.spark.sql(f"DROP TABLE IF EXISTS {alias}.{name}")
+            self.spark.sql(
+                f"CREATE TABLE {alias}.{name} USING parquet LOCATION '{path}'"
+            )
+            tables.append(name)
+        return tables
+
+    def detach(self, alias: str) -> None:
+        """``DETACH alias`` — drops the catalog database (metadata only;
+        the external parquet stays on disk)."""
+        if not _IDENT.fullmatch(alias):
+            raise ValueError(f"alias must be an identifier, got {alias!r}")
+        self.spark.sql(f"DROP DATABASE IF EXISTS {alias} CASCADE")
+
+    # -- EXPORT / IMPORT DATABASE (DuckDB parity) ---------------------------
+    def export_database(self, target_dir: str) -> list[str]:
+        """DuckDB ``EXPORT DATABASE 'dir'`` analog: every registered view
+        written as parquet under ``target_dir`` plus a ``load.sql``
+        manifest of CREATE VIEW statements — the same
+        schema-plus-data-files contract DuckDB emits (schema.sql +
+        load.sql + data). Parquet (not CSV) keeps types exact and the
+        export re-readable by ANY engine, including the reference."""
+        import os
+
+        os.makedirs(target_dir, exist_ok=True)
+        manifest = []
+        for name in self.list_tables():
+            path = os.path.join(target_dir, name)
+            self.spark.table(name).write.mode("overwrite").parquet(path)
+            manifest.append(
+                f"CREATE OR REPLACE TEMP VIEW {name} AS "
+                f"SELECT * FROM parquet.`{path}`;"
+            )
+        with open(os.path.join(target_dir, "load.sql"), "w", encoding="utf-8") as fh:
+            fh.write("\n".join(manifest) + "\n")
+        return sorted(self.list_tables())
+
+    def import_database(self, source_dir: str) -> list[str]:
+        """``IMPORT DATABASE 'dir'`` — replay the load.sql manifest."""
+        import os
+
+        with open(os.path.join(source_dir, "load.sql"), encoding="utf-8") as fh:
+            statements = [s.strip() for s in fh.read().split(";") if s.strip()]
+        for stmt in statements:
+            self.spark.sql(stmt)
+        return self.list_tables()
 
     # -- serving ------------------------------------------------------------
     def serve(self, port: int = 32010, block: bool = False):

@@ -72,3 +72,57 @@ def test_tws_streaming_path_when_deps_present(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_engine_attach_cross_database_join(spark, sf_dir):
+    """DuckDB ATTACH parity: a second warehouse mounts as a catalog
+    database with two-part names; cross-database joins are ordinary
+    joins over external parquet tables."""
+    eng = Engine(warehouse_dir=sf_dir, spark=spark)
+    tables = eng.attach("/root/testdata/sf0.001", "tiny")
+    try:
+        assert "nation" in tables and "region" in tables
+        n = eng.sql("SELECT count(*) AS n FROM tiny.nation").collect()[0].n
+        assert n == 25
+        # cross-db join: current warehouse's nation × attached region
+        joined = eng.sql(
+            """
+            SELECT count(*) AS n
+            FROM nation JOIN tiny.region ON n_regionkey = r_regionkey
+            """
+        ).collect()[0].n
+        assert joined == 25
+        # external table scans stay pushdown-capable
+        assert "PushedFilters" in eng.explain(
+            "SELECT * FROM tiny.nation WHERE n_nationkey = 3"
+        )
+    finally:
+        eng.detach("tiny")
+    assert not spark.catalog.databaseExists("tiny")
+
+
+def test_engine_attach_rejects_bad_alias(spark, sf_dir):
+    import pytest as _pytest
+
+    eng = Engine(warehouse_dir=sf_dir, spark=spark)
+    with _pytest.raises(ValueError):
+        eng.attach("/root/testdata/sf0.001", "bad-alias; DROP")
+
+
+def test_engine_export_import_roundtrip(spark, sf_dir, tmp_path):
+    """EXPORT DATABASE → fresh import → identical table list and row
+    counts; the manifest is plain re-runnable SQL."""
+    eng = Engine(warehouse_dir=sf_dir, spark=spark)
+    target = str(tmp_path / "exported")
+    exported = eng.export_database(target)
+    assert "nation" in exported and "lineitem" in exported
+    before = {
+        name: eng.table(name).count() for name in ("nation", "region", "orders")
+    }
+    # wipe the views, then restore purely from the export manifest
+    for name in before:
+        eng.drop_table(name)
+    restored = eng.import_database(target)
+    assert set(before) <= set(restored)
+    for name, n in before.items():
+        assert eng.table(name).count() == n
