@@ -67,6 +67,8 @@ _PRIORITY_R2: tuple[str, ...] = (
     # storage-layout operators added this round.
     "s15_bucketed_join",
     "s16_partition_pruning",
+    # substring-level dedup added this round.
+    "b06_substring_dedup",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

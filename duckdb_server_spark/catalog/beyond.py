@@ -553,3 +553,45 @@ def b42_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("source").asc_nulls_last(), F.col("doc_id").asc_nulls_last())
     )
+
+
+@query(
+    "b06_substring_dedup",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 5 + 2),
+                                   i -> array_to_string(w[i:i+4], ' ')))
+               AS shingle
+      FROM words WHERE len(w) >= 5
+    ),
+    freq AS (
+      SELECT shingle, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           round(sum(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END)
+                 / count(*), 4) AS dup_ratio
+    FROM sh JOIN freq USING (shingle)
+    GROUP BY sh.doc_id
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b06_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup stats (word 5-gram spans shared across
+    documents) — the span-granular complement to document-level b01/b03:
+    exact-substring dedup à la 'Deduplicating Training Data Makes
+    Language Models Better'. Hash-free output (counts + ratio), so the
+    DuckDB oracle checks it exactly; the Spark plan shuffles only 8-byte
+    span hashes (operators/dedup.py::shingle_dup_stats)."""
+    return (
+        dedup.shingle_dup_stats(
+            t(spark, sf_dir, "documents"), "text", "doc_id", n=5
+        )
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )

@@ -203,3 +203,46 @@ def simhash_fingerprint(
         bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def shingle_dup_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Substring-level duplication stats: for every document, how many of
+    its distinct word n-gram spans also occur in another document
+    (the span-level signal behind exact-substring training-data dedup,
+    Lee et al. 2022 — a suffix-array workalike restricted to word
+    n-grams, which distributes as plain hash shuffles).
+
+    Scale shape: the split happens once (``with_words`` Generate-node
+    sharing), every shuffle after shingling carries the 8-byte
+    ``xxhash64`` of the span — never the span text (the b01 rule); the
+    frequency aggregate and the join shuffle on that same key, so AQE
+    reuses the exchange. No collect, no N² stage anywhere; boilerplate
+    spans shared by thousands of docs cost one hot reduce key, handled
+    by AQE skew split."""
+    docs = df.select(id_col, text_col)
+    w = with_words(docs, text_col).filter(F.size("__words") >= n)
+    sh = w.select(
+        id_col,
+        F.explode(
+            shingles_from_words(F.col("__words"), text_col, n)
+        ).alias("__shingle"),
+    )
+    hashed = sh.select(id_col, F.xxhash64("__shingle").alias("__sh"))
+    freq = hashed.groupBy("__sh").agg(
+        F.count_distinct(id_col).alias("__ndocs")
+    )
+    return (
+        hashed.join(freq, "__sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__ndocs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .withColumn(
+            "dup_ratio", F.round(F.col("n_dup") / F.col("n_shingles"), 4)
+        )
+    )
