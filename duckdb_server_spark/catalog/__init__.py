@@ -69,6 +69,9 @@ _PRIORITY_R2: tuple[str, ...] = (
     "s16_partition_pruning",
     # substring-level dedup added this round.
     "b06_substring_dedup",
+    # streaming join + durable sink added this round.
+    "st_stream_stream_join",
+    "st_stream_file_sink",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

@@ -78,9 +78,14 @@ def read_events_stream(
     an availableNow run is exactly one micro-batch (deterministic update-
     mode output for oracle checks).
     """
+    import hashlib
+
     suffix = "_1f" if single_file else ""
+    # Stable digest: hash() is salted per process, which re-staged (and
+    # leaked) a directory for every fresh process.
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staged = os.path.join(
-        tempfile.gettempdir(), f"dss_stream_events_{abs(hash(sf_dir))}{suffix}"
+        tempfile.gettempdir(), f"dss_stream_events_{key}{suffix}"
     )
     marker = os.path.join(staged, "_SUCCESS")
     batch = load_table(spark, sf_dir, "events")
