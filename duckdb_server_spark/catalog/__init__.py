@@ -72,6 +72,9 @@ _PRIORITY_R2: tuple[str, ...] = (
     # streaming join + durable sink added this round.
     "st_stream_stream_join",
     "st_stream_file_sink",
+    # sketch tolerance + vocabulary top-k added this round.
+    "a19_approx_quantile_tolerance",
+    "b43_token_topk",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

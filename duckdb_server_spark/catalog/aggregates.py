@@ -642,3 +642,41 @@ def a18_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select("l_returnflag", *zeroed).orderBy(
         F.col("l_returnflag").asc_nulls_last()
     )
+
+
+# --- A19: approx_percentile tolerance (t-digest-style sketch vs exact) ---
+@query(
+    "a19_approx_quantile_tolerance",
+    oracle="""
+    SELECT l_linestatus, true AS within_tol
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus ASC NULLS LAST
+    """,
+)
+def a19_approx_quantile_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` (mergeable quantile sketch, single pass, no
+    per-group materialization) is the documented cutover from the exact
+    paths (a09b kernel / a09c distributed sort) when error tolerance is
+    acceptable at 100 TB. Sketch values are engine-specific, so the
+    checkable claim is the accuracy contract: with accuracy=10000 the
+    p50/p99 estimates land within 1% relative error of the exact
+    quantile — emitted as a boolean the oracle matches row-for-row."""
+    est = F.percentile_approx("l_extendedprice", [0.5, 0.99], 10000)
+    exact = F.expr("percentile(l_extendedprice, array(0.5D, 0.99D))")
+    ok = (
+        (
+            F.abs(est[0].cast("double") - exact[0].cast("double"))
+            <= 0.01 * exact[0].cast("double")
+        )
+        & (
+            F.abs(est[1].cast("double") - exact[1].cast("double"))
+            <= 0.01 * exact[1].cast("double")
+        )
+    ).alias("within_tol")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(ok)
+        .orderBy(F.col("l_linestatus").asc_nulls_last())
+    )

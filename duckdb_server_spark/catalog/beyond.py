@@ -595,3 +595,64 @@ def b06_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc_nulls_last())
     )
+
+
+@query(
+    "b43_token_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY token
+    )
+    SELECT token, n, rank
+    FROM (SELECT token, n,
+                 row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+          FROM counts)
+    WHERE rank <= 25
+    ORDER BY rank ASC NULLS LAST
+    """,
+)
+def b43_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: exact token frequency top-k — the first
+    step of tokenizer/vocab construction over a training corpus. Shape
+    at 100 TB: tokenize scan-side (Generate node), partial counts
+    map-side combine, one shuffle of (token, count), then a top-k that
+    never single-partitions the data: rows are pre-pruned with a cheap
+    count threshold via AQE-sized aggregate, and only the k survivors
+    reach the final ordered window (deterministic count-then-token
+    tie-break makes the output hash-stable)."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # Pre-prune before the global window: only candidates that can make
+    # top-25 (the k-th largest partial bound would need a second pass;
+    # a static floor of the 25th count via approx is overkill here —
+    # limit the windowed set by taking the top 25 per shuffle partition
+    # first, so the single-partition window sees ≤ 25·partitions rows).
+    part_topk = counts.withColumn(
+        "__prank",
+        F.row_number().over(
+            Window.partitionBy(F.spark_partition_id()).orderBy(
+                F.col("n").desc(), F.col("token").asc()
+            )
+        ),
+    ).filter(F.col("__prank") <= 25)
+    return (
+        part_topk.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("token").asc())
+            ),
+        )
+        .filter(F.col("rank") <= 25)
+        .select("token", "n", "rank")
+        .orderBy(F.col("rank").asc_nulls_last())
+    )
