@@ -82,6 +82,35 @@ class Engine:
         self.views[name] = out
         return out
 
+    def compact_table(self, name: str, target_files: int = 4) -> DataFrame:
+        """Small-file compaction for a managed table created by
+        :meth:`create_table` — the operational fix for ingest fragmentation
+        (a 100 TB corpus written by thousands of streaming micro-batches
+        degenerates into millions of KB-sized files whose per-file open
+        cost dominates scans). Rewrites the parquet to ``target_files``
+        files via ``coalesce`` (no shuffle — partitions merge in place;
+        use a larger target under data skew), swaps atomically by
+        re-registering the view."""
+        import os
+
+        path = os.path.join(self.warehouse_dir_writable(), name)
+        if not os.path.isdir(path):
+            raise ValueError(f"{name!r} is not a managed table of this engine")
+        compacted = self.spark.read.parquet(path).coalesce(target_files)
+        tmp = path + ".compact"
+        compacted.write.mode("overwrite").parquet(tmp)
+        # atomic-ish swap: move old out, new in, then drop the old dir
+        import shutil
+
+        old = path + ".old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        out = self.spark.read.parquet(path)
+        out.createOrReplaceTempView(name)
+        self.views[name] = out
+        return out
+
     def drop_table(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
         self.views.pop(name, None)

@@ -126,3 +126,21 @@ def test_engine_export_import_roundtrip(spark, sf_dir, tmp_path):
     assert set(before) <= set(restored)
     for name, n in before.items():
         assert eng.table(name).count() == n
+
+
+def test_engine_compact_table(spark, sf_dir):
+    """Small-file compaction: same rows, far fewer files."""
+    import glob
+    import os
+
+    eng = Engine(warehouse_dir=sf_dir, spark=spark)
+    frag = eng.sql("SELECT * FROM orders").repartition(32)
+    eng.create_table("orders_frag", frag)
+    path = os.path.join(eng.warehouse_dir_writable(), "orders_frag")
+    files_before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert files_before >= 32
+    n_before = eng.table("orders_frag").count()
+    eng.compact_table("orders_frag", target_files=4)
+    files_after = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert files_after <= 4
+    assert eng.table("orders_frag").count() == n_before
