@@ -51,6 +51,20 @@ HEADLINE = [
     "b42_token_shards",      # beyond: token-budget shard packing
 ]
 
+# Operators added after the round-1 baseline was recorded. Benched and
+# reported under "extra_queries" but NOT summed into the headline total,
+# so the round-over-round `value` comparison stays apples-to-apples
+# against BASELINE.md's 21-query definition.
+EXTRA = [
+    "b06_substring_dedup",   # substring-level dedup (word-5-gram spans)
+    "b43_token_topk",        # exact vocabulary head
+    "a09c_distributed_quantiles",  # exact quantiles, no group materialization
+    "s15_bucketed_join",     # zero-Exchange co-located join (staged layout)
+    "s16_partition_pruning", # partition-pruned scan (staged layout)
+    "a18_pivot_dynamic",     # dynamic pivot (distinct discovery pass)
+    "w10_window_filter",     # windowed conditional aggregates
+]
+
 
 def main() -> None:
     from duckdb_server_spark import catalog
@@ -81,6 +95,16 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    extra: dict[str, float] = {}
+    for name in (n for n in EXTRA if n in catalog.QUERIES):
+        best = float("inf")
+        for _ in range(2):
+            df = catalog.QUERIES[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        extra[name] = round(best, 3)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
@@ -93,6 +117,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
                 "sf": sf_val,
             }
         )
