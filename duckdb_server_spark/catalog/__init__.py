@@ -75,6 +75,12 @@ _PRIORITY_R2: tuple[str, ...] = (
     # sketch tolerance + vocabulary top-k added this round.
     "a19_approx_quantile_tolerance",
     "b43_token_topk",
+    # function/agg/vector parity added this round.
+    "fn_levenshtein",
+    "fn_regexp_extract_all",
+    "a20_bit_aggs",
+    "a21_histogram",
+    "b14_label_centroids",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

@@ -680,3 +680,64 @@ def a19_approx_quantile_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(ok)
         .orderBy(F.col("l_linestatus").asc_nulls_last())
     )
+
+
+# --- A20: bitwise aggregates ---
+@query(
+    "a20_bit_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS band,
+           CAST(bit_or(l_linenumber) AS BIGINT) AS bor,
+           CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC NULLS LAST
+    """,
+)
+def a20_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates (identical names in both engines;
+    passthrough main.go:229). Mergeable single-value state — the cheapest
+    possible shuffle payload."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_linenumber").cast("bigint").alias("band"),
+            F.bit_or("l_linenumber").cast("bigint").alias("bor"),
+            F.bit_xor("l_linenumber").cast("bigint").alias("bxor"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_last())
+    )
+
+
+# --- A21: bucketed histogram (width_bucket emulation) ---
+@query(
+    "a21_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket ASC NULLS LAST
+    """,
+)
+def a21_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via floor bucketing (DuckDB 1.0 has no
+    width_bucket; the arithmetic form is engine-portable and stays in
+    codegen). One hash aggregate over a derived key — histogram
+    construction at 100 TB is a single partial+final pass."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy(F.col("bucket").asc_nulls_last())
+    )

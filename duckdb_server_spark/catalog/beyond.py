@@ -656,3 +656,36 @@ def b43_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "n", "rank")
         .orderBy(F.col("rank").asc_nulls_last())
     )
+
+
+@query(
+    "b14_label_centroids",
+    oracle="""
+    SELECT label, pos, round(avg(val), 4) + 0.0 AS c
+    FROM (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    ORDER BY label ASC NULLS LAST, pos ASC NULLS LAST
+    """,
+)
+def b14_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the training step for the IVF
+    coarse quantizer (b13 consumes centroids as literals; this is where
+    they come from). posexplode scan-side, then ONE shuffle of
+    (label, pos) partial sums — never a whole group's vectors in one
+    task; the 64-component averages are exact, so the oracle checks them
+    to 4 decimals (`+ 0.0` folds IEEE -0.0 to 0.0 on both engines — the
+    sign of a rounded near-zero mean is summation-order noise). At 100 TB
+    this is the same plan: component-wise partial aggregation is how you
+    average a billion vectors."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("c"))
+        .orderBy(F.col("label").asc_nulls_last(), F.col("pos").asc_nulls_last())
+    )

@@ -121,3 +121,67 @@ def fn_string_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s", strip_accents(F.col("s")).alias("plain"))
         .orderBy(F.col("s").asc_nulls_last())
     )
+
+
+@query(
+    "fn_levenshtein",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_name, lag(p_name) OVER (ORDER BY p_partkey ASC))
+             AS dist_prev
+    FROM part
+    ORDER BY p_partkey ASC NULLS LAST
+    """,
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance (both engines ship ``levenshtein`` natively;
+    reachable in the reference via SQL passthrough main.go:229) —
+    compared against the previous part name in key order, the
+    fuzzy-matching primitive for catalog/entity cleanup. Stays in
+    codegen; the lag window shuffles once on the sort key."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("p_partkey").asc())
+    return (
+        t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.levenshtein(F.col("p_name"), F.lag("p_name").over(w)).alias(
+                "dist_prev"
+            ),
+        )
+        .orderBy(F.col("p_partkey").asc_nulls_last())
+    )
+
+
+@query(
+    "fn_regexp_extract_all",
+    oracle=r"""
+    SELECT doc_id,
+           COALESCE(array_to_string(regexp_extract_all(text, '[a-z]*ue[a-z]*'),
+                                    ','), '') AS ue_words
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``regexp_extract_all`` — identical function name and semantics in
+    both engines; array result serialized to a string on both sides
+    (FIXTURES.md: raw list cells break the driver's canonicalizer).
+    DuckDB's array_to_string is NULL on an empty list where Spark's
+    concat_ws is '' — COALESCE pins the no-match rows to ''."""
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                ",",
+                # idx=0 = whole match (Spark defaults to capture group 1,
+                # DuckDB's regexp_extract_all defaults to group 0).
+                F.regexp_extract_all(F.col("text"), F.lit("[a-z]*ue[a-z]*"), 0),
+            ).alias("ue_words"),
+        )
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )
