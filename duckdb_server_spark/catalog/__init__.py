@@ -81,6 +81,9 @@ _PRIORITY_R2: tuple[str, ...] = (
     "a20_bit_aggs",
     "a21_histogram",
     "b14_label_centroids",
+    # rows-only → full-oracle upgrades this round.
+    "s07_capability_registry",
+    "st_stream_watermark_append",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

@@ -158,8 +158,28 @@ def s06_inline_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- S7: metadata-as-a-table (duckdb_extensions() analog, main.go:77) ---
-@query("s07_capability_registry")  # rows-only: engine-specific contents
+@query(
+    "s07_capability_registry",
+    oracle="""
+    SELECT extension_name, description FROM (VALUES
+      ('core_sql', 'projection/filter/join/agg/window/setops/CTE'),
+      ('csv', 'csv scan with inference (S2)'),
+      ('dedup', 'exact/minhash/simhash dedup'),
+      ('httpfs', 's3a object-store access (S8)'),
+      ('json', 'json scan + json functions (S3)'),
+      ('parquet', 'parquet scan + pushdown (S1)'),
+      ('similarity', 'embedding cosine/L2 top-k'),
+      ('streaming', 'structured streaming windows (§2.10)'),
+      ('text', 'lang-id/quality/tokens/fingerprint')
+    ) AS t(extension_name, description)
+    ORDER BY extension_name ASC NULLS LAST
+    """,
+)
 def s07_capability_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capability registry contents are part of the engine's declared
+    surface (the duckdb_extensions() analog) — so the oracle pins them as
+    a literal VALUES table (upgraded from rows-only in r1; keep in sync
+    with session.register_capabilities)."""
     from duckdb_server_spark.session import register_capabilities
 
     return register_capabilities(spark).filter(F.col("installed")).select(

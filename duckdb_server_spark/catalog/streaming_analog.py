@@ -136,15 +136,38 @@ def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful_dedup(ev, ["event_id"]).orderBy(F.col("event_id").asc_nulls_last())
 
 
-@query("st_stream_watermark_append")  # rows-only: late-data semantics, no SQL analog
+@query(
+    "st_stream_watermark_append",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+             AS win_start,
+           time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+             + INTERVAL '10 minutes' AS win_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING win_end <= (SELECT max(ts) FROM events) - INTERVAL '1 hour'
+    ORDER BY win_start ASC NULLS LAST
+    """,
+)
 def st_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked windowed aggregation in APPEND mode — emits only windows
-    the 1-hour watermark has closed. Late-data handling is the one
-    streaming behavior with no batch-SQL analog (SURVEY.md §2.10) →
-    rows-only check."""
+    """Watermarked windowed aggregation in APPEND mode — emits exactly the
+    windows the 1-hour watermark has closed when the availableNow drain
+    finishes. That gives late-data semantics a batch-SQL analog after
+    all: the final watermark is max(ts) - 1h, so the emitted set is the
+    windows with win_end ≤ that bound — checked as a full oracle
+    (upgraded from rows-only in r1; the un-emitted open tail is the
+    late-data state a live stream would still be holding)."""
     stream = read_events_stream(spark, sf_dir, with_watermark="1 hour")
     agg = tumbling_window(stream, "ts", "10 minutes")
-    return run_stream_to_memory(agg, output_mode="append")
+    drained = run_stream_to_memory(agg, output_mode="append")
+    return drained.select(
+        "win_start",
+        "win_end",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy(F.col("win_start").asc_nulls_last())
 
 
 _SESSION_ORACLE = ORACLE["st_session_window"]

@@ -136,3 +136,20 @@ def test_partition_pruning_engages(spark, sf_dir):
     selected = ev.select(F.input_file_name()).distinct().collect()
     days = {p[0].split("event_date=")[1].split("/")[0] for p in selected}
     assert days == {f"2024-01-{d:02d}" for d in range(5, 12)}
+
+
+def test_substring_dedup_shuffle_carries_hash_not_text(spark, sf_dir):
+    """b06: every exchange after shingling must carry the 8-byte span
+    hash, never the span text — shuffling raw 5-gram strings at 100 TB
+    would move the corpus several times over."""
+    df = catalog.QUERIES["b06_substring_dedup"](spark, sf_dir)
+    text = plans.explain_string(df, "formatted")
+    parts = [
+        line
+        for line in text.split("\n")
+        if "hashpartitioning" in line or "rangepartitioning" in line
+    ]
+    assert parts, "expected shuffle exchanges in the b06 plan"
+    # every shuffle keys on the span hash or the doc id — never __shingle
+    assert all("__sh#" in seg or "doc_id#" in seg for seg in parts), parts
+    assert not any("__shingle" in seg for seg in parts), parts
