@@ -84,6 +84,9 @@ _PRIORITY_R2: tuple[str, ...] = (
     # rows-only → full-oracle upgrades this round.
     "s07_capability_registry",
     "st_stream_watermark_append",
+    "b11_lsh_topk",
+    "b12_embedding_near_dup",
+    "b13_ivf_topk",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

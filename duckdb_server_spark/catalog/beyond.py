@@ -174,23 +174,127 @@ def b10_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("b11_lsh_topk")  # rows-only: single-probe ANN (recall < 1 by design)
+# Cosine similarity in DuckDB list ops — the same left-to-right float64
+# fold the Spark codegen expression performs (shared with the b10 oracle).
+_COS_SQL = """
+    list_aggregate(list_transform(list_zip({a}, {b}),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform({a},
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform({b},
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+"""
+
+
+def _planes_values_sql(planes: list[list[float]]) -> str:
+    """The hyperplane literals as a DuckDB VALUES relation (i, w) — the
+    SAME rounded coefficients the Spark expression embeds, so both
+    engines compute identical float64 dot products (left-to-right fold
+    over 64 literals ↔ list_aggregate 'sum')."""
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(w) for w in plane)}])"
+        for i, plane in enumerate(planes)
+    )
+    return f"(VALUES {rows}) p(i, w)"
+
+
+def _sig_sql(planes: list[list[float]], source: str) -> str:
+    """Bucket signature CTE body: sign bit per hyperplane packed to an
+    integer, mirroring operators/similarity.py::hyperplane_signature."""
+    return f"""
+      SELECT e.vec_id, e.embedding,
+             CAST(sum(CASE WHEN
+                 list_aggregate(list_transform(list_zip(e.embedding, p.w),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+                 > 0 THEN CAST(power(2, p.i) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS bucket
+      FROM {source} e CROSS JOIN {_planes_values_sql(planes)}
+      GROUP BY e.vec_id, e.embedding
+    """
+
+
+@query(
+    "b11_lsh_topk",
+    oracle=f"""
+    WITH sig AS ({_sig_sql(_HYPERPLANES, "embeddings")}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             {_COS_SQL.format(a="q.embedding", b="c.embedding")} AS cs
+      FROM sig q JOIN sig c ON q.bucket = c.bucket
+      WHERE q.vec_id < 5),
+    ranked AS (
+      SELECT query_id, vec_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def b11_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k probing only the query's hyperplane-LSH bucket: the
     bucket equi-join replaces the full per-query corpus scan — the plan
-    that survives a 100 TB corpus."""
+    that survives a 100 TB corpus. Full oracle (upgraded from rows-only
+    in r1): the hyperplanes are deterministic literals, so DuckDB
+    recomputes the same buckets and the same probed top-k."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_topk(emb, queries, _HYPERPLANES, k=5)
+    out = similarity.lsh_topk(emb, queries, _HYPERPLANES, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
 
 
-@query("b13_ivf_topk")  # rows-only: single/low-probe ANN (recall < 1 by design)
+@query(
+    "b13_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             list_aggregate(list_transform(list_zip(e.embedding, c.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')
+               AS d
+      FROM embeddings e CROSS JOIN cent c),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM dists) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM dists WHERE vec_id < 5) WHERE rn <= 2),
+    scored AS (
+      SELECT pr.query_id, ce.vec_id,
+             {_COS_SQL.format(a="q.embedding", b="c.embedding")} AS cs
+      FROM probes pr
+      JOIN cells ce ON ce.cell = pr.cell
+      JOIN embeddings q ON q.vec_id = pr.query_id
+      JOIN embeddings c ON c.vec_id = ce.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def b13_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: frozen coarse quantizer (here: the first 8 corpus
     vectors standing in for offline-trained KMeans centroids), cell
-    assignment scan-side, 2-probe cell equi-join."""
+    assignment scan-side, 2-probe cell equi-join. Full oracle (upgraded
+    from rows-only in r1): the quantizer is deterministic, so DuckDB
+    reproduces cell assignment (argmin with cid tie-break ↔
+    array_position-of-min), the probe set, and the probed top-k."""
     emb = t(spark, sf_dir, "embeddings")
     centroids = [
         [float(v) for v in row.embedding]
@@ -199,10 +303,36 @@ def b13_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, centroids, n_probe=2, k=5)
+    out = similarity.ivf_topk(emb, queries, centroids, n_probe=2, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
 
 
-@query("b12_embedding_near_dup")  # rows-only: pair set depends on buckets
+@query(
+    "b12_embedding_near_dup",
+    oracle=f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(list_zip(embedding, range(0, 64)),
+                 p -> CAST(CAST(p[1] AS DOUBLE)
+                           * (1.0 + 0.01 * ((CAST(p[2] AS INT) % 3) - 1))
+                       AS FLOAT))
+      FROM embeddings WHERE vec_id < 25
+    ),
+    sig AS ({_sig_sql(_HYPERPLANES_DEDUP, "aug")}),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cs
+      FROM sig a JOIN sig b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(cs, 6) AS cos_sim
+    FROM pairs WHERE cs >= 0.99
+    ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST
+    """,
+)
 def b12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs scored only within LSH buckets,
     filtered at cosine ≥ 0.99.
@@ -213,7 +343,8 @@ def b12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-element perturbation (cosine ≈ 0.9999 to the original). The
     operator then demonstrably emits the planted pairs — and nothing else
     — via the bucketed (never N²) join. Asserted non-empty in
-    tests/test_property.py."""
+    tests/test_property.py. Full oracle (upgraded from rows-only in r1):
+    DuckDB replays the same planting, bucketing, and threshold."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     vec_type = emb.schema["embedding"].dataType.simpleString()
     clones = emb.filter(F.col("vec_id") < 25).select(
@@ -222,9 +353,12 @@ def b12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x, i: x * (1.0 + 0.01 * ((i % 3) - 1))
         ).cast(vec_type).alias("embedding"),
     )
-    return similarity.embedding_near_dup_pairs(
+    out = similarity.embedding_near_dup_pairs(
         emb.unionByName(clones), _HYPERPLANES_DEDUP, threshold=0.99
     )
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy(F.col("id_a").asc_nulls_last(), F.col("id_b").asc_nulls_last())
 
 
 # ---------------------------------------------------------------------------
