@@ -87,6 +87,8 @@ _PRIORITY_R2: tuple[str, ...] = (
     "b11_lsh_topk",
     "b12_embedding_near_dup",
     "b13_ivf_topk",
+    # time-series gap fill added this round.
+    "s17_time_series_gapfill",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

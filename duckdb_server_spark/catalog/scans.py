@@ -722,3 +722,67 @@ def s16_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("event_type").asc_nulls_last())
     )
+
+
+# --- S17: time-dimension gap fill (dense calendar × sparse facts) ---
+@query(
+    "s17_time_series_gapfill",
+    oracle="""
+    WITH slots AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-03 23:00:00',
+                                    INTERVAL 1 HOUR)) AS slot
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS slot,
+             count(*) AS n_events,
+             round(sum(value), 4) AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
+      GROUP BY 1
+    )
+    SELECT s.slot,
+           COALESCE(h.n_events, 0) AS n_events,
+           COALESCE(h.sum_value, 0.0) AS sum_value
+    FROM slots s LEFT JOIN hourly h USING (slot)
+    ORDER BY slot ASC NULLS LAST
+    """,
+)
+def s17_time_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: a generated dense time dimension
+    LEFT-joined to sparse facts, empty slots zero-filled — the standard
+    time-series densification DuckDB spells as generate_series +
+    LEFT JOIN (passthrough main.go:229) and Spark spells as
+    sequence()+explode. Scale shape: the calendar side is tiny
+    (hours, not rows) and broadcast; facts aggregate BEFORE the join,
+    so the shuffle carries one row per non-empty slot."""
+    slots = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-03 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("slot")
+    )
+    hourly = (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-04").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("slot"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    return (
+        slots.join(hourly, "slot", "left")
+        .select(
+            "slot",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy(F.col("slot").asc_nulls_last())
+    )
