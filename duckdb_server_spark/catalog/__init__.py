@@ -89,6 +89,8 @@ _PRIORITY_R2: tuple[str, ...] = (
     "b13_ivf_topk",
     # time-series gap fill added this round.
     "s17_time_series_gapfill",
+    # multi-probe LSH added this round.
+    "b11b_lsh_multiprobe",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

@@ -823,3 +823,46 @@ def b14_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("c"))
         .orderBy(F.col("label").asc_nulls_last(), F.col("pos").asc_nulls_last())
     )
+
+
+@query(
+    "b11b_lsh_multiprobe",
+    oracle=f"""
+    WITH sig AS ({_sig_sql(_HYPERPLANES, "embeddings")}),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qvec,
+             unnest([bucket] || list_transform(range(0, 8),
+                                i -> xor(bucket, CAST(power(2, i) AS BIGINT))))
+               AS bucket
+      FROM sig WHERE vec_id < 5),
+    scored AS (
+      SELECT DISTINCT pr.query_id, c.vec_id,
+             {_COS_SQL.format(a="pr.qvec", b="c.embedding")} AS cs
+      FROM probes pr JOIN sig c ON pr.bucket = c.bucket),
+    ranked AS (
+      SELECT query_id, vec_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def b11b_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (own bucket + every 1-bit-flip neighbor): the
+    recall-recovery variant of b11 — near-hyperplane vectors land on
+    either side of a plane, so probing sign-flipped buckets recovers
+    most single-probe misses while the corpus-side layout and equi-join
+    shape stay identical (operators/similarity.py::lsh_topk_multiprobe).
+    Probe count 9 = 1 + 8 planes; still never a corpus scan per query.
+    Oracle replays the same buckets and probes; DISTINCT guards the
+    (impossible for distinct XOR masks, but cheap) probe-collision
+    double-count."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk_multiprobe(emb, queries, _HYPERPLANES, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
