@@ -131,6 +131,48 @@ class Engine:
             self._managed_dir = tempfile.mkdtemp(prefix="dss_managed_")
         return self._managed_dir
 
+    def summarize(self, name: str) -> DataFrame:
+        """DuckDB ``SUMMARIZE table`` analog: one row per column with
+        type, min/max, approx distinct count, null percentage, and
+        mean/std for numerics. One pass over the table — every statistic
+        is a mergeable aggregate (min/max/HLL/moments), so at 100 TB this
+        is a single scan + tiny shuffle, exactly how SUMMARIZE's own
+        sketches behave."""
+        from pyspark.sql import functions as F
+
+        df = self.spark.table(name)
+        numeric = {
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString()
+            in ("int", "bigint", "smallint", "tinyint", "float", "double")
+            or f.dataType.simpleString().startswith("decimal")
+        }
+        aggs = []
+        for f in df.schema.fields:
+            c, is_num = f.name, f.name in numeric
+            aggs.append(
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit(f.dataType.simpleString()).alias("column_type"),
+                    F.min(c).cast("string").alias("min"),
+                    F.max(c).cast("string").alias("max"),
+                    F.approx_count_distinct(c).alias("approx_unique"),
+                    (F.avg(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias("avg"),
+                    (F.stddev(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias("std"),
+                    (
+                        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                        * 100.0
+                        / F.count(F.lit(1))
+                    ).alias("null_percentage"),
+                ).alias(c)
+            )
+        row = df.agg(*aggs)
+        stacked = row.select(
+            F.explode(F.array(*[F.col(f.name) for f in df.schema.fields])).alias("s")
+        )
+        return stacked.select("s.*")
+
     # -- multi-warehouse (DuckDB ATTACH parity) -----------------------------
     def attach(self, warehouse_dir: str, alias: str) -> list[str]:
         """DuckDB ``ATTACH 'other.db' AS alias`` analog (the reference's

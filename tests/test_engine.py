@@ -144,3 +144,15 @@ def test_engine_compact_table(spark, sf_dir):
     files_after = len(glob.glob(os.path.join(path, "*.parquet")))
     assert files_after <= 4
     assert eng.table("orders_frag").count() == n_before
+
+
+def test_engine_summarize(spark, sf_dir):
+    """SUMMARIZE analog: one row per column, sane stats, single pass."""
+    eng = Engine(warehouse_dir=sf_dir, spark=spark)
+    s = {r.column_name: r for r in eng.summarize("nation").collect()}
+    assert set(s) == {"n_nationkey", "n_name", "n_regionkey"}
+    assert s["n_nationkey"].column_type == "int"
+    assert s["n_nationkey"].min == "0" and s["n_nationkey"].max == "24"
+    assert s["n_name"].avg is None  # non-numeric: no mean/std
+    assert s["n_nationkey"].null_percentage == 0.0
+    assert 20 <= s["n_nationkey"].approx_unique <= 30
