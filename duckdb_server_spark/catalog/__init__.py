@@ -91,6 +91,8 @@ _PRIORITY_R2: tuple[str, ...] = (
     "s17_time_series_gapfill",
     # multi-probe LSH added this round.
     "b11b_lsh_multiprobe",
+    # PII scrub added this round.
+    "b45_pii_scrub",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

@@ -866,3 +866,69 @@ def b11b_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
+
+
+@query(
+    "b45_pii_scrub",
+    oracle=r"""
+    WITH staged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or visit https://site'
+                       || CAST(doc_id AS VARCHAR) || '.example/page now'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                'https?://[^ ]+')) AS BIGINT) AS n_urls,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+',
+                            '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g') AS scrubbed
+    FROM staged
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b45_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before tokenization: count and replace email/URL spans with
+    typed placeholders. The synthetic corpus is clean word-salad, so
+    deterministic PII is planted on every third doc first (both engines
+    plant identically), then scrubbed; the oracle hash-checks counts AND
+    the full scrubbed text. Pure regexp codegen — scan-speed, no
+    shuffle; patterns are RE2-and-Java-portable (no backrefs or
+    lookarounds)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or visit https://site"),
+                F.col("doc_id").cast("string"),
+                F.lit(".example/page now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    email, url = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+", "https?://[^ ]+"
+    return staged.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(url), 0))
+        .cast("bigint")
+        .alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), url, "<URL>"
+        ).alias("scrubbed"),
+    ).orderBy(F.col("doc_id").asc_nulls_last())
