@@ -93,6 +93,8 @@ _PRIORITY_R2: tuple[str, ...] = (
     "b11b_lsh_multiprobe",
     # PII scrub added this round.
     "b45_pii_scrub",
+    # unigram LM quality scoring added this round.
+    "b46_unigram_lm_score",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

@@ -932,3 +932,54 @@ def b45_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.col("text"), email, "<EMAIL>"), url, "<URL>"
         ).alias("scrubbed"),
     ).orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
+    "b46_unigram_lm_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+      FROM documents
+    ),
+    clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    vocab AS (SELECT token, count(*) AS n FROM clean GROUP BY token),
+    total AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM vocab)
+    SELECT c.doc_id,
+           count(*) AS n_tokens,
+           round(-avg(ln(CAST(v.n AS DOUBLE) / (SELECT nn FROM total))), 4)
+             AS lm_score
+    FROM clean c JOIN vocab v USING (token)
+    GROUP BY c.doc_id
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b46_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (CCNet-style filtering): the
+    corpus's own unigram distribution scores every document by negative
+    mean log-likelihood — high scores flag rare-token/garbled text for
+    the quality gate. Two passes, both scan-shaped: vocab counts (one
+    token-hash shuffle with map-side combine), then a token→prob join
+    and a per-doc mean. The corpus total is a one-row broadcast. At
+    100 TB the vocab side shards by token hash exactly like b43; nothing
+    materializes per group."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").cast("double").alias("nn"))
+    scored = toks.join(vocab, "token").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.avg(F.log(F.col("n").cast("double") / F.col("nn"))), 4
+            ).alias("lm_score"),
+        )
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )
