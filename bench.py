@@ -63,6 +63,7 @@ EXTRA = [
     "s16_partition_pruning", # partition-pruned scan (staged layout)
     "a18_pivot_dynamic",     # dynamic pivot (distinct discovery pass)
     "w10_window_filter",     # windowed conditional aggregates
+    "b46_unigram_lm_score",  # corpus-LM quality scoring (two-pass)
 ]
 
 
