@@ -153,3 +153,30 @@ def test_substring_dedup_shuffle_carries_hash_not_text(spark, sf_dir):
     # every shuffle keys on the span hash or the doc id — never __shingle
     assert all("__sh#" in seg or "doc_id#" in seg for seg in parts), parts
     assert not any("__shingle" in seg for seg in parts), parts
+
+
+def test_centroids_never_shuffle_vectors(spark, sf_dir):
+    """b14: the per-label centroid aggregate must shuffle (label, pos)
+    partial sums — the embedding arrays themselves stay in the scan
+    stage (shuffling vectors for an average is the 100 TB anti-shape)."""
+    df = catalog.QUERIES["b14_label_centroids"](spark, sf_dir)
+    text = plans.explain_string(df, "formatted")
+    parts = [
+        line
+        for line in text.split("\n")
+        if "hashpartitioning" in line or "rangepartitioning" in line
+    ]
+    assert parts
+    assert not any("embedding" in seg for seg in parts), parts
+
+
+def test_lm_score_total_is_broadcast(spark, sf_dir):
+    """b46: the one-row corpus total must arrive via broadcast, never a
+    shuffled join; the vocab join may be broadcast or shuffled (AQE
+    decides by size), but the final per-doc aggregate keys on doc_id."""
+    df = catalog.QUERIES["b46_unigram_lm_score"](spark, sf_dir)
+    text = plans.explain_string(df, "formatted")
+    assert "IdentityBroadcastMode" in text
+    assert any(
+        "hashpartitioning(doc_id" in line for line in text.split("\n")
+    ), "expected the per-doc aggregate shuffle"

@@ -275,3 +275,25 @@ def test_flightsql_metadata_commands(flight_port):
     buf = with_schema.column("table_schema")[0].as_py()
     schema = pa_mod.ipc.read_schema(pa_mod.BufferReader(buf))
     assert "n_nationkey" in schema.names
+
+
+def test_concurrent_clients(flight_port):
+    """The reference serves one shared engine connection to many gRPC
+    clients (main.go:70,258); Spark sessions are thread-safe for
+    concurrent job submission, so N parallel clients must each get
+    complete, correct results with no cross-talk."""
+    import concurrent.futures
+
+    def one(i: int) -> tuple[int, int]:
+        table = srv.query_two_step(
+            flight_port,
+            f"SELECT count(*) AS n, {i} AS tag FROM lineitem "
+            f"WHERE l_orderkey % 10 = {i}",
+        )
+        return table.column("tag").to_pylist()[0], table.column("n").to_pylist()[0]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        results = dict(ex.map(one, range(10)))
+    assert set(results) == set(range(10))
+    total = srv.query_two_step(flight_port, "SELECT count(*) AS n FROM lineitem")
+    assert sum(results.values()) == total.column("n").to_pylist()[0]
