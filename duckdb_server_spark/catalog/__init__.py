@@ -95,6 +95,8 @@ _PRIORITY_R2: tuple[str, ...] = (
     "b45_pii_scrub",
     # unigram LM quality scoring added this round.
     "b46_unigram_lm_score",
+    # stratified split added this round.
+    "b47_stratified_split",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

@@ -983,3 +983,40 @@ def b46_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc_nulls_last())
     )
+
+
+@query(
+    "b47_stratified_split",
+    oracle="""
+    SELECT lang,
+           CASE WHEN doc_id % 100 < 80 THEN 'train'
+                WHEN doc_id % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY lang, split
+    ORDER BY lang ASC NULLS LAST, split ASC NULLS LAST
+    """,
+)
+def b47_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split (80/10/10 by id residue,
+    stratified per language): a pure derived-column partition — every
+    re-run of the pipeline assigns each document to the same split with
+    no RNG state to version. One hash aggregate over (lang, split);
+    at 100 TB the split column costs nothing (scan-side CASE) and the
+    audit table is the tiny aggregate output."""
+    d = t(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 100 < 80, "train")
+        .when(F.col("doc_id") % 100 < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        d.groupBy("lang", split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy(F.col("lang").asc_nulls_last(), F.col("split").asc_nulls_last())
+    )
