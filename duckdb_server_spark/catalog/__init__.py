@@ -97,6 +97,8 @@ _PRIORITY_R2: tuple[str, ...] = (
     "b46_unigram_lm_score",
     # stratified split added this round.
     "b47_stratified_split",
+    # decontamination audit added this round.
+    "b48_decontamination",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

@@ -1020,3 +1020,84 @@ def b47_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lang").asc_nulls_last(), F.col("split").asc_nulls_last())
     )
+
+
+@query(
+    "b48_decontamination",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 100 < 80 THEN 'train'
+                  WHEN doc_id % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             string_split_regex(text, '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, split,
+             unnest(list_transform(range(1, len(w) - 5 + 2),
+                                   i -> array_to_string(w[i:i+4], ' ')))
+               AS shingle
+      FROM words WHERE len(w) >= 5
+    ),
+    train_spans AS (
+      SELECT DISTINCT shingle FROM sh WHERE split = 'train'
+    )
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 4) AS contamination
+    FROM sh s LEFT JOIN train_spans t USING (shingle)
+    WHERE s.split = 'test'
+    GROUP BY s.doc_id
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b48_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination audit — the eval-integrity pass every
+    LLM data pipeline needs: for each test-split document, the fraction
+    of its word-5-gram spans that also appear anywhere in the train
+    split (PaLM/GPT-3-style n-gram overlap decontamination). Composes
+    the b47 deterministic split with b06's shingling; every shuffle
+    carries the 8-byte span hash, the train-span set stays distinct'd
+    and hash-partitioned — never a cross join. Exact oracle via the same
+    text-shingle replay."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "split",
+        F.when(F.col("doc_id") % 100 < 80, "train")
+        .when(F.col("doc_id") % 100 < 90, "val")
+        .otherwise("test"),
+    )
+    w = dedup.with_words(docs.select("doc_id", "split", "text"), "text").filter(
+        F.size("__words") >= 5
+    )
+    sh = w.select(
+        "doc_id",
+        "split",
+        F.explode(
+            dedup.shingles_from_words(F.col("__words"), "text", 5)
+        ).alias("__shingle"),
+    ).select("doc_id", "split", F.xxhash64("__shingle").alias("__sh"))
+    train_spans = (
+        sh.filter(F.col("split") == "train").select("__sh").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    test = sh.filter(F.col("split") == "test")
+    return (
+        test.join(train_spans, "__sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("contamination"),
+        )
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )
