@@ -99,6 +99,8 @@ _PRIORITY_R2: tuple[str, ...] = (
     "b47_stratified_split",
     # decontamination audit added this round.
     "b48_decontamination",
+    # forward as-of join added this round.
+    "j08b_asof_forward",
 )
 
 # Module import order: never-driver-checked families first (joins resumed

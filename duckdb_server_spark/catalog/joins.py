@@ -353,3 +353,43 @@ def j09b_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  c_name ASC NULLS LAST
         """
     )
+
+
+@query(
+    "j08b_asof_forward",
+    oracle="""
+    WITH clicks AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click'),
+         purchases AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                       FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, round(p.value, 2) AS next_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY c.event_id ASC NULLS LAST
+    """,
+)
+def j08b_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of (DuckDB ``ASOF ... ON l.ts <= r.ts``): each click
+    gets the EARLIEST following purchase value for the same user — the
+    attribution direction. Same union + ordered-window plan as the
+    backward form (operators/asof.py), with the time axis reversed; one
+    shuffle on the join key either way."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", F.round("purchase_value", 2).alias("next_purchase_value")
+    ).orderBy(F.col("event_id").asc_nulls_last())

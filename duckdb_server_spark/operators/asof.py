@@ -28,14 +28,20 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right-side ``value_cols`` whose
-    ``right_ts`` <= ``left_ts`` within the same ``on`` key group
-    (backward as-of, tie = match — DuckDB semantics).
+    """For each left row, attach the nearest right-side ``value_cols``:
+    with ``direction='backward'`` the latest with ``right_ts <= left_ts``
+    (DuckDB ``ON l.ts >= r.ts``), with ``'forward'`` the earliest with
+    ``right_ts >= left_ts`` (DuckDB ``ON l.ts <= r.ts``); ties match in
+    both directions. Same plan either way — the direction only flips the
+    window's sort order.
 
     ``how='left'`` keeps unmatched probe rows (ASOF LEFT JOIN);
     ``how='inner'`` drops them.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     value_cols = list(value_cols)
 
@@ -56,9 +62,14 @@ def asof_join(
             build = build.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
     build = build.select(*probe.columns)
 
+    # build rows (__side=0) sort before probe rows at equal __ts in either
+    # direction, so a tie is a match; forward just reverses the time axis.
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = probe.unionByName(build)
