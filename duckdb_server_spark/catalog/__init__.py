@@ -39,11 +39,128 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Driver-check priority. The driver verifies queries in registration order
-# under a wall-clock budget (round 1 covered only the first 50 of 152), so
+# under a wall-clock budget (rounds 1 and 2 each covered 50 queries), so
 # order is part of the contract surface: queries whose driver evidence is
-# stale or missing go first, r1-green rows re-verify last. Names listed here
-# are re-inserted first (in this order); everything else keeps module import
-# order behind them.
+# stale or missing go first, already-green rows re-verify last. Names listed
+# here are re-inserted first (in this order); everything else keeps module
+# import order behind them.
+#
+# Round 3 is a pure rotation round: the 91 queries never visited by the
+# driver in rounds 1-2 (all locally green under tools/driver_mimic.py) go
+# first, ordered cheapest-first so the wall-clock budget covers as many as
+# possible — predicates / sorts / set ops / CTEs (sub-0.3 s each at sf0.01),
+# then windows, the 21-query TPC-H suite, scans/sinks, UDF rows, and the
+# expensive streaming rows (~1 s state-store setup each) at the tail of the
+# head. The 88 rounds-1/2 green names keep module order behind them.
+_PRIORITY_R3: tuple[str, ...] = (
+    # §2.2 predicates — cheapest family, one scan each.
+    "p01_projection_expr",
+    "p03_filter",
+    "p04_distinct",
+    "p05_in_list",
+    "p05_in_subquery",
+    "p06_between",
+    "p07_like",
+    "p07b_ilike",
+    "p08_glob",
+    "p09_regexp",
+    "p10_null_checks",
+    "p11_exists",
+    "p12_case_when",
+    "p13_cast",
+    "p14_exclude",
+    "p15_columns_regex",
+    # §2.6 sorts / limits.
+    "o01_multi_key_sort",
+    "o03_limit_offset",
+    "o06_with_ties",
+    "o07_collate_ci",
+    "o08_deterministic_sample",
+    "o08b_tablesample",
+    # §2.7 set ops.
+    "u01_union",
+    "u01_union_all",
+    "u02_intersect",
+    "u02b_intersect_all",
+    "u03_except",
+    "u03b_except_all",
+    # §2.8 query structure / CTEs.
+    "q1_cte",
+    "q2_recursive_cte",
+    "q2_transitive_closure",
+    "q4_scalar_subquery",
+    "q5_derived_table",
+    # §2.5 windows — the single largest evidence hole after two rounds.
+    "w01_ranking",
+    "w02_lag_lead",
+    "w03_value_functions",
+    "w04_running_agg",
+    "w06_range_frame",
+    "w07_groups_frame",
+    "w07b_exclude_frames",
+    "w08_named_window",
+    "w09_qualify",
+    # TPC-H suite — the reference's declared keyword surface
+    # (main.go:376-513); q01 is the flagship pricing summary.
+    "q01_pricing_summary",
+    "t02_min_cost_supplier",
+    "t03_shipping_priority",
+    "t04_order_priority",
+    "t05_region_supplier_volume",
+    "t06_forecast_revenue",
+    "t07_volume_shipping",
+    "t08_market_share",
+    "t09_product_type_profit",
+    "t10_returned_items",
+    "t11_important_part_value",
+    "t12_priority_lines",
+    "t13_customer_distribution",
+    "t14_promo_revenue",
+    "t15_top_supplier",
+    "t16_supplier_part_count",
+    "t17_small_quantity_revenue",
+    "t18_large_volume_customer",
+    "t19_disjunctive_filter",
+    "t20_potential_promotion",
+    "t21_waiting_supplier",
+    "t22_global_sales_opportunity",
+    # §2.1 scans / sources / sinks.
+    "s02_csv_scan",
+    "s03_json_scan",
+    "s05_view",
+    "s06_inline_values",
+    "s07b_range_series",
+    "s09_http_scan",
+    "s09b_python_datasource",
+    "s10_federated_flight",
+    "s12_parquet_sink_roundtrip",
+    "s12_csv_sink_roundtrip",
+    "s13_merge_upsert",
+    # §2.11 UDF surface.
+    "fn_pandas_udf_scalar",
+    "fn_pandas_udaf",
+    "fn_udtf_lateral",
+    "fn_map_in_arrow",
+    # remaining join / skew variants.
+    "j07b_banded_range_join",
+    "j09b_lateral_topk",
+    "k01_salted_agg",
+    # pipeline composition.
+    "b40_training_data_pipeline",
+    # streaming — batch analogs first, then readStream rows (state-store
+    # setup ~1 s each), the slowest mimic row (st_stateful_totals) last.
+    "st_tumbling_window",
+    "st_sliding_window",
+    "st_session_window",
+    "st_dedup",
+    "st_stream_tumbling",
+    "st_stream_session",
+    "st_stream_tws_rollup",
+    "st_stateful_totals",
+)
+
+# Round-2 priority head, kept for provenance (all 50 driver-green in
+# CORRECTNESS_r02.json); no longer used for ordering.
 _PRIORITY_R2: tuple[str, ...] = (
     # r1 red rows, now fixed — must flip green this round.
     "fn_numeric_core",
@@ -129,14 +246,14 @@ _MODULE_ORDER = (
 def load_all() -> None:
     """Import every catalog module so registration side effects run, then
     re-order the registry so driver verification hits the highest-value
-    queries inside its budget (see _PRIORITY_R2)."""
+    queries inside its budget (see _PRIORITY_R3)."""
     import importlib
 
     for mod in _MODULE_ORDER:
         importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
 
-    ordered = [n for n in _PRIORITY_R2 if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in _PRIORITY_R2]
+    ordered = [n for n in _PRIORITY_R3 if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in _PRIORITY_R3]
     for registry in (QUERIES, ORACLE):
         snapshot = {n: registry[n] for n in ordered if n in registry}
         registry.clear()

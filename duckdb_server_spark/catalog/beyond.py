@@ -77,23 +77,65 @@ def b02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _with_planted_dup(docs: DataFrame) -> DataFrame:
+    """Corpus plus one planted exact duplicate: doc_id -1 carries doc 0's
+    text verbatim. Rows-only driver entries can silently go vacuous (the
+    b12 lesson) — a planted ground-truth pair inside the query itself makes
+    a recall regression visible in the recorded output, not just in tests."""
+    planted = docs.filter(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.lit(-1).cast(docs.schema["doc_id"].dataType)
+    )
+    return docs.unionByName(planted)
+
+
 @query("b03_minhash_lsh_pairs")  # rows-only: bucket ids derive from xxhash64
 def b03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: signatures scan-side, one shuffle on
     (band_id, band_hash); pairs only materialize within buckets — never the
-    N² cross join."""
-    return dedup.minhash_lsh_candidates(
-        t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=32, bands=8
+    N² cross join.
+
+    Regression guard: the corpus carries a planted exact duplicate
+    (doc -1 ≡ doc 0, identical signature → collides in every band), and
+    every row carries ``planted_pairs_found`` — the count of candidate
+    pairs touching the planted doc (≥1 when recall is intact, asserted in
+    tests/test_oracle.py). The count is a 1-row aggregate broadcast onto
+    the pairs, so the guard costs nothing at scale."""
+    cands = dedup.minhash_lsh_candidates(
+        _with_planted_dup(t(spark, sf_dir, "documents")),
+        "text",
+        "doc_id",
+        num_hashes=32,
+        bands=8,
     )
+    planted = cands.agg(
+        F.sum(
+            F.when((F.col("id_a") == -1) | (F.col("id_b") == -1), 1).otherwise(0)
+        ).alias("planted_pairs_found")
+    )
+    return cands.crossJoin(F.broadcast(planted))
 
 
 @query("b04_simhash")  # rows-only: fingerprint derives from xxhash64
 def b04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints: per-bit majority votes aggregate map-side
-    behind one groupBy on doc_id."""
-    return dedup.simhash_fingerprint(
-        t(spark, sf_dir, "documents"), "text", "doc_id", bits=32
+    behind one groupBy on doc_id.
+
+    Regression guard: the corpus carries a planted exact duplicate
+    (doc -1 ≡ doc 0 → identical fingerprint), and every row carries
+    ``planted_fp_equal`` (1 iff fp(-1) == fp(0)), computed as a 1-row
+    broadcast aggregate — a vacuous or broken fingerprint flips it to 0
+    visibly (asserted in tests/test_oracle.py)."""
+    fp = dedup.simhash_fingerprint(
+        _with_planted_dup(t(spark, sf_dir, "documents")), "text", "doc_id", bits=32
     )
+    planted = fp.filter(F.col("doc_id").isin(-1, 0)).agg(
+        F.when(
+            (F.count(F.lit(1)) == 2) & (F.count_distinct("simhash") == 1), 1
+        )
+        .otherwise(0)
+        .alias("planted_fp_equal")
+    )
+    return fp.crossJoin(F.broadcast(planted))
 
 
 # ---------------------------------------------------------------------------

@@ -72,7 +72,13 @@ def o03_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o06_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``FETCH FIRST 10 ROWS WITH TIES`` ≡ rank() <= 10 (keeps all peers of
     the 10th row) — the rewrite from SURVEY.md O6; both sides expressed as
-    the rank form so the oracle pins identical semantics."""
+    the rank form so the oracle pins identical semantics.
+
+    Scale note: the global ORDER BY makes this an unpartitioned window —
+    one task, semantically forced (DuckDB serializes identically), bounded
+    here by the ``part`` dimension table. At 100 TB use the two-phase form
+    in operators/rank.py: per-partition local top-(k + ties) prune first,
+    then the serial rank over the ≤ k·P survivors."""
     w = Window.orderBy(F.col("p_size").asc_nulls_last())
     return (
         t(spark, sf_dir, "part")

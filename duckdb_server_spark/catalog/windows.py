@@ -172,8 +172,15 @@ def w04_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w06_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-based frame: count parts within ±2 size units. (Single global
-    window — fine for a dimension table; partition it for fact-scale data.)"""
+    """Value-based frame: count parts within ±2 size units.
+
+    Scale note: the declared query is globally ordered, so the window has
+    no PARTITION BY and Spark serializes it onto one task — semantically
+    forced (DuckDB serializes the same way), bounded here by the ``part``
+    dimension table. The 100 TB spelling partitions first (e.g. by a
+    coarse ``p_size`` range bucket, frames spanning bucket edges handled
+    by overlapping pad rows) — operators/rank.py demonstrates the
+    two-phase partition-then-merge technique for global rankings."""
     w = Window.orderBy(F.col("p_size").asc_nulls_last()).rangeBetween(-2, 2)
     return (
         t(spark, sf_dir, "part")

@@ -99,12 +99,20 @@ class Engine:
         compacted = self.spark.read.parquet(path).coalesce(target_files)
         tmp = path + ".compact"
         compacted.write.mode("overwrite").parquet(tmp)
-        # atomic-ish swap: move old out, new in, then drop the old dir
+        # Crash-safe swap: clear any stale .old from a prior failed run
+        # (rename onto a non-empty dir raises OSError), move old out, new
+        # in; if the second rename fails, restore the original so the
+        # table never disappears.
         import shutil
 
         old = path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)
-        os.rename(tmp, path)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            os.rename(old, path)
+            raise
         shutil.rmtree(old)
         out = self.spark.read.parquet(path)
         out.createOrReplaceTempView(name)
@@ -151,19 +159,25 @@ class Engine:
         aggs = []
         for f in df.schema.fields:
             c, is_num = f.name, f.name in numeric
+            # min/max need an ordering; Spark maps are not orderable (the
+            # analyzer rejects them) — mirror DuckDB SUMMARIZE, which also
+            # blanks min/max for non-orderable types.
+            orderable = not f.dataType.simpleString().startswith("map")
             aggs.append(
                 F.struct(
                     F.lit(c).alias("column_name"),
                     F.lit(f.dataType.simpleString()).alias("column_type"),
-                    F.min(c).cast("string").alias("min"),
-                    F.max(c).cast("string").alias("max"),
+                    (F.min(c).cast("string") if orderable else F.lit(None).cast("string")).alias("min"),
+                    (F.max(c).cast("string") if orderable else F.lit(None).cast("string")).alias("max"),
                     F.approx_count_distinct(c).alias("approx_unique"),
                     (F.avg(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias("avg"),
                     (F.stddev(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias("std"),
                     (
                         F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
                         * 100.0
-                        / F.count(F.lit(1))
+                        # nullif guards the empty table: ANSI mode (set by
+                        # tune_session) turns 0/0 into an error, not NULL.
+                        / F.nullif(F.count(F.lit(1)), F.lit(0))
                     ).alias("null_percentage"),
                 ).alias(c)
             )

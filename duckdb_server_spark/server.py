@@ -172,7 +172,12 @@ class SparkFlightServer(flight.FlightServerBase):
                 return "query", flightsql.decode_command_statement_query(value)
             if type_url == flightsql.TICKET_STATEMENT_QUERY:
                 handle = flightsql.decode_ticket_statement_query(value)
-                return "query", handle.decode("utf-8")
+                try:
+                    return "query", handle.decode("utf-8")
+                except UnicodeDecodeError:
+                    raise flight.FlightServerError(
+                        "statement handle is not UTF-8 SQL"
+                    ) from None
             if type_url == flightsql.CMD_GET_CATALOGS:
                 return "catalogs", None
             if type_url == flightsql.CMD_GET_DB_SCHEMAS:
@@ -180,7 +185,12 @@ class SparkFlightServer(flight.FlightServerBase):
             if type_url == flightsql.CMD_GET_TABLES:
                 return "tables", flightsql.decode_command_get_tables(value)
             raise flight.FlightServerError(f"unsupported Flight SQL command {type_url}")
-        return "query", raw.decode("utf-8")
+        try:
+            return "query", raw.decode("utf-8")
+        except UnicodeDecodeError:
+            raise flight.FlightServerError(
+                "ticket is neither Flight SQL protobuf nor UTF-8 SQL"
+            ) from None
 
     # -- FlightSQL metadata result tables -----------------------------------
     _CATALOG_NAME = "spark_catalog"
@@ -201,14 +211,25 @@ class SparkFlightServer(flight.FlightServerBase):
                 schema=flightsql.GET_DB_SCHEMAS_SCHEMA,
             )
         # tables: the served temp-view namespace (the '-db' warehouse).
+        # The Flight SQL table_name_filter_pattern is a SQL LIKE pattern
+        # ('%' any run, '_' one char) — translate to an anchored regex so
+        # '_' works and regex/glob metacharacters in names stay literal.
         pattern, include_schema = payload
-        import fnmatch
+        import re as _re
 
+        like_re = None
+        if pattern is not None:
+            like_re = _re.compile(
+                "".join(
+                    ".*" if ch == "%" else "." if ch == "_" else _re.escape(ch)
+                    for ch in pattern
+                )
+                + r"\Z"
+            )
         names = sorted(
             t.name
             for t in self.spark.catalog.listTables()
-            if t.isTemporary
-            and (pattern is None or fnmatch.fnmatch(t.name, pattern.replace("%", "*")))
+            if t.isTemporary and (like_re is None or like_re.match(t.name))
         )
         arrays = [
             pa.array([self._CATALOG_NAME] * len(names)),

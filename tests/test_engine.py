@@ -156,3 +156,32 @@ def test_engine_summarize(spark, sf_dir):
     assert s["n_name"].avg is None  # non-numeric: no mean/std
     assert s["n_nationkey"].null_percentage == 0.0
     assert 20 <= s["n_nationkey"].approx_unique <= 30
+
+
+def test_engine_summarize_empty_and_map(spark, sf_dir):
+    """SUMMARIZE edge cases mirroring DuckDB: an empty table yields NULL
+    null_percentage (no ANSI divide-by-zero), and non-orderable map
+    columns skip min/max instead of failing analysis."""
+    eng = Engine(warehouse_dir=sf_dir, spark=spark)
+    eng.sql(
+        "SELECT map('k', n_name) AS m, n_nationkey FROM nation WHERE 1 = 0"
+    ).createOrReplaceTempView("empty_with_map")
+    s = {r.column_name: r for r in eng.summarize("empty_with_map").collect()}
+    assert set(s) == {"m", "n_nationkey"}
+    assert s["m"].min is None and s["m"].max is None
+    assert s["m"].null_percentage is None
+    assert s["n_nationkey"].null_percentage is None
+
+
+def test_engine_compact_table_stale_old_dir(spark, sf_dir):
+    """A stale `<path>.old` left by a prior crashed compaction must not
+    break the next run (bare os.rename onto a non-empty dir raises)."""
+    import os
+
+    eng = Engine(warehouse_dir=sf_dir, spark=spark)
+    eng.create_table("nation_c", eng.sql("SELECT * FROM nation").repartition(8))
+    path = os.path.join(eng.warehouse_dir_writable(), "nation_c")
+    os.makedirs(os.path.join(path + ".old", "leftover"), exist_ok=True)
+    eng.compact_table("nation_c", target_files=2)
+    assert eng.table("nation_c").count() == 25
+    assert not os.path.exists(path + ".old")

@@ -73,6 +73,23 @@ def test_rows_only(name, spark, sf_dir):
     assert sdf.count() >= 0
 
 
+def test_b03_planted_pair_guard(spark, sf_dir):
+    """The rows-only b03 entry must never go vacuous: the query plants an
+    exact duplicate (doc -1 ≡ doc 0) and reports candidate recall over it
+    in every row — assert the guard column is live and positive."""
+    rows = catalog.QUERIES["b03_minhash_lsh_pairs"](spark, sf_dir).limit(5).collect()
+    assert rows, "b03 returned zero candidate pairs (vacuous)"
+    assert all(r.planted_pairs_found >= 1 for r in rows)
+
+
+def test_b04_planted_fingerprint_guard(spark, sf_dir):
+    """b04's planted duplicate must hash to an identical fingerprint; the
+    guard column makes a broken/vacuous fingerprint visible in-row."""
+    rows = catalog.QUERIES["b04_simhash"](spark, sf_dir).limit(5).collect()
+    assert rows, "b04 returned zero fingerprints (vacuous)"
+    assert all(r.planted_fp_equal == 1 for r in rows)
+
+
 def test_entry_smoke(spark):
     """Mirror the driver's smoke: entry() returns rows with a stable schema
     (the reference's smoke is `SELECT 1 AS a`, client/main.py:11)."""

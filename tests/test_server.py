@@ -277,7 +277,7 @@ def test_flightsql_metadata_commands(flight_port):
     assert "n_nationkey" in schema.names
 
 
-def test_concurrent_clients(flight_port):
+def test_concurrent_clients_no_crosstalk(flight_port):
     """The reference serves one shared engine connection to many gRPC
     clients (main.go:70,258); Spark sessions are thread-safe for
     concurrent job submission, so N parallel clients must each get
@@ -297,3 +297,46 @@ def test_concurrent_clients(flight_port):
     assert set(results) == set(range(10))
     total = srv.query_two_step(flight_port, "SELECT count(*) AS n FROM lineitem")
     assert sum(results.values()) == total.column("n").to_pylist()[0]
+
+
+def test_metadata_like_patterns(flight_port):
+    """CommandGetTables filter is a SQL LIKE pattern: '_' matches exactly
+    one char, '%' any run, and regex/glob metacharacters stay literal."""
+    assert srv.get_tables(flight_port, pattern="nati_n").column(
+        "table_name"
+    ).to_pylist() == ["nation"]
+    # other tests on the shared session may register extra nat* views
+    # (e.g. nation_c from the compaction test) — assert membership + prefix
+    nat_pct = srv.get_tables(flight_port, pattern="nat%").column(
+        "table_name"
+    ).to_pylist()
+    assert "nation" in nat_pct and all(n.startswith("nat") for n in nat_pct)
+    # '_' is a wildcard, not a literal: 6-char pattern can't match 'nation'+1
+    assert srv.get_tables(flight_port, pattern="nation_").num_rows == 0
+    # glob/regex metacharacters must be treated literally (no fnmatch leak)
+    assert srv.get_tables(flight_port, pattern="nat*").num_rows == 0
+    assert srv.get_tables(flight_port, pattern="nation[").num_rows == 0
+
+
+def test_non_utf8_ticket_clean_error(flight_port):
+    """A client sending non-UTF8 non-protobuf bytes must get a clean
+    FlightServerError, not an opaque gRPC internal failure."""
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        with pytest.raises(flight.FlightServerError, match="neither"):
+            client.do_get(flight.Ticket(b"\xff\xfe\x80garbage")).read_all()
+    finally:
+        client.close()
+
+
+def test_adbc_flightsql_client_end_to_end(flight_port):
+    """End-to-end with a real ADBC FlightSQL driver — byte-for-byte the
+    reference's Go client path (client/main.go:13-27: adbc drivermgr with
+    driver=FlightSQL, uri=grpc://..., then `SELECT 1 as a, 2 as b`).
+    Skips when the optional adbc packages are absent from the container."""
+    adbc = pytest.importorskip("adbc_driver_flightsql.dbapi")
+    with adbc.connect(f"grpc://127.0.0.1:{flight_port}") as conn:
+        with conn.cursor() as cur:
+            cur.execute("SELECT 1 as a, 2 as b")
+            table = cur.fetch_arrow_table()
+    assert table.to_pydict() == {"a": [1], "b": [2]}
