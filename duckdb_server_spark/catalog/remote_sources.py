@@ -26,8 +26,15 @@ from duckdb_server_spark.sources.remote import attach_flight_table, http_table
 def s09_http_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 (http_client analog, k8s/main.yaml:111): fetch a JSON payload
     by URL and materialize it. Staged to a file:// URL so the test is
-    hermetic; the fetch path is identical for http(s)://."""
-    staged = os.path.join(tempfile.gettempdir(), f"dss_http_{abs(hash(sf_dir))}")
+    hermetic; the fetch path is identical for http(s)://. The staging key
+    is an md5 digest, not ``hash()`` (salted per process → every fresh
+    process would re-stage and leak a directory)."""
+    import hashlib
+
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"dss_http_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
     marker = os.path.join(staged, "_SUCCESS")
     if not os.path.exists(marker):
         docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)

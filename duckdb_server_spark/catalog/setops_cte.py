@@ -82,9 +82,12 @@ def q2_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") + 1).alias("n"), (F.col("total") + F.col("n") + 1).alias("total")
         )
 
-    return recursive_fixpoint(seed, step, distinct=False, max_iterations=20).orderBy(
-        F.col("n").asc_nulls_last()
-    )
+    # Shuffle-free step (pure projection) → checkpoint every 5 rounds:
+    # the per-iteration emptiness probe replays ≤4 narrow stages instead
+    # of paying a materialization job each round (see recursive_fixpoint).
+    return recursive_fixpoint(
+        seed, step, distinct=False, max_iterations=20, checkpoint_interval=5
+    ).orderBy(F.col("n").asc_nulls_last())
 
 
 # --- Q2b: recursive transitive closure over a real self-referencing edge set ---

@@ -257,17 +257,10 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "click_id", "purchase_id", F.col("click_user").alias("user_id")
     )
-    # A stream-stream join opens 4 state stores per shuffle partition
-    # (left/right × two indexes); the partition count is frozen at query
-    # start. At this corpus size 32 partitions is pure state-store
-    # overhead (measured 6.3s vs 2.8s at 8) — a production deployment
-    # sizes it to stream throughput per the checkpoint, not per session.
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        drained = run_stream_to_memory(joined, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    # State-store partitioning (4 stores per partition for a stream-stream
+    # join) is clamped inside run_stream_to_memory — see
+    # streaming.state_partitions for the sizing rationale.
+    drained = run_stream_to_memory(joined, output_mode="append")
     return drained.orderBy(
         F.col("click_id").asc_nulls_last(), F.col("purchase_id").asc_nulls_last()
     )
@@ -292,18 +285,21 @@ def st_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     were lost or doubled in the hop."""
     import tempfile as _tf
 
+    from duckdb_server_spark.streaming import state_partitions
+
     out = _tf.mkdtemp(prefix="dss_stream_sink_")
     ckpt = _tf.mkdtemp(prefix="dss_stream_ckpt_")
     stream = read_events_stream(spark, sf_dir, with_watermark=None)
-    q = (
-        stream.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(out)
         .groupBy("event_type")

