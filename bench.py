@@ -64,6 +64,9 @@ EXTRA = [
     "a18_pivot_dynamic",     # dynamic pivot (distinct discovery pass)
     "w10_window_filter",     # windowed conditional aggregates
     "b46_unigram_lm_score",  # corpus-LM quality scoring (two-pass)
+    "b49_repetition_filter", # Gopher-style repetition gate (r3)
+    "b51_tfidf_topk",        # per-doc TF-IDF keywords (r3)
+    "b15_pq_adc_topk",       # product-quantization ADC ANN (r3)
 ]
 
 

@@ -1143,3 +1143,156 @@ def b48_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc_nulls_last())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: repetition quality filter, TF-IDF keywords, PQ-ADC ANN
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b49_repetition_filter",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS words
+      FROM documents),
+    base AS (
+      SELECT doc_id, len(words) AS n_words,
+             len(list_distinct(words)) AS n_distinct, words
+      FROM w),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words)),
+                    i -> words[i] || ' ' || words[i + 1])) AS bigram
+      FROM w WHERE len(words) >= 2),
+    bc AS (SELECT doc_id, bigram, count(*) AS n FROM bi GROUP BY doc_id, bigram),
+    tb AS (SELECT doc_id, max(n) AS top_n, sum(n) AS total_n FROM bc GROUP BY doc_id),
+    m AS (
+      SELECT b.doc_id, b.n_words,
+             round(CASE WHEN b.n_words > 0
+                   THEN CAST(b.n_distinct AS DOUBLE) / b.n_words
+                   ELSE 0.0 END, 4) AS distinct_ratio,
+             round(COALESCE(CAST(tb.top_n AS DOUBLE) / tb.total_n, 0.0), 4)
+               AS top_bigram_frac
+      FROM base b LEFT JOIN tb USING (doc_id))
+    SELECT doc_id, n_words, distinct_ratio, top_bigram_frac,
+           (distinct_ratio >= 0.2 AND top_bigram_frac <= 0.18) AS keep
+    FROM m ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b49_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter (Rae et al. 2021 §A1.1): flags
+    documents whose vocabulary collapses (low distinct-word ratio) or
+    that loop one bigram (high top-bigram occurrence fraction) — the
+    standard cheap gate before expensive LM-based quality scoring.
+    Word stats are codegen scan exprs; the bigram pass is one
+    (doc_id, bigram) hash-agg chain — see operators/text.py."""
+    return text.repetition_stats(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
+    "b51_tfidf_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    total AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * ln((SELECT n_docs FROM total) / dfreq.df) AS score
+      FROM tf JOIN dfreq USING (term)),
+    ranked AS (
+      SELECT doc_id, term, tf, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored)
+    SELECT doc_id, term, tf, round(score, 6) AS tfidf, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id ASC NULLS LAST, rank ASC NULLS LAST
+    """,
+)
+def b51_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — keyword extraction as a corpus
+    routing/clustering signal. Two hash-aggs (tf, then df over tf — the
+    text is scanned once), corpus size as a one-row broadcast, per-doc
+    window for the top-k; see operators/text.py::tfidf_topk for the
+    scale notes."""
+    return text.tfidf_topk(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    ).orderBy(F.col("doc_id").asc_nulls_last(), F.col("rank").asc_nulls_last())
+
+
+@query(
+    "b15_pq_adc_topk",
+    oracle="""
+    WITH cw AS (
+      SELECT e.vec_id AS cid, t.j,
+             list_slice(e.embedding, (t.j - 1) * 16 + 1, t.j * 16) AS cvec
+      FROM embeddings e, range(1, 5) t(j) WHERE e.vec_id < 8),
+    sv AS (
+      SELECT e.vec_id, t.j,
+             list_slice(e.embedding, (t.j - 1) * 16 + 1, t.j * 16) AS svec
+      FROM embeddings e, range(1, 5) t(j)),
+    dist AS (
+      SELECT sv.vec_id, sv.j, cw.cid,
+             list_aggregate(list_transform(list_zip(sv.svec, cw.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')
+               AS d
+      FROM sv JOIN cw ON cw.j = sv.j),
+    codes AS (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM dist) WHERE rn = 1),
+    adc AS (
+      SELECT qd.vec_id AS query_id, c.vec_id AS vec_id, sum(qd.d) AS approx_d
+      FROM codes c
+      JOIN dist qd ON qd.j = c.j AND qd.cid = c.code
+      WHERE qd.vec_id < 5
+      GROUP BY qd.vec_id, c.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, approx_d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_d ASC, vec_id ASC) AS rank
+      FROM adc)
+    SELECT query_id, vec_id, round(approx_d, 6) AS approx_d, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def b15_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 with asymmetric distance (Jégou et
+    al. 2011): 64-dim embeddings → 4 subspaces × 16 dims, codebooks
+    frozen as the first 8 corpus vectors' sub-slices (standing in for
+    offline per-subspace k-means, exactly like b13's coarse quantizer).
+    Corpus vectors compress scan-side to 4 small codes; queries carry
+    per-subspace distance tables on the broadcast side and score by 4
+    table lookups — the scan streams codes, never full vectors. Full
+    oracle: quantization, code assignment (argmin, lowest-code
+    tie-break) and ADC ranking are all deterministic, so DuckDB
+    reproduces them from the same frozen codebook."""
+    emb = t(spark, sf_dir, "embeddings")
+    first8 = [
+        [float(v) for v in row.embedding]
+        for row in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    m, width = 4, 16
+    codebooks = [
+        [vec[j * width : (j + 1) * width] for vec in first8] for j in range(m)
+    ]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.pq_adc_topk(emb, queries, codebooks, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("approx_d", 6).alias("approx_d"), "rank"
+    )

@@ -284,3 +284,80 @@ def lsh_topk_multiprobe(
         .filter(F.col("__rn") <= k)
         .select(query_id, corpus_id, "cos_sim", F.col("__rn").alias("rank"))
     )
+
+
+def _l2_slice_to(vec_col, start: int, codeword: list[float]) -> F.Column:
+    """Squared L2 distance between a 1-based slice of ``vec_col`` (length
+    ``len(codeword)``, starting at ``start``) and a literal codeword."""
+    sub = F.slice(vec_col, start, len(codeword))
+    c = F.array(*[F.lit(float(v)) for v in codeword])
+    return F.aggregate(
+        F.zip_with(_as_double(sub), c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization top-k with asymmetric distance computation
+    (ADC — Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011).
+
+    ``codebooks[j]`` holds the codewords of subspace ``j`` (equal widths,
+    concatenated covering the vector; train offline — e.g. k-means per
+    subspace on a sample — and ship as literals, like ivf_topk's coarse
+    quantizer). Corpus vectors compress scan-side to one small code per
+    subspace (argmin over the subspace codebook, a pure codegen
+    expression; ties take the lowest code id, matching the oracle's
+    ``row_number`` tie-break). A query precomputes per-subspace distance
+    tables to every codeword (on the tiny broadcast side), and the
+    approximate distance to a corpus vector is m table lookups summed in
+    fixed subspace order — the scan never touches full corpus vectors,
+    which is the 100 TB point: m bytes per vector stream through the
+    top-k instead of 4·dim. Re-rank the k survivors with exact distance
+    if exactness matters (compose with brute_force_topk on the result)."""
+    m = len(codebooks)
+    widths = [len(cb[0]) for cb in codebooks]
+    starts = [1 + sum(widths[:j]) for j in range(m)]
+
+    def dist_table(col, j: int) -> F.Column:
+        return F.array(
+            *[_l2_slice_to(col, starts[j], cw) for cw in codebooks[j]]
+        )
+
+    def code(col, j: int) -> F.Column:
+        d = dist_table(col, j)
+        return F.array_position(d, F.array_min(d)).cast("int")
+
+    c = corpus.select(
+        F.col(corpus_id),
+        *[code(F.col(vec_col), j).alias(f"__code_{j}") for j in range(m)],
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id),
+            *[dist_table(F.col(vec_col), j).alias(f"__dt_{j}") for j in range(m)],
+        )
+    )
+    approx = sum(
+        F.element_at(F.col(f"__dt_{j}"), F.col(f"__code_{j}")) for j in range(m)
+    )
+    scored = c.crossJoin(q).select(
+        query_id, corpus_id, approx.alias("approx_d")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_d").asc_nulls_last(), F.col(corpus_id).asc_nulls_last()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id, corpus_id, "approx_d", F.col("__rn").alias("rank"))
+    )

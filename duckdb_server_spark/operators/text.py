@@ -89,6 +89,114 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+def _words(text: Column) -> Column:
+    """Lowercased whitespace tokens with empties dropped (the shared
+    tokenizer of the repetition / TF-IDF passes; mirrors the oracle's
+    ``list_filter(string_split_regex(lower(text),'\\s+'), x -> x <> '')``)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-word ratio
+    and the fraction of bigram occurrences taken by the single most
+    frequent bigram (high = boilerplate/listing loops; Rae et al. 2021
+    use these as hard filters).
+
+    Scale shape: word stats are pure Column exprs at scan speed; the
+    bigram pass explodes scan-side (a Generate node, like b43's
+    tokenizer), shuffles compact ``(doc_id, bigram)`` keys once with
+    map-side combine, reduces to one row per doc, and broadcast-joins
+    back — nothing materializes per group and no window is involved, so
+    a skewed giant document costs one hash-agg chain, not a sort."""
+    text = F.col(text_col)
+    words = _words(text)
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        words.alias("__words"),
+    )
+    bigrams = base.filter(F.col("n_words") >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.slice(F.col("__words"), 1, F.col("n_words") - 1),
+                lambda w, i: F.concat_ws(
+                    " ", w, F.element_at(F.col("__words"), i + 2)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(id_col)
+        .agg(F.max("n").alias("top_n"), F.sum("n").alias("total_n"))
+    )
+    out = base.drop("__words").join(top, on=id_col, how="left")
+    distinct_ratio = F.round(
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_distinct").cast("double") / F.col("n_words"),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    top_bigram_frac = F.round(
+        F.coalesce(
+            F.col("top_n").cast("double") / F.col("total_n"), F.lit(0.0)
+        ),
+        4,
+    )
+    return out.select(
+        F.col(id_col),
+        "n_words",
+        distinct_ratio.alias("distinct_ratio"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        # thresholds compare the ROUNDED values so both engines decide the
+        # boundary cases identically
+        ((distinct_ratio >= 0.2) & (top_bigram_frac <= 0.18)).alias("keep"),
+    )
+
+
+def tfidf_topk(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document (keyword extraction / routing
+    signal): tf from one ``(doc, term)`` hash-agg, document frequency
+    from a second agg over the first (no re-scan of text), corpus size
+    as a one-row broadcast, final per-doc top-k via a window partitioned
+    by doc — every shuffle carries compact keys and the skew unit is one
+    document's vocabulary, not the corpus'."""
+    text = F.col(text_col)
+    toks = df.select(F.col(id_col), F.explode(_words(text)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc_nulls_last(), F.col("term").asc_nulls_last()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round("score", 6).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One-pass text profile: all analysis columns in a single projection."""
     text = F.col(text_col)
