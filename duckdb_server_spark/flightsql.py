@@ -33,6 +33,14 @@ TICKET_STATEMENT_QUERY = TYPE_URL_PREFIX + "TicketStatementQuery"
 CMD_GET_CATALOGS = TYPE_URL_PREFIX + "CommandGetCatalogs"
 CMD_GET_DB_SCHEMAS = TYPE_URL_PREFIX + "CommandGetDbSchemas"
 CMD_GET_TABLES = TYPE_URL_PREFIX + "CommandGetTables"
+CMD_PREPARED_STATEMENT_QUERY = TYPE_URL_PREFIX + "CommandPreparedStatementQuery"
+ACTION_CREATE_PREPARED_REQ = TYPE_URL_PREFIX + "ActionCreatePreparedStatementRequest"
+ACTION_CREATE_PREPARED_RESULT = TYPE_URL_PREFIX + "ActionCreatePreparedStatementResult"
+ACTION_CLOSE_PREPARED_REQ = TYPE_URL_PREFIX + "ActionClosePreparedStatementRequest"
+
+# Flight SQL DoAction action types (FlightSql.proto / public server impls).
+CREATE_PREPARED_STATEMENT = "CreatePreparedStatement"
+CLOSE_PREPARED_STATEMENT = "ClosePreparedStatement"
 
 # SqlInfo codes published by the reference (main.go:352-365) — values from
 # the public FlightSql.proto enum.
@@ -218,6 +226,64 @@ def decode_command_get_tables(value: bytes) -> tuple[str | None, bool]:
     inc = fields.get(5, [0])
     include_schema = bool(inc[0]) if isinstance(inc[0], int) else False
     return pattern, include_schema
+
+
+# --- Prepared statements (DoAction pair + execution command) ---------------
+# FlightSql.proto: ActionCreatePreparedStatementRequest{1: query,
+# 2: transaction_id}; ActionCreatePreparedStatementResult{1: handle,
+# 2: dataset_schema (IPC), 3: parameter_schema (IPC)};
+# ActionClosePreparedStatementRequest{1: handle};
+# CommandPreparedStatementQuery{1: handle}. Action bodies and results are
+# Any-wrapped, as in the public Go/C++ Flight SQL servers.
+
+
+def encode_action_create_prepared_request(sql: str) -> bytes:
+    return pack_any(ACTION_CREATE_PREPARED_REQ, _field_bytes(1, sql.encode()))
+
+
+def decode_action_create_prepared_request(value: bytes) -> str:
+    fields = parse_fields(value)
+    queries = fields.get(1, [b""])
+    raw = queries[0] if isinstance(queries[0], bytes) else b""
+    return raw.decode("utf-8")
+
+
+def encode_action_create_prepared_result(
+    handle: bytes, dataset_schema: bytes = b""
+) -> bytes:
+    body = _field_bytes(1, handle)
+    if dataset_schema:
+        body += _field_bytes(2, dataset_schema)
+    return pack_any(ACTION_CREATE_PREPARED_RESULT, body)
+
+
+def decode_action_create_prepared_result(buf: bytes) -> tuple[bytes, bytes]:
+    """→ (prepared_statement_handle, dataset_schema IPC bytes)."""
+    unpacked = unpack_any(buf)
+    value = unpacked[1] if unpacked is not None else buf
+    fields = parse_fields(value)
+    handle = fields.get(1, [b""])[0]
+    schema = fields.get(2, [b""])[0]
+    return (
+        handle if isinstance(handle, bytes) else b"",
+        schema if isinstance(schema, bytes) else b"",
+    )
+
+
+def encode_action_close_prepared_request(handle: bytes) -> bytes:
+    return pack_any(ACTION_CLOSE_PREPARED_REQ, _field_bytes(1, handle))
+
+
+def decode_prepared_statement_handle(value: bytes) -> bytes:
+    """Shared decoder: field 1 = prepared_statement_handle for both
+    ActionClosePreparedStatementRequest and CommandPreparedStatementQuery."""
+    fields = parse_fields(value)
+    handles = fields.get(1, [b""])
+    return handles[0] if isinstance(handles[0], bytes) else b""
+
+
+def encode_command_prepared_statement_query(handle: bytes) -> bytes:
+    return pack_any(CMD_PREPARED_STATEMENT_QUERY, _field_bytes(1, handle))
 
 
 # Standard Flight SQL metadata result schemas (FlightSql.proto comments —

@@ -153,6 +153,14 @@ class SparkFlightServer(flight.FlightServerBase):
         super().__init__(location)
         self.spark = spark
         self._location = location
+        # Prepared-statement registry: opaque handle → SQL text. The
+        # reference leaves DoAction Unimplemented (main.go:121-124); ADBC
+        # FlightSQL drivers route *every* statement through
+        # CreatePreparedStatement, so implementing the pair is what makes
+        # off-the-shelf clients work end-to-end.
+        self._prepared: dict[bytes, str] = {}
+        self._prepared_lock = threading.Lock()
+        self._prepared_seq = 0
 
     # -- statement resolution ----------------------------------------------
     def _resolve_command(self, raw: bytes):
@@ -184,6 +192,15 @@ class SparkFlightServer(flight.FlightServerBase):
                 return "db_schemas", None
             if type_url == flightsql.CMD_GET_TABLES:
                 return "tables", flightsql.decode_command_get_tables(value)
+            if type_url == flightsql.CMD_PREPARED_STATEMENT_QUERY:
+                handle = flightsql.decode_prepared_statement_handle(value)
+                with self._prepared_lock:
+                    sql = self._prepared.get(handle)
+                if sql is None:
+                    raise flight.FlightServerError(
+                        f"unknown prepared statement handle {handle!r}"
+                    )
+                return "query", sql
             raise flight.FlightServerError(f"unsupported Flight SQL command {type_url}")
         try:
             return "query", raw.decode("utf-8")
@@ -320,12 +337,69 @@ class SparkFlightServer(flight.FlightServerBase):
             raise flight.FlightServerError(str(exc)) from exc
         return flight.GeneratorStream(schema, iter_arrow_batches(df, schema))
 
-    # -- DoAction: Unimplemented, like the reference (main.go:121-124) ------
+    # -- DoAction: prepared statements (beyond the reference, which leaves
+    # DoAction Unimplemented, main.go:121-124). ADBC FlightSQL drivers
+    # execute *all* statements via CreatePreparedStatement → GetFlightInfo(
+    # CommandPreparedStatementQuery) → DoGet → ClosePreparedStatement, so
+    # this pair is the difference between "speaks the protocol" and "works
+    # with off-the-shelf clients". Other actions stay Unimplemented. --------
     def do_action(self, context, action):
+        if action.type == flightsql.CREATE_PREPARED_STATEMENT:
+            unpacked = flightsql.unpack_any(action.body.to_pybytes())
+            if unpacked is None or unpacked[0] != flightsql.ACTION_CREATE_PREPARED_REQ:
+                raise flight.FlightServerError(
+                    "CreatePreparedStatement body is not "
+                    "Any(ActionCreatePreparedStatementRequest)"
+                )
+            sql = flightsql.decode_action_create_prepared_request(unpacked[1])
+            # Gate + analyze now: a bad statement fails at prepare time
+            # (the contract ADBC relies on), and the dataset schema rides
+            # back in the result so clients can bind without a round trip.
+            assert_query_shaped(self.spark, sql)
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            try:
+                schema = to_arrow_schema(self.spark.sql(sql).schema)
+            except flight.FlightServerError:
+                raise
+            except Exception as exc:
+                raise flight.FlightServerError(str(exc)) from exc
+            with self._prepared_lock:
+                self._prepared_seq += 1
+                handle = b"dss-ps-%d" % self._prepared_seq
+                self._prepared[handle] = sql
+            yield flight.Result(
+                flightsql.encode_action_create_prepared_result(
+                    handle, flightsql.serialize_schema(schema)
+                )
+            )
+            return
+        if action.type == flightsql.CLOSE_PREPARED_STATEMENT:
+            unpacked = flightsql.unpack_any(action.body.to_pybytes())
+            if unpacked is None or unpacked[0] != flightsql.ACTION_CLOSE_PREPARED_REQ:
+                raise flight.FlightServerError(
+                    "ClosePreparedStatement body is not "
+                    "Any(ActionClosePreparedStatementRequest)"
+                )
+            handle = flightsql.decode_prepared_statement_handle(unpacked[1])
+            with self._prepared_lock:
+                self._prepared.pop(handle, None)  # close is idempotent
+            return
         raise NotImplementedError(f"action {action.type!r} not implemented")
 
     def list_actions(self, context):
-        return []
+        return [
+            flight.ActionType(
+                flightsql.CREATE_PREPARED_STATEMENT,
+                "Prepare a read-only SQL statement; returns "
+                "Any(ActionCreatePreparedStatementResult) with the handle "
+                "and dataset schema.",
+            ),
+            flight.ActionType(
+                flightsql.CLOSE_PREPARED_STATEMENT,
+                "Release a prepared statement handle (idempotent).",
+            ),
+        ]
 
 
 def serve_in_background(
@@ -380,6 +454,44 @@ def query_flightsql(port: int, sql: str) -> pa.Table:
         info = client.get_flight_info(descriptor)
         tables = [client.do_get(ep.ticket).read_all() for ep in info.endpoints]
         return pa.concat_tables(tables)
+    finally:
+        client.close()
+
+
+def query_prepared(port: int, sql: str) -> pa.Table:
+    """Full ADBC-style prepared-statement exchange: DoAction
+    CreatePreparedStatement → GetFlightInfo(CommandPreparedStatementQuery)
+    → DoGet → DoAction ClosePreparedStatement. This is the wire sequence
+    ``adbc_driver_flightsql`` emits for every ExecuteQuery."""
+    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    try:
+        results = list(
+            client.do_action(
+                flight.Action(
+                    flightsql.CREATE_PREPARED_STATEMENT,
+                    flightsql.encode_action_create_prepared_request(sql),
+                )
+            )
+        )
+        handle, _schema = flightsql.decode_action_create_prepared_result(
+            results[0].body.to_pybytes()
+        )
+        try:
+            descriptor = flight.FlightDescriptor.for_command(
+                flightsql.encode_command_prepared_statement_query(handle)
+            )
+            info = client.get_flight_info(descriptor)
+            tables = [client.do_get(ep.ticket).read_all() for ep in info.endpoints]
+            return pa.concat_tables(tables)
+        finally:
+            list(
+                client.do_action(
+                    flight.Action(
+                        flightsql.CLOSE_PREPARED_STATEMENT,
+                        flightsql.encode_action_close_prepared_request(handle),
+                    )
+                )
+            )
     finally:
         client.close()
 

@@ -156,11 +156,97 @@ def test_engine_error_surfaces(flight_port):
 
 
 def test_do_action_unimplemented(flight_port):
-    """DoAction is Unimplemented, like the reference (main.go:121-124)."""
+    """Actions outside the prepared-statement pair stay Unimplemented,
+    like the reference's whole DoAction surface (main.go:121-124)."""
     client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
     try:
-        with pytest.raises(pa.ArrowNotImplementedError):
+        with pytest.raises((pa.ArrowNotImplementedError, flight.FlightServerError)):
             list(client.do_action(flight.Action("begin_transaction", b"")))
+    finally:
+        client.close()
+
+
+def test_prepared_statement_roundtrip(flight_port):
+    """ADBC-style Create → GetFlightInfo(PreparedQuery) → DoGet → Close."""
+    table = srv.query_prepared(
+        flight_port, "SELECT count(*) AS n, min(l_orderkey) AS k FROM lineitem"
+    )
+    assert table.num_rows == 1
+    assert table.column_names == ["n", "k"]
+    assert table["n"][0].as_py() > 0
+
+
+def test_prepared_statement_returns_dataset_schema(flight_port):
+    """CreatePreparedStatement's result carries the dataset schema (IPC),
+    so clients can inspect types before executing."""
+    from duckdb_server_spark import flightsql
+
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        results = list(
+            client.do_action(
+                flight.Action(
+                    flightsql.CREATE_PREPARED_STATEMENT,
+                    flightsql.encode_action_create_prepared_request(
+                        "SELECT 1 AS a, 'x' AS b"
+                    ),
+                )
+            )
+        )
+        handle, schema_bytes = flightsql.decode_action_create_prepared_result(
+            results[0].body.to_pybytes()
+        )
+        assert handle.startswith(b"dss-ps-")
+        schema = pa.ipc.read_schema(pa.BufferReader(schema_bytes))
+        assert schema.names == ["a", "b"]
+        # Close twice: idempotent.
+        for _ in range(2):
+            list(
+                client.do_action(
+                    flight.Action(
+                        flightsql.CLOSE_PREPARED_STATEMENT,
+                        flightsql.encode_action_close_prepared_request(handle),
+                    )
+                )
+            )
+        # After close, the handle no longer resolves.
+        with pytest.raises(flight.FlightServerError):
+            client.get_flight_info(
+                flight.FlightDescriptor.for_command(
+                    flightsql.encode_command_prepared_statement_query(handle)
+                )
+            )
+    finally:
+        client.close()
+
+
+def test_prepared_statement_gated_at_prepare_time(flight_port):
+    """DDL/DML is rejected when prepared, not when executed — the
+    fail-fast contract ADBC clients rely on."""
+    from duckdb_server_spark import flightsql
+
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        with pytest.raises(flight.FlightServerError):
+            list(
+                client.do_action(
+                    flight.Action(
+                        flightsql.CREATE_PREPARED_STATEMENT,
+                        flightsql.encode_action_create_prepared_request(
+                            "DROP TABLE lineitem"
+                        ),
+                    )
+                )
+            )
+    finally:
+        client.close()
+
+
+def test_list_actions_advertises_prepared_pair(flight_port):
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        kinds = {a.type for a in client.list_actions()}
+        assert kinds == {"CreatePreparedStatement", "ClosePreparedStatement"}
     finally:
         client.close()
 
