@@ -39,19 +39,84 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Driver-check priority. The driver verifies queries in registration order
-# under a wall-clock budget (rounds 1 and 2 each covered 50 queries), so
+# under a wall-clock budget (rounds 1-3 each covered ~50 queries), so
 # order is part of the contract surface: queries whose driver evidence is
 # stale or missing go first, already-green rows re-verify last. Names listed
 # here are re-inserted first (in this order); everything else keeps module
 # import order behind them.
 #
-# Round 3 is a pure rotation round: the 91 queries never visited by the
-# driver in rounds 1-2 (all locally green under tools/driver_mimic.py) go
-# first, ordered cheapest-first so the wall-clock budget covers as many as
-# possible — predicates / sorts / set ops / CTEs (sub-0.3 s each at sf0.01),
-# then windows, the 21-query TPC-H suite, scans/sinks, UDF rows, and the
-# expensive streaming rows (~1 s state-store setup each) at the tail of the
-# head. The 88 rounds-1/2 green names keep module order behind them.
+# Round 4 closes the evidence hole: exactly 44 declared queries have never
+# appeared in any CORRECTNESS file (rounds 1-3 checked 138 of 182). All 44
+# go first, cheapest-first — scans/sinks, join/skew variants, the §2.11 UDF
+# surface, TPC-H analogs t09-t22, the r3-added b-queries, then the batch
+# streaming analogs and finally the readStream rows (~1 s state-store setup
+# each). Behind them: the queries whose code changed this round (b03/b04
+# guard restructure, the three watermark-path streaming rows fixed for
+# TIMESTAMP_NTZ parquet) so their green evidence is refreshed, then module
+# order. 44 + 5 < 50, so one driver pass covers every stale row.
+_PRIORITY_R4: tuple[str, ...] = (
+    # §2.1 scans / sources / sinks.
+    "s02_csv_scan",
+    "s03_json_scan",
+    "s05_view",
+    "s06_inline_values",
+    "s07b_range_series",
+    "s12_parquet_sink_roundtrip",
+    "s12_csv_sink_roundtrip",
+    "s13_merge_upsert",
+    "s09_http_scan",
+    "s09b_python_datasource",
+    "s10_federated_flight",
+    # remaining join / skew variants.
+    "j07b_banded_range_join",
+    "j09b_lateral_topk",
+    "k01_salted_agg",
+    # §2.11 UDF surface (the §2.11 contract rows).
+    "fn_pandas_udf_scalar",
+    "fn_pandas_udaf",
+    "fn_udtf_lateral",
+    "fn_map_in_arrow",
+    # TPC-H analogs never driver-run (t02-t08 went green in r3).
+    "t09_product_type_profit",
+    "t10_returned_items",
+    "t11_important_part_value",
+    "t12_priority_lines",
+    "t13_customer_distribution",
+    "t14_promo_revenue",
+    "t15_top_supplier",
+    "t16_supplier_part_count",
+    "t17_small_quantity_revenue",
+    "t18_large_volume_customer",
+    "t19_disjunctive_filter",
+    "t20_potential_promotion",
+    "t21_waiting_supplier",
+    "t22_global_sales_opportunity",
+    # r3-added pipeline operators + the flagship composite.
+    "b49_repetition_filter",
+    "b51_tfidf_topk",
+    "b15_pq_adc_topk",
+    "b40_training_data_pipeline",
+    # streaming — batch analogs first, then readStream rows (state-store
+    # setup ~1 s each), the slowest mimic row (st_stateful_totals) last.
+    "st_tumbling_window",
+    "st_sliding_window",
+    "st_session_window",
+    "st_dedup",
+    "st_stream_tumbling",
+    "st_stream_session",
+    "st_stream_tws_rollup",
+    "st_stateful_totals",
+    # --- end of the 44 never-checked rows ---
+    # Code touched in round 4: refresh their green evidence.
+    "b03_minhash_lsh_pairs",
+    "b04_simhash",
+    "st_stream_watermark_append",
+    "st_stream_stream_join",
+    "st_stream_file_sink",
+)
+
+# Round-3 priority head, kept for provenance (49/50 full-match in
+# CORRECTNESS_r03.json); no longer used for ordering.
 _PRIORITY_R3: tuple[str, ...] = (
     # §2.2 predicates — cheapest family, one scan each.
     "p01_projection_expr",
@@ -246,14 +311,14 @@ _MODULE_ORDER = (
 def load_all() -> None:
     """Import every catalog module so registration side effects run, then
     re-order the registry so driver verification hits the highest-value
-    queries inside its budget (see _PRIORITY_R3)."""
+    queries inside its budget (see _PRIORITY_R4)."""
     import importlib
 
     for mod in _MODULE_ORDER:
         importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
 
-    ordered = [n for n in _PRIORITY_R3 if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in _PRIORITY_R3]
+    ordered = [n for n in _PRIORITY_R4 if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in _PRIORITY_R4]
     for registry in (QUERIES, ORACLE):
         snapshot = {n: registry[n] for n in ordered if n in registry}
         registry.clear()

@@ -96,20 +96,30 @@ def b03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Regression guard: the corpus carries a planted exact duplicate
     (doc -1 ≡ doc 0, identical signature → collides in every band), and
-    every row carries ``planted_pairs_found`` — the count of candidate
-    pairs touching the planted doc (≥1 when recall is intact, asserted in
-    tests/test_oracle.py). The count is a 1-row aggregate broadcast onto
-    the pairs, so the guard costs nothing at scale."""
+    every row carries ``planted_pairs_found`` — ≥1 when recall is intact
+    (asserted in tests/test_oracle.py). The guard runs the SAME candidate
+    pipeline over a bucket-pruned branch (only docs 0 and -1 — the
+    doc_id filter reaches the parquet scan), so it costs a 2-document
+    pipeline instead of re-executing the full-corpus one (r3's version
+    aggregated over ``cands`` itself, which doubled the most expensive
+    dedup stage)."""
+    docs = t(spark, sf_dir, "documents")
     cands = dedup.minhash_lsh_candidates(
-        _with_planted_dup(t(spark, sf_dir, "documents")),
+        _with_planted_dup(docs), "text", "doc_id", num_hashes=32, bands=8
+    )
+    guard_cands = dedup.minhash_lsh_candidates(
+        _with_planted_dup(docs.filter(F.col("doc_id") == 0)),
         "text",
         "doc_id",
         num_hashes=32,
         bands=8,
     )
-    planted = cands.agg(
-        F.sum(
-            F.when((F.col("id_a") == -1) | (F.col("id_b") == -1), 1).otherwise(0)
+    planted = guard_cands.agg(
+        F.coalesce(
+            F.sum(
+                F.when((F.col("id_a") == -1) | (F.col("id_b") == -1), 1).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("planted_pairs_found")
     )
     return cands.crossJoin(F.broadcast(planted))
@@ -123,12 +133,20 @@ def b04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Regression guard: the corpus carries a planted exact duplicate
     (doc -1 ≡ doc 0 → identical fingerprint), and every row carries
     ``planted_fp_equal`` (1 iff fp(-1) == fp(0)), computed as a 1-row
-    broadcast aggregate — a vacuous or broken fingerprint flips it to 0
-    visibly (asserted in tests/test_oracle.py)."""
+    broadcast aggregate over a bucket-pruned branch — the fingerprint
+    pipeline re-runs over ONLY docs 0/-1 (doc_id filter reaches the
+    scan), not the full corpus (asserted in tests/test_oracle.py)."""
+    docs = t(spark, sf_dir, "documents")
     fp = dedup.simhash_fingerprint(
-        _with_planted_dup(t(spark, sf_dir, "documents")), "text", "doc_id", bits=32
+        _with_planted_dup(docs), "text", "doc_id", bits=32
     )
-    planted = fp.filter(F.col("doc_id").isin(-1, 0)).agg(
+    guard_fp = dedup.simhash_fingerprint(
+        _with_planted_dup(docs.filter(F.col("doc_id") == 0)),
+        "text",
+        "doc_id",
+        bits=32,
+    )
+    planted = guard_fp.filter(F.col("doc_id").isin(-1, 0)).agg(
         F.when(
             (F.count(F.lit(1)) == 2) & (F.count_distinct("simhash") == 1), 1
         )

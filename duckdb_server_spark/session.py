@@ -69,6 +69,13 @@ def default_configs(shuffle_partitions: int | None = None) -> dict[str, str]:
         # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark
         # rejects by default; read as int64 ns and normalize in load_table.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Plain µs/ms parquet timestamps with isAdjustedToUTC=false would
+        # otherwise read as TIMESTAMP_NTZ, which withWatermark rejects
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The corpus timestamps are
+        # naive wall-clock; under the pinned UTC session TZ, reading them as
+        # TIMESTAMP_LTZ is value-identical and keeps every parquet flavor
+        # (ns-as-long, µs, ms) on one timestamp type.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         # Scan split size. The test corpus is ~10 MB/table, which at
         # Spark's 128m default packs into ≤3 tasks — 3 of 32 cores busy.
         # 512k splits the same files into ~20 tasks (measured: window agg
@@ -154,6 +161,7 @@ def tune_session(spark: SparkSession, sf_dir: str) -> None:
         return
     spark._dss_tuned_for = sf_dir
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
@@ -176,11 +184,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark, sf_dir)
     df = spark.read.parquet(table_path(sf_dir, name))
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for col in NANO_TS_COLUMNS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Defensive: a session built before inferTimestampNTZ was disabled (or
+    # an external catalog) can still yield TIMESTAMP_NTZ, which breaks
+    # withWatermark. Under the pinned UTC session TZ the cast is a pure
+    # type relabel — wall-clock values are unchanged.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
