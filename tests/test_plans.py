@@ -180,3 +180,23 @@ def test_lm_score_total_is_broadcast(spark, sf_dir):
     assert any(
         "hashpartitioning(doc_id" in line for line in text.split("\n")
     ), "expected the per-doc aggregate shuffle"
+
+
+def test_b03_guard_branch_is_bucket_pruned(spark, sf_dir):
+    """b03's planted-pair guard must derive from a doc_id-pruned branch:
+    at least one parquet scan of documents carries the pushed
+    EqualTo(doc_id,0) filter, so the guard costs a 2-document pipeline
+    instead of re-executing the full-corpus LSH (the r3 +70% regression)."""
+    df = catalog.QUERIES["b03_minhash_lsh_pairs"](spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "EqualTo(doc_id" in pushed
+    # the main branch still scans the full table alongside the pruned branch
+    text = plans.explain_string(df)
+    assert text.count("Scan parquet") >= 2
+
+
+def test_b04_guard_branch_is_bucket_pruned(spark, sf_dir):
+    """Same contract for b04's fingerprint-equality guard."""
+    df = catalog.QUERIES["b04_simhash"](spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "EqualTo(doc_id" in pushed
