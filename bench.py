@@ -67,6 +67,11 @@ EXTRA = [
     "b49_repetition_filter", # Gopher-style repetition gate (r3)
     "b51_tfidf_topk",        # per-doc TF-IDF keywords (r3)
     "b15_pq_adc_topk",       # product-quantization ADC ANN (r3)
+    "b52_dup_cluster_keep_best",  # dedup cluster resolution (r4)
+    "b53_bloom_decontam",    # bloom-pruned decontamination (r4)
+    "b54_ivfpq_topk",        # IVF+PQ composed ANN (r4)
+    "b55_semdedup",          # cluster-scoped semantic dedup (r4)
+    "b56_zorder_layout",     # Z-order layout report (r4)
 ]
 
 

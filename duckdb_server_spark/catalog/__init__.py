@@ -113,6 +113,12 @@ _PRIORITY_R4: tuple[str, ...] = (
     "st_stream_watermark_append",
     "st_stream_stream_join",
     "st_stream_file_sink",
+    # Round-4 additions (new code, never driver-checked yet).
+    "b52_dup_cluster_keep_best",
+    "b53_bloom_decontam",
+    "b54_ivfpq_topk",
+    "b55_semdedup",
+    "b56_zorder_layout",
 )
 
 # Round-3 priority head, kept for provenance (49/50 full-match in

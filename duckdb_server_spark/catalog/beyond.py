@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_server_spark.catalog import query
-from duckdb_server_spark.operators import dedup, multimodal, similarity, text
+from duckdb_server_spark.operators import (
+    bloom,
+    dedup,
+    layout,
+    multimodal,
+    similarity,
+    text,
+)
 from duckdb_server_spark.session import load_table as t
 
 # ---------------------------------------------------------------------------
@@ -1314,3 +1321,341 @@ def b15_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("approx_d", 6).alias("approx_d"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: dedup resolution, bloom decontamination, IVF+PQ, SemDeDup,
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b52_dup_cluster_keep_best",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT -1, text, n_chars FROM documents WHERE doc_id = 0
+    ),
+    fp AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split_regex(lower(trim(text)), '\s+'))), ' '))
+               AS fingerprint
+      FROM aug
+    ),
+    ranked AS (
+      SELECT fingerprint, doc_id,
+             row_number() OVER (PARTITION BY fingerprint
+                                ORDER BY n_chars DESC, doc_id DESC) AS rn,
+             count(*) OVER (PARTITION BY fingerprint) AS cluster_size
+      FROM fp
+    )
+    SELECT fingerprint, cluster_size, doc_id AS keep_doc_id,
+           cluster_size - 1 AS n_dropped
+    FROM ranked WHERE rn = 1
+    ORDER BY keep_doc_id ASC NULLS LAST
+    """,
+)
+def b52_dup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution — the half of dedup b01 stops short
+    of: after clustering by content fingerprint, pick WHICH copy
+    survives (longest text, ties to the highest id — "newest wins").
+    One scan-side fingerprint + one max_by hash-agg; the planted dup
+    (doc -1 ≡ doc 0) guarantees a non-trivial cluster so a broken
+    keep-policy is visible in the recorded output. Full oracle: md5 and
+    the sorted-distinct-token canonicalization reproduce exactly in
+    DuckDB."""
+    docs = _with_planted_dup(t(spark, sf_dir, "documents"))
+    out = dedup.cluster_keep_best(docs, "text", "doc_id", "n_chars")
+    return out.select(
+        "fingerprint", "cluster_size", "keep_doc_id", "n_dropped"
+    ).orderBy(F.col("keep_doc_id").asc_nulls_last())
+
+
+@query(
+    "b53_bloom_decontam",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 100 < 80 THEN 'train'
+                  WHEN doc_id % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             string_split_regex(text, '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, split,
+             unnest(list_transform(range(1, len(w) - 5 + 2),
+                                   i -> array_to_string(w[i:i+4], ' ')))
+               AS shingle
+      FROM words WHERE len(w) >= 5
+    ),
+    train_spans AS (
+      SELECT DISTINCT shingle FROM sh WHERE split = 'train'
+    )
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 4) AS contamination
+    FROM sh s LEFT JOIN train_spans t USING (shingle)
+    WHERE s.split = 'test'
+    GROUP BY s.doc_id
+    HAVING sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b53_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned decontamination — b48's audit restructured the way a
+    100 TB run has to be: the train-span set folds into a 256 Kbit
+    distributed Bloom filter (operators/bloom.py — one bit_or hash-agg,
+    single-row broadcast map), the test side drops every span the filter
+    rejects AT SCAN TIME, and only surviving candidates reach the exact
+    semi-join verify. No false negatives means the output is exactly the
+    exact-join answer (so the oracle is plain SQL with no bloom at all);
+    the false-positive rate only sizes the verify stage. Reports the
+    dirty docs (≥1 contaminated span) with their contamination ratio."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "split",
+        F.when(F.col("doc_id") % 100 < 80, "train")
+        .when(F.col("doc_id") % 100 < 90, "val")
+        .otherwise("test"),
+    )
+    w = dedup.with_words(docs.select("doc_id", "split", "text"), "text").filter(
+        F.size("__words") >= 5
+    )
+    sh = w.select(
+        "doc_id",
+        "split",
+        F.explode(
+            dedup.shingles_from_words(F.col("__words"), "text", 5)
+        ).alias("__shingle"),
+    ).select("doc_id", "split", F.xxhash64("__shingle").alias("__sh"))
+    train = sh.filter(F.col("split") == "train").select("__sh").distinct()
+    filt = bloom.bloom_build(train, "__sh")
+    test = sh.filter(F.col("split") == "test")
+    totals = test.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    cand = test.crossJoin(F.broadcast(filt)).filter(
+        bloom.bloom_might_contain(F.col("bloom"), F.col("__sh"))
+    )
+    hits = (
+        cand.join(train, "__sh", "semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_spans"), 4).alias(
+                "contamination"
+            ),
+        )
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )
+
+
+@query(
+    "b54_ivfpq_topk",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ),
+    cdists AS (
+      SELECT e.vec_id, c.cid,
+             list_aggregate(list_transform(list_zip(e.embedding, c.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')
+               AS d
+      FROM embeddings e CROSS JOIN cent c),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM cdists) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM cdists WHERE vec_id < 5) WHERE rn <= 2),
+    cw AS (
+      SELECT e.vec_id AS cid, t.j,
+             list_slice(e.embedding, (t.j - 1) * 16 + 1, t.j * 16) AS cvec
+      FROM embeddings e, range(1, 5) t(j) WHERE e.vec_id < 8),
+    sv AS (
+      SELECT e.vec_id, t.j,
+             list_slice(e.embedding, (t.j - 1) * 16 + 1, t.j * 16) AS svec
+      FROM embeddings e, range(1, 5) t(j)),
+    dist AS (
+      SELECT sv.vec_id, sv.j, cw.cid,
+             list_aggregate(list_transform(list_zip(sv.svec, cw.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')
+               AS d
+      FROM sv JOIN cw ON cw.j = sv.j),
+    codes AS (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM dist) WHERE rn = 1),
+    adc AS (
+      SELECT pr.query_id, c.vec_id, sum(qd.d) AS approx_d
+      FROM probes pr
+      JOIN cells ce ON ce.cell = pr.cell
+      JOIN codes c ON c.vec_id = ce.vec_id
+      JOIN dist qd ON qd.vec_id = pr.query_id
+                  AND qd.j = c.j AND qd.cid = c.code
+      GROUP BY pr.query_id, c.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, approx_d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_d ASC, vec_id ASC) AS rank
+      FROM adc)
+    SELECT query_id, vec_id, round(approx_d, 6) AS approx_d, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def b54_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN top-5 — the FAISS-style composition of b13's coarse
+    quantizer (first-8 centroids, 2-probe) with b15's product codes
+    (4×16 dims, first-8 codebooks): corpus reduces scan-side to
+    (cell, 4 codes), queries broadcast probe cells + distance tables,
+    and ADC only scores the probed cells. Fully deterministic, so the
+    oracle replays quantization, probing, code assignment and ADC
+    ranking from the same frozen literals."""
+    emb = t(spark, sf_dir, "embeddings")
+    first8 = [
+        [float(v) for v in row.embedding]
+        for row in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    m, width = 4, 16
+    codebooks = [
+        [vec[j * width : (j + 1) * width] for vec in first8] for j in range(m)
+    ]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivfpq_topk(
+        emb, queries, first8, codebooks, n_probe=2, k=5
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("approx_d", 6).alias("approx_d"), "rank"
+    )
+
+
+@query(
+    "b55_semdedup",
+    oracle=f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(list_zip(embedding, range(0, 64)),
+                 p -> CAST(CAST(p[1] AS DOUBLE)
+                           * (1.0 + 0.01 * ((CAST(p[2] AS INT) % 3) - 1))
+                       AS FLOAT))
+      FROM embeddings WHERE vec_id < 25
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 32
+    ),
+    cdists AS (
+      SELECT a.vec_id, c.cid,
+             list_aggregate(list_transform(list_zip(a.embedding, c.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')
+               AS d
+      FROM aug a CROSS JOIN cent c),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM cdists) WHERE rn = 1),
+    pairs AS (
+      SELECT ca.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+             {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cs
+      FROM aug a
+      JOIN cells ca ON ca.vec_id = a.vec_id
+      JOIN cells cb ON cb.cell = ca.cell
+      JOIN aug b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id)
+    SELECT id_b AS vec_id, cell, min(id_a) AS witness_id,
+           round(max(cs), 6) AS max_cos
+    FROM pairs WHERE cs >= 0.99
+    GROUP BY id_b, cell
+    ORDER BY vec_id ASC NULLS LAST
+    """,
+)
+def b55_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup drop list (Abbas et al. 2023): coarse-quantizer cells
+    (first-32 frozen centroids — pair cost scales 1/k, so k buys speed),
+    cosine compared only within a cell,
+    drop everything with a lower-id cluster-mate at ≥ 0.99 — the kept
+    representative is each group's lowest id. The corpus is random (no
+    natural near-dups), so the staged input plants b12's deterministic
+    clones (vec_id < 25 at id+1e6, ±1% perturbation); the drop list
+    provably contains them. Fully deterministic → full oracle replaying
+    planting, cell assignment, and the threshold."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    clones = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1.0 + 0.01 * ((i % 3) - 1))
+        ).cast(vec_type).alias("embedding"),
+    )
+    centroids = [
+        [float(v) for v in row.embedding]
+        for row in emb.orderBy("vec_id").limit(32).collect()
+    ]
+    out = similarity.semdedup_drop_list(
+        emb.unionByName(clones), centroids, threshold=0.99
+    )
+    return out.select(
+        "vec_id", "cell", "witness_id", F.round("max_cos", 6).alias("max_cos")
+    ).orderBy(F.col("vec_id").asc_nulls_last())
+
+
+@query(
+    "b56_zorder_layout",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT (user_id % 256) AS x, (event_id % 256) AS y FROM events
+    ),
+    z AS (
+      SELECT x, y, ({layout.zorder_key_sql("x", "y", 8)}) AS zv FROM keyed
+    )
+    SELECT (zv >> 8) AS z_bucket, count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM z GROUP BY z_bucket
+    ORDER BY z_bucket ASC NULLS LAST
+    """,
+)
+def b56_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout report — the write-side half of file
+    skipping at 100 TB: interleave (user_id, event_id) low bits into one
+    clustering key (operators/layout.py, pure bit codegen), bucket by
+    its high bits (one bucket ≈ one output file of ``write_zordered``),
+    and report each bucket's extents. Every bucket is a 16×16 rectangle
+    of the 256×256 key space, so parquet min/max footers prune scans on
+    BOTH columns — the property a single-column sort cannot give. The
+    oracle replays the identical interleave via portable bit-op SQL."""
+    ev = t(spark, sf_dir, "events")
+    out = layout.zorder_bucket_report(
+        ev,
+        F.pmod(F.col("user_id"), F.lit(256)),
+        F.pmod(F.col("event_id"), F.lit(256)),
+        bits=8,
+        bucket_shift=8,
+    )
+    return out.select(
+        "z_bucket", "n_rows", "x_min", "x_max", "y_min", "y_max"
+    ).orderBy(F.col("z_bucket").asc_nulls_last())

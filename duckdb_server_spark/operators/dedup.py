@@ -246,3 +246,41 @@ def shingle_dup_stats(
             "dup_ratio", F.round(F.col("n_dup") / F.col("n_shingles"), 4)
         )
     )
+
+
+def cluster_keep_best(
+    df: DataFrame, text_col: str, id_col: str, length_col: str
+) -> DataFrame:
+    """Duplicate-cluster resolution — the "resolve" half of exact dedup:
+    cluster by order-insensitive content fingerprint (md5 of the sorted
+    distinct token set, operators/text.py::fingerprint) and keep ONE
+    document per cluster: the longest, ties broken by highest id.
+
+    Output: one row per cluster — fingerprint, cluster_size, keep_doc_id,
+    n_dropped.
+
+    Scale shape: the fingerprint is a scan-side codegen expression; the
+    single shuffle carries (32-byte fingerprint, id, length) — never the
+    document body — and ``max_by`` over a (length, id) struct reduces
+    map-side, so a cluster of a million boilerplate copies costs one
+    combine-heavy reduce key, not a window sort."""
+    from duckdb_server_spark.operators.text import fingerprint
+
+    fp = df.select(
+        F.col(id_col),
+        F.col(length_col),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max_by(
+                F.col(id_col),
+                F.struct(
+                    F.col(length_col).alias("l"), F.col(id_col).alias("i")
+                ),
+            ).alias("keep_doc_id"),
+        )
+        .withColumn("n_dropped", F.col("cluster_size") - F.lit(1))
+    )

@@ -361,3 +361,246 @@ def pq_adc_topk(
         .filter(F.col("__rn") <= k)
         .select(query_id, corpus_id, "approx_d", F.col("__rn").alias("rank"))
     )
+
+
+def _matrix_lit(df: DataFrame, col_name: str, matrix) -> DataFrame:
+    """Attach a frozen float matrix (list of rows) to every row of ``df``
+    as ONE array<array<double>> column via a single-row broadcast cross
+    join. Unlike per-element ``F.lit`` literals, the expression tree stays
+    O(1) in the matrix size — with k in the hundreds the literal spelling
+    makes Catalyst analysis/codegen the dominant cost (seconds of driver
+    time), and at the k≈10⁴ of real IVF/SemDeDup deployments it's the
+    only spelling that works at all. Row order is preserved, so
+    argmin-by-position semantics match the literal form exactly."""
+    return _matrices_lit(df, {col_name: matrix})
+
+
+def _matrices_lit(df: DataFrame, matrices: dict) -> DataFrame:
+    """Attach several frozen matrices in ONE single-row broadcast join —
+    one broadcast stage total, not one per matrix."""
+    spark = df.sparkSession
+    names = list(matrices)
+    one = spark.createDataFrame(
+        [tuple([[float(v) for v in row] for row in matrices[n]] for n in names)],
+        ", ".join(f"{n} array<array<double>>" for n in names),
+    )
+    return df.crossJoin(F.broadcast(one))
+
+
+def _l2_array(vecd, mat) -> F.Column:
+    """Squared-L2 distances from a double-array column to every row of a
+    matrix column: array<double> of len(mat)."""
+    return F.transform(
+        mat,
+        lambda cv: F.aggregate(
+            F.zip_with(vecd, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def _argmin_pos(arr) -> F.Column:
+    """1-based position of the minimum (lowest position on ties)."""
+    return F.array_position(arr, F.array_min(arr))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int = 2,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ ANN top-k — the composition production ANN indexes
+    (FAISS ``IVFx,PQy``) actually ship: an IVF coarse quantizer prunes
+    the corpus to the queries' ``n_probe`` nearest cells, and within the
+    probed cells distance is PQ-ADC (Jégou et al. 2011) over m-byte
+    codes instead of full vectors.
+
+    Both quantizers arrive as literals (train offline, ship frozen —
+    same contract as ``ivf_topk`` / ``pq_adc_topk``). Corpus vectors
+    reduce scan-side to (cell, m codes); queries broadcast (probe cells
+    + per-subspace distance tables); the only join is the cell equi-join,
+    so the scan streams m bytes per vector and the scored set scales
+    with cells probed — neither full vectors nor the unprobed corpus
+    ever reach the join. This is the 100 TB shape: ivf_topk still
+    touches full vectors inside probed cells, pq_adc_topk scans every
+    code; IVF+PQ does neither."""
+    m = len(codebooks)
+    widths = [len(cb[0]) for cb in codebooks]
+    starts = [1 + sum(widths[:j]) for j in range(m)]
+
+    def with_quantizers(df):
+        mats = {"__cent": centroids}
+        mats.update({f"__cb_{j}": codebooks[j] for j in range(m)})
+        return _matrices_lit(df, mats)
+
+    def sub(vecd, j: int):
+        return F.slice(vecd, starts[j], widths[j])
+
+    # Distance arrays materialize as real columns before the argmin
+    # references them twice: Spark does not CSE higher-order-function
+    # expressions, so inlining would evaluate each one twice per row.
+    c = (
+        with_quantizers(corpus.select(F.col(corpus_id), F.col(vec_col)))
+        .withColumn("__vecd", _as_double(F.col(vec_col)))
+        .select(
+            F.col(corpus_id),
+            _l2_array(F.col("__vecd"), F.col("__cent")).alias("__cd"),
+            *[
+                _l2_array(sub(F.col("__vecd"), j), F.col(f"__cb_{j}")).alias(
+                    f"__dtc_{j}"
+                )
+                for j in range(m)
+            ],
+        )
+        .select(
+            F.col(corpus_id),
+            (_argmin_pos(F.col("__cd")) - 1).cast("int").alias("__cell"),
+            *[
+                _argmin_pos(F.col(f"__dtc_{j}")).cast("int").alias(f"__code_{j}")
+                for j in range(m)
+            ],
+        )
+    )
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    F.col("__qd"),
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            ),
+            lambda s: s.getField("i"),
+        ),
+        1,
+        n_probe,
+    )
+    q = F.broadcast(
+        with_quantizers(queries.select(F.col(query_id), F.col(vec_col)))
+        .withColumn("__qvecd", _as_double(F.col(vec_col)))
+        .withColumn("__qd", _l2_array(F.col("__qvecd"), F.col("__cent")))
+        .select(
+            F.col(query_id),
+            F.explode(probe_cells).alias("__cell"),
+            *[
+                _l2_array(sub(F.col("__qvecd"), j), F.col(f"__cb_{j}")).alias(
+                    f"__dt_{j}"
+                )
+                for j in range(m)
+            ],
+        )
+    )
+    approx = sum(
+        F.element_at(F.col(f"__dt_{j}"), F.col(f"__code_{j}")) for j in range(m)
+    )
+    scored = c.join(q, "__cell").select(
+        query_id, corpus_id, approx.alias("approx_d")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_d").asc_nulls_last(), F.col(corpus_id).asc_nulls_last()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id, corpus_id, "approx_d", F.col("__rn").alias("rank"))
+    )
+
+
+def semdedup_drop_list(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings with a frozen coarse quantizer,
+    compare pairs ONLY within a cluster, and drop every vector that has
+    a lower-id cluster-mate above the cosine threshold (the kept
+    representative is the lowest id of each near-dup group).
+
+    Returns the drop list: one row per dropped vector — vec_id, the
+    cell, the witness (lowest-id neighbor that condemned it) and its
+    cosine.
+
+    Scale shape: cell assignment is scan-side codegen; the only shuffle
+    is the cell equi-join, and pair cost is Σ |cell|² — bounded by the
+    quantizer's cluster granularity (train k so cells fit memory; the
+    paper uses k in the tens of thousands at web scale), never the
+    corpus N²."""
+    # One scan-side pass: double-cast vector, its norm, and the cell —
+    # centroids ride along as a broadcast matrix column (_matrix_lit, so
+    # k scales without blowing up the expression tree), the distance
+    # array materializes as a column so the argmin doesn't evaluate it
+    # twice (HOFs are outside Spark's CSE), and norms are computed once
+    # per VECTOR, not once per pair.
+    sig = (
+        _matrix_lit(corpus.select(F.col(corpus_id), F.col(vec_col)), "__cent", centroids)
+        .withColumn("__vecd", _as_double(F.col(vec_col)))
+        .select(
+            F.col(corpus_id),
+            F.col("__vecd"),
+            _l2_array(F.col("__vecd"), F.col("__cent")).alias("__cd"),
+        )
+    ).select(
+        F.col(corpus_id),
+        F.col("__vecd"),
+        F.sqrt(
+            F.aggregate(
+                F.col("__vecd"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ).alias("__norm"),
+        (F.array_position(F.col("__cd"), F.array_min("__cd")) - 1)
+        .cast("int")
+        .alias("__cell"),
+    )
+    a = sig.select(
+        F.col("__cell"),
+        F.col(corpus_id).alias("id_a"),
+        F.col("__vecd").alias("__vec_a"),
+        F.col("__norm").alias("__norm_a"),
+    )
+    b = sig.select(
+        F.col("__cell"),
+        F.col(corpus_id).alias("id_b"),
+        F.col("__vecd").alias("__vec_b"),
+        F.col("__norm").alias("__norm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__vec_a"), F.col("__vec_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "__cell",
+            "id_a",
+            "id_b",
+            (dot / (F.col("__norm_a") * F.col("__norm_b"))).alias("__cs"),
+        )
+        .filter(F.col("__cs") >= threshold)
+    )
+    return (
+        pairs.groupBy("id_b")
+        .agg(
+            F.first("__cell").alias("cell"),
+            F.min("id_a").alias("witness_id"),
+            F.max("__cs").alias("max_cos"),
+        )
+        .select(
+            F.col("id_b").alias(corpus_id),
+            "cell",
+            "witness_id",
+            "max_cos",
+        )
+    )
