@@ -72,6 +72,7 @@ EXTRA = [
     "b54_ivfpq_topk",        # IVF+PQ composed ANN (r4)
     "b55_semdedup",          # cluster-scoped semantic dedup (r4)
     "b56_zorder_layout",     # Z-order layout report (r4)
+    "b57_quality_classifier",  # frozen-weight logistic quality model (r4)
 ]
 
 

@@ -119,6 +119,7 @@ _PRIORITY_R4: tuple[str, ...] = (
     "b54_ivfpq_topk",
     "b55_semdedup",
     "b56_zorder_layout",
+    "b57_quality_classifier",
 )
 
 # Round-3 priority head, kept for provenance (49/50 full-match in

@@ -1659,3 +1659,48 @@ def b56_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "z_bucket", "n_rows", "x_min", "x_max", "y_min", "y_max"
     ).orderBy(F.col("z_bucket").asc_nulls_last())
+
+
+@query(
+    "b57_quality_classifier",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS w,
+             CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+                  AS DOUBLE) / nullif(length(text), 0) AS alpha
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, len(w) AS n_words,
+             -5.5
+             + 0.45 * ln(1.0 + len(w))
+             + 0.25 * (CAST(list_aggregate(list_transform(w, x -> length(x)),
+                                           'sum') AS DOUBLE)
+                       / nullif(len(w), 0))
+             + 2.0 * alpha
+             + 1.5 * (CAST(len(list_distinct(w)) AS DOUBLE)
+                      / nullif(len(w), 0))
+             + 3.5 * (CAST(len(list_filter(w, x -> list_contains(
+                          ['the','and','of','to','in'], x))) AS DOUBLE)
+                      / nullif(len(w), 0))
+               AS logit
+      FROM feats
+    )
+    SELECT doc_id, n_words,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS quality_prob,
+           round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep
+    FROM scored
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b57_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-weight logistic quality classifier (operators/text.py::
+    quality_logreg) — the trained-model stage above the b20/b49
+    heuristic gates, as one shuffle-free scan-speed projection. The
+    oracle replays features, logit, and sigmoid; both engines compare
+    the 6-decimal-rounded probability at the keep threshold."""
+    return text.quality_logreg(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy(F.col("doc_id").asc_nulls_last())

@@ -210,3 +210,63 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lang_id(text).alias("lang_guess"),
         fingerprint(text).alias("fingerprint"),
     )
+
+
+# Frozen weights of the linear quality model: bias, then coefficients for
+# [ln(1+n_words), avg_word_len, alpha_ratio, distinct_ratio,
+#  stopword_ratio]. Train offline (the CCNet/LLaMA recipe trains a linear
+# fastText head against a reference corpus) and ship as literals, exactly
+# like the frozen ANN quantizers.
+QUALITY_LOGREG_WEIGHTS: tuple[float, ...] = (-5.5, 0.45, 0.25, 2.0, 1.5, 3.5)
+
+
+def quality_logreg(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: tuple[float, ...] = QUALITY_LOGREG_WEIGHTS,
+) -> DataFrame:
+    """Model-based quality scoring: a frozen-weight logistic regression
+    over the cheap scan-side features — the production step above the
+    hard heuristic gates (quality_score / repetition_stats): pipelines
+    keep the heuristics as hard filters and rank/sample by a trained
+    linear classifier's probability (CCNet's fastText stage, LLaMA's
+    Wikipedia-reference classifier).
+
+    Everything is one projection of codegen Column expressions — zero
+    shuffle, zero UDF — so it runs at scan speed over 100 TB and
+    composes with any downstream sampler. Deterministic (fixed weights,
+    closed-form features), so a SQL oracle reproduces it bit-for-bit up
+    to the 6-decimal rounding."""
+    w0, w1, w2, w3, w4, w5 = (float(w) for w in weights)
+    text = F.col(text_col)
+    words = _words(text)
+    nw = F.size(words)
+    avg_wl = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / F.nullif(nw, F.lit(0))
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z ]", "")) / F.nullif(
+        F.length(text), F.lit(0)
+    )
+    distinct_ratio = F.size(F.array_distinct(words)) / F.nullif(nw, F.lit(0))
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin("the", "and", "of", "to", "in"))
+    )
+    stop_ratio = stop_hits / F.nullif(nw, F.lit(0))
+    logit = (
+        F.lit(w0)
+        + F.lit(w1) * F.log(F.lit(1.0) + nw)
+        + F.lit(w2) * avg_wl
+        + F.lit(w3) * alpha
+        + F.lit(w4) * distinct_ratio
+        + F.lit(w5) * stop_ratio
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        prob.alias("quality_prob"),
+        # compare the ROUNDED probability so both engines decide the
+        # boundary identically (the b49 convention)
+        (prob >= 0.5).alias("keep"),
+    )

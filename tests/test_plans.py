@@ -200,3 +200,36 @@ def test_b04_guard_branch_is_bucket_pruned(spark, sf_dir):
     df = catalog.QUERIES["b04_simhash"](spark, sf_dir)
     pushed = " ".join(plans.pushed_filters(df))
     assert "EqualTo(doc_id" in pushed
+
+
+def test_b52_resolution_is_hashagg_not_window(spark, sf_dir):
+    """Cluster resolution must reduce via max_by hash-agg (map-side
+    combine), never a per-cluster window sort; and the scan must prune
+    to the three columns the fingerprint + policy need."""
+    df = catalog.QUERIES["b52_dup_cluster_keep_best"](spark, sf_dir)
+    text = plans.explain_string(df)
+    assert "Window" not in text
+    assert any(
+        set(s) <= {"doc_id", "text", "n_chars"}
+        for s in plans.read_schema_columns(df)
+    )
+
+
+def test_b53_exact_verify_is_semi_join(spark, sf_dir):
+    """Bloom decontamination must end in a LeftSemi verify (never an
+    inner join that could duplicate spans), and the bloom map must ride
+    a broadcast."""
+    df = catalog.QUERIES["b53_bloom_decontam"](spark, sf_dir)
+    text = plans.explain_string(df)
+    assert "LeftSemi" in text
+    assert "Broadcast" in text
+
+
+def test_b56_zorder_scan_prunes_to_two_columns(spark, sf_dir):
+    """The layout report reads exactly the two interleaved key columns —
+    a z-order pass over a wide 100 TB table must not scan the body."""
+    df = catalog.QUERIES["b56_zorder_layout"](spark, sf_dir)
+    schemas = plans.read_schema_columns(df)
+    assert schemas and all(
+        set(s) <= {"event_id", "user_id"} for s in schemas
+    ), schemas
