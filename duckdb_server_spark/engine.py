@@ -97,14 +97,19 @@ class Engine:
         if not os.path.isdir(path):
             raise ValueError(f"{name!r} is not a managed table of this engine")
         compacted = self.spark.read.parquet(path).coalesce(target_files)
-        tmp = path + ".compact"
-        compacted.write.mode("overwrite").parquet(tmp)
-        # Crash-safe swap: clear any stale .old from a prior failed run
-        # (rename onto a non-empty dir raises OSError), move old out, new
-        # in; if the second rename fails, restore the original so the
-        # table never disappears.
+        return self._rewrite_managed(name, path, compacted)
+
+    def _rewrite_managed(self, name: str, path: str, df: DataFrame) -> DataFrame:
+        """Write ``df`` next to ``path`` and swap it in crash-safely:
+        clear any stale .old from a prior failed run (rename onto a
+        non-empty dir raises OSError), move old out, new in; if the
+        second rename fails, restore the original so the table never
+        disappears."""
+        import os
         import shutil
 
+        tmp = path + ".rewrite"
+        df.write.mode("overwrite").parquet(tmp)
         old = path + ".old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)
@@ -118,6 +123,40 @@ class Engine:
         out.createOrReplaceTempView(name)
         self.views[name] = out
         return out
+
+    def optimize_zorder(
+        self, name: str, x_col: str, y_col: str, target_files: int = 4
+    ) -> DataFrame:
+        """``OPTIMIZE ... ZORDER BY (x, y)`` analog for a managed table:
+        rewrite its parquet clustered on the Morton interleave of the two
+        columns' low bits (operators/layout.py) so every output file
+        covers a small rectangle of (x, y) space and min/max footer stats
+        prune scans on BOTH predicates — the layout maintenance job a
+        100 TB table runs after heavy ingest. One range shuffle + local
+        sort; the swap is the same crash-safe rename as compact_table."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from duckdb_server_spark.operators.layout import zorder_key
+
+        path = os.path.join(self.warehouse_dir_writable(), name)
+        if not os.path.isdir(path):
+            raise ValueError(f"{name!r} is not a managed table of this engine")
+        src = self.spark.read.parquet(path)
+        keyed = src.withColumn(
+            "__z",
+            zorder_key(
+                F.pmod(F.col(x_col).cast("long"), F.lit(256)),
+                F.pmod(F.col(y_col).cast("long"), F.lit(256)),
+            ),
+        )
+        clustered = (
+            keyed.repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        return self._rewrite_managed(name, path, clustered)
 
     def drop_table(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)

@@ -185,3 +185,34 @@ def test_engine_compact_table_stale_old_dir(spark, sf_dir):
     eng.compact_table("nation_c", target_files=2)
     assert eng.table("nation_c").count() == 25
     assert not os.path.exists(path + ".old")
+
+
+def test_engine_optimize_zorder(spark, sf_dir):
+    """OPTIMIZE ZORDER analog: same rows, and every rewritten file's
+    (x % 256, y % 256) footprint is a fraction of the full key space —
+    the file-skipping evidence parquet min/max stats rely on."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    eng = Engine(warehouse_dir=sf_dir, spark=spark)
+    eng.create_table("events_z", eng.sql("SELECT * FROM events").repartition(8))
+    n_before = eng.table("events_z").count()
+    eng.optimize_zorder("events_z", "user_id", "event_id", target_files=4)
+    assert eng.table("events_z").count() == n_before
+    path = os.path.join(eng.warehouse_dir_writable(), "events_z")
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert 1 <= len(files) <= 4
+    for f in files:
+        df = spark.read.parquet(f).select(
+            F.pmod(F.col("user_id"), F.lit(256)).alias("x"),
+            F.pmod(F.col("event_id"), F.lit(256)).alias("y"),
+        )
+        row = df.agg(
+            F.min("x").alias("x0"), F.max("x").alias("x1"),
+            F.min("y").alias("y0"), F.max("y").alias("y1"),
+        ).collect()[0]
+        area = (row.x1 - row.x0 + 1) * (row.y1 - row.y0 + 1)
+        assert area <= 256 * 256 // 2, (f, area)
+    eng.drop_table("events_z")
