@@ -229,7 +229,16 @@ def shingle_dup_stats(
             shingles_from_words(F.col("__words"), text_col, n)
         ).alias("__shingle"),
     )
-    hashed = sh.select(id_col, F.xxhash64("__shingle").alias("__sh"))
+    # hashed feeds both the frequency aggregate and the join back —
+    # branched lineage gets no exchange reuse, so without truncation the
+    # corpus is shingled twice. Lazy localCheckpoint materializes the
+    # 8-byte span hashes once (fresh-call A/B: 1.80 s → 1.32 s at sf0.1;
+    # the win is specific to this op's expensive recomputed branch —
+    # cheaper branches measured faster WITHOUT truncation, so this is
+    # deliberately not applied engine-wide).
+    hashed = sh.select(
+        id_col, F.xxhash64("__shingle").alias("__sh")
+    ).localCheckpoint(eager=False)
     freq = hashed.groupBy("__sh").agg(
         F.count_distinct(id_col).alias("__ndocs")
     )
