@@ -120,6 +120,9 @@ def b03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         num_hashes=32,
         bands=8,
+        # 2-doc branch: keep the scan (and its pushed doc_id filter)
+        # visible in the plan for the bucket-pruning assert
+        truncate_lineage=False,
     )
     planted = guard_cands.agg(
         F.coalesce(

@@ -212,7 +212,7 @@ def embedding_near_dup_pairs(
         F.col(corpus_id),
         F.col(vec_col),
         hyperplane_signature(F.col(vec_col), hyperplanes).alias("__bucket"),
-    )
+    ).localCheckpoint(eager=False)  # both join sides consume the signatures
     a = sig.select(
         F.col("__bucket"),
         F.col(corpus_id).alias("id_a"),
@@ -561,7 +561,7 @@ def semdedup_drop_list(
         (F.array_position(F.col("__cd"), F.array_min("__cd")) - 1)
         .cast("int")
         .alias("__cell"),
-    )
+    ).localCheckpoint(eager=False)  # both join sides consume the signatures
     a = sig.select(
         F.col("__cell"),
         F.col(corpus_id).alias("id_a"),
