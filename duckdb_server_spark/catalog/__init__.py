@@ -107,19 +107,24 @@ _PRIORITY_R4: tuple[str, ...] = (
     "st_stream_tws_rollup",
     "st_stateful_totals",
     # --- end of the 44 never-checked rows ---
-    # Code touched in round 4: refresh their green evidence.
-    "b03_minhash_lsh_pairs",
-    "b04_simhash",
-    "st_stream_watermark_append",
-    "st_stream_stream_join",
-    "st_stream_file_sink",
-    # Round-4 additions (new code, never driver-checked yet).
+    # Round-4 additions (new code, never driver-checked) come before the
+    # refresh rows: a first-ever check is stronger evidence than a
+    # re-check of a query that has always been green.
     "b52_dup_cluster_keep_best",
     "b53_bloom_decontam",
     "b54_ivfpq_topk",
     "b55_semdedup",
     "b56_zorder_layout",
     "b57_quality_classifier",
+    # Code touched in round 4 (NTZ watermark fix, planted-guard pruning,
+    # lineage truncation): refresh their green evidence.
+    "b03_minhash_lsh_pairs",
+    "b04_simhash",
+    "b06_substring_dedup",
+    "b12_embedding_near_dup",
+    "st_stream_watermark_append",
+    "st_stream_stream_join",
+    "st_stream_file_sink",
 )
 
 # Round-3 priority head, kept for provenance (49/50 full-match in
