@@ -73,6 +73,7 @@ EXTRA = [
     "b55_semdedup",          # cluster-scoped semantic dedup (r4)
     "b56_zorder_layout",     # Z-order layout report (r4)
     "b57_quality_classifier",  # frozen-weight logistic quality model (r4)
+    "b58_fuzzy_dedup_e2e",   # LSH→Jaccard→components→resolve composite (r4)
 ]
 
 

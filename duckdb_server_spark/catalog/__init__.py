@@ -116,6 +116,7 @@ _PRIORITY_R4: tuple[str, ...] = (
     "b55_semdedup",
     "b56_zorder_layout",
     "b57_quality_classifier",
+    "b58_fuzzy_dedup_e2e",
     # Code touched in round 4 (NTZ watermark fix, planted-guard pruning,
     # lineage truncation): refresh their green evidence.
     "b03_minhash_lsh_pairs",

@@ -1707,3 +1707,63 @@ def b57_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_logreg(
         t(spark, sf_dir, "documents"), "text", "doc_id"
     ).orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query("b58_fuzzy_dedup_e2e")  # rows-only: LSH candidates derive from xxhash64
+def b58_fuzzy_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy deduplication — the full SlimPajama/RefinedWeb
+    recipe as ONE composed plan: MinHash-LSH candidate pairs (b03's
+    operator) → exact n-gram-Jaccard verification at ≥ 0.5 (b02's) →
+    connected components over the verified edges (b05's) → keep the
+    min-id representative per duplicate cluster (b52's policy family).
+
+    The random corpus has no natural near-dups (median adjacent-pair
+    Jaccard is 0.0), so the staged input plants a deterministic family:
+    docs 0-9 cloned at ids -1..-10 with their last word dropped
+    (Jaccard ≈ 0.97 — exercises the NEAR-dup path, not just exact), and
+    doc -11 an exact copy of doc 0 (forcing one 3-member cluster).
+    Output: one row per duplicate cluster with its kept representative;
+    the planted family makes recall regressions visible in the recorded
+    row count. Hash-derived (rows-only); the verification and clustering
+    stages carry their own oracles via b02/b05.
+
+    Scale shape: every stage is the already-audited operator — banded
+    bucket join (never N²), pair-scoped Jaccard, O(log d) label rounds —
+    and the cluster resolve is one hash-agg over (component, node)."""
+    from duckdb_server_spark.operators.components import connected_components
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    id_type = docs.schema["doc_id"].dataType
+    words = F.split(F.col("text"), r"\s+")
+    near_clones = docs.filter(F.col("doc_id") < 10).select(
+        (-(F.col("doc_id") + 1)).cast(id_type).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
+    )
+    exact_clone = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(-11).cast(id_type).alias("doc_id"), "text"
+    )
+    staged = docs.unionByName(near_clones).unionByName(exact_clone)
+    cands = dedup.minhash_lsh_candidates(staged, "text", "doc_id")
+    verified = dedup.ngram_jaccard(cands, staged, "text", "doc_id", n=3).filter(
+        F.col("jaccard") >= 0.5
+    )
+    labels = connected_components(
+        verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+            F.max(F.when(F.col("node") < 0, 1).otherwise(0)).alias(
+                "has_planted"
+            ),
+        )
+        .select(
+            F.col("component").alias("keep_doc_id"),
+            "n_members",
+            "n_dropped",
+            "has_planted",
+        )
+        .orderBy(F.col("keep_doc_id").asc_nulls_last())
+    )

@@ -181,3 +181,18 @@ def test_b55_semdedup_catches_planted_clones(spark, sf_dir):
     assert planted <= dropped, f"missing clones: {sorted(planted - dropped)[:5]}"
     for r in rows:
         assert r.witness_id < r.vec_id
+
+
+def test_b58_fuzzy_dedup_finds_planted_family(spark, sf_dir):
+    """The composed LSH→Jaccard→components→resolve pipeline must recover
+    the planted clone family: ≥10 clusters flagged has_planted, and the
+    doc-0 cluster ({0, -1 near-clone, -11 exact clone}) resolves to
+    keep_doc_id=-11 with 3 members."""
+    rows = catalog.QUERIES["b58_fuzzy_dedup_e2e"](spark, sf_dir).collect()
+    planted = [r for r in rows if r.has_planted == 1]
+    assert len(planted) >= 10
+    c0 = [r for r in rows if r.keep_doc_id == -11]
+    # ≥3: {0, -1 near-clone, -11 exact clone}; natural near-dups of doc 0
+    # may merge into the same component
+    assert c0 and c0[0].n_members >= 3
+    assert all(r.n_dropped == r.n_members - 1 for r in rows)
