@@ -117,6 +117,8 @@ _PRIORITY_R4: tuple[str, ...] = (
     "b56_zorder_layout",
     "b57_quality_classifier",
     "b58_fuzzy_dedup_e2e",
+    "s12_orc_sink_roundtrip",
+    "s12_json_sink_roundtrip",
     # Code touched in round 4 (NTZ watermark fix, planted-guard pruning,
     # lineage truncation): refresh their green evidence.
     "b03_minhash_lsh_pairs",

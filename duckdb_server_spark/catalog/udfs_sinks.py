@@ -233,3 +233,47 @@ def s13_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("insert").alias("action"),
     )
     return merged.unionByName(inserts).orderBy(F.col("o_orderkey").asc_nulls_last())
+
+
+@query(
+    "s12_orc_sink_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def s12_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + re-scan (S12 on Spark's second columnar format): same
+    predicate-pushdown/column-pruning machinery as parquet, exercised so
+    a user migrating ORC warehouses keeps their layout. The oracle runs
+    on the parquet view — the roundtrip must be lossless."""
+    out = os.path.join(tempfile.gettempdir(), f"dss_sink_cust_orc_{abs(hash(sf_dir))}")
+    t(spark, sf_dir, "customer").write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("balance"),
+    )
+
+
+@query(
+    "s12_json_sink_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+    """,
+)
+def s12_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-inferred re-scan (S12 + S3) — the
+    interchange format path; completes the sink matrix (parquet, CSV,
+    ORC, JSON)."""
+    out = os.path.join(tempfile.gettempdir(), f"dss_sink_region_json_{abs(hash(sf_dir))}")
+    t(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode(
+        "overwrite"
+    ).json(out)
+    back = spark.read.json(out)
+    return back.select("r_regionkey", "r_name").orderBy(
+        F.col("r_regionkey").asc_nulls_last()
+    )
