@@ -74,6 +74,7 @@ EXTRA = [
     "b56_zorder_layout",     # Z-order layout report (r4)
     "b57_quality_classifier",  # frozen-weight logistic quality model (r4)
     "b58_fuzzy_dedup_e2e",   # LSH→Jaccard→components→resolve composite (r4)
+    "b59_rag_chunks",        # overlapping token-window chunking (r4)
 ]
 
 

@@ -45,15 +45,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here are re-inserted first (in this order); everything else keeps module
 # import order behind them.
 #
-# Round 4 closes the evidence hole: exactly 44 declared queries have never
+# Round 4 closes the evidence hole: exactly 44 declared queries had never
 # appeared in any CORRECTNESS file (rounds 1-3 checked 138 of 182). All 44
 # go first, cheapest-first — scans/sinks, join/skew variants, the §2.11 UDF
 # surface, TPC-H analogs t09-t22, the r3-added b-queries, then the batch
 # streaming analogs and finally the readStream rows (~1 s state-store setup
-# each). Behind them: the queries whose code changed this round (b03/b04
-# guard restructure, the three watermark-path streaming rows fixed for
-# TIMESTAMP_NTZ parquet) so their green evidence is refreshed, then module
-# order. 44 + 5 < 50, so one driver pass covers every stale row.
+# each). Behind them: the ten queries ADDED in round 4 (b52-b59 + the
+# ORC/JSON sink roundtrips — first-ever checks beat re-checks), then the
+# rows whose code changed this round (guard restructure, lineage
+# truncation, the watermark-path fixes) so their green evidence refreshes,
+# then module order. A ~50-query driver pass covers the 44 + the first
+# few additions; anything past the budget line is fronted again in r5.
 _PRIORITY_R4: tuple[str, ...] = (
     # §2.1 scans / sources / sinks.
     "s02_csv_scan",
@@ -119,6 +121,7 @@ _PRIORITY_R4: tuple[str, ...] = (
     "b58_fuzzy_dedup_e2e",
     "s12_orc_sink_roundtrip",
     "s12_json_sink_roundtrip",
+    "b59_rag_chunks",
     # Code touched in round 4 (NTZ watermark fix, planted-guard pruning,
     # lineage truncation): refresh their green evidence.
     "b03_minhash_lsh_pairs",

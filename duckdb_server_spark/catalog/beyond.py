@@ -1767,3 +1767,39 @@ def b58_fuzzy_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("keep_doc_id").asc_nulls_last())
     )
+
+
+@query(
+    "b59_rag_chunks",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, w,
+             unnest(range(1, greatest(len(w) - 64 + 1, 1) + 1, 48)) AS s
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 48 AS INT) AS chunk_id,
+           CAST(len(list_slice(w, s, s + 63)) AS INT) AS n_tokens,
+           array_to_string(list_slice(w, s, s + 63), ' ') AS chunk_text
+    FROM st
+    ORDER BY doc_id ASC NULLS LAST, chunk_id ASC NULLS LAST
+    """,
+)
+def b59_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, stride 48) —
+    the pass every RAG/embedding pipeline runs before encoding
+    (operators/text.py::chunk_documents). Zero-shuffle scan-side
+    Generate; provenance (doc_id, chunk_id) preserved for joining
+    embeddings back. Full oracle: window arithmetic replays exactly."""
+    return text.chunk_documents(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        chunk_tokens=64, stride=48,
+    ).orderBy(
+        F.col("doc_id").asc_nulls_last(), F.col("chunk_id").asc_nulls_last()
+    )

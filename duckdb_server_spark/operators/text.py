@@ -270,3 +270,49 @@ def quality_logreg(
         # boundary identically (the b49 convention)
         (prob >= 0.5).alias("keep"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    chunking pass every RAG/embedding pipeline runs before encoding
+    (window ``chunk_tokens``, step ``stride`` < window → overlap keeps
+    boundary context). Output: (id, chunk_id, n_tokens, chunk_text),
+    provenance preserved for joining scores/embeddings back.
+
+    Pure scan-side: one ``sequence``+``posexplode`` Generate per doc (no
+    shuffle at all — chunking is embarrassingly parallel), windows
+    sliced from the single tokenized array. A 100 TB corpus chunks at
+    scan speed and writes straight to the encoder's input shards."""
+    words = _words(F.col(text_col))
+    return (
+        df.select(F.col(id_col), words.alias("__w"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.size("__w") - chunk_tokens + 1, F.lit(1)
+                    ),
+                    F.lit(stride),
+                )
+            ).alias("chunk_id", "__start"),
+            F.col("__w"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.size(F.slice(F.col("__w"), F.col("__start"), chunk_tokens)).alias(
+                "n_tokens"
+            ),
+            F.array_join(
+                F.slice(F.col("__w"), F.col("__start"), chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )
