@@ -239,15 +239,22 @@ def quality_logreg(
     closed-form features), so a SQL oracle reproduces it bit-for-bit up
     to the 6-decimal rounding."""
     w0, w1, w2, w3, w4, w5 = (float(w) for w in weights)
-    text = F.col(text_col)
-    words = _words(text)
+    # Materialize the token array ONCE: four features reference it, and
+    # Spark's CSE does not cover higher-order functions — inlining
+    # re-tokenizes every document per feature (measured 4× at 500k docs).
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        _words(F.col(text_col)).alias("__w"),
+    )
+    words = F.col("__w")
     nw = F.size(words)
     avg_wl = F.aggregate(
         words, F.lit(0.0), lambda acc, w: acc + F.length(w)
     ) / F.nullif(nw, F.lit(0))
-    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z ]", "")) / F.nullif(
-        F.length(text), F.lit(0)
-    )
+    alpha = F.length(
+        F.regexp_replace(F.col("__text"), "[^a-zA-Z ]", "")
+    ) / F.nullif(F.length(F.col("__text")), F.lit(0))
     distinct_ratio = F.size(F.array_distinct(words)) / F.nullif(nw, F.lit(0))
     stop_hits = F.size(
         F.filter(words, lambda w: w.isin("the", "and", "of", "to", "in"))
@@ -262,7 +269,7 @@ def quality_logreg(
         + F.lit(w5) * stop_ratio
     )
     prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
-    return df.select(
+    return base.select(
         F.col(id_col),
         nw.alias("n_words"),
         prob.alias("quality_prob"),

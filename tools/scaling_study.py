@@ -1,0 +1,126 @@
+"""Scale-trend study: replicate the sf0.1 corpus 10x/100x into /tmp and
+measure the declared pipeline operators at each tier.
+
+The small-SF bench (bench.py) proves correctness-at-speed; this tool
+answers the 100 TB question directly — does wall-clock grow linearly
+(or better) with input, and where does per-row throughput saturate?
+Results and analysis: SCALING.md.
+
+Usage:
+    python tools/scaling_study.py generate     # build /tmp/scale_x{10,100}
+    python tools/scaling_study.py run cheap    # sub-linear / agg-shaped ops
+    python tools/scaling_study.py run heavy    # shingling / pair-emitting ops
+
+Replication detail: ids are offset per replica (doc_id + rep*10M etc.)
+so keys stay unique, but TEXT/EMBEDDING payloads repeat verbatim — which
+makes every document a (reps)-way duplicate. That is a WORST CASE for
+pair-emitting dedup ops (b03/b55): their OUTPUT grows quadratically in
+the replication factor, so judge their time against output size, not
+input rows (see SCALING.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from duckdb_server_spark import catalog
+from duckdb_server_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+TIERS = {
+    "1x": (SRC, 1),
+    "10x": ("/tmp/scale_x10", 10),
+    "100x": ("/tmp/scale_x100", 100),
+}
+# (table, id column, per-replica id offset); lineitem only to 10x — the
+# 60M-row 100x build thrashes the single-JVM heap for little signal.
+TABLES = (
+    ("documents", "doc_id", 10_000_000, (10, 100)),
+    ("events", "event_id", 100_000_000, (10, 100)),
+    ("embeddings", "vec_id", 10_000_000, (10, 100)),
+    ("lineitem", "l_orderkey", 100_000_000, (10,)),
+)
+GROUPS = {
+    "cheap": [
+        ("b20_text_quality", 5_000, ("1x", "10x", "100x")),
+        ("b57_quality_classifier", 5_000, ("1x", "10x", "100x")),
+        ("b59_rag_chunks", 5_000, ("1x", "10x", "100x")),
+        ("b01_exact_dedup", 5_000, ("1x", "10x", "100x")),
+        ("b52_dup_cluster_keep_best", 5_000, ("1x", "10x", "100x")),
+        ("b56_zorder_layout", 100_000, ("1x", "10x", "100x")),
+        ("st_session_window", 100_000, ("1x", "10x", "100x")),
+        ("q01_pricing_summary", 600_000, ("1x", "10x")),
+    ],
+    "heavy": [
+        ("b49_repetition_filter", 5_000, ("1x", "10x", "100x")),
+        ("b51_tfidf_topk", 5_000, ("1x", "10x", "100x")),
+        ("b53_bloom_decontam", 5_000, ("1x", "10x", "100x")),
+        ("b06_substring_dedup", 5_000, ("1x", "10x", "100x")),
+        ("b03_minhash_lsh_pairs", 5_000, ("1x", "10x", "100x")),
+        ("b55_semdedup", 2_000, ("1x", "10x", "100x")),
+    ],
+}
+
+
+def generate(spark) -> None:
+    for table, id_col, stride, reps_list in TABLES:
+        for reps in reps_list:
+            out = f"/tmp/scale_x{reps}/{table}.parquet"
+            df = spark.read.parquet(f"{SRC}/{table}.parquet")
+            rep = spark.range(reps).select(F.col("id").alias("__rep"))
+            big = (
+                df.crossJoin(rep)
+                .withColumn(id_col, F.col(id_col) + F.col("__rep") * stride)
+                .drop("__rep")
+            )
+            big.repartition(32).write.mode("overwrite").parquet(out)
+            print(f"x{reps} {table}: {spark.read.parquet(out).count():,} rows")
+
+
+def run(spark, group: str) -> None:
+    results = {}
+    for name, base_rows, tiers in GROUPS[group]:
+        results[name] = {}
+        for tier in tiers:
+            path, mult = TIERS[tier]
+            iters = 2 if tier != "100x" else 1
+            best = float("inf")
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                catalog.QUERIES[name](spark, path).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            rows = base_rows * mult
+            results[name][tier] = {
+                "sec": round(best, 3),
+                "rows_per_sec": int(rows / best),
+            }
+            print(
+                f"RES {name:28s} {tier:>4s}: {best:8.3f}s "
+                f"({int(rows / best):>11,} rows/s)",
+                flush=True,
+            )
+    with open(f"/tmp/scaling_{group}.json", "w") as f:
+        json.dump(results, f)
+
+
+def main() -> None:
+    catalog.load_all()
+    # 24g heap: local[32] packs all executor threads into one JVM; the
+    # stock 1g driver heap GC-thrashes on the 100x shingling stages.
+    spark = get_spark(
+        app_name="scaling-study", configs={"spark.driver.memory": "24g"}
+    )
+    if sys.argv[1] == "generate":
+        generate(spark)
+    else:
+        run(spark, sys.argv[2])
+
+
+if __name__ == "__main__":
+    main()
