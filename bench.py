@@ -75,6 +75,7 @@ EXTRA = [
     "b57_quality_classifier",  # frozen-weight logistic quality model (r4)
     "b58_fuzzy_dedup_e2e",   # LSH→Jaccard→components→resolve composite (r4)
     "b59_rag_chunks",        # overlapping token-window chunking (r4)
+    "b60_kmeans_train",      # quantizer training (Lloyd's, 2 iters) (r4)
 ]
 
 

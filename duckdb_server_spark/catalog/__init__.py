@@ -50,7 +50,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # go first, cheapest-first — scans/sinks, join/skew variants, the §2.11 UDF
 # surface, TPC-H analogs t09-t22, the r3-added b-queries, then the batch
 # streaming analogs and finally the readStream rows (~1 s state-store setup
-# each). Behind them: the ten queries ADDED in round 4 (b52-b59 + the
+# each). Behind them: the eleven queries ADDED in round 4 (b52-b60 + the
 # ORC/JSON sink roundtrips — first-ever checks beat re-checks), then the
 # rows whose code changed this round (guard restructure, lineage
 # truncation, the watermark-path fixes) so their green evidence refreshes,
@@ -122,6 +122,7 @@ _PRIORITY_R4: tuple[str, ...] = (
     "s12_orc_sink_roundtrip",
     "s12_json_sink_roundtrip",
     "b59_rag_chunks",
+    "b60_kmeans_train",
     # Code touched in round 4 (NTZ watermark fix, planted-guard pruning,
     # lineage truncation): refresh their green evidence.
     "b03_minhash_lsh_pairs",

@@ -1803,3 +1803,76 @@ def b59_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(
         F.col("doc_id").asc_nulls_last(), F.col("chunk_id").asc_nulls_last()
     )
+
+
+@query(
+    "b60_kmeans_train",
+    oracle="""
+    WITH cent0 AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    d1 AS (
+      SELECT e.vec_id, c.cid,
+             list_aggregate(list_transform(list_zip(e.embedding, c.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')
+               AS d
+      FROM embeddings e CROSS JOIN cent0 c),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM d1) WHERE rn = 1),
+    m1 AS (
+      SELECT a1.cid, t.j, avg(CAST(e.embedding[t.j] AS DOUBLE)) AS v
+      FROM a1, embeddings e, range(1, 65) t(j)
+      WHERE e.vec_id = a1.vec_id
+      GROUP BY a1.cid, t.j),
+    cent1 AS (
+      SELECT cid, list(v ORDER BY j) AS cvec FROM m1 GROUP BY cid),
+    d2 AS (
+      SELECT e.vec_id, c.cid,
+             list_aggregate(list_transform(list_zip(e.embedding, c.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')
+               AS d
+      FROM embeddings e CROSS JOIN cent1 c),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM d2) WHERE rn = 1),
+    m2 AS (
+      SELECT a2.cid, t.j, avg(CAST(e.embedding[t.j] AS DOUBLE)) AS v
+      FROM a2, embeddings e, range(1, 65) t(j)
+      WHERE e.vec_id = a2.vec_id
+      GROUP BY a2.cid, t.j)
+    SELECT CAST(cid AS INT) AS cid, CAST(j - 1 AS INT) AS dim,
+           round(v, 6) AS value
+    FROM m2
+    ORDER BY cid ASC NULLS LAST, dim ASC NULLS LAST
+    """,
+)
+def b60_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer TRAINING (operators/similarity.py::kmeans_refine): two
+    deterministic Lloyd's iterations from a first-8 init — the step that
+    produces the frozen centroids b13/b54/b55 consume as literals.
+    Assignment is the scan-side argmin; the update is a posexplode
+    (cell, dim) hash-agg mean (no whole-vector groups); the driver
+    collects exactly k×dim values between iterations. Full oracle
+    replays both iterations in SQL."""
+    emb = t(spark, sf_dir, "embeddings")
+    init = [
+        [float(v) for v in row.embedding]
+        for row in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    out = similarity.kmeans_refine(emb, init, iters=2)
+    return out.select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("dim").cast("int").alias("dim"),
+        F.round("value", 6).alias("value"),
+    ).orderBy(F.col("cid").asc_nulls_last(), F.col("dim").asc_nulls_last())

@@ -604,3 +604,64 @@ def semdedup_drop_list(
             "max_cos",
         )
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    init_centroids: list[list[float]],
+    iters: int = 2,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means refinement — the TRAINING step that
+    produces the frozen quantizers every ANN operator here consumes
+    (ivf_topk / ivfpq_topk / semdedup ship centroids as literals; this
+    is where those literals come from). Fixed iteration count and a
+    deterministic init (caller passes it — e.g. the first k vectors)
+    keep the whole computation replayable by a SQL oracle.
+
+    Per iteration: cell assignment is the usual scan-side argmin against
+    the broadcast centroid matrix (one pass, no shuffle), and the update
+    is a ``posexplode`` + (cell, dim) hash-agg mean — per-dimension
+    partial sums with map-side combine, so no whole-vector groups ever
+    materialize (same shape as the label-centroid op, beyond.py). The
+    driver collects exactly k×dim refined values between iterations
+    (bounded — 8×64 here), mirroring how a production run checkpoints
+    its quantizer artifact each round.
+
+    Returns the FINAL iteration's means as (cid, dim, value) — the
+    trained codebook in long form, ready to reshape and ship."""
+    cents = [[float(v) for v in c] for c in init_centroids]
+    out = None
+    for _ in range(iters):
+        assigned = (
+            _matrix_lit(
+                corpus.select(F.col(corpus_id), F.col(vec_col)), "__cent", cents
+            )
+            .withColumn("__vecd", _as_double(F.col(vec_col)))
+            .withColumn("__cd", _l2_array(F.col("__vecd"), F.col("__cent")))
+            .select(
+                F.col(corpus_id),
+                (_argmin_pos(F.col("__cd")) - 1).cast("int").alias("cid"),
+                F.col("__vecd"),
+            )
+        )
+        out = (
+            assigned.select("cid", F.posexplode("__vecd").alias("dim", "__v"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("__v").alias("value"))
+        )
+        rows = out.collect()
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r.cid, {})[r.dim] = r.value
+        if len(by_cid) != len(cents):
+            raise ValueError(
+                f"k-means cell emptied ({len(by_cid)}/{len(cents)} alive): "
+                "centroid ordinals would shift; re-init or lower k"
+            )
+        cents = [
+            [by_cid[c][d] for d in sorted(by_cid[c])]
+            for c in sorted(by_cid)
+        ]
+    return out

@@ -49,11 +49,21 @@ def _canon(df):
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     limit = None
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--limit"):
-            limit = int(a.split("=", 1)[1]) if "=" in a else None
+            if "=" in a:
+                limit = int(a.split("=", 1)[1])
+            elif i + 1 < len(argv):  # space form: --limit 60
+                limit = int(argv[i + 1])
+                i += 1
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     import duckdb
     from pyspark.sql import SparkSession
 
