@@ -76,6 +76,8 @@ EXTRA = [
     "b58_fuzzy_dedup_e2e",   # LSH→Jaccard→components→resolve composite (r4)
     "b59_rag_chunks",        # overlapping token-window chunking (r4)
     "b60_kmeans_train",      # quantizer training (Lloyd's, 2 iters) (r4)
+    "a20_funnel_analysis",   # ordered event funnel (r4)
+    "a21_retention_cohorts", # weekly retention matrix (r4)
 ]
 
 

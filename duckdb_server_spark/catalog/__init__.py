@@ -123,6 +123,8 @@ _PRIORITY_R4: tuple[str, ...] = (
     "s12_json_sink_roundtrip",
     "b59_rag_chunks",
     "b60_kmeans_train",
+    "a20_funnel_analysis",
+    "a21_retention_cohorts",
     # Code touched in round 4 (NTZ watermark fix, planted-guard pruning,
     # lineage truncation): refresh their green evidence.
     "b03_minhash_lsh_pairs",

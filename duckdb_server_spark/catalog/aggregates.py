@@ -741,3 +741,127 @@ def a21_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bucket").asc_nulls_last())
     )
+
+
+# --- Round-4 event-analytics additions: funnel + retention cohorts ---
+@query(
+    "a20_funnel_analysis",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t_signup
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase,
+           round((SELECT count(*) FROM c)
+                 / CAST((SELECT count(*) FROM s) AS DOUBLE), 4) AS click_rate,
+           round((SELECT count(*) FROM p)
+                 / CAST((SELECT count(*) FROM s) AS DOUBLE), 4) AS purchase_rate
+    """,
+)
+def a20_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → later click → later purchase): each stage
+    is a per-user min-timestamp aggregate constrained to events strictly
+    after the previous stage's first completion. Three hash-aggs + two
+    user-key equi-joins — at 100 TB every shuffle carries (user_id,
+    timestamp) pairs, never event payloads, and the user-key partitioning
+    is reused across stages (AQE exchange reuse)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    return counts.select(
+        "n_signup",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click") / F.col("n_signup").cast("double"), 4).alias(
+            "click_rate"
+        ),
+        F.round(
+            F.col("n_purchase") / F.col("n_signup").cast("double"), 4
+        ).alias("purchase_rate"),
+    )
+
+
+@query(
+    "a21_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cw
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+      FROM events)
+    SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', f.cw, a.aw) / 7 AS INT) AS week_offset,
+           count(*) AS n_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week ASC NULLS LAST, week_offset ASC NULLS LAST
+    """,
+)
+def a21_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: cohort = Monday-truncated week of
+    a user's first event; one row per (cohort, week offset) counting the
+    cohort's users active that week. Two hash-aggs sharing the user_id
+    shuffle plus a distinct on (user, week) — cohort analysis at 100 TB
+    is exactly this shape, with the (user, week) distinct as the only
+    wide stage (both engines truncate weeks to Monday, so the day
+    difference is an exact multiple of 7). The cohort week is emitted as
+    a 'yyyy-MM-dd' STRING: Spark's date_trunc yields TIMESTAMP while
+    DuckDB's yields DATE, and the two leak different python/pandas types
+    into the driver's dtype-sensitive hash — a formatted string is
+    identical under every comparison path."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("aw"), F.col("cw")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(
+            F.col("cohort_week").asc_nulls_last(),
+            F.col("week_offset").asc_nulls_last(),
+        )
+    )
