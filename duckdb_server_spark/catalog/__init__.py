@@ -39,23 +39,46 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Driver-check priority. The driver verifies queries in registration order
-# under a wall-clock budget (rounds 1-3 each covered ~50 queries), so
-# order is part of the contract surface: queries whose driver evidence is
-# stale or missing go first, already-green rows re-verify last. Names listed
-# here are re-inserted first (in this order); everything else keeps module
+# under a wall-clock budget (each round covers ~50 queries), so order is
+# part of the contract surface: queries whose driver evidence is stale or
+# missing go first, already-green rows re-verify last. Names listed here
+# are re-inserted first (in this order); everything else keeps module
 # import order behind them.
 #
-# Round 4 closes the evidence hole: exactly 44 declared queries had never
-# appeared in any CORRECTNESS file (rounds 1-3 checked 138 of 182). All 44
-# go first, cheapest-first — scans/sinks, join/skew variants, the §2.11 UDF
-# surface, TPC-H analogs t09-t22, the r3-added b-queries, then the batch
-# streaming analogs and finally the readStream rows (~1 s state-store setup
-# each). Behind them: the eleven queries ADDED in round 4 (b52-b60 + the
-# ORC/JSON sink roundtrips — first-ever checks beat re-checks), then the
-# rows whose code changed this round (guard restructure, lineage
-# truncation, the watermark-path fixes) so their green evidence refreshes,
-# then module order. A ~50-query driver pass covers the 44 + the first
-# few additions; anything past the budget line is fronted again in r5.
+# Round 5 (per VERDICT r4 item 1): exactly 7 declared queries have never
+# had a CORRECTNESS row — the r4 driver budget ran out before reaching
+# them. They go first, cheapest-first. Behind them: the queries ADDED in
+# round 5 (j02b right-outer, the s18 dialect-passthrough family, the w06
+# scale-path variant, …), then the rows whose code changed this round
+# (b04 oracle upgrade, b57 Arrow rewrite, b58 pre-pass composition,
+# brute-force top-k pre-prune consumers) so their green evidence
+# refreshes, then module order.
+_PRIORITY_R5: tuple[str, ...] = (
+    # --- the 7 never-driver-checked rows (VERDICT r4, "What's missing" 3) ---
+    "s12_orc_sink_roundtrip",
+    "s12_json_sink_roundtrip",
+    "a20_funnel_analysis",
+    "a21_retention_cohorts",
+    "b59_rag_chunks",
+    "b60_kmeans_train",
+    "b58_fuzzy_dedup_e2e",  # rows-only by design (hash-derived ids)
+    # --- round-5 additions (first-ever checks) ---
+    "j02b_right_outer",
+    "s18_dialect_passthrough",
+    "s18b_dialect_init_sql",
+    "w06b_bucketed_range_frame",
+    "b30b_png_decode",
+    # --- code changed in round 5: refresh green evidence ---
+    "b04_simhash",  # rows-only → full-oracle upgrade
+    "b57_quality_classifier",  # Arrow-vectorized token features
+    "b05_ann_brute_force",  # pre-pruned top-k path
+    "b12_embedding_near_dup",
+    "w06_range_frame",
+    "b56_zorder_layout",  # range-quantized Morton key (ADVICE r4)
+)
+
+# Round-4 priority head, kept for provenance (50/50 green in
+# CORRECTNESS_r04.json); no longer used for ordering.
 _PRIORITY_R4: tuple[str, ...] = (
     # §2.1 scans / sources / sinks.
     "s02_csv_scan",
@@ -332,14 +355,14 @@ _MODULE_ORDER = (
 def load_all() -> None:
     """Import every catalog module so registration side effects run, then
     re-order the registry so driver verification hits the highest-value
-    queries inside its budget (see _PRIORITY_R4)."""
+    queries inside its budget (see _PRIORITY_R5)."""
     import importlib
 
     for mod in _MODULE_ORDER:
         importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
 
-    ordered = [n for n in _PRIORITY_R4 if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in _PRIORITY_R4]
+    ordered = [n for n in _PRIORITY_R5 if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in _PRIORITY_R5]
     for registry in (QUERIES, ORACLE):
         snapshot = {n: registry[n] for n in ordered if n in registry}
         registry.clear()

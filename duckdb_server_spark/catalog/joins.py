@@ -108,6 +108,30 @@ def j02_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j02b_right_outer",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey ASC NULLS LAST
+    """,
+)
+def j02b_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER (the `RIGHT` keyword surface, main.go:486): preserves
+    order-less customers with n_orders = 0. Same shuffle shape as the left
+    form — Spark plans it as the mirrored hash join, so the big (orders)
+    side still streams."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy(F.col("c_custkey").asc_nulls_last())
+    )
+
+
 # --- J3: cross join (main.go:395) ---
 @query(
     "j03_cross_join",
