@@ -66,6 +66,7 @@ _PRIORITY_R5: tuple[str, ...] = (
     "j02b_right_outer",
     "s18_dialect_passthrough",
     "s18b_dialect_init_sql",
+    "s18c_dialect_asof_qualify",
     "w06b_bucketed_range_frame",
     "b30b_png_decode",
     # --- code changed in round 5: refresh green evidence ---
@@ -337,6 +338,7 @@ _MODULE_ORDER = (
     "sorts",
     "setops_cte",
     "scans",
+    "dialect_queries",
     "tpch",
     "tpch_suite",
     "streaming_analog",

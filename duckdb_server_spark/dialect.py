@@ -1,0 +1,733 @@
+"""DuckDB-dialect SQL acceptance — the verbatim-SQL parity layer.
+
+The reference's entire query capability is *verbatim DuckDB SQL* over the
+wire: a Flight ticket carries raw SQL (main.go:199) straight into
+``sql.Query`` on the embedded engine (main.go:229). A migrating user
+therefore points an existing DuckDB client at the server and expects
+``quantile_cont(...)``, ``SELECT * EXCLUDE (c)``, ``ASOF JOIN``,
+``QUALIFY`` … to just work. Spark SQL parses most of DuckDB's surface
+already (GROUP BY ALL, ORDER BY ALL, ``* EXCEPT``, lambdas); this module
+closes the remaining dialect gap with
+
+1. **registered SQL UDF aliases** (:func:`register_dialect_functions`) for
+   DuckDB names whose Spark spelling differs but whose shape is a plain
+   scalar call — pure ``RETURN <expression>`` bodies, so they inline into
+   the Catalyst plan and stay inside whole-stage codegen (zero Python);
+2. **a pre-parse string rewrite** (:func:`rewrite`) for constructs Spark's
+   parser rejects outright: ``* EXCLUDE`` / ``* REPLACE``, ``QUALIFY``,
+   the ``GLOB`` operator, DuckDB-only function names (``list_transform``,
+   ``quantile_cont``, numeric ``trunc``, …), double-quoted identifiers,
+   and ``ASOF JOIN`` (rewritten to the LEAD-bounded interval join — the
+   same scale-safe spelling operators/asof.py uses);
+3. **a statement router** (:func:`execute_statement` /
+   :func:`run_script`) for DuckDB init-script statements that have no
+   Spark equivalent: ``SET``/``INSTALL``/``LOAD``/``CREATE SECRET`` map
+   onto engine config and the capability registry, ``CREATE VIEW``
+   becomes a temp view over the rewritten query — so the reference's own
+   bootstrap SQL (k8s/main.yaml:100-135) executes unmodified.
+
+The serving entry point is :func:`run_sql`: try the statement as Spark
+SQL first (native queries pay zero overhead — the rewrite never touches
+them), and only on parse/analysis failure rewrite and retry. All
+rewrites are string→string before parsing, so Catalyst sees an ordinary
+query and every optimization (pushdown, pruning, AQE) applies untouched.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# ---------------------------------------------------------------------------
+# literal / identifier masking
+# ---------------------------------------------------------------------------
+
+_PLACEHOLDER = "\x00{}\x00"
+_PLACEHOLDER_RE = re.compile("\x00(\\d+)\x00")
+
+
+def _mask(sql: str) -> tuple[str, list[str]]:
+    """Replace string literals and quoted identifiers with placeholders so
+    every downstream regex can ignore quoting. Double-quoted identifiers
+    (DuckDB/ANSI) are converted to backticks (Spark) on restore; ``--`` and
+    ``/* */`` comments are dropped."""
+    out: list[str] = []
+    table: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            table.append(sql[i : j + 1])
+            out.append(_PLACEHOLDER.format(len(table) - 1))
+            i = j + 1
+        elif c == '"':
+            j = i + 1
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        j += 2
+                        continue
+                    break
+                j += 1
+            ident = sql[i + 1 : j].replace('""', '"')
+            table.append("`" + ident.replace("`", "``") + "`")
+            out.append(_PLACEHOLDER.format(len(table) - 1))
+            i = j + 1
+        elif c == "`":  # already-Spark identifier: mask as-is
+            j = i + 1
+            while j < n and sql[j] != "`":
+                j += 1
+            table.append(sql[i : j + 1])
+            out.append(_PLACEHOLDER.format(len(table) - 1))
+            i = j + 1
+        elif c == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+        elif c == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out), table
+
+
+def _unmask(sql: str, table: list[str]) -> str:
+    return _PLACEHOLDER_RE.sub(lambda m: table[int(m.group(1))], sql)
+
+
+def _literal_value(token: str) -> str | None:
+    """The python string behind a masked single-quote literal, else None."""
+    if token.startswith("'") and token.endswith("'"):
+        return token[1:-1].replace("''", "'")
+    return None
+
+
+# ---------------------------------------------------------------------------
+# balanced-paren helpers (operate on masked SQL)
+# ---------------------------------------------------------------------------
+
+
+def _matching_paren(s: str, open_idx: int) -> int:
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses in SQL")
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _find_top_keyword(s: str, words: tuple[str, ...], start: int = 0) -> tuple[int, str]:
+    """First depth-0 occurrence of any keyword in ``words`` at/after
+    ``start``; returns (index, matched word) or (-1, "")."""
+    pat = re.compile(r"\b(" + "|".join(words) + r")\b", re.IGNORECASE)
+    depth = 0
+    i = start
+    while i < len(s):
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(s, i)
+            if m:
+                return i, m.group(1).upper()
+        i += 1
+    return -1, ""
+
+
+# ---------------------------------------------------------------------------
+# individual rewrites (masked SQL in, masked SQL out)
+# ---------------------------------------------------------------------------
+
+# DuckDB name → Spark name for functions Spark has under a different
+# spelling. ``trunc`` maps to the registered dd_trunc SQL UDF because
+# Spark's builtin trunc is date-only (functions/scalar.py:40); renames are
+# dialect-path-only, so Spark-native queries keep Spark semantics.
+_FN_RENAMES = {
+    "list_transform": "transform",
+    "list_filter": "filter",
+    "array_transform": "transform",
+    "array_filter": "filter",
+    "quantile_cont": "percentile",
+    "regexp_matches": "regexp_like",
+    "trunc": "dd_trunc",
+    "list_contains": "array_contains",
+    "list_has": "array_contains",
+    "array_has": "array_contains",
+    "strlen": "length",
+    "list_unique": "dd_list_unique",
+    "string_split_regex": "split",
+    "str_split_regex": "split",
+    "regexp_split_to_array": "split",
+    "array_to_string": "array_join",
+    "list_sort": "array_sort",
+    "list_reverse_sort": "dd_list_reverse_sort",
+}
+
+_FN_RENAME_RE = re.compile(
+    r"\b(" + "|".join(_FN_RENAMES) + r")\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_fn_names(s: str) -> str:
+    return _FN_RENAME_RE.sub(lambda m: _FN_RENAMES[m.group(1).lower()] + "(", s)
+
+
+def _rewrite_list_literals(s: str) -> str:
+    """DuckDB list literal ``[a, b, c]`` → ``array(a, b, c)``. A bracket
+    directly after an identifier, ``)``, ``]``, or a masked literal is
+    list *indexing* (1-based in DuckDB, no direct Spark spelling) — left
+    untouched and surfaced as a parse error rather than silently shifted."""
+    out = []
+    prev = ""  # immediately preceding character (whitespace counts)
+    stack = []  # True where '[' was rewritten to array(
+    for c in s:
+        if c == "[":
+            # Indexing only when the bracket abuts its operand
+            # (ident char, ')', ']', or a masked literal terminator).
+            is_literal = not (prev.isalnum() or prev in ")]_\x00")
+            stack.append(is_literal)
+            out.append("array(" if is_literal else "[")
+        elif c == "]":
+            converted = stack.pop() if stack else False
+            out.append(")" if converted else "]")
+        else:
+            out.append(c)
+        prev = c
+    return "".join(out)
+
+
+# string_split expands TEXTUALLY (not via the registered SQL UDF): Spark
+# 4.1 mis-binds lambda variables over an inlined SQL-UDF result under
+# aggregation (transform(string_split(min(x)), e -> ...) yields NULL
+# elements), and `split` + \Q..\E literal-quoting is what the UDF body
+# does anyway. The UDF stays registered for direct Spark-dialect callers.
+_STRING_SPLIT_RE = re.compile(
+    r"\b(string_split|str_split|string_to_array)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_string_split(s: str, table: list[str]) -> str:
+    while True:
+        m = _STRING_SPLIT_RE.search(s)
+        if not m:
+            return s
+        open_idx = s.index("(", m.end() - 1)
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        if len(args) != 2:
+            raise ValueError("string_split expects (string, separator)")
+        table.append("'\\\\Q'")
+        q = _PLACEHOLDER.format(len(table) - 1)
+        table.append("'\\\\E'")
+        e = _PLACEHOLDER.format(len(table) - 1)
+        repl = f"split({args[0]}, concat({q}, {args[1]}, {e}))"
+        s = s[: m.start()] + repl + s[close + 1 :]
+
+
+_LIST_AGG_RE = re.compile(r"\b(list_aggregate|list_aggr|array_aggregate)\s*\(", re.IGNORECASE)
+
+# list_aggregate(l, 'fname') → Spark array expression. sum/avg accumulate
+# in DOUBLE (DuckDB widens to HUGEINT for integer lists; callers needing
+# exact integer sums should use aggregate() directly).
+_LIST_AGG_MAP = {
+    "min": "array_min({l})",
+    "max": "array_max({l})",
+    "count": "size(filter({l}, x -> x IS NOT NULL))",
+    "sum": "aggregate({l}, CAST(0.0 AS DOUBLE), (a, x) -> a + x)",
+    "avg": (
+        "aggregate({l}, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        " / size(filter({l}, x -> x IS NOT NULL))"
+    ),
+}
+
+
+def _rewrite_list_aggregate(s: str, table: list[str]) -> str:
+    while True:
+        m = _LIST_AGG_RE.search(s)
+        if not m:
+            return s
+        open_idx = s.index("(", m.end() - 1)
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        if len(args) != 2:
+            raise ValueError("list_aggregate expects (list, 'function_name')")
+        lit = _PLACEHOLDER_RE.fullmatch(args[1])
+        fname = _literal_value(table[int(lit.group(1))]) if lit else None
+        if fname is None or fname.lower() not in _LIST_AGG_MAP:
+            raise ValueError(f"unsupported list_aggregate function: {args[1]!r}")
+        repl = "(" + _LIST_AGG_MAP[fname.lower()].format(l=args[0]) + ")"
+        s = s[: m.start()] + repl + s[close + 1 :]
+
+
+# star EXCLUDE — but not window-frame EXCLUDE (CURRENT ROW / TIES / GROUP /
+# NO OTHERS), which is a different production Spark lacks entirely.
+_EXCLUDE_PAREN_RE = re.compile(
+    r"\bEXCLUDE\s*\(([^()]*)\)", re.IGNORECASE
+)
+_EXCLUDE_BARE_RE = re.compile(
+    r"\bEXCLUDE\s+(?!CURRENT\b|TIES\b|GROUP\b|NO\b)([A-Za-z_]\w*)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_exclude(s: str) -> str:
+    s = _EXCLUDE_PAREN_RE.sub(lambda m: "EXCEPT (" + m.group(1) + ")", s)
+    return _EXCLUDE_BARE_RE.sub(lambda m: "EXCEPT (" + m.group(1) + ")", s)
+
+
+# star REPLACE: `* [EXCEPT (...)] REPLACE (expr AS col, ...)` →
+# `* EXCEPT (cols...), expr AS col, ...` (replaced columns move to the end
+# of the projection; set-semantics consumers are unaffected).
+_STAR_REPLACE_RE = re.compile(
+    r"\*\s*(?:EXCEPT\s*\(([^()]*)\)\s*)?REPLACE\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_star_replace(s: str) -> str:
+    while True:
+        m = _STAR_REPLACE_RE.search(s)
+        if not m:
+            return s
+        open_idx = s.index("(", m.end() - 1)
+        close = _matching_paren(s, open_idx)
+        items = _split_top_commas(s[open_idx + 1 : close])
+        names, exprs = [], []
+        for item in items:
+            am = re.search(r"\s+AS\s+([A-Za-z_]\w*|\x00\d+\x00)\s*$", item, re.IGNORECASE)
+            if not am:
+                raise ValueError(f"star REPLACE item needs 'expr AS col': {item!r}")
+            names.append(am.group(1))
+            exprs.append(item)
+        except_cols = [c.strip() for c in (m.group(1) or "").split(",") if c.strip()]
+        except_cols += names
+        repl = "* EXCEPT (" + ", ".join(except_cols) + "), " + ", ".join(exprs)
+        s = s[: m.start()] + repl + s[close + 1 :]
+
+
+# GLOB operator: `expr GLOB 'pat'` / `expr NOT GLOB 'pat'` → RLIKE on the
+# translated anchored regex (functions/scalar.py:53).
+_GLOB_RE = re.compile(r"\bGLOB\s*\x00(\d+)\x00", re.IGNORECASE)
+
+
+def _rewrite_glob(s: str, table: list[str]) -> str:
+    from duckdb_server_spark.functions.scalar import glob_to_regex
+
+    def sub(m: re.Match) -> str:
+        pat = _literal_value(table[int(m.group(1))])
+        if pat is None:
+            raise ValueError("GLOB requires a string-literal pattern")
+        table.append("'" + glob_to_regex(pat).replace("'", "''").replace("\\", "\\\\") + "'")
+        return "RLIKE " + _PLACEHOLDER.format(len(table) - 1)
+
+    return _GLOB_RE.sub(sub, s)
+
+
+def _rewrite_qualify(s: str) -> str:
+    """`SELECT <sel> FROM ... QUALIFY <pred> [ORDER BY/LIMIT ...]` →
+    compute the predicate as a projected column inside a subquery, filter
+    outside — the standard expansion (window functions cannot sit in
+    WHERE). Works with CTE prefixes: the WITH list is parenthesized, so
+    the first depth-0 SELECT/FROM belong to the main query block."""
+    q_idx, _ = _find_top_keyword(s, ("QUALIFY",))
+    if q_idx < 0:
+        return s
+    tail_idx, _ = _find_top_keyword(s, ("ORDER", "LIMIT"), start=q_idx + 7)
+    pred = s[q_idx + 7 : tail_idx if tail_idx >= 0 else len(s)].strip()
+    tail = s[tail_idx:] if tail_idx >= 0 else ""
+    # The tail moves outside the wrapping subquery, where the FROM aliases
+    # no longer exist — strip `alias.` qualifiers (the subquery exposes the
+    # select list unqualified). Ordering by a non-projected column through
+    # QUALIFY is not supported.
+    tail = re.sub(r"\b[A-Za-z_]\w*\s*\.\s*(?=[A-Za-z_])", "", tail)
+    head = s[:q_idx].rstrip()
+
+    sel_idx, _ = _find_top_keyword(head, ("SELECT",))
+    from_idx, _ = _find_top_keyword(head, ("FROM",), start=sel_idx)
+    if sel_idx < 0 or from_idx < 0:
+        raise ValueError("QUALIFY rewrite: could not locate main SELECT ... FROM")
+    inner = (
+        head[:from_idx].rstrip()
+        + ", ("
+        + pred
+        + ") AS __dss_qualify "
+        + head[from_idx:]
+    )
+    return (
+        "SELECT * EXCEPT (__dss_qualify) FROM ("
+        + inner
+        + ") __dss_q WHERE __dss_qualify "
+        + tail
+    )
+
+
+# --- ASOF JOIN -------------------------------------------------------------
+
+def _scrub_bare_star(s: str) -> str:
+    """If the main query block projects a bare ``*``, exclude the helper
+    column the ASOF rewrite added to the right side. Depth-0 only — CTE
+    bodies and the inserted subquery (which uses ``__r.*``) are inside
+    parentheses and untouched."""
+    idx, _ = _find_top_keyword(s, ("SELECT",))
+    if idx < 0:
+        return s
+    m = re.match(
+        r"SELECT\s+\*(?!\s*EXCEPT)(?=\s*,|\s+FROM)", s[idx:], re.IGNORECASE
+    )
+    if m:
+        s = s[:idx] + "SELECT * EXCEPT (__asof_bound)" + s[idx + m.end():]
+    return s
+
+
+_ASOF_RE = re.compile(
+    r"\bASOF\s+(?P<kind>LEFT\s+)?JOIN\s+(?P<table>[A-Za-z_]\w*|\x00\d+\x00)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>(?!ON\b)[A-Za-z_]\w*))?\s+ON\b",
+    re.IGNORECASE,
+)
+_COLREF_RE = re.compile(r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)$")
+
+
+def _rewrite_asof(s: str) -> str:
+    """DuckDB ``ASOF JOIN`` → LEAD/LAG-bounded interval join.
+
+    ``L ASOF JOIN R ON L.k = R.k AND L.ts >= R.ts`` matches each left row
+    to the single right row with the greatest ``R.ts <= L.ts`` per key.
+    Equivalent interval spelling: extend each right row with the next
+    timestamp in its key group, then equi-join with the half-open interval
+    predicate — one window over the (small) right side plus a hash join,
+    the same plan shape as operators/asof.py builds (reference keyword:
+    main.go:380). Matches nearest-per-key uniquely, so no dedup needed.
+    """
+    while True:
+        m = _ASOF_RE.search(s)
+        if not m:
+            return s
+        rtable = m.group("table")
+        ralias = m.group("alias") or rtable
+        # ON condition: up to the next depth-0 clause keyword.
+        cond_start = m.end()
+        cond_end, _ = _find_top_keyword(
+            s,
+            ("WHERE", "GROUP", "ORDER", "LIMIT", "QUALIFY", "JOIN", "LEFT",
+             "RIGHT", "FULL", "INNER", "CROSS", "UNION", "INTERSECT",
+             "EXCEPT", "WINDOW", "HAVING", "ASOF"),
+            start=cond_start,
+        )
+        if cond_end < 0:
+            cond_end = len(s)
+        # The ON clause may sit inside a parenthesized FROM: stop at a
+        # depth-underflowing ')'.
+        depth = 0
+        for i in range(cond_start, cond_end):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth < 0:
+                    cond_end = i
+                    break
+        cond = s[cond_start:cond_end].strip()
+
+        eqs, ineq = [], None
+        for part in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+            part = part.strip()
+            im = re.match(r"^(\S+)\s*(>=|<=|>|<)\s*(\S+)$", part)
+            em = re.match(r"^(\S+)\s*=\s*(\S+)$", part)
+            if im:
+                if ineq is not None:
+                    raise ValueError("ASOF JOIN: more than one inequality in ON")
+                ineq = im.groups()
+            elif em:
+                eqs.append(em.groups())
+            else:
+                raise ValueError(f"ASOF JOIN: unsupported ON term: {part!r}")
+        if ineq is None:
+            raise ValueError("ASOF JOIN requires an inequality in ON")
+
+        def right_col(ref: str) -> str | None:
+            cm = _COLREF_RE.match(ref)
+            if cm and cm.group(1).lower() == ralias.lower():
+                return cm.group(2)
+            return None
+
+        lhs, op, rhs = ineq
+        r_ts, l_ts = right_col(rhs), lhs
+        if r_ts is None:  # inequality written right-side-first; flip it
+            r_ts, l_ts = right_col(lhs), rhs
+            op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}[op]
+        if r_ts is None:
+            raise ValueError("ASOF JOIN: inequality must reference the right table")
+
+        part_cols = []
+        for a, b in eqs:
+            rc = right_col(a) or right_col(b)
+            if rc is None:
+                raise ValueError("ASOF JOIN: equality must reference the right table")
+            part_cols.append(rc)
+
+        over = "PARTITION BY " + ", ".join(part_cols) + " " if part_cols else ""
+        if op in (">=", ">"):  # backward: bound by the NEXT right timestamp
+            bound_fn, bound_op = "LEAD", {">": ">=", ">=": ">"}[op]
+        else:  # forward: bound by the PREVIOUS right timestamp
+            bound_fn, bound_op = "LAG", {"<": "<=", "<=": "<"}[op]
+        sub = (
+            f"(SELECT __r.*, {bound_fn}(__r.{r_ts}) OVER ({over}ORDER BY "
+            f"__r.{r_ts}) AS __asof_bound FROM {rtable} __r) {ralias}"
+        )
+        join_kind = "LEFT JOIN" if m.group("kind") else "JOIN"
+        new_cond = (
+            cond
+            + f" AND ({ralias}.__asof_bound IS NULL OR "
+            + f"{ralias}.__asof_bound {bound_op} {l_ts})"
+        )
+        s = (
+            s[: m.start()]
+            + f"{join_kind} {sub} ON {new_cond}"
+            + s[cond_end:]
+            )
+        s = _scrub_bare_star(s)
+
+
+def rewrite(sql: str) -> str:
+    """Full DuckDB→Spark dialect rewrite (string to string, no parsing).
+    Safe only for DuckDB-dialect input — e.g. ``trunc`` is renamed to the
+    numeric shim — which is why :func:`run_sql` tries native Spark first."""
+    masked, table = _mask(sql)
+    masked = _rewrite_list_literals(masked)
+    masked = _rewrite_string_split(masked, table)
+    masked = _rewrite_fn_names(masked)
+    masked = _rewrite_list_aggregate(masked, table)
+    masked = _rewrite_exclude(masked)
+    masked = _rewrite_star_replace(masked)
+    masked = _rewrite_glob(masked, table)
+    masked = _rewrite_asof(masked)
+    masked = _rewrite_qualify(masked)
+    return _unmask(masked, table)
+
+
+# ---------------------------------------------------------------------------
+# SQL-UDF aliases (JVM-side: RETURN <expr> bodies inline into the plan)
+# ---------------------------------------------------------------------------
+
+_DIALECT_FUNCTIONS = (
+    # numeric trunc-toward-zero (DuckDB trunc is 1-arg; keep a scale arg
+    # for generality) — mirrors functions/scalar.py:trunc_numeric.
+    """CREATE OR REPLACE TEMPORARY FUNCTION dd_trunc(x DOUBLE, d INT DEFAULT 0)
+       RETURNS DOUBLE
+       RETURN CASE WHEN x < 0 THEN ceil(x * power(10, d))
+                   ELSE floor(x * power(10, d)) END / power(10, d)""",
+    # string_split family: DuckDB splits on a LITERAL separator; Spark's
+    # split takes a regex — \Q..\E quoting makes the separator literal.
+    """CREATE OR REPLACE TEMPORARY FUNCTION string_split(s STRING, sep STRING)
+       RETURNS ARRAY<STRING>
+       RETURN split(s, concat('\\\\Q', sep, '\\\\E'))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION str_split(s STRING, sep STRING)
+       RETURNS ARRAY<STRING>
+       RETURN string_split(s, sep)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION string_to_array(s STRING, sep STRING)
+       RETURNS ARRAY<STRING>
+       RETURN string_split(s, sep)""",
+    # list_unique: DuckDB counts distinct non-null elements.
+    """CREATE OR REPLACE TEMPORARY FUNCTION dd_list_unique(l ARRAY<STRING>)
+       RETURNS BIGINT
+       RETURN size(array_distinct(filter(l, x -> x IS NOT NULL)))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION dd_list_reverse_sort(l ARRAY<DOUBLE>)
+       RETURNS ARRAY<DOUBLE>
+       RETURN reverse(array_sort(l))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION epoch_ms(ts TIMESTAMP)
+       RETURNS BIGINT
+       RETURN unix_millis(ts)""",
+)
+
+
+def register_dialect_functions(spark: SparkSession) -> None:
+    """Register the SQL-UDF alias layer (idempotent; bootstrap-time)."""
+    for stmt in _DIALECT_FUNCTIONS:
+        spark.sql(stmt)
+
+
+# ---------------------------------------------------------------------------
+# init-script statement routing (SET / INSTALL / LOAD / SECRET / VIEW)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DialectState:
+    """Session-level DuckDB-compat state the router maintains: settings
+    from SET, extensions from INSTALL/LOAD (surfaced through the
+    capability registry analog), named secrets from CREATE SECRET."""
+
+    settings: dict[str, str] = field(default_factory=dict)
+    installed: list[str] = field(default_factory=list)
+    loaded: list[str] = field(default_factory=list)
+    secrets: dict[str, dict[str, str]] = field(default_factory=dict)
+
+
+_STATE_KEY = "spark.dss.dialectStateId"
+_STATES: dict[str, DialectState] = {}
+
+
+def dialect_state(spark: SparkSession) -> DialectState:
+    sid = spark.conf.get(_STATE_KEY, None)
+    if sid is None or sid not in _STATES:
+        sid = str(len(_STATES))
+        spark.conf.set(_STATE_KEY, sid)
+        _STATES[sid] = DialectState()
+    return _STATES[sid]
+
+
+def split_statements(script: str) -> list[str]:
+    """Split an init script on ``;`` outside quotes/comments."""
+    masked, table = _mask(script)
+    return [
+        _unmask(part, table).strip()
+        for part in masked.split(";")
+        if _unmask(part, table).strip()
+    ]
+
+
+_SET_RE = re.compile(r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?([A-Za-z_]\w*)\s*=\s*(.+)$",
+                     re.IGNORECASE | re.DOTALL)
+_INSTALL_RE = re.compile(
+    r"^\s*(?:FORCE\s+)?INSTALL\s+([A-Za-z_]\w*)(?:\s+FROM\s+\S+)?\s*$", re.IGNORECASE
+)
+_LOAD_RE = re.compile(r"^\s*LOAD\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
+_SECRET_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:PERSISTENT\s+|TEMPORARY\s+)?SECRET"
+    r"(?:\s+(?!\()([A-Za-z_]\w*))?\s*\(", re.IGNORECASE
+)
+_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _strip_quotes(v: str) -> str:
+    v = v.strip()
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+        return v[1:-1].replace(v[0] * 2, v[0])
+    return v
+
+
+def _apply_secret(spark: SparkSession, state: DialectState, stmt: str, name: str | None) -> None:
+    open_idx = stmt.index("(")
+    close = _matching_paren(stmt, open_idx)
+    kv: dict[str, str] = {}
+    for item in _split_top_commas(stmt[open_idx + 1 : close]):
+        km = re.match(r"^([A-Za-z_]\w*)\s+(.+)$", item.strip(), re.DOTALL)
+        if km:
+            kv[km.group(1).lower()] = _strip_quotes(km.group(2))
+    # Unnamed secrets key on their content so re-running an init script is
+    # idempotent (DuckDB's CREATE PERSISTENT SECRET re-run is too).
+    key = name or "__secret_" + "%08x" % (hash(tuple(sorted(kv.items()))) & 0xFFFFFFFF)
+    state.secrets[key] = kv
+    if kv.get("type", "").lower() == "s3":
+        # The reference's S3 secret wires httpfs (k8s/main.yaml:110-125);
+        # the Spark analog is hadoop-s3a conf on the live session.
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        if "key_id" in kv:
+            hconf.set("fs.s3a.access.key", kv["key_id"])
+        if "secret" in kv:
+            hconf.set("fs.s3a.secret.key", kv["secret"])
+        if "endpoint" in kv:
+            hconf.set("fs.s3a.endpoint", kv["endpoint"])
+        if kv.get("use_ssl", "").lower() in ("false", "0"):
+            hconf.set("fs.s3a.connection.ssl.enabled", "false")
+        if kv.get("url_style", "").lower() == "path":
+            hconf.set("fs.s3a.path.style.access", "true")
+
+
+def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
+    """Route one DuckDB statement. Management statements (SET / INSTALL /
+    LOAD / CREATE SECRET) map to engine state and return None; queries and
+    views go through :func:`run_sql` / temp-view creation."""
+    state = dialect_state(spark)
+    if m := _SET_RE.match(stmt):
+        state.settings[m.group(1).lower()] = _strip_quotes(m.group(2))
+        return None
+    if m := _INSTALL_RE.match(stmt):
+        if m.group(1).lower() not in state.installed:
+            state.installed.append(m.group(1).lower())
+        return None
+    if m := _LOAD_RE.match(stmt):
+        ext = m.group(1).lower()
+        if ext not in state.installed:
+            state.installed.append(ext)
+        if ext not in state.loaded:
+            state.loaded.append(ext)
+        return None
+    if m := _SECRET_RE.match(stmt):
+        _apply_secret(spark, state, stmt, m.group(1))
+        return None
+    if m := _VIEW_RE.match(stmt):
+        # Persistent CREATE VIEW would need a metastore and cannot
+        # reference the temp-view warehouse; serve it as a temp view —
+        # equivalent within one engine lifetime (the reference recreates
+        # its views from the init script on every boot anyway).
+        name, body = m.group(1), m.group(2)
+        df = run_sql(spark, body)
+        df.createOrReplaceTempView(name.split(".")[-1])
+        return None
+    return run_sql(spark, stmt)
+
+
+def run_script(spark: SparkSession, script: str) -> list[DataFrame | None]:
+    """Execute a DuckDB init script verbatim (k8s/main.yaml:100-135)."""
+    return [execute_statement(spark, s) for s in split_statements(script)]
+
+
+# ---------------------------------------------------------------------------
+# serving entry
+# ---------------------------------------------------------------------------
+
+
+def run_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Execute SQL, accepting both Spark and DuckDB dialect. Native Spark
+    SQL takes the first path untouched (analysis is forced via ``.schema``
+    so unresolved DuckDB names surface here, not at action time); on
+    parse/analysis failure the DuckDB rewrite is applied and retried. If
+    the rewrite is a no-op the original error propagates."""
+    try:
+        df = spark.sql(sql)
+        df.schema  # force analysis
+        return df
+    except Exception as first_err:  # ParseException / AnalysisException
+        try:
+            rewritten = rewrite(sql)
+        except ValueError:
+            raise first_err from None
+        if " ".join(rewritten.split()) == " ".join(sql.split()):
+            raise
+        df = spark.sql(rewritten)
+        df.schema
+        return df

@@ -40,17 +40,35 @@ class Engine:
     ):
         self.spark = spark or get_spark(app_name=app_name)
         self.warehouse_dir = warehouse_dir
-        self.views = bootstrap(self.spark, warehouse_dir, init_sql=init_sql)
+        from duckdb_server_spark.dialect import register_dialect_functions
         from duckdb_server_spark.functions.udfs import register_udfs
 
+        # Function surface first: init SQL may use dialect names.
         register_udfs(self.spark)
+        register_dialect_functions(self.spark)
+        self.views = bootstrap(self.spark, warehouse_dir, init_sql=init_sql)
         self._server = None
 
     # -- query surface ------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         """Arbitrary SQL over the bootstrapped catalog — the passthrough
-        parity point (main.go:229): anything Spark SQL parses runs."""
-        return self.spark.sql(query)
+        parity point (main.go:229). Accepts both Spark SQL and DuckDB
+        dialect: native Spark SQL runs untouched; DuckDB-only constructs
+        (``* EXCLUDE``, ``QUALIFY``, ``ASOF JOIN``, ``quantile_cont`` …)
+        are rewritten pre-parse (dialect.rewrite) when native
+        parse/analysis fails, so a migrating user's verbatim SQL runs."""
+        from duckdb_server_spark.dialect import run_sql
+
+        return run_sql(self.spark, query)
+
+    def run_script(self, script: str) -> None:
+        """Execute a DuckDB init script verbatim — SET / INSTALL / LOAD /
+        CREATE SECRET / CREATE VIEW statements route onto engine state
+        (dialect.execute_statement); the reference's own bootstrap SQL
+        (k8s/main.yaml:100-135) runs unmodified."""
+        from duckdb_server_spark.dialect import run_script
+
+        run_script(self.spark, script)
 
     def sql_arrow(self, query: str) -> pa.Table:
         """Execute and return Arrow — the reference's result model

@@ -113,6 +113,36 @@ def assert_query_shaped(spark: SparkSession, sql: str) -> None:
         )
 
 
+def resolve_query_sql(spark: SparkSession, sql: str) -> str:
+    """Dialect acceptance on the serving path. The reference executes
+    verbatim DuckDB SQL from the wire (main.go:199 → main.go:229); a
+    migrating client therefore sends ``quantile_cont``/``* EXCLUDE``/
+    ``ASOF JOIN`` as raw SQL. Native Spark SQL passes through untouched
+    (and pays only the parse+analysis it needed anyway); on parse or
+    analysis failure the DuckDB→Spark rewrite (dialect.rewrite) is applied
+    and re-gated. Command denial still applies to the rewritten form, so
+    the read-only gate cannot be bypassed via dialect."""
+    from duckdb_server_spark.dialect import rewrite
+
+    try:
+        assert_query_shaped(spark, sql)
+        spark.sql(sql).schema  # analysis only — query-shaped, so lazy
+        return sql
+    except Exception as first_err:
+        try:
+            rewritten = rewrite(sql)
+        except ValueError:
+            raise first_err from None
+        if " ".join(rewritten.split()) == " ".join(sql.split()):
+            raise
+        assert_query_shaped(spark, rewritten)
+        try:
+            spark.sql(rewritten).schema
+        except Exception as exc:
+            raise flight.FlightServerError(str(exc)) from exc
+        return rewritten
+
+
 def iter_arrow_batches(df: DataFrame, schema: pa.Schema) -> Iterator[pa.RecordBatch]:
     """Stream a DataFrame's result as Arrow batches with bounded driver
     memory (the reference's pipelined DoGet loop, main.go:241-243).
@@ -283,10 +313,9 @@ class SparkFlightServer(flight.FlightServerBase):
             schema = self._metadata_table(kind, payload).schema
             ticket = flight.Ticket(descriptor.command)
         else:
-            sql = payload
-            # Gate BEFORE spark.sql — commands would otherwise execute
-            # eagerly during the schema probe.
-            assert_query_shaped(self.spark, sql)
+            # Gate + dialect-resolve BEFORE spark.sql — commands would
+            # otherwise execute eagerly during the schema probe.
+            sql = resolve_query_sql(self.spark, payload)
             from pyspark.sql.pandas.types import to_arrow_schema
 
             # Catalyst analysis only — no job runs (vs the reference's
@@ -297,6 +326,8 @@ class SparkFlightServer(flight.FlightServerBase):
                 raise
             except Exception as exc:
                 raise flight.FlightServerError(str(exc)) from exc
+            # The ticket carries the RESOLVED SQL so DoGet (possibly served
+            # after a dialect-shim upgrade) replays exactly what was probed.
             ticket = flight.Ticket(
                 flightsql.encode_ticket_statement_query(sql.encode("utf-8"))
             )
@@ -310,8 +341,7 @@ class SparkFlightServer(flight.FlightServerBase):
         kind, payload = self._resolve_command(descriptor.command)
         if kind != "query":
             return flight.SchemaResult(self._metadata_table(kind, payload).schema)
-        sql = payload
-        assert_query_shaped(self.spark, sql)
+        sql = resolve_query_sql(self.spark, payload)
         from pyspark.sql.pandas.types import to_arrow_schema
 
         try:
@@ -326,8 +356,7 @@ class SparkFlightServer(flight.FlightServerBase):
         kind, payload = self._resolve_command(ticket.ticket)
         if kind != "query":
             return flight.RecordBatchStream(self._metadata_table(kind, payload))
-        sql = payload
-        assert_query_shaped(self.spark, sql)
+        sql = resolve_query_sql(self.spark, payload)
         from pyspark.sql.pandas.types import to_arrow_schema
 
         try:
@@ -355,7 +384,7 @@ class SparkFlightServer(flight.FlightServerBase):
             # Gate + analyze now: a bad statement fails at prepare time
             # (the contract ADBC relies on), and the dataset schema rides
             # back in the result so clients can bind without a round trip.
-            assert_query_shaped(self.spark, sql)
+            sql = resolve_query_sql(self.spark, sql)
             from pyspark.sql.pandas.types import to_arrow_schema
 
             try:

@@ -225,10 +225,15 @@ def register_views(
 
 def run_init_sql(spark: SparkSession, statements: Iterable[str]) -> None:
     """The `-init` analog (main.go:107-111): run bootstrap SQL statements
-    (view definitions, SET commands, …) before serving queries."""
+    (view definitions, SET commands, …) before serving queries. Routed
+    through the DuckDB statement router so the reference's own init
+    scripts (SET/INSTALL/LOAD/CREATE SECRET/CREATE VIEW,
+    k8s/main.yaml:100-135) execute unmodified."""
+    from duckdb_server_spark.dialect import execute_statement
+
     for stmt in statements:
         if stmt.strip():
-            spark.sql(stmt)
+            execute_statement(spark, stmt)
 
 
 def register_sql_info(spark: SparkSession) -> DataFrame:

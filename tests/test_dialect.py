@@ -1,0 +1,193 @@
+"""DuckDB-dialect acceptance layer (dialect.py).
+
+Pure string-rewrite tests run without Spark; execution tests share the
+session fixture. The differential (byte-identical SQL on both engines)
+lives in the declared queries s18/s18b/s18c.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_server_spark.dialect import (
+    dialect_state,
+    register_dialect_functions,
+    rewrite,
+    run_script,
+    run_sql,
+    split_statements,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- pure rewrite tests (no Spark) -----------------------------------------
+
+
+def test_exclude_paren_and_bare():
+    assert rewrite("SELECT * EXCLUDE (a, b) FROM t") == "SELECT * EXCEPT (a, b) FROM t"
+    assert rewrite("SELECT * EXCLUDE a FROM t") == "SELECT * EXCEPT (a) FROM t"
+
+
+def test_exclude_frame_keywords_untouched():
+    q = "sum(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)"
+    assert "EXCLUDE CURRENT ROW" in rewrite("SELECT " + q + " FROM t")
+
+
+def test_star_replace():
+    out = rewrite("SELECT * REPLACE (upper(a) AS a) FROM t")
+    assert out == "SELECT * EXCEPT (a), upper(a) AS a FROM t"
+
+
+def test_star_exclude_then_replace_merges():
+    out = rewrite("SELECT * EXCLUDE (b) REPLACE (upper(a) AS a) FROM t")
+    assert out == "SELECT * EXCEPT (b, a), upper(a) AS a FROM t"
+
+
+def test_function_renames():
+    out = rewrite("SELECT quantile_cont(x, 0.5), regexp_matches(s, 'a'), trunc(x) FROM t")
+    assert "percentile(x, 0.5)" in out
+    assert "regexp_like(s, 'a')" in out
+    assert "dd_trunc(x)" in out
+
+
+def test_rename_skips_string_literals():
+    out = rewrite("SELECT 'trunc(x) EXCLUDE (a)' AS s FROM t")
+    assert "'trunc(x) EXCLUDE (a)'" in out
+
+
+def test_double_quoted_identifiers_become_backticks():
+    assert rewrite('SELECT "my col" FROM "my table"') == "SELECT `my col` FROM `my table`"
+
+
+def test_list_literal_to_array():
+    assert rewrite("SELECT [1, 2, 3]") == "SELECT array(1, 2, 3)"
+    # indexing brackets are NOT literals and must survive untouched
+    assert rewrite("SELECT l[1] FROM t") == "SELECT l[1] FROM t"
+
+
+def test_list_aggregate():
+    out = rewrite("SELECT list_aggregate([1.0, 2.0], 'sum')")
+    assert out.startswith("SELECT (aggregate(array(1.0, 2.0)")
+
+
+def test_glob_operator():
+    out = rewrite("SELECT * FROM t WHERE name GLOB 'a*b?'")
+    assert "RLIKE '^a.*b.$'" in out
+
+
+def test_string_split_expands_to_quoted_split():
+    out = rewrite("SELECT string_split(s, '#') FROM t")
+    assert out == "SELECT split(s, concat('\\\\Q', '#', '\\\\E')) FROM t"
+
+
+def test_qualify_wraps_and_strips_tail_qualifiers():
+    out = rewrite(
+        "SELECT a, row_number() OVER (ORDER BY b) AS rn FROM t QUALIFY rn = 1 ORDER BY t.a"
+    )
+    assert out.startswith("SELECT * EXCEPT (__dss_qualify) FROM (")
+    assert "WHERE __dss_qualify" in out
+    assert out.rstrip().endswith("ORDER BY a")
+
+
+def test_asof_backward_rewrite_shape():
+    out = rewrite(
+        "SELECT e.x, o.y FROM e ASOF JOIN o ON e.k = o.k AND e.ts >= o.ts"
+    )
+    assert "LEAD(__r.ts) OVER (PARTITION BY k ORDER BY __r.ts)" in out
+    assert "__asof_bound > e.ts" in out or "__asof_bound IS NULL" in out
+    assert "ASOF" not in out
+
+
+def test_asof_left_and_forward():
+    out = rewrite("SELECT 1 FROM e ASOF LEFT JOIN o ON e.k = o.k AND e.ts <= o.ts")
+    assert "LEFT JOIN" in out
+    assert "LAG(__r.ts)" in out
+
+
+def test_spark_sql_passes_through_unchanged():
+    q = "SELECT transform(a, x -> x + 1) FROM t GROUP BY ALL"
+    assert rewrite(q) == q
+
+
+def test_split_statements_respects_literals():
+    stmts = split_statements("SET a='x;y'; SELECT 1;")
+    assert stmts == ["SET a='x;y'", "SELECT 1"]
+
+
+# --- execution tests -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sql_session(spark):
+    from duckdb_server_spark.session import register_views
+
+    register_dialect_functions(spark)
+    register_views(spark, SF_DIR, ("orders", "events"))
+    return spark
+
+
+def test_run_sql_native_fast_path(sql_session):
+    df = run_sql(sql_session, "SELECT count(*) AS n FROM orders")
+    assert df.collect()[0].n > 0
+
+
+def test_run_sql_dialect_fallback(sql_session):
+    df = run_sql(sql_session, "SELECT * EXCLUDE (o_orderdate) FROM orders LIMIT 1")
+    assert "o_orderdate" not in df.columns
+
+
+def test_run_sql_bad_sql_raises_original(sql_session):
+    with pytest.raises(Exception):
+        run_sql(sql_session, "SELECT definitely_not_a_column FROM orders")
+
+
+def test_dd_trunc_semantics(sql_session):
+    row = sql_session.sql(
+        "SELECT dd_trunc(-3.77) AS a, dd_trunc(3.77) AS b, dd_trunc(-3.77, 1) AS c"
+    ).collect()[0]
+    assert (row.a, row.b, row.c) == (-3.0, 3.0, -3.7)
+
+
+def test_reference_init_script_state(sql_session):
+    run_script(
+        sql_session,
+        """
+        SET secret_directory='/tmp/x';
+        INSTALL httpfs;
+        LOAD httpfs;
+        CREATE VIEW dialect_smoke AS (SELECT 42 AS answer);
+        """,
+    )
+    st = dialect_state(sql_session)
+    assert st.settings["secret_directory"] == "/tmp/x"
+    assert "httpfs" in st.loaded
+    assert sql_session.table("dialect_smoke").collect()[0].answer == 42
+
+
+def test_s3_secret_maps_to_hadoop_conf(sql_session):
+    run_script(
+        sql_session,
+        """CREATE PERSISTENT SECRET (
+               TYPE s3, KEY_ID 'k', SECRET 's',
+               ENDPOINT 'localhost:7070', USE_SSL false, URL_STYLE 'path'
+           );""",
+    )
+    hconf = sql_session.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "k"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+
+
+def test_flight_server_accepts_duckdb_dialect(sql_session):
+    """End-to-end serving-path parity: raw DuckDB SQL through Flight."""
+    from duckdb_server_spark.server import resolve_query_sql
+
+    resolved = resolve_query_sql(
+        sql_session, "SELECT * EXCLUDE (o_orderdate) FROM orders LIMIT 1"
+    )
+    assert "EXCEPT" in resolved
+    # read-only gate still applies to dialect input
+    import pyarrow.flight as flight
+
+    with pytest.raises(flight.FlightServerError):
+        resolve_query_sql(sql_session, "DROP TABLE orders")
