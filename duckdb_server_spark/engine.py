@@ -147,11 +147,20 @@ class Engine:
     ) -> DataFrame:
         """``OPTIMIZE ... ZORDER BY (x, y)`` analog for a managed table:
         rewrite its parquet clustered on the Morton interleave of the two
-        columns' low bits (operators/layout.py) so every output file
-        covers a small rectangle of (x, y) space and min/max footer stats
-        prune scans on BOTH predicates — the layout maintenance job a
-        100 TB table runs after heavy ingest. One range shuffle + local
-        sort; the swap is the same crash-safe rename as compact_table."""
+        columns (operators/layout.py) so every output file covers a small
+        rectangle of (x, y) space and min/max footer stats prune scans on
+        BOTH predicates — the layout maintenance job a 100 TB table runs
+        after heavy ingest.
+
+        Each column is first range-quantized into 256 buckets over its
+        ACTUAL domain (min/max from a one-row broadcast aggregate), the
+        same normalization Delta/Iceberg ZORDER applies. Interleaving the
+        raw low byte instead (value mod 256) would cluster only modular
+        predicates: any column whose domain exceeds 256 would spread raw
+        values across every file, leaving footer min/max too wide to
+        prune ``col = X``. One extra tiny aggregate job + one range
+        shuffle + local sort; the swap is the same crash-safe rename as
+        compact_table."""
         import os
 
         from pyspark.sql import functions as F
@@ -162,12 +171,32 @@ class Engine:
         if not os.path.isdir(path):
             raise ValueError(f"{name!r} is not a managed table of this engine")
         src = self.spark.read.parquet(path)
-        keyed = src.withColumn(
-            "__z",
-            zorder_key(
-                F.pmod(F.col(x_col).cast("long"), F.lit(256)),
-                F.pmod(F.col(y_col).cast("long"), F.lit(256)),
-            ),
+        bounds = src.agg(
+            F.min(F.col(x_col).cast("long")).alias("__x_lo"),
+            F.max(F.col(x_col).cast("long")).alias("__x_hi"),
+            F.min(F.col(y_col).cast("long")).alias("__y_lo"),
+            F.max(F.col(y_col).cast("long")).alias("__y_hi"),
+        )
+
+        def quantized(col: str, lo: str, hi: str):
+            # double intermediate: (col-lo)*256 in long could overflow on
+            # 63-bit domains; clamp the exact-max row into bucket 255.
+            span = (F.col(hi) - F.col(lo) + 1).cast("double")
+            pos = (F.col(col).cast("long") - F.col(lo)).cast("double")
+            return F.least(
+                F.floor(pos * 256.0 / span).cast("long"), F.lit(255).cast("long")
+            )
+
+        keyed = (
+            src.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "__z",
+                zorder_key(
+                    quantized(x_col, "__x_lo", "__x_hi"),
+                    quantized(y_col, "__y_lo", "__y_hi"),
+                ),
+            )
+            .drop("__x_lo", "__x_hi", "__y_lo", "__y_hi")
         )
         clustered = (
             keyed.repartitionByRange(target_files, "__z")

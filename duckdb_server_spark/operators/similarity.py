@@ -664,4 +664,8 @@ def kmeans_refine(
             [by_cid[c][d] for d in sorted(by_cid[c])]
             for c in sorted(by_cid)
         ]
-    return out
+    # Return the COLLECTED final iteration, not the lazy plan: re-executing
+    # `out` at action time would recompute assignment+aggregation, and
+    # float avg() merge order across partials is run-order dependent — the
+    # caller must see the exact values convergence used.
+    return corpus.sparkSession.createDataFrame(rows, schema=out.schema)

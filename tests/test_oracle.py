@@ -82,6 +82,19 @@ def test_b03_planted_pair_guard(spark, sf_dir):
     assert all(r.planted_pairs_found >= 1 for r in rows)
 
 
+def test_b03_main_branch_emits_planted_pair(spark, sf_dir):
+    """ADVICE r4: the in-row guard recomputes recall over a 2-doc pruned
+    branch (a different code path from the lineage-truncated full-corpus
+    branch). Assert the MAIN candidate output itself contains a pair
+    touching the planted doc -1, so a recall regression confined to the
+    full-corpus branch cannot hide behind a green guard column."""
+    from pyspark.sql import functions as F
+
+    cands = catalog.QUERIES["b03_minhash_lsh_pairs"](spark, sf_dir)
+    touching = cands.filter((F.col("id_a") == -1) | (F.col("id_b") == -1)).count()
+    assert touching >= 1, "planted pair missing from the full-corpus output"
+
+
 def test_b04_planted_fingerprint_guard(spark, sf_dir):
     """b04's planted duplicate must hash to an identical fingerprint; the
     guard column makes a broken/vacuous fingerprint visible in-row."""
