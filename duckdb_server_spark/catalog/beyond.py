@@ -135,35 +135,66 @@ def b03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.crossJoin(F.broadcast(planted))
 
 
-@query("b04_simhash")  # rows-only: fingerprint derives from xxhash64
+# Full-oracle SimHash (upgraded from rows-only, VERDICT r4 item 6): the
+# per-bit majority vote is deterministic, and with a portable token hash
+# (first 32 bits of md5 — Spark conv(hex) ≡ DuckDB CAST('0x'||hex)) DuckDB
+# can replay the ENTIRE algorithm: same tokens, same hash, same votes,
+# same fingerprint. The oracle is generated per bit below.
+_B04_VOTES = ",\n      ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(32)
+)
+_B04_FP = " + ".join(f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(32))
+_B04_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT -1 AS doc_id, text FROM documents WHERE doc_id = 0
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM corpus
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id,
+      {_B04_VOTES}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_B04_FP} AS BIGINT) AS simhash
+    FROM votes
+    ORDER BY doc_id ASC NULLS LAST
+    """
+
+
+@query("b04_simhash", oracle=_B04_ORACLE)
 def b04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints: per-bit majority votes aggregate map-side
     behind one groupBy on doc_id.
 
-    Regression guard: the corpus carries a planted exact duplicate
-    (doc -1 ≡ doc 0 → identical fingerprint), and every row carries
-    ``planted_fp_equal`` (1 iff fp(-1) == fp(0)), computed as a 1-row
-    broadcast aggregate over a bucket-pruned branch — the fingerprint
-    pipeline re-runs over ONLY docs 0/-1 (doc_id filter reaches the
-    scan), not the full corpus (asserted in tests/test_oracle.py)."""
+    Full differential oracle (not rows-only): the portable md5-derived
+    token hash lets DuckDB recompute every fingerprint bit-for-bit —
+    including the planted duplicate (doc -1 ≡ doc 0), whose fingerprint
+    equality the oracle verifies implicitly by value. Plan shape is
+    unchanged from the xxhash64 form: explode stays map-side, the only
+    shuffle is the final groupBy(doc_id), votes combine partially."""
     docs = t(spark, sf_dir, "documents")
     fp = dedup.simhash_fingerprint(
-        _with_planted_dup(docs), "text", "doc_id", bits=32
-    )
-    guard_fp = dedup.simhash_fingerprint(
-        _with_planted_dup(docs.filter(F.col("doc_id") == 0)),
+        _with_planted_dup(docs.select("doc_id", "text")),
         "text",
         "doc_id",
         bits=32,
+        portable=True,
     )
-    planted = guard_fp.filter(F.col("doc_id").isin(-1, 0)).agg(
-        F.when(
-            (F.count(F.lit(1)) == 2) & (F.count_distinct("simhash") == 1), 1
-        )
-        .otherwise(0)
-        .alias("planted_fp_equal")
-    )
-    return fp.crossJoin(F.broadcast(planted))
+    return fp.select(
+        "doc_id", F.col("simhash").cast("long").alias("simhash")
+    ).orderBy(F.col("doc_id").asc_nulls_last())
 
 
 # ---------------------------------------------------------------------------

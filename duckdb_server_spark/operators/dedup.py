@@ -188,15 +188,34 @@ def ngram_jaccard(
 
 
 def simhash_fingerprint(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash: per-bit majority vote over token hashes → one integer
     fingerprint per doc. Computed as explode → per-bit votes → re-agg;
     the explode stays within a map stage (no extra shuffle beyond the
-    final groupBy on the doc id)."""
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok")
-    ).withColumn("__h", F.xxhash64("__tok"))
+    final groupBy on the doc id).
+
+    ``portable=True`` hashes tokens as the first 32 bits of md5 (via
+    ``conv``) instead of ``xxhash64`` — a hash any engine can replay
+    (DuckDB: ``CAST('0x'||substr(md5(t),1,8) AS BIGINT)``), which lets the
+    fingerprints be verified by a full differential oracle instead of a
+    rows-only check. Same plan shape; md5 costs a little more per token,
+    so the default stays xxhash64 for pure-Spark pipelines. Empty tokens
+    are dropped in portable mode (regex-split edge semantics are the one
+    place engines disagree)."""
+    tok = F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok")
+    if portable:
+        toks = (
+            df.select(F.col(id_col), tok)
+            .filter(F.col("__tok") != "")
+            .withColumn(
+                "__h",
+                F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long"),
+            )
+        )
+    else:
+        toks = df.select(F.col(id_col), tok).withColumn("__h", F.xxhash64("__tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
