@@ -174,19 +174,49 @@ def w04_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w06_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based frame: count parts within ±2 size units.
 
-    Scale note: the declared query is globally ordered, so the window has
-    no PARTITION BY and Spark serializes it onto one task — semantically
-    forced (DuckDB serializes the same way), bounded here by the ``part``
-    dimension table. The 100 TB spelling partitions first (e.g. by a
-    coarse ``p_size`` range bucket, frames spanning bucket edges handled
-    by overlapping pad rows) — operators/rank.py demonstrates the
-    two-phase partition-then-merge technique for global rankings."""
+    Small-table fast path: globally ordered, so the window has no
+    PARTITION BY and Spark serializes it onto one task — semantically
+    forced (DuckDB serializes the same way), acceptable only because
+    ``part`` is a dimension table. The scale path is w06b: the SAME frame
+    through ``operators/rangeframe.bucketed_range_window`` (bucketed
+    two-phase with overlap pads, >1 task, plan-asserted in
+    tests/test_plans.py)."""
     w = Window.orderBy(F.col("p_size").asc_nulls_last()).rangeBetween(-2, 2)
     return (
         t(spark, sf_dir, "part")
         .select("p_partkey", "p_size", F.count(F.lit(1)).over(w).alias("n_similar_size"))
         .orderBy(F.col("p_partkey").asc_nulls_last())
     )
+
+
+@query(
+    "w06b_bucketed_range_frame",
+    oracle="""
+    SELECT p_partkey, p_size,
+           CAST(count(*) OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING
+                               AND 2 FOLLOWING) AS BIGINT) AS n_similar_size
+    FROM part
+    ORDER BY p_partkey ASC NULLS LAST
+    """,
+)
+def w06b_bucketed_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6's global RANGE frame through the bucketed two-phase operator
+    (operators/rangeframe.py): p_size buckets of width ≥ 3, edge rows
+    replicated as pad rows, per-bucket windows run in parallel — same
+    oracle as w06, but the plan's Window node carries a partition spec
+    and >1 task. This is the spelling that survives a fact-table input;
+    the oracle (single-task by construction in DuckDB) pins semantics."""
+    from duckdb_server_spark.operators.rangeframe import bucketed_range_window
+
+    out = bucketed_range_window(
+        t(spark, sf_dir, "part").select("p_partkey", "p_size"),
+        "p_size",
+        -2,
+        2,
+        lambda w: [F.count(F.lit(1)).over(w).alias("n_similar_size")],
+        num_buckets=16,
+    )
+    return out.orderBy(F.col("p_partkey").asc_nulls_last())
 
 
 # --- W7: GROUPS frame — no Spark equivalent; peer-group rewrite ---

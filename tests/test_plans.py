@@ -233,3 +233,53 @@ def test_b56_zorder_scan_prunes_to_two_columns(spark, sf_dir):
     assert schemas and all(
         set(s) <= {"event_id", "user_id"} for s in schemas
     ), schemas
+
+
+def test_w06b_range_frame_is_partitioned(spark, sf_dir):
+    """The bucketed RANGE-frame path must NOT serialize onto one task:
+    its Window node carries the bucket partition spec (w06's single-task
+    form shows an empty partition list), and the part table actually
+    spreads across >1 bucket."""
+    df = catalog.QUERIES["w06b_bucketed_range_frame"](spark, sf_dir)
+    text = plans.explain_string(df)
+    assert "__rf_bucket" in text, "Window lost its bucket partition spec"
+    from duckdb_server_spark.operators.rangeframe import bucketed_range_window
+
+    src = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    n_buckets = (
+        bucketed_range_window(
+            src, "p_size", -2, 2,
+            lambda w: [F.count(F.lit(1)).over(w).alias("n")],
+            num_buckets=16,
+        )
+        .select((F.floor((F.col("p_size") - 1) / 4)).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
+
+
+def test_bucketed_range_frame_matches_single_task_on_doubles(spark, sf_dir):
+    """Edge correctness on a continuous (double) order column with a wide
+    frame: the bucketed two-phase result must equal the single-task global
+    window row-for-row — pads at every bucket boundary included."""
+    from pyspark.sql import Window
+
+    from duckdb_server_spark.operators.rangeframe import bucketed_range_window
+
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lo, hi = -5000, 3000
+    bucketed = bucketed_range_window(
+        src, "o_totalprice", lo, hi,
+        lambda w: [F.count(F.lit(1)).over(w).alias("n_close")],
+        num_buckets=8,
+    )
+    w = Window.orderBy(F.col("o_totalprice").cast("double").asc()).rangeBetween(lo, hi)
+    single = src.select(
+        "o_orderkey", F.count(F.lit(1)).over(w).alias("n_close")
+    )
+    merged = bucketed.select("o_orderkey", F.col("n_close").alias("nb")).join(
+        single, "o_orderkey"
+    )
+    assert merged.filter(F.col("nb") != F.col("n_close")).count() == 0
+    assert merged.count() == src.count()
