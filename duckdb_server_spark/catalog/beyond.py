@@ -1730,12 +1730,16 @@ def b56_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b57_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frozen-weight logistic quality classifier (operators/text.py::
-    quality_logreg) — the trained-model stage above the b20/b49
-    heuristic gates, as one shuffle-free scan-speed projection. The
-    oracle replays features, logit, and sigmoid; both engines compare
-    the 6-decimal-rounded probability at the keep threshold."""
-    return text.quality_logreg(
+    """Frozen-weight logistic quality classifier — the trained-model
+    stage above the b20/b49 heuristic gates. Served by the
+    Arrow-vectorized implementation (operators/text.py::
+    quality_logreg_arrow): the pure-Catalyst HOF form interprets
+    per-token lambda calls and saturates ~11k docs/s (SCALING.md); the
+    pandas_udf computes all four token features in one C-regex pass per
+    document. Values are identical (tests/test_r4_ops.py asserts the two
+    implementations agree row-for-row); the oracle replays features,
+    logit, and sigmoid at the 6-decimal-rounded keep threshold."""
+    return text.quality_logreg_arrow(
         t(spark, sf_dir, "documents"), "text", "doc_id"
     ).orderBy(F.col("doc_id").asc_nulls_last())
 

@@ -1,0 +1,49 @@
+"""Round-5 operator tests: Arrow text classifier parity, bucketed range
+frames (plan side in test_plans.py), dialect integration edges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_server_spark import catalog
+from duckdb_server_spark.session import load_table
+
+catalog.load_all()
+
+
+def test_quality_logreg_arrow_matches_hof(spark, sf_dir):
+    """The Arrow-vectorized classifier must agree with the pure-Catalyst
+    HOF implementation row-for-row — same tokens, features, rounding —
+    so swapping execution tiers can never change results."""
+    from duckdb_server_spark.operators.text import (
+        quality_logreg,
+        quality_logreg_arrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hof = quality_logreg(docs, "text", "doc_id")
+    arrow = quality_logreg_arrow(docs, "text", "doc_id")
+    joined = hof.alias("h").join(arrow.alias("a"), "doc_id")
+    diff = joined.filter(
+        (F.col("h.n_words") != F.col("a.n_words"))
+        | (F.abs(F.col("h.quality_prob") - F.col("a.quality_prob")) > 1e-9)
+        | (F.col("h.keep") != F.col("a.keep"))
+    ).count()
+    assert diff == 0
+    assert joined.count() == docs.count()
+
+
+def test_quality_logreg_arrow_null_and_empty(spark):
+    """NULL text → NULL features; whitespace-only text → 0 words, NULL
+    probability — mirroring the HOF version's null propagation."""
+    from duckdb_server_spark.operators.text import quality_logreg_arrow
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_logreg_arrow(df, "text", "doc_id").collect()}
+    assert rows[1].n_words is None or rows[1].n_words == 0
+    assert rows[1].quality_prob is None
+    assert rows[2].n_words == 0 and rows[2].quality_prob is None
+    assert rows[3].n_words == 4 and rows[3].quality_prob is not None
