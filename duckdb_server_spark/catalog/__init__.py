@@ -72,7 +72,7 @@ _PRIORITY_R5: tuple[str, ...] = (
     # --- code changed in round 5: refresh green evidence ---
     "b04_simhash",  # rows-only → full-oracle upgrade
     "b57_quality_classifier",  # Arrow-vectorized token features
-    "b05_ann_brute_force",  # pre-pruned top-k path
+    "b10_knn_bruteforce",  # pre-pruned top-k path
     "b12_embedding_near_dup",
     "w06_range_frame",
     "b56_zorder_layout",  # range-quantized Morton key (ADVICE r4)

@@ -34,10 +34,20 @@ def brute_force_topk(
     query_id: str = "query_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries × corpus scan → window top-k.
+    """Exact cosine top-k: broadcast queries × corpus scan → two-phase
+    window top-k. Ties broken by corpus id so results are deterministic.
 
-    Ties broken by corpus id so results are deterministic.
-    """
+    The naive spelling windows directly on ``PARTITION BY query_id``,
+    which funnels the ENTIRE scored corpus of each query onto one task —
+    a corpus-sized sort per query at scale. Phase 1 therefore pre-prunes
+    with a salted local top-k (the b43/salted_group_topk pattern): rank
+    within (query, salt-of-corpus-id) so each query's candidates spread
+    over ``salt_buckets`` tasks, keep each salt's top-k; phase 2 ranks
+    only the ≤ k·salt_buckets survivors per query. The global top-k is
+    always contained in the union of per-salt top-k, so results are
+    identical — same oracle, plan now shows the pre-aggregating Window
+    before the final one (plan-asserted in tests/test_plans.py)."""
+    salt_buckets = 16
     q = F.broadcast(
         queries.select(
             F.col(query_id), F.col(vec_col).alias("__qvec")
@@ -52,11 +62,20 @@ def brute_force_topk(
             "cos_sim"
         ),
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cos_sim").desc_nulls_last(), F.col(corpus_id).asc_nulls_last()
+    order = (F.col("cos_sim").desc_nulls_last(), F.col(corpus_id).asc_nulls_last())
+    # Deterministic salt (never rand(): phase 1 evaluates inside a
+    # recomputable shuffle) spreads each query's corpus over many tasks.
+    w1 = Window.partitionBy(
+        query_id, F.pmod(F.xxhash64(corpus_id), F.lit(salt_buckets))
+    ).orderBy(*order)
+    survivors = (
+        scored.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1")
     )
+    w = Window.partitionBy(query_id).orderBy(*order)
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        survivors.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select(query_id, corpus_id, "cos_sim", F.col("__rn").alias("rank"))
     )

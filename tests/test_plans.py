@@ -283,3 +283,14 @@ def test_bucketed_range_frame_matches_single_task_on_doubles(spark, sf_dir):
     )
     assert merged.filter(F.col("nb") != F.col("n_close")).count() == 0
     assert merged.count() == src.count()
+
+
+def test_b10_bruteforce_has_preprune_window(spark, sf_dir):
+    """brute_force_topk must pre-prune with the salted local top-k before
+    the per-query global window: two Window nodes, the first partitioned
+    by (query, salt) — without it each query's whole scored corpus sorts
+    on one task."""
+    df = catalog.QUERIES["b10_knn_bruteforce"](spark, sf_dir)
+    text = plans.explain_string(df)
+    assert text.count("Window") >= 2, "pre-prune window missing"
+    assert "pmod" in text and "xxhash64" in text, "salt key missing"
