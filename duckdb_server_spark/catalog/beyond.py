@@ -612,6 +612,69 @@ def b30_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b30b_png_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, substr(text || repeat(' ', 64), 1, 64) AS s
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(range(1, 65),
+                            i -> ascii(substr(s, CAST(i AS INT), 1))) AS c
+      FROM px
+    )
+    SELECT doc_id, 8 AS width, 8 AS height,
+           round(CAST(list_aggregate(c, 'sum') AS DOUBLE) / 64.0, 6) AS px_mean,
+           CAST(list_aggregate(c, 'min') AS INT) AS px_min,
+           CAST(list_aggregate(c, 'max') AS INT) AS px_max,
+           CAST(list_aggregate(c, 'sum') AS BIGINT) AS px_sum
+    FROM codes
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b30b_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the binary column (closes the r4
+    'decode stubbed' flag): each document's first 64 bytes become an 8×8
+    grayscale image, encoded to a spec-valid PNG (operators/png.py —
+    stdlib zlib + scanline filters; filter type rotates with doc_id so
+    all five unfilter paths execute), then DECODED back inside a
+    mapInPandas body and reduced to pixel statistics.
+
+    The oracle recomputes the statistics from the pixel DEFINITION
+    (character codes of the padded text prefix) without touching PNG at
+    all — so a hash-match proves the encode→decode roundtrip is
+    lossless through compression and every filter, not merely that the
+    bytes moved. JPEG/WebP remain plug points (decode_image dispatches
+    on magic bytes)."""
+    import re as _re
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from duckdb_server_spark.operators.png import encode_png
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(pdf_iter: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pixels = (text or "")[:64].ljust(64).encode("latin-1")
+                ids.append(doc_id)
+                payloads.append(
+                    encode_png(pixels, 8, 8, color_type=0,
+                               filter_type=int(doc_id) % 5)
+                )
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    png_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
+    return multimodal.png_features(png_df).orderBy(
+        F.col("doc_id").asc_nulls_last()
+    )
+
+
+@query(
     "b32_frame_sample",
     oracle="""
     WITH d AS (SELECT doc_id, text, strlen(text) AS L

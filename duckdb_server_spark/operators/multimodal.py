@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata (beyond-reference capability).
 
-The decode step is STUBBED — codec libraries (PIL/ffmpeg/librosa) are not
-in this container — but the Spark-side plumbing is real and tested:
-schema (binary payload + metadata struct), partition-preserving
-``mapInPandas`` with Arrow batch transfer, and batch-shaped UDF signatures
-that a real decoder would drop into unchanged.
+IMAGE decode is REAL for PNG: a pure-stdlib codec (operators/png.py —
+zlib + the five scanline filters) decodes actual image bytes inside the
+Arrow batch stream, verified end-to-end by the b30b differential oracle.
+Other codecs (JPEG/WebP via PIL, video via ffmpeg) remain declared plug
+points — ``decode_image`` dispatches on magic bytes and raises for
+formats whose libraries this container lacks; the batch shape is
+identical, so a library import is the only change.
 
 Scale design: mapInPandas streams Arrow batches through Python without
 materializing a partition; payloads never pass through the driver; the
@@ -39,15 +41,57 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode — requires a codec library not present here.
+def decode_image(payload: bytes) -> dict:
+    """Image decode. PNG is decoded for real (stdlib zlib + the five
+    scanline filters — operators/png.py; no codec library needed); other
+    formats remain plug points (PIL.Image.open(BytesIO(payload)) drops in
+    here for JPEG/WebP/...)."""
+    from duckdb_server_spark.operators.png import PNG_SIGNATURE, decode_png
 
-    Plug point: replace the raise with e.g. PIL.Image.open(BytesIO(payload)).
-    """
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
     raise NotImplementedError(
-        "image codec not available in this environment; "
-        "deterministic byte-level features are extracted instead"
+        "only the PNG codec is built in; install an image library for "
+        "other formats"
     )
+
+
+PNG_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("px_mean", DoubleType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+        StructField("px_sum", LongType()),
+    ]
+)
+
+
+def _png_features(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode REAL PNG payloads (mapInPandas body) and emit pixel-domain
+    statistics — the proof the binary column carries an actual image
+    format end-to-end, not just opaque bytes."""
+    for pdf in pdf_iter:
+        rows = {k: [] for k in ("doc_id", "width", "height", "px_mean",
+                                "px_min", "px_max", "px_sum")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_image(bytes(payload))
+            px = img["pixels"]
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(img["width"])
+            rows["height"].append(img["height"])
+            rows["px_mean"].append(round(sum(px) / len(px), 6))
+            rows["px_min"].append(min(px))
+            rows["px_max"].append(max(px))
+            rows["px_sum"].append(sum(px))
+        yield pd.DataFrame(rows)
+
+
+def png_features(png_df: DataFrame) -> DataFrame:
+    """Distributed decode of a PNG binary column → pixel statistics."""
+    return png_df.mapInPandas(_png_features, PNG_FEATURE_SCHEMA)
 
 
 def _byte_features(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -47,3 +47,43 @@ def test_quality_logreg_arrow_null_and_empty(spark):
     assert rows[1].quality_prob is None
     assert rows[2].n_words == 0 and rows[2].quality_prob is None
     assert rows[3].n_words == 4 and rows[3].quality_prob is not None
+
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) and color type
+    (gray/RGB/RGBA) must roundtrip losslessly through the stdlib codec."""
+    from duckdb_server_spark.operators.png import decode_png, encode_png
+
+    for color_type, ch in ((0, 1), (2, 3), (6, 4)):
+        w, h = 7, 5  # non-square, odd stride
+        pixels = bytes((i * 37 + j * 11) % 256 for i in range(h) for j in range(w * ch))
+        for ftype in range(5):
+            payload = encode_png(pixels, w, h, color_type, filter_type=ftype)
+            img = decode_png(payload)
+            assert (img["width"], img["height"], img["channels"]) == (w, h, ch)
+            assert img["pixels"] == pixels, (color_type, ftype)
+
+
+def test_png_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from duckdb_server_spark.operators.multimodal import decode_image
+    from duckdb_server_spark.operators.png import decode_png
+
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all........")
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg header")
+
+
+def test_png_decode_detects_corruption():
+    """A flipped IDAT byte must fail the CRC check, not yield pixels."""
+    import pytest as _pytest
+
+    from duckdb_server_spark.operators.png import decode_png, encode_png
+
+    payload = bytearray(encode_png(bytes(range(64)), 8, 8))
+    idat_at = payload.index(b"IDAT")
+    payload[idat_at + 6] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
