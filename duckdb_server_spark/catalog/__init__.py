@@ -69,6 +69,7 @@ _PRIORITY_R5: tuple[str, ...] = (
     "s18c_dialect_asof_qualify",
     "w06b_bucketed_range_frame",
     "b30b_png_decode",
+    "b03b_minhash_full_oracle",
     # --- code changed in round 5: refresh green evidence ---
     "b04_simhash",  # rows-only → full-oracle upgrade
     "b57_quality_classifier",  # Arrow-vectorized token features

@@ -135,6 +135,133 @@ def b03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.crossJoin(F.broadcast(planted))
 
 
+# Full-oracle MinHash-LSH: the banded algorithm is deterministic given a
+# hash function both engines can compute. b03 keeps the fast xxhash64
+# spelling (rows-only + planted guard — it is a headline bench query);
+# this variant swaps in the portable md5-derived hash (60 bits via
+# conv/CAST-'0x', the b04 technique) over a doc subset so DuckDB replays
+# the ENTIRE pipeline — shingles, base hash, all 32 permutation minima,
+# band keys, bucket self-join — and the candidate pairs hash-match.
+_B03B_N, _B03B_BANDS, _B03B_ROWS = 32, 8, 4
+_B03B_MINS_SQL = ",\n      ".join(
+    f"min(CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || ',{i}'), 1, 15)) "
+    f"AS BIGINT)) AS m{i}"
+    for i in range(_B03B_N)
+)
+_B03B_BANDS_SQL = ", ".join(
+    "(%d, CAST(m%d AS VARCHAR) || ',' || m%d || ',' || m%d || ',' || m%d)"
+    % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+    for b in range(_B03B_BANDS)
+)
+_B03B_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT -1 AS doc_id, text FROM documents WHERE doc_id = 0
+    ),
+    tok AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) - 2 <= 0 THEN [text]
+                  ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+             END AS sh
+      FROM tok
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+    ),
+    sig AS (
+      SELECT doc_id,
+      {_B03B_MINS_SQL}
+      FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, band.b AS band_id, band.key AS band_key
+      FROM sig, (VALUES {_B03B_BANDS_SQL}) AS band(b, key)
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+    WHERE l.doc_id < r.doc_id
+    ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST
+    """
+
+
+@query("b03b_minhash_full_oracle", oracle=_B03B_ORACLE)
+def b03b_minhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with every stage differentially verified (upgrades the
+    family's evidence from rows-only+guard to hash-match; VERDICT r4
+    wanted the rows-only set shrunk). Same plan shape as the production
+    b03 operator — shingles explode map-side, one groupBy(doc) computes
+    all 32 permutation minima, bands explode, one bucketed self-join —
+    only the hash is the portable md5 form. Band keys join as the
+    concatenated minima string: equality is what buckets need; hashing
+    the key again adds nothing semantically."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    staged = _with_planted_dup(docs)
+
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    k = F.size(words) - 2
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    sh = F.when(k <= 0, F.array(F.col("text"))).otherwise(F.array_distinct(grams))
+
+    def md5_60(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    hashed = staged.select(
+        "doc_id", F.explode(sh).alias("__s")
+    ).select("doc_id", md5_60(F.col("__s")).alias("__h"))
+    mins = [
+        F.min(
+            md5_60(F.concat(F.col("__h").cast("string"), F.lit(f",{i}")))
+        ).alias(f"m{i}")
+        for i in range(_B03B_N)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*mins)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            ",", *[F.col(f"m{4 * b + j}").cast("string") for j in range(_B03B_ROWS)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(_B03B_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    left = banded.select("band_id", "band_key", F.col("doc_id").alias("id_a"))
+    right = banded.select("band_id", "band_key", F.col("doc_id").alias("id_b"))
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .orderBy(F.col("id_a").asc_nulls_last(), F.col("id_b").asc_nulls_last())
+    )
+
+
 # Full-oracle SimHash (upgraded from rows-only, VERDICT r4 item 6): the
 # per-bit majority vote is deterministic, and with a portable token hash
 # (first 32 bits of md5 — Spark conv(hex) ≡ DuckDB CAST('0x'||hex)) DuckDB
