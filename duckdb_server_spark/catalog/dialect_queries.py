@@ -24,19 +24,23 @@ def _sql(spark: SparkSession, sf_dir: str, duck_sql: str, tables: tuple[str, ...
     return run_sql(spark, duck_sql)
 
 
-# One multi-feature DuckDB-dialect statement: star EXCLUDE, GLOB operator,
-# regexp_matches, quantile_cont, numeric trunc, string_split +
-# list_transform with a lambda, GROUP BY ALL, ORDER BY ALL. Spark's parser
-# rejects the raw string (EXCLUDE/GLOB), so a hash-match here proves the
-# full rewrite path, not accidental overlap of the dialects.
+# One multi-feature DuckDB-dialect statement: star EXCLUDE + REPLACE,
+# GLOB operator, regexp_matches, global-flag regexp_replace, quantile_cont,
+# numeric trunc, string_split + list_transform with a lambda, GROUP BY
+# ALL, ORDER BY ALL. Spark's parser rejects the raw string
+# (EXCLUDE/REPLACE/GLOB), so a hash-match here proves the full rewrite
+# path, not accidental overlap of the dialects.
 _S18_SQL = """
 SELECT o_orderpriority,
        count(*) AS n_orders,
        round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
        trunc(avg(o_totalprice)) AS trunc_avg,
+       regexp_replace(min(o_orderpriority), '[^A-Z]', '', 'g') AS prio_alpha,
        array_to_string(list_transform(string_split(min(o_orderpriority), '-'), x -> upper(x)), '+') AS prio_tokens
-FROM (SELECT * EXCLUDE (o_orderdate) FROM orders) o
-WHERE regexp_matches(o_orderpriority, '^[1-3]') AND o_orderstatus GLOB '[FO]*'
+FROM (SELECT * EXCLUDE (o_orderdate)
+             REPLACE (lower(o_orderstatus) AS o_orderstatus)
+      FROM orders) o
+WHERE regexp_matches(o_orderpriority, '^[1-3]') AND o_orderstatus GLOB '[fo]*'
 GROUP BY ALL
 ORDER BY ALL
 """

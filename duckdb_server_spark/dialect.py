@@ -191,6 +191,14 @@ _FN_RENAMES = {
     "array_to_string": "array_join",
     "list_sort": "array_sort",
     "list_reverse_sort": "dd_list_reverse_sort",
+    "array_length": "size",
+    "list_distinct": "array_distinct",
+    "list_position": "array_position",
+    "list_indexof": "array_position",
+    "strpos": "instr",
+    "epoch": "unix_timestamp",
+    "list_min": "array_min",
+    "list_max": "array_max",
 }
 
 _FN_RENAME_RE = re.compile(
@@ -252,6 +260,49 @@ def _rewrite_string_split(s: str, table: list[str]) -> str:
         e = _PLACEHOLDER.format(len(table) - 1)
         repl = f"split({args[0]}, concat({q}, {args[1]}, {e}))"
         s = s[: m.start()] + repl + s[close + 1 :]
+
+
+# DuckDB regexp_replace replaces the FIRST match unless the 'g' flag is
+# given; Spark is always-global with no flags argument. Drop a literal
+# 'g' flag (semantics align with Spark's default) and fold a literal 'i'
+# into the pattern as (?i). Non-global DuckDB calls (no 'g') would need
+# first-match-only semantics Spark lacks — surfaced as an error.
+_REGEXP_REPLACE_RE = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
+
+
+def _rewrite_regexp_replace(s: str, table: list[str]) -> str:
+    pos = 0
+    while True:
+        m = _REGEXP_REPLACE_RE.search(s, pos)
+        if not m:
+            return s
+        open_idx = s.index("(", m.end() - 1)
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        if len(args) != 4:
+            pos = close  # 3-arg form: Spark-compatible already
+            continue
+        flag_ph = _PLACEHOLDER_RE.fullmatch(args[3])
+        flags = _literal_value(table[int(flag_ph.group(1))]) if flag_ph else None
+        if flags is None or not set(flags) <= {"g", "i", "s"}:
+            raise ValueError(f"unsupported regexp_replace flags: {args[3]!r}")
+        if "g" not in flags:
+            raise ValueError(
+                "regexp_replace without 'g' replaces only the first match; "
+                "Spark has no non-global form"
+            )
+        pat = args[1]
+        inline = "".join(c for c in flags if c != "g")
+        if inline:
+            pat_ph = _PLACEHOLDER_RE.fullmatch(pat)
+            pat_lit = _literal_value(table[int(pat_ph.group(1))]) if pat_ph else None
+            if pat_lit is None:
+                raise ValueError("regexp_replace flag folding needs a literal pattern")
+            table.append("'(?" + inline + ")" + pat_lit.replace("'", "''") + "'")
+            pat = _PLACEHOLDER.format(len(table) - 1)
+        repl = f"regexp_replace({args[0]}, {pat}, {args[2]})"
+        s = s[: m.start()] + repl + s[close + 1 :]
+        pos = m.start() + len(repl)
 
 
 _LIST_AGG_RE = re.compile(r"\b(list_aggregate|list_aggr|array_aggregate)\s*\(", re.IGNORECASE)
@@ -524,6 +575,7 @@ def rewrite(sql: str) -> str:
     masked, table = _mask(sql)
     masked = _rewrite_list_literals(masked)
     masked = _rewrite_string_split(masked, table)
+    masked = _rewrite_regexp_replace(masked, table)
     masked = _rewrite_fn_names(masked)
     masked = _rewrite_list_aggregate(masked, table)
     masked = _rewrite_exclude(masked)
@@ -711,12 +763,23 @@ def run_script(spark: SparkSession, script: str) -> list[DataFrame | None]:
 # ---------------------------------------------------------------------------
 
 
+_SUMMARIZE_RE = re.compile(
+    r"^\s*SUMMARIZE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
+)
+
+
 def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Execute SQL, accepting both Spark and DuckDB dialect. Native Spark
     SQL takes the first path untouched (analysis is forced via ``.schema``
     so unresolved DuckDB names surface here, not at action time); on
     parse/analysis failure the DuckDB rewrite is applied and retried. If
-    the rewrite is a no-op the original error propagates."""
+    the rewrite is a no-op the original error propagates. The DuckDB
+    ``SUMMARIZE t`` statement routes to the one-pass sketch aggregate
+    (engine.summarize_frame)."""
+    if m := _SUMMARIZE_RE.match(sql):
+        from duckdb_server_spark.engine import summarize_frame
+
+        return summarize_frame(spark, m.group(1))
     try:
         df = spark.sql(sql)
         df.schema  # force analysis

@@ -226,52 +226,10 @@ class Engine:
         return self._managed_dir
 
     def summarize(self, name: str) -> DataFrame:
-        """DuckDB ``SUMMARIZE table`` analog: one row per column with
-        type, min/max, approx distinct count, null percentage, and
-        mean/std for numerics. One pass over the table — every statistic
-        is a mergeable aggregate (min/max/HLL/moments), so at 100 TB this
-        is a single scan + tiny shuffle, exactly how SUMMARIZE's own
-        sketches behave."""
-        from pyspark.sql import functions as F
-
-        df = self.spark.table(name)
-        numeric = {
-            f.name
-            for f in df.schema.fields
-            if f.dataType.simpleString()
-            in ("int", "bigint", "smallint", "tinyint", "float", "double")
-            or f.dataType.simpleString().startswith("decimal")
-        }
-        aggs = []
-        for f in df.schema.fields:
-            c, is_num = f.name, f.name in numeric
-            # min/max need an ordering; Spark maps are not orderable (the
-            # analyzer rejects them) — mirror DuckDB SUMMARIZE, which also
-            # blanks min/max for non-orderable types.
-            orderable = not f.dataType.simpleString().startswith("map")
-            aggs.append(
-                F.struct(
-                    F.lit(c).alias("column_name"),
-                    F.lit(f.dataType.simpleString()).alias("column_type"),
-                    (F.min(c).cast("string") if orderable else F.lit(None).cast("string")).alias("min"),
-                    (F.max(c).cast("string") if orderable else F.lit(None).cast("string")).alias("max"),
-                    F.approx_count_distinct(c).alias("approx_unique"),
-                    (F.avg(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias("avg"),
-                    (F.stddev(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias("std"),
-                    (
-                        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-                        * 100.0
-                        # nullif guards the empty table: ANSI mode (set by
-                        # tune_session) turns 0/0 into an error, not NULL.
-                        / F.nullif(F.count(F.lit(1)), F.lit(0))
-                    ).alias("null_percentage"),
-                ).alias(c)
-            )
-        row = df.agg(*aggs)
-        stacked = row.select(
-            F.explode(F.array(*[F.col(f.name) for f in df.schema.fields])).alias("s")
-        )
-        return stacked.select("s.*")
+        """DuckDB ``SUMMARIZE table`` analog — see :func:`summarize_frame`
+        (also reachable as the raw SQL statement ``SUMMARIZE t`` through
+        the dialect layer)."""
+        return summarize_frame(self.spark, name)
 
     # -- multi-warehouse (DuckDB ATTACH parity) -----------------------------
     def attach(self, warehouse_dir: str, alias: str) -> list[str]:
@@ -300,6 +258,7 @@ class Engine:
             )
             tables.append(name)
         return tables
+
 
     def detach(self, alias: str) -> None:
         """``DETACH alias`` — drops the catalog database (metadata only;
@@ -358,3 +317,53 @@ class Engine:
         if self._server is not None:
             self._server.shutdown()
             self._server = None
+
+
+def summarize_frame(spark: SparkSession, name: str) -> DataFrame:
+    """``SUMMARIZE table``: one row per column with type, min/max, approx
+    distinct count, null percentage, and mean/std for numerics. One pass
+    over the table — every statistic is a mergeable aggregate
+    (min/max/HLL/moments), so at 100 TB this is a single scan + tiny
+    shuffle, exactly how SUMMARIZE's own sketches behave. Module-level so
+    both Engine.summarize and the dialect router's raw ``SUMMARIZE t``
+    statement share one implementation."""
+    from pyspark.sql import functions as F
+
+    df = spark.table(name)
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString()
+        in ("int", "bigint", "smallint", "tinyint", "float", "double")
+        or f.dataType.simpleString().startswith("decimal")
+    }
+    aggs = []
+    for f in df.schema.fields:
+        c, is_num = f.name, f.name in numeric
+        # min/max need an ordering; Spark maps are not orderable (the
+        # analyzer rejects them) — mirror DuckDB SUMMARIZE, which also
+        # blanks min/max for non-orderable types.
+        orderable = not f.dataType.simpleString().startswith("map")
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(f.dataType.simpleString()).alias("column_type"),
+                (F.min(c).cast("string") if orderable else F.lit(None).cast("string")).alias("min"),
+                (F.max(c).cast("string") if orderable else F.lit(None).cast("string")).alias("max"),
+                F.approx_count_distinct(c).alias("approx_unique"),
+                (F.avg(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias("avg"),
+                (F.stddev(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias("std"),
+                (
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    * 100.0
+                    # nullif guards the empty table: ANSI mode (set by
+                    # tune_session) turns 0/0 into an error, not NULL.
+                    / F.nullif(F.count(F.lit(1)), F.lit(0))
+                ).alias("null_percentage"),
+            ).alias(c)
+        )
+    row = df.agg(*aggs)
+    stacked = row.select(
+        F.explode(F.array(*[F.col(f.name) for f in df.schema.fields])).alias("s")
+    )
+    return stacked.select("s.*")

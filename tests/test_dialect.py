@@ -191,3 +191,21 @@ def test_flight_server_accepts_duckdb_dialect(sql_session):
 
     with pytest.raises(flight.FlightServerError):
         resolve_query_sql(sql_session, "DROP TABLE orders")
+
+
+def test_regexp_replace_flag_shim():
+    out = rewrite("SELECT regexp_replace(s, '[0-9]', '', 'g') FROM t")
+    assert out == "SELECT regexp_replace(s, '[0-9]', '') FROM t"
+    out = rewrite("SELECT regexp_replace(s, 'a', 'b', 'gi') FROM t")
+    assert "'(?i)a'" in out
+    with pytest.raises(Exception):
+        from duckdb_server_spark.dialect import rewrite as _r
+
+        _r("SELECT regexp_replace(s, 'a', 'b', 'i') FROM t")  # non-global
+
+
+def test_summarize_statement_routes(sql_session):
+    df = run_sql(sql_session, "SUMMARIZE orders")
+    rows = {r.column_name: r for r in df.collect()}
+    assert "o_totalprice" in rows
+    assert rows["o_totalprice"].approx_unique > 0
