@@ -34,6 +34,10 @@ CMD_GET_CATALOGS = TYPE_URL_PREFIX + "CommandGetCatalogs"
 CMD_GET_DB_SCHEMAS = TYPE_URL_PREFIX + "CommandGetDbSchemas"
 CMD_GET_TABLES = TYPE_URL_PREFIX + "CommandGetTables"
 CMD_PREPARED_STATEMENT_QUERY = TYPE_URL_PREFIX + "CommandPreparedStatementQuery"
+CMD_GET_PRIMARY_KEYS = TYPE_URL_PREFIX + "CommandGetPrimaryKeys"
+CMD_GET_EXPORTED_KEYS = TYPE_URL_PREFIX + "CommandGetExportedKeys"
+CMD_GET_IMPORTED_KEYS = TYPE_URL_PREFIX + "CommandGetImportedKeys"
+CMD_GET_XDBC_TYPE_INFO = TYPE_URL_PREFIX + "CommandGetXdbcTypeInfo"
 ACTION_CREATE_PREPARED_REQ = TYPE_URL_PREFIX + "ActionCreatePreparedStatementRequest"
 ACTION_CREATE_PREPARED_RESULT = TYPE_URL_PREFIX + "ActionCreatePreparedStatementResult"
 ACTION_CLOSE_PREPARED_REQ = TYPE_URL_PREFIX + "ActionClosePreparedStatementRequest"
@@ -237,6 +241,26 @@ def decode_command_get_tables(value: bytes) -> tuple[str | None, bool]:
 # Any-wrapped, as in the public Go/C++ Flight SQL servers.
 
 
+def decode_command_get_xdbc_type_info(value: bytes) -> int | None:
+    """Optional field 1: the java.sql.Types code to filter to."""
+    fields = parse_fields(value)
+    vals = fields.get(1)
+    return int(vals[0]) if vals else None
+
+
+def encode_command_get_xdbc_type_info(data_type: int | None = None) -> bytes:
+    body = b"" if data_type is None else _field_varint(1, data_type)
+    return pack_any(CMD_GET_XDBC_TYPE_INFO, body)
+
+
+def encode_command_get_primary_keys(table: str) -> bytes:
+    return pack_any(CMD_GET_PRIMARY_KEYS, _field_bytes(3, table.encode("utf-8")))
+
+
+def encode_command_get_imported_keys(table: str) -> bytes:
+    return pack_any(CMD_GET_IMPORTED_KEYS, _field_bytes(3, table.encode("utf-8")))
+
+
 def encode_action_create_prepared_request(sql: str) -> bytes:
     return pack_any(ACTION_CREATE_PREPARED_REQ, _field_bytes(1, sql.encode()))
 
@@ -306,6 +330,118 @@ GET_TABLES_SCHEMA = pa.schema(
 GET_TABLES_SCHEMA_WITH_SCHEMA = GET_TABLES_SCHEMA.append(
     pa.field("table_schema", pa.binary(), nullable=False)
 )
+
+# Key/type metadata (FlightSql.proto): the warehouse is constraint-free
+# parquet, so key queries correctly return EMPTY tables in the standard
+# schema — a protocol-conformant "no constraints", not Unimplemented
+# (which makes ADBC drivers fail the whole metadata fetch). The reference
+# leaves all of these Unimplemented (main.go:121-124).
+GET_PRIMARY_KEYS_SCHEMA = pa.schema(
+    [
+        pa.field("catalog_name", pa.string()),
+        pa.field("db_schema_name", pa.string()),
+        pa.field("table_name", pa.string(), nullable=False),
+        pa.field("column_name", pa.string(), nullable=False),
+        pa.field("key_name", pa.string()),
+        pa.field("key_sequence", pa.int32(), nullable=False),
+    ]
+)
+GET_KEYS_SCHEMA = pa.schema(
+    [
+        pa.field("pk_catalog_name", pa.string()),
+        pa.field("pk_db_schema_name", pa.string()),
+        pa.field("pk_table_name", pa.string(), nullable=False),
+        pa.field("pk_column_name", pa.string(), nullable=False),
+        pa.field("fk_catalog_name", pa.string()),
+        pa.field("fk_db_schema_name", pa.string()),
+        pa.field("fk_table_name", pa.string(), nullable=False),
+        pa.field("fk_column_name", pa.string(), nullable=False),
+        pa.field("key_sequence", pa.int32(), nullable=False),
+        pa.field("fk_key_name", pa.string()),
+        pa.field("pk_key_name", pa.string()),
+        pa.field("update_rule", pa.uint8(), nullable=False),
+        pa.field("delete_rule", pa.uint8(), nullable=False),
+    ]
+)
+GET_XDBC_TYPE_INFO_SCHEMA = pa.schema(
+    [
+        pa.field("type_name", pa.string(), nullable=False),
+        pa.field("data_type", pa.int32(), nullable=False),
+        pa.field("column_size", pa.int32()),
+        pa.field("literal_prefix", pa.string()),
+        pa.field("literal_suffix", pa.string()),
+        pa.field("create_params", pa.list_(pa.field("item", pa.string(), nullable=False))),
+        pa.field("nullable", pa.int32(), nullable=False),
+        pa.field("case_sensitive", pa.bool_(), nullable=False),
+        pa.field("searchable", pa.int32(), nullable=False),
+        pa.field("unsigned_attribute", pa.bool_()),
+        pa.field("fixed_prec_scale", pa.bool_(), nullable=False),
+        pa.field("auto_increment", pa.bool_()),
+        pa.field("local_type_name", pa.string()),
+        pa.field("minimum_scale", pa.int32()),
+        pa.field("maximum_scale", pa.int32()),
+        pa.field("sql_data_type", pa.int32(), nullable=False),
+        pa.field("datetime_subcode", pa.int32()),
+        pa.field("num_prec_radix", pa.int32()),
+        pa.field("interval_precision", pa.int32()),
+    ]
+)
+
+# (type_name, java.sql.Types code, column_size, create_params, radix) for
+# the engine's SQL type surface. searchable=3 (SEARCHABLE), nullable=1.
+_XDBC_TYPES: tuple[tuple[str, int, int | None, list[str] | None, int | None], ...] = (
+    ("BOOLEAN", 16, 1, None, None),
+    ("TINYINT", -6, 3, None, 10),
+    ("SMALLINT", 5, 5, None, 10),
+    ("INTEGER", 4, 10, None, 10),
+    ("BIGINT", -5, 19, None, 10),
+    ("FLOAT", 6, 7, None, 10),
+    ("DOUBLE", 8, 15, None, 10),
+    ("DECIMAL", 3, 38, ["precision", "scale"], 10),
+    ("VARCHAR", 12, None, ["length"], None),
+    ("BINARY", -2, None, None, None),
+    ("DATE", 91, 10, None, None),
+    ("TIMESTAMP", 93, 26, None, None),
+    ("ARRAY", 2003, None, None, None),
+    ("MAP", 2000, None, None, None),
+    ("STRUCT", 2002, None, None, None),
+)
+
+
+def xdbc_type_info_table(data_type: int | None = None) -> pa.Table:
+    """CommandGetXdbcTypeInfo result: the engine's type surface, optionally
+    filtered to one java.sql.Types code."""
+    rows = [t for t in _XDBC_TYPES if data_type is None or t[1] == data_type]
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.string()),
+            pa.array([r[1] for r in rows], pa.int32()),
+            pa.array([r[2] for r in rows], pa.int32()),
+            pa.array(["'" if r[0] == "VARCHAR" else None for r in rows], pa.string()),
+            pa.array(["'" if r[0] == "VARCHAR" else None for r in rows], pa.string()),
+            pa.array([r[3] for r in rows], pa.list_(pa.field("item", pa.string(), nullable=False))),
+            pa.array([1] * len(rows), pa.int32()),
+            pa.array([r[0] == "VARCHAR" for r in rows], pa.bool_()),
+            pa.array([3] * len(rows), pa.int32()),
+            pa.array([False] * len(rows), pa.bool_()),
+            pa.array([r[0] == "DECIMAL" for r in rows], pa.bool_()),
+            pa.array([False] * len(rows), pa.bool_()),
+            pa.array([r[0] for r in rows], pa.string()),
+            pa.array([0 if r[0] == "DECIMAL" else None for r in rows], pa.int32()),
+            pa.array([38 if r[0] == "DECIMAL" else None for r in rows], pa.int32()),
+            pa.array([r[1] for r in rows], pa.int32()),
+            pa.array([None] * len(rows), pa.int32()),
+            pa.array([r[4] for r in rows], pa.int32()),
+            pa.array([None] * len(rows), pa.int32()),
+        ],
+        schema=GET_XDBC_TYPE_INFO_SCHEMA,
+    )
+
+
+def empty_table(schema: pa.Schema) -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array([], f.type) for f in schema], schema=schema
+    )
 
 
 def serialize_schema(schema: pa.Schema) -> bytes:

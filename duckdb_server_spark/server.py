@@ -222,6 +222,15 @@ class SparkFlightServer(flight.FlightServerBase):
                 return "db_schemas", None
             if type_url == flightsql.CMD_GET_TABLES:
                 return "tables", flightsql.decode_command_get_tables(value)
+            if type_url == flightsql.CMD_GET_PRIMARY_KEYS:
+                return "primary_keys", None
+            if type_url in (
+                flightsql.CMD_GET_EXPORTED_KEYS,
+                flightsql.CMD_GET_IMPORTED_KEYS,
+            ):
+                return "keys", None
+            if type_url == flightsql.CMD_GET_XDBC_TYPE_INFO:
+                return "type_info", flightsql.decode_command_get_xdbc_type_info(value)
             if type_url == flightsql.CMD_PREPARED_STATEMENT_QUERY:
                 handle = flightsql.decode_prepared_statement_handle(value)
                 with self._prepared_lock:
@@ -257,6 +266,16 @@ class SparkFlightServer(flight.FlightServerBase):
                 [pa.array([self._CATALOG_NAME]), pa.array([self._DB_SCHEMA_NAME])],
                 schema=flightsql.GET_DB_SCHEMAS_SCHEMA,
             )
+        # Constraint metadata: parquet views carry no PK/FK — the
+        # protocol-correct answer is an empty standard-schema table, so
+        # ADBC metadata fetches succeed instead of erroring on
+        # Unimplemented (which is what the reference returns).
+        if kind == "primary_keys":
+            return flightsql.empty_table(flightsql.GET_PRIMARY_KEYS_SCHEMA)
+        if kind == "keys":
+            return flightsql.empty_table(flightsql.GET_KEYS_SCHEMA)
+        if kind == "type_info":
+            return flightsql.xdbc_type_info_table(payload)
         # tables: the served temp-view namespace (the '-db' warehouse).
         # The Flight SQL table_name_filter_pattern is a SQL LIKE pattern
         # ('%' any run, '_' one char) — translate to an anchored regex so

@@ -7,6 +7,7 @@ import pyarrow as pa
 import pyarrow.flight as flight
 import pytest
 
+from duckdb_server_spark import flightsql
 from duckdb_server_spark import server as srv
 from duckdb_server_spark.session import bootstrap
 
@@ -426,3 +427,38 @@ def test_adbc_flightsql_client_end_to_end(flight_port):
             cur.execute("SELECT 1 as a, 2 as b")
             table = cur.fetch_arrow_table()
     assert table.to_pydict() == {"a": [1], "b": [2]}
+
+
+def test_key_metadata_returns_empty_not_unimplemented(flight_port):
+    """ADBC drivers fetch PK/FK metadata during connection setup; a
+    constraint-free parquet warehouse must answer with EMPTY tables in
+    the standard Flight SQL schemas (the reference errors Unimplemented,
+    which breaks the whole metadata fetch)."""
+    with flight.connect(f"grpc://localhost:{flight_port}") as client:
+        for cmd, schema in (
+            (flightsql.encode_command_get_primary_keys("orders"),
+             flightsql.GET_PRIMARY_KEYS_SCHEMA),
+            (flightsql.encode_command_get_imported_keys("orders"),
+             flightsql.GET_KEYS_SCHEMA),
+        ):
+            info = client.get_flight_info(flight.FlightDescriptor.for_command(cmd))
+            table = client.do_get(info.endpoints[0].ticket).read_all()
+            assert table.num_rows == 0
+            assert table.schema.equals(schema)
+
+
+def test_xdbc_type_info(flight_port):
+    """GetXdbcTypeInfo enumerates the engine's SQL type surface; the
+    optional data_type filter narrows to one java.sql.Types code."""
+    with flight.connect(f"grpc://localhost:{flight_port}") as client:
+        cmd = flightsql.encode_command_get_xdbc_type_info()
+        info = client.get_flight_info(flight.FlightDescriptor.for_command(cmd))
+        table = client.do_get(info.endpoints[0].ticket).read_all()
+        names = table.column("type_name").to_pylist()
+        assert {"BOOLEAN", "BIGINT", "DOUBLE", "VARCHAR", "TIMESTAMP"} <= set(names)
+        assert table.schema.equals(flightsql.GET_XDBC_TYPE_INFO_SCHEMA)
+
+        only_varchar = flightsql.encode_command_get_xdbc_type_info(12)
+        info = client.get_flight_info(flight.FlightDescriptor.for_command(only_varchar))
+        table = client.do_get(info.endpoints[0].ticket).read_all()
+        assert table.column("type_name").to_pylist() == ["VARCHAR"]
