@@ -1436,9 +1436,11 @@ def b49_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents whose vocabulary collapses (low distinct-word ratio) or
     that loop one bigram (high top-bigram occurrence fraction) — the
     standard cheap gate before expensive LM-based quality scoring.
-    Word stats are codegen scan exprs; the bigram pass is one
-    (doc_id, bigram) hash-agg chain — see operators/text.py."""
-    return text.repetition_stats(
+    Served by the Arrow-vectorized form (one pandas pass per doc —
+    removes the interpreted HOF bigram build AND the (doc_id, bigram)
+    shuffle entirely; values equality-tested against the JVM form in
+    tests/test_r5_ops.py, oracle unchanged)."""
+    return text.repetition_stats_arrow(
         t(spark, sf_dir, "documents"), "text", "doc_id"
     ).orderBy(F.col("doc_id").asc_nulls_last())
 

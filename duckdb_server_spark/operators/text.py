@@ -159,6 +159,68 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark-faithful double rounding: Spark's round() converts the
+    double via its shortest decimal representation and rounds HALF_UP
+    (BigDecimal.valueOf → setScale). Python's builtin round() is
+    banker's, which flips exact ties (e.g. 2/64 at 4 digits: Spark
+    0.0313, banker's 0.0312) — Arrow variants must match the JVM."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def repetition_stats_arrow(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Arrow-vectorized :func:`repetition_stats` — identical values.
+
+    The repetition signals are per-document (no cross-doc state), so the
+    whole computation — tokens, distinct ratio, bigram Counter — fits in
+    one pandas_udf pass, removing both the interpreted HOF bigram
+    construction AND the (doc_id, bigram) shuffle + join-back entirely:
+    the operator becomes a shuffle-free projection. Equality-tested
+    against the JVM form in tests/test_r5_ops.py; prefer the JVM form
+    only where Python workers are unavailable."""
+    import re as _re
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    tok_re = _re.compile(r"\S+")
+
+    @pandas_udf(
+        "n_words int, distinct_ratio double, top_bigram_frac double, keep boolean"
+    )
+    def _stats(texts: pd.Series) -> pd.DataFrame:
+        n_out, d_out, t_out, k_out = [], [], [], []
+        for s in texts:
+            ws = tok_re.findall(s.lower()) if s is not None else []
+            nw = len(ws)
+            dr = _round_half_up(len(set(ws)) / nw, 4) if nw > 0 else 0.0
+            if nw >= 2:
+                counts = Counter(zip(ws, ws[1:]))
+                tb = _round_half_up(max(counts.values()) / (nw - 1), 4)
+            else:
+                tb = 0.0
+            n_out.append(nw); d_out.append(dr); t_out.append(tb)
+            k_out.append(dr >= 0.2 and tb <= 0.18)
+        return pd.DataFrame(
+            {"n_words": n_out, "distinct_ratio": d_out,
+             "top_bigram_frac": t_out, "keep": k_out}
+        )
+
+    feat = _stats(F.col(text_col)).alias("__f")
+    return df.select(F.col(id_col), feat).select(
+        F.col(id_col),
+        F.col("__f.n_words").alias("n_words"),
+        F.col("__f.distinct_ratio").alias("distinct_ratio"),
+        F.col("__f.top_bigram_frac").alias("top_bigram_frac"),
+        F.col("__f.keep").alias("keep"),
+    )
+
+
 def tfidf_topk(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document (keyword extraction / routing
     signal): tf from one ``(doc, term)`` hash-agg, document frequency
@@ -335,7 +397,7 @@ def quality_logreg_arrow(
                 + w4 * distinct_ratio
                 + w5 * stop_ratio
             )
-            prob = round(1.0 / (1.0 + math.exp(-logit)), 6)
+            prob = _round_half_up(1.0 / (1.0 + math.exp(-logit)), 6)
             p_out.append(prob); k_out.append(prob >= 0.5)
         return pd.DataFrame(
             {"n_words": n_out, "quality_prob": p_out, "keep": k_out}

@@ -87,3 +87,25 @@ def test_png_decode_detects_corruption():
     payload[idat_at + 6] ^= 0xFF
     with _pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(payload))
+
+
+def test_repetition_stats_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow repetition filter must agree with the JVM hash-agg form
+    row-for-row (tokens, bigram counts, rounding, keep threshold)."""
+    from duckdb_server_spark.operators.text import (
+        repetition_stats,
+        repetition_stats_arrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    jvm = repetition_stats(docs, "text", "doc_id")
+    arrow = repetition_stats_arrow(docs, "text", "doc_id")
+    joined = jvm.alias("j").join(arrow.alias("a"), "doc_id")
+    diff = joined.filter(
+        (F.col("j.n_words") != F.col("a.n_words"))
+        | (F.abs(F.col("j.distinct_ratio") - F.col("a.distinct_ratio")) > 1e-9)
+        | (F.abs(F.col("j.top_bigram_frac") - F.col("a.top_bigram_frac")) > 1e-9)
+        | (F.col("j.keep") != F.col("a.keep"))
+    ).count()
+    assert diff == 0
+    assert joined.count() == docs.count()
