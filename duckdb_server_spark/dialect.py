@@ -682,6 +682,11 @@ _VIEW_RE = re.compile(
     r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_TABLE_AS_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _strip_quotes(v: str) -> str:
@@ -748,6 +753,17 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         # its views from the init script on every boot anyway).
         name, body = m.group(1), m.group(2)
         df = run_sql(spark, body)
+        df.createOrReplaceTempView(name.split(".")[-1])
+        return None
+    if m := _TABLE_AS_RE.match(stmt):
+        # CREATE TABLE AS during init: materialize the query once
+        # (localCheckpoint — table semantics, not a re-executing view)
+        # and serve it under the name. Durable managed-table storage is
+        # Engine.create_table; init scripts only need the name to exist
+        # for the serving lifetime, like the reference's boot-time
+        # duckdb.db writes.
+        name, body = m.group(1), m.group(2)
+        df = run_sql(spark, body).localCheckpoint(eager=True)
         df.createOrReplaceTempView(name.split(".")[-1])
         return None
     return run_sql(spark, stmt)

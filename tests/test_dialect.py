@@ -209,3 +209,13 @@ def test_summarize_statement_routes(sql_session):
     rows = {r.column_name: r for r in df.collect()}
     assert "o_totalprice" in rows
     assert rows["o_totalprice"].approx_unique > 0
+
+
+def test_create_table_as_routes_to_materialized_view(sql_session):
+    run_script(
+        sql_session,
+        "CREATE TABLE init_tbl AS SELECT o_orderstatus, count(*) AS n "
+        "FROM orders GROUP BY ALL;",
+    )
+    rows = sql_session.table("init_tbl").collect()
+    assert len(rows) >= 2 and all(r.n > 0 for r in rows)
