@@ -618,16 +618,13 @@ def b12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b20_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring (C4/Gopher-style cheap filters) as pure Column
-    expressions — runs at scan speed, no shuffle at all."""
-    docs = t(spark, sf_dir, "documents")
-    col = F.col("text")
-    return docs.select(
-        "doc_id",
-        text.token_count(col).alias("n_tokens"),
-        F.round(text.avg_word_length(col), 6).alias("avg_word_len"),
-        F.round(text.alpha_ratio(col), 6).alias("alpha_ratio"),
-        text.quality_score(col).alias("quality"),
+    """Quality scoring (C4/Gopher-style cheap filters), served by the
+    Arrow-vectorized pass (operators/text.py::text_quality_arrow — the
+    avg-word-length HOF fold was the family's interpreted bottleneck;
+    values equality-tested against the Column forms in
+    tests/test_r5_ops.py). Still zero shuffle — one projection."""
+    return text.text_quality_arrow(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
     )
 
 

@@ -221,6 +221,62 @@ def repetition_stats_arrow(
     )
 
 
+def text_quality_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Arrow-vectorized b20 feature set (token_count / avg_word_length /
+    alpha_ratio / quality_score) — identical values to the Column-expr
+    forms, computed in one pandas pass per document. The Column forms are
+    codegen but the avg-word-length fold is an interpreted HOF; at the
+    100× tier the family saturates ~36k docs/s (SCALING.md) and this
+    variant removes the per-element overhead. Edge parity: Spark's
+    ``split(trim(''), '\\s+')`` yields [''] (count 1, avg 0.0) — mirrored
+    explicitly."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    tok_re = _re.compile(r"\S+")
+    alpha_re = _re.compile(r"[a-zA-Z ]")
+
+    @pandas_udf(
+        "n_tokens int, avg_word_len double, alpha_ratio double, quality double"
+    )
+    def _feats(texts: pd.Series) -> pd.DataFrame:
+        nt_o, awl_o, ar_o, q_o = [], [], [], []
+        for s in texts:
+            if s is None:
+                nt_o.append(None); awl_o.append(None)
+                ar_o.append(None); q_o.append(None)
+                continue
+            ws = tok_re.findall(s)
+            nt = len(ws) if ws else 1  # split(trim('')) = ['']
+            awl = sum(map(len, ws)) / nt
+            ar = (len(alpha_re.findall(s)) / len(s)) if len(s) else None
+            length_ok = 1.0 if 20 <= len(s) <= 100000 else 0.3
+            wl_ok = 1.0 if 2.0 <= awl <= 12.0 else 0.4
+            q = (
+                _round_half_up(0.4 * length_ok + 0.3 * wl_ok + 0.3 * ar, 6)
+                if ar is not None
+                else None
+            )
+            nt_o.append(nt)
+            awl_o.append(_round_half_up(awl, 6))
+            ar_o.append(_round_half_up(ar, 6) if ar is not None else None)
+            q_o.append(q)
+        return pd.DataFrame(
+            {"n_tokens": nt_o, "avg_word_len": awl_o,
+             "alpha_ratio": ar_o, "quality": q_o}
+        )
+
+    feat = _feats(F.col(text_col)).alias("__f")
+    return df.select(F.col(id_col), feat).select(
+        F.col(id_col),
+        F.col("__f.n_tokens").alias("n_tokens"),
+        F.col("__f.avg_word_len").alias("avg_word_len"),
+        F.col("__f.alpha_ratio").alias("alpha_ratio"),
+        F.col("__f.quality").alias("quality"),
+    )
+
+
 def tfidf_topk(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document (keyword extraction / routing
     signal): tf from one ``(doc, term)`` hash-agg, document frequency

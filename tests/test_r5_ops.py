@@ -109,3 +109,29 @@ def test_repetition_stats_arrow_matches_jvm(spark, sf_dir):
     ).count()
     assert diff == 0
     assert joined.count() == docs.count()
+
+
+def test_text_quality_arrow_matches_column_forms(spark, sf_dir):
+    """The Arrow b20 features must agree with the Column-expression
+    implementations row-for-row, including the rounded columns."""
+    from duckdb_server_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    col = F.col("text")
+    jvm = docs.select(
+        "doc_id",
+        T.token_count(col).alias("n_tokens"),
+        F.round(T.avg_word_length(col), 6).alias("avg_word_len"),
+        F.round(T.alpha_ratio(col), 6).alias("alpha_ratio"),
+        T.quality_score(col).alias("quality"),
+    )
+    arrow = T.text_quality_arrow(docs, "text", "doc_id")
+    joined = jvm.alias("j").join(arrow.alias("a"), "doc_id")
+    diff = joined.filter(
+        (F.col("j.n_tokens") != F.col("a.n_tokens"))
+        | (F.abs(F.col("j.avg_word_len") - F.col("a.avg_word_len")) > 1e-9)
+        | (F.abs(F.col("j.alpha_ratio") - F.col("a.alpha_ratio")) > 1e-9)
+        | (F.abs(F.col("j.quality") - F.col("a.quality")) > 1e-9)
+    ).count()
+    assert diff == 0
+    assert joined.count() == docs.count()
