@@ -73,6 +73,8 @@ _PRIORITY_R5: tuple[str, ...] = (
     # --- code changed in round 5: refresh green evidence ---
     "b04_simhash",  # rows-only → full-oracle upgrade
     "b57_quality_classifier",  # Arrow-vectorized token features
+    "b49_repetition_filter",  # Arrow-vectorized (shuffle deleted)
+    "b20_text_quality",  # Arrow-vectorized features
     "b10_knn_bruteforce",  # pre-pruned top-k path
     "b12_embedding_near_dup",
     "w06_range_frame",

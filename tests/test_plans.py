@@ -66,8 +66,11 @@ def test_dedup_shuffle_carries_hash_not_text(spark, sf_dir):
 
 
 def test_no_python_udf_in_core_queries(spark, sf_dir):
-    """Core relational queries must not contain Python evaluation nodes
-    (BatchEvalPython/ArrowEvalPython) — the JVM-side guarantee."""
+    """The relational core must not contain ANY Python evaluation nodes —
+    the JVM-side guarantee. Text-feature queries (b20/b49/b57) are
+    deliberately Arrow-vectorized (ArrowEvalPython, measured 4-9× the
+    interpreted HOF forms at the 100× tier, SCALING.md) but must never
+    regress to row-at-a-time BatchEvalPython."""
     for name in (
         "q01_pricing_summary",
         "j01_inner_join",
@@ -75,10 +78,13 @@ def test_no_python_udf_in_core_queries(spark, sf_dir):
         "w04_running_agg",
         "b01_exact_dedup",
         "b10_knn_bruteforce",
-        "b20_text_quality",
     ):
         text = plans.explain_string(catalog.QUERIES[name](spark, sf_dir), "simple")
         assert "EvalPython" not in text, f"{name} fell off the JVM path"
+    for name in ("b20_text_quality", "b49_repetition_filter", "b57_quality_classifier"):
+        text = plans.explain_string(catalog.QUERIES[name](spark, sf_dir), "simple")
+        assert "BatchEvalPython" not in text, f"{name} uses row-at-a-time Python"
+        assert "ArrowEvalPython" in text, f"{name} lost its Arrow path"
 
 
 def test_t02_no_sort_merge_join(spark, sf_dir):
