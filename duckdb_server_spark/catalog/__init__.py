@@ -67,6 +67,7 @@ _PRIORITY_R5: tuple[str, ...] = (
     "s18_dialect_passthrough",
     "s18b_dialect_init_sql",
     "s18c_dialect_asof_qualify",
+    "s19_dialect_pivot",
     "w06b_bucketed_range_frame",
     "b30b_png_decode",
     "b03b_minhash_full_oracle",

@@ -118,6 +118,32 @@ CREATE VIEW hello_world AS (SELECT 'hello' AS world);
 """
 
 
+# The DuckDB PIVOT statement form — no Spark SQL equivalent at all (Spark
+# PIVOT needs an explicit IN value list). DuckDB evaluates the identical
+# string natively; counts keep the cells integer-deterministic.
+_S19_SQL = """
+PIVOT lineitem ON l_linestatus USING count(l_quantity) GROUP BY l_returnflag
+"""
+
+
+@query("s19_dialect_pivot", oracle=_S19_SQL)
+def s19_dialect_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB dynamic ``PIVOT`` statement through the dialect router:
+    output columns discovered from the pivot column's values (one eager
+    distinct job over a low-NDV dictionary column — dynamic pivoting's
+    inherent cost in any engine), then an ordinary groupBy().pivot()
+    aggregate. Byte-identical statement on both engines."""
+    from pyspark.sql import functions as F
+
+    from duckdb_server_spark.dialect import run_sql
+    from duckdb_server_spark.session import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return run_sql(spark, _S19_SQL).orderBy(
+        F.col("l_returnflag").asc_nulls_last()
+    )
+
+
 @query(
     "s18b_dialect_init_sql",
     oracle="""

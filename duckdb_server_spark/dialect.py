@@ -782,6 +782,39 @@ def run_script(spark: SparkSession, script: str) -> list[DataFrame | None]:
 _SUMMARIZE_RE = re.compile(
     r"^\s*SUMMARIZE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
 )
+_PIVOT_RE = re.compile(
+    r"^\s*PIVOT\s+([A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_]\w*)\s+"
+    r"USING\s+(\w+)\s*\(\s*(\*|[A-Za-z_]\w*)\s*\)"
+    r"(?:\s+GROUP\s+BY\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _run_pivot(spark: SparkSession, m: re.Match) -> DataFrame:
+    """DuckDB ``PIVOT t ON col USING agg(x) [GROUP BY g]``: dynamic pivot
+    — output columns discovered from the data. Spark equivalent is
+    ``groupBy(g).pivot(col)`` with no value list, which runs one eager
+    distinct job over the (low-NDV, dictionary-encoded) pivot column;
+    that extra scan is dynamic pivoting's documented scale cost in ANY
+    engine. Without GROUP BY, DuckDB groups by all remaining columns —
+    mirrored here."""
+    from pyspark.sql import functions as F
+
+    tbl, on_col, fn, arg, group_by = m.groups()
+    df = spark.table(tbl)
+    fn = fn.lower()
+    if fn not in ("sum", "avg", "min", "max", "count"):
+        raise ValueError(f"PIVOT USING {fn}(): unsupported aggregate")
+    agg = (
+        F.count(F.lit(1))
+        if (fn == "count" and arg == "*")
+        else getattr(F, fn)(arg)
+    )
+    if group_by:
+        groups = [c.strip() for c in group_by.split(",")]
+    else:
+        groups = [c for c in df.columns if c != on_col and c != arg]
+    return df.groupBy(*groups).pivot(on_col).agg(agg)
 
 
 def run_sql(spark: SparkSession, sql: str) -> DataFrame:
@@ -796,6 +829,8 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         from duckdb_server_spark.engine import summarize_frame
 
         return summarize_frame(spark, m.group(1))
+    if m := _PIVOT_RE.match(sql):
+        return _run_pivot(spark, m)
     try:
         df = spark.sql(sql)
         df.schema  # force analysis

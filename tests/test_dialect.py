@@ -219,3 +219,12 @@ def test_create_table_as_routes_to_materialized_view(sql_session):
     )
     rows = sql_session.table("init_tbl").collect()
     assert len(rows) >= 2 and all(r.n > 0 for r in rows)
+
+
+def test_pivot_statement(sql_session):
+    df = run_sql(
+        sql_session,
+        "PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority",
+    )
+    assert "o_orderpriority" in df.columns and len(df.columns) >= 3
+    assert df.count() == 5
