@@ -68,6 +68,7 @@ _PRIORITY_R5: tuple[str, ...] = (
     "s18b_dialect_init_sql",
     "s18c_dialect_asof_qualify",
     "s19_dialect_pivot",
+    "s19b_dialect_unpivot",
     "w06b_bucketed_range_frame",
     "b30b_png_decode",
     "b03b_minhash_full_oracle",

@@ -144,6 +144,32 @@ def s19_dialect_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S19B_SQL = """
+UNPIVOT (SELECT o_orderkey, o_totalprice AS base_price,
+                o_totalprice * 1.1 AS taxed_price
+         FROM orders WHERE o_orderkey < 64)
+ON base_price, taxed_price INTO NAME price_kind VALUE price
+"""
+
+
+@query("s19b_dialect_unpivot", oracle=_S19B_SQL)
+def s19b_dialect_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB ``UNPIVOT … INTO NAME … VALUE`` statement → Spark's native
+    UNPIVOT clause (same wide→long semantics, different spelling; the
+    inner subquery still flows through the full dialect rewrite). Pure
+    map-side row expansion — no shuffle."""
+    from pyspark.sql import functions as F
+
+    from duckdb_server_spark.dialect import run_sql
+    from duckdb_server_spark.session import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return run_sql(spark, _S19B_SQL).orderBy(
+        F.col("o_orderkey").asc_nulls_last(),
+        F.col("price_kind").asc_nulls_last(),
+    )
+
+
 @query(
     "s18b_dialect_init_sql",
     oracle="""

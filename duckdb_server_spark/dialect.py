@@ -788,6 +788,11 @@ _PIVOT_RE = re.compile(
     r"(?:\s+GROUP\s+BY\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_UNPIVOT_RE = re.compile(
+    r"^\s*UNPIVOT\s+(\(.*?\)|[A-Za-z_][\w.]*)\s+ON\s+(.+?)\s+"
+    r"INTO\s+NAME\s+([A-Za-z_]\w*)\s+VALUE\s+([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _run_pivot(spark: SparkSession, m: re.Match) -> DataFrame:
@@ -831,6 +836,15 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         return summarize_frame(spark, m.group(1))
     if m := _PIVOT_RE.match(sql):
         return _run_pivot(spark, m)
+    if m := _UNPIVOT_RE.match(sql):
+        # DuckDB `UNPIVOT t ON c1, c2 INTO NAME k VALUE v` → Spark's
+        # native UNPIVOT clause (same semantics, different spelling).
+        tbl, cols, name_col, val_col = m.groups()
+        return run_sql(
+            spark,
+            f"SELECT * FROM {tbl} UNPIVOT ({val_col} FOR {name_col} "
+            f"IN ({cols}))",
+        )
     try:
         df = spark.sql(sql)
         df.schema  # force analysis

@@ -228,3 +228,14 @@ def test_pivot_statement(sql_session):
     )
     assert "o_orderpriority" in df.columns and len(df.columns) >= 3
     assert df.count() == 5
+
+
+def test_unpivot_statement(sql_session):
+    df = run_sql(
+        sql_session,
+        "UNPIVOT (SELECT o_orderkey, o_totalprice AS a, o_totalprice * 2 AS b "
+        "FROM orders LIMIT 3) ON a, b INTO NAME k VALUE v",
+    )
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {r.k for r in rows} == {"a", "b"}
