@@ -689,6 +689,39 @@ _TABLE_AS_RE = re.compile(
 )
 
 
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+('[^']+')"
+    r"\s*(?:\(|WITH\s*\()?([^)]*)\)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _run_copy(spark: SparkSession, m: re.Match) -> None:
+    """DuckDB ``COPY <table|(query)> TO 'path' (FORMAT ..., HEADER, ...)``
+    → a Spark DataFrame write (the init-phase export path; serving-time
+    queries stay read-only — COPY only routes through run_script /
+    execute_statement, same as the reference writing only at boot).
+    Format from the FORMAT option, else the path suffix; parquet/csv/json
+    supported, single-file semantics via coalesce(1) to mirror DuckDB's
+    one-file output."""
+    src, path_lit, opts = m.groups()
+    path = path_lit[1:-1].replace("''", "'")
+    opts_l = (opts or "").lower()
+    fmt_m = re.search(r"format\s+(\w+)", opts_l)
+    fmt = fmt_m.group(1) if fmt_m else path.rsplit(".", 1)[-1].lower()
+    if fmt not in ("parquet", "csv", "json"):
+        raise ValueError(f"COPY TO: unsupported format {fmt!r}")
+    df = (
+        run_sql(spark, src[1:-1]) if src.startswith("(") else spark.table(src)
+    )
+    writer = df.coalesce(1).write.mode("overwrite")
+    if fmt == "csv":
+        # DuckDB COPY TO csv writes a header unless HEADER false.
+        header = "header false" not in opts_l and "header 0" not in opts_l
+        writer = writer.option("header", "true" if header else "false")
+    getattr(writer, fmt)(path)
+
+
 def _strip_quotes(v: str) -> str:
     v = v.strip()
     if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
@@ -745,6 +778,9 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         return None
     if m := _SECRET_RE.match(stmt):
         _apply_secret(spark, state, stmt, m.group(1))
+        return None
+    if m := _COPY_RE.match(stmt):
+        _run_copy(spark, m)
         return None
     if m := _VIEW_RE.match(stmt):
         # Persistent CREATE VIEW would need a metastore and cannot

@@ -239,3 +239,19 @@ def test_unpivot_statement(sql_session):
     rows = df.collect()
     assert len(rows) == 6
     assert {r.k for r in rows} == {"a", "b"}
+
+
+def test_copy_to_statement(sql_session, tmp_path):
+    out = str(tmp_path / "copy_out.parquet")
+    run_script(
+        sql_session,
+        f"COPY (SELECT o_orderkey, o_totalprice FROM orders "
+        f"WHERE o_orderkey < 32) TO '{out}' (FORMAT PARQUET);",
+    )
+    back = sql_session.read.parquet(out)
+    assert back.count() > 0 and set(back.columns) == {"o_orderkey", "o_totalprice"}
+
+    out_csv = str(tmp_path / "copy_out.csv")
+    run_script(sql_session, f"COPY orders TO '{out_csv}' (FORMAT CSV, HEADER);")
+    csv_back = sql_session.read.option("header", "true").csv(out_csv)
+    assert "o_orderkey" in csv_back.columns
