@@ -77,6 +77,7 @@ _PRIORITY_R5: tuple[str, ...] = (
     "b57_quality_classifier",  # Arrow-vectorized token features
     "b49_repetition_filter",  # Arrow-vectorized (shuffle deleted)
     "b20_text_quality",  # Arrow-vectorized features
+    "b06_substring_dedup",  # Arrow span generator
     "b10_knn_bruteforce",  # pre-pruned top-k path
     "b12_embedding_near_dup",
     "w06_range_frame",

@@ -1010,9 +1010,12 @@ def b06_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-substring dedup à la 'Deduplicating Training Data Makes
     Language Models Better'. Hash-free output (counts + ratio), so the
     DuckDB oracle checks it exactly; the Spark plan shuffles only 8-byte
-    span hashes (operators/dedup.py::shingle_dup_stats)."""
+    span hashes. Served by the Arrow generator
+    (dedup.shingle_dup_stats_arrow — the zip_with shingle fold was the
+    scan-stage bottleneck; equality-tested against the JVM form in
+    tests/test_r5_ops.py)."""
     return (
-        dedup.shingle_dup_stats(
+        dedup.shingle_dup_stats_arrow(
             t(spark, sf_dir, "documents"), "text", "doc_id", n=5
         )
         .orderBy(F.col("doc_id").asc_nulls_last())

@@ -284,6 +284,76 @@ def shingle_dup_stats(
     )
 
 
+def shingle_dup_stats_arrow(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Arrow-vectorized :func:`shingle_dup_stats`: same output, same
+    shuffle shape, different scan stage.
+
+    The JVM form builds shingles via ``zip_with`` folds — interpreted
+    HOFs, the family's measured bottleneck (SCALING.md). Here one
+    mapInPandas pass per document splits, shingles, dedupes, and hashes
+    (blake2b-64 — the hash is internal grouping state only; the output is
+    hash-free counts, so any deterministic 64-bit hash yields identical
+    results up to the same negligible collision odds as xxhash64).
+    Everything after the generator is unchanged: one shuffle of 8-byte
+    span hashes for the frequency aggregate, join back, per-doc reduce."""
+    import hashlib
+    import re as _re
+
+    ws_re = _re.compile(r"\s+")
+
+    def gen(pdf_iter):
+        import pandas as _pd
+
+        for pdf in pdf_iter:
+            ids, hashes = [], []
+            for doc_id, s in zip(pdf[id_col], pdf[text_col]):
+                if s is None:
+                    continue
+                ws = ws_re.split(s)
+                if len(ws) < n:
+                    continue
+                spans = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+                for sp in spans:
+                    ids.append(doc_id)
+                    hashes.append(
+                        int.from_bytes(
+                            hashlib.blake2b(
+                                sp.encode("utf-8"), digest_size=8
+                            ).digest(),
+                            "big",
+                            signed=True,
+                        )
+                    )
+            yield _pd.DataFrame(
+                {id_col: _pd.Series(ids, dtype="int64"),
+                 "__sh": _pd.Series(hashes, dtype="int64")}
+            )
+
+    hashed = (
+        df.select(id_col, text_col)
+        .mapInPandas(gen, f"{id_col} long, __sh long")
+        .localCheckpoint(eager=False)
+    )
+    freq = hashed.groupBy("__sh").agg(
+        F.count_distinct(id_col).alias("__ndocs")
+    )
+    return (
+        hashed.join(freq, "__sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__ndocs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .withColumn(
+            "dup_ratio", F.round(F.col("n_dup") / F.col("n_shingles"), 4)
+        )
+    )
+
+
 def cluster_keep_best(
     df: DataFrame, text_col: str, id_col: str, length_col: str
 ) -> DataFrame:

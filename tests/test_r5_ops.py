@@ -135,3 +135,24 @@ def test_text_quality_arrow_matches_column_forms(spark, sf_dir):
     ).count()
     assert diff == 0
     assert joined.count() == docs.count()
+
+
+def test_shingle_dup_stats_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow span generator must reproduce the JVM pipeline's output
+    exactly — the hash is internal, the counts are the contract."""
+    from duckdb_server_spark.operators.dedup import (
+        shingle_dup_stats,
+        shingle_dup_stats_arrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    jvm = shingle_dup_stats(docs, "text", "doc_id", n=5)
+    arrow = shingle_dup_stats_arrow(docs, "text", "doc_id", n=5)
+    joined = jvm.alias("j").join(arrow.alias("a"), "doc_id", "full")
+    diff = joined.filter(
+        (F.col("j.n_shingles") != F.col("a.n_shingles"))
+        | (F.col("j.n_dup") != F.col("a.n_dup"))
+        | (F.abs(F.col("j.dup_ratio") - F.col("a.dup_ratio")) > 1e-9)
+    ).count()
+    assert diff == 0
+    assert joined.count() == jvm.count() == arrow.count()
