@@ -72,6 +72,9 @@ _PRIORITY_R5: tuple[str, ...] = (
     "w06b_bucketed_range_frame",
     "b30b_png_decode",
     "b03b_minhash_full_oracle",
+    "s18d_dialect_file_reads",
+    "s20_dialect_describe",
+    "s21_dialect_macro",
     # --- code changed in round 5: refresh green evidence ---
     "b04_simhash",  # rows-only → full-oracle upgrade
     "b57_quality_classifier",  # Arrow-vectorized token features

@@ -170,6 +170,107 @@ def s19b_dialect_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# read_parquet() + the bare-path FROM shorthand — DuckDB's headline idiom
+# for querying files in place (and therefore the first SQL a migrating
+# reference user sends, since every ticket is verbatim DuckDB SQL,
+# main.go:199). The Spark side runs the path-spelled SQL through
+# dialect.run_sql, which resolves each file reference to a cached temp
+# view over the matching native spark.read scan; the oracle is the same
+# query over the pre-registered views — equivalent by construction since
+# the views ARE those parquet files.
+_S18D_SQL = """
+SELECT r.r_name, count(*) AS n_nations, min(n2.n_name) AS first_nation
+FROM read_parquet('{d}/nation.parquet') AS n2
+JOIN '{d}/region.parquet' AS r ON n2.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@query(
+    "s18d_dialect_file_reads",
+    oracle="""
+    SELECT r.r_name, count(*) AS n_nations, min(n2.n_name) AS first_nation
+    FROM nation n2 JOIN region r ON n2.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def s18d_dialect_file_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``read_parquet('path')`` and bare ``FROM 'path.parquet'`` as raw
+    DuckDB SQL (dialect._resolve_file_reads). Each call site becomes a
+    temp view over ``spark.read.parquet`` — a native DataSource scan, so
+    pushdown/pruning/AQE see an ordinary plan; a glob path fans out
+    through Spark's own split planning exactly like a multi-file table.
+    DuckDB runs the same path-spelled SQL natively; the oracle spells the
+    files as the pre-registered views over the identical parquet."""
+    from duckdb_server_spark.dialect import run_sql
+
+    return run_sql(spark, _S18D_SQL.format(d=sf_dir))
+
+
+@query("s20_dialect_describe", oracle="DESCRIBE lineitem")
+def s20_dialect_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB ``DESCRIBE`` statement — byte-identical on both engines.
+    Schema metadata only (no scan); the type column uses DuckDB
+    spellings (BIGINT/VARCHAR/DOUBLE/TIMESTAMP/FLOAT[]…), with the
+    loader's UTC-pinned LTZ relabel reported as TIMESTAMP, matching what
+    DuckDB says over the same parquet (dialect.describe_frame)."""
+    from duckdb_server_spark.dialect import run_sql
+    from duckdb_server_spark.session import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return run_sql(spark, "DESCRIBE lineitem")
+
+
+# CREATE MACRO → textual inlining (DuckDB's own macro semantics). The
+# oracle is the macro body inlined by hand, so a hash match proves the
+# expansion — parameter binding, masking, decimal-exact summation —
+# produced the same algebra DuckDB would plan.
+_S21_QUERY = """
+SELECT l_returnflag,
+       CAST(round(sum(disc_price(l_extendedprice, l_discount)), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(disc_price(l_extendedprice, l_discount, scale := 1.1)), 2) AS DOUBLE) AS taxed_revenue
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query(
+    "s21_dialect_macro",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1.0 AS DECIMAL(8,2))), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1.1 AS DECIMAL(8,2))), 2) AS DOUBLE) AS taxed_revenue
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def s21_dialect_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB ``CREATE MACRO`` (with a ``:=`` default parameter) used from
+    a later query on the serving path. Expansion is pre-parse and purely
+    textual, so Catalyst sees one ordinary decimal-sum aggregate — zero
+    runtime cost versus writing the expression inline."""
+    from duckdb_server_spark.dialect import run_script, run_sql
+    from duckdb_server_spark.session import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    # Inputs are cast to DECIMAL before multiplying so the entire
+    # aggregate is exact decimal arithmetic on both engines — casting the
+    # *product* of doubles to DECIMAL instead diverges at .xx5 rounding
+    # boundaries (Spark rounds the shortest-repr digits, DuckDB the
+    # binary value).
+    run_script(
+        spark,
+        "CREATE OR REPLACE MACRO disc_price(p, d, scale := 1.0) AS "
+        "CAST(p AS DECIMAL(18,2)) * CAST(1 - d AS DECIMAL(8,2)) "
+        "* CAST(scale AS DECIMAL(8,2));",
+    )
+    return run_sql(spark, _S21_QUERY)
+
+
 @query(
     "s18b_dialect_init_sql",
     oracle="""

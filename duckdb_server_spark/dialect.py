@@ -133,9 +133,9 @@ def _matching_paren(s: str, open_idx: int) -> int:
 def _split_top_commas(s: str) -> list[str]:
     parts, depth, start = [], 0, 0
     for i, c in enumerate(s):
-        if c in "([":
+        if c in "([{":
             depth += 1
-        elif c in ")]":
+        elif c in ")]}":
             depth -= 1
         elif c == "," and depth == 0:
             parts.append(s[start:i])
@@ -636,12 +636,86 @@ def register_dialect_functions(spark: SparkSession) -> None:
 class DialectState:
     """Session-level DuckDB-compat state the router maintains: settings
     from SET, extensions from INSTALL/LOAD (surfaced through the
-    capability registry analog), named secrets from CREATE SECRET."""
+    capability registry analog), named secrets from CREATE SECRET, and
+    macros from CREATE MACRO (expanded textually at query time, exactly
+    DuckDB's own inlining semantics)."""
 
     settings: dict[str, str] = field(default_factory=dict)
     installed: list[str] = field(default_factory=list)
     loaded: list[str] = field(default_factory=list)
     secrets: dict[str, dict[str, str]] = field(default_factory=dict)
+    macros: dict[str, "Macro"] = field(default_factory=dict)
+
+
+@dataclass
+class Macro:
+    """A DuckDB ``CREATE MACRO`` definition. The body is stored masked
+    (literals extracted) so parameter substitution can never touch string
+    contents; ``params`` carry optional ``:=`` defaults."""
+
+    params: list[tuple[str, str | None]]
+    masked_body: str
+    body_table: list[str]
+    is_table: bool
+
+
+def _expand_macros(sql: str, macros: dict[str, Macro]) -> str:
+    """Inline every macro call site, innermost-out (DuckDB macros are
+    pure textual inlining too — the planner sees only the expansion).
+    Scalar macros become a parenthesized expression; table macros a
+    derived-table subquery."""
+    masked, table = _mask(sql)
+    for _ in range(16):  # nesting guard
+        changed = False
+        for name, mac in macros.items():
+            pat = re.compile(r"\b" + re.escape(name) + r"\s*\(", re.IGNORECASE)
+            m = pat.search(masked)
+            while m:
+                open_idx = m.end() - 1
+                close = _matching_paren(masked, open_idx)
+                args = _split_top_commas(masked[open_idx + 1 : close])
+                bound: dict[str, str] = {}
+                positional = []
+                for a in args:
+                    am = re.match(r"^([A-Za-z_]\w*)\s*:=\s*(.+)$", a, re.DOTALL)
+                    if am and any(p == am.group(1).lower() for p, _ in mac.params):
+                        bound[am.group(1).lower()] = am.group(2).strip()
+                    else:
+                        positional.append(a)
+                for (p, default), i in zip(
+                    mac.params, range(len(mac.params))
+                ):
+                    if p in bound:
+                        continue
+                    if i < len(positional):
+                        bound[p] = positional[i]
+                    elif default is not None:
+                        bound[p] = default
+                    else:
+                        raise ValueError(
+                            f"macro {name}: missing argument {p!r}"
+                        )
+                # splice the macro body's literal table onto the main one
+                offset = len(table)
+                body = _PLACEHOLDER_RE.sub(
+                    lambda mm: _PLACEHOLDER.format(int(mm.group(1)) + offset),
+                    mac.masked_body,
+                )
+                table.extend(mac.body_table)
+                for p, val in bound.items():
+                    body = re.sub(
+                        r"\b" + re.escape(p) + r"\b",
+                        lambda _m, v=val: f"({v})",
+                        body,
+                        flags=re.IGNORECASE,
+                    )
+                repl = f"({body})"
+                masked = masked[: m.start()] + repl + masked[close + 1 :]
+                changed = True
+                m = pat.search(masked, m.start() + len(repl))
+        if not changed:
+            break
+    return _unmask(masked, table)
 
 
 _STATE_KEY = "spark.dss.dialectStateId"
@@ -694,6 +768,79 @@ _COPY_RE = re.compile(
     r"\s*(?:\(|WITH\s*\()?([^)]*)\)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_MACRO_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
+    r"(?:MACRO|FUNCTION)\s+([A-Za-z_]\w*)\s*\(",
+    re.IGNORECASE,
+)
+_DROP_MACRO_RE = re.compile(
+    r"^\s*DROP\s+(?:MACRO|FUNCTION)\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_RELATION_RE = re.compile(
+    r"^\s*DROP\s+(?:TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*"
+    r"(\([^)]*\))?\s*(VALUES\b.+|SELECT\b.+|FROM\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _register_macro(state: DialectState, stmt: str, m: re.Match) -> bool:
+    """Parse ``CREATE MACRO name(p1, p2 := default) AS <expr|TABLE query>``
+    into a stored :class:`Macro` (body kept masked). Returns False for a
+    Spark-native ``CREATE FUNCTION … RETURNS … RETURN`` statement, which
+    must fall through to ``spark.sql`` untouched."""
+    name = m.group(1).lower()
+    open_idx = m.end() - 1
+    close = _matching_paren(stmt, open_idx)
+    rest = stmt[close + 1 :]
+    am = re.match(r"^\s*AS\s+(TABLE\s+)?(.+?)\s*;?\s*$", rest, re.IGNORECASE | re.DOTALL)
+    if not am:
+        if re.match(r"^\s*RETURNS?\b", rest, re.IGNORECASE):
+            return False  # Spark SQL UDF, not a DuckDB macro
+        raise ValueError(f"CREATE MACRO {name}: expected AS <body>")
+    params: list[tuple[str, str | None]] = []
+    for p in _split_top_commas(stmt[open_idx + 1 : close]):
+        dm = re.match(r"^([A-Za-z_]\w*)\s*:=\s*(.+)$", p, re.DOTALL)
+        if dm:
+            params.append((dm.group(1).lower(), dm.group(2).strip()))
+        else:
+            params.append((p.lower(), None))
+    masked_body, body_table = _mask(am.group(2))
+    state.macros[name] = Macro(params, masked_body, body_table, bool(am.group(1)))
+    return True
+
+
+def _run_insert(spark: SparkSession, m: re.Match) -> None:
+    """``INSERT INTO t [(cols)] VALUES ... | SELECT ...`` against a temp
+    view created by the CTAS route: append by union, re-materialize, swap
+    the view. Init-phase only (serving stays read-only), mirroring the
+    reference's boot-time-writes-then-serve model."""
+    from pyspark.sql import functions as F
+
+    name, col_list, body = m.groups()
+    target = name.split(".")[-1]
+    old = spark.table(target)
+    if body.lstrip()[:6].upper() == "VALUES":
+        new = spark.sql(f"SELECT * FROM ( {body} )")
+    else:
+        new = run_sql(spark, body)
+    if col_list:
+        cols = [c.strip().strip('"`') for c in col_list[1:-1].split(",")]
+        new = new.toDF(*cols)
+        for c in old.columns:
+            if c not in cols:
+                new = new.withColumn(c, F.lit(None))
+    else:
+        new = new.toDF(*old.columns)
+    new = new.select(
+        *[F.col(c).cast(old.schema[c].dataType) for c in old.columns]
+    )
+    merged = old.unionByName(new).localCheckpoint(eager=True)
+    merged.createOrReplaceTempView(target)
 
 
 def _run_copy(spark: SparkSession, m: re.Match) -> None:
@@ -782,6 +929,19 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
     if m := _COPY_RE.match(stmt):
         _run_copy(spark, m)
         return None
+    if (m := _MACRO_RE.match(stmt)) and _register_macro(state, stmt, m):
+        return None
+    if m := _DROP_MACRO_RE.match(stmt):
+        state.macros.pop(m.group(1).lower(), None)
+        return None
+    if m := _DROP_RELATION_RE.match(stmt):
+        dropped = spark.catalog.dropTempView(m.group(2).split(".")[-1])
+        if not dropped and not m.group(1):
+            raise ValueError(f"DROP: relation {m.group(2)!r} does not exist")
+        return None
+    if m := _INSERT_RE.match(stmt):
+        _run_insert(spark, m)
+        return None
     if m := _VIEW_RE.match(stmt):
         # Persistent CREATE VIEW would need a metastore and cannot
         # reference the temp-view warehouse; serve it as a temp view —
@@ -811,6 +971,153 @@ def run_script(spark: SparkSession, script: str) -> list[DataFrame | None]:
 
 
 # ---------------------------------------------------------------------------
+# file-reading table functions (read_parquet / read_csv / FROM 'x.parquet')
+# ---------------------------------------------------------------------------
+#
+# DuckDB's headline idiom — and therefore the reference's, since every
+# ticket is verbatim DuckDB SQL (main.go:199) — is querying files in
+# place: ``SELECT * FROM read_parquet('s3://bucket/*.parquet')`` or the
+# bare-path shorthand ``FROM 'data.parquet'``. Spark has no table-function
+# spelling for this, so each call site is resolved to a cached temp view
+# backed by the matching ``spark.read`` source (the scan stays a native
+# DataSource v2 scan: pushdown/pruning apply untouched; a glob fans out to
+# a multi-file scan partitioned by Spark's own split planning).
+
+_READ_FNS = {
+    "read_parquet": "parquet",
+    "parquet_scan": "parquet",
+    "read_csv_auto": "csv",
+    "read_csv": "csv",
+    "read_json_auto": "json",
+    "read_json": "json",
+    "read_ndjson_auto": "json",
+    "read_ndjson": "json",
+}
+_READ_FN_RE = re.compile(
+    r"\b(" + "|".join(_READ_FNS) + r")\s*\(", re.IGNORECASE
+)
+# Cheap pre-check on the raw SQL so native queries never pay for masking.
+_FILE_READ_HINT_RE = re.compile(
+    r"\bread_\w+\s*\(|\bparquet_scan\s*\("
+    r"|'[^']*\.(?:parquet|pq|csv|tsv|json|jsonl|ndjson)(?:\.(?:gz|zst))?'",
+    re.IGNORECASE,
+)
+_FILE_SUFFIX_FMT = {
+    "parquet": "parquet", "pq": "parquet",
+    "csv": "csv", "tsv": "csv",
+    "json": "json", "jsonl": "json", "ndjson": "json",
+}
+_BARE_PATH_RE = re.compile(r"\b(FROM|JOIN)\s+(\x00\d+\x00)", re.IGNORECASE)
+
+
+def _truthy(v: str | None, default: bool = False) -> bool:
+    if v is None:
+        return default
+    return v.strip().lower() in ("true", "1", "yes", "on")
+
+
+def _path_format(path: str) -> str | None:
+    base = re.sub(r"\.(gz|zst)$", "", path.strip().lower())
+    ext = base.rsplit(".", 1)[-1] if "." in base else ""
+    return _FILE_SUFFIX_FMT.get(ext)
+
+
+def _file_read_view(
+    spark: SparkSession, fmt: str, paths: tuple[str, ...], opts: dict[str, str]
+) -> str:
+    """Register (once) and return a temp view over ``spark.read`` for the
+    given files. The view name is a digest of (format, paths, options), so
+    repeated queries against the same files reuse the registration — for
+    csv that also amortizes the one-time inferSchema sampling pass."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    key = hashlib.md5(
+        repr((fmt, paths, tuple(sorted(opts.items())))).encode()
+    ).hexdigest()[:12]
+    name = f"__dd_read_{key}"
+    if spark.catalog.tableExists(name):
+        return name
+    path_list = list(paths)
+    if fmt == "parquet":
+        reader = spark.read
+        if _truthy(opts.get("union_by_name")):
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*path_list)
+    elif fmt == "csv":
+        sep = opts.get("delim") or opts.get("sep") or opts.get("delimiter") or ","
+        df = (
+            spark.read.option("header", _truthy(opts.get("header"), default=True))
+            .option("sep", sep)
+            .option(
+                "inferSchema", not _truthy(opts.get("all_varchar"))
+            )
+            .csv(path_list)
+        )
+    elif fmt == "json":
+        df = spark.read.json(path_list)
+        if df.columns in ([], ["_corrupt_record"]):
+            # DuckDB read_json auto-detects top-level arrays; Spark needs
+            # multiLine for the non-NDJSON layout.
+            df = spark.read.option("multiLine", "true").json(path_list)
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unsupported file format {fmt!r}")
+    if _truthy(opts.get("filename")):
+        df = df.select("*", F.input_file_name().alias("filename"))
+    df.createOrReplaceTempView(name)
+    return name
+
+
+def _parse_read_args(args: list[str]) -> tuple[tuple[str, ...], dict[str, str]]:
+    """First arg: one quoted path or a ``[...]`` list of them (already
+    unmasked). Remaining args: DuckDB named parameters ``key = value``."""
+    first = args[0].strip()
+    if first.startswith("[") and first.endswith("]"):
+        paths = tuple(_strip_quotes(p) for p in _split_top_commas(first[1:-1]))
+    else:
+        paths = (_strip_quotes(first),)
+    opts: dict[str, str] = {}
+    for arg in args[1:]:
+        m = re.match(r"^([A-Za-z_]\w*)\s*:?=\s*(.+)$", arg.strip(), re.DOTALL)
+        if not m:
+            raise ValueError(f"unsupported read option: {arg.strip()!r}")
+        key = m.group(1).lower()
+        if key == "columns":
+            raise ValueError("read_csv(columns=...) is not supported; "
+                             "use all_varchar or rely on inference")
+        opts[key] = _strip_quotes(m.group(2))
+    return paths, opts
+
+
+def _resolve_file_reads(spark: SparkSession, sql: str) -> str:
+    """Replace every ``read_*('path', ...)`` call and bare ``FROM 'path'``
+    table reference with a registered temp view over the same files."""
+    masked, table = _mask(sql)
+    while m := _READ_FN_RE.search(masked):
+        fmt = _READ_FNS[m.group(1).lower()]
+        open_idx = m.end() - 1
+        close = _matching_paren(masked, open_idx)
+        args = [
+            _unmask(a, table)
+            for a in _split_top_commas(masked[open_idx + 1 : close])
+        ]
+        paths, opts = _parse_read_args(args)
+        view = _file_read_view(spark, fmt, paths, opts)
+        masked = masked[: m.start()] + view + masked[close + 1 :]
+
+    def bare_path(m: re.Match) -> str:
+        lit = _literal_value(_unmask(m.group(2), table))
+        fmt = _path_format(lit) if lit is not None else None
+        if fmt is None:  # not a recognized file reference: leave untouched
+            return m.group(0)
+        return m.group(1) + " " + _file_read_view(spark, fmt, (lit,), {})
+
+    masked = _BARE_PATH_RE.sub(bare_path, masked)
+    return _unmask(masked, table)
+
+
+# ---------------------------------------------------------------------------
 # serving entry
 # ---------------------------------------------------------------------------
 
@@ -818,6 +1125,75 @@ def run_script(spark: SparkSession, script: str) -> list[DataFrame | None]:
 _SUMMARIZE_RE = re.compile(
     r"^\s*SUMMARIZE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
 )
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
+)
+_DESCRIBE_SELECT_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(SELECT\b.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+
+# Spark type → DuckDB DESCRIBE spelling. Both Spark timestamp types map
+# to DuckDB TIMESTAMP: the warehouse loader relabels parquet NTZ
+# timestamps to UTC-pinned LTZ (session.py load_table — wall-clock
+# identical under the pinned UTC session), so Spark TIMESTAMP here IS the
+# engine's representation of DuckDB's TIMESTAMP over the same parquet.
+_DUCK_TYPE_NAMES = {
+    "tinyint": "TINYINT",
+    "smallint": "SMALLINT",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp_ntz": "TIMESTAMP",
+    "timestamp": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+
+def _duck_type_name(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return _duck_type_name(dt.elementType) + "[]"
+    if isinstance(dt, T.MapType):
+        return (
+            f"MAP({_duck_type_name(dt.keyType)}, "
+            f"{_duck_type_name(dt.valueType)})"
+        )
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {_duck_type_name(f.dataType)}" for f in dt.fields
+        )
+        return f"STRUCT({inner})"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    name = dt.simpleString()
+    if name not in _DUCK_TYPE_NAMES:
+        raise ValueError(f"DESCRIBE: no DuckDB spelling for type {name!r}")
+    return _DUCK_TYPE_NAMES[name]
+
+
+def describe_frame(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """DuckDB ``DESCRIBE`` output shape: (column_name, column_type, null,
+    key, default, extra) — schema metadata only, no data scan. ``null`` is
+    'YES' and key/default/extra are NULL for every view/scan-backed
+    relation, matching DuckDB over the same parquet."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(c, T.StringType(), True)
+            for c in ("column_name", "column_type", "null", "key", "default", "extra")
+        ]
+    )
+    rows = [
+        (f.name, _duck_type_name(f.dataType), "YES", None, None, None)
+        for f in df.schema.fields
+    ]
+    return spark.createDataFrame(rows, schema)
 _PIVOT_RE = re.compile(
     r"^\s*PIVOT\s+([A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_]\w*)\s+"
     r"USING\s+(\w+)\s*\(\s*(\*|[A-Za-z_]\w*)\s*\)"
@@ -870,6 +1246,10 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         from duckdb_server_spark.engine import summarize_frame
 
         return summarize_frame(spark, m.group(1))
+    if m := _DESCRIBE_RE.match(sql):
+        return describe_frame(spark, spark.table(m.group(1)))
+    if m := _DESCRIBE_SELECT_RE.match(sql):
+        return describe_frame(spark, run_sql(spark, m.group(1)))
     if m := _PIVOT_RE.match(sql):
         return _run_pivot(spark, m)
     if m := _UNPIVOT_RE.match(sql):
@@ -881,6 +1261,11 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
             f"SELECT * FROM {tbl} UNPIVOT ({val_col} FOR {name_col} "
             f"IN ({cols}))",
         )
+    state = dialect_state(spark)
+    if state.macros:
+        sql = _expand_macros(sql, state.macros)
+    if _FILE_READ_HINT_RE.search(sql):
+        sql = _resolve_file_reads(spark, sql)
     try:
         df = spark.sql(sql)
         df.schema  # force analysis

@@ -255,3 +255,169 @@ def test_copy_to_statement(sql_session, tmp_path):
     run_script(sql_session, f"COPY orders TO '{out_csv}' (FORMAT CSV, HEADER);")
     csv_back = sql_session.read.option("header", "true").csv(out_csv)
     assert "o_orderkey" in csv_back.columns
+
+
+# --- file-reading table functions (read_parquet / bare-path FROM) ----------
+
+
+def test_read_parquet_function(sql_session):
+    df = run_sql(
+        sql_session,
+        f"SELECT count(*) AS n FROM read_parquet('{SF_DIR}/nation.parquet')",
+    )
+    assert df.collect()[0].n == 25
+
+
+def test_read_parquet_glob_and_list(sql_session):
+    glob = run_sql(
+        sql_session,
+        f"SELECT count(*) AS n FROM read_parquet('{SF_DIR}/natio*.parquet')",
+    ).collect()[0].n
+    listed = run_sql(
+        sql_session,
+        f"SELECT count(*) AS n FROM read_parquet(['{SF_DIR}/nation.parquet'])",
+    ).collect()[0].n
+    assert glob == listed == 25
+
+
+def test_bare_path_from(sql_session):
+    df = run_sql(
+        sql_session,
+        f"SELECT r_name FROM '{SF_DIR}/region.parquet' ORDER BY r_name",
+    )
+    assert [r.r_name for r in df.collect()][0] == "AFRICA"
+
+
+def test_read_csv_with_options(sql_session, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a|b\n1|x\n2|y\n")
+    df = run_sql(
+        sql_session,
+        f"SELECT sum(a) AS s, count(b) AS n FROM read_csv('{p}', delim='|', header=true)",
+    )
+    row = df.collect()[0]
+    assert (row.s, row.n) == (3, 2)
+
+
+def test_read_json_ndjson(sql_session, tmp_path):
+    p = tmp_path / "t.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\n')
+    df = run_sql(sql_session, f"SELECT sum(a) AS s FROM read_json_auto('{p}')")
+    assert df.collect()[0].s == 3
+
+
+def test_read_filename_option(sql_session):
+    df = run_sql(
+        sql_session,
+        f"SELECT DISTINCT filename FROM read_parquet('{SF_DIR}/region.parquet', filename=true)",
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].filename.endswith("region.parquet")
+
+
+def test_read_literal_not_in_from_untouched(sql_session):
+    # a path-looking literal outside FROM/JOIN position must stay a string
+    df = run_sql(sql_session, "SELECT 'x.parquet' AS s")
+    assert df.collect()[0].s == "x.parquet"
+
+
+# --- DESCRIBE ---------------------------------------------------------------
+
+
+def test_describe_table(sql_session):
+    rows = run_sql(sql_session, "DESCRIBE orders").collect()
+    byname = {r.column_name: r.column_type for r in rows}
+    assert byname["o_orderkey"] == "BIGINT"
+    assert byname["o_orderpriority"] == "VARCHAR"
+    assert byname["o_totalprice"] == "DOUBLE"
+    assert all(r["null"] == "YES" and r.key is None for r in rows)
+
+
+def test_describe_select(sql_session):
+    rows = run_sql(
+        sql_session,
+        "DESCRIBE SELECT o_orderkey, o_totalprice * 2 AS dbl FROM orders",
+    ).collect()
+    assert [(r.column_name, r.column_type) for r in rows] == [
+        ("o_orderkey", "BIGINT"),
+        ("dbl", "DOUBLE"),
+    ]
+
+
+# --- CREATE MACRO ------------------------------------------------------------
+
+
+def test_macro_scalar_and_nested(sql_session):
+    run_script(
+        sql_session,
+        "CREATE MACRO add_one(x) AS x + 1;"
+        "CREATE MACRO add_two(x) AS add_one(add_one(x));",
+    )
+    assert run_sql(sql_session, "SELECT add_two(40) AS v").collect()[0].v == 42
+
+
+def test_macro_default_param(sql_session):
+    run_script(
+        sql_session, "CREATE MACRO scaled(x, k := 10) AS x * k;"
+    )
+    assert run_sql(sql_session, "SELECT scaled(4) AS v").collect()[0].v == 40
+    assert run_sql(sql_session, "SELECT scaled(4, k := 3) AS v").collect()[0].v == 12
+
+
+def test_macro_table_form(sql_session):
+    run_script(
+        sql_session,
+        "CREATE MACRO top_orders(k) AS TABLE "
+        "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT k;",
+    )
+    assert len(run_sql(sql_session, "SELECT * FROM top_orders(3)").collect()) == 3
+
+
+def test_macro_param_not_substituted_in_literals(sql_session):
+    run_script(sql_session, "CREATE MACRO tag(x) AS concat('x=', CAST(x AS STRING));")
+    assert run_sql(sql_session, "SELECT tag(7) AS v").collect()[0].v == "x=7"
+
+
+def test_drop_macro(sql_session):
+    run_script(sql_session, "CREATE MACRO doomed(x) AS x; DROP MACRO doomed;")
+    assert "doomed" not in dialect_state(sql_session).macros
+
+
+def test_spark_create_function_not_swallowed(sql_session):
+    run_script(
+        sql_session,
+        "CREATE OR REPLACE TEMPORARY FUNCTION sq(x INT) RETURNS INT RETURN x * x;",
+    )
+    assert run_sql(sql_session, "SELECT sq(9) AS v").collect()[0].v == 81
+
+
+# --- INSERT INTO / DROP ------------------------------------------------------
+
+
+def test_insert_into_values_and_select(sql_session):
+    run_script(
+        sql_session,
+        "CREATE TABLE ins_t AS SELECT 1 AS a, 'x' AS b;"
+        "INSERT INTO ins_t VALUES (2, 'y'), (3, 'z');"
+        "INSERT INTO ins_t SELECT 4, 'w';",
+    )
+    rows = sorted((r.a, r.b) for r in sql_session.table("ins_t").collect())
+    assert rows == [(1, "x"), (2, "y"), (3, "z"), (4, "w")]
+    run_script(sql_session, "DROP TABLE ins_t;")
+    assert not sql_session.catalog.tableExists("ins_t")
+
+
+def test_insert_with_column_list_fills_nulls(sql_session):
+    run_script(
+        sql_session,
+        "CREATE TABLE ins_c AS SELECT 1 AS a, 'x' AS b;"
+        "INSERT INTO ins_c (a) VALUES (9);",
+    )
+    rows = {(r.a, r.b) for r in sql_session.table("ins_c").collect()}
+    assert rows == {(1, "x"), (9, None)}
+    run_script(sql_session, "DROP TABLE IF EXISTS ins_c;")
+
+
+def test_drop_missing_without_if_exists_raises(sql_session):
+    with pytest.raises(ValueError, match="does not exist"):
+        run_script(sql_session, "DROP VIEW no_such_view_xyz;")
