@@ -1118,6 +1118,95 @@ def _resolve_file_reads(spark: SparkSession, sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# prepared-statement parameter binding (? / $N placeholders)
+# ---------------------------------------------------------------------------
+#
+# ADBC/JDBC FlightSQL clients bind parameters as an Arrow record batch via
+# DoPut against the prepared-statement handle. The server substitutes the
+# values textually before analysis — masked first, so a '?' inside a
+# string literal is never a placeholder — which keeps the executed plan an
+# ordinary Catalyst query (constant-folded literals, pushdown-eligible).
+
+_DOLLAR_PARAM_RE = re.compile(r"\$(\d+)")
+
+
+def has_parameters(sql: str) -> bool:
+    masked, _ = _mask(sql)
+    return "?" in masked or bool(_DOLLAR_PARAM_RE.search(masked))
+
+
+def render_sql_literal(v) -> str:
+    """One Python value → a SQL literal both Spark and DuckDB parse to the
+    same typed constant."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v in (float("inf"), float("-inf")):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return "TIMESTAMP '" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, datetime.date):
+        return "DATE '" + v.isoformat() + "'"
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + bytes(v).hex() + "'"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (list, tuple)):
+        return "ARRAY(" + ", ".join(render_sql_literal(x) for x in v) + ")"
+    raise ValueError(f"cannot render {type(v).__name__} as a SQL literal")
+
+
+def neutralize_parameters(sql: str) -> str:
+    """Every placeholder → NULL; used only to run the parse-level
+    read-only gate on a statement whose values arrive later (Spark's
+    parser accepts '?' but not '$N')."""
+    masked, table = _mask(sql)
+    masked = _DOLLAR_PARAM_RE.sub("NULL", masked.replace("?", "NULL"))
+    return _unmask(masked, table)
+
+
+def bind_parameters(sql: str, values) -> str:
+    """Substitute positional ``?`` (JDBC style) or ``$1``-indexed (DuckDB
+    style) placeholders with rendered literals."""
+    lits = [render_sql_literal(v) for v in values]
+    masked, table = _mask(sql)
+    if "?" in masked:
+        parts = masked.split("?")
+        if len(parts) - 1 != len(lits):
+            raise ValueError(
+                f"query has {len(parts) - 1} '?' placeholders, "
+                f"{len(lits)} values bound"
+            )
+        masked = parts[0] + "".join(
+            lit + rest for lit, rest in zip(lits, parts[1:])
+        )
+    else:
+        def sub(m: re.Match) -> str:
+            i = int(m.group(1))
+            if not 1 <= i <= len(lits):
+                raise ValueError(f"parameter ${i} out of range (have {len(lits)})")
+            return lits[i - 1]
+
+        replaced = _DOLLAR_PARAM_RE.sub(sub, masked)
+        if replaced == masked and lits:
+            raise ValueError("statement has no parameter placeholders")
+        masked = replaced
+    return _unmask(masked, table)
+
+
+# ---------------------------------------------------------------------------
 # serving entry
 # ---------------------------------------------------------------------------
 

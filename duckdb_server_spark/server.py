@@ -189,6 +189,9 @@ class SparkFlightServer(flight.FlightServerBase):
         # CreatePreparedStatement, so implementing the pair is what makes
         # off-the-shelf clients work end-to-end.
         self._prepared: dict[bytes, str] = {}
+        # handle → one row of parameter values bound via DoPut (ADBC/JDBC
+        # '?'/'$N' binding); consumed at execution time by bind_parameters.
+        self._bound: dict[bytes, list] = {}
         self._prepared_lock = threading.Lock()
         self._prepared_seq = 0
 
@@ -235,10 +238,18 @@ class SparkFlightServer(flight.FlightServerBase):
                 handle = flightsql.decode_prepared_statement_handle(value)
                 with self._prepared_lock:
                     sql = self._prepared.get(handle)
+                    params = self._bound.get(handle)
                 if sql is None:
                     raise flight.FlightServerError(
                         f"unknown prepared statement handle {handle!r}"
                     )
+                if params is not None:
+                    from duckdb_server_spark.dialect import bind_parameters
+
+                    try:
+                        sql = bind_parameters(sql, params)
+                    except ValueError as exc:
+                        raise flight.FlightServerError(str(exc)) from exc
                 return "query", sql
             raise flight.FlightServerError(f"unsupported Flight SQL command {type_url}")
         try:
@@ -400,18 +411,34 @@ class SparkFlightServer(flight.FlightServerBase):
                     "Any(ActionCreatePreparedStatementRequest)"
                 )
             sql = flightsql.decode_action_create_prepared_request(unpacked[1])
-            # Gate + analyze now: a bad statement fails at prepare time
-            # (the contract ADBC relies on), and the dataset schema rides
-            # back in the result so clients can bind without a round trip.
-            sql = resolve_query_sql(self.spark, sql)
-            from pyspark.sql.pandas.types import to_arrow_schema
+            from duckdb_server_spark.dialect import (
+                has_parameters,
+                neutralize_parameters,
+            )
 
-            try:
-                schema = to_arrow_schema(self.spark.sql(sql).schema)
-            except flight.FlightServerError:
-                raise
-            except Exception as exc:
-                raise flight.FlightServerError(str(exc)) from exc
+            if has_parameters(sql):
+                # Parameterized statement: full analysis must wait for the
+                # DoPut binding, so gate the statement shape only — on the
+                # placeholders-as-NULL form, since Spark's parser rejects
+                # '$N' — and return an empty dataset schema; clients
+                # discover it from the first result stream. The bound form
+                # is re-gated + analyzed at execution.
+                assert_query_shaped(self.spark, neutralize_parameters(sql))
+                schema = pa.schema([])
+            else:
+                # Gate + analyze now: a bad statement fails at prepare
+                # time (the contract ADBC relies on), and the dataset
+                # schema rides back in the result so clients can bind
+                # without a round trip.
+                sql = resolve_query_sql(self.spark, sql)
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                try:
+                    schema = to_arrow_schema(self.spark.sql(sql).schema)
+                except flight.FlightServerError:
+                    raise
+                except Exception as exc:
+                    raise flight.FlightServerError(str(exc)) from exc
             with self._prepared_lock:
                 self._prepared_seq += 1
                 handle = b"dss-ps-%d" % self._prepared_seq
@@ -432,8 +459,35 @@ class SparkFlightServer(flight.FlightServerBase):
             handle = flightsql.decode_prepared_statement_handle(unpacked[1])
             with self._prepared_lock:
                 self._prepared.pop(handle, None)  # close is idempotent
+                self._bound.pop(handle, None)
             return
         raise NotImplementedError(f"action {action.type!r} not implemented")
+
+    # -- DoPut: prepared-statement parameter binding. The only write the
+    # server accepts — and it writes engine state, not data: one Arrow row
+    # of '?'/'$N' values per handle (the ADBC/JDBC bind sequence). Data
+    # DoPut stays rejected, preserving the read-only contract. -------------
+    def do_put(self, context, descriptor, reader, writer):
+        unpacked = flightsql.unpack_any(descriptor.command)
+        if unpacked is None or unpacked[0] != flightsql.CMD_PREPARED_STATEMENT_QUERY:
+            raise flight.FlightServerError(
+                "read-only server: DoPut accepts only "
+                "CommandPreparedStatementQuery parameter binding"
+            )
+        handle = flightsql.decode_prepared_statement_handle(unpacked[1])
+        with self._prepared_lock:
+            if handle not in self._prepared:
+                raise flight.FlightServerError(
+                    f"unknown prepared statement handle {handle!r}"
+                )
+        table = reader.read_all()
+        if table.num_rows != 1:
+            raise flight.FlightServerError(
+                f"parameter binding expects exactly one row, got {table.num_rows}"
+            )
+        row = [col[0].as_py() for col in table.columns]
+        with self._prepared_lock:
+            self._bound[handle] = row
 
     def list_actions(self, context):
         return [
@@ -506,10 +560,11 @@ def query_flightsql(port: int, sql: str) -> pa.Table:
         client.close()
 
 
-def query_prepared(port: int, sql: str) -> pa.Table:
+def query_prepared(port: int, sql: str, params=None) -> pa.Table:
     """Full ADBC-style prepared-statement exchange: DoAction
-    CreatePreparedStatement → GetFlightInfo(CommandPreparedStatementQuery)
-    → DoGet → DoAction ClosePreparedStatement. This is the wire sequence
+    CreatePreparedStatement → [DoPut parameter row] → GetFlightInfo(
+    CommandPreparedStatementQuery) → DoGet → DoAction
+    ClosePreparedStatement. This is the wire sequence
     ``adbc_driver_flightsql`` emits for every ExecuteQuery."""
     client = flight.connect(f"grpc://127.0.0.1:{port}")
     try:
@@ -528,6 +583,14 @@ def query_prepared(port: int, sql: str) -> pa.Table:
             descriptor = flight.FlightDescriptor.for_command(
                 flightsql.encode_command_prepared_statement_query(handle)
             )
+            if params is not None:
+                batch = pa.record_batch(
+                    [pa.array([v]) for v in params],
+                    names=[f"param_{i + 1}" for i in range(len(params))],
+                )
+                put_writer, _put_meta = client.do_put(descriptor, batch.schema)
+                put_writer.write_batch(batch)
+                put_writer.close()
             info = client.get_flight_info(descriptor)
             tables = [client.do_get(ep.ticket).read_all() for ep in info.endpoints]
             return pa.concat_tables(tables)

@@ -462,3 +462,83 @@ def test_xdbc_type_info(flight_port):
         info = client.get_flight_info(flight.FlightDescriptor.for_command(only_varchar))
         table = client.do_get(info.endpoints[0].ticket).read_all()
         assert table.column("type_name").to_pylist() == ["VARCHAR"]
+
+
+def test_prepared_statement_parameter_binding(flight_port):
+    """ADBC/JDBC '?' binding: DoPut one Arrow parameter row against the
+    handle, then execute — the driver-side sequence for
+    ``cursor.execute(sql, params)``."""
+    table = srv.query_prepared(
+        flight_port,
+        "SELECT count(*) AS n FROM lineitem WHERE l_quantity > ? AND l_returnflag = ?",
+        params=[45.0, "A"],
+    )
+    assert table.column_names == ["n"]
+    expected = srv.query_prepared(
+        flight_port,
+        "SELECT count(*) AS n FROM lineitem WHERE l_quantity > 45.0 AND l_returnflag = 'A'",
+    )
+    assert table["n"][0].as_py() == expected["n"][0].as_py() > 0
+
+
+def test_prepared_statement_dollar_params_rebind(flight_port):
+    """DuckDB-style $N placeholders; re-binding the same handle re-executes
+    with the new values (statement reuse, the point of preparing)."""
+    from duckdb_server_spark import flightsql
+
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        results = list(
+            client.do_action(
+                flight.Action(
+                    flightsql.CREATE_PREPARED_STATEMENT,
+                    flightsql.encode_action_create_prepared_request(
+                        "SELECT $1 + $2 AS s, $1 AS a"
+                    ),
+                )
+            )
+        )
+        handle, _ = flightsql.decode_action_create_prepared_result(
+            results[0].body.to_pybytes()
+        )
+        descriptor = flight.FlightDescriptor.for_command(
+            flightsql.encode_command_prepared_statement_query(handle)
+        )
+        for a, b in ((1, 2), (10, 20)):
+            batch = pa.record_batch(
+                [pa.array([a]), pa.array([b])], names=["p1", "p2"]
+            )
+            w, _ = client.do_put(descriptor, batch.schema)
+            w.write_batch(batch)
+            w.close()
+            info = client.get_flight_info(descriptor)
+            out = client.do_get(info.endpoints[0].ticket).read_all()
+            assert out["s"][0].as_py() == a + b and out["a"][0].as_py() == a
+    finally:
+        client.close()
+
+
+def test_do_put_rejected_for_data_ingest(flight_port):
+    """DoPut against anything but a prepared-statement handle is refused —
+    the read-only contract covers the write RPC too."""
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        batch = pa.record_batch([pa.array([1])], names=["a"])
+        descriptor = flight.FlightDescriptor.for_command(b"INSERT INTO t")
+        with pytest.raises(flight.FlightServerError):
+            w, _ = client.do_put(descriptor, batch.schema)
+            w.write_batch(batch)
+            w.close()
+    finally:
+        client.close()
+
+
+def test_parameter_binding_string_quote_safe(flight_port):
+    """A bound string containing quotes/placeholders must arrive verbatim
+    (literal rendering, not splicing)."""
+    table = srv.query_prepared(
+        flight_port,
+        "SELECT ? AS v",
+        params=["it's ? a $1 'test'"],
+    )
+    assert table["v"][0].as_py() == "it's ? a $1 'test'"
