@@ -199,6 +199,27 @@ _FN_RENAMES = {
     "epoch": "unix_timestamp",
     "list_min": "array_min",
     "list_max": "array_max",
+    # DuckDB's list/str aliases with direct Spark equivalents (``len`` is
+    # polymorphic and handled structurally by _rewrite_len).
+    "unnest": "explode",
+    "week": "weekofyear",
+    "list": "collect_list",
+    "string_agg": "listagg",
+    "group_concat": "listagg",
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "argmax": "max_by",
+    "argmin": "min_by",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "json_extract_string": "get_json_object",
+    "list_intersect": "array_intersect",
+    "list_concat": "concat",
+    "list_cat": "concat",
+    "array_concat": "concat",
+    "list_append": "array_append",
+    "list_prepend": "array_prepend",
+    "list_zip": "dd_list_zip",
 }
 
 _FN_RENAME_RE = re.compile(
@@ -302,7 +323,9 @@ def _rewrite_regexp_replace(s: str, table: list[str]) -> str:
             pat = _PLACEHOLDER.format(len(table) - 1)
         repl = f"regexp_replace({args[0]}, {pat}, {args[2]})"
         s = s[: m.start()] + repl + s[close + 1 :]
-        pos = m.start() + len(repl)
+        # resume INSIDE the replacement: args[0] may hold a nested
+        # 4-arg regexp_replace that still needs its flags dropped
+        pos = m.start() + 1
 
 
 _LIST_AGG_RE = re.compile(r"\b(list_aggregate|list_aggr|array_aggregate)\s*\(", re.IGNORECASE)
@@ -568,16 +591,692 @@ def _rewrite_asof(s: str) -> str:
         s = _scrub_bare_star(s)
 
 
+# DuckDB list subscripts are 1-based with NULL out-of-range; Spark's []
+# is 0-based and (under ANSI) throws. ``try_element_at`` is the exact
+# Spark spelling of DuckDB's semantics — 1-based, negative-from-end, NULL
+# out-of-range — and it also covers map access, so EVERY subscript on the
+# dialect path rewrites to it (expressions included: ``words[i + 1]``).
+# ``l[a:b]`` slices (1-based, inclusive end) become ``slice``.
+
+
+def _expr_start(s: str, idx: int) -> int:
+    """Start of the base expression ending at ``idx`` (exclusive): walks
+    back over identifier chars, dots, mask placeholders, and balanced
+    paren/bracket groups — so ``f(x)[1]`` and ``a.b[2][3]`` resolve."""
+    i = idx
+    while i > 0:
+        c = s[i - 1]
+        if c in ")]":
+            depth, j = 0, i - 1
+            while j >= 0:
+                if s[j] in ")]":
+                    depth += 1
+                elif s[j] in "([":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            i = j
+        elif c.isalnum() or c in "_.\x00":
+            i -= 1
+        else:
+            break
+    return i
+
+
+def _rewrite_subscripts(s: str) -> str:
+    while True:
+        for m in re.finditer(r"\[([^\[\]]*)\]", s):
+            start = m.start()
+            if start == 0:
+                continue
+            prev_c = s[start - 1]
+            if prev_c not in ")]" and not (prev_c.isalnum() or prev_c in "_\x00"):
+                continue  # list literal (handled earlier) or stray bracket
+            content = m.group(1).strip()
+            if not content:
+                continue
+            base_start = _expr_start(s, start)
+            base = s[base_start:start]
+            if not base:
+                continue
+            if re.fullmatch(r"(?i)array", base.split(".")[-1]):
+                # postgres-style ARRAY[...] literal, not a subscript
+                s = s[: base_start] + f"array({content})" + s[m.end() :]
+                break
+            if ":" in content:
+                a, _, b = content.partition(":")
+                a, b = a.strip() or "1", b.strip()
+                length = (
+                    f"size({base}) - ({a}) + 1" if not b else f"({b}) - ({a}) + 1"
+                )
+                repl = f"slice({base}, {a}, {length})"
+            elif re.fullmatch(r"-?\d+|\x00\d+\x00", content):
+                # integer literal or masked string key: pass through
+                repl = f"try_element_at({base}, {content})"
+            else:
+                # expression index: Spark wants INT, DuckDB computes BIGINT
+                repl = f"try_element_at({base}, CAST({content} AS INT))"
+            s = s[:base_start] + repl + s[m.end() :]
+            break
+        else:
+            return s
+
+
+_SLICE_RE = re.compile(r"\b(?:list_slice|array_slice)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_slice(s: str) -> str:
+    """``list_slice(l, a, b)`` (1-based, inclusive end) → Spark
+    ``slice(l, a, b - a + 1)`` (1-based start + length)."""
+    while m := _SLICE_RE.search(s):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        if len(args) != 3:
+            raise ValueError("list_slice expects 3 arguments")
+        arr, a, b = args
+        s = (
+            s[: m.start()]
+            + f"slice({arr}, {a}, ({b}) - ({a}) + 1)"
+            + s[close + 1 :]
+        )
+    return s
+
+
+_RANGE_TF_ALIAS_RE = re.compile(
+    r"\b(range|generate_series)\s*\(", re.IGNORECASE
+)
+_CLAUSE_KEYWORDS = (
+    "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "ON", "LEFT", "RIGHT",
+    "FULL", "CROSS", "INNER", "UNION", "HAVING", "AND", "OR", "AS",
+    "QUALIFY", "WINDOW",
+)
+
+
+def _range_expr(args: list[str]) -> str:
+    """Scalar ``range`` (end-exclusive): empty list when start >= end.
+    Pure built-ins (Generate-safe, codegen) — a bare ``sequence(a, b)``
+    would count DOWNWARD for an empty DuckDB range."""
+    if len(args) == 1:
+        a, b = "0", args[0]
+    elif len(args) == 2:
+        a, b = args
+    else:
+        a, b, step = args
+        # positive integer step: ceil((b-a)/step) elements starting at a
+        n = (
+            f"greatest(0, CAST(ceil((CAST(({b}) AS DOUBLE) - ({a})) "
+            f"/ ({step})) AS INT))"
+        )
+        return (
+            f"slice(sequence(({a}), greatest(({a}), ({b}) - 1), ({step})), "
+            f"1, {n})"
+        )
+    return (
+        f"slice(sequence(({a}), greatest(({a}) + 1, ({b})) - 1), 1, "
+        f"greatest(0, ({b}) - ({a})))"
+    )
+
+
+def _series_expr(args: list[str]) -> str:
+    """Scalar ``generate_series`` (end-inclusive): empty when start > end;
+    the 3-arg (stepped / timestamp interval) form maps to ``sequence``
+    directly — same inclusive semantics."""
+    if len(args) == 3:
+        return f"sequence({', '.join(args)})"
+    if len(args) == 1:
+        a, b = "0", args[0]
+    else:
+        a, b = args
+    return (
+        f"slice(sequence(({a}), greatest(({a}), ({b}))), 1, "
+        f"greatest(0, ({b}) - ({a}) + 1))"
+    )
+
+
+def _rewrite_range(s: str) -> str:
+    """DuckDB ``range`` / ``generate_series`` in both positions.
+
+    Table function: ``FROM range(a, b) [AS] t(j)`` → a derived table
+    renaming Spark's ``id`` output column; bare ``FROM range(...)``
+    exposes the DuckDB default column name. A comma-joined form
+    (``FROM t, range(1, 6) i``) counts as a table function when its alias
+    is referenced qualified elsewhere. Scalar forms inline to guarded
+    slice/sequence expressions (:func:`_range_expr` /
+    :func:`_series_expr`).
+    """
+    out = []
+    pos = 0
+    for m in _RANGE_TF_ALIAS_RE.finditer(s):
+        if m.start() < pos:
+            continue
+        fname = m.group(1).lower()
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        default_col = fname  # DuckDB names the output column after the fn
+        # token before the call decides the position: FROM/JOIN/, → table
+        before = s[: m.start()].rstrip()
+        prev = re.search(r"(\bFROM|\bJOIN|,)\s*$", before, re.IGNORECASE)
+        prev_kw = prev.group(0).strip().upper() if prev else ""
+        after = s[close + 1 :]
+        am = re.match(
+            r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)", after
+        )
+        bm = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", after)
+        bare_alias = (
+            bm.group(1)
+            if bm and bm.group(1).upper() not in _CLAUSE_KEYWORDS
+            else None
+        )
+        inner = (
+            f"range({', '.join(args)})"
+            if fname == "range"
+            else f"(SELECT explode({_series_expr(args)}) AS id)"
+        )
+        if am and prev:
+            repl = f"(SELECT id AS {am.group(2)} FROM {inner}) {am.group(1)}"
+            out.append(s[pos : m.start()] + repl)
+            pos = close + 1 + am.end()
+        elif prev_kw in ("FROM", "JOIN") or (
+            prev_kw == ","
+            and bare_alias
+            and re.search(rf"\b{bare_alias}\s*\.", s)
+        ):
+            repl = (
+                f"(SELECT id AS {default_col} FROM {inner}) "
+                f"{bare_alias if bare_alias else default_col}"
+            )
+            out.append(s[pos : m.start()] + repl)
+            pos = close + 1 + (bm.end() if bare_alias else 0)
+        else:
+            # scalar list form
+            if fname == "range":
+                repl = _range_expr(args)
+            else:
+                repl = _series_expr(args)
+            out.append(s[pos : m.start()] + repl)
+            pos = close + 1
+    out.append(s[pos:])
+    return "".join(out)
+
+
+# DuckDB ``len`` is polymorphic (string length / list length); Spark
+# splits it into ``length`` (string) and ``size`` (array). No textual
+# rewrite can type the argument, so dispatch on structure: a known
+# list-producing head function → size; a known string head → length; a
+# bare name that is a lambda binder in this statement → length (the
+# element of a word list); a handful of conventional array column names →
+# size; default → length (DuckDB documents len as the string function,
+# list len is the overload).
+_LEN_RE = re.compile(r"\blen\s*\(", re.IGNORECASE)
+_LEN_ARRAY_HEADS = {
+    "string_split", "str_split", "string_split_regex", "str_split_regex",
+    "regexp_split_to_array", "string_to_array", "split", "sequence",
+    "range", "generate_series", "array", "list_value", "list_filter",
+    "list_transform", "list_distinct", "list_intersect", "list_concat",
+    "list_cat", "list_sort", "list_reverse_sort", "list_slice",
+    "array_slice", "slice", "list_zip", "dd_list_zip", "dd_range",
+    "dd_generate_series", "regexp_extract_all", "map_keys", "map_values",
+    "flatten", "array_distinct", "array_intersect", "filter", "transform",
+    "collect_list", "array_agg", "zip_with",
+}
+_LEN_STRING_HEADS = {
+    "regexp_replace", "trim", "ltrim", "rtrim", "lower", "upper", "substr",
+    "substring", "replace", "translate", "repeat", "concat_ws", "md5",
+    "left", "right", "format", "printf", "strip_accents",
+}
+_LEN_ARRAY_NAMES = {"w", "words", "embedding", "tokens", "toks", "shingles"}
+
+
+def _rewrite_len(s: str) -> str:
+    binders = {
+        b.group(1).lower() for b in re.finditer(r"([A-Za-z_]\w*)\s*->", s)
+    }
+    while m := _LEN_RE.search(s):
+        close = _matching_paren(s, m.end() - 1)
+        arg = s[m.end() : close].strip()
+        fn = "length"
+        head = re.match(r"([A-Za-z_]\w*)\s*\(", arg)
+        if head and head.group(1).lower() in _LEN_ARRAY_HEADS:
+            fn = "size"
+        elif head and head.group(1).lower() in _LEN_STRING_HEADS:
+            fn = "length"
+        elif re.search(r"\[[^\]]*:[^\]]*\]\s*$", arg):
+            fn = "size"  # slice result is a list
+        elif re.fullmatch(r"[A-Za-z_][\w.]*", arg):
+            name = arg.split(".")[-1].lower()
+            if name in binders:
+                fn = "length"
+            elif name in _LEN_ARRAY_NAMES:
+                fn = "size"
+        s = s[: m.start()] + fn + "(" + s[m.end() :]
+    return s
+
+
+# DuckDB casts hex strings to integers (``CAST('0x' || substr(md5(t), 1,
+# 8) AS BIGINT)`` is its idiomatic text→int hash); Spark needs conv().
+_HEX_CAST_RE = re.compile(
+    r"CAST\s*\(\s*\(\s*(\x00\d+\x00)\s*\|\|", re.IGNORECASE
+)
+
+
+def _rewrite_hex_cast(s: str, table: list[str]) -> str:
+    pos = 0
+    while m := _HEX_CAST_RE.search(s, pos):
+        if _literal_value(_unmask(m.group(1), table)) != "0x":
+            pos = m.end()
+            continue
+        cast_open = s.index("(", m.start())
+        cast_close = _matching_paren(s, cast_open)
+        inner_open = s.index("(", cast_open + 1)
+        inner_close = _matching_paren(s, inner_open)
+        expr = s[m.end() : inner_close].strip()
+        as_m = re.match(
+            r"\s*AS\s+(BIGINT|HUGEINT|INTEGER|INT|UBIGINT)\s*\)",
+            s[inner_close + 1 : cast_close + 1],
+            re.IGNORECASE,
+        )
+        if not as_m:
+            pos = m.end()
+            continue
+        s = (
+            s[: m.start()]
+            + f"CAST(conv({expr}, 16, 10) AS BIGINT)"
+            + s[cast_close + 1 :]
+        )
+    return s
+
+
+# Spark regexp_extract_all defaults to group 1 and rejects group-less
+# patterns; DuckDB defaults to group 0 (the full match).
+_REGEXP_EXTRACT_ALL_RE = re.compile(r"\bregexp_extract_all\s*\(", re.IGNORECASE)
+
+
+def _rewrite_regexp_extract_all(s: str) -> str:
+    pos = 0
+    while m := _REGEXP_EXTRACT_ALL_RE.search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        if len(args) == 2:
+            s = s[:close] + ", 0" + s[close:]
+        pos = close + 1
+    return s
+
+
+# DuckDB 2-arg trim functions are (string, chars); Spark's are
+# (chars, string) — swap.
+_TRIM_SWAP_RE = re.compile(r"\b([lr]?trim)\s*\(", re.IGNORECASE)
+
+
+_XOR_RE = re.compile(r"\bxor\s*\(", re.IGNORECASE)
+
+
+def _rewrite_xor(s: str) -> str:
+    """``xor(a, b)`` → the ``^`` operator, inlined (a SQL UDF would be
+    rejected inside Generate/explode)."""
+    while m := _XOR_RE.search(s):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        if len(args) != 2:
+            raise ValueError("xor expects 2 arguments")
+        repl = (
+            f"(CAST({args[0]} AS BIGINT) ^ CAST({args[1]} AS BIGINT))"
+        )
+        s = s[: m.start()] + repl + s[close + 1 :]
+    return s
+
+
+def _rewrite_trim_swap(s: str) -> str:
+    pos = 0
+    while m := _TRIM_SWAP_RE.search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        if len(args) == 2:
+            repl = f"{m.group(1)}({args[1]}, {args[0]})"
+            s = s[: m.start()] + repl + s[close + 1 :]
+            pos = m.start() + len(repl)
+        else:
+            pos = close + 1
+    return s
+
+
+# strftime(ts, '%Y-%m-%d') → date_format with the pattern translated
+# from C tokens to java.time tokens.
+_STRFTIME_RE = re.compile(r"\bstrftime\s*\(", re.IGNORECASE)
+_STRFTIME_TOKENS = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%I": "hh", "%M": "mm", "%S": "ss", "%j": "DDD", "%a": "EEE",
+    "%A": "EEEE", "%b": "MMM", "%B": "MMMM", "%p": "a", "%%": "%",
+}
+
+
+def _strftime_to_java(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        tok = fmt[i : i + 2]
+        if tok in _STRFTIME_TOKENS:
+            out.append(_STRFTIME_TOKENS[tok])
+            i += 2
+        elif fmt[i] == "%":
+            raise ValueError(f"strftime: unsupported token {tok!r}")
+        else:
+            # literal characters; quote java-reserved letters
+            if fmt[i].isalpha():
+                out.append(f"'{fmt[i]}'")
+            else:
+                out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_strftime(s: str, table: list[str]) -> str:
+    while m := _STRFTIME_RE.search(s):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        if len(args) != 2:
+            raise ValueError("strftime expects (ts, format)")
+        ph = _PLACEHOLDER_RE.fullmatch(args[1].strip())
+        fmt = _literal_value(table[int(ph.group(1))]) if ph else None
+        if fmt is None:
+            raise ValueError("strftime needs a literal format")
+        table.append("'" + _strftime_to_java(fmt).replace("'", "''") + "'")
+        jph = _PLACEHOLDER.format(len(table) - 1)
+        s = s[: m.start()] + f"date_format({args[0]}, {jph})" + s[close + 1 :]
+    return s
+
+
+# date_diff('day', a, b) — DuckDB quotes the unit, Spark wants a bare
+# keyword in the same position.
+_DATEDIFF_RE = re.compile(r"\b(date_?diff|date_?part)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_datediff_units(s: str, table: list[str]) -> str:
+    pos = 0
+    while m := _DATEDIFF_RE.search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        ph = _PLACEHOLDER_RE.fullmatch(args[0].strip()) if args else None
+        unit = _literal_value(table[int(ph.group(1))]) if ph else None
+        if unit is not None and re.fullmatch(r"[A-Za-z]+", unit):
+            args[0] = unit.upper()
+            repl = f"{m.group(1)}({', '.join(args)})"
+            s = s[: m.start()] + repl + s[close + 1 :]
+            pos = m.start() + len(repl)
+        else:
+            pos = close + 1
+    return s
+
+
+# struct_pack(k := v, …) → named_struct('k', v, …); map([ks], [vs]) →
+# map_from_arrays; map_extract keeps DuckDB's list-of-matches shape so a
+# trailing [1] subscript still picks the value.
+_STRUCT_PACK_RE = re.compile(r"\bstruct_pack\s*\(", re.IGNORECASE)
+_MAP_FN_RE = re.compile(r"\bmap\s*\(", re.IGNORECASE)
+_MAP_EXTRACT_RE = re.compile(r"\bmap_extract\s*\(", re.IGNORECASE)
+
+
+def _rewrite_struct_map(s: str, table: list[str]) -> str:
+    while m := _STRUCT_PACK_RE.search(s):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        parts = []
+        for item in _split_top_commas(s[open_idx + 1 : close]):
+            km = re.match(r"^([A-Za-z_]\w*)\s*:=\s*(.+)$", item, re.DOTALL)
+            if not km:
+                raise ValueError("struct_pack expects name := value pairs")
+            table.append("'" + km.group(1) + "'")
+            parts.append(_PLACEHOLDER.format(len(table) - 1))
+            parts.append(km.group(2).strip())
+        s = s[: m.start()] + f"named_struct({', '.join(parts)})" + s[close + 1 :]
+    while m := _MAP_EXTRACT_RE.search(s):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        if len(args) != 2:
+            raise ValueError("map_extract expects (map, key)")
+        repl = f"array(try_element_at({args[0]}, {args[1]}))"
+        s = s[: m.start()] + repl + s[close + 1 :]
+    pos = 0
+    while m := _MAP_FN_RE.search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        if len(args) == 2:
+            repl = f"map_from_arrays({args[0]}, {args[1]})"
+            s = s[: m.start()] + repl + s[close + 1 :]
+            pos = m.start() + len(repl)
+        else:
+            pos = close + 1
+    return s
+
+
+# Ordered aggregates: DuckDB allows ORDER BY inside any aggregate.
+# ``list(v ORDER BY k)`` → sort collect_list(struct(k, v)) and project —
+# deterministic, still one hash aggregate. ``string_agg(x, d ORDER BY k)``
+# → Spark 4's listagg WITHIN GROUP.
+_ORDERED_AGG_RE = re.compile(
+    r"\b(list|array_agg|collect_list|string_agg|group_concat)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_ordered_aggs(s: str) -> str:
+    pos = 0
+    while m := _ORDERED_AGG_RE.search(s, pos):
+        fn = m.group(1).lower()
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        inner = s[open_idx + 1 : close]
+        ob_idx, _ = _find_top_keyword(inner, ("ORDER",))
+        if ob_idx < 0:
+            pos = close + 1
+            continue
+        expr_part = inner[:ob_idx].rstrip()
+        order_part = re.sub(
+            r"^ORDER\s+BY\s+", "", inner[ob_idx:], flags=re.IGNORECASE
+        ).strip()
+        desc = bool(re.search(r"\bDESC\b", order_part, re.IGNORECASE))
+        order_key = re.sub(
+            r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$", "", order_part,
+            flags=re.IGNORECASE,
+        )
+        if fn in ("string_agg", "group_concat"):
+            args = _split_top_commas(expr_part)
+            delim = args[1] if len(args) > 1 else "','"
+            repl = (
+                f"listagg({args[0]}, {delim}) WITHIN GROUP "
+                f"(ORDER BY {order_part})"
+            )
+        else:
+            sorted_expr = (
+                f"array_sort(collect_list(struct({order_key} AS _o, "
+                f"{expr_part} AS _v)))"
+            )
+            if desc:
+                sorted_expr = f"reverse({sorted_expr})"
+            repl = f"transform({sorted_expr}, x -> x._v)"
+        s = s[: m.start()] + repl + s[close + 1 :]
+        pos = m.start() + len(repl)
+    return s
+
+
+_TIME_BUCKET_RE = re.compile(r"\btime_bucket\s*\(", re.IGNORECASE)
+_INTERVAL_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _rewrite_time_bucket(s: str, table: list[str]) -> str:
+    """``time_bucket(INTERVAL 'n unit', ts)`` → epoch-floor bucketing
+    (UTC-pinned session, so unix_timestamp is a pure epoch read)."""
+    while m := _TIME_BUCKET_RE.search(s):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        if len(args) != 2:
+            raise ValueError("time_bucket expects (INTERVAL, ts)")
+        im = re.match(r"^INTERVAL\s+(\x00\d+\x00)$", args[0].strip(), re.IGNORECASE)
+        if not im:
+            raise ValueError("time_bucket: first argument must be an INTERVAL literal")
+        lit = _literal_value(_unmask(im.group(1), table)) or ""
+        parts = lit.split()
+        if len(parts) != 2 or parts[1].lower() not in _INTERVAL_SECONDS:
+            raise ValueError(f"time_bucket: unsupported interval {lit!r}")
+        secs = int(parts[0]) * _INTERVAL_SECONDS[parts[1].lower()]
+        ts = args[1]
+        repl = (
+            f"to_timestamp(floor(unix_timestamp({ts}) / {secs}) * {secs})"
+        )
+        s = s[: m.start()] + repl + s[close + 1 :]
+    return s
+
+
+_DISTINCT_ON_RE = re.compile(
+    r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_distinct_on(s: str) -> str:
+    """``SELECT DISTINCT ON (keys) cols FROM … ORDER BY …`` → row_number
+    window over the keys in the statement's ORDER BY order — DuckDB keeps
+    the first row per key group under that ordering."""
+    m = _DISTINCT_ON_RE.search(s)
+    if not m:
+        return s
+    open_idx = m.end() - 1
+    close = _matching_paren(s, open_idx)
+    keys = ", ".join(_split_top_commas(s[open_idx + 1 : close]))
+    rest = s[close + 1 :]
+    om_idx, _ = _find_top_keyword(rest, ("ORDER",))
+    if om_idx < 0:
+        raise ValueError("DISTINCT ON requires an ORDER BY to be deterministic")
+    select_from = rest[:om_idx]
+    order_clause = rest[om_idx:]
+    order_list = re.sub(r"^ORDER\s+BY\s+", "", order_clause, flags=re.IGNORECASE)
+    fm_idx, _ = _find_top_keyword(select_from, ("FROM",))
+    if fm_idx < 0:
+        raise ValueError("DISTINCT ON: no FROM clause")
+    sel = select_from[:fm_idx].strip()
+    source = select_from[fm_idx + len("FROM"):].strip()
+    return (
+        f"SELECT {sel} FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {keys} ORDER BY {order_list}) AS __dd_don "
+        f"FROM {source}) WHERE __dd_don = 1 {order_clause}"
+    )
+
+
+_WINDOW_FILTER_RE = re.compile(
+    r"\b(\w+)\s*\(\s*([^()]*?)\s*\)\s*FILTER\s*\(\s*WHERE\s+", re.IGNORECASE
+)
+
+
+def _rewrite_window_filter(s: str) -> str:
+    """``agg(x) FILTER (WHERE c) OVER w`` → ``agg(CASE WHEN c THEN x END)
+    OVER w`` (Spark supports aggregate FILTER but not on windows). The
+    plain-aggregate form is left for Spark's native FILTER support."""
+    pos = 0
+    while m := _WINDOW_FILTER_RE.search(s, pos):
+        # m.end() sits just after 'WHERE'; the FILTER '(' is the last one
+        # before it
+        filt_open = s.rindex("(", m.start(), m.end())
+        filt_close = _matching_paren(s, filt_open)
+        cond = s[m.end() : filt_close].strip()
+        after = s[filt_close + 1 :]
+        if not re.match(r"\s*OVER\b", after, re.IGNORECASE):
+            pos = m.end()  # plain aggregate FILTER — Spark handles natively
+            continue
+        fn, arg = m.group(1), m.group(2).strip()
+        if arg in ("*", "1") or arg == "":
+            inner = f"CASE WHEN {cond} THEN 1 END"
+            fn_call = f"count({inner})" if fn.lower() == "count" else f"{fn}({inner})"
+        else:
+            fn_call = f"{fn}(CASE WHEN {cond} THEN {arg} END)"
+        s = s[: m.start()] + fn_call + s[filt_close + 1 :]
+        pos = m.start() + len(fn_call)
+    return s
+
+
+# A comma-joined parenthesized VALUES whose rows reference the left
+# table's columns is implicit-lateral in DuckDB; Spark needs the LATERAL
+# keyword, and its inline tables only accept foldable expressions — so
+# each row becomes a SELECT in a UNION ALL chain (correlated refs are
+# legal there). Uncorrelated VALUES take the same shape harmlessly.
+_LATERAL_VALUES_RE = re.compile(r",\s*\(\s*(VALUES)\b", re.IGNORECASE)
+
+
+def _rewrite_lateral_values(s: str) -> str:
+    while m := _LATERAL_VALUES_RE.search(s):
+        open_paren = s.index("(", m.start())
+        close = _matching_paren(s, open_paren)
+        body = s[m.end() : close].strip()
+        rows = []
+        for row in _split_top_commas(body):
+            row = row.strip()
+            if not (row.startswith("(") and row.endswith(")")):
+                raise ValueError("VALUES rows must be parenthesized")
+            rows.append(_split_top_commas(row[1:-1]))
+        width = len(rows[0])
+        selects = [
+            "SELECT "
+            + ", ".join(
+                f"{cell} AS _c{i}" for i, cell in enumerate(row)
+            )
+            if ri == 0
+            else "SELECT " + ", ".join(row)
+            for ri, row in enumerate(rows)
+        ]
+        if any(len(r) != width for r in rows):
+            raise ValueError("VALUES rows have uneven width")
+        repl = ", LATERAL (" + " UNION ALL ".join(selects) + ")"
+        s = s[: m.start()] + repl + s[close + 1 :]
+    return s
+
+
 def rewrite(sql: str) -> str:
     """Full DuckDB→Spark dialect rewrite (string to string, no parsing).
     Safe only for DuckDB-dialect input — e.g. ``trunc`` is renamed to the
-    numeric shim — which is why :func:`run_sql` tries native Spark first."""
+    numeric shim and subscripts shift to 0-based — which is why
+    :func:`run_sql` tries native Spark first."""
     masked, table = _mask(sql)
+    # DuckDB string literals are escape-free ('\s+' is backslash-s-plus);
+    # Spark's parser processes backslash escapes ('\s+' becomes s-plus).
+    # Double every backslash in the ORIGINAL literals so Spark
+    # reconstructs the byte-identical string — regex patterns survive.
+    # Entries appended by later rewrites are authored Spark-escaped.
+    for i, entry in enumerate(table):
+        if entry.startswith("'"):
+            table[i] = entry.replace("\\", "\\\\")
     masked = _rewrite_list_literals(masked)
+    masked = _rewrite_len(masked)
     masked = _rewrite_string_split(masked, table)
     masked = _rewrite_regexp_replace(masked, table)
+    masked = _rewrite_regexp_extract_all(masked)
+    masked = _rewrite_slice(masked)
+    masked = _rewrite_range(masked)
+    masked = _rewrite_time_bucket(masked, table)
+    masked = _rewrite_hex_cast(masked, table)
+    masked = _rewrite_trim_swap(masked)
+    masked = _rewrite_xor(masked)
+    masked = _rewrite_strftime(masked, table)
+    masked = _rewrite_datediff_units(masked, table)
+    masked = _rewrite_struct_map(masked, table)
+    masked = _rewrite_ordered_aggs(masked)
+    masked = _rewrite_lateral_values(masked)
+    masked = re.sub(r"\bAS\s+VARCHAR\b(?!\s*\()", "AS STRING", masked,
+                    flags=re.IGNORECASE)
     masked = _rewrite_fn_names(masked)
     masked = _rewrite_list_aggregate(masked, table)
+    masked = _rewrite_subscripts(masked)
+    masked = _rewrite_distinct_on(masked)
+    masked = _rewrite_window_filter(masked)
     masked = _rewrite_exclude(masked)
     masked = _rewrite_star_replace(masked)
     masked = _rewrite_glob(masked, table)
@@ -618,6 +1317,14 @@ _DIALECT_FUNCTIONS = (
     """CREATE OR REPLACE TEMPORARY FUNCTION epoch_ms(ts TIMESTAMP)
        RETURNS BIGINT
        RETURN unix_millis(ts)""",
+    # list_zip: DuckDB yields positionally-indexable pairs; an
+    # array-of-arrays keeps the ``p[1] * p[2]`` access pattern working
+    # through the try_element_at subscript rewrite. Numeric lists only
+    # (the data-pipeline use); float arrays coerce to double.
+    """CREATE OR REPLACE TEMPORARY FUNCTION dd_list_zip(
+           a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+       RETURNS ARRAY<ARRAY<DOUBLE>>
+       RETURN zip_with(a, b, (x, y) -> array(x, y))""",
 )
 
 
@@ -625,6 +1332,15 @@ def register_dialect_functions(spark: SparkSession) -> None:
     """Register the SQL-UDF alias layer (idempotent; bootstrap-time)."""
     for stmt in _DIALECT_FUNCTIONS:
         spark.sql(stmt)
+    # strip_accents shares the 1:1 translate table with the DataFrame shim
+    # (functions/scalar.py) — same codegen expression, SQL spelling.
+    from duckdb_server_spark.functions.scalar import _ACCENTED, _PLAIN
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION strip_accents(s STRING) "
+        "RETURNS STRING "
+        f"RETURN translate(s, '{_ACCENTED}', '{_PLAIN}')"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1206,6 +1922,120 @@ def bind_parameters(sql: str, values) -> str:
     return _unmask(masked, table)
 
 
+# UNION [ALL] BY NAME has no Spark SQL spelling (the DataFrame op is
+# unionByName). Resolve it here: locate the innermost paren group (or the
+# whole statement) containing the operator, run both sides through
+# run_sql, combine with unionByName(allowMissingColumns=True) — DuckDB
+# fills missing columns with NULL — and serve the result as a temp view
+# spliced back into the SQL.
+_UNION_BY_NAME_RE = re.compile(
+    r"\bUNION\s+(ALL\s+)?BY\s+NAME\b", re.IGNORECASE
+)
+
+
+def _resolve_union_by_name(spark: SparkSession, sql: str) -> str:
+    import hashlib
+
+    masked, table = _mask(sql)
+    while m := _UNION_BY_NAME_RE.search(masked):
+        # find the innermost enclosing '(' ... ')' (or whole string)
+        depth = 0
+        start = 0
+        for i in range(m.start() - 1, -1, -1):
+            c = masked[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    start = i
+                    break
+                depth -= 1
+        if masked[start] == "(":
+            end = _matching_paren(masked, start)
+            left = masked[start + 1 : m.start()]
+            right = masked[m.end() : end]
+        else:
+            end = len(masked) - 1
+            left = masked[:m.start()]
+            right = masked[m.end() :]
+        # trailing ORDER BY / LIMIT apply to the combined result
+        tail_idx, _ = _find_top_keyword(right, ("ORDER", "LIMIT"))
+        tail = ""
+        if tail_idx >= 0:
+            tail = right[tail_idx:]
+            right = right[:tail_idx]
+        distinct = not m.group(1)
+        ldf = run_sql(spark, _unmask(left, table))
+        rdf = run_sql(spark, _unmask(right, table))
+        combined = ldf.unionByName(rdf, allowMissingColumns=True)
+        if distinct:
+            combined = combined.distinct()
+        name = "__dd_ubn_" + hashlib.md5(
+            _unmask(masked, table).encode()
+        ).hexdigest()[:10]
+        combined.createOrReplaceTempView(name)
+        inner = f"SELECT * FROM {name} {tail}".rstrip()
+        if masked[start] == "(":
+            masked = masked[:start] + "(" + inner + ")" + masked[end + 1 :]
+        else:
+            masked = inner
+    return _unmask(masked, table)
+
+
+# Embedded dynamic PIVOT: ``FROM (PIVOT <src> ON <col> USING <agg>)`` —
+# the pivoted relation materializes as a temp view (its output columns
+# are data-dependent, so no static SQL rewrite exists) and the view name
+# splices into the query.
+_EMBEDDED_PIVOT_RE = re.compile(
+    r"\(\s*PIVOT\s+(\(.*?\)|[A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_]\w*)\s+"
+    r"USING\s+(\w+)\s*\(\s*(\*|[A-Za-z_]\w*)\s*\)"
+    r"(?:\s+GROUP\s+BY\s+(.+?))?\s*\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _resolve_embedded_pivots(spark: SparkSession, sql: str) -> str:
+    import hashlib
+
+    masked, table = _mask(sql)
+    while m := _EMBEDDED_PIVOT_RE.search(masked):
+        stmt = _unmask(masked[m.start() + 1 : m.end() - 1], table)
+        df = _run_pivot(spark, _PIVOT_RE.match(stmt))
+        name = "__dd_pivot_" + hashlib.md5(stmt.encode()).hexdigest()[:10]
+        df.createOrReplaceTempView(name)
+        masked = masked[: m.start()] + name + masked[m.end() :]
+    return _unmask(masked, table)
+
+
+# DuckDB ``COLUMNS('regex')`` star modifier — expands to the matching
+# column names, which needs the source table's schema, so it resolves
+# here (where a session is in hand) rather than in the pure rewrite.
+# Regex semantics are a substring search, like DuckDB's regexp_matches.
+_COLUMNS_FN_RE = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
+
+
+def _expand_columns_fn(spark: SparkSession, sql: str) -> str:
+    masked, table = _mask(sql)
+
+    def sub(m: re.Match) -> str:
+        pat = _literal_value(_unmask(m.group(1), table))
+        if pat is None:
+            raise ValueError("COLUMNS() expects a string literal pattern")
+        tm = re.search(r"\bFROM\s+([A-Za-z_][\w.]*)", masked, re.IGNORECASE)
+        if not tm:
+            raise ValueError("COLUMNS(): cannot locate a single source table")
+        cols = spark.table(tm.group(1)).columns
+        sel = [c for c in cols if re.search(pat, c)]
+        if not sel:
+            raise ValueError(f"COLUMNS({pat!r}) matched no columns")
+        return ", ".join(sel)
+
+    out = re.sub(
+        r"\bCOLUMNS\s*\(\s*(\x00\d+\x00)\s*\)", sub, masked, flags=re.IGNORECASE
+    )
+    return _unmask(out, table)
+
+
 # ---------------------------------------------------------------------------
 # serving entry
 # ---------------------------------------------------------------------------
@@ -1284,7 +2114,7 @@ def describe_frame(spark: SparkSession, df: DataFrame) -> DataFrame:
     ]
     return spark.createDataFrame(rows, schema)
 _PIVOT_RE = re.compile(
-    r"^\s*PIVOT\s+([A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_]\w*)\s+"
+    r"^\s*PIVOT\s+(\(.*\)|[A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_]\w*)\s+"
     r"USING\s+(\w+)\s*\(\s*(\*|[A-Za-z_]\w*)\s*\)"
     r"(?:\s+GROUP\s+BY\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -1307,7 +2137,9 @@ def _run_pivot(spark: SparkSession, m: re.Match) -> DataFrame:
     from pyspark.sql import functions as F
 
     tbl, on_col, fn, arg, group_by = m.groups()
-    df = spark.table(tbl)
+    df = (
+        run_sql(spark, tbl[1:-1]) if tbl.startswith("(") else spark.table(tbl)
+    )
     fn = fn.lower()
     if fn not in ("sum", "avg", "min", "max", "count"):
         raise ValueError(f"PIVOT USING {fn}(): unsupported aggregate")
@@ -1355,6 +2187,12 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         sql = _expand_macros(sql, state.macros)
     if _FILE_READ_HINT_RE.search(sql):
         sql = _resolve_file_reads(spark, sql)
+    if _COLUMNS_FN_RE.search(sql):
+        sql = _expand_columns_fn(spark, sql)
+    if _UNION_BY_NAME_RE.search(sql):
+        sql = _resolve_union_by_name(spark, sql)
+    if re.search(r"\(\s*PIVOT\b", sql, re.IGNORECASE):
+        sql = _resolve_embedded_pivots(spark, sql)
     try:
         df = spark.sql(sql)
         df.schema  # force analysis
