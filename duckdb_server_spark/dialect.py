@@ -906,6 +906,100 @@ def _rewrite_regexp_extract_all(s: str) -> str:
     return s
 
 
+# Window frame EXCLUDE clauses (CURRENT ROW / TIES / GROUP / NO OTHERS)
+# have no Spark parser support. For SUM/COUNT the exclusion is algebraic
+# — subtract the excluded rows' contribution from the plain-frame
+# aggregate — which is exactly the DataFrame spelling catalog/windows.py
+# uses for the declared w07b. The peers ("ties") sum is a second window
+# partitioned by (partition keys, order-by values).
+_EXCLUDE_FRAME_RE = re.compile(
+    r"\bEXCLUDE\s+(CURRENT\s+ROW|TIES|GROUP|NO\s+OTHERS)", re.IGNORECASE
+)
+
+
+def _window_spec_parts(spec: str) -> tuple[str, str]:
+    """(partition keys, order-by value exprs) from a window spec."""
+    pm = re.search(r"\bPARTITION\s+BY\s+(.*?)(?=\bORDER\b|\bROWS\b|\bRANGE\b|\bGROUPS\b|$)",
+                   spec, re.IGNORECASE | re.DOTALL)
+    om = re.search(r"\bORDER\s+BY\s+(.*?)(?=\bROWS\b|\bRANGE\b|\bGROUPS\b|$)",
+                   spec, re.IGNORECASE | re.DOTALL)
+    parts = pm.group(1).strip().rstrip(",") if pm else ""
+    orders = ""
+    if om:
+        keys = []
+        for item in _split_top_commas(om.group(1)):
+            keys.append(re.sub(
+                r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$", "", item,
+                flags=re.IGNORECASE,
+            ))
+        orders = ", ".join(keys)
+    return parts, orders
+
+
+def _rewrite_exclude_frames(s: str) -> str:
+    while m := _EXCLUDE_FRAME_RE.search(s):
+        kind = re.sub(r"\s+", " ", m.group(1).upper())
+        depth = 0
+        over_open = None
+        for i in range(m.start() - 1, -1, -1):
+            c = s[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    over_open = i
+                    break
+                depth -= 1
+        if over_open is None or not re.search(
+            r"\bOVER\s*$", s[:over_open], re.IGNORECASE
+        ):
+            raise ValueError("EXCLUDE frame clause outside a window spec")
+        over_close = _matching_paren(s, over_open)
+        spec = (s[over_open + 1 : m.start()] + s[m.end() : over_close]).strip()
+        if kind == "NO OTHERS":  # the default — just drop the clause
+            s = s[:over_open] + "(" + spec + ")" + s[over_close + 1 :]
+            continue
+        # the aggregate call preceding OVER
+        over_kw = re.search(r"\bOVER\s*$", s[:over_open], re.IGNORECASE)
+        agg_close = s[: over_kw.start()].rstrip()
+        agg_close_idx = len(agg_close) - 1
+        if agg_close[agg_close_idx] != ")":
+            raise ValueError("EXCLUDE: cannot locate the aggregate call")
+        depth = 0
+        agg_open = None
+        for i in range(agg_close_idx, -1, -1):
+            c = agg_close[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                depth -= 1
+                if depth == 0:
+                    agg_open = i
+                    break
+        fm = re.search(r"([A-Za-z_]\w*)\s*$", agg_close[:agg_open])
+        fn = fm.group(1).lower()
+        fn_start = fm.start(1)
+        arg = agg_close[agg_open + 1 : agg_close_idx].strip()
+        if fn not in ("sum", "count"):
+            raise ValueError(f"EXCLUDE {kind}: only sum/count supported")
+        cur = "1" if fn == "count" else f"({arg})"
+        base = f"{fn}({arg}) OVER ({spec})"
+        parts, orders = _window_spec_parts(spec)
+        peer_keys = ", ".join(k for k in (parts, orders) if k)
+        peers = f"{fn}({arg}) OVER (PARTITION BY {peer_keys})"
+        if kind == "CURRENT ROW":
+            n = f"count({arg}) OVER ({spec})"
+            repl = f"(CASE WHEN {n} > 1 THEN {base} - {cur} ELSE NULL END)"
+        elif kind == "TIES":
+            repl = f"({base} - {peers} + {cur})"
+        else:  # GROUP
+            n = f"count({arg}) OVER ({spec})"
+            ng = f"count({arg}) OVER (PARTITION BY {peer_keys})"
+            repl = f"(CASE WHEN {n} > {ng} THEN {base} - {peers} ELSE NULL END)"
+        s = s[:fn_start] + repl + s[over_close + 1 :]
+    return s
+
+
 # DuckDB 2-arg trim functions are (string, chars); Spark's are
 # (chars, string) — swap.
 _TRIM_SWAP_RE = re.compile(r"\b([lr]?trim)\s*\(", re.IGNORECASE)
@@ -1107,6 +1201,64 @@ def _rewrite_ordered_aggs(s: str) -> str:
     return s
 
 
+# DuckDB zips same-length generators in one SELECT, so
+# ``generate_subscripts(X, 1) …, unnest(X)`` walks an array with indices.
+# Spark's one-generator-per-select equivalent is posexplode via LATERAL
+# VIEW: the pair rewrites to (__dd_pos + 1) / __dd_val over a lateral
+# posexplode appended to the FROM source.
+_GENSUB_RE = re.compile(r"\bgenerate_subscripts\s*\(", re.IGNORECASE)
+_SRC_END_KEYWORDS = ("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION")
+
+
+def _depth_at(s: str, idx: int) -> int:
+    return s[:idx].count("(") - s[:idx].count(")")
+
+
+def _rewrite_generate_subscripts(s: str) -> str:
+    while m := _GENSUB_RE.search(s):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        x = _split_top_commas(s[open_idx + 1 : close])[0].strip()
+        d = _depth_at(s, m.start())
+        s = s[: m.start()] + "(__dd_pos + 1)" + s[close + 1 :]
+        um = re.search(
+            rf"\bunnest\s*\(\s*{re.escape(x)}\s*\)", s, re.IGNORECASE
+        )
+        if not um:
+            raise ValueError(
+                "generate_subscripts is only supported zipped with "
+                "unnest() of the same array"
+            )
+        s = s[: um.start()] + "__dd_val" + s[um.end() :]
+        # locate this SELECT's FROM at the same depth, then the end of its
+        # source clause; append the lateral posexplode there
+        from_m = None
+        for fm in re.finditer(r"\bFROM\b", s[um.start() :], re.IGNORECASE):
+            pos = um.start() + fm.start()
+            if _depth_at(s, pos) == d:
+                from_m = pos + 4
+                break
+        if from_m is None:
+            raise ValueError("generate_subscripts: no FROM clause found")
+        end = len(s)
+        for km in re.finditer(
+            r"\b(" + "|".join(_SRC_END_KEYWORDS) + r")\b|\)", s[from_m:],
+            re.IGNORECASE,
+        ):
+            pos = from_m + km.start()
+            if _depth_at(s, pos) == d:
+                # same-depth clause keyword, or the ')' closing this
+                # subquery (its depth before consuming it is d)
+                end = pos
+                break
+        s = (
+            s[:end].rstrip()
+            + f" LATERAL VIEW posexplode({x}) __dd_pe AS __dd_pos, __dd_val "
+            + s[end:]
+        )
+    return s
+
+
 _TIME_BUCKET_RE = re.compile(r"\btime_bucket\s*\(", re.IGNORECASE)
 _INTERVAL_SECONDS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
@@ -1260,6 +1412,7 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_regexp_replace(masked, table)
     masked = _rewrite_regexp_extract_all(masked)
     masked = _rewrite_slice(masked)
+    masked = _rewrite_generate_subscripts(masked)
     masked = _rewrite_range(masked)
     masked = _rewrite_time_bucket(masked, table)
     masked = _rewrite_hex_cast(masked, table)
@@ -1277,6 +1430,7 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_subscripts(masked)
     masked = _rewrite_distinct_on(masked)
     masked = _rewrite_window_filter(masked)
+    masked = _rewrite_exclude_frames(masked)
     masked = _rewrite_exclude(masked)
     masked = _rewrite_star_replace(masked)
     masked = _rewrite_glob(masked, table)
@@ -1484,6 +1638,44 @@ _COPY_RE = re.compile(
     r"\s*(?:\(|WITH\s*\()?([^)]*)\)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_COPY_FROM_RE = re.compile(
+    r"^\s*COPY\s+([A-Za-z_][\w.]*)\s+FROM\s+('[^']+')"
+    r"\s*(?:\(|WITH\s*\()?([^)]*)\)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _run_copy_from(spark: SparkSession, m: re.Match) -> None:
+    """DuckDB ``COPY <table> FROM 'path' (FORMAT …)`` — the init-phase
+    load direction. The file reads through the same spark.read resolution
+    as read_* table functions; rows append to an existing temp view
+    (INSERT semantics) or create it."""
+    target, path_lit, opts = m.groups()
+    path = path_lit[1:-1].replace("''", "'")
+    opts_l = (opts or "").lower()
+    fmt_m = re.search(r"format\s+(\w+)", opts_l)
+    fmt = fmt_m.group(1) if fmt_m else (_path_format(path) or "")
+    if fmt not in ("parquet", "csv", "json"):
+        raise ValueError(f"COPY FROM: unsupported format {fmt!r}")
+    read_opts: dict[str, str] = {}
+    if fmt == "csv":
+        if "header false" in opts_l or "header 0" in opts_l:
+            read_opts["header"] = "false"
+        dm = re.search(r"delim(?:iter)?\s+'([^']*)'", opts or "", re.IGNORECASE)
+        if dm:
+            read_opts["delim"] = dm.group(1)
+    view = _file_read_view(spark, fmt, (path,), read_opts)
+    name = target.split(".")[-1]
+    df = spark.table(view)
+    if spark.catalog.tableExists(name):
+        old = spark.table(name)
+        from pyspark.sql import functions as F
+
+        aligned = df.toDF(*old.columns).select(
+            *[F.col(c).cast(old.schema[c].dataType) for c in old.columns]
+        )
+        df = old.unionByName(aligned)
+    df.localCheckpoint(eager=True).createOrReplaceTempView(name)
 _MACRO_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
     r"(?:MACRO|FUNCTION)\s+([A-Za-z_]\w*)\s*\(",
@@ -1644,6 +1836,9 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         return None
     if m := _COPY_RE.match(stmt):
         _run_copy(spark, m)
+        return None
+    if m := _COPY_FROM_RE.match(stmt):
+        _run_copy_from(spark, m)
         return None
     if (m := _MACRO_RE.match(stmt)) and _register_macro(state, stmt, m):
         return None
@@ -2007,6 +2202,73 @@ def _resolve_embedded_pivots(spark: SparkSession, sql: str) -> str:
     return _unmask(masked, table)
 
 
+# WITH RECURSIVE … UNION (distinct): Spark's native recursive CTE
+# (4.1) supports only UNION ALL, so the distinct form routes through the
+# engine's fixpoint operator (operators/recursive.py) — semi-naive
+# iteration, frontier-only recursive reference, exactly the SQL
+# standard's working-table semantics. The recursive name resolves to a
+# temp view per iteration; base/step/outer each re-enter run_sql so the
+# full dialect applies inside.
+_RECURSIVE_RE = re.compile(
+    r"^\s*WITH\s+RECURSIVE\s+([A-Za-z_]\w*)\s*(\([^)]*\))?\s+AS\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _run_recursive_cte(spark: SparkSession, sql: str) -> DataFrame:
+    import hashlib
+
+    from duckdb_server_spark.operators.recursive import recursive_fixpoint
+
+    masked, table = _mask(sql)
+    m = _RECURSIVE_RE.match(masked)
+    if not m:
+        raise ValueError("not a recursive CTE")
+    name = m.group(1)
+    cols = (
+        [c.strip() for c in m.group(2)[1:-1].split(",")] if m.group(2) else None
+    )
+    open_idx = m.end() - 1
+    close = _matching_paren(masked, open_idx)
+    body = masked[open_idx + 1 : close]
+    outer = masked[close + 1 :].strip()
+    # the recursive term is the LAST top-level UNION
+    ui = -1
+    probe = 0
+    while True:
+        nxt, _ = _find_top_keyword(body, ("UNION",), probe)
+        if nxt < 0:
+            break
+        ui, probe = nxt, nxt + 5
+    if ui < 0:
+        raise ValueError("recursive CTE has no UNION")
+    am = re.match(r"UNION\s+(ALL\s+)?", body[ui:], re.IGNORECASE)
+    distinct = not am.group(1)
+    base_text = _unmask(body[:ui], table)
+    step_text = _unmask(body[ui + am.end() :], table)
+    fid = hashlib.md5(sql.encode()).hexdigest()[:10]
+
+    seed = run_sql(spark, base_text)
+    if cols:
+        seed = seed.toDF(*cols)
+    if distinct:
+        seed = seed.distinct()
+    work = f"__dd_rec_w_{fid}"
+
+    def step(frontier: DataFrame) -> DataFrame:
+        frontier.createOrReplaceTempView(work)
+        stepped = run_sql(
+            spark, re.sub(rf"\b{name}\b", work, step_text)
+        )
+        return stepped.toDF(*seed.columns)
+
+    result = recursive_fixpoint(seed, step, distinct=distinct)
+    res = f"__dd_rec_{fid}"
+    result.createOrReplaceTempView(res)
+    outer_text = re.sub(rf"\b{name}\b", res, _unmask(outer, table))
+    return run_sql(spark, outer_text)
+
+
 # DuckDB ``COLUMNS('regex')`` star modifier — expands to the matching
 # column names, which needs the source table's schema, so it resolves
 # here (where a session is in hand) rather than in the pure rewrite.
@@ -2193,11 +2455,28 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         sql = _resolve_union_by_name(spark, sql)
     if re.search(r"\(\s*PIVOT\b", sql, re.IGNORECASE):
         sql = _resolve_embedded_pivots(spark, sql)
+    if state.settings.get("dialect", "").lower() in ("duckdb", "duck"):
+        # Opt-in forced-DuckDB mode (``SET dialect='duckdb'`` in the init
+        # script): rewrite FIRST, so SQL that is valid in both dialects
+        # with different semantics (2-arg ltrim/rtrim argument order,
+        # 1-based subscripts) gets DuckDB semantics instead of Spark's.
+        # Native-Spark sessions never pay this — the default path below
+        # still tries spark.sql untouched.
+        try:
+            df = spark.sql(rewrite(sql))
+            df.schema
+            return df
+        except Exception:
+            pass  # fall through: maybe it was Spark-dialect input
     try:
         df = spark.sql(sql)
         df.schema  # force analysis
         return df
     except Exception as first_err:  # ParseException / AnalysisException
+        if _RECURSIVE_RE.match(sql):
+            # native recursive CTE failed (UNION-distinct form) → the
+            # fixpoint route
+            return _run_recursive_cte(spark, sql)
         try:
             rewritten = rewrite(sql)
         except ValueError:

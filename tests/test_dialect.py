@@ -29,9 +29,19 @@ def test_exclude_paren_and_bare():
     assert rewrite("SELECT * EXCLUDE a FROM t") == "SELECT * EXCEPT (a) FROM t"
 
 
-def test_exclude_frame_keywords_untouched():
+def test_exclude_frame_rewrites_algebraically():
     q = "sum(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)"
-    assert "EXCLUDE CURRENT ROW" in rewrite("SELECT " + q + " FROM t")
+    out = rewrite("SELECT " + q + " FROM t")
+    # frame sum minus the current row, NULL when the frame held only it
+    assert "EXCLUDE" not in out
+    assert "- (x)" in out and "CASE WHEN" in out
+    out = rewrite(
+        "SELECT sum(x) OVER (PARTITION BY p ORDER BY y EXCLUDE TIES) FROM t"
+    )
+    assert "PARTITION BY p, y" in out and "EXCLUDE" not in out
+    # NO OTHERS is the default and simply drops
+    out = rewrite("SELECT sum(x) OVER (ORDER BY y EXCLUDE NO OTHERS) FROM t")
+    assert out == "SELECT sum(x) OVER (ORDER BY y) FROM t"
 
 
 def test_star_replace():
@@ -473,6 +483,9 @@ _VERBATIM_NAMES = [
     "w10_window_filter",        # FILTER on a window aggregate
     "p15_columns_regex",        # COLUMNS('re') expansion
     "b11b_lsh_multiprobe",      # xor(), lateral VALUES, hyperplanes
+    "w07b_exclude_frames",      # EXCLUDE CURRENT ROW / TIES algebra
+    "q2_transitive_closure",    # WITH RECURSIVE UNION-distinct fixpoint
+    "b14_label_centroids",      # generate_subscripts+unnest → posexplode
 ]
 
 
@@ -517,3 +530,35 @@ def test_verbatim_oracle_parity(name, spark, verbatim_ctx):
     assert _vcanon(run_sql(spark, sql).collect()) == _vcanon(
         con.execute(sql).fetchall()
     )
+
+
+def test_copy_from_statement(sql_session, tmp_path):
+    p = tmp_path / "seed.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    run_script(
+        sql_session,
+        f"CREATE TABLE cf_t AS SELECT 0 AS a, 'z' AS b;"
+        f"COPY cf_t FROM '{p}' (FORMAT CSV, HEADER);",
+    )
+    rows = sorted((r.a, r.b) for r in sql_session.table("cf_t").collect())
+    assert rows == [(0, "z"), (1, "x"), (2, "y")]
+    run_script(sql_session, "DROP TABLE cf_t;")
+
+
+def test_forced_duckdb_dialect_mode(sql_session):
+    from duckdb_server_spark.dialect import dialect_state
+
+    st = dialect_state(sql_session)
+    # ambiguous-valid SQL: 2-arg ltrim is (string, chars) in DuckDB but
+    # (chars, string) in Spark — only the forced mode gives DuckDB's answer
+    sql = "SELECT ltrim('xxhello', 'x') AS v"
+    assert run_sql(sql_session, sql).collect()[0].v == ""  # Spark semantics
+    run_script(sql_session, "SET dialect='duckdb';")
+    try:
+        assert run_sql(sql_session, sql).collect()[0].v == "hello"
+        # 1-based subscripts too
+        assert run_sql(sql_session, "SELECT ([10, 20])[1] AS v").collect()[0].v == 10
+        # plain Spark SQL still executes in forced mode
+        assert run_sql(sql_session, "SELECT 1 AS one").collect()[0].one == 1
+    finally:
+        st.settings.pop("dialect", None)

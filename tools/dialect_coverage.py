@@ -11,8 +11,10 @@ constructs are listed with reasons instead of silently skipped.
 Usage:
     python tools/dialect_coverage.py [--sf-dir DIR] [name-substr ...]
 
-Steady state: 198/204 verbatim-match. The six non-matching rows are
-pinned engine divergences, not dialect gaps:
+Steady state: 201/204 verbatim-match (window EXCLUDE frames, recursive
+UNION-distinct CTEs, and zipped generate_subscripts/unnest all rewrite
+now). The three non-matching rows are pinned engine divergences, not
+dialect gaps:
 
 - fn_trig — round(trig(x), 6) exposes last-ulp libm differences between
   DuckDB and the JVM; values agree to ~1e-15.
@@ -22,13 +24,6 @@ pinned engine divergences, not dialect gaps:
   argument order reversed, so the native fast path executes it before
   the dialect swap can engage. DuckDB-order callers get Spark-order
   semantics; rewrite() does swap when the statement fails analysis.
-- w07b_exclude_frames — window EXCLUDE frames: no Spark support; the
-  engine implements the semantics as DataFrame rewrites (catalog w07b).
-- q2_transitive_closure — Spark cannot parse UNION (distinct) inside a
-  recursive CTE; the engine's operators/recursive.py implements it.
-- b14_label_centroids — generate_subscripts zipped with unnest in one
-  SELECT (DuckDB's correlated-generator zip); Spark's equivalent is
-  posexplode, which the catalog query uses.
 """
 
 from __future__ import annotations
