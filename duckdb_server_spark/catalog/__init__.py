@@ -75,6 +75,7 @@ _PRIORITY_R5: tuple[str, ...] = (
     "s18d_dialect_file_reads",
     "s20_dialect_describe",
     "s21_dialect_macro",
+    "s22_dialect_rewrite_combo",
     # --- code changed in round 5: refresh green evidence ---
     "b04_simhash",  # rows-only → full-oracle upgrade
     "b57_quality_classifier",  # Arrow-vectorized token features

@@ -271,6 +271,36 @@ def s21_dialect_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, _S21_QUERY)
 
 
+# One statement stacking the round-5 rewrite batch: ordered aggregates
+# (list(x ORDER BY …) and string_agg → listagg WITHIN GROUP), a 1-based
+# subscript on the aggregated list, polymorphic len over it, a scalar
+# range() list, and strftime — byte-identical on both engines, so a hash
+# match certifies the whole chain at driver level (the full-corpus sweep
+# lives in tools/dialect_coverage.py: 201/204).
+_S22_SQL = """
+SELECT n_regionkey,
+       list(n_name ORDER BY n_name)[1] AS first_nation,
+       len(list(n_name ORDER BY n_name)) AS n_nations,
+       string_agg(substr(n_name, 1, 2), '|' ORDER BY n_name) AS codes,
+       strftime(DATE '2024-03-01', '%Y/%m') AS tag,
+       array_to_string(range(1, 4), ',') AS idx_list
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey ASC NULLS LAST
+"""
+
+
+@query("s22_dialect_rewrite_combo", oracle=_S22_SQL)
+def s22_dialect_rewrite_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim DuckDB SQL exercising the round-5 structural rewrites in
+    one plan: the ordered list aggregate becomes a sorted-struct
+    projection over one hash aggregate (no extra shuffle), the subscript
+    becomes try_element_at, string_agg becomes listagg WITHIN GROUP, and
+    range() inlines to a guarded sequence — Catalyst sees only built-in
+    expressions, zero Python."""
+    return _sql(spark, sf_dir, _S22_SQL, ("nation",))
+
+
 @query(
     "s18b_dialect_init_sql",
     oracle="""

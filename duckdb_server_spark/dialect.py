@@ -820,7 +820,7 @@ _LEN_ARRAY_HEADS = {
     "array_slice", "slice", "list_zip", "dd_list_zip", "dd_range",
     "dd_generate_series", "regexp_extract_all", "map_keys", "map_values",
     "flatten", "array_distinct", "array_intersect", "filter", "transform",
-    "collect_list", "array_agg", "zip_with",
+    "collect_list", "array_agg", "zip_with", "list",
 }
 _LEN_STRING_HEADS = {
     "regexp_replace", "trim", "ltrim", "rtrim", "lower", "upper", "substr",
