@@ -11,7 +11,7 @@ constructs are listed with reasons instead of silently skipped.
 Usage:
     python tools/dialect_coverage.py [--sf-dir DIR] [name-substr ...]
 
-Steady state: 201/204 verbatim-match (window EXCLUDE frames, recursive
+Steady state: 202/205 verbatim-match (window EXCLUDE frames, recursive
 UNION-distinct CTEs, and zipped generate_subscripts/unnest all rewrite
 now). The three non-matching rows are pinned engine divergences, not
 dialect gaps:
