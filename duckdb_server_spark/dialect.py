@@ -648,15 +648,25 @@ def _rewrite_subscripts(s: str) -> str:
                 a, _, b = content.partition(":")
                 a, b = a.strip() or "1", b.strip()
                 length = (
-                    f"size({base}) - ({a}) + 1" if not b else f"({b}) - ({a}) + 1"
+                    f"size({base}) - ({a}) + 1"
+                    if not b
+                    else _slice_length(base, a, b)
                 )
                 repl = f"slice({base}, {a}, {length})"
+            elif content == "0":
+                # DuckDB's 1-based [0] is out of range → NULL; Spark's
+                # element_at treats 0 as always-invalid even in try form
+                repl = f"try_element_at({base}, CAST(NULL AS INT))"
             elif re.fullmatch(r"-?\d+|\x00\d+\x00", content):
                 # integer literal or masked string key: pass through
                 repl = f"try_element_at({base}, {content})"
             else:
-                # expression index: Spark wants INT, DuckDB computes BIGINT
-                repl = f"try_element_at({base}, CAST({content} AS INT))"
+                # expression index: Spark wants INT (DuckDB computes
+                # BIGINT) and a runtime 0 must read as NULL, not an error
+                repl = (
+                    f"try_element_at({base}, "
+                    f"nullif(CAST({content} AS INT), 0))"
+                )
             s = s[:base_start] + repl + s[m.end() :]
             break
         else:
@@ -666,9 +676,19 @@ def _rewrite_subscripts(s: str) -> str:
 _SLICE_RE = re.compile(r"\b(?:list_slice|array_slice)\s*\(", re.IGNORECASE)
 
 
+def _slice_length(arr: str, a: str, b: str) -> str:
+    """Length argument for Spark ``slice`` from DuckDB's (start, end):
+    inclusive end, a negative end counts from the end of the list, and an
+    inverted window is empty (Spark errors on a negative length)."""
+    return (
+        f"greatest(0, (CASE WHEN ({b}) < 0 THEN size({arr}) + ({b}) + 1 "
+        f"ELSE ({b}) END) - ({a}) + 1)"
+    )
+
+
 def _rewrite_slice(s: str) -> str:
     """``list_slice(l, a, b)`` (1-based, inclusive end) → Spark
-    ``slice(l, a, b - a + 1)`` (1-based start + length)."""
+    ``slice(l, a, length)`` (1-based start + length)."""
     while m := _SLICE_RE.search(s):
         open_idx = m.end() - 1
         close = _matching_paren(s, open_idx)
@@ -678,7 +698,7 @@ def _rewrite_slice(s: str) -> str:
         arr, a, b = args
         s = (
             s[: m.start()]
-            + f"slice({arr}, {a}, ({b}) - ({a}) + 1)"
+            + f"slice({arr}, {a}, {_slice_length(arr, a, b)})"
             + s[close + 1 :]
         )
     return s

@@ -1,0 +1,138 @@
+"""Property-based differential fuzz for the DuckDB→Spark rewriter.
+
+The structural rewrites in dialect.py (subscripts, slices, range/
+generate_series, polymorphic len, trim swaps, strftime, ordered
+aggregates) are string-level transformations; this fuzz generates random
+DuckDB-dialect scalar expressions, runs ``spark.sql(rewrite(q))`` and
+DuckDB on the SAME text, and requires identical results — probing the
+index/bound/empty-list edge envelope no hand-written query covers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from duckdb_server_spark.dialect import register_dialect_functions, rewrite
+
+SETTINGS = dict(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    return duckdb.connect()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _dialect_fns(spark):
+    register_dialect_functions(spark)
+
+
+def both(spark, duck, sql: str):
+    srow = spark.sql(rewrite(sql)).collect()[0]
+    drow = duck.execute(sql).fetchone()
+    got, want = list(srow), list(drow)
+    assert len(got) == len(want), sql
+    for g, w in zip(got, want):
+        if isinstance(g, float) and isinstance(w, float):
+            assert abs(g - w) < 1e-9, sql
+        else:
+            assert g == w, f"{sql!r}: spark={g!r} duck={w!r}"
+
+
+int_lists = st.lists(st.integers(-9, 99), min_size=1, max_size=5)
+indices = st.integers(-7, 7)
+words = st.text(alphabet="abcxyz", min_size=0, max_size=6)
+
+
+@given(lst=int_lists, i=indices)
+@settings(**SETTINGS)
+def test_fuzz_subscript(spark, duck, lst, i):
+    """1-based / negative / zero / out-of-range indices all agree."""
+    both(spark, duck, f"SELECT ({lst})[{i}] AS v")
+
+
+@given(lst=int_lists, i=indices)
+@settings(**SETTINGS)
+def test_fuzz_subscript_expression_index(spark, duck, lst, i):
+    both(spark, duck, f"SELECT ({lst})[len({lst}) + {i}] AS v")
+
+
+@given(lst=int_lists, a=st.integers(1, 7), b=st.integers(-3, 9))
+@settings(**SETTINGS)
+def test_fuzz_list_slice(spark, duck, lst, a, b):
+    """Clamped ends, negative ends, empty windows (lists compared raw —
+    the local DuckDB 1.0 returns NULL for array_to_string([]))."""
+    both(spark, duck, f"SELECT list_slice({lst}, {a}, {b}) AS v")
+
+
+@given(a=st.integers(-6, 6), b=st.integers(-6, 9))
+@settings(**SETTINGS)
+def test_fuzz_range_and_series(spark, duck, a, b):
+    """Empty, negative-bound, and stepped ranges (DuckDB end-exclusive,
+    generate_series end-inclusive; both empty when inverted)."""
+    both(
+        spark, duck,
+        f"SELECT range({a}, {b}) AS r, "
+        f"generate_series({a}, {b}) AS gs, "
+        f"len(range({a}, {b})) AS n",
+    )
+
+
+@given(a=st.integers(0, 9), b=st.integers(1, 9), step=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_fuzz_range_stepped(spark, duck, a, b, step):
+    both(spark, duck, f"SELECT range({a}, {b}, {step}) AS v")
+
+
+@given(s=words, chars=st.text(alphabet="abx", min_size=1, max_size=2))
+@settings(**SETTINGS)
+def test_fuzz_trim_swap(spark, duck, s, chars):
+    both(
+        spark, duck,
+        f"SELECT ltrim('{s}', '{chars}') AS l, rtrim('{s}', '{chars}') AS r, "
+        f"trim('{s}', '{chars}') AS t",
+    )
+
+
+@given(s=words, lst=int_lists)
+@settings(**SETTINGS)
+def test_fuzz_len_polymorphic(spark, duck, s, lst):
+    both(
+        spark, duck,
+        f"SELECT len('{s}') AS sl, len({lst}) AS ll, "
+        f"len(list_filter({lst}, x -> x > 0)) AS fl",
+    )
+
+
+@given(
+    y=st.integers(1990, 2100),
+    m=st.integers(1, 12),
+    d=st.integers(1, 28),
+    fmt=st.sampled_from(["%Y-%m-%d", "%Y/%m", "%d.%m.%y", "%Y|%j", "%B %Y"]),
+)
+@settings(**SETTINGS)
+def test_fuzz_strftime(spark, duck, y, m, d, fmt):
+    both(
+        spark, duck,
+        f"SELECT strftime(DATE '{y:04d}-{m:02d}-{d:02d}', '{fmt}') AS v",
+    )
+
+
+@given(lst=int_lists)
+@settings(**SETTINGS)
+def test_fuzz_list_aggregate_chain(spark, duck, lst):
+    both(
+        spark, duck,
+        f"SELECT CAST(list_aggregate(list_transform({lst}, x -> x * x), "
+        f"'sum') AS DOUBLE) AS ss, "
+        f"len(list_distinct({lst})) AS nd, "
+        f"array_to_string(list_sort({lst}), ',') AS sorted_csv",
+    )
