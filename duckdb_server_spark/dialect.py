@@ -1002,20 +1002,65 @@ def _rewrite_exclude_frames(s: str) -> str:
         arg = agg_close[agg_open + 1 : agg_close_idx].strip()
         if fn not in ("sum", "count"):
             raise ValueError(f"EXCLUDE {kind}: only sum/count supported")
-        cur = "1" if fn == "count" else f"({arg})"
-        base = f"{fn}({arg}) OVER ({spec})"
+        # soundness guards: subtracting the current row (or its peers)
+        # from the frame total is only valid when they are IN the frame.
+        frame_m = re.search(
+            r"\b(ROWS|RANGE|GROUPS)\s+(BETWEEN\s+)?(.*)$", spec,
+            re.IGNORECASE | re.DOTALL,
+        )
+        frame_body = frame_m.group(3).upper() if frame_m else ""
+        if frame_m and (
+            re.search(r"\bBETWEEN\s+\S+.*PRECEDING\s+AND\s+\S+\s+PRECEDING",
+                      "BETWEEN " + frame_body)
+            or re.search(r"^\S+\s+FOLLOWING\s+AND", frame_body)
+            or frame_body.startswith("CURRENT ROW AND")
+            and "PRECEDING" in frame_body
+        ):
+            raise ValueError(
+                f"EXCLUDE {kind}: frame does not contain the current row"
+            )
+        frame_kind = frame_m.group(1).upper() if frame_m else "RANGE"
+        if kind in ("TIES", "GROUP") and frame_kind == "ROWS":
+            # a ROWS frame can cut through the peer group; the partition-
+            # wide peers window would over-subtract
+            raise ValueError(
+                f"EXCLUDE {kind} over a ROWS frame is not supported "
+                "(peers may lie outside the frame)"
+            )
+        # Exact NULL bookkeeping: COUNT subtracts excluded NON-NULL
+        # arguments (count(*) subtracts rows) and is never NULL; SUM is
+        # NULL exactly when zero non-null arguments remain after the
+        # exclusion, else frame-total minus the excluded contributions.
         parts, orders = _window_spec_parts(spec)
         peer_keys = ", ".join(k for k in (parts, orders) if k)
-        peers = f"{fn}({arg}) OVER (PARTITION BY {peer_keys})"
-        if kind == "CURRENT ROW":
-            n = f"count({arg}) OVER ({spec})"
-            repl = f"(CASE WHEN {n} > 1 THEN {base} - {cur} ELSE NULL END)"
-        elif kind == "TIES":
-            repl = f"({base} - {peers} + {cur})"
-        else:  # GROUP
-            n = f"count({arg}) OVER ({spec})"
-            ng = f"count({arg}) OVER (PARTITION BY {peer_keys})"
-            repl = f"(CASE WHEN {n} > {ng} THEN {base} - {peers} ELSE NULL END)"
+        star = arg in ("*", "1", "")
+        argc = "1" if star else arg
+        cnt = f"count({argc}) OVER ({spec})"
+        pcnt = f"count({argc}) OVER (PARTITION BY {peer_keys})"
+        curc = (
+            "1" if star else f"(CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END)"
+        )
+        if fn == "count":
+            if kind == "CURRENT ROW":
+                repl = f"({cnt} - {curc})"
+            elif kind == "TIES":
+                repl = f"({cnt} - {pcnt} + {curc})"
+            else:  # GROUP
+                repl = f"({cnt} - {pcnt})"
+        else:  # sum
+            cur_val = f"coalesce(({arg}), 0)"
+            base = f"coalesce(sum({arg}) OVER ({spec}), 0)"
+            psum = f"coalesce(sum({arg}) OVER (PARTITION BY {peer_keys}), 0)"
+            if kind == "CURRENT ROW":
+                remaining = f"{cnt} - {curc}"
+                expr = f"{base} - {cur_val}"
+            elif kind == "TIES":
+                remaining = f"{cnt} - {pcnt} + {curc}"
+                expr = f"{base} - {psum} + {cur_val}"
+            else:  # GROUP
+                remaining = f"{cnt} - {pcnt}"
+                expr = f"{base} - {psum}"
+            repl = f"(CASE WHEN {remaining} > 0 THEN {expr} ELSE NULL END)"
         s = s[:fn_start] + repl + s[over_close + 1 :]
     return s
 

@@ -32,9 +32,10 @@ def test_exclude_paren_and_bare():
 def test_exclude_frame_rewrites_algebraically():
     q = "sum(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)"
     out = rewrite("SELECT " + q + " FROM t")
-    # frame sum minus the current row, NULL when the frame held only it
+    # frame sum minus the current row's contribution, NULL when no
+    # non-null arguments remain (exact bookkeeping, fuzz-verified)
     assert "EXCLUDE" not in out
-    assert "- (x)" in out and "CASE WHEN" in out
+    assert "- coalesce((x), 0)" in out and "CASE WHEN" in out
     out = rewrite(
         "SELECT sum(x) OVER (PARTITION BY p ORDER BY y EXCLUDE TIES) FROM t"
     )

@@ -136,3 +136,83 @@ def test_fuzz_list_aggregate_chain(spark, duck, lst):
         f"len(list_distinct({lst})) AS nd, "
         f"array_to_string(list_sort({lst}), ',') AS sorted_csv",
     )
+
+
+# --- window EXCLUDE frame algebra -------------------------------------------
+#
+# The EXCLUDE rewrite is frame-total minus excluded contributions; peers
+# and NULL arguments make the algebra easy to get subtly wrong, so fuzz
+# it over random small tables with duplicate order keys and NULLs.
+# ROWS frames use a unique order key (with ties their contents are
+# order-dependent and both engines may legitimately differ); TIES/GROUP
+# are only defined here for RANGE frames (peers inside the frame).
+
+row_strat = st.tuples(
+    st.integers(1, 2),                      # g: partition
+    st.integers(1, 4),                      # o: order key (duplicates!)
+    st.one_of(st.none(), st.integers(-5, 9)),  # v: nullable value
+)
+
+
+def _values_clause(rows):
+    cells = ", ".join(
+        f"({i}, {g}, {o}, {'NULL' if v is None else v})"
+        for i, (g, o, v) in enumerate(rows)
+    )
+    return f"(VALUES {cells}) t(id, g, o, v)"
+
+
+@given(
+    rows=st.lists(row_strat, min_size=1, max_size=8),
+    p=st.integers(0, 3),
+    f=st.integers(0, 3),
+    fn=st.sampled_from(["sum(v)", "count(v)", "count(*)"]),
+)
+@settings(**SETTINGS)
+def test_fuzz_exclude_current_row_rows_frame(spark, duck, rows, p, f, fn):
+    q = (
+        f"SELECT id, {fn} OVER (PARTITION BY g ORDER BY o, id "
+        f"ROWS BETWEEN {p} PRECEDING AND {f} FOLLOWING EXCLUDE CURRENT ROW)"
+        f" AS s FROM {_values_clause(rows)} ORDER BY id"
+    )
+    srows = spark.sql(rewrite(q)).collect()
+    drows = duck.execute(q).fetchall()
+    assert [tuple(r) for r in srows] == drows, q
+
+
+@given(
+    rows=st.lists(row_strat, min_size=1, max_size=8),
+    kind=st.sampled_from(["CURRENT ROW", "TIES", "GROUP"]),
+    frame=st.sampled_from(
+        [
+            "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+            "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW",
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        ]
+    ),
+    fn=st.sampled_from(["sum(v)", "count(v)", "count(*)"]),
+)
+@settings(**SETTINGS)
+def test_fuzz_exclude_range_frames(spark, duck, rows, kind, frame, fn):
+    q = (
+        f"SELECT id, {fn} OVER (PARTITION BY g ORDER BY o "
+        f"{frame} EXCLUDE {kind}) AS s "
+        f"FROM {_values_clause(rows)} ORDER BY id"
+    )
+    srows = spark.sql(rewrite(q)).collect()
+    drows = duck.execute(q).fetchall()
+    assert [tuple(r) for r in srows] == drows, q
+
+
+def test_exclude_unsound_frames_are_refused():
+    with pytest.raises(ValueError, match="does not contain the current row"):
+        rewrite(
+            "SELECT sum(v) OVER (ORDER BY o ROWS BETWEEN 3 PRECEDING AND "
+            "2 PRECEDING EXCLUDE CURRENT ROW) FROM t"
+        )
+    with pytest.raises(ValueError, match="ROWS frame"):
+        rewrite(
+            "SELECT sum(v) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND "
+            "1 FOLLOWING EXCLUDE TIES) FROM t"
+        )
