@@ -1235,6 +1235,17 @@ def _rewrite_ordered_aggs(s: str) -> str:
         inner = s[open_idx + 1 : close]
         ob_idx, _ = _find_top_keyword(inner, ("ORDER",))
         if ob_idx < 0:
+            if fn in ("list", "array_agg") and "DISTINCT" not in inner.upper():
+                # DuckDB's list()/array_agg() KEEP null elements; Spark's
+                # collect_list drops them. Wrapping in a struct preserves
+                # them (a struct with a null field is itself non-null).
+                repl = (
+                    f"transform(collect_list(struct({inner.strip()} AS _v)),"
+                    f" x -> x._v)"
+                )
+                s = s[: m.start()] + repl + s[close + 1 :]
+                pos = m.start() + len(repl)
+                continue
             pos = close + 1
             continue
         expr_part = inner[:ob_idx].rstrip()

@@ -216,3 +216,17 @@ def test_exclude_unsound_frames_are_refused():
             "SELECT sum(v) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND "
             "1 FOLLOWING EXCLUDE TIES) FROM t"
         )
+
+
+@given(rows=st.lists(row_strat, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_fuzz_list_agg_keeps_nulls(spark, duck, rows):
+    """DuckDB list()/array_agg() keep NULL elements; the struct-wrapped
+    collect_list spelling must too (len counts them)."""
+    q = (
+        f"SELECT g, len(list(v)) AS n, len(array_agg(v)) AS n2 "
+        f"FROM {_values_clause(rows)} GROUP BY g ORDER BY g"
+    )
+    srows = spark.sql(rewrite(q)).collect()
+    drows = duck.execute(q).fetchall()
+    assert [tuple(r) for r in srows] == drows, q

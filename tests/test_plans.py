@@ -300,3 +300,27 @@ def test_b10_bruteforce_has_preprune_window(spark, sf_dir):
     text = plans.explain_string(df)
     assert text.count("Window") >= 2, "pre-prune window missing"
     assert "pmod" in text and "xxhash64" in text, "salt key missing"
+
+
+def test_s22_ordered_agg_is_single_hashagg(spark, sf_dir):
+    """The ordered-aggregate rewrite (list(x ORDER BY k) → sorted-struct
+    projection) must stay ONE hash aggregate per grouping — an Exchange
+    per ordered aggregate (or a window sort) would be the wrong plan at
+    scale. Expect exactly the aggregate's shuffle plus the final
+    ORDER BY range exchange, and no Window node."""
+    df = catalog.QUERIES["s22_dialect_rewrite_combo"](spark, sf_dir)
+    plan = plans.explain_string(df, mode="simple")
+    assert plan.count("Exchange") <= 2  # agg hash exchange + global sort
+    assert "Window" not in plan
+
+
+def test_w07b_exclude_rewrite_shuffles_only_for_peer_partitioning(spark, sf_dir):
+    """The EXCLUDE-frame algebra adds window FUNCTIONS, not driver
+    logic: the plan is windows + exchanges only. The TIES peer sum
+    partitions by (l_linestatus, l_quantity) — a genuinely different
+    key than the frame windows' l_linestatus — so its exchange is
+    semantically required; beyond that only the frame-window exchange
+    and the output sort remain."""
+    df = catalog.QUERIES["w07b_exclude_frames"](spark, sf_dir)
+    plan = plans.explain_string(df, mode="simple")
+    assert plan.count("Exchange") <= 3
