@@ -1591,6 +1591,7 @@ class DialectState:
     loaded: list[str] = field(default_factory=list)
     secrets: dict[str, dict[str, str]] = field(default_factory=dict)
     macros: dict[str, "Macro"] = field(default_factory=dict)
+    prepared: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -1770,6 +1771,57 @@ _INSERT_RE = re.compile(
     r"(\([^)]*\))?\s*(VALUES\b.+|SELECT\b.+|FROM\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+# DuckDB session prepared statements: PREPARE name AS <stmt with $1/?>,
+# EXECUTE name(args), DEALLOCATE name — the CLI-level analog of the
+# Flight DoPut binding (same bind_parameters underneath).
+_PREPARE_RE = re.compile(
+    r"^\s*PREPARE\s+([A-Za-z_]\w*)\s+AS\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXECUTE_RE = re.compile(
+    r"^\s*EXECUTE\s+([A-Za-z_]\w*)\s*(\(.*\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DEALLOCATE_RE = re.compile(
+    r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE
+)
+
+
+def _run_execute(spark: SparkSession, m: re.Match) -> DataFrame:
+    state = dialect_state(spark)
+    name = m.group(1).lower()
+    stmt = state.prepared.get(name)
+    if stmt is None:
+        raise ValueError(f"EXECUTE: no prepared statement {name!r}")
+    if m.group(2):
+        masked, table = _mask(m.group(2)[1:-1])
+        values = [
+            _parse_literal_token(_unmask(a, table))
+            for a in _split_top_commas(masked)
+        ]
+        stmt = bind_parameters(stmt, values)
+    return run_sql(spark, stmt)
+
+
+def _parse_literal_token(tok: str):
+    """A SQL literal argument of EXECUTE(...) → python value."""
+    tok = tok.strip()
+    lit = _literal_value(tok)
+    if lit is not None:
+        return lit
+    low = tok.lower()
+    if low == "null":
+        return None
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        raise ValueError(f"EXECUTE: unsupported argument {tok!r}") from None
 
 
 def _register_macro(state: DialectState, stmt: str, m: re.Match) -> bool:
@@ -1929,6 +1981,14 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
     if m := _INSERT_RE.match(stmt):
         _run_insert(spark, m)
         return None
+    if m := _PREPARE_RE.match(stmt):
+        state.prepared[m.group(1).lower()] = m.group(2)
+        return None
+    if m := _DEALLOCATE_RE.match(stmt):
+        state.prepared.pop(m.group(1).lower(), None)
+        return None
+    if m := _EXECUTE_RE.match(stmt):
+        return _run_execute(spark, m)
     if m := _VIEW_RE.match(stmt):
         # Persistent CREATE VIEW would need a metastore and cannot
         # reference the temp-view warehouse; serve it as a temp view —
@@ -2342,6 +2402,10 @@ def _run_recursive_cte(spark: SparkSession, sql: str) -> DataFrame:
     res = f"__dd_rec_{fid}"
     result.createOrReplaceTempView(res)
     outer_text = re.sub(rf"\b{name}\b", res, _unmask(outer, table))
+    if outer_text.lstrip().startswith(","):
+        # further (non-recursive) CTEs follow the recursive one:
+        # WITH RECURSIVE r AS (…), b AS (…) SELECT … → re-head as WITH
+        outer_text = "WITH " + outer_text.lstrip()[1:]
     return run_sql(spark, outer_text)
 
 
@@ -2505,6 +2569,10 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         from duckdb_server_spark.engine import summarize_frame
 
         return summarize_frame(spark, m.group(1))
+    if m := _EXECUTE_RE.match(sql):
+        # EXECUTE of a PREPAREd statement (prepared via the init script /
+        # run_script; execution itself is an ordinary read-only query)
+        return _run_execute(spark, m)
     if m := _DESCRIBE_RE.match(sql):
         return describe_frame(spark, spark.table(m.group(1)))
     if m := _DESCRIBE_SELECT_RE.match(sql):

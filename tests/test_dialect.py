@@ -563,3 +563,33 @@ def test_forced_duckdb_dialect_mode(sql_session):
         assert run_sql(sql_session, "SELECT 1 AS one").collect()[0].one == 1
     finally:
         st.settings.pop("dialect", None)
+
+
+def test_prepare_execute_deallocate(sql_session):
+    run_script(
+        sql_session,
+        "PREPARE topq AS SELECT count(*) AS n FROM orders "
+        "WHERE o_totalprice > $1 AND o_orderstatus = $2;",
+    )
+    n1 = run_sql(sql_session, "EXECUTE topq(100000, 'F')").collect()[0].n
+    n2 = run_sql(sql_session, "EXECUTE topq(0, 'F')").collect()[0].n
+    direct = run_sql(
+        sql_session,
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > 100000 "
+        "AND o_orderstatus = 'F'",
+    ).collect()[0].n
+    assert n1 == direct and n2 >= n1
+    run_script(sql_session, "DEALLOCATE topq;")
+    with pytest.raises(ValueError, match="no prepared statement"):
+        run_sql(sql_session, "EXECUTE topq(1, 'F')")
+
+
+def test_recursive_cte_with_trailing_cte(sql_session):
+    df = run_sql(
+        sql_session,
+        "WITH RECURSIVE seq(n) AS ("
+        " SELECT 1 UNION SELECT n + 1 FROM seq WHERE n < 5), "
+        "doubles AS (SELECT n * 2 AS d FROM seq) "
+        "SELECT sum(d) AS s FROM doubles",
+    )
+    assert df.collect()[0].s == 30
