@@ -113,6 +113,52 @@ def assert_query_shaped(spark: SparkSession, sql: str) -> None:
         )
 
 
+def resolve_query_frame(spark: SparkSession, sql: str) -> DataFrame:
+    """Serving-path execution with the FULL dialect surface — everything
+    ``Engine.sql`` accepts works over the wire too: routed statement
+    forms (DESCRIBE / SUMMARIZE / dynamic PIVOT / UNPIVOT / EXECUTE),
+    ``read_parquet``/bare-path file reads, macros, UNION BY NAME, and
+    recursive CTEs. The read-only gate still runs FIRST on everything
+    that is not a known read-only statement form: natively-parseable
+    input gates as-is (UNION BY NAME gates as UNION ALL — identical
+    statement shape), DuckDB-dialect input gates through its rewrite."""
+    from duckdb_server_spark import dialect
+
+    if (
+        dialect._SUMMARIZE_RE.match(sql)
+        or dialect._DESCRIBE_RE.match(sql)
+        or dialect._DESCRIBE_SELECT_RE.match(sql)
+        or dialect._PIVOT_RE.match(sql)
+        or dialect._UNPIVOT_RE.match(sql)
+        or dialect._EXECUTE_RE.match(sql)
+    ):
+        # metadata / routed statement forms: read-only by construction
+        # (EXECUTE runs a statement PREPAREd at init time — same trust
+        # boundary as the init script itself)
+        try:
+            return dialect.run_sql(spark, sql)
+        except flight.FlightServerError:
+            raise
+        except Exception as exc:
+            raise flight.FlightServerError(str(exc)) from exc
+    gate = dialect.neutralize_parameters(sql)
+    gate = dialect._UNION_BY_NAME_RE.sub("UNION ALL", gate)
+    try:
+        assert_query_shaped(spark, gate)
+    except flight.FlightServerError:
+        try:
+            rewritten = dialect.rewrite(gate)
+        except ValueError as exc:
+            raise flight.FlightServerError(str(exc)) from exc
+        assert_query_shaped(spark, rewritten)
+    try:
+        return dialect.run_sql(spark, sql)
+    except flight.FlightServerError:
+        raise
+    except Exception as exc:
+        raise flight.FlightServerError(str(exc)) from exc
+
+
 def resolve_query_sql(spark: SparkSession, sql: str) -> str:
     """Dialect acceptance on the serving path. The reference executes
     verbatim DuckDB SQL from the wire (main.go:199 → main.go:229); a
@@ -343,23 +389,24 @@ class SparkFlightServer(flight.FlightServerBase):
             schema = self._metadata_table(kind, payload).schema
             ticket = flight.Ticket(descriptor.command)
         else:
-            # Gate + dialect-resolve BEFORE spark.sql — commands would
-            # otherwise execute eagerly during the schema probe.
-            sql = resolve_query_sql(self.spark, payload)
+            # Gate + full dialect resolution BEFORE any spark.sql —
+            # commands would otherwise execute eagerly during the schema
+            # probe. Catalyst analysis only for plain queries (vs the
+            # reference's full double execution, main.go:144-148); routed
+            # statement forms may run their inherent discovery job
+            # (dynamic PIVOT's distinct).
+            df = resolve_query_frame(self.spark, payload)
             from pyspark.sql.pandas.types import to_arrow_schema
 
-            # Catalyst analysis only — no job runs (vs the reference's
-            # full double execution, main.go:144-148).
             try:
-                schema = to_arrow_schema(self.spark.sql(sql).schema)
-            except flight.FlightServerError:
-                raise
+                schema = to_arrow_schema(df.schema)
             except Exception as exc:
                 raise flight.FlightServerError(str(exc)) from exc
-            # The ticket carries the RESOLVED SQL so DoGet (possibly served
-            # after a dialect-shim upgrade) replays exactly what was probed.
+            # The ticket carries the original statement; DoGet re-resolves
+            # deterministically (file-read views and pivots are cached by
+            # digest).
             ticket = flight.Ticket(
-                flightsql.encode_ticket_statement_query(sql.encode("utf-8"))
+                flightsql.encode_ticket_statement_query(payload.encode("utf-8"))
             )
         endpoint = flight.FlightEndpoint(ticket, [self._location])
         # Unknown cardinality: -1 records / -1 bytes, like the reference
@@ -371,13 +418,11 @@ class SparkFlightServer(flight.FlightServerBase):
         kind, payload = self._resolve_command(descriptor.command)
         if kind != "query":
             return flight.SchemaResult(self._metadata_table(kind, payload).schema)
-        sql = resolve_query_sql(self.spark, payload)
+        df = resolve_query_frame(self.spark, payload)
         from pyspark.sql.pandas.types import to_arrow_schema
 
         try:
-            return flight.SchemaResult(to_arrow_schema(self.spark.sql(sql).schema))
-        except flight.FlightServerError:
-            raise
+            return flight.SchemaResult(to_arrow_schema(df.schema))
         except Exception as exc:
             raise flight.FlightServerError(str(exc)) from exc
 
@@ -386,11 +431,10 @@ class SparkFlightServer(flight.FlightServerBase):
         kind, payload = self._resolve_command(ticket.ticket)
         if kind != "query":
             return flight.RecordBatchStream(self._metadata_table(kind, payload))
-        sql = resolve_query_sql(self.spark, payload)
+        df = resolve_query_frame(self.spark, payload)
         from pyspark.sql.pandas.types import to_arrow_schema
 
         try:
-            df = self.spark.sql(sql)
             schema = to_arrow_schema(df.schema)
         except Exception as exc:  # engine error → Flight error (main.go:230-232)
             raise flight.FlightServerError(str(exc)) from exc
@@ -429,14 +473,13 @@ class SparkFlightServer(flight.FlightServerBase):
                 # Gate + analyze now: a bad statement fails at prepare
                 # time (the contract ADBC relies on), and the dataset
                 # schema rides back in the result so clients can bind
-                # without a round trip.
-                sql = resolve_query_sql(self.spark, sql)
+                # without a round trip. Full dialect surface — DESCRIBE /
+                # SUMMARIZE / read_parquet prepare fine.
+                df = resolve_query_frame(self.spark, sql)
                 from pyspark.sql.pandas.types import to_arrow_schema
 
                 try:
-                    schema = to_arrow_schema(self.spark.sql(sql).schema)
-                except flight.FlightServerError:
-                    raise
+                    schema = to_arrow_schema(df.schema)
                 except Exception as exc:
                     raise flight.FlightServerError(str(exc)) from exc
             with self._prepared_lock:

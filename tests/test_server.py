@@ -542,3 +542,42 @@ def test_parameter_binding_string_quote_safe(flight_port):
         params=["it's ? a $1 'test'"],
     )
     assert table["v"][0].as_py() == "it's ? a $1 'test'"
+
+
+def test_server_serves_statement_forms(flight_port):
+    """The wire surface accepts everything Engine.sql does: DESCRIBE,
+    SUMMARIZE, and read_parquet file reads as raw tickets."""
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        t = client.do_get(flight.Ticket(b"DESCRIBE lineitem")).read_all()
+        assert "column_name" in t.column_names and t.num_rows > 0
+        t = client.do_get(flight.Ticket(b"SUMMARIZE lineitem")).read_all()
+        assert t.num_rows > 0
+        t = client.do_get(
+            flight.Ticket(
+                b"SELECT count(*) AS n FROM "
+                b"read_parquet('/root/testdata/sf0.001/nation.parquet')"
+            )
+        ).read_all()
+        assert t["n"][0].as_py() == 25
+    finally:
+        client.close()
+
+
+def test_server_union_by_name_gated_and_served(flight_port):
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        t = client.do_get(
+            flight.Ticket(
+                b"SELECT * FROM (SELECT 1 AS a, 'x' AS b UNION ALL BY NAME "
+                b"SELECT 'y' AS b, 2 AS a) ORDER BY a"
+            )
+        ).read_all()
+        assert t["a"].to_pylist() == [1, 2]
+        # the gate still rejects writes spelled through the same path
+        with pytest.raises(flight.FlightServerError):
+            client.do_get(
+                flight.Ticket(b"SELECT 1 AS a UNION ALL BY NAME DROP TABLE lineitem")
+            ).read_all()
+    finally:
+        client.close()
