@@ -230,3 +230,23 @@ def test_fuzz_list_agg_keeps_nulls(spark, duck, rows):
     srows = spark.sql(rewrite(q)).collect()
     drows = duck.execute(q).fetchall()
     assert [tuple(r) for r in srows] == drows, q
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-9, 9)),
+        min_size=1, max_size=7,
+        unique_by=lambda p: p[0],  # unique order keys → deterministic
+    ),
+    direction=st.sampled_from(["ASC", "DESC"]),
+)
+@settings(**SETTINGS)
+def test_fuzz_ordered_agg_directions(spark, duck, pairs, direction):
+    cells = ", ".join(f"({o}, {v})" for o, v in pairs)
+    q = (
+        f"SELECT list(v ORDER BY o {direction}) AS l "
+        f"FROM (VALUES {cells}) t(o, v)"
+    )
+    srows = spark.sql(rewrite(q)).collect()
+    drows = duck.execute(q).fetchall()
+    assert [list(srows[0].l)] == [list(drows[0][0])], q
