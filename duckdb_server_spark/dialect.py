@@ -724,14 +724,21 @@ def _range_expr(args: list[str]) -> str:
         a, b = args
     else:
         a, b, step = args
-        # positive integer step: ceil((b-a)/step) elements starting at a
+        # either step sign: ceil((b-a)/step) elements starting at a; the
+        # sequence stop is pulled toward a so Spark never sees an
+        # illegal-direction sequence for an empty range. Step 0 errors in
+        # DuckDB; here it reads NULL.
         n = (
             f"greatest(0, CAST(ceil((CAST(({b}) AS DOUBLE) - ({a})) "
             f"/ ({step})) AS INT))"
         )
+        stop = (
+            f"CASE WHEN ({step}) > 0 THEN greatest(({a}), ({b}) - 1) "
+            f"ELSE least(({a}), ({b}) + 1) END"
+        )
         return (
-            f"slice(sequence(({a}), greatest(({a}), ({b}) - 1), ({step})), "
-            f"1, {n})"
+            f"CASE WHEN ({step}) = 0 THEN CAST(NULL AS ARRAY<BIGINT>) "
+            f"ELSE slice(sequence(({a}), {stop}, ({step})), 1, {n}) END"
         )
     return (
         f"slice(sequence(({a}), greatest(({a}) + 1, ({b})) - 1), 1, "
@@ -1115,21 +1122,33 @@ _STRFTIME_TOKENS = {
 
 
 def _strftime_to_java(fmt: str) -> str:
-    out, i = [], 0
+    out: list[str] = []
+    lit: list[str] = []  # pending literal-letter run
+
+    def flush() -> None:
+        if lit:
+            # ONE quoted run — adjacent single-char quotes ('y''e') read
+            # as escaped quote characters in java.time patterns
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
     while i < len(fmt):
         tok = fmt[i : i + 2]
         if tok in _STRFTIME_TOKENS:
+            flush()
             out.append(_STRFTIME_TOKENS[tok])
             i += 2
         elif fmt[i] == "%":
             raise ValueError(f"strftime: unsupported token {tok!r}")
-        else:
-            # literal characters; quote java-reserved letters
-            if fmt[i].isalpha():
-                out.append(f"'{fmt[i]}'")
-            else:
-                out.append(fmt[i])
+        elif fmt[i].isalpha() or fmt[i] == "'":
+            lit.append(fmt[i])
             i += 1
+        else:
+            flush()
+            out.append(fmt[i])
+            i += 1
+    flush()
     return "".join(out)
 
 
@@ -1151,8 +1170,10 @@ def _rewrite_strftime(s: str, table: list[str]) -> str:
 
 
 # date_diff('day', a, b) — DuckDB quotes the unit, Spark wants a bare
-# keyword in the same position.
-_DATEDIFF_RE = re.compile(r"\b(date_?diff|date_?part)\s*\(", re.IGNORECASE)
+# keyword in the same position. date_part is NOT rewritten: Spark's
+# date_part takes the field as a string literal, so DuckDB's spelling
+# already works.
+_DATEDIFF_RE = re.compile(r"\b(date_?diff)\s*\(", re.IGNORECASE)
 
 
 def _rewrite_datediff_units(s: str, table: list[str]) -> str:
@@ -1226,6 +1247,44 @@ _ORDERED_AGG_RE = re.compile(
 )
 
 
+def _parse_order_keys(order_part: str) -> list[tuple[str, bool, bool]]:
+    """ORDER BY item list → [(expr, desc, nulls_last)]. DuckDB's default
+    null order is NULLS LAST for both directions (default_null_order)."""
+    keys = []
+    for item in _split_top_commas(order_part):
+        nl = True
+        nm = re.search(r"\s+NULLS\s+(FIRST|LAST)\s*$", item, re.IGNORECASE)
+        if nm:
+            nl = nm.group(1).upper() == "LAST"
+            item = item[: nm.start()]
+        desc = False
+        dm = re.search(r"\s+(ASC|DESC)\s*$", item, re.IGNORECASE)
+        if dm:
+            desc = dm.group(1).upper() == "DESC"
+            item = item[: dm.start()]
+        keys.append((item.strip(), desc, nl))
+    return keys
+
+
+def _order_comparator(keys: list[tuple[str, bool, bool]]) -> str:
+    """A (l, r) -> int lambda implementing the full multi-key ordering —
+    per-key direction and null placement made explicit (Spark's plain
+    array_sort could honor neither)."""
+    expr = "0"
+    for i, (_, desc, nulls_last) in reversed(list(enumerate(keys))):
+        f = f"_o{i}"
+        lt, gt = ("1", "-1") if desc else ("-1", "1")
+        null_l, null_r = ("1", "-1") if nulls_last else ("-1", "1")
+        expr = (
+            f"CASE WHEN l.{f} IS NULL AND r.{f} IS NULL THEN {expr} "
+            f"WHEN l.{f} IS NULL THEN {null_l} "
+            f"WHEN r.{f} IS NULL THEN {null_r} "
+            f"WHEN l.{f} < r.{f} THEN {lt} "
+            f"WHEN l.{f} > r.{f} THEN {gt} ELSE {expr} END"
+        )
+    return f"(l, r) -> {expr}"
+
+
 def _rewrite_ordered_aggs(s: str) -> str:
     pos = 0
     while m := _ORDERED_AGG_RE.search(s, pos):
@@ -1252,25 +1311,29 @@ def _rewrite_ordered_aggs(s: str) -> str:
         order_part = re.sub(
             r"^ORDER\s+BY\s+", "", inner[ob_idx:], flags=re.IGNORECASE
         ).strip()
-        desc = bool(re.search(r"\bDESC\b", order_part, re.IGNORECASE))
-        order_key = re.sub(
-            r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$", "", order_part,
-            flags=re.IGNORECASE,
-        )
+        keys = _parse_order_keys(order_part)
         if fn in ("string_agg", "group_concat"):
             args = _split_top_commas(expr_part)
             delim = args[1] if len(args) > 1 else "','"
+            # Spark's ASC default is NULLS FIRST; DuckDB's is NULLS LAST
+            # — spell the null placement explicitly
+            order_sql = ", ".join(
+                f"{k} {'DESC' if d else 'ASC'} NULLS {'LAST' if nl else 'FIRST'}"
+                for k, d, nl in keys
+            )
             repl = (
                 f"listagg({args[0]}, {delim}) WITHIN GROUP "
-                f"(ORDER BY {order_part})"
+                f"(ORDER BY {order_sql})"
             )
         else:
-            sorted_expr = (
-                f"array_sort(collect_list(struct({order_key} AS _o, "
-                f"{expr_part} AS _v)))"
+            fields = ", ".join(
+                [f"{k} AS _o{i}" for i, (k, _, _) in enumerate(keys)]
+                + [f"{expr_part} AS _v"]
             )
-            if desc:
-                sorted_expr = f"reverse({sorted_expr})"
+            sorted_expr = (
+                f"array_sort(collect_list(struct({fields})), "
+                f"{_order_comparator(keys)})"
+            )
             repl = f"transform({sorted_expr}, x -> x._v)"
         s = s[: m.start()] + repl + s[close + 1 :]
         pos = m.start() + len(repl)
@@ -1592,6 +1655,10 @@ class DialectState:
     secrets: dict[str, dict[str, str]] = field(default_factory=dict)
     macros: dict[str, "Macro"] = field(default_factory=dict)
     prepared: dict[str, str] = field(default_factory=dict)
+    # statement-digest → built DataFrame for dynamic PIVOT: the eager
+    # value-discovery distinct runs once per distinct statement, not once
+    # per GetFlightInfo/GetSchema/DoGet leg
+    pivot_cache: dict[str, DataFrame] = field(default_factory=dict)
 
 
 @dataclass
@@ -1649,12 +1716,18 @@ def _expand_macros(sql: str, macros: dict[str, Macro]) -> str:
                     mac.masked_body,
                 )
                 table.extend(mac.body_table)
-                for p, val in bound.items():
-                    body = re.sub(
-                        r"\b" + re.escape(p) + r"\b",
-                        lambda _m, v=val: f"({v})",
-                        body,
-                        flags=re.IGNORECASE,
+                # SIMULTANEOUS substitution: one pass over all parameter
+                # names — sequential passes would re-match a parameter
+                # name appearing inside an earlier-substituted argument
+                # (add1(y, 1) with params (x, y) must not turn the
+                # spliced-in column y into the second argument)
+                if bound:
+                    param_re = re.compile(
+                        r"\b(" + "|".join(re.escape(p) for p in bound) + r")\b",
+                        re.IGNORECASE,
+                    )
+                    body = param_re.sub(
+                        lambda mm: f"({bound[mm.group(1).lower()]})", body
                     )
                 repl = f"({body})"
                 masked = masked[: m.start()] + repl + masked[close + 1 :]
@@ -2264,10 +2337,40 @@ _UNION_BY_NAME_RE = re.compile(
 )
 
 
+def _leading_cte_prefix(masked: str) -> str:
+    """The ``WITH name AS (…)[, …]`` head of a statement (empty if none)
+    — UNION BY NAME sides run as standalone queries, so a shared CTE
+    scope must be re-attached to each side."""
+    m = re.match(r"\s*WITH\s+(?:RECURSIVE\s+)?", masked, re.IGNORECASE)
+    if not m:
+        return ""
+    pos = m.end()
+    while True:
+        im = re.match(
+            r"\s*([A-Za-z_]\w*)\s*(\([^)]*\))?\s+AS\s*\(", masked[pos:]
+        )
+        if not im:
+            return ""  # not a parseable CTE head: leave untouched
+        close = _matching_paren(masked, pos + im.end() - 1)
+        pos = close + 1
+        cm = re.match(r"\s*,", masked[pos:])
+        if not cm:
+            return masked[:pos]
+        pos += cm.end()
+
+
 def _resolve_union_by_name(spark: SparkSession, sql: str) -> str:
     import hashlib
 
     masked, table = _mask(sql)
+    prefix = _leading_cte_prefix(masked)
+
+    def with_scope(side: str) -> str:
+        side = side.strip()
+        if prefix and not re.match(r"\s*WITH\b", side, re.IGNORECASE):
+            return prefix + " " + side
+        return side
+
     while m := _UNION_BY_NAME_RE.search(masked):
         # find the innermost enclosing '(' ... ')' (or whole string)
         depth = 0
@@ -2296,8 +2399,8 @@ def _resolve_union_by_name(spark: SparkSession, sql: str) -> str:
             tail = right[tail_idx:]
             right = right[:tail_idx]
         distinct = not m.group(1)
-        ldf = run_sql(spark, _unmask(left, table))
-        rdf = run_sql(spark, _unmask(right, table))
+        ldf = run_sql(spark, _unmask(with_scope(left), table))
+        rdf = run_sql(spark, _unmask(with_scope(right), table))
         combined = ldf.unionByName(rdf, allowMissingColumns=True)
         if distinct:
             combined = combined.distinct()
@@ -2578,7 +2681,13 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     if m := _DESCRIBE_SELECT_RE.match(sql):
         return describe_frame(spark, run_sql(spark, m.group(1)))
     if m := _PIVOT_RE.match(sql):
-        return _run_pivot(spark, m)
+        state = dialect_state(spark)
+        key = " ".join(sql.split())
+        df = state.pivot_cache.get(key)
+        if df is None:
+            df = _run_pivot(spark, m)
+            state.pivot_cache[key] = df
+        return df
     if m := _UNPIVOT_RE.match(sql):
         # DuckDB `UNPIVOT t ON c1, c2 INTO NAME k VALUE v` → Spark's
         # native UNPIVOT clause (same semantics, different spelling).

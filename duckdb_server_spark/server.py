@@ -38,6 +38,7 @@ of scope, as in the reference (no auth handlers in main.go).
 
 from __future__ import annotations
 
+import re
 import threading
 from collections.abc import Iterator
 
@@ -124,39 +125,73 @@ def resolve_query_frame(spark: SparkSession, sql: str) -> DataFrame:
     statement shape), DuckDB-dialect input gates through its rewrite."""
     from duckdb_server_spark import dialect
 
-    if (
-        dialect._SUMMARIZE_RE.match(sql)
-        or dialect._DESCRIBE_RE.match(sql)
-        or dialect._DESCRIBE_SELECT_RE.match(sql)
-        or dialect._PIVOT_RE.match(sql)
-        or dialect._UNPIVOT_RE.match(sql)
-        or dialect._EXECUTE_RE.match(sql)
-    ):
-        # metadata / routed statement forms: read-only by construction
-        # (EXECUTE runs a statement PREPAREd at init time — same trust
-        # boundary as the init script itself)
+    def gate_text(text: str) -> None:
+        """Read-only-gate a SQL fragment: natively-parseable input gates
+        as-is, DuckDB-dialect input gates through its rewrite."""
+        g = dialect.neutralize_parameters(text)
+        g = dialect._UNION_BY_NAME_RE.sub("UNION ALL", g)
+        try:
+            assert_query_shaped(spark, g)
+        except flight.FlightServerError:
+            try:
+                rewritten = dialect.rewrite(g)
+            except ValueError as exc:
+                raise flight.FlightServerError(str(exc)) from exc
+            assert_query_shaped(spark, rewritten)
+
+    def run() -> DataFrame:
         try:
             return dialect.run_sql(spark, sql)
         except flight.FlightServerError:
             raise
         except Exception as exc:
             raise flight.FlightServerError(str(exc)) from exc
-    gate = dialect.neutralize_parameters(sql)
-    gate = dialect._UNION_BY_NAME_RE.sub("UNION ALL", gate)
-    try:
-        assert_query_shaped(spark, gate)
-    except flight.FlightServerError:
+
+    # Routed statement forms are read-only in themselves, but a source
+    # SUBQUERY smuggled inside them must pass the gate too — otherwise
+    # ``PIVOT (CREATE TABLE …) ON c USING sum(v)`` would execute the
+    # inner command ungated.
+    if dialect._SUMMARIZE_RE.match(sql) or dialect._DESCRIBE_RE.match(sql):
+        return run()  # table-name-only forms: nothing executable inside
+    if m := dialect._DESCRIBE_SELECT_RE.match(sql):
+        gate_text(m.group(1))
+        return run()
+    if m := dialect._PIVOT_RE.match(sql):
+        src = m.group(1)
+        if src.startswith("("):
+            gate_text(src[1:-1])
+        return run()
+    if m := dialect._UNPIVOT_RE.match(sql):
+        src = m.group(1)
+        if src.startswith("("):
+            gate_text(src[1:-1])
+        return run()
+    if dialect._EXECUTE_RE.match(sql):
+        # EXECUTE runs a statement PREPAREd at init time — same trust
+        # boundary as the init script itself
+        return run()
+    # Bare-path / read_* file references and embedded dynamic PIVOTs
+    # don't parse as SQL; resolve them to registered views FIRST (read
+    # and read-only-gated side effects) so the gate sees an ordinary
+    # statement.
+    if dialect._FILE_READ_HINT_RE.search(sql):
         try:
-            rewritten = dialect.rewrite(gate)
-        except ValueError as exc:
+            sql = dialect._resolve_file_reads(spark, sql)
+        except Exception as exc:
             raise flight.FlightServerError(str(exc)) from exc
-        assert_query_shaped(spark, rewritten)
-    try:
-        return dialect.run_sql(spark, sql)
-    except flight.FlightServerError:
-        raise
-    except Exception as exc:
-        raise flight.FlightServerError(str(exc)) from exc
+    if re.search(r"\(\s*PIVOT\b", sql, re.IGNORECASE):
+        for em in dialect._EMBEDDED_PIVOT_RE.finditer(sql):
+            src = em.group(1)
+            if src.startswith("("):
+                gate_text(src[1:-1])
+        try:
+            sql = dialect._resolve_embedded_pivots(spark, sql)
+        except flight.FlightServerError:
+            raise
+        except Exception as exc:
+            raise flight.FlightServerError(str(exc)) from exc
+    gate_text(sql)
+    return run()
 
 
 def resolve_query_sql(spark: SparkSession, sql: str) -> str:

@@ -593,3 +593,49 @@ def test_recursive_cte_with_trailing_cte(sql_session):
         "SELECT sum(d) AS s FROM doubles",
     )
     assert df.collect()[0].s == 30
+
+
+# --- code-review regression pins -------------------------------------------
+
+
+def test_macro_argument_not_captured_by_later_param(sql_session):
+    """add1(y, 1) with params (x, y): the column y passed as the FIRST
+    argument must not be rewritten to the second parameter's value
+    (simultaneous, not sequential, substitution)."""
+    run_script(
+        sql_session,
+        "CREATE OR REPLACE MACRO add_pair(x, y) AS x + y;"
+        "CREATE TABLE mac_t AS SELECT 10 AS y;",
+    )
+    try:
+        assert run_sql(sql_session, "SELECT add_pair(y, 1) AS v FROM mac_t").collect()[0].v == 11
+    finally:
+        run_script(sql_session, "DROP TABLE mac_t; DROP MACRO add_pair;")
+
+
+def test_date_part_keeps_quoted_unit():
+    out = rewrite("SELECT date_part('year', d), date_diff('day', a, b) FROM t")
+    assert "date_part('year', d)" in out
+    assert "date_diff(DAY, a, b)" in out
+
+
+def test_strftime_literal_runs_stay_words():
+    # one quoted java run, SQL-escaped - per-char quoting would
+    # corrupt the pattern to y'e'a'r
+    out = rewrite("SELECT strftime(d, '%Y year') FROM t")
+    assert "date_format(d, 'yyyy ''year''')" in out
+
+
+def test_pivot_statement_dataframe_is_cached(sql_session):
+    q = "PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority"
+    assert run_sql(sql_session, q) is run_sql(sql_session, q)
+
+
+def test_union_by_name_sees_shared_cte(sql_session):
+    df = run_sql(
+        sql_session,
+        "WITH c AS (SELECT 1 AS a, 'x' AS b) "
+        "SELECT * FROM (SELECT a, b FROM c UNION ALL BY NAME "
+        "SELECT b, a FROM c) ORDER BY a",
+    )
+    assert [ (r.a, r.b) for r in df.collect() ] == [(1, "x"), (1, "x")]

@@ -86,9 +86,14 @@ def test_fuzz_range_and_series(spark, duck, a, b):
     )
 
 
-@given(a=st.integers(0, 9), b=st.integers(1, 9), step=st.integers(1, 4))
+@given(
+    a=st.integers(-4, 9),
+    b=st.integers(-4, 9),
+    step=st.integers(-4, 4).filter(lambda s: s != 0),
+)
 @settings(**SETTINGS)
 def test_fuzz_range_stepped(spark, duck, a, b, step):
+    """Both step signs, including empty/inverted ranges."""
     both(spark, duck, f"SELECT range({a}, {b}, {step}) AS v")
 
 

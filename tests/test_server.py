@@ -581,3 +581,41 @@ def test_server_union_by_name_gated_and_served(flight_port):
             ).read_all()
     finally:
         client.close()
+
+
+def test_pivot_source_subquery_cannot_bypass_readonly_gate(flight_port):
+    """A statement smuggled as a routed PIVOT's source subquery must be
+    denied by the gate and must NOT execute."""
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        with pytest.raises(flight.FlightServerError):
+            client.do_get(
+                flight.Ticket(
+                    b"PIVOT (CREATE TABLE spark_catalog.default.evil AS "
+                    b"SELECT 1 AS c, 1 AS v) ON c USING sum(v)"
+                )
+            ).read_all()
+        # the inner command must not have run: selecting from the
+        # would-be table must fail with not-found
+        with pytest.raises(
+            flight.FlightServerError,
+            match="TABLE_OR_VIEW_NOT_FOUND|cannot be found",
+        ):
+            client.do_get(
+                flight.Ticket(b"SELECT * FROM spark_catalog.default.evil")
+            ).read_all()
+    finally:
+        client.close()
+
+
+def test_bare_path_file_read_over_wire(flight_port):
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        t = client.do_get(
+            flight.Ticket(
+                b"SELECT count(*) AS n FROM '/root/testdata/sf0.001/region.parquet'"
+            )
+        ).read_all()
+        assert t["n"][0].as_py() == 5
+    finally:
+        client.close()
