@@ -482,10 +482,8 @@ def _scrub_bare_star(s: str) -> str:
     return s
 
 
-_ASOF_RE = re.compile(
-    r"\bASOF\s+(?P<kind>LEFT\s+)?JOIN\s+(?P<table>[A-Za-z_]\w*|\x00\d+\x00)"
-    r"(?:\s+(?:AS\s+)?(?P<alias>(?!ON\b)[A-Za-z_]\w*))?\s+ON\b",
-    re.IGNORECASE,
+_ASOF_HEAD_RE = re.compile(
+    r"\bASOF\s+(?P<kind>LEFT\s+)?JOIN\s*", re.IGNORECASE
 )
 _COLREF_RE = re.compile(r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)$")
 
@@ -502,13 +500,39 @@ def _rewrite_asof(s: str) -> str:
     main.go:380). Matches nearest-per-key uniquely, so no dedup needed.
     """
     while True:
-        m = _ASOF_RE.search(s)
+        m = _ASOF_HEAD_RE.search(s)
         if not m:
             return s
-        rtable = m.group("table")
-        ralias = m.group("alias") or rtable
+        # right side: a table name, a masked identifier, or a
+        # parenthesized subquery/VALUES with an optional column-list alias
+        pos = m.end()
+        colalias = None
+        if pos < len(s) and s[pos] == "(":
+            close = _matching_paren(s, pos)
+            rtable = s[pos : close + 1]
+            pos2 = close + 1
+        else:
+            tm = re.match(r"[A-Za-z_]\w*|\x00\d+\x00", s[pos:])
+            if not tm:
+                raise ValueError("ASOF JOIN: unparseable right-side source")
+            rtable = tm.group(0)
+            pos2 = pos + tm.end()
+        am = re.match(
+            r"\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*)(\s*\(([^)]*)\))?",
+            s[pos2:], re.IGNORECASE,
+        )
+        alias = None
+        if am:
+            alias, colalias = am.group(1), am.group(3)
+            pos2 += am.end()
+        if rtable.startswith("(") and alias is None:
+            raise ValueError("ASOF JOIN: a subquery source needs an alias")
+        ralias = alias or rtable
+        onm = re.match(r"\s+ON\b", s[pos2:], re.IGNORECASE)
+        if not onm:
+            raise ValueError("ASOF JOIN: expected ON after the right side")
         # ON condition: up to the next depth-0 clause keyword.
-        cond_start = m.end()
+        cond_start = pos2 + onm.end()
         cond_end, _ = _find_top_keyword(
             s,
             ("WHERE", "GROUP", "ORDER", "LIMIT", "QUALIFY", "JOIN", "LEFT",
@@ -573,9 +597,10 @@ def _rewrite_asof(s: str) -> str:
             bound_fn, bound_op = "LEAD", {">": ">=", ">=": ">"}[op]
         else:  # forward: bound by the PREVIOUS right timestamp
             bound_fn, bound_op = "LAG", {"<": "<=", "<=": "<"}[op]
+        inner_alias = f"__r({colalias})" if colalias else "__r"
         sub = (
             f"(SELECT __r.*, {bound_fn}(__r.{r_ts}) OVER ({over}ORDER BY "
-            f"__r.{r_ts}) AS __asof_bound FROM {rtable} __r) {ralias}"
+            f"__r.{r_ts}) AS __asof_bound FROM {rtable} {inner_alias}) {ralias}"
         )
         join_kind = "LEFT JOIN" if m.group("kind") else "JOIN"
         new_cond = (

@@ -255,3 +255,37 @@ def test_fuzz_ordered_agg_directions(spark, duck, pairs, direction):
     srows = spark.sql(rewrite(q)).collect()
     drows = duck.execute(q).fetchall()
     assert [list(srows[0].l)] == [list(drows[0][0])], q
+
+
+# --- ASOF JOIN rewrite -------------------------------------------------------
+#
+# The LEAD/LAG-bounded interval-join rewrite is the engine's scale-safe
+# ASOF spelling; fuzz it against DuckDB's native ASOF JOIN over random
+# key/time tables in all four (direction × join-kind) combinations.
+
+asof_rows = st.lists(
+    st.tuples(st.integers(1, 2), st.integers(0, 12)),
+    min_size=1, max_size=6,
+    unique=True,  # duplicate (key, time) pairs make the match ambiguous
+)
+
+
+@given(
+    left=asof_rows,
+    right=asof_rows,
+    op=st.sampled_from([">=", "<="]),
+    kind=st.sampled_from(["", "LEFT "]),
+)
+@settings(**SETTINGS)
+def test_fuzz_asof_join(spark, duck, left, right, op, kind):
+    lv = ", ".join(f"({k}, {t})" for k, t in left)
+    rv = ", ".join(f"({k}, {t})" for k, t in right)
+    q = (
+        f"SELECT l.k, l.t, r.rt FROM (VALUES {lv}) l(k, t) "
+        f"ASOF {kind}JOIN (VALUES {rv}) r(k, rt) "
+        f"ON l.k = r.k AND l.t {op} r.rt "
+        f"ORDER BY l.k, l.t"
+    )
+    srows = sorted([tuple(r) for r in spark.sql(rewrite(q)).collect()], key=repr)
+    drows = sorted(duck.execute(q).fetchall(), key=repr)
+    assert srows == drows, q
