@@ -289,3 +289,59 @@ def test_fuzz_asof_join(spark, duck, left, right, op, kind):
     srows = sorted([tuple(r) for r in spark.sql(rewrite(q)).collect()], key=repr)
     drows = sorted(duck.execute(q).fetchall(), key=repr)
     assert srows == drows, q
+
+
+# --- QUALIFY / GLOB / macros -------------------------------------------------
+
+
+@given(
+    rows=st.lists(row_strat, min_size=1, max_size=8),
+    k=st.integers(1, 4),
+    cmp_op=st.sampled_from(["=", "<=", ">="]),
+)
+@settings(**SETTINGS)
+def test_fuzz_qualify(spark, duck, rows, k, cmp_op):
+    q = (
+        f"SELECT id, g, row_number() OVER "
+        f"(PARTITION BY g ORDER BY o, id) AS rn "
+        f"FROM {_values_clause(rows)} QUALIFY rn {cmp_op} {k} ORDER BY id"
+    )
+    srows = [tuple(r) for r in spark.sql(rewrite(q)).collect()]
+    drows = duck.execute(q).fetchall()
+    assert srows == drows, q
+
+
+@given(
+    s=st.text(alphabet="abc.x*?", min_size=0, max_size=6),
+    pat=st.text(alphabet="abc*?", min_size=0, max_size=5),
+)
+@settings(**SETTINGS)
+def test_fuzz_glob(spark, duck, s, pat):
+    q = f"SELECT '{s}' GLOB '{pat}' AS m"
+    srows = spark.sql(rewrite(q)).collect()[0].m
+    drows = duck.execute(q).fetchone()[0]
+    assert srows == drows, q
+
+
+@given(
+    a=st.integers(-9, 9),
+    b=st.integers(-9, 9),
+    c=st.integers(1, 9),
+)
+@settings(**SETTINGS)
+def test_fuzz_macro_expansion(spark, duck, a, b, c):
+    from duckdb_server_spark.dialect import run_script, run_sql
+
+    defs = (
+        "CREATE OR REPLACE MACRO lin(x, y, k := 2) AS x * k + y;"
+        "CREATE OR REPLACE MACRO nested(x, y) AS lin(y, x) - lin(x, y, k := 3);"
+    )
+    run_script(spark, defs)
+    duck.execute("CREATE OR REPLACE MACRO lin(x, y, k := 2) AS x * k + y")
+    duck.execute(
+        "CREATE OR REPLACE MACRO nested(x, y) AS lin(y, x) - lin(x, y, k := 3)"
+    )
+    q = f"SELECT nested({a}, {b}) AS n, lin({a}, {b}, k := {c}) AS l"
+    srow = run_sql(spark, q).collect()[0]
+    drow = duck.execute(q).fetchone()
+    assert (srow.n, srow.l) == drow, q
