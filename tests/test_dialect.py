@@ -639,3 +639,52 @@ def test_union_by_name_sees_shared_cte(sql_session):
         "SELECT b, a FROM c) ORDER BY a",
     )
     assert [ (r.a, r.b) for r in df.collect() ] == [(1, "x"), (1, "x")]
+
+
+def test_describe_matches_duckdb_all_tables(sql_session):
+    """DESCRIBE parity across every warehouse table — covers FLOAT[],
+    TIMESTAMP, and the scalar spellings in one sweep."""
+    import os
+
+    import duckdb
+
+    from duckdb_server_spark.session import register_views
+
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    register_views(sql_session, SF_DIR, tables)
+    con = duckdb.connect()
+    for t in tables:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        ours = [tuple(r) for r in run_sql(sql_session, f"DESCRIBE {t}").collect()]
+        assert ours == con.execute(f"DESCRIBE {t}").fetchall(), t
+
+
+def test_forced_dialect_sweep_matches_ltrim(sql_session):
+    """Under SET dialect='duckdb', the one semantics-ambiguous oracle row
+    (2-arg ltrim/rtrim) matches DuckDB too."""
+    import os
+
+    import duckdb
+
+    from duckdb_server_spark import catalog
+    from duckdb_server_spark.session import register_views
+
+    catalog.load_all()
+    register_views(sql_session, SF_DIR, ("part",))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM read_parquet("
+        f"'{os.path.join(SF_DIR, 'part.parquet')}')"
+    )
+    st = dialect_state(sql_session)
+    st.settings["dialect"] = "duckdb"
+    try:
+        sql = catalog.ORACLE["fn_string_declared"]
+        ours = sorted([tuple(r) for r in run_sql(sql_session, sql).collect()], key=repr)
+        assert ours == sorted(con.execute(sql).fetchall(), key=repr)
+    finally:
+        st.settings.pop("dialect", None)

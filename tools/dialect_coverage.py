@@ -11,10 +11,9 @@ constructs are listed with reasons instead of silently skipped.
 Usage:
     python tools/dialect_coverage.py [--sf-dir DIR] [name-substr ...]
 
-Steady state: 202/205 verbatim-match (window EXCLUDE frames, recursive
-UNION-distinct CTEs, and zipped generate_subscripts/unnest all rewrite
-now). The three non-matching rows are pinned engine divergences, not
-dialect gaps:
+Steady state: 202/205 verbatim-match (203/205 with --forced, which runs
+under SET dialect='duckdb' and closes the ltrim row). The non-matching
+rows are pinned engine divergences, not dialect gaps:
 
 - fn_trig — round(trig(x), 6) exposes last-ulp libm differences between
   DuckDB and the JVM; values agree to ~1e-15.
@@ -63,6 +62,13 @@ def main() -> None:
     spark = get_spark()
     register_dialect_functions(spark)
     register_views(spark, SF_DIR, TABLES)
+    if "--forced" in sys.argv:
+        # SET dialect='duckdb': rewrite-first, so both-dialect-valid SQL
+        # (2-arg ltrim order) gets DuckDB semantics — fn_string_declared
+        # joins the match set, leaving only the two numeric-library rows.
+        from duckdb_server_spark.dialect import run_script
+
+        run_script(spark, "SET dialect='duckdb';")
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(SF_DIR, f"{t}.parquet")
