@@ -2577,6 +2577,30 @@ _SUMMARIZE_RE = re.compile(
 _DESCRIBE_RE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
 )
+# DuckDB SHOW TABLES returns a single `name` column; SHOW <table> is an
+# alias of DESCRIBE. Spark-specific SHOW forms (DATABASES/FUNCTIONS/…)
+# fall through to native.
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+(?:ALL\s+)?TABLES\s*;?\s*$", re.IGNORECASE)
+_SHOW_TABLE_RE = re.compile(
+    r"^\s*SHOW\s+(?!TABLES\b|DATABASES\b|SCHEMAS\b|VIEWS\b|FUNCTIONS\b"
+    r"|COLUMNS\b|PARTITIONS\b|CREATE\b|TBLPROPERTIES\b|CATALOGS\b)"
+    r"([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def show_tables_frame(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import types as T
+
+    names = sorted(
+        t.name
+        for t in spark.catalog.listTables()
+        if t.isTemporary and not t.name.startswith("__dd_")
+    )
+    return spark.createDataFrame(
+        [(n,) for n in names],
+        T.StructType([T.StructField("name", T.StringType(), True)]),
+    )
 _DESCRIBE_SELECT_RE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(SELECT\b.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
@@ -2705,6 +2729,10 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         return describe_frame(spark, spark.table(m.group(1)))
     if m := _DESCRIBE_SELECT_RE.match(sql):
         return describe_frame(spark, run_sql(spark, m.group(1)))
+    if _SHOW_TABLES_RE.match(sql):
+        return show_tables_frame(spark)
+    if m := _SHOW_TABLE_RE.match(sql):
+        return describe_frame(spark, spark.table(m.group(1)))
     if m := _PIVOT_RE.match(sql):
         state = dialect_state(spark)
         key = " ".join(sql.split())

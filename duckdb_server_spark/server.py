@@ -151,7 +151,12 @@ def resolve_query_frame(spark: SparkSession, sql: str) -> DataFrame:
     # SUBQUERY smuggled inside them must pass the gate too — otherwise
     # ``PIVOT (CREATE TABLE …) ON c USING sum(v)`` would execute the
     # inner command ungated.
-    if dialect._SUMMARIZE_RE.match(sql) or dialect._DESCRIBE_RE.match(sql):
+    if (
+        dialect._SUMMARIZE_RE.match(sql)
+        or dialect._DESCRIBE_RE.match(sql)
+        or dialect._SHOW_TABLES_RE.match(sql)
+        or dialect._SHOW_TABLE_RE.match(sql)
+    ):
         return run()  # table-name-only forms: nothing executable inside
     if m := dialect._DESCRIBE_SELECT_RE.match(sql):
         gate_text(m.group(1))

@@ -688,3 +688,16 @@ def test_forced_dialect_sweep_matches_ltrim(sql_session):
         assert ours == sorted(con.execute(sql).fetchall(), key=repr)
     finally:
         st.settings.pop("dialect", None)
+
+
+def test_show_tables_duckdb_shape(sql_session):
+    df = run_sql(sql_session, "SHOW TABLES")
+    assert df.columns == ["name"]
+    names = [r.name for r in df.collect()]
+    assert "orders" in names and not any(n.startswith("__dd_") for n in names)
+
+
+def test_show_table_is_describe_alias(sql_session):
+    a = [tuple(r) for r in run_sql(sql_session, "SHOW orders").collect()]
+    b = [tuple(r) for r in run_sql(sql_session, "DESCRIBE orders").collect()]
+    assert a == b
