@@ -345,3 +345,41 @@ def test_fuzz_macro_expansion(spark, duck, a, b, c):
     srow = run_sql(spark, q).collect()[0]
     drow = duck.execute(q).fetchone()
     assert (srow.n, srow.l) == drow, q
+
+
+@given(
+    rows=st.lists(row_strat, min_size=1, max_size=8),
+    fn=st.sampled_from(["sum(v)", "count(v)", "count(*)", "avg(v)", "min(v)", "max(v)"]),
+    thresh=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_fuzz_window_filter(spark, duck, rows, fn, thresh):
+    """agg FILTER (WHERE …) OVER w → conditional-aggregate rewrite."""
+    q = (
+        f"SELECT id, {fn} FILTER (WHERE o >= {thresh}) OVER "
+        f"(PARTITION BY g ORDER BY o, id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s "
+        f"FROM {_values_clause(rows)} ORDER BY id"
+    )
+    srows = spark.sql(rewrite(q)).collect()
+    drows = duck.execute(q).fetchall()
+    for (sid, sv), (did, dv) in zip([tuple(r) for r in srows], drows):
+        assert sid == did, q
+        if isinstance(sv, float) and isinstance(dv, float):
+            assert abs(sv - dv) < 1e-9, q
+        else:
+            assert sv == dv, q
+
+
+@given(rows=st.lists(row_strat, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_fuzz_distinct_on(spark, duck, rows):
+    """DISTINCT ON keeps the first row per key under the ORDER BY; the
+    full ordering (g, o, id) is total, so results are deterministic."""
+    q = (
+        f"SELECT DISTINCT ON (g) g, o, id FROM {_values_clause(rows)} "
+        f"ORDER BY g ASC NULLS LAST, o ASC NULLS LAST, id ASC NULLS LAST"
+    )
+    srows = [tuple(r) for r in spark.sql(rewrite(q)).collect()]
+    drows = duck.execute(q).fetchall()
+    assert srows == drows, q
