@@ -882,7 +882,39 @@ _LEN_STRING_HEADS = {
 _LEN_ARRAY_NAMES = {"w", "words", "embedding", "tokens", "toks", "shingles"}
 
 
-def _rewrite_len(s: str) -> str:
+def _column_kinds(spark, masked: str) -> dict[str, bool]:
+    """Column name (lowercased) → is-array, resolved from the session
+    catalog schema of every relation referenced at a FROM/JOIN position
+    in the (masked) statement. Names whose kind conflicts across the
+    referenced tables are dropped (the heuristic takes over). This is
+    what makes ``len()`` dispatch schema-aware instead of guessing from
+    a column-name allowlist."""
+    from pyspark.sql.types import ArrayType
+
+    kinds: dict[str, bool] = {}
+    conflicted: set[str] = set()
+    for m in re.finditer(
+        r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)", masked, re.IGNORECASE
+    ):
+        ref = m.group(1)
+        if ref.upper() in ("LATERAL", "VALUES", "UNNEST", "SELECT"):
+            continue
+        try:
+            schema = spark.table(ref).schema
+        except Exception:
+            continue  # subquery alias / CTE name / missing — heuristic
+        for f in schema.fields:
+            nm = f.name.lower()
+            k = isinstance(f.dataType, ArrayType)
+            if nm in kinds and kinds[nm] != k:
+                conflicted.add(nm)
+            kinds[nm] = k
+    for nm in conflicted:
+        kinds.pop(nm, None)
+    return kinds
+
+
+def _rewrite_len(s: str, kinds: dict[str, bool] | None = None) -> str:
     binders = {
         b.group(1).lower() for b in re.finditer(r"([A-Za-z_]\w*)\s*->", s)
     }
@@ -901,6 +933,8 @@ def _rewrite_len(s: str) -> str:
             name = arg.split(".")[-1].lower()
             if name in binders:
                 fn = "length"
+            elif kinds is not None and name in kinds:
+                fn = "size" if kinds[name] else "length"
             elif name in _LEN_ARRAY_NAMES:
                 fn = "size"
         s = s[: m.start()] + fn + "(" + s[m.end() :]
@@ -1463,60 +1497,110 @@ _DISTINCT_ON_RE = re.compile(
 def _rewrite_distinct_on(s: str) -> str:
     """``SELECT DISTINCT ON (keys) cols FROM … ORDER BY …`` → row_number
     window over the keys in the statement's ORDER BY order — DuckDB keeps
-    the first row per key group under that ordering."""
-    m = _DISTINCT_ON_RE.search(s)
-    if not m:
-        return s
-    open_idx = m.end() - 1
-    close = _matching_paren(s, open_idx)
-    keys = ", ".join(_split_top_commas(s[open_idx + 1 : close]))
-    rest = s[close + 1 :]
-    om_idx, _ = _find_top_keyword(rest, ("ORDER",))
-    if om_idx < 0:
-        raise ValueError("DISTINCT ON requires an ORDER BY to be deterministic")
-    select_from = rest[:om_idx]
-    order_clause = rest[om_idx:]
-    order_list = re.sub(r"^ORDER\s+BY\s+", "", order_clause, flags=re.IGNORECASE)
-    fm_idx, _ = _find_top_keyword(select_from, ("FROM",))
-    if fm_idx < 0:
-        raise ValueError("DISTINCT ON: no FROM clause")
-    sel = select_from[:fm_idx].strip()
-    source = select_from[fm_idx + len("FROM"):].strip()
-    return (
-        f"SELECT {sel} FROM (SELECT *, row_number() OVER "
-        f"(PARTITION BY {keys} ORDER BY {order_list}) AS __dd_don "
-        f"FROM {source}) WHERE __dd_don = 1 {order_clause}"
-    )
+    the first row per key group under that ordering. Text before the
+    SELECT (a WITH clause, an enclosing query) is preserved, the rewrite
+    segment stops at the paren closing an enclosing subquery, and a
+    trailing LIMIT/OFFSET stays on the outer query rather than being
+    spliced into the window ordering."""
+    while m := _DISTINCT_ON_RE.search(s):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        keys = ", ".join(_split_top_commas(s[open_idx + 1 : close]))
+        rest = s[close + 1 :]
+        # this SELECT's clauses end where an enclosing subquery closes
+        seg_end, depth = len(rest), 0
+        for i, c in enumerate(rest):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth < 0:
+                    seg_end = i
+                    break
+        seg, suffix = rest[:seg_end], rest[seg_end:]
+        om_idx, _ = _find_top_keyword(seg, ("ORDER",))
+        if om_idx < 0:
+            raise ValueError("DISTINCT ON requires an ORDER BY to be deterministic")
+        select_from = seg[:om_idx]
+        order_clause = seg[om_idx:].strip()
+        lim_idx, _ = _find_top_keyword(order_clause, ("LIMIT", "OFFSET"))
+        tail = ""
+        if lim_idx >= 0:
+            tail = " " + order_clause[lim_idx:].strip()
+            order_clause = order_clause[:lim_idx].strip()
+        order_list = re.sub(
+            r"^ORDER\s+BY\s+", "", order_clause, flags=re.IGNORECASE
+        )
+        fm_idx, _ = _find_top_keyword(select_from, ("FROM",))
+        if fm_idx < 0:
+            raise ValueError("DISTINCT ON: no FROM clause")
+        sel = select_from[:fm_idx].strip()
+        source = select_from[fm_idx + len("FROM"):].strip()
+        repl = (
+            f"SELECT {sel} FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {keys} ORDER BY {order_list}) AS __dd_don "
+            f"FROM {source}) WHERE __dd_don = 1 {order_clause}{tail}"
+        )
+        s = s[: m.start()] + repl + suffix
+    return s
 
 
-_WINDOW_FILTER_RE = re.compile(
-    r"\b(\w+)\s*\(\s*([^()]*?)\s*\)\s*FILTER\s*\(\s*WHERE\s+", re.IGNORECASE
-)
+_FILTER_WHERE_RE = re.compile(r"\bFILTER\s*\(\s*WHERE\b", re.IGNORECASE)
 
 
 def _rewrite_window_filter(s: str) -> str:
     """``agg(x) FILTER (WHERE c) OVER w`` → ``agg(CASE WHEN c THEN x END)
     OVER w`` (Spark supports aggregate FILTER but not on windows). The
-    plain-aggregate form is left for Spark's native FILTER support."""
+    plain-aggregate form is left for Spark's native FILTER support. The
+    aggregate call is located by paren matching (not a paren-free regex),
+    so arguments like ``sum(a*(b+1))`` rewrite correctly; DISTINCT under
+    a windowed FILTER has no Spark spelling and fails closed."""
     pos = 0
-    while m := _WINDOW_FILTER_RE.search(s, pos):
-        # m.end() sits just after 'WHERE'; the FILTER '(' is the last one
-        # before it
-        filt_open = s.rindex("(", m.start(), m.end())
+    while m := _FILTER_WHERE_RE.search(s, pos):
+        filt_open = s.index("(", m.start())
         filt_close = _matching_paren(s, filt_open)
-        cond = s[m.end() : filt_close].strip()
         after = s[filt_close + 1 :]
         if not re.match(r"\s*OVER\b", after, re.IGNORECASE):
-            pos = m.end()  # plain aggregate FILTER — Spark handles natively
+            pos = filt_close + 1  # plain aggregate FILTER — native Spark
             continue
-        fn, arg = m.group(1), m.group(2).strip()
+        # the aggregate call sits immediately before FILTER; walk back
+        # from its closing paren to the matching open
+        head = s[: m.start()].rstrip()
+        if not head.endswith(")"):
+            pos = filt_close + 1
+            continue
+        arg_close, depth, arg_open = len(head) - 1, 0, -1
+        for i in range(len(head) - 1, -1, -1):
+            if head[i] == ")":
+                depth += 1
+            elif head[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    arg_open = i
+                    break
+        fm = (
+            re.search(r"([A-Za-z_]\w*)\s*$", head[:arg_open])
+            if arg_open > 0
+            else None
+        )
+        if not fm:
+            pos = filt_close + 1
+            continue
+        fn = fm.group(1)
+        arg = head[arg_open + 1 : arg_close].strip()
+        if re.match(r"DISTINCT\b", arg, re.IGNORECASE):
+            raise ValueError(
+                "FILTER with DISTINCT over a window has no Spark equivalent"
+            )
+        cond = s[m.end() : filt_close].strip()
         if arg in ("*", "1") or arg == "":
             inner = f"CASE WHEN {cond} THEN 1 END"
             fn_call = f"count({inner})" if fn.lower() == "count" else f"{fn}({inner})"
         else:
             fn_call = f"{fn}(CASE WHEN {cond} THEN {arg} END)"
-        s = s[: m.start()] + fn_call + s[filt_close + 1 :]
-        pos = m.start() + len(fn_call)
+        start_idx = fm.start(1)
+        s = s[:start_idx] + fn_call + s[filt_close + 1 :]
+        pos = start_idx + len(fn_call)
     return s
 
 
@@ -1556,11 +1640,13 @@ def _rewrite_lateral_values(s: str) -> str:
     return s
 
 
-def rewrite(sql: str) -> str:
+def rewrite(sql: str, spark=None) -> str:
     """Full DuckDB→Spark dialect rewrite (string to string, no parsing).
     Safe only for DuckDB-dialect input — e.g. ``trunc`` is renamed to the
     numeric shim and subscripts shift to 0-based — which is why
-    :func:`run_sql` tries native Spark first."""
+    :func:`run_sql` tries native Spark first. When a session is supplied,
+    polymorphic dispatch (``len``) resolves argument types from the
+    catalog schemas of the referenced tables instead of name heuristics."""
     masked, table = _mask(sql)
     # DuckDB string literals are escape-free ('\s+' is backslash-s-plus);
     # Spark's parser processes backslash escapes ('\s+' becomes s-plus).
@@ -1571,7 +1657,9 @@ def rewrite(sql: str) -> str:
         if entry.startswith("'"):
             table[i] = entry.replace("\\", "\\\\")
     masked = _rewrite_list_literals(masked)
-    masked = _rewrite_len(masked)
+    masked = _rewrite_len(
+        masked, _column_kinds(spark, masked) if spark is not None else None
+    )
     masked = _rewrite_string_split(masked, table)
     masked = _rewrite_regexp_replace(masked, table)
     masked = _rewrite_regexp_extract_all(masked)
@@ -1682,8 +1770,30 @@ class DialectState:
     prepared: dict[str, str] = field(default_factory=dict)
     # statement-digest → built DataFrame for dynamic PIVOT: the eager
     # value-discovery distinct runs once per distinct statement, not once
-    # per GetFlightInfo/GetSchema/DoGet leg
+    # per GetFlightInfo/GetSchema/DoGet leg. LRU-bounded (insertion order
+    # = recency) and cleared on every write route so cached pivot columns
+    # can never go stale after an init-phase INSERT/COPY FROM.
     pivot_cache: dict[str, DataFrame] = field(default_factory=dict)
+    # __dd_read_* / __dd_ubn_* / __dd_pivot_* temp views registered from
+    # wire input, LRU-ordered; oldest are dropped past _TEMP_VIEW_CAP so
+    # server-lifetime catalog state stays bounded under arbitrary clients
+    temp_views: dict[str, None] = field(default_factory=dict)
+
+
+_PIVOT_CACHE_CAP = 32
+_TEMP_VIEW_CAP = 64
+
+
+def _track_temp_view(spark: SparkSession, name: str) -> None:
+    """Record a wire-input-derived temp view in the LRU; evict (and drop
+    from the catalog) the least-recently-used past the cap."""
+    state = dialect_state(spark)
+    state.temp_views.pop(name, None)
+    state.temp_views[name] = None
+    while len(state.temp_views) > _TEMP_VIEW_CAP:
+        old = next(iter(state.temp_views))
+        del state.temp_views[old]
+        spark.catalog.dropTempView(old)
 
 
 @dataclass
@@ -2065,6 +2175,7 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         return None
     if m := _COPY_FROM_RE.match(stmt):
         _run_copy_from(spark, m)
+        state.pivot_cache.clear()  # cached pivot columns may be stale now
         return None
     if (m := _MACRO_RE.match(stmt)) and _register_macro(state, stmt, m):
         return None
@@ -2075,9 +2186,11 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         dropped = spark.catalog.dropTempView(m.group(2).split(".")[-1])
         if not dropped and not m.group(1):
             raise ValueError(f"DROP: relation {m.group(2)!r} does not exist")
+        state.pivot_cache.clear()
         return None
     if m := _INSERT_RE.match(stmt):
         _run_insert(spark, m)
+        state.pivot_cache.clear()  # cached pivot columns may be stale now
         return None
     if m := _PREPARE_RE.match(stmt):
         state.prepared[m.group(1).lower()] = m.group(2)
@@ -2095,6 +2208,7 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         name, body = m.group(1), m.group(2)
         df = run_sql(spark, body)
         df.createOrReplaceTempView(name.split(".")[-1])
+        state.pivot_cache.clear()
         return None
     if m := _TABLE_AS_RE.match(stmt):
         # CREATE TABLE AS during init: materialize the query once
@@ -2106,6 +2220,7 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         name, body = m.group(1), m.group(2)
         df = run_sql(spark, body).localCheckpoint(eager=True)
         df.createOrReplaceTempView(name.split(".")[-1])
+        state.pivot_cache.clear()
         return None
     return run_sql(spark, stmt)
 
@@ -2183,6 +2298,7 @@ def _file_read_view(
     ).hexdigest()[:12]
     name = f"__dd_read_{key}"
     if spark.catalog.tableExists(name):
+        _track_temp_view(spark, name)
         return name
     path_list = list(paths)
     if fmt == "parquet":
@@ -2211,6 +2327,7 @@ def _file_read_view(
     if _truthy(opts.get("filename")):
         df = df.select("*", F.input_file_name().alias("filename"))
     df.createOrReplaceTempView(name)
+    _track_temp_view(spark, name)
     return name
 
 
@@ -2433,6 +2550,7 @@ def _resolve_union_by_name(spark: SparkSession, sql: str) -> str:
             _unmask(masked, table).encode()
         ).hexdigest()[:10]
         combined.createOrReplaceTempView(name)
+        _track_temp_view(spark, name)
         inner = f"SELECT * FROM {name} {tail}".rstrip()
         if masked[start] == "(":
             masked = masked[:start] + "(" + inner + ")" + masked[end + 1 :]
@@ -2462,6 +2580,7 @@ def _resolve_embedded_pivots(spark: SparkSession, sql: str) -> str:
         df = _run_pivot(spark, _PIVOT_RE.match(stmt))
         name = "__dd_pivot_" + hashlib.md5(stmt.encode()).hexdigest()[:10]
         df.createOrReplaceTempView(name)
+        _track_temp_view(spark, name)
         masked = masked[: m.start()] + name + masked[m.end() :]
     return _unmask(masked, table)
 
@@ -2509,7 +2628,7 @@ def _run_recursive_cte(spark: SparkSession, sql: str) -> DataFrame:
     am = re.match(r"UNION\s+(ALL\s+)?", body[ui:], re.IGNORECASE)
     distinct = not am.group(1)
     base_text = _unmask(body[:ui], table)
-    step_text = _unmask(body[ui + am.end() :], table)
+    step_masked = body[ui + am.end() :]
     fid = hashlib.md5(sql.encode()).hexdigest()[:10]
 
     seed = run_sql(spark, base_text)
@@ -2517,24 +2636,43 @@ def _run_recursive_cte(spark: SparkSession, sql: str) -> DataFrame:
         seed = seed.toDF(*cols)
     if distinct:
         seed = seed.distinct()
-    work = f"__dd_rec_w_{fid}"
+
+    # The CTE name must resolve to the current frontier inside the step
+    # and to the fixpoint result in the outer query. When the name is
+    # free, the working view is registered UNDER THE CTE NAME ITSELF —
+    # zero text substitution, so string literals and same-named columns
+    # are untouched. When an existing relation would be clobbered, fall
+    # back to substituting a fresh name on the MASKED text (literals are
+    # extracted there, so only identifiers can ever match).
+    collision = spark.catalog.tableExists(name)
+    if collision:
+        name_re = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+        work, res_view = f"__dd_rec_w_{fid}", f"__dd_rec_{fid}"
+        step_text = _unmask(name_re.sub(work, step_masked), table)
+        outer_text = _unmask(name_re.sub(res_view, outer), table)
+    else:
+        work = res_view = name
+        step_text = _unmask(step_masked, table)
+        outer_text = _unmask(outer, table)
 
     def step(frontier: DataFrame) -> DataFrame:
         frontier.createOrReplaceTempView(work)
-        stepped = run_sql(
-            spark, re.sub(rf"\b{name}\b", work, step_text)
-        )
-        return stepped.toDF(*seed.columns)
+        return run_sql(spark, step_text).toDF(*seed.columns)
 
     result = recursive_fixpoint(seed, step, distinct=distinct)
-    res = f"__dd_rec_{fid}"
-    result.createOrReplaceTempView(res)
-    outer_text = re.sub(rf"\b{name}\b", res, _unmask(outer, table))
+    result.createOrReplaceTempView(res_view)
     if outer_text.lstrip().startswith(","):
         # further (non-recursive) CTEs follow the recursive one:
         # WITH RECURSIVE r AS (…), b AS (…) SELECT … → re-head as WITH
         outer_text = "WITH " + outer_text.lstrip()[1:]
-    return run_sql(spark, outer_text)
+    try:
+        out = run_sql(spark, outer_text)
+        out.schema  # analyze before the backing views are dropped
+        return out
+    finally:
+        spark.catalog.dropTempView(res_view)
+        if work != res_view:
+            spark.catalog.dropTempView(work)
 
 
 # DuckDB ``COLUMNS('regex')`` star modifier — expands to the matching
@@ -2736,10 +2874,12 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     if m := _PIVOT_RE.match(sql):
         state = dialect_state(spark)
         key = " ".join(sql.split())
-        df = state.pivot_cache.get(key)
+        df = state.pivot_cache.pop(key, None)
         if df is None:
             df = _run_pivot(spark, m)
-            state.pivot_cache[key] = df
+        state.pivot_cache[key] = df  # reinsert = most-recently-used
+        while len(state.pivot_cache) > _PIVOT_CACHE_CAP:
+            state.pivot_cache.pop(next(iter(state.pivot_cache)))
         return df
     if m := _UNPIVOT_RE.match(sql):
         # DuckDB `UNPIVOT t ON c1, c2 INTO NAME k VALUE v` → Spark's
@@ -2769,7 +2909,7 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         # Native-Spark sessions never pay this — the default path below
         # still tries spark.sql untouched.
         try:
-            df = spark.sql(rewrite(sql))
+            df = spark.sql(rewrite(sql, spark))
             df.schema
             return df
         except Exception:
@@ -2784,7 +2924,7 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
             # fixpoint route
             return _run_recursive_cte(spark, sql)
         try:
-            rewritten = rewrite(sql)
+            rewritten = rewrite(sql, spark)
         except ValueError:
             raise first_err from None
         if " ".join(rewritten.split()) == " ".join(sql.split()):

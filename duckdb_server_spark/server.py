@@ -134,7 +134,7 @@ def resolve_query_frame(spark: SparkSession, sql: str) -> DataFrame:
             assert_query_shaped(spark, g)
         except flight.FlightServerError:
             try:
-                rewritten = dialect.rewrite(g)
+                rewritten = dialect.rewrite(g, spark)
             except ValueError as exc:
                 raise flight.FlightServerError(str(exc)) from exc
             assert_query_shaped(spark, rewritten)
@@ -216,7 +216,7 @@ def resolve_query_sql(spark: SparkSession, sql: str) -> str:
         return sql
     except Exception as first_err:
         try:
-            rewritten = rewrite(sql)
+            rewritten = rewrite(sql, spark)
         except ValueError:
             raise first_err from None
         if " ".join(rewritten.split()) == " ".join(sql.split()):
