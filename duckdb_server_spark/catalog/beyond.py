@@ -1936,7 +1936,106 @@ def b57_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("doc_id").asc_nulls_last())
 
 
-@query("b58_fuzzy_dedup_e2e")  # rows-only: LSH candidates derive from xxhash64
+# b58's full differential oracle (the b03b playbook extended to the whole
+# composed recipe): DuckDB replays every stage — the planted family, the
+# exact-dedup pre-pass (grouping by text itself, hash-free), the portable
+# md5-family MinHash signatures/bands/pairs, n-gram-Jaccard verification
+# at >= 0.5, connected components via a recursive CTE (min label over the
+# reachable set), member expansion, and the final cluster aggregate — and
+# the result hash-matches end to end.
+_B58_MINS_SQL = ",\n      ".join(
+    f"min(CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || ',{i}'), 1, 15)) "
+    f"AS BIGINT)) AS m{i}"
+    for i in range(32)
+)
+_B58_BANDS_SQL = ", ".join(
+    "(%d, CAST(m%d AS VARCHAR) || ',' || m%d || ',' || m%d || ',' || m%d)"
+    % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+    for b in range(8)
+)
+_B58_ORACLE = f"""
+    WITH RECURSIVE staged AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT -(doc_id + 1) AS doc_id,
+             array_to_string(array_slice(string_split_regex(text, '\\s+'), 1,
+               len(string_split_regex(text, '\\s+')) - 1), ' ') AS text
+      FROM documents WHERE doc_id < 10
+      UNION ALL
+      SELECT -11 AS doc_id, text FROM documents WHERE doc_id = 0
+    ),
+    grp AS (
+      SELECT text, min(doc_id) AS rep_id FROM staged GROUP BY text
+    ),
+    shingled AS (
+      SELECT rep_id AS doc_id, text,
+             list_distinct(CASE WHEN len(string_split_regex(text, '\\s+')) - 2 <= 0
+               THEN [text]
+               ELSE list_transform(
+                 range(1, len(string_split_regex(text, '\\s+')) - 1),
+                 i -> array_to_string(
+                   array_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))
+             END) AS sh
+      FROM grp
+    ),
+    hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
+    ),
+    sig AS (
+      SELECT doc_id,
+      {_B58_MINS_SQL}
+      FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, band.b AS band_id, band.key AS band_key
+      FROM sig, (VALUES {_B58_BANDS_SQL}) AS band(b, key)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+      WHERE l.doc_id < r.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN shingled a ON a.doc_id = c.id_a
+      JOIN shingled b ON b.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM verified
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM verified
+    ),
+    reach AS (
+      SELECT s AS node, s AS lbl FROM edges
+      UNION
+      SELECT e.d AS node, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    labels AS (
+      SELECT node, min(lbl) AS component FROM reach GROUP BY node
+    ),
+    expanded AS (
+      SELECT s.doc_id, coalesce(l.component, g.rep_id) AS component
+      FROM staged s
+      JOIN grp g ON g.text = s.text
+      LEFT JOIN labels l ON l.node = g.rep_id
+    )
+    SELECT component AS keep_doc_id,
+           count(*) AS n_members,
+           count(*) - 1 AS n_dropped,
+           max(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS has_planted
+    FROM expanded
+    GROUP BY component
+    HAVING count(*) >= 2
+    ORDER BY keep_doc_id ASC NULLS LAST
+    """
+
+
+@query("b58_fuzzy_dedup_e2e", oracle=_B58_ORACLE)
 def b58_fuzzy_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy deduplication — the full SlimPajama/RefinedWeb
     recipe as ONE composed plan: exact-dedup pre-pass (b01's operator —
@@ -1957,8 +2056,11 @@ def b58_fuzzy_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc -11 an exact copy of doc 0 (forcing one 3-member cluster).
     Output: one row per duplicate cluster with its kept representative;
     the planted family makes recall regressions visible in the recorded
-    row count. Hash-derived (rows-only); the verification and clustering
-    stages carry their own oracles via b02/b05.
+    row count. The LSH stage uses the portable md5 hash family
+    (``minhash_lsh_candidates(portable=True)``, the b03b/b04 technique),
+    so the ENTIRE composed pipeline is replayed by the DuckDB oracle
+    above — components via a recursive CTE — and hash-matches; the
+    rows-only era of this query ended with that swap (VERDICT r5 item 3).
 
     Scale shape: every stage is the already-audited operator — banded
     bucket join (never N²), pair-scoped Jaccard, O(log d) label rounds —
@@ -1996,7 +2098,7 @@ def b58_fuzzy_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = groups.select(F.col("rep_id").alias("doc_id"), F.col("rep_text").alias("text"))
 
-    cands = dedup.minhash_lsh_candidates(reps, "text", "doc_id")
+    cands = dedup.minhash_lsh_candidates(reps, "text", "doc_id", portable=True)
     verified = dedup.ngram_jaccard(cands, reps, "text", "doc_id", n=3).filter(
         F.col("jaccard") >= 0.5
     )

@@ -36,6 +36,8 @@ query and every optimization (pushdown, pruning, AQE) applies untouched.
 from __future__ import annotations
 
 import re
+import threading
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1886,6 +1888,37 @@ def dialect_state(spark: SparkSession) -> DialectState:
     return _STATES[sid]
 
 
+# The Flight serving path defaults to DuckDB-dialect semantics: the
+# reference's wire contract IS verbatim DuckDB SQL (main.go:199,229), so
+# a statement valid in BOTH dialects with different meanings (2-arg
+# ltrim/rtrim argument order, 1-based subscripts) must get the DuckDB
+# answer over the wire. Embedded ``Engine.sql`` stays native-first. The
+# default is thread-scoped (the server wraps each request), and an
+# explicit ``SET dialect='…'`` always wins in either direction.
+_SERVING_TL = threading.local()
+
+
+@contextmanager
+def serving_dialect(on: bool = True):
+    """Scope the DuckDB-first serving default to the current thread (the
+    server wraps every request resolution in this)."""
+    prev = getattr(_SERVING_TL, "duckdb_first", None)
+    _SERVING_TL.duckdb_first = on
+    try:
+        yield
+    finally:
+        _SERVING_TL.duckdb_first = prev
+
+
+def _duckdb_first(state: DialectState) -> bool:
+    """Precedence for dialect mode: an explicit ``SET dialect`` setting,
+    else the thread's serving default, else native-first."""
+    setting = state.settings.get("dialect", "").lower()
+    if setting:
+        return setting in ("duckdb", "duck")
+    return bool(getattr(_SERVING_TL, "duckdb_first", False))
+
+
 def split_statements(script: str) -> list[str]:
     """Split an init script on ``;`` outside quotes/comments."""
     masked, table = _mask(script)
@@ -2901,13 +2934,15 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         sql = _resolve_union_by_name(spark, sql)
     if re.search(r"\(\s*PIVOT\b", sql, re.IGNORECASE):
         sql = _resolve_embedded_pivots(spark, sql)
-    if state.settings.get("dialect", "").lower() in ("duckdb", "duck"):
-        # Opt-in forced-DuckDB mode (``SET dialect='duckdb'`` in the init
-        # script): rewrite FIRST, so SQL that is valid in both dialects
-        # with different semantics (2-arg ltrim/rtrim argument order,
-        # 1-based subscripts) gets DuckDB semantics instead of Spark's.
-        # Native-Spark sessions never pay this — the default path below
-        # still tries spark.sql untouched.
+    if _duckdb_first(state):
+        # DuckDB-first mode — the Flight serving default (wrapped per
+        # request via serving_dialect) and the ``SET dialect='duckdb'``
+        # opt-in for embedded sessions: rewrite FIRST, so SQL that is
+        # valid in both dialects with different semantics (2-arg
+        # ltrim/rtrim argument order, 1-based subscripts) gets DuckDB
+        # semantics instead of Spark's. Embedded native-Spark sessions
+        # never pay this — the default path below tries spark.sql
+        # untouched.
         try:
             df = spark.sql(rewrite(sql, spark))
             df.schema

@@ -66,12 +66,19 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
     return shingles_from_words(F.split(F.col(text_col), r"\s+"), text_col, n)
 
 
+def _md5_60(col: F.Column) -> F.Column:
+    """Portable 60-bit hash: first 15 hex digits of md5 — replayable by
+    any engine (DuckDB: ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 32,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per doc as an ``array<bigint>`` column ``__sig``.
 
@@ -82,6 +89,12 @@ def minhash_signatures(
     ``num_hashes`` longs per doc. The naive formulation (min over
     ``xxhash64(shingle || seed)`` per seed) re-hashes every shingle string
     ``num_hashes`` times and is ~100× slower at sf0.1.
+
+    ``portable=True`` swaps xxhash64 for the md5-derived 60-bit hash
+    (same permutation scheme: re-hash of ``h || ',i'``) so a differential
+    oracle can replay the identical signatures — the simhash precedent.
+    Same plan shape; md5 costs more per shingle, so the default stays
+    xxhash64 for pure-Spark pipelines.
     """
     exploded = (
         with_words(df, text_col)
@@ -91,12 +104,22 @@ def minhash_signatures(
                 shingles_from_words(F.col("__words"), text_col, shingle_n)
             ).alias("__s"),
         )
-        .withColumn("__h", F.xxhash64("__s"))
+        .withColumn(
+            "__h", _md5_60(F.col("__s")) if portable else F.xxhash64("__s")
+        )
     )
-    mins = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
-        for i in range(num_hashes)
-    ]
+    if portable:
+        mins = [
+            F.min(
+                _md5_60(F.concat(F.col("__h").cast("string"), F.lit(f",{i}")))
+            ).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
     per_doc = exploded.groupBy(id_col).agg(*mins)
     return per_doc.select(
         F.col(id_col),
@@ -112,6 +135,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     truncate_lineage: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -120,23 +144,36 @@ def minhash_lsh_candidates(
     (id_a, id_b) with id_a < id_b, distinct across bands. Pairs only ever
     materialize within a (band_id, band_hash) bucket — never the N² cross
     join.
+
+    ``portable=True`` uses the md5-derived signature hash family and the
+    raw concatenated-minima string as the band key (equality is all a
+    bucket needs) so a DuckDB oracle can replay the exact pair set.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("__sig", b * rows + 1, rows), lambda v: v.cast("string")
+            ),
+        )
+        return joined if portable else F.xxhash64(joined)
+
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, portable=portable
+    )
     banded = sig.select(
         id_col,
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",", F.transform(F.slice("__sig", b * rows + 1, rows),
-                                             lambda v: v.cast("string"))
-                        )
-                    ).alias("band_hash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        band_key(b).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")

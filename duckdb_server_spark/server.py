@@ -122,7 +122,20 @@ def resolve_query_frame(spark: SparkSession, sql: str) -> DataFrame:
     recursive CTEs. The read-only gate still runs FIRST on everything
     that is not a known read-only statement form: natively-parseable
     input gates as-is (UNION BY NAME gates as UNION ALL — identical
-    statement shape), DuckDB-dialect input gates through its rewrite."""
+    statement shape), DuckDB-dialect input gates through its rewrite.
+
+    Resolution runs under the DuckDB-first serving default
+    (dialect.serving_dialect): the reference's wire contract is verbatim
+    DuckDB SQL (main.go:199,229), so both-dialect-valid statements get
+    DuckDB answers here while embedded ``Engine.sql`` stays native-first.
+    An explicit ``SET dialect`` in the init script overrides either way."""
+    from duckdb_server_spark import dialect
+
+    with dialect.serving_dialect():
+        return _resolve_query_frame_inner(spark, sql)
+
+
+def _resolve_query_frame_inner(spark: SparkSession, sql: str) -> DataFrame:
     from duckdb_server_spark import dialect
 
     def gate_text(text: str) -> None:
@@ -207,9 +220,25 @@ def resolve_query_sql(spark: SparkSession, sql: str) -> str:
     (and pays only the parse+analysis it needed anyway); on parse or
     analysis failure the DuckDB→Spark rewrite (dialect.rewrite) is applied
     and re-gated. Command denial still applies to the rewritten form, so
-    the read-only gate cannot be bypassed via dialect."""
+    the read-only gate cannot be bypassed via dialect. Honors the same
+    DuckDB-first serving default as resolve_query_frame: when active (and
+    not overridden by an explicit SET dialect), the rewrite is tried
+    FIRST so both-dialect-valid statements resolve to DuckDB semantics."""
+    from duckdb_server_spark import dialect
     from duckdb_server_spark.dialect import rewrite
 
+    setting = dialect.dialect_state(spark).settings.get("dialect", "").lower()
+    duck_first = setting in ("duckdb", "duck") if setting else True
+    if duck_first:
+        try:
+            rewritten = rewrite(sql, spark)
+            assert_query_shaped(spark, rewritten)
+            spark.sql(rewritten).schema
+            return rewritten
+        except flight.FlightServerError:
+            raise  # gate denial is not a dialect mismatch — don't retry
+        except Exception:
+            pass  # maybe Spark-dialect input — fall through to native
     try:
         assert_query_shaped(spark, sql)
         spark.sql(sql).schema  # analysis only — query-shaped, so lazy

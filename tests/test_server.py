@@ -619,3 +619,23 @@ def test_bare_path_file_read_over_wire(flight_port):
         assert t["n"][0].as_py() == 5
     finally:
         client.close()
+
+
+def test_wire_serves_duckdb_semantics_for_both_valid_sql(flight_port):
+    """The wire contract is verbatim DuckDB SQL (main.go:199,229), so a
+    statement valid in BOTH dialects with different semantics must return
+    the DuckDB answer over the wire: DuckDB 2-arg ltrim(string, chars)
+    trims chars from string; Spark's argument order is swapped, so its
+    native answer for this text would be '' instead of 'abc'. The serving
+    path therefore rewrites FIRST (dialect.serving_dialect); embedded
+    Engine.sql stays native-first."""
+    t = srv.query_raw(flight_port, "SELECT ltrim('xxabc', 'x') AS v")
+    assert t.to_pydict() == {"v": ["abc"]}
+    t = srv.query_raw(flight_port, "SELECT rtrim('abcyy', 'y') AS v")
+    assert t.to_pydict() == {"v": ["abc"]}
+    # the two-step (GetFlightInfo → DoGet) leg resolves identically
+    t = srv.query_two_step(flight_port, "SELECT ltrim('xxabc', 'x') AS v")
+    assert t.to_pydict() == {"v": ["abc"]}
+    # pure-Spark-dialect input still serves (fallback to native path)
+    t = srv.query_raw(flight_port, "SELECT size(array(1, 2)) AS n")
+    assert t.to_pydict() == {"n": [2]}

@@ -9,20 +9,21 @@ dialect-parity claim (VERDICT r4 "What's missing" 1). Known-unsupported
 constructs are listed with reasons instead of silently skipped.
 
 Usage:
-    python tools/dialect_coverage.py [--sf-dir DIR] [name-substr ...]
+    python tools/dialect_coverage.py [--sf-dir DIR] [--native] [name-substr ...]
 
-Steady state: 202/205 verbatim-match (203/205 with --forced, which runs
-under SET dialect='duckdb' and closes the ltrim row). The non-matching
-rows are pinned engine divergences, not dialect gaps:
+The sweep runs under the SERVER's execution mode (dialect.serving_dialect
+— DuckDB-first, the Flight wire default), because the wire contract is
+verbatim DuckDB SQL (main.go:199,229). Steady state: 203/205
+verbatim-match. ``--native`` sweeps the embedded ``Engine.sql`` mode
+instead (native-first, 202/205 — the fn_string_declared 2-arg
+ltrim/rtrim row executes with Spark argument order there, by design for
+Spark-dialect embedding). The remaining non-matching rows are pinned
+engine divergences, not dialect gaps:
 
 - fn_trig — round(trig(x), 6) exposes last-ulp libm differences between
   DuckDB and the JVM; values agree to ~1e-15.
 - fn_numeric_core — DuckDB's degrees() disagrees with the JVM's in the
   5th decimal (constant precision); everything else matches.
-- fn_string_declared — 2-arg ltrim/rtrim is VALID Spark SQL with the
-  argument order reversed, so the native fast path executes it before
-  the dialect swap can engage. DuckDB-order callers get Spark-order
-  semantics; rewrite() does swap when the statement fails analysis.
 """
 
 from __future__ import annotations
@@ -30,6 +31,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+from contextlib import nullcontext
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -54,7 +56,11 @@ def main() -> None:
     import duckdb
 
     from duckdb_server_spark import catalog
-    from duckdb_server_spark.dialect import register_dialect_functions, run_sql
+    from duckdb_server_spark.dialect import (
+        register_dialect_functions,
+        run_sql,
+        serving_dialect,
+    )
     from duckdb_server_spark.session import get_spark, register_views
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -63,9 +69,8 @@ def main() -> None:
     register_dialect_functions(spark)
     register_views(spark, SF_DIR, TABLES)
     if "--forced" in sys.argv:
-        # SET dialect='duckdb': rewrite-first, so both-dialect-valid SQL
-        # (2-arg ltrim order) gets DuckDB semantics — fn_string_declared
-        # joins the match set, leaving only the two numeric-library rows.
+        # Back-compat spelling of the (now-default) DuckDB-first mode via
+        # explicit session state: SET dialect='duckdb'.
         from duckdb_server_spark.dialect import run_script
 
         run_script(spark, "SET dialect='duckdb';")
@@ -88,7 +93,12 @@ def main() -> None:
             errors.append((name, "duckdb-setup", str(exc).splitlines()[0][:100]))
             continue
         try:
-            srows = run_sql(spark, sql).collect()
+            with (
+                nullcontext()
+                if "--native" in sys.argv
+                else serving_dialect()
+            ):
+                srows = run_sql(spark, sql).collect()
         except Exception as exc:
             first = next(
                 (ln for ln in str(exc).splitlines() if ln.strip()), ""
