@@ -184,9 +184,15 @@ def _resolve_query_frame_inner(spark: SparkSession, sql: str) -> DataFrame:
         if src.startswith("("):
             gate_text(src[1:-1])
         return run()
-    if dialect._EXECUTE_RE.match(sql):
-        # EXECUTE runs a statement PREPAREd at init time — same trust
-        # boundary as the init script itself
+    if m := dialect._EXECUTE_RE.match(sql):
+        # EXECUTE runs a statement PREPAREd at init time. The stored TEXT
+        # is init-trusted, but wire-triggered execution is not: an init
+        # script that prepared a DML must not become a write path over
+        # the wire, so the stored statement gates like any other query
+        # (parameter placeholders neutralize to NULLs inside gate_text).
+        stmt = dialect.dialect_state(spark).prepared.get(m.group(1).lower())
+        if stmt is not None:
+            gate_text(stmt)
         return run()
     # Bare-path / read_* file references and embedded dynamic PIVOTs
     # don't parse as SQL; resolve them to registered views FIRST (read

@@ -383,3 +383,100 @@ def test_fuzz_distinct_on(spark, duck, rows):
     srows = [tuple(r) for r in spark.sql(rewrite(q)).collect()]
     drows = duck.execute(q).fetchall()
     assert srows == drows, q
+
+
+# ---------------------------------------------------------------------------
+# Schema-aware len() dispatch: hostile column names over random schemas
+# (VERDICT r5 item 2 — the _LEN_ARRAY_NAMES allowlist is gone; dispatch
+# resolves the argument's type from the session catalog).
+# ---------------------------------------------------------------------------
+
+# names chosen to defeat any allowlist: array-conventional names bound to
+# STRING columns, string-conventional names bound to ARRAY columns,
+# function-name collisions, and arbitrary identifiers
+_HOSTILE_NAMES = [
+    "tokens", "words", "w", "embedding", "shingles",  # allowlisted-as-array
+    "txt", "body", "s", "name",                        # string-conventional
+    "length", "size_", "len_", "val", "zz9",           # collisions/arbitrary
+]
+
+
+@given(
+    arr_name=st.sampled_from(_HOSTILE_NAMES),
+    str_name=st.sampled_from(_HOSTILE_NAMES),
+    lst=int_lists,
+    s=words,
+)
+@settings(**SETTINGS)
+def test_fuzz_len_schema_aware(spark, duck, arr_name, str_name, lst, s):
+    from hypothesis import assume
+
+    assume(arr_name != str_name)
+    duck.execute(
+        f"CREATE OR REPLACE VIEW fuzz_len AS "
+        f"SELECT {lst} AS {arr_name}, '{s}' AS {str_name}"
+    )
+    spark.createDataFrame(
+        [(lst, s)], f"`{arr_name}` array<int>, `{str_name}` string"
+    ).createOrReplaceTempView("fuzz_len")
+    q = (
+        f"SELECT len({arr_name}) AS la, len({str_name}) AS ls, "
+        f"len(t.{arr_name}) AS qa FROM fuzz_len t"
+    )
+    srow = tuple(spark.sql(rewrite(q, spark)).collect()[0])
+    drow = duck.execute(q).fetchone()
+    assert srow == drow, q
+
+
+# ---------------------------------------------------------------------------
+# Adversarial read-only gate (VERDICT r5 item 4): random write-shaped
+# payloads nested in random routed wrappers must raise through the
+# serving path and leave no trace in the catalog.
+# ---------------------------------------------------------------------------
+
+_GATE_PAYLOADS = [
+    "CREATE TABLE spark_catalog.default.fz_{n} AS SELECT 1 AS c, 2 AS v",
+    "DROP TABLE lineitem",
+    "INSERT INTO orders VALUES (1)",
+    "CACHE TABLE fz_{n} AS SELECT 1 AS c, 2 AS v",
+    "CREATE MACRO fz_{n}(a) AS a + 1",
+    "COPY (SELECT 1 AS c, 2 AS v) TO '/tmp/fz_{n}.parquet'",
+    "SET spark.sql.ansi.enabled=false",
+    "CREATE VIEW fz_{n} AS SELECT 1 AS c, 2 AS v",
+]
+
+_GATE_WRAPPERS = [
+    "WITH w AS ({p}) SELECT * FROM w",
+    "SELECT * FROM ({p}) t",
+    "PIVOT ({p}) ON c USING sum(v)",
+    "UNPIVOT ({p}) ON c INTO NAME k VALUE v",
+    "DESCRIBE SELECT * FROM ({p}) t",
+    "SELECT 1 AS c UNION BY NAME ({p})",
+    "SELECT * FROM (PIVOT ({p}) ON c USING sum(v)) q",
+]
+
+_gate_counter = iter(range(10_000_000))
+
+
+@given(
+    payload=st.sampled_from(_GATE_PAYLOADS),
+    wrappers=st.lists(st.sampled_from(_GATE_WRAPPERS), min_size=0, max_size=2),
+)
+@settings(**SETTINGS)
+def test_fuzz_readonly_gate_nested(spark, payload, wrappers):
+    import os
+
+    import pyarrow.flight as flight
+
+    from duckdb_server_spark import server as srv
+
+    n = next(_gate_counter)
+    stmt = payload.format(n=n)
+    for w in wrappers:
+        stmt = w.format(p=stmt)
+    with pytest.raises(flight.FlightServerError):
+        srv.resolve_query_frame(spark, stmt).collect()
+    assert not spark.catalog.tableExists(f"fz_{n}"), stmt
+    assert not spark.catalog.tableExists(f"spark_catalog.default.fz_{n}"), stmt
+    assert not os.path.exists(f"/tmp/fz_{n}.parquet"), stmt
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true", stmt

@@ -639,3 +639,99 @@ def test_wire_serves_duckdb_semantics_for_both_valid_sql(flight_port):
     # pure-Spark-dialect input still serves (fallback to native path)
     t = srv.query_raw(flight_port, "SELECT size(array(1, 2)) AS n")
     assert t.to_pydict() == {"n": [2]}
+
+
+# ---------------------------------------------------------------------------
+# Adversarial read-only-gate grid (VERDICT r5 item 4): every write-shaped
+# payload, smuggled through every statement wrapper the serving path
+# routes, must be REJECTED over the wire and must leave no side effect.
+# ---------------------------------------------------------------------------
+
+_HOSTILE_PAYLOADS = [
+    "CREATE TABLE spark_catalog.default.ev_{n} AS SELECT 1 AS c, 2 AS v",
+    "DROP TABLE lineitem",
+    "INSERT INTO orders VALUES (1)",
+    "DELETE FROM orders WHERE o_orderkey = 1",
+    "UPDATE orders SET o_orderkey = 1",
+    "SET spark.sql.shuffle.partitions=1",
+    "CACHE TABLE ev_{n} AS SELECT 1 AS c, 2 AS v",
+    "ADD JAR 'file:///tmp/ev_{n}.jar'",
+    "CREATE MACRO ev_{n}(a) AS a + 1",
+    "COPY (SELECT 1 AS c, 2 AS v) TO '/tmp/ev_{n}.parquet'",
+    "COPY orders FROM '/tmp/ev_{n}.csv'",
+    "PREPARE ev_{n} AS SELECT 1",
+    "CREATE VIEW ev_{n} AS SELECT 1 AS c, 2 AS v",
+]
+
+_HOSTILE_WRAPPERS = [
+    "{p}",
+    "WITH w AS ({p}) SELECT * FROM w",
+    "SELECT * FROM ({p}) t",
+    "PIVOT ({p}) ON c USING sum(v)",
+    "UNPIVOT ({p}) ON c INTO NAME k VALUE v",
+    "DESCRIBE SELECT * FROM ({p}) t",
+    "SELECT 1 AS c UNION BY NAME ({p})",
+    "SELECT * FROM (PIVOT ({p}) ON c USING sum(v)) q",
+]
+
+
+def test_readonly_gate_hostile_grid(spark, flight_port):
+    """Write-shaped payloads are denied through EVERY routed wrapper
+    (bare, CTE, derived table, PIVOT/UNPIVOT source, DESCRIBE SELECT,
+    UNION BY NAME arm, embedded PIVOT) — not merely unexecuted: the
+    wire returns an error and the catalog/conf show zero side effects."""
+    import os
+
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    n = 0
+    try:
+        for payload_tpl in _HOSTILE_PAYLOADS:
+            for wrapper in _HOSTILE_WRAPPERS:
+                n += 1
+                payload = payload_tpl.format(n=n)
+                stmt = wrapper.format(p=payload)
+                with pytest.raises((flight.FlightServerError, flight.FlightInternalError)):
+                    client.do_get(flight.Ticket(stmt.encode())).read_all()
+                # no side effects anywhere a payload could have landed
+                assert not spark.catalog.tableExists(f"ev_{n}"), stmt
+                assert not spark.catalog.tableExists(
+                    f"spark_catalog.default.ev_{n}"
+                ), stmt
+                assert not os.path.exists(f"/tmp/ev_{n}.parquet"), stmt
+        assert spark.conf.get("spark.sql.shuffle.partitions") == shuffle_before
+        # the warehouse survived every DROP/DELETE/UPDATE/INSERT attempt
+        t = client.do_get(
+            flight.Ticket(b"SELECT count(*) AS n FROM lineitem")
+        ).read_all()
+        assert t["n"][0].as_py() > 0
+        t = client.do_get(
+            flight.Ticket(b"SELECT count(*) AS n FROM orders")
+        ).read_all()
+        assert t["n"][0].as_py() > 0
+    finally:
+        client.close()
+
+
+def test_execute_of_init_prepared_dml_is_gated(spark, flight_port):
+    """An init script CAN prepare a DML (init is trusted); wire-triggered
+    EXECUTE of it must NOT become a write path — the stored statement
+    gates like any other wire query."""
+    from duckdb_server_spark.dialect import run_script
+
+    run_script(
+        spark,
+        "PREPARE ev_exec AS CREATE TABLE spark_catalog.default.ev_exec_t "
+        "AS SELECT 1 AS c;",
+    )
+    client = flight.connect(f"grpc://127.0.0.1:{flight_port}")
+    try:
+        with pytest.raises((flight.FlightServerError, flight.FlightInternalError)):
+            client.do_get(flight.Ticket(b"EXECUTE ev_exec")).read_all()
+        assert not spark.catalog.tableExists("spark_catalog.default.ev_exec_t")
+        # a read-only prepared statement still EXECUTEs fine over the wire
+        run_script(spark, "PREPARE ev_ok AS SELECT 41 + $1 AS v;")
+        t = client.do_get(flight.Ticket(b"EXECUTE ev_ok(1)")).read_all()
+        assert t.to_pydict() == {"v": [42]}
+    finally:
+        client.close()
