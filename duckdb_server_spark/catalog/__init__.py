@@ -53,6 +53,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (b04 oracle upgrade, b57 Arrow rewrite, b58 pre-pass composition,
 # brute-force top-k pre-prune consumers) so their green evidence
 # refreshes, then module order.
+# Round 6: the new JPEG decode query and every query whose code or
+# oracle changed this round (b58 moved to a full differential oracle via
+# the portable MinHash family; the band construction in
+# minhash_lsh_candidates was reshaped for it, so its non-portable
+# consumers re-verify too).
+_PRIORITY_R6: tuple[str, ...] = (
+    "b31b_jpeg_decode",        # new: baseline JPEG codec end-to-end
+    "b58_fuzzy_dedup_e2e",     # rows-only → full-oracle upgrade
+    "b03_minhash_lsh_pairs",   # band construction reshaped
+    "b03b_minhash_full_oracle",
+    "b12_embedding_near_dup",
+    "b30b_png_decode",         # decode_image dispatch gained JPEG branch
+)
+
 _PRIORITY_R5: tuple[str, ...] = (
     # --- the 7 never-driver-checked rows (VERDICT r4, "What's missing" 3) ---
     "s12_orc_sink_roundtrip",
@@ -367,14 +381,18 @@ _MODULE_ORDER = (
 def load_all() -> None:
     """Import every catalog module so registration side effects run, then
     re-order the registry so driver verification hits the highest-value
-    queries inside its budget (see _PRIORITY_R5)."""
+    queries inside its budget (see _PRIORITY_R6; the r5 head follows so
+    its still-recent evidence refreshes next)."""
     import importlib
 
     for mod in _MODULE_ORDER:
         importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
 
-    ordered = [n for n in _PRIORITY_R5 if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in _PRIORITY_R5]
+    head = list(_PRIORITY_R6) + [
+        n for n in _PRIORITY_R5 if n not in _PRIORITY_R6
+    ]
+    ordered = [n for n in head if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in head]
     for registry in (QUERIES, ORACLE):
         snapshot = {n: registry[n] for n in ordered if n in registry}
         registry.clear()

@@ -798,6 +798,126 @@ def b30b_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# b31b oracle: every emitted statistic is recomputed from the IMAGE
+# DEFINITION (character codes of the padded text prefix) without touching
+# JPEG at all. Exactness argument: (a) the tiles image is four constant
+# 8×8 blocks, whose real-pipeline DCT quantizes to exactly DC = 8·(v-128)
+# with zero ACs (float error ~1e-13 ≪ the 0.5 rounding margin; verified
+# for all 256 byte values in tests), and the DC-only IDCT reconstructs v
+# exactly — so pixel stats AND coefficient sum are integer-exact; (b) the
+# AC image is built at the quantized-coefficient level (what the
+# quantizer feeds the entropy coder), and entropy coding is lossless, so
+# the decoder's dequantized coefficients replay the text formula exactly,
+# proving the Huffman/run-length/ZRL/EOB/sign-extension chain bit-for-bit.
+_B31B_AC = " + ".join(
+    f"(CASE WHEN (c[{i}] % 31) = 15 THEN 1 ELSE (c[{i}] % 31) - 15 END)"
+    for i in range(6, 11)
+)
+_B31B_ORACLE = f"""
+    WITH px AS (
+      SELECT doc_id, substr(text || repeat('x', 10), 1, 10) AS s
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(range(1, 11),
+                            i -> ascii(substr(s, CAST(i AS INT), 1))) AS c
+      FROM px
+    )
+    SELECT doc_id, 16 AS width, 16 AS height,
+           round(CAST(64 * (c[1] + c[2] + c[3] + c[4]) AS DOUBLE) / 256.0, 6)
+             AS px_mean,
+           CAST(least(c[1], c[2], c[3], c[4]) AS INT) AS px_min,
+           CAST(greatest(c[1], c[2], c[3], c[4]) AS INT) AS px_max,
+           CAST(64 * (c[1] + c[2] + c[3] + c[4]) AS BIGINT) AS px_sum,
+           CAST(8 * (c[1] + c[2] + c[3] + c[4]) - 4096 AS BIGINT)
+             AS tile_coeff_sum,
+           CAST((c[5] - 96) + {_B31B_AC} AS BIGINT) AS ac_coeff_sum,
+           CAST(5 + (CASE WHEN c[5] <> 96 THEN 1 ELSE 0 END) AS INT)
+             AS ac_nonzero
+    FROM codes
+    ORDER BY doc_id ASC NULLS LAST
+    """
+
+# zigzag positions of the planted AC coefficients: gaps of 3, 11, and
+# twice 22 zeros exercise plain runs AND the 16-zero ZRL escape; position
+# 63 ends the block without an EOB.
+_B31B_AC_ZZ = (1, 5, 17, 40, 63)
+
+
+@query("b31b_jpeg_decode", oracle=_B31B_ORACLE)
+def b31b_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode through the binary column (closes the
+    last image-codec plug point; VERDICT r5 item 5 — the PNG playbook of
+    5592bcb applied to JPEG, operators/jpeg.py). Two images per document:
+
+    - a 16×16 four-tile image whose blocks are constant at the first
+      four character codes, pushed through the REAL pipeline (level
+      shift → float DCT → quantize → Huffman): exercises the DC
+      differential chain and DC-only IDCT, losslessly by construction;
+    - an 8×8 image built from exactly-known quantized coefficients (DC
+      from code 5, five ACs from codes 6-10 at sparse zigzag positions):
+      exercises AC Huffman decode, run lengths, both ZRL escapes, sign
+      extension, and end-at-63 (no EOB).
+
+    Both decode inside mapInPandas bodies (multimodal.jpeg_features);
+    payloads never visit the driver. Video remains the one declared
+    plug point."""
+    from duckdb_server_spark.operators.jpeg import (
+        ZIGZAG,
+        encode_jpeg_from_coeffs,
+        encode_jpeg_gray,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode_tiles(pdf_iter):
+        import pandas as _pd
+
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text_ or "")[:10]).ljust(10, "x").encode("latin-1")
+                px = bytearray(256)
+                for bi in range(4):
+                    by, bx = divmod(bi, 2)
+                    for y in range(8):
+                        row = (by * 8 + y) * 16 + bx * 8
+                        px[row : row + 8] = bytes([s[bi]]) * 8
+                ids.append(doc_id)
+                payloads.append(encode_jpeg_gray(bytes(px), 16, 16))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    def _encode_coeffs(pdf_iter):
+        import pandas as _pd
+
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text_ or "")[:10]).ljust(10, "x").encode("latin-1")
+                blk = [0] * 64
+                blk[0] = s[4] - 96
+                for j, zz in enumerate(_B31B_AC_ZZ):
+                    v = (s[5 + j] % 31) - 15
+                    blk[ZIGZAG[zz]] = 1 if v == 0 else v
+                ids.append(doc_id)
+                payloads.append(encode_jpeg_from_coeffs([blk], 8, 8))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    tiles = docs.mapInPandas(_encode_tiles, "doc_id long, payload binary")
+    acs = docs.mapInPandas(_encode_coeffs, "doc_id long, payload binary")
+    a = multimodal.jpeg_features(tiles).select(
+        "doc_id", "width", "height", "px_mean", "px_min", "px_max", "px_sum",
+        F.col("coeff_sum").alias("tile_coeff_sum"),
+    )
+    b = multimodal.jpeg_features(acs).select(
+        "doc_id",
+        F.col("coeff_sum").alias("ac_coeff_sum"),
+        F.col("coeff_nonzero").alias("ac_nonzero"),
+    )
+    return a.join(b, "doc_id").orderBy(F.col("doc_id").asc_nulls_last())
+
+
 @query(
     "b32_frame_sample",
     oracle="""

@@ -1,10 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata (beyond-reference capability).
 
-IMAGE decode is REAL for PNG: a pure-stdlib codec (operators/png.py —
-zlib + the five scanline filters) decodes actual image bytes inside the
-Arrow batch stream, verified end-to-end by the b30b differential oracle.
-Other codecs (JPEG/WebP via PIL, video via ffmpeg) remain declared plug
+IMAGE decode is REAL for PNG (operators/png.py — zlib + the five
+scanline filters, b30b differential oracle) AND for baseline JPEG
+(operators/jpeg.py — canonical Huffman + IDCT, b31b differential
+oracle); both decode actual image bytes inside the Arrow batch stream.
+Remaining formats (WebP via PIL, video via ffmpeg) are declared plug
 points — ``decode_image`` dispatches on magic bytes and raises for
 formats whose libraries this container lacks; the batch shape is
 identical, so a library import is the only change.
@@ -42,17 +43,22 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> dict:
-    """Image decode. PNG is decoded for real (stdlib zlib + the five
-    scanline filters — operators/png.py; no codec library needed); other
-    formats remain plug points (PIL.Image.open(BytesIO(payload)) drops in
-    here for JPEG/WebP/...)."""
+    """Image decode, dispatching on magic bytes. PNG (stdlib zlib + the
+    five scanline filters — operators/png.py) and baseline JPEG (canonical
+    Huffman + IDCT — operators/jpeg.py) are decoded for real; remaining
+    formats (WebP, video frames) are plug points (PIL.Image.open /
+    ffmpeg drop in here)."""
     from duckdb_server_spark.operators.png import PNG_SIGNATURE, decode_png
 
     if payload[:8] == PNG_SIGNATURE:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from duckdb_server_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only the PNG codec is built in; install an image library for "
-        "other formats"
+        "PNG and baseline JPEG codecs are built in; install an image "
+        "library for other formats"
     )
 
 
@@ -92,6 +98,54 @@ def _png_features(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def png_features(png_df: DataFrame) -> DataFrame:
     """Distributed decode of a PNG binary column → pixel statistics."""
     return png_df.mapInPandas(_png_features, PNG_FEATURE_SCHEMA)
+
+
+JPEG_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("px_mean", DoubleType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+        StructField("px_sum", LongType()),
+        StructField("coeff_sum", LongType()),
+        StructField("coeff_nonzero", IntegerType()),
+    ]
+)
+
+
+def _jpeg_features(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode REAL baseline-JPEG payloads (mapInPandas body) and emit
+    pixel statistics plus dequantized-coefficient statistics — the
+    coefficient pair verifies the entropy-coding chain (Huffman, run
+    lengths, ZRL/EOB, sign extension) independently of the IDCT."""
+    from duckdb_server_spark.operators.jpeg import decode_jpeg
+
+    for pdf in pdf_iter:
+        rows = {k: [] for k in ("doc_id", "width", "height", "px_mean",
+                                "px_min", "px_max", "px_sum",
+                                "coeff_sum", "coeff_nonzero")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_jpeg(bytes(payload))
+            px = img["pixels"]
+            coeffs = [c for blk in img["coeff_blocks"] for c in blk]
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(img["width"])
+            rows["height"].append(img["height"])
+            rows["px_mean"].append(round(sum(px) / len(px), 6))
+            rows["px_min"].append(min(px))
+            rows["px_max"].append(max(px))
+            rows["px_sum"].append(sum(px))
+            rows["coeff_sum"].append(sum(coeffs))
+            rows["coeff_nonzero"].append(sum(1 for c in coeffs if c != 0))
+        yield pd.DataFrame(rows)
+
+
+def jpeg_features(jpeg_df: DataFrame) -> DataFrame:
+    """Distributed decode of a baseline-JPEG binary column → pixel and
+    coefficient statistics."""
+    return jpeg_df.mapInPandas(_jpeg_features, JPEG_FEATURE_SCHEMA)
 
 
 def _byte_features(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,0 +1,154 @@
+"""Round-6 operator tests: baseline JPEG codec (operators/jpeg.py),
+portable MinHash family, and serving-dialect default plumbing."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from duckdb_server_spark.operators.jpeg import (
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg_from_coeffs,
+    encode_jpeg_gray,
+    idct_block,
+)
+
+
+def test_jpeg_coeff_roundtrip_exact():
+    """Entropy coding is lossless: coefficient blocks in → identical
+    dequantized blocks out, across random sparse patterns."""
+    rng = random.Random(7)
+    for _ in range(25):
+        blocks = []
+        for _ in range(4):
+            blk = [0] * 64
+            blk[0] = rng.randint(-1016, 1016)
+            for _ in range(rng.randint(0, 12)):
+                blk[rng.randint(0, 63)] = rng.randint(-500, 500)
+            blocks.append(blk)
+        dec = decode_jpeg(encode_jpeg_from_coeffs(blocks, 16, 16))
+        assert dec["coeff_blocks"] == blocks
+        assert (dec["width"], dec["height"]) == (16, 16)
+
+
+def test_jpeg_edge_blocks():
+    """ZRL escapes, end-at-63 (no EOB), all-zero block, byte stuffing."""
+    blk = [0] * 64
+    blk[63] = 7  # last AC position: block ends without EOB
+    assert decode_jpeg(encode_jpeg_from_coeffs([blk], 8, 8))["coeff_blocks"] == [blk]
+    blk = [0] * 64  # DC=0, immediate EOB
+    assert decode_jpeg(encode_jpeg_from_coeffs([blk], 8, 8))["coeff_blocks"] == [blk]
+    blk = [0] * 64
+    blk[ZIGZAG[1]] = 3
+    blk[ZIGZAG[40]] = -9  # 38-zero gap: two ZRL escapes + run 6
+    assert decode_jpeg(encode_jpeg_from_coeffs([blk], 8, 8))["coeff_blocks"] == [blk]
+    blk = [255] + [0] * 63  # entropy bytes contain 0xFF → stuffing path
+    assert decode_jpeg(encode_jpeg_from_coeffs([blk], 8, 8))["coeff_blocks"] == [blk]
+
+
+def test_jpeg_constant_tiles_lossless_all_values():
+    """A constant 8×8 block survives the REAL pipeline exactly for every
+    byte value: quantized DC is exactly 8·(v-128), ACs exactly zero, and
+    the reconstruction returns v — the exactness the b31b oracle relies
+    on."""
+    for v in (0, 1, 31, 32, 96, 126, 127, 128, 129, 200, 254, 255):
+        enc = encode_jpeg_gray(bytes([v] * 64), 8, 8)
+        dec = decode_jpeg(enc)
+        blk = dec["coeff_blocks"][0]
+        assert blk[0] == 8 * (v - 128)
+        assert not any(blk[1:])
+        assert dec["pixels"] == bytes([v] * 64)
+
+
+def test_jpeg_idct_matches_independent_matrix_form():
+    """IDCT vs an independent numpy matrix implementation."""
+    np = pytest.importorskip("numpy")
+    M = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            c = (1 / np.sqrt(2)) if u == 0 else 1.0
+            M[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+    rng = np.random.RandomState(11)
+    for _ in range(5):
+        C = rng.randint(-300, 300, (8, 8)).astype(float)
+        ref = 0.25 * (M.T @ C @ M)
+        mine = np.array(idct_block(list(C.flatten()))).reshape(8, 8)
+        assert np.allclose(ref, mine, atol=1e-9)
+
+
+def test_jpeg_lossy_error_bounded():
+    """Random pixels through the real pipeline with a unit quant table:
+    reconstruction error is the DCT rounding loss only (≤ ~2 levels)."""
+    rng = random.Random(3)
+    px = bytes(rng.randint(0, 255) for _ in range(32 * 16))
+    dec = decode_jpeg(encode_jpeg_gray(px, 32, 16))
+    assert max(abs(a - b) for a, b in zip(px, dec["pixels"])) <= 3
+
+
+def test_jpeg_quant_table_roundtrip():
+    """A non-unit quant table dequantizes coefficients by the DQT values
+    the decoder read from the stream."""
+    q = [1 + (i % 7) for i in range(64)]
+    coeffs = [((i * 13) % 21) - 10 for i in range(64)]
+    dec = decode_jpeg(encode_jpeg_from_coeffs([coeffs], 8, 8, quant=q))
+    assert dec["coeff_blocks"][0] == [coeffs[i] * q[i] for i in range(64)]
+
+
+def test_decode_image_dispatches_jpeg():
+    from duckdb_server_spark.operators.multimodal import decode_image
+
+    enc = encode_jpeg_gray(bytes([42] * 64), 8, 8)
+    img = decode_image(enc)
+    assert img["pixels"] == bytes([42] * 64)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WEBP")
+
+
+def test_portable_minhash_matches_duckdb_signatures(spark):
+    """The portable md5 signature family replays exactly in DuckDB."""
+    import duckdb
+
+    from duckdb_server_spark.operators.dedup import minhash_signatures
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {
+        r["doc_id"]: r["__sig"]
+        for r in minhash_signatures(
+            df, "text", "doc_id", num_hashes=8, portable=True
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{s}')" for i, s in rows)
+                + ") v(doc_id, text)")
+    mins = ", ".join(
+        f"min(CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || ',{i}'), 1, 15)) "
+        f"AS BIGINT)) AS m{i}"
+        for i in range(8)
+    )
+    drows = con.execute(f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(string_split_regex(text, '\\s+')) - 2 <= 0
+                   THEN [text]
+                   ELSE list_transform(
+                     range(1, len(string_split_regex(text, '\\s+')) - 1),
+                     i -> array_to_string(
+                       array_slice(string_split_regex(text, '\\s+'), i, i + 2),
+                       ' '))
+                 END AS sh
+          FROM t
+        ),
+        hashed AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+        )
+        SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    """).fetchall()
+    for row in drows:
+        assert sig[row[0]] == list(row[1:]), row[0]
