@@ -65,6 +65,7 @@ _PRIORITY_R6: tuple[str, ...] = (
     "b03b_minhash_full_oracle",
     "b12_embedding_near_dup",
     "b30b_png_decode",         # decode_image dispatch gained JPEG branch
+    "b55_semdedup",            # exact-dedup pre-pass now default-on
 )
 
 _PRIORITY_R5: tuple[str, ...] = (

@@ -532,12 +532,37 @@ def ivfpq_topk(
     )
 
 
+def _cell_of(
+    df: DataFrame, centroids: list[list[float]], corpus_id: str, vec_col: str
+) -> DataFrame:
+    """Scan-side coarse-quantizer cell assignment (argmin against the
+    broadcast centroid matrix) — the same expressions the pairwise stage
+    uses; shared by semdedup's exact-prepass expansion."""
+    with_cd = (
+        _matrix_lit(
+            df.select(F.col(corpus_id), F.col(vec_col)), "__cent", centroids
+        )
+        .withColumn("__vecd", _as_double(F.col(vec_col)))
+        .select(
+            F.col(corpus_id),
+            _l2_array(F.col("__vecd"), F.col("__cent")).alias("__cd"),
+        )
+    )
+    return with_cd.select(
+        F.col(corpus_id),
+        (F.array_position(F.col("__cd"), F.array_min("__cd")) - 1)
+        .cast("int")
+        .alias("__cell"),
+    )
+
+
 def semdedup_drop_list(
     corpus: DataFrame,
     centroids: list[list[float]],
     threshold: float = 0.95,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    exact_prepass: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -554,7 +579,65 @@ def semdedup_drop_list(
     is the cell equi-join, and pair cost is Σ |cell|² — bounded by the
     quantizer's cluster granularity (train k so cells fit memory; the
     paper uses k in the tens of thousands at web scale), never the
-    corpus N²."""
+    corpus N².
+
+    ``exact_prepass`` (default on — the b58 recipe's mitigation, VERDICT
+    r5 item 8) first collapses byte-identical vectors to their lowest-id
+    representative, runs the pairwise stage over DISTINCT vectors only,
+    and expands members back afterwards — neutralizing the quadratic
+    blow-up a clone-dense cell otherwise causes. The output is provably
+    identical to the no-prepass result: a clone shares its rep's cell
+    and cosines, its witness is min(rep's witness, rep) = the rep's
+    witness when the rep is itself dropped (that witness is lower) else
+    the rep, and its max cosine is 1 (its clone-mate), all of which the
+    expansion emits; conversely collapsing can't change any survivor's
+    witness because a non-rep candidate's rep is a lower-id candidate
+    with the same cosine."""
+    if exact_prepass:
+        fp = corpus.select(
+            F.col(corpus_id),
+            F.col(vec_col),
+            F.xxhash64(F.col(vec_col)).alias("__fp"),
+        )
+        groups = fp.groupBy("__fp").agg(
+            F.min(corpus_id).alias("__rep"),
+            # vectors are identical within a hash group → first() stable
+            F.first(vec_col).alias(vec_col),
+        )
+        reps = groups.select(F.col("__rep").alias(corpus_id), vec_col)
+        base = semdedup_drop_list(
+            reps, centroids, threshold, corpus_id, vec_col,
+            exact_prepass=False,
+        )
+        # Every non-rep member is dropped: witness = rep's witness if the
+        # rep was dropped too (it is lower), else the rep itself; its
+        # max cosine is its clone-mate's 1.0 (or the rep's higher-ulp
+        # raw max — both round identically). The rep's cell rides in
+        # from a scan-side re-assignment of the (already distinct) reps.
+        members = fp.join(groups.select("__fp", "__rep"), "__fp").filter(
+            F.col(corpus_id) != F.col("__rep")
+        )
+        rep_cells = _cell_of(reps, centroids, corpus_id, vec_col).select(
+            F.col(corpus_id).alias("__rep"), F.col("__cell").alias("__rep_cell")
+        )
+        rep_drops = base.select(
+            F.col(corpus_id).alias("__rep"),
+            F.col("witness_id").alias("__rw"),
+            F.col("max_cos").alias("__rm"),
+        )
+        member_rows = (
+            members.join(rep_cells, "__rep")
+            .join(rep_drops, "__rep", "left")
+            .select(
+                F.col(corpus_id),
+                F.col("__rep_cell").alias("cell"),
+                F.coalesce("__rw", F.col("__rep")).alias("witness_id"),
+                F.greatest(F.lit(1.0), F.coalesce("__rm", F.lit(0.0))).alias(
+                    "max_cos"
+                ),
+            )
+        )
+        return base.unionByName(member_rows)
     # One scan-side pass: double-cast vector, its norm, and the cell —
     # centroids ride along as a broadcast matrix column (_matrix_lit, so
     # k scales without blowing up the expression tree), the distance

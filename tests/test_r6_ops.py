@@ -152,3 +152,43 @@ def test_portable_minhash_matches_duckdb_signatures(spark):
     """).fetchall()
     for row in drows:
         assert sig[row[0]] == list(row[1:]), row[0]
+
+
+def test_semdedup_exact_prepass_identity(spark):
+    """exact_prepass=True (default) must produce EXACTLY the no-prepass
+    drop list on a clone-dense corpus — witnesses, cells, and rounded
+    cosines included (the argument in semdedup_drop_list's docstring)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_server_spark.operators.similarity import semdedup_drop_list
+    from duckdb_server_spark.session import load_table as t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    clones = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+    )
+    clones2 = emb.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding"
+    )
+    staged = emb.unionByName(clones).unionByName(clones2)
+    cents = [
+        [float(v) for v in r.embedding]
+        for r in emb.orderBy("vec_id").limit(16).collect()
+    ]
+
+    def canon(df):
+        return sorted(
+            (r.vec_id, r.cell, r.witness_id, round(r.max_cos, 6))
+            for r in df.collect()
+        )
+
+    with_pre = canon(
+        semdedup_drop_list(staged, cents, threshold=0.99, exact_prepass=True)
+    )
+    without = canon(
+        semdedup_drop_list(staged, cents, threshold=0.99, exact_prepass=False)
+    )
+    assert with_pre == without
+    assert len(with_pre) >= 55  # every clone is dropped
