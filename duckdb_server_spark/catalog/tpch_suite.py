@@ -126,10 +126,16 @@ def t06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7: bilateral trade volume. Both nation lookups broadcast
-    (one table aliased twice); the pair-disjunction filter runs after
-    the broadcast joins, so only the lineitem⋈orders⋈customer chain
-    shuffles."""
+    """TPC-H Q7: bilateral trade volume. The nation-pair disjunction
+    implies each side is one of TWO nations, so the nation filter pushes
+    BELOW the fact joins: supplier and customer each broadcast-join the
+    two-row nation subset first (≈2/25 selectivity), the filtered
+    supplier side prunes lineitem before anything shuffles, and only the
+    already-bilateral subset reaches the orders⋈customer chain; the
+    disjunction then merely removes the two same-nation combinations.
+    (The filter-last form shuffled the full fact chain and went ~12× at
+    the 10× tier — scaling_study r6.) Fact-side joins stay unforced so
+    AQE picks broadcast at small SF and shuffle at warehouse scale."""
     sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -137,25 +143,32 @@ def t07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nset = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
     n1 = F.broadcast(
-        t(spark, sf_dir, "nation").select(
+        nset.select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
         )
     )
     n2 = F.broadcast(
-        t(spark, sf_dir, "nation").select(
+        nset.select(
             F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
         )
+    )
+    sup2 = sup.join(n1, F.col("s_nationkey") == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust2 = cust.join(n2, F.col("c_nationkey") == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
     )
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        sup.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(sup2, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
-        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .join(cust2, F.col("c_custkey") == F.col("o_custkey"))
         .filter(pair)
         .select(
             "supp_nation",
@@ -306,22 +319,25 @@ def t09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13: order-count histogram via left outer join with an
-    extra join-side predicate (kept in the join condition, NOT a
-    post-filter — outer-join semantics differ). count(col) counts only
-    matched rows, preserving zero-order customers."""
+    """TPC-H Q13: order-count histogram. Aggregate-below-join shape: the
+    join-side priority predicate pushes into a pre-aggregation of orders
+    per customer key FIRST (map-side combine, so the shuffle carries
+    (custkey, count) pairs — never full order rows), then customers LEFT
+    JOIN the counts with NULL→0 for zero-order customers. Equivalent to
+    the spec's left-join-then-count (count(o_orderkey) counts matched
+    rows only) but the join input shrinks from |orders| to ≤|customer|
+    rows — the shape that held the 10× scaling tier linear where the
+    join-first form went 19× (scaling_study r6)."""
     cust = t(spark, sf_dir, "customer").select("c_custkey")
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
-    per_cust = (
-        cust.join(
-            orders,
-            (F.col("c_custkey") == F.col("o_custkey"))
-            & (F.col("o_orderpriority") != "1-URGENT"),
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    ord_counts = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
+    per_cust = cust.join(
+        ord_counts, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))

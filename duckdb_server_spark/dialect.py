@@ -1642,13 +1642,15 @@ def _rewrite_lateral_values(s: str) -> str:
     return s
 
 
-def rewrite(sql: str, spark=None) -> str:
+def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     """Full DuckDB→Spark dialect rewrite (string to string, no parsing).
     Safe only for DuckDB-dialect input — e.g. ``trunc`` is renamed to the
     numeric shim and subscripts shift to 0-based — which is why
     :func:`run_sql` tries native Spark first. When a session is supplied,
     polymorphic dispatch (``len``) resolves argument types from the
-    catalog schemas of the referenced tables instead of name heuristics."""
+    catalog schemas of the referenced tables instead of name heuristics.
+    ``duckdb_first`` (the serving mode) additionally routes the
+    libm-divergent numeric family through bit-identical shims."""
     masked, table = _mask(sql)
     # DuckDB string literals are escape-free ('\s+' is backslash-s-plus);
     # Spark's parser processes backslash escapes ('\s+' becomes s-plus).
@@ -1680,6 +1682,8 @@ def rewrite(sql: str, spark=None) -> str:
     masked = re.sub(r"\bAS\s+VARCHAR\b(?!\s*\()", "AS STRING", masked,
                     flags=re.IGNORECASE)
     masked = _rewrite_fn_names(masked)
+    if duckdb_first:
+        masked = _rewrite_libm(masked)
     masked = _rewrite_list_aggregate(masked, table)
     masked = _rewrite_subscripts(masked)
     masked = _rewrite_distinct_on(masked)
@@ -1749,6 +1753,166 @@ def register_dialect_functions(spark: SparkSession) -> None:
         "RETURNS STRING "
         f"RETURN translate(s, '{_ACCENTED}', '{_PLAIN}')"
     )
+    _register_libm_shims(spark)
+
+
+# DuckDB evaluates these through C libm; the JVM's Math intrinsics differ
+# in the last ulp (measured: asin/acos/atan/atan2/exp/ln/log10/log2
+# diverge on ordinary inputs). Under DuckDB-first serving they remap to
+# Arrow-vectorized pandas UDFs calling Python's math module — the SAME
+# libm DuckDB links, so results are bit-identical. Parity shims only:
+# native sessions and the non-forced rewrite path keep JVM codegen trig.
+_LIBM_FNS = (
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "exp", "ln", "log10", "log2", "sinh", "cosh", "tanh",
+)
+_LIBM_RE = re.compile(
+    r"\b(" + "|".join(_LIBM_FNS) + r"|atan2)\s*\(", re.IGNORECASE
+)
+_DEG_RAD_RE = re.compile(r"\b(degrees|radians)\s*\(", re.IGNORECASE)
+_ROUND_RE = re.compile(r"\bround\s*\(", re.IGNORECASE)
+# 180/π and π/180 as nearest doubles — DuckDB computes degrees/radians
+# as one IEEE multiply by these constants, so a textual multiply matches
+# it exactly (verified value-for-value; no UDF needed). CAST to DOUBLE:
+# Spark parses bare decimal literals as DECIMAL, which would change the
+# arithmetic.
+_DEG_CONST = "CAST(57.29577951308232 AS DOUBLE)"
+_RAD_CONST = "CAST(0.017453292519943295 AS DOUBLE)"
+
+
+def _register_libm_shims(spark: SparkSession) -> None:
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    impl = {name: getattr(math, name) for name in _LIBM_FNS if name != "ln"}
+    impl["ln"] = math.log
+
+    def make(f):
+        def shim(s):
+            def one(v):
+                try:
+                    return f(v)
+                except (ValueError, OverflowError, TypeError):
+                    return float("nan")
+
+            return s.astype("float64").map(one)
+
+        # real annotation objects: the module-wide `from __future__ import
+        # annotations` would otherwise leave unresolvable strings and
+        # break pandas_udf's type inference
+        shim.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return shim
+
+    for name, f in impl.items():
+        spark.udf.register(f"dd_libm_{name}", pandas_udf(make(f), "double"))
+
+    def atan2_shim(y, x):
+        return pd.Series(
+            [
+                math.atan2(a, b)
+                for a, b in zip(y.astype("float64"), x.astype("float64"))
+            ]
+        )
+
+    atan2_shim.__annotations__ = {
+        "y": pd.Series, "x": pd.Series, "return": pd.Series
+    }
+    spark.udf.register("dd_libm_atan2", pandas_udf(atan2_shim, "double"))
+
+    # DuckDB rounds doubles as floor(v·10^p + 0.5)/10^p (ceil for
+    # negatives) — calibrated bit-exact against it over 6k cases; Spark's
+    # HALF_UP over the decimal representation disagrees within an ulp of
+    # the .5 boundary, which is exactly where libm-exact inputs land.
+    def round_shim(v, p):
+        out = []
+        for a, b in zip(v.astype("float64"), p):
+            if a != a or a in (float("inf"), float("-inf")):
+                out.append(a)
+                continue
+            power = 10.0 ** int(b)
+            out.append(
+                math.floor(a * power + 0.5) / power
+                if a >= 0
+                else math.ceil(a * power - 0.5) / power
+            )
+        return pd.Series(out)
+
+    round_shim.__annotations__ = {
+        "v": pd.Series, "p": pd.Series, "return": pd.Series
+    }
+    spark.udf.register("dd_libm_round", pandas_udf(round_shim, "double"))
+
+
+def _rewrite_division(s: str) -> str:
+    """DuckDB's ``/`` ALWAYS returns DOUBLE (``SELECT typeof(10/4)`` →
+    DOUBLE; decimal operands included), while Spark keeps DECIMAL
+    arithmetic when a decimal literal is involved — so ``p_size / 51.0``
+    diverges from DuckDB before any function ever runs. Wrapping the
+    left operand in CAST(… AS DOUBLE) makes every Spark division a
+    double division (double/decimal → double), after which downstream
+    mixed arithmetic promotes identically in both engines."""
+    i = 0
+    while i < len(s):
+        if s[i] != "/":
+            i += 1
+            continue
+        if (i > 0 and s[i - 1] == "/") or (i + 1 < len(s) and s[i + 1] == "/"):
+            i += 1  # '//' integer division — not this operator
+            continue
+        # walk back over one primary operand
+        j = i - 1
+        while j >= 0 and s[j] in " \t\n":
+            j -= 1
+        end = j + 1
+        while j >= 0:
+            if s[j] in ")]":
+                depth, openc = 1, "(" if s[j] == ")" else "["
+                closec = s[j]
+                j -= 1
+                while j >= 0 and depth:
+                    if s[j] == closec:
+                        depth += 1
+                    elif s[j] == openc:
+                        depth -= 1
+                    j -= 1
+            elif s[j].isalnum() or s[j] in "_.\x00":
+                j -= 1
+            else:
+                break
+        start = j + 1
+        operand = s[start:end]
+        if not operand.strip():
+            i += 1
+            continue
+        repl = f"CAST({operand} AS DOUBLE)"
+        s = s[:start] + repl + s[end:]
+        i = start + len(repl) + (i - end) + 1
+    return s
+
+
+def _rewrite_libm(s: str) -> str:
+    """DuckDB-first only: route the libm-divergent numeric family and
+    double rounding to the bit-identical shims, and expand
+    degrees/radians to the exact constant multiply DuckDB performs."""
+    s = _rewrite_division(s)
+    s = _LIBM_RE.sub(lambda m: "dd_libm_" + m.group(1).lower() + "(", s)
+    while m := _DEG_RAD_RE.search(s):
+        close = _matching_paren(s, s.index("(", m.start()))
+        inner = s[s.index("(", m.start()) + 1 : close]
+        const = _DEG_CONST if m.group(1).lower() == "degrees" else _RAD_CONST
+        s = s[: m.start()] + f"(({inner}) * {const})" + s[close + 1 :]
+    pos = 0
+    while m := _ROUND_RE.search(s, pos):
+        open_idx = s.index("(", m.start())
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        inner = ", ".join(args) if len(args) == 2 else args[0] + ", 0"
+        s = s[: m.start()] + f"dd_libm_round({inner})" + s[close + 1 :]
+        # continue scanning INSIDE the arguments (nested rounds rewrite too)
+        pos = m.start() + len("dd_libm_round(")
+    return s
 
 
 # ---------------------------------------------------------------------------
@@ -2648,6 +2812,43 @@ def _run_recursive_cte(spark: SparkSession, sql: str) -> DataFrame:
     close = _matching_paren(masked, open_idx)
     body = masked[open_idx + 1 : close]
     outer = masked[close + 1 :].strip()
+    if not re.search(rf"\b{re.escape(name)}\b", body, re.IGNORECASE):
+        # WITH RECURSIVE marks the whole CTE list; THIS cte never
+        # references itself, so it is an ordinary CTE that happens to
+        # lead the list (b58's oracle shape). Materialize it as a temp
+        # view, re-head the remainder as WITH RECURSIVE, and recurse —
+        # the truly self-referencing CTE down the list gets the
+        # fixpoint; a list with none left falls out to plain WITH.
+        plain = run_sql(spark, _unmask(body, table))
+        if cols:
+            plain = plain.toDF(*cols)
+        # Materialize: the downstream fixpoint re-reads these views every
+        # iteration (a lazy view would re-execute its whole chain per
+        # round), and a checkpointed LogicalRDD also gives the recursive
+        # step a fresh-attribute plan — deep lazy view chains under the
+        # fixpoint trip Spark's attribute rewrite ("key not found" in
+        # localCheckpoint of the step frame).
+        plain = plain.localCheckpoint(eager=True)
+        if spark.catalog.tableExists(name):
+            # avoid clobbering an existing relation: fresh name, masked
+            # substitution (literals immune)
+            fresh = f"__dd_cte_{hashlib.md5(sql.encode()).hexdigest()[:10]}"
+            outer = re.sub(
+                rf"\b{re.escape(name)}\b", fresh, outer, flags=re.IGNORECASE
+            )
+            view = fresh
+        else:
+            view = name
+        plain.createOrReplaceTempView(view)
+        rest = _unmask(outer, table)
+        if rest.lstrip().startswith(","):
+            rest = "WITH RECURSIVE " + rest.lstrip()[1:]
+        try:
+            out = run_sql(spark, rest)
+            out.schema
+            return out
+        finally:
+            spark.catalog.dropTempView(view)
     # the recursive term is the LAST top-level UNION
     ui = -1
     probe = 0
@@ -2944,7 +3145,7 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         # never pay this — the default path below tries spark.sql
         # untouched.
         try:
-            df = spark.sql(rewrite(sql, spark))
+            df = spark.sql(rewrite(sql, spark, duckdb_first=True))
             df.schema
             return df
         except Exception:

@@ -237,7 +237,7 @@ def resolve_query_sql(spark: SparkSession, sql: str) -> str:
     duck_first = setting in ("duckdb", "duck") if setting else True
     if duck_first:
         try:
-            rewritten = rewrite(sql, spark)
+            rewritten = rewrite(sql, spark, duckdb_first=True)
             assert_query_shaped(spark, rewritten)
             spark.sql(rewritten).schema
             return rewritten

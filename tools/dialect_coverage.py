@@ -13,17 +13,15 @@ Usage:
 
 The sweep runs under the SERVER's execution mode (dialect.serving_dialect
 — DuckDB-first, the Flight wire default), because the wire contract is
-verbatim DuckDB SQL (main.go:199,229). Steady state: 203/205
-verbatim-match. ``--native`` sweeps the embedded ``Engine.sql`` mode
-instead (native-first, 202/205 — the fn_string_declared 2-arg
-ltrim/rtrim row executes with Spark argument order there, by design for
-Spark-dialect embedding). The remaining non-matching rows are pinned
-engine divergences, not dialect gaps:
-
-- fn_trig — round(trig(x), 6) exposes last-ulp libm differences between
-  DuckDB and the JVM; values agree to ~1e-15.
-- fn_numeric_core — DuckDB's degrees() disagrees with the JVM's in the
-  5th decimal (constant precision); everything else matches.
+verbatim DuckDB SQL (main.go:199,229). Steady state: **ALL oracle
+statements verbatim-match (207/207 as of round 6)** — the former libm
+divergences (fn_trig, fn_numeric_core) are closed by the DuckDB-first
+libm shims (dd_libm_* pandas UDFs calling the same C libm DuckDB links,
+a bit-exact round, double division, and exact degrees/radians constant
+multiplies — dialect._rewrite_libm). ``--native`` sweeps the embedded
+``Engine.sql`` mode instead (native-first): there the 2-arg ltrim/rtrim
+row keeps Spark argument order and the numeric rows keep JVM codegen
+math, by design for Spark-dialect embedding (202/205 on that surface).
 """
 
 from __future__ import annotations

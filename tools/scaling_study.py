@@ -39,14 +39,21 @@ TIERS = {
     "10x": ("/tmp/scale_x10", 10),
     "100x": ("/tmp/scale_x100", 100),
 }
-# (table, id column, per-replica id offset); lineitem only to 10x — the
+# (table, {column: per-replica offset}); fact tables only to 10x — the
 # 60M-row 100x build thrashes the single-JVM heap for little signal.
+# The TPC-H fact chain (lineitem → orders → customer) replicates with
+# CONSISTENT key offsets so every join still resolves at tier; dimension
+# tables (region/nation/supplier/part) stay fixed — the realistic shape
+# of a warehouse scale-up, and what makes the t-suite runnable at 10×.
 TABLES = (
-    ("documents", "doc_id", 10_000_000, (10, 100)),
-    ("events", "event_id", 100_000_000, (10, 100)),
-    ("embeddings", "vec_id", 10_000_000, (10, 100)),
-    ("lineitem", "l_orderkey", 100_000_000, (10,)),
+    ("documents", {"doc_id": 10_000_000}, (10, 100)),
+    ("events", {"event_id": 100_000_000}, (10, 100)),
+    ("embeddings", {"vec_id": 10_000_000}, (10, 100)),
+    ("lineitem", {"l_orderkey": 100_000_000}, (10,)),
+    ("orders", {"o_orderkey": 100_000_000, "o_custkey": 10_000_000}, (10,)),
+    ("customer", {"c_custkey": 10_000_000}, (10,)),
 )
+DIM_LINKS = ("region", "nation", "supplier", "part")
 GROUPS = {
     "cheap": [
         ("b20_text_quality", 5_000, ("1x", "10x", "100x")),
@@ -66,22 +73,57 @@ GROUPS = {
         ("b03_minhash_lsh_pairs", 5_000, ("1x", "10x", "100x")),
         ("b55_semdedup", 2_000, ("1x", "10x", "100x")),
     ],
+    # the full TPC-H-ish suite at the 10× fact tier (lineitem 6M rows,
+    # joins resolving against consistently-offset orders/customer and
+    # fixed dims) — VERDICT r5 item 6. base_rows = lineitem at sf0.1.
+    "tpch": [
+        (name, 600_000, ("1x", "10x"))
+        for name in (
+            "q01_pricing_summary",
+            "t02_min_cost_supplier",
+            "t03_shipping_priority",
+            "t04_order_priority",
+            "t05_region_supplier_volume",
+            "t06_forecast_revenue",
+            "t07_volume_shipping",
+            "t08_market_share",
+            "t09_product_type_profit",
+            "t10_returned_items",
+            "t11_important_part_value",
+            "t12_priority_lines",
+            "t13_customer_distribution",
+            "t14_promo_revenue",
+            "t15_top_supplier",
+            "t16_supplier_part_count",
+            "t17_small_quantity_revenue",
+            "t18_large_volume_customer",
+            "t19_disjunctive_filter",
+            "t20_potential_promotion",
+            "t21_waiting_supplier",
+            "t22_global_sales_opportunity",
+        )
+    ],
 }
 
 
 def generate(spark) -> None:
-    for table, id_col, stride, reps_list in TABLES:
+    for table, offsets, reps_list in TABLES:
         for reps in reps_list:
             out = f"/tmp/scale_x{reps}/{table}.parquet"
             df = spark.read.parquet(f"{SRC}/{table}.parquet")
             rep = spark.range(reps).select(F.col("id").alias("__rep"))
-            big = (
-                df.crossJoin(rep)
-                .withColumn(id_col, F.col(id_col) + F.col("__rep") * stride)
-                .drop("__rep")
-            )
+            big = df.crossJoin(rep)
+            for col, stride in offsets.items():
+                big = big.withColumn(col, F.col(col) + F.col("__rep") * stride)
+            big = big.drop("__rep")
             big.repartition(32).write.mode("overwrite").parquet(out)
             print(f"x{reps} {table}: {spark.read.parquet(out).count():,} rows")
+    # dimension tables ride along unreplicated (symlinked, not copied)
+    for reps in (10, 100):
+        for dim in DIM_LINKS:
+            link = f"/tmp/scale_x{reps}/{dim}.parquet"
+            if not os.path.lexists(link):
+                os.symlink(f"{SRC}/{dim}.parquet", link)
 
 
 def run(spark, group: str) -> None:
