@@ -72,8 +72,13 @@ def test_png_decode_rejects_garbage():
 
     with _pytest.raises(ValueError):
         decode_png(b"not a png at all........")
-    with _pytest.raises(NotImplementedError):
+    # JPEG is a REAL codec as of round 6: a truncated header now fails
+    # the parser (not NotImplementedError); unimplemented formats still
+    # refuse cleanly.
+    with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg header")
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WEBPVP8 ")
 
 
 def test_png_decode_detects_corruption():
