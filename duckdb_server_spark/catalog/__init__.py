@@ -60,6 +60,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # consumers re-verify too).
 _PRIORITY_R6: tuple[str, ...] = (
     "b31b_jpeg_decode",        # new: baseline JPEG codec end-to-end
+    "b32b_video_frames",       # new: MJPEG-AVI container + frame sampling
+    "b33b_audio_decode",       # new: PCM WAV codec end-to-end
     "b58_fuzzy_dedup_e2e",     # rows-only → full-oracle upgrade
     "b03_minhash_lsh_pairs",   # band construction reshaped
     "b03b_minhash_full_oracle",

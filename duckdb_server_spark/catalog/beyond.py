@@ -918,6 +918,139 @@ def b31b_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "doc_id").orderBy(F.col("doc_id").asc_nulls_last())
 
 
+# b32b: REAL video decode. Every document becomes a 6-frame MJPEG AVI
+# (constant-tile JPEG frames — exact roundtrip, the b31b argument);
+# frame SAMPLING at stride 2 happens at the container level, so only
+# frames 0/2/4 pay JPEG decode. The oracle recomputes the sampled-frame
+# pixel statistics from the frame definition (character codes) with no
+# notion of AVI or JPEG — a hash-match proves container walk, frame
+# extraction, sampling arithmetic, and per-frame decode end to end.
+_B32B_ORACLE = """
+    WITH px AS (
+      SELECT doc_id, substr(text || repeat('x', 8), 1, 8) AS s
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(range(1, 9),
+                            i -> ascii(substr(s, CAST(i AS INT), 1))) AS c
+      FROM px
+    )
+    SELECT doc_id, 6 AS n_frames, 3 AS n_sampled, 8 AS width, 8 AS height,
+           CAST(64 * (c[1] + c[3] + c[5]) AS BIGINT) AS px_sum,
+           CAST(least(c[1], c[3], c[5]) AS INT) AS px_min,
+           CAST(greatest(c[1], c[3], c[5]) AS INT) AS px_max
+    FROM codes
+    ORDER BY doc_id ASC NULLS LAST
+    """
+
+
+@query("b32b_video_frames", oracle=_B32B_ORACLE)
+def b32b_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode through the binary column — the LAST multimodal
+    plug point closed (operators/avi.py): each document encodes six
+    8×8 constant-tile JPEG frames into a spec-shaped MJPEG AVI (RIFF
+    hdrl/movi/idx1), and multimodal.video_frame_features walks the
+    container, samples every 2nd frame, and decodes ONLY the sampled
+    frames — decode cost tracks the sample, not the footage, which is
+    the shape frame-sampling needs at 100 TB. MP4/WebM stay declared
+    plug points behind the same dispatch."""
+    from duckdb_server_spark.operators.avi import encode_avi_mjpeg
+    from duckdb_server_spark.operators.jpeg import encode_jpeg_gray
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(pdf_iter):
+        import pandas as _pd
+
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text_ or "")[:8]).ljust(8, "x").encode("latin-1")
+                frames = [
+                    encode_jpeg_gray(bytes([s[i]] * 64), 8, 8)
+                    for i in range(6)
+                ]
+                ids.append(doc_id)
+                payloads.append(encode_avi_mjpeg(frames, 8, 8, fps=10))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    avi_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
+    return multimodal.video_frame_features(avi_df, stride=2).orderBy(
+        F.col("doc_id").asc_nulls_last()
+    )
+
+
+# b33b: REAL audio decode. Samples are an integer function of the text
+# codes, so every emitted statistic — including the data-dependent
+# zero-crossing count — replays exactly in SQL with no notion of WAV.
+_B33B_ORACLE = """
+    WITH px AS (
+      SELECT doc_id, substr(text || repeat('x', 8), 1, 8) AS s
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(range(1, 9),
+                            i -> ascii(substr(s, CAST(i AS INT), 1))) AS c
+      FROM px
+    ),
+    smp AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+                 k -> c[CAST(k % 8 AS INT) + 1]
+                      * (CAST(k AS INT) // 8 + 1) - 480) AS v
+      FROM codes
+    )
+    SELECT doc_id, 64 AS n_samples, 8000 AS sample_rate, 1 AS channels,
+           CAST(list_aggregate(v, 'min') AS INT) AS amp_min,
+           CAST(list_aggregate(v, 'max') AS INT) AS amp_max,
+           CAST(list_aggregate(v, 'sum') AS BIGINT) AS amp_sum,
+           CAST(list_aggregate(list_transform(v, x -> x * x), 'sum')
+                AS BIGINT) AS sq_sum,
+           CAST(len(list_filter(range(1, 64),
+                k -> (v[CAST(k AS INT)] >= 0) <> (v[CAST(k AS INT) + 1] >= 0)))
+                AS INT) AS zero_crossings
+    FROM smp
+    ORDER BY doc_id ASC NULLS LAST
+    """
+
+
+@query("b33b_audio_decode", oracle=_B33B_ORACLE)
+def b33b_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the binary column (operators/wav.py):
+    each document's deterministic 64-sample PCM signal (an integer ramp
+    of its first eight character codes) encodes to a 16-bit mono WAV and
+    decodes back inside mapInPandas (multimodal.audio_features), emitting
+    integer amplitude statistics plus the zero-crossing count. The
+    oracle recomputes everything from the sample DEFINITION, so a
+    hash-match proves the RIFF chunk walk, fmt parsing, and sample
+    extraction are lossless. Compressed codecs (MP3/Opus) remain plug
+    points behind decode_audio's dispatch."""
+    from duckdb_server_spark.operators.wav import encode_wav
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(pdf_iter):
+        import pandas as _pd
+
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text_ or "")[:8]).ljust(8, "x").encode("latin-1")
+                samples = [
+                    s[k % 8] * (k // 8 + 1) - 480 for k in range(64)
+                ]
+                ids.append(doc_id)
+                payloads.append(encode_wav(samples, 8000, 1, 16))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    wav_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
+    return multimodal.audio_features(wav_df).orderBy(
+        F.col("doc_id").asc_nulls_last()
+    )
+
+
 @query(
     "b32_frame_sample",
     oracle="""

@@ -181,16 +181,133 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def decode_video_frames(payload: bytes, stride: int):
-    """Real video decode — requires ffmpeg/codec libs not present here.
+def decode_video_frames(payload: bytes, stride: int) -> list[dict]:
+    """Real video decode for MJPEG AVI (pure stdlib: operators/avi.py
+    RIFF walk + operators/jpeg.py per-frame decode) — SAMPLING happens at
+    the container level, every ``stride``-th frame, so unsampled frames
+    never pay JPEG decode (the 100 TB pattern: decode cost tracks the
+    sample, not the footage). Other containers (MP4/WebM) remain plug
+    points: av.open(BytesIO(payload)) drops in here."""
+    from duckdb_server_spark.operators.avi import decode_avi
 
-    Plug point: replace the raise with av.open(BytesIO(payload)) frame
-    iteration.
-    """
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        video = decode_avi(payload)
+        return [
+            {"frame_idx": i, **decode_image(frame)}
+            for i, frame in enumerate(video["frames"])
+            if i % stride == 0
+        ]
     raise NotImplementedError(
-        "video codec not available in this environment; fixed-stride byte "
-        "windows stand in as deterministic fake frames"
+        "MJPEG-AVI is the built-in container; install ffmpeg/av for "
+        "MP4/WebM"
     )
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Real audio decode for PCM WAV (pure stdlib: operators/wav.py).
+    Compressed codecs (MP3/Opus/FLAC) remain plug points."""
+    from duckdb_server_spark.operators.wav import decode_wav
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "PCM WAV is the built-in audio codec; install an audio library "
+        "for compressed formats"
+    )
+
+
+VIDEO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_sampled", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+    ]
+)
+
+
+def video_frame_features(video_df: DataFrame, stride: int = 2) -> DataFrame:
+    """Distributed MJPEG-AVI decode → pixel statistics over every
+    ``stride``-th frame (container parse per video, JPEG decode only for
+    sampled frames)."""
+    from duckdb_server_spark.operators.avi import decode_avi
+
+    def body(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = {k: [] for k in ("doc_id", "n_frames", "n_sampled",
+                                    "width", "height", "px_sum",
+                                    "px_min", "px_max")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                video = decode_avi(bytes(payload))
+                sampled = [
+                    decode_image(f)
+                    for i, f in enumerate(video["frames"])
+                    if i % stride == 0
+                ]
+                px = b"".join(img["pixels"] for img in sampled)
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(len(video["frames"]))
+                rows["n_sampled"].append(len(sampled))
+                rows["width"].append(video["width"])
+                rows["height"].append(video["height"])
+                rows["px_sum"].append(sum(px))
+                rows["px_min"].append(min(px))
+                rows["px_max"].append(max(px))
+            yield pd.DataFrame(rows)
+
+    return video_df.mapInPandas(body, VIDEO_FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("amp_min", IntegerType()),
+        StructField("amp_max", IntegerType()),
+        StructField("amp_sum", LongType()),
+        StructField("sq_sum", LongType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def audio_features(audio_df: DataFrame) -> DataFrame:
+    """Distributed PCM-WAV decode → amplitude statistics (all integer —
+    exactly replayable by a SQL oracle) plus the zero-crossing count,
+    the classic cheap voicing/noisiness signal."""
+
+    def body(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = {k: [] for k in ("doc_id", "n_samples", "sample_rate",
+                                    "channels", "amp_min", "amp_max",
+                                    "amp_sum", "sq_sum", "zero_crossings")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                audio = decode_audio(bytes(payload))
+                s = audio["samples"]
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(len(s))
+                rows["sample_rate"].append(audio["sample_rate"])
+                rows["channels"].append(audio["channels"])
+                rows["amp_min"].append(min(s))
+                rows["amp_max"].append(max(s))
+                rows["amp_sum"].append(sum(s))
+                rows["sq_sum"].append(sum(v * v for v in s))
+                rows["zero_crossings"].append(
+                    sum(
+                        1
+                        for a, b in zip(s, s[1:])
+                        if (a >= 0) != (b >= 0)
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return audio_df.mapInPandas(body, AUDIO_FEATURE_SCHEMA)
 
 
 def _sample_frames(stride: int):

@@ -1,0 +1,87 @@
+"""Pure-stdlib PCM WAV codec — the real audio decoder behind the
+multimodal column plumbing (operators/multimodal.py), following the
+PNG/JPEG playbook (operators/png.py, operators/jpeg.py): no audio
+library, just the public RIFF/WAVE container layout.
+
+Scope: integer PCM (format tag 1), 8/16-bit, any channel count and
+sample rate. Both directions:
+
+- :func:`encode_wav` — int samples → RIFF/WAVE bytes ("fmt " + "data"
+  chunks, correct block align/byte rate).
+- :func:`decode_wav` — chunk walk (unknown chunks skipped by their
+  declared size, word-aligned, exactly as the spec requires), fmt
+  validation, and sample extraction.
+
+Worker-side only: runs inside mapInPandas bodies over Arrow batches;
+payloads never visit the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def encode_wav(
+    samples: list[int],
+    sample_rate: int = 8000,
+    channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """Interleaved integer samples → WAV bytes. 16-bit samples are
+    signed little-endian; 8-bit are unsigned (the WAV convention)."""
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    elif bits == 8:
+        data = bytes(s & 0xFF for s in samples)
+    else:
+        raise ValueError("only 8/16-bit integer PCM")
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> dict:
+    """WAV bytes → dict(samples, sample_rate, channels, bits)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, channels, rate, _byte_rate, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag != 1:
+                raise ValueError(f"only PCM supported (format tag {tag})")
+            if bits not in (8, 16):
+                raise ValueError("only 8/16-bit integer PCM")
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    channels, rate, bits = fmt
+    if bits == 16:
+        n = len(data) // 2
+        samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    else:
+        samples = list(data)
+    return {
+        "samples": samples,
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+    }

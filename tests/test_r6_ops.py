@@ -192,3 +192,54 @@ def test_semdedup_exact_prepass_identity(spark):
     )
     assert with_pre == without
     assert len(with_pre) >= 55  # every clone is dropped
+
+
+def test_wav_roundtrip_and_rejection():
+    from duckdb_server_spark.operators.multimodal import decode_audio
+    from duckdb_server_spark.operators.wav import decode_wav, encode_wav
+
+    samples = [((i * 37) % 4096) - 2048 for i in range(200)]
+    d = decode_wav(encode_wav(samples, 8000, 1, 16))
+    assert d["samples"] == samples and d["sample_rate"] == 8000
+    # 8-bit with odd data length exercises the word-alignment pad
+    d8 = decode_wav(encode_wav([i % 256 for i in range(55)], 44100, 1, 8))
+    assert d8["samples"] == [i % 256 for i in range(55)] and d8["bits"] == 8
+    assert decode_audio(encode_wav([1, -1], 8000))["samples"] == [1, -1]
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03 mp3-ish")
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    from duckdb_server_spark.operators.avi import decode_avi, encode_avi_mjpeg
+    from duckdb_server_spark.operators.multimodal import decode_video_frames
+
+    frames = [encode_jpeg_gray(bytes([v] * 64), 8, 8) for v in (10, 200, 99, 7)]
+    avi = encode_avi_mjpeg(frames, 8, 8, fps=5)
+    dec = decode_avi(avi)
+    assert dec["frames"] == frames
+    assert (dec["width"], dec["height"], dec["us_per_frame"]) == (8, 8, 200000)
+    # container-level sampling: stride 2 decodes frames 0 and 2 only
+    sampled = decode_video_frames(avi, stride=2)
+    assert [s["frame_idx"] for s in sampled] == [0, 2]
+    assert sampled[0]["pixels"] == bytes([10] * 64)
+    assert sampled[1]["pixels"] == bytes([99] * 64)
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF????AVI!")
+    with pytest.raises(NotImplementedError):
+        decode_video_frames(b"\x00\x00\x00\x18ftypmp42 fake mp4", stride=2)
+
+
+def test_avi_frame_count_mismatch_detected():
+    import struct
+
+    from duckdb_server_spark.operators.avi import decode_avi, encode_avi_mjpeg
+
+    frames = [encode_jpeg_gray(bytes([1] * 64), 8, 8)]
+    avi = bytearray(encode_avi_mjpeg(frames, 8, 8))
+    # corrupt the avih declared-frame count (offset: find 'avih' + 8 + 16)
+    i = avi.index(b"avih") + 8 + 16
+    avi[i : i + 4] = struct.pack("<I", 99)
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        decode_avi(bytes(avi))
