@@ -1681,6 +1681,11 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_lateral_values(masked)
     masked = re.sub(r"\bAS\s+VARCHAR\b(?!\s*\()", "AS STRING", masked,
                     flags=re.IGNORECASE)
+    # DuckDB `a // b` integer division → Spark DIV (both truncate toward
+    # zero on integers: -7//2 = -3 on each engine; DuckDB 1.0's decimal
+    # `//` is effectively float division — integer operands are the
+    # portable surface)
+    masked = masked.replace("//", " DIV ")
     masked = _rewrite_fn_names(masked)
     if duckdb_first:
         masked = _rewrite_libm(masked)

@@ -533,6 +533,29 @@ def test_verbatim_oracle_parity(name, spark, verbatim_ctx):
     )
 
 
+# Rows that only match under the DuckDB-first SERVING mode (the Flight
+# wire default): libm-exact numeric shims, DuckDB round/division typing,
+# 2-arg trim argument order, and the mixed plain+recursive CTE route.
+_SERVING_VERBATIM_NAMES = [
+    "fn_trig",             # dd_libm_* shims + bit-exact round
+    "fn_numeric_core",     # degrees/radians consts, double division
+    "fn_string_declared",  # 2-arg ltrim/rtrim argument order
+    "b58_fuzzy_dedup_e2e", # leading plain CTEs before the recursive one
+    "b33b_audio_decode",   # integer sample replay incl. zero crossings
+]
+
+
+@pytest.mark.parametrize("name", _SERVING_VERBATIM_NAMES)
+def test_serving_verbatim_oracle_parity(name, spark, verbatim_ctx):
+    from duckdb_server_spark.dialect import serving_dialect
+
+    oracle, con = verbatim_ctx
+    sql = oracle[name]
+    with serving_dialect():
+        srows = run_sql(spark, sql).collect()
+    assert _vcanon(srows) == _vcanon(con.execute(sql).fetchall())
+
+
 def test_copy_from_statement(sql_session, tmp_path):
     p = tmp_path / "seed.csv"
     p.write_text("a,b\n1,x\n2,y\n")

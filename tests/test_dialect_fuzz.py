@@ -480,3 +480,13 @@ def test_fuzz_readonly_gate_nested(spark, payload, wrappers):
     assert not spark.catalog.tableExists(f"spark_catalog.default.fz_{n}"), stmt
     assert not os.path.exists(f"/tmp/fz_{n}.parquet"), stmt
     assert spark.conf.get("spark.sql.ansi.enabled") == "true", stmt
+
+
+@given(a=st.integers(-99, 99), b=st.integers(-9, 9).filter(lambda v: v != 0))
+@settings(**SETTINGS)
+def test_fuzz_integer_floor_div(spark, duck, a, b):
+    """DuckDB `//` on integers truncates toward zero, exactly Spark DIV."""
+    q = f"SELECT ({a}) // ({b}) AS d"
+    srow = spark.sql(rewrite(q)).collect()[0]
+    drow = duck.execute(q).fetchone()
+    assert srow[0] == drow[0], q
