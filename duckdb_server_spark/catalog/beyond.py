@@ -955,22 +955,32 @@ def b32b_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames — decode cost tracks the sample, not the footage, which is
     the shape frame-sampling needs at 100 TB. MP4/WebM stay declared
     plug points behind the same dispatch."""
-    from duckdb_server_spark.operators.avi import encode_avi_mjpeg
-    from duckdb_server_spark.operators.jpeg import encode_jpeg_gray
-
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
 
+        from duckdb_server_spark.operators.avi import encode_avi_mjpeg
+        from duckdb_server_spark.operators.jpeg import encode_jpeg_gray
+
+        # fixture-side memo (built per worker — a closure-level lru_cache
+        # would not pickle): only 256 distinct constant-tile frames
+        # exist, so the generator encodes each at most once; the DECODE
+        # side (the operator under test) still container-walks and
+        # JPEG-decodes every sampled frame for real.
+        tiles: dict[int, bytes] = {}
+
+        def tile(v: int) -> bytes:
+            f = tiles.get(v)
+            if f is None:
+                f = tiles[v] = encode_jpeg_gray(bytes([v]) * 64, 8, 8)
+            return f
+
         for pdf in pdf_iter:
             ids, payloads = [], []
             for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
                 s = ((text_ or "")[:8]).ljust(8, "x").encode("latin-1")
-                frames = [
-                    encode_jpeg_gray(bytes([s[i]] * 64), 8, 8)
-                    for i in range(6)
-                ]
+                frames = [tile(s[i]) for i in range(6)]
                 ids.append(doc_id)
                 payloads.append(encode_avi_mjpeg(frames, 8, 8, fps=10))
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})

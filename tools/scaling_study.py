@@ -73,6 +73,14 @@ GROUPS = {
         ("b03_minhash_lsh_pairs", 5_000, ("1x", "10x", "100x")),
         ("b55_semdedup", 2_000, ("1x", "10x", "100x")),
     ],
+    # pure-python multimodal codecs (JPEG/AVI/WAV inside mapInPandas):
+    # per-document CPU cost, shuffle-free — the question is per-core
+    # throughput and that it scales linearly with docs
+    "codecs": [
+        ("b31b_jpeg_decode", 5_000, ("1x", "10x", "100x")),
+        ("b32b_video_frames", 5_000, ("1x", "10x", "100x")),
+        ("b33b_audio_decode", 5_000, ("1x", "10x", "100x")),
+    ],
     # the full TPC-H-ish suite at the 10× fact tier (lineitem 6M rows,
     # joins resolving against consistently-offset orders/customer and
     # fixed dims) — VERDICT r5 item 6. base_rows = lineitem at sf0.1.
