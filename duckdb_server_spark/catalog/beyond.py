@@ -2511,3 +2511,28 @@ def b60_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("int").alias("dim"),
         F.round("value", 6).alias("value"),
     ).orderBy(F.col("cid").asc_nulls_last(), F.col("dim").asc_nulls_last())
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training
+# ---------------------------------------------------------------------------
+
+from duckdb_server_spark.operators.bpe import bpe_oracle_sql, bpe_train  # noqa: E402
+
+_B61_ROUNDS = 6
+
+
+@query("b61_bpe_train", oracle=bpe_oracle_sql(_B61_ROUNDS))
+def b61_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training over the corpus (operators/bpe.py)
+    — the tokenizer-training stage of an LLM data pipeline, fully
+    differential: the oracle replays every round (weighted pair counts
+    over the vocabulary table, the count-DESC/pair-ASC argmax, and the
+    guarded-replace merge application) as mechanically generated chained
+    CTEs, so the learned merge table hash-matches DuckDB end to end.
+    Scale shape: the iterated state is the DISTINCT-WORD table — bounded
+    by vocabulary, not corpus — and each round is one map-side pair
+    explode + one hash-agg + a one-row argmax collect."""
+    return bpe_train(
+        t(spark, sf_dir, "documents"), "text", rounds=_B61_ROUNDS
+    ).orderBy(F.col("merge_rank").asc_nulls_last())

@@ -243,3 +243,39 @@ def test_avi_frame_count_mismatch_detected():
     avi[i : i + 4] = struct.pack("<I", 99)
     with pytest.raises(ValueError, match="frame count mismatch"):
         decode_avi(bytes(avi))
+
+
+def test_bpe_train_known_corpus(spark):
+    """BPE on a hand-checkable corpus: 'low' ×5 and 'lower' ×2 → the
+    most frequent pair is (l,o) with weight 7, then (lo,w) with 7 —
+    the vocabulary-weighted counting and chained merge application."""
+    from duckdb_server_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [("low low low low low",), ("lower lower",)], "text string"
+    )
+    rows = [tuple(r) for r in bpe_train(df, "text", rounds=3).collect()]
+    assert rows[0] == (1, "l o", "lo", 7)
+    assert rows[1] == (2, "lo w", "low", 7)
+    # round 3: 'low e' appears twice (from the two 'lower's); ties on
+    # count 2 ('e r' also 2) break pair-ASC → 'e r' sorts first
+    assert rows[2][3] == 2 and rows[2][1] == min(rows[2][1], "e r") or rows[2][1] == "e r"
+
+
+def test_bpe_oracle_matches_duckdb_small(spark):
+    """Operator vs mechanically generated oracle on an inline corpus."""
+    import duckdb
+
+    from duckdb_server_spark.operators.bpe import bpe_oracle_sql, bpe_train
+
+    texts = ["the cat sat on the mat", "the bat and the rat", "cats sit"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    srows = [tuple(r) for r in bpe_train(df, "text", rounds=4).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{t}')" for t in texts)
+        + ") v(text)"
+    )
+    drows = con.execute(bpe_oracle_sql(4, source="docs")).fetchall()
+    assert srows == drows
