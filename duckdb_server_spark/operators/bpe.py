@@ -118,17 +118,22 @@ def bpe_oracle_sql(rounds: int = 6, source: str = "documents") -> str:
     """The DuckDB replay of :func:`bpe_train` — ``rounds`` chained rounds
     of pair-count → argmax → guarded replace, generated mechanically so
     the oracle and the operator can never drift in round count."""
+    # The word column is named wd, NOT w: a bare len(w) in a CTE has no
+    # catalog schema for the rewriter's type dispatch to resolve, and
+    # the name-heuristic fallback treats `w` as array-conventional.
+    # (No SQL comments here — oracles are whitespace-collapsed to one
+    # line, which would turn `--` into swallow-the-statement.)
     ctes = [
         f"""w0 AS (
-      SELECT w, count(*) AS freq FROM (
+      SELECT wd, count(*) AS freq FROM (
         SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
-                                  x -> x <> '')) AS w
-        FROM {source}) GROUP BY w
+                                  x -> x <> '')) AS wd
+        FROM {source}) GROUP BY wd
     ),
     c0 AS (
       SELECT freq,
-             array_to_string(list_transform(range(1, len(w) + 1),
-                 i -> substr(w, CAST(i AS INT), 1)), ' ') AS s
+             array_to_string(list_transform(range(1, len(wd) + 1),
+                 i -> substr(wd, CAST(i AS INT), 1)), ' ') AS s
       FROM w0
     )"""
     ]
