@@ -2536,3 +2536,29 @@ def b61_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(
         t(spark, sf_dir, "documents"), "text", rounds=_B61_ROUNDS
     ).orderBy(F.col("merge_rank").asc_nulls_last())
+
+
+from duckdb_server_spark.operators.bpe import (  # noqa: E402
+    bpe_encode,
+    bpe_encode_oracle_sql,
+)
+
+
+@query("b61b_bpe_encode", oracle=bpe_encode_oracle_sql(_B61_ROUNDS))
+def b61b_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-ENCODE: the learned merge table (a bounded 6-row
+    collect) applies to every document as chained guarded replaces —
+    scan-side codegen, zero shuffle beyond the final per-doc count-agg —
+    yielding REAL subword token counts (supersedes the BPE-ish regex
+    estimator as the budget-accounting tokenizer). The oracle re-derives
+    the merges with the b61 CTE chain and encodes through the identical
+    replace chain, so (n_words, n_tokens, n_chars) hash-match per
+    document."""
+    docs = t(spark, sf_dir, "documents")
+    merges = [
+        (r["pair"], r["merged"])
+        for r in bpe_train(docs, "text", rounds=_B61_ROUNDS).collect()
+    ]
+    return bpe_encode(docs, "text", "doc_id", merges).orderBy(
+        F.col("doc_id").asc_nulls_last()
+    )

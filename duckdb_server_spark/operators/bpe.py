@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_train"]
+__all__ = ["bpe_train", "bpe_encode", "bpe_oracle_sql", "bpe_encode_oracle_sql"]
 
 
 def _char_symbols(col: F.Column) -> F.Column:
@@ -168,3 +168,69 @@ def bpe_oracle_sql(rounds: int = 6, source: str = "documents") -> str:
         + "\n    " + rows
         + "\n    ORDER BY merge_rank ASC NULLS LAST"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply learned merges (in rank order — standard BPE encoding) to
+    every document and count subword tokens: per doc, each word becomes
+    its character-symbol string, the k merges apply as k chained guarded
+    replaces (scan-side codegen, ZERO shuffle — the merge table is part
+    of the expression tree, the 100 TB path for tokenization), and the
+    output is (id, n_words, n_tokens, n_chars)."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    sym = F.concat(F.lit(" "), _char_symbols(F.col("w")), F.lit(" "))
+    for pair, merged in merges:
+        sym = F.replace(sym, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    return (
+        words.select(
+            F.col(id_col),
+            F.size(F.split(F.trim(sym), " ")).alias("__nt"),
+            F.length("w").alias("__nc"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__nt").alias("n_tokens"),
+            F.sum("__nc").alias("n_chars"),
+        )
+    )
+
+
+def bpe_encode_oracle_sql(rounds: int = 6, source: str = "documents") -> str:
+    """DuckDB replay of train-then-encode: the training CTE chain from
+    :func:`bpe_oracle_sql` re-derives the merges, then every document's
+    words encode through the same ``rounds`` chained guarded replaces."""
+    train = bpe_oracle_sql(rounds, source)
+    ctes = train[len("WITH "): train.index("\n    SELECT 1 AS merge_rank")]
+    enc = "' ' || array_to_string(list_transform(range(1, len(wd) + 1), i -> substr(wd, CAST(i AS INT), 1)), ' ') || ' '"
+    for r in range(rounds):
+        enc = (
+            f"replace({enc}, ' ' || (SELECT p FROM m{r}) || ' ', "
+            f"' ' || replace((SELECT p FROM m{r}), ' ', '') || ' ')"
+        )
+    return f"""WITH {ctes},
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS wd
+      FROM {source}
+    ),
+    enc AS (
+      SELECT doc_id, len(string_split(trim({enc}), ' ')) AS nt,
+             len(wd) AS nc
+      FROM tok
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars
+    FROM enc GROUP BY doc_id
+    ORDER BY doc_id ASC NULLS LAST
+    """

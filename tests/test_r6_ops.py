@@ -279,3 +279,25 @@ def test_bpe_oracle_matches_duckdb_small(spark):
     )
     drows = con.execute(bpe_oracle_sql(4, source="docs")).fetchall()
     assert srows == drows
+
+
+def test_bpe_encode_token_counts(spark):
+    """Encoding with the learned merges compresses token counts: after
+    merging (l,o) and (lo,w), 'low' is ONE token; unmerged text stays at
+    character count."""
+    from duckdb_server_spark.operators.bpe import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower"), (3, "xyz")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["pair"], r["merged"])
+        for r in bpe_train(df, "text", rounds=2).collect()
+    ]
+    assert [m[1] for m in merges] == ["lo", "low"]
+    out = {r["doc_id"]: r for r in bpe_encode(df, "text", "doc_id", merges).collect()}
+    assert out[1]["n_tokens"] == 5      # 'low' ×5 → one token each
+    assert out[2]["n_tokens"] == 2 * 3  # 'low'+'e'+'r' per word
+    assert out[3]["n_tokens"] == 3      # no merges apply → chars
+    assert out[1]["n_chars"] == 15 and out[1]["n_words"] == 5
