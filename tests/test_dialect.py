@@ -724,3 +724,34 @@ def test_show_table_is_describe_alias(sql_session):
     a = [tuple(r) for r in run_sql(sql_session, "SHOW orders").collect()]
     b = [tuple(r) for r in run_sql(sql_session, "DESCRIBE orders").collect()]
     assert a == b
+
+
+def test_serving_dialect_is_thread_scoped(sql_session):
+    """The DuckDB-first serving default must not leak across threads:
+    a wire-serving thread and an embedded-native thread sharing the
+    SparkSession each keep their own semantics for both-dialect-valid
+    SQL (2-arg ltrim argument order)."""
+    import threading
+
+    from duckdb_server_spark.dialect import serving_dialect
+
+    sql = "SELECT ltrim('xxabc', 'x') AS v"
+    results: dict[str, str] = {}
+    barrier = threading.Barrier(2)
+
+    def serving():
+        barrier.wait()
+        with serving_dialect():
+            results["serving"] = run_sql(sql_session, sql).collect()[0].v
+
+    def native():
+        barrier.wait()
+        results["native"] = run_sql(sql_session, sql).collect()[0].v
+
+    ts = [threading.Thread(target=serving), threading.Thread(target=native)]
+    for t_ in ts:
+        t_.start()
+    for t_ in ts:
+        t_.join()
+    assert results["serving"] == "abc"  # DuckDB order
+    assert results["native"] == ""      # Spark order

@@ -490,3 +490,29 @@ def test_fuzz_integer_floor_div(spark, duck, a, b):
     srow = spark.sql(rewrite(q)).collect()[0]
     drow = duck.execute(q).fetchone()
     assert srow[0] == drow[0], q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-first numeric parity (round 6): under the serving mode the
+# libm shims + bit-exact round + double-division typing must make
+# arbitrary numeric expressions EXACTLY equal to DuckDB — no tolerance.
+# ---------------------------------------------------------------------------
+
+_NUM_FNS = ["sin", "cos", "tan", "atan", "exp", "ln", "log2", "log10"]
+
+
+@given(
+    a=st.integers(1, 99),
+    c=st.sampled_from(["51.0", "25.0", "7.5", "3.0"]),
+    fn=st.sampled_from(_NUM_FNS),
+    extra=st.sampled_from(["", " * 0.9", " + 0.25"]),
+)
+@settings(**SETTINGS)
+def test_fuzz_duckdb_first_numeric_exact(spark, duck, a, c, fn, extra):
+    from duckdb_server_spark.dialect import run_sql, serving_dialect
+
+    q = f"SELECT round({fn}({a} / {c}{extra}), 6) AS v, round(degrees({a} / {c}), 6) AS d"
+    with serving_dialect():
+        srow = run_sql(spark, q).collect()[0]
+    drow = duck.execute(q).fetchone()
+    assert (srow.v, srow.d) == drow, q  # EXACT — the shims' contract
