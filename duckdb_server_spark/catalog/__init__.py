@@ -64,6 +64,7 @@ _PRIORITY_R6: tuple[str, ...] = (
     "b33b_audio_decode",       # new: PCM WAV codec end-to-end
     "b61_bpe_train",           # new: distributed BPE merge training
     "b61b_bpe_encode",         # new: BPE encode with learned merges
+    "b62_pagerank",            # new: integer-exact link-authority scoring
     "b58_fuzzy_dedup_e2e",     # rows-only → full-oracle upgrade
     "b03_minhash_lsh_pairs",   # band construction reshaped
     "b03b_minhash_full_oracle",

@@ -2562,3 +2562,49 @@ def b61b_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, "text", "doc_id", merges).orderBy(
         F.col("doc_id").asc_nulls_last()
     )
+
+
+from duckdb_server_spark.operators.pagerank import (  # noqa: E402
+    pagerank,
+    pagerank_oracle_ctes,
+)
+
+# a SPARSE deterministic graph (the mod-7 arithmetic filter keeps ~1/7
+# of node pairs) so in/out degrees — and therefore ranks — genuinely
+# vary; a dense modular graph converges to uniform rank, which would
+# make the oracle vacuous
+_B62_EDGES_SQL = (
+    "SELECT user_id % 300 AS s, event_id % 300 AS d FROM events "
+    "WHERE (user_id % 300) <> (event_id % 300) "
+    "AND (user_id + 3 * event_id) % 7 = 0"
+)
+_B62_ITERS = 8
+
+
+@query(
+    "b62_pagerank",
+    oracle=f"""
+    WITH {pagerank_oracle_ctes(_B62_EDGES_SQL, _B62_ITERS)}
+    SELECT node, CAST(rank AS BIGINT) AS rank
+    FROM r{_B62_ITERS}
+    ORDER BY node ASC NULLS LAST
+    """,
+)
+def b62_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-authority scoring (integer-exact PageRank,
+    operators/pagerank.py) over a deterministic event-derived link graph
+    — the crawl-quality weighting signal of a web-scale pipeline. Rank
+    mass runs in integer micro-units with truncating division, so all
+    8 iterations replay EXACTLY in DuckDB as mechanically generated
+    chained CTEs (the b61 pattern applied to graph iteration); per-node
+    ranks hash-match with no float tolerance. Per iteration: one keyed
+    edge⋈rank join + one map-side-combined hash-agg — the Pregel shape
+    that survives a 100 TB link graph."""
+    ev = t(spark, sf_dir, "events")
+    edges = ev.filter((F.col("user_id") + 3 * F.col("event_id")) % 7 == 0).select(
+        (F.col("user_id") % 300).alias("src"),
+        (F.col("event_id") % 300).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, iters=_B62_ITERS).orderBy(
+        F.col("node").asc_nulls_last()
+    )

@@ -301,3 +301,46 @@ def test_bpe_encode_token_counts(spark):
     assert out[2]["n_tokens"] == 2 * 3  # 'low'+'e'+'r' per word
     assert out[3]["n_tokens"] == 3      # no merges apply → chars
     assert out[1]["n_chars"] == 15 and out[1]["n_words"] == 5
+
+
+def test_pagerank_star_graph(spark):
+    """Hand-checkable structure: a 4-spoke star (all edges into the hub)
+    — the hub must out-rank every spoke, spokes are symmetric, and total
+    mass is bounded by the scale (leaks only via truncation and the
+    hub's dangling mass)."""
+    from duckdb_server_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0)], "src long, dst long"
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert len({out[i] for i in (1, 2, 3, 4)}) == 1  # spokes symmetric
+    assert out[0] > out[1]  # hub dominates
+    assert sum(out.values()) <= 1_000_000_000_000
+
+
+def test_pagerank_oracle_matches_duckdb_small(spark):
+    """Operator vs generated chained-CTE oracle on an inline graph with
+    asymmetric degrees."""
+    import duckdb
+
+    from duckdb_server_spark.operators.pagerank import (
+        pagerank,
+        pagerank_oracle_ctes,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 1), (4, 1), (5, 1), (5, 2)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    srows = sorted(
+        (r["node"], r["rank"]) for r in pagerank(df, iters=6).collect()
+    )
+    con = duckdb.connect()
+    edges_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"({a}, {b})" for a, b in pairs
+    ) + ") v(s, d)"
+    drows = con.execute(
+        f"WITH {pagerank_oracle_ctes(edges_sql, 6)} "
+        f"SELECT node, CAST(rank AS BIGINT) FROM r6 ORDER BY node"
+    ).fetchall()
+    assert srows == [tuple(r) for r in drows]
