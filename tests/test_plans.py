@@ -359,3 +359,39 @@ def test_t07_nation_filter_prunes_before_fact_joins(spark, sf_dir):
     # lineitem's scan reads only the needed columns
     cols = plans.read_schema_columns(df)
     assert all("l_comment" not in c for c in cols)
+
+
+def test_pagerank_final_plan_is_checkpointed_not_rederived(spark, sf_dir):
+    """The returned rank frame must read the CHECKPOINTED final state —
+    a single ExistingRDD scan — not a re-derivation of all 8 join+agg
+    rounds (which would replay the whole lineage on every action)."""
+    df = catalog.QUERIES["b62_pagerank"](spark, sf_dir)
+    text = plans.explain_string(df, "formatted")
+    assert "Scan ExistingRDD" in text
+    assert "Cartesian" not in text
+    assert "Join" not in text  # iterations already materialized
+
+
+def test_pagerank_iteration_shape(spark):
+    """One un-checkpointed PageRank round plans as keyed join +
+    hash-aggregate — the Pregel shape (asserted on the round's
+    contribution frame, before materialization hides it)."""
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "s long, d long"
+    )
+    ranks = spark.createDataFrame([(1, 100), (2, 100), (3, 100)],
+                                  "node long, rank long")
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("odeg"))
+    contribs = (
+        e.join(ranks, e.s == ranks.node)
+        .join(outdeg, "s")
+        .select(F.col("d").alias("node"),
+                F.expr("(rank * 85) DIV (100 * odeg)").alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("inflow"))
+    )
+    text = plans.explain_string(contribs, "formatted")
+    assert "HashAggregate" in text
+    assert "Cartesian" not in text
