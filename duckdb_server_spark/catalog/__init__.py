@@ -65,6 +65,7 @@ _PRIORITY_R6: tuple[str, ...] = (
     "b61_bpe_train",           # new: distributed BPE merge training
     "b61b_bpe_encode",         # new: BPE encode with learned merges
     "b62_pagerank",            # new: integer-exact link-authority scoring
+    "s23_dialect_list_comprehension",  # new: comprehension rewrite
     "b58_fuzzy_dedup_e2e",     # rows-only → full-oracle upgrade
     "b03_minhash_lsh_pairs",   # band construction reshaped
     "b03b_minhash_full_oracle",

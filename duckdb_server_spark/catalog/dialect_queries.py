@@ -332,3 +332,31 @@ def s18b_dialect_init_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(st.secrets)).alias("n_secrets"),
         F.lit(len(st.settings)).alias("n_settings"),
     )
+
+
+# List comprehension — DuckDB's pythonic spelling of filter+transform —
+# over real document text, nested inside len() and joined back to a
+# scalar: byte-identical on both engines.
+_S23_SQL = """
+SELECT doc_id,
+       [upper(w) FOR w IN string_split(text, ' ') IF len(w) > 4][1]
+         AS first_long_upper,
+       len([w FOR w IN string_split(text, ' ') IF len(w) > 4]) AS n_long,
+       coalesce(nullif(array_to_string(
+           [substr(w, 1, 1) FOR w IN string_split(text, ' ')
+            IF len(w) > 6], ''), ''), '-') AS initials
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id ASC NULLS LAST
+"""
+
+
+@query("s23_dialect_list_comprehension", oracle=_S23_SQL)
+def s23_dialect_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim DuckDB list comprehensions (``[expr FOR v IN l IF c]``)
+    → ``transform(filter(...))`` HOFs: the comprehension rewrite runs
+    before list-literal/subscript handling so its brackets are never
+    mistaken for either, the lambda binder keeps polymorphic ``len``
+    dispatching to string length, and the 1-based subscript on the
+    comprehension result becomes try_element_at."""
+    return _sql(spark, sf_dir, _S23_SQL, ("documents",))

@@ -233,6 +233,71 @@ def _rewrite_fn_names(s: str) -> str:
     return _FN_RENAME_RE.sub(lambda m: _FN_RENAMES[m.group(1).lower()] + "(", s)
 
 
+def _find_top_kw_sq(s: str, words: tuple[str, ...], start: int = 0) -> int:
+    """Like :func:`_find_top_keyword` but also treats ``[`` / ``]`` as
+    depth — needed wherever nested list comprehensions can appear."""
+    pat = re.compile(r"\b(" + "|".join(words) + r")\b", re.IGNORECASE)
+    depth = 0
+    for i in range(start, len(s)):
+        c = s[i]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and pat.match(s, i):
+            return i
+    return -1
+
+
+def _rewrite_list_comprehension(s: str) -> str:
+    """DuckDB list comprehension ``[expr FOR v IN lst IF cond]`` →
+    ``transform(filter(lst, v -> cond), v -> expr)`` (filter first, then
+    projection — DuckDB's evaluation order; the IF clause is optional).
+    Runs BEFORE the list-literal/subscript rewrites so comprehension
+    brackets are never mistaken for either; nested comprehensions
+    resolve on the re-scan after each outer rewrite."""
+    pos = 0
+    while True:
+        i = s.find("[", pos)
+        if i < 0:
+            return s
+        close = None
+        depth = 0
+        for j in range(i, len(s)):
+            if s[j] == "[":
+                depth += 1
+            elif s[j] == "]":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close is None:
+            return s
+        body = s[i + 1 : close]
+        fi = _find_top_kw_sq(body, ("FOR",))
+        if fi < 0:
+            pos = i + 1
+            continue
+        expr = body[:fi].strip()
+        rest = body[fi + 3 :]
+        im = _find_top_kw_sq(rest, ("IN",))
+        if im < 0:
+            pos = i + 1
+            continue
+        var = rest[:im].strip()
+        tail = rest[im + 2 :]
+        ci = _find_top_kw_sq(tail, ("IF",))
+        if ci >= 0:
+            lst, cond = tail[:ci].strip(), tail[ci + 2 :].strip()
+            src = f"filter({lst}, {var} -> {cond})"
+        else:
+            src = tail.strip()
+        repl = f"transform({src}, {var} -> {expr})"
+        s = s[:i] + repl + s[close + 1 :]
+        pos = i  # re-scan: expr/lst may hold nested comprehensions
+    return s
+
+
 def _rewrite_list_literals(s: str) -> str:
     """DuckDB list literal ``[a, b, c]`` → ``array(a, b, c)``. A bracket
     directly after an identifier, ``)``, ``]``, or a masked literal is
@@ -1660,6 +1725,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     for i, entry in enumerate(table):
         if entry.startswith("'"):
             table[i] = entry.replace("\\", "\\\\")
+    masked = _rewrite_list_comprehension(masked)
     masked = _rewrite_list_literals(masked)
     masked = _rewrite_len(
         masked, _column_kinds(spark, masked) if spark is not None else None

@@ -516,3 +516,21 @@ def test_fuzz_duckdb_first_numeric_exact(spark, duck, a, c, fn, extra):
         srow = run_sql(spark, q).collect()[0]
     drow = duck.execute(q).fetchone()
     assert (srow.v, srow.d) == drow, q  # EXACT — the shims' contract
+
+
+@given(
+    lst=int_lists,
+    mul=st.integers(1, 5),
+    thr=st.integers(-5, 50),
+)
+@settings(**SETTINGS)
+def test_fuzz_list_comprehension(spark, duck, lst, mul, thr):
+    """[expr FOR v IN l IF c] → transform(filter(...)) — values, empty
+    results, and nesting inside len() must match DuckDB."""
+    q = (
+        f"SELECT [x * {mul} FOR x IN {lst} IF x > {thr}] AS v, "
+        f"len([x FOR x IN {lst} IF x > {thr}]) AS n"
+    )
+    srow = spark.sql(rewrite(q)).collect()[0]
+    drow = duck.execute(q).fetchone()
+    assert (list(srow.v), srow.n) == (list(drow[0]), drow[1]), q
