@@ -111,3 +111,37 @@ def decode_avi(payload: bytes) -> dict:
             f"movi carries {len(frames)}"
         )
     return {"frames": frames, **headers}
+
+
+def decode_avi_frame(payload: bytes, frame_idx: int) -> bytes:
+    """Random-access single-frame extraction via the idx1 index — O(1)
+    seek per sampled frame instead of walking the movi LIST, which is
+    what stride sampling wants when frames are large: byte-range reads
+    against object storage never touch unsampled footage.
+
+    idx1 offsets are relative to the 'movi' fourcc (the convention this
+    encoder and mainstream ones use); falls back to a ValueError if the
+    file carries no index."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    pos, movi_pos, idx1 = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"LIST" and payload[pos + 8 : pos + 12] == b"movi":
+            movi_pos = pos + 8  # position of the 'movi' fourcc
+        elif cid == b"idx1":
+            idx1 = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+    if idx1 is None or movi_pos is None:
+        raise ValueError("AVI has no idx1 index")
+    seen = 0
+    for off in range(0, len(idx1) - 15, 16):
+        ckid = idx1[off : off + 4]
+        if ckid[2:4] in (b"dc", b"db") and ckid[:2].isdigit():
+            if seen == frame_idx:
+                rel, size = struct.unpack("<II", idx1[off + 8 : off + 16])
+                start = movi_pos + rel + 8  # past the chunk header
+                return payload[start : start + size]
+            seen += 1
+    raise ValueError(f"frame {frame_idx} not in index ({seen} frames)")

@@ -344,3 +344,44 @@ def test_pagerank_oracle_matches_duckdb_small(spark):
         f"SELECT node, CAST(rank AS BIGINT) FROM r6 ORDER BY node"
     ).fetchall()
     assert srows == [tuple(r) for r in drows]
+
+
+def test_avi_random_access_frame_via_index(spark):
+    """idx1-based O(1) frame seek returns the identical payload the
+    sequential movi walk yields, for every frame."""
+    from duckdb_server_spark.operators.avi import (
+        decode_avi,
+        decode_avi_frame,
+        encode_avi_mjpeg,
+    )
+
+    frames = [encode_jpeg_gray(bytes([v] * 64), 8, 8) for v in (3, 77, 201, 8, 50)]
+    avi = encode_avi_mjpeg(frames, 8, 8)
+    walked = decode_avi(avi)["frames"]
+    for i in range(5):
+        assert decode_avi_frame(avi, i) == walked[i] == frames[i]
+    with pytest.raises(ValueError, match="not in index"):
+        decode_avi_frame(avi, 5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_jpeg_fuzz_random_quant_and_dims(seed):
+    """Coefficient roundtrips stay exact across random quant tables,
+    dimensions, and sparse patterns (entropy coding is lossless by
+    construction — this pins it against regressions in the bit plumbing)."""
+    rng = random.Random(seed)
+    for _ in range(10):
+        bw, bh = rng.randint(1, 4), rng.randint(1, 3)
+        q = [rng.randint(1, 32) for _ in range(64)]
+        blocks = []
+        for _ in range(bw * bh):
+            blk = [0] * 64
+            blk[0] = rng.randint(-127, 127)
+            for _ in range(rng.randint(0, 20)):
+                blk[rng.randint(0, 63)] = rng.randint(-255, 255)
+            blocks.append(blk)
+        dec = decode_jpeg(
+            encode_jpeg_from_coeffs(blocks, bw * 8, bh * 8, quant=q)
+        )
+        want = [[blk[i] * q[i] for i in range(64)] for blk in blocks]
+        assert dec["coeff_blocks"] == want
