@@ -113,6 +113,43 @@ def decode_avi(payload: bytes) -> dict:
     return {"frames": frames, **headers}
 
 
+def probe_avi(payload: bytes) -> dict:
+    """Headers-only probe: parse avih (and confirm an idx1 exists) WITHOUT
+    walking the movi frame data — the cheap first step before idx1-based
+    random access. Raises ValueError when the file carries no index so
+    callers can fall back to the sequential walk."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    pos, headers, has_idx = 12, {}, False
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"LIST" and payload[pos + 8 : pos + 12] == b"hdrl":
+            hpos, hend = pos + 12, pos + 8 + size
+            while hpos + 8 <= hend:
+                hcid = payload[hpos : hpos + 4]
+                (hsize,) = struct.unpack("<I", payload[hpos + 4 : hpos + 8])
+                if hcid == b"avih":
+                    vals = struct.unpack(
+                        "<10I", payload[hpos + 8 : hpos + 48]
+                    )
+                    headers = {
+                        "us_per_frame": vals[0],
+                        "declared_frames": vals[4],
+                        "width": vals[8],
+                        "height": vals[9],
+                    }
+                hpos += 8 + hsize + (hsize % 2)
+        elif cid == b"idx1":
+            has_idx = True
+        pos += 8 + size + (size % 2)
+    if not headers:
+        raise ValueError("missing avih header")
+    if not has_idx:
+        raise ValueError("AVI has no idx1 index")
+    return headers
+
+
 def decode_avi_frame(payload: bytes, frame_idx: int) -> bytes:
     """Random-access single-frame extraction via the idx1 index — O(1)
     seek per sampled frame instead of walking the movi LIST, which is

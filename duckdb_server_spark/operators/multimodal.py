@@ -232,9 +232,15 @@ VIDEO_FEATURE_SCHEMA = StructType(
 
 def video_frame_features(video_df: DataFrame, stride: int = 2) -> DataFrame:
     """Distributed MJPEG-AVI decode → pixel statistics over every
-    ``stride``-th frame (container parse per video, JPEG decode only for
-    sampled frames)."""
-    from duckdb_server_spark.operators.avi import decode_avi
+    ``stride``-th frame. Sampled frames are fetched through the idx1
+    index (``decode_avi_frame`` — O(1) seek per frame), so neither the
+    container walk nor JPEG decode ever touches unsampled footage; the
+    sequential walk remains the fallback for index-less files."""
+    from duckdb_server_spark.operators.avi import (
+        decode_avi,
+        decode_avi_frame,
+        probe_avi,
+    )
 
     def body(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdf_iter:
@@ -242,15 +248,23 @@ def video_frame_features(video_df: DataFrame, stride: int = 2) -> DataFrame:
                                     "width", "height", "px_sum",
                                     "px_min", "px_max")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                video = decode_avi(bytes(payload))
-                sampled = [
-                    decode_image(f)
-                    for i, f in enumerate(video["frames"])
-                    if i % stride == 0
-                ]
+                raw = bytes(payload)
+                try:
+                    video = probe_avi(raw)  # headers only — no movi walk
+                    sampled = [
+                        decode_image(decode_avi_frame(raw, i))
+                        for i in range(0, video["declared_frames"], stride)
+                    ]
+                except ValueError:
+                    video = decode_avi(raw)  # index-less: sequential walk
+                    sampled = [
+                        decode_image(f)
+                        for i, f in enumerate(video["frames"])
+                        if i % stride == 0
+                    ]
                 px = b"".join(img["pixels"] for img in sampled)
                 rows["doc_id"].append(doc_id)
-                rows["n_frames"].append(len(video["frames"]))
+                rows["n_frames"].append(video["declared_frames"])
                 rows["n_sampled"].append(len(sampled))
                 rows["width"].append(video["width"])
                 rows["height"].append(video["height"])

@@ -385,3 +385,26 @@ def test_jpeg_fuzz_random_quant_and_dims(seed):
         )
         want = [[blk[i] * q[i] for i in range(64)] for blk in blocks]
         assert dec["coeff_blocks"] == want
+
+
+def test_video_features_fallback_without_index(spark):
+    """An index-less AVI (idx1 stripped) routes through the sequential
+    movi walk and yields identical statistics."""
+    import struct
+
+    from duckdb_server_spark.operators.avi import encode_avi_mjpeg
+    from duckdb_server_spark.operators.multimodal import video_frame_features
+
+    frames = [encode_jpeg_gray(bytes([v] * 64), 8, 8) for v in (5, 6, 7, 8)]
+    avi = encode_avi_mjpeg(frames, 8, 8)
+    i = avi.index(b"idx1")
+    stripped = avi[:i]
+    stripped = b"RIFF" + struct.pack("<I", len(stripped) - 8) + stripped[8:]
+    df = spark.createDataFrame(
+        [(1, avi), (2, stripped)], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in video_frame_features(df, stride=2).collect()}
+    for d in (1, 2):  # idx1 path and fallback agree exactly
+        assert (rows[d].n_frames, rows[d].n_sampled) == (4, 2)
+        assert (rows[d].px_min, rows[d].px_max) == (5, 7)
+        assert rows[d].px_sum == 64 * (5 + 7)
