@@ -58,6 +58,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the portable MinHash family; the band construction in
 # minhash_lsh_candidates was reshaped for it, so its non-portable
 # consumers re-verify too).
+# Round 7: the new codec queries (GIF, MP4 sample tables, G.711), then
+# the rows whose shared decode plumbing changed (decode_image gained the
+# GIF branch; video_frame_features gained the MP4 dispatch).
+_PRIORITY_R7: tuple[str, ...] = (
+    "b30c_gif_decode",         # new: GIF LZW codec end-to-end
+    "b32c_mp4_frames",         # new: ISO BMFF sample-table demux
+    "b33c_g711_audio",         # new: G.711 compressed audio
+    "b30b_png_decode",         # decode_image dispatch gained GIF branch
+    "b31b_jpeg_decode",
+    "b32b_video_frames",       # video dispatch gained MP4 branch
+    "b33b_audio_decode",       # wav.py gained format-tag dispatch
+)
+
 _PRIORITY_R6: tuple[str, ...] = (
     "b31b_jpeg_decode",        # new: baseline JPEG codec end-to-end
     "b32b_video_frames",       # new: MJPEG-AVI container + frame sampling
@@ -395,9 +408,9 @@ def load_all() -> None:
     for mod in _MODULE_ORDER:
         importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
 
-    head = list(_PRIORITY_R6) + [
-        n for n in _PRIORITY_R5 if n not in _PRIORITY_R6
-    ]
+    head = list(_PRIORITY_R7)
+    for prior in (_PRIORITY_R6, _PRIORITY_R5):
+        head += [n for n in prior if n not in head]
     ordered = [n for n in head if n in QUERIES]
     ordered += [n for n in QUERIES if n not in head]
     for registry in (QUERIES, ORACLE):

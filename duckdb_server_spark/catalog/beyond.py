@@ -798,6 +798,65 @@ def b30b_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b30c_gif_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, substr(text || repeat(' ', 64), 1, 64) AS s
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(range(1, 65),
+                            i -> ascii(substr(s, CAST(i AS INT), 1))) AS c
+      FROM px
+    )
+    SELECT doc_id, 8 AS width, 8 AS height,
+           round(CAST(list_aggregate(c, 'sum') AS DOUBLE) / 64.0, 6) AS px_mean,
+           CAST(list_aggregate(c, 'min') AS INT) AS px_min,
+           CAST(list_aggregate(c, 'max') AS INT) AS px_max,
+           CAST(list_aggregate(c, 'sum') AS BIGINT) AS px_sum
+    FROM codes
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b30c_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode through the binary column — a third image format
+    behind decode_image's magic-byte dispatch (operators/gif.py: real
+    LZW with growing code widths and clear-code resets, 255-byte
+    sub-block framing, 4-pass interlacing). Each document's first 64
+    bytes become an 8×8 grayscale-palette GIF; odd doc_ids encode
+    INTERLACED so the de-interlace path executes on half the corpus.
+
+    The oracle recomputes the statistics from the pixel DEFINITION
+    (character codes of the padded text prefix) with no notion of GIF —
+    a hash-match proves the LZW encode→decode roundtrip and interlace
+    reordering are lossless. WebP remains the one image plug point."""
+    from duckdb_server_spark.operators.gif import encode_gif  # noqa: F401 — worker import below
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.gif import encode_gif
+
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                pixels = (text_ or "")[:64].ljust(64).encode("latin-1")
+                ids.append(doc_id)
+                payloads.append(
+                    encode_gif(pixels, 8, 8, interlace=bool(doc_id % 2))
+                )
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    gif_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
+    return multimodal.png_features(gif_df).orderBy(
+        F.col("doc_id").asc_nulls_last()
+    )
+
+
 # b31b oracle: every emitted statistic is recomputed from the IMAGE
 # DEFINITION (character codes of the padded text prefix) without touching
 # JPEG at all. Exactness argument: (a) the tiles image is four constant
@@ -991,6 +1050,72 @@ def b32b_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# b32c: MP4 (ISO BMFF) container — 7 frames at stride 3 samples frames
+# 0/3/6, and 7 samples across 2-sample chunks leaves a 1-sample tail
+# chunk, so stsc run expansion is genuinely exercised on every document.
+_B32C_ORACLE = """
+    WITH px AS (
+      SELECT doc_id, substr(text || repeat('x', 8), 1, 8) AS s
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(range(1, 9),
+                            i -> ascii(substr(s, CAST(i AS INT), 1))) AS c
+      FROM px
+    )
+    SELECT doc_id, 7 AS n_frames, 3 AS n_sampled, 8 AS width, 8 AS height,
+           CAST(64 * (c[1] + c[4] + c[7]) AS BIGINT) AS px_sum,
+           CAST(least(c[1], c[4], c[7]) AS INT) AS px_min,
+           CAST(greatest(c[1], c[4], c[7]) AS INT) AS px_max
+    FROM codes
+    ORDER BY doc_id ASC NULLS LAST
+    """
+
+
+@query("b32c_mp4_frames", oracle=_B32C_ORACLE)
+def b32c_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 demux through the binary column (operators/mp4.py): each
+    document encodes seven 8×8 constant-tile JPEG frames into an ISO
+    BMFF file with genuine sample tables (stsz/stco/stsc/stts), and
+    video_frame_features fetches every 3rd frame by O(1) table lookup —
+    no box walk or JPEG decode ever touches unsampled samples, which is
+    the shape frame-sampling needs at 100 TB (and, unlike AVI's optional
+    idx1, is how the format itself defines access). The oracle
+    recomputes sampled-frame pixel statistics from the frame DEFINITION
+    (character codes) with no notion of MP4 or JPEG. WebM remains the
+    one container plug point."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.jpeg import encode_jpeg_gray
+        from duckdb_server_spark.operators.mp4 import encode_mp4_mjpeg
+
+        tiles: dict[int, bytes] = {}
+
+        def tile(v: int) -> bytes:
+            f = tiles.get(v)
+            if f is None:
+                f = tiles[v] = encode_jpeg_gray(bytes([v]) * 64, 8, 8)
+            return f
+
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text_ or "")[:8]).ljust(8, "x").encode("latin-1")
+                frames = [tile(s[i]) for i in range(7)]
+                ids.append(doc_id)
+                payloads.append(encode_mp4_mjpeg(frames, 8, 8, fps=10))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    mp4_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
+    return multimodal.video_frame_features(mp4_df, stride=3).orderBy(
+        F.col("doc_id").asc_nulls_last()
+    )
+
+
 # b33b: REAL audio decode. Samples are an integer function of the text
 # codes, so every emitted statistic — including the data-dependent
 # zero-crossing count — replays exactly in SQL with no notion of WAV.
@@ -1053,6 +1178,99 @@ def b33b_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 ids.append(doc_id)
                 payloads.append(encode_wav(samples, 8000, 1, 16))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    wav_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
+    return multimodal.audio_features(wav_df).orderBy(
+        F.col("doc_id").asc_nulls_last()
+    )
+
+
+def _b33c_oracle() -> str:
+    """Oracle for b33c: the b33b sample definition pushed through the
+    G.711 quantizer, replayed in pure integer SQL (operators/g711.py
+    emits the CASE/shift expression; exhaustively verified equal to the
+    codec for all 65536 sample values in tests)."""
+    from duckdb_server_spark.operators.g711 import (
+        alaw_quantize_sql,
+        mulaw_quantize_sql,
+    )
+
+    mu = mulaw_quantize_sql("x")
+    al = alaw_quantize_sql("x")
+    return f"""
+    WITH px AS (
+      SELECT doc_id, substr(text || repeat('x', 8), 1, 8) AS s
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(range(1, 9),
+                            i -> ascii(substr(s, CAST(i AS INT), 1))) AS c
+      FROM px
+    ),
+    lin AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+                 k -> c[CAST(k % 8 AS INT) + 1]
+                      * (CAST(k AS INT) // 8 + 1) - 480) AS l
+      FROM codes
+    ),
+    smp AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN list_transform(l, x -> {mu})
+                  ELSE list_transform(l, x -> {al}) END AS v
+      FROM lin
+    )
+    SELECT doc_id, 64 AS n_samples, 8000 AS sample_rate, 1 AS channels,
+           CAST(list_aggregate(v, 'min') AS INT) AS amp_min,
+           CAST(list_aggregate(v, 'max') AS INT) AS amp_max,
+           CAST(list_aggregate(v, 'sum') AS BIGINT) AS amp_sum,
+           CAST(list_aggregate(list_transform(v, x -> x * x), 'sum')
+                AS BIGINT) AS sq_sum,
+           CAST(len(list_filter(range(1, 64),
+                k -> (v[CAST(k AS INT)] >= 0) <> (v[CAST(k AS INT) + 1] >= 0)))
+                AS INT) AS zero_crossings
+    FROM smp
+    ORDER BY doc_id ASC NULLS LAST
+    """
+
+
+@query("b33c_g711_audio", oracle=_b33c_oracle())
+def b33c_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode (ITU-T G.711, operators/g711.py):
+    the b33b linear signal compands to 8-bit μ-law (even doc_ids) or
+    A-law (odd doc_ids) WAV — format tags 7/6, half the bytes of PCM —
+    and decodes back through the exact inverse quantizer inside
+    mapInPandas (wav.py format-tag dispatch → multimodal.audio_features).
+
+    The oracle replays the companding loss itself: each linear sample is
+    pushed through the quantizer as pure integer CASE/shift SQL, so a
+    hash-match proves the decoder's segment/mantissa arithmetic bit for
+    bit on every sample of every document — not merely that some audio
+    came back. MP3/Opus (entropy-coded) remain declared plug points."""
+    from duckdb_server_spark.operators.wav import encode_wav
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(pdf_iter):
+        import pandas as _pd
+
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text_ or "")[:8]).ljust(8, "x").encode("latin-1")
+                samples = [
+                    s[k % 8] * (k // 8 + 1) - 480 for k in range(64)
+                ]
+                ids.append(doc_id)
+                payloads.append(
+                    encode_wav(
+                        samples, 8000, 1,
+                        codec="mulaw" if doc_id % 2 == 0 else "alaw",
+                    )
+                )
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     wav_df = docs.mapInPandas(_encode, "doc_id long, payload binary")

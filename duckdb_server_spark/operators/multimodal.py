@@ -44,10 +44,12 @@ FEATURE_SCHEMA = StructType(
 
 def decode_image(payload: bytes) -> dict:
     """Image decode, dispatching on magic bytes. PNG (stdlib zlib + the
-    five scanline filters — operators/png.py) and baseline JPEG (canonical
-    Huffman + IDCT — operators/jpeg.py) are decoded for real; remaining
-    formats (WebP, video frames) are plug points (PIL.Image.open /
-    ffmpeg drop in here)."""
+    five scanline filters — operators/png.py), baseline JPEG (canonical
+    Huffman + IDCT — operators/jpeg.py), and GIF (variable-width LZW +
+    4-pass de-interlace — operators/gif.py) are decoded for real; the
+    remaining format (WebP) is a plug point (PIL.Image.open drops in
+    here)."""
+    from duckdb_server_spark.operators.gif import GIF_SIGNATURES, decode_gif
     from duckdb_server_spark.operators.png import PNG_SIGNATURE, decode_png
 
     if payload[:8] == PNG_SIGNATURE:
@@ -56,9 +58,11 @@ def decode_image(payload: bytes) -> dict:
         from duckdb_server_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in GIF_SIGNATURES:
+        return decode_gif(payload)
     raise NotImplementedError(
-        "PNG and baseline JPEG codecs are built in; install an image "
-        "library for other formats"
+        "PNG, baseline JPEG, and GIF codecs are built in; install an "
+        "image library for other formats"
     )
 
 
@@ -197,9 +201,20 @@ def decode_video_frames(payload: bytes, stride: int) -> list[dict]:
             for i, frame in enumerate(video["frames"])
             if i % stride == 0
         ]
+    if payload[4:8] == b"ftyp":
+        from duckdb_server_spark.operators.mp4 import (
+            decode_mp4_frame,
+            probe_mp4,
+        )
+
+        info = probe_mp4(payload)
+        return [
+            {"frame_idx": i, **decode_image(decode_mp4_frame(payload, i, info))}
+            for i in range(0, info["declared_frames"], stride)
+        ]
     raise NotImplementedError(
-        "MJPEG-AVI is the built-in container; install ffmpeg/av for "
-        "MP4/WebM"
+        "MJPEG-AVI and MJPEG-MP4 are the built-in containers; install "
+        "ffmpeg/av for WebM"
     )
 
 
@@ -231,16 +246,20 @@ VIDEO_FEATURE_SCHEMA = StructType(
 
 
 def video_frame_features(video_df: DataFrame, stride: int = 2) -> DataFrame:
-    """Distributed MJPEG-AVI decode → pixel statistics over every
-    ``stride``-th frame. Sampled frames are fetched through the idx1
-    index (``decode_avi_frame`` — O(1) seek per frame), so neither the
-    container walk nor JPEG decode ever touches unsampled footage; the
-    sequential walk remains the fallback for index-less files."""
+    """Distributed video decode → pixel statistics over every
+    ``stride``-th frame, dispatching on container magic: MP4 fetches
+    samples through the stbl tables (operators/mp4.py), AVI through the
+    idx1 index (``decode_avi_frame``) — O(1) seek per frame either way,
+    so neither the container walk nor JPEG decode ever touches unsampled
+    footage; a sequential movi walk remains the fallback for index-less
+    AVI files."""
     from duckdb_server_spark.operators.avi import (
         decode_avi,
         decode_avi_frame,
         probe_avi,
     )
+
+    from duckdb_server_spark.operators.mp4 import decode_mp4_frame, probe_mp4
 
     def body(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdf_iter:
@@ -249,19 +268,26 @@ def video_frame_features(video_df: DataFrame, stride: int = 2) -> DataFrame:
                                     "px_min", "px_max")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                try:
-                    video = probe_avi(raw)  # headers only — no movi walk
+                if raw[4:8] == b"ftyp":
+                    video = probe_mp4(raw)  # sample tables only
                     sampled = [
-                        decode_image(decode_avi_frame(raw, i))
+                        decode_image(decode_mp4_frame(raw, i, video))
                         for i in range(0, video["declared_frames"], stride)
                     ]
-                except ValueError:
-                    video = decode_avi(raw)  # index-less: sequential walk
-                    sampled = [
-                        decode_image(f)
-                        for i, f in enumerate(video["frames"])
-                        if i % stride == 0
-                    ]
+                else:
+                    try:
+                        video = probe_avi(raw)  # headers only — no movi walk
+                        sampled = [
+                            decode_image(decode_avi_frame(raw, i))
+                            for i in range(0, video["declared_frames"], stride)
+                        ]
+                    except ValueError:
+                        video = decode_avi(raw)  # index-less: sequential walk
+                        sampled = [
+                            decode_image(f)
+                            for i, f in enumerate(video["frames"])
+                            if i % stride == 0
+                        ]
                 px = b"".join(img["pixels"] for img in sampled)
                 rows["doc_id"].append(doc_id)
                 rows["n_frames"].append(video["declared_frames"])

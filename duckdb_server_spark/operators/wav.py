@@ -3,14 +3,18 @@ multimodal column plumbing (operators/multimodal.py), following the
 PNG/JPEG playbook (operators/png.py, operators/jpeg.py): no audio
 library, just the public RIFF/WAVE container layout.
 
-Scope: integer PCM (format tag 1), 8/16-bit, any channel count and
-sample rate. Both directions:
+Scope: integer PCM (format tag 1, 8/16-bit) plus ITU-T G.711 μ-law /
+A-law companded audio (format tags 7 / 6 — the real compressed
+telephony codecs, operators/g711.py), any channel count and sample
+rate. Both directions:
 
 - :func:`encode_wav` — int samples → RIFF/WAVE bytes ("fmt " + "data"
-  chunks, correct block align/byte rate).
+  chunks, correct block align/byte rate); ``codec="mulaw"/"alaw"``
+  compands through G.711 to 8-bit codes.
 - :func:`decode_wav` — chunk walk (unknown chunks skipped by their
   declared size, word-aligned, exactly as the spec requires), fmt
-  validation, and sample extraction.
+  validation with format-tag dispatch, and sample extraction (G.711
+  codes expand back to linear through the exact inverse quantizer).
 
 Worker-side only: runs inside mapInPandas bodies over Arrow batches;
 payloads never visit the driver.
@@ -21,23 +25,38 @@ from __future__ import annotations
 import struct
 
 
+_G711_TAGS = {"alaw": 6, "mulaw": 7}
+
+
 def encode_wav(
     samples: list[int],
     sample_rate: int = 8000,
     channels: int = 1,
     bits: int = 16,
+    codec: str = "pcm",
 ) -> bytes:
     """Interleaved integer samples → WAV bytes. 16-bit samples are
-    signed little-endian; 8-bit are unsigned (the WAV convention)."""
-    if bits == 16:
+    signed little-endian; 8-bit are unsigned (the WAV convention).
+    ``codec="mulaw"/"alaw"`` compands 16-bit linear input through G.711
+    to 8-bit codes (format tags 7/6)."""
+    if codec in _G711_TAGS:
+        from duckdb_server_spark.operators.g711 import g711_encode
+
+        tag, bits = _G711_TAGS[codec], 8
+        data = g711_encode(samples, codec)
+    elif codec != "pcm":
+        raise ValueError(f"unknown codec {codec!r}")
+    elif bits == 16:
+        tag = 1
         data = b"".join(struct.pack("<h", s) for s in samples)
     elif bits == 8:
+        tag = 1
         data = bytes(s & 0xFF for s in samples)
     else:
         raise ValueError("only 8/16-bit integer PCM")
     block_align = channels * bits // 8
     fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate,
+        "<HHIIHH", tag, channels, sample_rate,
         sample_rate * block_align, block_align, bits,
     )
     chunks = (
@@ -63,18 +82,26 @@ def decode_wav(payload: bytes) -> dict:
             tag, channels, rate, _byte_rate, _align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if tag != 1:
-                raise ValueError(f"only PCM supported (format tag {tag})")
-            if bits not in (8, 16):
+            if tag not in (1, 6, 7):
+                raise ValueError(
+                    f"only PCM and G.711 supported (format tag {tag})"
+                )
+            if tag == 1 and bits not in (8, 16):
                 raise ValueError("only 8/16-bit integer PCM")
-            fmt = (channels, rate, bits)
+            if tag in (6, 7) and bits != 8:
+                raise ValueError("G.711 is 8 bits per sample")
+            fmt = (tag, channels, rate, bits)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    channels, rate, bits = fmt
-    if bits == 16:
+    tag, channels, rate, bits = fmt
+    if tag in (6, 7):
+        from duckdb_server_spark.operators.g711 import g711_decode
+
+        samples = g711_decode(data, "alaw" if tag == 6 else "mulaw")
+    elif bits == 16:
         n = len(data) // 2
         samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
     else:

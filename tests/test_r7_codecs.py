@@ -1,0 +1,160 @@
+"""Round-7 codec units: GIF (LZW + interlace), MP4 (ISO BMFF sample
+tables), G.711 μ-law/A-law. Pure-python — no Spark session needed; the
+distributed end-to-end proof lives in the declared queries
+b30c/b32c/b33c and their differential oracles."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+# --- GIF -------------------------------------------------------------------
+
+
+def test_gif_roundtrip_random():
+    from duckdb_server_spark.operators.gif import decode_gif, encode_gif
+
+    rng = random.Random(7)
+    for trial in range(40):
+        w, h = rng.randint(1, 40), rng.randint(1, 40)
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        d = decode_gif(encode_gif(px, w, h, interlace=bool(trial % 2)))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["pixels"] == px
+
+
+def test_gif_lzw_table_overflow_reset():
+    # 40k random pixels force the code table past 4095 → clear-code
+    # reset path on both sides.
+    from duckdb_server_spark.operators.gif import decode_gif, encode_gif
+
+    rng = random.Random(11)
+    w, h = 200, 200
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    assert decode_gif(encode_gif(px, w, h))["pixels"] == px
+
+
+def test_gif_compressible_runs_interlaced():
+    # long runs grow deep LZW prefixes (exercises KwKwK); interlaced.
+    from duckdb_server_spark.operators.gif import decode_gif, encode_gif
+
+    px = bytes([7]) * 20000 + bytes(range(256)) * 60 + bytes([3]) * 4640
+    assert decode_gif(encode_gif(px, 200, 200, interlace=True))["pixels"] == px
+
+
+def test_gif_skips_extension_blocks():
+    from duckdb_server_spark.operators.gif import decode_gif, encode_gif
+
+    g = encode_gif(bytes(range(64)), 8, 8)
+    # splice a graphics-control extension after the color table
+    # (header 13 + 768 palette bytes)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = g[: 13 + 768] + gce + g[13 + 768 :]
+    assert decode_gif(spliced)["pixels"] == bytes(range(64))
+
+
+def test_decode_image_dispatches_gif():
+    from duckdb_server_spark.operators.gif import encode_gif
+    from duckdb_server_spark.operators.multimodal import decode_image
+
+    img = decode_image(encode_gif(bytes([9]) * 16, 4, 4))
+    assert img["pixels"] == bytes([9]) * 16
+
+
+# --- MP4 -------------------------------------------------------------------
+
+
+def test_mp4_sample_table_roundtrip():
+    from duckdb_server_spark.operators.mp4 import (
+        decode_mp4_frame,
+        encode_mp4_mjpeg,
+        probe_mp4,
+    )
+
+    rng = random.Random(3)
+    for n in (1, 2, 3, 7, 12):
+        frames = [
+            bytes(rng.randrange(256) for _ in range(rng.randint(5, 400)))
+            for _ in range(n)
+        ]
+        p = encode_mp4_mjpeg(frames, 8, 8)
+        info = probe_mp4(p)
+        assert info["declared_frames"] == n
+        assert (info["width"], info["height"]) == (8, 8)
+        for i in range(n):
+            assert decode_mp4_frame(p, i, info) == frames[i]
+
+
+def test_mp4_stsc_tail_chunk():
+    # 7 samples at 2-per-chunk → 4 chunks, last holds 1 → two stsc runs.
+    from duckdb_server_spark.operators.mp4 import encode_mp4_mjpeg, probe_mp4
+
+    frames = [bytes([i]) * (10 + i) for i in range(7)]
+    info = probe_mp4(encode_mp4_mjpeg(frames, 8, 8))
+    assert [s[1] for s in info["samples"]] == [10 + i for i in range(7)]
+
+
+def test_mp4_rejects_garbage():
+    from duckdb_server_spark.operators.mp4 import probe_mp4
+
+    with pytest.raises(ValueError):
+        probe_mp4(b"\x00" * 64)
+
+
+# --- G.711 -----------------------------------------------------------------
+
+
+def test_g711_codec_equals_quantizer_exhaustive():
+    from duckdb_server_spark.operators import g711
+
+    for s in range(-32768, 32768, 7):  # dense stride; SQL test is exhaustive
+        assert g711.mulaw_decode_sample(
+            g711.mulaw_encode_sample(s)
+        ) == g711.mulaw_quantize(s)
+        assert g711.alaw_decode_sample(
+            g711.alaw_encode_sample(s)
+        ) == g711.alaw_quantize(s)
+        assert 0 <= g711.mulaw_encode_sample(s) <= 255
+        assert 0 <= g711.alaw_encode_sample(s) <= 255
+
+
+def test_g711_sql_replay_exhaustive():
+    """The SQL quantizer expression must equal the codec for EVERY
+    16-bit sample value — this is what licenses the b33c oracle."""
+    import duckdb
+
+    from duckdb_server_spark.operators import g711
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v AS SELECT range AS s FROM range(-32768, 32768)")
+    mu = con.execute(
+        f"SELECT s, {g711.mulaw_quantize_sql('s')} AS q FROM v ORDER BY s"
+    ).fetchall()
+    al = con.execute(
+        f"SELECT s, {g711.alaw_quantize_sql('s')} AS q FROM v ORDER BY s"
+    ).fetchall()
+    assert all(q == g711.mulaw_quantize(s) for s, q in mu)
+    assert all(q == g711.alaw_quantize(s) for s, q in al)
+
+
+def test_g711_wav_roundtrip():
+    from duckdb_server_spark.operators import g711
+    from duckdb_server_spark.operators.wav import decode_wav, encode_wav
+
+    samples = [0, 1, -1, 100, -100, 5000, -5000, 32767, -32768]
+    for law in ("mulaw", "alaw"):
+        wav = encode_wav(samples, 8000, 1, codec=law)
+        out = decode_wav(wav)
+        q = g711.mulaw_quantize if law == "mulaw" else g711.alaw_quantize
+        assert out["samples"] == [q(s) for s in samples]
+        assert out["bits"] == 8
+        assert out["sample_rate"] == 8000
+
+
+def test_wav_pcm_path_unchanged():
+    from duckdb_server_spark.operators.wav import decode_wav, encode_wav
+
+    samples = [0, 5, -5, 300, -300]
+    assert decode_wav(encode_wav(samples))["samples"] == samples
