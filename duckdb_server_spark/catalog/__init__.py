@@ -65,6 +65,9 @@ _PRIORITY_R7: tuple[str, ...] = (
     "b30c_gif_decode",         # new: GIF LZW codec end-to-end
     "b32c_mp4_frames",         # new: ISO BMFF sample-table demux
     "b33c_g711_audio",         # new: G.711 compressed audio
+    "b63_mixture_sample",      # new: integer-exact temperature mixture
+    "b64_source_overlap",      # new: cross-source near-dup matrix
+    "b03b_minhash_full_oracle",  # band chain factored into shared builder
     "b30b_png_decode",         # decode_image dispatch gained GIF branch
     "b31b_jpeg_decode",
     "b32b_video_frames",       # video dispatch gained MP4 branch

@@ -208,7 +208,16 @@ def b03b_minhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     staged = _with_planted_dup(docs)
+    return _portable_band_pairs(staged).orderBy(
+        F.col("id_a").asc_nulls_last(), F.col("id_b").asc_nulls_last()
+    )
 
+
+def _portable_band_pairs(staged: DataFrame) -> DataFrame:
+    """The b03b portable-md5 MinHash-LSH chain (shingles → 32 permutation
+    minima → 8 bands → bucketed self-join) as a reusable builder over any
+    (doc_id, text) frame; returns distinct candidate pairs id_a < id_b.
+    Every stage replays in DuckDB via _B03B_MINS_SQL/_B03B_BANDS_SQL."""
     words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
     k = F.size(words) - 2
     grams = F.transform(
@@ -258,7 +267,6 @@ def b03b_minhash_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        .orderBy(F.col("id_a").asc_nulls_last(), F.col("id_b").asc_nulls_last())
     )
 
 
@@ -2825,4 +2833,202 @@ def b62_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("src") != F.col("dst"))
     return pagerank(edges, iters=_B62_ITERS).orderBy(
         F.col("node").asc_nulls_last()
+    )
+
+
+# b63: temperature-scaled mixture sampling (the XLM-R / mT5 α-smoothed
+# multinomial over languages), made INTEGER-EXACT so both engines agree
+# bit for bit: per-lang weight w_l = floor(sqrt(tok_l)) (α = 0.5), the
+# per-million accept threshold thr_l = min(1e6, ((T div Z) · w_l · 1e6)
+# div tok_l), and the accept test compares the doc's md5-derived
+# per-million draw against thr_l — no float ever enters the pipeline.
+# Magnitude headroom: at 100 TB (tok_l ≈ 2.5e13, w_l ≈ 5e6,
+# T div Z ≈ 1.5e5) the largest product (T div Z)·w_l·1e6 ≈ 7.5e17 stays
+# inside int64.
+_B63_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, lang, (n_chars + 3) // 4 AS tok,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 AS draw
+      FROM documents
+    ),
+    per_lang AS (
+      SELECT lang, count(*) AS n_docs, sum(tok) AS tok_total,
+             CAST(floor(sqrt(sum(tok))) AS BIGINT) AS w
+      FROM d GROUP BY lang
+    ),
+    tot AS (
+      SELECT (sum(tok_total) * 3) // 10 AS budget, sum(w) AS z
+      FROM per_lang
+    ),
+    thr AS (
+      SELECT lang, n_docs, tok_total,
+             least(1000000, ((budget // z) * w * 1000000) // tok_total)
+               AS thr_ppm
+      FROM per_lang, tot
+    )
+    SELECT t.lang, t.n_docs, CAST(t.tok_total AS BIGINT) AS tok_total,
+           CAST(t.thr_ppm AS BIGINT) AS thr_ppm,
+           count(*) AS n_sampled,
+           CAST(sum(d.tok) AS BIGINT) AS tok_sampled
+    FROM d JOIN thr t ON d.lang = t.lang
+    WHERE d.draw < t.thr_ppm
+    GROUP BY t.lang, t.n_docs, t.tok_total, t.thr_ppm
+    ORDER BY t.lang ASC NULLS LAST
+    """
+
+
+@query("b63_mixture_sample", oracle=_B63_ORACLE)
+def b63_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training-mixture sampling (α = 0.5 smoothing
+    over languages — the XLM-R/mT5 scheme: low-resource languages are
+    upsampled relative to their token share, capped at keep-everything)
+    against a 30% global token budget. Distinct from b41's fixed
+    per-group quota: the accept RATE per language derives from the
+    smoothed distribution, and membership is decided per document by a
+    portable md5 draw — reproducible across engines, retries, and
+    cluster sizes, unlike engine-RNG sampling.
+
+    Everything is integer arithmetic (floor(sqrt()) weights, truncating
+    divisions, per-million thresholds), so the oracle replays the exact
+    same mixture — no float summation-order or rounding divergence can
+    hide a bug. Scale shape: one tiny per-lang hash-agg (≤ thousands of
+    rows at any corpus size) broadcast back to a scan-side integer
+    filter; the budget never requires a global sort or per-doc shuffle.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("(n_chars + 3) div 4").alias("tok"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 1000000
+        ).alias("draw"),
+    )
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("tok_total"),
+        F.floor(F.sqrt(F.sum("tok"))).cast("long").alias("w"),
+    )
+    tot = per_lang.agg(
+        F.expr("(sum(tok_total) * 3) div 10").alias("budget"),
+        F.sum("w").alias("z"),
+    )
+    thr = (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "tok_total",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.expr("((budget div z) * w * 1000000) div tok_total"),
+            ).alias("thr_ppm"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .filter(F.col("draw") < F.col("thr_ppm"))
+        .groupBy("lang", "n_docs", "tok_total", "thr_ppm")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("tok").cast("long").alias("tok_sampled"),
+        )
+        .select(
+            "lang", "n_docs", "tok_total", "thr_ppm", "n_sampled",
+            "tok_sampled",
+        )
+        .orderBy(F.col("lang").asc_nulls_last())
+    )
+
+
+# b64: cross-source near-dup overlap matrix — the corpus-curation view
+# that tells you WHICH pairs of sources duplicate each other (crawl A vs
+# crawl B vs curated set), composed from the portable b03b LSH chain so
+# DuckDB replays the whole thing: shingles → signatures → bands →
+# bucket pairs → source attribution → unordered-pair counts.
+_B64_ORACLE = """
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents WHERE doc_id < 400
+    ),
+    tok AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) - 2 <= 0 THEN [text]
+                  ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+             END AS sh
+      FROM tok
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+    ),
+    sig AS (
+      SELECT doc_id,
+      {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, band.b AS band_id, band.key AS band_key
+      FROM sig, (VALUES {bands}) AS band(b, key)
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+      WHERE l.doc_id < r.doc_id
+    )
+    SELECT least(ca.source, cb.source) AS src_lo,
+           greatest(ca.source, cb.source) AS src_hi,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN corpus ca ON p.id_a = ca.doc_id
+    JOIN corpus cb ON p.id_b = cb.doc_id
+    GROUP BY src_lo, src_hi
+    ORDER BY src_lo ASC NULLS LAST, src_hi ASC NULLS LAST
+    """.format(mins=_B03B_MINS_SQL, bands=_B03B_BANDS_SQL)
+
+
+@query("b64_source_overlap", oracle=_B64_ORACLE)
+def b64_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix: how many LSH
+    candidate pairs connect each unordered pair of sources — the
+    curation signal for deciding which crawl to drop when two overlap
+    heavily. Composes the portable MinHash-LSH chain
+    (_portable_band_pairs, every stage DuckDB-replayable) with source
+    attribution: pairs join back to the (doc_id → source) map on 8-byte
+    keys, then one tiny hash-agg over source pairs.
+
+    Scale shape: pair volume is bounded by bucket collisions (b03b's
+    banded join — cost tracks output pairs, not corpus²); the
+    attribution join ships only pair ids + a source string, never text;
+    the final matrix is |sources|² rows at any corpus size."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select(
+        "doc_id", "text", "source"
+    )
+    pairs = _portable_band_pairs(docs.select("doc_id", "text"))
+    src = docs.select("doc_id", "source")
+    attributed = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a")
+                      .withColumnRenamed("source", "src_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("source", "src_b"), "id_b")
+    )
+    return (
+        attributed.select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(
+            F.col("src_lo").asc_nulls_last(), F.col("src_hi").asc_nulls_last()
+        )
     )
