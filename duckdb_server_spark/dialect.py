@@ -192,13 +192,21 @@ _FN_RENAMES = {
     "regexp_split_to_array": "split",
     "array_to_string": "array_join",
     "list_sort": "array_sort",
-    "list_reverse_sort": "dd_list_reverse_sort",
     "array_length": "size",
+    # string-distance family (r7): levenshtein is native; the rest are
+    # SQL/pandas shims registered in register_dialect_functions
+    "editdist3": "levenshtein",
+    "suffix": "endswith",
+    "hamming": "dd_hamming",
+    "mismatches": "dd_hamming",
+    "jaccard": "dd_jaccard",
+    "jaro_similarity": "dd_jaro",
+    "jaro_winkler_similarity": "dd_jaro_winkler",
+    "damerau_levenshtein": "dd_damerau",
     "list_distinct": "array_distinct",
     "list_position": "array_position",
     "list_indexof": "array_position",
     "strpos": "instr",
-    "epoch": "unix_timestamp",
     "list_min": "array_min",
     "list_max": "array_max",
     # DuckDB's list/str aliases with direct Spark equivalents (``len`` is
@@ -1368,7 +1376,8 @@ def _rewrite_struct_map(s: str, table: list[str]) -> str:
 # deterministic, still one hash aggregate. ``string_agg(x, d ORDER BY k)``
 # → Spark 4's listagg WITHIN GROUP.
 _ORDERED_AGG_RE = re.compile(
-    r"\b(list|array_agg|collect_list|string_agg|group_concat)\s*\(",
+    r"\b(list|array_agg|collect_list|string_agg|group_concat|"
+    r"any_value|arbitrary|first|last)\s*\(",
     re.IGNORECASE,
 )
 
@@ -1418,8 +1427,18 @@ def _rewrite_ordered_aggs(s: str) -> str:
         open_idx = m.end() - 1
         close = _matching_paren(s, open_idx)
         inner = s[open_idx + 1 : close]
+        if fn in ("any_value", "arbitrary", "first", "last") and re.match(
+            r"\s*OVER\b", s[close + 1 :], re.IGNORECASE
+        ):
+            pos = close + 1  # window form — Spark-native first/last
+            continue
         ob_idx, _ = _find_top_keyword(inner, ("ORDER",))
         if ob_idx < 0:
+            if fn == "arbitrary":
+                # DuckDB's arbitrary() is Spark's any_value()
+                s = s[: m.start()] + "any_value(" + inner + s[close:]
+                pos = m.start() + len("any_value(") + len(inner) + 1
+                continue
             if fn in ("list", "array_agg") and "DISTINCT" not in inner.upper():
                 # DuckDB's list()/array_agg() KEEP null elements; Spark's
                 # collect_list drops them. Wrapping in a struct preserves
@@ -1461,6 +1480,10 @@ def _rewrite_ordered_aggs(s: str) -> str:
                 f"{_order_comparator(keys)})"
             )
             repl = f"transform({sorted_expr}, x -> x._v)"
+            if fn in ("any_value", "arbitrary", "first"):
+                repl = f"element_at({repl}, 1)"
+            elif fn == "last":
+                repl = f"element_at({repl}, -1)"
         s = s[: m.start()] + repl + s[close + 1 :]
         pos = m.start() + len(repl)
     return s
@@ -1707,6 +1730,264 @@ def _rewrite_lateral_values(s: str) -> str:
     return s
 
 
+# ---------------------------------------------------------------------------
+# r7 breadth batch: struct/map literals, function templates, POSITIONAL JOIN
+# ---------------------------------------------------------------------------
+
+
+def _matching_brace(s: str, open_idx: int) -> int:
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "{":
+            depth += 1
+        elif s[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced braces in SQL")
+
+
+_STRUCT_KEY_RE = re.compile(r"^(\x00\d+\x00|[A-Za-z_]\w*)\s*:\s*(.*)$", re.DOTALL)
+
+
+def _rewrite_struct_literals(s: str, table: list[str]) -> str:
+    """DuckDB struct literals ``{'k': v, ...}`` → ``named_struct('k', v,
+    ...)`` and map literals ``MAP {k: v, ...}`` → ``map(k, v, ...)``.
+    Operates innermost-first so nesting resolves naturally; string keys
+    are already masked, bare-identifier keys become string literals.
+    Braces cannot appear anywhere else in masked DuckDB SQL (list
+    comprehensions are rewritten earlier), so an unparseable brace body
+    fails closed."""
+    while True:
+        open_idx = -1
+        for i, c in enumerate(s):
+            if c == "{":
+                open_idx = i
+            elif c == "}" and open_idx >= 0:
+                break
+        else:
+            return s
+        close = _matching_brace(s, open_idx)
+        body = s[open_idx + 1 : close]
+        head = s[:open_idx].rstrip()
+        is_map = bool(re.search(r"\bMAP$", head, re.IGNORECASE))
+        parts = []
+        for pair in _split_top_commas(body):
+            m = _STRUCT_KEY_RE.match(pair) if not is_map else None
+            if is_map:
+                ci = pair.find(":")
+                if ci < 0:
+                    raise ValueError(f"bad map literal entry {pair!r}")
+                parts.append((pair[:ci].strip(), pair[ci + 1 :].strip()))
+            elif m:
+                key = m.group(1)
+                if not key.startswith("\x00"):
+                    table.append(f"'{key}'")
+                    key = f"\x00{len(table) - 1}\x00"
+                parts.append((key, m.group(2).strip()))
+            else:
+                raise ValueError(f"bad struct literal entry {pair!r}")
+        inner = ", ".join(f"{k}, {v}" for k, v in parts)
+        if is_map:
+            start = re.search(r"\bMAP$", head, re.IGNORECASE).start()
+            s = s[:start] + f"map({inner})" + s[close + 1 :]
+        else:
+            s = s[:open_idx] + f"named_struct({inner})" + s[close + 1 :]
+
+
+def _masked_literal(table: list[str], text: str) -> str:
+    table.append("'" + text.replace("'", "''") + "'")
+    return f"\x00{len(table) - 1}\x00"
+
+
+_TS_UNITS = {
+    "year", "quarter", "month", "week", "day", "hour", "minute", "second",
+    "millisecond", "microsecond",
+}
+_DOW_FIELDS = {"dow", "dayofweek", "weekday"}
+
+# DuckDB fmt-style format(): {} / {:d} / {:s} / {:.Nf} holes → printf
+_FMT_HOLE_RE = re.compile(r"\{(:[^}]*)?\}")
+
+
+def _fmt_to_printf(fmt: str) -> str:
+    out = fmt.replace("%", "%%")
+    def hole(m):
+        spec = m.group(1)
+        if spec in (None, ":", ":s"):
+            return "%s"
+        if spec == ":d":
+            return "%d"
+        pm = re.fullmatch(r":\.(\d+)f", spec)
+        if pm:
+            return f"%.{pm.group(1)}f"
+        raise ValueError(f"format(): unsupported spec {{{spec}}}")
+    return _FMT_HOLE_RE.sub(hole, out)
+
+
+def _template(fn: str, args: list[str], table: list[str]) -> str | None:
+    """Structural rewrites for DuckDB functions whose Spark equivalent
+    needs argument reshaping (not just a rename). Returns None to leave
+    the call untouched (native or out of scope)."""
+    if fn == "to_base" and len(args) == 2:
+        return f"conv({args[0]}, 10, {args[1]})"
+    if fn == "list_reduce" and len(args) == 2:
+        lst, lam = args
+        return (
+            f"aggregate(slice({lst}, 2, greatest(size({lst}) - 1, 0)), "
+            f"element_at({lst}, 1), {lam})"
+        )
+    if fn in ("date_sub", "datesub") and len(args) == 3:
+        unit = (_literal_value(_unmask(args[0], table)) or "").lower().rstrip("s")
+        if unit not in _TS_UNITS:
+            return None
+        return f"timestampdiff({unit.upper()}, {args[1]}, {args[2]})"
+    if fn in ("datepart", "date_part") and len(args) == 2:
+        field = (_literal_value(_unmask(args[0], table)) or "").lower()
+        if field in _DOW_FIELDS:
+            return f"(dayofweek({args[1]}) - 1)"
+        if field == "isodow":
+            lit = _masked_literal(table, "DAYOFWEEK_ISO")
+            return f"date_part({lit}, {args[1]})"
+        return None
+    if fn == "epoch" and len(args) == 1:
+        # DuckDB epoch() keeps fractional seconds and returns DOUBLE
+        return (
+            f"(unix_micros(CAST({args[0]} AS TIMESTAMP)) / "
+            f"CAST(1000000 AS DOUBLE))"
+        )
+    if fn == "to_timestamp" and len(args) == 1:
+        # DuckDB: seconds-since-epoch (DOUBLE) → TIMESTAMPTZ; collected
+        # naive, so NTZ matches. (String input is invalid in DuckDB.)
+        return f"CAST(timestamp_seconds({args[0]}) AS TIMESTAMP_NTZ)"
+    if fn == "strptime" and len(args) == 2:
+        fmt = _literal_value(_unmask(args[1], table))
+        if fmt is None:
+            raise ValueError("strptime needs a literal format")
+        lit = _masked_literal(table, _strftime_to_java(fmt))
+        return f"to_timestamp({args[0]}, {lit})"
+    if fn == "struct_extract" and len(args) == 2:
+        key = _literal_value(_unmask(args[1], table))
+        if key is None:
+            return None
+        return f"({args[0]}).`" + key.replace("`", "``") + "`"
+    if fn == "current_schema" and not args:
+        return _masked_literal(table, "main")
+    if fn == "current_database" and not args:
+        return _masked_literal(table, "memory")
+    if fn == "kurtosis" and len(args) == 1:
+        # DuckDB reports SAMPLE excess kurtosis; Spark's is population.
+        # Exact single-pass combination (equal up to float ulp):
+        # g2* = (n-1)/((n-2)(n-3)) · ((n+1)·g2 + 6)
+        e = args[0]
+        n = f"count({e})"
+        return (
+            f"((({n} - 1) / (({n} - 2) * ({n} - 3))) * "
+            f"(({n} + 1) * kurtosis({e}) + 6))"
+        )
+    if fn == "histogram" and len(args) == 1:
+        e = args[0]
+        return (
+            f"map_from_entries(transform("
+            f"array_sort(array_distinct(collect_list({e}))), "
+            f"x -> struct(x, CAST(size(filter(collect_list({e}), "
+            f"y -> y = x)) AS BIGINT))))"
+        )
+    if fn in ("quantile_disc", "quantile") and len(args) == 2:
+        x, p = args
+        if p.lstrip().startswith(("[", "array", "\x00")):
+            return None  # list-quantile form not supported
+        return (
+            f"element_at(array_sort(collect_list({x})), "
+            f"CAST(greatest(1, ceil(({p}) * size(collect_list({x})))) AS INT))"
+        )
+    if fn == "format" and args:
+        fmt = _literal_value(_unmask(args[0], table))
+        if fmt is None:
+            raise ValueError("format() needs a literal format string")
+        lit = _masked_literal(table, _fmt_to_printf(fmt))
+        rest = ", ".join(args[1:])
+        return f"format_string({lit}{', ' + rest if rest else ''})"
+    if fn == "list_reverse_sort" and len(args) == 1:
+        return f"reverse(array_sort({args[0]}))"
+    return None
+
+
+_TEMPLATE_RE = re.compile(
+    r"\b(to_base|list_reduce|date_sub|datesub|datepart|date_part|epoch|"
+    r"to_timestamp|strptime|struct_extract|current_schema|"
+    r"current_database|kurtosis|histogram|quantile_disc|quantile|format|"
+    r"list_reverse_sort)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_templates(s: str, table: list[str]) -> str:
+    pos = 0
+    while m := _TEMPLATE_RE.search(s, pos):
+        fn = m.group(1).lower()
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        # resolve nested template calls inside the arguments first, then
+        # splice — the replacement itself is never rescanned (kurtosis'
+        # expansion legitimately contains kurtosis())
+        inner = _rewrite_templates(s[open_idx + 1 : close], table)
+        args = _split_top_commas(inner)
+        repl = _template(fn, args, table)
+        if repl is None:
+            s = s[: open_idx + 1] + inner + s[close:]
+            pos = open_idx + 1 + len(inner) + 1
+            continue
+        s = s[: m.start()] + repl + s[close + 1 :]
+        pos = m.start() + len(repl)
+    return s
+
+
+_POSITIONAL_RE = re.compile(
+    r"\bFROM\s+([A-Za-z_][\w.]*)\s+POSITIONAL\s+JOIN\s+([A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_positional_join(s: str, spark) -> str:
+    """``FROM a POSITIONAL JOIN b`` → rank-paired FULL join (DuckDB pads
+    the shorter side with NULLs). Without this rewrite Spark parses
+    POSITIONAL as a table alias and silently returns a CROSS join — so
+    any unsupported shape fails closed instead of falling through.
+    Row order follows the scan via monotonically_increasing_id, which is
+    DuckDB's contract too (file order, not a semantic ordering)."""
+    while m := _POSITIONAL_RE.search(s):
+        if spark is None:
+            raise ValueError("POSITIONAL JOIN requires a session")
+        names = (m.group(1), m.group(2))
+        sides = []
+        for name, alias in zip(names, ("l", "r")):
+            cols = spark.table(name).columns
+            sides.append(
+                [f"{alias}.`{c}`" for c in cols]
+            )
+        col_list = ", ".join(sides[0] + sides[1])
+
+        def ranked(tbl: str) -> str:
+            return (
+                f"(SELECT *, row_number() OVER (ORDER BY __dd_mid) AS __dd_rn "
+                f"FROM (SELECT *, monotonically_increasing_id() AS __dd_mid "
+                f"FROM {tbl}))"
+            )
+
+        repl = (
+            f"FROM (SELECT {col_list} FROM {ranked(names[0])} l "
+            f"FULL JOIN {ranked(names[1])} r ON l.__dd_rn = r.__dd_rn) __dd_pj"
+        )
+        s = s[: m.start()] + repl + s[m.end() :]
+    if re.search(r"\bPOSITIONAL\s+JOIN\b", s, re.IGNORECASE):
+        raise ValueError(
+            "POSITIONAL JOIN is supported only between plain table "
+            "references (no aliases/subqueries)"
+        )
+    return s
+
+
 def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     """Full DuckDB→Spark dialect rewrite (string to string, no parsing).
     Safe only for DuckDB-dialect input — e.g. ``trunc`` is renamed to the
@@ -1726,6 +2007,9 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
         if entry.startswith("'"):
             table[i] = entry.replace("\\", "\\\\")
     masked = _rewrite_list_comprehension(masked)
+    masked = _rewrite_struct_literals(masked, table)
+    masked = _rewrite_positional_join(masked, spark)
+    masked = _rewrite_templates(masked, table)
     masked = _rewrite_list_literals(masked)
     masked = _rewrite_len(
         masked, _column_kinds(spark, masked) if spark is not None else None
@@ -1824,7 +2108,129 @@ def register_dialect_functions(spark: SparkSession) -> None:
         "RETURNS STRING "
         f"RETURN translate(s, '{_ACCENTED}', '{_PLAIN}')"
     )
+    # character-set jaccard / positional hamming: JVM-side HOF bodies
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dd_jaccard(a STRING, b STRING) "
+        "RETURNS DOUBLE "
+        "RETURN size(array_intersect(array_distinct(split(a, '')), "
+        "array_distinct(split(b, '')))) / "
+        "CAST(size(array_union(array_distinct(split(a, '')), "
+        "array_distinct(split(b, '')))) AS DOUBLE)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dd_hamming(a STRING, b STRING) "
+        "RETURNS BIGINT "
+        "RETURN CASE WHEN length(a) <> length(b) THEN "
+        "CAST(raise_error('hamming: strings must be of equal length') AS BIGINT) "
+        "ELSE CAST(size(filter(zip_with(split(a, ''), split(b, ''), "
+        "(x, y) -> x <> y), z -> z)) AS BIGINT) END"
+    )
     _register_libm_shims(spark)
+    _register_distance_shims(spark)
+
+
+def _register_distance_shims(spark: SparkSession) -> None:
+    """Jaro / Jaro-Winkler / Damerau-Levenshtein as Arrow-vectorized
+    pandas UDFs (loop-shaped algorithms with no HOF spelling). Semantics
+    pinned to DuckDB 1.0: empty input → 0.0 similarity, Winkler prefix
+    ≤ 4 at p = 0.1, Damerau is FULL DL (unrestricted transposition —
+    dl('ca','abc') = 2, not OSA's 3)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def jaro(s1: str, s2: str) -> float:
+        n1, n2 = len(s1), len(s2)
+        if n1 == 0 or n2 == 0:
+            return 0.0
+        window = max(0, max(n1, n2) // 2 - 1)
+        m1 = [False] * n1
+        m2 = [False] * n2
+        matches = 0
+        for i, c in enumerate(s1):
+            lo, hi = max(0, i - window), min(n2, i + window + 1)
+            for j in range(lo, hi):
+                if not m2[j] and s2[j] == c:
+                    m1[i] = m2[j] = True
+                    matches += 1
+                    break
+        if matches == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(n1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        return (matches / n1 + matches / n2 + (matches - t) / matches) / 3
+
+    def jaro_winkler(s1: str, s2: str) -> float:
+        j = jaro(s1, s2)
+        if j <= 0.7:  # standard boost threshold (DuckDB applies it too)
+            return j
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        return j + prefix * 0.1 * (1 - j)
+
+    def damerau(s1: str, s2: str) -> int:
+        # full Damerau-Levenshtein (with alphabet bookkeeping)
+        n1, n2 = len(s1), len(s2)
+        maxdist = n1 + n2
+        da: dict[str, int] = {}
+        d = [[0] * (n2 + 2) for _ in range(n1 + 2)]
+        d[0][0] = maxdist
+        for i in range(n1 + 1):
+            d[i + 1][0] = maxdist
+            d[i + 1][1] = i
+        for j in range(n2 + 1):
+            d[0][j + 1] = maxdist
+            d[1][j + 1] = j
+        for i in range(1, n1 + 1):
+            db = 0
+            for j in range(1, n2 + 1):
+                k = da.get(s2[j - 1], 0)
+                l = db
+                if s1[i - 1] == s2[j - 1]:
+                    cost = 0
+                    db = j
+                else:
+                    cost = 1
+                d[i + 1][j + 1] = min(
+                    d[i][j] + cost,
+                    d[i + 1][j] + 1,
+                    d[i][j + 1] + 1,
+                    d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+                )
+            da[s1[i - 1]] = i
+        return d[n1 + 1][n2 + 1]
+
+    def make_pair(f, cast):
+        def shim(a, b):
+            return pd.Series(
+                [
+                    cast(f(x if x is not None else "", y if y is not None else ""))
+                    for x, y in zip(a, b)
+                ]
+            )
+
+        shim.__annotations__ = {
+            "a": pd.Series, "b": pd.Series, "return": pd.Series
+        }
+        return shim
+
+    spark.udf.register("dd_jaro", pandas_udf(make_pair(jaro, float), "double"))
+    spark.udf.register(
+        "dd_jaro_winkler", pandas_udf(make_pair(jaro_winkler, float), "double")
+    )
+    spark.udf.register(
+        "dd_damerau", pandas_udf(make_pair(damerau, int), "long")
+    )
 
 
 # DuckDB evaluates these through C libm; the JVM's Math intrinsics differ

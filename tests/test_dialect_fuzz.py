@@ -534,3 +534,60 @@ def test_fuzz_list_comprehension(spark, duck, lst, mul, thr):
     srow = spark.sql(rewrite(q)).collect()[0]
     drow = duck.execute(q).fetchone()
     assert (list(srow.v), srow.n) == (list(drow[0]), drow[1]), q
+
+
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcxy_", min_size=1, max_size=4).filter(
+            lambda k: not k[0].isdigit() and k not in ("as", "or", "and", "if", "in")
+        ),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+    vals=st.lists(st.integers(-99, 99), min_size=4, max_size=4),
+)
+@settings(**SETTINGS)
+def test_fuzz_struct_literal_field_access(spark, duck, keys, vals):
+    """{'k': v, ...}.k agrees for arbitrary keys/values (r7 batch)."""
+    body = ", ".join(f"'{k}': {v}" for k, v in zip(keys, vals))
+    both(spark, duck, f"SELECT {{{body}}}.{keys[0]} AS v")
+
+
+@given(lst=int_lists)
+@settings(**SETTINGS)
+def test_fuzz_list_reduce(spark, duck, lst):
+    both(spark, duck, f"SELECT list_reduce({lst}, (x, y) -> x + y * 2) AS r")
+
+
+@given(lst=int_lists, p=st.floats(0, 1, allow_nan=False))
+@settings(**SETTINGS)
+def test_fuzz_quantile_disc(spark, duck, lst, p):
+    """quantile_disc returns the exact lower-interpolated ELEMENT (never
+    an average), for any probability."""
+    both(spark, duck, f"SELECT quantile_disc(v, {p!r}) AS q "
+                      f"FROM (VALUES {', '.join(f'({x})' for x in lst)}) t(v)")
+
+
+@given(a=words, b=words)
+@settings(**SETTINGS)
+def test_fuzz_distance_shims(spark, duck, a, b):
+    """jaro/jaro-winkler/damerau/jaccard match DuckDB on random strings
+    (empty-input conventions included)."""
+    q = (
+        f"SELECT jaro_similarity('{a}', '{b}') AS j1, "
+        f"jaro_winkler_similarity('{a}', '{b}') AS j2, "
+        f"damerau_levenshtein('{a}', '{b}') AS d"
+        + (f", jaccard('{a}', '{b}') AS jc" if a and b else "")
+    )
+    both(spark, duck, q)
+
+
+@given(
+    y=st.integers(1971, 2199), m=st.integers(1, 12), d=st.integers(1, 28),
+    part=st.sampled_from(["dow", "isodow"]),
+)
+@settings(**SETTINGS)
+def test_fuzz_dow_isodow(spark, duck, y, m, d, part):
+    both(spark, duck,
+         f"SELECT datepart('{part}', DATE '{y:04d}-{m:02d}-{d:02d}') AS v")

@@ -1,0 +1,235 @@
+"""Round-7 dialect breadth batch: struct/map literals, function
+templates (to_base, list_reduce, 3-arg date_sub, dow/isodow, epoch,
+strptime, quantile_disc, kurtosis, histogram, format, struct_extract),
+string-distance shims, ordered any_value/arbitrary/first/last, and the
+POSITIONAL JOIN rewrite (previously a silent CROSS join through Spark's
+alias parsing).
+
+Differential where reprs align; semantic (normalized) where the two
+python drivers render the same value differently (Row vs dict, MAP
+rendering, tz-awareness).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_server_spark.dialect import (
+    register_dialect_functions,
+    run_sql,
+    serving_dialect,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def sql_session(spark):
+    from duckdb_server_spark.session import register_views
+
+    register_dialect_functions(spark)
+    register_views(spark, SF_DIR, ("nation", "region", "orders"))
+    return spark
+
+
+def _both(spark, duck, sql: str):
+    with serving_dialect(True):
+        ours = sorted(tuple(r) for r in run_sql(spark, sql).collect())
+    theirs = sorted(duck.execute(sql).fetchall())
+    return ours, theirs
+
+
+def _match(spark, duck, sql: str):
+    ours, theirs = _both(spark, duck, sql)
+    assert ours == theirs, f"{sql!r}: {ours[:2]} != {theirs[:2]}"
+
+
+# --- struct / map literals -------------------------------------------------
+
+
+def test_struct_literal_field_access(sql_session, duck):
+    _match(sql_session, duck, "SELECT {'a': 1, 'b': 2}.a AS v")
+
+
+def test_struct_literal_values_match(sql_session, duck):
+    with serving_dialect(True):
+        row = run_sql(
+            sql_session, "SELECT {'a': 1, 'c': [1, 2]} AS s"
+        ).collect()[0].s
+    drow = duck.execute("SELECT {'a': 1, 'c': [1, 2]} AS s").fetchone()[0]
+    assert row.a == drow["a"] and list(row.c) == drow["c"]
+
+
+def test_nested_struct_literal(sql_session, duck):
+    with serving_dialect(True):
+        row = run_sql(
+            sql_session, "SELECT {'a': {'b': 7}}.a.b AS v"
+        ).collect()[0].v
+    assert row == duck.execute("SELECT {'a': {'b': 7}}.a.b AS v").fetchone()[0]
+
+
+def test_map_literal(sql_session, duck):
+    with serving_dialect(True):
+        m = run_sql(sql_session, "SELECT MAP {'x': 1, 'y': 2} AS m").collect()[0].m
+    assert m == {"x": 1, "y": 2}
+
+
+def test_struct_extract(sql_session, duck):
+    _match(sql_session, duck, "SELECT struct_extract({'a': 7}, 'a') AS v")
+
+
+def test_brace_in_string_literal_untouched(sql_session, duck):
+    # masked literals keep braces out of the struct rewrite's reach
+    _match(sql_session, duck, "SELECT '{not: struct}' AS s")
+
+
+# --- function templates ----------------------------------------------------
+
+
+def test_to_base(sql_session, duck):
+    _match(sql_session, duck, "SELECT to_base(255, 16) AS h")
+
+
+def test_list_reduce(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT list_reduce([1, 2, 3, 4], (x, y) -> x + y) AS r")
+    _match(sql_session, duck,
+           "SELECT list_reduce(['a', 'b'], (x, y) -> x || y) AS r")
+
+
+def test_list_reverse_sort_keeps_int_type(sql_session, duck):
+    _match(sql_session, duck, "SELECT list_reverse_sort([3, 1, 2]) AS l")
+
+
+def test_date_sub_three_arg(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT date_sub('month', DATE '2020-01-31', DATE '2020-03-01') AS d")
+    _match(sql_session, duck,
+           "SELECT datesub('day', DATE '2020-01-01', DATE '2020-01-05') AS d")
+
+
+def test_dow_isodow_mapping(sql_session, duck):
+    # 2020-01-05 is a Sunday: DuckDB dow=0, isodow=7
+    _match(sql_session, duck, "SELECT datepart('dow', DATE '2020-01-05') AS d")
+    _match(sql_session, duck,
+           "SELECT date_part('isodow', DATE '2020-01-05') AS d")
+    _match(sql_session, duck, "SELECT datepart('dow', DATE '2020-01-06') AS d")
+
+
+def test_epoch_fractional_double(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT epoch(TIMESTAMP '2020-01-01 00:00:30.5') AS e")
+
+
+def test_strptime(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT strptime('2020-01-05 03:04', '%Y-%m-%d %H:%M') AS t")
+
+
+def test_quantile_disc_exact_element(sql_session, duck):
+    for p in ("0", "0.25", "0.4", "0.5", "0.75", "0.9", "1"):
+        _match(sql_session, duck,
+               f"SELECT quantile_disc(n_nationkey, {p}) AS q FROM nation")
+    _match(sql_session, duck,
+           "SELECT quantile(n_nationkey, 0.25) AS q FROM nation")
+
+
+def test_kurtosis_sample_corrected(sql_session, duck):
+    ours, theirs = _both(
+        sql_session, duck, "SELECT kurtosis(n_nationkey) AS k FROM nation"
+    )
+    assert ours[0][0] == pytest.approx(theirs[0][0], abs=1e-9)
+
+
+def test_histogram_semantic(sql_session, duck):
+    with serving_dialect(True):
+        h = run_sql(
+            sql_session, "SELECT histogram(n_regionkey) AS h FROM nation"
+        ).collect()[0].h
+    d = duck.execute("SELECT histogram(n_regionkey) FROM nation").fetchone()[0]
+    assert h == dict(zip(d["key"], d["value"]))
+
+
+def test_format_basic_and_escape(sql_session, duck):
+    _match(sql_session, duck, "SELECT format('{} x {}', 1, 'a') AS s")
+    _match(sql_session, duck, "SELECT format('100%: {:d}', 7) AS s")
+
+
+def test_current_schema(sql_session, duck):
+    _match(sql_session, duck, "SELECT current_schema() AS s")
+
+
+# --- string distances ------------------------------------------------------
+
+
+def test_distance_family(sql_session, duck):
+    for sql in (
+        "SELECT editdist3('kitten', 'sitting') AS d",
+        "SELECT suffix('abc', 'bc') AS b",
+        "SELECT hamming('abc', 'abd') AS h",
+        "SELECT mismatches('abc', 'abd') AS m",
+        "SELECT jaccard('Abc', 'abc') AS j",
+        "SELECT jaccard('aaab', 'ab') AS j",
+        "SELECT jaro_similarity('martha', 'marhta') AS j",
+        "SELECT jaro_winkler_similarity('DIXON', 'DICKSONX') AS j",
+        "SELECT jaro_winkler_similarity('duane', 'dwayne') AS j",
+        "SELECT jaro_winkler_similarity('a', '') AS j",
+        "SELECT damerau_levenshtein('ca', 'abc') AS d",  # full DL: 2, not OSA 3
+        "SELECT damerau_levenshtein('abc', 'acb') AS d",
+    ):
+        _match(sql_session, duck, sql)
+
+
+def test_distance_on_table_column(sql_session, duck):
+    _match(
+        sql_session, duck,
+        "SELECT n_name, jaro_winkler_similarity(n_name, 'CANADA') AS s "
+        "FROM nation ORDER BY s DESC NULLS LAST, n_name LIMIT 5",
+    )
+
+
+# --- ordered first/last/any_value -----------------------------------------
+
+
+def test_ordered_any_value_family(sql_session, duck):
+    _match(
+        sql_session, duck,
+        "SELECT n_regionkey, any_value(n_name ORDER BY n_name) AS a "
+        "FROM nation GROUP BY ALL ORDER BY ALL",
+    )
+    _match(sql_session, duck,
+           "SELECT arbitrary(n_name ORDER BY n_nationkey DESC) AS a FROM nation")
+    _match(sql_session, duck,
+           "SELECT first(n_name ORDER BY n_nationkey DESC) AS f FROM nation")
+    _match(sql_session, duck,
+           "SELECT last(n_name ORDER BY n_nationkey) AS l FROM nation")
+
+
+def test_plain_arbitrary_runs(sql_session):
+    with serving_dialect(True):
+        out = run_sql(
+            sql_session, "SELECT arbitrary(n_name) AS a FROM nation"
+        ).collect()
+    assert len(out) == 1 and out[0].a is not None
+
+
+# --- POSITIONAL JOIN -------------------------------------------------------
+
+
+def test_positional_join_pads_shorter_side(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT count(*) AS c FROM nation POSITIONAL JOIN region")
+    # 25 nations vs 5 regions: rows 6-25 carry NULL region columns
+    _match(
+        sql_session, duck,
+        "SELECT count(*) AS c FROM nation POSITIONAL JOIN region "
+        "WHERE r_name IS NULL",
+    )
+
+
+def test_positional_join_unsupported_shape_fails_closed(sql_session):
+    with serving_dialect(True), pytest.raises(Exception):
+        run_sql(
+            sql_session,
+            "SELECT * FROM (SELECT 1) a POSITIONAL JOIN (SELECT 2) b",
+        ).collect()
