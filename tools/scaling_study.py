@@ -81,6 +81,18 @@ GROUPS = {
         ("b32b_video_frames", 5_000, ("1x", "10x", "100x")),
         ("b33b_audio_decode", 5_000, ("1x", "10x", "100x")),
     ],
+    # round-7 additions: the new codecs (GIF LZW, MP4 sample tables,
+    # G.711) — per-doc CPU inside mapInPandas, shuffle-free — plus the
+    # integer mixture sampler (one tiny agg + broadcast + scan filter).
+    # b64_source_overlap is excluded by construction: its doc_id < 400
+    # subset is replication-invariant; its scale argument is the b03
+    # banded-join output bound, measured via b03 in "heavy".
+    "r7": [
+        ("b30c_gif_decode", 5_000, ("1x", "10x", "100x")),
+        ("b32c_mp4_frames", 5_000, ("1x", "10x", "100x")),
+        ("b33c_g711_audio", 5_000, ("1x", "10x", "100x")),
+        ("b63_mixture_sample", 5_000, ("1x", "10x", "100x")),
+    ],
     # the full TPC-H-ish suite at the 10× fact tier (lineitem 6M rows,
     # joins resolving against consistently-offset orders/customer and
     # fixed dims) — VERDICT r5 item 6. base_rows = lineitem at sf0.1.
