@@ -63,6 +63,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # GIF branch; video_frame_features gained the MP4 dispatch).
 _PRIORITY_R7: tuple[str, ...] = (
     "b30c_gif_decode",         # new: GIF LZW codec end-to-end
+    "b30d_webp_decode",        # new: VP8L lossless WebP end-to-end
     "b32c_mp4_frames",         # new: ISO BMFF sample-table demux
     "b33c_g711_audio",         # new: G.711 compressed audio
     "b63_mixture_sample",      # new: integer-exact temperature mixture

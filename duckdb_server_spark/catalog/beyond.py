@@ -865,6 +865,61 @@ def b30c_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b30d_webp_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, substr(text || repeat(' ', 64), 1, 64) AS s
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(range(1, 65),
+                            i -> ascii(substr(s, CAST(i AS INT), 1))) AS c
+      FROM px
+    )
+    SELECT doc_id, 8 AS width, 8 AS height,
+           round(CAST(list_aggregate(c, 'sum') AS DOUBLE) / 64.0, 6) AS px_mean,
+           CAST(list_aggregate(c, 'min') AS INT) AS px_min,
+           CAST(list_aggregate(c, 'max') AS INT) AS px_max,
+           CAST(list_aggregate(c, 'sum') AS BIGINT) AS px_sum
+    FROM codes
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b30d_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP decode through the binary column — the LAST
+    image plug point closed (operators/webp.py: VP8L canonical Huffman
+    transmitted via the code-length RLE code, greedy LZ77 backrefs with
+    the length/distance prefix coding, subtract-green transform). Each
+    document's first 64 bytes become an 8×8 gray VP8L image; natural
+    text repeats character runs, so the LZ77 path executes corpus-wide.
+
+    The oracle recomputes the statistics from the pixel DEFINITION
+    (character codes) with no notion of WebP — a hash-match proves the
+    entropy coding, backref copying, and transform inversion are
+    lossless. Lossy VP8 remains the one declared image plug point."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.webp import encode_webp_gray
+
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                pixels = (text_ or "")[:64].ljust(64).encode("latin-1")
+                ids.append(doc_id)
+                payloads.append(encode_webp_gray(pixels, 8, 8))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    webp_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
+    return multimodal.png_features(webp_df).orderBy(
+        F.col("doc_id").asc_nulls_last()
+    )
+
+
 # b31b oracle: every emitted statistic is recomputed from the IMAGE
 # DEFINITION (character codes of the padded text prefix) without touching
 # JPEG at all. Exactness argument: (a) the tiles image is four constant

@@ -43,12 +43,13 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> dict:
-    """Image decode, dispatching on magic bytes. PNG (stdlib zlib + the
+    """Image decode, dispatching on magic bytes — every mainstream
+    web-corpus image format decodes for real: PNG (stdlib zlib + the
     five scanline filters — operators/png.py), baseline JPEG (canonical
-    Huffman + IDCT — operators/jpeg.py), and GIF (variable-width LZW +
-    4-pass de-interlace — operators/gif.py) are decoded for real; the
-    remaining format (WebP) is a plug point (PIL.Image.open drops in
-    here)."""
+    Huffman + IDCT — operators/jpeg.py), GIF (variable-width LZW +
+    4-pass de-interlace — operators/gif.py), and lossless WebP (VP8L
+    canonical-Huffman + LZ77 + subtract-green — operators/webp.py).
+    Lossy VP8 WebP remains the one plug point (libwebp drops in here)."""
     from duckdb_server_spark.operators.gif import GIF_SIGNATURES, decode_gif
     from duckdb_server_spark.operators.png import PNG_SIGNATURE, decode_png
 
@@ -60,9 +61,13 @@ def decode_image(payload: bytes) -> dict:
         return decode_jpeg(payload)
     if payload[:6] in GIF_SIGNATURES:
         return decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from duckdb_server_spark.operators.webp import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
-        "PNG, baseline JPEG, and GIF codecs are built in; install an "
-        "image library for other formats"
+        "PNG, baseline JPEG, GIF, and lossless WebP codecs are built "
+        "in; install an image library for other formats"
     )
 
 

@@ -1,0 +1,499 @@
+"""Pure-stdlib WebP (VP8L lossless) codec — closes the LAST image plug
+point behind the multimodal dispatch (operators/multimodal.py), the
+PNG/JPEG/GIF playbook applied to the one modern format still missing.
+
+VP8L (the WebP lossless bitstream, Google 2012, public spec) needs no
+library: LSB-first bit packing, canonical prefix codes transmitted as
+code LENGTHS through a second-order code-length code (symbols 16/17/18
+are RLE escapes), optional spatial transforms, and an LZ77 layer whose
+distances map through a 2D neighborhood table. This module implements
+a spec-valid subset in BOTH directions:
+
+- :func:`encode_webp_gray` — real canonical Huffman (built from symbol
+  frequencies, transmitted via the code-length code), the
+  SUBTRACT-GREEN transform, and greedy LZ77 backward references with
+  the length/distance prefix-coding and 2D distance mapping — so the
+  decoder's backref and RLE paths execute on real data;
+- :func:`decode_webp` — container + VP8L header parse, transform list,
+  both simple and normal prefix-code forms, code-length RLE, literal /
+  LZ77-ref decoding, distance unmapping, and subtract-green inversion.
+
+Out of scope (rejected loudly, never wrong): color cache, meta prefix
+groups, predictor/color/indexing transforms, and lossy VP8.
+
+Worker-side only: runs inside mapInPandas bodies; payloads never visit
+the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections import Counter
+
+# 2D distance mapping: the first 120 distance values address a pixel
+# neighborhood (dx in [-8, 7], dy in [0, 7]); beyond that, distance =
+# code - 120. Table order per spec §4.2.2.
+_NEIGHBORS = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+# code-length-code transmission order (spec §3.5.2)
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc |= value << self.n
+        self.n += bits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def done(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = self.n = 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, bits: int) -> int:
+        while self.n < bits:
+            if self.pos >= len(self.data):
+                raise ValueError("VP8L: bitstream truncated")
+            self.acc |= self.data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        v = self.acc & ((1 << bits) - 1)
+        self.acc >>= bits
+        self.n -= bits
+        return v
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """Code lengths → {symbol: (bit-reversed code, length)} (canonical,
+    spec bit order: codes are read LSB-first so assignments reverse)."""
+    pairs = sorted(
+        (l, s) for s, l in enumerate(lengths) if l > 0
+    )
+    if len(pairs) == 1:
+        # a single-symbol code consumes ZERO bits on the wire (spec) —
+        # the decoder's single-code path reads nothing
+        return {pairs[0][1]: (0, 0)}
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = pairs[0][0] if pairs else 0
+    for l, s in pairs:
+        code <<= l - prev_len
+        prev_len = l
+        rev = int(f"{code:0{l}b}"[::-1], 2)
+        codes[s] = (rev, l)
+        code += 1
+    return codes
+
+
+class _HuffDecoder:
+    """Canonical prefix decoder over the LSB-first bit reader."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        self.single = None
+        nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            return
+        # symbol → (code,len) in canonical MSB order; build a lookup of
+        # (len, code) → symbol for sequential bit-by-bit decode
+        self.table: dict[tuple[int, int], int] = {}
+        code = 0
+        nz = sorted(nz)
+        prev = nz[0][0] if nz else 0
+        for l, s in nz:
+            code <<= l - prev
+            prev = l
+            self.table[(l, code)] = s
+            code += 1
+        self.max_len = prev
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for l in range(1, self.max_len + 1):
+            code = (code << 1) | br.read(1)
+            s = self.table.get((l, code))
+            if s is not None:
+                return s
+        raise ValueError("VP8L: invalid prefix code")
+
+
+def _build_lengths(freqs: Counter, alphabet: int, max_len: int = 15) -> list[int]:
+    """Frequency → code-length assignment (package-merge-free heuristic:
+    true Huffman, then length-limit by rebalancing — fine for our
+    alphabets; lengths are what the format transmits, so any valid
+    assignment is spec-correct)."""
+    import heapq
+
+    syms = [s for s in freqs if freqs[s] > 0]
+    if not syms:
+        return [0] * alphabet
+    if len(syms) == 1:
+        out = [0] * alphabet
+        out[syms[0]] = 1
+        return out
+    heap = [(freqs[s], i, (s,)) for i, s in enumerate(syms)]
+    heapq.heapify(heap)
+    depth: dict[int, int] = {s: 0 for s in syms}
+    uid = len(syms)
+    while len(heap) > 1:
+        fa, _, ga = heapq.heappop(heap)
+        fb, _, gb = heapq.heappop(heap)
+        for s in ga + gb:
+            depth[s] += 1
+        heapq.heappush(heap, (fa + fb, uid, ga + gb))
+        uid += 1
+    while max(depth.values()) > max_len:
+        # move the deepest symbol up under the shallowest (crude but valid
+        # once lengths are re-checked Kraft-tight below)
+        deepest = max(depth, key=lambda s: depth[s])
+        depth[deepest] -= 1
+        shallow = min(depth, key=lambda s: depth[s])
+        depth[shallow] += 1
+    # Kraft fix-up: lengths must satisfy sum(2^-l) <= 1
+    while sum(2 ** -l for l in depth.values()) > 1:
+        deepest = min(depth, key=lambda s: -depth[s])
+        depth[deepest] += 1
+    out = [0] * alphabet
+    for s, l in depth.items():
+        out[s] = min(l, max_len)
+    return out
+
+
+def _write_code(w: _BitWriter, lengths: list[int]) -> None:
+    """Transmit a prefix code: simple form for ≤2 symbols, else the full
+    code-length-code path (with RLE escapes left unused by the writer —
+    zero runs ARE emitted via symbol 17/18 for compactness)."""
+    nz = [s for s, l in enumerate(lengths) if l > 0]
+    if 1 <= len(nz) <= 2 and all(s < 256 for s in nz):
+        w.write(1, 1)  # simple
+        w.write(len(nz) - 1, 1)
+        if len(nz) == 1:
+            s = nz[0]
+            if s < 2:
+                w.write(0, 1)  # first symbol in 1 bit
+                w.write(s, 1)
+            else:
+                w.write(1, 1)
+                w.write(s, 8)
+        else:
+            w.write(1, 1)
+            w.write(nz[0], 8)
+            w.write(nz[1], 8)
+        return
+    w.write(0, 1)  # normal
+    # RLE the length sequence into code-length symbols
+    seq: list[tuple[int, int]] = []  # (symbol, extra)
+    i = 0
+    n = len(lengths)
+    while i < n:
+        l = lengths[i]
+        run = 1
+        while i + run < n and lengths[i + run] == l:
+            run += 1
+        if l == 0:
+            r = run
+            while r >= 11:
+                take = min(r, 138)
+                seq.append((18, take - 11))
+                r -= take
+            while r >= 3:
+                take = min(r, 10)
+                seq.append((17, take - 3))
+                r -= take
+            seq.extend((0, -1) for _ in range(r))
+        else:
+            seq.append((l, -1))
+            r = run - 1
+            while r >= 3:
+                take = min(r, 6)
+                seq.append((16, take - 3))
+                r -= take
+            seq.extend((l, -1) for _ in range(r))
+        i += run
+    clc_freq = Counter(s for s, _ in seq)
+    clc_len = _build_lengths(clc_freq, 19, max_len=7)
+    # trim trailing zeros in transmission order, min 4 entries
+    order_lens = [clc_len[s] for s in _CLC_ORDER]
+    count = len(_CLC_ORDER)
+    while count > 4 and order_lens[count - 1] == 0:
+        count -= 1
+    w.write(count - 4, 4)
+    for j in range(count):
+        w.write(order_lens[j], 3)
+    w.write(0, 1)  # no max-symbol shortcut
+    clc_codes = _canonical_codes(clc_len)
+    for s, extra in seq:
+        code, bits = clc_codes[s]
+        w.write(code, bits)
+        if s == 16:
+            w.write(extra, 2)
+        elif s == 17:
+            w.write(extra, 3)
+        elif s == 18:
+            w.write(extra, 7)
+
+
+def _read_code(br: _BitReader, alphabet: int) -> _HuffDecoder:
+    if br.read(1):  # simple
+        n = br.read(1) + 1
+        if br.read(1):
+            first = br.read(8)
+        else:
+            first = br.read(1)
+        lengths = [0] * alphabet
+        lengths[first] = 1
+        if n == 2:
+            second = br.read(8)
+            lengths[second] = 1
+        return _HuffDecoder(lengths)
+    count = br.read(4) + 4
+    clc_len = [0] * 19
+    for j in range(count):
+        clc_len[_CLC_ORDER[j]] = br.read(3)
+    max_symbol = alphabet
+    if br.read(1):  # use max-symbol shortcut
+        bits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(bits)
+    clc = _HuffDecoder(clc_len)
+    lengths = [0] * alphabet
+    i = 0
+    prev = 8
+    while i < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        s = clc.read(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if i < alphabet:
+                    lengths[i] = prev
+                    i += 1
+        elif s == 17:
+            i += 3 + br.read(3)
+        else:
+            i += 11 + br.read(7)
+    return _HuffDecoder(lengths)
+
+
+def _prefix_encode(value: int) -> tuple[int, int, int]:
+    """LZ77 length/distance prefix coding (spec §4.2.1): value ≥ 1 →
+    (symbol, extra_bits_count, extra_bits_value)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    nbits = v.bit_length() - 1
+    low = (v >> (nbits - 1)) & 1
+    sym = 2 * nbits + low
+    extra = v & ((1 << (nbits - 1)) - 1)
+    return sym, nbits - 1, extra
+
+
+def _prefix_decode(br: _BitReader, sym: int) -> int:
+    if sym < 4:
+        return sym + 1
+    nbits = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << nbits
+    return offset + br.read(nbits) + 1
+
+
+def encode_webp_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Grayscale pixels → spec-valid lossless WebP: subtract-green
+    transform (R/B become 0), greedy LZ77 over the pixel stream, real
+    canonical Huffman for all five codes."""
+    if len(pixels) != width * height:
+        raise ValueError("WebP: pixels do not match geometry")
+    # token stream: ('lit', g) or ('ref', length, distance)
+    tokens: list[tuple] = []
+    n = len(pixels)
+    i = 0
+    while i < n:
+        best_len = 0
+        best_dist = 0
+        lookback = min(i, 64)
+        for dist in range(1, lookback + 1):
+            l = 0
+            while i + l < n and pixels[i + l - dist] == pixels[i + l]:
+                l += 1
+                if l >= 4096:
+                    break
+            if l > best_len:
+                best_len, best_dist = l, dist
+        if best_len >= 3:
+            tokens.append(("ref", best_len, best_dist))
+            i += best_len
+        else:
+            tokens.append(("lit", pixels[i]))
+            i += 1
+
+    gfreq: Counter = Counter()
+    dfreq: Counter = Counter()
+    for t in tokens:
+        if t[0] == "lit":
+            gfreq[t[1]] += 1
+        else:
+            lsym, _, _ = _prefix_encode(t[1])
+            gfreq[256 + lsym] += 1
+            # distance: plain (no 2D neighborhood in the writer) → code
+            # = distance + 120 → prefix-encode that
+            dsym, _, _ = _prefix_encode(t[2] + 120)
+            dfreq[dsym] += 1
+
+    glen = _build_lengths(gfreq, 256 + 24)
+    rlen = _build_lengths(Counter({0: 1}), 256)  # R ≡ 0 (subtract-green)
+    blen = _build_lengths(Counter({0: 1}), 256)
+    alen = _build_lengths(Counter({255: 1}), 256)
+    dlen = _build_lengths(dfreq if dfreq else Counter({0: 1}), 40)
+
+    w = _BitWriter()
+    w.write(width - 1, 14)
+    w.write(height - 1, 14)
+    w.write(0, 1)  # no alpha hint
+    w.write(0, 3)  # version
+    w.write(1, 1)  # transform present
+    w.write(2, 2)  # SUBTRACT_GREEN
+    w.write(0, 1)  # no more transforms
+    w.write(0, 1)  # no color cache
+    w.write(0, 1)  # no meta prefix codes
+    for lengths in (glen, rlen, blen, alen, dlen):
+        _write_code(w, lengths)
+    gcodes = _canonical_codes(glen)
+    rcodes = _canonical_codes(rlen)
+    bcodes = _canonical_codes(blen)
+    acodes = _canonical_codes(alen)
+    dcodes = _canonical_codes(dlen)
+    for t in tokens:
+        if t[0] == "lit":
+            c, l = gcodes[t[1]]
+            w.write(c, l)
+            for codes, sym in ((rcodes, 0), (bcodes, 0), (acodes, 255)):
+                c, l = codes[sym]
+                w.write(c, l)
+        else:
+            _, length, dist = t
+            lsym, lnb, lext = _prefix_encode(length)
+            c, l = gcodes[256 + lsym]
+            w.write(c, l)
+            w.write(lext, lnb)
+            dsym, dnb, dext = _prefix_encode(dist + 120)
+            c, l = dcodes[dsym]
+            w.write(c, l)
+            w.write(dext, dnb)
+    body = b"\x2f" + w.done()
+    vp8l = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        vp8l += b"\x00"  # RIFF word alignment (size field excludes pad)
+    return b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
+
+
+def decode_webp(payload: bytes) -> dict:
+    """Lossless WebP → {'pixels' (gray = G channel), 'width', 'height'}."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    pos = 12
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"VP8L":
+            data = payload[pos + 8 : pos + 8 + size]
+            break
+        if cid == b"VP8 " or cid == b"VP8X":
+            raise NotImplementedError("lossy/extended WebP needs libwebp")
+        pos += 8 + size + (size % 2)
+    if data is None or data[:1] != b"\x2f":
+        raise ValueError("WebP: no VP8L chunk")
+    br = _BitReader(data[1:])
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("VP8L: bad version")
+    subtract_green = False
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype == 2:
+            subtract_green = True
+        else:
+            raise NotImplementedError(
+                "VP8L: only the subtract-green transform is supported"
+            )
+    if br.read(1):
+        raise NotImplementedError("VP8L: color cache not supported")
+    if br.read(1):
+        raise NotImplementedError("VP8L: meta prefix codes not supported")
+    green = _read_code(br, 256 + 24)
+    red = _read_code(br, 256)
+    blue = _read_code(br, 256)
+    alpha = _read_code(br, 256)
+    dist_code = _read_code(br, 40)
+    n = width * height
+    px: list[tuple[int, int, int, int]] = []
+    while len(px) < n:
+        s = green.read(br)
+        if s < 256:
+            g = s
+            r = red.read(br)
+            b = blue.read(br)
+            a = alpha.read(br)
+            px.append((g, r, b, a))
+        elif s < 280:
+            length = _prefix_decode(br, s - 256)
+            dsym = dist_code.read(br)
+            dcode = _prefix_decode(br, dsym)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _NEIGHBORS[dcode - 1]
+                dist = max(1, dx + dy * width)
+            for _ in range(length):
+                if dist > len(px):
+                    raise ValueError("VP8L: backref before start")
+                px.append(px[-dist])
+        else:
+            raise ValueError("VP8L: color-cache symbol without cache")
+    if subtract_green:
+        px = [(g, (r + g) & 0xFF, (b + g) & 0xFF, a) for g, r, b, a in px]
+    return {
+        "pixels": bytes(p[0] for p in px),  # G channel carries the gray
+        "width": width,
+        "height": height,
+    }

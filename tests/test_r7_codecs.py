@@ -158,3 +158,56 @@ def test_wav_pcm_path_unchanged():
 
     samples = [0, 5, -5, 300, -300]
     assert decode_wav(encode_wav(samples))["samples"] == samples
+
+
+# --- WebP (VP8L) -----------------------------------------------------------
+
+
+def test_webp_roundtrip_random_and_structured():
+    from duckdb_server_spark.operators.webp import (
+        decode_webp,
+        encode_webp_gray,
+    )
+
+    rng = random.Random(5)
+    for trial in range(60):
+        w, h = rng.randint(1, 40), rng.randint(1, 40)
+        kind = trial % 4
+        if kind == 0:
+            px = bytes(rng.randrange(256) for _ in range(w * h))
+        elif kind == 1:  # constant → single-symbol (0-bit) green code
+            px = bytes([rng.randrange(256)]) * (w * h)
+        elif kind == 2:  # row repeats → long LZ77 backrefs
+            base = bytes(rng.randrange(256) for _ in range(max(1, w)))
+            px = (base * (h + 1))[: w * h]
+        else:
+            px = bytes((i * 7) % 256 for i in range(w * h))
+        d = decode_webp(encode_webp_gray(px, w, h))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["pixels"] == px
+
+
+def test_webp_deep_huffman_and_refs():
+    from duckdb_server_spark.operators.webp import (
+        decode_webp,
+        encode_webp_gray,
+    )
+
+    px = (bytes(range(256)) * 100)[: 200 * 100]
+    assert decode_webp(encode_webp_gray(px, 200, 100))["pixels"] == px
+
+
+def test_webp_rejects_lossy():
+    from duckdb_server_spark.operators.webp import decode_webp
+
+    fake = b"RIFF" + b"\x10\x00\x00\x00" + b"WEBP" + b"VP8 " + b"\x00" * 8
+    with pytest.raises(NotImplementedError):
+        decode_webp(fake)
+
+
+def test_decode_image_dispatches_webp():
+    from duckdb_server_spark.operators.multimodal import decode_image
+    from duckdb_server_spark.operators.webp import encode_webp_gray
+
+    img = decode_image(encode_webp_gray(bytes([9]) * 16, 4, 4))
+    assert img["pixels"] == bytes([9]) * 16
