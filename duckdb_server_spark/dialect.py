@@ -203,6 +203,25 @@ _FN_RENAMES = {
     "jaro_similarity": "dd_jaro",
     "jaro_winkler_similarity": "dd_jaro_winkler",
     "damerau_levenshtein": "dd_damerau",
+    # r7 batch 3 (second probe battery)
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "ord": "ascii",
+    "unicode": "dd_unicode",
+    "substring_grapheme": "substring",  # grapheme≡char for BMP text
+    "regexp_full_match": "dd_regexp_full_match",
+    "fdiv": "dd_fdiv",
+    "fmod": "dd_fmod",
+    "even": "dd_even",
+    "signbit": "dd_signbit",
+    "isfinite": "dd_isfinite",
+    "isinf": "dd_isinf",
+    "favg": "avg",  # Neumaier-compensated in DuckDB; ulp-class divergence
+    "nfc_normalize": "dd_nfc_normalize",
+    "gamma": "dd_libm_gamma",
+    "lgamma": "dd_libm_lgamma",
+    "nextafter": "dd_libm_nextafter",
+    "chr": "char",
     "list_distinct": "array_distinct",
     "list_position": "array_position",
     "list_indexof": "array_position",
@@ -724,7 +743,14 @@ def _expr_start(s: str, idx: int) -> int:
     return i
 
 
-def _rewrite_subscripts(s: str) -> str:
+def _rewrite_subscripts(s: str, kinds: dict[str, str] | None = None) -> str:
+    def _is_string_base(base: str) -> bool:
+        if re.fullmatch(r"\x00\d+\x00", base):
+            return True  # masked string literal
+        if kinds and re.fullmatch(r"[A-Za-z_][\w.]*", base):
+            return kinds.get(base.split(".")[-1].lower()) == "string"
+        return False
+
     while True:
         for m in re.finditer(r"\[([^\[\]]*)\]", s):
             start = m.start()
@@ -747,12 +773,29 @@ def _rewrite_subscripts(s: str) -> str:
             if ":" in content:
                 a, _, b = content.partition(":")
                 a, b = a.strip() or "1", b.strip()
-                length = (
-                    f"size({base}) - ({a}) + 1"
-                    if not b
-                    else _slice_length(base, a, b)
-                )
-                repl = f"slice({base}, {a}, {length})"
+                if _is_string_base(base):
+                    # string base (literal or schema-resolved column):
+                    # DuckDB slices strings with the same inclusive
+                    # 1-based window → substr
+                    repl = (
+                        f"substr({base}, {a})"
+                        if not b
+                        else f"substr({base}, {a}, ({b}) - ({a}) + 1)"
+                    )
+                else:
+                    length = (
+                        f"size({base}) - ({a}) + 1"
+                        if not b
+                        else _slice_length(base, a, b)
+                    )
+                    repl = f"slice({base}, {a}, {length})"
+            elif _is_string_base(base):
+                # single-character string subscript (DuckDB: '' for [0],
+                # negative wraps from the end — substr matches both)
+                if content == "0":
+                    repl = f"substr({base}, 2, 0)"
+                else:
+                    repl = f"substr({base}, {content}, 1)"
             elif content == "0":
                 # DuckDB's 1-based [0] is out of range → NULL; Spark's
                 # element_at treats 0 as always-invalid even in try form
@@ -851,6 +894,13 @@ def _series_expr(args: list[str]) -> str:
     the 3-arg (stepped / timestamp interval) form maps to ``sequence``
     directly — same inclusive semantics."""
     if len(args) == 3:
+        if any(re.match(r"(?i)\s*DATE\b", a) for a in args[:2]):
+            # DuckDB's date series yields TIMESTAMPs; Spark's sequence
+            # over DATEs yields DATEs — lift the endpoints
+            args = [
+                f"CAST({a} AS TIMESTAMP)" if i < 2 else a
+                for i, a in enumerate(args)
+            ]
         return f"sequence({', '.join(args)})"
     if len(args) == 1:
         a, b = "0", args[0]
@@ -957,16 +1007,16 @@ _LEN_STRING_HEADS = {
 _LEN_ARRAY_NAMES = {"w", "words", "embedding", "tokens", "toks", "shingles"}
 
 
-def _column_kinds(spark, masked: str) -> dict[str, bool]:
-    """Column name (lowercased) → is-array, resolved from the session
-    catalog schema of every relation referenced at a FROM/JOIN position
-    in the (masked) statement. Names whose kind conflicts across the
-    referenced tables are dropped (the heuristic takes over). This is
-    what makes ``len()`` dispatch schema-aware instead of guessing from
-    a column-name allowlist."""
-    from pyspark.sql.types import ArrayType
+def _column_kinds(spark, masked: str) -> dict[str, str]:
+    """Column name (lowercased) → kind ('array' / 'string' / 'other'),
+    resolved from the session catalog schema of every relation referenced
+    at a FROM/JOIN position in the (masked) statement. Names whose kind
+    conflicts across the referenced tables are dropped (the heuristic
+    takes over). This is what makes ``len()`` dispatch and string
+    subscripting schema-aware instead of guessing from names."""
+    from pyspark.sql.types import ArrayType, StringType
 
-    kinds: dict[str, bool] = {}
+    kinds: dict[str, str] = {}
     conflicted: set[str] = set()
     for m in re.finditer(
         r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)", masked, re.IGNORECASE
@@ -980,7 +1030,12 @@ def _column_kinds(spark, masked: str) -> dict[str, bool]:
             continue  # subquery alias / CTE name / missing — heuristic
         for f in schema.fields:
             nm = f.name.lower()
-            k = isinstance(f.dataType, ArrayType)
+            if isinstance(f.dataType, ArrayType):
+                k = "array"
+            elif isinstance(f.dataType, StringType):
+                k = "string"
+            else:
+                k = "other"
             if nm in kinds and kinds[nm] != k:
                 conflicted.add(nm)
             kinds[nm] = k
@@ -1009,7 +1064,7 @@ def _rewrite_len(s: str, kinds: dict[str, bool] | None = None) -> str:
             if name in binders:
                 fn = "length"
             elif kinds is not None and name in kinds:
-                fn = "size" if kinds[name] else "length"
+                fn = "size" if kinds[name] == "array" else "length"
             elif name in _LEN_ARRAY_NAMES:
                 fn = "size"
         s = s[: m.start()] + fn + "(" + s[m.end() :]
@@ -1910,6 +1965,16 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         return f"format_string({lit}{', ' + rest if rest else ''})"
     if fn == "list_reverse_sort" and len(args) == 1:
         return f"reverse(array_sort({args[0]}))"
+    if fn in ("dayname", "monthname") and len(args) == 1:
+        lit = _masked_literal(table, "EEEE" if fn == "dayname" else "MMMM")
+        return f"date_format({args[0]}, {lit})"
+    if fn == "geomean" and len(args) == 1:
+        return f"exp(avg(ln({args[0]})))"
+    if fn in ("fsum", "sumkahan", "kahan_sum") and len(args) == 1:
+        return f"CAST(sum({args[0]}) AS DOUBLE)"  # DuckDB fsum is DOUBLE
+    if len(args) == 2 and fn in ("divide", "multiply", "add", "subtract"):
+        op = {"divide": "//", "multiply": "*", "add": "+", "subtract": "-"}[fn]
+        return f"(({args[0]}) {op} ({args[1]}))"
     return None
 
 
@@ -1917,9 +1982,43 @@ _TEMPLATE_RE = re.compile(
     r"\b(to_base|list_reduce|date_sub|datesub|datepart|date_part|epoch|"
     r"to_timestamp|strptime|struct_extract|current_schema|"
     r"current_database|kurtosis|histogram|quantile_disc|quantile|format|"
-    r"list_reverse_sort)\s*\(",
+    r"list_reverse_sort|dayname|monthname|geomean|divide|multiply|add|"
+    r"subtract|fsum|sumkahan|kahan_sum)\s*\(",
     re.IGNORECASE,
 )
+
+
+_SIMILAR_TO_RE = re.compile(
+    r"\b(NOT\s+)?SIMILAR\s+TO\s+(\x00\d+\x00)", re.IGNORECASE
+)
+# postfix factorial: a number/identifier followed by ! (not != / !~)
+_POSTFIX_FACT_RE = re.compile(r"\b([A-Za-z_]\w*|\d+)\s*!(?![=~])")
+
+
+def _rewrite_similar_to(s: str, table: list[str]) -> str:
+    """``x [NOT] SIMILAR TO 'pat'`` → ``x [NOT] RLIKE '^(?:pat)$'`` —
+    DuckDB's SIMILAR TO is a full-match POSIX regex, not SQL92
+    wildcards. Literal patterns only (fail closed otherwise)."""
+    while m := _SIMILAR_TO_RE.search(s):
+        pat = _literal_value(_unmask(m.group(2), table))
+        if pat is None:
+            raise ValueError("SIMILAR TO requires a literal pattern")
+        lit = _masked_literal(table, f"^(?:{pat})$")
+        neg = "NOT " if m.group(1) else ""
+        s = s[: m.start()] + f"{neg}RLIKE {lit}" + s[m.end() :]
+    if re.search(r"\bSIMILAR\s+TO\b", s, re.IGNORECASE):
+        raise ValueError("SIMILAR TO requires a literal pattern")
+    return s
+
+
+def _rewrite_postfix_factorial(s: str) -> str:
+    """DuckDB's postfix ``x!`` → ``factorial(x)`` for simple operands
+    (numbers/identifiers); other shapes fall through to a parse error
+    rather than silently changing meaning."""
+    out = s
+    while m := _POSTFIX_FACT_RE.search(out):
+        out = out[: m.start()] + f"factorial({m.group(1)})" + out[m.end() :]
+    return out
 
 
 def _rewrite_templates(s: str, table: list[str]) -> str:
@@ -2010,10 +2109,11 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_struct_literals(masked, table)
     masked = _rewrite_positional_join(masked, spark)
     masked = _rewrite_templates(masked, table)
+    masked = _rewrite_similar_to(masked, table)
+    masked = _rewrite_postfix_factorial(masked)
     masked = _rewrite_list_literals(masked)
-    masked = _rewrite_len(
-        masked, _column_kinds(spark, masked) if spark is not None else None
-    )
+    kinds = _column_kinds(spark, masked) if spark is not None else None
+    masked = _rewrite_len(masked, kinds)
     masked = _rewrite_string_split(masked, table)
     masked = _rewrite_regexp_replace(masked, table)
     masked = _rewrite_regexp_extract_all(masked)
@@ -2031,6 +2131,8 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_lateral_values(masked)
     masked = re.sub(r"\bAS\s+VARCHAR\b(?!\s*\()", "AS STRING", masked,
                     flags=re.IGNORECASE)
+    masked = re.sub(r"::\s*VARCHAR\b(?!\s*\()", "::STRING", masked,
+                    flags=re.IGNORECASE)
     # DuckDB `a // b` integer division → Spark DIV (both truncate toward
     # zero on integers: -7//2 = -3 on each engine; DuckDB 1.0's decimal
     # `//` is effectively float division — integer operands are the
@@ -2040,7 +2142,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     if duckdb_first:
         masked = _rewrite_libm(masked)
     masked = _rewrite_list_aggregate(masked, table)
-    masked = _rewrite_subscripts(masked)
+    masked = _rewrite_subscripts(masked, kinds)
     masked = _rewrite_distinct_on(masked)
     masked = _rewrite_window_filter(masked)
     masked = _rewrite_exclude_frames(masked)
@@ -2125,8 +2227,57 @@ def register_dialect_functions(spark: SparkSession) -> None:
         "ELSE CAST(size(filter(zip_with(split(a, ''), split(b, ''), "
         "(x, y) -> x <> y), z -> z)) AS BIGINT) END"
     )
+    for stmt in (
+        # full-match regex (DuckDB SIMILAR TO / regexp_full_match)
+        "CREATE OR REPLACE TEMPORARY FUNCTION dd_regexp_full_match"
+        "(s STRING, p STRING) RETURNS BOOLEAN "
+        "RETURN s RLIKE concat('^(?:', p, ')$')",
+        # floored division / floored modulo (DuckDB fdiv/fmod, measured:
+        # fdiv(-7,2) = -4, fmod(-7,2) = 1 — floored, not C-truncated)
+        "CREATE OR REPLACE TEMPORARY FUNCTION dd_fdiv(a DOUBLE, b DOUBLE) "
+        "RETURNS DOUBLE RETURN floor(a / b)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION dd_fmod(a DOUBLE, b DOUBLE) "
+        "RETURNS DOUBLE RETURN a - floor(a / b) * b",
+        # round away from zero to the next even number (double result)
+        "CREATE OR REPLACE TEMPORARY FUNCTION dd_even(x DOUBLE) "
+        "RETURNS DOUBLE RETURN "
+        "(CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END) * "
+        "(CASE WHEN CAST(ceil(abs(x)) AS BIGINT) % 2 = 0 "
+        "THEN ceil(abs(x)) ELSE ceil(abs(x)) + 1 END)",
+        # DuckDB's signbit(-0.0) is false — plain sign test matches it
+        "CREATE OR REPLACE TEMPORARY FUNCTION dd_signbit(x DOUBLE) "
+        "RETURNS BOOLEAN RETURN x < 0",
+        "CREATE OR REPLACE TEMPORARY FUNCTION dd_isfinite(x DOUBLE) "
+        "RETURNS BOOLEAN RETURN NOT isnan(x) "
+        "AND abs(x) <> CAST('Infinity' AS DOUBLE)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION dd_isinf(x DOUBLE) "
+        "RETURNS BOOLEAN RETURN abs(x) = CAST('Infinity' AS DOUBLE)",
+        # unicode(): codepoint of the first character, -1 for ''
+        "CREATE OR REPLACE TEMPORARY FUNCTION dd_unicode(s STRING) "
+        "RETURNS INT RETURN CASE WHEN length(s) = 0 THEN -1 "
+        "ELSE ascii(s) END",
+    ):
+        spark.sql(stmt)
     _register_libm_shims(spark)
     _register_distance_shims(spark)
+    _register_text_shims(spark)
+
+
+def _register_text_shims(spark: SparkSession) -> None:
+    """NFC normalization as an Arrow-vectorized shim (the JVM exposes no
+    SQL spelling for java.text.Normalizer)."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def nfc(s):
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.udf.register("dd_nfc_normalize", pandas_udf(nfc, "string"))
 
 
 def _register_distance_shims(spark: SparkSession) -> None:
@@ -2282,8 +2433,26 @@ def _register_libm_shims(spark: SparkSession) -> None:
         shim.__annotations__ = {"s": pd.Series, "return": pd.Series}
         return shim
 
+    # gamma/lgamma have NO Spark spelling at all (not just a divergent
+    # one), so they rename to these shims unconditionally, not only
+    # under DuckDB-first serving
+    impl["gamma"] = math.gamma
+    impl["lgamma"] = math.lgamma
     for name, f in impl.items():
         spark.udf.register(f"dd_libm_{name}", pandas_udf(make(f), "double"))
+
+    def nextafter_shim(a, b):
+        return pd.Series(
+            [
+                math.nextafter(x, y)
+                for x, y in zip(a.astype("float64"), b.astype("float64"))
+            ]
+        )
+
+    nextafter_shim.__annotations__ = {
+        "a": pd.Series, "b": pd.Series, "return": pd.Series
+    }
+    spark.udf.register("dd_libm_nextafter", pandas_udf(nextafter_shim, "double"))
 
     def atan2_shim(y, x):
         return pd.Series(

@@ -233,3 +233,114 @@ def test_positional_join_unsupported_shape_fails_closed(sql_session):
             sql_session,
             "SELECT * FROM (SELECT 1) a POSITIONAL JOIN (SELECT 2) b",
         ).collect()
+
+
+# --- batch 3 (second probe battery) ----------------------------------------
+
+
+def test_similar_to_full_match(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT 'abc' SIMILAR TO 'a.c' AS b, 'abc' NOT SIMILAR TO 'x.*' AS n")
+    _match(sql_session, duck,
+           "SELECT n_name FROM nation WHERE n_name SIMILAR TO 'A.*' ORDER BY n_name")
+    # partial match must NOT pass (full-match semantics)
+    _match(sql_session, duck, "SELECT 'abc' SIMILAR TO 'a' AS b")
+
+
+def test_regexp_full_match(sql_session, duck):
+    _match(sql_session, duck, "SELECT regexp_full_match('abc', 'a.c') AS b")
+    _match(sql_session, duck, "SELECT regexp_full_match('abc', 'a') AS b")
+
+
+def test_string_literal_slicing(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT 'abcdef'[2:4] AS a, 'abcdef'[3:] AS b, 'abcdef'[:3] AS c")
+
+
+def test_char_codepoint_family(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT ord('A') AS o, chr(66) AS c, unicode('Ω') AS u, unicode('') AS e")
+
+
+def test_hex_family(sql_session, duck):
+    _match(sql_session, duck, "SELECT to_hex(255) AS h, hex(255) AS h2")
+
+
+def test_postfix_factorial(sql_session, duck):
+    _match(sql_session, duck, "SELECT 5 ! AS f")
+    _match(sql_session, duck, "SELECT n_nationkey, n_nationkey != 3 AS ne "
+                              "FROM nation ORDER BY n_nationkey LIMIT 3")
+
+
+def test_floored_div_mod(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT fdiv(7, 2) AS a, fmod(7, 2) AS b, fdiv(-7, 2) AS c, "
+           "fmod(-7, 2) AS d, fmod(7.5, 2) AS e")
+
+
+def test_operator_function_names(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT divide(7, 2) AS a, divide(-7, 2) AS b, multiply(3, 4) AS c, "
+           "add(2, 3) AS d, subtract(2, 3) AS e")
+
+
+def test_even_signbit_isfamily(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT even(2.5) AS a, even(2) AS b, even(-2.5) AS c, even(0) AS d")
+    _match(sql_session, duck,
+           "SELECT signbit(-0.0) AS a, signbit(-5) AS b, signbit(3) AS c")
+    _match(sql_session, duck,
+           "SELECT isfinite(1.0) AS a, isnan(CAST('nan' AS DOUBLE)) AS b, "
+           "isinf(CAST('inf' AS DOUBLE)) AS c")
+
+
+def test_gamma_family_close(sql_session, duck):
+    ours, theirs = _both(
+        sql_session, duck,
+        "SELECT gamma(5) AS g, lgamma(5.0) AS lg, nextafter(1.0, 2.0) AS n",
+    )
+    for g, w in zip(ours[0], theirs[0]):
+        assert g == pytest.approx(w, rel=1e-12)
+
+
+def test_kahan_aggregates(sql_session, duck):
+    _match(sql_session, duck, "SELECT fsum(n_nationkey) AS s FROM nation")
+    _match(sql_session, duck, "SELECT favg(n_nationkey) AS a FROM nation")
+
+
+def test_geomean(sql_session, duck):
+    ours, theirs = _both(
+        sql_session, duck, "SELECT geomean(n_nationkey + 1) AS g FROM nation"
+    )
+    assert ours[0][0] == pytest.approx(theirs[0][0], rel=1e-12)
+
+
+def test_dayname_monthname(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT dayname(DATE '2020-01-05') AS d, monthname(DATE '2020-01-05') AS m")
+
+
+def test_date_series_yields_timestamps(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT generate_series(DATE '2020-01-01', DATE '2020-01-04', "
+           "INTERVAL 1 DAY) AS g")
+
+
+def test_nfc_normalize(sql_session, duck):
+    _match(sql_session, duck, "SELECT nfc_normalize('é') AS s")
+
+
+def test_varchar_postfix_cast(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT string_agg(DISTINCT n_regionkey::VARCHAR, ',' "
+           "ORDER BY n_regionkey::VARCHAR) AS s FROM nation")
+
+
+def test_string_column_subscripts_schema_aware(sql_session, duck):
+    # n_name is a STRING column: slice and single-index must go through
+    # substr, not array slice (schema-resolved, not name-guessed)
+    _match(sql_session, duck,
+           "SELECT n_name[2:4] AS s FROM nation ORDER BY n_name LIMIT 3")
+    _match(sql_session, duck,
+           "SELECT n_name[3] AS c, n_name[-1] AS l FROM nation "
+           "ORDER BY n_name LIMIT 3")
