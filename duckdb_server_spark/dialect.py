@@ -222,6 +222,15 @@ _FN_RENAMES = {
     "lgamma": "dd_libm_lgamma",
     "nextafter": "dd_libm_nextafter",
     "chr": "char",
+    # r7 batch 4 (JSON / nested probe battery)
+    "apply": "transform",
+    "array_reverse": "reverse",
+    "list_has_any": "arrays_overlap",
+    "json_valid": "dd_json_valid",
+    "json_keys": "dd_json_keys",
+    "json_merge_patch": "dd_json_merge_patch",
+    "json_extract": "dd_json_extract",
+    "json_extract_path": "dd_json_extract",
     "list_distinct": "array_distinct",
     "list_position": "array_position",
     "list_indexof": "array_position",
@@ -1525,6 +1534,22 @@ def _rewrite_ordered_aggs(s: str) -> str:
                 f"listagg({args[0]}, {delim}) WITHIN GROUP "
                 f"(ORDER BY {order_sql})"
             )
+        elif (
+            fn in ("list", "array_agg", "collect_list")
+            and (dm := re.match(r"DISTINCT\s+(.*)$", expr_part,
+                                re.IGNORECASE | re.DOTALL))
+        ):
+            # list(DISTINCT e ORDER BY e): dedup + sort in one pass.
+            # (collect_set drops a NULL element that DuckDB would keep —
+            # acceptable for the key-typed columns this form is used on.)
+            e = dm.group(1).strip()
+            if len(keys) != 1 or keys[0][0] != e:
+                raise ValueError(
+                    "list(DISTINCT …) supports ordering by the element only"
+                )
+            repl = f"array_sort(collect_set({e}))"
+            if keys[0][1]:
+                repl = f"reverse({repl})"
         else:
             fields = ", ".join(
                 [f"{k} AS _o{i}" for i, (k, _, _) in enumerate(keys)]
@@ -1975,6 +2000,84 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
     if len(args) == 2 and fn in ("divide", "multiply", "add", "subtract"):
         op = {"divide": "//", "multiply": "*", "add": "+", "subtract": "-"}[fn]
         return f"(({args[0]}) {op} ({args[1]}))"
+    # ---- list_* conveniences with no 1:1 Spark spelling ----
+    if fn in ("list_sum", "list_avg") and len(args) == 1:
+        # element-typed sum: zero-of-type init (first - first) keeps int
+        # lists integer, matching DuckDB; NULL elements are ignored.
+        # DECIMAL-literal lists fail closed (Spark's aggregate() cannot
+        # type a growing-precision fold; DuckDB would return a Decimal
+        # that can never repr-match anyway)
+        nn = f"filter({args[0]}, x -> x IS NOT NULL)"
+        zero = f"(try_element_at({nn}, 1) - try_element_at({nn}, 1))"
+        total = f"aggregate({nn}, {zero}, (s, x) -> s + x)"
+        if fn == "list_sum":
+            return total
+        return f"(CAST({total} AS DOUBLE) / size({nn}))"
+    if fn == "list_any_value" and len(args) == 1:
+        return f"try_element_at(filter({args[0]}, x -> x IS NOT NULL), 1)"
+    if fn == "list_has_all" and len(args) == 2:
+        return f"forall({args[1]}, x -> array_contains({args[0]}, x))"
+    if fn == "list_select" and len(args) == 2:
+        return (
+            f"transform({args[1]}, i -> "
+            f"try_element_at({args[0]}, CAST(i AS INT)))"
+        )
+    if fn == "list_where" and len(args) == 2:
+        return (
+            f"transform(filter(zip_with({args[0]}, {args[1]}, "
+            f"(x, m) -> struct(x, m)), p -> p.m), p -> p.x)"
+        )
+    if fn == "list_grade_up" and len(args) == 1:
+        lst = args[0]
+        return (
+            f"transform(array_sort(zip_with({lst}, "
+            f"sequence(1, size({lst})), (x, i) -> struct(x, i))), p -> p.i)"
+        )
+    if fn == "list_resize" and len(args) in (2, 3):
+        lst, n = args[0], args[1]
+        fill = args[2] if len(args) == 3 else "NULL"
+        return (
+            f"slice(transform(sequence(1, greatest({n}, 1)), i -> "
+            f"CASE WHEN i <= size({lst}) THEN element_at({lst}, i) "
+            f"ELSE {fill} END), 1, {n})"
+        )
+    if fn in ("list_dot_product", "list_inner_product") and len(args) == 2:
+        return (
+            f"aggregate(zip_with({args[0]}, {args[1]}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (s, v) -> s + v)"
+        )
+    if fn == "list_cosine_similarity" and len(args) == 2:
+        a, b = args
+        dot = (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (s, v) -> s + v)"
+        )
+        def norm(v: str) -> str:
+            return (
+                f"sqrt(aggregate({v}, CAST(0 AS DOUBLE), "
+                f"(s, x) -> s + CAST(x AS DOUBLE) * x))"
+            )
+        return f"({dot} / ({norm(a)} * {norm(b)}))"
+    if fn == "list_distance" and len(args) == 2:
+        return (
+            f"sqrt(aggregate(zip_with({args[0]}, {args[1]}, (x, y) -> "
+            f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"CAST(0 AS DOUBLE), (s, v) -> s + v))"
+        )
+    # ---- top-n aggregate forms (DuckDB max/min/arg_max with a count) ----
+    if fn in ("max", "min") and len(args) == 2:
+        sorted_ = f"array_sort(collect_list({args[0]}))"
+        if fn == "max":
+            sorted_ = f"reverse({sorted_})"
+        return f"slice({sorted_}, 1, {args[1]})"
+    if fn in ("max_by", "min_by", "arg_max", "arg_min") and len(args) == 3:
+        x, y, n = args
+        sorted_ = f"array_sort(collect_list(struct({y} AS k, {x} AS v)))"
+        if fn in ("max_by", "arg_max"):
+            sorted_ = f"reverse({sorted_})"
+        return f"transform(slice({sorted_}, 1, {n}), p -> p.v)"
+    if fn == "json" and len(args) == 1:
+        return f"dd_json_canon({args[0]})"
     return None
 
 
@@ -1983,7 +2086,10 @@ _TEMPLATE_RE = re.compile(
     r"to_timestamp|strptime|struct_extract|current_schema|"
     r"current_database|kurtosis|histogram|quantile_disc|quantile|format|"
     r"list_reverse_sort|dayname|monthname|geomean|divide|multiply|add|"
-    r"subtract|fsum|sumkahan|kahan_sum)\s*\(",
+    r"subtract|fsum|sumkahan|kahan_sum|list_sum|list_avg|list_any_value|"
+    r"list_has_all|list_select|list_where|list_grade_up|list_resize|"
+    r"list_dot_product|list_inner_product|list_cosine_similarity|"
+    r"list_distance|max|min|max_by|min_by|arg_max|arg_min|json)\s*\(",
     re.IGNORECASE,
 )
 
@@ -2133,6 +2239,10 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
                     flags=re.IGNORECASE)
     masked = re.sub(r"::\s*VARCHAR\b(?!\s*\()", "::STRING", masked,
                     flags=re.IGNORECASE)
+    # ::JSON is a validating store-as-text cast in DuckDB (original
+    # spacing preserved) — dropping it keeps the text identical; invalid
+    # JSON then fails at USE time rather than cast time
+    masked = re.sub(r"::\s*JSON\b", "", masked, flags=re.IGNORECASE)
     # DuckDB `a // b` integer division → Spark DIV (both truncate toward
     # zero on integers: -7//2 = -3 on each engine; DuckDB 1.0's decimal
     # `//` is effectively float division — integer operands are the
@@ -2261,6 +2371,100 @@ def register_dialect_functions(spark: SparkSession) -> None:
     _register_libm_shims(spark)
     _register_distance_shims(spark)
     _register_text_shims(spark)
+    _register_json_shims(spark)
+
+
+def _register_json_shims(spark: SparkSession) -> None:
+    """DuckDB JSON functions whose semantics differ from Spark's
+    get_json_object family: json_extract returns JSON TEXT (strings stay
+    quoted), json() canonicalizes, json_keys/json_valid/json_merge_patch
+    have no Spark spelling. Arrow-vectorized; path support covers the
+    $.a.b[i] subset DuckDB documents."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _parse(v):
+        try:
+            return _json.loads(v), True
+        except (TypeError, ValueError):
+            return None, False
+
+    _STEP = re.compile(r"\.([A-Za-z_]\w*)|\[(\d+)\]|\."
+                       r'"([^"]*)"')
+
+    def _extract_one(doc: str, path: str):
+        obj, ok = _parse(doc)
+        if not ok or not path or path[0] != "$":
+            return None
+        pos = 1
+        while pos < len(path):
+            m = _STEP.match(path, pos)
+            if not m:
+                return None
+            pos = m.end()
+            key = m.group(1) or m.group(3)
+            try:
+                obj = obj[key] if key is not None else obj[int(m.group(2))]
+            except (KeyError, IndexError, TypeError):
+                return None
+        return _json.dumps(obj, separators=(",", ":"))
+
+    def jext(d, p):
+        return pd.Series([_extract_one(a, b) for a, b in zip(d, p)])
+
+    def jvalid(s):
+        return s.map(lambda v: _parse(v)[1] if v is not None else None)
+
+    def jkeys(s):
+        def keys(v):
+            obj, ok = _parse(v)
+            return list(obj.keys()) if ok and isinstance(obj, dict) else None
+        return s.map(keys)
+
+    def jcanon(s):
+        def canon(v):
+            obj, ok = _parse(v)
+            return _json.dumps(obj, separators=(",", ":")) if ok else None
+        return s.map(canon)
+
+    def jmerge(a, b):
+        def patch(target, p):
+            if not isinstance(p, dict):
+                return p
+            out = dict(target) if isinstance(target, dict) else {}
+            for k, v in p.items():
+                if v is None:
+                    out.pop(k, None)
+                else:
+                    out[k] = patch(out.get(k), v)
+            return out
+        def one(x, y):
+            tx, okx = _parse(x)
+            ty, oky = _parse(y)
+            if not (okx and oky):
+                return None
+            return _json.dumps(patch(tx, ty), separators=(",", ":"))
+        return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+    for name, fn, typ in (
+        ("dd_json_extract", jext, "string"),
+        ("dd_json_valid", jvalid, "boolean"),
+        ("dd_json_keys", jkeys, "array<string>"),
+        ("dd_json_canon", jcanon, "string"),
+        ("dd_json_merge_patch", jmerge, "string"),
+    ):
+        fn.__annotations__ = (
+            {"d": pd.Series, "p": pd.Series, "return": pd.Series}
+            if fn in (jext, jmerge)
+            else {"s": pd.Series, "return": pd.Series}
+        )
+        if fn is jmerge:
+            fn.__annotations__ = {
+                "a": pd.Series, "b": pd.Series, "return": pd.Series
+            }
+        spark.udf.register(name, pandas_udf(fn, typ))
 
 
 def _register_text_shims(spark: SparkSession) -> None:

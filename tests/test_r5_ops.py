@@ -77,7 +77,10 @@ def test_png_decode_rejects_garbage():
     # refuse cleanly.
     with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg header")
-    with _pytest.raises(NotImplementedError):
+    # WebP is a REAL codec as of round 7: a truncated container is a
+    # parse error; only the lossy VP8 bitstream remains a plug point
+    # (tests/test_r7_codecs.py::test_webp_rejects_lossy).
+    with _pytest.raises(ValueError):
         decode_image(b"RIFF....WEBPVP8 ")
 
 

@@ -344,3 +344,59 @@ def test_string_column_subscripts_schema_aware(sql_session, duck):
     _match(sql_session, duck,
            "SELECT n_name[3] AS c, n_name[-1] AS l FROM nation "
            "ORDER BY n_name LIMIT 3")
+
+
+# --- batch 4 (JSON / nested probe battery) ----------------------------------
+
+
+def test_json_family(sql_session, duck):
+    _match(sql_session, duck,
+           """SELECT json_extract('{"a": {"b": 7}}', '$.a.b') AS v""")
+    _match(sql_session, duck,
+           """SELECT json_extract('{"a": "x"}', '$.a') AS v""")
+    _match(sql_session, duck,
+           """SELECT json_valid('{"a": 1}') AS v, json_valid('{oops') AS i""")
+    _match(sql_session, duck, """SELECT json_keys('{"a":1,"b":2}') AS k""")
+    _match(sql_session, duck,
+           """SELECT json_merge_patch('{"a":1}', '{"b":2}') AS j""")
+    _match(sql_session, duck, """SELECT json('{ "a" :  1 }') AS j""")
+    _match(sql_session, duck, """SELECT '{"a": [1,2]}'::JSON AS j""")
+
+
+def test_list_convenience_family(sql_session, duck):
+    for sql in (
+        "SELECT list_any_value([NULL, 3, 4]) AS v",
+        "SELECT list_sum([1,2,3]) AS s, list_avg([1,2,3]) AS a",
+        "SELECT list_sum([1, NULL, 3]) AS n",
+        "SELECT list_has_any([1,2],[2,3]) AS a, list_has_all([1,2,3],[2,3]) AS b",
+        "SELECT list_select([10,20,30], [1,3]) AS l",
+        "SELECT list_where([10,20,30], [true,false,true]) AS l",
+        "SELECT list_grade_up([30,10,20]) AS g",
+        "SELECT array_reverse([1,2,3]) AS r",
+        "SELECT list_resize([1,2], 4, 0) AS l",
+        "SELECT list_resize([1,2,3,4], 2) AS l",
+        "SELECT apply([1,2,3], x -> x * 2) AS a",
+        "SELECT list_dot_product([1.0,2.0], [3.0,4.0]) AS d",
+        "SELECT list_cosine_similarity([1.0,0.0], [1.0,0.0]) AS c",
+        "SELECT list_distance([0.0,0.0], [3.0,4.0]) AS d",
+    ):
+        _match(sql_session, duck, sql)
+
+
+def test_topn_aggregate_forms(sql_session, duck):
+    # (duckdb 1.0 supports the top-n form for numeric arguments only)
+    _match(sql_session, duck, "SELECT max(n_nationkey, 2) AS m FROM nation")
+    _match(sql_session, duck, "SELECT min(n_nationkey, 3) AS m FROM nation")
+    _match(sql_session, duck,
+           "SELECT max_by(n_name, n_nationkey, 2) AS m FROM nation")
+    # 1-arg forms must stay native
+    _match(sql_session, duck,
+           "SELECT max(n_nationkey) AS a, min(n_name) AS b FROM nation")
+
+
+def test_list_distinct_ordered(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT list(DISTINCT n_regionkey ORDER BY n_regionkey) AS l FROM nation")
+    _match(sql_session, duck,
+           "SELECT list(DISTINCT n_regionkey ORDER BY n_regionkey DESC) AS l "
+           "FROM nation")
