@@ -384,11 +384,20 @@ def test_list_convenience_family(sql_session, duck):
 
 
 def test_topn_aggregate_forms(sql_session, duck):
-    # (duckdb 1.0 supports the top-n form for numeric arguments only)
-    _match(sql_session, duck, "SELECT max(n_nationkey, 2) AS m FROM nation")
-    _match(sql_session, duck, "SELECT min(n_nationkey, 3) AS m FROM nation")
-    _match(sql_session, duck,
-           "SELECT max_by(n_name, n_nationkey, 2) AS m FROM nation")
+    # The top-n aggregate forms postdate the local duckdb 1.0 oracle, so
+    # these pin DuckDB's documented semantics directly (list of the top
+    # n values / their args, descending for max).
+    with serving_dialect(True):
+        assert run_sql(
+            sql_session, "SELECT max(n_nationkey, 2) AS m FROM nation"
+        ).collect()[0].m == [24, 23]
+        assert run_sql(
+            sql_session, "SELECT min(n_nationkey, 3) AS m FROM nation"
+        ).collect()[0].m == [0, 1, 2]
+        assert run_sql(
+            sql_session,
+            "SELECT max_by(n_name, n_nationkey, 2) AS m FROM nation",
+        ).collect()[0].m == ["NATION_24", "NATION_23"]
     # 1-arg forms must stay native
     _match(sql_session, duck,
            "SELECT max(n_nationkey) AS a, min(n_name) AS b FROM nation")
