@@ -1023,7 +1023,7 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
     conflicts across the referenced tables are dropped (the heuristic
     takes over). This is what makes ``len()`` dispatch and string
     subscripting schema-aware instead of guessing from names."""
-    from pyspark.sql.types import ArrayType, StringType
+    from pyspark.sql.types import ArrayType, DateType, StringType
 
     kinds: dict[str, str] = {}
     conflicted: set[str] = set()
@@ -1043,6 +1043,8 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
                 k = "array"
             elif isinstance(f.dataType, StringType):
                 k = "string"
+            elif isinstance(f.dataType, DateType):
+                k = "date"
             else:
                 k = "other"
             if nm in kinds and kinds[nm] != k:
@@ -1990,6 +1992,14 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         return f"format_string({lit}{', ' + rest if rest else ''})"
     if fn == "list_reverse_sort" and len(args) == 1:
         return f"reverse(array_sort({args[0]}))"
+    if fn in ("date_trunc", "datetrunc") and len(args) == 2:
+        part = (_literal_value(_unmask(args[0], table)) or "").lower()
+        if part in ("year", "quarter", "month", "week", "day", "decade",
+                    "century", "millennium", "yearweek", "isoyear"):
+            # DuckDB returns DATE for date-granular truncation (even on
+            # TIMESTAMP input); Spark always returns TIMESTAMP
+            return f"CAST(date_trunc({args[0]}, {args[1]}) AS DATE)"
+        return None
     if fn in ("dayname", "monthname") and len(args) == 1:
         lit = _masked_literal(table, "EEEE" if fn == "dayname" else "MMMM")
         return f"date_format({args[0]}, {lit})"
@@ -2086,12 +2096,58 @@ _TEMPLATE_RE = re.compile(
     r"to_timestamp|strptime|struct_extract|current_schema|"
     r"current_database|kurtosis|histogram|quantile_disc|quantile|format|"
     r"list_reverse_sort|dayname|monthname|geomean|divide|multiply|add|"
-    r"subtract|fsum|sumkahan|kahan_sum|list_sum|list_avg|list_any_value|"
+    r"subtract|fsum|sumkahan|kahan_sum|date_trunc|datetrunc|"
+    r"list_sum|list_avg|list_any_value|"
     r"list_has_all|list_select|list_where|list_grade_up|list_resize|"
     r"list_dot_product|list_inner_product|list_cosine_similarity|"
     r"list_distance|max|min|max_by|min_by|arg_max|arg_min|json)\s*\(",
     re.IGNORECASE,
 )
+
+
+_DATE_OPERAND = r"(?:DATE\s+\x00\d+\x00|[A-Za-z_][\w.]*)"
+_DATE_MINUS_RE = re.compile(
+    rf"({_DATE_OPERAND})\s*-\s*({_DATE_OPERAND})", re.IGNORECASE
+)
+_DATE_PLUS_IVAL_RE = re.compile(
+    rf"({_DATE_OPERAND})\s*\+\s*"
+    r"(INTERVAL\s+(?:\x00\d+\x00|\d+)(?:\s+[A-Za-z]+)?)",
+    re.IGNORECASE,
+)
+
+
+def _is_date_operand(tok: str, kinds: dict[str, str] | None) -> bool:
+    if re.match(r"(?i)DATE\s", tok):
+        return True
+    return bool(kinds) and kinds.get(tok.split(".")[-1].lower()) == "date"
+
+
+def _rewrite_date_arith(s: str, kinds: dict[str, str] | None) -> str:
+    """DuckDB's date arithmetic differs from Spark's in RESULT TYPE:
+    DATE - DATE is a BIGINT day count (Spark: interval), and
+    DATE + INTERVAL is a TIMESTAMP (Spark: date). Rewrites fire only
+    when operands are provably dates — DATE literals or columns whose
+    catalog type is DateType — so ordinary numeric subtraction is
+    untouched."""
+    pos = 0
+    while m := _DATE_MINUS_RE.search(s, pos):
+        a, b = m.group(1), m.group(2)
+        if _is_date_operand(a, kinds) and _is_date_operand(b, kinds):
+            repl = f"datediff({a}, {b})"
+            s = s[: m.start()] + repl + s[m.end() :]
+            pos = m.start() + len(repl)
+        else:
+            pos = m.start() + len(a) + 1
+    pos = 0
+    while m := _DATE_PLUS_IVAL_RE.search(s, pos):
+        a, ival = m.group(1), m.group(2)
+        if _is_date_operand(a, kinds):
+            repl = f"CAST({a} + {ival} AS TIMESTAMP)"
+            s = s[: m.start()] + repl + s[m.end() :]
+            pos = m.start() + len(repl)
+        else:
+            pos = m.end()
+    return s
 
 
 _SIMILAR_TO_RE = re.compile(
@@ -2220,6 +2276,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_list_literals(masked)
     kinds = _column_kinds(spark, masked) if spark is not None else None
     masked = _rewrite_len(masked, kinds)
+    masked = _rewrite_date_arith(masked, kinds)
     masked = _rewrite_string_split(masked, table)
     masked = _rewrite_regexp_replace(masked, table)
     masked = _rewrite_regexp_extract_all(masked)

@@ -409,3 +409,22 @@ def test_list_distinct_ordered(sql_session, duck):
     _match(sql_session, duck,
            "SELECT list(DISTINCT n_regionkey ORDER BY n_regionkey DESC) AS l "
            "FROM nation")
+
+
+def test_date_arithmetic_result_types(sql_session, duck):
+    # DATE - DATE is a BIGINT day count in DuckDB; DATE + INTERVAL is a
+    # TIMESTAMP; date-granular date_trunc returns DATE even on TIMESTAMP
+    _match(sql_session, duck,
+           "SELECT DATE '2020-03-01' - DATE '2020-01-01' AS d")
+    _match(sql_session, duck,
+           "SELECT DATE '2020-01-01' + INTERVAL 3 DAY AS d")
+    _match(sql_session, duck,
+           "SELECT date_trunc('week', DATE '2020-03-05') AS d")
+    _match(sql_session, duck,
+           "SELECT date_trunc('month', TIMESTAMP '2020-03-15 01:02:03') AS d")
+    _match(sql_session, duck,
+           "SELECT date_trunc('hour', TIMESTAMP '2020-03-15 01:02:03') AS d")
+    # plain numeric subtraction must NOT be touched
+    _match(sql_session, duck,
+           "SELECT n_nationkey - n_regionkey AS d FROM nation "
+           "ORDER BY n_nationkey LIMIT 3")
