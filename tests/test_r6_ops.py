@@ -102,7 +102,9 @@ def test_decode_image_dispatches_jpeg():
     enc = encode_jpeg_gray(bytes([42] * 64), 8, 8)
     img = decode_image(enc)
     assert img["pixels"] == bytes([42] * 64)
-    with pytest.raises(NotImplementedError):
+    # WebP is a REAL codec as of round 7: a truncated container is a
+    # parse error, not a plug point
+    with pytest.raises(ValueError):
         decode_image(b"RIFF....WEBP")
 
 
@@ -227,7 +229,9 @@ def test_avi_mjpeg_roundtrip_and_sampling():
     assert sampled[1]["pixels"] == bytes([99] * 64)
     with pytest.raises(ValueError):
         decode_avi(b"RIFF????AVI!")
-    with pytest.raises(NotImplementedError):
+    # MP4 is a REAL demuxer as of round 7: a malformed container is a
+    # parse error, not a plug point
+    with pytest.raises(ValueError):
         decode_video_frames(b"\x00\x00\x00\x18ftypmp42 fake mp4", stride=2)
 
 
