@@ -66,6 +66,7 @@ _PRIORITY_R7: tuple[str, ...] = (
     "b30d_webp_decode",        # new: VP8L lossless WebP end-to-end
     "b32c_mp4_frames",         # new: ISO BMFF sample-table demux
     "b33c_g711_audio",         # new: G.711 compressed audio
+    "b33d_adpcm_audio",        # new: stateful IMA ADPCM + recursive oracle
     "b63_mixture_sample",      # new: integer-exact temperature mixture
     "b64_source_overlap",      # new: cross-source near-dup matrix
     "b03b_minhash_full_oracle",  # band chain factored into shared builder

@@ -1342,6 +1342,128 @@ def b33c_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _b33d_oracle() -> str:
+    """Oracle for b33d: the IMA ADPCM encode→decode state machine —
+    (predictor, step-index) carried across samples — replayed as a
+    RECURSIVE CTE, one iteration per sample position. The encoder and
+    decoder share one state update, so the joint replay needs only the
+    quantized-residual arithmetic: 3 magnitude bits peeled greedily
+    against step/2ᵏ, the exact truncating diffq reconstruction, int16
+    clamping, and table-driven index adaptation. Both engines run the
+    SAME text: DuckDB natively, Spark through the dialect layer's
+    fixpoint operator (operators/recursive.py)."""
+    from duckdb_server_spark.operators.adpcm import INDEX_TABLE, STEP_TABLE
+
+    st = "[" + ", ".join(map(str, STEP_TABLE)) + "]"
+    it = "[" + ", ".join(map(str, INDEX_TABLE)) + "]"
+    return f"""
+    WITH RECURSIVE px AS (
+      SELECT doc_id, substr(text || repeat('x', 8), 1, 8) AS s
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(range(1, 9),
+                            i -> ascii(substr(s, CAST(i AS INT), 1))) AS c
+      FROM px
+    ),
+    lin AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+                 k -> (c[CAST(k % 8 AS INT) + 1]
+                       * (CAST(k AS INT) // 8 + 1) - 480) * 29) AS l
+      FROM codes
+    ),
+    steps(doc_id, k, pred, idx) AS (
+      SELECT doc_id, 1, l[1], 0 FROM lin
+      UNION ALL
+      SELECT doc_id, k + 1,
+             least(32767, greatest(-32768,
+               pred + CASE WHEN diff < 0 THEN -diffq ELSE diffq END)),
+             least(88, greatest(0, idx + {it}[delta + 1]))
+      FROM (
+        SELECT doc_id, k, pred, idx, diff, stp,
+               stp // 8 + b4 * stp + b2 * h + b1 * q AS diffq,
+               4 * b4 + 2 * b2 + b1 AS delta
+        FROM (
+          SELECT doc_id, k, pred, idx, diff, stp, ad, b4, h, q,
+                 CASE WHEN ad - b4 * stp >= h THEN 1 ELSE 0 END AS b2,
+                 CASE WHEN ad - b4 * stp
+                        - (CASE WHEN ad - b4 * stp >= h THEN h ELSE 0 END)
+                      >= q THEN 1 ELSE 0 END AS b1
+          FROM (
+            SELECT doc_id, k, pred, idx, diff, stp, abs(diff) AS ad,
+                   CASE WHEN abs(diff) >= stp THEN 1 ELSE 0 END AS b4,
+                   stp // 2 AS h, stp // 4 AS q
+            FROM (
+              SELECT s.doc_id, s.k, s.pred, s.idx,
+                     lin.l[s.k + 1] - s.pred AS diff,
+                     {st}[s.idx + 1] AS stp
+              FROM steps s JOIN lin ON lin.doc_id = s.doc_id
+              WHERE s.k < 64
+            )
+          )
+        )
+      )
+    ),
+    v AS (
+      SELECT doc_id, list(pred ORDER BY k) AS v
+      FROM steps GROUP BY doc_id
+    )
+    SELECT doc_id, 64 AS n_samples, 8000 AS sample_rate, 1 AS channels,
+           CAST(list_aggregate(v, 'min') AS INT) AS amp_min,
+           CAST(list_aggregate(v, 'max') AS INT) AS amp_max,
+           CAST(list_aggregate(v, 'sum') AS BIGINT) AS amp_sum,
+           CAST(list_aggregate(list_transform(v, x -> x * x), 'sum')
+                AS BIGINT) AS sq_sum,
+           CAST(len(list_filter(range(1, 64),
+                k -> (v[CAST(k AS INT)] >= 0) <> (v[CAST(k AS INT) + 1] >= 0)))
+                AS INT) AS zero_crossings
+    FROM v
+    ORDER BY doc_id ASC NULLS LAST
+    """
+
+
+@query("b33d_adpcm_audio", oracle=_b33d_oracle())
+def b33d_adpcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful compressed-audio decode (IMA ADPCM, WAV format tag
+    0x11, operators/adpcm.py): unlike G.711's stateless quantizer, every
+    4-bit code is decoded RELATIVE to carried state (predictor +
+    adaptive step index) — the recurrence structure of real lossy audio.
+    Each document's 64-sample signal (the b33b ramp × 29) encodes to a
+    spec-shaped single-block ADPCM WAV (4-byte block header + packed
+    nibbles + fact chunk) and decodes back inside mapInPandas.
+
+    The oracle replays the encode→decode state machine as a RECURSIVE
+    CTE — one iteration per sample, integer-exact including truncating
+    step arithmetic, clamps, and index adaptation — so a hash-match
+    proves 64 chained state transitions per document, bit for bit, on
+    every document of the corpus. Entropy-coded codecs (MP3/Opus)
+    remain declared plug points."""
+    from duckdb_server_spark.operators.wav import encode_wav
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(pdf_iter):
+        import pandas as _pd
+
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text_ or "")[:8]).ljust(8, "x").encode("latin-1")
+                samples = [
+                    (s[k % 8] * (k // 8 + 1) - 480) * 29 for k in range(64)
+                ]
+                ids.append(doc_id)
+                payloads.append(encode_wav(samples, 8000, 1, codec="adpcm"))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    wav_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
+    return multimodal.audio_features(wav_df).orderBy(
+        F.col("doc_id").asc_nulls_last()
+    )
+
+
 @query(
     "b32_frame_sample",
     oracle="""

@@ -39,6 +39,26 @@ def encode_wav(
     signed little-endian; 8-bit are unsigned (the WAV convention).
     ``codec="mulaw"/"alaw"`` compands 16-bit linear input through G.711
     to 8-bit codes (format tags 7/6)."""
+    if codec == "adpcm":
+        from duckdb_server_spark.operators.adpcm import encode_adpcm_block
+
+        tag, bits = 0x11, 4
+        data = encode_adpcm_block(samples)
+        block_align = len(data)
+        fmt = struct.pack(
+            "<HHIIHHHH", tag, channels, sample_rate,
+            sample_rate * block_align, block_align, bits,
+            2, len(samples),  # cbSize, wSamplesPerBlock
+        )
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, len(samples))
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) % 2 else b"")
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        )
     if codec in _G711_TAGS:
         from duckdb_server_spark.operators.g711 import g711_encode
 
@@ -74,6 +94,7 @@ def decode_wav(payload: bytes) -> dict:
     pos = 12
     fmt = None
     data = None
+    fact_count = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -82,22 +103,32 @@ def decode_wav(payload: bytes) -> dict:
             tag, channels, rate, _byte_rate, _align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if tag not in (1, 6, 7):
+            if tag not in (1, 6, 7, 0x11):
                 raise ValueError(
-                    f"only PCM and G.711 supported (format tag {tag})"
+                    f"only PCM, G.711, and IMA ADPCM supported (format tag {tag})"
                 )
             if tag == 1 and bits not in (8, 16):
                 raise ValueError("only 8/16-bit integer PCM")
             if tag in (6, 7) and bits != 8:
                 raise ValueError("G.711 is 8 bits per sample")
+            if tag == 0x11 and bits != 4:
+                raise ValueError("IMA ADPCM is 4 bits per sample")
             fmt = (tag, channels, rate, bits)
+        elif cid == b"fact":
+            (fact_count,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     tag, channels, rate, bits = fmt
-    if tag in (6, 7):
+    if tag == 0x11:
+        from duckdb_server_spark.operators.adpcm import decode_adpcm_block
+
+        if fact_count is None:
+            raise ValueError("IMA ADPCM requires a fact chunk")
+        samples = decode_adpcm_block(data, fact_count)
+    elif tag in (6, 7):
         from duckdb_server_spark.operators.g711 import g711_decode
 
         samples = g711_decode(data, "alaw" if tag == 6 else "mulaw")

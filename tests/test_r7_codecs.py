@@ -211,3 +211,69 @@ def test_decode_image_dispatches_webp():
 
     img = decode_image(encode_webp_gray(bytes([9]) * 16, 4, 4))
     assert img["pixels"] == bytes([9]) * 16
+
+
+# --- IMA ADPCM ---------------------------------------------------------------
+
+
+def test_adpcm_state_machine_determinism():
+    from duckdb_server_spark.operators.adpcm import (
+        decode_adpcm_block,
+        decode_nibbles,
+        encode_adpcm_block,
+        encode_nibbles,
+    )
+
+    rng = random.Random(3)
+    for _ in range(60):
+        n = rng.randint(1, 200)
+        samples = [rng.randint(-32768, 32767) for _ in range(n)]
+        p0, nibs = encode_nibbles(samples)
+        dec = decode_nibbles(p0, nibs)
+        assert len(dec) == n and dec[0] == samples[0]
+        assert decode_adpcm_block(encode_adpcm_block(samples), n) == dec
+
+
+def test_adpcm_tracks_smooth_signal():
+    import math
+
+    from duckdb_server_spark.operators.adpcm import (
+        decode_nibbles,
+        encode_nibbles,
+    )
+
+    samples = [int(8000 * math.sin(k / 5)) for k in range(200)]
+    p0, nibs = encode_nibbles(samples)
+    dec = decode_nibbles(p0, nibs)
+    # after the adaptive index warms up, tracking error is step-bounded
+    tail_err = max(abs(a - b) for a, b in zip(samples[50:], dec[50:]))
+    assert tail_err < 600
+
+
+def test_adpcm_wav_roundtrip():
+    from duckdb_server_spark.operators.adpcm import (
+        decode_nibbles,
+        encode_nibbles,
+    )
+    from duckdb_server_spark.operators.wav import decode_wav, encode_wav
+
+    samples = [0, 100, -100, 5000, -5000, 300, 301, 299, 32767, -32768, 7]
+    out = decode_wav(encode_wav(samples, 8000, 1, codec="adpcm"))
+    p0, nibs = encode_nibbles(samples)
+    assert out["samples"] == decode_nibbles(p0, nibs)
+    assert out["bits"] == 4 and out["sample_rate"] == 8000
+
+
+def test_adpcm_clamps_at_int16_bounds():
+    from duckdb_server_spark.operators.adpcm import (
+        decode_nibbles,
+        encode_nibbles,
+    )
+
+    # a hard step to the opposite rail forces the clamp once the index
+    # has adapted to maximum step size
+    samples = [32767] + [-32768] * 40 + [32767] * 40
+    p0, nibs = encode_nibbles(samples)
+    dec = decode_nibbles(p0, nibs)
+    assert all(-32768 <= v <= 32767 for v in dec)
+    assert min(dec) == -32768 and max(dec) == 32767
