@@ -2173,6 +2173,94 @@ def _rewrite_similar_to(s: str, table: list[str]) -> str:
     return s
 
 
+_POWER_OP_RE = re.compile(r"\*\*|\^")
+
+
+def _rewrite_power(s: str) -> str:
+    """DuckDB's ``^`` and ``**`` are EXPONENTIATION (XOR is the xor()
+    function); Spark's ``^`` is bitwise XOR — without this rewrite
+    ``2 ^ 3`` silently returns 1. Left-associative, matching DuckDB."""
+    while m := _POWER_OP_RE.search(s):
+        i = m.start()
+        j = i - 1
+        while j >= 0 and s[j] in " \t\n":
+            j -= 1
+        start = _primary_back(s, j + 1)
+        left = s[start : j + 1]
+        r_end = _primary_end(s, m.end())
+        right = s[m.end() : r_end].strip()
+        if not left.strip() or not right:
+            raise ValueError("cannot parse ^/** exponentiation operands")
+        repl = f"power({left}, {right})"
+        s = s[:start] + repl + s[r_end:]
+    return s
+
+
+# PostgreSQL-style operators DuckDB accepts: ~~ LIKE, !~~ NOT LIKE,
+# ~~* ILIKE, !~~* NOT ILIKE, ~ full-match regex, !~ negated full-match
+_TILDE_REGEX_RE = re.compile(r"(!?)~\s*(\x00\d+\x00)")
+
+
+def _rewrite_tilde_ops(s: str, table: list[str]) -> str:
+    s = re.sub(r"!~~\*", " NOT ILIKE ", s)
+    s = re.sub(r"~~\*", " ILIKE ", s)
+    s = re.sub(r"!~~", " NOT LIKE ", s)
+    s = re.sub(r"~~", " LIKE ", s)
+    while m := _TILDE_REGEX_RE.search(s):
+        pat = _literal_value(_unmask(m.group(2), table))
+        if pat is None:
+            break
+        lit = _masked_literal(table, f"^(?:{pat})$")
+        neg = "NOT " if m.group(1) else ""
+        s = s[: m.start()] + f" {neg}RLIKE {lit}" + s[m.end() :]
+    return s
+
+
+_ANY_ALL_RE = re.compile(
+    r"(=|<>|!=|<=|>=|<|>)\s*(ANY|SOME|ALL)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_any_all(s: str) -> str:
+    """Quantified comparisons over subqueries. ``= ANY`` / ``<> ALL``
+    map exactly to IN / NOT IN; other operators become correlated
+    (NOT) EXISTS — true/false agree with DuckDB everywhere except the
+    SQL-standard NULL corner (no match but NULL rows present), where
+    EXISTS yields false instead of NULL."""
+    while m := _ANY_ALL_RE.search(s):
+        op, quant = m.group(1), m.group(2).upper()
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        sub = s[open_idx + 1 : close]
+        if not re.match(r"\s*(SELECT|VALUES|WITH)\b", sub, re.IGNORECASE):
+            raise ValueError("ANY/ALL is supported over subqueries only")
+        if op == "=" and quant in ("ANY", "SOME"):
+            s = s[: m.start()] + f" IN ({sub})" + s[close + 1 :]
+            continue
+        if op in ("<>", "!=") and quant == "ALL":
+            s = s[: m.start()] + f" NOT IN ({sub})" + s[close + 1 :]
+            continue
+        j = m.start() - 1
+        while j >= 0 and s[j] in " \t\n":
+            j -= 1
+        start = _primary_back(s, j + 1)
+        left = s[start : j + 1]
+        if not left.strip():
+            raise ValueError("cannot parse ANY/ALL left operand")
+        if quant in ("ANY", "SOME"):
+            repl = (
+                f"EXISTS (SELECT 1 FROM ({sub}) __dd_q(__v) "
+                f"WHERE ({left}) {op} __v)"
+            )
+        else:
+            repl = (
+                f"NOT EXISTS (SELECT 1 FROM ({sub}) __dd_q(__v) "
+                f"WHERE NOT (({left}) {op} __v))"
+            )
+        s = s[:start] + repl + s[close + 1 :]
+    return s
+
+
 def _rewrite_postfix_factorial(s: str) -> str:
     """DuckDB's postfix ``x!`` → ``factorial(x)`` for simple operands
     (numbers/identifiers); other shapes fall through to a parse error
@@ -2273,6 +2361,9 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_templates(masked, table)
     masked = _rewrite_similar_to(masked, table)
     masked = _rewrite_postfix_factorial(masked)
+    masked = _rewrite_power(masked)
+    masked = _rewrite_tilde_ops(masked, table)
+    masked = _rewrite_any_all(masked)
     masked = _rewrite_list_literals(masked)
     kinds = _column_kinds(spark, masked) if spark is not None else None
     masked = _rewrite_len(masked, kinds)
@@ -2752,14 +2843,55 @@ def _register_libm_shims(spark: SparkSession) -> None:
     spark.udf.register("dd_libm_round", pandas_udf(round_shim, "double"))
 
 
+def _primary_end(s: str, start: int) -> int:
+    """Forward walk past unary signs and ONE primary expression starting
+    at/after ``start`` (identifier/number/mask chars, call/bracket
+    groups, and a trailing ``OVER (…)`` clause); returns the end index
+    (exclusive)."""
+    i = start
+    while i < len(s) and s[i] in " \t\n":
+        i += 1
+    while i < len(s) and s[i] in "+-":
+        i += 1
+        while i < len(s) and s[i] in " \t\n":
+            i += 1
+    begun = False
+    while i < len(s):
+        c = s[i]
+        if c.isalnum() or c in "_.\x00":
+            i += 1
+            begun = True
+        elif c in "([" and begun or c == "(":
+            depth = 0
+            while i < len(s):
+                if s[i] in "([":
+                    depth += 1
+                elif s[i] in ")]":
+                    depth -= 1
+                    if depth == 0:
+                        i += 1
+                        break
+                i += 1
+            begun = True
+        else:
+            break
+    # a windowed aggregate "agg(x) OVER (…)" is one primary
+    m = re.match(r"\s+OVER\s*\(", s[i:], re.IGNORECASE)
+    if begun and m:
+        open_idx = i + m.end() - 1
+        i = _matching_paren(s, open_idx) + 1
+    return i
+
+
 def _rewrite_division(s: str) -> str:
     """DuckDB's ``/`` ALWAYS returns DOUBLE (``SELECT typeof(10/4)`` →
-    DOUBLE; decimal operands included), while Spark keeps DECIMAL
-    arithmetic when a decimal literal is involved — so ``p_size / 51.0``
-    diverges from DuckDB before any function ever runs. Wrapping the
-    left operand in CAST(… AS DOUBLE) makes every Spark division a
-    double division (double/decimal → double), after which downstream
-    mixed arithmetic promotes identically in both engines."""
+    DOUBLE; decimal operands included) and division by zero yields NULL
+    (ANSI Spark raises), while Spark keeps DECIMAL arithmetic when a
+    decimal literal is involved — so ``p_size / 51.0`` diverges from
+    DuckDB before any function ever runs. Rewriting ``l / r`` to
+    ``try_divide(CAST(l AS DOUBLE), r)`` fixes the result type AND the
+    zero behavior in one move; downstream mixed arithmetic then promotes
+    identically in both engines."""
     i = 0
     while i < len(s):
         if s[i] != "/":
@@ -2816,10 +2948,69 @@ def _rewrite_division(s: str) -> str:
         ):
             i += 1  # CASE…END / named-window operands: leave untouched
             continue
-        repl = f"CAST({operand} AS DOUBLE)"
-        s = s[:start] + repl + s[end:]
-        i = start + len(repl) + (i - end) + 1
+        r_end = _primary_end(s, i + 1)
+        right = s[i + 1 : r_end].strip()
+        if not right:
+            i += 1
+            continue
+        repl = f"try_divide(CAST({operand} AS DOUBLE), {right})"
+        s = s[:start] + repl + s[r_end:]
+        i = start + len(repl)
     return s
+
+
+def _rewrite_try_mod(s: str) -> str:
+    """DuckDB-first only: ``l % r`` → ``try_mod(l, r)`` — DuckDB's
+    modulo by zero yields NULL where ANSI Spark raises; values agree for
+    every nonzero divisor (both truncate toward the dividend's sign)."""
+    i = 0
+    while i < len(s):
+        if s[i] != "%":
+            i += 1
+            continue
+        j = i - 1
+        while j >= 0 and s[j] in " \t\n":
+            j -= 1
+        end = j + 1
+        start = _primary_back(s, end)
+        operand = s[start:end]
+        if not operand.strip():
+            i += 1
+            continue
+        r_end = _primary_end(s, i + 1)
+        right = s[i + 1 : r_end].strip()
+        if not right:
+            i += 1
+            continue
+        repl = f"try_mod({operand}, {right})"
+        s = s[:start] + repl + s[r_end:]
+        i = start + len(repl)
+    return s
+
+
+def _primary_back(s: str, end: int) -> int:
+    """Backward walk over ONE primary expression ending at ``end``
+    (exclusive): identifier/number/mask chars and call/bracket groups.
+    Returns the start index."""
+    j = end - 1
+    while j >= 0:
+        if s[j] in ")]":
+            depth = 1
+            openc = "(" if s[j] == ")" else "["
+            closec = s[j]
+            j -= 1
+            while j >= 0 and depth:
+                if s[j] == closec:
+                    depth += 1
+                elif s[j] == openc:
+                    depth -= 1
+                j -= 1
+        elif s[j].isalnum() or s[j] in "_.\x00":
+            while j >= 0 and (s[j].isalnum() or s[j] in "_.\x00"):
+                j -= 1
+        else:
+            break
+    return j + 1
 
 
 def _rewrite_libm(s: str) -> str:
@@ -2827,6 +3018,7 @@ def _rewrite_libm(s: str) -> str:
     double rounding to the bit-identical shims, and expand
     degrees/radians to the exact constant multiply DuckDB performs."""
     s = _rewrite_division(s)
+    s = _rewrite_try_mod(s)
     s = _LIBM_RE.sub(lambda m: "dd_libm_" + m.group(1).lower() + "(", s)
     while m := _DEG_RAD_RE.search(s):
         close = _matching_paren(s, s.index("(", m.start()))

@@ -428,3 +428,50 @@ def test_date_arithmetic_result_types(sql_session, duck):
     _match(sql_session, duck,
            "SELECT n_nationkey - n_regionkey AS d FROM nation "
            "ORDER BY n_nationkey LIMIT 3")
+
+
+# --- batch 5 (operators probe battery) ---------------------------------------
+
+
+def test_power_operators(sql_session, duck):
+    # Spark's ^ is XOR — without the rewrite 2 ^ 3 silently returns 1
+    _match(sql_session, duck, "SELECT 2 ** 3 AS p")
+    _match(sql_session, duck, "SELECT 2 ^ 3 AS p")
+    _match(sql_session, duck, "SELECT 2 ^ 3 ^ 2 AS p")  # left-assoc: 64
+    _match(sql_session, duck, "SELECT 2 ^ 0.5 AS p")
+    _match(sql_session, duck,
+           "SELECT n_nationkey ^ 2 AS p FROM nation ORDER BY n_nationkey LIMIT 3")
+
+
+def test_postgres_style_match_operators(sql_session, duck):
+    # DuckDB's ~ is a FULL-match regex ('abc' ~ 'a' is false)
+    _match(sql_session, duck, "SELECT 'abc' ~ 'a.c' AS m, 'abc' ~ 'a' AS m2")
+    _match(sql_session, duck, "SELECT 'abc' !~ 'x' AS m")
+    _match(sql_session, duck, "SELECT 'abc' ~~ 'a%' AS m, 'abc' !~~ 'x%' AS m2")
+
+
+def test_quantified_comparisons(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT 5 = ANY(SELECT n_regionkey FROM nation) AS a")
+    _match(sql_session, duck,
+           "SELECT 3 = ANY(SELECT n_regionkey FROM nation) AS a")
+    _match(sql_session, duck,
+           "SELECT 99 <> ALL(SELECT n_regionkey FROM nation) AS a")
+    _match(sql_session, duck,
+           "SELECT n_nationkey > ALL(SELECT n_regionkey FROM nation) AS a "
+           "FROM nation WHERE n_nationkey IN (3, 24) ORDER BY n_nationkey")
+    _match(sql_session, duck,
+           "SELECT n_nationkey, n_nationkey >= ANY(SELECT n_regionkey * 5 "
+           "FROM nation) AS a FROM nation WHERE n_nationkey < 3 "
+           "ORDER BY n_nationkey")
+
+
+def test_division_modulo_by_zero_yields_null(sql_session, duck):
+    # DuckDB: NULL; ANSI Spark would raise — the serving path must match
+    _match(sql_session, duck, "SELECT 1 / 0 AS d")
+    _match(sql_session, duck, "SELECT CAST(1 AS DOUBLE) / 0 AS d")
+    _match(sql_session, duck, "SELECT 1 % 0 AS m")
+    _match(sql_session, duck, "SELECT -7 % 3 AS m, 7 % 3 AS m2, 7.5 % 2 AS m3")
+    _match(sql_session, duck,
+           "SELECT n_nationkey % 4 AS g, count(*) AS c FROM nation "
+           "GROUP BY g ORDER BY g")
