@@ -2988,9 +2988,19 @@ def _rewrite_try_mod(s: str) -> str:
     return s
 
 
+_EXPR_HEAD_KEYWORDS = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "ON", "WHEN", "THEN", "ELSE",
+    "BY", "HAVING", "RETURN", "IN", "LIKE", "RLIKE", "BETWEEN", "CASE",
+    "UNION", "ALL", "DISTINCT", "AS", "SET", "VALUES", "QUALIFY",
+}
+
+
 def _primary_back(s: str, end: int) -> int:
     """Backward walk over ONE primary expression ending at ``end``
-    (exclusive): identifier/number/mask chars and call/bracket groups.
+    (exclusive): identifier/number/mask chars and call/bracket groups,
+    plus a unary sign when what precedes it cannot end an expression
+    (operator, opening paren, comma, or a clause keyword — so ``-1`` in
+    ``WHERE -1 = …`` binds, but the minus in ``a - 1`` does not).
     Returns the start index."""
     j = end - 1
     while j >= 0:
@@ -3010,7 +3020,20 @@ def _primary_back(s: str, end: int) -> int:
                 j -= 1
         else:
             break
-    return j + 1
+    start = j + 1
+    k = j
+    while k >= 0 and s[k] in " \t\n":
+        k -= 1
+    if k >= 0 and s[k] in "+-":
+        p = k - 1
+        while p >= 0 and s[p] in " \t\n":
+            p -= 1
+        if p < 0 or s[p] in "(,=<>*/%^|+-":
+            return k
+        wm = re.search(r"([A-Za-z_]\w*)$", s[: p + 1])
+        if wm and wm.group(1).upper() in _EXPR_HEAD_KEYWORDS:
+            return k
+    return start
 
 
 def _rewrite_libm(s: str) -> str:

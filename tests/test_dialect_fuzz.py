@@ -591,3 +591,49 @@ def test_fuzz_distance_shims(spark, duck, a, b):
 def test_fuzz_dow_isodow(spark, duck, y, m, d, part):
     both(spark, duck,
          f"SELECT datepart('{part}', DATE '{y:04d}-{m:02d}-{d:02d}') AS v")
+
+
+@given(a=st.integers(0, 9), b=st.integers(0, 5), c=st.integers(1, 3))
+@settings(**SETTINGS)
+def test_fuzz_power_operator(spark, duck, a, b, c):
+    """^ is exponentiation in DuckDB (XOR in Spark) — values and the
+    left associativity of chains must match."""
+    both(spark, duck, f"SELECT {a} ^ {b} AS p, {a} ** {b} AS q, "
+                      f"{a} ^ {b} ^ {c} AS r")
+
+
+@given(s=words, pat=words.filter(lambda w: w))
+@settings(**SETTINGS)
+def test_fuzz_tilde_full_match(spark, duck, s, pat):
+    both(spark, duck, f"SELECT '{s}' ~ '{pat}' AS m, '{s}' !~ '{pat}' AS n")
+
+
+@given(lst=int_lists, x=st.integers(-9, 99), op=st.sampled_from(["=", "<>", "<", ">", "<=", ">="]),
+       quant=st.sampled_from(["ANY", "ALL"]))
+@settings(**SETTINGS)
+def test_fuzz_any_all_subqueries(spark, duck, lst, x, op, quant):
+    """Quantified comparisons agree on NULL-free subqueries (the NULL
+    corner is documented as EXISTS-style false)."""
+    vals = ", ".join(f"({v})" for v in lst)
+    both(spark, duck,
+         f"SELECT {x} {op} {quant}(SELECT v FROM (VALUES {vals}) t(v)) AS a")
+
+
+@given(a=st.integers(-99, 99), b=st.integers(-4, 4))
+@settings(**SETTINGS)
+def test_fuzz_div_mod_zero_null(spark, duck, a, b):
+    """Division/modulo: NULL on zero divisor, matching values elsewhere.
+    Runs under DuckDB-first serving (the path wire clients get)."""
+    from duckdb_server_spark.dialect import serving_dialect
+
+    q = f"SELECT {a} / {b} AS d, {a} % {b} AS m"
+    with serving_dialect(True):
+        from duckdb_server_spark.dialect import run_sql
+
+        srow = run_sql(spark, q).collect()[0]
+    drow = duck.execute(q).fetchone()
+    for g, w in zip(list(srow), list(drow)):
+        if isinstance(g, float) and isinstance(w, float):
+            assert abs(g - w) < 1e-9, q
+        else:
+            assert g == w, f"{q}: {g!r} != {w!r}"
