@@ -202,6 +202,9 @@ _FN_RENAMES = {
     "jaccard": "dd_jaccard",
     "jaro_similarity": "dd_jaro",
     "jaro_winkler_similarity": "dd_jaro_winkler",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+    "regexp_escape": "dd_regexp_escape",
     "damerau_levenshtein": "dd_damerau",
     # r7 batch 3 (second probe battery)
     "to_hex": "hex",
@@ -2000,6 +2003,28 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
             # TIMESTAMP input); Spark always returns TIMESTAMP
             return f"CAST(date_trunc({args[0]}, {args[1]}) AS DATE)"
         return None
+    if fn == "encode" and len(args) == 1:
+        return f"CAST({args[0]} AS BINARY)"   # DuckDB: VARCHAR → BLOB
+    if fn == "decode" and len(args) == 1:
+        return f"CAST({args[0]} AS STRING)"   # DuckDB: BLOB → VARCHAR
+    if fn == "sha256" and len(args) == 1:
+        return f"sha2({args[0]}, 256)"
+    if fn in ("left", "right") and len(args) == 2:
+        e, n = args
+        neg = n.lstrip().startswith("-") or not re.fullmatch(r"\d+", n.strip())
+        if not neg:
+            return None  # literal non-negative count — native
+        if fn == "left":
+            # DuckDB: negative count drops that many from the END
+            return (
+                f"(CASE WHEN ({n}) < 0 THEN substr({e}, 1, "
+                f"greatest(0, length({e}) + ({n}))) "
+                f"ELSE left({e}, {n}) END)"
+            )
+        return (
+            f"(CASE WHEN ({n}) < 0 THEN substr({e}, 1 - ({n})) "
+            f"ELSE right({e}, {n}) END)"
+        )
     if fn in ("dayname", "monthname") and len(args) == 1:
         lit = _masked_literal(table, "EEEE" if fn == "dayname" else "MMMM")
         return f"date_format({args[0]}, {lit})"
@@ -2097,6 +2122,7 @@ _TEMPLATE_RE = re.compile(
     r"current_database|kurtosis|histogram|quantile_disc|quantile|format|"
     r"list_reverse_sort|dayname|monthname|geomean|divide|multiply|add|"
     r"subtract|fsum|sumkahan|kahan_sum|date_trunc|datetrunc|"
+    r"encode|decode|sha256|left|right|"
     r"list_sum|list_avg|list_any_value|"
     r"list_has_all|list_select|list_where|list_grade_up|list_resize|"
     r"list_dot_product|list_inner_product|list_cosine_similarity|"
@@ -2387,6 +2413,8 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
                     flags=re.IGNORECASE)
     masked = re.sub(r"::\s*VARCHAR\b(?!\s*\()", "::STRING", masked,
                     flags=re.IGNORECASE)
+    masked = re.sub(r"::\s*BLOB\b", "::BINARY", masked, flags=re.IGNORECASE)
+    masked = re.sub(r"\bAS\s+BLOB\b", "AS BINARY", masked, flags=re.IGNORECASE)
     # ::JSON is a validating store-as-text cast in DuckDB (original
     # spacing preserved) — dropping it keeps the text identical; invalid
     # JSON then fails at USE time rather than cast time
@@ -2630,6 +2658,14 @@ def _register_text_shims(spark: SparkSession) -> None:
 
     nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
     spark.udf.register("dd_nfc_normalize", pandas_udf(nfc, "string"))
+
+    import re as _re
+
+    def resc(s):
+        return s.map(lambda v: _re.escape(v) if v is not None else None)
+
+    resc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.udf.register("dd_regexp_escape", pandas_udf(resc, "string"))
 
 
 def _register_distance_shims(spark: SparkSession) -> None:

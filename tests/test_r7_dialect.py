@@ -475,3 +475,36 @@ def test_division_modulo_by_zero_yields_null(sql_session, duck):
     _match(sql_session, duck,
            "SELECT n_nationkey % 4 AS g, count(*) AS c FROM nation "
            "GROUP BY g ORDER BY g")
+
+
+def test_blob_and_base64_family(sql_session, duck):
+    def norm(rows):
+        return sorted(
+            repr(tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                       for v in r))
+            for r in rows
+        )
+    for sql in (
+        "SELECT to_base64('abc'::BLOB) AS b",
+        "SELECT from_base64('YWJj') AS b",
+        "SELECT encode('abc') AS e",
+        "SELECT decode('abc'::BLOB) AS d",
+        "SELECT octet_length('abc'::BLOB) AS o",
+        "SELECT 'abc'::BLOB AS b",
+        "SELECT sha256('abc') AS s",
+        "SELECT regexp_escape('a.b+c') AS e",
+    ):
+        with serving_dialect(True):
+            ours = norm(tuple(r) for r in run_sql(sql_session, sql).collect())
+        theirs = norm(duck.execute(sql).fetchall())
+        assert ours == theirs, sql
+
+
+def test_left_right_negative_counts(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT left('abcdef', -2) AS l, right('abcdef', -2) AS r")
+    _match(sql_session, duck,
+           "SELECT left('abcdef', 2) AS l, right('abcdef', 2) AS r")
+    _match(sql_session, duck,
+           "SELECT left(n_name, n_regionkey - 2) AS l FROM nation "
+           "ORDER BY n_nationkey LIMIT 5")
