@@ -395,3 +395,28 @@ def test_pagerank_iteration_shape(spark):
     text = plans.explain_string(contribs, "formatted")
     assert "HashAggregate" in text
     assert "Cartesian" not in text
+
+
+def test_mixture_sample_broadcasts_thresholds(spark, sf_dir):
+    """b63's per-language thresholds are a tiny frame: they must reach
+    the corpus scan as a BROADCAST join (the scan-side filter design) —
+    a shuffle here would serialize the whole corpus on `lang` at 100 TB."""
+    df = catalog.QUERIES["b63_mixture_sample"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+def test_mixture_sample_reads_only_needed_columns(spark, sf_dir):
+    """b63 needs doc_id/lang/n_chars; the documents scan must prune
+    `text` (the wide column) away."""
+    df = catalog.QUERIES["b63_mixture_sample"](spark, sf_dir)
+    for cols in plans.read_schema_columns(df):
+        assert "text" not in cols
+
+
+def test_source_overlap_pairs_join_is_not_text_keyed(spark, sf_dir):
+    """b64's attribution joins carry pair ids + a short source string —
+    document text must never appear in a shuffle (exchange) schema."""
+    df = catalog.QUERIES["b64_source_overlap"](spark, sf_dir)
+    for line in plans.explain_string(df).splitlines():
+        if "Exchange" in line and "text#" in line:
+            raise AssertionError(f"text shuffled: {line}")
