@@ -93,6 +93,11 @@ GROUPS = {
         ("b33c_g711_audio", 5_000, ("1x", "10x", "100x")),
         ("b63_mixture_sample", 5_000, ("1x", "10x", "100x")),
     ],
+    # late-round additions: VP8L and the stateful ADPCM codec
+    "r7b": [
+        ("b30d_webp_decode", 5_000, ("1x", "10x", "100x")),
+        ("b33d_adpcm_audio", 5_000, ("1x", "10x", "100x")),
+    ],
     # the full TPC-H-ish suite at the 10× fact tier (lineitem 6M rows,
     # joins resolving against consistently-offset orders/customer and
     # fixed dims) — VERDICT r5 item 6. base_rows = lineitem at sf0.1.
