@@ -2287,6 +2287,55 @@ def _rewrite_any_all(s: str) -> str:
     return s
 
 
+_IGNORE_NULLS_IN_ARGS_RE = re.compile(
+    r"\s+(IGNORE|RESPECT)\s+NULLS\s*\)", re.IGNORECASE
+)
+
+
+def _rewrite_ignore_nulls(s: str) -> str:
+    """DuckDB spells null treatment INSIDE the window-function call
+    (``first_value(x IGNORE NULLS)``); Spark wants it after the call
+    (``first_value(x) IGNORE NULLS``). Pure position move."""
+    while m := _IGNORE_NULLS_IN_ARGS_RE.search(s):
+        s = s[: m.start()] + f") {m.group(1).upper()} NULLS" + s[m.end() :]
+    return s
+
+
+_WINDOW_CLAUSE_RE = re.compile(r"\bWINDOW\s+", re.IGNORECASE)
+
+
+def _rewrite_window_chain(s: str) -> str:
+    """Named-window chaining: ``WINDOW w1 AS (…), w2 AS (w1 ORDER BY …)``
+    — DuckDB lets a definition extend an earlier named window; Spark
+    requires self-contained definitions, so references inline."""
+    for m in _WINDOW_CLAUSE_RE.finditer(s):
+        pos = m.end()
+        defs: dict[str, str] = {}
+        spans: list[tuple[int, int, str, str]] = []
+        while True:
+            dm = re.match(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", s[pos:], re.IGNORECASE)
+            if not dm:
+                break
+            name = dm.group(1)
+            open_idx = pos + dm.end() - 1
+            close = _matching_paren(s, open_idx)
+            body = s[open_idx + 1 : close].strip()
+            rm = re.match(r"([A-Za-z_]\w*)\b(.*)$", body, re.DOTALL)
+            if rm and rm.group(1) in defs:
+                body = (defs[rm.group(1)] + " " + rm.group(2).strip()).strip()
+            defs[name] = body
+            spans.append((open_idx + 1, close, name, body))
+            after = re.match(r"\s*,", s[close + 1 :])
+            if not after:
+                break
+            pos = close + 1 + after.end()
+        # splice expanded bodies back (reverse order keeps offsets valid)
+        for start, end, _name, body in reversed(spans):
+            s = s[:start] + body + s[end:]
+        break  # one WINDOW clause per statement level is the common case
+    return s
+
+
 def _rewrite_postfix_factorial(s: str) -> str:
     """DuckDB's postfix ``x!`` → ``factorial(x)`` for simple operands
     (numbers/identifiers); other shapes fall through to a parse error
@@ -2390,6 +2439,8 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_power(masked)
     masked = _rewrite_tilde_ops(masked, table)
     masked = _rewrite_any_all(masked)
+    masked = _rewrite_ignore_nulls(masked)
+    masked = _rewrite_window_chain(masked)
     masked = _rewrite_list_literals(masked)
     kinds = _column_kinds(spark, masked) if spark is not None else None
     masked = _rewrite_len(masked, kinds)

@@ -508,3 +508,27 @@ def test_left_right_negative_counts(sql_session, duck):
     _match(sql_session, duck,
            "SELECT left(n_name, n_regionkey - 2) AS l FROM nation "
            "ORDER BY n_nationkey LIMIT 5")
+
+
+def test_ignore_nulls_position(sql_session, duck):
+    # DuckDB: IGNORE NULLS inside the call; Spark: after it
+    _match(sql_session, duck,
+           "SELECT n_nationkey, first_value(CASE WHEN n_nationkey % 3 = 0 "
+           "THEN NULL ELSE n_name END IGNORE NULLS) "
+           "OVER (ORDER BY n_nationkey) AS f FROM nation ORDER BY n_nationkey")
+    _match(sql_session, duck,
+           "SELECT n_nationkey, lag(CASE WHEN n_nationkey % 3 = 0 "
+           "THEN NULL ELSE n_name END IGNORE NULLS) "
+           "OVER (ORDER BY n_nationkey) AS l FROM nation ORDER BY n_nationkey")
+
+
+def test_named_window_chaining(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT n_regionkey, sum(n_nationkey) OVER w1 AS a, "
+           "avg(n_nationkey) OVER w2 AS b FROM nation "
+           "WINDOW w1 AS (PARTITION BY n_regionkey), "
+           "w2 AS (w1 ORDER BY n_nationkey) ORDER BY n_nationkey")
+    # non-chained named windows keep working
+    _match(sql_session, duck,
+           "SELECT n_nationkey, sum(n_nationkey) OVER w AS s FROM nation "
+           "WINDOW w AS (PARTITION BY n_regionkey) ORDER BY n_nationkey")
