@@ -309,3 +309,78 @@ def st_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("event_type").asc_nulls_last())
     )
+
+
+@query(
+    "st_stream_image_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, substr(text || repeat(' ', 64), 1, 64) AS s
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(range(1, 65),
+                            i -> ascii(substr(s, CAST(i AS INT), 1))) AS c
+      FROM px
+    ),
+    stats AS (
+      SELECT doc_id, list_aggregate(c, 'sum') AS px_sum FROM codes
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(px_sum) AS BIGINT) AS px_total,
+           CAST(min(px_sum) AS BIGINT) AS doc_min,
+           CAST(max(px_sum) AS BIGINT) AS doc_max
+    FROM stats
+    """,
+)
+def st_stream_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal codec path executed INSIDE Structured Streaming:
+    a file-source stream over documents → GIF encode fixture → REAL LZW
+    decode (operators/gif.py via decode_image), both as stateless
+    mapInPandas stages of the streaming plan → global pixel aggregate in
+    complete mode, drained with an available-now trigger. Deterministic,
+    so the streaming execution shares a format-blind batch oracle — the
+    proof that the decode plumbing composes with watermarked pipelines
+    (the shape continuous multimodal ingestion needs), not only batch
+    scans."""
+    import hashlib
+    import os as _os
+    import tempfile as _tf
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staged = _os.path.join(_tf.gettempdir(), f"dss_stream_docs_{key}")
+    marker = _os.path.join(staged, "_SUCCESS")
+    batch = t(spark, sf_dir, "documents").select("doc_id", "text")
+    if not _os.path.exists(marker):
+        batch.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(staged)
+    )
+
+    def _encode(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.gif import encode_gif
+
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                pixels = (text_ or "")[:64].ljust(64).encode("latin-1")
+                ids.append(doc_id)
+                payloads.append(
+                    encode_gif(pixels, 8, 8, interlace=bool(doc_id % 2))
+                )
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    from duckdb_server_spark.operators import multimodal
+
+    gif_stream = stream.mapInPandas(_encode, "doc_id long, payload binary")
+    feats = multimodal.png_features(gif_stream)
+    agg = feats.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("px_sum").cast("long").alias("px_total"),
+        F.min("px_sum").cast("long").alias("doc_min"),
+        F.max("px_sum").cast("long").alias("doc_max"),
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
