@@ -2113,6 +2113,20 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         return f"transform(slice({sorted_}, 1, {n}), p -> p.v)"
     if fn == "json" and len(args) == 1:
         return f"dd_json_canon({args[0]})"
+    if fn == "unnest" and len(args) == 2:
+        om = re.match(r"(?i)(recursive|max_depth)\s*:=", args[1].strip())
+        if not om:
+            return None
+        arg = args[0]
+        if "named_struct(" in arg:
+            # array<struct> recursively unnests into one column per field
+            return f"inline({arg})"
+        if arg.lstrip().startswith("[["):
+            return f"explode(flatten({arg}))"  # one nesting level
+        raise ValueError(
+            "unnest(recursive := true) is supported for struct-array and "
+            "nested-list literals"
+        )
     return None
 
 
@@ -2122,7 +2136,7 @@ _TEMPLATE_RE = re.compile(
     r"current_database|kurtosis|histogram|quantile_disc|quantile|format|"
     r"list_reverse_sort|dayname|monthname|geomean|divide|multiply|add|"
     r"subtract|fsum|sumkahan|kahan_sum|date_trunc|datetrunc|"
-    r"encode|decode|sha256|left|right|"
+    r"encode|decode|sha256|left|right|unnest|"
     r"list_sum|list_avg|list_any_value|"
     r"list_has_all|list_select|list_where|list_grade_up|list_resize|"
     r"list_dot_product|list_inner_product|list_cosine_similarity|"

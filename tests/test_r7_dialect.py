@@ -532,3 +532,14 @@ def test_named_window_chaining(sql_session, duck):
     _match(sql_session, duck,
            "SELECT n_nationkey, sum(n_nationkey) OVER w AS s FROM nation "
            "WINDOW w AS (PARTITION BY n_regionkey) ORDER BY n_nationkey")
+
+
+def test_recursive_unnest(sql_session, duck):
+    _match(sql_session, duck,
+           "SELECT unnest([{'a': 1, 'b': 9}, {'a': 2, 'b': 8}], "
+           "recursive := true)")
+    _match(sql_session, duck,
+           "SELECT unnest([[1,2],[3]], recursive := true) AS u")
+    _match(sql_session, duck,
+           "SELECT unnest([[1,2],[3]], max_depth := 2) AS u")
+    _match(sql_session, duck, "SELECT unnest([4,5]) AS u")
