@@ -3599,6 +3599,12 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
     if m := _SET_RE.match(stmt):
         state.settings[m.group(1).lower()] = _strip_quotes(m.group(2))
         return None
+    if m := _PRAGMA_RE.match(stmt):
+        return _run_pragma(
+            spark, state, m.group(1).lower(), m.group(2), m.group(3)
+        )
+    if _CHECKPOINT_RE.match(stmt):
+        return None  # durability is the parquet warehouse's concern
     if m := _INSTALL_RE.match(stmt):
         if m.group(1).lower() not in state.installed:
             state.installed.append(m.group(1).lower())
@@ -4207,6 +4213,214 @@ _SHOW_TABLE_RE = re.compile(
 )
 
 
+_PRAGMA_RE = re.compile(
+    r"^\s*PRAGMA\s+(\w+)\s*(?:\(\s*(.*?)\s*\)|\s*=\s*(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CHECKPOINT_RE = re.compile(r"^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$", re.IGNORECASE)
+_CURRENT_SETTING_RE = re.compile(
+    r"\bcurrent_setting\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE
+)
+
+
+def _run_pragma(spark: SparkSession, state, name: str, call_arg, assign_arg):
+    """DuckDB PRAGMA surface that wire clients actually send (DBeaver /
+    drivers): version, database_list, show_tables, table_info; the
+    assignment form (PRAGMA memory_limit='2GB') routes like SET."""
+    from pyspark.sql import types as T
+
+    if name == "version":
+        schema = T.StructType([
+            T.StructField("library_version", T.StringType(), True),
+            T.StructField("source_id", T.StringType(), True),
+        ])
+        return spark.createDataFrame([("v1.0.0", "spark-analog")], schema)
+    if name == "database_list":
+        schema = T.StructType([
+            T.StructField("seq", T.IntegerType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("file", T.StringType(), True),
+        ])
+        return spark.createDataFrame([(0, "memory", None)], schema)
+    if name in ("show_tables", "show_tables_expanded"):
+        return show_tables_frame(spark)
+    if name == "table_info" and call_arg:
+        return table_info_frame(spark, call_arg.strip().strip("'\""))
+    if name == "show_databases":
+        schema = T.StructType([T.StructField("name", T.StringType(), True)])
+        return spark.createDataFrame([("memory",)], schema)
+    if assign_arg is not None:
+        # assignment form — engine setting, routed like SET
+        state.settings[name] = _strip_quotes(assign_arg.strip())
+        return None
+    raise ValueError(f"unsupported PRAGMA {name!r}")
+
+
+# engine-setting defaults surfaced through current_setting(); SET
+# overrides land in DialectState.settings first
+def _resolve_current_setting(spark: SparkSession, sql: str) -> str:
+    import os as _os
+
+    state = dialect_state(spark)
+    defaults = {
+        "threads": str(_os.cpu_count() or 1),
+        "memory_limit": "128GB",
+        "access_mode": "read_only",
+        "default_order": "asc",
+    }
+
+    def sub(m):
+        key = m.group(1).lower()
+        val = state.settings.get(key, defaults.get(key))
+        if val is None:
+            raise ValueError(f"current_setting: unknown setting {key!r}")
+        return val if re.fullmatch(r"-?\d+", val) else f"'{val}'"
+
+    return _CURRENT_SETTING_RE.sub(sub, sql)
+
+
+def table_info_frame(spark: SparkSession, name: str) -> DataFrame:
+    """``PRAGMA table_info('t')`` / ``pragma_table_info('t')`` output
+    shape: (cid, name, type, notnull, dflt_value, pk) — what GUI clients
+    (DBeaver et al.) issue to introspect columns."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("type", T.StringType(), True),
+            T.StructField("notnull", T.BooleanType(), True),
+            T.StructField("dflt_value", T.StringType(), True),
+            T.StructField("pk", T.BooleanType(), True),
+        ]
+    )
+    rows = [
+        (i, f.name, _duck_type_name(f.dataType), not f.nullable, None, False)
+        for i, f in enumerate(spark.table(name).schema.fields)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def _catalog_tables(spark: SparkSession) -> list:
+    return sorted(
+        (t for t in spark.catalog.listTables()
+         if t.isTemporary and not t.name.startswith("__dd_")),
+        key=lambda t: t.name,
+    )
+
+
+_META_TVF_RE = re.compile(
+    r"\b(pragma_table_info\s*\(|duckdb_tables\s*\(\s*\)|"
+    r"duckdb_columns\s*\(\s*\)|information_schema\s*\.\s*(?:tables|columns))",
+    re.IGNORECASE,
+)
+
+
+def _resolve_meta_tvfs(spark: SparkSession, sql: str) -> str:
+    """Metadata table functions / information_schema views → temp views
+    built from the session catalog (DuckDB exposes its catalog this way;
+    GUI clients and ORMs query them constantly)."""
+    from pyspark.sql import types as T
+
+    def tables_frame(info_schema: bool) -> DataFrame:
+        if info_schema:
+            schema = T.StructType([
+                T.StructField("table_catalog", T.StringType(), True),
+                T.StructField("table_schema", T.StringType(), True),
+                T.StructField("table_name", T.StringType(), True),
+                T.StructField("table_type", T.StringType(), True),
+            ])
+            rows = [("memory", "main", t.name, "VIEW")
+                    for t in _catalog_tables(spark)]
+        else:
+            schema = T.StructType([
+                T.StructField("database_name", T.StringType(), True),
+                T.StructField("schema_name", T.StringType(), True),
+                T.StructField("table_name", T.StringType(), True),
+                T.StructField("temporary", T.BooleanType(), True),
+                T.StructField("column_count", T.IntegerType(), True),
+            ])
+            rows = [
+                ("memory", "main", t.name, True,
+                 len(spark.table(t.name).schema.fields))
+                for t in _catalog_tables(spark)
+            ]
+        return spark.createDataFrame(rows, schema)
+
+    def columns_frame(info_schema: bool) -> DataFrame:
+        rows = []
+        for t in _catalog_tables(spark):
+            for i, f in enumerate(spark.table(t.name).schema.fields):
+                if info_schema:
+                    rows.append(
+                        ("memory", "main", t.name, f.name, i + 1,
+                         _duck_type_name(f.dataType),
+                         "YES" if f.nullable else "NO")
+                    )
+                else:
+                    rows.append(
+                        ("memory", "main", t.name, f.name, i,
+                         _duck_type_name(f.dataType), f.nullable)
+                    )
+        if info_schema:
+            schema = T.StructType([
+                T.StructField("table_catalog", T.StringType(), True),
+                T.StructField("table_schema", T.StringType(), True),
+                T.StructField("table_name", T.StringType(), True),
+                T.StructField("column_name", T.StringType(), True),
+                T.StructField("ordinal_position", T.IntegerType(), True),
+                T.StructField("data_type", T.StringType(), True),
+                T.StructField("is_nullable", T.StringType(), True),
+            ])
+        else:
+            schema = T.StructType([
+                T.StructField("database_name", T.StringType(), True),
+                T.StructField("schema_name", T.StringType(), True),
+                T.StructField("table_name", T.StringType(), True),
+                T.StructField("column_name", T.StringType(), True),
+                T.StructField("column_index", T.IntegerType(), True),
+                T.StructField("data_type", T.StringType(), True),
+                T.StructField("is_nullable", T.BooleanType(), True),
+            ])
+        return spark.createDataFrame(rows, schema)
+
+    def register(name: str, df: DataFrame) -> str:
+        df.createOrReplaceTempView(name)
+        _track_temp_view(spark, name)
+        return name
+
+    while m := re.search(r"\bpragma_table_info\s*\(", sql, re.IGNORECASE):
+        close = _matching_paren(sql, m.end() - 1)
+        arg = sql[m.end() : close].strip().strip("'\"")
+        view = register(
+            f"__dd_ti_{re.sub(r'[^A-Za-z0-9_]', '_', arg)}",
+            table_info_frame(spark, arg),
+        )
+        sql = sql[: m.start()] + view + sql[close + 1 :]
+    sql = re.sub(
+        r"\bduckdb_tables\s*\(\s*\)",
+        lambda _m: register("__dd_meta_tables", tables_frame(False)),
+        sql, flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\bduckdb_columns\s*\(\s*\)",
+        lambda _m: register("__dd_meta_columns", columns_frame(False)),
+        sql, flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\binformation_schema\s*\.\s*tables\b",
+        lambda _m: register("__dd_is_tables", tables_frame(True)),
+        sql, flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\binformation_schema\s*\.\s*columns\b",
+        lambda _m: register("__dd_is_columns", columns_frame(True)),
+        sql, flags=re.IGNORECASE,
+    )
+    return sql
+
+
 def show_tables_frame(spark: SparkSession) -> DataFrame:
     from pyspark.sql import types as T
 
@@ -4375,6 +4589,10 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         sql = _expand_macros(sql, state.macros)
     if _FILE_READ_HINT_RE.search(sql):
         sql = _resolve_file_reads(spark, sql)
+    if _META_TVF_RE.search(sql):
+        sql = _resolve_meta_tvfs(spark, sql)
+    if _CURRENT_SETTING_RE.search(sql):
+        sql = _resolve_current_setting(spark, sql)
     if _COLUMNS_FN_RE.search(sql):
         sql = _expand_columns_fn(spark, sql)
     if _UNION_BY_NAME_RE.search(sql):

@@ -543,3 +543,69 @@ def test_recursive_unnest(sql_session, duck):
     _match(sql_session, duck,
            "SELECT unnest([[1,2],[3]], max_depth := 2) AS u")
     _match(sql_session, duck, "SELECT unnest([4,5]) AS u")
+
+
+# --- PRAGMA / metadata catalog surface ---------------------------------------
+
+
+def test_pragma_surface(sql_session):
+    from duckdb_server_spark.dialect import execute_statement
+
+    with serving_dialect(True):
+        v = execute_statement(sql_session, "PRAGMA version").collect()
+        assert v[0].library_version.startswith("v")
+        dbs = execute_statement(sql_session, "PRAGMA database_list").collect()
+        assert dbs[0].name == "memory"
+        tables = {
+            r.name
+            for r in execute_statement(sql_session, "PRAGMA show_tables").collect()
+        }
+        assert {"nation", "region"} <= tables
+        ti = execute_statement(
+            sql_session, "PRAGMA table_info('nation')"
+        ).collect()
+        assert [r.name for r in ti][:2] == ["n_nationkey", "n_name"]
+        assert ti[0].type == "INTEGER"
+        assert execute_statement(sql_session, "CHECKPOINT") is None
+
+
+def test_metadata_table_functions(sql_session):
+    with serving_dialect(True):
+        rows = run_sql(
+            sql_session,
+            "SELECT name, type FROM pragma_table_info('region') ORDER BY cid",
+        ).collect()
+        assert [r.name for r in rows] == ["r_regionkey", "r_name"]
+        t = run_sql(
+            sql_session,
+            "SELECT table_name, column_count FROM duckdb_tables() "
+            "WHERE table_name = 'nation'",
+        ).collect()
+        assert t[0].column_count == 3
+        cols = run_sql(
+            sql_session,
+            "SELECT column_name FROM information_schema.columns "
+            "WHERE table_name = 'nation' ORDER BY ordinal_position",
+        ).collect()
+        assert [r.column_name for r in cols] == [
+            "n_nationkey", "n_name", "n_regionkey",
+        ]
+        tb = run_sql(
+            sql_session,
+            "SELECT table_name FROM information_schema.tables "
+            "ORDER BY table_name",
+        ).collect()
+        assert "nation" in [r.table_name for r in tb]
+
+
+def test_current_setting_reflects_set(sql_session):
+    from duckdb_server_spark.dialect import execute_statement
+
+    with serving_dialect(True):
+        assert run_sql(
+            sql_session, "SELECT current_setting('threads') AS t"
+        ).collect()[0].t >= 1
+        execute_statement(sql_session, "PRAGMA memory_limit='9GB'")
+        assert run_sql(
+            sql_session, "SELECT current_setting('memory_limit') AS m"
+        ).collect()[0].m == "9GB"
