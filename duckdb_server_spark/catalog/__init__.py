@@ -67,6 +67,7 @@ _PRIORITY_R7: tuple[str, ...] = (
     "b32c_mp4_frames",         # new: ISO BMFF sample-table demux
     "b33c_g711_audio",         # new: G.711 compressed audio
     "b33d_adpcm_audio",        # new: stateful IMA ADPCM + recursive oracle
+    "b33e_flac_audio",         # new: Rice-coded lossless FLAC
     "st_stream_image_decode",  # new: codec path inside Structured Streaming
     "b63_mixture_sample",      # new: integer-exact temperature mixture
     "b64_source_overlap",      # new: cross-source near-dup matrix

@@ -1342,6 +1342,41 @@ def b33c_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("b33e_flac_audio", oracle=_B33B_ORACLE)
+def b33e_flac_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-coded LOSSLESS audio (FLAC subset,
+    operators/flac.py): the b33b signal encodes through fixed
+    predictors + partitioned Rice coding (escape path included, frame
+    CRC-8/CRC-16 verified) and decodes back inside mapInPandas via
+    decode_audio's magic-byte dispatch. Because FLAC is lossless, the
+    oracle is IDENTICAL to b33b's — a hash-match proves the Rice
+    entropy chain and predictor reconstruction return the input bit for
+    bit, which no lossy codec oracle can claim. Lossy entropy codecs
+    (MP3/Opus) stay declared plug points."""
+    from duckdb_server_spark.operators.flac import encode_flac
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(pdf_iter):
+        import pandas as _pd
+
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text_ or "")[:8]).ljust(8, "x").encode("latin-1")
+                samples = [
+                    s[k % 8] * (k // 8 + 1) - 480 for k in range(64)
+                ]
+                ids.append(doc_id)
+                payloads.append(encode_flac(samples, 8000))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    flac_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
+    return multimodal.audio_features(flac_df).orderBy(
+        F.col("doc_id").asc_nulls_last()
+    )
+
+
 def _b33d_oracle() -> str:
     """Oracle for b33d: the IMA ADPCM encode→decode state machine —
     (predictor, step-index) carried across samples — replayed as a

@@ -224,15 +224,21 @@ def decode_video_frames(payload: bytes, stride: int) -> list[dict]:
 
 
 def decode_audio(payload: bytes) -> dict:
-    """Real audio decode for PCM WAV (pure stdlib: operators/wav.py).
-    Compressed codecs (MP3/Opus/FLAC) remain plug points."""
+    """Real audio decode dispatching on magic bytes: RIFF/WAVE (PCM,
+    G.711, IMA ADPCM — operators/wav.py tag dispatch) and FLAC (Rice-
+    coded lossless — operators/flac.py). Entropy-coded LOSSY formats
+    (MP3/Opus) remain plug points."""
     from duckdb_server_spark.operators.wav import decode_wav
 
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        from duckdb_server_spark.operators.flac import decode_flac
+
+        return decode_flac(payload)
     raise NotImplementedError(
-        "PCM WAV is the built-in audio codec; install an audio library "
-        "for compressed formats"
+        "WAV (PCM/G.711/ADPCM) and FLAC are the built-in audio codecs; "
+        "install an audio library for lossy compressed formats"
     )
 
 

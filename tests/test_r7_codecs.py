@@ -277,3 +277,58 @@ def test_adpcm_clamps_at_int16_bounds():
     dec = decode_nibbles(p0, nibs)
     assert all(-32768 <= v <= 32767 for v in dec)
     assert min(dec) == -32768 and max(dec) == 32767
+
+
+# --- FLAC --------------------------------------------------------------------
+
+
+def test_flac_lossless_roundtrip():
+    import math
+
+    from duckdb_server_spark.operators.flac import decode_flac, encode_flac
+
+    rng = random.Random(9)
+    for trial in range(60):
+        kind = trial % 4
+        n = rng.randint(1, 300)
+        if kind == 0:  # noise → verbatim or rice-escape path
+            samples = [rng.randint(-32768, 32767) for _ in range(n)]
+        elif kind == 1:  # constant subframe
+            samples = [rng.randint(-50, 50)] * n
+        elif kind == 2:  # linear ramps → fixed predictors
+            base = rng.randint(-1000, 1000)
+            samples = [base + i * rng.randrange(-3, 4) for i in range(n)]
+        else:  # smooth + dither → rice coding proper
+            samples = [
+                int(3000 * math.sin(i / 7)) + rng.randint(-5, 5)
+                for i in range(n)
+            ]
+        d = decode_flac(encode_flac(samples))
+        assert d["samples"] == samples
+        assert d["bits"] == 16 and d["channels"] == 1
+
+
+def test_flac_actually_compresses():
+    import math
+
+    from duckdb_server_spark.operators.flac import encode_flac
+
+    smooth = [int(8000 * math.sin(i / 9)) for i in range(1000)]
+    assert len(encode_flac(smooth)) < 2000  # 16-bit raw would be 2000 B
+
+
+def test_flac_crc_detects_corruption():
+    from duckdb_server_spark.operators.flac import decode_flac, encode_flac
+
+    f = bytearray(encode_flac([10, 20, 30, 25, 15]))
+    f[-10] ^= 0x40  # flip a bit inside the frame
+    with pytest.raises(ValueError):
+        decode_flac(bytes(f))
+
+
+def test_decode_audio_dispatches_flac():
+    from duckdb_server_spark.operators.flac import encode_flac
+    from duckdb_server_spark.operators.multimodal import decode_audio
+
+    out = decode_audio(encode_flac([5, -5, 7]))
+    assert out["samples"] == [5, -5, 7]
