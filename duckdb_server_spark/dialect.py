@@ -755,10 +755,23 @@ def _expr_start(s: str, idx: int) -> int:
     return i
 
 
-def _rewrite_subscripts(s: str, kinds: dict[str, str] | None = None) -> str:
+def _rewrite_subscripts(
+    s: str,
+    kinds: dict[str, str] | None = None,
+    table: list[str] | None = None,
+) -> str:
     def _is_string_base(base: str) -> bool:
-        if re.fullmatch(r"\x00\d+\x00", base):
-            return True  # masked string literal
+        mm = re.fullmatch(r"\x00(\d+)\x00", base)
+        if mm:
+            # _mask also masks double-quoted identifiers — only a
+            # single-quote entry is a string LITERAL; a quoted identifier
+            # falls through to the kinds lookup on its unquoted name
+            entry = table[int(mm.group(1))] if table is not None else "'"
+            if entry.startswith("'"):
+                return True
+            if kinds and entry.startswith('"'):
+                return kinds.get(entry[1:-1].lower()) == "string"
+            return False
         if kinds and re.fullmatch(r"[A-Za-z_][\w.]*", base):
             return kinds.get(base.split(".")[-1].lower()) == "string"
         return False
@@ -2493,7 +2506,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     if duckdb_first:
         masked = _rewrite_libm(masked)
     masked = _rewrite_list_aggregate(masked, table)
-    masked = _rewrite_subscripts(masked, kinds)
+    masked = _rewrite_subscripts(masked, kinds, table)
     masked = _rewrite_distinct_on(masked)
     masked = _rewrite_window_filter(masked)
     masked = _rewrite_exclude_frames(masked)
@@ -2981,6 +2994,19 @@ def _primary_end(s: str, start: int) -> int:
     if begun and m:
         open_idx = i + m.end() - 1
         i = _matching_paren(s, open_idx) + 1
+    # a postfix '::type' cast binds tighter than any binary operator
+    # (DuckDB: a / b::INT divides by the cast divisor) — consume chained
+    # casts, parameterized types, and array-type suffixes as the primary
+    while begun:
+        m2 = re.match(r"\s*::\s*([A-Za-z_]\w*)", s[i:])
+        if not m2:
+            break
+        i += m2.end()
+        m3 = re.match(r"\s*\(", s[i:])
+        if m3:
+            i = _matching_paren(s, i + m3.end() - 1) + 1
+        while m4 := re.match(r"\s*\[\s*\]", s[i:]):
+            i += m4.end()
     return i
 
 
@@ -3009,15 +3035,20 @@ def _rewrite_division(s: str) -> str:
             j -= 1
         end = j + 1
         while j >= 0:
-            if s[j] in " \t\n":
+            if s[j] in " \t\n:":
                 # a gap inside a primary only when it precedes the frame
-                # of an OVER clause: "agg(x) OVER (…)" is one operand
+                # of an OVER clause ("agg(x) OVER (…)" is one operand) or
+                # a postfix '::' cast (the cast's operand is the primary)
                 k = j
                 while k >= 0 and s[k] in " \t\n":
                     k -= 1
                 wm = re.search(r"([A-Za-z_]\w*)$", s[: k + 1])
                 if wm and wm.group(1).upper() == "OVER":
                     j = k
+                elif k >= 1 and s[k] == ":" and s[k - 1] == ":" and j + 1 < end:
+                    j = k - 2
+                    while j >= 0 and s[j] in " \t\n":
+                        j -= 1
                 else:
                     break
             elif s[j] in ")]":
@@ -3119,6 +3150,18 @@ def _primary_back(s: str, end: int) -> int:
         elif s[j].isalnum() or s[j] in "_.\x00":
             while j >= 0 and (s[j].isalnum() or s[j] in "_.\x00"):
                 j -= 1
+        elif s[j] in " \t\n:" and j + 1 < end:
+            # what we consumed so far may be the TYPE of a postfix
+            # '::' cast — if so, the cast and its operand are one primary
+            k = j
+            while k >= 0 and s[k] in " \t\n":
+                k -= 1
+            if k >= 1 and s[k] == ":" and s[k - 1] == ":":
+                j = k - 2
+                while j >= 0 and s[j] in " \t\n":
+                    j -= 1
+            else:
+                break
         else:
             break
     start = j + 1

@@ -125,6 +125,13 @@ def encode_flac(samples: list[int], sample_rate: int = 8000) -> bytes:
     n = len(samples)
     if n == 0:
         raise ValueError("FLAC: empty input")
+    # the single-frame subset writes block sizes through 16-bit fields and
+    # the rate through a 20-bit field; out-of-range values would be
+    # silently masked by the bit writer into a corrupt stream
+    if n > 0xFFFF:
+        raise ValueError("FLAC: single-frame subset holds at most 65535 samples")
+    if sample_rate >= 1 << 20:
+        raise ValueError("FLAC: sample rate exceeds the 20-bit STREAMINFO field")
     # --- STREAMINFO ---
     si = _BitWriterMSB()
     si.write(n, 16)          # min block size

@@ -241,7 +241,10 @@ def decode_gif(payload: bytes) -> dict:
                         src * w : (src + 1) * w
                     ]
                 idx = ordered
-            pixels = bytes(table[i * 3] for i in idx[: w * h])
+            idx = idx[: w * h]
+            if max(idx) >= len(table) // 3:
+                raise ValueError("GIF: pixel index outside color table")
+            pixels = bytes(table[i * 3] for i in idx)
             return {"pixels": pixels, "width": w, "height": h}
         elif block == 0x3B:
             break

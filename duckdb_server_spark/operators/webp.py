@@ -153,12 +153,20 @@ class _HuffDecoder:
 
 
 def _build_lengths(freqs: Counter, alphabet: int, max_len: int = 15) -> list[int]:
-    """Frequency → code-length assignment (package-merge-free heuristic:
-    true Huffman, then length-limit by rebalancing — fine for our
-    alphabets; lengths are what the format transmits, so any valid
-    assignment is spec-correct)."""
+    """Frequency → length-limited code-length assignment.
+
+    True Huffman depths, then the deflate-style limit fix: clamp every
+    over-limit symbol to ``max_len`` and restore the Kraft inequality by
+    deepening the deepest under-limit symbols (each step halves that
+    symbol's Kraft share, so the integer Kraft sum strictly decreases and
+    the loop terminates; with every symbol at ``max_len`` the sum is
+    ``n * 2^-max_len <= 1`` because ``alphabet <= 2^max_len``). Lengths are
+    what the format transmits, so any Kraft-valid assignment decodes; no
+    clamping happens after the Kraft check."""
     import heapq
 
+    if alphabet > (1 << max_len):
+        raise ValueError("alphabet too large for max code length")
     syms = [s for s in freqs if freqs[s] > 0]
     if not syms:
         return [0] * alphabet
@@ -177,20 +185,23 @@ def _build_lengths(freqs: Counter, alphabet: int, max_len: int = 15) -> list[int
             depth[s] += 1
         heapq.heappush(heap, (fa + fb, uid, ga + gb))
         uid += 1
-    while max(depth.values()) > max_len:
-        # move the deepest symbol up under the shallowest (crude but valid
-        # once lengths are re-checked Kraft-tight below)
-        deepest = max(depth, key=lambda s: depth[s])
-        depth[deepest] -= 1
-        shallow = min(depth, key=lambda s: depth[s])
-        depth[shallow] += 1
-    # Kraft fix-up: lengths must satisfy sum(2^-l) <= 1
-    while sum(2 ** -l for l in depth.values()) > 1:
-        deepest = min(depth, key=lambda s: -depth[s])
-        depth[deepest] += 1
+    for s in depth:
+        if depth[s] > max_len:
+            depth[s] = max_len
+    # Kraft fix-up in integer units: valid iff sum(2^(max_len-l)) <= 2^max_len.
+    kraft = sum(1 << (max_len - l) for l in depth.values())
+    limit = 1 << max_len
+    while kraft > limit:
+        # deepen the deepest symbol still below max_len (rarest symbol,
+        # smallest Kraft step — converges without overshooting; one always
+        # exists while the sum is over limit)
+        cand = [s for s in depth if depth[s] < max_len]
+        s = max(cand, key=lambda s: depth[s])
+        kraft -= 1 << (max_len - depth[s] - 1)
+        depth[s] += 1
     out = [0] * alphabet
     for s, l in depth.items():
-        out[s] = min(l, max_len)
+        out[s] = l
     return out
 
 
