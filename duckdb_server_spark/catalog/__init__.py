@@ -58,6 +58,80 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the portable MinHash family; the band construction in
 # minhash_lsh_candidates was reshaped for it, so its non-portable
 # consumers re-verify too).
+# Round 8 (VERDICT r7 item 2): rotate the driver budget to the OLDEST
+# evidence. ~80 §2-core rows carry latest-green stamps from r1-r5 while
+# the serving path gained thousands of dialect lines; the driver budget
+# (~50/round) goes: first the queries ADDED this round (never checked),
+# then the rows whose code changed this round (gif/webp/flac guards),
+# then every r1-stamped row, then the r2-stamped rows up to budget.
+_PRIORITY_R8: tuple[str, ...] = (
+    # --- new in round 8 (names registered by their modules) ---
+    "b32d_webm_frames",        # new: EBML/Matroska container demux
+    "s08_s3_scan",             # new: S3-protocol object-store scan
+    "s10b_attach_remote_catalog",  # new: Flight catalog discovery
+    # --- code changed this round: refresh green evidence ---
+    "b30c_gif_decode",         # color-table validation added
+    "b30d_webp_decode",        # length-limited Huffman rebuilt
+    "b33e_flac_audio",         # subset range guards added
+    "st_stream_image_decode",  # streaming GIF decode path
+    # --- r1-stamped rows (oldest evidence in the registry) ---
+    "a01_groupby_having",
+    "a04_distinct_aggs",
+    "a05_agg_filter",
+    "a06_cube",
+    "a06_grouping_sets",
+    "a06_rollup",
+    "a08_stats_aggs",
+    "a09_median_percentile",
+    "a09b_median_percentile_vectorized",
+    "a11_arg_max_min",
+    "a12_first_last",
+    "a13_bool_aggs",
+    "a14_distinct_on",
+    "a15_pivot",
+    "a16_unpivot",
+    "b01_exact_dedup",
+    "b02_ngram_jaccard",
+    "b05_dup_components",
+    "b21_lang_id",
+    "b22_fingerprint_dedup",
+    "b23_token_count_bpe",
+    "b41_balanced_sample",
+    "b42_token_shards",
+    "fn_array_core",
+    "fn_conditional",
+    "fn_datetime_arith",
+    "fn_datetime_extract",
+    "fn_json",
+    "fn_string_accents",
+    "fn_string_declared",
+    "fn_string_extended",
+    "fn_struct_map",
+    "fn_trig",
+    "fn_vector_ops",
+    # --- r2-stamped rows, cheapest families first, to fill the budget ---
+    "fn_numeric_core",
+    "fn_levenshtein",
+    "fn_regexp_extract_all",
+    "fn_array_transform",
+    "p16_try_cast",
+    "p17_star_replace",
+    "o09_order_by_all",
+    "u04_union_by_name",
+    "a17_group_by_all",
+    "a07_approx_count_distinct",
+    "a10_collect_aggs",
+    "a19_approx_quantile_tolerance",
+    "a20_bit_aggs",
+    "a21_histogram",
+    "a18_pivot_dynamic",
+    "a09c_distributed_quantiles",
+    "s07_capability_registry",
+    "s15_bucketed_join",
+    "s16_partition_pruning",
+    "s17_time_series_gapfill",
+)
+
 # Round 7: the new codec queries (GIF, MP4 sample tables, G.711), then
 # the rows whose shared decode plumbing changed (decode_image gained the
 # GIF branch; video_frame_features gained the MP4 dispatch).
@@ -415,8 +489,8 @@ def load_all() -> None:
     for mod in _MODULE_ORDER:
         importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
 
-    head = list(_PRIORITY_R7)
-    for prior in (_PRIORITY_R6, _PRIORITY_R5):
+    head = list(_PRIORITY_R8)
+    for prior in (_PRIORITY_R7, _PRIORITY_R6, _PRIORITY_R5):
         head += [n for n in prior if n not in head]
     ordered = [n for n in head if n in QUERIES]
     ordered += [n for n in QUERIES if n not in head]
