@@ -1146,8 +1146,8 @@ def b32c_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape frame-sampling needs at 100 TB (and, unlike AVI's optional
     idx1, is how the format itself defines access). The oracle
     recomputes sampled-frame pixel statistics from the frame DEFINITION
-    (character codes) with no notion of MP4 or JPEG. WebM remains the
-    one container plug point."""
+    (character codes) with no notion of MP4 or JPEG. Matroska/WebM is
+    covered by b32d (operators/webm.py)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def _encode(pdf_iter):
@@ -1175,6 +1175,74 @@ def b32c_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mp4_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
     return multimodal.video_frame_features(mp4_df, stride=3).orderBy(
+        F.col("doc_id").asc_nulls_last()
+    )
+
+
+# b32d: Matroska/WebM container — 8 frames at stride 3 samples frames
+# 0/3/6; one frame per Cluster with a CuePoint each, so the fetch path
+# (SeekHead → Cues → cued Cluster) is exercised on every document and
+# unsampled clusters are never parsed.
+_B32D_ORACLE = """
+    WITH px AS (
+      SELECT doc_id, substr(text || repeat('x', 8), 1, 8) AS s
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(range(1, 9),
+                            i -> ascii(substr(s, CAST(i AS INT), 1))) AS c
+      FROM px
+    )
+    SELECT doc_id, 8 AS n_frames, 3 AS n_sampled, 8 AS width, 8 AS height,
+           CAST(64 * (c[1] + c[4] + c[7]) AS BIGINT) AS px_sum,
+           CAST(least(c[1], c[4], c[7]) AS INT) AS px_min,
+           CAST(greatest(c[1], c[4], c[7]) AS INT) AS px_max
+    FROM codes
+    ORDER BY doc_id ASC NULLS LAST
+    """
+
+
+@query("b32d_webm_frames", oracle=_B32D_ORACLE)
+def b32d_webm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Matroska/WebM demux through the binary column
+    (operators/webm.py): each document encodes eight 8×8 constant-tile
+    JPEG frames into an EBML/Matroska file with a real SeekHead, per-
+    frame Clusters, and a Cues index, and video_frame_features fetches
+    every 3rd frame by cue lookup — the probe reads SeekHead → Cues and
+    the track headers only, so unsampled clusters are never parsed and
+    undecoded, the shape frame-sampling needs at 100 TB (RFC 9559's own
+    random-access mechanism, the Matroska analog of MP4's stbl). The
+    oracle recomputes sampled-frame pixel statistics from the frame
+    DEFINITION (character codes) with no notion of EBML or JPEG. Lossy
+    VP8 inside the same container remains the one codec plug point."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.jpeg import encode_jpeg_gray
+        from duckdb_server_spark.operators.webm import encode_webm_mjpeg
+
+        tiles: dict[int, bytes] = {}
+
+        def tile(v: int) -> bytes:
+            f = tiles.get(v)
+            if f is None:
+                f = tiles[v] = encode_jpeg_gray(bytes([v]) * 64, 8, 8)
+            return f
+
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text_ or "")[:8]).ljust(8, "x").encode("latin-1")
+                frames = [tile(s[i]) for i in range(8)]
+                ids.append(doc_id)
+                payloads.append(encode_webm_mjpeg(frames, 8, 8, fps=10))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    webm_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
+    return multimodal.video_frame_features(webm_df, stride=3).orderBy(
         F.col("doc_id").asc_nulls_last()
     )
 

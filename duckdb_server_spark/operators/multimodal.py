@@ -217,9 +217,20 @@ def decode_video_frames(payload: bytes, stride: int) -> list[dict]:
             {"frame_idx": i, **decode_image(decode_mp4_frame(payload, i, info))}
             for i in range(0, info["declared_frames"], stride)
         ]
+    if payload[:4] == b"\x1aE\xdf\xa3":
+        from duckdb_server_spark.operators.webm import (
+            decode_webm_frame,
+            probe_webm,
+        )
+
+        info = probe_webm(payload)
+        return [
+            {"frame_idx": i, **decode_image(decode_webm_frame(payload, i, info))}
+            for i in range(0, info["declared_frames"], stride)
+        ]
     raise NotImplementedError(
-        "MJPEG-AVI and MJPEG-MP4 are the built-in containers; install "
-        "ffmpeg/av for WebM"
+        "MJPEG in AVI, MP4, and Matroska/WebM are the built-in "
+        "containers; install ffmpeg/av for compressed codecs"
     )
 
 
@@ -259,8 +270,9 @@ VIDEO_FEATURE_SCHEMA = StructType(
 def video_frame_features(video_df: DataFrame, stride: int = 2) -> DataFrame:
     """Distributed video decode → pixel statistics over every
     ``stride``-th frame, dispatching on container magic: MP4 fetches
-    samples through the stbl tables (operators/mp4.py), AVI through the
-    idx1 index (``decode_avi_frame``) — O(1) seek per frame either way,
+    samples through the stbl tables (operators/mp4.py), Matroska/WebM
+    through SeekHead→Cues (operators/webm.py), AVI through the idx1
+    index (``decode_avi_frame``) — O(1) seek per frame in every case,
     so neither the container walk nor JPEG decode ever touches unsampled
     footage; a sequential movi walk remains the fallback for index-less
     AVI files."""
@@ -271,6 +283,10 @@ def video_frame_features(video_df: DataFrame, stride: int = 2) -> DataFrame:
     )
 
     from duckdb_server_spark.operators.mp4 import decode_mp4_frame, probe_mp4
+    from duckdb_server_spark.operators.webm import (
+        decode_webm_frame,
+        probe_webm,
+    )
 
     def body(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdf_iter:
@@ -283,6 +299,12 @@ def video_frame_features(video_df: DataFrame, stride: int = 2) -> DataFrame:
                     video = probe_mp4(raw)  # sample tables only
                     sampled = [
                         decode_image(decode_mp4_frame(raw, i, video))
+                        for i in range(0, video["declared_frames"], stride)
+                    ]
+                elif raw[:4] == b"\x1aE\xdf\xa3":
+                    video = probe_webm(raw)  # SeekHead → Cues only
+                    sampled = [
+                        decode_image(decode_webm_frame(raw, i, video))
                         for i in range(0, video["declared_frames"], stride)
                     ]
                 else:

@@ -1,0 +1,121 @@
+"""Round-8 operator tests: Matroska/WebM container codec
+(operators/webm.py) and the video dispatch integration.
+
+The differential contract for the container lives in the declared query
+``b32d_webm_frames`` (catalog/beyond.py); these tests cover the codec's
+edge cases the sampled-frame oracle cannot reach: EBML varint widths,
+the no-SeekHead fallback walk, unknown-size segments, lacing rejection,
+and cue-table consistency.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_server_spark.operators.jpeg import encode_jpeg_gray
+from duckdb_server_spark.operators.webm import (
+    _read_vint,
+    _vint,
+    decode_webm_frame,
+    encode_webm_mjpeg,
+    probe_webm,
+)
+
+
+def _frames(values):
+    return [encode_jpeg_gray(bytes([v]) * 64, 8, 8) for v in values]
+
+
+def test_vint_roundtrip_all_widths():
+    for n in (0, 1, 126, 127, 128, 16382, 16383, 16384, 2**21 - 3, 2**28,
+              2**35, 2**42, 2**49, 2**56 - 3):
+        enc = _vint(n)
+        val, pos = _read_vint(enc, 0)
+        assert val == n and pos == len(enc)
+
+
+def test_webm_roundtrip_and_o1_fetch():
+    frames = _frames([10, 80, 150, 220, 5, 99, 42, 200])
+    blob = encode_webm_mjpeg(frames, 8, 8, fps=10)
+    info = probe_webm(blob)
+    assert info["declared_frames"] == 8
+    assert (info["width"], info["height"]) == (8, 8)
+    for i in range(8):
+        assert decode_webm_frame(blob, i, info) == frames[i]
+
+
+def test_webm_single_frame():
+    frames = _frames([33])
+    blob = encode_webm_mjpeg(frames, 8, 8)
+    assert decode_webm_frame(blob, 0) == frames[0]
+
+
+def test_webm_no_seekhead_fallback():
+    # strip the SeekHead: the probe must fall back to the top-level walk
+    # that skips cluster bodies by size, and still find the Cues
+    from duckdb_server_spark.operators import webm as W
+
+    frames = _frames([1, 2, 3])
+    blob = encode_webm_mjpeg(frames, 8, 8)
+    # parse: ebml header, segment id+size, then segment body elements
+    _eid, p = W._read_id(blob, 0)
+    hsize, p = W._read_vint(blob, p)
+    seg_hdr_start = p + hsize
+    _eid, p2 = W._read_id(blob, seg_hdr_start)
+    _size, body_start = W._read_vint(blob, p2)
+    elems = list(W._elements(blob, body_start, len(blob)))
+    assert elems[0][0] == W._SEEKHEAD
+    # cue cluster positions are relative to the segment body start, so
+    # removing the seekhead bytes would shift every offset it indexes;
+    # exercise the fallback by hiding the seekhead from the parse instead
+    orig = W._elements
+
+    def no_seekhead(payload, pos, end):
+        for eid, s, e in orig(payload, pos, end):
+            if eid == W._SEEKHEAD and pos == body_start:
+                continue
+            yield eid, s, e
+
+    W._elements = no_seekhead
+    try:
+        info = probe_webm(blob)
+        assert info["declared_frames"] == 3
+        for i in range(3):
+            assert decode_webm_frame(blob, i, info) == frames[i]
+    finally:
+        W._elements = orig
+
+
+def test_webm_rejects_non_ebml():
+    with pytest.raises(ValueError, match="EBML"):
+        probe_webm(b"RIFF" + bytes(64))
+    with pytest.raises(ValueError, match="no frames"):
+        encode_webm_mjpeg([], 8, 8)
+
+
+def test_webm_rejects_laced_block():
+    frames = _frames([7, 8])
+    blob = bytearray(encode_webm_mjpeg(frames, 8, 8))
+    info = probe_webm(bytes(blob))
+    # flip lacing bits in the first SimpleBlock's flags byte: the flags
+    # byte sits 3 bytes into the block body (track vint + s16 timestamp)
+    from duckdb_server_spark.operators import webm as W
+
+    cpos = info["clusters"][0]
+    _eid, p = W._read_id(bytes(blob), cpos)
+    csize, p = W._read_vint(bytes(blob), p)
+    for eid, s, e in W._elements(bytes(blob), p, p + csize):
+        if eid == W._SIMPLE_BLOCK:
+            blob[s + 3] |= 0x60
+    with pytest.raises(ValueError, match="laced"):
+        decode_webm_frame(bytes(blob), 0, info)
+
+
+def test_webm_video_dispatch():
+    from duckdb_server_spark.operators.multimodal import decode_video_frames
+
+    frames = _frames([50, 100, 150, 200])
+    blob = encode_webm_mjpeg(frames, 8, 8)
+    out = decode_video_frames(blob, stride=2)
+    assert [f["frame_idx"] for f in out] == [0, 2]
+    assert out[0]["pixels"][0] in range(45, 56)  # JPEG is lossy-ish but DC-exact here
