@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 from duckdb_server_spark.catalog import query
 from duckdb_server_spark.session import load_table as t
-from duckdb_server_spark.sources.remote import attach_flight_table, http_table
+from duckdb_server_spark.sources.remote import (
+    attach_flight_catalog,
+    attach_flight_table,
+    http_table,
+)
 
 
 @query(
@@ -72,6 +76,77 @@ def s10_federated_flight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         server.shutdown()
+
+
+# The catalog-attach scan is LAZY (data crosses the hop at action time,
+# which is the point), so the façade must outlive the builder: one
+# shared background server per (process, session), shut down at exit —
+# repeated driver runs reuse it instead of leaking a port each call.
+_CATALOG_SERVERS: dict[int, object] = {}
+
+
+def _shared_flight_server(spark: SparkSession):
+    key = id(spark)
+    server = _CATALOG_SERVERS.get(key)
+    if server is None:
+        import atexit
+
+        from duckdb_server_spark.server import serve_in_background
+
+        server, _ = serve_in_background(spark)
+        atexit.register(server.shutdown)
+        _CATALOG_SERVERS[key] = server
+    return server
+
+
+@query(
+    "s10b_attach_remote_catalog",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name ASC NULLS LAST
+    """,
+)
+def s10b_attach_remote_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 catalog form (the k8s Airport ATTACH shape, k8s/main.yaml:
+    153-155): attach a remote engine and discover its CATALOG — tables
+    appear locally without per-table registration. Discovery is one
+    Flight SQL ``CommandGetTables`` round-trip (pattern ``%ion`` finds
+    ``nation`` and ``region`` in one shot); each discovered table
+    registers as a LAZY view over the ``flight_table`` Python DataSource,
+    so the fact-side join below pulls the remote dims across a real gRPC
+    hop at SCAN time, per-endpoint-parallel — then joins them against
+    the LOCAL customer table, the cross-engine topology the reference's
+    Dremio sidecar serves. Remote dims are broadcast-sized; Catalyst
+    broadcasts them against the local fact scan."""
+    from duckdb_server_spark.session import register_views
+
+    register_views(spark, sf_dir, tables=("nation", "region"))
+    customer = t(spark, sf_dir, "customer")
+    server = _shared_flight_server(spark)
+    names = attach_flight_catalog(
+        spark,
+        f"grpc://127.0.0.1:{server.port}",
+        prefix="rc_",
+        pattern="%ion",
+    )
+    if not {"nation", "region"} <= set(names):
+        raise ValueError(f"catalog discovery incomplete: {names}")
+    nation = spark.table("rc_nation")
+    region = spark.table("rc_region")
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("r_name").asc_nulls_last())
+    )
 
 
 @query(

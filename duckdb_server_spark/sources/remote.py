@@ -100,6 +100,51 @@ def attach_flight_table(
     return df
 
 
+def attach_flight_catalog(
+    spark: SparkSession,
+    location: str,
+    prefix: str = "remote_",
+    pattern: str | None = None,
+) -> list[str]:
+    """S10 catalog form: ``ATTACH (TYPE AIRPORT)`` discovers the remote
+    CATALOG — tables appear locally without per-table registration.
+
+    Discovery is one Flight SQL ``CommandGetTables`` round-trip; each
+    discovered table then registers as ``{prefix}{name}``, a lazy view
+    over the ``flight_table`` DataSource (sources/flightsource.py), so
+    data crosses the wire at SCAN time, per-endpoint-parallel — the
+    shape that survives attaching a big remote warehouse. Returns the
+    discovered table names."""
+    import pyarrow.flight as flight
+
+    from duckdb_server_spark import flightsql
+    from duckdb_server_spark.sources.flightsource import (
+        FORMAT_NAME,
+        register,
+    )
+
+    client = flight.connect(location)
+    try:
+        descriptor = flight.FlightDescriptor.for_command(
+            flightsql.encode_command_get_tables(pattern, False)
+        )
+        info = client.get_flight_info(descriptor)
+        listing = client.do_get(info.endpoints[0].ticket).read_all()
+    finally:
+        client.close()
+    names = listing.column("table_name").to_pylist()
+    register(spark)
+    for name in names:
+        df = (
+            spark.read.format(FORMAT_NAME)
+            .option("location", location)
+            .option("query", f"SELECT * FROM {name}")
+            .load()
+        )
+        df.createOrReplaceTempView(prefix + name)
+    return names
+
+
 def attach_jdbc_table(
     spark: SparkSession,
     url: str,

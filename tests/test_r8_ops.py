@@ -119,3 +119,54 @@ def test_webm_video_dispatch():
     out = decode_video_frames(blob, stride=2)
     assert [f["frame_idx"] for f in out] == [0, 2]
     assert out[0]["pixels"][0] in range(45, 56)  # JPEG is lossy-ish but DC-exact here
+
+
+# --- s10b: Flight catalog discovery (ATTACH TYPE AIRPORT shape) -----------
+
+
+def test_attach_flight_catalog_discovery(spark):
+    """CommandGetTables discovery registers one lazy view per remote
+    table — no per-table registration — and the scan crosses the hop at
+    action time through the flight_table DataSource."""
+    from duckdb_server_spark.catalog.remote_sources import (
+        _shared_flight_server,
+    )
+    from duckdb_server_spark.session import register_views
+    from duckdb_server_spark.sources.remote import attach_flight_catalog
+
+    register_views(spark, "/root/testdata/sf0.001", ("nation", "region"))
+    server = _shared_flight_server(spark)
+    names = attach_flight_catalog(
+        spark, f"grpc://127.0.0.1:{server.port}", prefix="tdisc_",
+        pattern="%ion",
+    )
+    assert {"nation", "region"} <= set(names)
+    # the view exists and is lazily scannable
+    n = spark.table("tdisc_nation").count()
+    assert n == 25
+    # schema came over the wire, not from a local registration
+    cols = set(spark.table("tdisc_region").columns)
+    assert {"r_regionkey", "r_name"} <= cols
+
+
+def test_flight_table_datasource_partition_per_endpoint(spark):
+    from duckdb_server_spark.catalog.remote_sources import (
+        _shared_flight_server,
+    )
+    from duckdb_server_spark.session import register_views
+    from duckdb_server_spark.sources.flightsource import FlightTableReader
+
+    register_views(spark, "/root/testdata/sf0.001", ("nation",))
+    server = _shared_flight_server(spark)
+    reader = FlightTableReader(
+        {
+            "location": f"grpc://127.0.0.1:{server.port}",
+            "query": "SELECT n_nationkey FROM nation",
+        }
+    )
+    parts = reader.partitions()
+    assert len(parts) >= 1
+    loc, ticket = parts[0].value
+    assert not loc.endswith(":0")  # bind-URI endpoints must not leak
+    rows = sum(b.num_rows for b in reader.read(parts[0]))
+    assert rows == 25
