@@ -78,6 +78,80 @@ def s10_federated_flight(spark: SparkSession, sf_dir: str) -> DataFrame:
         server.shutdown()
 
 
+# One hermetic S3 store per (process, sf_dir): serves the sf_dir's
+# parquet files as a bucket with fixed demo credentials, SigV4-verified
+# on every request. The bucket name embeds the sf_dir digest so the
+# engine's URI-keyed read-view cache can never alias across scales.
+_S3_STORES: dict[str, tuple[object, str]] = {}
+_S3_KEY_ID = "DSSDEMOACCESSKEY"
+_S3_SECRET = "dss-demo-secret-key"
+
+
+def _shared_s3_store(sf_dir: str):
+    """Returns (server, bucket)."""
+    entry = _S3_STORES.get(sf_dir)
+    if entry is None:
+        import atexit
+        import hashlib
+
+        from duckdb_server_spark.sources.s3 import MiniS3Server
+
+        bucket = "wh" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        server = MiniS3Server(
+            sf_dir,
+            bucket=bucket,
+            access_key=_S3_KEY_ID,
+            secret_key=_S3_SECRET,
+        )
+        atexit.register(server.shutdown)
+        entry = _S3_STORES[sf_dir] = (server, bucket)
+    return entry
+
+
+@query(
+    "s08_s3_scan",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def s08_s3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 (httpfs + S3 secret, k8s/main.yaml:110-125): the reference
+    INSTALLs httpfs and CREATE SECRETs S3 credentials, then queries
+    ``read_parquet('s3://…')``. This runs that exact statement pair
+    end-to-end against a hermetic in-process S3 store: the secret routes
+    through the engine's statement router into the secret store (and the
+    fs.s3a.* conf, the real-cluster path), and the scan's s3:// URI
+    resolves via a REAL AWS-SigV4-signed GetObject — the store verifies
+    the signature server-side, so wrong credentials 403. Spooled to an
+    ETag-keyed local cache on this jar-less single node; with hadoop-aws
+    jars the same secret's s3a conf scans object storage directly and
+    partition-parallel, which is the 100 TB path."""
+    from duckdb_server_spark.dialect import execute_statement, run_sql
+
+    server, bucket = _shared_s3_store(sf_dir)
+    execute_statement(spark, "INSTALL httpfs")
+    execute_statement(spark, "LOAD httpfs")
+    execute_statement(
+        spark,
+        f"""CREATE OR REPLACE SECRET s8demo (
+            TYPE s3,
+            KEY_ID '{_S3_KEY_ID}',
+            SECRET '{_S3_SECRET}',
+            ENDPOINT '127.0.0.1:{server.port}',
+            USE_SSL 'false',
+            URL_STYLE 'path'
+        )""",
+    )
+    return run_sql(
+        spark,
+        f"SELECT doc_id, lang, n_chars "
+        f"FROM read_parquet('s3://{bucket}/documents.parquet') "
+        f"WHERE doc_id < 100 ORDER BY doc_id ASC NULLS LAST",
+    )
+
+
 # The catalog-attach scan is LAZY (data crosses the hop at action time,
 # which is the point), so the façade must outlive the builder: one
 # shared background server per (process, session), shut down at exit —

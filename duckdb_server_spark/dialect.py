@@ -3792,6 +3792,13 @@ def _file_read_view(
     if spark.catalog.tableExists(name):
         _track_temp_view(spark, name)
         return name
+    if any(p.startswith("s3://") for p in paths):
+        # httpfs analog (S8): resolve through the CREATE SECRET store —
+        # signed GETs spool into a local ETag-keyed cache; on a real
+        # cluster with hadoop-aws jars the s3a conf path scans directly
+        from duckdb_server_spark.sources.s3 import resolve_s3_paths
+
+        paths = resolve_s3_paths(paths, dialect_state(spark).secrets)
     path_list = list(paths)
     if fmt == "parquet":
         reader = spark.read
