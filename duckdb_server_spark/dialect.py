@@ -2363,6 +2363,292 @@ def _rewrite_window_chain(s: str) -> str:
     return s
 
 
+# --- battery 7: typed literals, numeric spellings, temporal breadth --------
+
+# DuckDB generic typed literals ``TYPE 'text'`` are CAST(text AS TYPE).
+# Spark only knows the DATE/TIMESTAMP/TIME/INTERVAL/X forms natively, and
+# its CAST defaults differ where DuckDB's carry parameters (plain DECIMAL
+# is DECIMAL(18,3) in DuckDB but DECIMAL(10,0) in Spark — a silent value
+# change without the explicit width).
+_TYPED_LITERAL_CAST: dict[str, str] = {
+    "decimal": "DECIMAL(18,3)",
+    "numeric": "DECIMAL(18,3)",
+    "hugeint": "DECIMAL(38,0)",
+    "uhugeint": "DECIMAL(38,0)",
+    "integer": "INT",
+    "int": "INT",
+    "int4": "INT",
+    "signed": "INT",
+    "bigint": "BIGINT",
+    "int8": "BIGINT",
+    "long": "BIGINT",
+    "smallint": "SMALLINT",
+    "int2": "SMALLINT",
+    "short": "SMALLINT",
+    "tinyint": "TINYINT",
+    "int1": "TINYINT",
+    "utinyint": "SMALLINT",
+    "usmallint": "INT",
+    "uinteger": "BIGINT",
+    "ubigint": "DECIMAL(20,0)",
+    "double": "DOUBLE",
+    "float8": "DOUBLE",
+    "float": "FLOAT",
+    "float4": "FLOAT",
+    "real": "FLOAT",
+    "boolean": "BOOLEAN",
+    "bool": "BOOLEAN",
+    "logical": "BOOLEAN",
+    "varchar": "STRING",
+    "text": "STRING",
+    "string": "STRING",
+    "bpchar": "STRING",
+    "blob": "BINARY",
+    "bytea": "BINARY",
+    "varbinary": "BINARY",
+}
+
+_TYPED_LITERAL_RE = re.compile(
+    r"\b([A-Za-z_]\w*)\s+(\x00\d+\x00)"
+)
+
+
+def _rewrite_typed_literals(s: str, table: list[str]) -> str:
+    """``DECIMAL '12.345'`` → ``CAST('12.345' AS DECIMAL(18,3))`` etc.;
+    BIT/BITSTRING literals keep their display string (Spark has no BIT
+    type; downstream bit ops then fail closed instead of mis-typing)."""
+
+    def sub(m: re.Match) -> str:
+        kw = m.group(1).lower()
+        if kw in ("bit", "bitstring"):
+            lit = _literal_value(_unmask(m.group(2), table))
+            if lit is not None and re.fullmatch(r"[01]+", lit):
+                return m.group(2)
+            return m.group(0)
+        target = _TYPED_LITERAL_CAST.get(kw)
+        if target is None:
+            return m.group(0)
+        return f"CAST({m.group(2)} AS {target})"
+
+    return _TYPED_LITERAL_RE.sub(sub, s)
+
+
+_UNDERSCORE_NUM_RE = re.compile(
+    r"(?<![\w.\x00])(\d[\d_]*(?:\.[\d_]+)?)(?![\w\x00])"
+)
+
+
+def _rewrite_underscore_numerics(s: str) -> str:
+    """DuckDB accepts ``1_000_000`` readability underscores (digits on
+    both sides); Spark parses the token as an identifier. Strip the
+    underscores — only between digits, so identifiers are untouched."""
+
+    def sub(m: re.Match) -> str:
+        tok = m.group(1)
+        if "_" not in tok:
+            return tok
+        if re.search(r"(^|[^0-9])_|_([^0-9]|$)", tok):
+            return tok  # malformed (leading/trailing/dot-adjacent) — leave
+        return tok.replace("_", "")
+
+    return _UNDERSCORE_NUM_RE.sub(sub, s)
+
+
+_MATERIALIZED_CTE_RE = re.compile(
+    r"\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_materialized_cte(s: str) -> str:
+    """``WITH c AS [NOT] MATERIALIZED (…)`` — a pure optimizer hint in
+    DuckDB; Spark's CTEs are always inlined by the optimizer, so the
+    hint drops (Q3's cache() path is the engine's materialization)."""
+    return _MATERIALIZED_CTE_RE.sub("AS (", s)
+
+
+# the explicit unit set keeps a trailing alias (AS …) out of the match,
+# and the (?!\s+TO\b) guard keeps multi-field qualifiers (YEAR TO MONTH,
+# DAY TO HOUR) out of the fold — those fall through untouched
+_IV_UNIT = (
+    r"(?:microseconds?|us|milliseconds?|ms|seconds?|minutes?|hours?"
+    r"|days?|weeks?|months?|years?)"
+)
+_TIME_ARITH_RE = re.compile(
+    r"\bTIME\s+(\x00\d+\x00)\s*([+-])\s*INTERVAL\s+"
+    rf"(?:(\x00\d+\x00)|(\d+))(?:\s*({_IV_UNIT})\b)?(?!\s+TO\b)",
+    re.IGNORECASE,
+)
+_INTERVAL_FIRST_RE = re.compile(
+    rf"\bINTERVAL\s+(?:(\x00\d+\x00)|(\d+))(?:\s*({_IV_UNIT})\b)?(?!\s+TO\b)"
+    r"\s*\+\s*TIME\s+(\x00\d+\x00)",
+    re.IGNORECASE,
+)
+
+_INTERVAL_UNIT_MICROS = {
+    "microsecond": 1,
+    "microseconds": 1,
+    "us": 1,
+    "millisecond": 1_000,
+    "milliseconds": 1_000,
+    "ms": 1_000,
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    # a whole number of days/weeks/months/years leaves the time of day
+    # unchanged (the shift is 0 mod 24 h) — DuckDB semantics
+    "day": 0,
+    "days": 0,
+    "week": 0,
+    "weeks": 0,
+    "month": 0,
+    "months": 0,
+    "year": 0,
+    "years": 0,
+}
+
+_DAY_MICROS = 86_400_000_000
+
+
+def _parse_interval_micros(text: str, unit: str) -> int | None:
+    """Interval literal → microseconds mod one day; None if unsupported."""
+    unit = unit.lower()
+    if unit:
+        if unit not in _INTERVAL_UNIT_MICROS:
+            return None
+        try:
+            n = int(text)
+        except ValueError:
+            return None
+        return n * _INTERVAL_UNIT_MICROS[unit]
+    # string form: '1 day 2 hours 30 minutes'
+    total = 0
+    pos = 0
+    for m in re.finditer(r"(-?\d+)\s*([A-Za-z]+)", text):
+        if text[pos : m.start()].strip():
+            return None
+        u = m.group(2).lower()
+        if u not in _INTERVAL_UNIT_MICROS:
+            return None
+        total += int(m.group(1)) * _INTERVAL_UNIT_MICROS[u]
+        pos = m.end()
+    if text[pos:].strip():
+        return None
+    return total
+
+
+def _parse_time_micros(text: str) -> int | None:
+    m = re.fullmatch(r"(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,6}))?)?", text.strip())
+    if not m:
+        return None
+    h, mi = int(m.group(1)), int(m.group(2))
+    sec = int(m.group(3) or 0)
+    frac = (m.group(4) or "").ljust(6, "0")
+    if h > 23 or mi > 59 or sec > 59:
+        return None
+    return ((h * 60 + mi) * 60 + sec) * 1_000_000 + int(frac)
+
+
+def _fmt_time_micros(us: int) -> str:
+    us %= _DAY_MICROS
+    sec, frac = divmod(us, 1_000_000)
+    h, rem = divmod(sec, 3600)
+    mi, s = divmod(rem, 60)
+    base = f"{h:02d}:{mi:02d}:{s:02d}"
+    if frac:
+        base += (".%06d" % frac).rstrip("0")
+    return base
+
+
+def _fold_time_arithmetic(s: str, table: list[str]) -> str:
+    """``TIME 'x' ± INTERVAL …`` (literals both sides) folds to the
+    resulting TIME literal at rewrite time — Spark's TIME type has
+    literals and comparisons but no arithmetic yet, and DuckDB's result
+    wraps modulo 24 h, which the fold reproduces exactly. Column-based
+    TIME arithmetic stays unsupported (analysis error, never a silent
+    wrong answer). Chained ``+ INTERVAL`` terms fold iteratively."""
+
+    def fold(
+        time_mask: str, op: str, iv_mask: str | None, iv_num: str | None, unit: str
+    ) -> str | None:
+        t = _literal_value(_unmask(time_mask, table))
+        tm = _parse_time_micros(t) if t is not None else None
+        if tm is None:
+            return None
+        iv_text = (
+            _literal_value(_unmask(iv_mask, table)) if iv_mask else iv_num
+        )
+        if iv_text is None:
+            return None
+        iv = _parse_interval_micros(iv_text, unit or "")
+        if iv is None:
+            return None
+        result = tm + iv if op == "+" else tm - iv
+        lit = _masked_literal(table, _fmt_time_micros(result))
+        return f"TIME {lit}"
+
+    while m := _TIME_ARITH_RE.search(s):
+        repl = fold(m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))
+        if repl is None:
+            break
+        s = s[: m.start()] + repl + s[m.end() :]
+    while m := _INTERVAL_FIRST_RE.search(s):
+        repl = fold(m.group(4), "+", m.group(1), m.group(2), m.group(3))
+        if repl is None:
+            break
+        s = s[: m.start()] + repl + s[m.end() :]
+    return s
+
+
+_EXTRACT_EPOCH_RE = re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\b", re.IGNORECASE)
+
+
+def _rewrite_extract_epoch(s: str) -> str:
+    """``EXTRACT(EPOCH FROM x)`` → fractional epoch seconds as DOUBLE
+    (DuckDB's result type); Spark has no EPOCH extract field."""
+    while m := _EXTRACT_EPOCH_RE.search(s):
+        open_idx = s.index("(", m.start())
+        close = _matching_paren(s, open_idx)
+        inner = s[m.end() : close].strip()
+        repl = (
+            f"CAST(unix_micros(CAST(({inner}) AS TIMESTAMP)) AS DOUBLE)"
+            f" / 1000000"
+        )
+        s = s[: m.start()] + repl + s[close + 1 :]
+    return s
+
+
+_UNPIVOT_CLAUSE_RE = re.compile(
+    r"\bUNPIVOT\s*(?:(?:INCLUDE|EXCLUDE)\s+NULLS\s*)?\(", re.IGNORECASE
+)
+
+
+def _rewrite_unpivot_aliases(s: str, table: list[str]) -> str:
+    """Inside an UNPIVOT clause DuckDB spells IN-list aliases as string
+    literals (``(a1, b1) AS 'g1'``); Spark wants identifiers. The value
+    surfaced in the name column is identical either way."""
+    pos = 0
+    while m := _UNPIVOT_CLAUSE_RE.search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        body = s[open_idx : close + 1]
+
+        def alias_sub(am: re.Match) -> str:
+            lit = _literal_value(_unmask(am.group(1), table))
+            if lit is None or not re.fullmatch(r"[\w ]+", lit):
+                return am.group(0)
+            return f"AS `{lit}`"
+
+        new_body = re.sub(
+            r"\bAS\s+(\x00\d+\x00)", alias_sub, body, flags=re.IGNORECASE
+        )
+        s = s[:open_idx] + new_body + s[close + 1 :]
+        pos = open_idx + len(new_body)
+    return s
+
+
 def _rewrite_postfix_factorial(s: str) -> str:
     """DuckDB's postfix ``x!`` → ``factorial(x)`` for simple operands
     (numbers/identifiers); other shapes fall through to a parse error
@@ -2462,6 +2748,12 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_positional_join(masked, spark)
     masked = _rewrite_templates(masked, table)
     masked = _rewrite_similar_to(masked, table)
+    masked = _rewrite_underscore_numerics(masked)
+    masked = _rewrite_materialized_cte(masked)
+    masked = _fold_time_arithmetic(masked, table)
+    masked = _rewrite_typed_literals(masked, table)
+    masked = _rewrite_extract_epoch(masked)
+    masked = _rewrite_unpivot_aliases(masked, table)
     masked = _rewrite_postfix_factorial(masked)
     masked = _rewrite_power(masked)
     masked = _rewrite_tilde_ops(masked, table)
@@ -4218,26 +4510,205 @@ def _run_recursive_cte(spark: SparkSession, sql: str) -> DataFrame:
 _COLUMNS_FN_RE = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
 
 
-def _expand_columns_fn(spark: SparkSession, sql: str) -> str:
-    masked, table = _mask(sql)
-
-    def sub(m: re.Match) -> str:
-        pat = _literal_value(_unmask(m.group(1), table))
-        if pat is None:
-            raise ValueError("COLUMNS() expects a string literal pattern")
-        tm = re.search(r"\bFROM\s+([A-Za-z_][\w.]*)", masked, re.IGNORECASE)
-        if not tm:
-            raise ValueError("COLUMNS(): cannot locate a single source table")
-        cols = spark.table(tm.group(1)).columns
-        sel = [c for c in cols if re.search(pat, c)]
-        if not sel:
-            raise ValueError(f"COLUMNS({pat!r}) matched no columns")
-        return ", ".join(sel)
-
-    out = re.sub(
-        r"\bCOLUMNS\s*\(\s*(\x00\d+\x00)\s*\)", sub, masked, flags=re.IGNORECASE
+def _sql_like_to_regex(pat: str, case_insensitive: bool = False) -> "re.Pattern[str]":
+    out = []
+    for ch in pat:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile(
+        "".join(out) + r"\Z", re.IGNORECASE if case_insensitive else 0
     )
-    return _unmask(out, table)
+
+
+def _columns_match(arg: str, table: list[str], cols: list[str]) -> list[str]:
+    """Resolve a COLUMNS(...) argument to the matching source columns.
+
+    Supported forms (DuckDB star-expression docs): ``'regex'``, ``*``,
+    ``* EXCLUDE (a, b)``, and a name lambda ``c -> <predicate>`` with
+    LIKE / ILIKE / NOT LIKE / SIMILAR TO / = / <> predicates on the
+    name. Anything else fails closed."""
+    arg = arg.strip()
+    if re.fullmatch(r"\x00\d+\x00", arg):
+        pat = _literal_value(_unmask(arg, table))
+        sel = [c for c in cols if re.search(pat, c)]
+    elif m := re.fullmatch(
+        r"\*(?:\s+EXCLUDE\s*\(([^)]*)\))?", arg, re.IGNORECASE
+    ):
+        excl = {
+            e.strip().strip('"').lower()
+            for e in (m.group(1) or "").split(",")
+            if e.strip()
+        }
+        missing = excl - {c.lower() for c in cols}
+        if missing:
+            raise ValueError(
+                f"COLUMNS EXCLUDE names not in FROM clause: {sorted(missing)}"
+            )
+        sel = [c for c in cols if c.lower() not in excl]
+    elif m := re.fullmatch(r"([A-Za-z_]\w*)\s*->\s*(.+)", arg, re.DOTALL):
+        var, pred = m.group(1), m.group(2).strip()
+        pm = re.fullmatch(
+            rf"{var}\s+(NOT\s+)?(LIKE|ILIKE)\s+(\x00\d+\x00)",
+            pred,
+            re.IGNORECASE,
+        )
+        if pm:
+            rx = _sql_like_to_regex(
+                _literal_value(_unmask(pm.group(3), table)),
+                pm.group(2).upper() == "ILIKE",
+            )
+            sel = [c for c in cols if bool(rx.match(c)) != bool(pm.group(1))]
+        elif pm := re.fullmatch(
+            rf"{var}\s+SIMILAR\s+TO\s+(\x00\d+\x00)", pred, re.IGNORECASE
+        ):
+            rx = re.compile(_literal_value(_unmask(pm.group(1), table)) + r"\Z")
+            sel = [c for c in cols if rx.match(c)]
+        elif pm := re.fullmatch(
+            rf"{var}\s*(=|<>|!=)\s*(\x00\d+\x00)", pred
+        ):
+            name = _literal_value(_unmask(pm.group(2), table))
+            eq = pm.group(1) == "="
+            sel = [c for c in cols if (c == name) == eq]
+        else:
+            raise ValueError(
+                f"COLUMNS lambda predicate not supported: {pred!r}"
+            )
+    else:
+        raise ValueError(f"COLUMNS() argument not supported: {arg!r}")
+    if not sel:
+        raise ValueError(f"COLUMNS({arg!r}) matched no columns")
+    return sel
+
+
+def _expand_columns_fn(spark: SparkSession, sql: str) -> str:
+    """DuckDB star expressions: every select-list item containing a
+    ``COLUMNS(...)`` call expands to one copy per matched column with the
+    COLUMNS call replaced by the column reference, aliased to the SOURCE
+    column name — DuckDB's own naming (``min(COLUMNS(*))`` emits columns
+    named after the inputs), so wrapped forms (aggregates, arithmetic)
+    expand correctly."""
+    masked, table = _mask(sql)
+    first_call = _COLUMNS_FN_RE.search(masked)
+    if not first_call:
+        return sql
+    # anchor on the SELECT whose list contains the COLUMNS call: scan
+    # backward skipping balanced paren groups; unmatched '(' just climbs
+    # out of a wrapping call (min(COLUMNS(*))), while a scalar subquery
+    # in the list stays a balanced group and cannot steal the anchor
+    i = first_call.start() - 1
+    depth_back = 0
+    sel_start = None
+    while i >= 0:
+        c = masked[i]
+        if c in ")]":
+            depth_back += 1
+        elif c in "([":
+            if depth_back > 0:
+                depth_back -= 1
+        elif depth_back == 0 and c in "tT" and i >= 5:
+            if masked[i - 5 : i + 1].upper() == "SELECT" and (
+                i == 5 or not (masked[i - 6].isalnum() or masked[i - 6] == "_")
+            ):
+                sel_start = i + 1
+                break
+        i -= 1
+    if sel_start is None:
+        raise ValueError("COLUMNS(): cannot locate the enclosing SELECT")
+    m_dist = re.match(r"\s+DISTINCT\b", masked[sel_start:], re.IGNORECASE)
+    start = sel_start + (m_dist.end() if m_dist else 0)
+    # select list spans to the enclosing FROM (or end/closing paren)
+    depth = 0
+    end = len(masked)
+    for i in range(start, len(masked)):
+        c = masked[i]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            if depth == 0:
+                end = i
+                break
+            depth -= 1
+        elif (
+            depth == 0
+            and masked[i : i + 4].upper() == "FROM"
+            and not (masked[i - 1].isalnum() or masked[i - 1] == "_")
+            and (i + 4 >= len(masked) or not (masked[i + 4].isalnum() or masked[i + 4] == "_"))
+        ):
+            end = i
+            break
+    select_list = masked[start:end]
+    if not _COLUMNS_FN_RE.search(select_list):
+        raise ValueError("COLUMNS() is supported in the select list only")
+    # FROM clause: from after FROM to the first same-level keyword or the
+    # enclosing close paren
+    fm = re.match(r"FROM\s+", masked[end:], re.IGNORECASE)
+    if not fm:
+        raise ValueError("COLUMNS(): cannot locate the FROM clause")
+    f_start = end + fm.end()
+    depth = 0
+    f_end = len(masked)
+    stop_kw = re.compile(
+        r"(WHERE|GROUP|ORDER|LIMIT|QUALIFY|WINDOW|HAVING|UNION|INTERSECT|EXCEPT)\b",
+        re.IGNORECASE,
+    )
+    j = f_start
+    while j < len(masked):
+        c = masked[j]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            if depth == 0:
+                f_end = j
+                break
+            depth -= 1
+        elif depth == 0 and c.isalpha():
+            km = stop_kw.match(masked, j)
+            if km and not (masked[j - 1].isalnum() or masked[j - 1] == "_"):
+                f_end = j
+                break
+            while j < len(masked) and (masked[j].isalnum() or masked[j] == "_"):
+                j += 1
+            continue
+        j += 1
+    source = _unmask(masked[f_start:f_end].strip().rstrip(";"), table)
+    # a WITH prologue must travel with the schema probe so CTE sources
+    # resolve; only safe when the anchor select sits at the top level
+    prologue = ""
+    head = masked[: sel_start - 6]
+    if re.match(r"\s*WITH\b", head, re.IGNORECASE) and (
+        head.count("(") + head.count("[")
+        == head.count(")") + head.count("]")
+    ):
+        prologue = _unmask(head, table)
+    probe = spark.sql(f"{prologue} SELECT * FROM {source}")
+    cols = probe.columns
+
+    items = _split_top_commas(select_list)
+    out_items: list[str] = []
+    call_re = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
+    for item in items:
+        cm = call_re.search(item)
+        if not cm:
+            out_items.append(item.strip())
+            continue
+        open_idx = cm.end() - 1
+        close = _matching_paren(item, open_idx)
+        arg = item[open_idx + 1 : close]
+        sel = _columns_match(arg, table, cols)
+        prefix, suffix = item[: cm.start()], item[close + 1 :]
+        has_alias = re.search(r"\bAS\s+\S+\s*$", suffix, re.IGNORECASE)
+        for c in sel:
+            expanded = f"{prefix}{c}{suffix}".strip()
+            if expanded == c or has_alias:
+                out_items.append(expanded)
+            else:
+                out_items.append(f"{expanded} AS {c}")
+    new_masked = masked[:start] + " " + ", ".join(out_items) + " " + masked[end:]
+    return _unmask(new_masked, table)
 
 
 # ---------------------------------------------------------------------------
@@ -4303,6 +4774,24 @@ def _run_pragma(spark: SparkSession, state, name: str, call_arg, assign_arg):
         # assignment form — engine setting, routed like SET
         state.settings[name] = _strip_quotes(assign_arg.strip())
         return None
+    if call_arg is None:
+        # bare flag PRAGMAs (DuckDB's enable_/disable_ pairs) toggle the
+        # matching engine setting; unknown names still fail closed below
+        fm = re.fullmatch(r"(enable|disable)_(\w+)", name)
+        if fm and fm.group(2) in (
+            "progress_bar",
+            "profiling",
+            "profile",
+            "verification",
+            "object_cache",
+            "optimizer",
+            "checkpoint_on_shutdown",
+            "print_progress_bar",
+        ):
+            state.settings[fm.group(2)] = (
+                "true" if fm.group(1) == "enable" else "false"
+            )
+            return None
     raise ValueError(f"unsupported PRAGMA {name!r}")
 
 
