@@ -69,6 +69,7 @@ _PRIORITY_R8: tuple[str, ...] = (
     "b32d_webm_frames",        # new: EBML/Matroska container demux
     "s08_s3_scan",             # new: S3-protocol object-store scan
     "s10b_attach_remote_catalog",  # new: Flight catalog discovery
+    "st_stream_decontam",      # new: Bloom decontamination in streaming
     # --- code changed this round: refresh green evidence ---
     "b30c_gif_decode",         # color-table validation added
     "b30d_webp_decode",        # length-limited Huffman rebuilt

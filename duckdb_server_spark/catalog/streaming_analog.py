@@ -384,3 +384,128 @@ def st_stream_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("px_sum").cast("long").alias("doc_max"),
     )
     return run_stream_to_memory(agg, output_mode="complete")
+
+
+_STREAM_DECONTAM_ORACLE = r"""
+    WITH words AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 100 < 80 THEN 'train'
+                  WHEN doc_id % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             string_split_regex(text, '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, split,
+             unnest(list_transform(range(1, len(w) - 5 + 2),
+                                   i -> array_to_string(w[i:i+4], ' ')))
+               AS shingle
+      FROM words WHERE len(w) >= 5
+    ),
+    train_spans AS (
+      SELECT DISTINCT shingle FROM sh WHERE split = 'train'
+    )
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 4) AS contamination
+    FROM sh s LEFT JOIN train_spans t USING (shingle)
+    WHERE s.split = 'test'
+    GROUP BY s.doc_id
+    HAVING sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id ASC NULLS LAST
+    """
+
+
+@query("st_stream_decontam", oracle=_STREAM_DECONTAM_ORACLE)
+def st_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b53's Bloom decontamination executed INSIDE Structured Streaming —
+    the continuous-ingestion shape: the train-span Bloom filter and the
+    exact train-span set build BATCH-side from the static corpus (one
+    bit_or hash-agg each, exactly b53's plan), then a file-source stream
+    of incoming test documents shingles statelessly, evaluates the
+    broadcast Bloom word-array as a scan-side pre-filter column, exact-
+    verifies by a broadcast stream-static left join, and aggregates per
+    document in complete mode, drained available-now. No false negatives
+    means the streaming answer equals the exact batch answer, so the
+    oracle is b53's bloom-free SQL. At 100 TB the static side is the
+    frozen artifact (the filter rebuilds only when the train set does)
+    while the stream sees every new document once."""
+    import hashlib
+    import os as _os
+    import tempfile as _tf
+
+    from duckdb_server_spark.operators import bloom, dedup
+
+    def _shingles(df):
+        w = dedup.with_words(df.select("doc_id", "split", "text"), "text").filter(
+            F.size("__words") >= 5
+        )
+        return (
+            w.select(
+                "doc_id",
+                "split",
+                F.explode(
+                    dedup.shingles_from_words(F.col("__words"), "text", 5)
+                ).alias("__shingle"),
+            )
+            .select("doc_id", "split", F.xxhash64("__shingle").alias("__sh"))
+            .dropDuplicates(["doc_id", "split", "__sh"])
+        )
+
+    split_col = (
+        F.when(F.col("doc_id") % 100 < 80, "train")
+        .when(F.col("doc_id") % 100 < 90, "val")
+        .otherwise("test")
+    )
+    docs = t(spark, sf_dir, "documents").withColumn("split", split_col)
+    train = (
+        _shingles(docs.filter(F.col("split") == "train"))
+        .select("__sh")
+        .distinct()
+    )
+    filt = bloom.bloom_build(train, "__sh")
+    marked = train.withColumn("__hit", F.lit(1))
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staged = _os.path.join(_tf.gettempdir(), f"dss_stream_docs_{key}")
+    marker = _os.path.join(staged, "_SUCCESS")
+    batch = t(spark, sf_dir, "documents").select("doc_id", "text")
+    if not _os.path.exists(marker):
+        batch.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(staged)
+        .withColumn("split", split_col)
+    )
+    spans = _shingles(stream).filter(F.col("split") == "test")
+    scored = (
+        spans.crossJoin(F.broadcast(filt))
+        .withColumn(
+            "__cand", bloom.bloom_might_contain(F.col("bloom"), F.col("__sh"))
+        )
+        .join(F.broadcast(marked), "__sh", "left")
+        .withColumn(
+            "__dirty",
+            (F.col("__cand") & F.col("__hit").isNotNull()).cast("int"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("__dirty").cast("bigint").alias("n_contaminated"),
+    )
+    out = run_stream_to_memory(agg, output_mode="complete")
+    return (
+        out.filter(F.col("n_contaminated") > 0)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_spans"), 4).alias(
+                "contamination"
+            ),
+        )
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )
