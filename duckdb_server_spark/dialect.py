@@ -972,11 +972,24 @@ def _rewrite_range(s: str) -> str:
             if bm and bm.group(1).upper() not in _CLAUSE_KEYWORDS
             else None
         )
-        inner = (
-            f"range({', '.join(args)})"
-            if fname == "range"
-            else f"(SELECT explode({_series_expr(args)}) AS id)"
+        temporal = any(
+            re.match(r"(?i)\s*(DATE|TIMESTAMP)\b", a) for a in args[:2]
         )
+        if fname == "range" and temporal and len(args) == 3:
+            # DuckDB's temporal range is end-EXCLUSIVE; Spark sequence is
+            # inclusive — drop the endpoint if the step lands on it
+            # (direction-agnostic: intermediates can never equal the end)
+            a0, a1, stp = args
+            seq = (
+                f"filter(sequence(CAST({a0} AS TIMESTAMP), "
+                f"CAST({a1} AS TIMESTAMP), {stp}), "
+                f"x -> x != CAST({a1} AS TIMESTAMP))"
+            )
+            inner = f"(SELECT explode({seq}) AS id)"
+        elif fname == "range":
+            inner = f"range({', '.join(args)})"
+        else:
+            inner = f"(SELECT explode({_series_expr(args)}) AS id)"
         if am and prev:
             repl = f"(SELECT id AS {am.group(2)} FROM {inner}) {am.group(1)}"
             out.append(s[pos : m.start()] + repl)
@@ -1908,19 +1921,31 @@ _DOW_FIELDS = {"dow", "dayofweek", "weekday"}
 _FMT_HOLE_RE = re.compile(r"\{(:[^}]*)?\}")
 
 
-def _fmt_to_printf(fmt: str) -> str:
+def _fmt_to_printf(fmt: str) -> tuple[str, list[str | None]]:
+    """fmt-style template → (printf template, per-hole cast types).
+    Java's Formatter rejects Decimal for %d/%f, so holes with a typed
+    spec report the SQL type their argument must be cast to."""
     out = fmt.replace("%", "%%")
+    casts: list[str | None] = []
+
     def hole(m):
         spec = m.group(1)
         if spec in (None, ":", ":s"):
+            casts.append(None)
             return "%s"
         if spec == ":d":
+            casts.append("BIGINT")
             return "%d"
+        if spec in (":x", ":X", ":o"):
+            casts.append("BIGINT")
+            return "%" + spec[1:]
         pm = re.fullmatch(r":\.(\d+)f", spec)
         if pm:
+            casts.append("DOUBLE")
             return f"%.{pm.group(1)}f"
         raise ValueError(f"format(): unsupported spec {{{spec}}}")
-    return _FMT_HOLE_RE.sub(hole, out)
+
+    return _FMT_HOLE_RE.sub(hole, out), casts
 
 
 def _template(fn: str, args: list[str], table: list[str]) -> str | None:
@@ -2003,8 +2028,13 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         fmt = _literal_value(_unmask(args[0], table))
         if fmt is None:
             raise ValueError("format() needs a literal format string")
-        lit = _masked_literal(table, _fmt_to_printf(fmt))
-        rest = ", ".join(args[1:])
+        printf, casts = _fmt_to_printf(fmt)
+        lit = _masked_literal(table, printf)
+        vals = [
+            f"CAST({a} AS {c})" if c else a
+            for a, c in zip(args[1:], casts)
+        ] + list(args[1 + len(casts) :])
+        rest = ", ".join(vals)
         return f"format_string({lit}{', ' + rest if rest else ''})"
     if fn == "list_reverse_sort" and len(args) == 1:
         return f"reverse(array_sort({args[0]}))"
@@ -2360,6 +2390,78 @@ def _rewrite_window_chain(s: str) -> str:
         for start, end, _name, body in reversed(spans):
             s = s[:start] + body + s[end:]
         break  # one WINDOW clause per statement level is the common case
+    return s
+
+
+# --- battery 8: standard fetch/limit forms, set-returning split ------------
+
+_FETCH_RE = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY", re.IGNORECASE
+)
+_OFFSET_ROWS_RE = re.compile(r"\b(OFFSET\s+\d+)\s+ROWS?\b", re.IGNORECASE)
+_OFFSET_LIMIT_RE = re.compile(
+    r"\b(OFFSET\s+\d+)\s+(LIMIT\s+\d+)\b", re.IGNORECASE
+)
+
+
+def _rewrite_fetch_limit(s: str) -> str:
+    """SQL-standard ``OFFSET n ROWS FETCH NEXT m ROWS ONLY`` → Spark's
+    ``LIMIT m OFFSET n`` (standard clause order puts OFFSET first; Spark
+    only parses LIMIT-then-OFFSET)."""
+    s = _FETCH_RE.sub(lambda m: f"LIMIT {m.group(1) or 1}", s)
+    s = _OFFSET_ROWS_RE.sub(r"\1", s)
+    return _OFFSET_LIMIT_RE.sub(r"\2 \1", s)
+
+
+_PERCENT_LIMIT_RE = re.compile(
+    r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*(?:%|\bPERCENT\b)\s*;?\s*$", re.IGNORECASE
+)
+
+
+def _rewrite_percent_limit(s: str) -> str:
+    """DuckDB ``LIMIT p%`` takes the first p percent of the result. The
+    row count isn't known at plan time, so the rewrite ranks against a
+    windowed total: requires a deterministic top-level ORDER BY (DuckDB
+    without one is an arbitrary subset — fail closed, never silently
+    pick rows)."""
+    m = _PERCENT_LIMIT_RE.search(s)
+    if not m:
+        return s
+    body = s[: m.start()].rstrip()
+    om = None
+    for cand in re.finditer(r"\bORDER\s+BY\s+", body, re.IGNORECASE):
+        head = body[: cand.start()]
+        if head.count("(") + head.count("[") == head.count(")") + head.count("]"):
+            om = cand
+    if om is None:
+        raise ValueError("percent LIMIT requires a top-level ORDER BY")
+    keys = body[om.end() :].strip()
+    if re.fullmatch(r"\d+(\s+(ASC|DESC))?(\s+NULLS\s+(FIRST|LAST))?", keys, re.IGNORECASE):
+        raise ValueError("percent LIMIT does not support positional ORDER BY")
+    inner = body[: om.start()].rstrip()
+    pct = m.group(1)
+    return (
+        f"SELECT * EXCEPT (__dd_rn, __dd_cnt) FROM ("
+        f"SELECT *, row_number() OVER (ORDER BY {keys}) AS __dd_rn, "
+        f"count(*) OVER () AS __dd_cnt FROM ({inner}) __dd_pq) "
+        f"WHERE __dd_rn <= floor(__dd_cnt * {pct} / 100.0) "
+        f"ORDER BY {keys}"
+    )
+
+
+_REGEXP_SPLIT_TT_RE = re.compile(
+    r"\bregexp_split_to_table\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_regexp_split_to_table(s: str) -> str:
+    """Postgres-style set-returning ``regexp_split_to_table(str, pat)``
+    → ``explode(split(str, pat))`` (both regex-split)."""
+    while m := _REGEXP_SPLIT_TT_RE.search(s):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        inner = s[open_idx + 1 : close]
+        s = s[: m.start()] + f"explode(split({inner}))" + s[close + 1 :]
     return s
 
 
@@ -2750,6 +2852,9 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_similar_to(masked, table)
     masked = _rewrite_underscore_numerics(masked)
     masked = _rewrite_materialized_cte(masked)
+    masked = _rewrite_fetch_limit(masked)
+    masked = _rewrite_percent_limit(masked)
+    masked = _rewrite_regexp_split_to_table(masked)
     masked = _fold_time_arithmetic(masked, table)
     masked = _rewrite_typed_literals(masked, table)
     masked = _rewrite_extract_epoch(masked)
@@ -5147,6 +5252,28 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         # semantics instead of Spark's. Embedded native-Spark sessions
         # never pay this — the default path below tries spark.sql
         # untouched.
+        if em := re.match(
+            r"\s*EXPLAIN\s+(ANALYZE\s+)?(.*)$", sql, re.IGNORECASE | re.DOTALL
+        ):
+            # DuckDB's EXPLAIN shape: (explain_key, explain_value) rows.
+            # The plan text is this engine's (Catalyst), which is the
+            # honest answer to "explain this query" here.
+            inner_df = run_sql(spark, em.group(2))
+            key = "analyzed_plan" if em.group(1) else "physical_plan"
+            plan = inner_df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            import pyspark.sql.types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField("explain_key", T.StringType()),
+                    T.StructField("explain_value", T.StringType()),
+                ]
+            )
+            return spark.createDataFrame([(key, plan)], schema)
         try:
             df = spark.sql(rewrite(sql, spark, duckdb_first=True))
             df.schema

@@ -379,23 +379,35 @@ class MiniS3Server:
 # ---------------------------------------------------------------------------
 
 
-def client_from_secrets(secrets: dict[str, dict[str, str]]) -> S3Client | None:
+def client_from_secrets(
+    secrets: dict[str, dict[str, str]], path: str | None = None
+) -> S3Client | None:
     """Build a client from the engine's CREATE SECRET store (dialect
-    state): the first TYPE s3 secret wins, DuckDB key spellings."""
-    for kv in secrets.values():
+    state), DuckDB key spellings and DuckDB resolution: the secret with
+    the longest matching SCOPE prefix wins; among equal matches the most
+    recently created one does (insertion order)."""
+    best = None
+    best_rank = (-1, -1)
+    for idx, kv in enumerate(secrets.values()):
         if kv.get("type", "").lower() != "s3":
             continue
-        endpoint = kv.get("endpoint")
-        if not endpoint:
+        if not kv.get("endpoint"):
             continue
-        return S3Client(
-            endpoint,
-            access_key=kv.get("key_id"),
-            secret_key=kv.get("secret"),
-            region=kv.get("region", "us-east-1"),
-            use_ssl=kv.get("use_ssl", "").lower() not in ("false", "0"),
-        )
-    return None
+        scope = kv.get("scope", "")
+        if scope and path is not None and not path.startswith(scope):
+            continue
+        rank = (len(scope), idx)
+        if rank > best_rank:
+            best, best_rank = kv, rank
+    if best is None:
+        return None
+    return S3Client(
+        best["endpoint"],
+        access_key=best.get("key_id"),
+        secret_key=best.get("secret"),
+        region=best.get("region", "us-east-1"),
+        use_ssl=best.get("use_ssl", "").lower() not in ("false", "0"),
+    )
 
 
 def resolve_s3_paths(
@@ -437,7 +449,8 @@ def resolve_s3_paths(
 
     if not any(p.startswith("s3://") for p in paths):
         return paths
-    client = client_from_secrets(secrets)
+    first_s3 = next(p for p in paths if p.startswith("s3://"))
+    client = client_from_secrets(secrets, first_s3)
     if client is None:
         raise ValueError(
             "s3:// path but no s3 secret configured — "
