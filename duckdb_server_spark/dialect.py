@@ -234,7 +234,8 @@ _FN_RENAMES = {
     "json_merge_patch": "dd_json_merge_patch",
     "json_extract": "dd_json_extract",
     "json_extract_path": "dd_json_extract",
-    "list_distinct": "array_distinct",
+# (list_distinct is a _template rewrite: DuckDB drops NULLs; element
+# ORDER is its internal hash order — set-equal, order-unspecified)
     "list_position": "array_position",
     "list_indexof": "array_position",
     "strpos": "instr",
@@ -795,7 +796,17 @@ def _rewrite_subscripts(
                 # postgres-style ARRAY[...] literal, not a subscript
                 s = s[: base_start] + f"array({content})" + s[m.end() :]
                 break
-            if ":" in content:
+            if content.count(":") == 2:
+                # stepped slice l[a:b:c] — 1-based, inclusive both ends,
+                # clamped; -1 end means the last element
+                a, b, c = (p.strip() for p in content.split(":"))
+                a = a or "1"
+                if not b or not c:
+                    raise ValueError("stepped slice needs an end and a step")
+                if re.fullmatch(r"-\d+", c):
+                    raise ValueError("negative slice steps are not supported")
+                repl = _step_slice_expr(base, a, b, c)
+            elif ":" in content:
                 a, _, b = content.partition(":")
                 a, b = a.strip() or "1", b.strip()
                 if _is_string_base(base):
@@ -841,6 +852,24 @@ def _rewrite_subscripts(
             return s
 
 
+def _step_slice_expr(arr: str, a: str, b: str, c: str) -> str:
+    """DuckDB stepped slice: elements at positions a, a+c, … ≤ end,
+    inclusive and clamped; a negative end counts from the last element.
+    ``slice(arr, 1, 0)`` supplies a correctly-typed empty result when
+    the window is empty (Spark's sequence errors on start > stop)."""
+    lo = f"greatest(({a}), 1)"
+    end = (
+        f"least(CASE WHEN ({b}) < 0 THEN size({arr}) + ({b}) + 1 "
+        f"ELSE ({b}) END, size({arr}))"
+    )
+    return (
+        f"CASE WHEN {lo} <= {end} THEN "
+        f"transform(sequence({lo}, {end}, ({c})), "
+        f"__dd_i -> element_at({arr}, CAST(__dd_i AS INT))) "
+        f"ELSE slice({arr}, 1, 0) END"
+    )
+
+
 _SLICE_RE = re.compile(r"\b(?:list_slice|array_slice)\s*\(", re.IGNORECASE)
 
 
@@ -861,14 +890,17 @@ def _rewrite_slice(s: str) -> str:
         open_idx = m.end() - 1
         close = _matching_paren(s, open_idx)
         args = _split_top_commas(s[open_idx + 1 : close])
-        if len(args) != 3:
-            raise ValueError("list_slice expects 3 arguments")
-        arr, a, b = args
-        s = (
-            s[: m.start()]
-            + f"slice({arr}, {a}, {_slice_length(arr, a, b)})"
-            + s[close + 1 :]
-        )
+        if len(args) == 4:
+            arr, a, b, c = args
+            if re.fullmatch(r"\s*-\d+\s*", c):
+                raise ValueError("negative slice steps are not supported")
+            repl = _step_slice_expr(arr, a, b, c)
+        elif len(args) == 3:
+            arr, a, b = args
+            repl = f"slice({arr}, {a}, {_slice_length(arr, a, b)})"
+        else:
+            raise ValueError("list_slice expects 3 or 4 arguments")
+        s = s[: m.start()] + repl + s[close + 1 :]
     return s
 
 
@@ -1405,6 +1437,86 @@ def _rewrite_strftime(s: str, table: list[str]) -> str:
 _DATEDIFF_RE = re.compile(r"\b(date_?diff)\s*\(", re.IGNORECASE)
 
 
+# DuckDB date_diff counts BOUNDARY CROSSINGS of the unit, not complete
+# units elapsed (date_diff('month', Jan-31, Feb-01) = 1; the elapsed
+# variant is date_sub, which _template maps to timestampdiff). Spark's
+# date_diff/timestampdiff are elapsed-units, so each unit needs its own
+# truncate-and-subtract expression — otherwise month/hour diffs near a
+# boundary silently disagree by one.
+_DD_UNIT_CANON = {
+    "year": "year", "years": "year", "y": "year", "yr": "year", "yrs": "year",
+    "quarter": "quarter", "quarters": "quarter",
+    "month": "month", "months": "month", "mon": "month", "mons": "month",
+    "week": "week", "weeks": "week",
+    "day": "day", "days": "day", "d": "day", "dayofmonth": "day",
+    "hour": "hour", "hours": "hour", "h": "hour", "hr": "hour", "hrs": "hour",
+    "minute": "minute", "minutes": "minute", "min": "minute", "mins": "minute",
+    "second": "second", "seconds": "second", "s": "second", "sec": "second",
+    "secs": "second",
+    "millisecond": "millisecond", "milliseconds": "millisecond",
+    "ms": "millisecond", "msec": "millisecond",
+    "microsecond": "microsecond", "microseconds": "microsecond",
+    "us": "microsecond",
+    "decade": "decade", "decades": "decade",
+    "century": "century", "centuries": "century",
+    "millennium": "millennium", "millennia": "millennium",
+}
+_DD_TIME_MICROS = {
+    "hour": 3_600_000_000,
+    "minute": 60_000_000,
+    "second": 1_000_000,
+    "millisecond": 1_000,
+    "microsecond": 1,
+}
+
+
+def _date_diff_boundary(unit: str, a: str, b: str) -> str | None:
+    u = _DD_UNIT_CANON.get(unit.lower())
+    if u is None:
+        return None
+    if u == "year":
+        return f"CAST(year({b}) - year({a}) AS BIGINT)"
+    if u == "quarter":
+        return (
+            f"CAST((year({b}) - year({a})) * 4 "
+            f"+ (quarter({b}) - quarter({a})) AS BIGINT)"
+        )
+    if u == "month":
+        return (
+            f"CAST((year({b}) - year({a})) * 12 "
+            f"+ (month({b}) - month({a})) AS BIGINT)"
+        )
+    if u == "week":
+        # both engines truncate weeks to Monday
+        return (
+            f"CAST(datediff(date_trunc('WEEK', {b}), "
+            f"date_trunc('WEEK', {a})) DIV 7 AS BIGINT)"
+        )
+    if u == "day":
+        return f"CAST(datediff(CAST({b} AS DATE), CAST({a} AS DATE)) AS BIGINT)"
+    if u in _DD_TIME_MICROS:
+        unit_us = _DD_TIME_MICROS[u]
+        tr = u.upper()
+        return (
+            f"CAST((unix_micros(CAST(date_trunc('{tr}', {b}) AS TIMESTAMP)) "
+            f"- unix_micros(CAST(date_trunc('{tr}', {a}) AS TIMESTAMP))) "
+            f"DIV {unit_us} AS BIGINT)"
+        )
+    if u == "decade":
+        return f"CAST(FLOOR(year({b}) / 10) - FLOOR(year({a}) / 10) AS BIGINT)"
+    if u == "century":
+        return (
+            f"CAST(FLOOR((year({b}) - 1) / 100) "
+            f"- FLOOR((year({a}) - 1) / 100) AS BIGINT)"
+        )
+    if u == "millennium":
+        return (
+            f"CAST(FLOOR((year({b}) - 1) / 1000) "
+            f"- FLOOR((year({a}) - 1) / 1000) AS BIGINT)"
+        )
+    return None
+
+
 def _rewrite_datediff_units(s: str, table: list[str]) -> str:
     pos = 0
     while m := _DATEDIFF_RE.search(s, pos):
@@ -1413,9 +1525,12 @@ def _rewrite_datediff_units(s: str, table: list[str]) -> str:
         args = _split_top_commas(s[open_idx + 1 : close])
         ph = _PLACEHOLDER_RE.fullmatch(args[0].strip()) if args else None
         unit = _literal_value(table[int(ph.group(1))]) if ph else None
-        if unit is not None and re.fullmatch(r"[A-Za-z]+", unit):
-            args[0] = unit.upper()
-            repl = f"{m.group(1)}({', '.join(args)})"
+        repl = (
+            _date_diff_boundary(unit, args[1], args[2])
+            if unit is not None and len(args) == 3
+            else None
+        )
+        if repl is not None:
             s = s[: m.start()] + repl + s[close + 1 :]
             pos = m.start() + len(repl)
         else:
@@ -1983,12 +2098,17 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         # DuckDB: seconds-since-epoch (DOUBLE) → TIMESTAMPTZ; collected
         # naive, so NTZ matches. (String input is invalid in DuckDB.)
         return f"CAST(timestamp_seconds({args[0]}) AS TIMESTAMP_NTZ)"
-    if fn == "strptime" and len(args) == 2:
+    if fn == "list_distinct" and len(args) == 1:
+        # DuckDB dedups AND drops NULLs; its element order is internal
+        # hash order, so only the value SET is contractual
+        return f"array_distinct(filter({args[0]}, __dd_x -> __dd_x IS NOT NULL))"
+    if fn in ("strptime", "try_strptime") and len(args) == 2:
         fmt = _literal_value(_unmask(args[1], table))
         if fmt is None:
             raise ValueError("strptime needs a literal format")
         lit = _masked_literal(table, _strftime_to_java(fmt))
-        return f"to_timestamp({args[0]}, {lit})"
+        spark_fn = "try_to_timestamp" if fn.startswith("try") else "to_timestamp"
+        return f"{spark_fn}({args[0]}, {lit})"
     if fn == "struct_extract" and len(args) == 2:
         key = _literal_value(_unmask(args[1], table))
         if key is None:
@@ -2175,7 +2295,7 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
 
 _TEMPLATE_RE = re.compile(
     r"\b(to_base|list_reduce|date_sub|datesub|datepart|date_part|epoch|"
-    r"to_timestamp|strptime|struct_extract|current_schema|"
+    r"to_timestamp|strptime|try_strptime|list_distinct|struct_extract|current_schema|"
     r"current_database|kurtosis|histogram|quantile_disc|quantile|format|"
     r"list_reverse_sort|dayname|monthname|geomean|divide|multiply|add|"
     r"subtract|fsum|sumkahan|kahan_sum|date_trunc|datetrunc|"
@@ -2971,6 +3091,33 @@ def register_dialect_functions(spark: SparkSession) -> None:
         "RETURNS STRING "
         f"RETURN translate(s, '{_ACCENTED}', '{_PLAIN}')"
     )
+    # aggregates Spark lacks entirely: Shannon entropy over the value
+    # distribution (DuckDB: log2) and running product — Arrow-batched
+    # grouped-agg pandas UDFs (whole group per call, no partial agg)
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    def _entropy_agg(s):
+        vc = s.dropna().value_counts()
+        n = int(vc.sum())
+        if n == 0:
+            return None
+        import math as _math
+
+        return float(-sum(c / n * _math.log2(c / n) for c in vc))
+
+    _entropy_agg.__annotations__ = {"s": _pd.Series, "return": float}
+    spark.udf.register("entropy", _pandas_udf(_entropy_agg, "double"))
+
+    def _product_agg(s):
+        s = s.dropna()
+        if len(s) == 0:
+            return None
+        return float(s.astype("float64").prod())
+
+    _product_agg.__annotations__ = {"s": _pd.Series, "return": float}
+    spark.udf.register("product", _pandas_udf(_product_agg, "double"))
+
     # character-set jaccard / positional hamming: JVM-side HOF bodies
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION dd_jaccard(a STRING, b STRING) "

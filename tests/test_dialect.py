@@ -637,9 +637,11 @@ def test_macro_argument_not_captured_by_later_param(sql_session):
 
 
 def test_date_part_keeps_quoted_unit():
+    # date_diff expands to the boundary-crossing expression (DuckDB
+    # counts unit boundaries, not complete units — test_r8_dialect_b9)
     out = rewrite("SELECT date_part('year', d), date_diff('day', a, b) FROM t")
     assert "date_part('year', d)" in out
-    assert "date_diff(DAY, a, b)" in out
+    assert "datediff(CAST(b AS DATE), CAST(a AS DATE))" in out
 
 
 def test_strftime_literal_runs_stay_words():

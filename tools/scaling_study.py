@@ -98,6 +98,16 @@ GROUPS = {
         ("b30d_webp_decode", 5_000, ("1x", "10x", "100x")),
         ("b33d_adpcm_audio", 5_000, ("1x", "10x", "100x")),
     ],
+    # round-8 additions: Matroska demux (per-doc CPU, shuffle-free —
+    # same band as the other codecs) and streaming Bloom decontamination
+    # (one streaming agg + two broadcast joins; the static side is
+    # corpus-sized but builds once). s08/s10b are excluded by
+    # construction: localhost stub round-trips measure the sandbox's
+    # loopback, not a plan shape.
+    "r8": [
+        ("b32d_webm_frames", 5_000, ("1x", "10x", "100x")),
+        ("st_stream_decontam", 5_000, ("1x", "10x", "100x")),
+    ],
     # the full TPC-H-ish suite at the 10× fact tier (lineitem 6M rows,
     # joins resolving against consistently-offset orders/customer and
     # fixed dims) — VERDICT r5 item 6. base_rows = lineitem at sf0.1.
