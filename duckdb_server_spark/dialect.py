@@ -1728,21 +1728,78 @@ def _depth_at(s: str, idx: int) -> int:
     return s[:idx].count("(") - s[:idx].count(")")
 
 
+_LATERAL_UNNEST_RE = re.compile(
+    r"(,|\bCROSS\s+JOIN\b)\s*unnest\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_lateral_unnest(s: str) -> str:
+    """Comma-join / CROSS JOIN table-function unnest:
+    ``FROM t, unnest(t.arr) u(x)`` → ``FROM t LATERAL VIEW
+    explode(t.arr) u AS x``. Without a column alias DuckDB names the
+    output after the unnested column itself."""
+    pos = 0
+    while m := _LATERAL_UNNEST_RE.search(s, pos):
+        # only the FROM-clause position is a table function: the nearest
+        # preceding SELECT/FROM keyword at this depth must be FROM (a
+        # select-list ", unnest(x)" — the generate_subscripts zip form —
+        # stays for the scalar-unnest rewrite)
+        d = _depth_at(s, m.start())
+        clause = None
+        for km in re.finditer(r"\b(SELECT|FROM)\b", s[: m.start()], re.IGNORECASE):
+            if _depth_at(s, km.start()) == d:
+                clause = km.group(1).upper()
+        if clause != "FROM":
+            pos = m.end()
+            continue
+        open_idx = s.index("(", m.end() - 1)
+        close = _matching_paren(s, open_idx)
+        expr = s[open_idx + 1 : close]
+        after = s[close + 1 :]
+        am = re.match(
+            r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(?:\(\s*([A-Za-z_]\w*)\s*\))?",
+            after,
+        )
+        alias = am.group(1) if am and am.group(1) and am.group(1).upper() not in _CLAUSE_KEYWORDS else None
+        col = am.group(2) if am else None
+        consumed = am.end() if alias else 0
+        if col is None:
+            # default output name: the unnested column's own name
+            nm = re.search(r"([A-Za-z_]\w*)\s*$", expr.strip())
+            col = nm.group(1) if nm else "unnest"
+        repl = f" LATERAL VIEW explode({expr}) {alias or '__dd_un'} AS {col} "
+        s = s[: m.start()] + repl + s[close + 1 + consumed :]
+    return s
+
+
 def _rewrite_generate_subscripts(s: str) -> str:
     while m := _GENSUB_RE.search(s):
         open_idx = m.end() - 1
         close = _matching_paren(s, open_idx)
-        x = _split_top_commas(s[open_idx + 1 : close])[0].strip()
+        gs_args = _split_top_commas(s[open_idx + 1 : close])
+        x = gs_args[0].strip()
         d = _depth_at(s, m.start())
+        um_probe = re.search(
+            rf"\bunnest\s*\(\s*{re.escape(x)}\s*\)",
+            s[: m.start()] + s[close + 1 :],
+            re.IGNORECASE,
+        )
+        if um_probe is None:
+            # standalone set-returning form: the subscripts of dim 1
+            if len(gs_args) > 1 and gs_args[1].strip() not in ("1", ""):
+                raise ValueError(
+                    "generate_subscripts supports dimension 1 only"
+                )
+            s = (
+                s[: m.start()]
+                + f"explode(sequence(1, size({x})))"
+                + s[close + 1 :]
+            )
+            continue
         s = s[: m.start()] + "(__dd_pos + 1)" + s[close + 1 :]
         um = re.search(
             rf"\bunnest\s*\(\s*{re.escape(x)}\s*\)", s, re.IGNORECASE
         )
-        if not um:
-            raise ValueError(
-                "generate_subscripts is only supported zipped with "
-                "unnest() of the same array"
-            )
         s = s[: um.start()] + "__dd_val" + s[um.end() :]
         # locate this SELECT's FROM at the same depth, then the end of its
         # source clause; append the lateral posexplode there
@@ -2993,6 +3050,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_regexp_replace(masked, table)
     masked = _rewrite_regexp_extract_all(masked)
     masked = _rewrite_slice(masked)
+    masked = _rewrite_lateral_unnest(masked)
     masked = _rewrite_generate_subscripts(masked)
     masked = _rewrite_range(masked)
     masked = _rewrite_time_bucket(masked, table)
@@ -3949,8 +4007,10 @@ _TABLE_AS_RE = re.compile(
 
 
 _COPY_RE = re.compile(
+    # greedy options group + anchored final ')' so option values with
+    # nested parens (PARTITION_BY (a, b)) stay inside the group
     r"^\s*COPY\s+(\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+('[^']+')"
-    r"\s*(?:\(|WITH\s*\()?([^)]*)\)?\s*;?\s*$",
+    r"\s*(?:(?:WITH\s*)?\((.*)\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _COPY_FROM_RE = re.compile(
@@ -4135,11 +4195,36 @@ def _run_copy(spark: SparkSession, m: re.Match) -> None:
     df = (
         run_sql(spark, src[1:-1]) if src.startswith("(") else spark.table(src)
     )
-    writer = df.coalesce(1).write.mode("overwrite")
+    # PARTITION_BY → hive-layout directory write (dir/col=value/…), byte
+    # and layout compatible with DuckDB's own partitioned COPY and with
+    # read_parquet(..., hive_partitioning=true) on either engine. This is
+    # the 100 TB sink shape: partitioned writes parallelize per partition
+    # value, so no coalesce(1) — DuckDB's single-file contract applies
+    # only to the unpartitioned form.
+    pb = re.search(
+        r"partition_by\s*(?:\(([^)]*)\)|([A-Za-z_]\w*))", opts or "",
+        re.IGNORECASE,
+    )
+    if pb:
+        cols = [
+            c.strip().strip('"')
+            for c in (pb.group(1) or pb.group(2)).split(",")
+            if c.strip()
+        ]
+        writer = df.write.mode("overwrite").partitionBy(*cols)
+    else:
+        writer = df.coalesce(1).write.mode("overwrite")
+    cm = re.search(r"compression\s+'?(\w+)'?", opts_l)
+    if cm and cm.group(1) != "auto":
+        writer = writer.option("compression", cm.group(1))
     if fmt == "csv":
         # DuckDB COPY TO csv writes a header unless HEADER false.
         header = "header false" not in opts_l and "header 0" not in opts_l
         writer = writer.option("header", "true" if header else "false")
+        dm = re.search(r"(?:delimiter|delim|sep)\s+'([^']*)'", opts or "",
+                       re.IGNORECASE)
+        if dm:
+            writer = writer.option("sep", dm.group(1))
     getattr(writer, fmt)(path)
 
 
