@@ -260,8 +260,16 @@ _FN_RENAMES = {
     "list_cat": "concat",
     "array_concat": "concat",
     "list_append": "array_append",
-    "list_prepend": "array_prepend",
+    "array_push_back": "array_append",
+    # (list_prepend / array_prepend / array_push_front are _template
+    # rewrites: DuckDB's argument order is (elem, list), Spark's is
+    # (array, elem))
     "list_zip": "dd_list_zip",
+    "gen_random_uuid": "uuid",
+    "greatest_common_divisor": "dd_gcd",
+    "gcd": "dd_gcd",
+    "least_common_multiple": "dd_lcm",
+    "lcm": "dd_lcm",
 }
 
 _FN_RENAME_RE = re.compile(
@@ -2155,6 +2163,40 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         # DuckDB: seconds-since-epoch (DOUBLE) → TIMESTAMPTZ; collected
         # naive, so NTZ matches. (String input is invalid in DuckDB.)
         return f"CAST(timestamp_seconds({args[0]}) AS TIMESTAMP_NTZ)"
+    if fn in ("list_prepend", "array_prepend") and len(args) == 2:
+        # DuckDB: (elem, list); Spark: (array, elem)
+        return f"array_prepend({args[1]}, {args[0]})"
+    if fn == "array_push_front" and len(args) == 2:
+        return f"array_prepend({args[0]}, {args[1]})"
+    if fn == "typeof" and len(args) == 1:
+        return f"dd_typeof_name(typeof({args[0]}))"
+    if fn == "version" and not args:
+        lit = _masked_literal(table, "v1.0.0")
+        return lit
+    if fn == "txid_current" and not args:
+        # serving is read-only single-transaction (the reference's
+        # DoAction transactions are Unimplemented, main.go:121-124)
+        return "CAST(0 AS BIGINT)"
+    if fn == "bit_count" and len(args) == 1:
+        # DuckDB counts bits within the VALUE'S OWN type width; Spark
+        # promotes to 64-bit. Mask explicit narrow casts and plain
+        # integer literals (DuckDB types those INTEGER); other shapes
+        # keep Spark's 64-bit reading.
+        a = args[0].strip()
+        widths = {
+            "tinyint": 0xFF, "int1": 0xFF,
+            "smallint": 0xFFFF, "int2": 0xFFFF, "short": 0xFFFF,
+            "integer": 0xFFFFFFFF, "int": 0xFFFFFFFF, "int4": 0xFFFFFFFF,
+            "signed": 0xFFFFFFFF,
+        }
+        cm = re.fullmatch(
+            r"(?is)CAST\s*\(.*\s+AS\s+(\w+)\s*\)", a
+        ) or re.fullmatch(r"(?is).*::\s*(\w+)", a)
+        if cm and cm.group(1).lower() in widths:
+            return f"bit_count(({a}) & {widths[cm.group(1).lower()]})"
+        if re.fullmatch(r"-?\d+", a) and abs(int(a)) <= 2**31 - 1:
+            return f"bit_count(({a}) & {0xFFFFFFFF})"
+        return None
     if fn == "list_distinct" and len(args) == 1:
         # DuckDB dedups AND drops NULLs; its element order is internal
         # hash order, so only the value SET is contractual
@@ -2352,7 +2394,7 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
 
 _TEMPLATE_RE = re.compile(
     r"\b(to_base|list_reduce|date_sub|datesub|datepart|date_part|epoch|"
-    r"to_timestamp|strptime|try_strptime|list_distinct|struct_extract|current_schema|"
+    r"to_timestamp|strptime|try_strptime|list_distinct|list_prepend|array_prepend|array_push_front|typeof|version|txid_current|bit_count|struct_extract|current_schema|"
     r"current_database|kurtosis|histogram|quantile_disc|quantile|format|"
     r"list_reverse_sort|dayname|monthname|geomean|divide|multiply|add|"
     r"subtract|fsum|sumkahan|kahan_sum|date_trunc|datetrunc|"
@@ -2473,6 +2515,59 @@ def _rewrite_tilde_ops(s: str, table: list[str]) -> str:
         lit = _masked_literal(table, f"^(?:{pat})$")
         neg = "NOT " if m.group(1) else ""
         s = s[: m.start()] + f" {neg}RLIKE {lit}" + s[m.end() :]
+    return s
+
+
+# DuckDB JSON extraction operators: ``x -> 'key'`` (JSON result, quoted
+# strings) and ``x ->> 'key'`` (text result). '->' is ALSO lambda syntax,
+# so the rewrite requires an unambiguous left operand: a string literal,
+# a dotted (qualified) identifier, a :: cast, or a paren group that is
+# not a lambda parameter list. Bare single identifiers stay untouched
+# (fail closed — a lambda param and a JSON column are indistinguishable
+# there without type context).
+_JSON_ARROW_RE = re.compile(r"(->>|->)\s*(\x00\d+\x00|\d+)")
+
+
+def _rewrite_json_arrows(s: str, table: list[str]) -> str:
+    while m := _JSON_ARROW_RE.search(s):
+        op, rhs = m.group(1), m.group(2)
+        j = m.start() - 1
+        while j >= 0 and s[j] in " \t\n":
+            j -= 1
+        end = j + 1
+        start = _primary_back(s, end)
+        left = s[start:end].strip()
+        ok = bool(
+            re.fullmatch(r"\x00\d+\x00", left)  # string literal
+            or re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)+", left)  # t.col
+            or re.search(r"::\s*[A-Za-z_]\w*(\s*\(.*\))?$", left)  # cast
+            or (
+                left.endswith(")")
+                and not re.fullmatch(
+                    r"\(\s*[A-Za-z_]\w*(\s*,\s*[A-Za-z_]\w*)*\s*\)", left
+                )  # paren group that is not a lambda parameter list
+            )
+        )
+        if not ok:
+            break
+        fn = "json_extract_string" if op == "->>" else "json_extract"
+        # a bare integer rhs is a JSON array index (matching $[n]); a
+        # bare key becomes an explicit quoted path so BOTH backends
+        # (pandas shim for ->, get_json_object for ->>) resolve it
+        if rhs.isdigit():
+            path = _masked_literal(table, f"$[{rhs}]")
+        else:
+            lit = _literal_value(_unmask(rhs, table))
+            if lit is None:
+                break
+            if lit.startswith("$"):
+                path = rhs
+            elif op == "->>":
+                path = _masked_literal(table, f"$['{lit}']")
+            else:
+                path = _masked_literal(table, f'$."{lit}"')
+        repl = f"{fn}({left}, {path})"
+        s = s[:start] + repl + s[m.end() :]
     return s
 
 
@@ -3039,6 +3134,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_postfix_factorial(masked)
     masked = _rewrite_power(masked)
     masked = _rewrite_tilde_ops(masked, table)
+    masked = _rewrite_json_arrows(masked, table)
     masked = _rewrite_any_all(masked)
     masked = _rewrite_ignore_nulls(masked)
     masked = _rewrite_window_chain(masked)
@@ -3149,6 +3245,61 @@ def register_dialect_functions(spark: SparkSession) -> None:
         "RETURNS STRING "
         f"RETURN translate(s, '{_ACCENTED}', '{_PLAIN}')"
     )
+    # typeof → DuckDB type spellings (shares the DESCRIBE name map's
+    # scalar rules; one array level via the LIKE branch, upper() covers
+    # decimal(p,s) and the long tail)
+    scalar_case = (
+        "CASE t WHEN 'int' THEN 'INTEGER' WHEN 'string' THEN 'VARCHAR' "
+        "WHEN 'binary' THEN 'BLOB' WHEN 'timestamp_ntz' THEN 'TIMESTAMP' "
+        "WHEN 'timestamp' THEN 'TIMESTAMP' ELSE upper(t) END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dd_typeof_scalar(t STRING) "
+        f"RETURNS STRING RETURN {scalar_case}"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dd_typeof_name(t STRING) "
+        "RETURNS STRING RETURN CASE WHEN t LIKE 'array<%>' THEN "
+        "dd_typeof_scalar(substr(t, 7, length(t) - 7)) || '[]' "
+        "ELSE dd_typeof_scalar(t) END"
+    )
+
+    # integer gcd/lcm (Spark has neither) — vectorized pandas shims
+    import pandas as _pd0
+    from pyspark.sql.functions import pandas_udf as _pudf0
+
+    def _gcd_shim(a, b):
+        import math as _math
+
+        return _pd0.Series(
+            [
+                None if x is None or y is None else _math.gcd(int(x), int(y))
+                for x, y in zip(a, b)
+            ],
+            dtype="object",
+        )
+
+    _gcd_shim.__annotations__ = {"a": _pd0.Series, "b": _pd0.Series,
+                                 "return": _pd0.Series}
+    spark.udf.register("dd_gcd", _pudf0(_gcd_shim, "long"))
+
+    def _lcm_shim(a, b):
+        import math as _math
+
+        def one(x, y):
+            if x is None or y is None:
+                return None
+            x, y = int(x), int(y)
+            if x == 0 or y == 0:
+                return 0
+            return abs(x * y) // _math.gcd(x, y)
+
+        return _pd0.Series([one(x, y) for x, y in zip(a, b)], dtype="object")
+
+    _lcm_shim.__annotations__ = {"a": _pd0.Series, "b": _pd0.Series,
+                                 "return": _pd0.Series}
+    spark.udf.register("dd_lcm", _pudf0(_lcm_shim, "long"))
+
     # aggregates Spark lacks entirely: Shannon entropy over the value
     # distribution (DuckDB: log2) and running product — Arrow-batched
     # grouped-agg pandas UDFs (whole group per call, no partial agg)
@@ -3252,8 +3403,13 @@ def _register_json_shims(spark: SparkSession) -> None:
 
     def _extract_one(doc: str, path: str):
         obj, ok = _parse(doc)
-        if not ok or not path or path[0] != "$":
+        if not ok or not path:
             return None
+        if path[0] != "$":
+            # DuckDB: a non-$ path is a single top-level KEY lookup
+            if not isinstance(obj, dict) or path not in obj:
+                return None
+            return _json.dumps(obj[path], separators=(",", ":"))
         pos = 1
         while pos < len(path):
             m = _STEP.match(path, pos)

@@ -1,0 +1,127 @@
+"""Dialect probe battery 11 — JSON arrow operators, typeof spellings,
+width-aware bit_count, list argument orders, and the misc-function tail.
+Differential against live DuckDB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_server_spark.dialect import (
+    register_dialect_functions,
+    run_sql,
+    serving_dialect,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def sql_session(spark):
+    from duckdb_server_spark.session import register_views
+
+    register_dialect_functions(spark)
+    register_views(spark, SF_DIR, ("nation", "orders"))
+    return spark
+
+
+def _match(spark, duck, sql: str):
+    with serving_dialect(True):
+        ours = sorted(tuple(r) for r in run_sql(spark, sql).collect())
+    theirs = sorted(duck.execute(sql).fetchall())
+    assert ours == theirs, f"{sql!r}: {ours[:2]} != {theirs[:2]}"
+
+
+# --- JSON arrow operators --------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # '->' keeps JSON text (strings stay quoted); '->>' unquotes
+        """SELECT '{"a": "str"}' -> 'a' AS v1, '{"a": "str"}' ->> 'a' AS v2""",
+        """SELECT '{"a": 1}'::VARCHAR->'a' AS v""",
+        """SELECT '{"a": 1, "b": 2}' -> '$.b' AS v""",
+        """SELECT '{"a": {"b": 7}}' ->> '$.a.b' AS v""",
+        """SELECT '[10,20,30]' -> 1 AS v""",
+        """SELECT ('{"k": ' || '5}') ->> 'k' AS v""",
+        # bare-key function forms
+        """SELECT json_extract('{"a": "s"}', 'a') AS v""",
+        """SELECT json_extract_string('{"a": "s"}', '$.a') AS v""",
+    ],
+)
+def test_json_arrows(sql_session, duck, sql):
+    _match(sql_session, duck, sql)
+
+
+def test_json_arrow_leaves_lambdas_alone(sql_session, duck):
+    _match(sql_session, duck, "SELECT list_transform([1,2], x -> 'lit') AS l")
+    _match(sql_session, duck, "SELECT list_transform([1,2], x -> x + 1) AS l")
+    _match(
+        sql_session,
+        duck,
+        "SELECT list_filter([1,2,3], y -> y > 1) AS l",
+    )
+
+
+# --- typeof spellings ------------------------------------------------------
+
+
+def test_typeof_duckdb_spellings(sql_session, duck):
+    _match(
+        sql_session,
+        duck,
+        "SELECT typeof(1) AS a, typeof(1.5) AS b, typeof('x') AS c, "
+        "typeof(true) AS d",
+    )
+    _match(
+        sql_session,
+        duck,
+        "SELECT typeof([1,2]) AS a, typeof(DATE '2024-01-01') AS b",
+    )
+
+
+# --- bit_count within the value's type width ------------------------------
+
+
+def test_bit_count_type_width(sql_session, duck):
+    _match(
+        sql_session,
+        duck,
+        "SELECT bit_count(CAST(-1 AS TINYINT)) AS a, "
+        "bit_count(CAST(-1 AS SMALLINT)) AS b, "
+        "bit_count(-1) AS c, bit_count(5) AS d",
+    )
+
+
+# --- list argument orders --------------------------------------------------
+
+
+def test_list_prepend_push_orders(sql_session, duck):
+    _match(
+        sql_session,
+        duck,
+        "SELECT list_prepend(0, [1,2]) AS p, list_append([1,2], 3) AS a",
+    )
+    _match(
+        sql_session,
+        duck,
+        "SELECT array_push_back([1], 2) AS b, array_push_front([2], 1) AS f",
+    )
+
+
+# --- misc function tail ----------------------------------------------------
+
+
+def test_misc_function_tail(sql_session, duck):
+    _match(sql_session, duck, "SELECT version() LIKE 'v%' AS v")
+    _match(sql_session, duck, "SELECT gen_random_uuid() IS NOT NULL AS u")
+    _match(sql_session, duck, "SELECT txid_current() >= 0 AS t")
+    _match(sql_session, duck, "SELECT gcd(12, 18) AS g, lcm(4, 6) AS l")
+    _match(
+        sql_session,
+        duck,
+        "SELECT least_common_multiple(21, 6) AS l, "
+        "greatest_common_divisor(48, 36) AS g",
+    )
+    _match(sql_session, duck, "SELECT gcd(0, 5) AS g, lcm(0, 5) AS l")
