@@ -502,7 +502,7 @@ _STAR_REPLACE_RE = re.compile(
 )
 
 
-def _rewrite_star_replace(s: str) -> str:
+def _rewrite_star_replace(s: str, spark=None) -> str:
     while True:
         m = _STAR_REPLACE_RE.search(s)
         if not m:
@@ -518,8 +518,36 @@ def _rewrite_star_replace(s: str) -> str:
             names.append(am.group(1))
             exprs.append(item)
         except_cols = [c.strip() for c in (m.group(1) or "").split(",") if c.strip()]
-        except_cols += names
-        repl = "* EXCEPT (" + ", ".join(except_cols) + "), " + ", ".join(exprs)
+        # DuckDB keeps each replaced column at its ORIGINAL position.
+        # With a session, resolve the FROM source's column order and
+        # splice the replacement expressions in place; without one (or
+        # when the source is not a plain table), fall back to the
+        # EXCEPT-and-append form — same values, appended order.
+        ordered = None
+        if spark is not None:
+            fm = re.search(
+                r"\bFROM\s+([A-Za-z_][\w.]*)", s[close + 1 :], re.IGNORECASE
+            )
+            if fm:
+                try:
+                    cols = spark.table(fm.group(1)).columns
+                except Exception:
+                    cols = None
+                if cols:
+                    by_name = dict(zip([n.lower() for n in names], exprs))
+                    excl_l = {c.lower() for c in except_cols}
+                    ordered = ", ".join(
+                        by_name.get(c.lower(), c)
+                        for c in cols
+                        if c.lower() not in excl_l
+                    )
+        if ordered is not None:
+            repl = ordered
+        else:
+            repl = (
+                "* EXCEPT (" + ", ".join(except_cols + names) + "), "
+                + ", ".join(exprs)
+            )
         s = s[: m.start()] + repl + s[close + 1 :]
 
 
@@ -2163,6 +2191,14 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         # DuckDB: seconds-since-epoch (DOUBLE) → TIMESTAMPTZ; collected
         # naive, so NTZ matches. (String input is invalid in DuckDB.)
         return f"CAST(timestamp_seconds({args[0]}) AS TIMESTAMP_NTZ)"
+    if fn == "chr" and len(args) == 1:
+        # DuckDB chr() takes a Unicode CODE POINT; Spark's chr is
+        # mod-256 Latin-1 — silent mojibake beyond 255. Java's %c
+        # formats a code point.
+        return f"format_string('%c', CAST({args[0]} AS INT))"
+    if fn == "bar" and len(args) in (3, 4):
+        w = args[3] if len(args) == 4 else "80"
+        return f"dd_bar({args[0]}, {args[1]}, {args[2]}, {w})"
     if fn in ("list_prepend", "array_prepend") and len(args) == 2:
         # DuckDB: (elem, list); Spark: (array, elem)
         return f"array_prepend({args[1]}, {args[0]})"
@@ -2394,7 +2430,7 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
 
 _TEMPLATE_RE = re.compile(
     r"\b(to_base|list_reduce|date_sub|datesub|datepart|date_part|epoch|"
-    r"to_timestamp|strptime|try_strptime|list_distinct|list_prepend|array_prepend|array_push_front|typeof|version|txid_current|bit_count|struct_extract|current_schema|"
+    r"to_timestamp|strptime|try_strptime|list_distinct|list_prepend|array_prepend|array_push_front|typeof|version|txid_current|bit_count|chr|bar|struct_extract|current_schema|"
     r"current_database|kurtosis|histogram|quantile_disc|quantile|format|"
     r"list_reverse_sort|dayname|monthname|geomean|divide|multiply|add|"
     r"subtract|fsum|sumkahan|kahan_sum|date_trunc|datetrunc|"
@@ -3182,7 +3218,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_window_filter(masked)
     masked = _rewrite_exclude_frames(masked)
     masked = _rewrite_exclude(masked)
-    masked = _rewrite_star_replace(masked)
+    masked = _rewrite_star_replace(masked, spark)
     masked = _rewrite_glob(masked, table)
     masked = _rewrite_asof(masked)
     masked = _rewrite_qualify(masked)
@@ -3245,6 +3281,28 @@ def register_dialect_functions(spark: SparkSession) -> None:
         "RETURNS STRING "
         f"RETURN translate(s, '{_ACCENTED}', '{_PLAIN}')"
     )
+    # bar(): DuckDB's ASCII bar chart — full blocks, a TRUNCATED eighth
+    # partial, then space padding computed from the bar's UTF-8 BYTE
+    # length (each block char is 3 bytes; DuckDB's own byte-width
+    # padding, reproduced exactly)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dd_bar("
+        "v DOUBLE, mn DOUBLE, mx DOUBLE, w INT) RETURNS STRING RETURN "
+        "CASE WHEN mx = mn THEN repeat(' ', w) ELSE "
+        "concat("
+        " repeat('█', CAST(floor(least(greatest((v-mn)/(mx-mn),0),1)*w) AS INT)),"
+        " element_at(array('', '▏', '▎', '▍', '▌',"
+        "                  '▋', '▊', '▉'),"
+        "   CAST(floor((least(greatest((v-mn)/(mx-mn),0),1)*w"
+        "        - floor(least(greatest((v-mn)/(mx-mn),0),1)*w)) * 8) AS INT) + 1),"
+        " repeat(' ', greatest(0, w"
+        "   - 3*CAST(floor(least(greatest((v-mn)/(mx-mn),0),1)*w) AS INT)"
+        "   - CASE WHEN CAST(floor((least(greatest((v-mn)/(mx-mn),0),1)*w"
+        "        - floor(least(greatest((v-mn)/(mx-mn),0),1)*w)) * 8) AS INT) > 0"
+        "     THEN 3 ELSE 0 END))"
+        ") END"
+    )
+
     # typeof → DuckDB type spellings (shares the DESCRIBE name map's
     # scalar rules; one array level via the LIKE branch, upper() covers
     # decimal(p,s) and the long tail)
@@ -5532,7 +5590,8 @@ def describe_frame(spark: SparkSession, df: DataFrame) -> DataFrame:
     ]
     return spark.createDataFrame(rows, schema)
 _PIVOT_RE = re.compile(
-    r"^\s*PIVOT\s+(\(.*\)|[A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_]\w*)\s+"
+    r"^\s*PIVOT\s+(\(.*\)|[A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_]\w*)\s*"
+    r"(?:IN\s*\(([^)]*)\)\s*)?\s+"
     r"USING\s+(\w+)\s*\(\s*(\*|[A-Za-z_]\w*)\s*\)"
     r"(?:\s+GROUP\s+BY\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -5554,7 +5613,7 @@ def _run_pivot(spark: SparkSession, m: re.Match) -> DataFrame:
     mirrored here."""
     from pyspark.sql import functions as F
 
-    tbl, on_col, fn, arg, group_by = m.groups()
+    tbl, on_col, in_list, fn, arg, group_by = m.groups()
     df = (
         run_sql(spark, tbl[1:-1]) if tbl.startswith("(") else spark.table(tbl)
     )
@@ -5570,6 +5629,13 @@ def _run_pivot(spark: SparkSession, m: re.Match) -> DataFrame:
         groups = [c.strip() for c in group_by.split(",")]
     else:
         groups = [c for c in df.columns if c != on_col and c != arg]
+    if in_list:
+        # explicit value list: no distinct-discovery job — the static
+        # form a production pipeline prefers (plan known at submit time)
+        values = [
+            _strip_quotes(v.strip()) for v in in_list.split(",") if v.strip()
+        ]
+        return df.groupBy(*groups).pivot(on_col, values).agg(agg)
     return df.groupBy(*groups).pivot(on_col).agg(agg)
 
 

@@ -125,3 +125,53 @@ def test_misc_function_tail(sql_session, duck):
         "greatest_common_divisor(48, 36) AS g",
     )
     _match(sql_session, duck, "SELECT gcd(0, 5) AS g, lcm(0, 5) AS l")
+
+
+# --- battery 12 additions: PIVOT IN, chr codepoints, bar, * REPLACE order --
+
+
+def test_pivot_explicit_in_list(sql_session, duck):
+    for sql in (
+        "PIVOT orders ON o_orderstatus IN ('O', 'F') USING sum(o_totalprice)",
+        "PIVOT orders ON o_orderstatus IN ('O', 'F') USING count(*) "
+        "GROUP BY o_orderpriority",
+    ):
+        _match(sql_session, duck, sql)
+
+
+def test_chr_unicode_codepoints(sql_session, duck):
+    # Spark's chr is mod-256 Latin-1; DuckDB takes a full code point
+    _match(
+        sql_session,
+        duck,
+        "SELECT chr(8364) AS c, chr(65) AS a, chr(128169) AS p",
+    )
+
+
+@pytest.mark.parametrize(
+    "call",
+    [
+        "bar(3, 0, 10, 10)",
+        "bar(3.33, 0, 10, 10)",
+        "bar(0, 0, 10, 10)",
+        "bar(10, 0, 10, 10)",
+        "bar(7.29, 0, 10, 8)",
+        "bar(5, 0, 10)",  # default width 80
+        "bar(0.62, 0, 10, 10)",
+    ],
+)
+def test_bar_chart_function(sql_session, duck, call):
+    # truncated eighth-block partials + DuckDB's byte-width padding
+    _match(sql_session, duck, f"SELECT {call} AS b")
+
+
+def test_star_replace_keeps_column_positions(sql_session, duck):
+    sql = (
+        "SELECT * REPLACE (n_nationkey * 10 AS n_nationkey) FROM nation "
+        "ORDER BY n_nationkey LIMIT 2"
+    )
+    with serving_dialect(True):
+        df = run_sql(sql_session, sql)
+    dcols = [d[0] for d in duck.execute(sql).description]
+    assert df.columns == dcols  # replaced column stays at its position
+    _match(sql_session, duck, sql)
