@@ -70,6 +70,7 @@ _PRIORITY_R8: tuple[str, ...] = (
     "s08_s3_scan",             # new: S3-protocol object-store scan
     "s10b_attach_remote_catalog",  # new: Flight catalog discovery
     "st_stream_decontam",      # new: Bloom decontamination in streaming
+    "s24_attach_duckdb_file",  # new: ATTACH of a real .duckdb database
     # --- code changed this round: refresh green evidence ---
     "b30c_gif_decode",         # color-table validation added
     "b30d_webp_decode",        # length-limited Huffman rebuilt

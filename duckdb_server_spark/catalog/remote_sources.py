@@ -269,3 +269,59 @@ def s09b_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .orderBy(F.col("doc_id").asc_nulls_last())
     )
+
+
+@query(
+    "s24_attach_duckdb_file",
+    oracle="""
+    SELECT r.r_name, count(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name ASC NULLS LAST
+    """,
+)
+def s24_attach_duckdb_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTACH of a REAL .duckdb database file — the literal artifact the
+    reference's ``-db`` flag mounts (main.go:54-61). A legacy DuckDB
+    database is staged once per sf_dir (built BY duckdb, so the attach
+    path reads a genuine DuckDB storage file, not a fixture we control),
+    then ``ATTACH '…' AS legacy (READ_ONLY)`` routes through the
+    statement router: every table exports ONCE through DuckDB's own
+    parquet writer into an mtime-keyed spool (bytes go file→file — no
+    driver materialization) and registers as external parquet under a
+    catalog database, so Spark scans with full pushdown/pruning and
+    two-part names. The query joins an attached table against the live
+    warehouse — the migration shape: a user points this engine at their
+    existing DuckDB file and keeps querying."""
+    import hashlib
+
+    from duckdb_server_spark.dialect import execute_statement, run_sql
+    from duckdb_server_spark.session import register_views
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    dbfile = os.path.join(tempfile.gettempdir(), f"dss_legacy_{key}.duckdb")
+    if not os.path.exists(dbfile):
+        import duckdb as _duckdb
+
+        tmp = dbfile + ".tmp"
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        con = _duckdb.connect(tmp)
+        try:
+            con.execute(
+                "CREATE TABLE nation AS SELECT * FROM read_parquet("
+                f"'{os.path.join(sf_dir, 'nation.parquet')}')"
+            )
+        finally:
+            con.close()
+        os.replace(tmp, dbfile)
+    register_views(spark, sf_dir, tables=("region",))
+    alias = f"legacy_{key}"
+    execute_statement(spark, f"ATTACH '{dbfile}' AS {alias} (READ_ONLY)")
+    return run_sql(
+        spark,
+        f"SELECT r.r_name, count(*) AS n_nations "
+        f"FROM {alias}.nation n JOIN region r "
+        f"ON n.n_regionkey = r.r_regionkey "
+        f"GROUP BY r.r_name ORDER BY r.r_name ASC NULLS LAST",
+    )

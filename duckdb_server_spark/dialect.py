@@ -4204,6 +4204,20 @@ _INSTALL_RE = re.compile(
     r"^\s*(?:FORCE\s+)?INSTALL\s+([A-Za-z_]\w*)(?:\s+FROM\s+\S+)?\s*$", re.IGNORECASE
 )
 _LOAD_RE = re.compile(r"^\s*LOAD\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
+# ATTACH 'path' [AS alias] [(READ_ONLY, TYPE duckdb, ...)] — a parquet
+# warehouse directory or a real .duckdb database file (engine.py:
+# attach_warehouse). Option list accepted and ignored: this engine's
+# attach is always read-only, matching the reference's serving contract.
+# The Airport/remote form routes to the Flight catalog path instead.
+_ATTACH_RE = re.compile(
+    r"^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'"
+    r"(?:\s+AS\s+([A-Za-z_]\w*))?\s*(?:\(([^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DETACH_RE = re.compile(
+    r"^\s*DETACH\s+(?:DATABASE\s+)?([A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE
+)
+
 _SECRET_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:PERSISTENT\s+|TEMPORARY\s+)?SECRET"
     r"(?:\s+(?!\()([A-Za-z_]\w*))?\s*\(", re.IGNORECASE
@@ -4491,6 +4505,31 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         )
     if _CHECKPOINT_RE.match(stmt):
         return None  # durability is the parquet warehouse's concern
+    if m := _ATTACH_RE.match(stmt):
+        path, alias, opts = m.groups()
+        if alias is None:
+            import os as _os
+
+            alias = _os.path.splitext(_os.path.basename(path))[0]
+        opts_l = (opts or "").lower()
+        if "type airport" in opts_l:
+            # the k8s sidecar topology: remote catalog over Flight
+            from duckdb_server_spark.sources.remote import (
+                attach_flight_catalog,
+            )
+
+            lm = re.search(r"location\s+'([^']+)'", opts or "", re.IGNORECASE)
+            if not lm:
+                raise ValueError("ATTACH (TYPE AIRPORT) needs a location")
+            attach_flight_catalog(spark, lm.group(1), prefix=f"{alias}_")
+            return None
+        from duckdb_server_spark.engine import attach_warehouse
+
+        attach_warehouse(spark, path, alias)
+        return None
+    if m := _DETACH_RE.match(stmt):
+        spark.sql(f"DROP DATABASE IF EXISTS {m.group(1)} CASCADE")
+        return None
     if m := _INSTALL_RE.match(stmt):
         if m.group(1).lower() not in state.installed:
             state.installed.append(m.group(1).lower())

@@ -233,31 +233,10 @@ class Engine:
 
     # -- multi-warehouse (DuckDB ATTACH parity) -----------------------------
     def attach(self, warehouse_dir: str, alias: str) -> list[str]:
-        """DuckDB ``ATTACH 'other.db' AS alias`` analog (the reference's
-        ``-db`` flag mounts exactly one database, main.go:54-61; DuckDB
-        users attach more at runtime through the SQL passthrough). Spark
-        re-expression: a catalog **database** named ``alias`` holding one
-        external parquet table per file in ``warehouse_dir`` — queries
-        use real two-part names (``alias.nation``), cross-database joins
-        are ordinary joins, and the scans stay pushdown/pruning-capable
-        external tables (no data copied)."""
-        import glob as _glob
-        import os
-
-        if not _IDENT.fullmatch(alias):
-            raise ValueError(f"alias must be an identifier, got {alias!r}")
-        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {alias}")
-        tables = []
-        for path in sorted(_glob.glob(os.path.join(warehouse_dir, "*.parquet"))):
-            name = os.path.splitext(os.path.basename(path))[0]
-            if not _IDENT.fullmatch(name):
-                continue
-            self.spark.sql(f"DROP TABLE IF EXISTS {alias}.{name}")
-            self.spark.sql(
-                f"CREATE TABLE {alias}.{name} USING parquet LOCATION '{path}'"
-            )
-            tables.append(name)
-        return tables
+        """DuckDB ``ATTACH 'other.db' AS alias`` analog — see
+        :func:`attach_warehouse` (parquet directories AND real .duckdb
+        database files)."""
+        return attach_warehouse(self.spark, warehouse_dir, alias)
 
 
     def detach(self, alias: str) -> None:
@@ -367,3 +346,66 @@ def summarize_frame(spark: SparkSession, name: str) -> DataFrame:
         F.explode(F.array(*[F.col(f.name) for f in df.schema.fields])).alias("s")
     )
     return stacked.select("s.*")
+
+
+def attach_warehouse(spark: SparkSession, path: str, alias: str) -> list[str]:
+    """DuckDB ``ATTACH 'other' AS alias`` (the reference's ``-db`` flag
+    mounts exactly one database, main.go:54-61; DuckDB users attach more
+    at runtime through the SQL passthrough). Two source shapes:
+
+    - a DIRECTORY of ``<table>.parquet`` → one external parquet table
+      per file under a catalog database named ``alias`` — queries use
+      real two-part names (``alias.nation``), cross-database joins are
+      ordinary joins, and the scans stay pushdown/pruning-capable (no
+      data copied);
+    - an actual **.duckdb/.db database file** — the literal artifact a
+      DuckDB user has: opened read-only with the duckdb library, every
+      table exported ONCE to a parquet spool via DuckDB's own parquet
+      writer (no driver materialization — bytes go file→file), then
+      registered exactly like the directory form. The spool is keyed by
+      the file's path+mtime, so re-attaching an unchanged database costs
+      no copy, and Spark scans parquet with full pushdown instead of
+      round-tripping rows through Python.
+    """
+    import glob as _glob
+    import hashlib as _hashlib
+    import os
+    import tempfile as _tempfile
+
+    if not _IDENT.fullmatch(alias):
+        raise ValueError(f"alias must be an identifier, got {alias!r}")
+    src = path
+    if os.path.isfile(path):
+        import duckdb as _duckdb
+
+        key = _hashlib.md5(
+            f"{os.path.abspath(path)}:{os.path.getmtime(path)}".encode()
+        ).hexdigest()[:16]
+        spool = os.path.join(_tempfile.gettempdir(), f"dss_attach_{key}")
+        marker = os.path.join(spool, "_SUCCESS")
+        if not os.path.exists(marker):
+            os.makedirs(spool, exist_ok=True)
+            con = _duckdb.connect(path, read_only=True)
+            try:
+                names = [r[0] for r in con.execute("SHOW TABLES").fetchall()]
+                for name in names:
+                    if not _IDENT.fullmatch(name):
+                        continue
+                    out = os.path.join(spool, f"{name}.parquet")
+                    con.execute(
+                        f'COPY "{name}" TO \'{out}\' (FORMAT parquet)'
+                    )
+            finally:
+                con.close()
+            open(marker, "w").close()
+        src = spool
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {alias}")
+    tables = []
+    for p in sorted(_glob.glob(os.path.join(src, "*.parquet"))):
+        name = os.path.splitext(os.path.basename(p))[0]
+        if not _IDENT.fullmatch(name):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {alias}.{name}")
+        spark.sql(f"CREATE TABLE {alias}.{name} USING parquet LOCATION '{p}'")
+        tables.append(name)
+    return tables

@@ -272,3 +272,61 @@ def test_s3_sql_end_to_end(spark):
         f"SELECT count(*) AS n FROM read_parquet('s3://{bucket}/nation.parquet')",
     )
     assert df.collect()[0]["n"] == 25
+
+
+# --- ATTACH of a real .duckdb database file -------------------------------
+
+
+def test_attach_duckdb_file_statement(spark, tmp_path):
+    """The reference's -db flag mounts a DuckDB database file; ATTACH of
+    that literal artifact exports via DuckDB's own parquet writer into a
+    spool and registers external tables with full pushdown."""
+    import duckdb as _duckdb
+
+    from duckdb_server_spark.dialect import execute_statement, run_sql
+
+    dbfile = str(tmp_path / "legacy.duckdb")
+    con = _duckdb.connect(dbfile)
+    con.execute("CREATE TABLE kv AS SELECT i AS k, i * i AS v FROM range(10) t(i)")
+    con.execute("CREATE TABLE tiny AS SELECT 42 AS x")
+    con.close()
+    execute_statement(spark, f"ATTACH '{dbfile}' AS t8legacy (READ_ONLY)")
+    try:
+        assert run_sql(spark, "SELECT sum(v) AS s FROM t8legacy.kv").collect()[0]["s"] == 285
+        assert run_sql(spark, "SELECT x FROM t8legacy.tiny").collect()[0]["x"] == 42
+        # pushdown reaches the spooled parquet scan
+        plan = (
+            spark.sql("SELECT v FROM t8legacy.kv WHERE k = 3")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan
+    finally:
+        execute_statement(spark, "DETACH t8legacy")
+    assert not spark.catalog.databaseExists("t8legacy")
+
+
+def test_attach_directory_statement(spark):
+    from duckdb_server_spark.dialect import execute_statement, run_sql
+
+    execute_statement(spark, "ATTACH '/root/testdata/sf0.001' AS t8dir")
+    try:
+        n = run_sql(spark, "SELECT count(*) AS n FROM t8dir.nation").collect()[0]["n"]
+        assert n == 25
+    finally:
+        execute_statement(spark, "DETACH DATABASE t8dir")
+
+
+def test_attach_airport_routes_to_flight_catalog(spark):
+    from duckdb_server_spark.catalog.remote_sources import _shared_flight_server
+    from duckdb_server_spark.dialect import execute_statement
+    from duckdb_server_spark.session import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ("nation",))
+    server = _shared_flight_server(spark)
+    execute_statement(
+        spark,
+        f"ATTACH 'whatever' AS apdemo (TYPE AIRPORT, "
+        f"location 'grpc://127.0.0.1:{server.port}')",
+    )
+    # discovered tables register as prefixed lazy views
+    assert spark.table("apdemo_nation").count() == 25
