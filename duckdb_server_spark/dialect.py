@@ -232,6 +232,7 @@ _FN_RENAMES = {
     "json_valid": "dd_json_valid",
     "json_keys": "dd_json_keys",
     "json_merge_patch": "dd_json_merge_patch",
+    "json_structure": "dd_json_structure",
     "json_extract": "dd_json_extract",
     "json_extract_path": "dd_json_extract",
 # (list_distinct is a _template rewrite: DuckDB drops NULLs; element
@@ -2191,6 +2192,13 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         # DuckDB: seconds-since-epoch (DOUBLE) → TIMESTAMPTZ; collected
         # naive, so NTZ matches. (String input is invalid in DuckDB.)
         return f"CAST(timestamp_seconds({args[0]}) AS TIMESTAMP_NTZ)"
+    if fn == "json_quote" and len(args) == 1:
+        a = args[0].strip()
+        if re.fullmatch(r"\x00\d+\x00", a):
+            return f"dd_json_quote({a})"  # string value → quoted JSON
+        if re.fullmatch(r"-?\d+(\.\d+)?", a):
+            return _masked_literal(table, a)  # numeric → its JSON text
+        return None  # typed columns need type context — fail closed
     if fn == "chr" and len(args) == 1:
         # DuckDB chr() takes a Unicode CODE POINT; Spark's chr is
         # mod-256 Latin-1 — silent mojibake beyond 255. Java's %c
@@ -2411,6 +2419,12 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         return f"transform(slice({sorted_}, 1, {n}), p -> p.v)"
     if fn == "json" and len(args) == 1:
         return f"dd_json_canon({args[0]})"
+    if fn == "unnest" and len(args) == 1 and re.match(
+        r"(?i)\s*(named_struct|struct)\s*\(", args[0]
+    ):
+        # unnest(STRUCT) expands the fields into columns — Spark's
+        # inline over a one-element array is the exact shape
+        return f"inline(array({args[0]}))"
     if fn == "unnest" and len(args) == 2:
         om = re.match(r"(?i)(recursive|max_depth)\s*:=", args[1].strip())
         if not om:
@@ -2433,7 +2447,7 @@ _TEMPLATE_RE = re.compile(
     r"to_timestamp|strptime|try_strptime|list_distinct|list_prepend|array_prepend|array_push_front|typeof|version|txid_current|bit_count|chr|bar|struct_extract|current_schema|"
     r"current_database|kurtosis|histogram|quantile_disc|quantile|format|"
     r"list_reverse_sort|dayname|monthname|geomean|divide|multiply|add|"
-    r"subtract|fsum|sumkahan|kahan_sum|date_trunc|datetrunc|"
+    r"subtract|fsum|sumkahan|kahan_sum|date_trunc|datetrunc|json_quote|"
     r"encode|decode|sha256|left|right|unnest|"
     r"list_sum|list_avg|list_any_value|"
     r"list_has_all|list_select|list_where|list_grade_up|list_resize|"
@@ -3499,6 +3513,60 @@ def _register_json_shims(spark: SparkSession) -> None:
             return _json.dumps(obj, separators=(",", ":")) if ok else None
         return s.map(canon)
 
+    def _structure(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "BOOLEAN"
+        if isinstance(v, int):
+            return "UBIGINT" if v >= 0 else "BIGINT"
+        if isinstance(v, float):
+            return "DOUBLE"
+        if isinstance(v, str):
+            return "VARCHAR"
+        if isinstance(v, list):
+            elems = [_structure(e) for e in v]
+            return [_unify(elems)] if elems else ["NULL"]
+        if isinstance(v, dict):
+            return {k: _structure(x) for k, x in v.items()}
+        return "JSON"
+
+    def _unify(structs):
+        first = structs[0]
+        if all(s == first for s in structs):
+            return first
+        if all(isinstance(s, str) for s in structs):
+            scalars = set(structs) - {"NULL"}
+            if scalars <= {"UBIGINT", "BIGINT", "DOUBLE"}:
+                if "DOUBLE" in scalars:
+                    return "DOUBLE"
+                return "BIGINT" if "BIGINT" in scalars else "UBIGINT"
+            return "JSON"
+        if all(isinstance(s, dict) for s in structs):
+            keys = {k for s in structs for k in s}
+            return {
+                k: _unify([s[k] for s in structs if k in s]) for k in keys
+            }
+        if all(isinstance(s, list) for s in structs):
+            return [_unify([s[0] for s in structs])]
+        return "JSON"
+
+    def jstructure(s):
+        def one(v):
+            obj, ok = _parse(v)
+            if not ok:
+                return None
+            return _json.dumps(_structure(obj), separators=(",", ":"))
+
+        return s.map(one)
+
+    def jquote(s):
+        return s.map(
+            lambda v: _json.dumps(v, separators=(",", ":"))
+            if v is not None
+            else None
+        )
+
     def jmerge(a, b):
         def patch(target, p):
             if not isinstance(p, dict):
@@ -3524,6 +3592,8 @@ def _register_json_shims(spark: SparkSession) -> None:
         ("dd_json_keys", jkeys, "array<string>"),
         ("dd_json_canon", jcanon, "string"),
         ("dd_json_merge_patch", jmerge, "string"),
+        ("dd_json_structure", jstructure, "string"),
+        ("dd_json_quote", jquote, "string"),
     ):
         fn.__annotations__ = (
             {"d": pd.Series, "p": pd.Series, "return": pd.Series}

@@ -175,3 +175,23 @@ def test_star_replace_keeps_column_positions(sql_session, duck):
     dcols = [d[0] for d in duck.execute(sql).description]
     assert df.columns == dcols  # replaced column stays at its position
     _match(sql_session, duck, sql)
+
+
+# --- battery 13: json_structure/json_quote, struct unnest ------------------
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        """SELECT json_structure('{"a": [1,2], "b": "x"}') AS s""",
+        """SELECT json_structure('[1.5, 2]') AS s""",
+        """SELECT json_structure('[-1, 2]') AS s""",
+        """SELECT json_structure('{"n": null}') AS s""",
+        """SELECT json_structure('[{"a":1},{"a":2.5}]') AS s""",
+        """SELECT json_quote('he"llo') AS q""",
+        """SELECT json_quote(5) AS q""",
+        """SELECT unnest({'a': 1, 'b': 'x'})""",
+    ],
+)
+def test_json_structure_quote_struct_unnest(sql_session, duck, sql):
+    _match(sql_session, duck, sql)
