@@ -1541,15 +1541,18 @@ def _date_diff_boundary(unit: str, a: str, b: str) -> str | None:
         )
     if u == "decade":
         return f"CAST(FLOOR(year({b}) / 10) - FLOOR(year({a}) / 10) AS BIGINT)"
+    # DuckDB's date_diff buckets centuries/millennia at year/100 and
+    # year/1000 (1999→2000 crosses, 2000→2001 does not) — NOT the
+    # extract('century') proper-century convention; probed on live 1.0
     if u == "century":
         return (
-            f"CAST(FLOOR((year({b}) - 1) / 100) "
-            f"- FLOOR((year({a}) - 1) / 100) AS BIGINT)"
+            f"CAST(FLOOR(year({b}) / 100) "
+            f"- FLOOR(year({a}) / 100) AS BIGINT)"
         )
     if u == "millennium":
         return (
-            f"CAST(FLOOR((year({b}) - 1) / 1000) "
-            f"- FLOOR((year({a}) - 1) / 1000) AS BIGINT)"
+            f"CAST(FLOOR(year({b}) / 1000) "
+            f"- FLOOR(year({a}) / 1000) AS BIGINT)"
         )
     return None
 
