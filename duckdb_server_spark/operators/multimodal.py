@@ -2,13 +2,14 @@
 with typed metadata (beyond-reference capability).
 
 IMAGE decode is REAL for PNG (operators/png.py — zlib + the five
-scanline filters, b30b differential oracle) AND for baseline JPEG
-(operators/jpeg.py — canonical Huffman + IDCT, b31b differential
-oracle); both decode actual image bytes inside the Arrow batch stream.
-Remaining formats (WebP via PIL, video via ffmpeg) are declared plug
-points — ``decode_image`` dispatches on magic bytes and raises for
-formats whose libraries this container lacks; the batch shape is
-identical, so a library import is the only change.
+scanline filters, b30b differential oracle), baseline JPEG
+(operators/jpeg.py — canonical Huffman + IDCT, b31b), GIF
+(operators/gif.py — LZW + de-interlace, b30c), lossless WebP
+(operators/webp.py — VP8L, b30d) AND lossy WebP (operators/vp8.py —
+VP8 key frames, b30e); all decode actual image bytes inside the Arrow
+batch stream. ``decode_image`` dispatches on magic bytes and raises for
+formats whose libraries this container lacks (VP8X extended WebP); the
+batch shape is identical, so a library import is the only change.
 
 Scale design: mapInPandas streams Arrow batches through Python without
 materializing a partition; payloads never pass through the driver; the
@@ -47,9 +48,10 @@ def decode_image(payload: bytes) -> dict:
     web-corpus image format decodes for real: PNG (stdlib zlib + the
     five scanline filters — operators/png.py), baseline JPEG (canonical
     Huffman + IDCT — operators/jpeg.py), GIF (variable-width LZW +
-    4-pass de-interlace — operators/gif.py), and lossless WebP (VP8L
-    canonical-Huffman + LZ77 + subtract-green — operators/webp.py).
-    Lossy VP8 WebP remains the one plug point (libwebp drops in here)."""
+    4-pass de-interlace — operators/gif.py), lossless WebP (VP8L
+    canonical-Huffman + LZ77 + subtract-green — operators/webp.py),
+    and lossy WebP (VP8 key frames: boolean range coder + token trees +
+    exact integer WHT/IDCT + intra prediction — operators/vp8.py)."""
     from duckdb_server_spark.operators.gif import GIF_SIGNATURES, decode_gif
     from duckdb_server_spark.operators.png import PNG_SIGNATURE, decode_png
 
@@ -66,8 +68,8 @@ def decode_image(payload: bytes) -> dict:
 
         return decode_webp(payload)
     raise NotImplementedError(
-        "PNG, baseline JPEG, GIF, and lossless WebP codecs are built "
-        "in; install an image library for other formats"
+        "PNG, baseline JPEG, GIF, and WebP (VP8L + VP8) codecs are "
+        "built in; install an image library for other formats"
     )
 
 

@@ -447,8 +447,12 @@ def decode_webp(payload: bytes) -> dict:
         if cid == b"VP8L":
             data = payload[pos + 8 : pos + 8 + size]
             break
-        if cid == b"VP8 " or cid == b"VP8X":
-            raise NotImplementedError("lossy/extended WebP needs libwebp")
+        if cid == b"VP8 ":
+            from duckdb_server_spark.operators.vp8 import decode_vp8_frame
+
+            return decode_vp8_frame(payload[pos + 8 : pos + 8 + size])
+        if cid == b"VP8X":
+            raise NotImplementedError("extended (VP8X) WebP needs libwebp")
         pos += 8 + size + (size % 2)
     if data is None or data[:1] != b"\x2f":
         raise ValueError("WebP: no VP8L chunk")
