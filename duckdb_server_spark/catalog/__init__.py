@@ -67,6 +67,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _PRIORITY_R8: tuple[str, ...] = (
     # --- new in round 8 (names registered by their modules) ---
     "b30e_vp8_decode",         # new: lossy-WebP VP8 key-frame codec
+    "b32e_webm_vp8",           # new: WebM carrying bare VP8 frames
     "b32d_webm_frames",        # new: EBML/Matroska container demux
     "s08_s3_scan",             # new: S3-protocol object-store scan
     "s10b_attach_remote_catalog",  # new: Flight catalog discovery

@@ -1316,6 +1316,76 @@ def b32d_webm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b32e_webm_vp8",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, substr(text || repeat('x', 8), 1, 8) AS s
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(range(1, 9),
+                            i -> ascii(substr(s, CAST(i AS INT), 1))) AS c
+      FROM px
+    )
+    SELECT doc_id, 8 AS n_frames, 3 AS n_sampled, 16 AS width, 16 AS height,
+           CAST(256 * (c[1] + c[4] + c[7]) AS BIGINT) AS px_sum,
+           CAST(least(c[1], c[4], c[7]) AS INT) AS px_min,
+           CAST(greatest(c[1], c[4], c[7]) AS INT) AS px_max
+    FROM codes
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b32e_webm_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebM end-to-end: EBML/Matroska demux (operators/webm.py)
+    carrying BARE VP8 key frames in its SimpleBlocks — WebM's own V_VP8
+    codec contract (webm DocType), not stored-image passthrough. Each
+    document's first 8 chars become 16x16 uniform VP8 frames (one
+    macroblock each, boolean-coded DC_PRED residual per frame);
+    video_frame_features fetches every 3rd frame via SeekHead → Cues
+    and decode_image dispatches the frame on VP8's own start code.
+    Container random access AND lossy-codec entropy decode are jointly
+    oracled: statistics replay from the frame DEFINITION (character
+    codes) with no notion of EBML or VP8 — exact because the VP8
+    encoder's quantized-coefficient construction is bit-lossless on
+    uniform macroblocks (operators/vp8.py docstring)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.vp8 import encode_vp8_gray
+        from duckdb_server_spark.operators.webm import encode_webm_mjpeg
+
+        tiles: dict[int, bytes] = {}
+
+        def tile(v: int) -> bytes:
+            f = tiles.get(v)
+            if f is None:
+                blob = encode_vp8_gray(bytes([v]) * 256, 16, 16)
+                n = int.from_bytes(blob[16:20], "little")
+                f = tiles[v] = blob[20 : 20 + n]  # bare frame, no RIFF
+            return f
+
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text_ or "")[:8]).ljust(8, "x").encode("latin-1")
+                frames = [tile(s[i]) for i in range(8)]
+                ids.append(doc_id)
+                payloads.append(
+                    encode_webm_mjpeg(frames, 16, 16, fps=10,
+                                      codec_id=b"V_VP8")
+                )
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    webm_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
+    return multimodal.video_frame_features(webm_df, stride=3).orderBy(
+        F.col("doc_id").asc_nulls_last()
+    )
+
+
 # b33b: REAL audio decode. Samples are an integer function of the text
 # codes, so every emitted statistic — including the data-dependent
 # zero-crossing count — replays exactly in SQL with no notion of WAV.

@@ -67,6 +67,12 @@ def decode_image(payload: bytes) -> dict:
         from duckdb_server_spark.operators.webp import decode_webp
 
         return decode_webp(payload)
+    if payload[3:6] == b"\x9d\x01\x2a" and not payload[0] & 1:
+        # bare VP8 key frame — the form WebM SimpleBlocks carry (V_VP8
+        # stores raw frames with their own start code, no RIFF wrapper)
+        from duckdb_server_spark.operators.vp8 import decode_vp8_frame
+
+        return decode_vp8_frame(payload)
     raise NotImplementedError(
         "PNG, baseline JPEG, GIF, and WebP (VP8L + VP8) codecs are "
         "built in; install an image library for other formats"

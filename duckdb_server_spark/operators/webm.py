@@ -138,10 +138,16 @@ def _elements(payload: bytes, pos: int, end: int):
 
 
 def encode_webm_mjpeg(
-    frames: list[bytes], width: int, height: int, fps: int = 10
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    codec_id: bytes = b"V_MJPEG",
 ) -> bytes:
-    """JPEG frame payloads → Matroska bytes (DocType ``matroska``,
-    CodecID ``V_MJPEG``), one frame per Cluster with a CuePoint each.
+    """Frame payloads → Matroska bytes (DocType ``matroska``, or the
+    ``webm`` DocType when ``codec_id`` is ``V_VP8`` — WebM's own codec
+    contract stores bare VP8 frames in SimpleBlocks), one frame per
+    Cluster with a CuePoint each.
     Cues live after the clusters (the streaming-writer layout), so every
     CueClusterPosition is known when they are built; the SeekHead at the
     front carries the Cues position with a fixed-width encoding so its
@@ -156,7 +162,7 @@ def encode_webm_mjpeg(
         + _elem(_EBML_READ_VERSION, _uint(1))
         + _elem(_MAX_ID_LENGTH, _uint(4))
         + _elem(_MAX_SIZE_LENGTH, _uint(8))
-        + _elem(_DOCTYPE, b"matroska")
+        + _elem(_DOCTYPE, b"webm" if codec_id == b"V_VP8" else b"matroska")
         + _elem(_DOCTYPE_VERSION, _uint(2))
         + _elem(_DOCTYPE_READ_VERSION, _uint(2)),
     )
@@ -174,7 +180,7 @@ def encode_webm_mjpeg(
             _elem(_TRACK_NUMBER, _uint(1))
             + _elem(_TRACK_UID, _uint(1))
             + _elem(_TRACK_TYPE, _uint(1))  # video
-            + _elem(_CODEC_ID, b"V_MJPEG")
+            + _elem(_CODEC_ID, codec_id)
             + _elem(
                 _VIDEO,
                 _elem(_PIXEL_WIDTH, _uint(width))

@@ -157,3 +157,40 @@ def test_decode_image_dispatch():
     px, w, h = _mb_image([[200, 17]], 2, 1)
     img = decode_image(encode_vp8_gray(px, w, h))
     assert img["pixels"] == px and img["width"] == 32
+
+
+def test_bare_frame_dispatch():
+    # WebM SimpleBlocks carry VP8 frames without the RIFF wrapper —
+    # decode_image dispatches on the frame's own 9d 01 2a start code
+    from duckdb_server_spark.operators.multimodal import decode_image
+
+    px, w, h = _mb_image([[7]], 1, 1)
+    blob = encode_vp8_gray(px, w, h)
+    n = int.from_bytes(blob[16:20], "little")
+    bare = blob[20 : 20 + n]
+    assert decode_image(bare)["pixels"] == px
+
+
+def test_webm_vp8_end_to_end():
+    # V_VP8 contract: webm DocType, bare frames in SimpleBlocks, cue
+    # fetch, then real VP8 entropy decode per sampled frame
+    from duckdb_server_spark.operators.webm import (
+        decode_webm_frame,
+        encode_webm_mjpeg,
+        probe_webm,
+    )
+    from duckdb_server_spark.operators.multimodal import decode_image
+
+    vals = [10, 200, 55, 128]
+    frames = []
+    for v in vals:
+        blob = encode_vp8_gray(bytes([v]) * 256, 16, 16)
+        n = int.from_bytes(blob[16:20], "little")
+        frames.append(blob[20 : 20 + n])
+    webm = encode_webm_mjpeg(frames, 16, 16, codec_id=b"V_VP8")
+    assert b"webm" in webm[:64] and b"V_VP8" in webm[:256]
+    video = probe_webm(webm)
+    assert video["declared_frames"] == 4
+    for i, v in enumerate(vals):
+        img = decode_image(decode_webm_frame(webm, i, video))
+        assert img["pixels"] == bytes([v]) * 256
