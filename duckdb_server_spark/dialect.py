@@ -176,6 +176,8 @@ def _find_top_keyword(s: str, words: tuple[str, ...], start: int = 0) -> tuple[i
 # dialect-path-only, so Spark-native queries keep Spark semantics.
 _FN_RENAMES = {
     "list_transform": "transform",
+    "list_apply": "transform",
+    "row": "struct",
     "list_filter": "filter",
     "array_transform": "transform",
     "array_filter": "filter",
@@ -1121,7 +1123,13 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
     conflicts across the referenced tables are dropped (the heuristic
     takes over). This is what makes ``len()`` dispatch and string
     subscripting schema-aware instead of guessing from names."""
-    from pyspark.sql.types import ArrayType, DateType, StringType
+    from pyspark.sql.types import (
+        ArrayType,
+        DateType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     kinds: dict[str, str] = {}
     conflicted: set[str] = set()
@@ -1143,6 +1151,8 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
                 k = "string"
             elif isinstance(f.dataType, DateType):
                 k = "date"
+            elif isinstance(f.dataType, (TimestampType, TimestampNTZType)):
+                k = "timestamp"
             else:
                 k = "other"
             if nm in kinds and kinds[nm] != k:
@@ -1612,7 +1622,12 @@ def _rewrite_struct_map(s: str, table: list[str]) -> str:
         open_idx = m.end() - 1
         close = _matching_paren(s, open_idx)
         args = _split_top_commas(s[open_idx + 1 : close])
-        if len(args) == 2:
+        # DuckDB's map() function only takes two LIST arguments; a
+        # scalar 2-arg map(k, v) can only come from our own single-entry
+        # MAP {k: v} literal rewrite — leave that as Spark's variadic map
+        if len(args) == 2 and not re.match(
+            r"(?i)^\s*(\x00\d+\x00|-?\d)", args[0]
+        ):
             repl = f"map_from_arrays({args[0]}, {args[1]})"
             s = s[: m.start()] + repl + s[close + 1 :]
             pos = m.start() + len(repl)
@@ -1871,34 +1886,185 @@ def _rewrite_generate_subscripts(s: str) -> str:
 
 
 _TIME_BUCKET_RE = re.compile(r"\btime_bucket\s*\(", re.IGNORECASE)
-_INTERVAL_SECONDS = {
-    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+_INTERVAL_MICROS = {
+    "microsecond": 1, "microseconds": 1, "us": 1,
+    "millisecond": 1_000, "milliseconds": 1_000, "ms": 1_000,
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
 }
+_INTERVAL_DAYS = {"day": 1, "days": 1, "week": 7, "weeks": 7}
+_INTERVAL_MONTHS = {
+    "month": 1, "months": 1, "quarter": 3, "quarters": 3,
+    "year": 12, "years": 12,
+}
+# DuckDB origin: 2000-01-03 (a Monday) for day/week AND sub-day widths
+# (probed on live 1.0: 7-day bucket of 2020-01-08 → 2020-01-06, a
+# Monday; 17-minute bucket of 2000-01-01 00:00 → 1999-12-31 23:50,
+# which only the 01-03 origin produces); month widths use 2000-01-01.
+_TB_EPOCH_ORIGIN = 946_857_600_000_000  # 2000-01-03 00:00:00 UTC in μs
 
 
-def _rewrite_time_bucket(s: str, table: list[str]) -> str:
-    """``time_bucket(INTERVAL 'n unit', ts)`` → epoch-floor bucketing
-    (UTC-pinned session, so unix_timestamp is a pure epoch read)."""
+def _tb_temporal_kind(x: str, table: list[str], kinds) -> str | None:
+    """'date' / 'timestamp' for a time_bucket operand, from literal
+    spelling, an explicit cast, or the catalog kinds table."""
+    t = x.strip()
+    if re.match(r"(?i)^DATE\s*\x00", t) or re.search(
+        r"(?i)(::\s*DATE|AS\s+DATE\s*\))\s*$", t
+    ):
+        return "date"
+    if re.match(r"(?i)^TIMESTAMP(_NTZ)?\s*\x00", t) or re.search(
+        r"(?i)(::\s*TIMESTAMP(_NTZ)?|AS\s+TIMESTAMP(_NTZ)?\s*\))\s*$", t
+    ):
+        return "timestamp"
+    if re.fullmatch(r"[A-Za-z_][\w.]*", t) and kinds:
+        k = kinds.get(t.split(".")[-1].lower())
+        if k in ("date", "timestamp"):
+            return k
+    return None
+
+
+def _rewrite_time_bucket(
+    s: str, table: list[str], kinds: dict[str, str] | None = None
+) -> str:
+    """``time_bucket(width, x[, origin])`` → integer pmod-floor bucketing
+    with DuckDB's origins (2000-01-03 for day/week widths, 2000-01-01
+    otherwise), month widths via add_months, and the output typed to the
+    input (DATE in → DATE out) — resolved from literal spelling, casts,
+    or the catalog kinds table; unresolvable operands fail closed."""
     while m := _TIME_BUCKET_RE.search(s):
         open_idx = m.end() - 1
         close = _matching_paren(s, open_idx)
         args = _split_top_commas(s[open_idx + 1 : close])
-        if len(args) != 2:
-            raise ValueError("time_bucket expects (INTERVAL, ts)")
-        im = re.match(r"^INTERVAL\s+(\x00\d+\x00)$", args[0].strip(), re.IGNORECASE)
-        if not im:
-            raise ValueError("time_bucket: first argument must be an INTERVAL literal")
-        lit = _literal_value(_unmask(im.group(1), table)) or ""
-        parts = lit.split()
-        if len(parts) != 2 or parts[1].lower() not in _INTERVAL_SECONDS:
-            raise ValueError(f"time_bucket: unsupported interval {lit!r}")
-        secs = int(parts[0]) * _INTERVAL_SECONDS[parts[1].lower()]
-        ts = args[1]
-        repl = (
-            f"to_timestamp(floor(unix_timestamp({ts}) / {secs}) * {secs})"
+        if len(args) not in (2, 3):
+            raise ValueError("time_bucket expects (INTERVAL, x[, origin])")
+        im = re.match(
+            r"(?i)^INTERVAL\s+(?:(\x00\d+\x00)|(\d+)\s+([A-Za-z]+))$",
+            args[0].strip(),
         )
+        if not im:
+            raise ValueError(
+                "time_bucket: first argument must be an INTERVAL literal"
+            )
+        if im.group(1):
+            lit = _literal_value(_unmask(im.group(1), table)) or ""
+            parts = lit.split()
+            if len(parts) != 2:
+                raise ValueError(f"time_bucket: unsupported interval {lit!r}")
+            n, unit = int(parts[0]), parts[1].lower()
+        else:
+            n, unit = int(im.group(2)), im.group(3).lower()
+        x = args[1].strip()
+        xt = _tb_temporal_kind(x, table, kinds)
+        if xt is None:
+            raise ValueError(
+                "time_bucket: cannot resolve operand type (cast to DATE "
+                "or TIMESTAMP explicitly)"
+            )
+        origin = args[2].strip() if len(args) == 3 else None
+        if origin is not None and _tb_temporal_kind(origin, table, kinds) is None:
+            raise ValueError(
+                "time_bucket: origin must be a DATE/TIMESTAMP literal"
+            )
+        if unit in _INTERVAL_MONTHS:
+            months = n * _INTERVAL_MONTHS[unit]
+            o = origin or "DATE '2000-01-01'"
+            mdiff = (
+                f"(12 * (year({x}) - year({o})) + month({x}) - month({o}))"
+            )
+            base = (
+                f"add_months(CAST({o} AS DATE), "
+                f"{mdiff} - pmod({mdiff}, {months}))"
+            )
+        elif unit in _INTERVAL_DAYS:
+            days = n * _INTERVAL_DAYS[unit]
+            o = origin or "DATE '2000-01-03'"
+            dd = f"datediff(CAST({x} AS DATE), CAST({o} AS DATE))"
+            base = (
+                f"date_add(CAST({o} AS DATE), {dd} - pmod({dd}, {days}))"
+            )
+        elif unit in _INTERVAL_MICROS:
+            mus = n * _INTERVAL_MICROS[unit]
+            if xt == "date":
+                if 86_400_000_000 % mus:
+                    raise ValueError(
+                        "time_bucket: sub-day width must divide a day "
+                        "for DATE input"
+                    )
+                s = s[: m.start()] + f"({x})" + s[close + 1 :]
+                continue
+            o_us = (
+                f"unix_micros(CAST({origin} AS TIMESTAMP))"
+                if origin
+                else str(_TB_EPOCH_ORIGIN)
+            )
+            delta = f"(unix_micros(CAST({x} AS TIMESTAMP)) - {o_us})"
+            base = (
+                f"timestamp_micros({delta} - pmod({delta}, {mus}) + {o_us})"
+            )
+            s = s[: m.start()] + base + s[close + 1 :]
+            continue
+        else:
+            raise ValueError(f"time_bucket: unsupported unit {unit!r}")
+        repl = base if xt == "date" else f"CAST({base} AS TIMESTAMP)"
         s = s[: m.start()] + repl + s[close + 1 :]
+    return s
+
+
+_DYN_INTERVAL_RE = re.compile(r"\bINTERVAL\s*\(", re.IGNORECASE)
+# unit → make_dt_interval / make_ym_interval argument template ({e} is
+# the dynamic count). DuckDB: INTERVAL (expr) UNIT — Spark intervals
+# only take literal counts, so this becomes a constructor call.
+_DYN_INTERVAL_UNITS = {
+    "year": "make_ym_interval({e})", "years": "make_ym_interval({e})",
+    "quarter": "make_ym_interval(0, 3 * ({e}))",
+    "quarters": "make_ym_interval(0, 3 * ({e}))",
+    "month": "make_ym_interval(0, {e})", "months": "make_ym_interval(0, {e})",
+    "week": "make_dt_interval(7 * ({e}))",
+    "weeks": "make_dt_interval(7 * ({e}))",
+    "day": "make_dt_interval({e})", "days": "make_dt_interval({e})",
+    "hour": "make_dt_interval(0, {e})", "hours": "make_dt_interval(0, {e})",
+    "minute": "make_dt_interval(0, 0, {e})",
+    "minutes": "make_dt_interval(0, 0, {e})",
+    "second": "make_dt_interval(0, 0, 0, {e})",
+    "seconds": "make_dt_interval(0, 0, 0, {e})",
+    "millisecond": "make_dt_interval(0, 0, 0, CAST({e} AS DECIMAL(28,6)) / 1000)",
+    "milliseconds": "make_dt_interval(0, 0, 0, CAST({e} AS DECIMAL(28,6)) / 1000)",
+    "microsecond": "make_dt_interval(0, 0, 0, CAST({e} AS DECIMAL(28,6)) / 1000000)",
+    "microseconds": "make_dt_interval(0, 0, 0, CAST({e} AS DECIMAL(28,6)) / 1000000)",
+}
+
+
+# to_<unit>() interval constructors → the same templates; the ym-only
+# long units scale months directly
+_TO_INTERVAL_UNIT = {
+    "to_years": "year", "to_months": "month", "to_weeks": "week",
+    "to_days": "day", "to_hours": "hour", "to_minutes": "minute",
+    "to_seconds": "second", "to_milliseconds": "millisecond",
+    "to_microseconds": "microsecond", "to_decades": "decade",
+    "to_centuries": "century", "to_millennia": "millennium",
+}
+_TO_YM_SCALE = {"to_decades": 120, "to_centuries": 1200, "to_millennia": 12000}
+
+
+def _rewrite_dyn_interval(s: str) -> str:
+    """DuckDB's dynamic interval ``INTERVAL (expr) UNIT`` → the matching
+    make_dt_interval/make_ym_interval constructor (Spark interval
+    literals only take constant counts). Runs after time_bucket so
+    literal widths inside it are untouched."""
+    pos = 0
+    while m := _DYN_INTERVAL_RE.search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        um = re.match(r"\s*([A-Za-z]+)\b", s[close + 1 :])
+        tmpl = um and _DYN_INTERVAL_UNITS.get(um.group(1).lower())
+        if not tmpl:
+            pos = close + 1
+            continue
+        expr = s[open_idx + 1 : close].strip()
+        repl = tmpl.format(e=expr)
+        s = s[: m.start()] + repl + s[close + 1 + um.end() :]
+        pos = m.start() + len(repl)
     return s
 
 
@@ -2160,6 +2326,22 @@ def _fmt_to_printf(fmt: str) -> tuple[str, list[str | None]]:
     return _FMT_HOLE_RE.sub(hole, out), casts
 
 
+def _arg_list_items(arg: str) -> list[str] | None:
+    """Items of a list-valued argument in either pre-rewrite ``[a, b]``
+    or post-rewrite ``array(a, b)`` spelling; None if not a list."""
+    t = arg.strip()
+    if t.startswith("[") and t.endswith("]"):
+        return [x.strip() for x in _split_top_commas(t[1:-1])]
+    if re.match(r"(?i)^array\s*\(", t) and t.endswith(")"):
+        open_idx = t.index("(")
+        if _matching_paren(t, open_idx) == len(t) - 1:
+            return [
+                x.strip()
+                for x in _split_top_commas(t[open_idx + 1 : -1])
+            ]
+    return None
+
+
 def _template(fn: str, args: list[str], table: list[str]) -> str | None:
     """Structural rewrites for DuckDB functions whose Spark equivalent
     needs argument reshaping (not just a rename). Returns None to leave
@@ -2177,6 +2359,20 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         if unit not in _TS_UNITS:
             return None
         return f"timestampdiff({unit.upper()}, {args[1]}, {args[2]})"
+    if (
+        fn in ("datepart", "date_part")
+        and len(args) == 2
+        and (names := _arg_list_items(args[0])) is not None
+    ):
+        # list form datepart(['year','month'], x) → struct of parts
+        pairs = []
+        for ph in names:
+            ph = ph.strip()
+            if _literal_value(_unmask(ph, table)) is None:
+                return None  # field names must be literals
+            sub = _template(fn, [ph, args[1]], table) or f"datepart({ph}, {args[1]})"
+            pairs.append(f"{ph}, CAST({sub} AS BIGINT)")
+        return "named_struct(" + ", ".join(pairs) + ")"
     if fn in ("datepart", "date_part") and len(args) == 2:
         field = (_literal_value(_unmask(args[0], table)) or "").lower()
         if field in _DOW_FIELDS:
@@ -2195,6 +2391,55 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         # DuckDB: seconds-since-epoch (DOUBLE) → TIMESTAMPTZ; collected
         # naive, so NTZ matches. (String input is invalid in DuckDB.)
         return f"CAST(timestamp_seconds({args[0]}) AS TIMESTAMP_NTZ)"
+    if fn in _TO_INTERVAL_UNIT and len(args) == 1:
+        # DuckDB interval constructors (to_days(n), to_years(n), …) →
+        # the make_dt_interval / make_ym_interval equivalents; year/month
+        # forms stay calendar-aware in arithmetic
+        unit = _TO_INTERVAL_UNIT[fn]
+        if unit in _DYN_INTERVAL_UNITS:
+            return _DYN_INTERVAL_UNITS[unit].format(e=args[0])
+        return f"make_ym_interval({_TO_YM_SCALE[fn]} * ({args[0]}))"
+    if fn == "age" and len(args) in (1, 2):
+        # DuckDB/Postgres age(): year/month/day interval breakdown with
+        # borrow-from-the-start-month; dd_age_seconds replays DuckDB's
+        # algorithm AND its client 30-day-month flattening (probed on
+        # live 1.0), returned as a day-time interval
+        a = args[0]
+        b = args[1] if len(args) == 2 else None
+        if b is None:
+            a, b = "current_date()", a
+        return (
+            f"make_dt_interval(0, 0, 0, dd_age_seconds("
+            f"CAST({a} AS TIMESTAMP_NTZ), CAST({b} AS TIMESTAMP_NTZ)))"
+        )
+    if (
+        fn == "element_at"
+        and len(args) == 2
+        and re.match(r"(?i)^map\s*[({]", args[0].strip())
+    ):
+        # DuckDB element_at(map, k) returns the LIST of matches (its
+        # map_extract shape); literal maps only — typed columns keep
+        # Spark's scalar element_at
+        return f"array(try_element_at({args[0]}, {args[1]}))"
+    if fn == "array_length" and len(args) == 2:
+        if args[1].strip() != "1":
+            raise ValueError("array_length: only dimension 1 is supported")
+        return f"size({args[0]})"
+    if (
+        fn == "regexp_extract"
+        and len(args) == 3
+        and (names := _arg_list_items(args[2])) is not None
+    ):
+        # named-group list form → struct of the capture groups
+        pairs = []
+        for i, ph in enumerate(names):
+            ph = ph.strip()
+            if _literal_value(_unmask(ph, table)) is None:
+                return None
+            pairs.append(
+                f"{ph}, regexp_extract({args[0]}, {args[1]}, {i + 1})"
+            )
+        return "named_struct(" + ", ".join(pairs) + ")"
     if fn == "json_quote" and len(args) == 1:
         a = args[0].strip()
         if re.fullmatch(r"\x00\d+\x00", a):
@@ -2455,7 +2700,11 @@ _TEMPLATE_RE = re.compile(
     r"list_sum|list_avg|list_any_value|"
     r"list_has_all|list_select|list_where|list_grade_up|list_resize|"
     r"list_dot_product|list_inner_product|list_cosine_similarity|"
-    r"list_distance|max|min|max_by|min_by|arg_max|arg_min|json)\s*\(",
+    r"list_distance|max|min|max_by|min_by|arg_max|arg_min|json|"
+    r"age|array_length|regexp_extract|element_at|"
+    r"to_years|to_months|to_decades|to_centuries|to_millennia|to_weeks|"
+    r"to_days|to_hours|to_minutes|to_seconds|to_milliseconds|"
+    r"to_microseconds)\s*\(",
     re.IGNORECASE,
 )
 
@@ -2465,8 +2714,10 @@ _DATE_MINUS_RE = re.compile(
     rf"({_DATE_OPERAND})\s*-\s*({_DATE_OPERAND})", re.IGNORECASE
 )
 _DATE_PLUS_IVAL_RE = re.compile(
-    rf"({_DATE_OPERAND})\s*\+\s*"
-    r"(INTERVAL\s+(?:\x00\d+\x00|\d+)(?:\s+[A-Za-z]+)?)",
+    rf"({_DATE_OPERAND})\s*([+-])\s*"
+    r"(INTERVAL\s+(?:\x00\d+\x00|\d+)(?:\s+[A-Za-z]+)?"
+    r"|INTERVAL\s*\("
+    r"|make_dt_interval\s*\(|make_ym_interval\s*\()",
     re.IGNORECASE,
 )
 
@@ -2495,13 +2746,28 @@ def _rewrite_date_arith(s: str, kinds: dict[str, str] | None) -> str:
             pos = m.start() + len(a) + 1
     pos = 0
     while m := _DATE_PLUS_IVAL_RE.search(s, pos):
-        a, ival = m.group(1), m.group(2)
+        a, op, ival = m.group(1), m.group(2), m.group(3)
+        end = m.end()
+        if ival.endswith("("):
+            # a paren form — INTERVAL (expr) UNIT or a to_*(…) call:
+            # take the full call, and for INTERVAL also the unit word
+            close = _matching_paren(s, end - 1)
+            ival = s[m.start(3) : close + 1]
+            end = close + 1
+            if ival.upper().startswith("INTERVAL"):
+                um = re.match(r"\s*[A-Za-z]+", s[end:])
+                if not um:
+                    pos = end
+                    continue
+                ival += s[end : end + um.end()]
+                end += um.end()
         if _is_date_operand(a, kinds):
-            repl = f"CAST({a} + {ival} AS TIMESTAMP)"
-            s = s[: m.start()] + repl + s[m.end() :]
+            # DuckDB: DATE ± INTERVAL is a TIMESTAMP (Spark keeps DATE)
+            repl = f"CAST({a} {op} {ival} AS TIMESTAMP)"
+            s = s[: m.start()] + repl + s[end:]
             pos = m.start() + len(repl)
         else:
-            pos = m.end()
+            pos = end
     return s
 
 
@@ -3202,7 +3468,8 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_lateral_unnest(masked)
     masked = _rewrite_generate_subscripts(masked)
     masked = _rewrite_range(masked)
-    masked = _rewrite_time_bucket(masked, table)
+    masked = _rewrite_time_bucket(masked, table, kinds)
+    masked = _rewrite_dyn_interval(masked)
     masked = _rewrite_hex_cast(masked, table)
     masked = _rewrite_trim_swap(masked)
     masked = _rewrite_xor(masked)
@@ -3633,6 +3900,46 @@ def _register_text_shims(spark: SparkSession) -> None:
 
     resc.__annotations__ = {"s": pd.Series, "return": pd.Series}
     spark.udf.register("dd_regexp_escape", pandas_udf(resc, "string"))
+
+    import calendar as _cal
+
+    def age_seconds(a, b):
+        """DuckDB age(x, y) flattened to seconds: swap so x >= y, split
+        into months/days/micros with borrows from the SMALLER date's
+        month, negate if swapped, then the client's 30-day-month
+        flattening — each step probed on live DuckDB 1.0 (battery 14)."""
+
+        def one(x, y):
+            if x is None or y is None or x != x or y != y:
+                return None
+            x, y = x.to_pydatetime(), y.to_pydatetime()
+            sign = 1
+            if x < y:
+                x, y, sign = y, x, -1
+            m = 12 * (x.year - y.year) + (x.month - y.month)
+            d = x.day - y.day
+            us = (
+                (x.hour - y.hour) * 3_600_000_000
+                + (x.minute - y.minute) * 60_000_000
+                + (x.second - y.second) * 1_000_000
+                + (x.microsecond - y.microsecond)
+            )
+            if us < 0:
+                d -= 1
+                us += 86_400_000_000
+            if d < 0:
+                m -= 1
+                d += _cal.monthrange(y.year, y.month)[1]
+            return sign * ((m * 30 + d) * 86400.0 + us / 1e6)
+
+        return pd.Series(
+            [one(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    age_seconds.__annotations__ = {
+        "a": pd.Series, "b": pd.Series, "return": pd.Series
+    }
+    spark.udf.register("dd_age_seconds", pandas_udf(age_seconds, "double"))
 
 
 def _register_distance_shims(spark: SparkSession) -> None:

@@ -168,3 +168,70 @@ def test_typed_literal_random(sql_session, duck, v, ty):
     sql = f"SELECT {ty} '{v}' AS x"
     ours, theirs = _both(sql_session, duck, sql)
     assert ours == theirs, sql
+
+
+# --- battery 14: age() across random date/timestamp pairs ------------------
+
+
+@_S
+@given(
+    d1=st.dates(min_value=__import__("datetime").date(1992, 1, 1),
+                max_value=__import__("datetime").date(2030, 12, 28)),
+    d2=st.dates(min_value=__import__("datetime").date(1992, 1, 1),
+                max_value=__import__("datetime").date(2030, 12, 28)),
+    t1=st.integers(min_value=0, max_value=86_399),
+    t2=st.integers(min_value=0, max_value=86_399),
+    use_ts=st.booleans(),
+)
+def test_age_random_pairs(sql_session, duck, d1, d2, t1, t2, use_ts):
+    if use_ts:
+        a = f"TIMESTAMP '{d1} {t1 // 3600:02d}:{t1 % 3600 // 60:02d}:{t1 % 60:02d}'"
+        b = f"TIMESTAMP '{d2} {t2 // 3600:02d}:{t2 % 3600 // 60:02d}:{t2 % 60:02d}'"
+    else:
+        a, b = f"DATE '{d1}'", f"DATE '{d2}'"
+    sql = f"SELECT age({a}, {b}) AS x"
+    ours, theirs = _both(sql_session, duck, sql)
+    assert ours == theirs, sql
+
+
+# --- battery 14: time_bucket across random widths/inputs -------------------
+
+
+@_S
+@given(
+    d=st.dates(min_value=__import__("datetime").date(1995, 1, 1),
+               max_value=__import__("datetime").date(2030, 12, 28)),
+    secs=st.integers(min_value=0, max_value=86_399),
+    n=st.integers(min_value=1, max_value=40),
+    unit=st.sampled_from(
+        ["minute", "hour", "day", "week", "month", "quarter", "year"]
+    ),
+)
+def test_time_bucket_random(sql_session, duck, d, secs, n, unit):
+    ts = f"TIMESTAMP '{d} {secs // 3600:02d}:{secs % 3600 // 60:02d}:{secs % 60:02d}'"
+    sql = f"SELECT time_bucket(INTERVAL {n} {unit.upper()}, {ts}) AS b"
+    ours, theirs = _both(sql_session, duck, sql)
+    assert ours == theirs, sql
+    sql = f"SELECT time_bucket(INTERVAL {n} {unit.upper()}, DATE '{d}') AS b"
+    if unit in ("minute", "hour") and 86_400 % (
+        n * (60 if unit == "minute" else 3600)
+    ):
+        return  # sub-day width not dividing a day: date input fails closed
+    ours, theirs = _both(sql_session, duck, sql)
+    assert ours == theirs, sql
+
+
+# --- battery 14: dynamic INTERVAL arithmetic -------------------------------
+
+
+@_S
+@given(
+    d=st.dates(min_value=__import__("datetime").date(1995, 1, 1),
+               max_value=__import__("datetime").date(2030, 12, 1)),
+    n=st.integers(min_value=-500, max_value=500),
+    unit=st.sampled_from(["DAY", "HOUR", "MINUTE", "MONTH", "YEAR"]),
+)
+def test_dynamic_interval_random(sql_session, duck, d, n, unit):
+    sql = f"SELECT DATE '{d}' + INTERVAL ({n}) {unit} AS x"
+    ours, theirs = _both(sql_session, duck, sql)
+    assert ours == theirs, sql

@@ -108,6 +108,13 @@ GROUPS = {
         ("b32d_webm_frames", 5_000, ("1x", "10x", "100x")),
         ("st_stream_decontam", 5_000, ("1x", "10x", "100x")),
     ],
+    # late-round-8 additions: the VP8 key-frame codec alone and inside
+    # the WebM container (bare V_VP8 frames) — per-doc CPU inside
+    # mapInPandas, shuffle-free, same band as the other codecs
+    "r8b": [
+        ("b30e_vp8_decode", 5_000, ("1x", "10x", "100x")),
+        ("b32e_webm_vp8", 5_000, ("1x", "10x", "100x")),
+    ],
     # the full TPC-H-ish suite at the 10× fact tier (lineitem 6M rows,
     # joins resolving against consistently-offset orders/customer and
     # fixed dims) — VERDICT r5 item 6. base_rows = lineitem at sf0.1.
