@@ -178,6 +178,17 @@ _FN_RENAMES = {
     "list_transform": "transform",
     "list_apply": "transform",
     "row": "struct",
+    "prefix": "startswith",
+    "suffix": "endswith",
+    "array_unique": "dd_list_unique",
+    "list_extract": "element_at",
+    "array_extract": "element_at",
+    "approx_quantile": "approx_percentile",
+    # reservoir_quantile is sampling-approximate in DuckDB; the t-digest
+    # here matches exactly on small groups, approximately at scale
+    "reservoir_quantile": "approx_percentile",
+    "format_bytes": "dd_format_bytes",
+    "formatreadablesize": "dd_format_bytes",
     "list_filter": "filter",
     "array_transform": "transform",
     "array_filter": "filter",
@@ -922,9 +933,30 @@ def _slice_length(arr: str, a: str, b: str) -> str:
     )
 
 
-def _rewrite_slice(s: str) -> str:
+def _rewrite_slice(
+    s: str,
+    table: list[str] | None = None,
+    kinds: dict[str, str] | None = None,
+) -> str:
     """``list_slice(l, a, b)`` (1-based, inclusive end) → Spark
-    ``slice(l, a, length)`` (1-based start + length)."""
+    ``slice(l, a, length)`` (1-based start + length). A STRING first
+    argument (literal or schema-resolved column) slices with substr —
+    DuckDB's array_slice is polymorphic over VARCHAR."""
+
+    def is_string(base: str) -> bool:
+        t = base.strip()
+        mm = re.fullmatch(r"\x00(\d+)\x00", t)
+        if mm and table is not None:
+            entry = table[int(mm.group(1))]
+            if entry.startswith("'"):
+                return True
+            if kinds and entry.startswith('"'):
+                return kinds.get(entry[1:-1].lower()) == "string"
+            return False
+        if kinds and re.fullmatch(r"[A-Za-z_][\w.]*", t):
+            return kinds.get(t.split(".")[-1].lower()) == "string"
+        return False
+
     while m := _SLICE_RE.search(s):
         open_idx = m.end() - 1
         close = _matching_paren(s, open_idx)
@@ -936,7 +968,14 @@ def _rewrite_slice(s: str) -> str:
             repl = _step_slice_expr(arr, a, b, c)
         elif len(args) == 3:
             arr, a, b = args
-            repl = f"slice({arr}, {a}, {_slice_length(arr, a, b)})"
+            if is_string(arr):
+                end = (
+                    f"(CASE WHEN ({b}) < 0 THEN length({arr}) + ({b}) + 1 "
+                    f"ELSE ({b}) END)"
+                )
+                repl = f"substr({arr}, {a}, greatest(0, {end} - ({a}) + 1))"
+            else:
+                repl = f"slice({arr}, {a}, {_slice_length(arr, a, b)})"
         else:
             raise ValueError("list_slice expects 3 or 4 arguments")
         s = s[: m.start()] + repl + s[close + 1 :]
@@ -1426,6 +1465,12 @@ _STRFTIME_TOKENS = {
     "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
     "%I": "hh", "%M": "mm", "%S": "ss", "%j": "DDD", "%a": "EEE",
     "%A": "EEEE", "%b": "MMM", "%B": "MMMM", "%p": "a", "%%": "%",
+    "%f": "SSSSSS", "%g": "SSS",
+}
+# no-pad (dash) variants — single-letter java.time patterns
+_STRFTIME_TOKENS3 = {
+    "%-d": "d", "%-m": "M", "%-H": "H", "%-I": "h", "%-M": "m",
+    "%-S": "s", "%-j": "D",
 }
 
 
@@ -1442,8 +1487,13 @@ def _strftime_to_java(fmt: str) -> str:
 
     i = 0
     while i < len(fmt):
+        tok3 = fmt[i : i + 3]
         tok = fmt[i : i + 2]
-        if tok in _STRFTIME_TOKENS:
+        if tok3 in _STRFTIME_TOKENS3:
+            flush()
+            out.append(_STRFTIME_TOKENS3[tok3])
+            i += 3
+        elif tok in _STRFTIME_TOKENS:
             flush()
             out.append(_STRFTIME_TOKENS[tok])
             i += 2
@@ -2326,6 +2376,39 @@ def _fmt_to_printf(fmt: str) -> tuple[str, list[str | None]]:
     return _FMT_HOLE_RE.sub(hole, out), casts
 
 
+_DUCK_DDL_TYPES = {
+    "VARCHAR": "string", "TEXT": "string", "STRING": "string",
+    "BIGINT": "bigint", "INT8": "bigint", "LONG": "bigint",
+    "INTEGER": "int", "INT": "int", "INT4": "int",
+    "SMALLINT": "smallint", "INT2": "smallint", "TINYINT": "tinyint",
+    "DOUBLE": "double", "FLOAT8": "double", "FLOAT": "float",
+    "REAL": "float", "BOOLEAN": "boolean", "BOOL": "boolean",
+    "DATE": "date", "TIMESTAMP": "timestamp_ntz", "UUID": "string",
+}
+
+
+def _duck_json_spec_to_ddl(spec) -> str:
+    """DuckDB from_json structure spec ('["BIGINT"]', '{"a":"VARCHAR"}')
+    → Spark DDL type string; unknown type names fail closed."""
+    if isinstance(spec, str):
+        t = spec.strip().upper()
+        if t.startswith("DECIMAL"):
+            return t.lower()
+        if t not in _DUCK_DDL_TYPES:
+            raise ValueError(f"from_json: unsupported type {spec!r}")
+        return _DUCK_DDL_TYPES[t]
+    if isinstance(spec, list):
+        if len(spec) != 1:
+            raise ValueError("from_json: list spec needs one element type")
+        return f"array<{_duck_json_spec_to_ddl(spec[0])}>"
+    if isinstance(spec, dict):
+        fields = ",".join(
+            f"{k}:{_duck_json_spec_to_ddl(v)}" for k, v in spec.items()
+        )
+        return f"struct<{fields}>"
+    raise ValueError("from_json: unsupported structure spec")
+
+
 def _arg_list_items(arg: str) -> list[str] | None:
     """Items of a list-valued argument in either pre-rewrite ``[a, b]``
     or post-rewrite ``array(a, b)`` spelling; None if not a list."""
@@ -2421,6 +2504,56 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         # map_extract shape); literal maps only — typed columns keep
         # Spark's scalar element_at
         return f"array(try_element_at({args[0]}, {args[1]}))"
+    if fn in ("list_sort", "array_sort") and len(args) in (2, 3):
+        # direction/null-order string args; DuckDB defaults NULLS LAST
+        direc = (_literal_value(_unmask(args[1], table)) or "").upper()
+        nulls = (
+            (_literal_value(_unmask(args[2], table)) or "").upper()
+            if len(args) == 3
+            else "NULLS LAST"
+        )
+        l = args[0]
+        if direc == "ASC":
+            return f"sort_array({l})" if nulls == "NULLS FIRST" else f"array_sort({l})"
+        if direc == "DESC":
+            return (
+                f"reverse(array_sort({l}))"
+                if nulls == "NULLS FIRST"
+                else f"sort_array({l}, false)"
+            )
+        return None
+    if fn == "from_json" and len(args) == 2:
+        spec_text = _literal_value(_unmask(args[1], table))
+        if spec_text is None:
+            return None
+        import json as _json
+
+        try:
+            spec = _json.loads(spec_text.replace("\\\\", "\\"))
+        except ValueError:
+            return None
+        ddl = _duck_json_spec_to_ddl(spec)
+        lit = _masked_literal(table, ddl)
+        return f"from_json({args[0]}, {lit})"
+    if fn in (
+        "like_escape", "not_like_escape", "ilike_escape", "not_ilike_escape"
+    ) and len(args) == 3:
+        s_, p_, e_ = args
+        if fn.endswith("ilike_escape"):
+            expr = f"(lower({s_}) LIKE lower({p_}) ESCAPE {e_})"
+        else:
+            expr = f"({s_} LIKE {p_} ESCAPE {e_})"
+        return f"(NOT {expr})" if fn.startswith("not_") else expr
+    if fn == "json_group_array" and len(args) == 1:
+        # list(…) keeps DuckDB's ORDER BY-inside-aggregate support (the
+        # ordered-agg rewrite runs later and the name renames to
+        # collect_list); insertion order without ORDER BY is engine-
+        # specific in both systems
+        return f"to_json(list({args[0]}))"
+    if fn == "json_group_object" and len(args) == 2:
+        return (
+            f"to_json(map_from_entries(list(struct({args[0]}, {args[1]}))))"
+        )
     if fn == "array_length" and len(args) == 2:
         if args[1].strip() != "1":
             raise ValueError("array_length: only dimension 1 is supported")
@@ -2630,12 +2763,13 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
             f"CASE WHEN i <= size({lst}) THEN element_at({lst}, i) "
             f"ELSE {fill} END), 1, {n})"
         )
-    if fn in ("list_dot_product", "list_inner_product") and len(args) == 2:
+    if fn in ("list_dot_product", "list_inner_product", "array_dot_product",
+          "array_inner_product") and len(args) == 2:
         return (
             f"aggregate(zip_with({args[0]}, {args[1]}, (x, y) -> "
             f"CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (s, v) -> s + v)"
         )
-    if fn == "list_cosine_similarity" and len(args) == 2:
+    if fn in ("list_cosine_similarity", "array_cosine_similarity") and len(args) == 2:
         a, b = args
         dot = (
             f"aggregate(zip_with({a}, {b}, (x, y) -> "
@@ -2647,7 +2781,7 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
                 f"(s, x) -> s + CAST(x AS DOUBLE) * x))"
             )
         return f"({dot} / ({norm(a)} * {norm(b)}))"
-    if fn == "list_distance" and len(args) == 2:
+    if fn in ("list_distance", "array_distance") and len(args) == 2:
         return (
             f"sqrt(aggregate(zip_with({args[0]}, {args[1]}, (x, y) -> "
             f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
@@ -2700,6 +2834,9 @@ _TEMPLATE_RE = re.compile(
     r"list_sum|list_avg|list_any_value|"
     r"list_has_all|list_select|list_where|list_grade_up|list_resize|"
     r"list_dot_product|list_inner_product|list_cosine_similarity|"
+    r"array_dot_product|array_inner_product|array_cosine_similarity|"
+    r"array_distance|list_sort|from_json|json_group_array|json_group_object|"
+    r"like_escape|not_like_escape|ilike_escape|not_ilike_escape|"
     r"list_distance|max|min|max_by|min_by|arg_max|arg_min|json|"
     r"age|array_length|regexp_extract|element_at|"
     r"to_years|to_months|to_decades|to_centuries|to_millennia|to_weeks|"
@@ -3464,7 +3601,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_string_split(masked, table)
     masked = _rewrite_regexp_replace(masked, table)
     masked = _rewrite_regexp_extract_all(masked)
-    masked = _rewrite_slice(masked)
+    masked = _rewrite_slice(masked, table, kinds)
     masked = _rewrite_lateral_unnest(masked)
     masked = _rewrite_generate_subscripts(masked)
     masked = _rewrite_range(masked)
@@ -3483,6 +3620,14 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = re.sub(r"::\s*VARCHAR\b(?!\s*\()", "::STRING", masked,
                     flags=re.IGNORECASE)
     masked = re.sub(r"::\s*BLOB\b", "::BINARY", masked, flags=re.IGNORECASE)
+    # fixed-size array types (FLOAT[3]) and bare array types (INT[]) in
+    # cast position → Spark ARRAY<T>; subscripts never follow :: or AS
+    masked = re.sub(
+        r"(::\s*|\bAS\s+)([A-Za-z]+)\s*\[\s*\d*\s*\]",
+        lambda mm: f"{mm.group(1)}ARRAY<{mm.group(2)}>",
+        masked,
+        flags=re.IGNORECASE,
+    )
     masked = re.sub(r"\bAS\s+BLOB\b", "AS BINARY", masked, flags=re.IGNORECASE)
     # ::JSON is a validating store-as-text cast in DuckDB (original
     # spacing preserved) — dropping it keeps the text identical; invalid
@@ -3587,6 +3732,22 @@ def register_dialect_functions(spark: SparkSession) -> None:
         ") END"
     )
 
+    # format_bytes: DuckDB's binary-unit rendering — '<n> bytes' under
+    # 1 KiB, else ONE TRUNCATED decimal (10239 → '9.9 KiB', not 10.0)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dd_format_bytes(b BIGINT) "
+        "RETURNS STRING RETURN "
+        "CASE WHEN abs(b) < 1024 THEN concat(CAST(b AS STRING), ' bytes') "
+        "ELSE concat("
+        " format_string('%.1f',"
+        "  CAST(CAST(b / pow(2, 10 * CAST(floor(log2(abs(b)) / 10) AS INT))"
+        "       * 10 AS BIGINT) AS DOUBLE) / 10),"
+        " ' ',"
+        " element_at(array('KiB','MiB','GiB','TiB','PiB','EiB'),"
+        "            CAST(floor(log2(abs(b)) / 10) AS INT))"
+        ") END"
+    )
+
     # typeof → DuckDB type spellings (shares the DESCRIBE name map's
     # scalar rules; one array level via the LIKE branch, upper() covers
     # decimal(p,s) and the long tail)
@@ -3668,6 +3829,18 @@ def register_dialect_functions(spark: SparkSession) -> None:
 
     _product_agg.__annotations__ = {"s": _pd.Series, "return": float}
     spark.udf.register("product", _pandas_udf(_product_agg, "double"))
+
+    def _mad_agg(s):
+        # median absolute deviation — DuckDB mad(); double for every
+        # numeric input (DECIMAL-in comes back double; values equal)
+        s = s.dropna()
+        if len(s) == 0:
+            return None
+        s = s.astype("float64")
+        return float((s - s.median()).abs().median())
+
+    _mad_agg.__annotations__ = {"s": _pd.Series, "return": float}
+    spark.udf.register("mad", _pandas_udf(_mad_agg, "double"))
 
     # character-set jaccard / positional hamming: JVM-side HOF bodies
     spark.sql(
