@@ -197,12 +197,18 @@ def test_webp_deep_huffman_and_refs():
     assert decode_webp(encode_webp_gray(px, 200, 100))["pixels"] == px
 
 
-def test_webp_rejects_lossy():
+def test_webp_dispatches_lossy_vp8():
+    # since operators/vp8.py, a "VP8 " chunk dispatches to the real
+    # key-frame decoder (which validates the frame) instead of raising
+    # NotImplementedError; VP8X extended files remain the plug point
     from duckdb_server_spark.operators.webp import decode_webp
 
     fake = b"RIFF" + b"\x10\x00\x00\x00" + b"WEBP" + b"VP8 " + b"\x00" * 8
+    with pytest.raises(ValueError):
+        decode_webp(fake)  # truncated frame → clean parse error
+    fakex = b"RIFF" + b"\x10\x00\x00\x00" + b"WEBP" + b"VP8X" + b"\x00" * 8
     with pytest.raises(NotImplementedError):
-        decode_webp(fake)
+        decode_webp(fakex)
 
 
 def test_decode_image_dispatches_webp():
