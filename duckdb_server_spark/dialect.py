@@ -2464,6 +2464,42 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
             lit = _masked_literal(table, "DAYOFWEEK_ISO")
             return f"date_part({lit}, {args[1]})"
         return None
+    if fn == "log" and len(args) == 1:
+        # DuckDB's 1-arg log is LOG BASE 10 (ln is ln); Spark's is the
+        # natural log — a silent wrong answer without this. 2-arg
+        # log(base, x) agrees on both engines.
+        return f"log10({args[0]})"
+    if fn == "yearweek" and len(args) == 1:
+        # ISO year * 100 + ISO week (202001 for 2020-01-01)
+        return (
+            f"CAST(extract(YEAROFWEEK FROM {args[0]}) * 100 "
+            f"+ weekofyear({args[0]}) AS BIGINT)"
+        )
+    if fn == "isoyear" and len(args) == 1:
+        return f"CAST(extract(YEAROFWEEK FROM {args[0]}) AS BIGINT)"
+    if fn == "julian" and len(args) == 1:
+        # DuckDB's julian(): 1970-01-01 00:00 → 2440588.0 (calendar-day
+        # anchored, not the astronomical noon-epoch 2440587.5)
+        return (
+            f"(unix_micros(CAST({args[0]} AS TIMESTAMP)) "
+            f"/ CAST(86400000000 AS DOUBLE) + 2440588.0)"
+        )
+    if fn == "era" and len(args) == 1:
+        return f"(CASE WHEN year({args[0]}) > 0 THEN 1 ELSE 0 END)"
+    if fn == "century" and len(args) == 1:
+        # extract convention: 2001 → 21, 2000 → 20 (proper centuries —
+        # unlike date_diff's year/100 bucket counting)
+        return f"CAST(ceil(year({args[0]}) / 100.0) AS BIGINT)"
+    if fn == "millennium" and len(args) == 1:
+        return f"CAST(ceil(year({args[0]}) / 1000.0) AS BIGINT)"
+    if fn == "decade" and len(args) == 1:
+        return f"CAST(floor(year({args[0]}) / 10.0) AS BIGINT)"
+    if fn == "epoch_ms" and len(args) == 1:
+        return f"unix_millis(CAST({args[0]} AS TIMESTAMP))"
+    if fn == "epoch_us" and len(args) == 1:
+        return f"unix_micros(CAST({args[0]} AS TIMESTAMP))"
+    if fn == "epoch_ns" and len(args) == 1:
+        return f"(unix_micros(CAST({args[0]} AS TIMESTAMP)) * 1000)"
     if fn == "epoch" and len(args) == 1:
         # DuckDB epoch() keeps fractional seconds and returns DOUBLE
         return (
@@ -2838,7 +2874,8 @@ _TEMPLATE_RE = re.compile(
     r"array_distance|list_sort|from_json|json_group_array|json_group_object|"
     r"like_escape|not_like_escape|ilike_escape|not_ilike_escape|"
     r"list_distance|max|min|max_by|min_by|arg_max|arg_min|json|"
-    r"age|array_length|regexp_extract|element_at|"
+    r"age|array_length|regexp_extract|element_at|log|yearweek|isoyear|"
+    r"julian|era|century|millennium|decade|epoch_ms|epoch_us|epoch_ns|"
     r"to_years|to_months|to_decades|to_centuries|to_millennia|to_weeks|"
     r"to_days|to_hours|to_minutes|to_seconds|to_milliseconds|"
     r"to_microseconds)\s*\(",
