@@ -811,6 +811,22 @@ def _rewrite_subscripts(
     kinds: dict[str, str] | None = None,
     table: list[str] | None = None,
 ) -> str:
+    def _is_map_base(base: str) -> bool:
+        # a map literal has already been rewritten to map(...) /
+        # map_from_arrays(...) by this point; typed columns resolve
+        # through the catalog kinds. Strip balanced outer parens —
+        # `(MAP {...})[k]` walks back to a paren-wrapped base.
+        b = base.strip()
+        while b.startswith("(") and _matching_paren(b, 0) == len(b) - 1:
+            b = b[1:-1].strip()
+        if re.match(
+            r"(?i)^map(_from_arrays|_from_entries|_concat)?\s*\(", b
+        ):
+            return True
+        if kinds and re.fullmatch(r"[A-Za-z_][\w.]*", b):
+            return kinds.get(b.split(".")[-1].lower()) == "map"
+        return False
+
     def _is_string_base(base: str) -> bool:
         mm = re.fullmatch(r"\x00(\d+)\x00", base)
         if mm:
@@ -882,6 +898,15 @@ def _rewrite_subscripts(
                     repl = f"substr({base}, 2, 0)"
                 else:
                     repl = f"substr({base}, {content}, 1)"
+            elif _is_map_base(base):
+                # DuckDB map[key] yields the LIST of matches — [] for a
+                # missing key, [v] when present (even a NULL v); a NULL
+                # key matches nothing
+                repl = (
+                    f"transform(filter(map_entries({base}), "
+                    f"__dd_e -> __dd_e.key = ({content})), "
+                    f"__dd_e -> __dd_e.value)"
+                )
             elif content == "0":
                 # DuckDB's 1-based [0] is out of range → NULL; Spark's
                 # element_at treats 0 as always-invalid even in try form
@@ -1165,6 +1190,7 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
     from pyspark.sql.types import (
         ArrayType,
         DateType,
+        MapType,
         StringType,
         TimestampNTZType,
         TimestampType,
@@ -1186,6 +1212,8 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
             nm = f.name.lower()
             if isinstance(f.dataType, ArrayType):
                 k = "array"
+            elif isinstance(f.dataType, MapType):
+                k = "map"
             elif isinstance(f.dataType, StringType):
                 k = "string"
             elif isinstance(f.dataType, DateType):
@@ -1665,7 +1693,13 @@ def _rewrite_struct_map(s: str, table: list[str]) -> str:
         args = _split_top_commas(s[open_idx + 1 : close])
         if len(args) != 2:
             raise ValueError("map_extract expects (map, key)")
-        repl = f"array(try_element_at({args[0]}, {args[1]}))"
+        # DuckDB's list-of-matches shape: [] for a missing key (NOT
+        # [NULL]), [v] when present — entries-filter preserves both
+        repl = (
+            f"transform(filter(map_entries({args[0]}), "
+            f"__dd_e -> __dd_e.key = ({args[1]})), "
+            f"__dd_e -> __dd_e.value)"
+        )
         s = s[: m.start()] + repl + s[close + 1 :]
     pos = 0
     while m := _MAP_FN_RE.search(s, pos):
@@ -2500,6 +2534,110 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         return f"unix_micros(CAST({args[0]} AS TIMESTAMP))"
     if fn == "epoch_ns" and len(args) == 1:
         return f"(unix_micros(CAST({args[0]} AS TIMESTAMP)) * 1000)"
+    if fn in ("parse_filename", "parse_dirpath", "parse_path") and (
+        1 <= len(args) <= 3
+    ):
+        # optional args: a trim_extension boolean (parse_filename only)
+        # and/or a separator spec; DuckDB's default is both slashes
+        trim, sep_spec = False, None
+        for extra in args[1:]:
+            txt = _unmask(extra, table).strip()
+            if txt.lower() in ("true", "false"):
+                trim = txt.lower() == "true"
+                continue
+            lit = _literal_value(txt)
+            if lit is None:
+                raise ValueError(f"{fn}: unsupported argument {txt!r}")
+            sep_spec = lit.lower()
+        if sep_spec in (None, "system", "both_slash"):
+            cls = r"/\\\\"
+        elif sep_spec == "forward_slash":
+            cls = "/"
+        elif sep_spec == "backslash":
+            cls = r"\\\\"
+        else:
+            raise ValueError(f"{fn}: unknown separator {sep_spec!r}")
+        p = args[0]
+        empty = _masked_literal(table, "")
+        if fn == "parse_filename":
+            pat = _masked_literal(table, f"([^{cls}]*)$")
+            expr = f"regexp_extract({p}, {pat}, 1)"
+            if trim:
+                ext = _masked_literal(table, r"\\.[^.]*$")
+                expr = f"regexp_replace({expr}, {ext}, {empty})"
+            return expr
+        if fn == "parse_dirpath":
+            # everything before the LAST separator ('' when none)
+            tail = _masked_literal(table, f"[{cls}][^{cls}]*$")
+            has = _masked_literal(table, f"[{cls}]")
+            return (
+                f"(CASE WHEN {p} RLIKE {has} "
+                f"THEN regexp_replace({p}, {tail}, {empty}) "
+                f"ELSE {empty} END)"
+            )
+        # parse_path: components list; an absolute path keeps its
+        # leading separator as the first element, repeats collapse
+        sep_re = _masked_literal(table, f"[{cls}]")
+        lead = _masked_literal(table, f"^[{cls}]")
+        comps = f"filter(split({p}, {sep_re}), __dd_p -> __dd_p != {empty})"
+        return (
+            f"(CASE WHEN {p} RLIKE {lead} "
+            f"THEN concat(array(substr({p}, 1, 1)), {comps}) "
+            f"ELSE {comps} END)"
+        )
+    if fn == "make_time" and len(args) == 3:
+        # Spark's TIME type has literals but no constructor function yet
+        # — fold literal arguments to a TIME literal (out-of-range
+        # values then fail at literal parse, matching DuckDB's error);
+        # column arguments stay unsupported (fail closed)
+        try:
+            h, mi, sec = int(args[0]), int(args[1]), float(args[2])
+        except ValueError:
+            raise ValueError("make_time: only literal arguments are supported")
+        micros = (h * 3600 + mi * 60) * 1_000_000 + round(sec * 1_000_000)
+        lit = _masked_literal(table, _fmt_time_micros(micros))
+        return f"TIME {lit}"
+    if fn == "make_timestamp" and len(args) == 1:
+        # DuckDB's 1-arg form takes epoch microseconds
+        return f"timestamp_micros({args[0]})"
+    if fn == "struct_insert" and len(args) >= 2:
+        base0 = args[0].strip()
+        if not re.fullmatch(r"[A-Za-z_][\w.]*", base0):
+            raise ValueError(
+                "struct_insert: base must be a struct column reference"
+            )
+        parts = [f"{base0}.*"]
+        for item in args[1:]:
+            km = re.match(
+                r"^([A-Za-z_]\w*)\s*:=\s*(.+)$", item.strip(), re.DOTALL
+            )
+            if not km:
+                raise ValueError("struct_insert expects name := value pairs")
+            parts.append(f"{km.group(2).strip()} AS {km.group(1)}")
+        return f"struct({', '.join(parts)})"
+    if fn == "bitstring" and len(args) == 2:
+        # BIT strings are carried as '0'/'1' text (the typed-literal
+        # rewrite already strips BIT '…' to its display string)
+        msg = _masked_literal(
+            table, "bitstring: length must be >= input length"
+        )
+        zero = _masked_literal(table, "0")
+        return (
+            f"(CASE WHEN length({args[0]}) > ({args[1]}) "
+            f"THEN raise_error({msg}) "
+            f"ELSE lpad({args[0]}, {args[1]}, {zero}) END)"
+        )
+    if fn == "get_bit" and len(args) == 2:
+        # 0-based from the left; out-of-range fails (ANSI cast of '')
+        return f"CAST(substr({args[0]}, ({args[1]}) + 1, 1) AS INT)"
+    if fn == "set_bit" and len(args) == 3:
+        return (
+            f"concat(substr({args[0]}, 1, ({args[1]})), "
+            f"CAST({args[2]} AS STRING), substr({args[0]}, ({args[1]}) + 2))"
+        )
+    if fn == "bit_position" and len(args) == 2:
+        # bit_position(needle, haystack): 1-based, 0 when absent
+        return f"instr({args[1]}, {args[0]})"
     if fn == "epoch" and len(args) == 1:
         # DuckDB epoch() keeps fractional seconds and returns DOUBLE
         return (
@@ -2537,9 +2675,13 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         and re.match(r"(?i)^map\s*[({]", args[0].strip())
     ):
         # DuckDB element_at(map, k) returns the LIST of matches (its
-        # map_extract shape); literal maps only — typed columns keep
-        # Spark's scalar element_at
-        return f"array(try_element_at({args[0]}, {args[1]}))"
+        # map_extract shape — [] for a missing key); literal maps only —
+        # typed columns keep Spark's scalar element_at
+        return (
+            f"transform(filter(map_entries({args[0]}), "
+            f"__dd_e -> __dd_e.key = ({args[1]})), "
+            f"__dd_e -> __dd_e.value)"
+        )
     if fn in ("list_sort", "array_sort") and len(args) in (2, 3):
         # direction/null-order string args; DuckDB defaults NULLS LAST
         direc = (_literal_value(_unmask(args[1], table)) or "").upper()
@@ -2876,6 +3018,8 @@ _TEMPLATE_RE = re.compile(
     r"list_distance|max|min|max_by|min_by|arg_max|arg_min|json|"
     r"age|array_length|regexp_extract|element_at|log|yearweek|isoyear|"
     r"julian|era|century|millennium|decade|epoch_ms|epoch_us|epoch_ns|"
+    r"parse_filename|parse_dirpath|parse_path|make_time|make_timestamp|"
+    r"struct_insert|bitstring|get_bit|set_bit|bit_position|"
     r"to_years|to_months|to_decades|to_centuries|to_millennia|to_weeks|"
     r"to_days|to_hours|to_minutes|to_seconds|to_milliseconds|"
     r"to_microseconds)\s*\(",
@@ -3626,6 +3770,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_unpivot_aliases(masked, table)
     masked = _rewrite_postfix_factorial(masked)
     masked = _rewrite_power(masked)
+    masked = _rewrite_at_abs(masked)
     masked = _rewrite_tilde_ops(masked, table)
     masked = _rewrite_json_arrows(masked, table)
     masked = _rewrite_any_all(masked)
@@ -3657,6 +3802,9 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = re.sub(r"::\s*VARCHAR\b(?!\s*\()", "::STRING", masked,
                     flags=re.IGNORECASE)
     masked = re.sub(r"::\s*BLOB\b", "::BINARY", masked, flags=re.IGNORECASE)
+    # BIT strings are carried as '0'/'1' text (typed-literal rewrite);
+    # `AS BIT` is left alone — 'bit' is a plausible column alias
+    masked = re.sub(r"::\s*BIT\b", "::STRING", masked, flags=re.IGNORECASE)
     # fixed-size array types (FLOAT[3]) and bare array types (INT[]) in
     # cast position → Spark ARRAY<T>; subscripts never follow :: or AS
     masked = re.sub(
@@ -4414,6 +4562,32 @@ def _primary_end(s: str, start: int) -> int:
         while m4 := re.match(r"\s*\[\s*\]", s[i:]):
             i += m4.end()
     return i
+
+
+_AT_ABS_RE = re.compile(r"(?<![\w\x00])@(?!\s*[>=<@])\s*")
+
+
+_AT_ARITH_OP_RE = re.compile(r"\s*(\+|-|\*|//|/|%|\bDIV\b)\s*", re.IGNORECASE)
+
+
+def _rewrite_at_abs(s: str) -> str:
+    """DuckDB's prefix ``@x`` absolute-value operator → ``abs(x)``.
+    Postgres generic-operator precedence: ``@`` binds LOOSER than
+    arithmetic but tighter than comparisons (``@ -2 - 3`` is abs(-5)=5,
+    ``@ -2 = 2`` is true) — so consume the whole arithmetic chain.
+    Each pass consumes one ``@``, so nested ``@ @ x`` terminates."""
+    while m := _AT_ABS_RE.search(s):
+        end = _primary_end(s, m.end())
+        if end <= m.end():
+            return s  # dangling '@' — leave it to fail at parse time
+        while op := _AT_ARITH_OP_RE.match(s, end):
+            nxt = _primary_end(s, op.end())
+            if nxt <= op.end():
+                break
+            end = nxt
+        inner = s[m.end() : end]
+        s = s[: m.start()] + f"abs({inner})" + s[end:]
+    return s
 
 
 def _rewrite_division(s: str) -> str:
