@@ -298,17 +298,36 @@ class Engine:
             self._server = None
 
 
-def summarize_frame(spark: SparkSession, name: str) -> DataFrame:
-    """``SUMMARIZE table``: one row per column with type, min/max, approx
-    distinct count, null percentage, and mean/std for numerics. One pass
-    over the table — every statistic is a mergeable aggregate
-    (min/max/HLL/moments), so at 100 TB this is a single scan + tiny
-    shuffle, exactly how SUMMARIZE's own sketches behave. Module-level so
-    both Engine.summarize and the dialect router's raw ``SUMMARIZE t``
-    statement share one implementation."""
+def summarize_frame(spark: SparkSession, target: str) -> DataFrame:
+    """DuckDB ``SUMMARIZE`` over a table name, a SELECT query, or a
+    quoted file path — one row per column in DuckDB 1.0's exact column
+    shape: (column_name, column_type, min, max, approx_unique, avg, std,
+    q25, q50, q75, count, null_percentage DECIMAL(5,2)), type names in
+    DuckDB spellings. One pass over the data — every statistic is a
+    mergeable aggregate (min/max/HLL/moments/approx-percentile sketch),
+    so at 100 TB this is a single scan + tiny shuffle, exactly how
+    SUMMARIZE's own sketches behave. approx_unique and the quartiles are
+    approximate on BOTH engines (HLL / sampled quantiles), so
+    cross-engine values are close, not bit-equal. Module-level so both
+    Engine.summarize and the dialect router share one implementation."""
+    import re as _re
+
     from pyspark.sql import functions as F
 
-    df = spark.table(name)
+    t = target.strip()
+    if _re.match(r"(?i)^(SELECT|VALUES|WITH|FROM)\b", t) or t.startswith("("):
+        from duckdb_server_spark.dialect import run_sql
+
+        df = run_sql(spark, t)
+    elif t.startswith(("'", '"')):
+        # SUMMARIZE 'data.parquet' — DuckDB's replacement-scan form
+        from duckdb_server_spark.dialect import run_sql
+
+        df = run_sql(spark, f"SELECT * FROM {t}")
+    else:
+        df = spark.table(t)
+    from duckdb_server_spark.dialect import _duck_type_name
+
     numeric = {
         f.name
         for f in df.schema.fields
@@ -316,29 +335,63 @@ def summarize_frame(spark: SparkSession, name: str) -> DataFrame:
         in ("int", "bigint", "smallint", "tinyint", "float", "double")
         or f.dataType.simpleString().startswith("decimal")
     }
+    null_str = F.lit(None).cast("string")
     aggs = []
     for f in df.schema.fields:
         c, is_num = f.name, f.name in numeric
+        try:
+            duck_type = _duck_type_name(f.dataType)
+        except ValueError:
+            duck_type = f.dataType.simpleString().upper()
         # min/max need an ordering; Spark maps are not orderable (the
         # analyzer rejects them) — mirror DuckDB SUMMARIZE, which also
         # blanks min/max for non-orderable types.
-        orderable = not f.dataType.simpleString().startswith("map")
+        simple = f.dataType.simpleString()
+        orderable = not simple.startswith("map")
+        # HLL hashing supports atomics/arrays/structs but not maps
+        sketchable = not simple.startswith("map")
+
+        def _q(p):
+            # quantiles keep the column's own type (integer quartiles
+            # print as integers, like DuckDB's approx_quantile)
+            if not is_num:
+                return null_str
+            return F.percentile_approx(F.col(c), p).cast("string")
+
         aggs.append(
             F.struct(
                 F.lit(c).alias("column_name"),
-                F.lit(f.dataType.simpleString()).alias("column_type"),
-                (F.min(c).cast("string") if orderable else F.lit(None).cast("string")).alias("min"),
-                (F.max(c).cast("string") if orderable else F.lit(None).cast("string")).alias("max"),
-                F.approx_count_distinct(c).alias("approx_unique"),
-                (F.avg(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias("avg"),
-                (F.stddev(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias("std"),
+                F.lit(duck_type).alias("column_type"),
+                (F.min(c).cast("string") if orderable else null_str).alias("min"),
+                (F.max(c).cast("string") if orderable else null_str).alias("max"),
+                (
+                    F.approx_count_distinct(c)
+                    if sketchable
+                    else F.lit(None).cast("bigint")
+                ).alias("approx_unique"),
+                (
+                    F.avg(F.col(c).cast("double")).cast("string")
+                    if is_num
+                    else null_str
+                ).alias("avg"),
+                (
+                    F.stddev(F.col(c).cast("double")).cast("string")
+                    if is_num
+                    else null_str
+                ).alias("std"),
+                _q(0.25).alias("q25"),
+                _q(0.5).alias("q50"),
+                _q(0.75).alias("q75"),
+                F.count(F.lit(1)).alias("count"),
                 (
                     F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
                     * 100.0
                     # nullif guards the empty table: ANSI mode (set by
                     # tune_session) turns 0/0 into an error, not NULL.
                     / F.nullif(F.count(F.lit(1)), F.lit(0))
-                ).alias("null_percentage"),
+                )
+                .cast("decimal(5,2)")
+                .alias("null_percentage"),
             ).alias(c)
         )
     row = df.agg(*aggs)

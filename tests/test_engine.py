@@ -151,11 +151,14 @@ def test_engine_summarize(spark, sf_dir):
     eng = Engine(warehouse_dir=sf_dir, spark=spark)
     s = {r.column_name: r for r in eng.summarize("nation").collect()}
     assert set(s) == {"n_nationkey", "n_name", "n_regionkey"}
-    assert s["n_nationkey"].column_type == "int"
+    assert s["n_nationkey"].column_type == "INTEGER"  # DuckDB spelling
     assert s["n_nationkey"].min == "0" and s["n_nationkey"].max == "24"
-    assert s["n_name"].avg is None  # non-numeric: no mean/std
-    assert s["n_nationkey"].null_percentage == 0.0
+    assert s["n_name"].avg is None  # non-numeric: no mean/std/quartiles
+    assert s["n_name"].q50 is None
+    assert float(s["n_nationkey"].null_percentage) == 0.0
     assert 20 <= s["n_nationkey"].approx_unique <= 30
+    assert s["n_nationkey"]["count"] == 25  # .count is Row's method
+    assert s["n_nationkey"].q50 == "12"  # integer quartiles print as ints
 
 
 def test_engine_summarize_empty_and_map(spark, sf_dir):
