@@ -232,7 +232,7 @@ _FN_RENAMES = {
     "signbit": "dd_signbit",
     "isfinite": "dd_isfinite",
     "isinf": "dd_isinf",
-    "favg": "avg",  # Neumaier-compensated in DuckDB; ulp-class divergence
+    # favg is templated (DECIMAL-exact, bit-equal to DuckDB's Neumaier)
     "nfc_normalize": "dd_nfc_normalize",
     "gamma": "dd_libm_gamma",
     "lgamma": "dd_libm_lgamma",
@@ -1726,7 +1726,7 @@ def _rewrite_struct_map(s: str, table: list[str]) -> str:
 # → Spark 4's listagg WITHIN GROUP.
 _ORDERED_AGG_RE = re.compile(
     r"\b(list|array_agg|collect_list|string_agg|group_concat|"
-    r"any_value|arbitrary|first|last)\s*\(",
+    r"any_value|arbitrary|first|last|sum|avg)\s*\(",
     re.IGNORECASE,
 )
 
@@ -1767,6 +1767,64 @@ def _order_comparator(keys: list[tuple[str, bool, bool]]) -> str:
             f"WHEN l.{f} > r.{f} THEN {gt} ELSE {expr} END"
         )
     return f"(l, r) -> {expr}"
+
+
+_FILTER_SHORT_RE = re.compile(r"\)\s*FILTER\s*\(", re.IGNORECASE)
+
+
+def _rewrite_filter_shorthand(s: str) -> str:
+    """DuckDB allows ``agg(x) FILTER (cond)`` without the WHERE keyword;
+    Spark requires ``FILTER (WHERE cond)``. The leading ``)`` anchors to
+    aggregate position, so the list higher-order ``filter(...)`` function
+    is never touched."""
+    pos = 0
+    while m := _FILTER_SHORT_RE.search(s, pos):
+        if re.match(r"\s*WHERE\b", s[m.end() :], re.IGNORECASE):
+            pos = m.end()
+            continue
+        s = s[: m.end()] + "WHERE " + s[m.end() :]
+        pos = m.end() + len("WHERE ")
+    return s
+
+
+_MEDIAN_RE = re.compile(r"\bmedian\s*\(", re.IGNORECASE)
+
+
+def _rewrite_median(s: str, kinds: dict[str, str] | None) -> str:
+    """DuckDB's median() also accepts temporal and string columns —
+    temporal medians interpolate (two dates average to a 12:00
+    TIMESTAMP), string medians take the lower-middle element
+    (quantile_disc). Numeric medians are Spark-native (same interpolated
+    value). Fires only when the column kind is catalog-resolved."""
+    pos = 0
+    while m := _MEDIAN_RE.search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        arg = s[open_idx + 1 : close].strip()
+        kind = None
+        if re.match(r"(?i)^(DATE|TIMESTAMP)\s", arg):
+            kind = "timestamp"
+        elif kinds and re.fullmatch(r"[A-Za-z_][\w.]*", arg):
+            kind = kinds.get(arg.split(".")[-1].lower())
+        if kind in ("date", "timestamp"):
+            repl = (
+                f"timestamp_micros(CAST(percentile(unix_micros("
+                f"CAST({arg} AS TIMESTAMP)), 0.5) AS BIGINT))"
+            )
+        elif kind == "string":
+            # lower-middle of the sorted values; collect is bounded by
+            # the group itself (an exact string median is a
+            # full-materialization op in any engine)
+            repl = (
+                f"element_at(array_sort(collect_list({arg})), "
+                f"CAST(ceil(count({arg}) / 2.0) AS INT))"
+            )
+        else:
+            pos = close + 1
+            continue
+        s = s[: m.start()] + repl + s[close + 1 :]
+        pos = m.start() + len(repl)
+    return s
 
 
 def _rewrite_ordered_aggs(s: str) -> str:
@@ -1849,6 +1907,25 @@ def _rewrite_ordered_aggs(s: str) -> str:
                 repl = f"element_at({repl}, 1)"
             elif fn == "last":
                 repl = f"element_at({repl}, -1)"
+            elif fn in ("sum", "avg"):
+                # sum(x ORDER BY k): a SEQUENTIAL left-to-right fold in
+                # key order — float results are order-dependent, which
+                # is the only reason to write this form. Zero-of-type
+                # init keeps integer sums integer; NULLs are skipped;
+                # empty → NULL (try_element_at init), like DuckDB.
+                vals = f"filter({repl}, __dd_v -> __dd_v IS NOT NULL)"
+                zero = (
+                    f"(try_element_at({vals}, 1) - try_element_at({vals}, 1))"
+                )
+                agg = (
+                    f"aggregate({vals}, {zero}, "
+                    f"(__dd_a, __dd_e) -> __dd_a + __dd_e)"
+                )
+                repl = (
+                    agg
+                    if fn == "sum"
+                    else f"(CAST({agg} AS DOUBLE) / nullif(size({vals}), 0))"
+                )
         s = s[: m.start()] + repl + s[close + 1 :]
         pos = m.start() + len(repl)
     return s
@@ -2638,6 +2715,24 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
     if fn == "bit_position" and len(args) == 2:
         # bit_position(needle, haystack): 1-based, 0 when absent
         return f"instr({args[1]}, {args[0]})"
+    if fn == "bitstring_agg" and len(args) in (1, 3):
+        # BIT with bits set at (v - lo) over [lo, hi]. The 3-arg form is
+        # exact parity; the 1-arg form uses the GROUP's own min/max —
+        # DuckDB 1.0 reads table-segment statistics there (bounds that
+        # ignore WHERE filters), which is engine-internal and not
+        # reproducible. Output width is hi-lo+1, so the collect_set is
+        # bounded by the result size itself.
+        x = f"CAST({args[0]} AS BIGINT)"
+        lo = f"CAST({args[1]} AS BIGINT)" if len(args) == 3 else f"min({x})"
+        hi = f"CAST({args[2]} AS BIGINT)" if len(args) == 3 else f"max({x})"
+        one = _masked_literal(table, "1")
+        zero = _masked_literal(table, "0")
+        empty = _masked_literal(table, "")
+        return (
+            f"concat_ws({empty}, transform(sequence({lo}, {hi}), "
+            f"__dd_i -> CASE WHEN array_contains(collect_set({x}), __dd_i) "
+            f"THEN {one} ELSE {zero} END))"
+        )
     if fn == "epoch" and len(args) == 1:
         # DuckDB epoch() keeps fractional seconds and returns DOUBLE
         return (
@@ -2823,12 +2918,23 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
     if fn == "kurtosis" and len(args) == 1:
         # DuckDB reports SAMPLE excess kurtosis; Spark's is population.
         # Exact single-pass combination (equal up to float ulp):
-        # g2* = (n-1)/((n-2)(n-3)) · ((n+1)·g2 + 6)
+        # g2* = (n-1)/((n-2)(n-3)) · ((n+1)·g2 + 6); the nullif keeps
+        # n ≤ 3 at NULL (DuckDB) instead of an ANSI division error
         e = args[0]
         n = f"count({e})"
         return (
-            f"((({n} - 1) / (({n} - 2) * ({n} - 3))) * "
+            f"((({n} - 1) / nullif(({n} - 2) * ({n} - 3), 0)) * "
             f"(({n} + 1) * kurtosis({e}) + 6))"
+        )
+    if fn == "skewness" and len(args) == 1:
+        # DuckDB reports SAMPLE skewness G1 = g1 · √(n(n-1)) / (n-2);
+        # Spark's skewness is the population g1 — a silent value
+        # divergence at every n. NULL for n < 3, like DuckDB.
+        e = args[0]
+        n = f"count({e})"
+        return (
+            f"(skewness({e}) * sqrt({n} * ({n} - 1.0)) / "
+            f"nullif({n} - 2.0, 0.0))"
         )
     if fn == "histogram" and len(args) == 1:
         e = args[0]
@@ -2895,8 +3001,15 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         return f"date_format({args[0]}, {lit})"
     if fn == "geomean" and len(args) == 1:
         return f"exp(avg(ln({args[0]})))"
-    if fn in ("fsum", "sumkahan", "kahan_sum") and len(args) == 1:
-        return f"CAST(sum({args[0]}) AS DOUBLE)"  # DuckDB fsum is DOUBLE
+    if fn in ("fsum", "sumkahan", "kahan_sum", "favg") and len(args) == 1:
+        # DuckDB's Kahan/Neumaier-compensated sums return the correctly-
+        # rounded DOUBLE. A DECIMAL(38,15) accumulation is exact to
+        # 1e-15 — far inside double spacing at any representable sum —
+        # so the final cast lands on the identical double.
+        acc = f"sum(CAST({args[0]} AS DECIMAL(38,15)))"
+        if fn == "favg":
+            return f"CAST({acc} / count({args[0]}) AS DOUBLE)"
+        return f"CAST({acc} AS DOUBLE)"
     if len(args) == 2 and fn in ("divide", "multiply", "add", "subtract"):
         op = {"divide": "//", "multiply": "*", "add": "+", "subtract": "-"}[fn]
         return f"(({args[0]}) {op} ({args[1]}))"
@@ -3007,7 +3120,8 @@ _TEMPLATE_RE = re.compile(
     r"to_timestamp|strptime|try_strptime|list_distinct|list_prepend|array_prepend|array_push_front|typeof|version|txid_current|bit_count|chr|bar|struct_extract|current_schema|"
     r"current_database|kurtosis|histogram|quantile_disc|quantile|format|"
     r"list_reverse_sort|dayname|monthname|geomean|divide|multiply|add|"
-    r"subtract|fsum|sumkahan|kahan_sum|date_trunc|datetrunc|json_quote|"
+    r"subtract|fsum|sumkahan|kahan_sum|favg|skewness|bitstring_agg|"
+    r"date_trunc|datetrunc|json_quote|"
     r"encode|decode|sha256|left|right|unnest|"
     r"list_sum|list_avg|list_any_value|"
     r"list_has_all|list_select|list_where|list_grade_up|list_resize|"
@@ -3775,10 +3889,12 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_json_arrows(masked, table)
     masked = _rewrite_any_all(masked)
     masked = _rewrite_ignore_nulls(masked)
+    masked = _rewrite_filter_shorthand(masked)
     masked = _rewrite_window_chain(masked)
     masked = _rewrite_list_literals(masked)
     kinds = _column_kinds(spark, masked) if spark is not None else None
     masked = _rewrite_len(masked, kinds)
+    masked = _rewrite_median(masked, kinds)
     masked = _rewrite_date_arith(masked, kinds)
     masked = _rewrite_string_split(masked, table)
     masked = _rewrite_regexp_replace(masked, table)
