@@ -73,6 +73,8 @@ _PRIORITY_R8: tuple[str, ...] = (
     "s10b_attach_remote_catalog",  # new: Flight catalog discovery
     "st_stream_decontam",      # new: Bloom decontamination in streaming
     "s24_attach_duckdb_file",  # new: ATTACH of a real .duckdb database
+    "s25_dialect_aggregate_tails",  # new: battery-18 aggregate tails
+    "s26_dialect_scalar_tails",     # new: battery-17 scalar tails
     # --- code changed this round: refresh green evidence ---
     "b30c_gif_decode",         # color-table validation added
     "b30d_webp_decode",        # length-limited Huffman rebuilt

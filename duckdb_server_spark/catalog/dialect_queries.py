@@ -351,6 +351,71 @@ ORDER BY doc_id ASC NULLS LAST
 """
 
 
+# Round-8 aggregate-tail batch in one verbatim statement: SAMPLE
+# skewness/kurtosis (G1/G2 estimators — Spark's population forms were a
+# silent value divergence), DECIMAL-exact compensated sums (bit-equal to
+# DuckDB's Neumaier fsum/favg), the WHERE-less FILTER shorthand, ordered
+# sum (sequential float fold in key order), and a temporal median
+# (interpolated TIMESTAMP). skewness/kurtosis round to 6dp because the
+# single-pass estimator composition is ulp-class, not bit-exact.
+_S25_SQL = """
+SELECT o_orderstatus,
+       round(skewness(o_totalprice), 6) AS skew_g1,
+       round(kurtosis(o_totalprice), 6) AS kurt_g2,
+       fsum(o_totalprice) AS exact_sum,
+       favg(o_totalprice) AS exact_avg,
+       count(*) FILTER (o_orderkey % 2 = 0) AS n_even,
+       sum(o_totalprice ORDER BY o_orderkey) AS seq_sum,
+       median(o_orderdate) AS mid_date
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("s25_dialect_aggregate_tails", oracle=_S25_SQL)
+def s25_dialect_aggregate_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim DuckDB aggregate-tail SQL through the serving path
+    (battery 18). Scale shape: one hash aggregate — skewness/kurtosis
+    compose from Spark's own single-pass moments, fsum is a decimal
+    hash-agg, and only the ordered seq_sum materializes its group (the
+    sequential float fold is order-dependent BY DEFINITION — that
+    serialization is the semantics, not an implementation choice)."""
+    return _sql(spark, sf_dir, _S25_SQL, ("orders",))
+
+
+# Round-8 scalar-tail batch: path parsing over real document ids, the
+# prefix @ absolute-value operator at its Postgres precedence, BIT-string
+# ops, literal make_time, map-subscript LIST-of-matches shape, and
+# struct_insert star expansion — one byte-identical statement.
+_S26_SQL = """
+SELECT doc_id,
+       parse_filename('/corpus/shard-' || doc_id || '/doc.txt') AS fname,
+       parse_dirpath('/corpus/shard-' || doc_id || '/doc.txt') AS dpath,
+       parse_path('corpus/' || doc_id)[2] AS second_seg,
+       @ (length(text) - 600) AS len_dev,
+       get_bit(BIT '10110', 1) AS b1,
+       set_bit(BIT '10110', 0, 0) AS b0,
+       bit_position(BIT '11', BIT '10110') AS bpos,
+       CAST(make_time(12, 30, 1.5) AS VARCHAR) AS lunch,
+       (MAP {'en': 1, 'de': 2})['de'][1] AS de_code,
+       struct_insert(meta, lang := 'en').lang AS lang
+FROM (SELECT doc_id, text, {'k': doc_id} AS meta FROM documents) d
+WHERE doc_id < 40
+ORDER BY doc_id ASC NULLS LAST
+"""
+
+
+@query("s26_dialect_scalar_tails", oracle=_S26_SQL)
+def s26_dialect_scalar_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim DuckDB scalar-tail SQL (battery 17): every rewrite
+    inlines to built-in JVM expressions over one scan — regexp extracts
+    for the path family, abs() for @, substring arithmetic for the BIT
+    ops, a folded TIME literal, and entries-filter for the map subscript
+    ([] when the key is missing, like DuckDB — not [NULL])."""
+    return _sql(spark, sf_dir, _S26_SQL, ("documents",))
+
+
 @query("s23_dialect_list_comprehension", oracle=_S23_SQL)
 def s23_dialect_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim DuckDB list comprehensions (``[expr FOR v IN l IF c]``)

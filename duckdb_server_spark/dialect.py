@@ -3006,10 +3006,12 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         # rounded DOUBLE. A DECIMAL(38,15) accumulation is exact to
         # 1e-15 — far inside double spacing at any representable sum —
         # so the final cast lands on the identical double.
-        acc = f"sum(CAST({args[0]} AS DECIMAL(38,15)))"
+        acc = f"CAST(sum(CAST({args[0]} AS DECIMAL(38,15))) AS DOUBLE)"
         if fn == "favg":
-            return f"CAST({acc} / count({args[0]}) AS DOUBLE)"
-        return f"CAST({acc} AS DOUBLE)"
+            # DuckDB finalizes favg as (compensated double sum) / n —
+            # the division itself is double arithmetic
+            return f"({acc} / count({args[0]}))"
+        return acc
     if len(args) == 2 and fn in ("divide", "multiply", "add", "subtract"):
         op = {"divide": "//", "multiply": "*", "add": "+", "subtract": "-"}[fn]
         return f"(({args[0]}) {op} ({args[1]}))"
