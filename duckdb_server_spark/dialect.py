@@ -5258,11 +5258,37 @@ def _register_macro(state: DialectState, stmt: str, m: re.Match) -> bool:
     return True
 
 
-def _run_insert(spark: SparkSession, m: re.Match) -> None:
+def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Eagerly materialize a DML result and truncate its lineage.
+    localCheckpoint is the cheap path (columnar, stays JVM-side); Spark
+    4.1's checkpoint re-analysis can hit `AttributeMap: key not found`
+    when the plan unions a view that was itself swapped onto a prior
+    checkpoint (multi-statement UPDATE→INSERT chains) — the fallback
+    rebases the computed RDD onto a fresh LogicalRDD, which always
+    carries clean attribute ids."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:
+        return spark.createDataFrame(df.rdd, df.schema).localCheckpoint(
+            eager=True
+        )
+
+
+def _count_frame(spark: SparkSession, n: int) -> DataFrame:
+    """DuckDB's DML result shape: one BIGINT ``Count`` row."""
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        [(n,)], T.StructType([T.StructField("Count", T.LongType())])
+    )
+
+
+def _run_insert(spark: SparkSession, m: re.Match) -> DataFrame:
     """``INSERT INTO t [(cols)] VALUES ... | SELECT ...`` against a temp
     view created by the CTAS route: append by union, re-materialize, swap
     the view. Init-phase only (serving stays read-only), mirroring the
-    reference's boot-time-writes-then-serve model."""
+    reference's boot-time-writes-then-serve model. Returns DuckDB's
+    ``Count`` row (rows inserted)."""
     from pyspark.sql import functions as F
 
     name, col_list, body = m.groups()
@@ -5283,8 +5309,114 @@ def _run_insert(spark: SparkSession, m: re.Match) -> None:
     new = new.select(
         *[F.col(c).cast(old.schema[c].dataType) for c in old.columns]
     )
-    merged = old.unionByName(new).localCheckpoint(eager=True)
+    n_before = old.count()
+    merged = _materialize(spark, old.unionByName(new))
     merged.createOrReplaceTempView(target)
+    return _count_frame(spark, merged.count() - n_before)
+
+
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _run_delete(spark: SparkSession, target: str, cond: str | None) -> DataFrame:
+    """``DELETE FROM t [WHERE cond]`` / ``TRUNCATE t`` — copy-on-write:
+    re-materialize the kept rows and swap the view, the same model as
+    INSERT (and the only honest mutation over immutable parquet at any
+    scale — Delta/Iceberg deletes are this exact rewrite plus a manifest).
+    A NULL condition keeps the row, like DuckDB. Returns the ``Count`` of
+    deleted rows."""
+    name = target.split(".")[-1]
+    old = spark.table(name)
+    total = old.count()
+    if cond:
+        # coalesce(cond, false) — NULL predicates delete nothing; the
+        # condition text flows through the full dialect rewrite
+        keep = run_sql(
+            spark,
+            f"SELECT * FROM {name} "
+            f"WHERE NOT coalesce(CAST(({cond}) AS BOOLEAN), false)",
+        )
+    else:
+        keep = old.limit(0)
+    kept = _materialize(spark, keep)
+    n_kept = kept.count()
+    kept.createOrReplaceTempView(name)
+    return _count_frame(spark, total - n_kept)
+
+
+def _run_update(spark: SparkSession, m: re.Match) -> DataFrame:
+    """``UPDATE t SET c = expr, … [WHERE cond]`` — copy-on-write CASE
+    projection over every row (the Delta/Iceberg update shape): assigned
+    columns become ``CASE WHEN cond THEN expr ELSE c END``, the result
+    re-materializes and swaps the view. Returns the ``Count`` of rows the
+    condition matched."""
+    from pyspark.sql import functions as F
+
+    target = m.group(1).split(".")[-1]
+    masked, table = _mask(m.group(2))
+    cond = None
+    wm = None
+    for wmatch in re.finditer(r"\bWHERE\b", masked, re.IGNORECASE):
+        if _depth_at(masked, wmatch.start()) == 0:
+            wm = wmatch
+            break
+    if wm is not None:
+        assigns_m = masked[: wm.start()]
+        cond = _unmask(masked[wm.end() :].strip(), table)
+    else:
+        assigns_m = masked
+    old = spark.table(target)
+    by_lower = {c.lower(): c for c in old.columns}
+    assigns: dict[str, str] = {}
+    for item in _split_top_commas(assigns_m):
+        am = re.match(r'^\s*"?([A-Za-z_]\w*)"?\s*=\s*(.+)$', item, re.DOTALL)
+        if not am:
+            raise ValueError("UPDATE expects col = expr assignments")
+        col = am.group(1).lower()
+        if col not in by_lower:
+            raise ValueError(f"UPDATE: unknown column {am.group(1)!r}")
+        assigns[col] = _unmask(am.group(2).strip(), table)
+    projs = []
+    for c in old.columns:
+        e = assigns.get(c.lower())
+        if e is None:
+            projs.append(f"`{c}`")
+        elif cond:
+            projs.append(
+                f"CASE WHEN coalesce(CAST(({cond}) AS BOOLEAN), false) "
+                f"THEN ({e}) ELSE `{c}` END AS `{c}`"
+            )
+        else:
+            projs.append(f"({e}) AS `{c}`")
+    n = run_sql(
+        spark,
+        f"SELECT count(*) AS n FROM {target}"
+        + (
+            f" WHERE coalesce(CAST(({cond}) AS BOOLEAN), false)"
+            if cond
+            else ""
+        ),
+    ).collect()[0][0]
+    new = run_sql(spark, f"SELECT {', '.join(projs)} FROM {target}")
+    new = _materialize(
+        spark,
+        new.select(
+            *[F.col(c).cast(old.schema[c].dataType) for c in old.columns]
+        ),
+    )
+    new.createOrReplaceTempView(target)
+    return _count_frame(spark, n)
 
 
 def _run_copy(spark: SparkSession, m: re.Match) -> None:
@@ -5445,9 +5577,21 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         state.pivot_cache.clear()
         return None
     if m := _INSERT_RE.match(stmt):
-        _run_insert(spark, m)
+        df = _run_insert(spark, m)
         state.pivot_cache.clear()  # cached pivot columns may be stale now
-        return None
+        return df
+    if m := _DELETE_RE.match(stmt):
+        df = _run_delete(spark, m.group(1), m.group(2))
+        state.pivot_cache.clear()
+        return df
+    if m := _TRUNCATE_RE.match(stmt):
+        df = _run_delete(spark, m.group(1), None)
+        state.pivot_cache.clear()
+        return df
+    if m := _UPDATE_RE.match(stmt):
+        df = _run_update(spark, m)
+        state.pivot_cache.clear()
+        return df
     if m := _PREPARE_RE.match(stmt):
         state.prepared[m.group(1).lower()] = m.group(2)
         return None
