@@ -75,6 +75,7 @@ _PRIORITY_R8: tuple[str, ...] = (
     "s24_attach_duckdb_file",  # new: ATTACH of a real .duckdb database
     "s25_dialect_aggregate_tails",  # new: battery-18 aggregate tails
     "s26_dialect_scalar_tails",     # new: battery-17 scalar tails
+    "s27_dialect_dml_txn",          # new: DML + transaction script
     # --- code changed this round: refresh green evidence ---
     "b30c_gif_decode",         # color-table validation added
     "b30d_webp_decode",        # length-limited Huffman rebuilt

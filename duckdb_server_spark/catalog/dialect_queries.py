@@ -416,6 +416,39 @@ def s26_dialect_scalar_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _S26_SQL, ("documents",))
 
 
+# DML + transaction script — the SAME statements run verbatim on both
+# engines (a multi-statement oracle: DuckDB returns the last statement's
+# result). Covers UPDATE/DELETE/INSERT Counts, an aborted transaction
+# whose ROLLBACK must leave no trace, and the final table contents.
+_S27_SCRIPT = """
+CREATE OR REPLACE TABLE dml_q AS
+  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+  FROM orders WHERE o_orderkey < 64;
+DELETE FROM dml_q WHERE st = 'P';
+UPDATE dml_q SET p = p * 2 WHERE k % 4 = 0;
+BEGIN TRANSACTION;
+DELETE FROM dml_q;
+INSERT INTO dml_q VALUES (-1, 0.0, 'X');
+ROLLBACK;
+INSERT INTO dml_q SELECT k + 1000, p, st FROM dml_q WHERE k < 8;
+SELECT k, CAST(round(p, 2) AS DOUBLE) AS p, st FROM dml_q ORDER BY k
+"""
+
+
+@query("s27_dialect_dml_txn", oracle=_S27_SCRIPT)
+def s27_dialect_dml_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE / UPDATE / INSERT / BEGIN-ROLLBACK as verbatim DuckDB
+    statements through the statement router. Every mutation is a
+    copy-on-write view swap (the Delta/Iceberg shape over immutable
+    parquet); ROLLBACK restores the undo log's pinned pre-transaction
+    plans, so the aborted wipe leaves no trace on either engine."""
+    from duckdb_server_spark.dialect import run_script
+    from duckdb_server_spark.session import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return run_script(spark, _S27_SCRIPT)[-1]
+
+
 @query("s23_dialect_list_comprehension", oracle=_S23_SQL)
 def s23_dialect_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim DuckDB list comprehensions (``[expr FOR v IN l IF c]``)

@@ -4931,6 +4931,16 @@ class DialectState:
     # wire input, LRU-ordered; oldest are dropped past _TEMP_VIEW_CAP so
     # server-lifetime catalog state stays bounded under arbitrary clients
     temp_views: dict[str, None] = field(default_factory=dict)
+    # open-transaction undo log: relation name → the DataFrame to restore
+    # on ROLLBACK (None = created inside the transaction, so ROLLBACK
+    # drops it). None when no transaction is active. Works because every
+    # mutation is a copy-on-write view swap and prior DataFrames pin
+    # their analyzed plans.
+    txn_undo: "dict[str, DataFrame | None] | None" = None
+    # index/comment metadata: results never depend on them, but clients
+    # create them and expect the statements to succeed
+    indexes: dict[str, str] = field(default_factory=dict)
+    comments: dict[str, str | None] = field(default_factory=dict)
 
 
 _PIVOT_CACHE_CAP = 32
@@ -5505,11 +5515,213 @@ def _apply_secret(spark: SparkSession, state: DialectState, stmt: str, name: str
             hconf.set("fs.s3a.path.style.access", "true")
 
 
+def _txn_record(spark: SparkSession, state: DialectState, name: str) -> None:
+    """First-touch snapshot of a relation inside an open transaction.
+    Dataset creation analyzes eagerly, so the captured DataFrame pins the
+    relation's CURRENT plan — later view swaps cannot retarget it."""
+    if state.txn_undo is None:
+        return
+    key = name.split(".")[-1]
+    if key in state.txn_undo:
+        return
+    try:
+        prior = spark.table(key) if spark.catalog.tableExists(key) else None
+    except Exception:
+        prior = None
+    state.txn_undo[key] = prior
+
+
+_BEGIN_RE = re.compile(r"^\s*BEGIN(\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE)
+_COMMIT_RE = re.compile(
+    r"^\s*(?:COMMIT|END)(\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE
+)
+_ROLLBACK_RE = re.compile(
+    r"^\s*(?:ROLLBACK|ABORT)(\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE
+)
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"([A-Za-z_]\w*)\s+ON\s+([A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+_DROP_INDEX_RE = re.compile(
+    r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*(?:VACUUM|ANALYZE)(?:\s+[A-Za-z_][\w.]*)?\s*;?\s*$", re.IGNORECASE
+)
+_COMMENT_RE = re.compile(
+    r"^\s*COMMENT\s+ON\s+(TABLE|VIEW|COLUMN)\s+([A-Za-z_][\w.]*)\s+IS\s+"
+    r"('(?:[^']|'')*'|NULL)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXPORT_DB_RE = re.compile(
+    r"^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\([^)]*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_IMPORT_DB_RE = re.compile(
+    r"^\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*$", re.IGNORECASE
+)
+
+# DuckDB type spelling → Spark, for ALTER TABLE column types
+_ALTER_TYPE_MAP = {
+    "varchar": "STRING", "text": "STRING", "string": "STRING",
+    "blob": "BINARY", "bytea": "BINARY",
+    "integer": "INT", "int": "INT", "int4": "INT",
+    "bigint": "BIGINT", "int8": "BIGINT", "hugeint": "DECIMAL(38,0)",
+    "smallint": "SMALLINT", "int2": "SMALLINT", "tinyint": "TINYINT",
+    "double": "DOUBLE", "float8": "DOUBLE", "real": "FLOAT",
+    "float4": "FLOAT", "float": "FLOAT",
+    "boolean": "BOOLEAN", "bool": "BOOLEAN",
+    "date": "DATE", "timestamp": "TIMESTAMP",
+}
+
+
+def _alter_spark_type(t: str) -> str:
+    t = t.strip()
+    low = t.lower()
+    if low.startswith("decimal") or low.startswith("numeric"):
+        return re.sub(r"(?i)^numeric", "DECIMAL", t)
+    return _ALTER_TYPE_MAP.get(low, t.upper())
+
+
+def _run_alter(spark: SparkSession, state: DialectState, m: re.Match) -> None:
+    """``ALTER TABLE t RENAME TO | RENAME COLUMN | ADD COLUMN | DROP
+    COLUMN | ALTER COLUMN … TYPE`` over the temp-view warehouse: each
+    form swaps the view onto a LAZY projection of the current relation
+    (Catalyst collapses stacked projections, so repeated ALTERs cost one
+    projection at scan time — never a rewrite of the data)."""
+    from pyspark.sql import functions as F
+
+    if_exists, target, action = m.groups()
+    name = target.split(".")[-1]
+    if not spark.catalog.tableExists(name):
+        if if_exists:
+            return
+        raise ValueError(f"ALTER TABLE: relation {target!r} does not exist")
+    _txn_record(spark, state, name)
+    df = spark.table(name)
+    by_lower = {c.lower(): c for c in df.columns}
+    act = action.strip()
+    if rt := re.match(r'(?i)^RENAME\s+TO\s+"?([A-Za-z_]\w*)"?$', act):
+        newname = rt.group(1)
+        _txn_record(spark, state, newname)
+        df.createOrReplaceTempView(newname)
+        spark.catalog.dropTempView(name)
+        return
+    if rc := re.match(
+        r'(?i)^RENAME\s+(?:COLUMN\s+)?"?([A-Za-z_]\w*)"?\s+TO\s+"?([A-Za-z_]\w*)"?$',
+        act,
+    ):
+        old_c, new_c = rc.groups()
+        if old_c.lower() not in by_lower:
+            raise ValueError(f"ALTER TABLE: unknown column {old_c!r}")
+        df.withColumnRenamed(by_lower[old_c.lower()], new_c).createOrReplaceTempView(name)
+        return
+    if ac := re.match(
+        r'(?i)^ADD\s+(?:COLUMN\s+)?(IF\s+NOT\s+EXISTS\s+)?"?([A-Za-z_]\w*)"?\s+'
+        r"([A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+        r"(?:\s+DEFAULT\s+(.+))?$",
+        act,
+        re.DOTALL,
+    ):
+        if_nx, col, typ, dflt = ac.groups()
+        if col.lower() in by_lower:
+            if if_nx:
+                return
+            raise ValueError(f"ALTER TABLE: column {col!r} already exists")
+        # DuckDB fills existing rows with the DEFAULT (NULL without one)
+        expr = F.expr(f"CAST({dflt or 'NULL'} AS {_alter_spark_type(typ)})")
+        df.withColumn(col, expr).createOrReplaceTempView(name)
+        return
+    if dc := re.match(
+        r'(?i)^DROP\s+(?:COLUMN\s+)?(IF\s+EXISTS\s+)?"?([A-Za-z_]\w*)"?$', act
+    ):
+        if_ex, col = dc.groups()
+        if col.lower() not in by_lower:
+            if if_ex:
+                return
+            raise ValueError(f"ALTER TABLE: unknown column {col!r}")
+        df.drop(by_lower[col.lower()]).createOrReplaceTempView(name)
+        return
+    if at := re.match(
+        r'(?i)^ALTER\s+(?:COLUMN\s+)?"?([A-Za-z_]\w*)"?\s+'
+        r"(?:SET\s+DATA\s+)?TYPE\s+(.+)$",
+        act,
+        re.DOTALL,
+    ):
+        col, typ = at.groups()
+        if col.lower() not in by_lower:
+            raise ValueError(f"ALTER TABLE: unknown column {col!r}")
+        real = by_lower[col.lower()]
+        df.withColumn(real, F.col(real).cast(_alter_spark_type(typ))).createOrReplaceTempView(name)
+        return
+    raise ValueError(f"unsupported ALTER TABLE action: {act!r}")
+
+
+def _run_export_db(spark: SparkSession, target_dir: str) -> None:
+    """``EXPORT DATABASE 'dir'`` — every user relation written as a
+    parquet directory (parallel writers, Spark's own split layout — no
+    single-file coalesce) plus a ``load.sql`` of CREATE OR REPLACE TABLE
+    … read_parquet() statements. The glob-spelled load script runs back
+    through THIS engine's IMPORT DATABASE **and** verbatim in DuckDB, so
+    the export is a cross-engine backup."""
+    import os
+
+    os.makedirs(target_dir, exist_ok=True)
+    names = [r.name for r in show_tables_frame(spark).collect()]
+    lines = []
+    for nm in names:
+        out = os.path.join(target_dir, f"{nm}.parquet")
+        spark.table(nm).write.mode("overwrite").parquet(out)
+        lines.append(
+            f"CREATE OR REPLACE TABLE {nm} AS "
+            f"SELECT * FROM read_parquet('{out}/*.parquet');"
+        )
+    with open(os.path.join(target_dir, "load.sql"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _run_import_db(spark: SparkSession, source_dir: str) -> None:
+    import os
+
+    path = os.path.join(source_dir, "load.sql")
+    if not os.path.exists(path):
+        raise ValueError(f"IMPORT DATABASE: no load.sql under {source_dir!r}")
+    with open(path) as f:
+        run_script(spark, f.read())
+
+
 def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
     """Route one DuckDB statement. Management statements (SET / INSTALL /
     LOAD / CREATE SECRET) map to engine state and return None; queries and
     views go through :func:`run_sql` / temp-view creation."""
     state = dialect_state(spark)
+    if _BEGIN_RE.match(stmt):
+        if state.txn_undo is not None:
+            raise ValueError("cannot start a transaction within a transaction")
+        state.txn_undo = {}
+        return None
+    if _COMMIT_RE.match(stmt):
+        if state.txn_undo is None:
+            raise ValueError("no transaction is active")
+        state.txn_undo = None
+        return None
+    if _ROLLBACK_RE.match(stmt):
+        if state.txn_undo is None:
+            raise ValueError("no transaction is active")
+        for nm, prior in state.txn_undo.items():
+            if prior is None:
+                spark.catalog.dropTempView(nm)
+            else:
+                prior.createOrReplaceTempView(nm)
+        state.txn_undo = None
+        state.pivot_cache.clear()
+        return None
     if m := _SET_RE.match(stmt):
         state.settings[m.group(1).lower()] = _strip_quotes(m.group(2))
         return None
@@ -5562,6 +5774,7 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         _run_copy(spark, m)
         return None
     if m := _COPY_FROM_RE.match(stmt):
+        _txn_record(spark, state, m.group(1))
         _run_copy_from(spark, m)
         state.pivot_cache.clear()  # cached pivot columns may be stale now
         return None
@@ -5571,27 +5784,60 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         state.macros.pop(m.group(1).lower(), None)
         return None
     if m := _DROP_RELATION_RE.match(stmt):
+        _txn_record(spark, state, m.group(2))
         dropped = spark.catalog.dropTempView(m.group(2).split(".")[-1])
         if not dropped and not m.group(1):
             raise ValueError(f"DROP: relation {m.group(2)!r} does not exist")
         state.pivot_cache.clear()
         return None
     if m := _INSERT_RE.match(stmt):
+        _txn_record(spark, state, m.group(1))
         df = _run_insert(spark, m)
         state.pivot_cache.clear()  # cached pivot columns may be stale now
         return df
     if m := _DELETE_RE.match(stmt):
+        _txn_record(spark, state, m.group(1))
         df = _run_delete(spark, m.group(1), m.group(2))
         state.pivot_cache.clear()
         return df
     if m := _TRUNCATE_RE.match(stmt):
+        _txn_record(spark, state, m.group(1))
         df = _run_delete(spark, m.group(1), None)
         state.pivot_cache.clear()
         return df
     if m := _UPDATE_RE.match(stmt):
+        _txn_record(spark, state, m.group(1))
         df = _run_update(spark, m)
         state.pivot_cache.clear()
         return df
+    if m := _ALTER_RE.match(stmt):
+        _run_alter(spark, state, m)
+        state.pivot_cache.clear()
+        return None
+    if m := _CREATE_INDEX_RE.match(stmt):
+        # an index is a performance hint here — results never depend on
+        # it; recorded so clients' CREATE/DROP INDEX round-trips succeed
+        state.indexes[m.group(1).lower()] = m.group(2).split(".")[-1].lower()
+        return None
+    if m := _DROP_INDEX_RE.match(stmt):
+        state.indexes.pop(m.group(1).lower(), None)
+        return None
+    if _VACUUM_RE.match(stmt):
+        return None  # storage upkeep is the parquet warehouse's concern
+    if m := _COMMENT_RE.match(stmt):
+        val = m.group(3)
+        key = f"{m.group(1).lower()}:{m.group(2).split('.')[-1].lower()}"
+        state.comments[key] = (
+            None if val.upper() == "NULL" else _strip_quotes(val)
+        )
+        return None
+    if m := _EXPORT_DB_RE.match(stmt):
+        _run_export_db(spark, m.group(1))
+        return None
+    if m := _IMPORT_DB_RE.match(stmt):
+        _run_import_db(spark, m.group(1))
+        state.pivot_cache.clear()
+        return None
     if m := _PREPARE_RE.match(stmt):
         state.prepared[m.group(1).lower()] = m.group(2)
         return None
@@ -5606,6 +5852,7 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         # equivalent within one engine lifetime (the reference recreates
         # its views from the init script on every boot anyway).
         name, body = m.group(1), m.group(2)
+        _txn_record(spark, state, name)
         df = run_sql(spark, body)
         df.createOrReplaceTempView(name.split(".")[-1])
         state.pivot_cache.clear()
@@ -5618,7 +5865,8 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         # for the serving lifetime, like the reference's boot-time
         # duckdb.db writes.
         name, body = m.group(1), m.group(2)
-        df = run_sql(spark, body).localCheckpoint(eager=True)
+        _txn_record(spark, state, name)
+        df = _materialize(spark, run_sql(spark, body))
         df.createOrReplaceTempView(name.split(".")[-1])
         state.pivot_cache.clear()
         return None

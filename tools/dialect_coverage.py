@@ -91,12 +91,21 @@ def main() -> None:
             errors.append((name, "duckdb-setup", str(exc).splitlines()[0][:100]))
             continue
         try:
+            from duckdb_server_spark.dialect import run_script, split_statements
+
             with (
                 nullcontext()
                 if "--native" in sys.argv
                 else serving_dialect()
             ):
-                srows = run_sql(spark, sql).collect()
+                # multi-statement script oracles (DML/transaction
+                # scripts) run through the statement router; DuckDB's
+                # execute() returns the last statement's result the
+                # same way
+                if len(split_statements(sql)) > 1:
+                    srows = run_script(spark, sql)[-1].collect()
+                else:
+                    srows = run_sql(spark, sql).collect()
         except Exception as exc:
             first = next(
                 (ln for ln in str(exc).splitlines() if ln.strip()), ""
