@@ -1787,6 +1787,51 @@ def _rewrite_filter_shorthand(s: str) -> str:
     return s
 
 
+_WIN_DISTINCT_RE = re.compile(
+    r"\b(count|sum|avg)\s*\(\s*DISTINCT\b", re.IGNORECASE
+)
+
+
+def _rewrite_windowed_distinct(s: str) -> str:
+    """``count/sum/avg(DISTINCT e) OVER (…)`` — Spark rejects DISTINCT
+    window functions outright; the frame's distinct multiset is
+    ``array_distinct(collect_list(e) OVER (…))``, and the aggregate
+    folds over that list (zero-of-type init keeps integer sums integer).
+    Non-window DISTINCT aggregates are untouched (Spark-native)."""
+    pos = 0
+    while m := _WIN_DISTINCT_RE.search(s, pos):
+        fn = m.group(1).lower()
+        open_idx = s.index("(", m.start())
+        close = _matching_paren(s, open_idx)
+        om = re.match(r"\s*OVER\s*\(", s[close + 1 :], re.IGNORECASE)
+        if not om:
+            pos = close + 1
+            continue
+        over_open = close + 1 + om.end() - 1
+        over_close = _matching_paren(s, over_open)
+        e = re.sub(
+            r"(?i)^\s*DISTINCT\s+", "", s[open_idx + 1 : close], count=1
+        )
+        over = s[close + 1 : over_close + 1]
+        dl = f"array_distinct(collect_list({e}){over})"
+        if fn == "count":
+            repl = f"size({dl})"
+        else:
+            total = (
+                f"aggregate({dl}, "
+                f"(try_element_at({dl}, 1) - try_element_at({dl}, 1)), "
+                f"(__dd_a, __dd_e) -> __dd_a + __dd_e)"
+            )
+            repl = (
+                total
+                if fn == "sum"
+                else f"(CAST({total} AS DOUBLE) / nullif(size({dl}), 0))"
+            )
+        s = s[: m.start()] + repl + s[over_close + 1 :]
+        pos = m.start() + len(repl)
+    return s
+
+
 _MEDIAN_RE = re.compile(r"\bmedian\s*\(", re.IGNORECASE)
 
 
@@ -1806,6 +1851,17 @@ def _rewrite_median(s: str, kinds: dict[str, str] | None) -> str:
             kind = "timestamp"
         elif kinds and re.fullmatch(r"[A-Za-z_][\w.]*", arg):
             kind = kinds.get(arg.split(".")[-1].lower())
+        if re.match(r"\s*OVER\b", s[close + 1 :], re.IGNORECASE):
+            if kind in ("date", "timestamp", "string"):
+                raise ValueError(
+                    "windowed median is supported for numeric columns only"
+                )
+            # Spark's median rejects window frames; exact percentile
+            # computes the identical interpolated value and accepts them
+            repl = f"percentile({arg}, 0.5)"
+            s = s[: m.start()] + repl + s[close + 1 :]
+            pos = m.start() + len(repl)
+            continue
         if kind in ("date", "timestamp"):
             repl = (
                 f"timestamp_micros(CAST(percentile(unix_micros("
@@ -3893,6 +3949,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_ignore_nulls(masked)
     masked = _rewrite_filter_shorthand(masked)
     masked = _rewrite_window_chain(masked)
+    masked = _rewrite_windowed_distinct(masked)
     masked = _rewrite_list_literals(masked)
     kinds = _column_kinds(spark, masked) if spark is not None else None
     masked = _rewrite_len(masked, kinds)
