@@ -5963,7 +5963,7 @@ _READ_FN_RE = re.compile(
 )
 # Cheap pre-check on the raw SQL so native queries never pay for masking.
 _FILE_READ_HINT_RE = re.compile(
-    r"\bread_\w+\s*\(|\bparquet_scan\s*\("
+    r"\bread_\w+\s*\(|\bparquet_scan\s*\(|\b(?:FROM|JOIN)\s+glob\s*\("
     r"|'[^']*\.(?:parquet|pq|csv|tsv|json|jsonl|ndjson)(?:\.(?:gz|zst))?'",
     re.IGNORECASE,
 )
@@ -6013,23 +6013,85 @@ def _file_read_view(
 
         paths = resolve_s3_paths(paths, dialect_state(spark).secrets)
     path_list = list(paths)
+
+    def _hive_base(reader):
+        # hive_partitioning=true: Spark infers dt=… directory columns
+        # only under an explicit basePath when the paths are globs — use
+        # the longest non-glob directory prefix
+        if not _truthy(opts.get("hive_partitioning")):
+            return reader
+        import os as _os
+
+        base = path_list[0]
+        gm = re.search(r"[*?\[]", base)
+        if gm:
+            base = base[: gm.start()]
+        if not base.endswith("/"):
+            base = _os.path.dirname(base)
+        return reader.option("basePath", base)
+
     if fmt == "parquet":
-        reader = spark.read
+        reader = _hive_base(spark.read)
         if _truthy(opts.get("union_by_name")):
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*path_list)
     elif fmt == "csv":
         sep = opts.get("delim") or opts.get("sep") or opts.get("delimiter") or ","
-        df = (
+        reader = (
             spark.read.option("header", _truthy(opts.get("header"), default=True))
             .option("sep", sep)
-            .option(
-                "inferSchema", not _truthy(opts.get("all_varchar"))
-            )
-            .csv(path_list)
         )
+        # pass-through option spellings with a direct Spark equivalent
+        for duck_key, spark_key in (
+            ("quote", "quote"), ("escape", "escape"),
+            ("nullstr", "nullValue"), ("null_padding", None),
+            ("dateformat", "dateFormat"),
+            ("timestampformat", "timestampFormat"),
+        ):
+            if spark_key and duck_key in opts:
+                reader = reader.option(spark_key, opts[duck_key])
+        if _truthy(opts.get("ignore_errors")):
+            reader = reader.option("mode", "DROPMALFORMED")
+        if "columns" in opts:
+            # columns={'name': 'TYPE', …} → explicit schema (DuckDB type
+            # spellings translated); disables inference entirely
+            spec = opts["columns"].strip()
+            if not (spec.startswith("{") and spec.endswith("}")):
+                raise ValueError("read_csv(columns=...) expects {'c': 'TYPE'}")
+            fields = []
+            for item in _split_top_commas(spec[1:-1]):
+                km = re.match(
+                    r"^\s*'([^']+)'\s*:\s*'([^']+)'\s*$", item
+                )
+                if not km:
+                    raise ValueError(
+                        f"read_csv(columns=...): bad entry {item.strip()!r}"
+                    )
+                fields.append(
+                    f"`{km.group(1)}` {_alter_spark_type(km.group(2))}"
+                )
+            reader = _hive_base(reader.schema(", ".join(fields)))
+            df = reader.csv(path_list)
+        else:
+            reader = _hive_base(
+                reader.option(
+                    "inferSchema", not _truthy(opts.get("all_varchar"))
+                )
+            )
+            df = reader.csv(path_list)
+        if "names" in opts:
+            spec = opts["names"].strip()
+            if not (spec.startswith("[") and spec.endswith("]")):
+                raise ValueError("read_csv(names=...) expects ['a', 'b', …]")
+            names_list = [
+                _strip_quotes(x.strip())
+                for x in _split_top_commas(spec[1:-1])
+            ]
+            if len(names_list) > len(df.columns):
+                raise ValueError("read_csv(names=...): more names than columns")
+            df = df.toDF(*names_list, *df.columns[len(names_list):])
     elif fmt == "json":
-        df = spark.read.json(path_list)
+        df = _hive_base(spark.read).json(path_list)
         if df.columns in ([], ["_corrupt_record"]):
             # DuckDB read_json auto-detects top-level arrays; Spark needs
             # multiLine for the non-NDJSON layout.
@@ -6057,10 +6119,15 @@ def _parse_read_args(args: list[str]) -> tuple[tuple[str, ...], dict[str, str]]:
         if not m:
             raise ValueError(f"unsupported read option: {arg.strip()!r}")
         key = m.group(1).lower()
-        if key == "columns":
-            raise ValueError("read_csv(columns=...) is not supported; "
-                             "use all_varchar or rely on inference")
-        opts[key] = _strip_quotes(m.group(2))
+        if key in ("skip", "skip_rows"):
+            # Spark's CSV source has no skip-N-preamble-lines option; a
+            # silent ignore would return the unskipped rows
+            raise ValueError("read_csv(skip=...) is not supported")
+        opts[key] = (
+            m.group(2).strip()
+            if key in ("columns", "names")
+            else _strip_quotes(m.group(2))
+        )
     return paths, opts
 
 
@@ -6068,6 +6135,29 @@ def _resolve_file_reads(spark: SparkSession, sql: str) -> str:
     """Replace every ``read_*('path', ...)`` call and bare ``FROM 'path'``
     table reference with a registered temp view over the same files."""
     masked, table = _mask(sql)
+    while m := re.search(
+        r"(\bFROM\s+|\bJOIN\s+)glob\s*\(", masked, re.IGNORECASE
+    ):
+        # glob('pattern') table function: one `file` row per match —
+        # a driver-side listing, exactly DuckDB's own implementation
+        open_idx = masked.index("(", m.end() - 1)
+        close = _matching_paren(masked, open_idx)
+        pat = _strip_quotes(
+            _unmask(masked[open_idx + 1 : close], table).strip()
+        )
+        import glob as _glob
+        import hashlib as _hashlib
+
+        from pyspark.sql import types as T
+
+        files = sorted(_glob.glob(pat))
+        name = "__dd_glob_" + _hashlib.md5(pat.encode()).hexdigest()[:12]
+        spark.createDataFrame(
+            [(f,) for f in files],
+            T.StructType([T.StructField("file", T.StringType(), True)]),
+        ).createOrReplaceTempView(name)
+        _track_temp_view(spark, name)
+        masked = masked[: m.start()] + m.group(1) + name + masked[close + 1 :]
     while m := _READ_FN_RE.search(masked):
         fmt = _READ_FNS[m.group(1).lower()]
         open_idx = m.end() - 1
