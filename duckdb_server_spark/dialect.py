@@ -2667,6 +2667,15 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         return f"unix_micros(CAST({args[0]} AS TIMESTAMP))"
     if fn == "epoch_ns" and len(args) == 1:
         return f"(unix_micros(CAST({args[0]} AS TIMESTAMP)) * 1000)"
+    if fn == "timezone" and len(args) == 2:
+        # timezone(tz, x) — DuckDB's function spelling of AT TIME ZONE:
+        # same instant-vs-wall-clock dispatch on the operand's spelling
+        tz, x = args
+        if re.match(r"(?i)^\s*TIMESTAMPTZ\b", x) or re.search(
+            r"(?i)::\s*TIMESTAMPTZ\s*$", x
+        ):
+            return f"from_utc_timestamp({x}, {tz})"
+        return f"to_utc_timestamp({x}, {tz})"
     if fn in ("parse_filename", "parse_dirpath", "parse_path") and (
         1 <= len(args) <= 3
     ):
@@ -3191,6 +3200,7 @@ _TEMPLATE_RE = re.compile(
     r"age|array_length|regexp_extract|element_at|log|yearweek|isoyear|"
     r"julian|era|century|millennium|decade|epoch_ms|epoch_us|epoch_ns|"
     r"parse_filename|parse_dirpath|parse_path|make_time|make_timestamp|"
+    r"timezone|"
     r"struct_insert|bitstring|get_bit|set_bit|bit_position|"
     r"to_years|to_months|to_decades|to_centuries|to_millennia|to_weeks|"
     r"to_days|to_hours|to_minutes|to_seconds|to_milliseconds|"
@@ -3589,11 +3599,93 @@ _TYPED_LITERAL_CAST: dict[str, str] = {
     "blob": "BINARY",
     "bytea": "BINARY",
     "varbinary": "BINARY",
+    # instant type: Spark's TIMESTAMP is LTZ and the session is pinned
+    # UTC, so a TIMESTAMPTZ literal (offset spelling included) parses to
+    # the same instant DuckDB stores
+    "timestamptz": "TIMESTAMP",
 }
 
 _TYPED_LITERAL_RE = re.compile(
     r"\b([A-Za-z_]\w*)\s+(\x00\d+\x00)"
 )
+
+
+_AT_TZ_RE = re.compile(r"\bAT\s+TIME\s+ZONE\s*", re.IGNORECASE)
+
+
+def _rewrite_at_time_zone(s: str) -> str:
+    """``ts AT TIME ZONE 'tz'``. DuckDB: a NAIVE timestamp interprets as
+    wall-clock in tz and becomes an instant (→ to_utc_timestamp under
+    the UTC-pinned session); a TIMESTAMPTZ converts to tz wall-clock
+    (→ from_utc_timestamp). The instant branch is detected from the
+    operand's own spelling (TIMESTAMPTZ literal / ::TIMESTAMPTZ cast) —
+    every other operand takes the naive branch, which is also what the
+    engine's UTC-relabelled parquet timestamps ARE."""
+    while m := _AT_TZ_RE.search(s):
+        end0 = m.start()
+        while end0 > 0 and s[end0 - 1] in " \t\n":
+            end0 -= 1
+        start = _primary_back(s, end0)
+        kw = re.search(
+            r"(?i)\b(TIMESTAMPTZ|TIMESTAMP|TIMETZ|TIME|DATE)\s*$", s[:start]
+        )
+        if kw:
+            start = kw.start(1)
+        operand = s[start:end0].strip()
+        tz_end = _primary_end(s, m.end())
+        tz = s[m.end() : tz_end].strip()
+        if not operand or not tz:
+            raise ValueError("AT TIME ZONE: could not parse operands")
+        if re.match(r"(?i)^TIMESTAMPTZ\b", operand) or re.search(
+            r"(?i)::\s*TIMESTAMPTZ$", operand
+        ):
+            repl = f"from_utc_timestamp({operand}, {tz})"
+        else:
+            repl = f"to_utc_timestamp({operand}, {tz})"
+        s = s[:start] + repl + s[tz_end:]
+    return s
+
+
+_IDX_LAMBDA_FNS_RE = re.compile(
+    r"\b(list_transform|list_apply|array_transform|apply|list_filter|"
+    r"array_filter|filter)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_indexed_lambdas(s: str) -> str:
+    """DuckDB's two-parameter list lambdas get a 1-BASED element index
+    (``list_transform(l, (x, i) -> …)``); Spark's index parameter is
+    0-based — a silent off-by-one on every indexed lambda. Rename the
+    index parameter and substitute ``(__dd_ix + 1)`` in the body."""
+    pos = 0
+    n = 0
+    while m := _IDX_LAMBDA_FNS_RE.search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        lm = (
+            re.match(
+                r"^\s*\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)\s*->\s*(.+)$",
+                args[1],
+                re.DOTALL,
+            )
+            if len(args) == 2
+            else None
+        )
+        if not lm:
+            pos = m.end()
+            continue
+        v, ix, body = lm.groups()
+        # a unique parameter name per lambda — nested indexed lambdas
+        # must not shadow the outer rename
+        p = f"__dd_ix{n}"
+        n += 1
+        body = re.sub(rf"\b{re.escape(ix)}\b", f"({p} + 1)", body)
+        inner = f"{args[0]}, ({v}, {p}) -> {body}"
+        s = s[: open_idx + 1] + inner + s[close:]
+        pos = m.end()
+    return s
 
 
 def _rewrite_typed_literals(s: str, table: list[str]) -> str:
@@ -3936,6 +4028,8 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_fetch_limit(masked)
     masked = _rewrite_percent_limit(masked)
     masked = _rewrite_regexp_split_to_table(masked)
+    masked = _rewrite_at_time_zone(masked)
+    masked = _rewrite_indexed_lambdas(masked)
     masked = _fold_time_arithmetic(masked, table)
     masked = _rewrite_typed_literals(masked, table)
     masked = _rewrite_extract_epoch(masked)
@@ -3980,6 +4074,10 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     # BIT strings are carried as '0'/'1' text (typed-literal rewrite);
     # `AS BIT` is left alone — 'bit' is a plausible column alias
     masked = re.sub(r"::\s*BIT\b", "::STRING", masked, flags=re.IGNORECASE)
+    masked = re.sub(
+        r"(::\s*|\bAS\s+)TIMESTAMPTZ\b", r"\1TIMESTAMP", masked,
+        flags=re.IGNORECASE,
+    )
     # fixed-size array types (FLOAT[3]) and bare array types (INT[]) in
     # cast position → Spark ARRAY<T>; subscripts never follow :: or AS
     masked = re.sub(
