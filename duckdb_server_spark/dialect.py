@@ -6960,7 +6960,10 @@ def _catalog_tables(spark: SparkSession) -> list:
 
 _META_TVF_RE = re.compile(
     r"\b(pragma_table_info\s*\(|duckdb_tables\s*\(\s*\)|"
-    r"duckdb_columns\s*\(\s*\)|information_schema\s*\.\s*(?:tables|columns))",
+    r"duckdb_columns\s*\(\s*\)|information_schema\s*\.\s*(?:tables|columns)|"
+    r"parquet_schema\s*\(|parquet_metadata\s*\(|parquet_file_metadata\s*\(|"
+    r"duckdb_indexes\s*\(\s*\)|duckdb_settings\s*\(\s*\)|"
+    r"duckdb_databases\s*\(\s*\))",
     re.IGNORECASE,
 )
 
@@ -7038,6 +7041,200 @@ def _resolve_meta_tvfs(spark: SparkSession, sql: str) -> str:
         _track_temp_view(spark, name)
         return name
 
+    def _pq_files(pattern: str) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(pattern)) or [pattern]
+
+    def parquet_file_metadata_frame(pattern: str) -> DataFrame:
+        import pyarrow.parquet as _pq
+
+        rows = []
+        for f in _pq_files(pattern):
+            md = _pq.ParquetFile(f).metadata
+            rows.append((
+                f, md.created_by, md.num_rows, md.num_row_groups,
+                int(float(md.format_version)), None, None,
+            ))
+        return spark.createDataFrame(rows, T.StructType([
+            T.StructField("file_name", T.StringType(), True),
+            T.StructField("created_by", T.StringType(), True),
+            T.StructField("num_rows", T.LongType(), True),
+            T.StructField("num_row_groups", T.LongType(), True),
+            T.StructField("format_version", T.LongType(), True),
+            T.StructField("encryption_algorithm", T.StringType(), True),
+            T.StructField("footer_signing_key_metadata", T.StringType(), True),
+        ]))
+
+    def parquet_schema_frame(pattern: str) -> DataFrame:
+        import pyarrow.parquet as _pq
+
+        rows = []
+        for f in _pq_files(pattern):
+            sch = _pq.ParquetFile(f).schema
+            arrow = sch.to_arrow_schema()
+            rows.append((
+                f, "schema", None, None, "REQUIRED", len(arrow.names),
+                None, None, None, None, None,
+            ))
+            for i in range(len(sch)):
+                c = sch.column(i)
+                rows.append((
+                    f, c.name, c.physical_type, c.length or None,
+                    "OPTIONAL" if c.max_definition_level > 0 else "REQUIRED",
+                    None,
+                    None if c.converted_type in (None, "NONE")
+                    else str(c.converted_type),
+                    c.scale or None, c.precision or None, None,
+                    str(c.logical_type),
+                ))
+        return spark.createDataFrame(rows, T.StructType([
+            T.StructField("file_name", T.StringType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("type", T.StringType(), True),
+            T.StructField("type_length", T.LongType(), True),
+            T.StructField("repetition_type", T.StringType(), True),
+            T.StructField("num_children", T.LongType(), True),
+            T.StructField("converted_type", T.StringType(), True),
+            T.StructField("scale", T.LongType(), True),
+            T.StructField("precision", T.LongType(), True),
+            T.StructField("field_id", T.LongType(), True),
+            T.StructField("logical_type", T.StringType(), True),
+        ]))
+
+    def parquet_metadata_frame(pattern: str) -> DataFrame:
+        import pyarrow.parquet as _pq
+
+        rows = []
+        for f in _pq_files(pattern):
+            md = _pq.ParquetFile(f).metadata
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    st = c.statistics
+                    has_mm = st is not None and st.has_min_max
+                    rows.append((
+                        f, i, rg.num_rows, rg.num_columns,
+                        rg.total_byte_size, j, c.file_offset, c.num_values,
+                        c.path_in_schema, c.physical_type,
+                        str(st.min) if has_mm else None,
+                        str(st.max) if has_mm else None,
+                        st.null_count if st is not None else None,
+                        (st.distinct_count or None) if st is not None else None,
+                        str(st.min) if has_mm else None,
+                        str(st.max) if has_mm else None,
+                        c.compression,
+                        ", ".join(c.encodings),
+                        None, c.dictionary_page_offset, c.data_page_offset,
+                        c.total_compressed_size, c.total_uncompressed_size,
+                    ))
+        return spark.createDataFrame(rows, T.StructType([
+            T.StructField("file_name", T.StringType(), True),
+            T.StructField("row_group_id", T.LongType(), True),
+            T.StructField("row_group_num_rows", T.LongType(), True),
+            T.StructField("row_group_num_columns", T.LongType(), True),
+            T.StructField("row_group_bytes", T.LongType(), True),
+            T.StructField("column_id", T.LongType(), True),
+            T.StructField("file_offset", T.LongType(), True),
+            T.StructField("num_values", T.LongType(), True),
+            T.StructField("path_in_schema", T.StringType(), True),
+            T.StructField("type", T.StringType(), True),
+            T.StructField("stats_min", T.StringType(), True),
+            T.StructField("stats_max", T.StringType(), True),
+            T.StructField("stats_null_count", T.LongType(), True),
+            T.StructField("stats_distinct_count", T.LongType(), True),
+            T.StructField("stats_min_value", T.StringType(), True),
+            T.StructField("stats_max_value", T.StringType(), True),
+            T.StructField("compression", T.StringType(), True),
+            T.StructField("encodings", T.StringType(), True),
+            T.StructField("index_page_offset", T.LongType(), True),
+            T.StructField("dictionary_page_offset", T.LongType(), True),
+            T.StructField("data_page_offset", T.LongType(), True),
+            T.StructField("total_compressed_size", T.LongType(), True),
+            T.StructField("total_uncompressed_size", T.LongType(), True),
+        ]))
+
+    def indexes_frame() -> DataFrame:
+        state = dialect_state(spark)
+        rows = [
+            ("memory", "main", ix, tbl, False, False, None)
+            for ix, tbl in sorted(state.indexes.items())
+        ]
+        return spark.createDataFrame(rows, T.StructType([
+            T.StructField("database_name", T.StringType(), True),
+            T.StructField("schema_name", T.StringType(), True),
+            T.StructField("index_name", T.StringType(), True),
+            T.StructField("table_name", T.StringType(), True),
+            T.StructField("is_unique", T.BooleanType(), True),
+            T.StructField("is_primary", T.BooleanType(), True),
+            T.StructField("sql", T.StringType(), True),
+        ]))
+
+    def settings_frame() -> DataFrame:
+        import os as _os
+
+        state = dialect_state(spark)
+        merged = {
+            "threads": str(_os.cpu_count() or 1),
+            "memory_limit": "128GB",
+            "access_mode": "read_only",
+            "default_order": "asc",
+        }
+        merged.update(state.settings)
+        rows = [
+            (k, v, "", "VARCHAR", "GLOBAL") for k, v in sorted(merged.items())
+        ]
+        return spark.createDataFrame(rows, T.StructType([
+            T.StructField("name", T.StringType(), True),
+            T.StructField("value", T.StringType(), True),
+            T.StructField("description", T.StringType(), True),
+            T.StructField("input_type", T.StringType(), True),
+            T.StructField("scope", T.StringType(), True),
+        ]))
+
+    def databases_frame() -> DataFrame:
+        rows = [("memory", None, "duckdb")]
+        for db in spark.catalog.listDatabases():
+            if db.name != "default":
+                rows.append((db.name, None, "duckdb"))
+        return spark.createDataFrame(rows, T.StructType([
+            T.StructField("database_name", T.StringType(), True),
+            T.StructField("path", T.StringType(), True),
+            T.StructField("type", T.StringType(), True),
+        ]))
+
+    for fn_name, builder in (
+        ("parquet_file_metadata", parquet_file_metadata_frame),
+        ("parquet_metadata", parquet_metadata_frame),
+        ("parquet_schema", parquet_schema_frame),
+    ):
+        while m := re.search(rf"\b{fn_name}\s*\(", sql, re.IGNORECASE):
+            close = _matching_paren(sql, m.end() - 1)
+            arg = sql[m.end() : close].strip().strip("'\"")
+            import hashlib as _hashlib
+
+            view = register(
+                f"__dd_{fn_name[:10]}_"
+                + _hashlib.md5(arg.encode()).hexdigest()[:10],
+                builder(arg),
+            )
+            sql = sql[: m.start()] + view + sql[close + 1 :]
+    sql = re.sub(
+        r"\bduckdb_indexes\s*\(\s*\)",
+        lambda _m: register("__dd_meta_indexes", indexes_frame()),
+        sql, flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\bduckdb_settings\s*\(\s*\)",
+        lambda _m: register("__dd_meta_settings", settings_frame()),
+        sql, flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\bduckdb_databases\s*\(\s*\)",
+        lambda _m: register("__dd_meta_databases", databases_frame()),
+        sql, flags=re.IGNORECASE,
+    )
     while m := re.search(r"\bpragma_table_info\s*\(", sql, re.IGNORECASE):
         close = _matching_paren(sql, m.end() - 1)
         arg = sql[m.end() : close].strip().strip("'\"")
