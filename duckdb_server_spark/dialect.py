@@ -181,6 +181,13 @@ _FN_RENAMES = {
     "prefix": "startswith",
     "suffix": "endswith",
     "array_unique": "dd_list_unique",
+    "ucase": "upper",
+    "lcase": "lower",
+    "list_value": "array",
+    "array_value": "array",
+    "list_reverse": "reverse",
+    "array_reverse": "reverse",
+    "array_cat": "concat",
     "list_extract": "element_at",
     "array_extract": "element_at",
     "approx_quantile": "approx_percentile",
@@ -2667,6 +2674,32 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         return f"unix_micros(CAST({args[0]} AS TIMESTAMP))"
     if fn == "epoch_ns" and len(args) == 1:
         return f"(unix_micros(CAST({args[0]} AS TIMESTAMP)) * 1000)"
+    if fn in ("string_agg", "group_concat") and len(args) == 1:
+        # DuckDB's 1-arg default separator is ',' (Spark listagg: '');
+        # the ORDER BY-inside form stays for the ordered-agg rewrite,
+        # which applies the same default
+        if re.search(r"\bORDER\s+BY\b", args[0], re.IGNORECASE):
+            return None
+        comma = _masked_literal(table, ",")
+        return f"listagg({args[0]}, {comma})"
+    if fn == "regexp_matches" and len(args) == 3:
+        # flags argument → inline (?ims) groups; 'c' (case-sensitive,
+        # the default) and 'g' (find-anywhere is already the semantics)
+        # drop; unknown flags fail closed
+        flags = _literal_value(_unmask(args[2], table))
+        pat = _literal_value(_unmask(args[1], table))
+        if flags is None or pat is None:
+            raise ValueError("regexp_matches: flags must be a literal")
+        inline = ""
+        for f in flags:
+            if f in "ims":
+                inline += f
+            elif f not in "cg":
+                raise ValueError(f"regexp_matches: unsupported flag {f!r}")
+        newpat = _masked_literal(
+            table, (f"(?{inline})" if inline else "") + pat
+        )
+        return f"regexp_like({args[0]}, {newpat})"
     if fn == "timezone" and len(args) == 2:
         # timezone(tz, x) — DuckDB's function spelling of AT TIME ZONE:
         # same instant-vs-wall-clock dispatch on the operand's spelling
@@ -3200,7 +3233,7 @@ _TEMPLATE_RE = re.compile(
     r"age|array_length|regexp_extract|element_at|log|yearweek|isoyear|"
     r"julian|era|century|millennium|decade|epoch_ms|epoch_us|epoch_ns|"
     r"parse_filename|parse_dirpath|parse_path|make_time|make_timestamp|"
-    r"timezone|"
+    r"timezone|string_agg|group_concat|regexp_matches|"
     r"struct_insert|bitstring|get_bit|set_bit|bit_position|"
     r"to_years|to_months|to_decades|to_centuries|to_millennia|to_weeks|"
     r"to_days|to_hours|to_minutes|to_seconds|to_milliseconds|"
@@ -3608,6 +3641,33 @@ _TYPED_LITERAL_CAST: dict[str, str] = {
 _TYPED_LITERAL_RE = re.compile(
     r"\b([A-Za-z_]\w*)\s+(\x00\d+\x00)"
 )
+
+
+_CONCAT_FN_RE = re.compile(r"\bconcat\s*\(", re.IGNORECASE)
+
+
+def _rewrite_concat_nullskip(s: str, table: list[str]) -> str:
+    """DuckDB's ``concat()`` stringifies EVERY argument (lists render as
+    their display text) and SKIPS NULLs — Spark's concat returns NULL if
+    any argument is NULL. ``concat_ws('')`` over per-argument string
+    casts reproduces both behaviors. Runs before any other rewrite, so
+    only user-authored concat calls are touched — rewrite-emitted
+    concat/concat_ws stays Spark-native. The ``||`` operator keeps its
+    NULL-propagating standard semantics on both engines."""
+    pos = 0
+    while m := _CONCAT_FN_RE.search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        if not args or not args[0].strip():
+            pos = close + 1
+            continue
+        empty = _masked_literal(table, "")
+        parts = ", ".join(f"CAST({a.strip()} AS STRING)" for a in args)
+        repl = f"concat_ws({empty}, {parts})"
+        s = s[: m.start()] + repl + s[close + 1 :]
+        pos = m.start() + len(repl)
+    return s
 
 
 _AT_TZ_RE = re.compile(r"\bAT\s+TIME\s+ZONE\s*", re.IGNORECASE)
@@ -4018,6 +4078,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     for i, entry in enumerate(table):
         if entry.startswith("'"):
             table[i] = entry.replace("\\", "\\\\")
+    masked = _rewrite_concat_nullskip(masked, table)
     masked = _rewrite_list_comprehension(masked)
     masked = _rewrite_struct_literals(masked, table)
     masked = _rewrite_positional_join(masked, spark)
