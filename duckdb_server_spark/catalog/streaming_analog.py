@@ -509,3 +509,185 @@ def st_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc_nulls_last())
     )
+
+
+# --- streaming incremental near-dup: new docs vs a static LSH index --------
+#
+# The continuous-ingestion dedup shape: the corpus's banded MinHash index
+# is a frozen batch artifact; each NEW document (the stream) computes its
+# signature STATELESSLY — per-row array expressions, no wide aggregation,
+# so the only stateful streaming operator is the final pair aggregation —
+# and probes the index with a broadcast stream-static equi-join on
+# (band_id, band_key). Pair volume is bounded by band collisions, exactly
+# like batch b03b; at 100 TB the index rebuilds only when the corpus
+# does, while every new document is scored once, on arrival.
+#
+# Portable-md5 hashes make the WHOLE streaming pipeline differentially
+# checkable: the oracle replays shingles → 32 permutation minima → band
+# keys → the new×corpus bucket join in DuckDB.
+
+_ST_ND_N, _ST_ND_BANDS, _ST_ND_ROWS = 32, 8, 4
+_ST_ND_MINS_SQL = ",\n      ".join(
+    f"min(CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || ',{i}'), 1, 15)) "
+    f"AS BIGINT)) AS m{i}"
+    for i in range(_ST_ND_N)
+)
+_ST_ND_BANDS_SQL = ", ".join(
+    "(%d, CAST(m%d AS VARCHAR) || ',' || m%d || ',' || m%d || ',' || m%d)"
+    % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+    for b in range(_ST_ND_BANDS)
+)
+_STREAM_NEARDUP_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT -7 AS doc_id, text FROM documents WHERE doc_id = 3
+      UNION ALL
+      SELECT -12 AS doc_id, text || ' extra tail words here'
+      FROM documents WHERE doc_id = 7
+    ),
+    tok AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) - 2 <= 0 THEN [text]
+                  ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+             END AS sh
+      FROM tok
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+    ),
+    sig AS (
+      SELECT doc_id,
+      {_ST_ND_MINS_SQL}
+      FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, band.b AS band_id, band.key AS band_key
+      FROM sig, (VALUES {_ST_ND_BANDS_SQL}) AS band(b, key)
+    )
+    SELECT l.doc_id AS new_doc, r.doc_id AS corpus_doc,
+           count(DISTINCT l.band_id) AS n_bands
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+    WHERE (l.doc_id % 5 = 0 OR l.doc_id < 0) AND r.doc_id % 5 <> 0
+      AND r.doc_id >= 0
+    GROUP BY new_doc, corpus_doc
+    ORDER BY new_doc ASC NULLS LAST, corpus_doc ASC NULLS LAST
+    """
+
+
+def _portable_banded_stateless(df: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, band_id, band_key): the b03b portable
+    MinHash chain computed entirely in per-row array expressions —
+    shingle array → md5-60 hashes → per-permutation array_min — so it
+    runs identically on a STREAM (no wide aggregation) and on the static
+    index side."""
+    from duckdb_server_spark.operators.dedup import (
+        _md5_60,
+        shingles_from_words,
+        with_words,
+    )
+
+    words = with_words(df.select("doc_id", "text"), "text")
+    hashed = words.select(
+        "doc_id",
+        F.transform(
+            shingles_from_words(F.col("__words"), "text", 3),
+            lambda s: _md5_60(s),
+        ).alias("__h"),
+    )
+    sig = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__h"),
+                    lambda v: _md5_60(
+                        F.concat(v.cast("string"), F.lit(f",{i}"))
+                    ),
+                )
+            ).alias(f"__m{i}")
+            for i in range(_ST_ND_N)
+        ],
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"__m{4 * b + r}").cast("string")
+                                for r in range(_ST_ND_ROWS)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(_ST_ND_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
+@query("st_stream_neardup", oracle=_STREAM_NEARDUP_ORACLE)
+def st_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH near-dup INSIDE Structured Streaming: the
+    static corpus's banded index builds batch-side and broadcasts; new
+    documents stream in, band statelessly (per-row signature arrays),
+    probe the index with a stream-static equi-join, and the single
+    stateful operator is the final (new_doc, corpus_doc) pair aggregate
+    in complete mode, drained available-now. Deterministic portable
+    hashes ⇒ the streaming answer hash-matches DuckDB replaying the
+    identical chain in batch."""
+    import hashlib
+    import os as _os
+    import tempfile as _tf
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    static_banded = _portable_banded_stateless(
+        docs.filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") >= 0))
+    ).withColumnRenamed("doc_id", "corpus_doc")
+
+    base = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    # planted arrivals: an exact re-surfacing of corpus doc 3, and doc 7
+    # with a short tail appended (a near- but not exact duplicate)
+    clones = docs.filter(F.col("doc_id") == 3).select(
+        F.lit(-7).alias("doc_id"), F.col("text")
+    ).unionByName(
+        docs.filter(F.col("doc_id") == 7).select(
+            F.lit(-12).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra tail words here")).alias("text"),
+        )
+    )
+    new_docs = base.unionByName(clones)
+    key = hashlib.md5(f"nd:{sf_dir}".encode()).hexdigest()[:12]
+    staged = _os.path.join(_tf.gettempdir(), f"dss_stream_nd_{key}")
+    marker = _os.path.join(staged, "_SUCCESS")
+    if not _os.path.exists(marker):
+        new_docs.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(new_docs.schema).parquet(staged)
+
+    probes = _portable_banded_stateless(stream).withColumnRenamed(
+        "doc_id", "new_doc"
+    )
+    hits = probes.join(
+        F.broadcast(static_banded), ["band_id", "band_key"], "inner"
+    )
+    agg = hits.groupBy("new_doc", "corpus_doc").agg(
+        F.size(F.collect_set("band_id")).cast("bigint").alias("n_bands")
+    )
+    out = run_stream_to_memory(agg, output_mode="complete")
+    return out.orderBy(
+        F.col("new_doc").asc_nulls_last(), F.col("corpus_doc").asc_nulls_last()
+    )
