@@ -137,9 +137,16 @@ def test_export_import_database_cross_engine(sql_session, duck):
         ex(f"IMPORT DATABASE '{d}'")
         after = sorted(tuple(r) for r in sql_session.table("exp_t").collect())
         assert before == after
-        # the SAME load.sql runs verbatim in DuckDB
-        duck.execute(open(os.path.join(d, "load.sql")).read())
-        theirs = sorted(duck.execute("SELECT * FROM exp_t").fetchall())
+        # the SAME load.sql runs verbatim in DuckDB — on a FRESH
+        # connection: the shared fixture registers corpus views whose
+        # names collide with a full-session export (other tests' temp
+        # views are legitimately part of the dump)
+        import duckdb as _duckdb
+
+        fresh = _duckdb.connect()
+        fresh.execute(open(os.path.join(d, "load.sql")).read())
+        theirs = sorted(fresh.execute("SELECT * FROM exp_t").fetchall())
+        fresh.close()
         assert theirs == before
         ex("DROP TABLE exp_t")
     finally:
