@@ -3670,6 +3670,46 @@ def _rewrite_concat_nullskip(s: str, table: list[str]) -> str:
     return s
 
 
+_USING_SAMPLE_RE = re.compile(
+    r"\b(?:USING\s+SAMPLE|TABLESAMPLE)\s+"
+    r"(?:(bernoulli|system|reservoir)\s*\(\s*([^()]+?)\s*\)"
+    r"|(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?)"
+    r"(\s*REPEATABLE\s*\(\s*\d+\s*\))?",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_using_sample(s: str) -> str:
+    """DuckDB sampling clauses — ``USING SAMPLE 10%``, ``USING SAMPLE
+    50 ROWS``, ``USING SAMPLE reservoir(5%) REPEATABLE (42)``, and the
+    ``TABLESAMPLE bernoulli(10%)`` spelling — → Spark's
+    ``TABLESAMPLE (… PERCENT|ROWS) [REPEATABLE (seed)]``. Sample
+    MEMBERSHIP is engine-RNG on both systems (the o08b precedent:
+    rows-only verification by nature); the clause shape, unit semantics,
+    and seed stability are what carries over. Spark-native
+    ``TABLESAMPLE (10 PERCENT)`` is already parenthesized and never
+    matches."""
+
+    def sub(m: re.Match) -> str:
+        method, marg, num, unit, rep = m.groups()
+        if method:
+            am = re.match(
+                r"^(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?$",
+                marg.strip(),
+                re.IGNORECASE,
+            )
+            if not am:
+                raise ValueError(
+                    f"unsupported sample spec: {m.group(0)!r}"
+                )
+            num, unit = am.group(1), am.group(2)
+        u = (unit or "").upper().replace("%", "PERCENT") or "ROWS"
+        spec = f"{num} {u}"
+        return f"TABLESAMPLE ({spec}){rep or ''}"
+
+    return _USING_SAMPLE_RE.sub(sub, s)
+
+
 _AT_TZ_RE = re.compile(r"\bAT\s+TIME\s+ZONE\s*", re.IGNORECASE)
 
 
@@ -4089,6 +4129,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_fetch_limit(masked)
     masked = _rewrite_percent_limit(masked)
     masked = _rewrite_regexp_split_to_table(masked)
+    masked = _rewrite_using_sample(masked)
     masked = _rewrite_at_time_zone(masked)
     masked = _rewrite_indexed_lambdas(masked)
     masked = _fold_time_arithmetic(masked, table)

@@ -85,3 +85,48 @@ def test_string_agg_default_separator_b22(sql_session, duck, sql):
 )
 def test_rename_tail_b22(sql_session, duck, sql):
     _match(sql_session, duck, sql)
+
+
+def test_using_sample_forms_b22(sql_session, duck):
+    """DuckDB sampling clauses serve (engine-RNG membership — rows-only
+    by nature, the o08b precedent): exact ROWS counts, percent forms in
+    a sane band, stable REPEATABLE seeds, and Spark-native TABLESAMPLE
+    untouched."""
+    from duckdb_server_spark.session import register_views
+
+    register_views(sql_session, SF_DIR, ("orders",))
+    total = sql_session.table("orders").count()
+
+    def n(sql):
+        with serving_dialect(True):
+            return run_sql(sql_session, sql).collect()[0][0]
+
+    assert n("SELECT count(*) FROM orders USING SAMPLE 50 ROWS") == 50
+    assert n("SELECT count(*) FROM orders USING SAMPLE 25") == 25
+    pct = n("SELECT count(*) FROM orders USING SAMPLE 10%")
+    assert 0 < pct < total // 2
+    assert (
+        0
+        < n("SELECT count(*) FROM orders TABLESAMPLE bernoulli(10%)")
+        < total // 2
+    )
+    a = n(
+        "SELECT sum(o_orderkey) FROM orders"
+        " USING SAMPLE reservoir(10%) REPEATABLE (7)"
+    )
+    b = n(
+        "SELECT sum(o_orderkey) FROM orders"
+        " USING SAMPLE reservoir(10%) REPEATABLE (7)"
+    )
+    assert a == b
+    # the DuckDB side accepts the same statements (membership differs)
+    duck.execute(
+        "CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    assert (
+        duck.execute(
+            "SELECT count(*) FROM orders USING SAMPLE 50 ROWS"
+        ).fetchall()[0][0]
+        == 50
+    )
