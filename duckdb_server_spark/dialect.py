@@ -6187,6 +6187,52 @@ def _path_format(path: str) -> str | None:
     return _FILE_SUFFIX_FMT.get(ext)
 
 
+def _sniff_csv(paths: list[str]) -> tuple[str, bool]:
+    """Dialect sniffing over the first matching file's head (≤16 KB,
+    ≤20 lines), DuckDB-style: the delimiter is the candidate
+    (, ; tab |) with a consistent nonzero per-line count — highest count
+    wins ties — and the file has a header when no first-line field
+    parses as a number while a later line has one. Explicit options
+    always override the sniff."""
+    import glob as _glob
+    import os as _os
+
+    f = None
+    for p in paths:
+        hits = sorted(_glob.glob(p)) or (
+            [p] if _os.path.exists(p) else []
+        )
+        if hits:
+            f = hits[0]
+            break
+    if f is None or _os.path.isdir(f):
+        return ",", True
+    try:
+        with open(f, "r", errors="replace") as fh:
+            lines = [ln for ln in fh.read(16384).splitlines() if ln][:20]
+    except OSError:
+        return ",", True
+    if not lines:
+        return ",", True
+    best, best_count = ",", 0
+    for cand in (",", ";", "\t", "|"):
+        counts = [ln.count(cand) for ln in lines]
+        if counts[0] > 0 and all(c == counts[0] for c in counts):
+            if counts[0] > best_count:
+                best, best_count = cand, counts[0]
+
+    def _is_num(tok: str) -> bool:
+        try:
+            float(tok.strip().strip('"'))
+            return True
+        except ValueError:
+            return False
+
+    first = lines[0].split(best)
+    header = not any(_is_num(t) for t in first if t.strip())
+    return best, header
+
+
 def _file_read_view(
     spark: SparkSession, fmt: str, paths: tuple[str, ...], opts: dict[str, str]
 ) -> str:
@@ -6236,9 +6282,21 @@ def _file_read_view(
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*path_list)
     elif fmt == "csv":
-        sep = opts.get("delim") or opts.get("sep") or opts.get("delimiter") or ","
+        sep = opts.get("delim") or opts.get("sep") or opts.get("delimiter")
+        header_opt = opts.get("header")
+        if sep is None or header_opt is None:
+            # DuckDB's read_csv(_auto) SNIFFS the dialect; defaulting to
+            # comma+header silently mis-parses ';'/tab files and eats
+            # the first row of headerless data
+            sniff_sep, sniff_header = _sniff_csv(path_list)
+            sep = sep or sniff_sep
+        header = (
+            _truthy(header_opt, default=True)
+            if header_opt is not None
+            else sniff_header
+        )
         reader = (
-            spark.read.option("header", _truthy(opts.get("header"), default=True))
+            spark.read.option("header", header)
             .option("sep", sep)
         )
         # pass-through option spellings with a direct Spark equivalent
@@ -6279,6 +6337,10 @@ def _file_read_view(
                 )
             )
             df = reader.csv(path_list)
+        if not header and "columns" not in opts:
+            # DuckDB's headerless column names are column0..columnN
+            # (Spark's are _c0.._cN)
+            df = df.toDF(*[f"column{i}" for i in range(len(df.columns))])
         if "names" in opts:
             spec = opts["names"].strip()
             if not (spec.startswith("[") and spec.endswith("]")):

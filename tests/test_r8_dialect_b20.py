@@ -119,3 +119,36 @@ def test_skip_fails_closed_b20(sql_session, data_dir):
             sql_session,
             f"SELECT * FROM read_csv('{data_dir}/a.csv', delim='|', skip=1)",
         ).collect()
+
+
+@pytest.fixture(scope="module")
+def sniff_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sniff")
+    (d / "semi.csv").write_text("a;b;c\n1;x;2.5\n2;y;3.5\n")
+    (d / "tab.csv").write_text("a\tb\n1\tx\n")
+    (d / "nohead.csv").write_text("1,2.5,x\n2,3.5,y\n")
+    (d / "plain.csv").write_text("a,b\n1,x\n2,y\n")
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "fname,order",
+    [
+        ("semi.csv", "a"),      # ';' sniffed
+        ("tab.csv", "a"),       # tab sniffed
+        ("nohead.csv", "column0"),  # headerless: DuckDB's column0.. names
+        ("plain.csv", "a"),
+    ],
+)
+def test_csv_dialect_sniffing_b20(sql_session, duck, sniff_dir, fname, order):
+    """read_csv_auto sniffs delimiter and header like DuckDB — the
+    comma+header default silently mis-parsed ';'/tab files and ate the
+    first row of headerless data before. Column NAMES must match too."""
+    sql = f"SELECT * FROM read_csv_auto('{sniff_dir}/{fname}') ORDER BY {order}"
+    theirs = duck.execute(sql).fetchall()
+    tcols = [c[0] for c in duck.execute(sql).description]
+    with serving_dialect(True):
+        df = run_sql(sql_session, sql)
+        ours = [tuple(r) for r in df.collect()]
+    assert df.columns == tcols
+    assert sorted(map(str, ours)) == sorted(map(str, theirs))
