@@ -115,6 +115,14 @@ GROUPS = {
         ("b30e_vp8_decode", 5_000, ("1x", "10x", "100x")),
         ("b32e_webm_vp8", 5_000, ("1x", "10x", "100x")),
     ],
+    # st_stream_neardup and s27_dialect_dml_txn are deliberately NOT
+    # tiered here: both select fixed-size subsets by construction
+    # (doc_id < 150 / o_orderkey < 64), so replicating the corpus does
+    # not grow their input and a "tier" would measure nothing. Their
+    # scale shapes are inherited and already measured: the banded
+    # LSH join is b03b's (heavy group) plus st_stream_decontam's
+    # streaming overhead (r8 group); DML copy-on-write cost is the
+    # underlying table scan (SCALING.md round-8-late notes).
     # the full TPC-H-ish suite at the 10× fact tier (lineitem 6M rows,
     # joins resolving against consistently-offset orders/customer and
     # fixed dims) — VERDICT r5 item 6. base_rows = lineitem at sf0.1.
