@@ -4172,6 +4172,32 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
                     flags=re.IGNORECASE)
     masked = re.sub(r"::\s*VARCHAR\b(?!\s*\()", "::STRING", masked,
                     flags=re.IGNORECASE)
+    # literal blob casts decode DuckDB's \xNN escapes into a hex literal
+    # (Spark's X'…') — a plain CAST(AS BINARY) would keep the backslash
+    # bytes verbatim, a silent value divergence
+    def _blob_lit(mm: re.Match) -> str:
+        # NB: the literal table has already been backslash-doubled for
+        # Spark's escaping parser (see above), so DuckDB's \xNN arrives
+        # here as \\xNN
+        lit = _literal_value(table[int(mm.group(1))])
+        if lit is None or not re.search(r"\\\\x[0-9A-Fa-f]{2}", lit):
+            return mm.group(0)
+        raw = re.sub(
+            r"\\\\x([0-9A-Fa-f]{2})",
+            lambda h: chr(int(h.group(1), 16)),
+            lit,
+        )
+        raw = raw.replace("\\\\", "\\").encode("latin-1", errors="ignore")
+        return f"X'{raw.hex()}'"
+
+    masked = re.sub(
+        r"\x00(\d+)\x00\s*::\s*BLOB\b", _blob_lit, masked,
+        flags=re.IGNORECASE,
+    )
+    masked = re.sub(
+        r"\bCAST\s*\(\s*\x00(\d+)\x00\s+AS\s+BLOB\s*\)", _blob_lit, masked,
+        flags=re.IGNORECASE,
+    )
     masked = re.sub(r"::\s*BLOB\b", "::BINARY", masked, flags=re.IGNORECASE)
     # BIT strings are carried as '0'/'1' text (typed-literal rewrite);
     # `AS BIT` is left alone — 'bit' is a plausible column alias
@@ -5198,6 +5224,13 @@ class DialectState:
     # create them and expect the statements to succeed
     indexes: dict[str, str] = field(default_factory=dict)
     comments: dict[str, str | None] = field(default_factory=dict)
+    # DDL registries (ddl.py): declared constraints of plain CREATE TABLE
+    # statements, session sequences, and CREATE TYPE … AS ENUM members
+    # (+ which table columns carry an enum type, for ordinal semantics)
+    tables: dict[str, "object"] = field(default_factory=dict)
+    sequences: dict[str, "object"] = field(default_factory=dict)
+    enums: dict[str, list[str]] = field(default_factory=dict)
+    enum_columns: dict[str, dict[str, str]] = field(default_factory=dict)
 
 
 _PIVOT_CACHE_CAP = 32
@@ -5442,10 +5475,37 @@ _DROP_RELATION_RE = re.compile(
     re.IGNORECASE,
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*"
+    r"^\s*INSERT\s+(?:OR\s+(REPLACE|IGNORE)\s+)?INTO\s+([A-Za-z_][\w.]*)\s*"
     r"(\([^)]*\))?\s*(VALUES\b.+|SELECT\b.+|FROM\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+# plain CREATE TABLE with column definitions (constraints parsed and
+# enforced by ddl.py); CTAS never matches — its name is followed by AS,
+# not an opening paren
+_TABLE_DDL_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\((.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_SEQ_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?SEQUENCE\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_SEQ_RE = re.compile(
+    r"^\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_TYPE_RE = re.compile(
+    r"^\s*CREATE\s+TYPE\s+([A-Za-z_][\w.]*)\s+AS\s+ENUM\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TYPE_RE = re.compile(
+    r"^\s*DROP\s+TYPE\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# cheap pre-check so only statements that can touch a sequence pay
+_SEQVAL_HINT_RE = re.compile(r"\b(?:nextval|currval)\s*\(", re.IGNORECASE)
 # DuckDB session prepared statements: PREPARE name AS <stmt with $1/?>,
 # EXECUTE name(args), DEALLOCATE name — the CLI-level analog of the
 # Flight DoPut binding (same bind_parameters underneath).
@@ -5551,33 +5611,32 @@ def _count_frame(spark: SparkSession, n: int) -> DataFrame:
 
 
 def _run_insert(spark: SparkSession, m: re.Match) -> DataFrame:
-    """``INSERT INTO t [(cols)] VALUES ... | SELECT ...`` against a temp
-    view created by the CTAS route: append by union, re-materialize, swap
-    the view. Init-phase only (serving stays read-only), mirroring the
-    reference's boot-time-writes-then-serve model. Returns DuckDB's
-    ``Count`` row (rows inserted)."""
-    from pyspark.sql import functions as F
+    """``INSERT [OR REPLACE|IGNORE] INTO t [(cols)] VALUES|SELECT …
+    [ON CONFLICT …]`` against a temp view: append by union (or the
+    ddl.py three-leg merge for the upsert forms), enforce declared
+    constraints, re-materialize, swap the view. Init-phase only (serving
+    stays read-only), mirroring the reference's boot-time-writes-then-
+    serve model. Returns DuckDB's ``Count`` row."""
+    from duckdb_server_spark import ddl
 
-    name, col_list, body = m.groups()
+    or_action, name, col_list, body = m.groups()
     target = name.split(".")[-1]
+    state = dialect_state(spark)
+    body, conflict = ddl.split_on_conflict(body)
+    if or_action:
+        if conflict is not None:
+            raise ValueError(
+                "INSERT: OR REPLACE/IGNORE cannot be combined with "
+                "ON CONFLICT"
+            )
+        conflict = ddl.or_action_conflict(or_action)
     old = spark.table(target)
-    if body.lstrip()[:6].upper() == "VALUES":
-        new = spark.sql(f"SELECT * FROM ( {body} )")
-    else:
-        new = run_sql(spark, body)
-    if col_list:
-        cols = [c.strip().strip('"`') for c in col_list[1:-1].split(",")]
-        new = new.toDF(*cols)
-        for c in old.columns:
-            if c not in cols:
-                new = new.withColumn(c, F.lit(None))
-    else:
-        new = new.toDF(*old.columns)
-    new = new.select(
-        *[F.col(c).cast(old.schema[c].dataType) for c in old.columns]
-    )
+    new = ddl.build_insert_source(spark, state, target, old, col_list, body)
+    if conflict is not None:
+        return ddl.run_upsert(spark, state, target, old, new, conflict)
     n_before = old.count()
     merged = _materialize(spark, old.unionByName(new))
+    ddl.enforce_constraints(spark, state, target, merged)
     merged.createOrReplaceTempView(target)
     return _count_frame(spark, merged.count() - n_before)
 
@@ -6045,13 +6104,51 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         dropped = spark.catalog.dropTempView(m.group(2).split(".")[-1])
         if not dropped and not m.group(1):
             raise ValueError(f"DROP: relation {m.group(2)!r} does not exist")
+        from duckdb_server_spark import ddl
+
+        ddl.forget_table(state, m.group(2))
         state.pivot_cache.clear()
         return None
     if m := _INSERT_RE.match(stmt):
-        _txn_record(spark, state, m.group(1))
+        _txn_record(spark, state, m.group(2))
         df = _run_insert(spark, m)
         state.pivot_cache.clear()  # cached pivot columns may be stale now
         return df
+    if m := _CREATE_SEQ_RE.match(stmt):
+        from duckdb_server_spark import ddl
+
+        name = m.group(3).split(".")[-1].lower()
+        if name in state.sequences and m.group(2) and not m.group(1):
+            return None  # IF NOT EXISTS
+        state.sequences[name] = ddl.parse_create_sequence(m.group(4))
+        return None
+    if m := _DROP_SEQ_RE.match(stmt):
+        name = m.group(2).split(".")[-1].lower()
+        if name not in state.sequences and not m.group(1):
+            raise ValueError(
+                f"Catalog Error: Sequence with name {name} does not exist!"
+            )
+        state.sequences.pop(name, None)
+        return None
+    if m := _CREATE_TYPE_RE.match(stmt):
+        members = []
+        masked, table = _mask(m.group(2))
+        for item in _split_top_commas(masked):
+            tok = re.fullmatch(r"\x00(\d+)\x00", item.strip())
+            lit = _literal_value(table[int(tok.group(1))]) if tok else None
+            if lit is None:
+                raise ValueError("CREATE TYPE: enum members must be strings")
+            members.append(lit)
+        state.enums[m.group(1).split(".")[-1].lower()] = members
+        return None
+    if m := _DROP_TYPE_RE.match(stmt):
+        name = m.group(2).split(".")[-1].lower()
+        if name not in state.enums and not m.group(1):
+            raise ValueError(
+                f"Catalog Error: Type with name {name} does not exist!"
+            )
+        state.enums.pop(name, None)
+        return None
     if m := _DELETE_RE.match(stmt):
         _txn_record(spark, state, m.group(1))
         df = _run_delete(spark, m.group(1), m.group(2))
@@ -6112,6 +6209,20 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         _txn_record(spark, state, name)
         df = run_sql(spark, body)
         df.createOrReplaceTempView(name.split(".")[-1])
+        state.pivot_cache.clear()
+        return None
+    if m := _TABLE_DDL_RE.match(stmt):
+        from duckdb_server_spark import ddl
+
+        _txn_record(spark, state, m.group(3))
+        ddl.run_create_table(
+            spark,
+            state,
+            m.group(3),
+            m.group(4),
+            or_replace=bool(m.group(1)),
+            if_not_exists=bool(m.group(2)),
+        )
         state.pivot_cache.clear()
         return None
     if m := _TABLE_AS_RE.match(stmt):
@@ -7604,6 +7715,14 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     state = dialect_state(spark)
     if state.macros:
         sql = _expand_macros(sql, state.macros)
+    if state.sequences and _SEQVAL_HINT_RE.search(sql):
+        from duckdb_server_spark import ddl
+
+        return ddl.run_sequence_query(spark, state, sql)
+    if state.enums:
+        from duckdb_server_spark import ddl
+
+        sql = ddl.resolve_enums(spark, state, sql)
     if _FILE_READ_HINT_RE.search(sql):
         sql = _resolve_file_reads(spark, sql)
     if _META_TVF_RE.search(sql):
