@@ -76,6 +76,8 @@ _PRIORITY_R8: tuple[str, ...] = (
     "s25_dialect_aggregate_tails",  # new: battery-18 aggregate tails
     "s26_dialect_scalar_tails",     # new: battery-17 scalar tails
     "s27_dialect_dml_txn",          # new: DML + transaction script
+    "s28_dialect_upsert",           # new: constraints + ON CONFLICT merge
+    "s29_dialect_seq_enum",         # new: sequences + enum types
     "st_stream_neardup",            # new: streaming incremental LSH dedup
     # --- code changed this round: refresh green evidence ---
     "b30c_gif_decode",         # color-table validation added

@@ -449,6 +449,79 @@ def s27_dialect_dml_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_script(spark, _S27_SCRIPT)[-1]
 
 
+# Upsert script — the SAME statements verbatim on both engines: plain
+# CREATE TABLE with declared constraints, ON CONFLICT DO UPDATE with
+# excluded. references and a guard WHERE, OR REPLACE / OR IGNORE over
+# the declared key, and DEFAULT-filled column-list inserts.
+_S28_SCRIPT = """
+CREATE OR REPLACE TABLE up_q (k INT PRIMARY KEY, v VARCHAR DEFAULT 'd',
+                              n INT NOT NULL DEFAULT 0, CHECK (n >= 0));
+INSERT INTO up_q SELECT o_orderkey, o_orderstatus, 1
+  FROM orders WHERE o_orderkey < 32;
+INSERT INTO up_q SELECT o_orderkey, 'replay', 2
+  FROM orders WHERE o_orderkey < 16
+  ON CONFLICT (k) DO UPDATE SET v = excluded.v, n = up_q.n + excluded.n
+  WHERE up_q.k % 2 = 1;
+INSERT OR REPLACE INTO up_q VALUES (1, 'swap', 9), (9001, 'new', 9);
+INSERT OR IGNORE INTO up_q VALUES (2, 'never', 5), (9002, 'kept', 5);
+INSERT INTO up_q (k) VALUES (9003);
+SELECT k, v, n FROM up_q ORDER BY k
+"""
+
+
+@query("s28_dialect_upsert", oracle=_S28_SCRIPT)
+def s28_dialect_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert family as verbatim DuckDB statements through the
+    statement router (ddl.py): a three-leg merge — kept (anti join) /
+    matched (inner join, assignments under the guard) / inserted (anti
+    join from the source) — on the declared PRIMARY KEY, with declared
+    DEFAULTs filling omitted columns and NOT NULL / CHECK / key
+    uniqueness enforced as bounded actions. At scale each leg shuffles
+    on the 4-byte key only; bodies move once."""
+    from duckdb_server_spark.dialect import run_script
+    from duckdb_server_spark.session import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return run_script(spark, _S28_SCRIPT)[-1]
+
+
+# Sequences + enums — session DDL state: a sequence drives generated
+# keys (nextval inside VALUES and SELECT bodies), an enum column gets
+# ordinal ORDER BY / min / max and validated casts. Values pair with
+# constant or self-derived text so the result is order-independent.
+_S29_SCRIPT = """
+CREATE OR REPLACE SEQUENCE doc_ids START 100 INCREMENT 10;
+DROP TABLE IF EXISTS seq_q;
+DROP TYPE IF EXISTS sev;
+CREATE TYPE sev AS ENUM ('low', 'mid', 'high');
+CREATE TABLE seq_q (id BIGINT, tag VARCHAR, s sev);
+INSERT INTO seq_q VALUES (nextval('doc_ids'), 'seed', 'mid');
+INSERT INTO seq_q SELECT nextval('doc_ids'), 'bulk', 'low' FROM range(4);
+INSERT INTO seq_q VALUES (nextval('doc_ids'), 'tail', 'high');
+SELECT id, tag, s, enum_code(s) AS code,
+       currval('doc_ids') AS last_id,
+       (SELECT min(s) FROM seq_q) AS lo,
+       (SELECT max(s) FROM seq_q) AS hi
+FROM seq_q
+ORDER BY id
+"""
+
+
+@query("s29_dialect_seq_enum", oracle=_S29_SCRIPT)
+def s29_dialect_seq_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE SEQUENCE / nextval / currval and CREATE TYPE … AS ENUM as
+    verbatim DuckDB statements. nextval substitutes to arithmetic over
+    one row_number() window — the honest serial cost of a global
+    counter on any engine — and the session counter advances by the
+    materialized row count; enum columns serve as validated strings
+    with ordinal min/max/ORDER BY via array_position."""
+    from duckdb_server_spark.dialect import run_script
+    from duckdb_server_spark.session import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return run_script(spark, _S29_SCRIPT)[-1]
+
+
 @query("s23_dialect_list_comprehension", oracle=_S23_SQL)
 def s23_dialect_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim DuckDB list comprehensions (``[expr FOR v IN l IF c]``)
