@@ -3451,3 +3451,153 @@ def b64_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src_lo").asc_nulls_last(), F.col("src_hi").asc_nulls_last()
         )
     )
+
+
+# b65: DSIR-style importance resampling (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling") — score
+# every document by how much its hashed n-gram features look like a
+# target domain (here: the English slice) relative to the raw corpus,
+# then keep the top-k. The canonical formulation sums log-likelihood
+# ratios; this implementation uses the integer mean likelihood ratio in
+# ppm so the oracle replays bit-exactly (no libm/summation-order
+# divergence can hide a bug) — swapping the per-bucket weight for
+# ln(ppm/1e6) recovers the paper's scoring with one expression change.
+_B65_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             list_concat(
+               w,
+               list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i + 1])
+             ) AS fs
+      FROM tok
+    ),
+    fx AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(unnest(fs)), 1, 8)) AS BIGINT)
+               % 1024 AS b
+      FROM feats
+    ),
+    tots AS (
+      SELECT count(*) AS r_tot,
+             count(*) FILTER (lang = 'en') AS t_tot
+      FROM fx
+    ),
+    raw_tab AS (SELECT b, count(*) AS r_cnt FROM fx GROUP BY b),
+    tgt_tab AS (
+      SELECT b, count(*) AS t_cnt FROM fx WHERE lang = 'en' GROUP BY b
+    ),
+    ratio AS (
+      SELECT r.b,
+             CAST((CAST(coalesce(g.t_cnt, 0) + 1 AS HUGEINT)
+                   * (t0.r_tot + 1024) * 1000000)
+                  // (CAST(r.r_cnt + 1 AS HUGEINT) * (t0.t_tot + 1024))
+                  AS BIGINT) AS ppm
+      FROM raw_tab r LEFT JOIN tgt_tab g ON r.b = g.b, tots t0
+    ),
+    scored AS (
+      SELECT fx.doc_id, min(fx.lang) AS lang,
+             count(*) AS n_feats,
+             sum(ratio.ppm) // count(*) AS score_ppm
+      FROM fx JOIN ratio ON fx.b = ratio.b
+      GROUP BY fx.doc_id
+    )
+    SELECT doc_id, lang, CAST(n_feats AS BIGINT) AS n_feats,
+           CAST(score_ppm AS BIGINT) AS score_ppm
+    FROM scored
+    ORDER BY score_ppm DESC, doc_id ASC
+    LIMIT 40
+    """
+
+
+@query("b65_dsir_importance", oracle=_B65_ORACLE)
+def b65_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram importance scoring for training-data selection:
+    unigram+bigram features hash into 1024 buckets (portable md5 family,
+    the b03b/b63 idiom), the target (lang='en') and raw bucket
+    distributions become ONE 1024-row broadcast table, and every
+    document's score is the integer mean target/raw likelihood ratio of
+    its features in ppm (+1 smoothing on both counts).
+
+    Scale shape: the explode shuffles (doc_id, 8-byte bucket) ints —
+    bodies never leave the scan; both distribution tables are bounded
+    at 1024 rows regardless of corpus size (broadcast, never a shuffled
+    join side); per-doc scoring is one hash-agg; the final top-k is
+    Spark's TakeOrderedAndProject (per-partition heads, no global
+    sort). The 100 TB cost is exactly two scans of the token stream."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        ).alias("w"),
+    )
+    feats = tok.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "concat(w, CASE WHEN size(w) >= 2 THEN"
+            " transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            " ELSE slice(w, 1, 0) END)"
+        ).alias("fs"),
+    )
+    fx = feats.select(
+        "doc_id", "lang", F.explode("fs").alias("f")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long")
+            % 1024
+        ).alias("b"),
+    )
+    tots = fx.agg(
+        F.count("*").alias("r_tot"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_tot"),
+    )
+    raw_tab = fx.groupBy("b").agg(F.count("*").alias("r_cnt"))
+    tgt_tab = (
+        fx.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("t_cnt"))
+    )
+    ratio = (
+        raw_tab.join(tgt_tab, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.expr(
+                "CAST((CAST(coalesce(t_cnt, 0) + 1 AS DECIMAL(38,0))"
+                " * (r_tot + 1024) * 1000000)"
+                " div (CAST(r_cnt + 1 AS DECIMAL(38,0)) * (t_tot + 1024))"
+                " AS BIGINT)"
+            ).alias("ppm"),
+        )
+    )
+    scored = (
+        fx.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count("*").alias("n_feats"),
+            F.expr("sum(ppm) div count(*)").alias("score_ppm"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            F.col("n_feats").cast("long").alias("n_feats"),
+            F.col("score_ppm").cast("long").alias("score_ppm"),
+        )
+        .orderBy(F.col("score_ppm").desc(), F.col("doc_id").asc())
+        .limit(40)
+    )
