@@ -428,9 +428,11 @@ def _sub_default_keywords(spark: SparkSession, state, target: str,
 
 def build_insert_source(spark: SparkSession, state, target: str,
                         old: DataFrame, col_list: str | None,
-                        body: str) -> DataFrame:
+                        body: str, by_name: bool = False) -> DataFrame:
     """The rows an INSERT contributes, aligned to the target's schema
-    with declared DEFAULTs filled for omitted columns."""
+    with declared DEFAULTs filled for omitted columns. ``by_name``
+    (INSERT INTO t BY NAME SELECT …) aligns the source by its column
+    NAMES instead of position."""
     from duckdb_server_spark.dialect import run_sql
 
     if col_list:
@@ -447,17 +449,40 @@ def build_insert_source(spark: SparkSession, state, target: str,
             new = run_sql(spark, f"SELECT * FROM ( {body} )")
     else:
         new = run_sql(spark, body)
-    new = new.toDF(*cols)
-    if col_list:
-        meta = state.tables.get(target.lower())
-        defaults = meta.defaults if meta else {}
-        have = {c.lower() for c in cols}
-        for c in old.columns:
-            if c.lower() not in have:
-                d = defaults.get(c.lower())
-                new = new.withColumn(
-                    c, _duck_expr(spark, d) if d is not None else F.lit(None)
-                )
+    meta = state.tables.get(target.lower())
+    defaults = meta.defaults if meta else {}
+    if by_name:
+        tgt_lower = {c.lower() for c in old.columns}
+        extra = [c for c in new.columns if c.lower() not in tgt_lower]
+        if extra:
+            raise ValueError(
+                f"Binder Error: Column {extra[0]!r} does not exist in "
+                f"table {target!r}"
+            )
+        src_lower = {c.lower(): c for c in new.columns}
+        new = new.select(
+            *[
+                F.col(src_lower[c.lower()]).alias(c)
+                if c.lower() in src_lower
+                else (
+                    _duck_expr(spark, defaults[c.lower()])
+                    if c.lower() in defaults
+                    else F.lit(None)
+                ).alias(c)
+                for c in old.columns
+            ]
+        )
+    else:
+        new = new.toDF(*cols)
+        if col_list:
+            have = {c.lower() for c in cols}
+            for c in old.columns:
+                if c.lower() not in have:
+                    d = defaults.get(c.lower())
+                    new = new.withColumn(
+                        c,
+                        _duck_expr(spark, d) if d is not None else F.lit(None),
+                    )
     return new.select(
         *[F.col(c).cast(old.schema[c].dataType) for c in old.columns]
     )
@@ -1132,3 +1157,151 @@ def _strip_enum_cast(expr: str, state) -> str:
     if m and m.group(2).lower() in state.enums:
         return m.group(1)
     return e
+
+
+# ---------------------------------------------------------------------------
+# DML tails: RETURNING, UPDATE … FROM, DELETE … USING
+# ---------------------------------------------------------------------------
+
+
+def split_clauses(masked: str, keywords: tuple[str, ...]) -> dict:
+    """Split masked DML tail text on the given top-level keywords (in
+    statement order). Returns {None: head, KW: text-after-kw, …} with
+    each clause's text running to the next recognized keyword."""
+    from duckdb_server_spark.dialect import _depth_at
+
+    hits: list[tuple[int, int, str]] = []
+    for kw in keywords:
+        for m in re.finditer(rf"\b{kw}\b", masked, re.IGNORECASE):
+            if _depth_at(masked, m.start()) == 0:
+                hits.append((m.start(), m.end(), kw.upper()))
+                break
+    hits.sort()
+    out: dict = {None: masked[: hits[0][0]] if hits else masked}
+    for i, (s, e, kw) in enumerate(hits):
+        end = hits[i + 1][0] if i + 1 < len(hits) else len(masked)
+        out[kw] = masked[e:end].strip().rstrip(";")
+    return out
+
+
+def split_returning(body: str) -> tuple[str, str | None]:
+    """Split a trailing top-level RETURNING clause off a DML body."""
+    from duckdb_server_spark.dialect import _depth_at, _mask, _unmask
+
+    masked, table = _mask(body)
+    for m in re.finditer(r"\bRETURNING\b", masked, re.IGNORECASE):
+        if _depth_at(masked, m.start()) == 0:
+            return (
+                _unmask(masked[: m.start()], table).rstrip(),
+                _unmask(masked[m.end() :], table).strip().rstrip(";"),
+            )
+    return body, None
+
+
+def project_returning(spark: SparkSession, rows: DataFrame,
+                      returning: str) -> DataFrame:
+    """Evaluate a RETURNING projection over the affected rows (DuckDB
+    returns them instead of the Count row)."""
+    from duckdb_server_spark.dialect import _track_temp_view, run_sql
+
+    rows.createOrReplaceTempView("__dd_returning")
+    _track_temp_view(spark, "__dd_returning")
+    return run_sql(spark, f"SELECT {returning} FROM __dd_returning")
+
+
+def run_update_from(spark: SparkSession, state, target: str,
+                    assigns_text: str, from_text: str, cond: str | None,
+                    returning: str | None) -> DataFrame:
+    """``UPDATE t SET … FROM rel WHERE cond`` — the join-update: match
+    target rows to source rows on the predicate, apply assignments
+    (which may reference source columns), keep everything else. A
+    synthetic row id keys the merge, so the join shuffles ids + assigned
+    values only; a target row matching MULTIPLE source rows fails closed
+    (Postgres picks one arbitrarily — an engine that answers
+    deterministically shouldn't guess)."""
+    from duckdb_server_spark.dialect import (
+        _count_frame,
+        _materialize,
+        _mask,
+        _split_top_commas,
+        _track_temp_view,
+        _unmask,
+        run_sql,
+    )
+
+    if not cond:
+        raise ValueError("UPDATE … FROM requires a WHERE predicate")
+    old = spark.table(target)
+    by_lower = {c.lower(): c for c in old.columns}
+    masked, table = _mask(assigns_text)
+    assigns: dict[str, str] = {}
+    for item in _split_top_commas(masked):
+        am = re.match(r'^\s*"?([A-Za-z_]\w*)"?\s*=\s*(.+)$', item, re.DOTALL)
+        if not am:
+            raise ValueError("UPDATE expects col = expr assignments")
+        col = am.group(1).lower()
+        if col not in by_lower:
+            raise ValueError(f"UPDATE: unknown column {am.group(1)!r}")
+        assigns[col] = _unmask(am.group(2).strip(), table)
+    rid = F.monotonically_increasing_id()
+    tr = _materialize(spark, old.withColumn("__dd_rid", rid))
+    tr.createOrReplaceTempView("__dd_upd_base")
+    _track_temp_view(spark, "__dd_upd_base")
+    # alias the rid'd snapshot AS the target name so the user's
+    # predicate/assignment references resolve unchanged
+    sel = ", ".join(
+        [f"{target}.__dd_rid AS __dd_rid"]
+        + [
+            f"({e}) AS `__dd_new_{c}`"
+            for c, e in ((c, assigns[c]) for c in sorted(assigns))
+        ]
+    )
+    upd = run_sql(
+        spark,
+        f"SELECT {sel} FROM __dd_upd_base AS {target} "
+        f"JOIN {from_text} ON ({cond})",
+    )
+    upd = _materialize(spark, upd)
+    n_matched = upd.count()
+    if (
+        upd.groupBy("__dd_rid")
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .count()
+    ):
+        raise ValueError(
+            "UPDATE … FROM: a target row matches multiple source rows"
+        )
+    joined = tr.join(upd.withColumn("__dd_m", F.lit(True)), "__dd_rid",
+                     "left")
+    new = joined.select(
+        *[
+            F.when(
+                F.col("__dd_m").eqNullSafe(True),
+                F.col(f"__dd_new_{c.lower()}"),
+            )
+            .otherwise(F.col(c))
+            .cast(old.schema[c].dataType)
+            .alias(c)
+            if c.lower() in assigns
+            else F.col(c)
+            for c in old.columns
+        ]
+    )
+    new = _materialize(spark, new)
+    enforce_constraints(spark, state, target, new)
+    new.createOrReplaceTempView(target)
+    if returning is not None:
+        post = joined.filter(F.col("__dd_m").eqNullSafe(True)).select(
+            *[
+                F.col(f"__dd_new_{c.lower()}")
+                .cast(old.schema[c].dataType)
+                .alias(c)
+                if c.lower() in assigns
+                else F.col(c)
+                for c in old.columns
+            ]
+        )
+        return project_returning(spark, _materialize(spark, post), returning)
+    return _count_frame(spark, n_matched)

@@ -5476,7 +5476,7 @@ _DROP_RELATION_RE = re.compile(
 )
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?:OR\s+(REPLACE|IGNORE)\s+)?INTO\s+([A-Za-z_][\w.]*)\s*"
-    r"(\([^)]*\))?\s*(VALUES\b.+|SELECT\b.+|FROM\b.+)$",
+    r"(\([^)]*\))?\s*(BY\s+NAME\s+)?(VALUES\b.+|SELECT\b.+|FROM\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 # plain CREATE TABLE with column definitions (constraints parsed and
@@ -5619,9 +5619,10 @@ def _run_insert(spark: SparkSession, m: re.Match) -> DataFrame:
     serve model. Returns DuckDB's ``Count`` row."""
     from duckdb_server_spark import ddl
 
-    or_action, name, col_list, body = m.groups()
+    or_action, name, col_list, by_name, body = m.groups()
     target = name.split(".")[-1]
     state = dialect_state(spark)
+    body, returning = ddl.split_returning(body)
     body, conflict = ddl.split_on_conflict(body)
     if or_action:
         if conflict is not None:
@@ -5630,20 +5631,28 @@ def _run_insert(spark: SparkSession, m: re.Match) -> DataFrame:
                 "ON CONFLICT"
             )
         conflict = ddl.or_action_conflict(or_action)
+    if returning is not None and conflict is not None:
+        raise ValueError(
+            "INSERT: RETURNING with ON CONFLICT is not supported"
+        )
     old = spark.table(target)
-    new = ddl.build_insert_source(spark, state, target, old, col_list, body)
+    new = ddl.build_insert_source(
+        spark, state, target, old, col_list, body, by_name=bool(by_name)
+    )
     if conflict is not None:
         return ddl.run_upsert(spark, state, target, old, new, conflict)
     n_before = old.count()
+    new = _materialize(spark, new)
     merged = _materialize(spark, old.unionByName(new))
     ddl.enforce_constraints(spark, state, target, merged)
     merged.createOrReplaceTempView(target)
+    if returning is not None:
+        return ddl.project_returning(spark, new, returning)
     return _count_frame(spark, merged.count() - n_before)
 
 
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)"
-    r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)(\s+.+?)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _TRUNCATE_RE = re.compile(
@@ -5655,17 +5664,40 @@ _UPDATE_RE = re.compile(
 )
 
 
-def _run_delete(spark: SparkSession, target: str, cond: str | None) -> DataFrame:
-    """``DELETE FROM t [WHERE cond]`` / ``TRUNCATE t`` — copy-on-write:
-    re-materialize the kept rows and swap the view, the same model as
-    INSERT (and the only honest mutation over immutable parquet at any
-    scale — Delta/Iceberg deletes are this exact rewrite plus a manifest).
-    A NULL condition keeps the row, like DuckDB. Returns the ``Count`` of
-    deleted rows."""
+def _run_delete(
+    spark: SparkSession,
+    target: str,
+    cond: str | None,
+    using: str | None = None,
+    returning: str | None = None,
+) -> DataFrame:
+    """``DELETE FROM t [USING rel] [WHERE cond] [RETURNING …]`` /
+    ``TRUNCATE t`` — copy-on-write: re-materialize the kept rows and
+    swap the view, the same model as INSERT (and the only honest
+    mutation over immutable parquet at any scale — Delta/Iceberg
+    deletes are this exact rewrite plus a manifest). A NULL condition
+    keeps the row, like DuckDB; USING keeps rows through a LEFT ANTI
+    join on the predicate (the join shuffles on Catalyst's chosen keys,
+    bodies move once). Returns the deleted ``Count`` (or the RETURNING
+    projection over the deleted rows)."""
+    from duckdb_server_spark import ddl
+
     name = target.split(".")[-1]
     old = spark.table(name)
     total = old.count()
-    if cond:
+    if using:
+        if not cond:
+            raise ValueError("DELETE USING requires a WHERE predicate")
+        keep = run_sql(
+            spark,
+            f"SELECT {name}.* FROM {name} LEFT ANTI JOIN {using} "
+            f"ON ({cond})",
+        )
+        doomed_sql = (
+            f"SELECT {name}.* FROM {name} LEFT SEMI JOIN {using} "
+            f"ON ({cond})"
+        )
+    elif cond:
         # coalesce(cond, false) — NULL predicates delete nothing; the
         # condition text flows through the full dialect rewrite
         keep = run_sql(
@@ -5673,35 +5705,61 @@ def _run_delete(spark: SparkSession, target: str, cond: str | None) -> DataFrame
             f"SELECT * FROM {name} "
             f"WHERE NOT coalesce(CAST(({cond}) AS BOOLEAN), false)",
         )
+        doomed_sql = (
+            f"SELECT * FROM {name} "
+            f"WHERE coalesce(CAST(({cond}) AS BOOLEAN), false)"
+        )
     else:
         keep = old.limit(0)
+        doomed_sql = f"SELECT * FROM {name}"
+    doomed = (
+        _materialize(spark, run_sql(spark, doomed_sql))
+        if returning is not None
+        else None
+    )
     kept = _materialize(spark, keep)
     n_kept = kept.count()
     kept.createOrReplaceTempView(name)
+    if returning is not None:
+        return ddl.project_returning(spark, doomed, returning)
     return _count_frame(spark, total - n_kept)
 
 
 def _run_update(spark: SparkSession, m: re.Match) -> DataFrame:
-    """``UPDATE t SET c = expr, … [WHERE cond]`` — copy-on-write CASE
-    projection over every row (the Delta/Iceberg update shape): assigned
-    columns become ``CASE WHEN cond THEN expr ELSE c END``, the result
-    re-materializes and swaps the view. Returns the ``Count`` of rows the
-    condition matched."""
+    """``UPDATE t SET c = expr, … [FROM rel] [WHERE cond]
+    [RETURNING …]`` — copy-on-write CASE projection over every row (the
+    Delta/Iceberg update shape): assigned columns become ``CASE WHEN
+    cond THEN expr ELSE c END``, the result re-materializes and swaps
+    the view. The FROM (join-update) form routes to ddl.run_update_from
+    — a row-id keyed join that fails closed on ambiguous multi-matches.
+    Returns the matched ``Count`` (or the RETURNING projection over the
+    post-update matched rows)."""
     from pyspark.sql import functions as F
+
+    from duckdb_server_spark import ddl
 
     target = m.group(1).split(".")[-1]
     masked, table = _mask(m.group(2))
-    cond = None
-    wm = None
-    for wmatch in re.finditer(r"\bWHERE\b", masked, re.IGNORECASE):
-        if _depth_at(masked, wmatch.start()) == 0:
-            wm = wmatch
-            break
-    if wm is not None:
-        assigns_m = masked[: wm.start()]
-        cond = _unmask(masked[wm.end() :].strip(), table)
-    else:
-        assigns_m = masked
+    clauses = ddl.split_clauses(masked, ("FROM", "WHERE", "RETURNING"))
+    assigns_m = clauses[None]
+    cond = (
+        _unmask(clauses["WHERE"], table) if clauses.get("WHERE") else None
+    )
+    returning = (
+        _unmask(clauses["RETURNING"], table)
+        if clauses.get("RETURNING")
+        else None
+    )
+    if clauses.get("FROM"):
+        return ddl.run_update_from(
+            spark,
+            dialect_state(spark),
+            target,
+            _unmask(assigns_m, table),
+            _unmask(clauses["FROM"], table),
+            cond,
+            returning,
+        )
     old = spark.table(target)
     by_lower = {c.lower(): c for c in old.columns}
     assigns: dict[str, str] = {}
@@ -5734,6 +5792,19 @@ def _run_update(spark: SparkSession, m: re.Match) -> DataFrame:
             else ""
         ),
     ).collect()[0][0]
+    post = None
+    if returning is not None:
+        # the post-update image of the matched rows, captured pre-swap
+        post_projs = [
+            f"({assigns[c.lower()]}) AS `{c}`"
+            if c.lower() in assigns
+            else f"`{c}`"
+            for c in old.columns
+        ]
+        post_sql = f"SELECT {', '.join(post_projs)} FROM {target}"
+        if cond:
+            post_sql += f" WHERE coalesce(CAST(({cond}) AS BOOLEAN), false)"
+        post = _materialize(spark, run_sql(spark, post_sql))
     new = run_sql(spark, f"SELECT {', '.join(projs)} FROM {target}")
     new = _materialize(
         spark,
@@ -5742,6 +5813,8 @@ def _run_update(spark: SparkSession, m: re.Match) -> DataFrame:
         ),
     )
     new.createOrReplaceTempView(target)
+    if returning is not None:
+        return ddl.project_returning(spark, post, returning)
     return _count_frame(spark, n)
 
 
@@ -6150,8 +6223,24 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         state.enums.pop(name, None)
         return None
     if m := _DELETE_RE.match(stmt):
+        from duckdb_server_spark import ddl
+
         _txn_record(spark, state, m.group(1))
-        df = _run_delete(spark, m.group(1), m.group(2))
+        masked, tbl = _mask(m.group(2) or "")
+        clauses = ddl.split_clauses(masked, ("USING", "WHERE", "RETURNING"))
+        if clauses[None].strip():
+            raise ValueError(
+                f"DELETE: unsupported clause {_unmask(clauses[None], tbl)!r}"
+            )
+        df = _run_delete(
+            spark,
+            m.group(1),
+            _unmask(clauses["WHERE"], tbl) if clauses.get("WHERE") else None,
+            _unmask(clauses["USING"], tbl) if clauses.get("USING") else None,
+            _unmask(clauses["RETURNING"], tbl)
+            if clauses.get("RETURNING")
+            else None,
+        )
         state.pivot_cache.clear()
         return df
     if m := _TRUNCATE_RE.match(stmt):
