@@ -3478,11 +3478,13 @@ _B65_ORACLE = """
              ) AS fs
       FROM tok
     ),
+    fx0 AS (
+      SELECT doc_id, lang, unnest(fs) AS f FROM feats
+    ),
     fx AS (
       SELECT doc_id, lang,
-             CAST(('0x' || substr(md5(unnest(fs)), 1, 8)) AS BIGINT)
-               % 1024 AS b
-      FROM feats
+             CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM fx0
     ),
     tots AS (
       SELECT count(*) AS r_tot,

@@ -4206,6 +4206,12 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
         r"(::\s*|\bAS\s+)TIMESTAMPTZ\b", r"\1TIMESTAMP", masked,
         flags=re.IGNORECASE,
     )
+    # HUGEINT (int128) has no JVM primitive: DECIMAL(38,0) covers the
+    # integer-arithmetic uses (the ddl.py CREATE TABLE map agrees)
+    masked = re.sub(
+        r"(::\s*|\bAS\s+)U?HUGEINT\b", r"\1DECIMAL(38,0)", masked,
+        flags=re.IGNORECASE,
+    )
     # fixed-size array types (FLOAT[3]) and bare array types (INT[]) in
     # cast position → Spark ARRAY<T>; subscripts never follow :: or AS
     masked = re.sub(

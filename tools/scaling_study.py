@@ -123,6 +123,13 @@ GROUPS = {
     # LSH join is b03b's (heavy group) plus st_stream_decontam's
     # streaming overhead (r8 group); DML copy-on-write cost is the
     # underlying table scan (SCALING.md round-8-late notes).
+    # s28/s29 (upsert / sequence scripts) are likewise fixed-size by
+    # construction (o_orderkey < 32, 6-row sequence table).
+    # late-round-8 DSIR importance scoring: two token-stream scans, two
+    # 1024-row broadcast tables, one (doc_id, bucket) hash-agg, top-k.
+    "r8c": [
+        ("b65_dsir_importance", 5_000, ("1x", "10x", "100x")),
+    ],
     # the full TPC-H-ish suite at the 10× fact tier (lineitem 6M rows,
     # joins resolving against consistently-offset orders/customer and
     # fixed dims) — VERDICT r5 item 6. base_rows = lineitem at sf0.1.
