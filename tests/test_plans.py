@@ -499,3 +499,43 @@ def test_alter_table_stays_lazy_projection(spark, sf_dir):
     for cols in plans.read_schema_columns(df):
         assert "n_regionkey" not in cols
     spark.catalog.dropTempView("plan_alt")
+
+
+def test_dsir_plan_broadcasts_and_topk(spark, sf_dir):
+    """b65: the 1024-row ratio table joins by BROADCAST (never a
+    shuffled side), the final top-k is TakeOrderedAndProject (per-
+    partition heads, no global sort), and the documents scan prunes to
+    the three referenced columns."""
+    from duckdb_server_spark.catalog.beyond import b65_dsir_importance
+
+    df = b65_dsir_importance(spark, sf_dir)
+    text = plans.explain_string(df)
+    assert "TakeOrderedAndProject" in text
+    assert "BroadcastHashJoin" in text
+    for cols in plans.read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text", "lang"}
+
+
+def test_upsert_merge_joins_on_key_only(spark):
+    """The upsert three-leg merge: reading the swapped view back is a
+    bare scan of checkpointed rows (no residual join), and the merge
+    raises cleanly rather than falling back to a cartesian when the
+    conflict clause is malformed."""
+    from duckdb_server_spark.dialect import execute_statement
+
+    execute_statement(
+        spark,
+        "CREATE OR REPLACE TABLE plan_ups (k INT PRIMARY KEY, v STRING)",
+    )
+    execute_statement(spark, "INSERT INTO plan_ups VALUES (1, 'a')")
+    execute_statement(
+        spark,
+        "INSERT INTO plan_ups VALUES (1, 'b'), (2, 'c')"
+        " ON CONFLICT (k) DO UPDATE SET v = excluded.v",
+    )
+    text = plans.explain_string(spark.table("plan_ups"))
+    assert "Join" not in text and "Exchange" not in text
+    assert sorted(
+        tuple(r) for r in spark.table("plan_ups").collect()
+    ) == [(1, "b"), (2, "c")]
+    execute_statement(spark, "DROP TABLE plan_ups")

@@ -121,3 +121,21 @@ def test_delete_using(sql_session, duck):
     for st in ("DROP TABLE b26_d", "DROP TABLE b26_k"):
         duck.execute(st)
         execute_statement(sql_session, st)
+
+
+def test_dml_keywords_inside_literals_not_split(sql_session, duck):
+    """RETURNING / USING / FROM / ON CONFLICT appearing inside string
+    literals must not be mistaken for clause boundaries (all clause
+    splitting runs on masked text)."""
+    for st in (
+        "CREATE TABLE b26_kw (a INT, b TEXT)",
+        "INSERT INTO b26_kw VALUES (1, 'RETURNING x'),"
+        " (2, 'ON CONFLICT DO NOTHING')",
+        "UPDATE b26_kw SET b = ' USING y WHERE ' WHERE a = 1",
+        "DELETE FROM b26_kw WHERE b = ' FROM z RETURNING q '",
+        "SELECT * FROM b26_kw",
+    ):
+        _both(sql_session, duck, st)
+    for st in ("DROP TABLE b26_kw",):
+        duck.execute(st)
+        execute_statement(sql_session, st)
