@@ -44,6 +44,10 @@ class TableMeta:
     not_null: list[str] = field(default_factory=list)
     defaults: dict[str, str] = field(default_factory=dict)  # col -> SQL expr
     checks: list[str] = field(default_factory=list)  # SQL expr texts
+    # generated (VIRTUAL) columns in declaration order: col -> SQL expr;
+    # recomputed on every mutation (the copy-on-write analog of DuckDB's
+    # compute-on-read)
+    generated: dict[str, str] = field(default_factory=dict)
 
     def keysets(self) -> list[list[str]]:
         return ([self.pk] if self.pk else []) + self.uniques
@@ -150,7 +154,7 @@ def _split_commas(s: str) -> list[str]:
 
 _CONSTRAINT_KW_RE = re.compile(
     r"\b(PRIMARY\s+KEY|UNIQUE|NOT\s+NULL|NULL|DEFAULT|CHECK|REFERENCES"
-    r"|COLLATE)\b",
+    r"|COLLATE|GENERATED\s+ALWAYS\s+AS|AS)\b",
     re.IGNORECASE,
 )
 _TABLE_CONSTRAINT_RE = re.compile(
@@ -182,13 +186,17 @@ def _parse_column_def(item: str, table: list[str], state):
     name = _unmask(raw_name, table).strip('`"')
     # the type runs until the first constraint keyword at depth 0
     km = _depth0_find(rest, _CONSTRAINT_KW_RE)
-    type_text = rest[: km.start()] if km else rest
+    type_text = (rest[: km.start()] if km else rest).strip()
     tail = rest[km.start() :] if km else ""
-    spark_type, enum_name = duck_type_to_spark(
-        _unmask(type_text, table).strip(), state
-    )
+    if type_text:
+        spark_type, enum_name = duck_type_to_spark(
+            _unmask(type_text, table).strip(), state
+        )
+    else:
+        # bare generated column: ``y AS (expr)`` — type inferred
+        spark_type, enum_name = None, None
     meta = {"pk": False, "unique": False, "not_null": False,
-            "default": None, "checks": []}
+            "default": None, "checks": [], "generated": None}
     i = 0
     while i < len(tail):
         m = _CONSTRAINT_KW_RE.match(tail, i)
@@ -220,6 +228,14 @@ def _parse_column_def(item: str, table: list[str], state):
             close = _matching_paren(tail, op)
             meta["checks"].append(_unmask(tail[op + 1 : close], table))
             i = close + 1
+        elif kw in ("AS", "GENERATED ALWAYS AS"):
+            op = tail.index("(", i)
+            close = _matching_paren(tail, op)
+            meta["generated"] = _unmask(tail[op + 1 : close], table)
+            i = close + 1
+            vm = re.match(r"\s*(VIRTUAL|STORED)\b", tail[i:], re.IGNORECASE)
+            if vm:
+                i += vm.end()
         elif kw == "DEFAULT":
             nxt = _depth0_find(tail, _CONSTRAINT_KW_RE, i)
             end = nxt.start() if nxt else len(tail)
@@ -283,14 +299,29 @@ def run_create_table(spark: SparkSession, state, name: str,
             meta.not_null.append(low)
         if cmeta["default"] is not None:
             meta.defaults[low] = cmeta["default"]
+        if cmeta["generated"] is not None:
+            meta.generated[low] = cmeta["generated"]
+        elif stype is None:
+            raise ValueError(
+                f"CREATE TABLE: column {cname!r} has no type"
+            )
         meta.checks.extend(cmeta["checks"])
     if not cols:
         raise ValueError("CREATE TABLE: no columns")
     empty = spark.sql(
         "SELECT "
-        + ", ".join(f"CAST(NULL AS {t}) AS `{c}`" for c, t in cols)
+        + ", ".join(
+            f"CAST(NULL AS {t}) AS `{c}`"
+            for c, t in cols
+            if c.lower() not in meta.generated
+        )
         + " LIMIT 0"
     )
+    for c, t in cols:
+        if c.lower() in meta.generated:
+            e = _duck_expr(spark, meta.generated[c.lower()])
+            empty = empty.withColumn(c, e.cast(t) if t else e)
+    empty = empty.select(*[F.col(c) for c, _ in cols])
     empty.createOrReplaceTempView(target)
     state.tables[target.lower()] = meta
     if enum_cols:
@@ -426,19 +457,51 @@ def _sub_default_keywords(spark: SparkSession, state, target: str,
     return _unmask(out, table)
 
 
+def apply_generated(spark: SparkSession, state, target: str,
+                    df: DataFrame, schema_of: DataFrame) -> DataFrame:
+    """Recompute VIRTUAL generated columns (declaration order) — the
+    copy-on-write analog of DuckDB's compute-on-read."""
+    meta = state.tables.get(target.lower())
+    if meta is None or not meta.generated:
+        return df
+    by_lower = {c.lower(): c for c in schema_of.columns}
+    for low, expr in meta.generated.items():
+        col = by_lower.get(low)
+        if col is None:
+            continue
+        df = df.withColumn(
+            col,
+            _duck_expr(spark, expr).cast(schema_of.schema[col].dataType),
+        )
+    return df.select(*schema_of.columns)
+
+
 def build_insert_source(spark: SparkSession, state, target: str,
                         old: DataFrame, col_list: str | None,
                         body: str, by_name: bool = False) -> DataFrame:
     """The rows an INSERT contributes, aligned to the target's schema
     with declared DEFAULTs filled for omitted columns. ``by_name``
     (INSERT INTO t BY NAME SELECT …) aligns the source by its column
-    NAMES instead of position."""
+    NAMES instead of position. Generated columns never take writes:
+    positional alignment skips them, naming one fails closed, and their
+    values recompute from the declared expression."""
     from duckdb_server_spark.dialect import run_sql
 
+    gen = (
+        state.tables[target.lower()].generated
+        if target.lower() in state.tables
+        else {}
+    )
     if col_list:
         cols = [c.strip().strip('"`') for c in col_list[1:-1].split(",")]
+        bad = [c for c in cols if c.lower() in gen]
+        if bad:
+            raise ValueError(
+                f"Binder Error: Cannot insert into a generated column "
+                f"{bad[0]!r}"
+            )
     else:
-        cols = list(old.columns)
+        cols = [c for c in old.columns if c.lower() not in gen]
     if body.lstrip()[:6].upper() == "VALUES":
         body = _sub_default_keywords(spark, state, target, body, cols)
         if re.search(r"\b(?:nextval|currval)\s*\(", body, re.IGNORECASE):
@@ -459,6 +522,12 @@ def build_insert_source(spark: SparkSession, state, target: str,
                 f"Binder Error: Column {extra[0]!r} does not exist in "
                 f"table {target!r}"
             )
+        bad = [c for c in new.columns if c.lower() in gen]
+        if bad:
+            raise ValueError(
+                f"Binder Error: Cannot insert into a generated column "
+                f"{bad[0]!r}"
+            )
         src_lower = {c.lower(): c for c in new.columns}
         new = new.select(
             *[
@@ -474,18 +543,18 @@ def build_insert_source(spark: SparkSession, state, target: str,
         )
     else:
         new = new.toDF(*cols)
-        if col_list:
-            have = {c.lower() for c in cols}
-            for c in old.columns:
-                if c.lower() not in have:
-                    d = defaults.get(c.lower())
-                    new = new.withColumn(
-                        c,
-                        _duck_expr(spark, d) if d is not None else F.lit(None),
-                    )
-    return new.select(
+        have = {c.lower() for c in cols}
+        for c in old.columns:
+            if c.lower() not in have:
+                d = defaults.get(c.lower())
+                new = new.withColumn(
+                    c,
+                    _duck_expr(spark, d) if d is not None else F.lit(None),
+                )
+    new = new.select(
         *[F.col(c).cast(old.schema[c].dataType) for c in old.columns]
     )
+    return apply_generated(spark, state, target, new, old)
 
 
 def _values_with_sequences(body: str) -> str:
@@ -763,7 +832,9 @@ def run_upsert(spark: SparkSession, state, target: str, old: DataFrame,
     merged = merged.select(
         *[F.col(c).cast(old.schema[c].dataType) for c in old.columns]
     )
-    merged = _materialize(spark, merged)
+    merged = _materialize(
+        spark, apply_generated(spark, state, target, merged, old)
+    )
     n_inserted = merged.count() - n_old
     enforce_constraints(spark, state, target, merged)
     merged.createOrReplaceTempView(target)
@@ -1275,6 +1346,14 @@ def run_update_from(spark: SparkSession, state, target: str,
         )
     joined = tr.join(upd.withColumn("__dd_m", F.lit(True)), "__dd_rid",
                      "left")
+    meta = state.tables.get(target.lower())
+    if meta is not None:
+        for col in assigns:
+            if col in meta.generated:
+                raise ValueError(
+                    f"Binder Error: Cannot update a generated column "
+                    f"{col!r}"
+                )
     new = joined.select(
         *[
             F.when(
@@ -1289,7 +1368,7 @@ def run_update_from(spark: SparkSession, state, target: str,
             for c in old.columns
         ]
     )
-    new = _materialize(spark, new)
+    new = _materialize(spark, apply_generated(spark, state, target, new, old))
     enforce_constraints(spark, state, target, new)
     new.createOrReplaceTempView(target)
     if returning is not None:

@@ -5798,6 +5798,14 @@ def _run_update(spark: SparkSession, m: re.Match) -> DataFrame:
             else ""
         ),
     ).collect()[0][0]
+    meta = dialect_state(spark).tables.get(target.lower())
+    if meta is not None:
+        for col in assigns:
+            if col in meta.generated:
+                raise ValueError(
+                    f"Binder Error: Cannot update a generated column "
+                    f"{col!r}"
+                )
     post = None
     if returning is not None:
         # the post-update image of the matched rows, captured pre-swap
@@ -5812,11 +5820,12 @@ def _run_update(spark: SparkSession, m: re.Match) -> DataFrame:
             post_sql += f" WHERE coalesce(CAST(({cond}) AS BOOLEAN), false)"
         post = _materialize(spark, run_sql(spark, post_sql))
     new = run_sql(spark, f"SELECT {', '.join(projs)} FROM {target}")
+    new = new.select(
+        *[F.col(c).cast(old.schema[c].dataType) for c in old.columns]
+    )
     new = _materialize(
         spark,
-        new.select(
-            *[F.col(c).cast(old.schema[c].dataType) for c in old.columns]
-        ),
+        ddl.apply_generated(spark, dialect_state(spark), target, new, old),
     )
     new.createOrReplaceTempView(target)
     if returning is not None:
