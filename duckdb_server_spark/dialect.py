@@ -205,7 +205,12 @@ _FN_RENAMES = {
     "list_contains": "array_contains",
     "list_has": "array_contains",
     "array_has": "array_contains",
-    "strlen": "length",
+    # DuckDB strlen is BYTE length (length() is the character count)
+    "strlen": "octet_length",
+    # grapheme-cluster slicing ≈ codepoint slicing for composed text
+    # (Spark has no grapheme segmenter; combining sequences diverge)
+    "left_grapheme": "left",
+    "right_grapheme": "right",
     "list_unique": "dd_list_unique",
     "string_split_regex": "split",
     "str_split_regex": "split",
@@ -1196,6 +1201,7 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
     subscripting schema-aware instead of guessing from names."""
     from pyspark.sql.types import (
         ArrayType,
+        BinaryType,
         DateType,
         MapType,
         StringType,
@@ -1227,6 +1233,8 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
                 k = "date"
             elif isinstance(f.dataType, (TimestampType, TimestampNTZType)):
                 k = "timestamp"
+            elif isinstance(f.dataType, BinaryType):
+                k = "binary"
             else:
                 k = "other"
             if nm in kinds and kinds[nm] != k:
@@ -3076,6 +3084,22 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         return f"CAST({args[0]} AS BINARY)"   # DuckDB: VARCHAR → BLOB
     if fn == "decode" and len(args) == 1:
         return f"CAST({args[0]} AS STRING)"   # DuckDB: BLOB → VARCHAR
+        # (decode is strict UTF-8; the \xHH-escaped rendering belongs to
+        # CAST(blob AS VARCHAR), handled via the binary column kind)
+    if fn == "isodow" and len(args) == 1:
+        lit = _masked_literal(table, "DAYOFWEEK_ISO")
+        return f"date_part({lit}, {args[0]})"
+    if fn == "current_schemas" and len(args) == 1:
+        # DuckDB 1.0's literal answer for its default search path
+        return (
+            f"CASE WHEN ({args[0]}) THEN "
+            f"array('main', 'main', 'main', 'pg_catalog') "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+    if fn == "md5_number_lower" and len(args) == 1:
+        return f"dd_md5_u64(md5({args[0]}), 17)"
+    if fn == "md5_number_upper" and len(args) == 1:
+        return f"dd_md5_u64(md5({args[0]}), 1)"
     if fn == "sha256" and len(args) == 1:
         return f"sha2({args[0]}, 256)"
     if fn in ("left", "right") and len(args) == 2:
@@ -3222,7 +3246,8 @@ _TEMPLATE_RE = re.compile(
     r"list_reverse_sort|dayname|monthname|geomean|divide|multiply|add|"
     r"subtract|fsum|sumkahan|kahan_sum|favg|skewness|bitstring_agg|"
     r"date_trunc|datetrunc|json_quote|"
-    r"encode|decode|sha256|left|right|unnest|"
+    r"encode|decode|sha256|left|right|unnest|isodow|current_schemas|"
+    r"md5_number_lower|md5_number_upper|"
     r"list_sum|list_avg|list_any_value|"
     r"list_has_all|list_select|list_where|list_grade_up|list_resize|"
     r"list_dot_product|list_inner_product|list_cosine_similarity|"
@@ -4168,6 +4193,28 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_struct_map(masked, table)
     masked = _rewrite_ordered_aggs(masked)
     masked = _rewrite_lateral_values(masked)
+    # a VARCHAR cast of a BINARY column takes DuckDB's escaped blob
+    # rendering (dd_blob_str), not the raw-bytes reinterpretation
+    if kinds and any(k == "binary" for k in kinds.values()):
+        def _bin_cast(mm: re.Match) -> str:
+            col = mm.group(1)
+            if kinds.get(col.split(".")[-1].lower()) == "binary":
+                return f"dd_blob_str({col})"
+            return mm.group(0)
+
+        masked = re.sub(
+            r"\bCAST\s*\(\s*([A-Za-z_][\w.]*)\s+AS\s+(?:VARCHAR|STRING)"
+            r"\s*\)",
+            _bin_cast,
+            masked,
+            flags=re.IGNORECASE,
+        )
+        masked = re.sub(
+            r"\b([A-Za-z_][\w.]*)\s*::\s*(?:VARCHAR|STRING)\b",
+            _bin_cast,
+            masked,
+            flags=re.IGNORECASE,
+        )
     masked = re.sub(r"\bAS\s+VARCHAR\b(?!\s*\()", "AS STRING", masked,
                     flags=re.IGNORECASE)
     masked = re.sub(r"::\s*VARCHAR\b(?!\s*\()", "::STRING", masked,
@@ -4251,6 +4298,31 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
 # ---------------------------------------------------------------------------
 
 _DIALECT_FUNCTIONS = (
+    # DuckDB's BLOB → VARCHAR rendering: bytes 32..126 except backslash
+    # are literal, everything else (and backslash) is \xHH uppercase —
+    # one aggregate() fold over the hex spelling, pure JVM expressions
+    """CREATE OR REPLACE TEMPORARY FUNCTION dd_blob_str(b BINARY)
+       RETURNS STRING
+       RETURN CASE WHEN b IS NULL THEN NULL ELSE aggregate(
+         sequence(1, CAST(length(hex(b)) / 2 AS INT), 1),
+         CAST('' AS STRING),
+         (acc, i) -> concat(acc,
+           CASE WHEN conv(substr(hex(b), i * 2 - 1, 2), 16, 10)
+                     BETWEEN 32 AND 126
+                 AND conv(substr(hex(b), i * 2 - 1, 2), 16, 10) != 92
+                THEN chr(conv(substr(hex(b), i * 2 - 1, 2), 16, 10))
+                ELSE concat('\\\\x', substr(hex(b), i * 2 - 1, 2)) END))
+       END""",
+    # md5_number family: the md5 digest's 8-byte halves as LITTLE-ENDIAN
+    # unsigned integers (DuckDB reads the digest as a uint128 LE)
+    """CREATE OR REPLACE TEMPORARY FUNCTION dd_md5_u64(h STRING, off INT)
+       RETURNS DECIMAL(20, 0)
+       RETURN CAST(conv(concat(
+         substr(h, off + 14, 2), substr(h, off + 12, 2),
+         substr(h, off + 10, 2), substr(h, off + 8, 2),
+         substr(h, off + 6, 2), substr(h, off + 4, 2),
+         substr(h, off + 2, 2), substr(h, off, 2)), 16, 10)
+         AS DECIMAL(20, 0))""",
     # numeric trunc-toward-zero (DuckDB trunc is 1-arg; keep a scale arg
     # for generality) — mirrors functions/scalar.py:trunc_numeric.
     """CREATE OR REPLACE TEMPORARY FUNCTION dd_trunc(x DOUBLE, d INT DEFAULT 0)

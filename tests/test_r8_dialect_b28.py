@@ -1,0 +1,75 @@
+"""Dialect probe battery 28 — scalar-tail sweep fixes: isodow(),
+strlen()'s BYTE-length semantics (was a silent wrong answer on
+non-ASCII text: the old alias mapped it to the character count),
+grapheme slicing, current_schemas(), the md5_number little-endian
+halves, and DuckDB's \\xHH-escaped BLOB → VARCHAR rendering (escape
+everything outside 32..126 plus the backslash itself, uppercase hex).
+Differential against live DuckDB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_server_spark.dialect import (
+    execute_statement,
+    register_dialect_functions,
+    run_sql,
+    serving_dialect,
+)
+
+
+@pytest.fixture(scope="module")
+def sql_session(spark):
+    register_dialect_functions(spark)
+    return spark
+
+
+def _match(spark, duck, sql: str):
+    theirs = duck.execute(sql).fetchall()
+    with serving_dialect(True):
+        ours = [tuple(r) for r in run_sql(spark, sql).collect()]
+    # stringify cells: DECIMAL(20,0) vs python int etc.
+    a = [[str(x) for x in r] for r in ours]
+    b = [[str(x) for x in r] for r in theirs]
+    assert a == b, f"{sql!r}: {ours[:2]} != {theirs[:2]}"
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # ISO day-of-week function form (extract-form already served)
+        "SELECT isodow(DATE '2020-01-05') AS su, isodow(DATE '2020-01-06')"
+        " AS mo, isodow(DATE '2020-01-10') AS fr",
+        # strlen = BYTES; length = characters — they differ on 'é'
+        "SELECT strlen('héllo') AS b, length('héllo') AS c,"
+        " strlen('abc') AS a",
+        # grapheme slicing (composed text: = codepoint slicing)
+        "SELECT left_grapheme('héllo', 2) AS l,"
+        " right_grapheme('héllo', 2) AS r",
+        # search-path introspection
+        "SELECT current_schemas(true) AS t, current_schemas(false) AS f",
+        # md5 digest halves as little-endian unsigned ints
+        "SELECT md5_number_lower('abc') AS lo, md5_number_upper('abc')"
+        " AS hi, md5_number_lower('') AS lo0",
+        # decode() is the strict-UTF-8 conversion
+        "SELECT decode('ab'::BLOB) AS d",
+    ],
+)
+def test_scalar_tails_b28(sql_session, duck, sql):
+    _match(sql_session, duck, sql)
+
+
+def test_blob_varchar_rendering(sql_session, duck):
+    for st in (
+        "CREATE TABLE b28_b AS SELECT unhex('41FF005C207E') AS raw",
+    ):
+        duck.execute(st)
+        execute_statement(sql_session, st)
+    _match(
+        sql_session, duck,
+        "SELECT CAST(raw AS VARCHAR) AS v, raw::VARCHAR AS w FROM b28_b",
+    )
+    for st in ("DROP TABLE b28_b",):
+        duck.execute(st)
+        execute_statement(sql_session, st)
