@@ -185,6 +185,7 @@ _FN_RENAMES = {
     "lcase": "lower",
     "list_value": "array",
     "array_value": "array",
+    "list_pack": "array",
     "list_reverse": "reverse",
     "array_reverse": "reverse",
     "array_cat": "concat",
@@ -3052,12 +3053,23 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         )
     if fn in ("quantile_disc", "quantile") and len(args) == 2:
         x, p = args
-        if p.lstrip().startswith(("[", "array", "\x00")):
-            return None  # list-quantile form not supported
-        return (
+        disc = (
             f"element_at(array_sort(collect_list({x})), "
-            f"CAST(greatest(1, ceil(({p}) * size(collect_list({x})))) AS INT))"
+            f"CAST(greatest(1, ceil((%s) * size(collect_list({x})))) AS INT))"
         )
+        if p.lstrip().startswith(("[", "array")):
+            # list form: one sorted collect, one element pick per p
+            return (
+                f"transform({p}, __dd_p -> " + (disc % "__dd_p") + ")"
+            )
+        return disc % f"({p})"
+    if fn == "list_count" and len(args) == 1:
+        # DuckDB: non-NULL element count
+        return f"size(filter({args[0]}, __dd_x -> __dd_x IS NOT NULL))"
+    if fn == "setseed" and len(args) == 1:
+        # engine-RNG seeding is a session no-op here (sampling queries
+        # use the portable md5 draw, never engine RNG)
+        return "CAST(NULL AS STRING)"
     if fn == "format" and args:
         fmt = _literal_value(_unmask(args[0], table))
         if fmt is None:
@@ -3247,7 +3259,7 @@ _TEMPLATE_RE = re.compile(
     r"subtract|fsum|sumkahan|kahan_sum|favg|skewness|bitstring_agg|"
     r"date_trunc|datetrunc|json_quote|"
     r"encode|decode|sha256|left|right|unnest|isodow|current_schemas|"
-    r"md5_number_lower|md5_number_upper|"
+    r"md5_number_lower|md5_number_upper|list_count|setseed|"
     r"list_sum|list_avg|list_any_value|"
     r"list_has_all|list_select|list_where|list_grade_up|list_resize|"
     r"list_dot_product|list_inner_product|list_cosine_similarity|"

@@ -73,3 +73,23 @@ def test_blob_varchar_rendering(sql_session, duck):
     for st in ("DROP TABLE b28_b",):
         duck.execute(st)
         execute_statement(sql_session, st)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # list-quantile form: one sorted collect, one pick per p
+        "SELECT quantile_disc(o_totalprice, [0.25, 0.5, 0.9]) AS q,"
+        " quantile_disc(o_totalprice, 0.5) AS m FROM orders",
+        # non-NULL element count and the list_pack constructor
+        "SELECT list_count([1, NULL, 2]) AS lc,"
+        " list_count(CAST([] AS INT[])) AS lz, list_pack(1, 2, 3) AS lp",
+        # engine-RNG seeding: a session no-op returning NULL on both
+        "SELECT setseed(0.42) AS s",
+    ],
+)
+def test_aggregate_tails_b28(sql_session, duck, sql):
+    from duckdb_server_spark.session import register_views
+
+    register_views(sql_session, "/root/testdata/sf0.001", ("orders",))
+    _match(sql_session, duck, sql)
