@@ -3370,7 +3370,21 @@ _POWER_OP_RE = re.compile(r"\*\*|\^")
 def _rewrite_power(s: str) -> str:
     """DuckDB's ``^`` and ``**`` are EXPONENTIATION (XOR is the xor()
     function); Spark's ``^`` is bitwise XOR — without this rewrite
-    ``2 ^ 3`` silently returns 1. Left-associative, matching DuckDB."""
+    ``2 ^ 3`` silently returns 1. Left-associative, matching DuckDB.
+    The ``^@`` starts-with operator resolves FIRST (its ^ is not a
+    power)."""
+    while m := re.search(r"\^@", s):
+        i = m.start()
+        j = i - 1
+        while j >= 0 and s[j] in " \t\n":
+            j -= 1
+        start = _primary_back(s, j + 1)
+        left = s[start : j + 1]
+        r_end = _primary_end(s, m.end())
+        right = s[m.end() : r_end].strip()
+        if not left.strip() or not right:
+            raise ValueError("cannot parse ^@ starts-with operands")
+        s = s[:start] + f"startswith({left}, {right})" + s[r_end:]
     while m := _POWER_OP_RE.search(s):
         i = m.start()
         j = i - 1

@@ -93,3 +93,15 @@ def test_aggregate_tails_b28(sql_session, duck, sql):
 
     register_views(sql_session, "/root/testdata/sf0.001", ("orders",))
     _match(sql_session, duck, sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # ^@ is starts-with; ^ stays exponentiation next to it
+        "SELECT 'abc' ^@ 'ab' AS sw, 'abc' ^@ 'bc' AS nf,"
+        " upper('ab') ^@ 'AB' AS fx, 2 ^ 3 AS p, 2 ** 3 AS p2",
+    ],
+)
+def test_startswith_operator_b28(sql_session, duck, sql):
+    _match(sql_session, duck, sql)
