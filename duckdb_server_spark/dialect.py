@@ -1554,6 +1554,44 @@ def _strftime_to_java(fmt: str) -> str:
     return "".join(out)
 
 
+# week-number tokens have no legal java.time pattern in Spark 3+ (week
+# fields throw); they splice as expression segments instead. Formulas
+# follow python/DuckDB strftime: %U Sunday-based week 00.., %W Monday-
+# based, %V ISO week, %G ISO year.
+_STRFTIME_WEEK_EXPRS = {
+    "%U": (
+        "lpad(CAST(CAST(floor((dayofyear({x}) + 6 - (dayofweek({x}) - 1))"
+        " / 7) AS INT) AS STRING), 2, '0')"
+    ),
+    "%W": (
+        "lpad(CAST(CAST(floor((dayofyear({x}) + 6 - pmod(dayofweek({x})"
+        " + 5, 7)) / 7) AS INT) AS STRING), 2, '0')"
+    ),
+    "%V": "lpad(CAST(weekofyear({x}) AS STRING), 2, '0')",
+    "%G": "CAST(extract(YEAROFWEEK FROM {x}) AS STRING)",
+}
+_STRFTIME_WEEK_RE = re.compile("(" + "|".join(_STRFTIME_WEEK_EXPRS) + ")")
+
+
+def _strftime_concat(fmt: str, ts: str, table: list[str]) -> str:
+    """A format containing week tokens -> concat() of date_format runs
+    and week-number expressions."""
+    parts = []
+    for piece in _STRFTIME_WEEK_RE.split(fmt):
+        if not piece:
+            continue
+        if piece in _STRFTIME_WEEK_EXPRS:
+            parts.append(_STRFTIME_WEEK_EXPRS[piece].format(x=ts))
+        else:
+            table.append(
+                "'" + _strftime_to_java(piece).replace("'", "''") + "'"
+            )
+            parts.append(
+                f"date_format({ts}, {_PLACEHOLDER.format(len(table) - 1)})"
+            )
+    return "concat(" + ", ".join(parts) + ")"
+
+
 def _rewrite_strftime(s: str, table: list[str]) -> str:
     while m := _STRFTIME_RE.search(s):
         open_idx = m.end() - 1
@@ -1565,9 +1603,15 @@ def _rewrite_strftime(s: str, table: list[str]) -> str:
         fmt = _literal_value(table[int(ph.group(1))]) if ph else None
         if fmt is None:
             raise ValueError("strftime needs a literal format")
-        table.append("'" + _strftime_to_java(fmt).replace("'", "''") + "'")
-        jph = _PLACEHOLDER.format(len(table) - 1)
-        s = s[: m.start()] + f"date_format({args[0]}, {jph})" + s[close + 1 :]
+        if _STRFTIME_WEEK_RE.search(fmt):
+            repl = _strftime_concat(fmt, args[0], table)
+        else:
+            table.append(
+                "'" + _strftime_to_java(fmt).replace("'", "''") + "'"
+            )
+            jph = _PLACEHOLDER.format(len(table) - 1)
+            repl = f"date_format({args[0]}, {jph})"
+        s = s[: m.start()] + repl + s[close + 1 :]
     return s
 
 

@@ -105,3 +105,20 @@ def test_aggregate_tails_b28(sql_session, duck, sql):
 )
 def test_startswith_operator_b28(sql_session, duck, sql):
     _match(sql_session, duck, sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # week-number strftime tokens splice as expressions (no legal
+        # java.time week pattern in Spark 3+): %U Sunday-based, %W
+        # Monday-based, %V ISO week, %G ISO year
+        "SELECT strftime(TIMESTAMP '2020-02-05 13:14:15',"
+        " '%Y-%m W%W U%U V%V G%G') AS f",
+        "SELECT strftime(DATE '2021-01-03', '%U|%W|%V|%G') AS su,"
+        " strftime(DATE '2021-01-04', '%U|%W|%V|%G') AS mo,"
+        " strftime(DATE '2024-12-31', '%U|%W|%V|%G') AS ny",
+    ],
+)
+def test_strftime_week_tokens_b28(sql_session, duck, sql):
+    _match(sql_session, duck, sql)
