@@ -522,6 +522,49 @@ def s29_dialect_seq_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_script(spark, _S29_SCRIPT)[-1]
 
 
+# DML-breadth script — INSERT BY NAME over declared DEFAULTs, a
+# VIRTUAL generated column recomputed through every write path, the
+# join-update (UPDATE … FROM) and join-delete (DELETE … USING), and a
+# final RETURNING projection. Same statements verbatim on both engines;
+# DuckDB returns the last statement's rows.
+_S30_SCRIPT = """
+CREATE OR REPLACE TABLE dml2_t (k INT, v VARCHAR DEFAULT 'd', n INT,
+                                nn AS (n * 2));
+INSERT INTO dml2_t (k, n) SELECT o_orderkey, CAST(o_totalprice AS INT)
+  FROM orders WHERE o_orderkey < 40;
+INSERT INTO dml2_t BY NAME
+  SELECT 9001 AS k, 77 AS n, 'named' AS v;
+CREATE OR REPLACE TABLE dml2_s AS
+  SELECT o_orderkey AS k, o_orderstatus AS st FROM orders
+  WHERE o_orderkey < 20;
+UPDATE dml2_t SET v = dml2_s.st, n = dml2_t.n + 1000
+  FROM dml2_s WHERE dml2_t.k = dml2_s.k;
+DELETE FROM dml2_t USING dml2_s
+  WHERE dml2_t.k = dml2_s.k AND dml2_s.st = 'O';
+UPDATE dml2_t SET n = n - 7 WHERE k = 9001 RETURNING k, v, n, nn;
+SELECT k, v, n, nn FROM dml2_t ORDER BY k
+"""
+
+
+@query("s30_dialect_dml_breadth", oracle=_S30_SCRIPT)
+def s30_dialect_dml_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT BY NAME / generated columns / UPDATE…FROM / DELETE…USING /
+    RETURNING as verbatim DuckDB statements through the statement
+    router. The join-update keys on a synthetic row id (ids + assigned
+    values shuffle, bodies stay put), the join-delete is one LEFT ANTI
+    join, and the generated column recomputes on every mutation — the
+    copy-on-write analog of DuckDB's compute-on-read. Runs under
+    serving_dialect so the fractional CAST gets DuckDB's ROUNDING
+    semantics (native Spark would silently truncate the dual-valid
+    statement)."""
+    from duckdb_server_spark.dialect import run_script, serving_dialect
+    from duckdb_server_spark.session import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    with serving_dialect(True):
+        return run_script(spark, _S30_SCRIPT)[-1]
+
+
 @query("s23_dialect_list_comprehension", oracle=_S23_SQL)
 def s23_dialect_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim DuckDB list comprehensions (``[expr FOR v IN l IF c]``)

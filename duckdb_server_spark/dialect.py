@@ -1204,6 +1204,9 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
         ArrayType,
         BinaryType,
         DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
         MapType,
         StringType,
         TimestampNTZType,
@@ -1236,6 +1239,10 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
                 k = "timestamp"
             elif isinstance(f.dataType, BinaryType):
                 k = "binary"
+            elif isinstance(f.dataType, (DoubleType, FloatType)):
+                k = "double"
+            elif isinstance(f.dataType, DecimalType):
+                k = "decimal"
             else:
                 k = "other"
             if nm in kinds and kinds[nm] != k:
@@ -4285,6 +4292,47 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
             masked,
             flags=re.IGNORECASE,
         )
+    # DuckDB ROUNDS numeric→integer casts where Spark truncates — a
+    # silent off-by-one on every fractional cast. DOUBLE/FLOAT round
+    # half-to-even (rint), DECIMAL rounds half away from zero (round);
+    # both probed on live 1.0. Bare-column operands resolve through the
+    # catalog kinds; numeric literals fold at rewrite time (decimal
+    # rule). Complex expressions stay untouched (type unknowable from
+    # text) — the covered shapes are the serving-path hot ones.
+    _INT_TYPES = (
+        r"(?:TINYINT|SMALLINT|INTEGER|INT[1248]|INT|BIGINT|SHORT|LONG"
+        r"|SIGNED|UTINYINT|USMALLINT|UINTEGER|UBIGINT|HUGEINT)"
+    )
+
+    def _cast_round(mm: re.Match) -> str:
+        col, ty = mm.group(1), mm.group(2)
+        if re.fullmatch(r"[+-]?\d+\.\d+", col):
+            import decimal as _dec
+
+            v = _dec.Decimal(col).quantize(
+                _dec.Decimal(1), rounding=_dec.ROUND_HALF_UP
+            )
+            return f"CAST({v} AS {ty})"
+        kind = (kinds or {}).get(col.split(".")[-1].lower())
+        if kind == "double":
+            return f"CAST(rint({col}) AS {ty})"
+        if kind == "decimal":
+            return f"CAST(round({col}) AS {ty})"
+        return mm.group(0)
+
+    masked = re.sub(
+        rf"\bCAST\s*\(\s*([A-Za-z_][\w.]*|[+-]?\d+\.\d+)\s+AS\s+"
+        rf"({_INT_TYPES})\s*\)",
+        _cast_round,
+        masked,
+        flags=re.IGNORECASE,
+    )
+    masked = re.sub(
+        rf"\b([A-Za-z_][\w.]*|\d+\.\d+)\s*::\s*({_INT_TYPES})\b(?!\w)",
+        _cast_round,
+        masked,
+        flags=re.IGNORECASE,
+    )
     masked = re.sub(r"\bAS\s+VARCHAR\b(?!\s*\()", "AS STRING", masked,
                     flags=re.IGNORECASE)
     masked = re.sub(r"::\s*VARCHAR\b(?!\s*\()", "::STRING", masked,

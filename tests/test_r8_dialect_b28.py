@@ -122,3 +122,29 @@ def test_startswith_operator_b28(sql_session, duck, sql):
 )
 def test_strftime_week_tokens_b28(sql_session, duck, sql):
     _match(sql_session, duck, sql)
+
+
+def test_fractional_casts_round_like_duckdb(sql_session, duck):
+    """DuckDB ROUNDS numeric→integer casts where Spark truncates:
+    DOUBLE/FLOAT half-to-even, DECIMAL (and numeric literals) half away
+    from zero — both probed on live 1.0 and served for bare-column and
+    literal operands through the catalog kinds."""
+    for st in (
+        "CREATE TABLE b28_n AS SELECT 2.5::DOUBLE AS d1, 3.5::DOUBLE"
+        " AS d2, 1.7::DOUBLE AS d3, 2.50::DECIMAL(6,2) AS c1,"
+        " -2.5::DECIMAL(6,2) AS c2",
+    ):
+        duck.execute(st)
+        execute_statement(sql_session, st)
+    for sql in (
+        "SELECT CAST(d1 AS INT) AS a, CAST(d2 AS INT) AS b,"
+        " CAST(d3 AS BIGINT) AS c, d1::INT AS d FROM b28_n",
+        "SELECT CAST(c1 AS INT) AS a, CAST(c2 AS INT) AS b,"
+        " c1::BIGINT AS c FROM b28_n",
+        "SELECT CAST(1.5 AS INT) AS a, CAST(2.5 AS INT) AS b,"
+        " CAST(-2.5 AS INT) AS c, 1.7::INT AS d",
+    ):
+        _match(sql_session, duck, sql)
+    for st in ("DROP TABLE b28_n",):
+        duck.execute(st)
+        execute_statement(sql_session, st)
