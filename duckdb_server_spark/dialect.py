@@ -495,13 +495,32 @@ def _rewrite_list_aggregate(s: str, table: list[str]) -> str:
         open_idx = s.index("(", m.end() - 1)
         close = _matching_paren(s, open_idx)
         args = _split_top_commas(s[open_idx + 1 : close])
-        if len(args) != 2:
+        if len(args) not in (2, 3):
             raise ValueError("list_aggregate expects (list, 'function_name')")
         lit = _PLACEHOLDER_RE.fullmatch(args[1])
         fname = _literal_value(table[int(lit.group(1))]) if lit else None
-        if fname is None or fname.lower() not in _LIST_AGG_MAP:
-            raise ValueError(f"unsupported list_aggregate function: {args[1]!r}")
-        repl = "(" + _LIST_AGG_MAP[fname.lower()].format(l=args[0]) + ")"
+        fl = (fname or "").lower()
+        if fl in ("string_agg", "group_concat") and len(args) in (2, 3):
+            sep = args[2] if len(args) == 3 else _masked_literal(table, ",")
+            repl = (
+                f"(array_join(transform(filter({args[0]}, "
+                f"__dd_x -> __dd_x IS NOT NULL), "
+                f"__dd_x -> CAST(__dd_x AS STRING)), {sep}))"
+            )
+        elif fl == "histogram" and len(args) == 2:
+            e = args[0]
+            repl = (
+                f"(map_from_entries(transform(array_sort(array_distinct("
+                f"filter({e}, __dd_x -> __dd_x IS NOT NULL))), "
+                f"__dd_x -> struct(__dd_x, CAST(size(filter({e}, "
+                f"__dd_y -> __dd_y = __dd_x)) AS BIGINT)))))"
+            )
+        elif fname is not None and fl in _LIST_AGG_MAP and len(args) == 2:
+            repl = "(" + _LIST_AGG_MAP[fl].format(l=args[0]) + ")"
+        else:
+            raise ValueError(
+                f"unsupported list_aggregate function: {args[1]!r}"
+            )
         s = s[: m.start()] + repl + s[close + 1 :]
 
 
@@ -1040,6 +1059,14 @@ def _range_expr(args: list[str]) -> str:
         a, b = args
     else:
         a, b, step = args
+        if any(re.match(r"(?i)\s*(DATE|TIMESTAMP)\b", x) for x in (a, b)):
+            # temporal range is end-EXCLUSIVE; sequence is inclusive —
+            # drop the endpoint when the step lands on it
+            return (
+                f"filter(sequence(CAST({a} AS TIMESTAMP), "
+                f"CAST({b} AS TIMESTAMP), {step}), "
+                f"x -> x != CAST({b} AS TIMESTAMP))"
+            )
         # either step sign: ceil((b-a)/step) elements starting at a; the
         # sequence stop is pulled toward a so Spark never sees an
         # illegal-direction sequence for an empty range. Step 0 errors in
@@ -3133,7 +3160,7 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         ] + list(args[1 + len(casts) :])
         rest = ", ".join(vals)
         return f"format_string({lit}{', ' + rest if rest else ''})"
-    if fn == "list_reverse_sort" and len(args) == 1:
+    if fn in ("list_reverse_sort", "array_reverse_sort") and len(args) == 1:
         return f"reverse(array_sort({args[0]}))"
     if fn in ("date_trunc", "datetrunc") and len(args) == 2:
         part = (_literal_value(_unmask(args[0], table)) or "").lower()
@@ -3163,6 +3190,41 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         return f"dd_md5_u64(md5({args[0]}), 17)"
     if fn == "md5_number_upper" and len(args) == 1:
         return f"dd_md5_u64(md5({args[0]}), 1)"
+    if fn == "json_type" and len(args) in (1, 2):
+        inner = (
+            args[0]
+            if len(args) == 1
+            else f"dd_json_extract({args[0]}, {args[1]})"
+        )
+        return f"dd_json_type({inner})"
+    if fn == "json_contains" and len(args) == 2:
+        return f"dd_json_contains({args[0]}, {args[1]})"
+    if fn in ("json_array", "json_object"):
+        # serialize each argument AS ITS OWN TYPE: to_json needs a
+        # container, so wrap in a 1-element array and strip brackets
+        def _jval(a: str) -> str:
+            return (
+                f"substr(to_json(array({a})), 2, "
+                f"length(to_json(array({a}))) - 2)"
+            )
+
+        if fn == "json_array":
+            if not args or (len(args) == 1 and not args[0].strip()):
+                return "'[]'"
+            return (
+                "concat('[', concat_ws(',', "
+                + ", ".join(_jval(a) for a in args)
+                + "), ']')"
+            )
+        if len(args) % 2:
+            raise ValueError("json_object expects key/value pairs")
+        pairs = [
+            f"concat({_jval(args[i])}, ':', {_jval(args[i + 1])})"
+            for i in range(0, len(args), 2)
+        ]
+        return (
+            "concat('{', concat_ws(',', " + ", ".join(pairs) + "), '}')"
+        )
     if fn == "sha256" and len(args) == 1:
         return f"sha2({args[0]}, 256)"
     if fn in ("left", "right") and len(args) == 2:
@@ -3306,11 +3368,13 @@ _TEMPLATE_RE = re.compile(
     r"\b(to_base|list_reduce|date_sub|datesub|datepart|date_part|epoch|"
     r"to_timestamp|strptime|try_strptime|list_distinct|list_prepend|array_prepend|array_push_front|typeof|version|txid_current|bit_count|chr|bar|struct_extract|current_schema|"
     r"current_database|kurtosis|histogram|quantile_disc|quantile|format|"
-    r"list_reverse_sort|dayname|monthname|geomean|divide|multiply|add|"
+    r"list_reverse_sort|array_reverse_sort|dayname|monthname|geomean|"
+    r"divide|multiply|add|"
     r"subtract|fsum|sumkahan|kahan_sum|favg|skewness|bitstring_agg|"
     r"date_trunc|datetrunc|json_quote|"
     r"encode|decode|sha256|left|right|unnest|isodow|current_schemas|"
     r"md5_number_lower|md5_number_upper|list_count|setseed|"
+    r"json_type|json_contains|json_array|json_object|"
     r"list_sum|list_avg|list_any_value|"
     r"list_has_all|list_select|list_where|list_grade_up|list_resize|"
     r"list_dot_product|list_inner_product|list_cosine_similarity|"
@@ -4431,6 +4495,21 @@ _DIALECT_FUNCTIONS = (
                 THEN chr(conv(substr(hex(b), i * 2 - 1, 2), 16, 10))
                 ELSE concat('\\\\x', substr(hex(b), i * 2 - 1, 2)) END))
        END""",
+    # DuckDB json_type classification: container/string kinds from the
+    # first character, numerics split UBIGINT/BIGINT/DOUBLE like DuckDB
+    """CREATE OR REPLACE TEMPORARY FUNCTION dd_json_type(j STRING)
+       RETURNS STRING
+       RETURN CASE WHEN j IS NULL THEN NULL ELSE
+         CASE left(trim(j), 1)
+           WHEN '{' THEN 'OBJECT'
+           WHEN '[' THEN 'ARRAY'
+           WHEN '"' THEN 'VARCHAR'
+           ELSE CASE
+             WHEN trim(j) IN ('true', 'false') THEN 'BOOLEAN'
+             WHEN trim(j) = 'null' THEN 'NULL'
+             WHEN trim(j) RLIKE '^-[0-9]+$' THEN 'BIGINT'
+             WHEN trim(j) RLIKE '^[0-9]+$' THEN 'UBIGINT'
+             ELSE 'DOUBLE' END END END""",
     # md5_number family: the md5 digest's 8-byte halves as LITTLE-ENDIAN
     # unsigned integers (DuckDB reads the digest as a uint128 LE)
     """CREATE OR REPLACE TEMPORARY FUNCTION dd_md5_u64(h STRING, off INT)
@@ -4811,6 +4890,44 @@ def _register_json_shims(spark: SparkSession) -> None:
             return _json.dumps(patch(tx, ty), separators=(",", ":"))
         return pd.Series([one(x, y) for x, y in zip(a, b)])
 
+    def jcontains(a, b):
+        def inside(hay, needle):
+            """DuckDB containment: the needle value appears anywhere in
+            the haystack tree (objects match on key-subset, arrays on
+            element-subset)."""
+            def matches(h, n):
+                if isinstance(n, dict):
+                    return isinstance(h, dict) and all(
+                        k in h and matches(h[k], v) for k, v in n.items()
+                    )
+                if isinstance(n, list):
+                    return isinstance(h, list) and all(
+                        any(matches(e, v) for e in h) for v in n
+                    )
+                if isinstance(n, bool) or isinstance(h, bool):
+                    return h is n if isinstance(n, bool) else False
+                if isinstance(n, (int, float)) and isinstance(
+                    h, (int, float)
+                ):
+                    return float(h) == float(n)
+                return h == n
+            if matches(hay, needle):
+                return True
+            if isinstance(hay, dict):
+                return any(inside(v, needle) for v in hay.values())
+            if isinstance(hay, list):
+                return any(inside(e, needle) for e in hay)
+            return False
+
+        def one(x, y):
+            hx, okx = _parse(x)
+            ny, oky = _parse(y)
+            if not (okx and oky):
+                return None
+            return inside(hx, ny)
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)])
+
     for name, fn, typ in (
         ("dd_json_extract", jext, "string"),
         ("dd_json_valid", jvalid, "boolean"),
@@ -4819,13 +4936,14 @@ def _register_json_shims(spark: SparkSession) -> None:
         ("dd_json_merge_patch", jmerge, "string"),
         ("dd_json_structure", jstructure, "string"),
         ("dd_json_quote", jquote, "string"),
+        ("dd_json_contains", jcontains, "boolean"),
     ):
         fn.__annotations__ = (
             {"d": pd.Series, "p": pd.Series, "return": pd.Series}
-            if fn in (jext, jmerge)
+            if fn in (jext, jmerge, jcontains)
             else {"s": pd.Series, "return": pd.Series}
         )
-        if fn is jmerge:
+        if fn in (jmerge, jcontains):
             fn.__annotations__ = {
                 "a": pd.Series, "b": pd.Series, "return": pd.Series
             }

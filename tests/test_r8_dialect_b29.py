@@ -1,0 +1,83 @@
+"""Dialect probe battery 29 — JSON tails + list/temporal leftovers:
+json_type's DuckDB classification (incl. the UBIGINT/BIGINT/DOUBLE
+numeric split and the 2-arg path form), json_contains' deep
+containment (key-subset objects, element-subset arrays, anywhere in
+the tree), json_array / json_object constructors serializing each
+argument as its own type, 3-arg list_aggregate ('string_agg' with a
+separator, 'histogram'), array_reverse_sort, and scalar temporal
+range() (end-exclusive) / generate_series (inclusive) over TIMESTAMPs.
+Differential against live DuckDB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_server_spark.dialect import (
+    register_dialect_functions,
+    run_sql,
+    serving_dialect,
+)
+
+
+@pytest.fixture(scope="module")
+def sql_session(spark):
+    register_dialect_functions(spark)
+    return spark
+
+
+def _match(spark, duck, sql: str):
+    theirs = duck.execute(sql).fetchall()
+    with serving_dialect(True):
+        ours = [tuple(r) for r in run_sql(spark, sql).collect()]
+    a = [[str(x) for x in r] for r in ours]
+    b = [[str(x) for x in r] for r in theirs]
+    assert a == b, f"{sql!r}: {ours[:2]} != {theirs[:2]}"
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # classification incl. numeric kinds
+        """SELECT json_type('{"a":1}') AS o, json_type('[1]') AS a,"""
+        """ json_type('"s"') AS v, json_type('1') AS u,"""
+        """ json_type('-1') AS b, json_type('1.5') AS d,"""
+        """ json_type('true') AS t, json_type('null') AS n""",
+        """SELECT json_type('{"a":[1]}', '$.a') AS p""",
+        # deep containment
+        """SELECT json_contains('{"a":1,"b":2}', '1') AS c1,"""
+        """ json_contains('[1,2,3]', '[1,3]') AS c2,"""
+        """ json_contains('{"a":{"b":2}}', '{"b":2}') AS c3,"""
+        """ json_contains('[1,2]', '5') AS c4""",
+        # constructors keep each argument's own JSON type
+        "SELECT json_array('[1,2]') AS ja, json_array(1, 'x', NULL) AS jm",
+        "SELECT json_object('k', 7, 'j', 'x') AS jo",
+        "SELECT json_array_length('[1,2,3]') AS l",
+        # list tails
+        "SELECT list_aggregate([1,2,2,3], 'string_agg', '|') AS sa,"
+        " array_reverse_sort([3,1,2]) AS rs",
+        # temporal scalar range / series
+        "SELECT range(TIMESTAMP '2020-01-01', TIMESTAMP '2020-01-02',"
+        " INTERVAL 6 HOUR) AS r",
+        "SELECT generate_series(TIMESTAMP '2020-01-01',"
+        " TIMESTAMP '2020-01-02', INTERVAL 12 HOUR) AS g",
+    ],
+)
+def test_json_list_tails_b29(sql_session, duck, sql):
+    _match(sql_session, duck, sql)
+
+
+def test_list_histogram_b29(sql_session, duck):
+    # DuckDB's python client renders MAP as {'key': [...], 'value': [...]};
+    # compare the entry lists instead
+    with serving_dialect(True):
+        ours = run_sql(
+            sql_session,
+            "SELECT list_aggregate([1,2,2], 'histogram') AS h",
+        ).collect()[0][0]
+    theirs = duck.execute(
+        "SELECT list_aggregate([1,2,2], 'histogram')"
+    ).fetchone()[0]
+    assert sorted(ours.items()) == sorted(
+        zip(theirs["key"], theirs["value"])
+    )
