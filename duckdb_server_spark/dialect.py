@@ -3208,22 +3208,30 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
                 f"length(to_json(array({a}))) - 2)"
             )
 
+        # punctuation as MASKED literals — raw quotes in emitted text
+        # would be re-parsed by the list/struct-literal rewrites
+        lb, rb = _masked_literal(table, "["), _masked_literal(table, "]")
+        comma = _masked_literal(table, ",")
         if fn == "json_array":
             if not args or (len(args) == 1 and not args[0].strip()):
-                return "'[]'"
+                return _masked_literal(table, "[]")
             return (
-                "concat('[', concat_ws(',', "
+                f"concat({lb}, concat_ws({comma}, "
                 + ", ".join(_jval(a) for a in args)
-                + "), ']')"
+                + f"), {rb})"
             )
         if len(args) % 2:
             raise ValueError("json_object expects key/value pairs")
+        colon = _masked_literal(table, ":")
         pairs = [
-            f"concat({_jval(args[i])}, ':', {_jval(args[i + 1])})"
+            f"concat({_jval(args[i])}, {colon}, {_jval(args[i + 1])})"
             for i in range(0, len(args), 2)
         ]
+        lc, rc = _masked_literal(table, "{"), _masked_literal(table, "}")
         return (
-            "concat('{', concat_ws(',', " + ", ".join(pairs) + "), '}')"
+            f"concat({lc}, concat_ws({comma}, "
+            + ", ".join(pairs)
+            + f"), {rc})"
         )
     if fn == "sha256" and len(args) == 1:
         return f"sha2({args[0]}, 256)"
