@@ -3179,6 +3179,19 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
     if fn == "isodow" and len(args) == 1:
         lit = _masked_literal(table, "DAYOFWEEK_ISO")
         return f"date_part({lit}, {args[0]})"
+    if fn == "today" and not (args and args[0].strip()):
+        return "current_date()"
+    if fn in ("timezone_hour", "timezone_minute") and len(args) == 1:
+        # the session is UTC-pinned (X122): every instant's offset is 0
+        return "CAST(0 AS BIGINT)"
+    if fn == "date_add" and len(args) == 2 and re.match(
+        r"(?i)\s*(INTERVAL\b|to_(?:year|month|week|day|hour|minute|"
+        r"second|milli|micro|decade|centur|millenni))", args[1]
+    ):
+        # DuckDB's date_add(date, INTERVAL) collides with Spark's
+        # (date, int-days); re-spell as arithmetic so the DATE ± INTERVAL
+        # typing rewrite applies
+        return f"(CAST({args[0]} AS TIMESTAMP) + {args[1]})"
     if fn == "current_schemas" and len(args) == 1:
         # DuckDB 1.0's literal answer for its default search path
         return (
@@ -3382,7 +3395,8 @@ _TEMPLATE_RE = re.compile(
     r"date_trunc|datetrunc|json_quote|"
     r"encode|decode|sha256|left|right|unnest|isodow|current_schemas|"
     r"md5_number_lower|md5_number_upper|list_count|setseed|"
-    r"json_type|json_contains|json_array|json_object|"
+    r"json_type|json_contains|json_array|json_object|today|"
+    r"timezone_hour|timezone_minute|date_add|"
     r"list_sum|list_avg|list_any_value|"
     r"list_has_all|list_select|list_where|list_grade_up|list_resize|"
     r"list_dot_product|list_inner_product|list_cosine_similarity|"

@@ -81,3 +81,20 @@ def test_list_histogram_b29(sql_session, duck):
     assert sorted(ours.items()) == sorted(
         zip(theirs["key"], theirs["value"])
     )
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # date_add's INTERVAL form (collides with Spark's int-days one)
+        "SELECT date_add(DATE '2020-01-31', INTERVAL 1 MONTH) AS da,"
+        " date_add(DATE '2020-01-01', INTERVAL 36 HOUR) AS dh,"
+        " date_add(DATE '2020-01-01', 5) AS plain",
+        # UTC-pinned session: tz offsets are zero everywhere
+        "SELECT timezone_hour(TIMESTAMPTZ '2020-01-01 00:00:00+00') AS h,"
+        " timezone_minute(TIMESTAMP '2020-06-01 00:00:00') AS m",
+        "SELECT today() = current_date AS same",
+    ],
+)
+def test_temporal_tails_b29(sql_session, duck, sql):
+    _match(sql_session, duck, sql)
