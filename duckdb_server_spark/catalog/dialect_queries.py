@@ -395,7 +395,7 @@ SELECT doc_id,
        parse_path('corpus/' || doc_id)[2] AS second_seg,
        @ (length(text) - 600) AS len_dev,
        get_bit(BIT '10110', 1) AS b1,
-       set_bit(BIT '10110', 0, 0) AS b0,
+       CAST(set_bit(BIT '10110', 0, 0) AS VARCHAR) AS b0,
        bit_position(BIT '11', BIT '10110') AS bpos,
        CAST(make_time(12, 30, 1.5) AS VARCHAR) AS lunch,
        (MAP {'en': 1, 'de': 2})['de'][1] AS de_code,
