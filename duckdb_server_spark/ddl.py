@@ -30,6 +30,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import itertools
+
+# unique suffixes for per-statement scratch views: concurrent DML in one
+# session must never share a name (the LRU tracker bounds their count)
+_SCRATCH_IDS = itertools.count()
+
 # ---------------------------------------------------------------------------
 # session-state records (stored on dialect.DialectState)
 # ---------------------------------------------------------------------------
@@ -755,8 +761,9 @@ def run_upsert(spark: SparkSession, state, target: str, old: DataFrame,
     pref = src.select(
         *[F.col(c).alias(f"__dd_e_{c.lower()}") for c in src.columns]
     )
-    pref.createOrReplaceTempView("__dd_upsert_src")
-    _track_temp_view(spark, "__dd_upsert_src")
+    src_view = f"__dd_upsert_src_{next(_SCRATCH_IDS)}"
+    pref.createOrReplaceTempView(src_view)
+    _track_temp_view(spark, src_view)
     join = " AND ".join(
         f"t.`{c}` <=> s.`__dd_e_{c.lower()}`" for c in key_cols
     )
@@ -800,17 +807,17 @@ def run_upsert(spark: SparkSession, state, target: str, old: DataFrame,
             projs.append(f"({e}) AS `{c}`")
     kept_sql = (
         f"SELECT {', '.join(f't.`{c}`' for c in old.columns)} "
-        f"FROM {target} t LEFT ANTI JOIN __dd_upsert_src s ON {join}"
+        f"FROM {target} t LEFT ANTI JOIN {src_view} s ON {join}"
     )
     matched_sql = (
         f"SELECT {', '.join(projs)} "
-        f"FROM {target} t JOIN __dd_upsert_src s ON {join}"
+        f"FROM {target} t JOIN {src_view} s ON {join}"
     )
     ins_cols = ", ".join(
         f"s.`__dd_e_{c.lower()}` AS `{c}`" for c in old.columns
     )
     inserted_sql = (
-        f"SELECT {ins_cols} FROM __dd_upsert_src s "
+        f"SELECT {ins_cols} FROM {src_view} s "
         f"LEFT ANTI JOIN {target} t ON {join}"
     )
     n_old = old.count()
@@ -818,7 +825,7 @@ def run_upsert(spark: SparkSession, state, target: str, old: DataFrame,
     if conflict.action in ("update", "replace"):
         upd_sql = (
             f"SELECT count(*) AS n FROM {target} t "
-            f"JOIN __dd_upsert_src s ON {join}"
+            f"JOIN {src_view} s ON {join}"
         )
         if guard:
             upd_sql += (
@@ -1275,9 +1282,10 @@ def project_returning(spark: SparkSession, rows: DataFrame,
     returns them instead of the Count row)."""
     from duckdb_server_spark.dialect import _track_temp_view, run_sql
 
-    rows.createOrReplaceTempView("__dd_returning")
-    _track_temp_view(spark, "__dd_returning")
-    return run_sql(spark, f"SELECT {returning} FROM __dd_returning")
+    view = f"__dd_returning_{next(_SCRATCH_IDS)}"
+    rows.createOrReplaceTempView(view)
+    _track_temp_view(spark, view)
+    return run_sql(spark, f"SELECT {returning} FROM {view}")
 
 
 def run_update_from(spark: SparkSession, state, target: str,
@@ -1316,8 +1324,9 @@ def run_update_from(spark: SparkSession, state, target: str,
         assigns[col] = _unmask(am.group(2).strip(), table)
     rid = F.monotonically_increasing_id()
     tr = _materialize(spark, old.withColumn("__dd_rid", rid))
-    tr.createOrReplaceTempView("__dd_upd_base")
-    _track_temp_view(spark, "__dd_upd_base")
+    base_view = f"__dd_upd_base_{next(_SCRATCH_IDS)}"
+    tr.createOrReplaceTempView(base_view)
+    _track_temp_view(spark, base_view)
     # alias the rid'd snapshot AS the target name so the user's
     # predicate/assignment references resolve unchanged
     sel = ", ".join(
@@ -1329,7 +1338,7 @@ def run_update_from(spark: SparkSession, state, target: str,
     )
     upd = run_sql(
         spark,
-        f"SELECT {sel} FROM __dd_upd_base AS {target} "
+        f"SELECT {sel} FROM {base_view} AS {target} "
         f"JOIN {from_text} ON ({cond})",
     )
     upd = _materialize(spark, upd)
