@@ -5866,11 +5866,24 @@ def _run_execute(spark: SparkSession, m: re.Match) -> DataFrame:
         raise ValueError(f"EXECUTE: no prepared statement {name!r}")
     if m.group(2):
         masked, table = _mask(m.group(2)[1:-1])
-        values = [
-            _parse_literal_token(_unmask(a, table))
-            for a in _split_top_commas(masked)
-        ]
-        stmt = bind_parameters(stmt, values)
+        named: dict[str, object] = {}
+        positional: list[object] = []
+        for a in _split_top_commas(masked):
+            nm = re.match(r"^\s*([A-Za-z_]\w*)\s*:=\s*(.+)$", a, re.DOTALL)
+            if nm:
+                named[nm.group(1).lower()] = _parse_literal_token(
+                    _unmask(nm.group(2), table)
+                )
+            else:
+                positional.append(_parse_literal_token(_unmask(a, table)))
+        if named and positional:
+            raise ValueError(
+                "EXECUTE: cannot mix named and positional arguments"
+            )
+        if named:
+            stmt = bind_named_parameters(stmt, named)
+        else:
+            stmt = bind_parameters(stmt, positional)
     return run_sql(spark, stmt)
 
 
@@ -7046,6 +7059,23 @@ def neutralize_parameters(sql: str) -> str:
     masked, table = _mask(sql)
     masked = _DOLLAR_PARAM_RE.sub("NULL", masked.replace("?", "NULL"))
     return _unmask(masked, table)
+
+
+def bind_named_parameters(sql: str, named: dict) -> str:
+    """Substitute DuckDB named ``$param`` placeholders (EXECUTE
+    q(param := value))."""
+    masked, table = _mask(sql)
+
+    def sub(m: re.Match) -> str:
+        key = m.group(1).lower()
+        if key not in named:
+            raise ValueError(f"EXECUTE: no value for parameter ${key}")
+        return render_sql_literal(named[key])
+
+    replaced = re.sub(r"\$([A-Za-z_]\w*)", sub, masked)
+    if replaced == masked and named:
+        raise ValueError("statement has no named parameter placeholders")
+    return _unmask(replaced, table)
 
 
 def bind_parameters(sql: str, values) -> str:

@@ -98,3 +98,20 @@ def test_list_histogram_b29(sql_session, duck):
 )
 def test_temporal_tails_b29(sql_session, duck, sql):
     _match(sql_session, duck, sql)
+
+
+def test_named_prepared_parameters_b29(sql_session, duck):
+    """EXECUTE with DuckDB's named := arguments binds $name placeholders
+    (positional ? and $1 forms unchanged)."""
+    from duckdb_server_spark.dialect import execute_statement
+
+    for st in ("PREPARE b29q AS SELECT $val + 1 AS v, $name AS n",):
+        duck.execute(st)
+        execute_statement(sql_session, st)
+    sql = "EXECUTE b29q(val := 41, name := 'x')"
+    theirs = duck.execute(sql).fetchall()
+    ours = [tuple(r) for r in execute_statement(sql_session, sql).collect()]
+    assert ours == theirs == [(42, "x")]
+    for st in ("DEALLOCATE b29q",):
+        duck.execute(st)
+        execute_statement(sql_session, st)
