@@ -691,3 +691,166 @@ def st_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("new_doc").asc_nulls_last(), F.col("corpus_doc").asc_nulls_last()
     )
+
+
+# --- streaming DSIR importance scoring against a frozen ratio table --------
+#
+# The continuous-ingestion data-selection shape: the corpus's hashed-
+# n-gram target/raw distribution table (b65's 1024-row artifact) builds
+# BATCH-side and freezes; each NEW document streams in, tokenizes
+# STATELESSLY (per-row array expressions + one explode — no wide
+# aggregation before the per-doc score), joins the broadcast ratio
+# table, and lands one integer score per arrival in complete mode.
+# Integer-exact end to end, so the WHOLE streaming pipeline carries a
+# full DuckDB differential oracle. At 100 TB the ratio table rebuilds
+# only when the corpus does; every arrival is scored once, on arrival.
+
+_ST_DSIR_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             list_concat(
+               w,
+               list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i + 1])
+             ) AS fs
+      FROM tok
+    ),
+    fx0 AS (SELECT doc_id, lang, unnest(fs) AS f FROM feats),
+    fx AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM fx0
+    ),
+    tots AS (
+      SELECT count(*) AS r_tot,
+             count(*) FILTER (lang = 'en') AS t_tot
+      FROM fx
+    ),
+    raw_tab AS (SELECT b, count(*) AS r_cnt FROM fx GROUP BY b),
+    tgt_tab AS (
+      SELECT b, count(*) AS t_cnt FROM fx WHERE lang = 'en' GROUP BY b
+    ),
+    ratio AS (
+      SELECT r.b,
+             CAST((CAST(coalesce(g.t_cnt, 0) + 1 AS HUGEINT)
+                   * (t0.r_tot + 1024) * 1000000)
+                  // (CAST(r.r_cnt + 1 AS HUGEINT) * (t0.t_tot + 1024))
+                  AS BIGINT) AS ppm
+      FROM raw_tab r LEFT JOIN tgt_tab g ON r.b = g.b, tots t0
+    )
+    SELECT fx.doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(ratio.ppm) // count(*) AS BIGINT) AS score_ppm
+    FROM fx JOIN ratio ON fx.b = ratio.b
+    WHERE fx.doc_id % 10 = 0
+    GROUP BY fx.doc_id
+    ORDER BY score_ppm DESC, doc_id ASC
+    LIMIT 30
+    """
+
+
+def _dsir_features(df):
+    """doc_id → exploded (doc_id, lang, bucket) rows — b65's feature
+    chain as stateless per-row expressions (beyond.py::b65)."""
+    tok = df.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        ).alias("w"),
+    )
+    feats = tok.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "concat(w, CASE WHEN size(w) >= 2 THEN"
+            " transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            " ELSE slice(w, 1, 0) END)"
+        ).alias("fs"),
+    )
+    return feats.select(
+        "doc_id", "lang", F.explode("fs").alias("f")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long")
+            % 1024
+        ).alias("b"),
+    )
+
+
+@query("st_stream_dsir", oracle=_ST_DSIR_ORACLE)
+def st_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b65's DSIR importance scoring INSIDE Structured Streaming: the
+    1024-row target/raw ratio table builds batch-side from the full
+    corpus (two token-stream scans, b65's exact integer arithmetic) and
+    freezes as a broadcast artifact; a file-source stream of arrivals
+    (the doc_id % 10 slice) tokenizes statelessly, probes the table
+    with a broadcast stream-static join, and aggregates one integer
+    score per document in complete mode drained available-now —
+    integer-exact, so the streaming execution itself hash-matches the
+    DuckDB replay."""
+    import hashlib
+    import os as _os
+    import tempfile as _tf
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    fx = _dsir_features(docs)
+    tots = fx.agg(
+        F.count("*").alias("r_tot"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_tot"),
+    )
+    raw_tab = fx.groupBy("b").agg(F.count("*").alias("r_cnt"))
+    tgt_tab = (
+        fx.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("t_cnt"))
+    )
+    ratio = (
+        raw_tab.join(tgt_tab, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.expr(
+                "CAST((CAST(coalesce(t_cnt, 0) + 1 AS DECIMAL(38,0))"
+                " * (r_tot + 1024) * 1000000)"
+                " div (CAST(r_cnt + 1 AS DECIMAL(38,0)) * (t_tot + 1024))"
+                " AS BIGINT)"
+            ).alias("ppm"),
+        )
+    )
+    # freeze the artifact (1024 rows max) so the stream side never
+    # recomputes the corpus scans per micro-batch
+    ratio = spark.createDataFrame(ratio.collect(), ratio.schema)
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staged = _os.path.join(_tf.gettempdir(), f"dss_stream_dsir_{key}")
+    marker = _os.path.join(staged, "_SUCCESS")
+    arrivals = docs.filter(F.col("doc_id") % 10 == 0)
+    if not _os.path.exists(marker):
+        arrivals.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(arrivals.schema).parquet(staged)
+
+    scored = (
+        _dsir_features(stream)
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.expr("CAST(sum(ppm) div count(*) AS BIGINT)").alias(
+                "score_ppm"
+            ),
+        )
+    )
+    out = run_stream_to_memory(scored, output_mode="complete")
+    return out.orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id").asc()
+    ).limit(30)

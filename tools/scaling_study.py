@@ -129,6 +129,10 @@ GROUPS = {
     # 1024-row broadcast tables, one (doc_id, bucket) hash-agg, top-k.
     "r8c": [
         ("b65_dsir_importance", 5_000, ("1x", "10x", "100x")),
+        # streaming variant: arrivals are the doc_id % 10 slice, so the
+        # input grows with the corpus; the batch-side ratio build
+        # dominates (b65's two scans), the stream adds one micro-batch
+        ("st_stream_dsir", 500, ("1x", "10x")),
     ],
     # the full TPC-H-ish suite at the 10× fact tier (lineitem 6M rows,
     # joins resolving against consistently-offset orders/customer and
