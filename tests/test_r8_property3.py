@@ -106,3 +106,30 @@ def test_upsert_sequences_match(sql_session, duck, ops):
     ours = sorted(tuple(r) for r in sql_session.table("prop_up").collect())
     theirs = sorted(duck.execute("SELECT * FROM prop_up").fetchall())
     assert counts_o == counts_d and ours == theirs, stmts
+
+
+@_S
+@given(
+    start=st.integers(min_value=1, max_value=50),
+    inc=st.integers(min_value=1, max_value=9),
+    rows=st.integers(min_value=1, max_value=8),
+)
+def test_sequence_series_match(sql_session, duck, start, inc, rows):
+    """Random START/INCREMENT configs: the nextval series over a scan
+    and the final currval agree with DuckDB."""
+    duck.execute("DROP SEQUENCE IF EXISTS prop_seq")
+    execute_statement(sql_session, "DROP SEQUENCE IF EXISTS prop_seq")
+    ddl = f"CREATE SEQUENCE prop_seq START {start} INCREMENT {inc}"
+    duck.execute(ddl)
+    execute_statement(sql_session, ddl)
+    q = f"SELECT nextval('prop_seq') AS v FROM range({rows})"
+    theirs = sorted(duck.execute(q).fetchall())
+    ours = sorted(
+        tuple(r) for r in execute_statement(sql_session, q).collect()
+    )
+    assert ours == theirs
+    cq = "SELECT currval('prop_seq') AS c"
+    assert (
+        execute_statement(sql_session, cq).collect()[0][0]
+        == duck.execute(cq).fetchone()[0]
+    )
