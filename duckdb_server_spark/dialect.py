@@ -4212,6 +4212,29 @@ def _rewrite_unpivot_aliases(s: str, table: list[str]) -> str:
     return s
 
 
+_FROM_FIRST_PAREN_RE = re.compile(r"\(\s*FROM\b", re.IGNORECASE)
+
+
+def _rewrite_from_first_subquery(s: str) -> str:
+    """DuckDB FROM-first subqueries: ``(FROM t WHERE …)`` →
+    ``(SELECT * FROM t WHERE …)``. Spark parses the TOP-LEVEL
+    FROM-first form natively but rejects it inside parentheses; no
+    other SQL production begins a paren group with FROM. Groups that
+    carry their own trailing SELECT are left for Spark's native
+    transform syntax."""
+    pos = 0
+    while m := _FROM_FIRST_PAREN_RE.search(s, pos):
+        close = _matching_paren(s, m.start())
+        inner = s[m.start() + 1 : close]
+        if not re.search(r"\bSELECT\b", inner, re.IGNORECASE):
+            insert_at = m.start() + 1
+            s = s[:insert_at] + "SELECT * " + s[insert_at:]
+            pos = insert_at + len("SELECT * ")
+        else:
+            pos = m.start() + 1
+    return s
+
+
 def _rewrite_postfix_factorial(s: str) -> str:
     """DuckDB's postfix ``x!`` → ``factorial(x)`` for simple operands
     (numbers/identifiers); other shapes fall through to a parse error
@@ -4345,6 +4368,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_slice(masked, table, kinds)
     masked = _rewrite_lateral_unnest(masked)
     masked = _rewrite_generate_subscripts(masked)
+    masked = _rewrite_from_first_subquery(masked)
     masked = _rewrite_range(masked)
     masked = _rewrite_time_bucket(masked, table, kinds)
     masked = _rewrite_dyn_interval(masked)

@@ -115,3 +115,31 @@ def test_named_prepared_parameters_b29(sql_session, duck):
     for st in ("DEALLOCATE b29q",):
         duck.execute(st)
         execute_statement(sql_session, st)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # FROM-first subqueries (Spark parses only the top-level form)
+        "SELECT count(*) AS n FROM (FROM documents WHERE doc_id < 10)",
+        "SELECT d.lang FROM (FROM documents LIMIT 5) d ORDER BY d.lang",
+        "FROM documents SELECT doc_id WHERE doc_id < 3 ORDER BY doc_id",
+    ],
+)
+def test_from_first_b29(sql_session, duck, sql):
+    from duckdb_server_spark.session import register_views
+
+    register_views(sql_session, "/root/testdata/sf0.001", ("documents",))
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    theirs = sorted(duck.execute(sql).fetchall(), key=repr)
+    with serving_dialect(True):
+        ours = sorted(
+            (tuple(r) for r in run_sql(sql_session, sql).collect()),
+            key=repr,
+        )
+    assert [[str(x) for x in r] for r in ours] == [
+        [str(x) for x in r] for r in theirs
+    ]
