@@ -1165,24 +1165,63 @@ def resolve_enums(spark: SparkSession, state, sql: str) -> str:
     )
 
     if cols:
-        # ordinal ORDER BY for bare enum columns
-        def _order_sub(m: re.Match) -> str:
-            col = m.group(2)
-            ename = cols.get(col.split(".")[-1].lower())
-            if ename is None:
-                return m.group(0)
-            return (
-                f"{m.group(1)}array_position("
-                f"{_enum_array(state.enums[ename])}, {col}){m.group(3)}"
-            )
-
-        masked = re.sub(
-            r"(ORDER\s+BY\s+)([A-Za-z_][\w.]*)"
-            r"(\s*(?:ASC|DESC)?(?:\s+NULLS\s+(?:FIRST|LAST))?)",
-            _order_sub,
-            masked,
-            flags=re.IGNORECASE,
+        # ordinal ORDER BY for bare enum columns — EVERY sort item, not
+        # just the first (the clause runs to LIMIT/OFFSET/paren end)
+        from duckdb_server_spark.dialect import (
+            _depth_at,
+            _split_top_commas,
         )
+
+        out_parts = []
+        pos = 0
+        for om in re.finditer(r"\bORDER\s+BY\s+", masked, re.IGNORECASE):
+            if om.start() < pos:
+                continue
+            depth = _depth_at(masked, om.start())
+            end = len(masked)
+            for em in re.finditer(
+                r"\bLIMIT\b|\bOFFSET\b|\bFETCH\b|[()]", masked[om.end():]
+            ):
+                tok = em.group(0)
+                at = om.end() + em.start()
+                d = _depth_at(masked, at)
+                if tok == "(" or tok == ")":
+                    if tok == ")" and d == depth:
+                        end = at
+                        break
+                    continue
+                if d == depth:
+                    end = at
+                    break
+            items = _split_top_commas(masked[om.end() : end])
+            fixed = []
+            for item in items:
+                im = re.match(
+                    r"^(\s*)([A-Za-z_][\w.]*)"
+                    r"(\s*(?:ASC|DESC)?(?:\s+NULLS\s+(?:FIRST|LAST))?\s*)$",
+                    item,
+                    re.IGNORECASE,
+                )
+                ename = (
+                    cols.get(im.group(2).split(".")[-1].lower())
+                    if im
+                    else None
+                )
+                if im and ename is not None:
+                    fixed.append(
+                        f"{im.group(1)}array_position("
+                        f"{_enum_array(state.enums[ename])}, "
+                        f"{im.group(2)}){im.group(3)}"
+                    )
+                else:
+                    fixed.append(item)
+            out_parts.append(masked[pos : om.end()])
+            # the splitter strips whitespace: keep a separator before
+            # any clause keyword that follows (LIMIT/OFFSET/FETCH)
+            out_parts.append(", ".join(fixed) + " ")
+            pos = end
+        out_parts.append(masked[pos:])
+        masked = "".join(out_parts)
 
         # enum-enum comparisons and min/max on bare enum columns
         def _cmp_sub(m: re.Match) -> str:

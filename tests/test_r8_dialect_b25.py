@@ -98,3 +98,17 @@ def test_drop_type_semantics(sql_session, duck):
         duck.execute("DROP TYPE b25_tmp")
     with pytest.raises(Exception, match="does not exist"):
         execute_statement(sql_session, "DROP TYPE b25_tmp")
+
+
+@pytest.mark.parametrize(
+    "sql,ordered",
+    [
+        # EVERY sort item gets ordinal treatment, not just the first
+        ("SELECT m, n FROM b25_e ORDER BY m, n", True),
+        ("SELECT m, n FROM b25_e ORDER BY n DESC, m ASC", True),
+        # non-enum items and trailing LIMIT survive the clause parse
+        ("SELECT m FROM b25_e ORDER BY m LIMIT 2", True),
+    ],
+)
+def test_enum_multi_item_order_by(sql_session, duck, sql, ordered):
+    _both(sql_session, duck, sql, ordered)
