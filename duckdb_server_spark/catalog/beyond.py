@@ -3603,3 +3603,80 @@ def b65_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_ppm").desc(), F.col("doc_id").asc())
         .limit(40)
     )
+
+
+# b66: n-gram novelty scoring — the inverse of dedup: instead of finding
+# what repeats, score each document by how much of it appears NOWHERE
+# else (the memorization-risk / uniqueness curation signal: low-novelty
+# documents are near-copies or boilerplate; high-novelty ones carry
+# fresh text). Word 8-grams, the span width of the memorization
+# literature; integer ppm output so the oracle replays bit-exactly.
+_B66_ORACLE = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    sp0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 6), i ->
+               CAST(('0x' || substr(md5(array_to_string(w[i:i+7], ' ')),
+                     1, 15)) AS BIGINT))) AS h
+      FROM w WHERE len(w) >= 8
+    ),
+    d AS (SELECT DISTINCT doc_id, h FROM sp0),
+    freq AS (SELECT h, count(*) AS nd FROM d GROUP BY h)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) FILTER (freq.nd = 1) AS BIGINT) AS n_unique,
+           CAST((count(*) FILTER (freq.nd = 1)) * 1000000 // count(*)
+                AS BIGINT) AS novelty_ppm
+    FROM d JOIN freq ON d.h = freq.h
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("b66_ngram_novelty", oracle=_B66_ORACLE)
+def b66_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of corpus-unique word 8-grams (ppm): spans
+    hash to portable md5-60 INSIDE the scan-side lambda, so the explode
+    and both shuffles carry 8-byte integers — bodies never move. One
+    hash-agg builds the corpus span-frequency table, one join + one
+    per-doc agg read it; cost tracks total span count linearly at any
+    corpus size (the b06/b22 span-hash discipline, pointed the other
+    way: uniqueness instead of collision)."""
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        ).alias("w"),
+    ).filter(F.expr("size(w) >= 8"))
+    spans = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 7), i ->"
+                " CAST(conv(substr(md5(concat_ws(' ', slice(w, i, 8))),"
+                " 1, 15), 16, 10) AS BIGINT))"
+            )
+        ).alias("h"),
+    ).dropDuplicates(["doc_id", "h"])
+    freq = spans.groupBy("h").agg(F.count("*").alias("nd"))
+    return (
+        spans.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.count(F.when(F.col("nd") == 1, 1)).cast("long").alias(
+                "n_unique"
+            ),
+            F.expr(
+                "CAST(count(CASE WHEN nd = 1 THEN 1 END) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )

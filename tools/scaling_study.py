@@ -133,6 +133,10 @@ GROUPS = {
         # input grows with the corpus; the batch-side ratio build
         # dominates (b65's two scans), the stream adds one micro-batch
         ("st_stream_dsir", 500, ("1x", "10x")),
+        # novelty: replication makes every span a (reps)-way duplicate —
+        # a WORST case like the pair emitters, but cost stays linear in
+        # total spans (uniqueness needs no pair generation)
+        ("b66_ngram_novelty", 5_000, ("1x", "10x", "100x")),
     ],
     # the full TPC-H-ish suite at the 10× fact tier (lineitem 6M rows,
     # joins resolving against consistently-offset orders/customer and
