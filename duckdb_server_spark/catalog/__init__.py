@@ -82,6 +82,7 @@ _PRIORITY_R8: tuple[str, ...] = (
     "s30_dialect_dml_breadth",      # new: BY NAME / RETURNING / join-DML
     "st_stream_dsir",               # new: streaming importance scoring
     "b66_ngram_novelty",            # new: corpus-unique span scoring
+    "b67_cluster_balanced_sample",  # new: per-cell quota sampling
     "st_stream_neardup",            # new: streaming incremental LSH dedup
     # --- code changed this round: refresh green evidence ---
     "b30c_gif_decode",         # color-table validation added

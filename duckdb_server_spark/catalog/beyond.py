@@ -3680,3 +3680,97 @@ def b66_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc_nulls_last())
     )
+
+
+# b67: cluster-balanced sampling — diversity-preserving downsampling:
+# assign every vector to its nearest frozen-quantizer cell and keep an
+# equal per-cell quota chosen by a portable md5 draw (the
+# cluster-balanced data-selection shape: dense regions are downsampled,
+# sparse ones kept whole, so the sample preserves coverage instead of
+# mirroring density). Deterministic end to end → full oracle.
+_B67_ORACLE = """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < 8
+    ),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             list_aggregate(list_transform(list_zip(e.embedding, c.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                 'sum') AS d
+      FROM embeddings e CROSS JOIN cent c),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM dists) WHERE rn = 1),
+    drawn AS (
+      SELECT vec_id, cell,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':cbs'),
+                   1, 8)) AS BIGINT) % 1000000 AS draw
+      FROM cells),
+    ranked AS (
+      SELECT cell, vec_id, draw,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY draw ASC, vec_id ASC) AS rk,
+             count(*) OVER (PARTITION BY cell) AS n_total
+      FROM drawn)
+    SELECT CAST(cell AS INT) AS cell, CAST(n_total AS BIGINT) AS n_total,
+           CAST(rk AS INT) AS rk, vec_id
+    FROM ranked WHERE rk <= 15
+    ORDER BY cell ASC, rk ASC
+    """
+
+
+@query("b67_cluster_balanced_sample", oracle=_B67_ORACLE)
+def b67_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell quota sampling over the frozen coarse quantizer
+    (similarity._cell_of — the scan-side argmin b13/b54/b55 share):
+    membership is decided by a portable md5 draw ranked WITHIN the
+    cell, so the selection is reproducible across engines, retries, and
+    cluster sizes, and the per-cell window is the only shuffle (keyed
+    by cell id — at production k the partitions are thousands of small
+    groups, never a global sort). Quota 15 per cell over 8 cells here;
+    the operator's cost is one scan + one cell-keyed window."""
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = [
+        [float(v) for v in row.embedding]
+        for row in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    cells = similarity._cell_of(emb, centroids, "vec_id", "embedding")
+    drawn = cells.select(
+        "vec_id",
+        F.col("__cell").alias("cell"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("vec_id").cast("string"),
+                                   F.lit(":cbs"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % 1000000
+        ).alias("draw"),
+    )
+    win = Window.partitionBy("cell").orderBy(
+        F.col("draw").asc(), F.col("vec_id").asc()
+    )
+    ranked = drawn.select(
+        "cell",
+        "vec_id",
+        F.row_number().over(win).alias("rk"),
+        F.count("*").over(Window.partitionBy("cell")).alias("n_total"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 15)
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.col("rk").cast("int").alias("rk"),
+            "vec_id",
+        )
+        .orderBy(F.col("cell").asc_nulls_last(), F.col("rk").asc_nulls_last())
+    )
