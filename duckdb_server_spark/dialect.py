@@ -5591,6 +5591,9 @@ class DialectState:
     sequences: dict[str, "object"] = field(default_factory=dict)
     enums: dict[str, list[str]] = field(default_factory=dict)
     enum_columns: dict[str, dict[str, str]] = field(default_factory=dict)
+    # CREATE SCHEMA names: qualified references flatten onto the single
+    # temp-view namespace (the warehouse model — one catalog lifetime)
+    schemas: set[str] = field(default_factory=set)
 
 
 _PIVOT_CACHE_CAP = 32
@@ -5740,8 +5743,24 @@ def split_statements(script: str) -> list[str]:
     ]
 
 
-_SET_RE = re.compile(r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?([A-Za-z_]\w*)\s*=\s*(.+)$",
-                     re.IGNORECASE | re.DOTALL)
+_SET_RE = re.compile(
+    r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+|LOCAL\s+)?([A-Za-z_]\w*)\s*"
+    r"(?:=|\bTO\b)\s*(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+# CREATE SCHEMA registers a name so schema-qualified references flatten
+# onto the single temp-view namespace (the warehouse model); USE is a
+# no-op for known schemas, like DuckDB's default-catalog switch
+_CREATE_SCHEMA_RE = re.compile(
+    r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_SCHEMA_RE = re.compile(
+    r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)"
+    r"(\s+CASCADE)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_USE_RE = re.compile(r"^\s*USE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE)
 _INSTALL_RE = re.compile(
     r"^\s*(?:FORCE\s+)?INSTALL\s+([A-Za-z_]\w*)(?:\s+FROM\s+\S+)?\s*$", re.IGNORECASE
 )
@@ -6595,6 +6614,25 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
                 raise ValueError("CREATE TYPE: enum members must be strings")
             members.append(lit)
         state.enums[m.group(1).split(".")[-1].lower()] = members
+        return None
+    if m := _CREATE_SCHEMA_RE.match(stmt):
+        state.schemas.add(m.group(2).lower())
+        return None
+    if m := _DROP_SCHEMA_RE.match(stmt):
+        name = m.group(2).lower()
+        if name not in state.schemas and not m.group(1):
+            raise ValueError(
+                f"Catalog Error: Schema with name {name} does not exist!"
+            )
+        state.schemas.discard(name)
+        return None
+    if m := _USE_RE.match(stmt):
+        name = m.group(1).split(".")[-1].lower()
+        if name not in state.schemas and name not in ("main", "memory"):
+            raise ValueError(
+                f"Catalog Error: SET schema: No catalog + schema named "
+                f'"{m.group(1)}" found.'
+            )
         return None
     if m := _DROP_TYPE_RE.match(stmt):
         name = m.group(2).split(".")[-1].lower()
@@ -8157,6 +8195,21 @@ def _run_pivot(spark: SparkSession, m: re.Match) -> DataFrame:
     return df.groupBy(*groups).pivot(on_col).agg(agg)
 
 
+def _flatten_schemas(sql: str, schemas: set) -> str:
+    """``schema.table`` → ``table`` for CREATE SCHEMA names, at relation
+    positions only (FROM/JOIN/INTO/UPDATE/TABLE keywords), so a table
+    ALIAS that happens to share a schema name keeps its column
+    references untouched."""
+    masked, table = _mask(sql)
+    pat = re.compile(
+        r"(\b(?:FROM|JOIN|INTO|UPDATE|TABLE)\s+)("
+        + "|".join(re.escape(s) for s in sorted(schemas))
+        + r")\.",
+        re.IGNORECASE,
+    )
+    return _unmask(pat.sub(lambda m: m.group(1), masked), table)
+
+
 def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Execute SQL, accepting both Spark and DuckDB dialect. Native Spark
     SQL takes the first path untouched (analysis is forced via ``.schema``
@@ -8211,6 +8264,8 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         from duckdb_server_spark import ddl
 
         sql = ddl.resolve_enums(spark, state, sql)
+    if state.schemas:
+        sql = _flatten_schemas(sql, state.schemas)
     if _FILE_READ_HINT_RE.search(sql):
         sql = _resolve_file_reads(spark, sql)
     if _META_TVF_RE.search(sql):

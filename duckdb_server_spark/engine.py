@@ -258,16 +258,23 @@ class Engine:
 
         os.makedirs(target_dir, exist_ok=True)
         manifest = []
+        exported = []
         for name in self.list_tables():
+            if name.startswith("__dd_"):
+                # engine-internal scratch/cache views (file-read cache,
+                # DML merge sources) are not part of a database dump —
+                # and may dangle once their backing temp files rotate
+                continue
             path = os.path.join(target_dir, name)
             self.spark.table(name).write.mode("overwrite").parquet(path)
             manifest.append(
                 f"CREATE OR REPLACE TEMP VIEW {name} AS "
                 f"SELECT * FROM parquet.`{path}`;"
             )
+            exported.append(name)
         with open(os.path.join(target_dir, "load.sql"), "w", encoding="utf-8") as fh:
             fh.write("\n".join(manifest) + "\n")
-        return sorted(self.list_tables())
+        return sorted(exported)
 
     def import_database(self, source_dir: str) -> list[str]:
         """``IMPORT DATABASE 'dir'`` — replay the load.sql manifest."""

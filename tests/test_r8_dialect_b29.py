@@ -143,3 +143,32 @@ def test_from_first_b29(sql_session, duck, sql):
     assert [[str(x) for x in r] for r in ours] == [
         [str(x) for x in r] for r in theirs
     ]
+
+
+def test_schema_statements_b29(sql_session, duck):
+    """CREATE SCHEMA names flatten onto the single temp-view namespace
+    at relation positions; USE validates against known schemas; SET
+    accepts the GLOBAL/TO spellings."""
+    from duckdb_server_spark.dialect import execute_statement
+
+    for st in (
+        "SET GLOBAL threads TO 4",
+        "CREATE SCHEMA b29sch",
+        "CREATE TABLE b29sch.t1 (a INT, b TEXT DEFAULT 'd')",
+        "INSERT INTO b29sch.t1 (a) VALUES (1), (2)",
+        "UPDATE b29sch.t1 SET b = 'x' WHERE a = 1",
+    ):
+        duck.execute(st)
+        execute_statement(sql_session, st)
+    q = "SELECT * FROM b29sch.t1 ORDER BY a"
+    assert [tuple(r) for r in execute_statement(sql_session, q).collect()] \
+        == duck.execute(q).fetchall() == [(1, "x"), (2, "d")]
+    for st in ("DROP TABLE b29sch.t1", "USE main", "DROP SCHEMA b29sch"):
+        duck.execute(st)
+        execute_statement(sql_session, st)
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="does not exist"):
+        execute_statement(sql_session, "DROP SCHEMA b29sch")
+    with _pt.raises(Exception):
+        execute_statement(sql_session, "USE nope_schema")
