@@ -64,6 +64,63 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (~50/round) goes: first the queries ADDED this round (never checked),
 # then the rows whose code changed this round (gif/webp/flac guards),
 # then every r1-stamped row, then the r2-stamped rows up to budget.
+# Round 9 (VERDICT r8 item 1): close the evidence ledger. The rows
+# ADDED this round go first (never checked), then the LAST 41 rows whose
+# driver stamp predates r3 — the 6 r1-stamped scalar batteries, then the
+# 35 r2-stamped rows cheapest-first (scalar/projection/setop singles,
+# aggregate family, source family, beyond family, streaming last).
+# 41 stale + the new rows fits the ~50/round driver budget, so after
+# this round no declared query's stamp predates r3.
+_PRIORITY_R9: tuple[str, ...] = (
+    # --- new in round 9 ---
+    "b30f_vp8_default_probs",  # new: VP8 decode w/ RFC 6386 default tables
+    "b32f_webm_default_probs",  # new: WebM keyframe using default tables
+    "s31_dialect_prepare",      # new: battery-30 PREPARE/EXECUTE + tails
+    # --- r1-stamped rows (the oldest evidence left in the registry) ---
+    "fn_trig",
+    "fn_string_accents",
+    "fn_string_declared",
+    "fn_string_extended",
+    "fn_struct_map",
+    "fn_vector_ops",
+    # --- r2-stamped rows, cheapest families first ---
+    "fn_numeric_core",
+    "fn_levenshtein",
+    "fn_regexp_extract_all",
+    "fn_array_transform",
+    "p16_try_cast",
+    "p17_star_replace",
+    "o09_order_by_all",
+    "u04_union_by_name",
+    "a07_approx_count_distinct",
+    "a10_collect_aggs",
+    "a17_group_by_all",
+    "a18_pivot_dynamic",
+    "a19_approx_quantile_tolerance",
+    "a20_bit_aggs",
+    "a21_histogram",
+    "a09c_distributed_quantiles",
+    "s07_capability_registry",
+    "s15_bucketed_join",
+    "s16_partition_pruning",
+    "s17_time_series_gapfill",
+    "b11_lsh_topk",
+    "b11b_lsh_multiprobe",
+    "b13_ivf_topk",
+    "b14_label_centroids",
+    "b30_multimodal_features",
+    "b31_multimodal_metadata",
+    "b32_frame_sample",
+    "b43_token_topk",
+    "b45_pii_scrub",
+    "b46_unigram_lm_score",
+    "b47_stratified_split",
+    "b48_decontamination",
+    "st_stream_file_sink",
+    "st_stream_stream_join",
+    "st_stream_watermark_append",
+)
+
 _PRIORITY_R8: tuple[str, ...] = (
     # --- new in round 8 (names registered by their modules) ---
     "b30e_vp8_decode",         # new: lossy-WebP VP8 key-frame codec
@@ -504,8 +561,8 @@ def load_all() -> None:
     for mod in _MODULE_ORDER:
         importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
 
-    head = list(_PRIORITY_R8)
-    for prior in (_PRIORITY_R7, _PRIORITY_R6, _PRIORITY_R5):
+    head = list(_PRIORITY_R9)
+    for prior in (_PRIORITY_R8, _PRIORITY_R7, _PRIORITY_R6, _PRIORITY_R5):
         head += [n for n in prior if n not in head]
     ordered = [n for n in head if n in QUERIES]
     ordered += [n for n in QUERIES if n not in head]
