@@ -390,8 +390,14 @@ def enforce_constraints(spark: SparkSession, state, target: str,
             cols = [by_lower[k] for k in keys if k in by_lower]
             if len(cols) != len(keys):
                 continue
+            probe = df
+            if keys != meta.pk:
+                # SQL/DuckDB UNIQUE treats NULLs as distinct: a row with
+                # a NULL key column never conflicts with anything.
+                for c in cols:
+                    probe = probe.where(F.col(c).isNotNull())
             dup = (
-                df.groupBy(*[F.col(c) for c in cols])
+                probe.groupBy(*[F.col(c) for c in cols])
                 .count()
                 .where(F.col("count") > 1)
                 .limit(1)
@@ -744,11 +750,19 @@ def run_upsert(spark: SparkSession, state, target: str, old: DataFrame,
     )
 
     keys = _resolve_keys(state, target, conflict, old.columns)
+    meta = state.tables.get(target.lower())
+    is_pk = bool(meta and meta.pk and keys == meta.pk)
     by_lower = {c.lower(): c for c in old.columns}
     key_cols = [by_lower[k] for k in keys]
     src = _materialize(spark, src)
+    probe = src
+    if not is_pk:
+        # UNIQUE NULLs are distinct — null-keyed source rows never
+        # conflict (with the table or with each other), they just insert.
+        for c in key_cols:
+            probe = probe.where(F.col(c).isNotNull())
     if (
-        src.groupBy(*[F.col(c) for c in key_cols])
+        probe.groupBy(*[F.col(c) for c in key_cols])
         .count()
         .where(F.col("count") > 1)
         .limit(1)
@@ -764,8 +778,12 @@ def run_upsert(spark: SparkSession, state, target: str, old: DataFrame,
     src_view = f"__dd_upsert_src_{next(_SCRATCH_IDS)}"
     pref.createOrReplaceTempView(src_view)
     _track_temp_view(spark, src_view)
+    # PK columns are NOT NULL so <=> and = agree; for a UNIQUE keyset the
+    # null-safe form would conflict-match NULL keys, which SQL treats as
+    # distinct — plain = sends null-keyed rows to the insert leg.
+    op = "<=>" if is_pk else "="
     join = " AND ".join(
-        f"t.`{c}` <=> s.`__dd_e_{c.lower()}`" for c in key_cols
+        f"t.`{c}` {op} s.`__dd_e_{c.lower()}`" for c in key_cols
     )
     assigns: dict[str, str] = {}
     if conflict.action == "replace":

@@ -569,24 +569,45 @@ def _rewrite_star_replace(s: str, spark=None) -> str:
         # splice the replacement expressions in place; without one (or
         # when the source is not a plain table), fall back to the
         # EXCEPT-and-append form — same values, appended order.
+        # The ordered path is only safe when the top-level FROM clause is a
+        # SINGLE plain relation (no JOIN / comma / subquery — otherwise the
+        # resolved column list covers only part of the star) AND every
+        # replaced/EXCEPT name resolves in it; anything else falls back to
+        # the value-correct EXCEPT-and-append form.
         ordered = None
         if spark is not None:
-            fm = re.search(
-                r"\bFROM\s+([A-Za-z_][\w.]*)", s[close + 1 :], re.IGNORECASE
-            )
-            if fm:
-                try:
-                    cols = spark.table(fm.group(1)).columns
-                except Exception:
-                    cols = None
+            from_idx, _ = _find_top_keyword(s, ("FROM",), start=close + 1)
+            if from_idx >= 0:
+                end_idx, _ = _find_top_keyword(
+                    s,
+                    ("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW",
+                     "ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT"),
+                    start=from_idx + 4,
+                )
+                src = s[from_idx + 4 : end_idx if end_idx >= 0 else len(s)]
+                sm = re.fullmatch(
+                    r"\s*([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?\s*;?\s*",
+                    src,
+                )
+                cols = None
+                if sm:
+                    try:
+                        cols = spark.table(sm.group(1)).columns
+                    except Exception:
+                        cols = None
                 if cols:
-                    by_name = dict(zip([n.lower() for n in names], exprs))
-                    excl_l = {c.lower() for c in except_cols}
-                    ordered = ", ".join(
-                        by_name.get(c.lower(), c)
-                        for c in cols
-                        if c.lower() not in excl_l
-                    )
+                    cols_l = {c.lower() for c in cols}
+                    needed = [n.lower() for n in names] + [
+                        c.lower() for c in except_cols
+                    ]
+                    if all(n in cols_l for n in needed):
+                        by_name = dict(zip([n.lower() for n in names], exprs))
+                        excl_l = {c.lower() for c in except_cols}
+                        ordered = ", ".join(
+                            by_name.get(c.lower(), c)
+                            for c in cols
+                            if c.lower() not in excl_l
+                        )
         if ordered is not None:
             repl = ordered
         else:
@@ -5580,6 +5601,11 @@ class DialectState:
     # mutation is a copy-on-write view swap and prior DataFrames pin
     # their analyzed plans.
     txn_undo: "dict[str, DataFrame | None] | None" = None
+    # snapshot of the DDL registries (tables/sequences/enums/enum_columns/
+    # schemas/indexes/comments) taken at BEGIN: DuckDB's DDL is
+    # transactional, so ROLLBACK must also undo DROP-side forget_table(),
+    # sequence advancement, and CREATE TYPE/SEQUENCE/SCHEMA
+    txn_ddl_undo: "dict[str, object] | None" = None
     # index/comment metadata: results never depend on them, but clients
     # create them and expect the statements to succeed
     indexes: dict[str, str] = field(default_factory=dict)
@@ -6494,12 +6520,28 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
     if _BEGIN_RE.match(stmt):
         if state.txn_undo is not None:
             raise ValueError("cannot start a transaction within a transaction")
+        import copy
+
         state.txn_undo = {}
+        # plain-data registries (no DataFrames) — deep-copied so in-place
+        # mutation (ALTER, nextval) can't reach into the snapshot
+        state.txn_ddl_undo = copy.deepcopy(
+            {
+                "tables": state.tables,
+                "sequences": state.sequences,
+                "enums": state.enums,
+                "enum_columns": state.enum_columns,
+                "schemas": state.schemas,
+                "indexes": state.indexes,
+                "comments": state.comments,
+            }
+        )
         return None
     if _COMMIT_RE.match(stmt):
         if state.txn_undo is None:
             raise ValueError("no transaction is active")
         state.txn_undo = None
+        state.txn_ddl_undo = None
         return None
     if _ROLLBACK_RE.match(stmt):
         if state.txn_undo is None:
@@ -6509,7 +6551,24 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
                 spark.catalog.dropTempView(nm)
             else:
                 prior.createOrReplaceTempView(nm)
+        if state.txn_ddl_undo is not None:
+            state.tables = state.txn_ddl_undo["tables"]
+            # sequence EXISTENCE is transactional but the counter is not
+            # (DuckDB/Postgres: nextval advancement survives ROLLBACK) —
+            # restore the snapshot's catalog, keep live counters
+            restored = state.txn_ddl_undo["sequences"]
+            for nm, seq in restored.items():
+                live = state.sequences.get(nm)
+                if live is not None:
+                    seq.current = live.current
+            state.sequences = restored
+            state.enums = state.txn_ddl_undo["enums"]
+            state.enum_columns = state.txn_ddl_undo["enum_columns"]
+            state.schemas = state.txn_ddl_undo["schemas"]
+            state.indexes = state.txn_ddl_undo["indexes"]
+            state.comments = state.txn_ddl_undo["comments"]
         state.txn_undo = None
+        state.txn_ddl_undo = None
         state.pivot_cache.clear()
         return None
     if m := _SET_RE.match(stmt):
@@ -6812,8 +6871,12 @@ def _sniff_csv(paths: list[str]) -> tuple[str, bool]:
     ≤20 lines), DuckDB-style: the delimiter is the candidate
     (, ; tab |) with a consistent nonzero per-line count — highest count
     wins ties — and the file has a header when no first-line field
-    parses as a number while a later line has one. Explicit options
-    always override the sniff."""
+    parses as a number. Deliberately ONE-sided: DuckDB 1.0's sniffer also
+    promotes the first row of an all-VARCHAR file to a header (its
+    header check is "does the first row cast to the body's types" —
+    everything casts to VARCHAR), so requiring a numeric body line would
+    diverge (pinned differentially in tests/test_r9_advice.py). Explicit
+    options always override the sniff."""
     import glob as _glob
     import os as _os
 
