@@ -102,6 +102,15 @@ from duckdb_server_spark.operators.vp8_tables import (  # noqa: E402
 
 N_TYPES, N_BANDS, N_CTX, N_ENTRIES = 4, 8, 3, 11
 
+# the §13.4 flag sequence flattened in wire order (type, band, ctx, entry)
+_UPDATE_FLAT = tuple(
+    COEF_UPDATE_PROBS[t][b][c][e]
+    for t in range(N_TYPES)
+    for b in range(N_BANDS)
+    for c in range(N_CTX)
+    for e in range(N_ENTRIES)
+)
+
 # the engine's own streams stay at qindex 0 (dc=ac=4; Y2 8/8) — the
 # exact-reconstruction encoder subset; the DECODER handles any qindex
 # via dequant_factors
@@ -128,16 +137,21 @@ class BoolEncoder:
         self.nbits = 0
 
     def put(self, prob: int, bit: int) -> None:
-        split = 1 + (((self.rng - 1) * prob) >> 8)
+        rng = self.rng
+        split = 1 + (((rng - 1) * prob) >> 8)
         if bit:
             self.low += split
-            self.rng -= split
+            rng -= split
         else:
-            self.rng = split
-        while self.rng < 128:
-            self.rng <<= 1
-            self.low <<= 1
-            self.nbits += 1
+            rng = split
+        if rng < 128:
+            shifts = 0
+            while rng < 128:
+                rng <<= 1
+                shifts += 1
+            self.low <<= shifts
+            self.nbits += shifts
+        self.rng = rng
 
     def put_literal(self, value: int, width: int) -> None:
         for i in range(width - 1, -1, -1):
@@ -191,24 +205,35 @@ class BoolDecoder:
         self.count = 0
 
     def get(self, prob: int) -> int:
-        split = 1 + (((self.rng - 1) * prob) >> 8)
+        # locals-bound hot loop (called ~10^3 times per frame header)
+        rng = self.rng
+        value = self.value
+        split = 1 + (((rng - 1) * prob) >> 8)
         bigsplit = split << 8
-        if self.value >= bigsplit:
+        if value >= bigsplit:
             bit = 1
-            self.rng -= split
-            self.value -= bigsplit
+            rng -= split
+            value -= bigsplit
         else:
             bit = 0
-            self.rng = split
-        while self.rng < 128:
-            self.value <<= 1
-            self.rng <<= 1
-            self.count += 1
-            if self.count == 8:
-                self.count = 0
-                if self.pos < len(self.buf):
-                    self.value |= self.buf[self.pos]
-                    self.pos += 1
+            rng = split
+        if rng < 128:
+            count = self.count
+            buf = self.buf
+            pos = self.pos
+            while rng < 128:
+                value <<= 1
+                rng <<= 1
+                count += 1
+                if count == 8:
+                    count = 0
+                    if pos < len(buf):
+                        value |= buf[pos]
+                        pos += 1
+            self.count = count
+            self.pos = pos
+        self.rng = rng
+        self.value = value
         return bit
 
     def get_literal(self, width: int) -> int:
@@ -229,7 +254,11 @@ class BoolDecoder:
 
 
 def inv_walsh4x4(ip: list) -> list:
-    """Inverse WHT for the Y2 block — exact RFC 6386 integer algebra."""
+    """Inverse WHT for the Y2 block — exact RFC 6386 integer algebra.
+    DC-only inputs take the closed form ((dc + 3) >> 3 uniformly)."""
+    if not any(ip[1:]):
+        v = (ip[0] + 3) >> 3
+        return [v] * 16
     t = [0] * 16
     for i in range(4):
         a1 = ip[i] + ip[12 + i]
@@ -308,13 +337,19 @@ def _encode_coeff_block(
     the neighbour-sum ctx at the first token, then 0/1/2 from the
     previous token's magnitude."""
     first = 1 if block_type == 0 else 0
+    type_probs = COEF_PROBS[block_type]
+    if not any(levels):
+        # all-zero block (the common case): a single EOB token
+        enc.put_tree(
+            COEFF_TREE, type_probs[COEFF_BANDS[first]][ctx], DCT_EOB
+        )
+        return 0
     # last nonzero position in zigzag order
     zz_levels = [levels[ZIGZAG[i]] for i in range(16)]
     last = -1
     for i in range(first, 16):
         if zz_levels[i]:
             last = i
-    type_probs = COEF_PROBS[block_type]
     i = first
     prev_zero = False
     while i < 16:
@@ -364,23 +399,24 @@ def _decode_coeff_block(
     plus any §13.4 per-slot replacements read from the header)."""
     first = 1 if block_type == 0 else 0
     type_probs = coef_probs[block_type]
+    bands = COEFF_BANDS
+    tree = COEFF_TREE
+    get = dec.get
     out = [0] * 16
     nz = 0
     i = first
     prev_zero = False
     while i < 16:
-        probs = type_probs[COEFF_BANDS[i]][ctx]
-        if prev_zero:
-            j = 2  # EOB impossible after a zero token
-            while True:
-                j = COEFF_TREE[j + dec.get(probs[j >> 1])]
-                if j <= 0:
-                    tok = -j
-                    break
-        else:
-            tok = dec.get_tree(COEFF_TREE, probs)
-        if tok == DCT_EOB:
-            break
+        probs = type_probs[bands[i]][ctx]
+        if not prev_zero:
+            # tree node 0: bit 0 -> EOB, bit 1 -> continue at node 2
+            if not get(probs[0]):
+                break
+        # token walk from node 2 (EOB excluded; -DCT_0 encodes as leaf 0)
+        j = tree[2 + get(probs[1])]
+        while j > 0:
+            j = tree[j + get(probs[j >> 1])]
+        tok = -j
         if tok == DCT_0:
             prev_zero = True
             ctx = 0
@@ -392,17 +428,82 @@ def _decode_coeff_block(
             cp = CAT_PROBS[tok]
             extra = 0
             for p in cp:
-                extra = (extra << 1) | dec.get(p)
+                extra = (extra << 1) | get(p)
             mag = CAT_BASE[tok] + extra
-        if dec.get(128):
-            mag = -mag
         dq = dq_dc if i == 0 else dq_ac
-        out[ZIGZAG[i]] = mag * dq
+        out[ZIGZAG[i]] = -mag * dq if get(128) else mag * dq
         nz = 1
         prev_zero = False
-        ctx = 1 if (mag == 1 or mag == -1) else 2
+        ctx = 1 if mag == 1 else 2
         i += 1
     return out, nz
+
+
+# --- §13.4 flag-run fast paths ---------------------------------------------
+
+_FLAG_RUN_CACHE: dict[int, tuple[int, int]] = {}
+
+
+def _put_all_noupdate_flags(enc: BoolEncoder) -> None:
+    """Emit all 1056 §13.4 update flags as 0. Equivalent to 1056
+    ``put(p, 0)`` calls: each sets range to its split and shifts; low
+    only shifts (no additions), so the run is (entry range) -> (final
+    range, total shifts), memoised."""
+    r = enc.rng
+    hit = _FLAG_RUN_CACHE.get(r)
+    if hit is None:
+        rng, shifts = r, 0
+        for p in _UPDATE_FLAT:
+            rng = 1 + (((rng - 1) * p) >> 8)
+            while rng < 128:
+                rng <<= 1
+                shifts += 1
+        _FLAG_RUN_CACHE[r] = hit = (rng, shifts)
+    enc.rng = hit[0]
+    enc.low <<= hit[1]
+    enc.nbits += hit[1]
+
+
+def _read_update_flags(head: BoolDecoder):
+    """Decode the 1056 §13.4 flags in one locals-bound loop; returns a
+    list of (flat index, replacement prob) — empty when the frame keeps
+    the defaults (the overwhelmingly common case)."""
+    buf = head.buf
+    blen = len(buf)
+    pos = head.pos
+    value = head.value
+    rng = head.rng
+    count = head.count
+    updates = []
+    for idx, p in enumerate(_UPDATE_FLAT):
+        split = 1 + (((rng - 1) * p) >> 8)
+        big = split << 8
+        if value >= big:
+            value -= big
+            rng -= split
+            bit = 1
+        else:
+            rng = split
+            bit = 0
+        while rng < 128:
+            value <<= 1
+            rng <<= 1
+            count += 1
+            if count == 8:
+                count = 0
+                if pos < blen:
+                    value |= buf[pos]
+                    pos += 1
+        if bit:  # rare: 8-bit replacement literal via the generic path
+            head.pos, head.value, head.rng, head.count = (
+                pos, value, rng, count,
+            )
+            updates.append((idx, head.get_literal(8)))
+            pos, value, rng, count = (
+                head.pos, head.value, head.rng, head.count,
+            )
+    head.pos, head.value, head.rng, head.count = pos, value, rng, count
+    return updates
 
 
 # --- intra prediction (§12.2) ----------------------------------------------
@@ -412,34 +513,39 @@ def _clamp(v: int) -> int:
     return 0 if v < 0 else 255 if v > 255 else v
 
 
-def _predict(mode: int, above, left, above_left, size: int) -> list:
-    """size x size intra prediction block. ``above``/``left`` are the
-    reconstructed border rows/cols or None when outside the frame."""
+def _predict(mode: int, above, left, above_left, size: int):
+    """size x size intra prediction block (numpy int32 array).
+    ``above``/``left`` are reconstructed border rows/cols (numpy) or
+    None when outside the frame."""
+    import numpy as np
+
     if mode == DC_PRED:
         if above is None and left is None:
             dc = 128
         elif above is None:
-            dc = (sum(left) + (size >> 1)) >> (size.bit_length() - 1)
+            dc = (int(left.sum()) + (size >> 1)) >> (size.bit_length() - 1)
         elif left is None:
-            dc = (sum(above) + (size >> 1)) >> (size.bit_length() - 1)
+            dc = (int(above.sum()) + (size >> 1)) >> (size.bit_length() - 1)
         else:
-            dc = (sum(above) + sum(left) + size) >> size.bit_length()
-        return [dc] * (size * size)
+            dc = (
+                int(above.sum()) + int(left.sum()) + size
+            ) >> size.bit_length()
+        return np.full((size, size), dc, dtype=np.int32)
     if mode == V_PRED:
-        row = above if above is not None else [127] * size
-        return list(row) * size
+        row = above if above is not None else np.full(size, 127, np.int32)
+        return np.broadcast_to(row, (size, size)).astype(np.int32)
     if mode == H_PRED:
-        col = left if left is not None else [129] * size
-        return [col[r] for r in range(size) for _ in range(size)]
+        col = left if left is not None else np.full(size, 129, np.int32)
+        return np.broadcast_to(
+            col.reshape(size, 1), (size, size)
+        ).astype(np.int32)
     if mode == TM_PRED:
-        row = above if above is not None else [127] * size
-        col = left if left is not None else [129] * size
+        row = above if above is not None else np.full(size, 127, np.int32)
+        col = left if left is not None else np.full(size, 129, np.int32)
         al = above_left if above_left is not None else 127
-        return [
-            _clamp(col[r] + row[c] - al)
-            for r in range(size)
-            for c in range(size)
-        ]
+        return np.clip(
+            col.reshape(size, 1) + row.reshape(1, size) - al, 0, 255
+        ).astype(np.int32)
     raise NotImplementedError("VP8: B_PRED subset not implemented")
 
 
@@ -460,9 +566,10 @@ def encode_vp8_gray(pixels: bytes, width: int, height: int) -> bytes:
         row = []
         for mx in range(mb_cols):
             v = pixels[my * 16 * width + mx * 16]
+            vrow = bytes([v]) * 16
             for r in range(16):
                 base = (my * 16 + r) * width + mx * 16
-                if any(pixels[base + c] != v for c in range(16)):
+                if pixels[base : base + 16] != vrow:
                     raise NotImplementedError(
                         "VP8 encoder subset: macroblocks must be uniform"
                     )
@@ -482,13 +589,12 @@ def encode_vp8_gray(pixels: bytes, width: int, height: int) -> bytes:
     for _ in range(5):  # y1dc/y2dc/y2ac/uvdc/uvac deltas absent
         head.put(128, 0)
     head.put(128, 1)  # refresh_entropy_probs (single-frame: inert)
-    # §13.4: one flag per slot, coded with ITS update probability;
-    # all clear → the decoder uses the §13.5 defaults
-    for t in range(N_TYPES):
-        for b in range(N_BANDS):
-            for c in range(N_CTX):
-                for e in range(N_ENTRIES):
-                    head.put(COEF_UPDATE_PROBS[t][b][c][e], 0)
+    # §13.4: one flag per slot, coded with ITS update probability; all
+    # clear → the decoder uses the §13.5 defaults. A zero bit never adds
+    # to ``low`` and the range walk is input-independent, so the whole
+    # 1056-flag run collapses to a memoised (final range, shift count)
+    # per entry range — O(1) after the first frame.
+    _put_all_noupdate_flags(head)
     head.put(128, 1)  # mb_no_coeff_skip enabled
     prob_skip = 180
     head.put_literal(prob_skip, 8)
@@ -614,19 +720,16 @@ def decode_vp8_frame(frame: bytes) -> dict:
     # §13.4: per-slot update flags (each with its own probability); a
     # set flag replaces that default with an 8-bit literal for this frame
     frame_probs = COEF_PROBS
-    mutable = None
-    for t in range(N_TYPES):
-        for b in range(N_BANDS):
-            for c in range(N_CTX):
-                for e in range(N_ENTRIES):
-                    if head.get(COEF_UPDATE_PROBS[t][b][c][e]):
-                        if mutable is None:
-                            mutable = [
-                                [[list(r) for r in band] for band in typ]
-                                for typ in COEF_PROBS
-                            ]
-                        mutable[t][b][c][e] = head.get_literal(8)
-    if mutable is not None:
+    updates = _read_update_flags(head)
+    if updates:
+        mutable = [
+            [[list(r) for r in band] for band in typ] for typ in COEF_PROBS
+        ]
+        for idx, val in updates:
+            t, rest = divmod(idx, N_BANDS * N_CTX * N_ENTRIES)
+            b, rest = divmod(rest, N_CTX * N_ENTRIES)
+            c, e = divmod(rest, N_ENTRIES)
+            mutable[t][b][c][e] = val
         frame_probs = mutable
     skip_enabled = head.get(128)
     prob_skip = head.get_literal(8) if skip_enabled else 0
@@ -641,10 +744,12 @@ def decode_vp8_frame(frame: bytes) -> dict:
         uvmode = head.get_tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
         modes.append((skip, ymode, uvmode))
 
+    import numpy as _np
+
     dec = BoolDecoder(tok_data)
-    ypl = [[0] * width for _ in range(height)]
-    upl = [[0] * (width // 2) for _ in range(height // 2)]
-    vpl = [[0] * (width // 2) for _ in range(height // 2)]
+    ypl = _np.zeros((height, width), dtype=_np.int32)
+    upl = _np.zeros((height // 2, width // 2), dtype=_np.int32)
+    vpl = _np.zeros((height // 2, width // 2), dtype=_np.int32)
     above_nz = [[0] * 9 for _ in range(mb_cols)]
     for my in range(mb_rows):
         left_nz = [0] * 9
@@ -690,54 +795,96 @@ def decode_vp8_frame(frame: bytes) -> dict:
             _reconstruct_mb(
                 ypl, upl, vpl, mx, my, ymode, uvmode, coeffs, width, height
             )
-    px = bytes(v for row in ypl for v in row)
+    px = ypl.astype(_np.uint8).tobytes()
     return {"pixels": px, "width": width, "height": height}
 
 
 def _borders(plane, mx, my, size):
+    """Reconstructed border row/col of a numpy plane (None off-frame)."""
     x0, y0 = mx * size, my * size
-    above = plane[y0 - 1][x0 : x0 + size] if y0 else None
-    left = (
-        [plane[y0 + r][x0 - 1] for r in range(size)] if x0 else None
-    )
-    above_left = plane[y0 - 1][x0 - 1] if (x0 and y0) else None
+    above = plane[y0 - 1, x0 : x0 + size] if y0 else None
+    left = plane[y0 : y0 + size, x0 - 1] if x0 else None
+    above_left = int(plane[y0 - 1, x0 - 1]) if (x0 and y0) else None
     return above, left, above_left
 
 
+def _residual_tile(blocks, n_per_side):
+    """Assemble a (4*n)x(4*n) numpy residual from 4x4 coefficient
+    blocks, taking the DC-only O(1) fill when a block has no ACs."""
+    import numpy as np
+
+    if all(not any(blk[1:]) for blk in blocks):
+        # every block DC-only: blockwise-constant residual in 3 numpy ops
+        dcs = np.array(
+            [(blk[0] + 4) >> 3 for blk in blocks], dtype=np.int32
+        ).reshape(n_per_side, n_per_side)
+        return np.repeat(np.repeat(dcs, 4, 0), 4, 1)
+    side = 4 * n_per_side
+    out = np.zeros((side, side), dtype=np.int32)
+    for b, blk in enumerate(blocks):
+        br, bc = (b // n_per_side) * 4, (b % n_per_side) * 4
+        if any(blk[1:]):
+            out[br : br + 4, bc : bc + 4] = np.array(
+                inv_dct4x4(blk), dtype=np.int32
+            ).reshape(4, 4)
+        elif blk[0]:
+            out[br : br + 4, bc : bc + 4] = (blk[0] + 4) >> 3
+    return out
+
+
+def _store_pred(plane, mode, mx, my, size) -> None:
+    """Skip-macroblock fast path: store the §12.2 prediction directly
+    into the plane window (scalar / row / column broadcast stores — no
+    intermediate prediction matrix)."""
+    above, left, al = _borders(plane, mx, my, size)
+    x0, y0 = mx * size, my * size
+    win = plane[y0 : y0 + size, x0 : x0 + size]
+    if mode == DC_PRED:
+        if above is None and left is None:
+            win[:] = 128
+        elif above is None:
+            win[:] = (int(left.sum()) + (size >> 1)) >> (
+                size.bit_length() - 1
+            )
+        elif left is None:
+            win[:] = (int(above.sum()) + (size >> 1)) >> (
+                size.bit_length() - 1
+            )
+        else:
+            win[:] = (
+                int(above.sum()) + int(left.sum()) + size
+            ) >> size.bit_length()
+    elif mode == V_PRED:
+        win[:] = above if above is not None else 127
+    elif mode == H_PRED:
+        win[:] = (
+            left.reshape(size, 1) if left is not None else 129
+        )
+    else:
+        win[:] = _predict(mode, above, left, al, size)
+
+
 def _reconstruct_mb(ypl, upl, vpl, mx, my, ymode, uvmode, coeffs, w, h):
+    import numpy as np
+
+    if coeffs is None:
+        _store_pred(ypl, ymode, mx, my, 16)
+        _store_pred(upl, uvmode, mx, my, 8)
+        _store_pred(vpl, uvmode, mx, my, 8)
+        return
     above, left, al = _borders(ypl, mx, my, 16)
     pred = _predict(ymode, above, left, al, 16)
     x0, y0 = mx * 16, my * 16
-    if coeffs is None:
-        for r in range(16):
-            row = ypl[y0 + r]
-            for c in range(16):
-                row[x0 + c] = pred[r * 16 + c]
-    else:
-        yblocks, uvblocks = coeffs
-        for b in range(16):
-            resid = inv_dct4x4(yblocks[b])
-            br, bc = (b // 4) * 4, (b % 4) * 4
-            for r in range(4):
-                row = ypl[y0 + br + r]
-                for c in range(4):
-                    p = pred[(br + r) * 16 + bc + c]
-                    row[x0 + bc + c] = _clamp(p + resid[r * 4 + c])
+    yblocks, uvblocks = coeffs
+    out = pred + _residual_tile(yblocks, 4)
+    np.clip(out, 0, 255, out=out)
+    ypl[y0 : y0 + 16, x0 : x0 + 16] = out
     for plane_idx, plane in ((0, upl), (1, vpl)):
         above, left, al = _borders(plane, mx, my, 8)
         cpred = _predict(uvmode, above, left, al, 8)
         cx0, cy0 = mx * 8, my * 8
-        if coeffs is None:
-            for r in range(8):
-                row = plane[cy0 + r]
-                for c in range(8):
-                    row[cx0 + c] = cpred[r * 8 + c]
-        else:
-            for b in range(4):
-                resid = inv_dct4x4(coeffs[1][plane_idx * 4 + b])
-                br, bc = (b // 2) * 4, (b % 2) * 4
-                for r in range(4):
-                    row = plane[cy0 + br + r]
-                    for c in range(4):
-                        p = cpred[(br + r) * 8 + bc + c]
-                        row[cx0 + bc + c] = _clamp(p + resid[r * 4 + c])
+        cout = cpred + _residual_tile(
+            uvblocks[plane_idx * 4 : plane_idx * 4 + 4], 2
+        )
+        np.clip(cout, 0, 255, out=cout)
+        plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = cout
