@@ -565,6 +565,57 @@ def s30_dialect_dml_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_script(spark, _S30_SCRIPT)[-1]
 
 
+# Battery-30 script — PREPARE/EXECUTE with a positional $1 bind as the
+# COMPARED statement, a rolled-back transaction whose DDL (CREATE TYPE +
+# DROP TABLE) must leave no trace, and the round-9 scalar tails (DATE +
+# TIME composition, parse_dirname, string to_binary/bin,
+# formatReadableDecimalSize, struct_insert on a literal, epoch-of-TIME)
+# — verbatim on both engines.
+_S31_SCRIPT = """
+CREATE OR REPLACE TABLE b31q AS
+  SELECT o_orderkey AS k, o_totalprice AS p
+  FROM orders WHERE o_orderkey < 40;
+BEGIN TRANSACTION;
+CREATE TYPE s31_mood AS ENUM ('sad', 'ok');
+DROP TABLE b31q;
+ROLLBACK;
+PREPARE s31_q AS
+SELECT k,
+       CAST(DATE '2024-03-01' + TIME '05:06:07' AS VARCHAR) AS ts,
+       parse_dirname('/corpus/shard/f.txt') AS dn,
+       to_binary('ab') AS tb,
+       bin(k) AS bk,
+       formatReadableDecimalSize(CAST(p * 100 AS BIGINT)) AS sz,
+       struct_insert({'a': 7}, b := 2).b AS sb,
+       epoch(TIME '12:00:00') AS ep
+FROM b31q WHERE k > $1 ORDER BY k;
+EXECUTE s31_q(8)
+"""
+
+
+@query("s31_dialect_prepare", oracle=_S31_SCRIPT)
+def s31_dialect_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 30 as a verbatim statement script: the COMPARED result is
+    an EXECUTE of a prepared statement with a positional $1 bind, over a
+    table a rolled-back transaction tried to drop (the round-9
+    transactional-DDL snapshot restores its registry metadata alongside
+    the view), with the round-9 scalar tails inlined as JVM expressions
+    (TIME/DATE literal folds, the parse_path family's regexes, the
+    hex-nibble bit expansion for string to_binary, the SI-unit
+    formatter)."""
+    from duckdb_server_spark.dialect import (
+        register_dialect_functions,
+        run_script,
+        serving_dialect,
+    )
+    from duckdb_server_spark.session import register_views
+
+    register_dialect_functions(spark)
+    register_views(spark, sf_dir, ("orders",))
+    with serving_dialect(True):
+        return run_script(spark, _S31_SCRIPT)[-1]
+
+
 @query("s23_dialect_list_comprehension", oracle=_S23_SQL)
 def s23_dialect_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim DuckDB list comprehensions (``[expr FOR v IN l IF c]``)

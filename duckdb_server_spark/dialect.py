@@ -197,6 +197,12 @@ _FN_RENAMES = {
     "reservoir_quantile": "approx_percentile",
     "format_bytes": "dd_format_bytes",
     "formatreadablesize": "dd_format_bytes",
+    "formatreadabledecimalsize": "dd_format_bytes_dec",
+    # DuckDB ≥1.1 url_encode/url_decode are RFC-3986 percent coding:
+    # space is %20 (not +) and + is literal; Spark's builtins are
+    # form-encoding — the dd_ wrappers adjust both directions
+    "url_encode": "dd_url_encode",
+    "url_decode": "dd_url_decode",
     "list_filter": "filter",
     "array_transform": "transform",
     "array_filter": "filter",
@@ -2817,9 +2823,9 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         ):
             return f"from_utc_timestamp({x}, {tz})"
         return f"to_utc_timestamp({x}, {tz})"
-    if fn in ("parse_filename", "parse_dirpath", "parse_path") and (
-        1 <= len(args) <= 3
-    ):
+    if fn in (
+        "parse_filename", "parse_dirpath", "parse_path", "parse_dirname"
+    ) and (1 <= len(args) <= 3):
         # optional args: a trim_extension boolean (parse_filename only)
         # and/or a separator spec; DuckDB's default is both slashes
         trim, sep_spec = False, None
@@ -2850,12 +2856,28 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
                 expr = f"regexp_replace({expr}, {ext}, {empty})"
             return expr
         if fn == "parse_dirpath":
-            # everything before the LAST separator ('' when none)
+            # everything before the LAST separator ('' when none);
+            # an all-separator path is its own dirpath (probed: DuckDB
+            # parse_dirpath('/') = '/', but parse_dirpath('/a') = '')
+            root = _masked_literal(table, f"^[{cls}]+$")
             tail = _masked_literal(table, f"[{cls}][^{cls}]*$")
             has = _masked_literal(table, f"[{cls}]")
             return (
-                f"(CASE WHEN {p} RLIKE {has} "
+                f"(CASE WHEN {p} RLIKE {root} THEN {p} "
+                f"WHEN {p} RLIKE {has} "
                 f"THEN regexp_replace({p}, {tail}, {empty}) "
+                f"ELSE {empty} END)"
+            )
+        if fn == "parse_dirname":
+            # topmost directory: the separator itself for an absolute
+            # path, the first component otherwise ('' when no separator)
+            lead = _masked_literal(table, f"^[{cls}]")
+            has = _masked_literal(table, f"[{cls}]")
+            first = _masked_literal(table, f"^([^{cls}]*)")
+            return (
+                f"(CASE WHEN {p} RLIKE {lead} THEN substr({p}, 1, 1) "
+                f"WHEN {p} RLIKE {has} "
+                f"THEN regexp_extract({p}, {first}, 1) "
                 f"ELSE {empty} END)"
             )
         # parse_path: components list; an absolute path keeps its
@@ -2883,20 +2905,53 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
     if fn == "make_timestamp" and len(args) == 1:
         # DuckDB's 1-arg form takes epoch microseconds
         return f"timestamp_micros({args[0]})"
+    if fn in ("bin", "to_binary") and len(args) == 1:
+        arg = args[0].strip()
+        if (
+            re.fullmatch(r"\x00\d+\x00", arg)
+            and _literal_value(_unmask(arg, table)) is not None
+        ):
+            # string literal: 8 bits per UTF-8 byte (DuckDB bin/
+            # to_binary on VARCHAR), via hex() nibble expansion
+            empty = _masked_literal(table, "")
+            return (
+                f"array_join(transform(filter(split(hex({arg}), {empty}), "
+                f"__dd_d -> __dd_d <> {empty}), "
+                f"__dd_d -> lpad(conv(__dd_d, 16, 2), 4, "
+                f"{_masked_literal(table, '0')})), {empty})"
+            )
+        if fn == "to_binary":
+            # numeric: DuckDB to_binary aliases bin (Spark's native
+            # to_binary would silently hex-DECODE instead)
+            return f"bin({arg})"
+        return None
     if fn == "struct_insert" and len(args) >= 2:
         base0 = args[0].strip()
-        if not re.fullmatch(r"[A-Za-z_][\w.]*", base0):
-            raise ValueError(
-                "struct_insert: base must be a struct column reference"
-            )
-        parts = [f"{base0}.*"]
+        new_fields = []
         for item in args[1:]:
             km = re.match(
                 r"^([A-Za-z_]\w*)\s*:=\s*(.+)$", item.strip(), re.DOTALL
             )
             if not km:
                 raise ValueError("struct_insert expects name := value pairs")
-            parts.append(f"{km.group(2).strip()} AS {km.group(1)}")
+            new_fields.append((km.group(1), km.group(2).strip()))
+        nm = re.match(r"(?i)^named_struct\s*\(", base0)
+        if nm and base0.endswith(")"):
+            # struct LITERAL base ({'a': 1} arrives as named_struct(...)):
+            # rebuild with the appended fields
+            inner = base0[base0.index("(") + 1 : -1]
+            parts = _split_top_commas(inner)
+            if len(parts) % 2 == 0:
+                for name, val in new_fields:
+                    parts += [_masked_literal(table, name), val]
+                return "named_struct(" + ", ".join(parts) + ")"
+        if not re.fullmatch(r"[A-Za-z_][\w.]*", base0):
+            raise ValueError(
+                "struct_insert: base must be a struct column reference "
+                "or a struct literal"
+            )
+        parts = [f"{base0}.*"]
+        parts += [f"{val} AS {name}" for name, val in new_fields]
         return f"struct({', '.join(parts)})"
     if fn == "bitstring" and len(args) == 2:
         # BIT strings are carried as '0'/'1' text (the typed-literal
@@ -2940,7 +2995,11 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
             f"THEN {one} ELSE {zero} END))"
         )
     if fn == "epoch" and len(args) == 1:
-        # DuckDB epoch() keeps fractional seconds and returns DOUBLE
+        # DuckDB epoch() keeps fractional seconds and returns DOUBLE;
+        # TIME literals fold to seconds-since-midnight
+        folded = _time_epoch_seconds(args[0], table)
+        if folded is not None:
+            return f"({folded})"
         return (
             f"(unix_micros(CAST({args[0]} AS TIMESTAMP)) / "
             f"CAST(1000000 AS DOUBLE))"
@@ -3427,7 +3486,8 @@ _TEMPLATE_RE = re.compile(
     r"list_distance|max|min|max_by|min_by|arg_max|arg_min|json|"
     r"age|array_length|regexp_extract|element_at|log|yearweek|isoyear|"
     r"julian|era|century|millennium|decade|epoch_ms|epoch_us|epoch_ns|"
-    r"parse_filename|parse_dirpath|parse_path|make_time|make_timestamp|"
+    r"parse_filename|parse_dirpath|parse_dirname|parse_path|"
+    r"bin|to_binary|make_time|make_timestamp|"
     r"timezone|string_agg|group_concat|regexp_matches|"
     r"struct_insert|bitstring|get_bit|set_bit|bit_position|"
     r"to_years|to_months|to_decades|to_centuries|to_millennia|to_weeks|"
@@ -4067,6 +4127,22 @@ _INTERVAL_FIRST_RE = re.compile(
     r"\s*\+\s*TIME\s+(\x00\d+\x00)",
     re.IGNORECASE,
 )
+# DATE 'd' + TIME 't' (either order) → TIMESTAMP literal; and
+# TIMESTAMP 'x'::TIME / CAST(TIMESTAMP 'x' AS TIME) → TIME literal.
+# Literal folds only — Spark's TIME type has no runtime constructors,
+# and the fail-closed policy for column operands stands.
+_DATE_PLUS_TIME_RE = re.compile(
+    r"\bDATE\s+(\x00\d+\x00)\s*\+\s*TIME\s+(\x00\d+\x00)", re.IGNORECASE
+)
+_TIME_PLUS_DATE_RE = re.compile(
+    r"\bTIME\s+(\x00\d+\x00)\s*\+\s*DATE\s+(\x00\d+\x00)", re.IGNORECASE
+)
+_TS_TO_TIME_CAST_RE = re.compile(
+    r"\bTIMESTAMP\s+(\x00\d+\x00)\s*::\s*TIME\b"
+    r"|\bCAST\s*\(\s*TIMESTAMP\s+(\x00\d+\x00)\s+AS\s+TIME\s*\)",
+    re.IGNORECASE,
+)
+_DATE_LIT_RE = re.compile(r"^\s*(\d{4})-(\d{2})-(\d{2})\s*$")
 
 _INTERVAL_UNIT_MICROS = {
     "microsecond": 1,
@@ -4183,23 +4259,79 @@ def _fold_time_arithmetic(s: str, table: list[str]) -> str:
         if repl is None:
             break
         s = s[: m.start()] + repl + s[m.end() :]
+
+    def date_time_fold(date_mask: str, time_mask: str) -> str | None:
+        d = _literal_value(_unmask(date_mask, table))
+        t = _literal_value(_unmask(time_mask, table))
+        if d is None or t is None or not _DATE_LIT_RE.match(d):
+            return None
+        tm = _parse_time_micros(t)
+        if tm is None:
+            return None
+        lit = _masked_literal(
+            table, f"{d.strip()} {_fmt_time_micros(tm)}"
+        )
+        return f"TIMESTAMP {lit}"
+
+    for pat, order in ((_DATE_PLUS_TIME_RE, (1, 2)),
+                       (_TIME_PLUS_DATE_RE, (2, 1))):
+        while m := pat.search(s):
+            repl = date_time_fold(m.group(order[0]), m.group(order[1]))
+            if repl is None:
+                break
+            s = s[: m.start()] + repl + s[m.end() :]
+    while m := _TS_TO_TIME_CAST_RE.search(s):
+        ts = _literal_value(_unmask(m.group(1) or m.group(2), table))
+        if ts is None:
+            break
+        parts = ts.strip().split(" ", 1)
+        tm = _parse_time_micros(parts[1]) if len(parts) == 2 else None
+        if tm is None:
+            break
+        lit = _masked_literal(table, _fmt_time_micros(tm))
+        s = s[: m.start()] + f"TIME {lit}" + s[m.end() :]
     return s
 
 
 _EXTRACT_EPOCH_RE = re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\b", re.IGNORECASE)
 
 
-def _rewrite_extract_epoch(s: str) -> str:
+_TIME_LIT_INNER_RE = re.compile(
+    r"^TIME\s+(\x00\d+\x00)$", re.IGNORECASE
+)
+
+
+def _time_epoch_seconds(inner: str, table: list[str]) -> str | None:
+    """Seconds-since-midnight for a TIME literal expression, as the SQL
+    text of a DOUBLE literal (DuckDB's EXTRACT(EPOCH FROM TIME) /
+    epoch(TIME) result); None when not a TIME literal."""
+    tm = _TIME_LIT_INNER_RE.match(inner.strip())
+    if not tm:
+        return None
+    t = _literal_value(_unmask(tm.group(1), table))
+    us = _parse_time_micros(t) if t is not None else None
+    if us is None:
+        return None
+    return f"CAST({us} AS DOUBLE) / 1000000"
+
+
+def _rewrite_extract_epoch(s: str, table: list[str] | None = None) -> str:
     """``EXTRACT(EPOCH FROM x)`` → fractional epoch seconds as DOUBLE
-    (DuckDB's result type); Spark has no EPOCH extract field."""
+    (DuckDB's result type); Spark has no EPOCH extract field. TIME
+    literals fold to their seconds-since-midnight (Spark cannot cast
+    TIME at runtime)."""
     while m := _EXTRACT_EPOCH_RE.search(s):
         open_idx = s.index("(", m.start())
         close = _matching_paren(s, open_idx)
         inner = s[m.end() : close].strip()
         repl = (
-            f"CAST(unix_micros(CAST(({inner}) AS TIMESTAMP)) AS DOUBLE)"
-            f" / 1000000"
+            _time_epoch_seconds(inner, table) if table is not None else None
         )
+        if repl is None:
+            repl = (
+                f"CAST(unix_micros(CAST(({inner}) AS TIMESTAMP)) AS DOUBLE)"
+                f" / 1000000"
+            )
         s = s[: m.start()] + repl + s[close + 1 :]
     return s
 
@@ -4366,7 +4498,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_indexed_lambdas(masked)
     masked = _fold_time_arithmetic(masked, table)
     masked = _rewrite_typed_literals(masked, table)
-    masked = _rewrite_extract_epoch(masked)
+    masked = _rewrite_extract_epoch(masked, table)
     masked = _rewrite_unpivot_aliases(masked, table)
     masked = _rewrite_postfix_factorial(masked)
     masked = _rewrite_power(masked)
@@ -4614,6 +4746,26 @@ _DIALECT_FUNCTIONS = (
     """CREATE OR REPLACE TEMPORARY FUNCTION epoch_ms(ts TIMESTAMP)
        RETURNS BIGINT
        RETURN unix_millis(ts)""",
+    # formatReadableDecimalSize: decimal (SI) units, one TRUNCATED
+    # decimal, '<n> bytes' under 1 kB — DuckDB's rendering exactly
+    """CREATE OR REPLACE TEMPORARY FUNCTION dd_format_bytes_dec(b BIGINT)
+       RETURNS STRING RETURN
+       CASE WHEN abs(b) < 1000 THEN concat(CAST(b AS STRING), ' bytes')
+       ELSE concat(
+         format_string('%.1f',
+          CAST(CAST(b / pow(10, 3 * CAST(floor(log10(abs(b)) / 3) AS INT))
+               * 10 AS BIGINT) AS DOUBLE) / 10),
+         ' ',
+         element_at(array('kB','MB','GB','TB','PB','EB'),
+                    CAST(floor(log10(abs(b)) / 3) AS INT))
+       ) END""",
+    # RFC-3986 percent coding (DuckDB ≥1.1): encode renders space as
+    # %20 (Spark's form-encoder emits + only for spaces — safe swap);
+    # decode leaves + literal (protected as %2B before Spark decodes)
+    """CREATE OR REPLACE TEMPORARY FUNCTION dd_url_encode(s STRING)
+       RETURNS STRING RETURN replace(url_encode(s), '+', '%20')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION dd_url_decode(s STRING)
+       RETURNS STRING RETURN url_decode(replace(s, '+', '%2B'))""",
     # list_zip: DuckDB yields positionally-indexable pairs; an
     # array-of-arrays keeps the ``p[1] * p[2]`` access pattern working
     # through the try_element_at subscript rewrite. Numeric lists only
