@@ -76,6 +76,8 @@ _PRIORITY_R9: tuple[str, ...] = (
     "b30f_vp8_default_probs",  # new: VP8 decode w/ RFC 6386 default tables
     "b32f_webm_default_probs",  # new: WebM keyframe using default tables
     "s31_dialect_prepare",      # new: battery-30 PREPARE/EXECUTE + tails
+    "b34_ogg_flac_audio",       # new: Ogg-FLAC container end-to-end
+    "b34b_ogg_probe",           # new: Ogg codec-inventory metadata probe
     # --- r1-stamped rows (the oldest evidence left in the registry) ---
     "fn_trig",
     "fn_string_accents",

@@ -3923,3 +3923,114 @@ def b67_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cell").asc_nulls_last(), F.col("rk").asc_nulls_last())
     )
+
+
+@query("b34_ogg_flac_audio", oracle=_B33B_ORACLE)
+def b34_ogg_flac_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg-encapsulated FLAC end-to-end (round 9, operators/ogg.py):
+    the b33b signal encodes through the public Ogg-FLAC mapping — RFC
+    3533 page framing (CRC-32/Ogg verified per page, lacing reassembly)
+    around the native Rice-coded frame — and decodes back inside
+    mapInPandas via decode_audio's OggS magic dispatch. Because both
+    the container walk and FLAC are lossless, the oracle is IDENTICAL
+    to b33b's: a hash-match proves page CRCs, packet lacing, the
+    mapping's header split, and the Rice chain jointly return the input
+    bit for bit. Vorbis audio in the same container fails closed
+    (entropy-coded plug point, like MP3/Opus)."""
+    from duckdb_server_spark.operators.ogg import encode_ogg_flac
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(pdf_iter):
+        import pandas as _pd
+
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text_ or "")[:8]).ljust(8, "x").encode("latin-1")
+                samples = [
+                    s[k % 8] * (k // 8 + 1) - 480 for k in range(64)
+                ]
+                ids.append(doc_id)
+                payloads.append(encode_ogg_flac(samples, 8000,
+                                                serial=doc_id & 0xFFFFFFFF))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    ogg_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
+    return multimodal.audio_features(ogg_df).orderBy(
+        F.col("doc_id").asc_nulls_last()
+    )
+
+
+@query(
+    "b34b_ogg_probe",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, ascii(substr(text || 'x', 1, 1)) AS c0
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'vorbis' END AS codec,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + c0 % 4 END
+                AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8000
+                ELSE 22050 + 100 * (c0 % 7) END AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 64000 END
+                AS INT) AS bitrate_nominal,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+                AS INT) AS n_packets,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 0 END
+                AS BIGINT) AS granule_total
+    FROM px
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b34b_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container METADATA probe without audio decode (round 9):
+    even doc_ids carry Ogg-FLAC (STREAMINFO rate read straight out of
+    the mapping's BOS packet), odd doc_ids a Vorbis identification
+    header whose channels/rate derive from the document's first
+    character — the codec-inventory pass a crawl pipeline runs before
+    deciding what to transcode. Demux verifies every page CRC; the
+    oracle replays all fields from the document DEFINITION, proving the
+    packed-struct parses (Vorbis I §4.2.2) and granule bookkeeping
+    field for field."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _probe(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.ogg import (
+            encode_ogg_flac,
+            encode_vorbis_id,
+            probe_ogg,
+            write_stream,
+        )
+
+        for pdf in pdf_iter:
+            rows = {k: [] for k in ("doc_id", "codec", "channels",
+                                    "sample_rate", "bitrate_nominal",
+                                    "n_packets", "granule_total")}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                c0 = ((text_ or "") + "x").encode("latin-1")[0]
+                if doc_id % 2 == 0:
+                    samples = [((c0 + k) % 256) - 128 for k in range(64)]
+                    blob = encode_ogg_flac(samples, 8000,
+                                           serial=doc_id & 0xFFFFFFFF)
+                else:
+                    vid = encode_vorbis_id(1 + c0 % 4, 22050 + 100 * (c0 % 7),
+                                           64000)
+                    blob = write_stream(doc_id & 0xFFFFFFFF, [vid], [0])
+                meta = probe_ogg(blob)
+                rows["doc_id"].append(doc_id)
+                for k in ("codec", "channels", "sample_rate",
+                          "bitrate_nominal", "n_packets", "granule_total"):
+                    rows[k].append(meta[k])
+            yield _pd.DataFrame(rows)
+
+    probed = docs.mapInPandas(
+        _probe,
+        "doc_id long, codec string, channels int, sample_rate int, "
+        "bitrate_nominal int, n_packets int, granule_total long",
+    )
+    return probed.orderBy(F.col("doc_id").asc_nulls_last())

@@ -255,9 +255,14 @@ def decode_audio(payload: bytes) -> dict:
         from duckdb_server_spark.operators.flac import decode_flac
 
         return decode_flac(payload)
+    if payload[:4] == b"OggS":
+        from duckdb_server_spark.operators.ogg import decode_ogg_audio
+
+        return decode_ogg_audio(payload)
     raise NotImplementedError(
-        "WAV (PCM/G.711/ADPCM) and FLAC are the built-in audio codecs; "
-        "install an audio library for lossy compressed formats"
+        "WAV (PCM/G.711/ADPCM), FLAC, and Ogg-FLAC are the built-in "
+        "audio codecs; install an audio library for lossy compressed "
+        "formats"
     )
 
 
