@@ -49,9 +49,10 @@ TABLES = (
     ("documents", {"doc_id": 10_000_000}, (10, 100)),
     ("events", {"event_id": 100_000_000}, (10, 100)),
     ("embeddings", {"vec_id": 10_000_000}, (10, 100)),
-    ("lineitem", {"l_orderkey": 100_000_000}, (10,)),
-    ("orders", {"o_orderkey": 100_000_000, "o_custkey": 10_000_000}, (10,)),
-    ("customer", {"c_custkey": 10_000_000}, (10,)),
+    ("lineitem", {"l_orderkey": 100_000_000}, (10, 100)),
+    ("orders", {"o_orderkey": 100_000_000, "o_custkey": 10_000_000},
+     (10, 100)),
+    ("customer", {"c_custkey": 10_000_000}, (10, 100)),
 )
 DIM_LINKS = ("region", "nation", "supplier", "part")
 GROUPS = {
@@ -168,6 +169,20 @@ GROUPS = {
             "t22_global_sales_opportunity",
         )
     ],
+    # the 100x fact tier (lineitem 60M rows) for the headline join/agg
+    # shapes — VERDICT r8 item 7: prove the plans hold where the
+    # LLM-pipeline operators already did. Dimensions stay fixed, so the
+    # broadcast sides stay broadcast and only the fact chain scales.
+    "tpch100": [
+        (name, 600_000, ("1x", "10x", "100x"))
+        for name in (
+            "q01_pricing_summary",
+            "t03_shipping_priority",
+            "t05_region_supplier_volume",
+            "t18_large_volume_customer",
+            "t21_waiting_supplier",
+        )
+    ],
 }
 
 
@@ -175,6 +190,9 @@ def generate(spark) -> None:
     for table, offsets, reps_list in TABLES:
         for reps in reps_list:
             out = f"/tmp/scale_x{reps}/{table}.parquet"
+            if os.path.exists(out):  # incremental: rm -rf to regenerate
+                print(f"x{reps} {table}: exists, skipping")
+                continue
             df = spark.read.parquet(f"{SRC}/{table}.parquet")
             rep = spark.range(reps).select(F.col("id").alias("__rep"))
             big = df.crossJoin(rep)
