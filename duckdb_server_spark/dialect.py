@@ -35,12 +35,22 @@ query and every optimization (pushdown, pruning, AQE) applies untouched.
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
 import threading
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class DialectError(ValueError):
+    """A rewrite determined the statement is DuckDB-dialect but cannot
+    be served faithfully. Unlike generic rewrite failures — where the
+    input may simply have been Spark-dialect all along — falling back
+    to native Spark here would silently run DIFFERENT semantics (e.g.
+    Spark's 32-bit Murmur3 for DuckDB's hash()), so run_sql re-raises
+    instead of retrying."""
 
 # ---------------------------------------------------------------------------
 # literal / identifier masking
@@ -260,7 +270,6 @@ _FN_RENAMES = {
     # r7 batch 4 (JSON / nested probe battery)
     "apply": "transform",
     "array_reverse": "reverse",
-    "list_has_any": "arrays_overlap",
     "json_valid": "dd_json_valid",
     "json_keys": "dd_json_keys",
     "json_merge_patch": "dd_json_merge_patch",
@@ -1257,11 +1266,16 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
     from pyspark.sql.types import (
         ArrayType,
         BinaryType,
+        BooleanType,
+        ByteType,
         DateType,
         DecimalType,
         DoubleType,
         FloatType,
+        IntegerType,
+        LongType,
         MapType,
+        ShortType,
         StringType,
         TimestampNTZType,
         TimestampType,
@@ -1297,6 +1311,16 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
                 k = "double"
             elif isinstance(f.dataType, DecimalType):
                 k = "decimal"
+            elif isinstance(f.dataType, LongType):
+                k = "bigint"
+            elif isinstance(f.dataType, IntegerType):
+                k = "int"
+            elif isinstance(f.dataType, ShortType):
+                k = "smallint"
+            elif isinstance(f.dataType, ByteType):
+                k = "tinyint"
+            elif isinstance(f.dataType, BooleanType):
+                k = "boolean"
             else:
                 k = "other"
             if nm in kinds and kinds[nm] != k:
@@ -2713,6 +2737,40 @@ def _arg_list_items(arg: str) -> list[str] | None:
     return None
 
 
+def _flatten_named_struct(expr: str) -> str:
+    """Textually flatten nested named_struct literals to their leaf
+    (key, value) pairs — DuckDB's recursive struct unnest keeps the
+    LEAF field names. Non-struct values pass through untouched."""
+    m = re.match(r"(?i)\s*named_struct\s*\(", expr)
+    if not m:
+        return expr
+    close = _matching_paren(expr, m.end() - 1)
+    items = _split_top_commas(expr[m.end() : close])
+    pairs: list[str] = []
+    for i in range(0, len(items) - 1, 2):
+        key, val = items[i].strip(), items[i + 1].strip()
+        if re.match(r"(?i)\s*named_struct\s*\(", val):
+            inner = _flatten_named_struct(val)
+            im = re.match(r"(?i)\s*named_struct\s*\(", inner)
+            iclose = _matching_paren(inner, im.end() - 1)
+            pairs.extend(
+                x.strip()
+                for x in _split_top_commas(inner[im.end() : iclose])
+            )
+        else:
+            pairs.extend((key, val))
+    return "named_struct(" + ", ".join(pairs) + ")"
+
+
+_LAMBDA_ID = iter(range(1, 1 << 30))
+
+
+def _next_lambda_id() -> int:
+    """Unique suffix for template-emitted lambda parameters, so nested
+    expansions never shadow each other."""
+    return next(_LAMBDA_ID)
+
+
 def _template(fn: str, args: list[str], table: list[str]) -> str | None:
     """Structural rewrites for DuckDB functions whose Spark equivalent
     needs argument reshaping (not just a rename). Returns None to leave
@@ -3379,7 +3437,32 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
     if fn == "list_any_value" and len(args) == 1:
         return f"try_element_at(filter({args[0]}, x -> x IS NOT NULL), 1)"
     if fn == "list_has_all" and len(args) == 2:
-        return f"forall({args[1]}, x -> array_contains({args[0]}, x))"
+        # DuckDB IGNORES NULL elements in the needle list and never
+        # matches on NULL (probed: list_has_all([1],[NULL]) = true,
+        # list_has_all([1,NULL],[2]) = false); a NULL list argument
+        # propagates NULL. Set algebra (array_except over the
+        # NULL-compacted needle) rather than a lambda so untyped
+        # ARRAY<NULL> literals coerce instead of failing analysis —
+        # the old forall/array_contains form also returned NULL for
+        # needle-NULL cases, a silent divergence.
+        hay, needle = args
+        if hay.strip().upper() == "NULL" or needle.strip().upper() == "NULL":
+            return "CAST(NULL AS BOOLEAN)"
+        return (
+            f"CASE WHEN ({hay}) IS NULL OR ({needle}) IS NULL THEN NULL "
+            f"ELSE size(array_except(array_compact({needle}), {hay})) = 0 "
+            "END"
+        )
+    if fn == "list_has_any" and len(args) == 2:
+        # same ignore-NULL-elements contract; empty overlap is false
+        a0, a1 = args
+        if a0.strip().upper() == "NULL" or a1.strip().upper() == "NULL":
+            return "CAST(NULL AS BOOLEAN)"
+        return (
+            f"CASE WHEN ({a0}) IS NULL OR ({a1}) IS NULL THEN NULL "
+            f"ELSE coalesce(arrays_overlap(array_compact({a0}), "
+            f"array_compact({a1})), false) END"
+        )
     if fn == "list_select" and len(args) == 2:
         return (
             f"transform({args[1]}, i -> "
@@ -3453,14 +3536,18 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         if not om:
             return None
         arg = args[0]
+        if re.match(r"(?i)\s*named_struct\s*\(", arg):
+            # a struct literal: flatten nested structs to their leaf
+            # fields (DuckDB keeps the leaf names), then expand
+            return f"inline(array({_flatten_named_struct(arg)}))"
         if "named_struct(" in arg:
             # array<struct> recursively unnests into one column per field
             return f"inline({arg})"
         if arg.lstrip().startswith("[["):
             return f"explode(flatten({arg}))"  # one nesting level
         raise ValueError(
-            "unnest(recursive := true) is supported for struct-array and "
-            "nested-list literals"
+            "unnest(recursive := true) is supported for struct and "
+            "struct-array and nested-list literals"
         )
     return None
 
@@ -3478,7 +3565,7 @@ _TEMPLATE_RE = re.compile(
     r"json_type|json_contains|json_array|json_object|today|"
     r"timezone_hour|timezone_minute|date_add|"
     r"list_sum|list_avg|list_any_value|"
-    r"list_has_all|list_select|list_where|list_grade_up|list_resize|"
+    r"list_has_all|list_has_any|list_select|list_where|list_grade_up|list_resize|"
     r"list_dot_product|list_inner_product|list_cosine_similarity|"
     r"array_dot_product|array_inner_product|array_cosine_similarity|"
     r"array_distance|list_sort|from_json|json_group_array|json_group_object|"
@@ -3497,7 +3584,12 @@ _TEMPLATE_RE = re.compile(
 )
 
 
-_DATE_OPERAND = r"(?:DATE\s+\x00\d+\x00|[A-Za-z_][\w.]*)"
+_DATE_OPERAND = (
+    r"(?:DATE\s+\x00\d+\x00"                       # DATE '...' literal
+    r"|(?:\x00\d+\x00|[A-Za-z_][\w.]*)\s*::\s*DATE\b"  # expr::DATE cast
+    r"|CAST\s*\(\s*\x00\d+\x00\s+AS\s+DATE\s*\)"   # CAST(lit AS DATE)
+    r"|[A-Za-z_][\w.]*)"
+)
 _DATE_MINUS_RE = re.compile(
     rf"({_DATE_OPERAND})\s*-\s*({_DATE_OPERAND})", re.IGNORECASE
 )
@@ -3512,6 +3604,8 @@ _DATE_PLUS_IVAL_RE = re.compile(
 
 def _is_date_operand(tok: str, kinds: dict[str, str] | None) -> bool:
     if re.match(r"(?i)DATE\s", tok):
+        return True
+    if re.search(r"(?i)::\s*DATE\s*$", tok) or re.match(r"(?i)CAST\s*\(", tok):
         return True
     return bool(kinds) and kinds.get(tok.split(".")[-1].lower()) == "date"
 
@@ -3556,6 +3650,208 @@ def _rewrite_date_arith(s: str, kinds: dict[str, str] | None) -> str:
             pos = m.start() + len(repl)
         else:
             pos = end
+    return s
+
+
+_HASH_CALL_RE = re.compile(r"(?<![\w.])hash\s*\(", re.IGNORECASE)
+_HASH_INT_WIDTH = {"bigint": 64, "int": 32, "smallint": 16, "tinyint": 8}
+
+
+def _hash_operand(arg: str, table: list[str],
+                  kinds: dict[str, str] | None):
+    """One hash() operand → ('lit', digits) folded at rewrite time, or
+    ('expr', sql) producing the digit string at run time. None when the
+    operand's DuckDB type cannot be proven (caller fails closed)."""
+    a = arg.strip()
+    up = a.upper()
+    if up == "NULL":
+        return ("lit", str(_DD_NULL_HASH))
+    if up in ("TRUE", "FALSE"):
+        return ("lit", str(_dd_murmur_fin(1 if up == "TRUE" else 0)))
+    if re.fullmatch(r"\x00\d+\x00", a):  # string literal
+        lit = _literal_value(_unmask(a, table))
+        if lit is None:
+            return None
+        return ("lit", str(_dd_murmur64a(str(lit).encode())))
+    if m := re.fullmatch(r"(?is)DATE\s+(\x00\d+\x00)", a):
+        lit = _literal_value(_unmask(m.group(1), table))
+        try:
+            days = (_dt.date.fromisoformat(str(lit)) - _dt.date(1970, 1, 1)).days
+        except (TypeError, ValueError):
+            return None
+        return ("lit", str(_dd_murmur_fin(days & 0xFFFFFFFF)))
+    if m := re.fullmatch(r"(?is)TIMESTAMP\s+(\x00\d+\x00)", a):
+        lit = _literal_value(_unmask(m.group(1), table))
+        try:
+            ts = _dt.datetime.fromisoformat(str(lit))
+        except (TypeError, ValueError):
+            return None
+        micros = (ts - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+        return ("lit", str(_dd_murmur_fin(micros)))
+    if re.fullmatch(r"[+-]?\d+", a):  # integer literal at DuckDB's width
+        v = int(a)
+        width = 32 if -(1 << 31) <= v < (1 << 31) else 64
+        return ("lit", str(_dd_murmur_fin(v & ((1 << width) - 1))))
+    if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+", a):
+        # scientific notation is a DOUBLE literal: hash the IEEE bits
+        import struct as _struct
+
+        bits = _struct.unpack("<Q", _struct.pack("<d", float(a)))[0]
+        return ("lit", str(_dd_murmur_fin(bits)))
+    if m := re.fullmatch(r"([+-]?)(\d*)\.(\d*)", a):  # decimal literal
+        if not (m.group(2) or m.group(3)):
+            return None
+        digits = (m.group(2) + m.group(3)).lstrip("0") or "0"
+        if len(digits) > 18:
+            return None
+        v = int(digits) * (-1 if m.group(1) == "-" else 1)
+        width = 32 if len(digits) <= 9 else 64
+        return ("lit", str(_dd_murmur_fin(v & ((1 << width) - 1))))
+    if re.fullmatch(r"[A-Za-z_][\w.]*", a) and kinds:
+        k = kinds.get(a.split(".")[-1].lower())
+        if k in ("string", "binary"):
+            return ("expr", f"dd_hash_str({a})")
+        if k in _HASH_INT_WIDTH:
+            w = _HASH_INT_WIDTH[k]
+            inner = (f"CAST({a} AS BIGINT)" if w == 64
+                     else f"CAST({a} AS BIGINT) & {(1 << w) - 1}")
+            return ("expr", f"dd_hash_u64(CAST({inner} AS STRING))")
+        if k == "boolean":
+            return ("expr", f"dd_hash_u64(CAST(CAST({a} AS BIGINT) AS STRING))")
+        if k == "date":
+            return ("expr", "dd_hash_u64(CAST(CAST(unix_date("
+                            f"{a}) AS BIGINT) & 4294967295 AS STRING))")
+        if k == "timestamp":
+            # NTZ columns cast through the UTC-pinned session (identity)
+            return ("expr", "dd_hash_u64(CAST(unix_micros(CAST("
+                            f"{a} AS TIMESTAMP)) AS STRING))")
+        if k == "double":
+            return ("expr", f"dd_hash_dbl({a}, {a} IS NULL)")
+    return None
+
+
+def _rewrite_hash(s: str, table: list[str],
+                  kinds: dict[str, str] | None) -> str:
+    """DuckDB's ``hash()`` (UBIGINT, its own murmur finalizer per type
+    width / MurmurHash64A for strings — NOT Spark's 32-bit Murmur3).
+    Literal operands fold at rewrite time; typed columns route through
+    the dd_hash_* shims; multi-arg combines left-to-right with DuckDB's
+    CombineHash. Unprovable operand types fail closed."""
+    pos = 0
+    while m := _HASH_CALL_RE.search(s, pos):
+        close = _matching_paren(s, m.end() - 1)
+        args = _split_top_commas(s[m.end() : close])
+        parts = [_hash_operand(x, table, kinds) for x in args if x.strip()]
+        if not parts or any(p is None for p in parts):
+            raise DialectError(
+                "hash(): operand type cannot be proven — literals and "
+                "typed columns are supported; cast or alias the operand"
+            )
+        kind, acc = parts[0]
+        for k2, nxt in parts[1:]:
+            if kind == "lit" and k2 == "lit":
+                acc = str(
+                    ((int(acc) * _DD_HASH_COMBINE_K) & _DD_HASH_MASK)
+                    ^ int(nxt)
+                )
+            else:
+                lhs = acc if kind == "expr" else _masked_literal(table, acc)
+                rhs = nxt if k2 == "expr" else _masked_literal(table, nxt)
+                acc = f"dd_hash_combine({lhs}, {rhs})"
+                kind = "expr"
+        final = acc if kind == "expr" else _masked_literal(table, acc)
+        repl = f"CAST({final} AS DECIMAL(20, 0))"
+        s = s[: m.start()] + repl + s[close + 1 :]
+        pos = m.start() + len(repl)
+    return s
+
+
+_COLLATE_RE = re.compile(r"\s+COLLATE\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
+def _collate_keys() -> dict[str, str]:
+    # strip_accents inlines its translate body — Spark rejects SQL UDFs
+    # inside Sort expressions, and ORDER BY is a primary COLLATE site
+    from duckdb_server_spark.functions.scalar import _ACCENTED, _PLAIN
+
+    return {
+        "nocase": "lower({})",
+        "noaccent": f"translate({{}}, '{_ACCENTED}', '{_PLAIN}')",
+        "nfc": "dd_nfc_normalize({})",
+    }
+_CMP_OP_RE = re.compile(r"(<=|>=|<>|!=|=|<|>)")
+
+
+def _collate_key(expr: str, names: str) -> str:
+    """Compose the collation key expression for a dotted collation
+    spec (``NOCASE.NOACCENT`` applies left to right)."""
+    out = expr
+    keys = _collate_keys()
+    for name in names.split("."):
+        tpl = keys.get(name.lower())
+        if tpl is None:
+            raise ValueError(f"unsupported collation: {name}")
+        out = tpl.format(out)
+    return out
+
+
+def _rewrite_collate(s: str, table: list[str]) -> str:
+    """Expression-level COLLATE: a collated comparison applies the
+    collation key (NOCASE → lower, NOACCENT → strip_accents, NFC) to
+    BOTH operands — the value itself is never changed, matching
+    DuckDB's compare-under-collation semantics. Outside a comparison,
+    only ORDER BY / GROUP BY keys are supported (the key replaces the
+    sort key; the projected value is untouched); any other position
+    fails closed rather than silently transforming a projected value."""
+    while m := _COLLATE_RE.search(s):
+        names = m.group(1)
+        lstart = _primary_back(s, m.start())
+        operand = s[lstart : m.start()].strip()
+        if not operand:
+            raise ValueError("COLLATE without an operand")
+        key = _collate_key(operand, names)
+        # comparison on the RIGHT of the collation?
+        right = s[m.end() :]
+        rm = re.match(r"\s*(<=|>=|<>|!=|=|<|>)\s*", right)
+        if rm:
+            rop_start = m.end() + rm.end()
+            rop_end = _primary_fwd(s, rop_start)
+            other = s[rop_start:rop_end].strip()
+            repl = f"{key} {rm.group(1)} {_collate_key(other, names)}"
+            s = s[:lstart] + repl + s[rop_end:]
+            continue
+        # comparison on the LEFT of the operand?
+        j = lstart - 1
+        while j >= 0 and s[j] in " \t\n":
+            j -= 1
+        lm = re.search(r"(<=|>=|<>|!=|=|<|>)$", s[: j + 1])
+        if lm:
+            lop_end = lm.start()
+            while lop_end > 0 and s[lop_end - 1] in " \t\n":
+                lop_end -= 1
+            lop_start = _primary_back(s, lop_end)
+            other = s[lop_start:lop_end].strip()
+            repl = (f"{_collate_key(other, names)} {lm.group(1)} {key}")
+            s = s[:lop_start] + repl + s[m.end() :]
+            continue
+        # ORDER BY / GROUP BY key position: nearest clause keyword
+        # before the operand must be ORDER BY / GROUP BY (commas allowed)
+        head = s[:lstart]
+        km = None
+        for km2 in re.finditer(
+            r"\b(ORDER\s+BY|GROUP\s+BY|SELECT|WHERE|HAVING|FROM|ON)\b",
+            head,
+            re.IGNORECASE,
+        ):
+            km = km2
+        if km and km.group(1).upper().replace(" ", "")[:7] in (
+            "ORDERBY",
+            "GROUPBY",
+        ):
+            s = s[:lstart] + key + s[m.end() :]
+            continue
+        raise DialectError(
+            "COLLATE is supported in comparisons and ORDER BY/GROUP BY "
+            "keys; other positions would change the projected value"
+        )
     return s
 
 
@@ -4486,8 +4782,11 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_list_comprehension(masked)
     masked = _rewrite_struct_literals(masked, table)
     masked = _rewrite_positional_join(masked, spark)
+    masked = _rewrite_list_set_ops(masked)
+    masked = _rewrite_dot_calls(masked)
     masked = _rewrite_templates(masked, table)
     masked = _rewrite_similar_to(masked, table)
+    masked = _rewrite_collate(masked, table)
     masked = _rewrite_underscore_numerics(masked)
     masked = _rewrite_materialized_cte(masked)
     masked = _rewrite_fetch_limit(masked)
@@ -4515,6 +4814,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_len(masked, kinds)
     masked = _rewrite_median(masked, kinds)
     masked = _rewrite_date_arith(masked, kinds)
+    masked = _rewrite_hash(masked, table, kinds)
     masked = _rewrite_string_split(masked, table)
     masked = _rewrite_regexp_replace(masked, table)
     masked = _rewrite_regexp_extract_all(masked)
@@ -4974,6 +5274,7 @@ def register_dialect_functions(spark: SparkSession) -> None:
     _register_distance_shims(spark)
     _register_text_shims(spark)
     _register_json_shims(spark)
+    _register_hash_shims(spark)
 
 
 def _register_json_shims(spark: SparkSession) -> None:
@@ -5167,6 +5468,108 @@ def _register_json_shims(spark: SparkSession) -> None:
                 "a": pd.Series, "b": pd.Series, "return": pd.Series
             }
         spark.udf.register(name, pandas_udf(fn, typ))
+
+
+_DD_NULL_HASH = 13787848793156543929  # DuckDB's hash of NULL (any type)
+_DD_HASH_MASK = (1 << 64) - 1
+_DD_HASH_COMBINE_K = 0xBF58476D1CE4E5B9
+
+
+def _dd_murmur_fin(x: int) -> int:
+    """DuckDB's integer hash — the xor-shift/multiply finalizer over the
+    value's unsigned representation at its own type width (probed
+    against live DuckDB for every width; duckdb hash.hpp murmurhash64)."""
+    M = _DD_HASH_MASK
+    x &= M
+    x ^= x >> 32
+    x = (x * 0xD6E8FEB86659FD93) & M
+    x ^= x >> 32
+    x = (x * 0xD6E8FEB86659FD93) & M
+    x ^= x >> 32
+    return x
+
+
+def _dd_murmur64a(data: bytes, seed: int = 0xE17A1465) -> int:
+    """MurmurHash64A — DuckDB's VARCHAR/BLOB hash (seed probed: the
+    classic 0xe17a1465; verified byte-for-byte on live DuckDB)."""
+    M = _DD_HASH_MASK
+    m, r = 0xC6A4A7935BD1E995, 47
+    h = (seed ^ ((len(data) * m) & M)) & M
+    i = 0
+    while i + 8 <= len(data):
+        k = int.from_bytes(data[i : i + 8], "little")
+        k = (k * m) & M
+        k ^= k >> r
+        k = (k * m) & M
+        h = ((h ^ k) * m) & M
+        i += 8
+    tail = data[i:]
+    if tail:
+        h ^= int.from_bytes(tail, "little")
+        h = (h * m) & M
+    h ^= h >> r
+    h = (h * m) & M
+    h ^= h >> r
+    return h
+
+
+def _register_hash_shims(spark: SparkSession) -> None:
+    """DuckDB's ``hash()`` reproduced bit for bit (UBIGINT results ride
+    as digit strings so the 64-bit unsigned range survives; the rewrite
+    wraps the outermost call in CAST(… AS DECIMAL(20,0)) like the
+    md5_number family). Arrow-batched; values cross as exact digit
+    strings, never floats."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def hu64(s):
+        def one(v):
+            if v is None:
+                return str(_DD_NULL_HASH)
+            return str(_dd_murmur_fin(int(v)))
+        return s.map(one)
+
+    def hstr(s):
+        def one(v):
+            if v is None:
+                return str(_DD_NULL_HASH)
+            if isinstance(v, (bytes, bytearray)):
+                return str(_dd_murmur64a(bytes(v)))
+            return str(_dd_murmur64a(str(v).encode()))
+        return s.map(one)
+
+    def hdbl(x, isnull):
+        import struct as _struct
+
+        def one(v, n):
+            if n:
+                return str(_DD_NULL_HASH)
+            v = float(v)
+            if v == 0.0:  # DuckDB normalizes -0.0 before hashing
+                v = 0.0
+            bits = _struct.unpack("<Q", _struct.pack("<d", v))[0]
+            return str(_dd_murmur_fin(bits))
+        return pd.Series([one(v, n) for v, n in zip(x, isnull)])
+
+    def hcomb(a, b):
+        M, K = _DD_HASH_MASK, _DD_HASH_COMBINE_K
+
+        def one(x, y):
+            if x is None or y is None:
+                return None
+            return str(((int(x) * K) & M) ^ int(y))
+        return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+    hu64.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    hstr.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    hdbl.__annotations__ = {"x": pd.Series, "isnull": pd.Series,
+                            "return": pd.Series}
+    hcomb.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                             "return": pd.Series}
+    spark.udf.register("dd_hash_u64", pandas_udf(hu64, "string"))
+    spark.udf.register("dd_hash_str", pandas_udf(hstr, "string"))
+    spark.udf.register("dd_hash_dbl", pandas_udf(hdbl, "string"))
+    spark.udf.register("dd_hash_combine", pandas_udf(hcomb, "string"))
 
 
 def _register_text_shims(spark: SparkSession) -> None:
@@ -5692,6 +6095,150 @@ def _primary_back(s: str, end: int) -> int:
         if wm and wm.group(1).upper() in _EXPR_HEAD_KEYWORDS:
             return k
     return start
+
+
+def _primary_fwd(s: str, start: int) -> int:
+    """Forward walk over ONE primary expression starting at ``start``:
+    an optional unary sign, then an identifier path / number / mask /
+    bracket group, then postfix call parens, subscripts, and ``::``
+    casts. Returns the exclusive end index."""
+    n = len(s)
+    j = start
+    while j < n and s[j] in " \t\n":
+        j += 1
+    if j < n and s[j] in "+-":
+        j += 1
+        while j < n and s[j] in " \t\n":
+            j += 1
+    if j < n and s[j] in "([":
+        openc, closec = s[j], ")" if s[j] == "(" else "]"
+        depth = 1
+        j += 1
+        while j < n and depth:
+            if s[j] == openc:
+                depth += 1
+            elif s[j] == closec:
+                depth -= 1
+            j += 1
+    elif j < n and (s[j].isalnum() or s[j] in "_\x00"):
+        while j < n and (s[j].isalnum() or s[j] in "_.\x00"):
+            j += 1
+    else:
+        return start
+    # postfix: call parens, subscripts, :: casts
+    while j < n:
+        k = j
+        while k < n and s[k] in " \t\n":
+            k += 1
+        if k < n and s[k] in "([":
+            openc, closec = s[k], ")" if s[k] == "(" else "]"
+            depth = 1
+            k += 1
+            while k < n and depth:
+                if s[k] == openc:
+                    depth += 1
+                elif s[k] == closec:
+                    depth -= 1
+                k += 1
+            j = k
+        elif k + 1 < n and s[k] == ":" and s[k + 1] == ":":
+            k += 2
+            while k < n and s[k] in " \t\n":
+                k += 1
+            while k < n and (s[k].isalnum() or s[k] == "_"):
+                k += 1
+            j = k
+        else:
+            break
+    return j
+
+
+#  no whitespace before the paren: ``FROM db.tbl (alias_list)`` must
+#  never read as a method call
+_DOT_CALL_RE = re.compile(r"\.([A-Za-z_]\w*)\(")
+# prefixes that are schema qualifiers, not method receivers — DuckDB
+# resolves main.abs(-1) as the schema-qualified function
+_DOT_CALL_SCHEMAS = {
+    "main", "temp", "system", "memory",
+    "pg_catalog", "information_schema",
+}
+
+
+def _rewrite_dot_calls(s: str) -> str:
+    """DuckDB's method-call sugar: ``expr.fn(args)`` ≡ ``fn(expr,
+    args)``, chainable left to right (``x.sqrt().round(2)``). Bare
+    number and string-literal receivers stay untouched — they are
+    parser errors in DuckDB too — as do the known schema qualifiers."""
+    pos = 0
+    while m := _DOT_CALL_RE.search(s, pos):
+        dot = m.start()
+        prev = s[dot - 1] if dot else ""
+        if not (prev.isalnum() or prev in "_)]\x00"):
+            pos = m.end()
+            continue
+        start = _primary_back(s, dot)
+        primary = s[start:dot].strip()
+        if primary.lower() in _DOT_CALL_SCHEMAS:
+            # schema-qualified call: main.abs(-1) ≡ abs(-1) — strip the
+            # qualifier (Spark resolves only bare function names)
+            s = s[:start] + s[dot + 1 :]
+            pos = start
+            continue
+        if (
+            not primary
+            or re.fullmatch(r"[+-]?\d+", primary)       # 5.abs() — parser
+            or re.fullmatch(r"\x00\d+\x00", primary)     # 'x'.fn() — error
+        ):
+            pos = m.end()
+            continue
+        # a dotted path keeps everything up to the LAST segment as the
+        # receiver (t.x.abs() → abs(t.x)) — unless its head is a schema
+        head = primary.split(".", 1)[0].lower()
+        if head in _DOT_CALL_SCHEMAS:
+            pos = m.end()
+            continue
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        inner = s[open_idx + 1 : close].strip()
+        repl = f"{m.group(1)}({primary}" + (f", {inner}" if inner else "") + ")"
+        s = s[:start] + repl + s[close + 1 :]
+        pos = start  # rescan so the next link of a chain resolves
+    return s
+
+
+_LIST_SET_OP_RE = re.compile(r"<@|@>|&&")
+
+
+def _rewrite_list_set_ops(s: str) -> str:
+    """DuckDB's list containment/overlap operators — ``a <@ b`` (a's
+    elements all in b), ``a @> b`` (reverse), ``a && b`` (any shared
+    element) — spelled as the list_has_all / list_has_any functions,
+    whose templates carry DuckDB's ignore-NULL-elements semantics.
+    Operands are single primaries (list literals, columns, calls);
+    other shapes fall through to a parse error rather than silently
+    rebinding (Spark has none of these operators)."""
+    pos = 0
+    while m := _LIST_SET_OP_RE.search(s, pos):
+        j = m.start() - 1
+        while j >= 0 and s[j] in " \t\n":
+            j -= 1
+        lstart = _primary_back(s, j + 1)
+        left = s[lstart : j + 1].strip()
+        rend = _primary_fwd(s, m.end())
+        right = s[m.end() : rend].strip()
+        if not left or not right:
+            pos = m.end()
+            continue
+        op = m.group(0)
+        if op == "<@":
+            repl = f"list_has_all({right}, {left})"
+        elif op == "@>":
+            repl = f"list_has_all({left}, {right})"
+        else:
+            repl = f"list_has_any({left}, {right})"
+        s = s[:lstart] + repl + s[rend:]
+        pos = lstart + len(repl)
+    return s
 
 
 def _rewrite_libm(s: str) -> str:
@@ -8528,6 +9075,8 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
             df = spark.sql(rewrite(sql, spark, duckdb_first=True))
             df.schema
             return df
+        except DialectError:
+            raise  # native fallback would run different semantics
         except Exception:
             pass  # fall through: maybe it was Spark-dialect input
     try:
