@@ -78,6 +78,7 @@ _PRIORITY_R9: tuple[str, ...] = (
     "s31_dialect_prepare",      # new: battery-30 PREPARE/EXECUTE + tails
     "b34_ogg_flac_audio",       # new: Ogg-FLAC container end-to-end
     "b34b_ogg_probe",           # new: Ogg codec-inventory metadata probe
+    "s32_dialect_hash_ops",     # new: battery-31 hash/operator parity
     # --- r1-stamped rows (the oldest evidence left in the registry) ---
     "fn_trig",
     "fn_string_accents",

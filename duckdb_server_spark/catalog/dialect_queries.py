@@ -625,3 +625,35 @@ def s23_dialect_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFram
     dispatching to string length, and the 1-based subscript on the
     comprehension result becomes try_element_at."""
     return _sql(spark, sf_dir, _S23_SQL, ("documents",))
+
+
+_S32_SQL = """
+SELECT o_orderkey,
+       CAST(hash(o_orderkey) AS VARCHAR) AS hk,
+       CAST(hash(o_orderstatus) AS VARCHAR) AS hs,
+       CAST(hash(o_orderdate) AS VARCHAR) AS hd,
+       CAST(hash(o_totalprice) AS VARCHAR) AS hp,
+       CAST(hash(o_custkey, o_orderdate) AS VARCHAR) AS hc,
+       CAST(hash(o_orderkey) % 64 AS BIGINT) AS bucket,
+       [CAST(o_orderkey % 10 AS INT)] <@ [0, 1, 2, 3, 4] AS low_digit,
+       [CAST(o_orderkey % 10 AS INT), NULL] && [7, 8, 9] AS high_digit,
+       o_totalprice.round(0).abs() AS rounded,
+       '1996-01-01'::DATE - o_orderdate AS delta
+FROM orders
+WHERE o_orderkey <= 512 AND o_orderstatus <= 'f' COLLATE NOCASE
+ORDER BY o_orderkey ASC NULLS LAST
+"""
+
+
+@query("s32_dialect_hash_ops", oracle=_S32_SQL)
+def s32_dialect_hash_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 31 as one verbatim shared statement: DuckDB's hash()
+    reproduced bit for bit (integer width masking, MurmurHash64A
+    strings, date/timestamp/double bases, the CombineHash left fold —
+    Spark's native 32-bit Murmur3 was silently different on EVERY
+    value), the <@ / && list containment operators with ignore-NULL
+    semantics, dot-call method chaining, an expression-level COLLATE
+    comparison, and the ::DATE-cast day-count subtraction. hash()
+    values ride as VARCHAR in the SHARED text so DuckDB's UBIGINT and
+    the engine's DECIMAL(20,0) compare repr-identically."""
+    return _sql(spark, sf_dir, _S32_SQL, ("orders",))
