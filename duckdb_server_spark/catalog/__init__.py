@@ -79,6 +79,8 @@ _PRIORITY_R9: tuple[str, ...] = (
     "b34_ogg_flac_audio",       # new: Ogg-FLAC container end-to-end
     "b34b_ogg_probe",           # new: Ogg codec-inventory metadata probe
     "s32_dialect_hash_ops",     # new: battery-31 hash/operator parity
+    "b68_epoch_shuffle",        # new: deterministic epoch shuffle
+    "b69_length_bucket_packing",  # new: padding-aware batch packing
     # --- r1-stamped rows (the oldest evidence left in the registry) ---
     "fn_trig",
     "fn_string_accents",

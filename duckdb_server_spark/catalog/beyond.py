@@ -4034,3 +4034,143 @@ def b34b_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bitrate_nominal int, n_packets int, granule_total long",
     )
     return probed.orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
+    "b68_epoch_shuffle",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('epoch7:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS draw
+      FROM documents
+    )
+    SELECT CAST(draw % 16 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY draw % 16
+                                   ORDER BY draw, doc_id) AS INT) AS pos,
+           doc_id,
+           draw
+    FROM d
+    ORDER BY shard ASC NULLS LAST, pos ASC NULLS LAST
+    """,
+)
+def b68_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (round 9) — the training-loop
+    primitive: every document draws a portable 60-bit hash of
+    (epoch_seed, doc_id), lands in shard = draw % n_shards, and takes
+    position = rank of its draw within the shard. Changing the seed
+    string re-permutes the corpus; no RNG state, so any worker (or the
+    oracle) reproduces the epoch order from the id alone — this is how
+    100 TB corpora are shuffled in practice, since a true random
+    permutation would need global state. Plan shape: the draw is a
+    scan-side expression, ONE shuffle keyed on the 16 shards, and a
+    per-shard window — at production shard counts (2^10-2^14, one per
+    reader) partitions stay executor-sized; nothing global ever sorts."""
+    from duckdb_server_spark.operators.dedup import _md5_60
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = docs.withColumn(
+        "draw",
+        _md5_60(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string"))),
+    )
+    shard = (F.col("draw") % 16).cast("int")
+    win = Window.partitionBy(F.col("draw") % 16).orderBy(
+        F.col("draw").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select(
+            shard.alias("shard"),
+            F.row_number().over(win).cast("int").alias("pos"),
+            "doc_id",
+            "draw",
+        )
+        .orderBy(F.col("shard").asc_nulls_last(), F.col("pos").asc_nulls_last())
+    )
+
+
+@query(
+    "b69_length_bucket_packing",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS len,
+             CAST(least(length(text) // 64, 15) AS INT) AS bucket,
+             CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS draw
+      FROM documents
+    ),
+    seqd AS (
+      SELECT doc_id, len, bucket,
+             CAST(draw % 8 AS INT) AS shard,
+             row_number() OVER (PARTITION BY bucket, draw % 8
+                                ORDER BY draw, doc_id) AS seq
+      FROM d
+    )
+    SELECT bucket, shard,
+           CAST((seq - 1) // 4 AS INT) AS batch,
+           CAST(count(*) AS INT) AS n_docs,
+           CAST(max(len) AS BIGINT) AS max_len,
+           CAST(sum(len) AS BIGINT) AS sum_len,
+           CAST(count(*) * max(len) - sum(len) AS BIGINT) AS pad_waste
+    FROM seqd
+    GROUP BY bucket, shard, (seq - 1) // 4
+    ORDER BY bucket ASC NULLS LAST, shard ASC NULLS LAST,
+             batch ASC NULLS LAST
+    """,
+)
+def b69_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch packing (round 9) — the padding-waste
+    killer for training/inference batching: documents bucket by length
+    band (64-char bands, capped), shard by a portable draw, take a
+    deterministic sequence within (bucket, shard), and group into
+    fixed-size batches; each batch reports its exact padding waste
+    (n·max_len − Σlen), the quantity this layout minimizes versus
+    naive batching. Integer-exact end to end, so the oracle replays
+    every batch. Plan shape: length/bucket/draw are scan-side
+    expressions; ONE shuffle keyed (bucket, shard); windows and the
+    batch aggregate share that partitioning — at production shard
+    counts each partition is one reader's queue, nothing global."""
+    from duckdb_server_spark.operators.dedup import _md5_60
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len"),
+        F.least(
+            (F.length("text") / F.lit(64)).cast("long"), F.lit(15)
+        ).cast("int").alias("bucket"),
+        _md5_60(
+            F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))
+        ).alias("draw"),
+    )
+    seqd = d.select(
+        "doc_id",
+        "len",
+        "bucket",
+        (F.col("draw") % 8).cast("int").alias("shard"),
+        F.row_number()
+        .over(
+            Window.partitionBy("bucket", F.col("draw") % 8).orderBy(
+                F.col("draw").asc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("seq"),
+    )
+    return (
+        seqd.groupBy(
+            "bucket",
+            "shard",
+            F.floor((F.col("seq") - 1) / 4).cast("int").alias("batch"),
+        )
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.max("len").alias("max_len"),
+            F.sum("len").alias("sum_len"),
+            (F.count("*") * F.max("len") - F.sum("len")).alias("pad_waste"),
+        )
+        .orderBy(
+            F.col("bucket").asc_nulls_last(),
+            F.col("shard").asc_nulls_last(),
+            F.col("batch").asc_nulls_last(),
+        )
+    )
