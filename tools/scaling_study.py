@@ -139,6 +139,14 @@ GROUPS = {
         # total spans (uniqueness needs no pair generation)
         ("b66_ngram_novelty", 5_000, ("1x", "10x", "100x")),
     ],
+    # round-9 data-ordering pair: both are one scan-side hash + one
+    # keyed shuffle + per-key window; expected linear with accelerating
+    # per-doc throughput (fixed overhead amortizes, no pair generation)
+    "r9": [
+        ("b68_epoch_shuffle", 5_000, ("1x", "10x", "100x")),
+        ("b69_length_bucket_packing", 5_000, ("1x", "10x", "100x")),
+        ("b34_ogg_flac_audio", 5_000, ("1x", "10x")),
+    ],
     # the full TPC-H-ish suite at the 10× fact tier (lineitem 6M rows,
     # joins resolving against consistently-offset orders/customer and
     # fixed dims) — VERDICT r5 item 6. base_rows = lineitem at sf0.1.
