@@ -81,6 +81,8 @@ _PRIORITY_R9: tuple[str, ...] = (
     "s32_dialect_hash_ops",     # new: battery-31 hash/operator parity
     "b68_epoch_shuffle",        # new: deterministic epoch shuffle
     "b69_length_bucket_packing",  # new: padding-aware batch packing
+    "b35_mp3_probe",            # new: MP3 frame-walk inventory
+    "b36_exif_probe",           # new: EXIF APP1/TIFF metadata
     # --- r1-stamped rows (the oldest evidence left in the registry) ---
     "fn_trig",
     "fn_string_accents",

@@ -4174,3 +4174,156 @@ def b69_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("batch").asc_nulls_last(),
         )
     )
+
+
+@query(
+    "b35_mp3_probe",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, ascii(substr(text || 'x', 1, 1)) AS c0
+      FROM documents
+    ),
+    geo AS (
+      SELECT doc_id,
+             CAST(2 + c0 % 5 AS INT) AS n_frames,
+             1 + c0 % 14 AS br_idx,
+             c0 % 3 AS sr_idx,
+             doc_id % 2 = 0 AS mono
+      FROM px
+    )
+    SELECT doc_id, n_frames,
+           CAST(1000 * ([32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                        )[CAST(br_idx AS INT)] AS INT) AS bitrate,
+           CAST(([44100,48000,32000])[CAST(sr_idx AS INT) + 1] AS INT)
+             AS sample_rate,
+           CAST(CASE WHEN mono THEN 1 ELSE 2 END AS INT) AS channels,
+           CAST(n_frames * 1152 * 1000
+                // ([44100,48000,32000])[CAST(sr_idx AS INT) + 1]
+                AS BIGINT) AS duration_ms
+    FROM geo
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b35_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 container inventory (round 9, operators/mp3.py): each
+    document's first character picks the frame geometry (frame count,
+    bitrate index, sample-rate index, channel mode); even doc_ids also
+    carry an ID3v2 prefix that the syncsafe-size skip must clear. The
+    frame walk verifies sync on every frame and derives duration from
+    the summed samples — the what-to-transcode pass for scraped audio,
+    with MP3 audio decode itself fail-closed (entropy plug point, like
+    Vorbis/Opus). The oracle replays frame geometry from the character
+    DEFINITION through the same public bitrate/rate tables."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _probe(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.mp3 import probe_mp3, write_mp3
+
+        for pdf in pdf_iter:
+            rows = {k: [] for k in ("doc_id", "n_frames", "bitrate",
+                                    "sample_rate", "channels",
+                                    "duration_ms")}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                c0 = ((text_ or "") + "x").encode("latin-1")[0]
+                blob = write_mp3(
+                    2 + c0 % 5,
+                    br_idx=1 + c0 % 14,
+                    sr_idx=c0 % 3,
+                    mono=doc_id % 2 == 0,
+                    id3_note=(text_ or "x")[:4].encode("latin-1")
+                    if doc_id % 2 == 0
+                    else b"",
+                )
+                m = probe_mp3(blob)
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(m["n_frames"])
+                rows["bitrate"].append(m["bitrate"])
+                rows["sample_rate"].append(m["sample_rate"])
+                rows["channels"].append(m["channels"])
+                rows["duration_ms"].append(m["duration_ms"])
+            yield _pd.DataFrame(rows)
+
+    probed = docs.mapInPandas(
+        _probe,
+        "doc_id long, n_frames int, bitrate int, sample_rate int, "
+        "channels int, duration_ms long",
+    )
+    return probed.orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
+    "b36_exif_probe",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, ascii(substr(text || 'x', 1, 1)) AS c0,
+             substr(text || repeat('x', 4), 1, 4) AS s4
+      FROM documents
+    )
+    SELECT doc_id,
+           'Maker' || CAST(c0 % 4 AS VARCHAR) AS make,
+           s4 AS model,
+           CAST(1 + c0 % 8 AS INT) AS orientation,
+           '2024:05:0' || CAST(1 + c0 % 9 AS VARCHAR) || ' 10:00:00'
+             AS datetime,
+           CAST(640 + 2 * c0 AS BIGINT) AS pixel_x,
+           CAST(480 + c0 AS BIGINT) AS pixel_y,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
+    FROM px
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b36_exif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction through the binary image column (round 9,
+    operators/exif.py): each document's JPEG (the real b30-family
+    encoder) gains an APP1/Exif segment — TIFF IFD0 with Make/Model/
+    Orientation/DateTime plus the Exif sub-IFD's pixel dimensions —
+    written little-endian for even doc_ids and BIG-endian for odd, so
+    the reader proves both byte orders against non-native layouts. The
+    orientation histogram / camera inventory is a standard multimodal
+    curation pass. Oracle replays every field from the document
+    DEFINITION; the JPEG itself still decodes with the segment spliced
+    in (pinned in tests)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _probe(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.exif import (
+            build_exif_app1,
+            insert_exif,
+            parse_exif,
+        )
+        from duckdb_server_spark.operators.jpeg import encode_jpeg_gray
+
+        base = encode_jpeg_gray(bytes([90]) * 64, 8, 8)
+        for pdf in pdf_iter:
+            rows = {k: [] for k in ("doc_id", "make", "model",
+                                    "orientation", "datetime",
+                                    "pixel_x", "pixel_y", "byte_order")}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text_ or "") + "x" * 4)
+                c0 = s.encode("latin-1")[0]
+                app1 = build_exif_app1(
+                    f"Maker{c0 % 4}",
+                    s[:4],
+                    1 + c0 % 8,
+                    f"2024:05:0{1 + c0 % 9} 10:00:00",
+                    640 + 2 * c0,
+                    480 + c0,
+                    big_endian=doc_id % 2 == 1,
+                )
+                meta = parse_exif(insert_exif(base, app1))
+                rows["doc_id"].append(doc_id)
+                for k in ("make", "model", "orientation", "datetime",
+                          "pixel_x", "pixel_y", "byte_order"):
+                    rows[k].append(meta[k])
+            yield _pd.DataFrame(rows)
+
+    probed = docs.mapInPandas(
+        _probe,
+        "doc_id long, make string, model string, orientation int, "
+        "datetime string, pixel_x long, pixel_y long, byte_order string",
+    )
+    return probed.orderBy(F.col("doc_id").asc_nulls_last())
