@@ -1363,6 +1363,31 @@ def _rewrite_len(s: str, kinds: dict[str, bool] | None = None) -> str:
 _HEX_CAST_RE = re.compile(
     r"CAST\s*\(\s*\(\s*(\x00\d+\x00)\s*\|\|", re.IGNORECASE
 )
+# the paren-less spelling: CAST('0x' || expr AS BIGINT)
+_HEX_CAST_BARE_RE = re.compile(
+    r"CAST\s*\(\s*(\x00\d+\x00)\s*\|\|", re.IGNORECASE
+)
+
+
+def _top_level_as(s: str, start: int, end: int) -> int | None:
+    """Index of the first depth-0 ``AS`` keyword in s[start:end]."""
+    depth = 0
+    i = start
+    while i < end:
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and s[i : i + 2].upper() == "AS":
+            before = s[i - 1] if i else " "
+            after = s[i + 2] if i + 2 < len(s) else " "
+            if not (before.isalnum() or before in "_\x00") and not (
+                after.isalnum() or after in "_\x00"
+            ):
+                return i
+        i += 1
+    return None
 
 
 def _rewrite_hex_cast(s: str, table: list[str]) -> str:
@@ -1384,6 +1409,27 @@ def _rewrite_hex_cast(s: str, table: list[str]) -> str:
         if not as_m:
             pos = m.end()
             continue
+        s = (
+            s[: m.start()]
+            + f"CAST(conv({expr}, 16, 10) AS BIGINT)"
+            + s[cast_close + 1 :]
+        )
+    pos = 0
+    while m := _HEX_CAST_BARE_RE.search(s, pos):
+        if _literal_value(_unmask(m.group(1), table)) != "0x":
+            pos = m.end()
+            continue
+        cast_open = s.index("(", m.start())
+        cast_close = _matching_paren(s, cast_open)
+        as_at = _top_level_as(s, m.end(), cast_close)
+        if as_at is None or not re.match(
+            r"AS\s+(BIGINT|HUGEINT|INTEGER|INT|UBIGINT)\s*$",
+            s[as_at : cast_close].strip(),
+            re.IGNORECASE,
+        ):
+            pos = m.end()
+            continue
+        expr = s[m.end() : as_at].strip()
         s = (
             s[: m.start()]
             + f"CAST(conv({expr}, 16, 10) AS BIGINT)"
@@ -3238,6 +3284,15 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         return _masked_literal(table, "main")
     if fn == "current_database" and not args:
         return _masked_literal(table, "memory")
+    if fn == "kurtosis_pop" and len(args) == 1:
+        # DuckDB's population excess kurtosis IS Spark's native kurtosis
+        # (the replacement is never rescanned, so the sample-correction
+        # arm below cannot re-fire on it)
+        return f"kurtosis({args[0]})"
+    if fn == "sem" and len(args) == 1:
+        # standard error of the mean — probed: DuckDB uses the
+        # POPULATION stddev over sqrt(n) (ratio test at n=1500)
+        return f"(stddev_pop({args[0]}) / sqrt(count({args[0]})))"
     if fn == "kurtosis" and len(args) == 1:
         # DuckDB reports SAMPLE excess kurtosis; Spark's is population.
         # Exact single-pass combination (equal up to float ulp):
@@ -3559,6 +3614,7 @@ _TEMPLATE_RE = re.compile(
     r"list_reverse_sort|array_reverse_sort|dayname|monthname|geomean|"
     r"divide|multiply|add|"
     r"subtract|fsum|sumkahan|kahan_sum|favg|skewness|bitstring_agg|"
+    r"kurtosis_pop|sem|"
     r"date_trunc|datetrunc|json_quote|"
     r"encode|decode|sha256|left|right|unnest|isodow|current_schemas|"
     r"md5_number_lower|md5_number_upper|list_count|setseed|"
@@ -8953,8 +9009,15 @@ def _run_pivot(spark: SparkSession, m: re.Match) -> DataFrame:
         values = [
             _strip_quotes(v.strip()) for v in in_list.split(",") if v.strip()
         ]
-        return df.groupBy(*groups).pivot(on_col, values).agg(agg)
-    return df.groupBy(*groups).pivot(on_col).agg(agg)
+        out = df.groupBy(*groups).pivot(on_col, values).agg(agg)
+    else:
+        out = df.groupBy(*groups).pivot(on_col).agg(agg)
+    if fn == "count":
+        # DuckDB's count() pivot cells are 0 where no rows matched —
+        # Spark's pivot leaves NULL (a silent divergence, battery 32)
+        out = out.fillna(0, subset=[c for c in out.columns
+                                    if c not in groups])
+    return out
 
 
 def _flatten_schemas(sql: str, schemas: set) -> str:
