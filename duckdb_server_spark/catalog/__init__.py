@@ -83,6 +83,8 @@ _PRIORITY_R9: tuple[str, ...] = (
     "b69_length_bucket_packing",  # new: padding-aware batch packing
     "b35_mp3_probe",            # new: MP3 frame-walk inventory
     "b36_exif_probe",           # new: EXIF APP1/TIFF metadata
+    "b70_gram_matrix",          # new: one-pass PCA-prep Gram matrix
+    "b71_random_projection",    # new: implicit-matrix JL projection
     # --- r1-stamped rows (the oldest evidence left in the registry) ---
     "fn_trig",
     "fn_string_accents",

@@ -4327,3 +4327,100 @@ def b36_exif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "datetime string, pixel_x long, pixel_y long, byte_order string",
     )
     return probed.orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
+    "b70_gram_matrix",
+    oracle="""
+    WITH pairs AS (
+      SELECT unnest(flatten(list_transform(
+               range(1, len(embedding) + 1), i ->
+               list_transform(range(i, len(embedding) + 1), j ->
+                 {'i': i - 1, 'j': j - 1,
+                  'p': CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                       * CAST(embedding[CAST(j AS INT)] AS DOUBLE)})))) AS s
+      FROM embeddings
+    )
+    SELECT CAST(s.i AS INT) AS i, CAST(s.j AS INT) AS j,
+           round(sum(s.p), 4) AS g
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY i ASC NULLS LAST, j ASC NULLS LAST
+    """,
+)
+def b70_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix (round 9) — the one-pass statistic under
+    PCA / whitening / linear probing: G[i][j] = Σ_v v[i]·v[j] over the
+    corpus, upper triangle. The d² pair terms are generated INSIDE the
+    scan (indexed-lambda expressions over the embedding array, no self
+    join) and collapse through partial aggregation: every partition
+    reduces to at most d(d+1)/2 rows before the shuffle, so at ANY
+    corpus size the exchange carries partitions × 2080 rows for d=64 —
+    the eigendecomposition then runs on the driver-sized d×d result
+    (the standard architecture; the reduction is the distributed part).
+    Float sums round to 4 decimals per FIXTURES.md (partition order)."""
+    emb = t(spark, sf_dir, "embeddings").select("embedding")
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(embedding, (x, i) ->
+                  transform(slice(embedding, i + 1, size(embedding) - i),
+                            (y, j) ->
+                    struct(i AS i, i + j AS j,
+                           CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS p))))
+                """
+            )
+        ).alias("s")
+    )
+    return (
+        pairs.groupBy(
+            F.col("s.i").cast("int").alias("i"),
+            F.col("s.j").cast("int").alias("j"),
+        )
+        .agg(F.round(F.sum("s.p"), 4).alias("g"))
+        .orderBy(F.col("i").asc_nulls_last(), F.col("j").asc_nulls_last())
+    )
+
+
+@query(
+    "b71_random_projection",
+    oracle="""
+    SELECT vec_id,
+           CAST(k AS INT) AS k,
+           round(list_aggregate(list_transform(
+             range(1, len(embedding) + 1), i ->
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+             * CASE WHEN ((i - 1) * 1103515245 + k * 12345) % 2 = 0
+                    THEN 1 ELSE -1 END), 'sum'), 6) AS proj
+    FROM embeddings, unnest([0, 1, 2, 3, 4, 5, 6, 7]) t(k)
+    ORDER BY vec_id ASC NULLS LAST, k ASC NULLS LAST
+    """,
+)
+def b71_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → 8 dims (round 9) —
+    the dimensionality-reduction front end for sketching/clustering at
+    scale. The ±1 projection matrix is IMPLICIT: sign(i, k) derives
+    from a deterministic integer hash of the coordinates, so the
+    matrix is never materialized, never broadcast, and every engine
+    (and the oracle) regenerates it from the indices alone. Pure
+    scan-side map — ZERO shuffles at any corpus size; each vector
+    costs d·k multiply-adds. Output rounds to 6 decimals; the fold is
+    left-to-right in both engines."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ks = F.explode(F.expr("sequence(0, 7)")).alias("k")
+    rows = emb.select("vec_id", "embedding", ks)
+    proj = F.expr(
+        """
+        round(aggregate(
+          zip_with(embedding, sequence(0, size(embedding) - 1),
+                   (x, i) -> CAST(x AS DOUBLE)
+                     * CASE WHEN (CAST(i AS BIGINT) * 1103515245
+                                  + CAST(k AS BIGINT) * 12345) % 2 = 0
+                            THEN 1.0 ELSE -1.0 END),
+          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)
+        """
+    )
+    return rows.select(
+        "vec_id", F.col("k").cast("int").alias("k"), proj.alias("proj")
+    ).orderBy(F.col("vec_id").asc_nulls_last(), F.col("k").asc_nulls_last())

@@ -146,6 +146,11 @@ GROUPS = {
         ("b68_epoch_shuffle", 5_000, ("1x", "10x", "100x")),
         ("b69_length_bucket_packing", 5_000, ("1x", "10x", "100x")),
         ("b34_ogg_flac_audio", 5_000, ("1x", "10x")),
+        # Gram matrix: d² pair terms generated scan-side, partial agg
+        # collapses every partition to ≤2080 rows pre-shuffle
+        ("b70_gram_matrix", 500, ("1x", "10x", "100x")),
+        # JL projection: implicit hash-derived matrix, zero shuffles
+        ("b71_random_projection", 500, ("1x", "10x", "100x")),
     ],
     # the full TPC-H-ish suite at the 10× fact tier (lineitem 6M rows,
     # joins resolving against consistently-offset orders/customer and
