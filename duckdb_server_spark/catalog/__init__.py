@@ -85,6 +85,8 @@ _PRIORITY_R9: tuple[str, ...] = (
     "b36_exif_probe",           # new: EXIF APP1/TIFF metadata
     "b70_gram_matrix",          # new: one-pass PCA-prep Gram matrix
     "b71_random_projection",    # new: implicit-matrix JL projection
+    "b72_hard_negatives",       # new: contrastive-training negatives
+    "b73_paragraph_dedup",      # new: sub-document boilerplate dedup
     # --- r1-stamped rows (the oldest evidence left in the registry) ---
     "fn_trig",
     "fn_string_accents",

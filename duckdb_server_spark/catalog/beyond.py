@@ -4424,3 +4424,169 @@ def b71_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         "vec_id", F.col("k").cast("int").alias("k"), proj.alias("proj")
     ).orderBy(F.col("vec_id").asc_nulls_last(), F.col("k").asc_nulls_last())
+
+
+@query(
+    "b72_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding, label
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(q.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(c.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cs
+      FROM q CROSS JOIN embeddings c
+      WHERE c.label <> q.label),
+    ranked AS (
+      SELECT query_id, vec_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def b72_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (round 9) — the contrastive-training data
+    op: for each query, the most-similar corpus vectors whose LABEL
+    differs (similar-but-wrong = the gradient-rich negatives for
+    retrieval/embedding training). Same salted two-phase top-k shape
+    as b10 (broadcast queries, scan-side cosine, label-mismatch filter
+    BEFORE the windows so excluded rows never rank), so each query's
+    candidates spread over 16 salt tasks and the final window ranks
+    ≤ k·16 survivors — no corpus-sized sort per query at any scale."""
+    from duckdb_server_spark.operators.similarity import (
+        _as_double,
+        cosine_similarity,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qvec"),
+            F.col("label").alias("__qlabel"),
+        )
+    )
+    scored = (
+        emb.select("vec_id", F.col("embedding").alias("__cvec"), "label")
+        .crossJoin(q)
+        .filter(F.col("label") != F.col("__qlabel"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(
+                _as_double(F.col("__qvec")), _as_double(F.col("__cvec"))
+            ).alias("cos_sim"),
+        )
+    )
+    order = (F.col("cos_sim").desc_nulls_last(),
+             F.col("vec_id").asc_nulls_last())
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64("vec_id"), F.lit(16))
+    ).orderBy(*order)
+    survivors = (
+        scored.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= 5)
+        .drop("__rn1")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id",
+                F.round("cos_sim", 6).alias("cos_sim"), "rank")
+        .orderBy(F.col("query_id").asc_nulls_last(),
+                 F.col("rank").asc_nulls_last())
+    )
+
+
+@query(
+    "b73_paragraph_dedup",
+    oracle="""
+    WITH paras AS (
+      SELECT doc_id, CAST(p.i AS INT) - 1 AS para_idx,
+             trim(p.part) AS para
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(string_split(text, '. '))
+                                           + 1),
+                      i -> {'i': i,
+                            'part': string_split(text, '. ')[CAST(i AS INT)]}
+                      )) AS p
+        FROM documents
+      )
+      WHERE length(trim(p.part)) > 0
+    ),
+    hashed AS (
+      SELECT doc_id, para_idx,
+             CAST('0x' || substr(md5(trim(para)), 1, 15) AS BIGINT) AS h
+      FROM paras
+    ),
+    firsts AS (
+      SELECT h, min(doc_id * 1000000 + para_idx) AS keeper
+      FROM hashed GROUP BY h
+    )
+    SELECT hashed.doc_id,
+           CAST(count(*) AS INT) AS n_paras,
+           CAST(count(*) FILTER (doc_id * 1000000 + para_idx = keeper)
+                AS INT) AS n_kept,
+           CAST(1000000 * count(*) FILTER (doc_id * 1000000 + para_idx
+                                           = keeper)
+                // count(*) AS INT) AS kept_ppm
+    FROM hashed JOIN firsts ON hashed.h = firsts.h
+    GROUP BY hashed.doc_id
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b73_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (round 9) — finer-grained than the
+    document dedup family: documents split into sentence-paragraph
+    units, each unit hashes portably, the globally FIRST occurrence
+    (lowest doc_id, then position) survives, and every document
+    reports how much of it remains — the boilerplate-removal shape
+    (nav bars, license headers, repeated footers die; unique prose
+    survives) that document-level dedup cannot express. Shuffles carry
+    8-byte unit hashes, never text; the keeper choice is one
+    min-aggregate per hash — no pair generation, cost linear in total
+    units. Integer ppm output replays bit-exactly."""
+    from duckdb_server_spark.operators.dedup import _md5_60
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    paras = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", r"\. ")).alias("para_idx", "para"),
+        )
+        .select("doc_id", "para_idx", F.trim("para").alias("para"))
+        .filter(F.length("para") > 0)
+    )
+    hashed = paras.select(
+        "doc_id",
+        "para_idx",
+        _md5_60(F.col("para")).alias("h"),
+        (F.col("doc_id") * 1000000 + F.col("para_idx")).alias("slot"),
+    )
+    firsts = hashed.groupBy("h").agg(F.min("slot").alias("keeper"))
+    joined = hashed.join(firsts, "h")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_paras"),
+            F.count(F.when(F.col("slot") == F.col("keeper"), 1))
+            .cast("int")
+            .alias("n_kept"),
+            F.floor(
+                1000000
+                * F.count(F.when(F.col("slot") == F.col("keeper"), 1))
+                / F.count("*")
+            )
+            .cast("int")
+            .alias("kept_ppm"),
+        )
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )
