@@ -138,3 +138,83 @@ def test_unknown_any_type_clean_error(flight_port):
         bogus = _any("CommandNoSuchThing", b"")
         with pytest.raises(flight.FlightError):
             client.get_flight_info(flight.FlightDescriptor.for_command(bogus))
+
+
+# --- independent minimal protobuf reader (for the create result) -----------
+
+
+def _read_varint(b: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        v = b[pos]
+        out |= (v & 0x7F) << shift
+        pos += 1
+        if not v & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _read_fields(b: bytes) -> dict[int, bytes | int]:
+    """Flat field map (last wins) — enough for Any and the prepared
+    result, whose fields are all length-delimited or varint."""
+    fields: dict[int, bytes | int] = {}
+    pos = 0
+    while pos < len(b):
+        key, pos = _read_varint(b, pos)
+        field, wire = key >> 3, key & 0x07
+        if wire == 2:
+            ln, pos = _read_varint(b, pos)
+            fields[field] = b[pos : pos + ln]
+            pos += ln
+        elif wire == 0:
+            fields[field], pos = _read_varint(b, pos)
+        else:
+            raise AssertionError(f"unexpected wire type {wire}")
+    return fields
+
+
+def test_adbc_prepared_statement_lifecycle_replay(flight_port):
+    """The ADBC prepared-statement wire sequence from independent
+    frames: CreatePreparedStatement → (decode the result handle with an
+    independent reader) → DoPut parameter binding → GetFlightInfo(
+    CommandPreparedStatementQuery) → DoGet → rebind and re-execute →
+    ClosePreparedStatement → the handle is gone."""
+    import pyarrow as pa
+
+    with flight.connect(f"grpc://127.0.0.1:{flight_port}") as client:
+        create = _any(
+            "ActionCreatePreparedStatementRequest",
+            _str_field(1, "SELECT $1 + $2 AS s, $1 AS a"),
+        )
+        results = list(
+            client.do_action(flight.Action("CreatePreparedStatement", create))
+        )
+        any_fields = _read_fields(results[0].body.to_pybytes())
+        assert any_fields[1].decode().endswith(
+            "ActionCreatePreparedStatementResult"
+        )
+        handle = _read_fields(any_fields[2])[1]
+        assert isinstance(handle, bytes) and handle
+
+        descriptor_bytes = _any(
+            "CommandPreparedStatementQuery", _len_field(1, handle)
+        )
+        descriptor = flight.FlightDescriptor.for_command(descriptor_bytes)
+        for a, b in ((3, 4), (30, 40)):  # rebind re-executes
+            batch = pa.record_batch(
+                [pa.array([a]), pa.array([b])], names=["p1", "p2"]
+            )
+            w, _ = client.do_put(descriptor, batch.schema)
+            w.write_batch(batch)
+            w.close()
+            info = client.get_flight_info(descriptor)
+            out = client.do_get(info.endpoints[0].ticket).read_all()
+            assert out["s"][0].as_py() == a + b
+            assert out["a"][0].as_py() == a
+
+        close = _any(
+            "ActionClosePreparedStatementRequest", _len_field(1, handle)
+        )
+        list(client.do_action(flight.Action("ClosePreparedStatement", close)))
+        with pytest.raises(flight.FlightError):
+            client.get_flight_info(descriptor)
