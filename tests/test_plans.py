@@ -539,3 +539,55 @@ def test_upsert_merge_joins_on_key_only(spark):
         tuple(r) for r in spark.table("plan_ups").collect()
     ) == [(1, "b"), (2, "c")]
     execute_statement(spark, "DROP TABLE plan_ups")
+
+
+def test_epoch_shuffle_single_hash_exchange(spark, sf_dir):
+    """b68: the draw is a scan-side expression; exactly ONE hash
+    exchange (the shard keying for the window) appears — the trailing
+    range exchange is the presentation sort — and the scan prunes to
+    doc_id alone."""
+    from duckdb_server_spark.catalog.beyond import b68_epoch_shuffle
+
+    df = b68_epoch_shuffle(spark, sf_dir)
+    text = plans.explain_string(df)
+    assert text.count("hashpartitioning(") == 1
+    for cols in plans.read_schema_columns(df):
+        assert set(cols) <= {"doc_id"}
+
+
+def test_random_projection_zero_hash_exchanges(spark, sf_dir):
+    """b71: the implicit hash-derived JL matrix means a pure scan-side
+    map — no hash exchange anywhere in the plan."""
+    from duckdb_server_spark.catalog.beyond import b71_random_projection
+
+    df = b71_random_projection(spark, sf_dir)
+    assert "hashpartitioning(" not in plans.explain_string(df)
+
+
+def test_gram_matrix_partial_aggregation(spark, sf_dir):
+    """b70: the d² pair terms collapse through partial aggregation —
+    two HashAggregate nodes (map-side combine below the exchange), so
+    every partition ships at most d(d+1)/2 rows; the scan prunes to
+    the embedding column."""
+    import re as _re
+
+    from duckdb_server_spark.catalog.beyond import b70_gram_matrix
+
+    df = b70_gram_matrix(spark, sf_dir)
+    text = plans.explain_string(df)
+    assert len(_re.findall(r"\(\d+\) HashAggregate", text)) >= 2
+    for cols in plans.read_schema_columns(df):
+        assert set(cols) <= {"embedding"}
+
+
+def test_hard_negatives_broadcast_and_two_phase_window(spark, sf_dir):
+    """b72: the query side broadcasts and the salted pre-prune gives at
+    least two Window nodes — never one corpus-sized sort per query."""
+    import re as _re
+
+    from duckdb_server_spark.catalog.beyond import b72_hard_negatives
+
+    df = b72_hard_negatives(spark, sf_dir)
+    text = plans.explain_string(df)
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+    assert len(_re.findall(r"\(\d+\) Window", text)) >= 2
