@@ -87,6 +87,7 @@ _PRIORITY_R9: tuple[str, ...] = (
     "b71_random_projection",    # new: implicit-matrix JL projection
     "b72_hard_negatives",       # new: contrastive-training negatives
     "b73_paragraph_dedup",      # new: sub-document boilerplate dedup
+    "b74_gzip_corpus",          # new: RFC 1952 member-chain reading
     # --- r1-stamped rows (the oldest evidence left in the registry) ---
     "fn_trig",
     "fn_string_accents",

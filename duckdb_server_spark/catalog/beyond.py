@@ -4590,3 +4590,69 @@ def b73_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc_nulls_last())
     )
+
+
+@query(
+    "b74_gzip_corpus",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 0 AND length(text) >= 2
+                     THEN 2 ELSE 1 END AS INT) AS n_members,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+    FROM documents
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b74_gzip_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-corpus reading (round 9, operators/gzipio.py): each
+    document's text rides as a gzip BLOB — and every third document as
+    TWO concatenated members, the WARC/WET reality — so the reader
+    must walk the RFC 1952 member chain, honor optional FNAME headers,
+    and verify each member's CRC32 + ISIZE trailer before trusting the
+    bytes. The decompressed text's stats and portable fingerprint
+    replay from the document DEFINITION, so a hash-match proves the
+    member walk and inflate returned the corpus byte-for-byte. Scale
+    shape: a linear walk per payload inside mapInPandas; nothing
+    crosses the driver."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _roundtrip(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.gzipio import (
+            read_members,
+            write_member,
+        )
+
+        for pdf in pdf_iter:
+            rows = {k: [] for k in ("doc_id", "n_members", "n_chars",
+                                    "n_words", "text")}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text_ or "").encode("utf-8")
+                if doc_id % 3 == 0 and len(raw) >= 2:
+                    cut = len(raw) // 2
+                    blob = write_member(raw[:cut], name=f"r{doc_id}a") + \
+                        write_member(raw[cut:])
+                else:
+                    blob = write_member(raw, name=f"r{doc_id}")
+                members = read_members(blob)
+                out = b"".join(m["data"] for m in members).decode("utf-8")
+                rows["doc_id"].append(doc_id)
+                rows["n_members"].append(len(members))
+                rows["n_chars"].append(len(out))
+                rows["n_words"].append(len(out.split(" ")))
+                rows["text"].append(out)
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _roundtrip,
+        "doc_id long, n_members int, n_chars int, n_words int, text string",
+    )
+    from duckdb_server_spark.operators.dedup import _md5_60
+
+    return decoded.select(
+        "doc_id", "n_members", "n_chars", "n_words",
+        _md5_60(F.col("text")).alias("fp"),
+    ).orderBy(F.col("doc_id").asc_nulls_last())

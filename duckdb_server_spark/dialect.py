@@ -2808,15 +2808,6 @@ def _flatten_named_struct(expr: str) -> str:
     return "named_struct(" + ", ".join(pairs) + ")"
 
 
-_LAMBDA_ID = iter(range(1, 1 << 30))
-
-
-def _next_lambda_id() -> int:
-    """Unique suffix for template-emitted lambda parameters, so nested
-    expansions never shadow each other."""
-    return next(_LAMBDA_ID)
-
-
 def _template(fn: str, args: list[str], table: list[str]) -> str | None:
     """Structural rewrites for DuckDB functions whose Spark equivalent
     needs argument reshaping (not just a rename). Returns None to leave
