@@ -4391,7 +4391,8 @@ def b70_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_aggregate(list_transform(
              range(1, len(embedding) + 1), i ->
              CAST(embedding[CAST(i AS INT)] AS DOUBLE)
-             * CASE WHEN ((i - 1) * 1103515245 + k * 12345) % 2 = 0
+             * CASE WHEN ((CAST(i AS BIGINT) - 1) * 1103515245
+                          + CAST(k AS BIGINT) * 12345) % 2 = 0
                     THEN 1 ELSE -1 END), 'sum'), 6) AS proj
     FROM embeddings, unnest([0, 1, 2, 3, 4, 5, 6, 7]) t(k)
     ORDER BY vec_id ASC NULLS LAST, k ASC NULLS LAST
