@@ -3701,7 +3701,10 @@ def _rewrite_date_arith(s: str, kinds: dict[str, str] | None) -> str:
 
 
 _HASH_CALL_RE = re.compile(r"(?<![\w.])hash\s*\(", re.IGNORECASE)
-_HASH_INT_WIDTH = {"bigint": 64, "int": 32, "smallint": 16, "tinyint": 8}
+# DuckDB hashes every sub-32-bit integer at its 32-bit unsigned promotion
+# (probed live: hash(CAST(-7 AS SMALLINT)) == hash(CAST(-7 AS INTEGER))),
+# so SMALLINT/TINYINT mask at 32 bits, not their storage width.
+_HASH_INT_WIDTH = {"bigint": 64, "int": 32, "smallint": 32, "tinyint": 32}
 
 
 def _hash_operand(arg: str, table: list[str],
@@ -3748,11 +3751,17 @@ def _hash_operand(arg: str, table: list[str],
     if m := re.fullmatch(r"([+-]?)(\d*)\.(\d*)", a):  # decimal literal
         if not (m.group(2) or m.group(3)):
             return None
-        digits = (m.group(2) + m.group(3)).lstrip("0") or "0"
-        if len(digits) > 18:
+        # DuckDB's literal precision counts the WRITTEN digits (leading
+        # zeros included: '-0.000000001' is DECIMAL(10,9) -> int64
+        # storage; '-00.5' is DECIMAL(3,1)). Storage int16/int32 hash at
+        # their 32-bit promotion; int64 at 64; int128 (precision > 18)
+        # fails closed. Probed live against DuckDB (test battery 31).
+        precision = len(m.group(2)) + len(m.group(3))
+        if precision > 18:
             return None
+        digits = (m.group(2) + m.group(3)) or "0"
         v = int(digits) * (-1 if m.group(1) == "-" else 1)
-        width = 32 if len(digits) <= 9 else 64
+        width = 32 if precision <= 9 else 64
         return ("lit", str(_dd_murmur_fin(v & ((1 << width) - 1))))
     if re.fullmatch(r"[A-Za-z_][\w.]*", a) and kinds:
         k = kinds.get(a.split(".")[-1].lower())
@@ -6234,6 +6243,7 @@ def _rewrite_dot_calls(s: str) -> str:
         if (
             not primary
             or re.fullmatch(r"[+-]?\d+", primary)       # 5.abs() — parser
+            or re.fullmatch(r"[+-]?\d*\.\d+", primary)   # 1.5.round() — error
             or re.fullmatch(r"\x00\d+\x00", primary)     # 'x'.fn() — error
         ):
             pos = m.end()

@@ -31,8 +31,11 @@ TAG_PIXEL_Y = 0xA003
 def _entry(endian: str, tag: int, typ: int, value) -> tuple[bytes, bytes]:
     """One 12-byte IFD entry; returns (entry_without_offset, tail_data)
     — the caller patches the offset when tail data is needed."""
-    if typ == 2:  # ASCII, NUL-terminated
-        data = value.encode() + b"\x00"
+    if typ == 2:  # ASCII, NUL-terminated (TIFF 6.0 §2: 7-bit ASCII only)
+        try:
+            data = value.encode("ascii") + b"\x00"
+        except UnicodeEncodeError:
+            raise ValueError("EXIF writer: ASCII tag requires 7-bit text")
         count = len(data)
     elif typ == 3:
         data = struct.pack(endian + "H", value)
@@ -121,7 +124,10 @@ def _read_value(endian: str, typ: int, count: int, raw4: bytes,
         if len(data) != total:
             raise ValueError("EXIF: value offset out of bounds")
     if typ == 2:
-        return data.rstrip(b"\x00").decode("ascii", "replace")
+        try:
+            return data.rstrip(b"\x00").decode("ascii")
+        except UnicodeDecodeError:
+            raise ValueError("EXIF: non-ASCII bytes in ASCII tag")
     if typ == 3:
         return struct.unpack(endian + "H", data[:2])[0]
     if typ == 4:

@@ -39,6 +39,8 @@ def read_members(payload: bytes) -> list[dict]:
     ISIZE; returns [{data, name, compressed_size}]."""
     out, pos = [], 0
     while pos < len(payload):
+        if pos + 10 > len(payload):
+            raise ValueError("gzip: truncated header")
         if payload[pos : pos + 2] != b"\x1f\x8b":
             raise ValueError("gzip: bad magic")
         if payload[pos + 2] != 8:
@@ -48,18 +50,31 @@ def read_members(payload: bytes) -> list[dict]:
             raise ValueError("gzip: reserved FLG bits set")
         start = pos
         pos += 10
+        if pos > len(payload):
+            raise ValueError("gzip: truncated header")
         if flg & _FEXTRA:
+            if pos + 2 > len(payload):
+                raise ValueError("gzip: truncated header (FEXTRA length)")
             (xlen,) = struct.unpack("<H", payload[pos : pos + 2])
             pos += 2 + xlen
+            if pos > len(payload):
+                raise ValueError("gzip: truncated header (FEXTRA field)")
         name = None
         if flg & _FNAME:
-            end = payload.index(b"\x00", pos)
+            end = payload.find(b"\x00", pos)
+            if end < 0:
+                raise ValueError("gzip: truncated header (unterminated FNAME)")
             name = payload[pos:end].decode("latin-1")
             pos = end + 1
         if flg & _FCOMMENT:
-            pos = payload.index(b"\x00", pos) + 1
+            end = payload.find(b"\x00", pos)
+            if end < 0:
+                raise ValueError("gzip: truncated header (unterminated FCOMMENT)")
+            pos = end + 1
         if flg & _FHCRC:
             pos += 2
+        if pos > len(payload):
+            raise ValueError("gzip: truncated header")
         d = zlib.decompressobj(-15)
         data = d.decompress(payload[pos:])
         data += d.flush()
