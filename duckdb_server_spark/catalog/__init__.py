@@ -71,6 +71,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # aggregate family, source family, beyond family, streaming last).
 # 41 stale + the new rows fits the ~50/round driver budget, so after
 # this round no declared query's stamp predates r3.
+# Round 10 (VERDICT r9 item 1): close the ledger. The 6 remaining
+# r2-stamped rows go FIRST (they are the only rows whose stamp still
+# predates r3 — after this round the r7 goal holds: no declared query's
+# evidence predates r3), then the queries ADDED this round (never
+# checked), then the rows whose code or oracle changed this round.
+_PRIORITY_R10: tuple[str, ...] = (
+    # --- the last 6 rows with pre-r3 driver stamps ---
+    "b46_unigram_lm_score",
+    "b47_stratified_split",
+    "b48_decontamination",
+    "st_stream_file_sink",
+    "st_stream_stream_join",
+    "st_stream_watermark_append",
+    # --- new in round 10 (registered by their modules) ---
+    # --- code changed this round: refresh green evidence ---
+    "s32_dialect_hash_ops",    # hash width fixes (smallint/decimal)
+    "b36_exif_probe",          # ASCII codec agreement
+    "b74_gzip_corpus",         # bounds-checked header walk
+    "b30f_vp8_default_probs",  # vectorized token decode
+    "b32f_webm_default_probs",
+)
+
 _PRIORITY_R9: tuple[str, ...] = (
     # --- new in round 9 ---
     "b30f_vp8_default_probs",  # new: VP8 decode w/ RFC 6386 default tables
@@ -573,8 +595,9 @@ def load_all() -> None:
     for mod in _MODULE_ORDER:
         importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
 
-    head = list(_PRIORITY_R9)
-    for prior in (_PRIORITY_R8, _PRIORITY_R7, _PRIORITY_R6, _PRIORITY_R5):
+    head = list(_PRIORITY_R10)
+    for prior in (_PRIORITY_R9, _PRIORITY_R8, _PRIORITY_R7, _PRIORITY_R6,
+                  _PRIORITY_R5):
         head += [n for n in prior if n not in head]
     ordered = [n for n in head if n in QUERIES]
     ordered += [n for n in QUERIES if n not in head]
