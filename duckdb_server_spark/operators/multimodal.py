@@ -93,22 +93,36 @@ PNG_FEATURE_SCHEMA = StructType(
 
 
 def _png_features(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Decode REAL PNG payloads (mapInPandas body) and emit pixel-domain
+    """Decode REAL image payloads (mapInPandas body) and emit pixel-domain
     statistics — the proof the binary column carries an actual image
-    format end-to-end, not just opaque bytes."""
+    format end-to-end, not just opaque bytes. Identical payloads within a
+    batch decode once (corpora repeat assets: boilerplate logos, tiled
+    fixtures); stats run in numpy, not a per-byte Python loop."""
+    import numpy as np
+
     for pdf in pdf_iter:
         rows = {k: [] for k in ("doc_id", "width", "height", "px_mean",
                                 "px_min", "px_max", "px_sum")}
+        memo: dict[bytes, tuple] = {}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            img = decode_image(bytes(payload))
-            px = img["pixels"]
+            key = bytes(payload)
+            stat = memo.get(key)
+            if stat is None:
+                img = decode_image(key)
+                px = np.frombuffer(img["pixels"], dtype=np.uint8)
+                s = int(px.sum(dtype=np.int64))
+                stat = memo[key] = (
+                    img["width"], img["height"],
+                    round(s / len(px), 6),
+                    int(px.min()), int(px.max()), s,
+                )
             rows["doc_id"].append(doc_id)
-            rows["width"].append(img["width"])
-            rows["height"].append(img["height"])
-            rows["px_mean"].append(round(sum(px) / len(px), 6))
-            rows["px_min"].append(min(px))
-            rows["px_max"].append(max(px))
-            rows["px_sum"].append(sum(px))
+            rows["width"].append(stat[0])
+            rows["height"].append(stat[1])
+            rows["px_mean"].append(stat[2])
+            rows["px_min"].append(stat[3])
+            rows["px_max"].append(stat[4])
+            rows["px_sum"].append(stat[5])
         yield pd.DataFrame(rows)
 
 
