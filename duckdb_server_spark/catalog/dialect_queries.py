@@ -627,6 +627,46 @@ def s23_dialect_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFram
     return _sql(spark, sf_dir, _S23_SQL, ("documents",))
 
 
+_S33_SQL = """
+SELECT o_orderkey,
+       CAST([o_orderkey % 5, NULL, CAST(o_orderkey % 3 AS BIGINT)]
+         = [o_orderkey % 5, NULL, 2] AS VARCHAR) AS eq_scan,
+       CAST([o_orderkey % 5, NULL] < [4, 0] AS VARCHAR) AS lt_scan,
+       CAST([o_orderkey % 5] < [o_orderkey % 5, 9] AS VARCHAR) AS lt_prefix,
+       CAST({'a': o_orderkey % 5, 'b': NULL} = {'a': 3, 'b': NULL} AS VARCHAR) AS st_eq,
+       CAST({'a': o_orderkey % 5, 'b': o_orderkey % 2} < {'a': 3, 'b': 1} AS VARCHAR) AS st_lt,
+       list_extract([o_orderkey, o_orderkey + 1], 0) AS ex_zero,
+       list_extract([o_orderkey, o_orderkey + 1], -1) AS ex_neg,
+       CAST(list_contains([o_orderkey % 4, NULL], 2) AS VARCHAR) AS has_two,
+       array_to_string(flatten([[o_orderkey % 7], NULL, [o_orderkey % 3]]), ',') AS flat,
+       array_to_string(list_transform(list_reverse_sort([o_orderkey % 7, NULL, o_orderkey % 3]), x -> coalesce(CAST(x AS VARCHAR), 'N')), ',') AS rsort,
+       array_to_string(list_concat([o_orderkey % 2], NULL), ',') AS lcat,
+       CAST(len(CAST(NULL AS INT[])) AS INTEGER) AS len_null,
+       json_extract('{"a": [1,2,' || CAST(o_orderkey % 9 AS VARCHAR) || ']}', '$.a[#-1]') AS j_tail,
+       json_extract('{"a": {"b": null}}', '$.a.b') AS j_null,
+       json_extract('{"k": ' || CAST(o_orderkey AS VARCHAR) || '}', '/k') AS j_ptr,
+       CAST(json_array_length('{"a":[1,2,3]}', '$.a') AS INTEGER) AS j_len,
+       array_to_string(json_extract('{"a":[5,6,7]}', '$.a[*]'), '|') AS j_wild
+FROM orders
+WHERE o_orderkey <= 256
+ORDER BY o_orderkey ASC NULLS LAST
+"""
+
+
+@query("s33_dialect_nested", oracle=_S33_SQL)
+def s33_dialect_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 33 as one verbatim shared statement: nested-comparison
+    NULL semantics (DuckDB's short-circuit pairwise scan — Spark's
+    nested-NULL-tolerant comparisons were silently different whenever a
+    NULL element/field met a comparison operator), list-function edges
+    (index 0/out-of-range as NULL, NULL-skipping list_concat/flatten,
+    DESC-NULLS-LAST list_reverse_sort, len of a cast-to-list), and the
+    JSON path corners (from-end [#-1] index, JSON Pointer '/k', a JSON
+    null reading as SQL NULL, two-arg json_array_length, [*] wildcard
+    extraction as a list)."""
+    return _sql(spark, sf_dir, _S33_SQL, ("orders",))
+
+
 _S32_SQL = """
 SELECT o_orderkey,
        CAST(hash(o_orderkey) AS VARCHAR) AS hk,

@@ -199,8 +199,9 @@ _FN_RENAMES = {
     "list_reverse": "reverse",
     "array_reverse": "reverse",
     "array_cat": "concat",
-    "list_extract": "element_at",
-    "array_extract": "element_at",
+    # (list_extract / array_extract are _template rewrites: DuckDB
+    # returns NULL for index 0 / out of range where Spark's element_at
+    # raises under ANSI)
     "approx_quantile": "approx_percentile",
     # reservoir_quantile is sampling-approximate in DuckDB; the t-digest
     # here matches exactly on small groups, approximately at scale
@@ -298,9 +299,8 @@ _FN_RENAMES = {
     "ends_with": "endswith",
     "json_extract_string": "get_json_object",
     "list_intersect": "array_intersect",
-    "list_concat": "concat",
-    "list_cat": "concat",
-    "array_concat": "concat",
+    # (list_concat / list_cat / array_concat are _template rewrites:
+    # DuckDB SKIPS NULL list arguments — concat would return NULL)
     "list_append": "array_append",
     "array_push_back": "array_append",
     # (list_prepend / array_prepend / array_push_front are _template
@@ -1277,6 +1277,7 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
         MapType,
         ShortType,
         StringType,
+        StructType,
         TimestampNTZType,
         TimestampType,
     )
@@ -1321,6 +1322,12 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
                 k = "tinyint"
             elif isinstance(f.dataType, BooleanType):
                 k = "boolean"
+            elif isinstance(f.dataType, StructType):
+                # field names ride along for the nested-comparison
+                # rewrite (kind prefix-matched via startswith)
+                k = "struct:" + ",".join(
+                    sf.name for sf in f.dataType.fields
+                )
             else:
                 k = "other"
             if nm in kinds and kinds[nm] != k:
@@ -1344,6 +1351,11 @@ def _rewrite_len(s: str, kinds: dict[str, bool] | None = None) -> str:
             fn = "size"
         elif head and head.group(1).lower() in _LEN_STRING_HEADS:
             fn = "length"
+        elif head and head.group(1).lower() == "cast" and re.search(
+            r"(?i)AS\s+[A-Za-z]+\s*\[\s*\d*\s*\]\s*\)\s*$"
+            r"|ARRAY\s*<", arg
+        ):
+            fn = "size"  # cast to a list type
         elif re.search(r"\[[^\]]*:[^\]]*\]\s*$", arg):
             fn = "size"  # slice result is a list
         elif re.fullmatch(r"[A-Za-z_][\w.]*", arg):
@@ -2814,6 +2826,74 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
     the call untouched (native or out of scope)."""
     if fn == "to_base" and len(args) == 2:
         return f"conv({args[0]}, 10, {args[1]})"
+    if fn in ("list_extract", "array_extract") and len(args) == 2:
+        # DuckDB: 1-based, index 0 and out-of-range give NULL, negative
+        # counts from the end; Spark's element_at RAISES on 0 under ANSI
+        return f"try_element_at({args[0]}, nullif({args[1]}, 0))"
+    if fn in ("list_contains", "list_has", "array_has") and len(args) == 2:
+        if args[1].strip().upper() == "NULL":
+            # a bare NULL needle fails Spark analysis (untyped); DuckDB
+            # returns NULL
+            return "CAST(NULL AS BOOLEAN)"
+        # DuckDB IGNORES NULL elements: list_contains([1,NULL], 2) is
+        # false; Spark's array_contains is three-valued (NULL). A NULL
+        # list or needle stays NULL on both.
+        return (
+            f"CASE WHEN ({args[0]}) IS NULL OR ({args[1]}) IS NULL "
+            f"THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE coalesce(array_contains({args[0]}, {args[1]}), false) "
+            f"END"
+        )
+    if fn in ("list_concat", "list_cat", "array_concat") and len(args) >= 2:
+        # DuckDB SKIPS NULL list arguments (list_concat([1], NULL) is
+        # [1]); only all-NULL returns NULL. Spark concat propagates NULL.
+        live = [a for a in args if a.strip().upper() != "NULL"]
+        if not live:
+            return "NULL"
+        if len(live) == 1:
+            return f"({live[0]})"
+        null_all = " AND ".join(f"({a}) IS NULL" for a in live)
+        body = ", ".join(f"coalesce({a}, array())" for a in live)
+        return f"CASE WHEN {null_all} THEN NULL ELSE concat({body}) END"
+    if fn == "flatten" and len(args) == 1:
+        # DuckDB flatten skips NULL sublists; Spark returns NULL
+        return (f"flatten(filter({args[0]}, "
+                f"__dd_fl -> __dd_fl IS NOT NULL))")
+    if fn in ("json_extract", "json_extract_path",
+              "json_extract_string") and len(args) == 2:
+        is_str = fn == "json_extract_string"
+        arg1 = args[1].strip()
+        if arg1.startswith("[") and arg1.endswith("]"):
+            # a LIST of paths → list of per-path extracts. Spark rejects
+            # Python UDFs inside lambda bodies, so expand the literal
+            # list into one shim call per element.
+            shim = "dd_json_extract_str" if is_str else "dd_json_extract"
+            paths = _split_top_commas(arg1[1:-1])
+            return ("array(" + ", ".join(
+                f"{shim}({args[0]}, {p.strip()})" for p in paths
+            ) + ")")
+        lit = (
+            _literal_value(_unmask(arg1, table))
+            if re.fullmatch(r"\x00\d+\x00", arg1)
+            else None
+        )
+        if lit is not None and "[*]" in lit:
+            # wildcard paths return a LIST of matches
+            shim = ("dd_json_extract_str_list" if is_str
+                    else "dd_json_extract_list")
+            return f"{shim}({args[0]}, {args[1]})"
+        if is_str:
+            # exotic literal paths (JSON Pointer, from-end index, bare
+            # key) take the full walker; the $-dotted subset keeps the
+            # JVM get_json_object fast path (the _FN_RENAMES route)
+            if lit is not None and not re.fullmatch(
+                r"\$(\.\w+|\[\d+\]|\['[^']*'\])*", lit
+            ):
+                return f"dd_json_extract_str({args[0]}, {args[1]})"
+            return None
+        return None  # plain dd_json_extract rename applies
+    if fn == "json_array_length" and len(args) == 2:
+        return f"json_array_length(dd_json_extract({args[0]}, {args[1]}))"
     if fn == "list_reduce" and len(args) == 2:
         lst, lam = args
         return (
@@ -3345,7 +3425,9 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         rest = ", ".join(vals)
         return f"format_string({lit}{', ' + rest if rest else ''})"
     if fn in ("list_reverse_sort", "array_reverse_sort") and len(args) == 1:
-        return f"reverse(array_sort({args[0]}))"
+        # DuckDB default is DESC NULLS LAST: reverse of ASC NULLS FIRST
+        # (array_sort would put NULLs last pre-reverse → NULLs FIRST)
+        return f"reverse(sort_array({args[0]}))"
     if fn in ("date_trunc", "datetrunc") and len(args) == 2:
         part = (_literal_value(_unmask(args[0], table)) or "").lower()
         if part in ("year", "quarter", "month", "week", "day", "decade",
@@ -3600,6 +3682,10 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
 
 _TEMPLATE_RE = re.compile(
     r"\b(to_base|list_reduce|date_sub|datesub|datepart|date_part|epoch|"
+    r"list_extract|array_extract|list_contains|list_has|array_has|"
+    r"list_concat|list_cat|array_concat|flatten|"
+    r"json_extract|json_extract_path|json_extract_string|"
+    r"json_array_length|"
     r"to_timestamp|strptime|try_strptime|list_distinct|list_prepend|array_prepend|array_push_front|typeof|version|txid_current|bit_count|chr|bar|struct_extract|current_schema|"
     r"current_database|kurtosis|histogram|quantile_disc|quantile|format|"
     r"list_reverse_sort|array_reverse_sort|dayname|monthname|geomean|"
@@ -4039,7 +4125,11 @@ def _rewrite_json_arrows(s: str, table: list[str]) -> str:
                 path = _masked_literal(table, f"$['{lit}']")
             else:
                 path = _masked_literal(table, f'$."{lit}"')
-        repl = f"{fn}({left}, {path})"
+        # arrows run AFTER _rewrite_templates — route through the same
+        # path logic (wildcards, pointers, from-end indexes) explicitly
+        repl = _template(fn, [left, path], table)
+        if repl is None:
+            repl = f"{fn}({left}, {path})"
         s = s[:start] + repl + s[m.end() :]
     return s
 
@@ -4867,6 +4957,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_windowed_distinct(masked)
     masked = _rewrite_list_literals(masked)
     kinds = _column_kinds(spark, masked) if spark is not None else None
+    masked = _rewrite_nested_comparisons(masked, table, kinds)
     masked = _rewrite_len(masked, kinds)
     masked = _rewrite_median(masked, kinds)
     masked = _rewrite_date_arith(masked, kinds)
@@ -4886,6 +4977,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_xor(masked)
     masked = _rewrite_strftime(masked, table)
     masked = _rewrite_datediff_units(masked, table)
+    masked = _rewrite_nested_cast_types(masked)
     masked = _rewrite_struct_map(masked, table)
     masked = _rewrite_ordered_aggs(masked)
     masked = _rewrite_lateral_values(masked)
@@ -4997,13 +5089,17 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
         flags=re.IGNORECASE,
     )
     # fixed-size array types (FLOAT[3]) and bare array types (INT[]) in
-    # cast position → Spark ARRAY<T>; subscripts never follow :: or AS
-    masked = re.sub(
-        r"(::\s*|\bAS\s+)([A-Za-z]+)\s*\[\s*\d*\s*\]",
-        lambda mm: f"{mm.group(1)}ARRAY<{mm.group(2)}>",
-        masked,
-        flags=re.IGNORECASE,
+    # cast position → Spark ARRAY<T>; subscripts never follow :: or AS.
+    # Looped so nested lists (INT[][]) resolve innermost-out.
+    _ARRAY_TYPE_RE = re.compile(
+        r"(::\s*|\bAS\s+)((?:ARRAY<)*[A-Za-z]+>*)\s*\[\s*\d*\s*\]",
+        re.IGNORECASE,
     )
+    while _ARRAY_TYPE_RE.search(masked):
+        masked = _ARRAY_TYPE_RE.sub(
+            lambda mm: f"{mm.group(1)}ARRAY<{mm.group(2)}>", masked
+        )
+
     masked = re.sub(r"\bAS\s+BLOB\b", "AS BINARY", masked, flags=re.IGNORECASE)
     # ::JSON is a validating store-as-text cast in DuckDB (original
     # spacing preserved) — dropping it keeps the text identical; invalid
@@ -5350,33 +5446,124 @@ def _register_json_shims(spark: SparkSession) -> None:
         except (TypeError, ValueError):
             return None, False
 
-    _STEP = re.compile(r"\.([A-Za-z_]\w*)|\[(\d+)\]|\."
-                       r'"([^"]*)"')
+    _STEP = re.compile(
+        r"\.([A-Za-z_]\w*)"          # .key
+        r"|\[\s*#?(-?\d+)\s*\]"      # [i], [-i], [#-i] (from the end)
+        r"|\[(\*)\]"                 # [*] wildcard (list results)
+        r'|\."([^"]*)"'              # ."quoted key"
+    )
+    _MISSING = object()
+
+    def _walk(obj, path: str):
+        """Resolve a DuckDB JSON path against a parsed document; returns
+        a LIST of matches ([] for no match — [*] may multi-match).
+        Supports $-paths with [i]/[-i]/[#-i]/[*], bare top-level keys,
+        and RFC 6901 JSON Pointer ('/a/0')."""
+        if not path:
+            return []
+        if path[0] == "/":
+            # JSON Pointer: ~1 -> '/', ~0 -> '~'; numeric segment = index
+            for seg in path.split("/")[1:]:
+                seg = seg.replace("~1", "/").replace("~0", "~")
+                if isinstance(obj, dict) and seg in obj:
+                    obj = obj[seg]
+                elif isinstance(obj, list) and re.fullmatch(r"\d+", seg):
+                    i = int(seg)
+                    if i >= len(obj):
+                        return []
+                    obj = obj[i]
+                else:
+                    return []
+            return [obj]
+        if path[0] != "$":
+            # DuckDB: a non-$ path is a single top-level KEY lookup
+            if isinstance(obj, dict) and path in obj:
+                return [obj[path]]
+            return []
+        frontier = [obj]
+        pos = 1
+        while pos < len(path):
+            m = _STEP.match(path, pos)
+            if not m:
+                return []
+            pos = m.end()
+            key = m.group(1) or m.group(4)
+            nxt = []
+            for cur in frontier:
+                if m.group(3):  # [*]
+                    if isinstance(cur, list):
+                        nxt.extend(cur)
+                    continue
+                if key is not None:
+                    if isinstance(cur, dict) and key in cur:
+                        nxt.append(cur[key])
+                    continue
+                if isinstance(cur, list):
+                    i = int(m.group(2))
+                    if -len(cur) <= i < len(cur):
+                        nxt.append(cur[i])
+            frontier = nxt
+        return frontier
 
     def _extract_one(doc: str, path: str):
         obj, ok = _parse(doc)
         if not ok or not path:
             return None
-        if path[0] != "$":
-            # DuckDB: a non-$ path is a single top-level KEY lookup
-            if not isinstance(obj, dict) or path not in obj:
-                return None
-            return _json.dumps(obj[path], separators=(",", ":"))
-        pos = 1
-        while pos < len(path):
-            m = _STEP.match(path, pos)
-            if not m:
-                return None
-            pos = m.end()
-            key = m.group(1) or m.group(3)
-            try:
-                obj = obj[key] if key is not None else obj[int(m.group(2))]
-            except (KeyError, IndexError, TypeError):
-                return None
-        return _json.dumps(obj, separators=(",", ":"))
+        hits = _walk(obj, path)
+        # DuckDB: a resolved JSON null IS SQL NULL (same as no match)
+        if not hits or hits[0] is None:
+            return None
+        return _json.dumps(hits[0], separators=(",", ":"))
 
     def jext(d, p):
         return pd.Series([_extract_one(a, b) for a, b in zip(d, p)])
+
+    def _extract_list(doc: str, path: str):
+        obj, ok = _parse(doc)
+        if not ok or not path:
+            return None
+        return [
+            None if h is None else _json.dumps(h, separators=(",", ":"))
+            for h in _walk(obj, path)
+        ]
+
+    def jext_list(d, p):
+        return pd.Series([_extract_list(a, b) for a, b in zip(d, p)])
+
+    def _extract_str(doc: str, path: str):
+        obj, ok = _parse(doc)
+        if not ok or not path:
+            return None
+        hits = _walk(obj, path)
+        if not hits or hits[0] is None:
+            return None
+        h = hits[0]
+        if isinstance(h, str):
+            return h
+        if isinstance(h, bool):
+            return "true" if h else "false"
+        return _json.dumps(h, separators=(",", ":"))
+
+    def jext_str(d, p):
+        return pd.Series([_extract_str(a, b) for a, b in zip(d, p)])
+
+    def _str_of(h):
+        if h is None:
+            return None
+        if isinstance(h, str):
+            return h
+        if isinstance(h, bool):
+            return "true" if h else "false"
+        return _json.dumps(h, separators=(",", ":"))
+
+    def _extract_str_list(doc: str, path: str):
+        obj, ok = _parse(doc)
+        if not ok or not path:
+            return None
+        return [_str_of(h) for h in _walk(obj, path)]
+
+    def jext_str_list(d, p):
+        return pd.Series([_extract_str_list(a, b) for a, b in zip(d, p)])
 
     def jvalid(s):
         return s.map(lambda v: _parse(v)[1] if v is not None else None)
@@ -5506,6 +5693,9 @@ def _register_json_shims(spark: SparkSession) -> None:
 
     for name, fn, typ in (
         ("dd_json_extract", jext, "string"),
+        ("dd_json_extract_list", jext_list, "array<string>"),
+        ("dd_json_extract_str", jext_str, "string"),
+        ("dd_json_extract_str_list", jext_str_list, "array<string>"),
         ("dd_json_valid", jvalid, "boolean"),
         ("dd_json_keys", jkeys, "array<string>"),
         ("dd_json_canon", jcanon, "string"),
@@ -5516,7 +5706,8 @@ def _register_json_shims(spark: SparkSession) -> None:
     ):
         fn.__annotations__ = (
             {"d": pd.Series, "p": pd.Series, "return": pd.Series}
-            if fn in (jext, jmerge, jcontains)
+            if fn in (jext, jext_list, jext_str, jext_str_list, jmerge,
+                      jcontains)
             else {"s": pd.Series, "return": pd.Series}
         )
         if fn in (jmerge, jcontains):
@@ -6260,6 +6451,256 @@ def _rewrite_dot_calls(s: str) -> str:
         repl = f"{m.group(1)}({primary}" + (f", {inner}" if inner else "") + ")"
         s = s[:start] + repl + s[close + 1 :]
         pos = start  # rescan so the next link of a chain resolves
+    return s
+
+
+# --- nested-type comparison operators (battery 33) --------------------------
+# DuckDB compares lists/structs by a LEFT-TO-RIGHT SHORT-CIRCUIT scan in
+# which a NULL element/field pair stops the scan with UNKNOWN (probed
+# live: [NULL,1] = [NULL,2] is NULL even though index 1 differs;
+# [2,NULL] < [1,2] is FALSE — first pair decides; [1] = [1,2] is FALSE —
+# equal prefix, then length). Spark treats nested NULLs as ordinary
+# equal/orderable values (struct{'a':NULL} = struct{'a':NULL} is TRUE) —
+# a silent wrong answer whenever runtime NULLs appear. The rewrite fires
+# only when an operand is PROVABLY nested (array(...)/named_struct(...)
+# spellings, CAST targets, or catalog-kind columns); structs need field
+# names (from a literal, a cast type, or the column schema) and fail
+# closed otherwise, as do map comparisons.
+
+_NESTED_CMP_RE = re.compile(r"<>|!=|<=|>=|=|<|>")
+
+
+def _nested_shape(p: str, kinds: dict[str, str] | None):
+    """'list' / 'map' / ('struct', fields|None) / None for one primary."""
+    t = p.strip()
+    if re.match(r"(?i)^array\s*\(", t):
+        return "list"
+    if re.match(r"(?i)^named_struct\s*\(", t):
+        return ("struct", None)  # fields parsed lazily by the caller
+    if re.match(r"(?i)^map\s*\(", t):
+        return "map"
+    if re.match(r"(?i)^CAST\s*\(", t):
+        cm = re.search(
+            r"(?i)\bAS\s+(STRUCT\s*\(|MAP\s*\(|ARRAY\s*<|[A-Za-z]+\s*\[)", t
+        )
+        if cm:
+            g = cm.group(1).upper()
+            if g.startswith("STRUCT"):
+                inner = t[cm.end() - 1 : _matching_paren(t, cm.end() - 1)]
+                fields = []
+                for part in inner.lstrip("(").split(","):
+                    fm = re.match(r"\s*([A-Za-z_]\w*)\s+", part)
+                    if fm:
+                        fields.append(fm.group(1))
+                return ("struct", fields or None)
+            if g.startswith("MAP"):
+                return "map"
+            return "list"
+        return None
+    if re.fullmatch(r"[A-Za-z_][\w.]*", t) and kinds:
+        k = kinds.get(t.split(".")[-1].lower()) or ""
+        if k == "array":
+            return "list"
+        if k == "map":
+            return "map"
+        if k.startswith("struct:"):
+            return ("struct", k[7:].split(","))
+    return None
+
+
+def _named_struct_fields(p: str, table: list[str]) -> list[str] | None:
+    """Field names of a ``named_struct(key, val, ...)`` spelling (keys
+    are masked string literals)."""
+    t = p.strip()
+    open_idx = t.index("(")
+    args = _split_top_commas(t[open_idx + 1 : _matching_paren(t, open_idx)])
+    fields = []
+    for key in args[::2]:
+        lit = _literal_value(_unmask(key.strip(), table))
+        if lit is None:
+            return None
+        fields.append(str(lit))
+    return fields or None
+
+
+def _list_cmp_sql(a: str, b: str, op: str) -> str:
+    """DuckDB's short-circuit pairwise scan over the shared prefix as a
+    Spark aggregate fold: per-pair code 0=equal 1=lt 2=gt 3=unknown,
+    first nonzero sticks; the all-equal prefix falls through to the
+    length comparison."""
+    a, b = f"({a})", f"({b})"
+    n = f"least(size({a}), size({b}))"
+    if op in ("=", "<>", "!="):
+        pair = ("CASE WHEN __dd_x = __dd_y THEN 0 "
+                "WHEN NOT (__dd_x = __dd_y) THEN 1 ELSE 3 END")
+    else:
+        pair = ("CASE WHEN __dd_x = __dd_y THEN 0 "
+                "WHEN __dd_x < __dd_y THEN 1 "
+                "WHEN __dd_x > __dd_y THEN 2 ELSE 3 END")
+    scan = (
+        f"aggregate(zip_with(slice({a}, 1, {n}), slice({b}, 1, {n}), "
+        f"(__dd_x, __dd_y) -> {pair}), 0, "
+        f"(__dd_acc, __dd_p) -> "
+        f"CASE WHEN __dd_acc <> 0 THEN __dd_acc ELSE __dd_p END)"
+    )
+    if op in ("=", "<>", "!="):
+        core = (
+            f"CASE {scan} WHEN 1 THEN false "
+            f"WHEN 3 THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE size({a}) = size({b}) END"
+        )
+    else:
+        lt_res = "true" if op in ("<", "<=") else "false"
+        gt_res = "false" if op in ("<", "<=") else "true"
+        tail = f"size({a}) {op} size({b})"
+        core = (
+            f"CASE {scan} WHEN 1 THEN {lt_res} WHEN 2 THEN {gt_res} "
+            f"WHEN 3 THEN CAST(NULL AS BOOLEAN) ELSE {tail} END"
+        )
+    out = (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL "
+        f"THEN CAST(NULL AS BOOLEAN) ELSE {core} END)"
+    )
+    if op in ("<>", "!="):
+        out = f"(NOT {out})"
+    return out
+
+
+def _struct_cmp_sql(
+    a: str, b: str, op: str, fields: list[str], table: list[str]
+) -> str:
+    """Field-by-field short-circuit CASE chain (declaration order);
+    backtick-quoted dotted access so arbitrary names survive (and the
+    later subscript rewrite never touches it)."""
+    a, b = f"({a})", f"({b})"
+    whens = []
+    for f in fields:
+        fq = "`" + f.replace("`", "``") + "`"
+        pa, pb = f"{a}.{fq}", f"{b}.{fq}"
+        if op in ("=", "<>", "!="):
+            whens.append(f"WHEN NOT ({pa} = {pb}) THEN false")
+            whens.append(
+                f"WHEN ({pa} = {pb}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+            )
+        else:
+            lt_res = "true" if op in ("<", "<=") else "false"
+            gt_res = "false" if op in ("<", "<=") else "true"
+            whens.append(f"WHEN {pa} < {pb} THEN {lt_res}")
+            whens.append(f"WHEN {pa} > {pb} THEN {gt_res}")
+            whens.append(
+                f"WHEN ({pa} = {pb}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+            )
+    tail = {"=": "true", "<>": "true", "!=": "true",
+            "<": "false", ">": "false", "<=": "true", ">=": "true"}[op]
+    if op in ("<>", "!="):
+        tail = "true"
+    core = "CASE " + " ".join(whens) + f" ELSE {tail} END"
+    out = (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL "
+        f"THEN CAST(NULL AS BOOLEAN) ELSE {core} END)"
+    )
+    if op in ("<>", "!="):
+        # the whens above encode the EQ scan; NOT-wrap flips it with
+        # three-valued semantics (the chain used eq-shaped whens)
+        eq_core = "CASE " + " ".join(whens) + " ELSE true END"
+        out = (
+            f"(NOT (CASE WHEN {a} IS NULL OR {b} IS NULL "
+            f"THEN CAST(NULL AS BOOLEAN) ELSE {eq_core} END))"
+        )
+    return out
+
+
+def _rewrite_nested_cast_types(s: str) -> str:
+    """DuckDB STRUCT(name TYPE, ...) / MAP(K, V) type spellings in cast
+    position → Spark STRUCT<name: TYPE, ...> / MAP<K, V> (one level;
+    nested parens fall through to a Spark parse error, fail-closed).
+    Runs BEFORE _rewrite_struct_map so a MAP(K, V) cast target is never
+    mistaken for DuckDB's two-list map() constructor."""
+
+    def _struct_type(mm: re.Match) -> str:
+        fields = []
+        for part in mm.group(2).split(","):
+            fm = re.match(r"\s*([A-Za-z_]\w*)\s+(.+?)\s*$", part)
+            if not fm:
+                return mm.group(0)
+            ft = re.sub(r"(?i)^VARCHAR$", "STRING", fm.group(2).strip())
+            ft = re.sub(r"(?i)^([A-Za-z]+)\s*\[\s*\d*\s*\]$",
+                        lambda am: f"ARRAY<{am.group(1)}>", ft)
+            fields.append(f"{fm.group(1)}: {ft}")
+        return f"{mm.group(1)}STRUCT<{', '.join(fields)}>"
+
+    s = re.sub(
+        r"(::\s*|\bAS\s+)STRUCT\s*\(([^()]*)\)",
+        _struct_type,
+        s,
+        flags=re.IGNORECASE,
+    )
+    return re.sub(
+        r"(::\s*|\bAS\s+)MAP\s*\(\s*([A-Za-z]+)\s*,\s*([A-Za-z]+)\s*\)",
+        lambda mm: "{}MAP<{}, {}>".format(
+            mm.group(1),
+            re.sub(r"(?i)^VARCHAR$", "STRING", mm.group(2)),
+            re.sub(r"(?i)^VARCHAR$", "STRING", mm.group(3)),
+        ),
+        s,
+        flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_nested_comparisons(
+    s: str, table: list[str], kinds: dict[str, str] | None
+) -> str:
+    if re.match(r"(?i)\s*(UPDATE|MERGE|INSERT|DELETE)\b", s):
+        return s  # assignment '=' in DML SET lists is not a comparison
+    pos = 0
+    while m := _NESTED_CMP_RE.search(s, pos):
+        op = m.group(0)
+        before = s[m.start() - 1] if m.start() else ""
+        if before in ":<>!-=" or s[m.end() : m.end() + 1] in (">", "="):
+            pos = m.end()
+            continue
+        j = m.start() - 1
+        while j >= 0 and s[j] in " \t\n":
+            j -= 1
+        lstart = _primary_back(s, j + 1)
+        left = s[lstart : j + 1].strip()
+        rend = _primary_fwd(s, m.end())
+        right = s[m.end() : rend].strip()
+        if not left or not right:
+            pos = m.end()
+            continue
+        if re.match(r"(?i)^\(\s*SELECT\b", left) or re.match(
+            r"(?i)^\(\s*SELECT\b", right
+        ):
+            pos = m.end()
+            continue
+        ls, rs = _nested_shape(left, kinds), _nested_shape(right, kinds)
+        if ls is None and rs is None:
+            pos = m.end()
+            continue
+        if "map" in (ls, rs):
+            raise DialectError(
+                "map comparison operators are not supported (DuckDB "
+                "short-circuit NULL semantics have no Spark equivalent)"
+            )
+        structs = [x for x in (ls, rs) if isinstance(x, tuple)]
+        if structs:
+            fields = None
+            for side, shape in ((left, ls), (right, rs)):
+                if isinstance(shape, tuple):
+                    fields = shape[1] or _named_struct_fields(side, table)
+                    if fields:
+                        break
+            if not fields:
+                raise DialectError(
+                    "struct comparison needs field names (literal, cast "
+                    "type, or catalog schema) — none resolvable here"
+                )
+            repl = _struct_cmp_sql(left, right, op, fields, table)
+        else:
+            repl = _list_cmp_sql(left, right, op)
+        s = s[:lstart] + repl + s[rend:]
+        pos = lstart + len(repl)
     return s
 
 
