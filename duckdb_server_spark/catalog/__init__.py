@@ -86,6 +86,7 @@ _PRIORITY_R10: tuple[str, ...] = (
     "st_stream_watermark_append",
     # --- new in round 10 (registered by their modules) ---
     "s33_dialect_nested",      # new: battery-33 nested/JSON/frame parity
+    "b35b_mp3_l3_decode",      # new: real Layer III granule decode
     # --- code changed this round: refresh green evidence ---
     "s32_dialect_hash_ops",    # hash width fixes (smallint/decimal)
     "b36_exif_probe",          # ASCII codec agreement
