@@ -87,6 +87,7 @@ _PRIORITY_R10: tuple[str, ...] = (
     # --- new in round 10 (registered by their modules) ---
     "s33_dialect_nested",      # new: battery-33 nested/JSON/frame parity
     "b35b_mp3_l3_decode",      # new: real Layer III granule decode
+    "t21b_waiting_supplier_bucketed",  # new: t21 minus the 2x shuffle
     # --- code changed this round: refresh green evidence ---
     "s32_dialect_hash_ops",    # hash width fixes (smallint/decimal)
     "b36_exif_probe",          # ASCII codec agreement

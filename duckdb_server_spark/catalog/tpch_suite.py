@@ -607,6 +607,116 @@ def t21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_t21_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage the t21 fact columns once per (session, sf_dir) as
+    orderkey-bucketed tables (8 buckets, bucket-sorted). Every leg of
+    t21's double self-join keys on orderkey, so the bucketed layout
+    removes BOTH fact-fact Exchanges — the shuffle is paid once at
+    write time (the s15 pattern applied to the suite's known heavy
+    shape, SCALING.md r9 t21 note)."""
+    import hashlib
+
+    key = hashlib.md5(f"t21:{sf_dir}".encode()).hexdigest()[:8]
+    li_name, ord_name = f"li21_bkt_{key}", f"ord21_bkt_{key}"
+    if not spark.catalog.tableExists(li_name):
+        import os as _os
+        import tempfile as _tempfile
+
+        base = _tempfile.mkdtemp(prefix="dss_bucketed_t21_")
+        (
+            t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_suppkey", "l_shipdate")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", _os.path.join(base, li_name))
+            .saveAsTable(li_name)
+        )
+        (
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderdate", "o_orderstatus")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", _os.path.join(base, ord_name))
+            .saveAsTable(ord_name)
+        )
+    return li_name, ord_name
+
+
+@query(
+    "t21b_waiting_supplier_bucketed",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS LAST
+    LIMIT 20
+    """,
+)
+def t21b_waiting_supplier_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t21 over the orderkey-bucketed layout (VERDICT r9 item 4): same
+    result, same oracle, different physical plan — both fact-fact
+    self-join legs and the orders join arrive pre-partitioned on the
+    bucket key, so the plan carries ZERO Exchange nodes on the orderkey
+    legs (plan-asserted, tests/test_plans.py). At 100x this removes the
+    2x shuffle of the suite's heaviest shape."""
+    li_name, ord_name = _bucketed_t21_pair(spark, sf_dir)
+    orders = spark.table(ord_name).filter(F.col("o_orderstatus") == "F")
+    li = spark.table(li_name)
+    late = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = spark.table(li_name).select(
+        F.col("l_orderkey").alias("o2_ok"), F.col("l_suppkey").alias("o2_sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_ok"), F.col("l_suppkey").alias("o3_sk")
+    )
+    l1 = (
+        late.join(
+            other,
+            (F.col("o2_ok") == F.col("l_orderkey"))
+            & (F.col("o2_sk") != F.col("l_suppkey")),
+            "leftsemi",
+        ).join(
+            other_late,
+            (F.col("o3_ok") == F.col("l_orderkey"))
+            & (F.col("o3_sk") != F.col("l_suppkey")),
+            "leftanti",
+        )
+    )
+    sup = F.broadcast(
+        t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        l1.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(
+            F.col("numwait").desc_nulls_last(),
+            F.col("s_name").asc_nulls_last(),
+        )
+        .limit(20)
+    )
+
+
 @query(
     "t22_global_sales_opportunity",
     oracle="""

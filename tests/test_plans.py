@@ -591,3 +591,25 @@ def test_hard_negatives_broadcast_and_two_phase_window(spark, sf_dir):
     text = plans.explain_string(df)
     assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
     assert len(_re.findall(r"\(\d+\) Window", text)) >= 2
+
+
+def test_t21_bucketed_removes_orderkey_exchanges(spark, sf_dir):
+    """t21b (VERDICT r9 item 4): every fact-fact leg of the double
+    self-join keys on orderkey, so over the orderkey-bucketed layout the
+    plan must carry ZERO Exchange nodes on those legs. The only allowed
+    exchanges are the final s_name aggregation + top-k ordering — assert
+    no exchange whose partitioning mentions an orderkey column."""
+    from duckdb_server_spark.catalog.tpch_suite import (
+        t21b_waiting_supplier_bucketed,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = t21b_waiting_supplier_bucketed(spark, sf_dir)
+        text = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for line in text.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "orderkey" not in line, line

@@ -420,8 +420,16 @@ def test_adbc_flightsql_client_end_to_end(flight_port):
     """End-to-end with a real ADBC FlightSQL driver — byte-for-byte the
     reference's Go client path (client/main.go:13-27: adbc drivermgr with
     driver=FlightSQL, uri=grpc://..., then `SELECT 1 as a, 2 as b`).
-    Skips when the optional adbc packages are absent from the container."""
-    adbc = pytest.importorskip("adbc_driver_flightsql.dbapi")
+    Skips when the optional adbc packages are absent from the container
+    (retried round 10: wheels still unavailable, and the environment is
+    offline) — tests/test_r9_adbc_replay.py is the standing hermetic
+    substitute: an independent varint/tag protobuf assembler drives the
+    same wire sequence, including the prepared-statement lifecycle."""
+    adbc = pytest.importorskip(
+        "adbc_driver_flightsql.dbapi",
+        reason="adbc wheels absent (offline container) — hermetic "
+        "equivalent: tests/test_r9_adbc_replay.py frame replay",
+    )
     with adbc.connect(f"grpc://127.0.0.1:{flight_port}") as conn:
         with conn.cursor() as cur:
             cur.execute("SELECT 1 as a, 2 as b")
