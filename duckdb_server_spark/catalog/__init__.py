@@ -88,6 +88,8 @@ _PRIORITY_R10: tuple[str, ...] = (
     "s33_dialect_nested",      # new: battery-33 nested/JSON/frame parity
     "b35b_mp3_l3_decode",      # new: real Layer III granule decode
     "t21b_waiting_supplier_bucketed",  # new: t21 minus the 2x shuffle
+    "b75_warc_extract",        # new: ISO 28500 WARC record extraction
+    "b76_multistream_corpus",  # new: bzip2/xz multistream + dispatch
     # --- code changed this round: refresh green evidence ---
     "s32_dialect_hash_ops",    # hash width fixes (smallint/decimal)
     "b36_exif_probe",          # ASCII codec agreement

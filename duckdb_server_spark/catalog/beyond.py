@@ -4363,6 +4363,179 @@ def b35b_mp3_l3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b75_warc_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_records,
+           'response' AS rec_type,
+           'https://example.test/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT)
+             AS http_status,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+    FROM documents
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b75_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record extraction (round 10, operators/warc.py) — the
+    scraped-web ingestion shape on top of the X147 gzip member chain:
+    each document becomes a two-record WARC file (warcinfo + an HTTP
+    response whose body is the document text; every 7th responds 404),
+    and every EVEN doc_id stores each record as its own gzip member —
+    the Common Crawl layout. The reader walks members (when present),
+    parses the ISO 28500 version/header/body framing, extracts the HTTP
+    status and payload from the response record, and the decoded text's
+    stats and portable fingerprint replay from the document DEFINITION —
+    a hash-match proves the whole container → record → HTTP → text
+    chain byte-for-byte. Scale shape: linear per-payload walk inside
+    mapInPandas; nothing crosses the driver."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _roundtrip(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.gzipio import (
+            decompress_all,
+            write_member,
+        )
+        from duckdb_server_spark.operators.warc import (
+            extract_http_response,
+            parse_warc_records,
+            write_http_response,
+            write_warc_record,
+        )
+
+        cols = ("doc_id", "n_records", "rec_type", "uri", "http_status",
+                "n_chars", "text")
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text_ or "").encode("utf-8")
+                status = 404 if doc_id % 7 == 0 else 200
+                uri = f"https://example.test/doc/{doc_id}"
+                rec1 = write_warc_record(
+                    "warcinfo", b"software: dss-fixture\r\n"
+                )
+                rec2 = write_warc_record(
+                    "response",
+                    write_http_response(raw, status=status,
+                                        content_type="text/plain"),
+                    target_uri=uri,
+                )
+                if doc_id % 2 == 0:
+                    blob = write_member(rec1) + write_member(rec2)
+                    payload = decompress_all(blob)
+                else:
+                    payload = rec1 + rec2
+                records = parse_warc_records(payload)
+                resp = next(
+                    r for r in records if r["warc_type"] == "response"
+                )
+                http = extract_http_response(resp["body"])
+                out = http["body"].decode("utf-8")
+                rows["doc_id"].append(doc_id)
+                rows["n_records"].append(len(records))
+                rows["rec_type"].append(resp["warc_type"])
+                rows["uri"].append(resp["target_uri"])
+                rows["http_status"].append(http["status"])
+                rows["n_chars"].append(len(out))
+                rows["text"].append(out)
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _roundtrip,
+        "doc_id long, n_records int, rec_type string, uri string, "
+        "http_status int, n_chars int, text string",
+    )
+    from duckdb_server_spark.operators.dedup import _md5_60
+
+    return decoded.select(
+        "doc_id", "n_records", "rec_type", "uri", "http_status",
+        "n_chars", _md5_60(F.col("text")).alias("fp"),
+    ).orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
+    "b76_multistream_corpus",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bzip2'
+                ELSE 'xz' END AS codec,
+           CAST(CASE WHEN length(text) >= 2 THEN 2 ELSE 1 END AS INT)
+             AS n_streams,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+    FROM documents
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b76_multistream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multistream compressed-corpus reading (round 10, operators/
+    multistream.py): documents rotate across the three corpus
+    containers — gzip member chains (X147), bzip2 multistream (the
+    Wikipedia-dump layout), xz multistream (with legal 4-byte stream
+    padding) — each split into TWO independent streams so the walk is
+    exercised, dispatched purely by magic bytes. Stream CRCs verify in
+    the codecs; the decompressed text's stats and portable fingerprint
+    replay from the document DEFINITION, proving walk + inflate
+    byte-for-byte across all three containers. Scale shape: stream
+    boundaries are the split points — linear per-payload walk in
+    mapInPandas."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _roundtrip(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.gzipio import write_member
+        from duckdb_server_spark.operators.multistream import (
+            read_multistream,
+            write_bz2_streams,
+            write_xz_streams,
+        )
+
+        cols = ("doc_id", "codec", "n_streams", "n_chars", "text")
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                s = text_ or ""
+                cut = len(s) // 2
+                # split on CHARACTERS (the oracle's length(text) unit)
+                chunks = (
+                    [s[:cut].encode("utf-8"), s[cut:].encode("utf-8")]
+                    if len(s) >= 2
+                    else [s.encode("utf-8")]
+                )
+                sel = doc_id % 3
+                if sel == 0:
+                    blob = b"".join(write_member(c) for c in chunks)
+                elif sel == 1:
+                    blob = write_bz2_streams(chunks)
+                else:
+                    blob = write_xz_streams(chunks, pad=True)
+                m = read_multistream(blob)
+                out = m["data"].decode("utf-8")
+                rows["doc_id"].append(doc_id)
+                rows["codec"].append(m["codec"])
+                rows["n_streams"].append(m["n_streams"])
+                rows["n_chars"].append(len(out))
+                rows["text"].append(out)
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _roundtrip,
+        "doc_id long, codec string, n_streams int, n_chars int, "
+        "text string",
+    )
+    from duckdb_server_spark.operators.dedup import _md5_60
+
+    return decoded.select(
+        "doc_id", "codec", "n_streams", "n_chars",
+        _md5_60(F.col("text")).alias("fp"),
+    ).orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
     "b36_exif_probe",
     oracle="""
     WITH px AS (
@@ -4740,13 +4913,17 @@ def b74_gzip_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {k: [] for k in ("doc_id", "n_members", "n_chars",
                                     "n_words", "text")}
             for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
-                raw = (text_ or "").encode("utf-8")
-                if doc_id % 3 == 0 and len(raw) >= 2:
-                    cut = len(raw) // 2
-                    blob = write_member(raw[:cut], name=f"r{doc_id}a") + \
-                        write_member(raw[cut:])
+                s = text_ or ""
+                # split on CHARACTERS — the oracle's length(text) unit
+                # (a byte split would disagree on multi-byte-only docs)
+                if doc_id % 3 == 0 and len(s) >= 2:
+                    cut = len(s) // 2
+                    blob = write_member(s[:cut].encode("utf-8"),
+                                        name=f"r{doc_id}a") + \
+                        write_member(s[cut:].encode("utf-8"))
                 else:
-                    blob = write_member(raw, name=f"r{doc_id}")
+                    blob = write_member(s.encode("utf-8"),
+                                        name=f"r{doc_id}")
                 members = read_members(blob)
                 out = b"".join(m["data"] for m in members).decode("utf-8")
                 rows["doc_id"].append(doc_id)

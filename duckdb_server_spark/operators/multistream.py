@@ -1,0 +1,138 @@
+"""bzip2 / xz multistream reading — the other two compressed-corpus
+containers (gzip member chains are X147, operators/gzipio.py):
+
+* **bzip2 multistream** — Wikipedia database dumps ship as
+  ``*-multistream.xml.bz2``: many independent bzip2 STREAMS
+  concatenated so readers can seek to a stream boundary and inflate
+  one slice without the rest. The walk validates each stream's
+  ``BZh[1-9]`` magic and decompresses via stdlib ``bz2.BZ2Decompressor``
+  (one per stream, ``unused_data`` carrying the cursor — the same
+  pattern the gzip walk uses with raw zlib).
+* **xz multistream** — ``.xz`` files may concatenate streams with
+  optional zero padding between them (the xz container spec allows
+  4-byte-aligned null padding); each stream starts with the 6-byte
+  magic ``FD 37 7A 58 5A 00`` and decompresses via stdlib
+  ``lzma.LZMADecompressor(FORMAT_XZ)``.
+
+Both fail closed on bad magic, mid-stream truncation, or trailing
+garbage — corpus corruption surfaces, never silent truncation. The
+stream-level CRCs are verified by the stdlib decompressors themselves
+(bzip2 stream CRC, xz block/​index checks), so a corrupted payload
+raises from the codec.
+
+Reference scope: blobs are opaque to the reference (main.go:199);
+beyond-reference capability. Scale shape: linear walk per payload in
+mapInPandas; at corpus scale, stream boundaries ARE the split points —
+each executor inflates only its own streams (the multistream design's
+whole purpose).
+"""
+
+from __future__ import annotations
+
+import bz2
+import lzma
+
+_XZ_MAGIC = b"\xfd7zXZ\x00"
+
+
+def read_bz2_streams(payload: bytes) -> list[bytes]:
+    """Decompress every concatenated bzip2 stream; returns one bytes
+    per stream."""
+    out, pos = [], 0
+    n = len(payload)
+    while pos < n:
+        head = payload[pos : pos + 4]
+        if not (head[:3] == b"BZh" and head[3:4].isdigit()
+                and head[3:4] != b"0"):
+            raise ValueError("bzip2: bad stream magic")
+        dec = bz2.BZ2Decompressor()
+        try:
+            data = dec.decompress(payload[pos:])
+        except OSError as e:
+            raise ValueError(f"bzip2: corrupt stream ({e})")
+        if not dec.eof:
+            raise ValueError("bzip2: truncated stream")
+        out.append(data)
+        consumed = (n - pos) - len(dec.unused_data)
+        pos += consumed
+    if not out:
+        raise ValueError("bzip2: empty payload")
+    return out
+
+
+def read_xz_streams(payload: bytes) -> list[bytes]:
+    """Decompress every concatenated xz stream, honoring the container
+    spec's optional 4-byte-aligned null stream padding."""
+    out, pos = [], 0
+    n = len(payload)
+    while pos < n:
+        # stream padding: runs of null bytes in 4-byte units
+        pad_start = pos
+        while pos < n and payload[pos] == 0:
+            pos += 1
+        if pos > pad_start and (pos - pad_start) % 4:
+            raise ValueError("xz: stream padding not 4-byte aligned")
+        if pos >= n:
+            break
+        if payload[pos : pos + 6] != _XZ_MAGIC:
+            raise ValueError("xz: bad stream magic")
+        dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+        try:
+            data = dec.decompress(payload[pos:])
+        except lzma.LZMAError as e:
+            raise ValueError(f"xz: corrupt stream ({e})")
+        if not dec.eof:
+            raise ValueError("xz: truncated stream")
+        out.append(data)
+        consumed = (n - pos) - len(dec.unused_data)
+        pos += consumed
+    if not out:
+        raise ValueError("xz: empty payload")
+    return out
+
+
+def write_bz2_streams(chunks: list[bytes], level: int = 9) -> bytes:
+    """Concatenated independent bzip2 streams (the multistream dump
+    layout) — deterministic for fixtures."""
+    return b"".join(bz2.compress(c, compresslevel=level) for c in chunks)
+
+
+def write_xz_streams(chunks: list[bytes], pad: bool = False) -> bytes:
+    """Concatenated xz streams; ``pad`` inserts 4 bytes of legal stream
+    padding between them (CRC32 checks keep the output deterministic)."""
+    blobs = [
+        lzma.compress(c, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC32)
+        for c in chunks
+    ]
+    sep = b"\x00" * 4 if pad else b""
+    return sep.join(blobs)
+
+
+def read_multistream(payload: bytes) -> dict:
+    """Codec-dispatching corpus read: gzip member chains (X147), bzip2
+    multistream, or xz multistream by magic byte — returns
+    {codec, n_streams, data}."""
+    if payload[:2] == b"\x1f\x8b":
+        from duckdb_server_spark.operators.gzipio import read_members
+
+        members = read_members(payload)
+        return {
+            "codec": "gzip",
+            "n_streams": len(members),
+            "data": b"".join(m["data"] for m in members),
+        }
+    if payload[:3] == b"BZh":
+        streams = read_bz2_streams(payload)
+        return {
+            "codec": "bzip2",
+            "n_streams": len(streams),
+            "data": b"".join(streams),
+        }
+    if payload[:6] == _XZ_MAGIC:
+        streams = read_xz_streams(payload)
+        return {
+            "codec": "xz",
+            "n_streams": len(streams),
+            "data": b"".join(streams),
+        }
+    raise ValueError("multistream: unknown compression magic")
