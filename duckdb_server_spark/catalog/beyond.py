@@ -4536,6 +4536,81 @@ def b76_multistream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b77_zip_members",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS INT) AS n_entries,
+           'deflate' AS text_method,
+           CAST(octet_length(encode(text)) AS INT) AS text_usize,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp,
+           '{"doc": ' || CAST(doc_id AS VARCHAR) || '}' AS meta
+    FROM documents
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b77_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP central-directory reading (round 10, operators/zipdir.py):
+    each document becomes a three-member archive (text.txt deflated,
+    meta.json stored, pad.bin stored) and the reader fetches text.txt
+    and meta.json BY NAME via the EOCD → central directory → local
+    header chain — the O(1) member access that matters at 100 TB (never
+    scan the archive), with CRC-32 + size verification on every
+    extract. Text stats + fingerprint replay from the document
+    DEFINITION; a hash-match proves directory walk, offset seek,
+    inflate, and CRC byte-for-byte. Scale shape: per-payload walk in
+    mapInPandas; directory walk O(entries), member fetch O(1)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _roundtrip(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.zipdir import (
+            list_zip,
+            read_zip_entry,
+            write_zip,
+        )
+
+        cols = ("doc_id", "n_entries", "text_method", "text_usize",
+                "n_chars", "text", "meta")
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text_ or "").encode("utf-8")
+                meta = f'{{"doc": {doc_id}}}'.encode()
+                blob = write_zip([
+                    ("text.txt", raw, True),
+                    ("meta.json", meta, False),
+                    ("pad.bin", bytes(16), False),
+                ])
+                entries = {e["name"]: e for e in list_zip(blob)}
+                body = read_zip_entry(blob, "text.txt")
+                rows["doc_id"].append(doc_id)
+                rows["n_entries"].append(len(entries))
+                rows["text_method"].append(entries["text.txt"]["method"])
+                rows["text_usize"].append(entries["text.txt"]["usize"])
+                out = body.decode("utf-8")
+                rows["n_chars"].append(len(out))
+                rows["text"].append(out)
+                rows["meta"].append(
+                    read_zip_entry(blob, "meta.json").decode("utf-8")
+                )
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _roundtrip,
+        "doc_id long, n_entries int, text_method string, text_usize int, "
+        "n_chars int, text string, meta string",
+    )
+    from duckdb_server_spark.operators.dedup import _md5_60
+
+    return decoded.select(
+        "doc_id", "n_entries", "text_method", "text_usize", "n_chars",
+        _md5_60(F.col("text")).alias("fp"), "meta",
+    ).orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
     "b36_exif_probe",
     oracle="""
     WITH px AS (
