@@ -91,6 +91,7 @@ _PRIORITY_R10: tuple[str, ...] = (
     "b75_warc_extract",        # new: ISO 28500 WARC record extraction
     "b76_multistream_corpus",  # new: bzip2/xz multistream + dispatch
     "b77_zip_members",         # new: ZIP central-directory O(1) access
+    "b78_tar_bundle",          # new: ustar-in-gzip bundle reading
     # --- code changed this round: refresh green evidence ---
     "s32_dialect_hash_ops",    # hash width fixes (smallint/decimal)
     "b36_exif_probe",          # ASCII codec agreement

@@ -4611,6 +4611,84 @@ def b77_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b78_tar_bundle",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS INT) AS n_members,
+           CAST(octet_length(encode(text)) AS INT) AS text_size,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp,
+           '{"doc": ' || CAST(doc_id AS VARCHAR) || '}' AS meta
+    FROM documents
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b78_tar_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tarball bundle reading (round 10, operators/tario.py): each
+    document becomes a ``.tar.gz`` — a ustar archive (directory entry +
+    text member + metadata member) inside a gzip member (X147) — the
+    dataset-bundle shape checkpoints and scraped dumps actually ship
+    in. The reader inflates the member chain, walks the 512-byte ustar
+    headers (checksums verified, prefix-joined long names, non-file
+    typeflags fail closed), and extracts members by name. Text stats +
+    fingerprint replay from the document DEFINITION prove
+    gzip → tar → member byte-for-byte. Scale shape: linear header walk
+    per payload in mapInPandas."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _roundtrip(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.gzipio import (
+            decompress_all,
+            write_member,
+        )
+        from duckdb_server_spark.operators.tario import (
+            list_tar,
+            read_tar_member,
+            write_tar,
+        )
+
+        cols = ("doc_id", "n_members", "text_size", "n_chars", "text",
+                "meta")
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text_ or "").encode("utf-8")
+                meta = f'{{"doc": {doc_id}}}'.encode()
+                tar = write_tar([
+                    ("bundle/text.txt", raw),
+                    ("bundle/meta.json", meta),
+                    ("bundle/pad.bin", bytes(7)),
+                ])
+                payload = decompress_all(write_member(tar))
+                members = list_tar(payload)
+                body = read_tar_member(payload, "bundle/text.txt")
+                out = body.decode("utf-8")
+                rows["doc_id"].append(doc_id)
+                rows["n_members"].append(len(members))
+                rows["text_size"].append(len(body))
+                rows["n_chars"].append(len(out))
+                rows["text"].append(out)
+                rows["meta"].append(
+                    read_tar_member(payload, "bundle/meta.json").decode()
+                )
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _roundtrip,
+        "doc_id long, n_members int, text_size int, n_chars int, "
+        "text string, meta string",
+    )
+    from duckdb_server_spark.operators.dedup import _md5_60
+
+    return decoded.select(
+        "doc_id", "n_members", "text_size", "n_chars",
+        _md5_60(F.col("text")).alias("fp"), "meta",
+    ).orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
     "b36_exif_probe",
     oracle="""
     WITH px AS (
