@@ -92,6 +92,7 @@ _PRIORITY_R10: tuple[str, ...] = (
     "b76_multistream_corpus",  # new: bzip2/xz multistream + dispatch
     "b77_zip_members",         # new: ZIP central-directory O(1) access
     "b78_tar_bundle",          # new: ustar-in-gzip bundle reading
+    "b79_url_canonical",       # new: JVM-expression URL canonicalization
     # --- code changed this round: refresh green evidence ---
     "s32_dialect_hash_ops",    # hash width fixes (smallint/decimal)
     "b36_exif_probe",          # ASCII codec agreement

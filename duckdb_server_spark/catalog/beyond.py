@@ -4689,6 +4689,70 @@ def b78_tar_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b79_url_canonical",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 3 END AS INT)
+             AS n_variants,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INT)
+             AS n_canonical,
+           'https://example.test/doc/' || CAST(doc_id AS VARCHAR)
+             || '?q=' || substr(md5(text), 1, 8) AS canon_min
+    FROM documents
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b79_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup (round 10, operators/urlnorm.py) —
+    the crawl-dedup front end as PURE JVM expressions (no UDF, no Arrow
+    hop; the transform rides whole-stage codegen on the scan side).
+    Each document emits three messy variants of its URL (scheme/host
+    case, default :443 port, utm_* tracking params, fragments, query
+    order) that must collapse to ONE canonical form; every fifth
+    document adds a NON-default-port variant that must stay distinct.
+    The oracle states the expected canonical form directly from the
+    definition — exercising lowercase scheme/host, default-port strip,
+    kept non-default ports, fragment drop, utm_* removal, and bytewise
+    query-param sorting in one shot. ('/' sorts before ':', so the
+    portless canon is always the minimum.)"""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    from duckdb_server_spark.operators.urlnorm import canonicalize_url
+
+    term = F.substring(F.md5(F.col("text")), 1, 8)
+    base = F.concat(F.lit("/doc/"), F.col("doc_id").cast("string"),
+                    F.lit("?q="), term)
+    tail = F.concat(F.col("doc_id").cast("string"),
+                    F.lit("?q="), term)
+    variants = F.array(
+        F.concat(F.lit("https://Example.TEST:443/doc/"), tail,
+                 F.lit("&utm_source=x#frag")),
+        F.concat(F.lit("HTTPS://example.test/doc/"), tail,
+                 F.lit("&utm_campaign=y")),
+        F.concat(F.lit("https://EXAMPLE.test:443"), base,
+                 F.lit("#other")),
+    )
+    variants = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            variants,
+            F.array(F.concat(F.lit("https://example.test:8443"), base)),
+        ),
+    ).otherwise(variants)
+    exploded = docs.select(
+        "doc_id", F.explode(variants).alias("url")
+    ).select("doc_id", canonicalize_url(F.col("url")).alias("canon"))
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_variants"),
+            F.countDistinct("canon").cast("int").alias("n_canonical"),
+            F.min("canon").alias("canon_min"),
+        )
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )
+
+
+@query(
     "b36_exif_probe",
     oracle="""
     WITH px AS (
