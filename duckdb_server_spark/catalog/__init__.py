@@ -93,6 +93,7 @@ _PRIORITY_R10: tuple[str, ...] = (
     "b77_zip_members",         # new: ZIP central-directory O(1) access
     "b78_tar_bundle",          # new: ustar-in-gzip bundle reading
     "b79_url_canonical",       # new: JVM-expression URL canonicalization
+    "b80_html_extract",        # new: HTML boilerplate-stripping extract
     # --- code changed this round: refresh green evidence ---
     "s32_dialect_hash_ops",    # hash width fixes (smallint/decimal)
     "b36_exif_probe",          # ASCII codec agreement

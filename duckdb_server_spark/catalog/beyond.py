@@ -4753,6 +4753,68 @@ def b79_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b80_html_extract",
+    oracle="""
+    WITH expected AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               'Doc ' || CAST(doc_id AS VARCHAR) || ' Home | About Doc '
+                 || CAST(doc_id AS VARCHAR) || ' ' || text
+                 || ' © 2024 — Example …',
+               '\\s+', ' ', 'g')) AS ext
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(ext) AS INT) AS n_chars,
+           CAST('0x' || substr(md5(ext), 1, 15) AS BIGINT) AS fp
+    FROM expected
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b80_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (round 10, operators/htmltext.py): each
+    document renders into a page with the boilerplate every crawler
+    meets — nav links, an inline script whose STRING contains markup, a
+    style block, a comment hiding markup, an entity-bearing footer, and
+    the document text itself &-escaped into a <p>. The extractor drops
+    comments/script/style, strips tags, decodes named + numeric
+    character references (one level, matching the escape side), and
+    whitespace-normalizes. The oracle states the expected visible text
+    directly from the DEFINITION — a hash-match proves script/style/
+    comment removal, tag stripping, and entity decode byte-for-byte on
+    arbitrary corpus text. Scale shape: per-payload regex kernel in
+    mapInPandas."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _extract(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.htmltext import (
+            extract_text,
+            wrap_page,
+        )
+
+        for pdf in pdf_iter:
+            rows = {k: [] for k in ("doc_id", "n_chars", "text")}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                page = wrap_page(f"Doc {doc_id}", text_ or "")
+                out = extract_text(page)
+                rows["doc_id"].append(doc_id)
+                rows["n_chars"].append(len(out))
+                rows["text"].append(out)
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _extract, "doc_id long, n_chars int, text string"
+    )
+    from duckdb_server_spark.operators.dedup import _md5_60
+
+    return decoded.select(
+        "doc_id", "n_chars", _md5_60(F.col("text")).alias("fp"),
+    ).orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
     "b36_exif_probe",
     oracle="""
     WITH px AS (
