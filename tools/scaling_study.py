@@ -162,6 +162,19 @@ GROUPS = {
         ("t21b_waiting_supplier_bucketed", 600_000, ("1x", "10x", "100x")),
         ("b34_ogg_flac_audio", 5_000, ("1x", "10x", "100x")),
     ],
+    # round-10 ingestion band: corpus containers (WARC/multistream/zip/
+    # tar), the MP3 granule decode, URL canonicalization (pure JVM
+    # expressions), HTML extraction — all per-payload scan kernels,
+    # expected linear with accelerating per-doc throughput
+    "r10b": [
+        ("b35b_mp3_l3_decode", 5_000, ("1x", "10x", "100x")),
+        ("b75_warc_extract", 5_000, ("1x", "10x", "100x")),
+        ("b76_multistream_corpus", 5_000, ("1x", "10x", "100x")),
+        ("b77_zip_members", 5_000, ("1x", "10x", "100x")),
+        ("b78_tar_bundle", 5_000, ("1x", "10x", "100x")),
+        ("b79_url_canonical", 5_000, ("1x", "10x", "100x")),
+        ("b80_html_extract", 5_000, ("1x", "10x", "100x")),
+    ],
     # the full TPC-H-ish suite at the 10× fact tier (lineitem 6M rows,
     # joins resolving against consistently-offset orders/customer and
     # fixed dims) — VERDICT r5 item 6. base_rows = lineitem at sf0.1.
