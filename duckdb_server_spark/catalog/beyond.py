@@ -4738,18 +4738,17 @@ def b79_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.concat(F.lit("https://example.test:8443"), base)),
         ),
     ).otherwise(variants)
-    exploded = docs.select(
-        "doc_id", F.explode(variants).alias("url")
-    ).select("doc_id", canonicalize_url(F.col("url")).alias("canon"))
-    return (
-        exploded.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_variants"),
-            F.countDistinct("canon").cast("int").alias("n_canonical"),
-            F.min("canon").alias("canon_min"),
-        )
-        .orderBy(F.col("doc_id").asc_nulls_last())
-    )
+    # one document's variants live in ONE row, so the dedup needs no
+    # aggregation at all: canonicalize inside transform() and reduce
+    # with array functions — ZERO shuffles besides the output ordering
+    # (the exploded groupBy/countDistinct form costs two hash exchanges)
+    canon_arr = F.transform(variants, canonicalize_url)
+    return docs.select(
+        "doc_id",
+        F.size(canon_arr).cast("int").alias("n_variants"),
+        F.size(F.array_distinct(canon_arr)).cast("int").alias("n_canonical"),
+        F.array_min(canon_arr).alias("canon_min"),
+    ).orderBy(F.col("doc_id").asc_nulls_last())
 
 
 @query(

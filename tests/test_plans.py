@@ -613,3 +613,32 @@ def test_t21_bucketed_removes_orderkey_exchanges(spark, sf_dir):
     for line in text.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "orderkey" not in line, line
+
+
+def test_r10_ingestion_band_is_shuffle_lean(spark, sf_dir):
+    """b75-b80: per-payload scan kernels — the only exchanges allowed
+    are the final doc_id ordering (and b79's per-doc aggregation). A
+    container walk that shuffles payload bytes would be a scale
+    defect."""
+    from duckdb_server_spark.catalog import beyond
+
+    for name, max_exchanges in (
+        ("b75_warc_extract", 1),
+        ("b76_multistream_corpus", 1),
+        ("b77_zip_members", 1),
+        ("b78_tar_bundle", 1),
+        ("b80_html_extract", 1),
+        ("b79_url_canonical", 1),  # array-reduced per row: sort only
+    ):
+        df = getattr(beyond, name)(spark, sf_dir)
+        text = df._jdf.queryExecution().executedPlan().toString()
+        n = text.count("Exchange ")
+        assert n <= max_exchanges, f"{name}: {n} exchanges\n{text}"
+
+
+def test_r10_b35b_mp3_plan_is_scan_shaped(spark, sf_dir):
+    from duckdb_server_spark.catalog import beyond
+
+    df = beyond.b35b_mp3_l3_decode(spark, sf_dir)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert text.count("Exchange ") <= 1
