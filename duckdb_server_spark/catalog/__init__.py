@@ -94,6 +94,7 @@ _PRIORITY_R10: tuple[str, ...] = (
     "b78_tar_bundle",          # new: ustar-in-gzip bundle reading
     "b79_url_canonical",       # new: JVM-expression URL canonicalization
     "b80_html_extract",        # new: HTML boilerplate-stripping extract
+    "s34_dialect_datetime_string",  # new: battery-34 parity statement
     # --- code changed this round: refresh green evidence ---
     "s32_dialect_hash_ops",    # hash width fixes (smallint/decimal)
     "b36_exif_probe",          # ASCII codec agreement

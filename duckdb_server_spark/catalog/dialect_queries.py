@@ -627,6 +627,36 @@ def s23_dialect_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFram
     return _sql(spark, sf_dir, _S23_SQL, ("documents",))
 
 
+_S34_SQL = """
+SELECT o_orderkey,
+       dayofweek(o_orderdate) AS dow,
+       strftime(o_orderdate, '%j %U %W %w %u') AS weekfmt,
+       strftime(o_orderdate, '%x') AS locale_date,
+       levenshtein(o_orderstatus, 'Ø') AS lv_bytes,
+       regexp_replace(o_orderpriority, '[aeiou]', '*') AS first_vowel,
+       regexp_replace(o_orderpriority, '[aeiou]', '*', 'g') AS all_vowels,
+       printf('%03d|%.1f', CAST(o_orderkey % 100 AS INT),
+              o_totalprice / 100) AS pf,
+       CAST(INTERVAL 90 MINUTE AS VARCHAR) AS ivl,
+       CAST(INTERVAL 14 MONTH AS VARCHAR) AS ivl2
+FROM orders
+WHERE o_orderkey <= 256
+ORDER BY o_orderkey ASC NULLS LAST
+"""
+
+
+@query("s34_dialect_datetime_string", oracle=_S34_SQL)
+def s34_dialect_datetime_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 34 as one verbatim shared statement: DuckDB's 0-based
+    dayofweek (Spark's builtin is 1-based — off by one on EVERY row),
+    the %U/%W/%w/%u/%x strftime tokens spliced as expressions, the
+    byte-counting levenshtein ('Ø' costs 2), the FIRST-match-only
+    flagless regexp_replace next to its 'g' form, printf with
+    per-conversion argument casts, and the folded interval → VARCHAR
+    renderings."""
+    return _sql(spark, sf_dir, _S34_SQL, ("orders",))
+
+
 _S33_SQL = """
 SELECT o_orderkey,
        CAST([o_orderkey % 5, NULL, CAST(o_orderkey % 3 AS BIGINT)]

@@ -238,7 +238,10 @@ _FN_RENAMES = {
     "array_length": "size",
     # string-distance family (r7): levenshtein is native; the rest are
     # SQL/pandas shims registered in register_dialect_functions
-    "editdist3": "levenshtein",
+    # DuckDB levenshtein counts UTF-8 BYTES; Spark's builtin counts
+    # characters — silently one-off on every non-ASCII operand
+    "levenshtein": "dd_lev_bytes",
+    "editdist3": "dd_lev_bytes",
     "suffix": "endswith",
     "hamming": "dd_hamming",
     "mismatches": "dd_hamming",
@@ -457,18 +460,21 @@ def _rewrite_regexp_replace(s: str, table: list[str]) -> str:
         open_idx = s.index("(", m.end() - 1)
         close = _matching_paren(s, open_idx)
         args = _split_top_commas(s[open_idx + 1 : close])
+        if len(args) == 3:
+            # DuckDB's flagless form replaces only the FIRST match
+            # (battery 34 — Spark's builtin always replaces all)
+            repl = (f"dd_regexp_replace_first({args[0]}, {args[1]}, "
+                    f"{args[2]})")
+            s = s[: m.start()] + repl + s[close + 1 :]
+            pos = m.start() + len("dd_regexp_replace_first(")
+            continue
         if len(args) != 4:
-            pos = close  # 3-arg form: Spark-compatible already
+            pos = close
             continue
         flag_ph = _PLACEHOLDER_RE.fullmatch(args[3])
         flags = _literal_value(table[int(flag_ph.group(1))]) if flag_ph else None
         if flags is None or not set(flags) <= {"g", "i", "s"}:
             raise ValueError(f"unsupported regexp_replace flags: {args[3]!r}")
-        if "g" not in flags:
-            raise ValueError(
-                "regexp_replace without 'g' replaces only the first match; "
-                "Spark has no non-global form"
-            )
         pat = args[1]
         inline = "".join(c for c in flags if c != "g")
         if inline:
@@ -478,6 +484,13 @@ def _rewrite_regexp_replace(s: str, table: list[str]) -> str:
                 raise ValueError("regexp_replace flag folding needs a literal pattern")
             table.append("'(?" + inline + ")" + pat_lit.replace("'", "''") + "'")
             pat = _PLACEHOLDER.format(len(table) - 1)
+        if "g" not in flags:
+            # flags but no 'g': still first-match-only
+            repl = (f"dd_regexp_replace_first({args[0]}, {pat}, "
+                    f"{args[2]})")
+            s = s[: m.start()] + repl + s[close + 1 :]
+            pos = m.start() + len("dd_regexp_replace_first(")
+            continue
         repl = f"regexp_replace({args[0]}, {pat}, {args[2]})"
         s = s[: m.start()] + repl + s[close + 1 :]
         # resume INSIDE the replacement: args[0] may hold a nested
@@ -1653,6 +1666,8 @@ _STRFTIME_TOKENS = {
     "%I": "hh", "%M": "mm", "%S": "ss", "%j": "DDD", "%a": "EEE",
     "%A": "EEEE", "%b": "MMM", "%B": "MMMM", "%p": "a", "%%": "%",
     "%f": "SSSSSS", "%g": "SSS",
+    # locale date/time: DuckDB pins the ISO renderings (probed live)
+    "%x": "yyyy-MM-dd", "%X": "HH:mm:ss", "%c": "yyyy-MM-dd HH:mm:ss",
 }
 # no-pad (dash) variants — single-letter java.time patterns
 _STRFTIME_TOKENS3 = {
@@ -1712,6 +1727,11 @@ _STRFTIME_WEEK_EXPRS = {
     ),
     "%V": "lpad(CAST(weekofyear({x}) AS STRING), 2, '0')",
     "%G": "CAST(extract(YEAROFWEEK FROM {x}) AS STRING)",
+    # %w Sunday=0..Saturday=6; %u ISO Monday=1..Sunday=7 (probed live)
+    "%w": "CAST(dayofweek({x}) - 1 AS STRING)",
+    "%u": "CAST(extract(DAYOFWEEK_ISO FROM {x}) AS STRING)",
+    # %n nanoseconds: micros zero-extended (DuckDB stores microseconds)
+    "%n": "concat(date_format({x}, 'SSSSSS'), '000')",
 }
 _STRFTIME_WEEK_RE = re.compile("(" + "|".join(_STRFTIME_WEEK_EXPRS) + ")")
 
@@ -2826,6 +2846,36 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
     the call untouched (native or out of scope)."""
     if fn == "to_base" and len(args) == 2:
         return f"conv({args[0]}, 10, {args[1]})"
+    if fn == "printf" and len(args) >= 2:
+        # Java's Formatter rejects Decimal args for %d/%x/%f — cast each
+        # argument to the type its conversion demands (probed: DuckDB
+        # printf('%x', 255) = 'ff'; Spark format_string errors uncast)
+        lit = (
+            _literal_value(_unmask(args[0].strip(), table))
+            if re.fullmatch(r"\x00\d+\x00", args[0].strip())
+            else None
+        )
+        if lit is not None:
+            convs = re.findall(
+                r"%(?:\d+\$)?[-+ #0,(]*\d*(?:\.\d+)?([a-zA-Z%])", lit
+            )
+            casts = []
+            for c in convs:
+                if c in "diuxXo":
+                    casts.append("BIGINT")
+                elif c in "eEfgGaA":
+                    casts.append("DOUBLE")
+                elif c != "%":
+                    casts.append(None)
+            vals = [
+                f"CAST({a} AS {t})" if t else a
+                for a, t in zip(args[1:], casts)
+            ] + list(args[1 + len(casts):])
+            return f"format_string({args[0]}, {', '.join(vals)})"
+        return None
+    if fn in ("dayofweek", "weekday") and len(args) == 1:
+        # DuckDB: Sunday=0..Saturday=6; Spark's dayofweek is Sunday=1
+        return f"(dayofweek({args[0]}) - 1)"
     if fn in ("list_extract", "array_extract") and len(args) == 2:
         # DuckDB: 1-based, index 0 and out-of-range give NULL, negative
         # counts from the end; Spark's element_at RAISES on 0 under ANSI
@@ -3683,7 +3733,8 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
 _TEMPLATE_RE = re.compile(
     r"\b(to_base|list_reduce|date_sub|datesub|datepart|date_part|epoch|"
     r"list_extract|array_extract|list_contains|list_has|array_has|"
-    r"list_concat|list_cat|array_concat|flatten|"
+    r"list_concat|list_cat|array_concat|flatten|dayofweek|weekday|"
+    r"printf|"
     r"json_extract|json_extract_path|json_extract_string|"
     r"json_array_length|"
     r"to_timestamp|strptime|try_strptime|list_distinct|list_prepend|array_prepend|array_push_front|typeof|version|txid_current|bit_count|chr|bar|struct_extract|current_schema|"
@@ -4977,6 +5028,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_xor(masked)
     masked = _rewrite_strftime(masked, table)
     masked = _rewrite_datediff_units(masked, table)
+    masked = _rewrite_interval_varchar(masked, table)
     masked = _rewrite_nested_cast_types(masked)
     masked = _rewrite_struct_map(masked, table)
     masked = _rewrite_ordered_aggs(masked)
@@ -5843,6 +5895,55 @@ def _register_text_shims(spark: SparkSession) -> None:
     resc.__annotations__ = {"s": pd.Series, "return": pd.Series}
     spark.udf.register("dd_regexp_escape", pandas_udf(resc, "string"))
 
+    def lev_bytes(a, b):
+        """DuckDB's levenshtein operates on UTF-8 BYTES (probed live:
+        levenshtein('kitten','sätting') = 5, not the 4 a character-level
+        distance gives) — Spark's builtin counts characters."""
+
+        def one(x, y):
+            if x is None or y is None:
+                return None
+            xb, yb = x.encode("utf-8"), y.encode("utf-8")
+            prev = list(range(len(yb) + 1))
+            for i, cx in enumerate(xb, 1):
+                cur = [i]
+                for j, cy in enumerate(yb, 1):
+                    cur.append(min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (cx != cy),
+                    ))
+                prev = cur
+            return prev[-1]
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+    lev_bytes.__annotations__ = {
+        "a": pd.Series, "b": pd.Series, "return": pd.Series
+    }
+    spark.udf.register("dd_lev_bytes", pandas_udf(lev_bytes, "long"))
+
+    def rr_first(s, p, r):
+        """DuckDB regexp_replace WITHOUT the 'g' flag replaces only the
+        FIRST match (Spark's builtin always replaces all). Backslash
+        backreferences (\\1) share syntax between DuckDB and Python re;
+        the inline-flag prefix (?i) folded by the rewrite also parses."""
+
+        def one(x, pat, rep):
+            if x is None or pat is None or rep is None:
+                return None
+            return _re.sub(pat, rep, x, count=1)
+
+        return pd.Series([one(*t) for t in zip(s, p, r)])
+
+    rr_first.__annotations__ = {
+        "s": pd.Series, "p": pd.Series, "r": pd.Series,
+        "return": pd.Series,
+    }
+    spark.udf.register(
+        "dd_regexp_replace_first", pandas_udf(rr_first, "string")
+    )
+
     import calendar as _cal
 
     def age_seconds(a, b):
@@ -5997,6 +6098,9 @@ def _register_distance_shims(spark: SparkSession) -> None:
 _LIBM_FNS = (
     "sin", "cos", "tan", "asin", "acos", "atan",
     "exp", "ln", "log10", "log2", "sinh", "cosh", "tanh",
+    # sqrt is IEEE-exact on both engines; it routes through the shim so
+    # negative inputs RAISE like DuckDB instead of returning NaN
+    "sqrt",
 )
 _LIBM_RE = re.compile(
     r"\b(" + "|".join(_LIBM_FNS) + r"|atan2)\s*\(", re.IGNORECASE
@@ -6021,12 +6125,29 @@ def _register_libm_shims(spark: SparkSession) -> None:
     impl = {name: getattr(math, name) for name in _LIBM_FNS if name != "ln"}
     impl["ln"] = math.log
 
-    def make(f):
+    # DuckDB raises on log/sqrt domain violations (probed live:
+    # 'cannot take logarithm of zero' / 'of a negative number' /
+    # 'cannot take square root of a negative number'); other libm
+    # domain errors keep the NaN convention
+    _DOMAIN_RAISERS = {"ln", "log10", "log2", "sqrt"}
+
+    def make(f, name=None):
         def shim(s):
             def one(v):
                 try:
                     return f(v)
                 except (ValueError, OverflowError, TypeError):
+                    if name in _DOMAIN_RAISERS and v == v:
+                        if name == "sqrt":
+                            raise ValueError(
+                                "cannot take square root of a negative "
+                                "number"
+                            )
+                        raise ValueError(
+                            "cannot take logarithm of zero" if v == 0
+                            else "cannot take logarithm of a negative "
+                                 "number"
+                        )
                     return float("nan")
 
             return s.astype("float64").map(one)
@@ -6043,7 +6164,9 @@ def _register_libm_shims(spark: SparkSession) -> None:
     impl["gamma"] = math.gamma
     impl["lgamma"] = math.lgamma
     for name, f in impl.items():
-        spark.udf.register(f"dd_libm_{name}", pandas_udf(make(f), "double"))
+        spark.udf.register(
+            f"dd_libm_{name}", pandas_udf(make(f, name), "double")
+        )
 
     def nextafter_shim(a, b):
         return pd.Series(
@@ -6608,6 +6731,67 @@ def _struct_cmp_sql(
             f"THEN CAST(NULL AS BOOLEAN) ELSE {eq_core} END))"
         )
     return out
+
+
+# DuckDB's interval → VARCHAR rendering (probed live): months normalize
+# to 'N year(s) M month(s)', days to 'N day(s)' (weeks×7), micros to
+# 'HH:MM:SS[.frac]' with unbounded hours and trailing zeros trimmed;
+# the time part prints when nonzero or when everything is zero.
+_IVL_UNIT = {
+    "year": (12, 0, 0), "years": (12, 0, 0),
+    "quarter": (3, 0, 0), "quarters": (3, 0, 0),
+    "month": (1, 0, 0), "months": (1, 0, 0),
+    "decade": (120, 0, 0), "decades": (120, 0, 0),
+    "century": (1200, 0, 0), "centuries": (1200, 0, 0),
+    "millennium": (12000, 0, 0), "millennia": (12000, 0, 0),
+    "week": (0, 7, 0), "weeks": (0, 7, 0),
+    "day": (0, 1, 0), "days": (0, 1, 0),
+    "hour": (0, 0, 3_600_000_000), "hours": (0, 0, 3_600_000_000),
+    "minute": (0, 0, 60_000_000), "minutes": (0, 0, 60_000_000),
+    "second": (0, 0, 1_000_000), "seconds": (0, 0, 1_000_000),
+    "millisecond": (0, 0, 1000), "milliseconds": (0, 0, 1000),
+    "microsecond": (0, 0, 1), "microseconds": (0, 0, 1),
+}
+_IVL_CAST_RE = re.compile(
+    r"CAST\s*\(\s*INTERVAL\s+(\d+)\s+([A-Za-z]+)\s+AS\s+"
+    r"(?:VARCHAR|STRING)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _duck_interval_str(months: int, days: int, micros: int) -> str:
+    parts = []
+    if months:
+        y, mo = divmod(months, 12)
+        if y:
+            parts.append(f"{y} year" + ("s" if y != 1 else ""))
+        if mo:
+            parts.append(f"{mo} month" + ("s" if mo != 1 else ""))
+    if days:
+        parts.append(f"{days} day" + ("s" if days != 1 else ""))
+    if micros or not parts:
+        h, rem = divmod(micros, 3_600_000_000)
+        m, rem = divmod(rem, 60_000_000)
+        sec, us = divmod(rem, 1_000_000)
+        t = f"{h:02d}:{m:02d}:{sec:02d}"
+        if us:
+            t += ("." + f"{us:06d}").rstrip("0")
+        parts.append(t)
+    return " ".join(parts)
+
+
+def _rewrite_interval_varchar(s: str, table: list[str]) -> str:
+    def fold(m: re.Match) -> str:
+        unit = m.group(2).lower()
+        if unit not in _IVL_UNIT:
+            return m.group(0)
+        f = _IVL_UNIT[unit]
+        n = int(m.group(1))
+        return _masked_literal(
+            table, _duck_interval_str(n * f[0], n * f[1], n * f[2])
+        )
+
+    return _IVL_CAST_RE.sub(fold, s)
 
 
 def _rewrite_nested_cast_types(s: str) -> str:
