@@ -95,6 +95,8 @@ _PRIORITY_R10: tuple[str, ...] = (
     "b79_url_canonical",       # new: JVM-expression URL canonicalization
     "b80_html_extract",        # new: HTML boilerplate-stripping extract
     "s34_dialect_datetime_string",  # new: battery-34 parity statement
+    "b81_group_split",         # new: leakage-safe group-aware splits
+    "b82_heavy_hitters_cms",   # new: count-min sketch heavy hitters
     # --- code changed this round: refresh green evidence ---
     "s32_dialect_hash_ops",    # hash width fixes (smallint/decimal)
     "b36_exif_probe",          # ASCII codec agreement

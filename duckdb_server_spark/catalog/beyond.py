@@ -4510,7 +4510,10 @@ def b76_multistream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if sel == 0:
                     blob = b"".join(write_member(c) for c in chunks)
                 elif sel == 1:
-                    blob = write_bz2_streams(chunks)
+                    # level 1: the fixture-side COMPRESSION dominated the
+                    # 100x tier (SCALING.md r10b); the read path under
+                    # test is identical at any level
+                    blob = write_bz2_streams(chunks, level=1)
                 else:
                     blob = write_xz_streams(chunks, pad=True)
                 m = read_multistream(blob)
@@ -4811,6 +4814,172 @@ def b80_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "n_chars", _md5_60(F.col("text")).alias("fp"),
     ).orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
+    "b81_group_split",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             'site' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS dom
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, dom,
+             CASE
+               WHEN CAST('0x' || substr(md5(dom), 1, 15) AS BIGINT)
+                    % 100 < 80 THEN 'train'
+               WHEN CAST('0x' || substr(md5(dom), 1, 15) AS BIGINT)
+                    % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+      FROM docs
+    ),
+    leaks AS (
+      SELECT count(*) AS leaked FROM (
+        SELECT dom FROM assigned GROUP BY dom
+        HAVING count(DISTINCT split) > 1)
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           count(DISTINCT dom) AS n_domains,
+           (SELECT leaked FROM leaks) AS leaked_domains
+    FROM assigned
+    GROUP BY split
+    ORDER BY split ASC NULLS LAST
+    """,
+)
+def b81_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test splitting (round 10): assigning by
+    DOCUMENT hash leaks near-duplicates across splits — the canonical
+    evaluation-contamination bug — so the split key must be the GROUP
+    every near-dup family shares. Here each document's source URL
+    canonicalizes (operators/urlnorm.py, composing with b79) and the
+    DOMAIN is the group: a portable md5 bucket of the domain sends
+    every document of a site to the same split (80/10/10). The output
+    verifies the guarantee structurally: leaked_domains — domains seen
+    in more than one split — must be 0. Scale shape: split assignment
+    is a scan-side expression; one hash-agg per granularity; the
+    domain never explodes into pairs."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    from duckdb_server_spark.operators.urlnorm import canonicalize_url
+
+    url = F.concat(
+        F.lit("https://Site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".EXAMPLE:443/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    dom = F.regexp_extract(canonicalize_url(url), "://([^/]*)", 1)
+    bucket = (
+        F.conv(F.substring(F.md5(dom), 1, 15), 16, 10).cast("long") % 100
+    )
+    assigned = docs.select(
+        "doc_id",
+        dom.alias("dom"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leaks = assigned.groupBy("dom").agg(
+        F.countDistinct("split").alias("ns")
+    ).filter(F.col("ns") > 1).agg(
+        F.count(F.lit(1)).alias("leaked_domains")
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("dom").alias("n_domains"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .orderBy(F.col("split").asc_nulls_last())
+    )
+
+
+@query(
+    "b82_heavy_hitters_cms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    exact AS (
+      SELECT tok, count(*) AS n FROM toks WHERE tok <> ''
+      GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+    ),
+    cells AS (
+      SELECT CAST(d.range AS INT) AS depth,
+             CAST(CAST('0x' || substr(md5(CAST(d.range AS VARCHAR)
+                  || ':' || tok), 1, 15) AS BIGINT) % 256 AS INT)
+               AS bucket,
+             count(*) AS c
+      FROM toks, range(4) d WHERE tok <> ''
+      GROUP BY 1, 2
+    )
+    SELECT e.tok AS token, e.n AS exact_n,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate
+    FROM exact e
+    JOIN cells c
+      ON c.bucket = CAST(CAST('0x' || substr(md5(CAST(c.depth AS VARCHAR)
+           || ':' || e.tok), 1, 15) AS BIGINT) % 256 AS INT)
+    GROUP BY e.tok, e.n
+    ORDER BY exact_n DESC NULLS LAST, token ASC NULLS LAST
+    """,
+)
+def b82_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via a count-min sketch (round 10) — the
+    mergeable fixed-size frequency summary streaming/multi-shard
+    pipelines use when exact vocabulary counts do not fit: 4 depths ×
+    256 buckets, each token hashing to one cell per depth with a
+    portable md5 hash; estimate(token) = min over depths of its cells
+    (always ≥ exact; equality when no collision wins every depth). The
+    sketch build is ONE hash-aggregation whose output is ≤1024 rows per
+    partition after map-side combine — at 100 TB the exchange carries
+    the sketch, never the tokens. The exact top-20 rides alongside so
+    the oracle verifies both the sketch cells and the estimates
+    integer-exactly (deterministic hashes, no approximation in the
+    comparison)."""
+    docs = t(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    exact = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+    def _bucket(depth_col, tok_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(depth_col.cast("string"),
+                                   F.lit(":"), tok_col)), 1, 15
+                ), 16, 10,
+            ).cast("long") % 256
+        ).cast("int")
+
+    depths = F.array(*[F.lit(i) for i in range(4)])
+    cells = (
+        toks.select("tok", F.explode(depths).alias("depth"))
+        .select("depth", _bucket(F.col("depth"), F.col("tok")).alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = (
+        F.broadcast(exact)
+        .join(
+            cells,
+            cells.bucket == _bucket(cells.depth, exact.tok),
+        )
+        .groupBy(exact.tok.alias("token"), exact.n.alias("exact_n"))
+        .agg(F.min("c").alias("cms_estimate"))
+        .orderBy(
+            F.col("exact_n").desc_nulls_last(),
+            F.col("token").asc_nulls_last(),
+        )
+    )
+    return est
 
 
 @query(
