@@ -333,13 +333,25 @@ def write_l3_fixture(
     br_idx: int = 1,
     sr_idx: int = 0,
     global_gain: int = 210,
+    scalefac_compress: int = 0,
+    scalefacs: list[int] | None = None,
 ) -> bytes:
     """One self-contained mono MPEG-1 Layer III frame whose two granules
     carry the given count1 quadruples (each (v, w, x, y, sign) with
-    v..y ∈ {0,1}, sign applied to every nonzero value), table B,
-    zero scalefactors, no reservoir. ``granule_quads`` is [g1, g2]."""
+    v..y ∈ {0,1}, sign applied to every nonzero value), table B, no
+    reservoir. ``granule_quads`` is [g1, g2]. ``scalefac_compress``
+    picks the slen pair; ``scalefacs`` (21 values, both granules, scfsi
+    off) exercises the decoder's part-2 bit accounting."""
     if len(granule_quads) != 2:
         raise ValueError("fixture: exactly two granules per frame")
+    slen1, slen2 = SLEN[scalefac_compress]
+    sf = scalefacs or [0] * 21
+    if len(sf) != 21:
+        raise ValueError("fixture: 21 long-block scalefactors")
+    for band, v in enumerate(sf):
+        width = slen1 if band < 11 else slen2
+        if v >= (1 << width):  # width 0 → only 0 fits
+            raise ValueError("fixture: scalefactor exceeds its slen field")
     hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC0])
     bitrate = BITRATES_V1_L3[br_idx] * 1000
     rate = SAMPLE_RATES[3][sr_idx]
@@ -349,6 +361,10 @@ def write_l3_fixture(
     part23 = []
     for quads in granule_quads:
         start = main.bit_length()
+        for band in range(21):
+            width = slen1 if band < 11 else slen2
+            if width:
+                main.write(sf[band], width)
         for v, w, x, y, sign in quads:
             code = 0
             for bit in (v, w, x, y):
@@ -367,10 +383,10 @@ def write_l3_fixture(
     for _ in range(4):
         side.write(0, 1)  # scfsi
     for p23 in part23:
-        side.write(p23, 12)  # part2_3_length (0 scalefactor bits)
+        side.write(p23, 12)  # part2_3_length (scalefactor + huffman bits)
         side.write(0, 9)     # big_values
         side.write(global_gain, 8)
-        side.write(0, 4)     # scalefac_compress → slen (0, 0)
+        side.write(scalefac_compress, 4)
         side.write(0, 1)     # window_switching
         for _ in range(3):
             side.write(0, 5)  # table_select (unused: big_values = 0)

@@ -165,3 +165,36 @@ def test_fixture_bytes_pinned():
         [[(1, 0, 1, 1, 0), (0, 0, 0, 0, 0)], [(1, 1, 1, 1, 1)]]
     )
     assert hashlib.sha256(blob).hexdigest() == PINNED_FIXTURE_SHA256
+
+
+def test_scalefactors_decode_and_bit_accounting():
+    # scalefac_compress 5 -> slen (1, 1): 21 one-bit scalefactors per
+    # granule, counted inside part2_3_length ahead of the Huffman data
+    sf = [i % 2 for i in range(21)]
+    blob = write_l3_fixture(
+        [[(1, 0, 0, 0, 0)], [(0, 1, 1, 0, 1)]],
+        scalefac_compress=5,
+        scalefacs=sf,
+    )
+    fr = decode_l3_spectral(blob)[0]
+    g1, g2 = fr["granules"]
+    assert g1["scalefacs"] == sf and g2["scalefacs"] == sf
+    assert g1["part2_3_length"] == 21 + 4 + 1  # sf + quad + one sign
+    assert g2["part2_3_length"] == 21 + 4 + 2
+    assert g1["is"][:4] == [1, 0, 0, 0]
+    assert g2["is"][:4] == [0, -1, -1, 0]
+
+
+def test_scalefactors_wider_slen_pair():
+    # scalefac_compress 15 -> slen (4, 3)
+    sf = [(3 * i) % 8 for i in range(21)]
+    blob = write_l3_fixture([[], []], scalefac_compress=15, scalefacs=sf)
+    fr = decode_l3_spectral(blob)[0]
+    assert fr["granules"][0]["scalefacs"] == sf
+    assert fr["granules"][0]["part2_3_length"] == 11 * 4 + 10 * 3
+
+
+def test_scalefactor_field_overflow_rejected():
+    with pytest.raises(ValueError, match="exceeds"):
+        write_l3_fixture([[], []], scalefac_compress=5,
+                         scalefacs=[2] + [0] * 20)

@@ -174,6 +174,8 @@ GROUPS = {
         ("b78_tar_bundle", 5_000, ("1x", "10x", "100x")),
         ("b79_url_canonical", 5_000, ("1x", "10x", "100x")),
         ("b80_html_extract", 5_000, ("1x", "10x", "100x")),
+        ("b81_group_split", 5_000, ("1x", "10x", "100x")),
+        ("b82_heavy_hitters_cms", 5_000, ("1x", "10x", "100x")),
     ],
     # the full TPC-H-ish suite at the 10× fact tier (lineitem 6M rows,
     # joins resolving against consistently-offset orders/customer and
