@@ -226,10 +226,12 @@ def test_regexp_replace_flag_shim():
     assert out == "SELECT regexp_replace(s, '[0-9]', '') FROM t"
     out = rewrite("SELECT regexp_replace(s, 'a', 'b', 'gi') FROM t")
     assert "'(?i)a'" in out
-    with pytest.raises(Exception):
-        from duckdb_server_spark.dialect import rewrite as _r
-
-        _r("SELECT regexp_replace(s, 'a', 'b', 'i') FROM t")  # non-global
+    # non-global forms route to the first-match-only shim (battery 34 —
+    # DuckDB replaces only the first match without 'g')
+    out = rewrite("SELECT regexp_replace(s, 'a', 'b', 'i') FROM t")
+    assert "dd_regexp_replace_first" in out and "'(?i)a'" in out
+    out = rewrite("SELECT regexp_replace(s, 'a', 'b') FROM t")
+    assert "dd_regexp_replace_first" in out
 
 
 def test_summarize_statement_routes(sql_session):
