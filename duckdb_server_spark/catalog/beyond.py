@@ -4983,6 +4983,82 @@ def b82_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b83_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS fp FROM documents
+    ),
+    v2 AS (
+      SELECT CASE WHEN doc_id % 11 = 0 THEN doc_id + 10000000
+                  ELSE doc_id END AS doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN md5(text || ' (new)')
+                  WHEN doc_id % 5 = 0 THEN md5(text || ' v2')
+                  ELSE md5(text) END AS fp
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    diff AS (
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.fp <> v2.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM diff GROUP BY status
+    ORDER BY status ASC NULLS LAST
+    """,
+)
+def b83_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset snapshot diffing (round 10) — the curation-iteration
+    primitive: between two crawl/filter versions, which documents were
+    added, removed, changed, or kept? Version 2 simulates the next
+    crawl (every 7th document dropped, every 5th edited, every 11th
+    re-identified as a new document); the diff is ONE full-outer join
+    on doc_id comparing content fingerprints, grouped into status
+    counts with an id checksum. At 100 TB both sides shuffle 8-byte
+    (id, fingerprint) pairs — never bodies — and the join key is the
+    natural layout key, so snapshot-partitioned storage makes the diff
+    co-located. The oracle replays the v2 DEFINITION and the diff in
+    SQL, integer-exact."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.select("doc_id", F.md5("text").alias("fp"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.col("doc_id") + 10_000_000)
+            .otherwise(F.col("doc_id")).alias("doc_id"),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.md5(F.concat(F.col("text"), F.lit(" (new)"))))
+            .when(F.col("doc_id") % 5 == 0,
+                  F.md5(F.concat(F.col("text"), F.lit(" v2"))))
+            .otherwise(F.md5("text")).alias("fp"),
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full"
+    )
+    diff = j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy(F.col("status").asc_nulls_last())
+    )
+
+
+@query(
     "b36_exif_probe",
     oracle="""
     WITH px AS (
