@@ -98,6 +98,7 @@ _PRIORITY_R10: tuple[str, ...] = (
     "b81_group_split",         # new: leakage-safe group-aware splits
     "b82_heavy_hitters_cms",   # new: count-min sketch heavy hitters
     "b83_snapshot_diff",       # new: dataset-version delta
+    "st_stream_warc_ingest",   # new: crawl ingestion inside streaming
     # --- code changed this round: refresh green evidence ---
     "s32_dialect_hash_ops",    # hash width fixes (smallint/decimal)
     "b36_exif_probe",          # ASCII codec agreement

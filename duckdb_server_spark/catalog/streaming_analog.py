@@ -386,6 +386,96 @@ def st_stream_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, output_mode="complete")
 
 
+@query(
+    "st_stream_warc_ingest",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_404,
+           CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+                AS BIGINT) AS fp_total
+    FROM documents
+    """,
+)
+def st_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 crawl-ingestion chain executed INSIDE Structured
+    Streaming: a file-source stream of documents → gzip-membered WARC
+    fixture (warcinfo + HTTP response, the b75 shape) → member walk +
+    ISO 28500 record parse + HTTP payload extraction, all as stateless
+    mapInPandas stages of the streaming plan → global aggregate in
+    complete mode, drained with an available-now trigger. Deterministic,
+    so the stream shares a container-blind batch oracle — continuous
+    crawl ingestion is the same plan as batch, which is the point of
+    the unified model."""
+    import hashlib
+    import os as _os
+    import tempfile as _tf
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staged = _os.path.join(_tf.gettempdir(), f"dss_stream_docs_{key}")
+    marker = _os.path.join(staged, "_SUCCESS")
+    batch = t(spark, sf_dir, "documents").select("doc_id", "text")
+    if not _os.path.exists(marker):
+        batch.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(batch.schema).parquet(staged)
+
+    def _ingest(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.gzipio import (
+            decompress_all,
+            write_member,
+        )
+        from duckdb_server_spark.operators.warc import (
+            extract_http_response,
+            parse_warc_records,
+            write_http_response,
+            write_warc_record,
+        )
+
+        for pdf in pdf_iter:
+            rows = {k: [] for k in ("doc_id", "n_chars", "is_404", "fp")}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text_ or "").encode("utf-8")
+                status = 404 if doc_id % 7 == 0 else 200
+                blob = write_member(
+                    write_warc_record("warcinfo", b"software: s\r\n")
+                ) + write_member(
+                    write_warc_record(
+                        "response",
+                        write_http_response(raw, status=status),
+                        target_uri=f"https://example.test/{doc_id}",
+                    )
+                )
+                recs = parse_warc_records(decompress_all(blob))
+                resp = next(
+                    r for r in recs if r["warc_type"] == "response"
+                )
+                http = extract_http_response(resp["body"])
+                out = http["body"].decode("utf-8")
+                rows["doc_id"].append(doc_id)
+                rows["n_chars"].append(len(out))
+                rows["is_404"].append(1 if http["status"] == 404 else 0)
+                import hashlib as _h
+
+                rows["fp"].append(
+                    int(_h.md5(out.encode("utf-8")).hexdigest()[:8], 16)
+                )
+            yield _pd.DataFrame(rows)
+
+    ingested = stream.mapInPandas(
+        _ingest, "doc_id long, n_chars int, is_404 int, fp long"
+    )
+    agg = ingested.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.sum("is_404").cast("long").alias("n_404"),
+        F.sum("fp").cast("long").alias("fp_total"),
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
 _STREAM_DECONTAM_ORACLE = r"""
     WITH words AS (
       SELECT doc_id,
