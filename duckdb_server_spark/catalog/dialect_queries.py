@@ -627,6 +627,29 @@ def s23_dialect_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFram
     return _sql(spark, sf_dir, _S23_SQL, ("documents",))
 
 
+_S35_SQL = """
+SELECT o_orderpriority,
+       min(o_orderdate ORDER BY o_totalprice) AS first_date,
+       max(o_orderkey ORDER BY o_orderdate DESC) AS max_key,
+       count(o_orderkey ORDER BY o_orderkey) AS n,
+       CAST(sign(min(o_totalprice) - 1000) AS INT) AS cheap_sign,
+       min(o_orderpriority[1:-2]) AS prio_trim
+FROM orders
+WHERE o_orderkey <= 512
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority ASC NULLS LAST
+"""
+
+
+@query("s35_dialect_agg_corners", oracle=_S35_SQL)
+def s35_dialect_agg_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 35 as one verbatim shared statement: ORDER BY inside
+    order-INSENSITIVE aggregates (DuckDB accepts and ignores it; Spark's
+    parser rejected valid input), TINYINT-typed sign(), and negative
+    string-slice ends counting from the last character."""
+    return _sql(spark, sf_dir, _S35_SQL, ("orders",))
+
+
 _S34_SQL = """
 SELECT o_orderkey,
        dayofweek(o_orderdate) AS dow,

@@ -959,12 +959,18 @@ def _rewrite_subscripts(
                 if _is_string_base(base):
                     # string base (literal or schema-resolved column):
                     # DuckDB slices strings with the same inclusive
-                    # 1-based window → substr
-                    repl = (
-                        f"substr({base}, {a})"
-                        if not b
-                        else f"substr({base}, {a}, ({b}) - ({a}) + 1)"
-                    )
+                    # 1-based window → substr; a negative end counts
+                    # from the last character ('abcdef'[2:-2] = 'bcde')
+                    if not b:
+                        repl = f"substr({base}, {a})"
+                    else:
+                        end = (
+                            f"CASE WHEN ({b}) < 0 THEN length({base}) "
+                            f"+ ({b}) + 1 ELSE ({b}) END"
+                        )
+                        repl = (
+                            f"substr({base}, {a}, ({end}) - ({a}) + 1)"
+                        )
                 else:
                     length = (
                         f"size({base}) - ({a}) + 1"
@@ -1949,7 +1955,8 @@ def _rewrite_struct_map(s: str, table: list[str]) -> str:
 # → Spark 4's listagg WITHIN GROUP.
 _ORDERED_AGG_RE = re.compile(
     r"\b(list|array_agg|collect_list|string_agg|group_concat|"
-    r"any_value|arbitrary|first|last|sum|avg)\s*\(",
+    r"any_value|arbitrary|first|last|sum|avg|min|max|count|"
+    r"bool_and|bool_or)\s*\(",
     re.IGNORECASE,
 )
 
@@ -2139,6 +2146,13 @@ def _rewrite_ordered_aggs(s: str) -> str:
             pos = close + 1
             continue
         expr_part = inner[:ob_idx].rstrip()
+        if fn in ("min", "max", "count", "bool_and", "bool_or"):
+            # order-INSENSITIVE aggregates: DuckDB accepts the ORDER BY
+            # clause and ignores it — strip it (battery 35)
+            repl = f"{fn}({expr_part})"
+            s = s[: m.start()] + repl + s[close + 1 :]
+            pos = m.start() + len(repl)
+            continue
         order_part = re.sub(
             r"^ORDER\s+BY\s+", "", inner[ob_idx:], flags=re.IGNORECASE
         ).strip()
@@ -2284,6 +2298,17 @@ def _rewrite_generate_subscripts(s: str) -> str:
             if len(gs_args) > 1 and gs_args[1].strip() not in ("1", ""):
                 raise ValueError(
                     "generate_subscripts supports dimension 1 only"
+                )
+            if re.search(r"\bunnest\s*\(",
+                         s[: m.start()] + s[close + 1 :], re.IGNORECASE):
+                # DuckDB ZIPS all set-returning functions in one SELECT
+                # positionally; with a textually different unnest
+                # argument the pairing cannot be reconstructed here —
+                # fail closed rather than emit an unzipped cross shape
+                # (battery 35)
+                raise DialectError(
+                    "generate_subscripts can only zip with an unnest of "
+                    "the SAME expression"
                 )
             s = (
                 s[: m.start()]
@@ -2873,6 +2898,10 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
             ] + list(args[1 + len(casts):])
             return f"format_string({args[0]}, {', '.join(vals)})"
         return None
+    if fn == "sign" and len(args) == 1:
+        # DuckDB returns TINYINT (-1/0/1) for every input type; Spark's
+        # signum returns DOUBLE
+        return f"CAST(sign({args[0]}) AS INT)"
     if fn in ("dayofweek", "weekday") and len(args) == 1:
         # DuckDB: Sunday=0..Saturday=6; Spark's dayofweek is Sunday=1
         return f"(dayofweek({args[0]}) - 1)"
@@ -3734,7 +3763,7 @@ _TEMPLATE_RE = re.compile(
     r"\b(to_base|list_reduce|date_sub|datesub|datepart|date_part|epoch|"
     r"list_extract|array_extract|list_contains|list_has|array_has|"
     r"list_concat|list_cat|array_concat|flatten|dayofweek|weekday|"
-    r"printf|"
+    r"printf|sign|"
     r"json_extract|json_extract_path|json_extract_string|"
     r"json_array_length|"
     r"to_timestamp|strptime|try_strptime|list_distinct|list_prepend|array_prepend|array_push_front|typeof|version|txid_current|bit_count|chr|bar|struct_extract|current_schema|"
