@@ -100,6 +100,7 @@ _PRIORITY_R10: tuple[str, ...] = (
     "b83_snapshot_diff",       # new: dataset-version delta
     "st_stream_warc_ingest",   # new: crawl ingestion inside streaming
     "s35_dialect_agg_corners",  # new: battery-35 parity statement
+    "b84_robots_filter",       # new: RFC 9309 crawl-permission gate
     # --- code changed this round: refresh green evidence ---
     "s32_dialect_hash_ops",    # hash width fixes (smallint/decimal)
     "b36_exif_probe",          # ASCII codec agreement

@@ -5059,6 +5059,79 @@ def b83_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b84_robots_filter",
+    oracle="""
+    WITH paths AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN '/private/' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+               ELSE '/doc/' || CAST(doc_id AS VARCHAR) END AS path
+      FROM documents
+    )
+    SELECT doc_id, path,
+           CASE WHEN doc_id % 5 = 0 THEN 'blocked'
+                WHEN doc_id % 5 = 2 THEN 'blocked'
+                ELSE 'allowed' END AS verdict
+    FROM paths
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b84_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-permission filtering (round 10, operators/
+    robots.py) — the compliance gate closing the crawl chain (WARC →
+    HTML → URL canonicalization → robots → group split): an RFC 9309
+    policy with agent groups, Allow/Disallow prefixes, and the
+    longest-match + Allow-wins-ties decision rule filters each
+    document's URL path. The policy disallows /private/ and /tmp/ but
+    re-allows /private/ok/ (the longest-match override the naive
+    first-match implementation gets wrong); the oracle states the
+    expected verdict per path family from the DEFINITION. The rule set
+    parses once per task (broadcast-sized); the per-URL decision is
+    embarrassingly parallel."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def _filter(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.robots import (
+            is_allowed,
+            parse_robots,
+        )
+
+        rules = parse_robots(
+            "User-agent: dss-bot\n"
+            "Disallow: /private/\n"
+            "Allow: /private/ok/\n"
+            "Disallow: /tmp/\n\n"
+            "User-agent: *\n"
+            "Disallow: /\n"
+        )
+        for pdf in pdf_iter:
+            rows = {k: [] for k in ("doc_id", "path", "verdict")}
+            for doc_id in pdf["doc_id"]:
+                sel = doc_id % 5
+                if sel == 0:
+                    path = f"/private/{doc_id}"
+                elif sel == 1:
+                    path = f"/private/ok/{doc_id}"
+                elif sel == 2:
+                    path = f"/tmp/{doc_id}"
+                else:
+                    path = f"/doc/{doc_id}"
+                ok = is_allowed(rules, "dss-bot/1.0", path)
+                rows["doc_id"].append(doc_id)
+                rows["path"].append(path)
+                rows["verdict"].append("allowed" if ok else "blocked")
+            yield _pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        _filter, "doc_id long, path string, verdict string"
+    ).orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
     "b36_exif_probe",
     oracle="""
     WITH px AS (
