@@ -642,3 +642,26 @@ def test_r10_b35b_mp3_plan_is_scan_shaped(spark, sf_dir):
     df = beyond.b35b_mp3_l3_decode(spark, sf_dir)
     text = df._jdf.queryExecution().executedPlan().toString()
     assert text.count("Exchange ") <= 1
+
+
+def test_b82_sketch_exchange_is_bounded(spark, sf_dir):
+    """The count-min sketch's exchange must carry partial-aggregate
+    rows (two HashAggregate nodes around the exchange = map-side
+    combine), never raw tokens."""
+    from duckdb_server_spark.catalog import beyond
+
+    df = beyond.b82_heavy_hitters_cms(spark, sf_dir)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert text.count("HashAggregate") >= 2
+
+
+def test_b83_snapshot_diff_shuffles_fingerprints_only(spark, sf_dir):
+    """The snapshot diff's exchanges carry (doc_id, fp) pairs — the
+    text column must be pruned before any exchange."""
+    from duckdb_server_spark.catalog import beyond
+
+    df = beyond.b83_snapshot_diff(spark, sf_dir)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    for line in text.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
