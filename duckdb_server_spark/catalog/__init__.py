@@ -107,6 +107,11 @@ _PRIORITY_R10: tuple[str, ...] = (
     "b74_gzip_corpus",         # bounds-checked header walk
     "b30f_vp8_default_probs",  # vectorized token decode
     "b32f_webm_default_probs",
+    "fn_levenshtein",          # byte-level shim (battery 34)
+    "fn_datetime_extract",     # dayofweek/strftime rewrites (battery 34)
+    "s25_dialect_aggregate_tails",  # ordered-agg regex widened (b35)
+    "s26_dialect_scalar_tails",     # sign/printf/slice rewrites
+    "b35_mp3_probe",           # mp3.py shared with the L3 decoder
 )
 
 _PRIORITY_R9: tuple[str, ...] = (
