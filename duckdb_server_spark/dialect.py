@@ -2898,6 +2898,21 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
             ] + list(args[1 + len(casts):])
             return f"format_string({args[0]}, {', '.join(vals)})"
         return None
+    if (
+        fn in ("substr", "substring")
+        and len(args) == 3
+        and re.fullmatch(r"-\d+", args[2].strip())
+    ):
+        # DuckDB: a NEGATIVE length extends BACKWARDS from the start
+        # position (clamped at 1): substr('hello', 4, -2) = 'el',
+        # substr('hello', 3, -99) = 'he' (probed live). Spark returns ''.
+        # Literal negative lengths only — positive literals (the hot
+        # path) stay native.
+        sarg, a, c = args[0], args[1], int(args[2])
+        p = (f"(CASE WHEN ({a}) < 0 THEN length({sarg}) + ({a}) + 1 "
+             f"ELSE ({a}) END)")
+        start = f"greatest({p} + {c}, 1)"
+        return f"substring({sarg}, {start}, {p} - {start})"
     if fn == "sign" and len(args) == 1:
         # DuckDB returns TINYINT (-1/0/1) for every input type; Spark's
         # signum returns DOUBLE
@@ -3763,7 +3778,7 @@ _TEMPLATE_RE = re.compile(
     r"\b(to_base|list_reduce|date_sub|datesub|datepart|date_part|epoch|"
     r"list_extract|array_extract|list_contains|list_has|array_has|"
     r"list_concat|list_cat|array_concat|flatten|dayofweek|weekday|"
-    r"printf|sign|"
+    r"printf|sign|substr|substring|"
     r"json_extract|json_extract_path|json_extract_string|"
     r"json_array_length|"
     r"to_timestamp|strptime|try_strptime|list_distinct|list_prepend|array_prepend|array_push_front|typeof|version|txid_current|bit_count|chr|bar|struct_extract|current_schema|"
