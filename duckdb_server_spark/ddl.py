@@ -818,7 +818,7 @@ def run_upsert(spark: SparkSession, state, target: str, old: DataFrame,
             projs.append(f"t.`{c}` AS `{c}`")
         elif guard:
             projs.append(
-                f"CASE WHEN coalesce(CAST(({guard}) AS BOOLEAN), false) "
+                f"CASE WHEN coalesce(CAST((__dd_boolctx({guard})) AS BOOLEAN), false) "
                 f"THEN ({e}) ELSE t.`{c}` END AS `{c}`"
             )
         else:
@@ -847,7 +847,7 @@ def run_upsert(spark: SparkSession, state, target: str, old: DataFrame,
         )
         if guard:
             upd_sql += (
-                f" WHERE coalesce(CAST(({guard}) AS BOOLEAN), false)"
+                f" WHERE coalesce(CAST((__dd_boolctx({guard})) AS BOOLEAN), false)"
             )
         n_updated = run_sql(spark, upd_sql).collect()[0][0]
     merged = run_sql(

@@ -2882,20 +2882,38 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         )
         if lit is not None:
             convs = re.findall(
-                r"%(?:\d+\$)?[-+ #0,(]*\d*(?:\.\d+)?([a-zA-Z%])", lit
+                r"%(?:(\d+)\$)?[-+ #0,(]*\d*(?:\.\d+)?([a-zA-Z%])", lit
             )
-            casts = []
-            for c in convs:
+            # %N$ positional conversions cast args[N], not the next
+            # textual argument (probed: DuckDB printf('%2$s=%1$d', 7,
+            # 'k') = 'k=7'); sequential conversions consume their own
+            # ordinal counter, matching Java Formatter. Conflicting
+            # casts for one argument → leave the call native.
+            n_args = len(args) - 1
+            casts: list[str | None] = [None] * n_args
+            seq = 0
+            for pos, c in convs:
+                if c == "%":
+                    continue
                 if c in "diuxXo":
-                    casts.append("BIGINT")
+                    want = "BIGINT"
                 elif c in "eEfgGaA":
-                    casts.append("DOUBLE")
-                elif c != "%":
-                    casts.append(None)
+                    want = "DOUBLE"
+                else:
+                    want = None
+                idx = int(pos) - 1 if pos else seq
+                if not pos:
+                    seq += 1
+                if idx < 0 or idx >= n_args:
+                    return None
+                if want:
+                    if casts[idx] not in (None, want):
+                        return None
+                    casts[idx] = want
             vals = [
                 f"CAST({a} AS {t})" if t else a
                 for a, t in zip(args[1:], casts)
-            ] + list(args[1 + len(casts):])
+            ]
             return f"format_string({args[0]}, {', '.join(vals)})"
         return None
     if (
@@ -5053,6 +5071,8 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_list_literals(masked)
     kinds = _column_kinds(spark, masked) if spark is not None else None
     masked = _rewrite_nested_comparisons(masked, table, kinds)
+    # drop the DML filter-context markers (balanced: name( -> ( )
+    masked = re.sub(r"(?i)__dd_boolctx\s*\(", "(", masked)
     masked = _rewrite_len(masked, kinds)
     masked = _rewrite_median(masked, kinds)
     masked = _rewrite_date_arith(masked, kinds)
@@ -6690,14 +6710,35 @@ def _named_struct_fields(p: str, table: list[str]) -> list[str] | None:
     return fields or None
 
 
-def _list_cmp_sql(a: str, b: str, op: str) -> str:
+def _list_cmp_sql(a: str, b: str, op: str, distinct: bool = False) -> str:
     """DuckDB's short-circuit pairwise scan over the shared prefix as a
     Spark aggregate fold: per-pair code 0=equal 1=lt 2=gt 3=unknown,
     first nonzero sticks; the all-equal prefix falls through to the
-    length comparison."""
+    length comparison.
+
+    ``distinct=True`` is the BOOLEAN-context variant (battery 37,
+    probed live on DuckDB 1.0): filter/join/CASE-condition consumers
+    compare nested types with IS-DISTINCT-FROM-style total order — a
+    NULL element equals a NULL element and sorts LAST (larger than any
+    value); only a top-level NULL operand still yields UNKNOWN."""
     a, b = f"({a})", f"({b})"
     n = f"least(size({a}), size({b}))"
-    if op in ("=", "<>", "!="):
+    if distinct:
+        if op in ("=", "<>", "!="):
+            pair = (
+                "CASE WHEN __dd_x IS NULL AND __dd_y IS NULL THEN 0 "
+                "WHEN __dd_x IS NULL OR __dd_y IS NULL THEN 1 "
+                "WHEN __dd_x = __dd_y THEN 0 ELSE 1 END"
+            )
+        else:
+            pair = (
+                "CASE WHEN __dd_x IS NULL AND __dd_y IS NULL THEN 0 "
+                "WHEN __dd_x IS NULL THEN 2 "
+                "WHEN __dd_y IS NULL THEN 1 "
+                "WHEN __dd_x = __dd_y THEN 0 "
+                "WHEN __dd_x < __dd_y THEN 1 ELSE 2 END"
+            )
+    elif op in ("=", "<>", "!="):
         pair = ("CASE WHEN __dd_x = __dd_y THEN 0 "
                 "WHEN NOT (__dd_x = __dd_y) THEN 1 ELSE 3 END")
     else:
@@ -6734,17 +6775,36 @@ def _list_cmp_sql(a: str, b: str, op: str) -> str:
 
 
 def _struct_cmp_sql(
-    a: str, b: str, op: str, fields: list[str], table: list[str]
+    a: str, b: str, op: str, fields: list[str], table: list[str],
+    distinct: bool = False,
 ) -> str:
     """Field-by-field short-circuit CASE chain (declaration order);
     backtick-quoted dotted access so arbitrary names survive (and the
-    later subscript rewrite never touches it)."""
+    later subscript rewrite never touches it). ``distinct=True`` is the
+    boolean-context total order (see _list_cmp_sql): NULL fields equal,
+    NULL sorts last."""
     a, b = f"({a})", f"({b})"
     whens = []
     for f in fields:
         fq = "`" + f.replace("`", "``") + "`"
         pa, pb = f"{a}.{fq}", f"{b}.{fq}"
-        if op in ("=", "<>", "!="):
+        if distinct:
+            if op in ("=", "<>", "!="):
+                whens.append(f"WHEN NOT ({pa} <=> {pb}) THEN false")
+            else:
+                lt_res = "true" if op in ("<", "<=") else "false"
+                gt_res = "false" if op in ("<", "<=") else "true"
+                whens.append(
+                    f"WHEN {pa} IS NULL AND {pb} IS NOT NULL "
+                    f"THEN {gt_res}"
+                )
+                whens.append(
+                    f"WHEN {pb} IS NULL AND {pa} IS NOT NULL "
+                    f"THEN {lt_res}"
+                )
+                whens.append(f"WHEN {pa} < {pb} THEN {lt_res}")
+                whens.append(f"WHEN {pa} > {pb} THEN {gt_res}")
+        elif op in ("=", "<>", "!="):
             whens.append(f"WHEN NOT ({pa} = {pb}) THEN false")
             whens.append(
                 f"WHEN ({pa} = {pb}) IS NULL THEN CAST(NULL AS BOOLEAN)"
@@ -6875,11 +6935,156 @@ def _rewrite_nested_cast_types(s: str) -> str:
     )
 
 
+_CMP_LEFT_BOOL = {"WHERE", "HAVING", "WHEN", "ON", "AND", "OR", "NOT"}
+_CMP_RIGHT_BOOL = {
+    "AND", "OR", "THEN", "ORDER", "GROUP", "LIMIT", "OFFSET", "QUALIFY",
+    "WINDOW", "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT",
+    "RIGHT", "FULL", "CROSS", "WHERE", "USING", "ELSE", "END", "WHEN",
+    "HAVING",
+}
+# identifiers allowed inside a CONSTANT nested literal (const-folded
+# comparisons keep value semantics even in boolean position — probed:
+# WHERE [1,NULL] = [1,NULL] filters the row while WHERE col = [1,NULL]
+# keeps it)
+_CMP_CONST_WORDS = {
+    "NULL", "TRUE", "FALSE", "CAST", "AS", "ARRAY", "MAP", "NAMED_STRUCT",
+    "STRUCT", "ROW", "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT", "REAL", "VARCHAR", "STRING", "TEXT", "BOOLEAN",
+    "DECIMAL", "NUMERIC", "DATE", "TIMESTAMP", "INTERVAL",
+}
+
+
+def _tok_before(s: str, i: int) -> tuple[str | None, int]:
+    """Last token (word upper-cased, or single char) ending before
+    position i, with its start index."""
+    j = i - 1
+    while j >= 0 and s[j] in " \t\n":
+        j -= 1
+    if j < 0:
+        return None, -1
+    m = re.search(r"([A-Za-z_][\w$]*)\Z", s[: j + 1])
+    if m:
+        return m.group(1).upper(), m.start()
+    return s[j], j
+
+
+def _tok_after(s: str, i: int) -> str | None:
+    j = i
+    while j < len(s) and s[j] in " \t\n":
+        j += 1
+    if j >= len(s):
+        return None
+    m = re.match(r"[A-Za-z_][\w$]*", s[j:])
+    if m:
+        return m.group(0).upper()
+    return s[j]
+
+
+def _cmp_is_constant(p: str) -> bool:
+    """Whether a nested-comparison operand spells a constant literal
+    (no column references) — DuckDB const-folds those before its
+    boolean-context distinct conversion kicks in."""
+    for w in re.findall(r"[A-Za-z_][\w$]*", p):
+        if w.upper() not in _CMP_CONST_WORDS:
+            return False
+    return True
+
+
+def _boolctx_ranges(s: str) -> list[tuple[int, int]]:
+    """Interior spans of ``__dd_boolctx(...)`` markers — the internal
+    wrapper DML handlers put around WHERE predicates so the nested-
+    comparison rewrite still sees filter context after the predicate is
+    embedded in coalesce(CAST(...)) NULL plumbing. Stripped to plain
+    parens at the end of the rewrite."""
+    out = []
+    for m in re.finditer(r"(?i)__dd_boolctx\s*\(", s):
+        close = _matching_paren(s, m.end() - 1)
+        if close > 0:
+            out.append((m.end(), close))
+    return out
+
+
+def _cmp_bool_context(s: str, lstart: int, rend: int) -> bool:
+    """Whether a comparison spanning [lstart, rend) feeds a filter /
+    JOIN ON / HAVING / CASE-condition consumer. DuckDB 1.0 compares
+    nested types in those positions with IS-DISTINCT-FROM total order
+    (probed live, battery 37); value positions (SELECT list, function
+    arguments, FILTER(WHERE ...), a wrapped (cmp) IS NULL / = true)
+    keep three-valued semantics. Residual unmodeled shapes, documented:
+    CAST(cmp AS BOOLEAN) inside a filter (DuckDB propagates boolean
+    context through the cast; we classify it a function call) and a
+    boolean chain nested inside a function argument (classified by its
+    nearest AND/OR/NOT)."""
+    tok, at = _tok_before(s, lstart)
+    while tok == "(":
+        ptok, pat = _tok_before(s, at)
+        if ptok is None or ptok == ",":
+            return False  # statement start / function argument
+        if re.match(r"[A-Za-z_]", ptok):
+            if ptok in _CMP_LEFT_BOOL:
+                tok, at = ptok, pat  # keyword '(' = grouping paren
+                break
+            return False  # function call argument (or SELECT list etc.)
+        tok, at = ptok, pat  # another '(' — keep walking out
+    if tok not in _CMP_LEFT_BOOL:
+        return False
+    if tok == "WHERE":
+        ptok, pat = _tok_before(s, at)
+        if ptok == "(":
+            p2, _ = _tok_before(s, pat)
+            if p2 == "FILTER":
+                return False  # FILTER (WHERE cmp) is value-semantics
+    # right side: any run of closing parens, then a clause keyword,
+    # statement end, or nothing
+    j = rend
+    while True:
+        nxt = _tok_after(s, j)
+        if nxt == ")":
+            j = s.index(")", j) + 1
+            continue
+        if nxt is None or nxt == ";":
+            return True
+        if isinstance(nxt, str) and nxt in _CMP_RIGHT_BOOL:
+            return True
+        return False
+
+
 def _rewrite_nested_comparisons(
     s: str, table: list[str], kinds: dict[str, str] | None
 ) -> str:
-    if re.match(r"(?i)\s*(UPDATE|MERGE|INSERT|DELETE)\b", s):
-        return s  # assignment '=' in DML SET lists is not a comparison
+    dml = re.match(r"(?i)\s*(UPDATE|MERGE|INSERT|DELETE)\b", s)
+    if dml:
+        # Assignment '=' in DML SET lists is not a comparison, but the
+        # statement's query body still carries DuckDB nested-NULL
+        # semantics (r10 ADVICE: INSERT INTO ... SELECT was skipped
+        # wholesale). Rewrite only the safe sub-range: the embedded
+        # SELECT/VALUES body for INSERT (stopping before ON CONFLICT's
+        # DO UPDATE SET), the WHERE tail for UPDATE/DELETE, and the ON
+        # condition for MERGE.
+        kw = dml.group(1).upper()
+        if kw == "INSERT":
+            body = re.search(r"(?i)\b(SELECT|VALUES)\b", s)
+            if not body:
+                return s
+            i = body.start()
+            conflict = re.search(r"(?i)\bON\s+CONFLICT\b", s)
+            j = conflict.start() if conflict and conflict.start() > i else len(s)
+        elif kw in ("UPDATE", "DELETE"):
+            body = re.search(r"(?i)\bWHERE\b", s)
+            if not body:
+                return s
+            i, j = body.start(), len(s)
+        else:  # MERGE: the ON condition up to the first WHEN [NOT] MATCHED
+            on_m = re.search(r"(?i)\bON\b", s)
+            when_m = re.search(r"(?i)\bWHEN\s+(?:NOT\s+)?MATCHED\b", s)
+            if not on_m or not when_m or on_m.start() >= when_m.start():
+                return s
+            i, j = on_m.start(), when_m.start()
+        return (
+            s[:i]
+            + _rewrite_nested_comparisons(s[i:j], table, kinds)
+            + s[j:]
+        )
     pos = 0
     while m := _NESTED_CMP_RE.search(s, pos):
         op = m.group(0)
@@ -6911,6 +7116,15 @@ def _rewrite_nested_comparisons(
                 "map comparison operators are not supported (DuckDB "
                 "short-circuit NULL semantics have no Spark equivalent)"
             )
+        # boolean-context (filter/ON/HAVING/CASE-condition) comparisons
+        # use DuckDB's distinct total order — unless both operands are
+        # constants, which DuckDB folds at value semantics first
+        in_marker = any(
+            a <= lstart and rend <= b for a, b in _boolctx_ranges(s)
+        )
+        distinct = (in_marker or _cmp_bool_context(s, lstart, rend)) and not (
+            _cmp_is_constant(left) and _cmp_is_constant(right)
+        )
         structs = [x for x in (ls, rs) if isinstance(x, tuple)]
         if structs:
             fields = None
@@ -6924,9 +7138,11 @@ def _rewrite_nested_comparisons(
                     "struct comparison needs field names (literal, cast "
                     "type, or catalog schema) — none resolvable here"
                 )
-            repl = _struct_cmp_sql(left, right, op, fields, table)
+            repl = _struct_cmp_sql(
+                left, right, op, fields, table, distinct=distinct
+            )
         else:
-            repl = _list_cmp_sql(left, right, op)
+            repl = _list_cmp_sql(left, right, op, distinct=distinct)
         s = s[:lstart] + repl + s[rend:]
         pos = lstart + len(repl)
     return s
@@ -7546,11 +7762,11 @@ def _run_delete(
         keep = run_sql(
             spark,
             f"SELECT * FROM {name} "
-            f"WHERE NOT coalesce(CAST(({cond}) AS BOOLEAN), false)",
+            f"WHERE NOT coalesce(CAST((__dd_boolctx({cond})) AS BOOLEAN), false)",
         )
         doomed_sql = (
             f"SELECT * FROM {name} "
-            f"WHERE coalesce(CAST(({cond}) AS BOOLEAN), false)"
+            f"WHERE coalesce(CAST((__dd_boolctx({cond})) AS BOOLEAN), false)"
         )
     else:
         keep = old.limit(0)
@@ -7621,7 +7837,7 @@ def _run_update(spark: SparkSession, m: re.Match) -> DataFrame:
             projs.append(f"`{c}`")
         elif cond:
             projs.append(
-                f"CASE WHEN coalesce(CAST(({cond}) AS BOOLEAN), false) "
+                f"CASE WHEN coalesce(CAST((__dd_boolctx({cond})) AS BOOLEAN), false) "
                 f"THEN ({e}) ELSE `{c}` END AS `{c}`"
             )
         else:
@@ -7630,7 +7846,7 @@ def _run_update(spark: SparkSession, m: re.Match) -> DataFrame:
         spark,
         f"SELECT count(*) AS n FROM {target}"
         + (
-            f" WHERE coalesce(CAST(({cond}) AS BOOLEAN), false)"
+            f" WHERE coalesce(CAST((__dd_boolctx({cond})) AS BOOLEAN), false)"
             if cond
             else ""
         ),
@@ -7654,7 +7870,7 @@ def _run_update(spark: SparkSession, m: re.Match) -> DataFrame:
         ]
         post_sql = f"SELECT {', '.join(post_projs)} FROM {target}"
         if cond:
-            post_sql += f" WHERE coalesce(CAST(({cond}) AS BOOLEAN), false)"
+            post_sql += f" WHERE coalesce(CAST((__dd_boolctx({cond})) AS BOOLEAN), false)"
         post = _materialize(spark, run_sql(spark, post_sql))
     new = run_sql(spark, f"SELECT {', '.join(projs)} FROM {target}")
     new = new.select(

@@ -96,14 +96,64 @@ def test_slen_table_shape():
 # --- fail-closed guards --------------------------------------------------------
 
 
-def test_big_values_fails_closed():
+def test_big_values_decodes_since_round_11():
+    # round 11 removed the big_values fail-close: with table_select 0
+    # (the all-zero table) a flipped big_values bit decodes to zeros
     blob = bytearray(write_l3_fixture([[], []]))
     # side info starts at byte 4; big_values for granule 1 sits at bits
     # 18+12+... — flip a bit inside the granule-1 big_values field
     # (bits 30..38 of the side info): set its LSB (bit 38 → byte 8 bit 6)
     blob[4 + 4] |= 0x02
-    with pytest.raises(NotImplementedError, match="big_values"):
-        decode_l3_spectral(bytes(blob))
+    fr = decode_l3_spectral(bytes(blob))[0]
+    assert fr["granules"][0]["big_values"] == 1
+    assert all(v == 0 for v in fr["granules"][0]["is"])
+
+
+def test_untranscribed_table_fails_closed():
+    from duckdb_server_spark.operators.mp3_l3 import _HUFF
+
+    blob = write_l3_fixture(
+        [[], []],
+        granule_pairs=[[(1, 0, 0, 0)], []],
+        table_select=(1, 1, 1),
+    )
+    b = bytearray(blob)
+    # granule-1 table_select[0] is the 5 bits at side-info offset
+    # 18 + 12+9+8+4+1 = 52: rewrite table 1 -> 16 (linbits family)
+    si = bytearray(b[4:21])
+    for k in range(5):
+        bit = 52 + k
+        si[bit // 8] &= ~(1 << (7 - bit % 8))
+    val = 16
+    for k in range(5):
+        if (val >> (4 - k)) & 1:
+            bit = 52 + k
+            si[bit // 8] |= 1 << (7 - bit % 8)
+    b[4:21] = si
+    with pytest.raises(NotImplementedError, match="not\\s+transcribed"):
+        decode_l3_spectral(bytes(b))
+    assert 16 not in _HUFF
+
+
+def test_invalid_table_4_fails_closed():
+    blob = write_l3_fixture(
+        [[], []],
+        granule_pairs=[[(1, 0, 0, 0)], []],
+        table_select=(1, 1, 1),
+    )
+    b = bytearray(blob)
+    si = bytearray(b[4:21])
+    for k in range(5):
+        bit = 52 + k
+        si[bit // 8] &= ~(1 << (7 - bit % 8))
+    val = 4
+    for k in range(5):
+        if (val >> (4 - k)) & 1:
+            bit = 52 + k
+            si[bit // 8] |= 1 << (7 - bit % 8)
+    b[4:21] = si
+    with pytest.raises(ValueError, match="not a valid B.7"):
+        decode_l3_spectral(bytes(b))
 
 
 def test_reservoir_fails_closed():

@@ -1,0 +1,215 @@
+"""MP3 Layer III big-values decode (round 11, VERDICT r10 item 1):
+Huffman decode of the transcribed ISO 11172-3 Table B.7 tables
+(1/2/3/5/6 + count1 table A), §2.4.2.7 region splits on the Table B.8
+band edges, exact integer round-trips through the independent fixture
+writer, structural table self-checks, and fail-closed guards for the
+untranscribed table families."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+
+from duckdb_server_spark.operators.mp3_l3 import (
+    _COUNT1_A,
+    _HUFF,
+    _HUFF_DIM,
+    _check_prefix_complete,
+    decode_l3_spectral,
+    decode_l3_subbands,
+    write_l3_fixture,
+)
+
+
+def _expected(pairs, quads):
+    out = []
+    for x, y, sx, sy in pairs:
+        out += [(-x if sx else x), (-y if sy else y)]
+    for v, w, x, y, s in quads:
+        sgn = -1 if s else 1
+        out += [sgn * v, sgn * w, sgn * x, sgn * y]
+    return out
+
+
+# --- structural table validation ----------------------------------------------
+
+
+def test_tables_prefix_free_and_complete():
+    # re-run the import-time check explicitly so a future edit that
+    # bypasses module import still gets caught here
+    for tab in _HUFF.values():
+        _check_prefix_complete(list(tab.values()))
+    _check_prefix_complete(list(_COUNT1_A.values()))
+
+
+def test_validator_rejects_incomplete_table():
+    with pytest.raises(AssertionError, match="Kraft"):
+        _check_prefix_complete([(1, 1), (3, 1)])
+
+
+def test_validator_rejects_prefix_violation():
+    # Kraft == 1 but 0 is a prefix of 00/01 spellings
+    with pytest.raises(AssertionError):
+        _check_prefix_complete([(1, 0), (2, 1), (2, 0), (2, 3)])
+
+
+def test_table_dimensions():
+    assert _HUFF_DIM == {1: 1, 2: 2, 3: 2, 5: 3, 6: 3}
+    assert set(_COUNT1_A) == set(range(16))
+
+
+TABLES_SHA256 = (
+    "69603381d69dcbe436f6c234e3294342e3eac8163640cdbfdcd96167d82b6a6e"
+)
+
+
+def test_table_checksum_artifact():
+    # the vp8_tables.py audit playbook: the committed checksum makes any
+    # future transcription correction a visible one-line diff
+    blob = repr(sorted(_HUFF.items())) + repr(sorted(_COUNT1_A.items()))
+    digest = hashlib.sha256(blob.encode()).hexdigest()
+    assert digest == TABLES_SHA256
+
+
+# --- exact integer round-trips --------------------------------------------------
+
+
+@pytest.mark.parametrize("tab", sorted(_HUFF))
+def test_round_trip_every_table(tab):
+    rng = random.Random(100 + tab)
+    dim = _HUFF_DIM[tab]
+    for _ in range(30):
+        pairs = []
+        for _ in range(rng.randrange(0, 12)):
+            x, y = rng.randrange(dim + 1), rng.randrange(dim + 1)
+            pairs.append((x, y, rng.randrange(2) if x else 0,
+                          rng.randrange(2) if y else 0))
+        quads = []
+        for _ in range(rng.randrange(0, 4)):
+            v, w, x, y = (rng.randrange(2) for _ in range(4))
+            quads.append((v, w, x, y,
+                          rng.randrange(2) if (v or w or x or y) else 0))
+        c1t = rng.randrange(2)
+        blob = write_l3_fixture(
+            [quads, []], granule_pairs=[pairs, []],
+            table_select=(tab, tab, tab), region_counts=(2, 3),
+            count1table=c1t,
+        )
+        fr = decode_l3_spectral(blob)[0]
+        g = fr["granules"][0]
+        want = _expected(pairs, quads)
+        assert g["is"][: len(want)] == want
+        assert all(v == 0 for v in g["is"][len(want):])
+        assert g["big_values"] == len(pairs)
+        assert g["count1table_select"] == c1t
+
+
+def test_region_split_uses_different_tables():
+    # region_counts (0,0) at 44.1k: region0 = lines 0-3 (pairs 0-1,
+    # table 1), region1 = lines 4-7 (pairs 2-3, table 5), region2 =
+    # the rest (table 2)
+    pairs = [(1, 0, 0, 0), (1, 1, 1, 0), (3, 2, 0, 1), (2, 3, 1, 1),
+             (2, 0, 1, 0), (0, 2, 0, 0)]
+    blob = write_l3_fixture(
+        [[], []], granule_pairs=[pairs, []],
+        table_select=(1, 5, 2), region_counts=(0, 0),
+    )
+    fr = decode_l3_spectral(blob)[0]
+    g = fr["granules"][0]
+    assert g["is"][:12] == _expected(pairs, [])
+    assert g["table_select"] == [1, 5, 2]
+
+
+def test_table0_region_decodes_zero_pairs_without_bits():
+    # table 0 carries no data: the region's pairs are implicit zeros
+    pairs = [(0, 0, 0, 0)] * 2 + [(1, 1, 0, 1)]
+    blob = write_l3_fixture(
+        [[], []], granule_pairs=[pairs, []],
+        table_select=(0, 1, 1), region_counts=(0, 0),
+    )
+    fr = decode_l3_spectral(blob)[0]
+    assert fr["granules"][0]["is"][:6] == [0, 0, 0, 0, 1, -1]
+    # 2 pairs x 0 bits + one table-1 (1,1) codeword (3 bits) + 2 signs
+    assert fr["granules"][0]["part2_3_length"] == 5
+
+
+def test_count1_table_a_bit_accounting():
+    # (1,0,0,1) pattern 0b1001 codes in 5 bits + 2 sign bits
+    blob = write_l3_fixture([[(1, 0, 0, 1, 0)], []], count1table=0)
+    fr = decode_l3_spectral(blob)[0]
+    g = fr["granules"][0]
+    assert g["part2_3_length"] == 5 + 2
+    assert g["is"][:4] == [1, 0, 0, 1]
+    assert g["count1table_select"] == 0
+
+
+def test_both_granules_mixed_shapes():
+    blob = write_l3_fixture(
+        [[(1, 1, 0, 0, 1)], [(0, 0, 1, 0, 0)]],
+        granule_pairs=[[(1, 0, 1, 0)], [(0, 1, 0, 1), (1, 1, 0, 0)]],
+        table_select=(1, 1, 1),
+    )
+    fr = decode_l3_spectral(blob)[0]
+    g1, g2 = fr["granules"]
+    assert g1["is"][:6] == [-1, 0, -1, -1, 0, 0]
+    assert g2["is"][:8] == [0, -1, 1, 1, 0, 0, 1, 0]
+
+
+def test_subbands_energy_with_big_values():
+    blob = write_l3_fixture(
+        [[], []], granule_pairs=[[(3, 2, 0, 1)], [(1, 1, 1, 0)]],
+        table_select=(5, 1, 1),
+    )
+    sb = decode_l3_subbands(blob)
+    assert sum(sum(v * v for v in s) for s in sb["subbands"]) > 0
+
+
+def test_mid_codeword_exhaustion_fails_closed():
+    blob = bytearray(write_l3_fixture(
+        [[], []], granule_pairs=[[(3, 3, 0, 0)], []],
+        table_select=(5, 5, 5),
+    ))
+    # shrink granule-1 part2_3_length (12 bits at side-info bit 18) to 3
+    si = bytearray(blob[4:21])
+    for bit in range(18, 30):
+        si[bit // 8] &= ~(1 << (7 - bit % 8))
+    for k in range(12):
+        if (3 >> (11 - k)) & 1:
+            bit = 18 + k
+            si[bit // 8] |= 1 << (7 - bit % 8)
+    blob[4:21] = si
+    with pytest.raises(ValueError):
+        decode_l3_spectral(bytes(blob))
+
+
+def test_writer_rejects_out_of_dim_pair():
+    with pytest.raises(ValueError, match="dimension"):
+        write_l3_fixture(
+            [[], []], granule_pairs=[[(2, 0, 0, 0)], []],
+            table_select=(1, 1, 1),
+        )
+
+
+def test_writer_rejects_untranscribed_table():
+    with pytest.raises(ValueError, match="not transcribed"):
+        write_l3_fixture(
+            [[], []], granule_pairs=[[(1, 0, 0, 0)], []],
+            table_select=(13, 13, 13),
+        )
+
+
+PINNED_BIGVALUES_SHA256 = (
+    "65739f5fabc186ed066a73ec1bcb2a021ba418c2bb936f9c82f11a451ccd3302"
+)
+
+
+def test_bigvalues_fixture_bytes_pinned():
+    blob = write_l3_fixture(
+        [[(1, 0, 1, 1, 0)], [(1, 1, 1, 1, 1)]],
+        granule_pairs=[[(1, 0, 1, 0), (0, 1, 0, 1)], [(3, 2, 0, 1)]],
+        table_select=(5, 1, 1), region_counts=(0, 0),
+        count1table=0,
+    )
+    assert hashlib.sha256(blob).hexdigest() == PINNED_BIGVALUES_SHA256
