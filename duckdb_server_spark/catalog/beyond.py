@@ -4634,7 +4634,11 @@ def b76_multistream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # test is identical at any level
                     blob = write_bz2_streams(chunks, level=1)
                 else:
-                    blob = write_xz_streams(chunks, pad=True)
+                    # preset 0: the default's 8 MiB-dictionary encoder
+                    # init per tiny stream was the r10b flat-at-100x tax
+                    # (measured 850 -> 18 us); the read path under test
+                    # is identical at any preset
+                    blob = write_xz_streams(chunks, pad=True, preset=0)
                 m = read_multistream(blob)
                 out = m["data"].decode("utf-8")
                 rows["doc_id"].append(doc_id)
@@ -5248,6 +5252,212 @@ def b84_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _filter, "doc_id long, path string, verdict string"
     ).orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
+    "b85_crawl_e2e",
+    oracle="""
+    WITH ext AS (
+      SELECT doc_id AS src_id, text,
+             trim(regexp_replace(
+               'Doc ' || CAST(doc_id AS VARCHAR) || ' Home | About Doc '
+                 || CAST(doc_id AS VARCHAR) || ' ' || text
+                 || ' © 2024 — Example …',
+               '\\s+', ' ', 'g')) AS etext,
+             (doc_id % 7 <> 0 AND doc_id % 5 IN (1, 3, 4)) AS orig_ok
+      FROM documents
+    ),
+    rows_ AS (
+      SELECT src_id AS doc_id, src_id, 0 AS is_mirror,
+             CASE WHEN src_id % 5 = 1
+                  THEN '/private/ok/' || CAST(src_id AS VARCHAR)
+                  ELSE '/doc/' || CAST(src_id AS VARCHAR) END AS path,
+             'site' || CAST(src_id % 50 AS VARCHAR) || '.example' AS dom,
+             etext,
+             CASE WHEN src_id % 9 = 3 THEN 2 ELSE 1 END AS n_copies
+      FROM ext WHERE orig_ok
+      UNION ALL
+      SELECT src_id + 10000000, src_id, 1,
+             '/mirror/' || CAST(src_id AS VARCHAR),
+             'mirror.example', etext, 1
+      FROM ext WHERE src_id % 9 = 3 AND NOT orig_ok
+    )
+    SELECT doc_id, src_id, CAST(is_mirror AS INT) AS is_mirror, path,
+           'https://' || dom || path || '?q=' || substr(md5(etext), 1, 8)
+             AS canon,
+           CASE
+             WHEN CAST('0x' || substr(md5(dom), 1, 15) AS BIGINT)
+                  % 100 < 80 THEN 'train'
+             WHEN CAST('0x' || substr(md5(dom), 1, 15) AS BIGINT)
+                  % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split,
+           CAST(length(etext) AS INT) AS n_chars,
+           CAST('0x' || substr(md5(etext), 1, 15) AS BIGINT) AS fp,
+           CAST(n_copies AS INT) AS n_copies
+    FROM rows_
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b85_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-ingestion chain END-TO-END as one composed plan (round
+    11, VERDICT r10 item 7) — the operator a pretraining team actually
+    runs: WARC container parse (b75) → HTTP status gate → HTML → text
+    extraction (b80) → RFC 9309 robots compliance (b84) → URL
+    canonicalization as JVM expressions (b79) → leakage-safe domain
+    split (b81) → exact dedup keep-min (b01/b52). Planted families make
+    per-stage recall visible in the output rows: every 7th document's
+    response is 404 (dropped at ingestion), paths rotate through the
+    robots families (/private/ and /tmp/ blocked, /private/ok/
+    re-allowed), and every 9th-mod-3 document has a MIRROR copy at
+    doc_id+10M on mirror.example carrying the identical page — the
+    mirror must dedup away when its original survives and must be the
+    sole surviving copy when the original was dropped upstream (the
+    cross-stage interaction a per-stage oracle can't see). ONE Python
+    hop total: WARC build/parse + HTML extract + robots run in a single
+    mapInPandas kernel; canonicalization, domain split, and dedup are
+    whole-stage-codegen expressions and one hash-agg. The oracle
+    replays every stage from the DEFINITION. Scale shape: per-payload
+    scan kernel, then a single fingerprint groupBy — bodies shuffle
+    once, fingerprints decide."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    id_type = docs.schema["doc_id"].dataType
+    originals = docs.select(
+        F.col("doc_id"), F.col("doc_id").alias("src_id"),
+        F.lit(0).alias("is_mirror"), "text",
+    )
+    mirrors = docs.filter(F.col("doc_id") % 9 == 3).select(
+        (F.col("doc_id") + 10_000_000).cast(id_type).alias("doc_id"),
+        F.col("doc_id").alias("src_id"),
+        F.lit(1).alias("is_mirror"), "text",
+    )
+    staged = originals.unionByName(mirrors)
+
+    def _ingest(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.htmltext import (
+            extract_text,
+            wrap_page,
+        )
+        from duckdb_server_spark.operators.robots import (
+            is_allowed,
+            parse_robots,
+        )
+        from duckdb_server_spark.operators.warc import (
+            extract_http_response,
+            parse_warc_records,
+            write_http_response,
+            write_warc_record,
+        )
+
+        rules = parse_robots(
+            "User-agent: dss-bot\n"
+            "Disallow: /private/\n"
+            "Allow: /private/ok/\n"
+            "Disallow: /tmp/\n\n"
+            "User-agent: *\n"
+            "Disallow: /\n"
+        )
+        cols = ("doc_id", "src_id", "is_mirror", "status", "path",
+                "verdict", "etext")
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, src_id, is_mirror, text_ in zip(
+                pdf["doc_id"], pdf["src_id"], pdf["is_mirror"],
+                pdf["text"],
+            ):
+                if is_mirror:
+                    path = f"/mirror/{src_id}"
+                    status = 200
+                else:
+                    sel = src_id % 5
+                    if sel == 0:
+                        path = f"/private/{src_id}"
+                    elif sel == 1:
+                        path = f"/private/ok/{src_id}"
+                    elif sel == 2:
+                        path = f"/tmp/{src_id}"
+                    else:
+                        path = f"/doc/{src_id}"
+                    status = 404 if src_id % 7 == 0 else 200
+                page = wrap_page(f"Doc {src_id}", text_ or "")
+                http = write_http_response(
+                    page.encode("utf-8"), status=status
+                )
+                blob = write_warc_record(
+                    "warcinfo", b"software: dss-crawler\r\n"
+                ) + write_warc_record(
+                    "response", http,
+                    target_uri=f"https://example.test{path}",
+                )
+                recs = parse_warc_records(blob)
+                resp = next(
+                    r for r in recs if r["warc_type"] == "response"
+                )
+                hr = extract_http_response(resp["body"])
+                etext = (
+                    extract_text(hr["body"].decode("utf-8"))
+                    if hr["status"] == 200
+                    else ""
+                )
+                rows["doc_id"].append(doc_id)
+                rows["src_id"].append(src_id)
+                rows["is_mirror"].append(int(is_mirror))
+                rows["status"].append(hr["status"])
+                rows["path"].append(path)
+                rows["verdict"].append(
+                    "allowed"
+                    if is_allowed(rules, "dss-bot/1.0", path)
+                    else "blocked"
+                )
+                rows["etext"].append(etext)
+            yield _pd.DataFrame(rows)
+
+    ingested = staged.mapInPandas(
+        _ingest,
+        "doc_id long, src_id long, is_mirror int, status int, "
+        "path string, verdict string, etext string",
+    )
+    live = ingested.filter(
+        (F.col("status") == 200) & (F.col("verdict") == "allowed")
+    )
+    from duckdb_server_spark.operators.dedup import _md5_60
+    from duckdb_server_spark.operators.urlnorm import canonicalize_url
+
+    host = F.when(
+        F.col("is_mirror") == 1, F.lit("Mirror.EXAMPLE")
+    ).otherwise(
+        F.concat(F.lit("Site"), (F.col("src_id") % 50).cast("string"),
+                 F.lit(".EXAMPLE"))
+    )
+    messy = F.concat(
+        F.lit("HTTPS://"), host, F.lit(":443"), F.col("path"),
+        F.lit("?utm_source=feed&q="),
+        F.substring(F.md5(F.col("etext")), 1, 8), F.lit("#top"),
+    )
+    canon = canonicalize_url(messy)
+    dom = F.regexp_extract(canon, "://([^/]*)", 1)
+    bucket = (
+        F.conv(F.substring(F.md5(dom), 1, 15), 16, 10).cast("long") % 100
+    )
+    enriched = live.select(
+        "doc_id", "src_id", "is_mirror", "path",
+        canon.alias("canon"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").alias("split"),
+        F.length("etext").alias("n_chars"),
+        _md5_60(F.col("etext")).alias("fp"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    deduped = (
+        enriched.withColumn("__keep", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w).cast("int"))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    return deduped.orderBy(F.col("doc_id").asc_nulls_last())
 
 
 @query(

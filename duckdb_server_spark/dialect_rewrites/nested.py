@@ -1,0 +1,621 @@
+"""Nested-type comparison semantics (batteries 33/37), list set ops, libm shims, interval rendering (split from dialect.py, round 11)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+import threading
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_server_spark.dialect_rewrites.core import (  # noqa: F401
+    DialectError,
+    _literal_value,
+    _masked_literal,
+    _matching_paren,
+    _primary_back,
+    _primary_fwd,
+    _split_top_commas,
+    _unmask,
+)
+
+from duckdb_server_spark.dialect_rewrites.macros import (  # noqa: F401
+    _DEG_CONST,
+    _DEG_RAD_RE,
+    _LIBM_RE,
+    _RAD_CONST,
+    _ROUND_RE,
+    _rewrite_division,
+    _rewrite_try_mod,
+)
+
+
+
+# --- nested-type comparison operators (battery 33) --------------------------
+# DuckDB compares lists/structs by a LEFT-TO-RIGHT SHORT-CIRCUIT scan in
+# which a NULL element/field pair stops the scan with UNKNOWN (probed
+# live: [NULL,1] = [NULL,2] is NULL even though index 1 differs;
+# [2,NULL] < [1,2] is FALSE — first pair decides; [1] = [1,2] is FALSE —
+# equal prefix, then length). Spark treats nested NULLs as ordinary
+# equal/orderable values (struct{'a':NULL} = struct{'a':NULL} is TRUE) —
+# a silent wrong answer whenever runtime NULLs appear. The rewrite fires
+# only when an operand is PROVABLY nested (array(...)/named_struct(...)
+# spellings, CAST targets, or catalog-kind columns); structs need field
+# names (from a literal, a cast type, or the column schema) and fail
+# closed otherwise, as do map comparisons.
+
+_NESTED_CMP_RE = re.compile(r"<>|!=|<=|>=|=|<|>")
+
+
+
+def _nested_shape(p: str, kinds: dict[str, str] | None):
+    """'list' / 'map' / ('struct', fields|None) / None for one primary."""
+    t = p.strip()
+    if re.match(r"(?i)^array\s*\(", t):
+        return "list"
+    if re.match(r"(?i)^named_struct\s*\(", t):
+        return ("struct", None)  # fields parsed lazily by the caller
+    if re.match(r"(?i)^map\s*\(", t):
+        return "map"
+    if re.match(r"(?i)^CAST\s*\(", t):
+        cm = re.search(
+            r"(?i)\bAS\s+(STRUCT\s*\(|MAP\s*\(|ARRAY\s*<|[A-Za-z]+\s*\[)", t
+        )
+        if cm:
+            g = cm.group(1).upper()
+            if g.startswith("STRUCT"):
+                inner = t[cm.end() - 1 : _matching_paren(t, cm.end() - 1)]
+                fields = []
+                for part in inner.lstrip("(").split(","):
+                    fm = re.match(r"\s*([A-Za-z_]\w*)\s+", part)
+                    if fm:
+                        fields.append(fm.group(1))
+                return ("struct", fields or None)
+            if g.startswith("MAP"):
+                return "map"
+            return "list"
+        return None
+    if re.fullmatch(r"[A-Za-z_][\w.]*", t) and kinds:
+        k = kinds.get(t.split(".")[-1].lower()) or ""
+        if k == "array":
+            return "list"
+        if k == "map":
+            return "map"
+        if k.startswith("struct:"):
+            return ("struct", k[7:].split(","))
+    return None
+
+
+
+def _named_struct_fields(p: str, table: list[str]) -> list[str] | None:
+    """Field names of a ``named_struct(key, val, ...)`` spelling (keys
+    are masked string literals)."""
+    t = p.strip()
+    open_idx = t.index("(")
+    args = _split_top_commas(t[open_idx + 1 : _matching_paren(t, open_idx)])
+    fields = []
+    for key in args[::2]:
+        lit = _literal_value(_unmask(key.strip(), table))
+        if lit is None:
+            return None
+        fields.append(str(lit))
+    return fields or None
+
+
+
+def _list_cmp_sql(a: str, b: str, op: str, distinct: bool = False) -> str:
+    """DuckDB's short-circuit pairwise scan over the shared prefix as a
+    Spark aggregate fold: per-pair code 0=equal 1=lt 2=gt 3=unknown,
+    first nonzero sticks; the all-equal prefix falls through to the
+    length comparison.
+
+    ``distinct=True`` is the BOOLEAN-context variant (battery 37,
+    probed live on DuckDB 1.0): filter/join/CASE-condition consumers
+    compare nested types with IS-DISTINCT-FROM-style total order — a
+    NULL element equals a NULL element and sorts LAST (larger than any
+    value); only a top-level NULL operand still yields UNKNOWN."""
+    a, b = f"({a})", f"({b})"
+    n = f"least(size({a}), size({b}))"
+    if distinct:
+        if op in ("=", "<>", "!="):
+            pair = (
+                "CASE WHEN __dd_x IS NULL AND __dd_y IS NULL THEN 0 "
+                "WHEN __dd_x IS NULL OR __dd_y IS NULL THEN 1 "
+                "WHEN __dd_x = __dd_y THEN 0 ELSE 1 END"
+            )
+        else:
+            pair = (
+                "CASE WHEN __dd_x IS NULL AND __dd_y IS NULL THEN 0 "
+                "WHEN __dd_x IS NULL THEN 2 "
+                "WHEN __dd_y IS NULL THEN 1 "
+                "WHEN __dd_x = __dd_y THEN 0 "
+                "WHEN __dd_x < __dd_y THEN 1 ELSE 2 END"
+            )
+    elif op in ("=", "<>", "!="):
+        pair = ("CASE WHEN __dd_x = __dd_y THEN 0 "
+                "WHEN NOT (__dd_x = __dd_y) THEN 1 ELSE 3 END")
+    else:
+        pair = ("CASE WHEN __dd_x = __dd_y THEN 0 "
+                "WHEN __dd_x < __dd_y THEN 1 "
+                "WHEN __dd_x > __dd_y THEN 2 ELSE 3 END")
+    scan = (
+        f"aggregate(zip_with(slice({a}, 1, {n}), slice({b}, 1, {n}), "
+        f"(__dd_x, __dd_y) -> {pair}), 0, "
+        f"(__dd_acc, __dd_p) -> "
+        f"CASE WHEN __dd_acc <> 0 THEN __dd_acc ELSE __dd_p END)"
+    )
+    if op in ("=", "<>", "!="):
+        core = (
+            f"CASE {scan} WHEN 1 THEN false "
+            f"WHEN 3 THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE size({a}) = size({b}) END"
+        )
+    else:
+        lt_res = "true" if op in ("<", "<=") else "false"
+        gt_res = "false" if op in ("<", "<=") else "true"
+        tail = f"size({a}) {op} size({b})"
+        core = (
+            f"CASE {scan} WHEN 1 THEN {lt_res} WHEN 2 THEN {gt_res} "
+            f"WHEN 3 THEN CAST(NULL AS BOOLEAN) ELSE {tail} END"
+        )
+    out = (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL "
+        f"THEN CAST(NULL AS BOOLEAN) ELSE {core} END)"
+    )
+    if op in ("<>", "!="):
+        out = f"(NOT {out})"
+    return out
+
+
+
+def _struct_cmp_sql(
+    a: str, b: str, op: str, fields: list[str], table: list[str],
+    distinct: bool = False,
+) -> str:
+    """Field-by-field short-circuit CASE chain (declaration order);
+    backtick-quoted dotted access so arbitrary names survive (and the
+    later subscript rewrite never touches it). ``distinct=True`` is the
+    boolean-context total order (see _list_cmp_sql): NULL fields equal,
+    NULL sorts last."""
+    a, b = f"({a})", f"({b})"
+    whens = []
+    for f in fields:
+        fq = "`" + f.replace("`", "``") + "`"
+        pa, pb = f"{a}.{fq}", f"{b}.{fq}"
+        if distinct:
+            if op in ("=", "<>", "!="):
+                whens.append(f"WHEN NOT ({pa} <=> {pb}) THEN false")
+            else:
+                lt_res = "true" if op in ("<", "<=") else "false"
+                gt_res = "false" if op in ("<", "<=") else "true"
+                whens.append(
+                    f"WHEN {pa} IS NULL AND {pb} IS NOT NULL "
+                    f"THEN {gt_res}"
+                )
+                whens.append(
+                    f"WHEN {pb} IS NULL AND {pa} IS NOT NULL "
+                    f"THEN {lt_res}"
+                )
+                whens.append(f"WHEN {pa} < {pb} THEN {lt_res}")
+                whens.append(f"WHEN {pa} > {pb} THEN {gt_res}")
+        elif op in ("=", "<>", "!="):
+            whens.append(f"WHEN NOT ({pa} = {pb}) THEN false")
+            whens.append(
+                f"WHEN ({pa} = {pb}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+            )
+        else:
+            lt_res = "true" if op in ("<", "<=") else "false"
+            gt_res = "false" if op in ("<", "<=") else "true"
+            whens.append(f"WHEN {pa} < {pb} THEN {lt_res}")
+            whens.append(f"WHEN {pa} > {pb} THEN {gt_res}")
+            whens.append(
+                f"WHEN ({pa} = {pb}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+            )
+    tail = {"=": "true", "<>": "true", "!=": "true",
+            "<": "false", ">": "false", "<=": "true", ">=": "true"}[op]
+    if op in ("<>", "!="):
+        tail = "true"
+    core = "CASE " + " ".join(whens) + f" ELSE {tail} END"
+    out = (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL "
+        f"THEN CAST(NULL AS BOOLEAN) ELSE {core} END)"
+    )
+    if op in ("<>", "!="):
+        # the whens above encode the EQ scan; NOT-wrap flips it with
+        # three-valued semantics (the chain used eq-shaped whens)
+        eq_core = "CASE " + " ".join(whens) + " ELSE true END"
+        out = (
+            f"(NOT (CASE WHEN {a} IS NULL OR {b} IS NULL "
+            f"THEN CAST(NULL AS BOOLEAN) ELSE {eq_core} END))"
+        )
+    return out
+
+
+
+# DuckDB's interval → VARCHAR rendering (probed live): months normalize
+# to 'N year(s) M month(s)', days to 'N day(s)' (weeks×7), micros to
+# 'HH:MM:SS[.frac]' with unbounded hours and trailing zeros trimmed;
+# the time part prints when nonzero or when everything is zero.
+_IVL_UNIT = {
+    "year": (12, 0, 0), "years": (12, 0, 0),
+    "quarter": (3, 0, 0), "quarters": (3, 0, 0),
+    "month": (1, 0, 0), "months": (1, 0, 0),
+    "decade": (120, 0, 0), "decades": (120, 0, 0),
+    "century": (1200, 0, 0), "centuries": (1200, 0, 0),
+    "millennium": (12000, 0, 0), "millennia": (12000, 0, 0),
+    "week": (0, 7, 0), "weeks": (0, 7, 0),
+    "day": (0, 1, 0), "days": (0, 1, 0),
+    "hour": (0, 0, 3_600_000_000), "hours": (0, 0, 3_600_000_000),
+    "minute": (0, 0, 60_000_000), "minutes": (0, 0, 60_000_000),
+    "second": (0, 0, 1_000_000), "seconds": (0, 0, 1_000_000),
+    "millisecond": (0, 0, 1000), "milliseconds": (0, 0, 1000),
+    "microsecond": (0, 0, 1), "microseconds": (0, 0, 1),
+}
+
+_IVL_CAST_RE = re.compile(
+    r"CAST\s*\(\s*INTERVAL\s+(\d+)\s+([A-Za-z]+)\s+AS\s+"
+    r"(?:VARCHAR|STRING)\s*\)",
+    re.IGNORECASE,
+)
+
+
+
+def _duck_interval_str(months: int, days: int, micros: int) -> str:
+    parts = []
+    if months:
+        y, mo = divmod(months, 12)
+        if y:
+            parts.append(f"{y} year" + ("s" if y != 1 else ""))
+        if mo:
+            parts.append(f"{mo} month" + ("s" if mo != 1 else ""))
+    if days:
+        parts.append(f"{days} day" + ("s" if days != 1 else ""))
+    if micros or not parts:
+        h, rem = divmod(micros, 3_600_000_000)
+        m, rem = divmod(rem, 60_000_000)
+        sec, us = divmod(rem, 1_000_000)
+        t = f"{h:02d}:{m:02d}:{sec:02d}"
+        if us:
+            t += ("." + f"{us:06d}").rstrip("0")
+        parts.append(t)
+    return " ".join(parts)
+
+
+
+def _rewrite_interval_varchar(s: str, table: list[str]) -> str:
+    def fold(m: re.Match) -> str:
+        unit = m.group(2).lower()
+        if unit not in _IVL_UNIT:
+            return m.group(0)
+        f = _IVL_UNIT[unit]
+        n = int(m.group(1))
+        return _masked_literal(
+            table, _duck_interval_str(n * f[0], n * f[1], n * f[2])
+        )
+
+    return _IVL_CAST_RE.sub(fold, s)
+
+
+
+def _rewrite_nested_cast_types(s: str) -> str:
+    """DuckDB STRUCT(name TYPE, ...) / MAP(K, V) type spellings in cast
+    position → Spark STRUCT<name: TYPE, ...> / MAP<K, V> (one level;
+    nested parens fall through to a Spark parse error, fail-closed).
+    Runs BEFORE _rewrite_struct_map so a MAP(K, V) cast target is never
+    mistaken for DuckDB's two-list map() constructor."""
+
+    def _struct_type(mm: re.Match) -> str:
+        fields = []
+        for part in mm.group(2).split(","):
+            fm = re.match(r"\s*([A-Za-z_]\w*)\s+(.+?)\s*$", part)
+            if not fm:
+                return mm.group(0)
+            ft = re.sub(r"(?i)^VARCHAR$", "STRING", fm.group(2).strip())
+            ft = re.sub(r"(?i)^([A-Za-z]+)\s*\[\s*\d*\s*\]$",
+                        lambda am: f"ARRAY<{am.group(1)}>", ft)
+            fields.append(f"{fm.group(1)}: {ft}")
+        return f"{mm.group(1)}STRUCT<{', '.join(fields)}>"
+
+    s = re.sub(
+        r"(::\s*|\bAS\s+)STRUCT\s*\(([^()]*)\)",
+        _struct_type,
+        s,
+        flags=re.IGNORECASE,
+    )
+    return re.sub(
+        r"(::\s*|\bAS\s+)MAP\s*\(\s*([A-Za-z]+)\s*,\s*([A-Za-z]+)\s*\)",
+        lambda mm: "{}MAP<{}, {}>".format(
+            mm.group(1),
+            re.sub(r"(?i)^VARCHAR$", "STRING", mm.group(2)),
+            re.sub(r"(?i)^VARCHAR$", "STRING", mm.group(3)),
+        ),
+        s,
+        flags=re.IGNORECASE,
+    )
+
+
+
+_CMP_LEFT_BOOL = {"WHERE", "HAVING", "WHEN", "ON", "AND", "OR", "NOT"}
+
+_CMP_RIGHT_BOOL = {
+    "AND", "OR", "THEN", "ORDER", "GROUP", "LIMIT", "OFFSET", "QUALIFY",
+    "WINDOW", "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT",
+    "RIGHT", "FULL", "CROSS", "WHERE", "USING", "ELSE", "END", "WHEN",
+    "HAVING",
+}
+
+# identifiers allowed inside a CONSTANT nested literal (const-folded
+# comparisons keep value semantics even in boolean position — probed:
+# WHERE [1,NULL] = [1,NULL] filters the row while WHERE col = [1,NULL]
+# keeps it)
+_CMP_CONST_WORDS = {
+    "NULL", "TRUE", "FALSE", "CAST", "AS", "ARRAY", "MAP", "NAMED_STRUCT",
+    "STRUCT", "ROW", "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT", "REAL", "VARCHAR", "STRING", "TEXT", "BOOLEAN",
+    "DECIMAL", "NUMERIC", "DATE", "TIMESTAMP", "INTERVAL",
+}
+
+
+
+def _tok_before(s: str, i: int) -> tuple[str | None, int]:
+    """Last token (word upper-cased, or single char) ending before
+    position i, with its start index."""
+    j = i - 1
+    while j >= 0 and s[j] in " \t\n":
+        j -= 1
+    if j < 0:
+        return None, -1
+    m = re.search(r"([A-Za-z_][\w$]*)\Z", s[: j + 1])
+    if m:
+        return m.group(1).upper(), m.start()
+    return s[j], j
+
+
+
+def _tok_after(s: str, i: int) -> str | None:
+    j = i
+    while j < len(s) and s[j] in " \t\n":
+        j += 1
+    if j >= len(s):
+        return None
+    m = re.match(r"[A-Za-z_][\w$]*", s[j:])
+    if m:
+        return m.group(0).upper()
+    return s[j]
+
+
+
+def _cmp_is_constant(p: str) -> bool:
+    """Whether a nested-comparison operand spells a constant literal
+    (no column references) — DuckDB const-folds those before its
+    boolean-context distinct conversion kicks in."""
+    for w in re.findall(r"[A-Za-z_][\w$]*", p):
+        if w.upper() not in _CMP_CONST_WORDS:
+            return False
+    return True
+
+
+
+def _boolctx_ranges(s: str) -> list[tuple[int, int]]:
+    """Interior spans of ``__dd_boolctx(...)`` markers — the internal
+    wrapper DML handlers put around WHERE predicates so the nested-
+    comparison rewrite still sees filter context after the predicate is
+    embedded in coalesce(CAST(...)) NULL plumbing. Stripped to plain
+    parens at the end of the rewrite."""
+    out = []
+    for m in re.finditer(r"(?i)__dd_boolctx\s*\(", s):
+        close = _matching_paren(s, m.end() - 1)
+        if close > 0:
+            out.append((m.end(), close))
+    return out
+
+
+
+def _cmp_bool_context(s: str, lstart: int, rend: int) -> bool:
+    """Whether a comparison spanning [lstart, rend) feeds a filter /
+    JOIN ON / HAVING / CASE-condition consumer. DuckDB 1.0 compares
+    nested types in those positions with IS-DISTINCT-FROM total order
+    (probed live, battery 37); value positions (SELECT list, function
+    arguments, FILTER(WHERE ...), a wrapped (cmp) IS NULL / = true)
+    keep three-valued semantics. Residual unmodeled shapes, documented:
+    CAST(cmp AS BOOLEAN) inside a filter (DuckDB propagates boolean
+    context through the cast; we classify it a function call) and a
+    boolean chain nested inside a function argument (classified by its
+    nearest AND/OR/NOT)."""
+    tok, at = _tok_before(s, lstart)
+    while tok == "(":
+        ptok, pat = _tok_before(s, at)
+        if ptok is None or ptok == ",":
+            return False  # statement start / function argument
+        if re.match(r"[A-Za-z_]", ptok):
+            if ptok in _CMP_LEFT_BOOL:
+                tok, at = ptok, pat  # keyword '(' = grouping paren
+                break
+            return False  # function call argument (or SELECT list etc.)
+        tok, at = ptok, pat  # another '(' — keep walking out
+    if tok not in _CMP_LEFT_BOOL:
+        return False
+    if tok == "WHERE":
+        ptok, pat = _tok_before(s, at)
+        if ptok == "(":
+            p2, _ = _tok_before(s, pat)
+            if p2 == "FILTER":
+                return False  # FILTER (WHERE cmp) is value-semantics
+    # right side: any run of closing parens, then a clause keyword,
+    # statement end, or nothing
+    j = rend
+    while True:
+        nxt = _tok_after(s, j)
+        if nxt == ")":
+            j = s.index(")", j) + 1
+            continue
+        if nxt is None or nxt == ";":
+            return True
+        if isinstance(nxt, str) and nxt in _CMP_RIGHT_BOOL:
+            return True
+        return False
+
+
+
+def _rewrite_nested_comparisons(
+    s: str, table: list[str], kinds: dict[str, str] | None
+) -> str:
+    dml = re.match(r"(?i)\s*(UPDATE|MERGE|INSERT|DELETE)\b", s)
+    if dml:
+        # Assignment '=' in DML SET lists is not a comparison, but the
+        # statement's query body still carries DuckDB nested-NULL
+        # semantics (r10 ADVICE: INSERT INTO ... SELECT was skipped
+        # wholesale). Rewrite only the safe sub-range: the embedded
+        # SELECT/VALUES body for INSERT (stopping before ON CONFLICT's
+        # DO UPDATE SET), the WHERE tail for UPDATE/DELETE, and the ON
+        # condition for MERGE.
+        kw = dml.group(1).upper()
+        if kw == "INSERT":
+            body = re.search(r"(?i)\b(SELECT|VALUES)\b", s)
+            if not body:
+                return s
+            i = body.start()
+            conflict = re.search(r"(?i)\bON\s+CONFLICT\b", s)
+            j = conflict.start() if conflict and conflict.start() > i else len(s)
+        elif kw in ("UPDATE", "DELETE"):
+            body = re.search(r"(?i)\bWHERE\b", s)
+            if not body:
+                return s
+            i, j = body.start(), len(s)
+        else:  # MERGE: the ON condition up to the first WHEN [NOT] MATCHED
+            on_m = re.search(r"(?i)\bON\b", s)
+            when_m = re.search(r"(?i)\bWHEN\s+(?:NOT\s+)?MATCHED\b", s)
+            if not on_m or not when_m or on_m.start() >= when_m.start():
+                return s
+            i, j = on_m.start(), when_m.start()
+        return (
+            s[:i]
+            + _rewrite_nested_comparisons(s[i:j], table, kinds)
+            + s[j:]
+        )
+    pos = 0
+    while m := _NESTED_CMP_RE.search(s, pos):
+        op = m.group(0)
+        before = s[m.start() - 1] if m.start() else ""
+        if before in ":<>!-=" or s[m.end() : m.end() + 1] in (">", "="):
+            pos = m.end()
+            continue
+        j = m.start() - 1
+        while j >= 0 and s[j] in " \t\n":
+            j -= 1
+        lstart = _primary_back(s, j + 1)
+        left = s[lstart : j + 1].strip()
+        rend = _primary_fwd(s, m.end())
+        right = s[m.end() : rend].strip()
+        if not left or not right:
+            pos = m.end()
+            continue
+        if re.match(r"(?i)^\(\s*SELECT\b", left) or re.match(
+            r"(?i)^\(\s*SELECT\b", right
+        ):
+            pos = m.end()
+            continue
+        ls, rs = _nested_shape(left, kinds), _nested_shape(right, kinds)
+        if ls is None and rs is None:
+            pos = m.end()
+            continue
+        if "map" in (ls, rs):
+            raise DialectError(
+                "map comparison operators are not supported (DuckDB "
+                "short-circuit NULL semantics have no Spark equivalent)"
+            )
+        # boolean-context (filter/ON/HAVING/CASE-condition) comparisons
+        # use DuckDB's distinct total order — unless both operands are
+        # constants, which DuckDB folds at value semantics first
+        in_marker = any(
+            a <= lstart and rend <= b for a, b in _boolctx_ranges(s)
+        )
+        distinct = (in_marker or _cmp_bool_context(s, lstart, rend)) and not (
+            _cmp_is_constant(left) and _cmp_is_constant(right)
+        )
+        structs = [x for x in (ls, rs) if isinstance(x, tuple)]
+        if structs:
+            fields = None
+            for side, shape in ((left, ls), (right, rs)):
+                if isinstance(shape, tuple):
+                    fields = shape[1] or _named_struct_fields(side, table)
+                    if fields:
+                        break
+            if not fields:
+                raise DialectError(
+                    "struct comparison needs field names (literal, cast "
+                    "type, or catalog schema) — none resolvable here"
+                )
+            repl = _struct_cmp_sql(
+                left, right, op, fields, table, distinct=distinct
+            )
+        else:
+            repl = _list_cmp_sql(left, right, op, distinct=distinct)
+        s = s[:lstart] + repl + s[rend:]
+        pos = lstart + len(repl)
+    return s
+
+
+
+_LIST_SET_OP_RE = re.compile(r"<@|@>|&&")
+
+
+
+def _rewrite_list_set_ops(s: str) -> str:
+    """DuckDB's list containment/overlap operators — ``a <@ b`` (a's
+    elements all in b), ``a @> b`` (reverse), ``a && b`` (any shared
+    element) — spelled as the list_has_all / list_has_any functions,
+    whose templates carry DuckDB's ignore-NULL-elements semantics.
+    Operands are single primaries (list literals, columns, calls);
+    other shapes fall through to a parse error rather than silently
+    rebinding (Spark has none of these operators)."""
+    pos = 0
+    while m := _LIST_SET_OP_RE.search(s, pos):
+        j = m.start() - 1
+        while j >= 0 and s[j] in " \t\n":
+            j -= 1
+        lstart = _primary_back(s, j + 1)
+        left = s[lstart : j + 1].strip()
+        rend = _primary_fwd(s, m.end())
+        right = s[m.end() : rend].strip()
+        if not left or not right:
+            pos = m.end()
+            continue
+        op = m.group(0)
+        if op == "<@":
+            repl = f"list_has_all({right}, {left})"
+        elif op == "@>":
+            repl = f"list_has_all({left}, {right})"
+        else:
+            repl = f"list_has_any({left}, {right})"
+        s = s[:lstart] + repl + s[rend:]
+        pos = lstart + len(repl)
+    return s
+
+
+
+def _rewrite_libm(s: str) -> str:
+    """DuckDB-first only: route the libm-divergent numeric family and
+    double rounding to the bit-identical shims, and expand
+    degrees/radians to the exact constant multiply DuckDB performs."""
+    s = _rewrite_division(s)
+    s = _rewrite_try_mod(s)
+    s = _LIBM_RE.sub(lambda m: "dd_libm_" + m.group(1).lower() + "(", s)
+    while m := _DEG_RAD_RE.search(s):
+        close = _matching_paren(s, s.index("(", m.start()))
+        inner = s[s.index("(", m.start()) + 1 : close]
+        const = _DEG_CONST if m.group(1).lower() == "degrees" else _RAD_CONST
+        s = s[: m.start()] + f"(({inner}) * {const})" + s[close + 1 :]
+    pos = 0
+    while m := _ROUND_RE.search(s, pos):
+        open_idx = s.index("(", m.start())
+        close = _matching_paren(s, open_idx)
+        args = _split_top_commas(s[open_idx + 1 : close])
+        inner = ", ".join(args) if len(args) == 2 else args[0] + ", 0"
+        s = s[: m.start()] + f"dd_libm_round({inner})" + s[close + 1 :]
+        # continue scanning INSIDE the arguments (nested rounds rewrite too)
+        pos = m.start() + len("dd_libm_round(")
+    return s
+

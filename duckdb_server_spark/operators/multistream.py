@@ -97,11 +97,19 @@ def write_bz2_streams(chunks: list[bytes], level: int = 9) -> bytes:
     return b"".join(bz2.compress(c, compresslevel=level) for c in chunks)
 
 
-def write_xz_streams(chunks: list[bytes], pad: bool = False) -> bytes:
+def write_xz_streams(
+    chunks: list[bytes], pad: bool = False, preset: int | None = None
+) -> bytes:
     """Concatenated xz streams; ``pad`` inserts 4 bytes of legal stream
-    padding between them (CRC32 checks keep the output deterministic)."""
+    padding between them (CRC32 checks keep the output deterministic).
+    ``preset`` tunes the encoder: the default (6) allocates an 8 MiB
+    dictionary PER STREAM (~850 µs measured), which dominates wall
+    clock when streams are tiny — preset 0 is 47x cheaper and the xz
+    container/decode path is identical at any preset."""
+    kw = {} if preset is None else {"preset": preset}
     blobs = [
-        lzma.compress(c, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC32)
+        lzma.compress(c, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC32,
+                      **kw)
         for c in chunks
     ]
     sep = b"\x00" * 4 if pad else b""

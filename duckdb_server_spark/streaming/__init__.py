@@ -140,4 +140,35 @@ def run_stream_to_memory(
             .start()
         )
         q.awaitTermination()
+    _capture_progress(q)
     return stream_df.sparkSession.table(name)
+
+
+# metrics of the most recent drain: the 100 TB failure mode for
+# streaming is UNBOUNDED STATE, not CPU — the scaling study (r11s band)
+# and tests read this to assert the state store stays bounded by the
+# watermark as input duration grows
+_LAST_PROGRESS: dict = {}
+
+
+def _capture_progress(q) -> None:
+    state_rows = 0
+    batches = 0
+    try:
+        batches = len(q.recentProgress)
+        lp = q.lastProgress or {}
+        for op in lp.get("stateOperators", []) or []:
+            state_rows += int(op.get("numRowsTotal", 0) or 0)
+    except Exception:  # metrics are best-effort; never fail the drain
+        return
+    _LAST_PROGRESS.clear()
+    _LAST_PROGRESS.update(
+        {"state_rows": state_rows, "batches": batches}
+    )
+
+
+def last_stream_progress() -> dict:
+    """State-store metrics of the most recent ``run_stream_to_memory``
+    drain: {'state_rows': total rows held across stateful operators at
+    the final micro-batch, 'batches': micro-batch count}."""
+    return dict(_LAST_PROGRESS)

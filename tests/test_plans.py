@@ -665,3 +665,24 @@ def test_b83_snapshot_diff_shuffles_fingerprints_only(spark, sf_dir):
     for line in text.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_b85_crawl_e2e_shuffle_budget(spark, sf_dir):
+    """The composed crawl chain (round 11) pays exactly its declared
+    shuffle budget: ONE hash exchange (the dedup window over the 60-bit
+    fingerprint) plus the final presentation sort — WARC/HTML/robots
+    run scan-side in one Python kernel, canonicalization/split are
+    codegen expressions. The hash exchange must carry fingerprints,
+    never the extracted text."""
+    from duckdb_server_spark.catalog import beyond
+
+    df = beyond.b85_crawl_e2e(spark, sf_dir)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    hash_ex = [
+        line for line in text.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(hash_ex) == 1, text
+    assert "etext#" not in hash_ex[0], hash_ex[0]
+    # one Python kernel total: the ingest mapInPandas
+    assert text.count("MapInPandas") == 1

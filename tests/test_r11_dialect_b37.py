@@ -220,3 +220,49 @@ def test_delete_where_distinct(sql37, duck):
         duck.execute(st)
         execute_statement(sql37, st)
     _match(sql37, duck, "SELECT i FROM b37d")
+
+
+# --- bit-shift operators (round 11: Spark 4 parses << / >> only in some
+# nesting positions — SELECT (66 >> 2) parses, the same text as a
+# function argument is a PARSE_SYNTAX_ERROR — so the rewrite lowers both
+# to shiftleft/shiftright with DuckDB's probed precedence) -------------------
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT 2 + 2 >> 1 AS v",            # shift binds LOWER than +
+    "SELECT 2 >> 1 + 1 AS v",
+    "SELECT 16 >> 1 << 1 AS v",          # left-associative
+    "SELECT 3 * 2 >> 1 AS v",
+    "SELECT -5 >> 1 AS v",               # unary minus binds tighter
+    "SELECT 2 * -5 >> 1 AS v",
+    "SELECT CASE WHEN 4 >> 1 = 2 THEN 'y' ELSE 'n' END AS v",
+    "SELECT list_transform([1, 2], k -> (k >> 1) + (k << 2)) AS v",
+    "SELECT coalesce(NULL, 66 >> 2) AS v",
+])
+def test_shift_operators(sql37, duck, sql):
+    _match(sql37, duck, sql)
+
+
+def test_shift_on_column(sql37, duck):
+    _match(sql37, duck, "SELECT i << 2 AS v, i >> 1 AS w FROM b37t")
+
+
+# --- whitespace-separated subscripts (round 11: DuckDB allows `x [1]`
+# and whitespace collapse produces `[..] [i]`) --------------------------------
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT [10, 20, 30] [2] AS v",
+    "SELECT [10, 20, 30]\n  [1 + 1] AS v",
+    "SELECT a [1] AS v FROM b37t WHERE i = 1",
+    "SELECT [[1], [2, 3]] [2] [1] AS v",
+    "SELECT list_transform([1, 2], k -> [7, 8] [k]) AS v",
+])
+def test_spaced_subscripts(sql37, duck, sql):
+    _match(sql37, duck, sql)
+
+
+def test_spaced_bracket_after_keyword_stays_literal(sql37, duck):
+    _match(sql37, duck, "SELECT [1, 2] AS v")
+    _match(sql37, duck,
+           "SELECT CASE WHEN i = 1 THEN [1] ELSE [2] END AS v FROM b37t")

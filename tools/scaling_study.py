@@ -55,6 +55,54 @@ TABLES = (
     ("customer", {"c_custkey": 10_000_000}, (10, 100)),
 )
 DIM_LINKS = ("region", "nation", "supplier", "part")
+
+# round-11 streaming band (r11s): events replicate with the TIME AXIS
+# EXTENDED (each replica shifted past the previous one by the full span
+# + the 1h watermark) so input DURATION grows with the tier while the
+# watermark horizon stays fixed — the shape that separates "state
+# bounded by the watermark" (flat state_rows as input grows 100x) from
+# "state grows with input" (the 100 TB streaming failure mode).
+STREAM_TIERS = {
+    "1x": (SRC, 1),
+    "10x": ("/tmp/scale_stream_x10", 10),
+    "100x": ("/tmp/scale_stream_x100", 100),
+}
+
+
+def generate_stream(spark) -> None:
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    stride = int(hi - lo) + 3600 + 600  # span + watermark + one window
+    for reps in (10, 100):
+        base = f"/tmp/scale_stream_x{reps}"
+        os.makedirs(base, exist_ok=True)
+        out = f"{base}/events.parquet"
+        if not os.path.exists(out):
+            rep = spark.range(reps).select(F.col("id").alias("__rep"))
+            big = ev.crossJoin(rep).withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.unix_timestamp("ts") + F.col("__rep") * stride
+                ),
+            ).withColumn(
+                "event_id",
+                F.col("event_id") + F.col("__rep") * 100_000_000,
+            ).drop("__rep")
+            big.repartition(32).write.mode("overwrite").parquet(out)
+            print(f"stream x{reps} events: "
+                  f"{spark.read.parquet(out).count():,} rows, "
+                  f"duration x{reps}")
+        # documents ride along from the id-offset tiers (neardup/warc)
+        for tbl in ("documents", "embeddings"):
+            link = f"{base}/{tbl}.parquet"
+            if not os.path.lexists(link):
+                os.symlink(f"/tmp/scale_x{reps}/{tbl}.parquet", link)
+        for dim in DIM_LINKS:
+            link = f"{base}/{dim}.parquet"
+            if not os.path.lexists(link):
+                os.symlink(f"{SRC}/{dim}.parquet", link)
 GROUPS = {
     "cheap": [
         ("b20_text_quality", 5_000, ("1x", "10x", "100x")),
@@ -207,6 +255,18 @@ GROUPS = {
             "t22_global_sales_opportunity",
         )
     ],
+    # round-11 streaming band (VERDICT r10 item 4): availableNow drains
+    # over DURATION-EXTENDED events (STREAM_TIERS) — wall clock should
+    # grow linearly with input while state_rows (captured from the last
+    # micro-batch's stateOperators) stays bounded by the watermark for
+    # the watermarked ops. neardup's state is its dedup memory (grows
+    # with DISTINCT corpus by design); warc_ingest is stateless.
+    "r11s": [
+        ("st_stream_watermark_append", 100_000, ("1x", "10x", "100x")),
+        ("st_stream_stream_join", 100_000, ("1x", "10x", "100x")),
+        ("st_stream_neardup", 5_000, ("1x", "10x", "100x")),
+        ("st_stream_warc_ingest", 5_000, ("1x", "10x", "100x")),
+    ],
     # the 100x fact tier (lineitem 60M rows) for the headline join/agg
     # shapes — VERDICT r8 item 7: prove the plans hold where the
     # LLM-pipeline operators already did. Dimensions stay fixed, so the
@@ -249,10 +309,11 @@ def generate(spark) -> None:
 
 def run(spark, group: str) -> None:
     results = {}
+    tiers_map = STREAM_TIERS if group == "r11s" else TIERS
     for name, base_rows, tiers in GROUPS[group]:
         results[name] = {}
         for tier in tiers:
-            path, mult = TIERS[tier]
+            path, mult = tiers_map[tier]
             iters = 2 if tier != "100x" else 1
             # untimed builder call: one-time staging side effects
             # (bucketed saveAsTable, partitioned layouts) are write-once
@@ -275,9 +336,19 @@ def run(spark, group: str) -> None:
                 "sec": round(best, 3),
                 "rows_per_sec": int(rows / best),
             }
+            extra = ""
+            if group == "r11s":
+                from duckdb_server_spark.streaming import (
+                    last_stream_progress,
+                )
+
+                prog = last_stream_progress()
+                results[name][tier].update(prog)
+                extra = (f"  state_rows={prog.get('state_rows')} "
+                         f"batches={prog.get('batches')}")
             print(
                 f"RES {name:28s} {tier:>4s}: {best:8.3f}s "
-                f"({int(rows / best):>11,} rows/s)",
+                f"({int(rows / best):>11,} rows/s){extra}",
                 flush=True,
             )
     with open(f"/tmp/scaling_{group}.json", "w") as f:
@@ -293,6 +364,8 @@ def main() -> None:
     )
     if sys.argv[1] == "generate":
         generate(spark)
+    elif sys.argv[1] == "generate_stream":
+        generate_stream(spark)
     else:
         run(spark, sys.argv[2])
 
