@@ -76,6 +76,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # predates r3 — after this round the r7 goal holds: no declared query's
 # evidence predates r3), then the queries ADDED this round (never
 # checked), then the rows whose code or oracle changed this round.
+# Round 11 (VERDICT r10 item 8): steady-state rotation — oldest stamps
+# head the budget. The new r11 queries go first (never checked), then
+# the 42 remaining r3-stamped rows (the oldest evidence left; every
+# other row is r4+) cheapest-first, then rows whose code or serving
+# path changed this round (xz preset, printf casts, window-FILTER
+# semantics). 3 new + 42 stale + 5 changed fits the ~50/round budget,
+# so after this round no declared query's stamp predates r4.
+_PRIORITY_R11: tuple[str, ...] = (
+    # --- new in round 11 ---
+    "b35c_mp3_bigvalues",       # new: big-values Huffman decode (B.7)
+    "b85_crawl_e2e",            # new: composed crawl chain, one plan
+    "s37_dialect_bool_ctx",     # new: battery-37 parity statement
+    # --- the 42 r3-stamped rows, cheapest families first ---
+    "p01_projection_expr",
+    "p03_filter",
+    "p04_distinct",
+    "p05_in_list",
+    "p05_in_subquery",
+    "p06_between",
+    "p07_like",
+    "p07b_ilike",
+    "p08_glob",
+    "p09_regexp",
+    "p10_null_checks",
+    "p11_exists",
+    "p12_case_when",
+    "p13_cast",
+    "p14_exclude",
+    "p15_columns_regex",
+    "o01_multi_key_sort",
+    "o03_limit_offset",
+    "o06_with_ties",
+    "o07_collate_ci",
+    "o08_deterministic_sample",
+    "o08b_tablesample",
+    "u01_union",
+    "u01_union_all",
+    "u02_intersect",
+    "u02b_intersect_all",
+    "u03_except",
+    "u03b_except_all",
+    "w08_named_window",
+    "q1_cte",
+    "q4_scalar_subquery",
+    "q5_derived_table",
+    "q2_recursive_cte",
+    "q2_transitive_closure",
+    "q01_pricing_summary",
+    "t02_min_cost_supplier",
+    "t03_shipping_priority",
+    "t04_order_priority",
+    "t05_region_supplier_volume",
+    "t06_forecast_revenue",
+    "t07_volume_shipping",
+    "t08_market_share",
+    # --- code or serving path changed this round ---
+    "b76_multistream_corpus",   # xz preset-0 fixture writer
+    "s26_dialect_scalar_tails",  # printf positional casts
+    "s33_dialect_nested",       # context classifier shares the scanner
+    "w10_window_filter",        # window-FILTER distinct semantics
+    "b35b_mp3_l3_decode",       # shared granule decoder grew big-values
+)
+
 _PRIORITY_R10: tuple[str, ...] = (
     # --- the last 6 rows with pre-r3 driver stamps ---
     "b46_unigram_lm_score",
@@ -616,9 +679,9 @@ def load_all() -> None:
     for mod in _MODULE_ORDER:
         importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
 
-    head = list(_PRIORITY_R10)
-    for prior in (_PRIORITY_R9, _PRIORITY_R8, _PRIORITY_R7, _PRIORITY_R6,
-                  _PRIORITY_R5):
+    head = list(_PRIORITY_R11)
+    for prior in (_PRIORITY_R10, _PRIORITY_R9, _PRIORITY_R8, _PRIORITY_R7,
+                  _PRIORITY_R6, _PRIORITY_R5):
         head += [n for n in prior if n not in head]
     ordered = [n for n in head if n in QUERIES]
     ordered += [n for n in QUERIES if n not in head]

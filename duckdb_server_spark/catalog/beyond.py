@@ -4482,6 +4482,130 @@ def b35c_mp3_bigvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b34c_vorbis_floor_residue",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(range(1, 8), i ->
+               ascii(substr(text || repeat('x', 7), CAST(i AS INT), 1)))
+               AS c
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, c,
+             (c[6] % 16 >> 3) % 2 + (c[6] % 16 >> 2) % 2
+               + (c[6] % 16 >> 1) % 2 + c[6] % 2 AS n1
+      FROM chars
+    ),
+    res AS (
+      SELECT doc_id, c, n1,
+             list_transform(range(0, 8 * n1), k ->
+               ((c[7] + k) % 16 + 0) % 8 + ((c[7] + k) % 16 + 1) % 8
+               + ((c[7] + k) % 16 + 2) % 8 + ((c[7] + k) % 16 + 3) % 8
+               - 12) AS psums,
+             list_transform(range(0, 8 * n1), k ->
+               CASE WHEN ((c[7] + k) % 16 + 0) % 8 <> 3 THEN 1 ELSE 0 END
+               + CASE WHEN ((c[7] + k) % 16 + 1) % 8 <> 3 THEN 1 ELSE 0 END
+               + CASE WHEN ((c[7] + k) % 16 + 2) % 8 <> 3 THEN 1 ELSE 0 END
+               + CASE WHEN ((c[7] + k) % 16 + 3) % 8 <> 3 THEN 1 ELSE 0 END)
+               AS pnz
+      FROM parts
+    )
+    SELECT doc_id,
+           CAST(c[1] AS INT) AS y0,
+           CAST(c[2] AS INT) AS y1,
+           CAST(c[3] % 64 + c[4] % 64 + c[5] % 64 AS INT) AS posts_sum,
+           CAST(n1 AS INT) AS n_class1,
+           CAST(coalesce(list_sum(psums), 0) AS INT) AS residue_sum,
+           CAST(coalesce(list_sum(pnz), 0) AS INT) AS residue_nonzero,
+           CAST(8000 AS INT) AS sr
+    FROM res
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b34c_vorbis_floor_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vorbis I floor1 + residue-type-2 ENTROPY-LAYER decode (round 11,
+    VERDICT r10 item 6; operators/vorbis.py): each document's first 7
+    characters become a mono Ogg-Vorbis stream — y0/y1 floor posts from
+    chars 1-2, three per-partition posts (codebook entries, chars 3-5
+    mod 64), a residue classword (char 6 mod 16, whose 4 bits pick
+    which of the 4 partitions carry pass-0 VQ data), and the VQ entry
+    stream ((char7 + k) mod 16) — written by the independent fixture
+    writer with real codebook headers (the spec's canonical codeword
+    assignment, pinned by the §3.2.1 worked example), demuxed from Ogg
+    pages, and decoded back through the LSB-first bit layer, Huffman
+    codebooks, §7.2.3 floor post decode, and §8.6 residue classword/
+    cascade/VQ accumulation. The oracle replays posts and residue sums
+    from the character DEFINITION. The float curve (inverse-dB table) +
+    IMDCT stay the declared plug point — decode stops at the exact
+    integer layer, the MP3-subbands pattern. Scale shape: per-payload
+    CPU in mapInPandas; nothing crosses the driver."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _decode(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.vorbis import (
+            Codebook,
+            Floor1,
+            Residue2,
+            decode_ogg_vorbis,
+            encode_ogg_vorbis,
+            encode_vorbis_audio,
+        )
+
+        book_a = Codebook(1, 64, [6] * 64)
+        book_b = Codebook(
+            4, 16, [4] * 16, lookup_type=2, minimum=-3.0, delta=1.0,
+            multiplicands=[(e + j) % 8 for e in range(16)
+                           for j in range(4)],
+        )
+        book_c = Codebook(4, 16, [4] * 16)
+        books = [book_a, book_b, book_c]
+        floor = Floor1([0], [3], [0], multiplier=1, rangebits=6,
+                       x_list=[0, 64, 8, 16, 32])
+        residue = Residue2(0, 128, 32, 2, 2, cascades=[0, 1],
+                           books=[[-1] * 8, [1] + [-1] * 7])
+
+        cols = ("doc_id", "y0", "y1", "posts_sum", "n_class1",
+                "residue_sum", "residue_nonzero", "sr")
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                cs = (((text_ or "") + "x" * 7)[:7]).encode("latin-1")
+                posts = [cs[0], cs[1], cs[2] % 64, cs[3] % 64,
+                         cs[4] % 64]
+                cw = cs[5] % 16
+                n1 = bin(cw).count("1")
+                rentries = [(cs[6] + k) % 16 for k in range(8 * n1)]
+                pkt = encode_vorbis_audio(posts, rentries, [cw], floor,
+                                          residue, books)
+                out = decode_ogg_vorbis(
+                    encode_ogg_vorbis([pkt], books, floor, residue)
+                )
+                fr = out["frames"][0]
+                vec = fr["residue"]
+                rows["doc_id"].append(doc_id)
+                rows["y0"].append(fr["posts"][0])
+                rows["y1"].append(fr["posts"][1])
+                rows["posts_sum"].append(sum(fr["posts"][2:]))
+                rows["n_class1"].append(n1)
+                rows["residue_sum"].append(int(sum(vec)))
+                rows["residue_nonzero"].append(
+                    sum(1 for v in vec if v != 0.0)
+                )
+                rows["sr"].append(out["sample_rate"])
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _decode,
+        "doc_id long, y0 int, y1 int, posts_sum int, n_class1 int, "
+        "residue_sum int, residue_nonzero int, sr int",
+    )
+    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
     "b75_warc_extract",
     oracle="""
     SELECT doc_id,

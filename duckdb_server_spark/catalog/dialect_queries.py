@@ -750,3 +750,37 @@ def s32_dialect_hash_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     values ride as VARCHAR in the SHARED text so DuckDB's UBIGINT and
     the engine's DECIMAL(20,0) compare repr-identically."""
     return _sql(spark, sf_dir, _S32_SQL, ("orders",))
+
+
+_S37_SQL = """
+SELECT o_orderkey,
+       CASE WHEN [o_orderkey % 5, NULL] = [3, NULL] THEN 'hit'
+            ELSE 'miss' END AS ctx_eq,
+       CASE WHEN [o_orderkey % 5, NULL] < [3, 2] THEN 'lt'
+            ELSE 'ge' END AS ctx_lt,
+       CAST([o_orderkey % 5, NULL] = [3, NULL] AS VARCHAR) AS val_eq,
+       o_orderkey % 16 >> 2 AS shr,
+       1 << o_orderkey % 4 AS shl,
+       o_orderkey % 8 + 1 >> 1 AS shr_prec,
+       [10, 20, 30, 40] [(o_orderkey % 4) + 1] AS spaced_sub,
+       count(*) FILTER (WHERE [o_orderkey % 2, NULL] = [0, NULL])
+         OVER () AS val_filter
+FROM orders
+WHERE o_orderkey <= 400
+  AND ([o_orderkey % 7, NULL] = [2, NULL] OR o_orderkey % 3 = 0)
+ORDER BY o_orderkey ASC NULLS LAST
+"""
+
+
+@query("s37_dialect_bool_ctx", oracle=_S37_SQL)
+def s37_dialect_bool_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 37 as one verbatim shared statement: DuckDB's
+    CONTEXT-SENSITIVE nested comparisons — the WHERE predicate and the
+    CASE conditions use IS-DISTINCT-FROM total order (a NULL element
+    equals a NULL element and sorts last: rows with o%7=2 must SURVIVE
+    the filter), while the same comparison in SELECT position and in an
+    aggregate FILTER keeps three-valued NULL propagation (val_eq is
+    NULL, val_filter counts zero) — plus the << / >> bit shifts at
+    DuckDB's precedence (lower than +/%, so o%8+1>>1 parenthesizes the
+    sum) and a whitespace-separated subscript on a list literal."""
+    return _sql(spark, sf_dir, _S37_SQL, ("orders",))

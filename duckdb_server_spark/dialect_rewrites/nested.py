@@ -343,7 +343,7 @@ _CMP_RIGHT_BOOL = {
     "AND", "OR", "THEN", "ORDER", "GROUP", "LIMIT", "OFFSET", "QUALIFY",
     "WINDOW", "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT",
     "RIGHT", "FULL", "CROSS", "WHERE", "USING", "ELSE", "END", "WHEN",
-    "HAVING",
+    "HAVING", "OVER",
 }
 
 # identifiers allowed inside a CONSTANT nested literal (const-folded
@@ -442,7 +442,12 @@ def _cmp_bool_context(s: str, lstart: int, rend: int) -> bool:
         if ptok == "(":
             p2, _ = _tok_before(s, pat)
             if p2 == "FILTER":
-                return False  # FILTER (WHERE cmp) is value-semantics
+                # aggregate FILTER (WHERE cmp) is value-semantics, but a
+                # WINDOW filter — FILTER (...) OVER — compiles through
+                # the filter path and keeps distinct semantics (probed)
+                close = _matching_paren(s, pat)
+                if close < 0 or _tok_after(s, close + 1) != "OVER":
+                    return False
     # right side: any run of closing parens, then a clause keyword,
     # statement end, or nothing
     j = rend

@@ -304,8 +304,10 @@ def decode_ogg_audio(payload: bytes) -> dict:
     if first[:5] == b"\x7fFLAC":
         return decode_ogg_flac(st["packets"])
     if first[:7] == b"\x01vorbis":
-        raise NotImplementedError(
-            "Ogg: Vorbis audio is entropy-coded (MDCT + codebooks) — "
-            "a plug point like MP3/Opus; headers parse via probe_ogg"
-        )
+        # round 11: the floor1 + residue-2 entropy layer decodes for
+        # real (operators/vorbis.py); PCM (inverse-dB table + IMDCT)
+        # stays the declared plug point inside that module
+        from duckdb_server_spark.operators.vorbis import decode_ogg_vorbis
+
+        return decode_ogg_vorbis(payload)
     raise NotImplementedError("Ogg: unknown codec mapping")

@@ -266,3 +266,20 @@ def test_spaced_bracket_after_keyword_stays_literal(sql37, duck):
     _match(sql37, duck, "SELECT [1, 2] AS v")
     _match(sql37, duck,
            "SELECT CASE WHEN i = 1 THEN [1] ELSE [2] END AS v FROM b37t")
+
+
+def test_window_filter_distinct_semantics(sql37, duck):
+    # probed: aggregate FILTER keeps value semantics (counts 0 on a
+    # NULL-pair match) while a WINDOW FILTER compiles through the
+    # filter path and uses distinct semantics — with the literal-only
+    # const-fold exception applying to both
+    _match(
+        sql37, duck,
+        "SELECT i, count(*) FILTER (WHERE a = [1, NULL]) OVER ()"
+        " AS n FROM b37t",
+    )
+    _match(
+        sql37, duck,
+        "SELECT i, count(*) FILTER (WHERE [1, CAST(NULL AS BIGINT)] ="
+        " [1, CAST(NULL AS BIGINT)]) OVER () AS n FROM b37t",
+    )
