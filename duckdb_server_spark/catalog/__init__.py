@@ -88,6 +88,8 @@ _PRIORITY_R11: tuple[str, ...] = (
     "b35c_mp3_bigvalues",       # new: big-values Huffman decode (B.7)
     "b85_crawl_e2e",            # new: composed crawl chain, one plan
     "s37_dialect_bool_ctx",     # new: battery-37 parity statement
+    "b34c_vorbis_floor_residue",  # new: Vorbis entropy-layer decode
+    "s38_dialect_interval_mix",  # new: battery-38 parity statement
     # --- the 42 r3-stamped rows, cheapest families first ---
     "p01_projection_expr",
     "p03_filter",

@@ -784,3 +784,30 @@ def s37_dialect_bool_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's precedence (lower than +/%, so o%8+1>>1 parenthesizes the
     sum) and a whitespace-separated subscript on a list literal."""
     return _sql(spark, sf_dir, _S37_SQL, ("orders",))
+
+
+_S38_SQL = """
+SELECT o_orderkey,
+       o_orderdate + (INTERVAL 1 MONTH + INTERVAL 10 DAY) AS shifted,
+       o_orderdate - (INTERVAL 2 MONTH - INTERVAL 90 MINUTE) AS back,
+       CAST(INTERVAL 1 MONTH + INTERVAL 35 DAY AS VARCHAR) AS mixed,
+       CAST(INTERVAL 2 MONTH - INTERVAL 1 DAY + INTERVAL 90 MINUTE
+            AS VARCHAR) AS mixed3,
+       EXTRACT(epoch FROM INTERVAL 14 MONTH + INTERVAL 1 DAY) AS ep,
+       epoch(INTERVAL 90 MINUTE) AS ep2
+FROM orders
+WHERE o_orderkey <= 256
+ORDER BY o_orderkey ASC NULLS LAST
+"""
+
+
+@query("s38_dialect_interval_mix", oracle=_S38_SQL)
+def s38_dialect_interval_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 38 as one verbatim shared statement: DuckDB's unified
+    (months, days, micros) INTERVAL applied where Spark splits the type
+    in two — a mixed literal chain added to and subtracted from a date
+    column (typed TIMESTAMP, months-then-days-then-micros application),
+    the chain rendered to VARCHAR in DuckDB's component order with the
+    sign on the right block, and interval epoch extraction (years at
+    31557600 s, remaining months at 2592000 s, trunc toward zero)."""
+    return _sql(spark, sf_dir, _S38_SQL, ("orders",))

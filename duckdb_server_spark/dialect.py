@@ -304,6 +304,8 @@ from duckdb_server_spark.dialect_rewrites.nested import (  # noqa: F401
     _list_cmp_sql,
     _named_struct_fields,
     _nested_shape,
+    _rewrite_interval_chain_arith,
+    _rewrite_interval_epoch,
     _rewrite_interval_varchar,
     _rewrite_libm,
     _rewrite_list_set_ops,
@@ -454,6 +456,8 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_positional_join(masked, spark)
     masked = _rewrite_list_set_ops(masked)
     masked = _rewrite_dot_calls(masked)
+    masked = _rewrite_interval_chain_arith(masked, table)
+    masked = _rewrite_interval_epoch(masked, table)
     masked = _rewrite_templates(masked, table)
     masked = _rewrite_similar_to(masked, table)
     masked = _rewrite_collate(masked, table)

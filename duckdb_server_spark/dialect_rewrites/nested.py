@@ -265,37 +265,222 @@ _IVL_CAST_RE = re.compile(
 def _duck_interval_str(months: int, days: int, micros: int) -> str:
     parts = []
     if months:
-        y, mo = divmod(months, 12)
-        if y:
-            parts.append(f"{y} year" + ("s" if y != 1 else ""))
+        q = abs(months) // 12 * (1 if months > 0 else -1)
+        mo = months - q * 12
+        if q:
+            parts.append(f"{q} year" + ("s" if abs(q) != 1 else ""))
         if mo:
-            parts.append(f"{mo} month" + ("s" if mo != 1 else ""))
+            parts.append(f"{mo} month" + ("s" if abs(mo) != 1 else ""))
     if days:
-        parts.append(f"{days} day" + ("s" if days != 1 else ""))
+        parts.append(f"{days} day" + ("s" if abs(days) != 1 else ""))
     if micros or not parts:
-        h, rem = divmod(micros, 3_600_000_000)
+        sign = "-" if micros < 0 else ""
+        h, rem = divmod(abs(micros), 3_600_000_000)
         m, rem = divmod(rem, 60_000_000)
         sec, us = divmod(rem, 1_000_000)
-        t = f"{h:02d}:{m:02d}:{sec:02d}"
+        t = f"{sign}{h:02d}:{m:02d}:{sec:02d}"
         if us:
             t += ("." + f"{us:06d}").rstrip("0")
         parts.append(t)
     return " ".join(parts)
 
 
+# battery 38: a ± chain of interval LITERALS folds to the canonical
+# (months, days, micros) triple — DuckDB's unified interval value,
+# which Spark splits across two incompatible runtime types
+_IVL_TERM_RE = re.compile(
+    r"INTERVAL\s+(?:'(-?\d+)'|(-?\d+)|\x00(\d+)\x00)\s+([A-Za-z]+)",
+    re.IGNORECASE,
+)
+
+
+def _parse_ivl_chain(text: str, table: list[str] | None = None):
+    """(months, days, micros, n_terms) for an ``INTERVAL n U
+    [± INTERVAL n U]*`` literal chain (quoted counts arrive masked);
+    None if the text is anything else."""
+    t = text.strip()
+    pos = 0
+    sign = 1
+    months = days = micros = 0
+    n_terms = 0
+    while True:
+        m = _IVL_TERM_RE.match(t, pos)
+        if not m:
+            return None
+        f = _IVL_UNIT.get(m.group(4).lower())
+        if f is None:
+            return None
+        if m.group(3) is not None:
+            if table is None:
+                return None
+            entry = table[int(m.group(3))]
+            if not re.fullmatch(r"'-?\d+'", entry):
+                return None
+            n = int(entry[1:-1])
+        else:
+            n = int(m.group(1) or m.group(2))
+        months += sign * n * f[0]
+        days += sign * n * f[1]
+        micros += sign * n * f[2]
+        n_terms += 1
+        pos = m.end()
+        while pos < len(t) and t[pos] in " \t\n":
+            pos += 1
+        if pos >= len(t):
+            return (months, days, micros, n_terms)
+        if t[pos] == "+":
+            sign = 1
+        elif t[pos] == "-":
+            sign = -1
+        else:
+            return None
+        pos += 1
+        while pos < len(t) and t[pos] in " \t\n":
+            pos += 1
+
+
+def _ivl_chain_terms(months: int, days: int, micros: int) -> str:
+    """Re-emit a folded triple as a Spark-applicable ± chain (each term
+    single-class; zero terms dropped; all-zero → 0 seconds)."""
+    terms = []
+    if months:
+        terms.append(f"INTERVAL '{months}' MONTH")
+    if days:
+        terms.append(f"INTERVAL '{days}' DAY")
+    if micros:
+        terms.append(f"INTERVAL '{micros}' MICROSECOND")
+    if not terms:
+        return "INTERVAL '0' SECOND"
+    return " + ".join(terms)
+
 
 def _rewrite_interval_varchar(s: str, table: list[str]) -> str:
-    def fold(m: re.Match) -> str:
-        unit = m.group(2).lower()
-        if unit not in _IVL_UNIT:
-            return m.group(0)
-        f = _IVL_UNIT[unit]
-        n = int(m.group(1))
-        return _masked_literal(
-            table, _duck_interval_str(n * f[0], n * f[1], n * f[2])
+    """``CAST(<interval literal chain> AS VARCHAR)`` → DuckDB's
+    rendered string (probed: components print months-days-time in that
+    order regardless of chain order; '-1 day' singular;
+    '1 month -01:30:00' sign on the time block; all-zero →
+    '00:00:00')."""
+    out = []
+    pos = 0
+    for m in re.finditer(r"(?i)\bCAST\s*\(", s):
+        if m.start() < pos:
+            continue
+        close = _matching_paren(s, m.end() - 1)
+        if close < 0:
+            continue
+        inner = s[m.end() : close]
+        am = re.search(r"(?i)\s+AS\s+(VARCHAR|STRING)\s*$", inner)
+        if not am:
+            continue
+        chain = _parse_ivl_chain(inner[: am.start()], table)
+        if chain is None:
+            continue
+        months, days, micros, _ = chain
+        out.append(s[pos : m.start()])
+        out.append(
+            _masked_literal(
+                table, _duck_interval_str(months, days, micros)
+            )
         )
+        pos = close + 1
+    out.append(s[pos:])
+    return "".join(out)
 
-    return _IVL_CAST_RE.sub(fold, s)
+
+_EPOCH_IVL_RE = re.compile(
+    r"(?i)\b(?:EXTRACT\s*\(\s*epoch\s+FROM|epoch\s*\()\s*"
+)
+
+
+def _rewrite_interval_epoch(s: str, table: list[str]) -> str:
+    """``EXTRACT(epoch FROM <interval chain>)`` / ``epoch(<chain>)`` →
+    the folded DOUBLE (probed: whole years at 31557600 s, remaining
+    months at 2592000 s — trunc toward zero — days at 86400, plus
+    micros/1e6)."""
+    out = []
+    pos = 0
+    for m in _EPOCH_IVL_RE.finditer(s):
+        if m.start() < pos:
+            continue
+        open_idx = s.rindex("(", m.start(), m.end())
+        close = _matching_paren(s, open_idx)
+        if close < 0:
+            continue
+        inner = s[m.end() : close]
+        chain = _parse_ivl_chain(inner, table)
+        if chain is None:
+            continue
+        months, days, micros, _ = chain
+        years = int(months / 12)
+        rem_months = months - years * 12
+        epoch = (
+            years * 31_557_600
+            + rem_months * 2_592_000
+            + days * 86_400
+            + micros / 1e6
+        )
+        out.append(s[pos : m.start()])
+        out.append(f"CAST({epoch!r} AS DOUBLE)")
+        pos = close + 1
+    out.append(s[pos:])
+    return "".join(out)
+
+
+def _rewrite_interval_chain_arith(s: str, table: list[str]) -> str:
+    """``expr ± (INTERVAL a U ± INTERVAL b V …)`` — a parenthesized
+    MIXED-class interval chain applied to a date/timestamp — unrolls to
+    sequential single-class terms (DuckDB applies the folded triple
+    months-then-days-then-micros, which equals the left-to-right chain
+    Spark can type-check). A bare mixed chain in value position has no
+    Spark runtime representation and fails closed."""
+    out = []
+    pos = 0
+    for m in re.finditer(r"[+-]\s*\(", s):
+        if m.start() < pos:
+            continue
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        if close < 0:
+            continue
+        chain = _parse_ivl_chain(s[open_idx + 1 : close], table)
+        if chain is None or chain[3] < 2:
+            continue
+        months, days, micros, _ = chain
+        op = s[m.start()]
+        if op == "-":
+            months, days, micros = -months, -days, -micros
+        # the base: DuckDB types date ± interval as TIMESTAMP, so the
+        # unrolled chain rides on a CAST base (timestamp-to-timestamp
+        # is a no-op); a base that is ITSELF an interval chain merges
+        # into one fold instead
+        j = m.start() - 1
+        while j >= 0 and s[j] in " \t\n":
+            j -= 1
+        lstart = _primary_back(s, j + 1)
+        # typed-literal prefix: DATE '...' / TIMESTAMP '...' is one
+        # primary but _primary_back stops at the masked literal
+        wm = re.search(r"([A-Za-z_][\w$]*)\s*\Z", s[:lstart])
+        if wm and wm.group(1).upper() in ("DATE", "TIMESTAMP", "TIME"):
+            lstart = wm.start(1)
+        base = s[lstart : j + 1].strip()
+        bchain = _parse_ivl_chain(base, table) if base else None
+        out.append(s[pos:lstart])
+        if bchain is not None:
+            months += bchain[0]
+            days += bchain[1]
+            micros += bchain[2]
+            out.append(_ivl_chain_terms(months, days, micros))
+        elif base:
+            out.append(
+                f"CAST({base} AS TIMESTAMP) + "
+                + _ivl_chain_terms(months, days, micros)
+            )
+        else:
+            out.append(s[lstart : m.start()])
+            out.append("+ " + _ivl_chain_terms(months, days, micros))
+        pos = close + 1
+    out.append(s[pos:])
+    return "".join(out)
 
 
 

@@ -1,0 +1,142 @@
+"""Dialect probe battery 38 — INTERVAL arithmetic corners, probed
+against live DuckDB 1.0 (VERDICT r10 item 5's remaining surface;
+correlated-subquery decorrelation and grouping-sets NULL handling were
+probed too and found already-green — their pins are below).
+
+Found and fixed this round: DuckDB's INTERVAL is ONE unified
+(months, days, micros) value; Spark splits it across two incompatible
+runtime types (YearMonthInterval / DayTimeInterval), so every MIXED
+month/day-time expression was a hard error. The rewrite folds literal
+interval ± chains into the canonical triple and lowers each consumer:
+
+* ``CAST(<chain> AS VARCHAR)`` → DuckDB's rendering (probed: components
+  print months-days-time in that order regardless of chain order;
+  '-1 day' singular; '1 month -01:30:00' puts the sign on the time
+  block; all-zero → '00:00:00');
+* ``EXTRACT(epoch FROM <chain>)`` / ``epoch(<chain>)`` → the folded
+  DOUBLE (probed: whole years at 31557600 s, remaining months at
+  2592000 s — trunc toward zero — days at 86400);
+* ``expr ± (<mixed chain>)`` → CAST(expr AS TIMESTAMP) plus sequential
+  single-class terms (probed: DuckDB types date ± interval as
+  TIMESTAMP and applies the triple months-then-days-then-micros).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_server_spark.dialect import (
+    execute_statement,
+    register_dialect_functions,
+    run_sql,
+    serving_dialect,
+)
+
+
+@pytest.fixture(scope="module")
+def sql38(spark, duck):
+    register_dialect_functions(spark)
+    st = (
+        "CREATE TABLE b38t AS SELECT r.range AS i,"
+        " DATE '2024-01-31' + INTERVAL (r.range) DAY AS d,"
+        " 'g' || CAST(r.range % 3 AS VARCHAR) AS g,"
+        " r.range % 5 AS v FROM range(8) r"
+    )
+    duck.execute(st)
+    execute_statement(spark, st)
+    return spark
+
+
+def _match(spark, duck, sql: str):
+    theirs = duck.execute(sql).fetchall()
+    with serving_dialect(True):
+        ours = [tuple(r) for r in run_sql(spark, sql).collect()]
+    a = sorted([str(x) for x in r] for r in ours)
+    b = sorted([str(x) for x in r] for r in theirs)
+    assert a == b, f"{sql!r}: {ours[:4]} != {theirs[:4]}"
+
+
+# --- mixed-interval rendering ---------------------------------------------------
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT CAST(INTERVAL 1 MONTH + INTERVAL 35 DAY AS VARCHAR) AS v",
+    "SELECT CAST(INTERVAL 1 MONTH - INTERVAL 40 DAY AS VARCHAR) AS v",
+    "SELECT CAST(INTERVAL 2 MONTH - INTERVAL 1 DAY + INTERVAL 90 MINUTE"
+    " AS VARCHAR) AS v",
+    "SELECT CAST(INTERVAL '-1' DAY + INTERVAL 1 MONTH AS VARCHAR) AS v",
+    "SELECT CAST(INTERVAL 0 DAY + INTERVAL 0 MONTH AS VARCHAR) AS v",
+    "SELECT CAST(INTERVAL 1 MONTH - INTERVAL 90 MINUTE AS VARCHAR)"
+    " AS v",
+    "SELECT CAST(INTERVAL 26 MONTH AS VARCHAR) AS v",
+    "SELECT CAST(INTERVAL 90 MINUTE AS VARCHAR) AS v",
+])
+def test_interval_chain_varchar(sql38, duck, sql):
+    _match(sql38, duck, sql)
+
+
+# --- epoch of intervals ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT EXTRACT(epoch FROM INTERVAL 90 MINUTE) AS v",
+    "SELECT EXTRACT(epoch FROM INTERVAL 1 MONTH + INTERVAL 1 DAY) AS v",
+    "SELECT EXTRACT(epoch FROM INTERVAL 14 MONTH) AS v",
+    "SELECT EXTRACT(epoch FROM INTERVAL '-14' MONTH) AS v",
+    "SELECT epoch(INTERVAL 90 MINUTE) AS v",
+    "SELECT epoch(INTERVAL 1 YEAR) AS v",
+])
+def test_interval_epoch(sql38, duck, sql):
+    _match(sql38, duck, sql)
+
+
+# --- mixed chains applied to dates/timestamps ----------------------------------
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT DATE '2024-01-31' + (INTERVAL 1 MONTH + INTERVAL 35 DAY)"
+    " AS v",
+    "SELECT DATE '2024-03-31' - (INTERVAL 1 MONTH + INTERVAL 2 DAY)"
+    " AS v",
+    "SELECT TIMESTAMP '2024-01-31 00:00:00' - (INTERVAL 1 MONTH -"
+    " INTERVAL 90 MINUTE) AS v",
+    "SELECT DATE '2024-01-31' + INTERVAL 1 MONTH AS v",
+    "SELECT TIMESTAMP '2024-01-31 01:02:03' + INTERVAL 1 MONTH +"
+    " INTERVAL 90 MINUTE AS v",
+])
+def test_interval_chain_on_temporal(sql38, duck, sql):
+    _match(sql38, duck, sql)
+
+
+def test_interval_chain_on_column(sql38, duck):
+    _match(
+        sql38, duck,
+        "SELECT i, d + (INTERVAL 1 MONTH + INTERVAL 1 DAY) AS m"
+        " FROM b38t ORDER BY i",
+    )
+
+
+# --- pins: surfaces probed and found already-green -----------------------------
+
+
+@pytest.mark.parametrize("sql", [
+    # grouping sets NULL-vs-absent + GROUPING()
+    "SELECT g, v % 2 AS p, count(*) AS n FROM b38t GROUP BY GROUPING"
+    " SETS ((g), (v % 2), ()) ORDER BY 1 NULLS LAST, 2 NULLS LAST, 3",
+    "SELECT g, GROUPING(g) AS gg, count(*) AS n FROM b38t GROUP BY"
+    " ROLLUP (g) ORDER BY 1 NULLS LAST, 2",
+    "SELECT g, v, count(*) AS n FROM b38t GROUP BY CUBE (g, v)"
+    " ORDER BY 1 NULLS LAST, 2 NULLS LAST, 3",
+    # correlated subqueries (the COUNT-bug class: zero-match groups
+    # must read 0, not NULL/absent)
+    "SELECT i, (SELECT count(*) FROM b38t x WHERE x.v = b38t.v AND"
+    " x.i < b38t.i) AS c FROM b38t ORDER BY i",
+    "SELECT g, (SELECT count(*) FROM b38t x WHERE x.g = y.g AND"
+    " x.v > 99) AS c FROM (SELECT DISTINCT g FROM b38t) y ORDER BY g",
+    "SELECT i FROM b38t WHERE v > (SELECT avg(v) FROM b38t x WHERE"
+    " x.g = b38t.g) ORDER BY i",
+    "SELECT i, EXISTS (SELECT 1 FROM b38t x WHERE x.i = b38t.i + 1)"
+    " AS e FROM b38t ORDER BY i",
+])
+def test_already_green_surfaces_pinned(sql38, duck, sql):
+    _match(sql38, duck, sql)
