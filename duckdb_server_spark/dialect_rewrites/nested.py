@@ -528,7 +528,7 @@ _CMP_RIGHT_BOOL = {
     "AND", "OR", "THEN", "ORDER", "GROUP", "LIMIT", "OFFSET", "QUALIFY",
     "WINDOW", "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT",
     "RIGHT", "FULL", "CROSS", "WHERE", "USING", "ELSE", "END", "WHEN",
-    "HAVING", "OVER",
+    "HAVING", "OVER", "AS",
 }
 
 # identifiers allowed inside a CONSTANT nested literal (const-folded
@@ -618,6 +618,15 @@ def _cmp_bool_context(s: str, lstart: int, rend: int) -> bool:
             if ptok in _CMP_LEFT_BOOL:
                 tok, at = ptok, pat  # keyword '(' = grouping paren
                 break
+            if ptok == "CAST":
+                # DuckDB propagates boolean context through
+                # CAST(cmp AS BOOLEAN) in a filter (probed); other cast
+                # targets are value context
+                close = _matching_paren(s, at)
+                inner = s[at + 1 : close].strip() if close > 0 else ""
+                if re.search(r"(?i)\bAS\s+BOOLEAN$", inner):
+                    tok, at = _tok_before(s, pat)
+                    continue
             return False  # function call argument (or SELECT list etc.)
         tok, at = ptok, pat  # another '(' — keep walking out
     if tok not in _CMP_LEFT_BOOL:

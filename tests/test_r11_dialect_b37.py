@@ -27,9 +27,9 @@ DML WHERE predicates reach the rewrite through the internal
 ``__dd_boolctx(...)`` marker since the UPDATE/DELETE handlers embed
 them in coalesce/CAST NULL plumbing before the pipeline runs.
 
-Documented residuals (value-classified, DuckDB propagates boolean
-context): ``CAST(cmp AS BOOLEAN)`` directly in a filter, and a boolean
-chain nested inside a function argument.
+``CAST(cmp AS BOOLEAN)`` in a filter propagates boolean context
+(probed; other cast targets stay value context). Documented residual
+(value-classified): a boolean chain nested inside a function argument.
 """
 
 from __future__ import annotations
@@ -282,4 +282,20 @@ def test_window_filter_distinct_semantics(sql37, duck):
         sql37, duck,
         "SELECT i, count(*) FILTER (WHERE [1, CAST(NULL AS BIGINT)] ="
         " [1, CAST(NULL AS BIGINT)]) OVER () AS n FROM b37t",
+    )
+
+
+def test_cast_boolean_propagates_filter_context(sql37, duck):
+    _match(
+        sql37, duck,
+        "SELECT i FROM b37t WHERE CAST(a = [1, NULL] AS BOOLEAN)",
+    )
+    _match(
+        sql37, duck,
+        "SELECT i FROM b37t WHERE CAST((a = [1, NULL]) AS BOOLEAN)",
+    )
+    # a non-boolean cast target keeps value semantics
+    _match(
+        sql37, duck,
+        "SELECT i, CAST(a = [1, NULL] AS VARCHAR) AS v FROM b37t",
     )

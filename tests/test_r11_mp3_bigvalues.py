@@ -213,3 +213,35 @@ def test_bigvalues_fixture_bytes_pinned():
         count1table=0,
     )
     assert hashlib.sha256(blob).hexdigest() == PINNED_BIGVALUES_SHA256
+
+
+@pytest.mark.parametrize("sr_idx,rate", [(1, 48000), (2, 32000)])
+def test_other_sample_rates_use_their_band_edges(sr_idx, rate):
+    # region_counts (0,0): region 0 ends at edges[1] = 4 lines at every
+    # rate, but region 1 ends at edges[2]=8 and region 2 begins there —
+    # give regions different tables so a wrong edge table mis-decodes
+    from duckdb_server_spark.operators.mp3_l3 import SFB_LONG
+
+    pairs = [(1, 0, 0, 0), (0, 1, 0, 1), (3, 3, 1, 1), (2, 1, 0, 0),
+             (0, 2, 0, 1), (1, 2, 1, 0)]
+    blob = write_l3_fixture(
+        [[], []], granule_pairs=[pairs, []],
+        table_select=(1, 5, 3), region_counts=(0, 0), sr_idx=sr_idx,
+    )
+    fr = decode_l3_spectral(blob)[0]
+    assert fr["sample_rate"] == rate
+    assert fr["granules"][0]["is"][:12] == _expected(pairs, [])
+    assert SFB_LONG[rate][2] == 8
+
+
+def test_requantize_band_edges_per_rate():
+    # line 88 sits in band 13 at 48 kHz (edges 88-106) but band 12 at
+    # 44.1 kHz (74-90) and 32 kHz (84-102): a rate-blind band map gives
+    # the wrong scalefactor gain
+    from duckdb_server_spark.operators.mp3_l3 import _band_of, SFB_LONG
+
+    assert _band_of(88, SFB_LONG[48000]) == 13
+    assert _band_of(88, SFB_LONG[44100]) == 12
+    assert _band_of(88, SFB_LONG[32000]) == 12
+    assert _band_of(575, SFB_LONG[44100]) == 21
+    assert _band_of(0, SFB_LONG[48000]) == 0

@@ -255,6 +255,15 @@ GROUPS = {
             "t22_global_sales_opportunity",
         )
     ],
+    # round-11 operator band: the Vorbis/MP3 entropy decoders and the
+    # composed crawl chain — per-payload scan kernels plus b85's single
+    # fingerprint hash-agg; expected linear with accelerating
+    # throughput
+    "r11": [
+        ("b34c_vorbis_floor_residue", 5_000, ("1x", "10x", "100x")),
+        ("b35c_mp3_bigvalues", 5_000, ("1x", "10x", "100x")),
+        ("b85_crawl_e2e", 5_000, ("1x", "10x", "100x")),
+    ],
     # round-11 streaming band (VERDICT r10 item 4): availableNow drains
     # over DURATION-EXTENDED events (STREAM_TIERS) — wall clock should
     # grow linearly with input while state_rows (captured from the last
