@@ -90,6 +90,7 @@ _PRIORITY_R11: tuple[str, ...] = (
     "s37_dialect_bool_ctx",     # new: battery-37 parity statement
     "b34c_vorbis_floor_residue",  # new: Vorbis entropy-layer decode
     "s38_dialect_interval_mix",  # new: battery-38 parity statement
+    "b35d_mp3_reservoir",       # new: bit-reservoir multi-frame decode
     # --- the 42 r3-stamped rows, cheapest families first ---
     "p01_projection_expr",
     "p03_filter",

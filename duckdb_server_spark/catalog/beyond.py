@@ -4482,6 +4482,101 @@ def b35c_mp3_bigvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b35d_mp3_reservoir",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(range(1, 9), i ->
+               ascii(substr(text || repeat('x', 8), CAST(i AS INT), 1)))
+               AS c
+      FROM documents
+    ),
+    quads AS (
+      SELECT doc_id,
+             list_transform(c, k ->
+               (k >> 3) % 2 + (k >> 2) % 2 + (k >> 1) % 2 + k % 2) AS nz,
+             list_transform(c, k ->
+               (1 - 2 * ((k >> 4) % 2)) *
+               ((k >> 3) % 2 + (k >> 2) % 2 + (k >> 1) % 2 + k % 2))
+               AS ssum
+      FROM chars
+    )
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_frames,
+           CAST(ssum[1] + ssum[2] + ssum[3] + ssum[4] AS INT) AS f1_sum,
+           CAST(nz[1] + nz[2] + nz[3] + nz[4] AS INT) AS f1_nz,
+           CAST(ssum[5] + ssum[6] + ssum[7] + ssum[8] AS INT) AS f2_sum,
+           CAST(nz[5] + nz[6] + nz[7] + nz[8] AS INT) AS f2_nz,
+           CAST(0 AS INT) AS mdb1,
+           CAST(83 - CAST(ceil((16 + nz[1] + nz[2] + nz[3] + nz[4])
+                               / 8.0) AS INT) AS INT) AS mdb2
+    FROM quads
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b35d_mp3_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 BIT-RESERVOIR decode (round 11; operators/mp3_l3.py): each
+    document becomes a TWO-FRAME stream whose second frame's main data
+    lives inside the first frame's physical slot — chars 1-4 code frame
+    1's granule (count1 table B quadruples), chars 5-8 frame 2's, and
+    the packer computes frame 2's main_data_begin as the back-offset
+    into the reservoir (83-byte slots at 32 kbps/44.1 kHz minus frame
+    1's ceil((16+signs)/8) logical bytes — replayed definitionally by
+    the oracle, so a one-byte bookkeeping error on either side breaks
+    the hash). The decoder's rolling 511-byte pool reassembles the
+    logical stream. This closes the r10 'self-contained frames only'
+    plug point: real-world MP3s use the reservoir pervasively.
+    Reference scope: blobs are opaque passthrough (main.go:199). Scale
+    shape: per-payload CPU in mapInPandas."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _decode(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.mp3_l3 import (
+            decode_l3_spectral,
+            write_l3_reservoir_stream,
+        )
+
+        cols = ("doc_id", "n_frames", "f1_sum", "f1_nz", "f2_sum",
+                "f2_nz", "mdb1", "mdb2")
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                cs = (((text_ or "") + "x" * 8)[:8]).encode("latin-1")
+                qs = [
+                    ((c >> 3) & 1, (c >> 2) & 1, (c >> 1) & 1, c & 1,
+                     (c >> 4) & 1)
+                    for c in cs
+                ]
+                blob = write_l3_reservoir_stream([
+                    {"granule_quads": [qs[:4], []]},
+                    {"granule_quads": [qs[4:], []]},
+                ])
+                f1, f2 = decode_l3_spectral(blob)
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(2)
+                rows["f1_sum"].append(sum(f1["granules"][0]["is"]))
+                rows["f1_nz"].append(
+                    sum(1 for v in f1["granules"][0]["is"] if v)
+                )
+                rows["f2_sum"].append(sum(f2["granules"][0]["is"]))
+                rows["f2_nz"].append(
+                    sum(1 for v in f2["granules"][0]["is"] if v)
+                )
+                rows["mdb1"].append(f1["main_data_begin"])
+                rows["mdb2"].append(f2["main_data_begin"])
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _decode,
+        "doc_id long, n_frames int, f1_sum int, f1_nz int, f2_sum int, "
+        "f2_nz int, mdb1 int, mdb2 int",
+    )
+    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
     "b34c_vorbis_floor_residue",
     oracle="""
     WITH chars AS (

@@ -28,11 +28,18 @@ writer and a definition-replay oracle — the ADPCM/FLAC/VP8 playbook):
   36-point long-block IMDCT with sin(π/36(i+½)) windowing +
   overlap-add (§2.4.3.6) down to SUBBAND SAMPLES.
 
+* the **bit reservoir** (round 11): a frame's main data may begin
+  main_data_begin bytes back inside previous frames' regions; the
+  decoder keeps the spec's 511-byte pool, and
+  :func:`write_l3_reservoir_stream` packs logical frame data densely
+  across physical slots with patched offsets — real-world MP3s use
+  the reservoir pervasively.
+
 Declared plug points (fail closed, never garbage samples):
 * B.7 tables 7-13/15 and the linbits ESC families 16-23/24-31 are not
   transcribed — streams selecting them raise naming the table;
-* the bit reservoir (main_data_begin > 0) — frames here are
-  self-contained;
+* a main_data_begin reaching past the buffered pool (truncated or
+  mid-stream start) raises instead of mis-decoding;
 * the final polyphase synthesis filterbank — its 512-coefficient
   window (Table B.3) is a value table unavailable here; decode stops
   at subband samples (PCM = synthesis(subbands) when a B.3 source
@@ -361,6 +368,10 @@ def decode_l3_spectral(payload: bytes) -> list[dict]:
     and ``is`` (576 ints)."""
     pos = skip_id3v2(payload)
     frames = []
+    # §2.4.2.7 bit reservoir (round 11): a frame's main data may begin
+    # main_data_begin BYTES back inside previous frames' main-data
+    # regions; the pool keeps the spec's 511-byte maximum lookback
+    pool = b""
     while pos < len(payload):
         h = parse_frame_header(payload, pos)
         if h["version"] != 3:
@@ -371,12 +382,19 @@ def decode_l3_spectral(payload: bytes) -> list[dict]:
         if (payload[pos + 1] & 0x01) == 0:  # protection bit 0 → CRC-16
             body = body[2:]
         si = _parse_side_info_mono(body[:17])
-        if si["main_data_begin"]:
-            raise NotImplementedError(
-                "MP3 L3 subset: bit reservoir (main_data_begin > 0) — "
-                "self-contained frames only"
+        md = body[17:]
+        if si["main_data_begin"] > len(pool):
+            raise ValueError(
+                "MP3: bit-reservoir underrun (main_data_begin reaches "
+                "past the buffered main data — truncated or mid-stream "
+                "start)"
             )
-        br = _BitReader(body[17:])
+        buf = (
+            pool[len(pool) - si["main_data_begin"] :] + md
+            if si["main_data_begin"]
+            else md
+        )
+        br = _BitReader(buf)
         granules = []
         prev_sf = None
         for gi, g in enumerate(si["granules"]):
@@ -388,6 +406,7 @@ def decode_l3_spectral(payload: bytes) -> list[dict]:
             granules.append({**g, "scalefacs": sf, "is": is_})
         frames.append({**h, "main_data_begin": si["main_data_begin"],
                        "granules": granules})
+        pool = (pool + md)[-511:]
         pos += h["length"]
     if not frames:
         raise ValueError("MP3: no frames")
@@ -609,3 +628,51 @@ def write_l3_fixture(
     assert len(side_bytes) == 17
     main_bytes = main.render(pad_to_bytes=frame_len - 4 - 17)
     return hdr + side_bytes + main_bytes
+
+
+def write_l3_reservoir_stream(
+    frame_specs: list[dict], br_idx: int = 1, sr_idx: int = 0, **kw
+) -> bytes:
+    """Multi-frame stream USING THE BIT RESERVOIR (round 11): each
+    spec is a kwargs dict for :func:`write_l3_fixture` (granule_quads,
+    granule_pairs, ...); frames render individually through the
+    verified single-frame writer, their logical main-data regions are
+    trimmed to their part2_3 byte length and re-packed densely across
+    the physical frame slots, and each side info's main_data_begin is
+    patched to the spec's back-offset. The decoder's reservoir pool
+    must reassemble the logical stream exactly — the round trip proves
+    the offset bookkeeping on both sides."""
+    rendered = []
+    for spec in frame_specs:
+        frame = write_l3_fixture(br_idx=br_idx, sr_idx=sr_idx,
+                                 **{**kw, **spec})
+        si = _parse_side_info_mono(frame[4:21])
+        bits = sum(g["part2_3_length"] for g in si["granules"])
+        d = frame[21 : 21 + (bits + 7) // 8]
+        rendered.append((frame[:4], frame[4:21], d))
+    cap = len(write_l3_fixture([[], []], br_idx=br_idx,
+                               sr_idx=sr_idx)) - 21
+    logical = b"".join(d for _, _, d in rendered)
+    if len(logical) > cap * len(rendered):
+        raise ValueError("fixture: main data exceeds stream capacity")
+    out = []
+    offset = 0
+    for i, (hdr, side, d) in enumerate(rendered):
+        mdb = i * cap - offset
+        if not 0 <= mdb <= 511:
+            raise ValueError(
+                f"fixture: main_data_begin {mdb} outside the 9-bit "
+                f"reservoir range"
+            )
+        if offset + len(d) > (i + 1) * cap:
+            raise ValueError(
+                "fixture: frame data not available by its own frame"
+            )
+        patched = bytearray(side)
+        patched[0] = (mdb >> 1) & 0xFF
+        patched[1] = (patched[1] & 0x7F) | ((mdb & 1) << 7)
+        slot = logical[i * cap : (i + 1) * cap]
+        slot += bytes(cap - len(slot))
+        out.append(hdr + bytes(patched) + slot)
+        offset += len(d)
+    return b"".join(out)

@@ -33,9 +33,11 @@ Declared plug points (fail closed, never garbage samples):
   float constants) is a value table unavailable in this container, and
   the IMDCT window follows it; decode stops at the integer layer
   (posts + residue vectors), exactly like MP3 stops at subbands;
-* floor0 (LSP), residue types 0/1 standalone, channel coupling,
-  long/short window switching, and codebook lookup type 1 — streams
-  using them raise naming the feature.
+* floor0 (LSP), residue types 0/1 standalone, channel coupling, and
+  long/short window switching — streams using them raise naming the
+  feature. (Codebook lookup type 1 — the implicit lattice — decodes
+  for real since round 11: lookup1_values is computable, not a value
+  table.)
 
 Transcription-confidence note (judge-facing): the bitpacking
 convention, ilog, float32 format, and the §3 worked example are
@@ -129,6 +131,14 @@ class _BitWriterLSB:
         return bytes(out)
 
 
+def lookup1_values(entries: int, dimensions: int) -> int:
+    """§9.2.3: the greatest integer v with v**dimensions <= entries."""
+    v = 0
+    while (v + 1) ** dimensions <= entries:
+        v += 1
+    return v
+
+
 def assign_codewords(lengths: list[int]) -> dict[int, tuple[int, int]]:
     """§3.2.1 codeword assignment: in entry order, each entry takes the
     numerically lowest MSB-aligned codeword of its length that keeps
@@ -182,11 +192,27 @@ class Codebook:
         raise ValueError("Vorbis: invalid codeword")
 
     def vq_vector(self, entry: int) -> list[float]:
-        """§3.3 lookup type 2: explicit entries×dims value table."""
+        """§3.3 VQ lookup: type 2 (explicit entries×dims table) or
+        type 1 (implicit lattice — round 11: the multiplicand index for
+        dimension j is digit j of the entry number in base
+        lookup1_values)."""
+        if self.lookup_type == 1:
+            lv = lookup1_values(self.entries, self.dimensions)
+            out = []
+            last = 0.0
+            div = 1
+            for _ in range(self.dimensions):
+                m = self.multiplicands[(entry // div) % lv]
+                v = m * self.delta + self.minimum + last
+                if self.sequence_p:
+                    last = v
+                out.append(v)
+                div *= lv
+            return out
         if self.lookup_type != 2:
             raise NotImplementedError(
                 f"Vorbis subset: codebook lookup type {self.lookup_type}"
-                " VQ (only type 2 is implemented)"
+                " VQ (types 1/2 are implemented)"
             )
         out = []
         last = 0.0
@@ -209,18 +235,28 @@ class Codebook:
         for ln in self.lengths:
             bw.write(ln - 1, 5)
         bw.write(self.lookup_type, 4)
-        if self.lookup_type == 2:
+        if self.lookup_type in (1, 2):
             bw.write(float32_pack(self.minimum), 32)
             bw.write(float32_pack(self.delta), 32)
             vb = max(1, max(self.multiplicands).bit_length()
                      if self.multiplicands else 1)
             bw.write(vb - 1, 4)
             bw.write(self.sequence_p, 1)
+            want = (
+                lookup1_values(self.entries, self.dimensions)
+                if self.lookup_type == 1
+                else self.entries * self.dimensions
+            )
+            if len(self.multiplicands) != want:
+                raise ValueError(
+                    f"fixture: lookup type {self.lookup_type} needs "
+                    f"{want} multiplicands"
+                )
             for m in self.multiplicands:
                 bw.write(m, vb)
         elif self.lookup_type != 0:
             raise NotImplementedError(
-                "Vorbis subset: only lookup types 0/2 write"
+                "Vorbis subset: only lookup types 0/1/2 write"
             )
 
     @classmethod
@@ -245,17 +281,17 @@ class Codebook:
         minimum = delta = 0.0
         seq = 0
         mults: list[int] = []
-        if lookup == 2:
+        if lookup in (1, 2):
             minimum = float32_unpack(br.read(32))
             delta = float32_unpack(br.read(32))
             vb = br.read(4) + 1
             seq = br.read(1)
-            mults = [br.read(vb) for _ in range(entries * dims)]
-        elif lookup == 1:
-            raise NotImplementedError(
-                "Vorbis subset: codebook lookup type 1 (implicit "
-                "lattice) not implemented — type 0/2 streams only"
+            count = (
+                lookup1_values(entries, dims)
+                if lookup == 1
+                else entries * dims
             )
+            mults = [br.read(vb) for _ in range(count)]
         elif lookup != 0:
             raise ValueError(f"Vorbis: reserved lookup type {lookup}")
         return cls(dims, entries, lengths, lookup, minimum, delta, seq,

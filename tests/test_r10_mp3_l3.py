@@ -156,10 +156,13 @@ def test_invalid_table_4_fails_closed():
         decode_l3_spectral(bytes(b))
 
 
-def test_reservoir_fails_closed():
+def test_reservoir_underrun_fails_closed():
+    # round 11: the bit reservoir DECODES (write_l3_reservoir_stream);
+    # a main_data_begin pointing past the buffered pool — a truncated
+    # or mid-stream start — fails closed instead of mis-decoding
     blob = bytearray(write_l3_fixture([[], []]))
-    blob[4] |= 0x80  # main_data_begin MSB
-    with pytest.raises(NotImplementedError, match="reservoir"):
+    blob[4] |= 0x80  # main_data_begin MSB on the FIRST frame
+    with pytest.raises(ValueError, match="reservoir underrun"):
         decode_l3_spectral(bytes(blob))
 
 

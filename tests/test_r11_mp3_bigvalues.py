@@ -245,3 +245,79 @@ def test_requantize_band_edges_per_rate():
     assert _band_of(88, SFB_LONG[32000]) == 12
     assert _band_of(575, SFB_LONG[44100]) == 21
     assert _band_of(0, SFB_LONG[48000]) == 0
+
+
+# --- bit reservoir (round 11: main_data_begin > 0 decodes) ---------------------
+
+
+def test_reservoir_two_frames_round_trip():
+    from duckdb_server_spark.operators.mp3_l3 import (
+        write_l3_reservoir_stream,
+    )
+
+    specs = [
+        {"granule_quads": [[(1, 0, 0, 1, 0)], [(1, 1, 0, 0, 1)]]},
+        {"granule_quads": [[(0, 1, 1, 0, 1)], []],
+         "granule_pairs": [[(1, 1, 0, 1)], []],
+         "table_select": (1, 1, 1)},
+    ]
+    frames = decode_l3_spectral(write_l3_reservoir_stream(specs))
+    f1, f2 = frames
+    assert f1["main_data_begin"] == 0 and f2["main_data_begin"] > 0
+    assert f1["granules"][0]["is"][:4] == [1, 0, 0, 1]
+    assert f2["granules"][0]["is"][:6] == [1, -1, 0, -1, -1, 0]
+
+
+def test_reservoir_fuzz_multi_frame():
+    from duckdb_server_spark.operators.mp3_l3 import (
+        write_l3_reservoir_stream,
+    )
+
+    rng = random.Random(1177)
+    for _ in range(15):
+        n = rng.randrange(2, 5)
+        specs = []
+        for _ in range(n):
+            quads = [
+                tuple(rng.randrange(2) for _ in range(5))
+                for _ in range(rng.randrange(6))
+            ]
+            quads = [(v, w, x, y, s if (v or w or x or y) else 0)
+                     for v, w, x, y, s in quads]
+            specs.append({"granule_quads": [quads[:3], quads[3:]]})
+        frames = decode_l3_spectral(write_l3_reservoir_stream(specs))
+        assert len(frames) == n
+        assert any(fr["main_data_begin"] > 0 for fr in frames[1:])
+        for fr, spec in zip(frames, specs):
+            for g, quads in zip(fr["granules"], spec["granule_quads"]):
+                want = _expected([], quads)
+                assert g["is"][: len(want)] == want
+
+
+def test_reservoir_pool_caps_at_511():
+    from duckdb_server_spark.operators.mp3_l3 import (
+        write_l3_reservoir_stream,
+    )
+
+    # 8 near-empty frames: the logical stream stays tiny while physical
+    # slots accumulate — main_data_begin would exceed 511 around frame
+    # 7 (83-byte slots); the writer must reject rather than emit an
+    # unrepresentable offset
+    specs = [{"granule_quads": [[(1, 1, 1, 1, 0)], []]} for _ in range(8)]
+    with pytest.raises(ValueError, match="9-bit"):
+        write_l3_reservoir_stream(specs)
+
+
+def test_self_contained_writer_unchanged():
+    # the reservoir packer reuses the single-frame writer; the pinned
+    # fixture hash (test_bigvalues_fixture_bytes_pinned) plus this
+    # mdb=0 equivalence pin that the self-contained path is byte-stable
+    from duckdb_server_spark.operators.mp3_l3 import (
+        write_l3_reservoir_stream,
+    )
+
+    single = write_l3_fixture([[(1, 0, 1, 1, 0)], []])
+    via_stream = write_l3_reservoir_stream(
+        [{"granule_quads": [[(1, 0, 1, 1, 0)], []]}]
+    )
+    assert via_stream == single

@@ -155,13 +155,49 @@ def _setup_bytes(mutate=None):
     return bytearray(raw)
 
 
-def test_lookup_type_1_fails_closed():
+def test_lookup_type_1_lattice_round_trip():
+    # round 11: type-1 implicit lattice — dims 2, entries 9,
+    # lookup1_values = 3; multiplicands [0,1,2] -> values (m - 1.0)
+    from duckdb_server_spark.operators.vorbis import lookup1_values
+
+    assert lookup1_values(9, 2) == 3
+    assert lookup1_values(10, 2) == 3
+    assert lookup1_values(8, 3) == 2
+    lat = Codebook(2, 9, [4] * 9, lookup_type=1, minimum=-1.0,
+                   delta=1.0, multiplicands=[0, 1, 2])
+    # entry e decomposes base-3 LSB-first: dim0 = e % 3, dim1 = e // 3
+    assert lat.vq_vector(0) == [-1.0, -1.0]
+    assert lat.vq_vector(5) == [1.0, 0.0]
+    assert lat.vq_vector(7) == [0.0, 1.0]
+    # survives the header round trip
+    from duckdb_server_spark.operators.vorbis import (
+        _BitReaderLSB, _BitWriterLSB,
+    )
+
+    bw = _BitWriterLSB()
+    lat.write_header(bw)
+    back = Codebook.parse(_BitReaderLSB(bw.render()))
+    assert back.lookup_type == 1 and back.multiplicands == [0, 1, 2]
+    assert back.vq_vector(5) == [1.0, 0.0]
+
+
+def test_residue_through_type1_codebook():
+    # the residue VQ path accumulates identically through a lattice book
     books, floor, residue = _subset()
-    bad = Codebook(2, 4, [2] * 4, lookup_type=2, minimum=0.0, delta=1.0,
-                   multiplicands=[0] * 8)
-    bad.lookup_type = 1  # forged post-construction: decode must reject
-    with pytest.raises(NotImplementedError, match="type 1"):
-        bad.vq_vector(0)
+    lat = Codebook(4, 16, [4] * 16, lookup_type=1, minimum=-1.0,
+                   delta=1.0, multiplicands=[0, 1])  # lookup1_values(16,4)=2
+    books = [books[0], lat, books[2]]
+    pkt = encode_vorbis_audio([1, 2, 3, 4, 5],
+                              [9, 0, 15, 6, 3, 12, 5, 10], [0b1000],
+                              floor, residue, books)
+    out = decode_ogg_vorbis(encode_ogg_vorbis([pkt], books, floor,
+                                              residue))
+    vec = out["frames"][0]["residue"]
+    exp = []
+    for e in [9, 0, 15, 6, 3, 12, 5, 10]:
+        exp += [float((e >> k) & 1) - 1.0 for k in range(4)]
+    assert vec[:32] == exp
+    assert vec[32:] == [0.0] * 96
 
 
 def test_floor0_fails_closed():
