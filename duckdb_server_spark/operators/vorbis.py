@@ -679,6 +679,11 @@ def decode_ogg_vorbis(payload: bytes) -> dict:
     if len(streams) != 1:
         raise ValueError("Vorbis: expected a single logical stream")
     packets = next(iter(streams.values()))["packets"]
+    if len(packets) < 3:
+        raise ValueError(
+            "Vorbis: stream is missing its identification/comment/"
+            "setup header packets"
+        )
     meta = parse_vorbis_id(packets[0])
     if packets[1][:7] != _common_header(3):
         raise ValueError("Vorbis: missing comment header")

@@ -92,9 +92,12 @@ def test_probe_ogg_flac_fields():
     assert meta["granule_total"] == 64
 
 
-def test_vorbis_audio_fails_closed():
+def test_vorbis_header_only_stream_fails_closed():
+    # round 11: Vorbis audio DECODES (operators/vorbis.py); a stream
+    # carrying only the identification header — no comment/setup — is
+    # malformed and must fail closed, not index past its packets
     vb = ogg.write_stream(7, [ogg.encode_vorbis_id(1, 22050)], [0])
-    with pytest.raises(NotImplementedError, match="[Vv]orbis"):
+    with pytest.raises(ValueError, match="header packets"):
         ogg.decode_ogg_audio(vb)
 
 
