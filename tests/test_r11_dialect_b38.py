@@ -140,3 +140,29 @@ def test_interval_chain_on_column(sql38, duck):
 ])
 def test_already_green_surfaces_pinned(sql38, duck, sql):
     _match(sql38, duck, sql)
+
+
+def test_arg_max_tie_is_engine_defined_but_valid(sql38, duck):
+    """Fuzz finding (round 11): with TIES in the ranking expression,
+    DuckDB's arg_max/arg_min keep the FIRST row in scan order (probed:
+    strictly-greater replacement), which no distributed engine can
+    reproduce — Spark's max_by tie choice is partition-order-defined.
+    Engine-defined acceptance, pinned: each engine's answer must be a
+    MEMBER of its group's tied argmax set (the tie-free case matches
+    exactly — a11's oracle has pinned it since round 1)."""
+    # b38t: v = i % 5 over 8 rows -> v=0..2 tie twice within g groups
+    q = "SELECT g, arg_max(CAST(i AS VARCHAR), v % 2) AS a FROM b38t GROUP BY g"
+    valid_q = (
+        "SELECT g, CAST(i AS VARCHAR) FROM b38t x WHERE v % 2 ="
+        " (SELECT max(v % 2) FROM b38t y WHERE y.g = x.g)"
+    )
+    valid = {}
+    for g, i in duck.execute(valid_q).fetchall():
+        valid.setdefault(g, set()).add(i)
+    with serving_dialect(True):
+        ours = {r["g"]: r["a"] for r in run_sql(sql38, q).collect()}
+    theirs = dict(duck.execute(q).fetchall())
+    for g, a in ours.items():
+        assert a in valid[g], (g, a, valid[g])
+    for g, a in theirs.items():
+        assert a in valid[g], (g, a, valid[g])
