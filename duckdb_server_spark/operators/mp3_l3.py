@@ -518,6 +518,7 @@ def write_l3_fixture(
     table_select: tuple[int, int, int] = (0, 0, 0),
     region_counts: tuple[int, int] = (0, 0),
     count1table: int = 1,
+    scfsi: tuple[int, int, int, int] = (0, 0, 0, 0),
 ) -> bytes:
     """One self-contained mono MPEG-1 Layer III frame, no reservoir.
     ``granule_quads`` is [g1, g2] of count1 quadruples (each
@@ -551,12 +552,20 @@ def write_l3_fixture(
     r0_end = edges[min(region_counts[0] + 1, 22)]
     r1_end = edges[min(region_counts[0] + region_counts[1] + 2, 22)]
 
+    if any(b not in (0, 1) for b in scfsi) or len(scfsi) != 4:
+        raise ValueError("fixture: scfsi is four 0/1 group flags")
     main = _BitWriter()
     part23 = []
-    for quads, pairs in zip(granule_quads, pairs_by_granule):
+    for gi, (quads, pairs) in enumerate(
+        zip(granule_quads, pairs_by_granule)
+    ):
         start = main.bit_length()
         for band in range(21):
             width = slen1 if band < 11 else slen2
+            group = (0 if band < 6 else 1 if band < 11
+                     else 2 if band < 16 else 3)
+            if gi == 1 and scfsi[group]:
+                continue  # shared with granule 1 (round 11: scfsi on)
             if width:
                 main.write(sf[band], width)
         for i, (x, y, sx, sy) in enumerate(pairs):
@@ -609,8 +618,8 @@ def write_l3_fixture(
     side = _BitWriter()
     side.write(0, 9)   # main_data_begin: self-contained
     side.write(0, 5)   # private
-    for _ in range(4):
-        side.write(0, 1)  # scfsi
+    for b in scfsi:
+        side.write(b, 1)
     for p23, pairs in zip(part23, pairs_by_granule):
         side.write(p23, 12)  # part2_3_length (scalefactor + huffman bits)
         side.write(len(pairs), 9)  # big_values

@@ -321,3 +321,31 @@ def test_self_contained_writer_unchanged():
         [{"granule_quads": [[(1, 0, 1, 1, 0)], []]}]
     )
     assert via_stream == single
+
+
+def test_scfsi_shares_granule1_scalefactors():
+    # scfsi groups (bands 0-5 / 6-10 / 11-15 / 16-20): with groups 0
+    # and 2 shared, granule 2 writes only the OTHER bands' bits and the
+    # decoder must copy granule 1's values into the shared bands
+    sf = [(i * 3) % 2 for i in range(21)]
+    blob = write_l3_fixture(
+        [[(1, 0, 0, 0, 0)], [(0, 1, 0, 0, 1)]],
+        scalefac_compress=5,  # slen (1, 1): every band carries one bit
+        scalefacs=sf,
+        scfsi=(1, 0, 1, 0),
+    )
+    fr = decode_l3_spectral(blob)[0]
+    g1, g2 = fr["granules"]
+    assert g1["scalefacs"] == sf and g2["scalefacs"] == sf
+    # granule 2's part2_3 skips the 6 + 5 shared one-bit scalefactors
+    assert g1["part2_3_length"] == 21 + 4 + 1
+    assert g2["part2_3_length"] == (21 - 11) + 4 + 1  # one sign bit
+    assert g2["is"][:4] == [0, -1, 0, 0]
+
+
+def test_scfsi_zero_is_byte_identical_to_default():
+    a = write_l3_fixture([[(1, 1, 1, 1, 0)], []], scalefac_compress=5,
+                         scalefacs=[1] * 21)
+    b = write_l3_fixture([[(1, 1, 1, 1, 0)], []], scalefac_compress=5,
+                         scalefacs=[1] * 21, scfsi=(0, 0, 0, 0))
+    assert a == b
