@@ -223,6 +223,121 @@ def _flatten_named_struct(expr: str) -> str:
 
 
 
+_FMT_SPEC_RE = re.compile(
+    r"\{(\d*)(?::([<>]?)(0?)(\d*)(?:\.(\d+))?([dxXf,]?))?\}"
+)
+
+
+def _format_fmt_template(args: list[str], table: list[str]) -> str | None:
+    """DuckDB's fmt-style ``format('{}…', args…)`` (battery hunt, round
+    11) → format_string with a converted template. Probed subset:
+    ``{}``/``{N}`` default rendering (integral doubles print without
+    the trailing .0 — '42' not '42.0'), ``{:>W}``/``{:<W}`` alignment,
+    ``{:[0W].Nf}``, ``{:d}``, ``{:x}``/``{:X}``, ``{:,}`` thousands
+    grouping, and ``{{``/``}}`` escapes. Unsupported specs return None
+    (the call stays unresolved — an error, never a silent guess)."""
+    lit = (
+        _literal_value(_unmask(args[0].strip(), table))
+        if re.fullmatch(r"\x00\d+\x00", args[0].strip())
+        else None
+    )
+    if lit is None:
+        return None
+    vals = args[1:]
+
+    def default_render(a: str) -> str:
+        # probed: {} renders strings/bools/dates/doubles exactly like
+        # Spark's CAST AS STRING ('42.0' keeps its .0), while DECIMAL
+        # literals print with trailing fraction zeros stripped
+        # (1.50 -> '1.5') — fold decimal LITERALS at rewrite time.
+        # Residual (documented): DECIMAL-typed columns render at their
+        # declared scale.
+        t = a.strip()
+        if re.fullmatch(r"\x00\d+\x00", t):
+            return a
+        if re.fullmatch(r"-?\d+\.\d+", t):
+            # decimal literal: trailing zeros strip but at least one
+            # fraction digit stays (probed: 1.500 -> '1.5',
+            # 42.00 -> '42.0', -3.1400 -> '-3.14')
+            s = t.rstrip("0")
+            if s.endswith("."):
+                s += "0"
+            return _masked_literal(table, s)
+        return f"CAST({a} AS STRING)"
+
+    out = []
+    new_args: list[str] = []
+    used: list[str] = []
+    pos = 0
+    seq = 0
+    ok = True
+    text = lit.replace("%", "%%")
+    while pos < len(text):
+        c = text[pos]
+        if text[pos : pos + 2] in ("{{", "}}"):
+            out.append(c)
+            pos += 2
+            continue
+        if c == "}":
+            return None  # stray close brace
+        if c != "{":
+            out.append(c)
+            pos += 1
+            continue
+        m = _FMT_SPEC_RE.match(text, pos)
+        if not m:
+            return None
+        idx_s, align, zero, width, prec, conv = m.groups()
+        if idx_s:
+            idx = int(idx_s)
+        else:
+            idx = seq
+            seq += 1
+        if idx >= len(vals):
+            return None
+        a = vals[idx]
+        used.append(a)
+        w = width or ""
+        if prec is not None and conv != "f":
+            return None  # {:.N} is SIGNIFICANT digits in fmt, not %.Nf
+        if conv == "f":
+            out.append(f"%{zero}{w}.{prec or '6'}f")
+            new_args.append(f"CAST({a} AS DOUBLE)")
+        elif conv == "d":
+            out.append(f"%{zero}{w}d")
+            new_args.append(f"CAST({a} AS BIGINT)")
+        elif conv in ("x", "X"):
+            out.append(f"%{zero}{w}{conv}")
+            new_args.append(f"CAST({a} AS BIGINT)")
+        elif conv == ",":
+            out.append(f"%{w}s")
+            new_args.append(f"format_number(CAST({a} AS BIGINT), 0)")
+        elif align or width:
+            flag = "-" if align == "<" else ""
+            out.append(f"%{flag}{w}s")
+            new_args.append(default_render(a))
+        elif not conv:
+            out.append("%s")
+            new_args.append(default_render(a))
+        else:
+            return None
+        pos = m.end()
+    if not ok:
+        return None
+    tmpl = _masked_literal(table, "".join(out))
+    if not new_args:
+        return f"format_string({tmpl})"
+    # fmt returns NULL when any consumed argument is NULL (probed);
+    # Java's Formatter would print the string 'null'
+    null_any = " OR ".join(
+        f"({a}) IS NULL" for a in dict.fromkeys(used)
+    )
+    return (
+        f"(CASE WHEN {null_any} THEN CAST(NULL AS STRING) "
+        f"ELSE format_string({tmpl}, {', '.join(new_args)}) END)"
+    )
+
+
 def _template(fn: str, args: list[str], table: list[str]) -> str | None:
     """Structural rewrites for DuckDB functions whose Spark equivalent
     needs argument reshaping (not just a rename). Returns None to leave
@@ -639,6 +754,8 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
             f"__dd_i -> CASE WHEN array_contains(collect_set({x}), __dd_i) "
             f"THEN {one} ELSE {zero} END))"
         )
+    if fn == "format" and len(args) >= 1:
+        return _format_fmt_template(args, table)
     if fn == "epoch" and len(args) == 1:
         # DuckDB epoch() keeps fractional seconds and returns DOUBLE;
         # TIME literals fold to seconds-since-midnight

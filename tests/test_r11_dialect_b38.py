@@ -166,3 +166,51 @@ def test_arg_max_tie_is_engine_defined_but_valid(sql38, duck):
         assert a in valid[g], (g, a, valid[g])
     for g, a in theirs.items():
         assert a in valid[g], (g, a, valid[g])
+
+
+# --- fmt-style format() (round-11 hunt finding: previously UNRESOLVED) --------
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT format('{}|{:>6}|{:.2f}', 42, 'F', 3.14159) AS v",
+    "SELECT format('{}', 1.50) AS v",
+    "SELECT format('{}', 1.500) AS v",
+    "SELECT format('{}', 42.00) AS v",
+    "SELECT format('{}', -3.1400) AS v",
+    "SELECT format('{}', 10.05) AS v",
+    "SELECT format('{:d}', 255) AS v",
+    "SELECT format('{:x}', 255) AS v",
+    "SELECT format('{:X}', 255) AS v",
+    "SELECT format('{:08.3f}', 3.14159) AS v",
+    "SELECT format('{:<5}|', 'ab') AS v",
+    "SELECT format('{1} {0}', 'a', 'b') AS v",
+    "SELECT format('{0}-{0}', 'x') AS v",
+    "SELECT format('{{}} {}', 7) AS v",
+    "SELECT format('{:,}', 1234567) AS v",
+    "SELECT format('{}', NULL) AS v",
+    "SELECT format('{}', true) AS v",
+    "SELECT format('100%% {}', 1) AS v",
+    "SELECT format('plain') AS v",
+    "SELECT format('{}', DATE '2024-01-05') AS v",
+])
+def test_format_fmt_style(sql38, duck, sql):
+    _match(sql38, duck, sql)
+
+
+def test_format_on_columns(sql38, duck):
+    _match(
+        sql38, duck,
+        "SELECT format('i={} g={:>4}', i, g) AS v FROM b38t"
+        " ORDER BY i",
+    )
+
+
+def test_format_significant_digits_fails_closed(sql38, duck):
+    # {:.3} is SIGNIFICANT digits in fmt, not %.3f — out of the
+    # rewrite's subset; the call must stay unresolved, never silently
+    # format 3 decimals
+    import pytest as _pytest
+
+    with serving_dialect(True):
+        with _pytest.raises(Exception, match="UNRESOLVED|format"):
+            run_sql(sql38, "SELECT format('{:.3}', 3.14159) AS v").collect()
