@@ -81,8 +81,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the 42 remaining r3-stamped rows (the oldest evidence left; every
 # other row is r4+) cheapest-first, then rows whose code or serving
 # path changed this round (xz preset, printf casts, window-FILTER
-# semantics). 3 new + 42 stale + 5 changed fits the ~50/round budget,
-# so after this round no declared query's stamp predates r4.
+# semantics). 7 new + 42 stale + 5 changed slightly overfills the
+# ~50/round budget (the p/o/u singles are sub-second); after this
+# round no declared query's stamp predates r4.
 _PRIORITY_R11: tuple[str, ...] = (
     # --- new in round 11 ---
     "b35c_mp3_bigvalues",       # new: big-values Huffman decode (B.7)
@@ -91,6 +92,7 @@ _PRIORITY_R11: tuple[str, ...] = (
     "b34c_vorbis_floor_residue",  # new: Vorbis entropy-layer decode
     "s38_dialect_interval_mix",  # new: battery-38 parity statement
     "b35d_mp3_reservoir",       # new: bit-reservoir multi-frame decode
+    "b35e_mp3_stereo",          # new: two-channel integer-layer decode
     # --- the 42 r3-stamped rows, cheapest families first ---
     "p01_projection_expr",
     "p03_filter",

@@ -4577,6 +4577,96 @@ def b35d_mp3_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b35e_mp3_stereo",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(range(1, 9), i ->
+               ascii(substr(text || repeat('x', 8), CAST(i AS INT), 1)))
+               AS c
+      FROM documents
+    ),
+    quads AS (
+      SELECT doc_id,
+             list_transform(c, k ->
+               (k >> 3) % 2 + (k >> 2) % 2 + (k >> 1) % 2 + k % 2) AS nz,
+             list_transform(c, k ->
+               (1 - 2 * ((k >> 4) % 2)) *
+               ((k >> 3) % 2 + (k >> 2) % 2 + (k >> 1) % 2 + k % 2))
+               AS ssum
+      FROM chars
+    )
+    SELECT doc_id,
+           CAST(2 AS INT) AS channels,
+           CAST(ssum[1] + ssum[2] + ssum[3] + ssum[4] AS INT) AS l_sum,
+           CAST(nz[1] + nz[2] + nz[3] + nz[4] AS INT) AS l_nz,
+           CAST(ssum[5] + ssum[6] + ssum[7] + ssum[8] AS INT) AS r_sum,
+           CAST(nz[5] + nz[6] + nz[7] + nz[8] AS INT) AS r_nz,
+           CAST(16 + nz[1] + nz[2] + nz[3] + nz[4] AS INT) AS l_bits,
+           CAST(16 + nz[5] + nz[6] + nz[7] + nz[8] AS INT) AS r_bits
+    FROM quads
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b35e_mp3_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 TWO-CHANNEL decode at the integer layer (round 11;
+    operators/mp3_l3.py): each document becomes a stereo frame whose
+    granule-0 LEFT channel carries chars 1-4 as count1 quadruples and
+    RIGHT channel chars 5-8, exercising the 32-byte side-info layout
+    (per-channel scfsi, four 59-bit granule structs) and the
+    (granule, channel)-ordered main data. The spectral INTEGER layer is
+    per-channel for every stereo flavor; joint stereo's mid/side
+    reconstruction is the float-layer plug point and fails closed. The
+    oracle replays per-channel sums and bit accounting from the
+    character DEFINITION. Scale shape: per-payload CPU in
+    mapInPandas."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _decode(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.mp3_l3 import (
+            decode_l3_spectral,
+            write_l3_stereo_fixture,
+        )
+
+        cols = ("doc_id", "channels", "l_sum", "l_nz", "r_sum", "r_nz",
+                "l_bits", "r_bits")
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                cs = (((text_ or "") + "x" * 8)[:8]).encode("latin-1")
+                qs = [
+                    ((c >> 3) & 1, (c >> 2) & 1, (c >> 1) & 1, c & 1,
+                     (c >> 4) & 1)
+                    for c in cs
+                ]
+                blob = write_l3_stereo_fixture(
+                    [[qs[:4], qs[4:]], [[], []]]
+                )
+                fr = decode_l3_spectral(blob)[0]
+                by = {(g["granule"], g["channel"]): g
+                      for g in fr["granules"]}
+                left, right = by[(0, 0)], by[(0, 1)]
+                rows["doc_id"].append(doc_id)
+                rows["channels"].append(fr["channels"])
+                rows["l_sum"].append(sum(left["is"]))
+                rows["l_nz"].append(sum(1 for v in left["is"] if v))
+                rows["r_sum"].append(sum(right["is"]))
+                rows["r_nz"].append(sum(1 for v in right["is"] if v))
+                rows["l_bits"].append(left["part2_3_length"])
+                rows["r_bits"].append(right["part2_3_length"])
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _decode,
+        "doc_id long, channels int, l_sum int, l_nz int, r_sum int, "
+        "r_nz int, l_bits int, r_bits int",
+    )
+    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
     "b34c_vorbis_floor_residue",
     oracle="""
     WITH chars AS (

@@ -4,11 +4,14 @@ from the public ISO/IEC 11172-3 spec shape (VERDICT r9 item 3).
 What decodes FOR REAL here (bit-exactly, with an independent fixture
 writer and a definition-replay oracle — the ADPCM/FLAC/VP8 playbook):
 
-* the full mono MPEG-1 side-info layout (§2.4.1.7): main_data_begin,
-  scfsi, and per-granule part2_3_length / big_values / global_gain /
+* the full MPEG-1 side-info layout (§2.4.1.7), mono AND two-channel
+  (round 11): main_data_begin, per-channel scfsi, and per-(granule,
+  channel) part2_3_length / big_values / global_gain /
   scalefac_compress / window-switching / table_select / region counts /
-  preflag / scalefac_scale / count1table_select — 136 bits, a layout
-  whose arithmetic self-checks (17 bytes for mono);
+  preflag / scalefac_scale / count1table_select — 136 bits (17 bytes)
+  for mono, 256 bits (32 bytes) for stereo/dual, arithmetic
+  self-checked; joint stereo (mode 1) fails closed naming the
+  mid/side float-layer plug point;
 * scalefactor decoding via the §2.4.2.7 slen pair table
   (scalefac_compress → (slen1, slen2)), long-block band split 0-10/11-20;
 * the count1 spectral region under **count1 table B** — the spec's
@@ -251,6 +254,46 @@ class _BitWriter:
         return sum(w for _, w in self.chunks)
 
 
+def _parse_granule_side(br: "_BitReader") -> dict:
+    """One 59-bit per-(granule, channel) side-info struct."""
+    g = {
+        "part2_3_length": br.read(12),
+        "big_values": br.read(9),
+        "global_gain": br.read(8),
+        "scalefac_compress": br.read(4),
+        "window_switching": br.read(1),
+    }
+    if g["window_switching"]:
+        raise NotImplementedError(
+            "MP3 L3 subset: short/mixed blocks not implemented"
+        )
+    g["table_select"] = [br.read(5) for _ in range(3)]
+    g["region0_count"] = br.read(4)
+    g["region1_count"] = br.read(3)
+    g["preflag"] = br.read(1)
+    g["scalefac_scale"] = br.read(1)
+    g["count1table_select"] = br.read(1)
+    return g
+
+
+def _parse_side_info_stereo(data: bytes) -> dict:
+    """Two-channel MPEG-1 side info (32 bytes, 256 bits; round 11):
+    main_data_begin, 3 private bits, per-CHANNEL scfsi, then the four
+    59-bit granule structs in (granule, channel) order."""
+    br = _BitReader(data)
+    si = {
+        "main_data_begin": br.read(9),
+        "private_bits": br.read(3),
+        "scfsi": [[br.read(1) for _ in range(4)] for _ in range(2)],
+        "granules": [],  # flat, (granule, channel) decode order
+    }
+    for _gr in range(2):
+        for _ch in range(2):
+            si["granules"].append(_parse_granule_side(br))
+    assert br.pos == 256
+    return si
+
+
 def _parse_side_info_mono(data: bytes) -> dict:
     """Mono MPEG-1 side info (17 bytes, 136 bits)."""
     br = _BitReader(data)
@@ -261,24 +304,7 @@ def _parse_side_info_mono(data: bytes) -> dict:
         "granules": [],
     }
     for _ in range(2):
-        g = {
-            "part2_3_length": br.read(12),
-            "big_values": br.read(9),
-            "global_gain": br.read(8),
-            "scalefac_compress": br.read(4),
-            "window_switching": br.read(1),
-        }
-        if g["window_switching"]:
-            raise NotImplementedError(
-                "MP3 L3 subset: short/mixed blocks not implemented"
-            )
-        g["table_select"] = [br.read(5) for _ in range(3)]
-        g["region0_count"] = br.read(4)
-        g["region1_count"] = br.read(3)
-        g["preflag"] = br.read(1)
-        g["scalefac_scale"] = br.read(1)
-        g["count1table_select"] = br.read(1)
-        si["granules"].append(g)
+        si["granules"].append(_parse_granule_side(br))
     assert br.pos == 136
     return si
 
@@ -376,13 +402,27 @@ def decode_l3_spectral(payload: bytes) -> list[dict]:
         h = parse_frame_header(payload, pos)
         if h["version"] != 3:
             raise NotImplementedError("MP3 L3 subset: MPEG-1 frames only")
-        if h["channels"] != 1:
-            raise NotImplementedError("MP3 L3 subset: mono frames only")
+        mode = (payload[pos + 3] >> 6) & 0x03
         body = payload[pos + 4 : pos + h["length"]]
         if (payload[pos + 1] & 0x01) == 0:  # protection bit 0 → CRC-16
             body = body[2:]
-        si = _parse_side_info_mono(body[:17])
-        md = body[17:]
+        if h["channels"] == 2:
+            # round 11: the spectral INTEGER layer is per-channel for
+            # every stereo flavor; only joint stereo's mid/side /
+            # intensity reconstruction is a FLOAT-layer transform —
+            # fail closed there rather than emit per-channel integers
+            # a caller might mistake for L/R
+            if mode == 1:
+                raise NotImplementedError(
+                    "MP3 L3 subset: joint stereo (mode_extension "
+                    "MS/intensity) — the mid/side reconstruction is a "
+                    "float-layer plug point; stereo/dual streams decode"
+                )
+            si = _parse_side_info_stereo(body[:32])
+            md = body[32:]
+        else:
+            si = _parse_side_info_mono(body[:17])
+            md = body[17:]
         if si["main_data_begin"] > len(pool):
             raise ValueError(
                 "MP3: bit-reservoir underrun (main_data_begin reaches "
@@ -396,14 +436,29 @@ def decode_l3_spectral(payload: bytes) -> list[dict]:
         )
         br = _BitReader(buf)
         granules = []
-        prev_sf = None
-        for gi, g in enumerate(si["granules"]):
-            sf, is_ = _decode_granule_spectral(
-                br, g, si["scfsi"], prev_sf if gi else None,
-                h["sample_rate"],
-            )
-            prev_sf = sf
-            granules.append({**g, "scalefacs": sf, "is": is_})
+        if h["channels"] == 2:
+            # main data runs (granule, channel)-ordered; scfsi and the
+            # shared-scalefactor state are PER CHANNEL
+            prev_sf_by_ch: list[list[int] | None] = [None, None]
+            for k, g in enumerate(si["granules"]):
+                gi, ch = divmod(k, 2)
+                sf, is_ = _decode_granule_spectral(
+                    br, g, si["scfsi"][ch],
+                    prev_sf_by_ch[ch] if gi else None,
+                    h["sample_rate"],
+                )
+                prev_sf_by_ch[ch] = sf
+                granules.append({**g, "granule": gi, "channel": ch,
+                                 "scalefacs": sf, "is": is_})
+        else:
+            prev_sf = None
+            for gi, g in enumerate(si["granules"]):
+                sf, is_ = _decode_granule_spectral(
+                    br, g, si["scfsi"], prev_sf if gi else None,
+                    h["sample_rate"],
+                )
+                prev_sf = sf
+                granules.append({**g, "scalefacs": sf, "is": is_})
         frames.append({**h, "main_data_begin": si["main_data_begin"],
                        "granules": granules})
         pool = (pool + md)[-511:]
@@ -467,6 +522,12 @@ def decode_l3_subbands(payload: bytes) -> dict:
     overlap-add → 32 subband sample streams (floats). PCM needs the
     Table B.3 polyphase window — the declared plug point."""
     frames = decode_l3_spectral(payload)
+    if frames[0]["channels"] != 1:
+        raise NotImplementedError(
+            "MP3 L3 subset: the float IMDCT path is mono — stereo "
+            "frames decode to per-channel spectral integers via "
+            "decode_l3_spectral"
+        )
     overlap = [[0.0] * 18 for _ in range(32)]
     subbands = [[] for _ in range(32)]
     for fr in frames:
@@ -636,6 +697,69 @@ def write_l3_fixture(
     side_bytes = side.render()
     assert len(side_bytes) == 17
     main_bytes = main.render(pad_to_bytes=frame_len - 4 - 17)
+    return hdr + side_bytes + main_bytes
+
+
+def write_l3_stereo_fixture(
+    granules: list[list[list[tuple[int, int, int, int, int]]]],
+    br_idx: int = 2,
+    sr_idx: int = 0,
+    global_gain: int = 210,
+    mode: int = 0,
+) -> bytes:
+    """One self-contained TWO-CHANNEL MPEG-1 Layer III frame (round
+    11): ``granules[gi][ch]`` carries count1 table-B quadruples per
+    (granule, channel) in the spec's main-data order; 32-byte side
+    info, per-channel scfsi off, ``mode`` 0 = stereo / 2 = dual
+    channel (1 = joint is decode-side fail-closed)."""
+    if len(granules) != 2 or any(len(g) != 2 for g in granules):
+        raise ValueError("fixture: 2 granules x 2 channels of quads")
+    if mode not in (0, 2):
+        raise ValueError("fixture: mode 0 (stereo) or 2 (dual) only")
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6])
+    bitrate = BITRATES_V1_L3[br_idx] * 1000
+    rate = SAMPLE_RATES[3][sr_idx]
+    frame_len = 144 * bitrate // rate
+
+    main = _BitWriter()
+    part23 = []
+    for gr in granules:
+        for quads in gr:
+            start = main.bit_length()
+            for v, w, x, y, sign in quads:
+                vals = (v, w, x, y)
+                code = 0
+                for bit in vals:
+                    if bit not in (0, 1):
+                        raise ValueError("fixture: count1 values are 0/1")
+                    code = (code << 1) | (1 - bit)
+                main.write(code, 4)
+                for bit in vals:
+                    if bit:
+                        main.write(1 if sign else 0, 1)
+            part23.append(main.bit_length() - start)
+
+    side = _BitWriter()
+    side.write(0, 9)  # main_data_begin
+    side.write(0, 3)  # private (3 bits for two channels)
+    for _ in range(8):
+        side.write(0, 1)  # scfsi, both channels
+    for p23 in part23:
+        side.write(p23, 12)
+        side.write(0, 9)   # big_values
+        side.write(global_gain, 8)
+        side.write(0, 4)   # scalefac_compress 0 -> slen (0, 0)
+        side.write(0, 1)   # window_switching
+        for _ in range(3):
+            side.write(0, 5)
+        side.write(0, 4)
+        side.write(0, 3)
+        side.write(0, 1)
+        side.write(0, 1)
+        side.write(1, 1)   # count1 table B
+    side_bytes = side.render()
+    assert len(side_bytes) == 32
+    main_bytes = main.render(pad_to_bytes=frame_len - 4 - 32)
     return hdr + side_bytes + main_bytes
 
 

@@ -174,10 +174,13 @@ def test_window_switching_fails_closed():
         decode_l3_spectral(bytes(blob))
 
 
-def test_stereo_fails_closed():
-    blob = bytearray(write_l3_fixture([[], []]))
-    blob[3] = 0x00  # mode = stereo
-    with pytest.raises(NotImplementedError, match="mono"):
+def test_mono_frame_with_stereo_mode_bit_fails_on_side_info():
+    # round 11: stereo DECODES (write_l3_stereo_fixture) — but a frame
+    # whose header claims stereo while carrying a 17-byte mono side
+    # info must fail on the malformed layout, not mis-decode
+    blob = bytearray(write_l3_fixture([[(1, 1, 1, 1, 0)] * 3, []]))
+    blob[3] = 0x00  # mode = stereo over a mono-layout body
+    with pytest.raises((ValueError, NotImplementedError)):
         decode_l3_spectral(bytes(blob))
 
 

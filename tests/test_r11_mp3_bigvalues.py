@@ -349,3 +349,74 @@ def test_scfsi_zero_is_byte_identical_to_default():
     b = write_l3_fixture([[(1, 1, 1, 1, 0)], []], scalefac_compress=5,
                          scalefacs=[1] * 21, scfsi=(0, 0, 0, 0))
     assert a == b
+
+
+# --- two-channel frames (round 11: stereo/dual decode at the integer layer) ----
+
+
+def test_stereo_round_trip():
+    from duckdb_server_spark.operators.mp3_l3 import (
+        write_l3_stereo_fixture,
+    )
+
+    grans = [
+        [[(1, 0, 0, 1, 0)], [(0, 1, 1, 0, 1)]],
+        [[(1, 1, 1, 1, 1)], []],
+    ]
+    fr = decode_l3_spectral(write_l3_stereo_fixture(grans))[0]
+    assert fr["channels"] == 2 and len(fr["granules"]) == 4
+    by = {(g["granule"], g["channel"]): g for g in fr["granules"]}
+    assert by[(0, 0)]["is"][:4] == [1, 0, 0, 1]
+    assert by[(0, 1)]["is"][:4] == [0, -1, -1, 0]
+    assert by[(1, 0)]["is"][:4] == [-1, -1, -1, -1]
+    assert all(v == 0 for v in by[(1, 1)]["is"])
+
+
+def test_stereo_fuzz_and_dual_mode():
+    from duckdb_server_spark.operators.mp3_l3 import (
+        write_l3_stereo_fixture,
+    )
+
+    rng = random.Random(2199)
+    for _ in range(12):
+        grans = []
+        for _ in range(2):
+            chans = []
+            for _ in range(2):
+                quads = [
+                    tuple(rng.randrange(2) for _ in range(5))
+                    for _ in range(rng.randrange(5))
+                ]
+                quads = [(v, w, x, y, s if (v or w or x or y) else 0)
+                         for v, w, x, y, s in quads]
+                chans.append(quads)
+            grans.append(chans)
+        mode = rng.choice((0, 2))
+        fr = decode_l3_spectral(
+            write_l3_stereo_fixture(grans, mode=mode)
+        )[0]
+        for cg in fr["granules"]:
+            want = _expected([], grans[cg["granule"]][cg["channel"]])
+            assert cg["is"][: len(want)] == want
+
+
+def test_joint_stereo_fails_closed():
+    from duckdb_server_spark.operators.mp3_l3 import (
+        write_l3_stereo_fixture,
+    )
+
+    blob = bytearray(write_l3_stereo_fixture([[[], []], [[], []]]))
+    blob[3] = 0x40  # mode 1 = joint stereo
+    with pytest.raises(NotImplementedError, match="joint"):
+        decode_l3_spectral(bytes(blob))
+
+
+def test_subbands_rejects_stereo():
+    from duckdb_server_spark.operators.mp3_l3 import (
+        write_l3_stereo_fixture,
+    )
+
+    with pytest.raises(NotImplementedError, match="mono"):
+        decode_l3_subbands(
+            write_l3_stereo_fixture([[[], []], [[], []]])
+        )
