@@ -4667,6 +4667,167 @@ def b35e_mp3_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b35f_mp3_midamp_tables",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(range(1, 9), i ->
+               ascii(substr(text || repeat('x', 8), CAST(i AS INT), 1)))
+               AS c
+      FROM documents
+    ),
+    sym AS (
+      SELECT doc_id,
+             list_transform(c, k -> (k >> 3) % 8) AS xs,
+             list_transform(c, k -> k % 8) AS ys,
+             list_transform(c, k -> (k >> 6) % 2) AS sxs,
+             list_transform(c, k -> (k >> 1) % 2) AS sys
+      FROM chars
+    ),
+    acc AS (
+      SELECT doc_id, xs, ys, sxs, sys,
+             list_transform(range(1, 9), i ->
+               CASE
+                 WHEN i <= 4 THEN
+                   [1,3,6,8,9,9,9,10,3,4,6,7,8,9,8,8,6,6,7,8,9,10,9,9,
+                    7,7,8,9,10,10,9,10,8,8,9,10,10,10,10,10,9,9,10,10,
+                    11,11,10,11,8,8,9,10,10,10,11,11,9,8,9,10,10,11,11,
+                    11][xs[CAST(i AS INT)] * 8 + ys[CAST(i AS INT)] + 1]
+                 WHEN i <= 6 THEN
+                   [2,3,5,7,8,9,8,9,3,3,4,6,8,8,7,8,5,5,6,7,8,9,8,8,
+                    7,6,7,9,8,10,8,9,8,8,8,9,9,10,9,10,8,8,9,10,10,11,
+                    10,11,8,7,7,8,9,10,10,10,8,7,8,9,10,10,10,
+                    10][xs[CAST(i AS INT)] * 8 + ys[CAST(i AS INT)] + 1]
+                 ELSE
+                   [4,3,5,7,8,9,9,9,3,3,4,5,7,7,8,8,5,4,5,6,7,8,7,8,
+                    6,5,6,6,7,8,8,8,7,6,7,7,8,8,8,9,8,7,8,8,8,9,8,9,
+                    8,7,7,8,8,9,9,9,9,8,8,9,9,9,10,
+                    10][xs[CAST(i AS INT)] * 8 + ys[CAST(i AS INT)] + 1]
+               END
+               + CASE WHEN xs[CAST(i AS INT)] > 0 THEN 1 ELSE 0 END
+               + CASE WHEN ys[CAST(i AS INT)] > 0 THEN 1 ELSE 0 END)
+               AS pair_bits,
+             list_transform(range(1, 9), i ->
+               CASE
+                 WHEN i <= 4 THEN
+                   [1,3,6,8,9,9,9,10,3,4,6,7,8,9,8,8,6,6,7,8,9,10,9,9,
+                    7,7,8,9,10,10,9,10,8,8,9,10,10,10,10,10,9,9,10,10,
+                    11,11,10,11,8,8,9,10,10,10,11,11,9,8,9,10,10,11,11,
+                    11][xs[CAST(9 - i AS INT)] * 8
+                        + ys[CAST(9 - i AS INT)] + 1]
+                 WHEN i <= 6 THEN
+                   [2,3,5,7,8,9,8,9,3,3,4,6,8,8,7,8,5,5,6,7,8,9,8,8,
+                    7,6,7,9,8,10,8,9,8,8,8,9,9,10,9,10,8,8,9,10,10,11,
+                    10,11,8,7,7,8,9,10,10,10,8,7,8,9,10,10,10,
+                    10][xs[CAST(9 - i AS INT)] * 8
+                        + ys[CAST(9 - i AS INT)] + 1]
+                 ELSE
+                   [4,3,5,7,8,9,9,9,3,3,4,5,7,7,8,8,5,4,5,6,7,8,7,8,
+                    6,5,6,6,7,8,8,8,7,6,7,7,8,8,8,9,8,7,8,8,8,9,8,9,
+                    8,7,7,8,8,9,9,9,9,8,8,9,9,9,10,
+                    10][xs[CAST(9 - i AS INT)] * 8
+                        + ys[CAST(9 - i AS INT)] + 1]
+               END
+               + CASE WHEN xs[CAST(9 - i AS INT)] > 0 THEN 1 ELSE 0 END
+               + CASE WHEN ys[CAST(9 - i AS INT)] > 0 THEN 1 ELSE 0 END)
+               AS pair_bits2,
+             list_transform(range(1, 9), i ->
+               (1 - 2 * sxs[CAST(i AS INT)]) * xs[CAST(i AS INT)]
+               + (1 - 2 * sys[CAST(i AS INT)]) * ys[CAST(i AS INT)])
+               AS pair_sum,
+             list_transform(range(1, 9), i ->
+               CASE WHEN xs[CAST(i AS INT)] > 0 THEN 1 ELSE 0 END
+               + CASE WHEN ys[CAST(i AS INT)] > 0 THEN 1 ELSE 0 END)
+               AS pair_nz
+      FROM sym
+    )
+    SELECT doc_id,
+           CAST(8 AS INT) AS bv,
+           CAST(list_sum(pair_bits) AS INT) AS g1_bits,
+           CAST(list_sum(pair_sum) AS INT) AS g1_sum,
+           CAST(list_sum(pair_nz) AS INT) AS g1_nonzero,
+           CAST(list_sum(pair_bits2) AS INT) AS g2_bits,
+           CAST(list_sum(pair_sum) AS INT) AS g2_sum,
+           CAST(pair_sum[1] + pair_sum[2] + pair_sum[3] + pair_sum[4]
+                AS INT) AS r0_sum,
+           CAST((1 - 2 * sxs[7]) * xs[7] AS INT) AS r2_first
+    FROM acc
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b35f_mp3_midamp_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 mid-amplitude Table B.7 tables 10/11/12 decode (round 12,
+    VERDICT r11 item 1; operators/mp3_l3.py): each document's 8
+    characters become big-value pairs ((c>>3)%8, c%8) — magnitudes up
+    to 7, beyond the round-11 tables' reach — Huffman-coded as 4 pairs
+    under table 10 in region 0 (region0_count=1 -> lines 0-7 at
+    44.1 kHz per Table B.8), 2 pairs under table 11 in region 1 (lines
+    8-11) and 2 under table 12 in region 2; granule 2 carries the SAME
+    characters reversed, so each symbol re-encodes under a DIFFERENT
+    table than in granule 1 — g2_bits differs from g1_bits whenever the
+    three tables assign different lengths, a direct cross-table
+    differential. The oracle replays the full 64-entry hlen grids of
+    all three tables (twice: original and reversed-position indexing)
+    plus sign-bit accounting from the character DEFINITION — a single
+    wrong code length anywhere breaks g1_bits/g2_bits, and a sign or
+    value slip breaks the sums. Reference scope: blobs are opaque
+    passthrough (main.go:199) — beyond-reference multimodal
+    capability."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _decode(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.mp3_l3 import (
+            decode_l3_spectral,
+            write_l3_fixture,
+        )
+
+        cols = ("doc_id", "bv", "g1_bits", "g1_sum", "g1_nonzero",
+                "g2_bits", "g2_sum", "r0_sum", "r2_first")
+
+        def _pairs(cs):
+            out = []
+            for c in cs:
+                x, y = (c >> 3) % 8, c % 8
+                out.append((x, y,
+                            (c >> 6) % 2 if x else 0,
+                            (c >> 1) % 2 if y else 0))
+            return out
+
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                cs = (((text_ or "") + "x" * 8)[:8]).encode("latin-1")
+                blob = write_l3_fixture(
+                    [[], []],
+                    granule_pairs=[_pairs(cs), _pairs(cs[::-1])],
+                    table_select=(10, 11, 12),
+                    region_counts=(1, 0),
+                    br_idx=5,
+                )
+                fr = decode_l3_spectral(blob)[0]
+                g1, g2 = fr["granules"]
+                rows["doc_id"].append(doc_id)
+                rows["bv"].append(g1["big_values"])
+                rows["g1_bits"].append(g1["part2_3_length"])
+                rows["g1_sum"].append(sum(g1["is"]))
+                rows["g1_nonzero"].append(sum(1 for v in g1["is"] if v))
+                rows["g2_bits"].append(g2["part2_3_length"])
+                rows["g2_sum"].append(sum(g2["is"]))
+                rows["r0_sum"].append(sum(g1["is"][:8]))
+                rows["r2_first"].append(g1["is"][12])
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _decode,
+        "doc_id long, bv int, g1_bits int, g1_sum int, g1_nonzero int, "
+        "g2_bits int, g2_sum int, r0_sum int, r2_first int",
+    )
+    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
     "b34c_vorbis_floor_residue",
     oracle="""
     WITH chars AS (

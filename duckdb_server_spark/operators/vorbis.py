@@ -636,6 +636,145 @@ def decode_vorbis_audio(packet: bytes, setup: dict) -> dict:
     return {"posts": posts, "residue": vec}
 
 
+# --- §7.2.4 floor1 CURVE SYNTHESIS (round 12, VERDICT r11 item 2) -----------
+#
+# Pure integer math per the spec's §9.2.4-9.2.7 helper definitions —
+# no value table involved, so this moves the fail-closed line from
+# "posts" to "synthesized integer floor curve"; only the §10.1
+# inverse-dB lookup (256 float constants) + IMDCT remain the float
+# plug point.
+
+
+def low_neighbor(v: list[int], x: int) -> int:
+    """§9.2.4: position n of the GREATEST v[n] with n < x and
+    v[n] < v[x]."""
+    best = -1
+    for n in range(x):
+        if v[n] < v[x] and (best < 0 or v[n] > v[best]):
+            best = n
+    if best < 0:
+        raise ValueError("Vorbis: low_neighbor has no candidate")
+    return best
+
+
+def high_neighbor(v: list[int], x: int) -> int:
+    """§9.2.5: position n of the LEAST v[n] with n < x and
+    v[n] > v[x]."""
+    best = -1
+    for n in range(x):
+        if v[n] > v[x] and (best < 0 or v[n] < v[best]):
+            best = n
+    if best < 0:
+        raise ValueError("Vorbis: high_neighbor has no candidate")
+    return best
+
+
+def render_point(x0: int, y0: int, x1: int, y1: int, x: int) -> int:
+    """§9.2.6: integer line interpolation at x (truncating division on
+    nonnegative operands)."""
+    dy = y1 - y0
+    adx = x1 - x0
+    off = (abs(dy) * (x - x0)) // adx
+    return y0 - off if dy < 0 else y0 + off
+
+
+def render_line(x0: int, y0: int, x1: int, y1: int,
+                v: list[int]) -> None:
+    """§9.2.7: Bresenham walk writing v[x0 .. x1-1] (x1 exclusive, as
+    the spec's loop runs to x1-1; the next segment writes x1)."""
+    dy = y1 - y0
+    adx = x1 - x0
+    ady = abs(dy)
+    base = -((-dy) // adx) if dy < 0 else dy // adx  # trunc toward 0
+    sy = base - 1 if dy < 0 else base + 1
+    ady -= abs(base) * adx
+    v[x0] = y0
+    y = y0
+    err = 0
+    for x in range(x0 + 1, x1):
+        err += ady
+        if err >= adx:
+            err -= adx
+            y += sy
+        else:
+            y += base
+        v[x] = y
+
+
+def floor1_amplitude(floor: Floor1, posts: list[int]) -> tuple[
+        list[int], list[bool]]:
+    """§7.2.4 amplitude value synthesis (step 1): decoded post values →
+    (final_Y, step2_flag). Every step is integer; the escape branch
+    (val >= room) re-centers against the tighter room side."""
+    rng = FLOOR1_RANGES[floor.multiplier - 1]
+    xs = floor.x_list
+    final_y = [posts[0], posts[1]]
+    flags = [True, True]
+    for i in range(2, len(posts)):
+        low = low_neighbor(xs, i)
+        high = high_neighbor(xs, i)
+        predicted = render_point(xs[low], final_y[low],
+                                 xs[high], final_y[high], xs[i])
+        val = posts[i]
+        highroom = rng - predicted
+        lowroom = predicted
+        room = 2 * min(highroom, lowroom)
+        if val:
+            flags[low] = flags[high] = True
+            flags.append(True)
+            if val >= room:
+                final_y.append(
+                    val - lowroom + predicted
+                    if highroom > lowroom
+                    else predicted - val + highroom - 1
+                )
+            elif val & 1:
+                final_y.append(predicted - ((val + 1) >> 1))
+            else:
+                final_y.append(predicted + (val >> 1))
+        else:
+            flags.append(False)
+            final_y.append(predicted)
+    return final_y, flags
+
+
+def synthesize_floor_curve(floor: Floor1, posts: list[int],
+                           n: int) -> list[int]:
+    """§7.2.4 curve synthesis (step 2): render flagged posts in sorted-X
+    order into the length-``n`` INTEGER floor vector (the index layer
+    right before the §10.1 inverse-dB lookup, which stays the float
+    plug point). Multiplier scales the post amplitudes; the tail past
+    the last post holds flat per the spec."""
+    final_y, flags = floor1_amplitude(floor, posts)
+    order = sorted(range(len(posts)), key=lambda i: floor.x_list[i])
+    v = [0] * (n + max(floor.x_list) + 1)
+    hx = 0
+    hy = final_y[order[0]] * floor.multiplier
+    lx, ly = 0, hy
+    for i in order[1:]:
+        if not flags[i]:
+            continue
+        hx = floor.x_list[i]
+        hy = final_y[i] * floor.multiplier
+        render_line(lx, ly, hx, hy, v)
+        lx, ly = hx, hy
+    if hx < n:
+        render_line(hx, hy, n, hy, v)  # flat fill to the block edge
+    v[hx] = hy  # the last post's own x (render_line is x1-exclusive)
+    return v[:n]
+
+
+def decode_vorbis_floor_curve(packet: bytes, setup: dict,
+                              n: int = 128) -> dict:
+    """One audio packet → integer floor curve + residue vector (round
+    12): the §7.2.3 post decode followed by §7.2.4 synthesis."""
+    out = decode_vorbis_audio(packet, setup)
+    if out["posts"] is None:
+        return {**out, "floor_curve": None}
+    curve = synthesize_floor_curve(setup["floor"], out["posts"], n)
+    return {**out, "floor_curve": curve}
+
+
 def decode_vorbis_pcm(packet: bytes, setup: dict):
     """PCM is the declared plug point: the floor1 inverse-dB table (256
     float constants, Vorbis I §10.1) and the IMDCT window are value

@@ -56,12 +56,16 @@ def test_validator_rejects_prefix_violation():
 
 
 def test_table_dimensions():
-    assert _HUFF_DIM == {1: 1, 2: 2, 3: 2, 5: 3, 6: 3}
+    # rounds 11 + 12: the small tables plus the 6x6/8x8 mid-amplitude set
+    assert _HUFF_DIM == {1: 1, 2: 2, 3: 2, 5: 3, 6: 3,
+                         7: 5, 8: 5, 9: 5, 10: 7, 11: 7, 12: 7}
     assert set(_COUNT1_A) == set(range(16))
 
 
+# round 12: tables 7-12 landed (test_r12_mp3_tables.py) — checksum
+# re-pinned over the enlarged registry
 TABLES_SHA256 = (
-    "69603381d69dcbe436f6c234e3294342e3eac8163640cdbfdcd96167d82b6a6e"
+    "6247a985510705b955023ba67aaefbd5f9463ef1eeeb689119a72436a4f5e64b"
 )
 
 
