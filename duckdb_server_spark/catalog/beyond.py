@@ -4952,6 +4952,215 @@ def b34c_vorbis_floor_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b34d_vorbis_floor_curve",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(range(1, 7), i ->
+               ascii(substr(text || repeat('x', 6), CAST(i AS INT), 1)))
+               AS c
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             (c[1] * 5) % 256 AS y0,
+             (c[2] * 7) % 256 AS y1,
+             c[3] % 63 + 1 AS p2,
+             CASE WHEN c[6] % 2 = 0 THEN 0 ELSE c[4] % 63 + 1 END AS p3,
+             CASE WHEN c[6] % 4 < 2 THEN 0 ELSE c[5] % 63 + 1 END AS p4,
+             c[6] % 4 AS m
+      FROM chars
+    ),
+    a2 AS (
+      SELECT *, y0 + CASE WHEN y1 >= y0 THEN (8 * (y1 - y0)) // 64
+                          ELSE -((8 * (y0 - y1)) // 64) END AS pred2
+      FROM p
+    ),
+    a2f AS (
+      SELECT *, CASE
+        WHEN p2 >= 2 * least(256 - pred2, pred2) THEN
+          CASE WHEN 256 - pred2 > pred2 THEN p2 ELSE 255 - p2 END
+        WHEN p2 % 2 = 1 THEN pred2 - (p2 + 1) // 2
+        ELSE pred2 + p2 // 2 END AS f2
+      FROM a2
+    ),
+    a3 AS (
+      SELECT *, f2 + CASE WHEN y1 >= f2 THEN (8 * (y1 - f2)) // 56
+                          ELSE -((8 * (f2 - y1)) // 56) END AS pred3
+      FROM a2f
+    ),
+    a3f AS (
+      SELECT *, CASE
+        WHEN p3 = 0 THEN pred3
+        WHEN p3 >= 2 * least(256 - pred3, pred3) THEN
+          CASE WHEN 256 - pred3 > pred3 THEN p3 ELSE 255 - p3 END
+        WHEN p3 % 2 = 1 THEN pred3 - (p3 + 1) // 2
+        ELSE pred3 + p3 // 2 END AS f3
+      FROM a3
+    ),
+    a4 AS (
+      SELECT *, f3 + CASE WHEN y1 >= f3 THEN (16 * (y1 - f3)) // 48
+                          ELSE -((16 * (f3 - y1)) // 48) END AS pred4
+      FROM a3f
+    ),
+    a4f AS (
+      SELECT *, CASE
+        WHEN p4 = 0 THEN pred4
+        WHEN p4 >= 2 * least(256 - pred4, pred4) THEN
+          CASE WHEN 256 - pred4 > pred4 THEN p4 ELSE 255 - p4 END
+        WHEN p4 % 2 = 1 THEN pred4 - (p4 + 1) // 2
+        ELSE pred4 + p4 // 2 END AS f4
+      FROM a4
+    ),
+    curve AS (
+      SELECT doc_id, y0, y1, f2, f3, f4, m,
+        CASE
+          WHEN m = 0 THEN
+            list_transform(range(0, 8), xx -> y0
+              + CASE WHEN f2 >= y0 THEN (xx * (f2 - y0)) // 8
+                     ELSE -((xx * (y0 - f2)) // 8) END)
+            || list_transform(range(8, 64), xx -> f2
+              + CASE WHEN y1 >= f2 THEN ((xx - 8) * (y1 - f2)) // 56
+                     ELSE -(((xx - 8) * (f2 - y1)) // 56) END)
+          WHEN m = 1 THEN
+            list_transform(range(0, 8), xx -> y0
+              + CASE WHEN f2 >= y0 THEN (xx * (f2 - y0)) // 8
+                     ELSE -((xx * (y0 - f2)) // 8) END)
+            || list_transform(range(8, 16), xx -> f2
+              + CASE WHEN f3 >= f2 THEN ((xx - 8) * (f3 - f2)) // 8
+                     ELSE -(((xx - 8) * (f2 - f3)) // 8) END)
+            || list_transform(range(16, 64), xx -> f3
+              + CASE WHEN y1 >= f3 THEN ((xx - 16) * (y1 - f3)) // 48
+                     ELSE -(((xx - 16) * (f3 - y1)) // 48) END)
+          ELSE
+            list_transform(range(0, 8), xx -> y0
+              + CASE WHEN f2 >= y0 THEN (xx * (f2 - y0)) // 8
+                     ELSE -((xx * (y0 - f2)) // 8) END)
+            || list_transform(range(8, 16), xx -> f2
+              + CASE WHEN f3 >= f2 THEN ((xx - 8) * (f3 - f2)) // 8
+                     ELSE -(((xx - 8) * (f2 - f3)) // 8) END)
+            || list_transform(range(16, 32), xx -> f3
+              + CASE WHEN f4 >= f3 THEN ((xx - 16) * (f4 - f3)) // 16
+                     ELSE -(((xx - 16) * (f3 - f4)) // 16) END)
+            || list_transform(range(32, 64), xx -> f4
+              + CASE WHEN y1 >= f4 THEN ((xx - 32) * (y1 - f4)) // 32
+                     ELSE -(((xx - 32) * (f4 - y1)) // 32) END)
+        END || list_transform(range(64, 128), xx -> CAST(y1 AS BIGINT))
+          AS v
+      FROM a4f
+    )
+    SELECT doc_id,
+           CAST(y0 AS INT) AS f0,
+           CAST(f2 AS INT) AS f2,
+           CAST(f3 AS INT) AS f3,
+           CAST(f4 AS INT) AS f4,
+           CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 5 END AS INT)
+             AS n_flags,
+           CAST(v[6] AS INT) AS v5,
+           CAST(v[13] AS INT) AS v12,
+           CAST(v[21] AS INT) AS v20,
+           CAST(v[41] AS INT) AS v40,
+           CAST(v[78] AS INT) AS v77,
+           CAST(v[101] AS INT) AS v100,
+           CAST(list_sum(v) AS INT) AS csum
+    FROM curve
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b34d_vorbis_floor_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vorbis floor1 CURVE SYNTHESIS (round 12, VERDICT r11 item 2;
+    operators/vorbis.py §7.2.4): each document's first 6 characters
+    become floor posts — y0/y1 stretched across the full 0-255 range
+    (x5/x7 mod 256) so the escape branch (val >= room) fires on real
+    rows, p2 always nonzero, and p3/p4 zeroed by char-6 parity so all
+    FOUR step2_flag structures occur: both off (3 flagged posts), p3
+    only (4), p3 flagged transitively by p4's neighbor rule (5), and
+    all on (5). The decoder walks §7.2.3 post decode then §7.2.4
+    amplitude + Bresenham curve synthesis — pure integer math, no
+    value table — and the oracle replays the whole chain closed-form:
+    render_line's error accumulation collapses to
+    y0 + sign(dy)*((k*|dy|) // adx), pinned equivalent to the loop in
+    tests/test_r12_vorbis_curve.py. Probes sample every segment plus
+    the flat tail; csum covers all 128 positions, so a one-step
+    Bresenham slip anywhere breaks the hash. Only the §10.1
+    inverse-dB table + IMDCT remain the float plug point. Reference
+    scope: blobs opaque (main.go:199). Scale shape: per-payload CPU in
+    mapInPandas; nothing crosses the driver."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _decode(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.vorbis import (
+            Codebook,
+            Floor1,
+            Residue2,
+            decode_vorbis_floor_curve,
+            encode_vorbis_audio,
+            encode_vorbis_setup,
+            floor1_amplitude,
+            parse_vorbis_setup,
+        )
+
+        book_a = Codebook(1, 64, [6] * 64)
+        book_b = Codebook(
+            4, 16, [4] * 16, lookup_type=2, minimum=-3.0, delta=1.0,
+            multiplicands=[(e + j) % 8 for e in range(16)
+                           for j in range(4)],
+        )
+        book_c = Codebook(4, 16, [4] * 16)
+        books = [book_a, book_b, book_c]
+        floor = Floor1([0], [3], [0], multiplier=1, rangebits=6,
+                       x_list=[0, 64, 8, 16, 32])
+        residue = Residue2(0, 128, 32, 2, 2, cascades=[0, 1],
+                           books=[[-1] * 8, [1] + [-1] * 7])
+        setup = parse_vorbis_setup(
+            encode_vorbis_setup(books, floor, residue)
+        )
+
+        cols = ("doc_id", "f0", "f2", "f3", "f4", "n_flags", "v5",
+                "v12", "v20", "v40", "v77", "v100", "csum")
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                cs = (((text_ or "") + "x" * 6)[:6]).encode("latin-1")
+                posts = [
+                    (cs[0] * 5) % 256,
+                    (cs[1] * 7) % 256,
+                    cs[2] % 63 + 1,
+                    0 if cs[5] % 2 == 0 else cs[3] % 63 + 1,
+                    0 if cs[5] % 4 < 2 else cs[4] % 63 + 1,
+                ]
+                pkt = encode_vorbis_audio(posts, [], [0], floor,
+                                          residue, books)
+                out = decode_vorbis_floor_curve(pkt, setup, 128)
+                fy, flags = floor1_amplitude(floor, out["posts"])
+                v = out["floor_curve"]
+                rows["doc_id"].append(doc_id)
+                rows["f0"].append(fy[0])
+                rows["f2"].append(fy[2])
+                rows["f3"].append(fy[3])
+                rows["f4"].append(fy[4])
+                rows["n_flags"].append(sum(flags))
+                rows["v5"].append(v[5])
+                rows["v12"].append(v[12])
+                rows["v20"].append(v[20])
+                rows["v40"].append(v[40])
+                rows["v77"].append(v[77])
+                rows["v100"].append(v[100])
+                rows["csum"].append(sum(v))
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _decode,
+        "doc_id long, f0 int, f2 int, f3 int, f4 int, n_flags int, "
+        "v5 int, v12 int, v20 int, v40 int, v77 int, v100 int, "
+        "csum int",
+    )
+    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
     "b75_warc_extract",
     oracle="""
     SELECT doc_id,

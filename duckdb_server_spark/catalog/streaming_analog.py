@@ -267,6 +267,75 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_stream_join_timeordered",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    ORDER BY click_id ASC NULLS LAST, purchase_id ASC NULLS LAST
+    """,
+)
+def st_stream_join_timeordered(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The st_stream_stream_join attribution join drained in MANY
+    micro-batches over TIME-ORDERED staging (round 12, VERDICT r11
+    item 3): events are staged one file per event-time slice with
+    strictly increasing mtimes and pulled one file per trigger, so the
+    watermark advances BETWEEN batches and join state evicts
+    progressively — the live-stream execution shape, measured rather
+    than argued (the r11s band's availableNow single-batch drain could
+    only show final state; here last_stream_progress()'s
+    peak_state_rows is the number an unbounded stream's memory budget
+    must cover). Time order is what makes the multi-batch drain
+    CORRECT: an unordered drain would deliver rows the watermark
+    already passed and silently drop them. Same oracle as the
+    single-batch variant — progressive eviction must not change the
+    result."""
+    from duckdb_server_spark.streaming import (
+        read_events_stream_time_ordered,
+    )
+
+    clicks = (
+        read_events_stream_time_ordered(spark, sf_dir,
+                                        with_watermark="1 hour")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream_time_ordered(spark, sf_dir,
+                                        with_watermark="1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "click_user = purchase_user AND "
+            "purchase_ts >= click_ts AND "
+            "purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        "click_id", "purchase_id", F.col("click_user").alias("user_id")
+    )
+    drained = run_stream_to_memory(joined, output_mode="append")
+    return drained.orderBy(
+        F.col("click_id").asc_nulls_last(),
+        F.col("purchase_id").asc_nulls_last(),
+    )
+
+
+@query(
     "st_stream_file_sink",
     oracle="""
     SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value

@@ -28,11 +28,19 @@ writer and definition-replay oracles — the MP3/VP8/FLAC playbook):
 * **setup header** (§4.2.4): codebook count, time-domain placeholders,
   floor/residue/mapping/mode configs, framing bit.
 
+* **floor1 CURVE synthesis** (§7.2.4, round 12 — VERDICT r11 item 2):
+  amplitude reconstruction (low/high neighbors, render_point
+  prediction, the val/room escape recentering, step2 flags) and the
+  Bresenham render_line walk to the INTEGER floor vector — pure
+  integer math per §9.2.4-9.2.7, no value table involved; the
+  closed-form equivalent y0 + sign(dy)*((k*|dy|) // adx) is pinned in
+  tests and replayed by the b34d oracle.
+
 Declared plug points (fail closed, never garbage samples):
-* floor CURVE synthesis and PCM — the floor1 inverse-dB table (256
-  float constants) is a value table unavailable in this container, and
-  the IMDCT window follows it; decode stops at the integer layer
-  (posts + residue vectors), exactly like MP3 stops at subbands;
+* PCM — the floor1 inverse-dB table (256 float constants, §10.1) is a
+  value table unavailable in this container, and the IMDCT window
+  follows it; decode stops at the synthesized integer floor curve +
+  residue vectors, exactly like MP3 stops at subbands;
 * floor0 (LSP), residue types 0/1 standalone, channel coupling, and
   long/short window switching — streams using them raise naming the
   feature. (Codebook lookup type 1 — the implicit lattice — decodes

@@ -16,6 +16,7 @@ so even the streaming path hash-matches the batch oracle.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 from contextlib import contextmanager
@@ -119,6 +120,102 @@ def read_events_stream(
     return stream
 
 
+def read_events_stream_time_ordered(
+    spark: SparkSession,
+    sf_dir: str,
+    with_watermark: str | None = "1 hour",
+    slices: int | None = None,
+) -> DataFrame:
+    """File-source stream over events staged as ONE FILE PER EVENT-TIME
+    SLICE, drained one file per micro-batch (round 12, VERDICT r11 item
+    3 — retiring the availableNow caveat in SCALING.md's r11s band).
+
+    The plain staging writes parquet parts in arbitrary time order, so
+    a multi-file drain would deliver late rows the watermark already
+    passed and silently drop them — the reason r11 drained everything
+    in ONE batch and could only *argue* that live-stream state stays
+    bounded. Here each slice is written sequentially and stamped with a
+    strictly increasing mtime (the file source orders by modification
+    time), so ``maxFilesPerTrigger=1`` under availableNow replays the
+    stream in event-time order: the watermark advances between
+    micro-batches, join/agg state evicts progressively, and the
+    per-batch PEAK state (last_stream_progress()['peak_state_rows'])
+    measures what a live 100 TB/day stream would actually hold.
+
+    ``slices=None`` derives the count from the data's time span at a
+    FIXED ~5-day slice duration — a micro-batch covers constant wall
+    time, so when the scaling band extends the time axis 10x/100x the
+    slice count (micro-batch count) grows with it and per-batch volume
+    stays flat, exactly a live stream's shape. A slice must be ONE
+    file: two files of the same slice would drain as separate batches
+    and the second could carry rows the watermark passed after the
+    first. Staging is a single pass — repartition on the slice key
+    makes each slice's rows one task, partitionBy makes them one file.
+    """
+    import hashlib
+
+    batch = load_table(spark, sf_dir, "events")
+    lo, hi = batch.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    span = max(int(hi) - int(lo) + 1, 1)
+    if slices is None:
+        slices = min(1024, max(2, round(span / (5 * 86400))))
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staged = os.path.join(
+        tempfile.gettempdir(), f"dss_stream_events_{key}_to{slices}"
+    )
+    marker = os.path.join(staged, "_STAGED_OK")
+    if not os.path.exists(marker):
+        sliced = batch.withColumn(
+            "__slice",
+            F.least(
+                F.lit(slices - 1),
+                ((F.unix_timestamp("ts") - F.lit(int(lo)))
+                 * slices / span).cast("int"),
+            ),
+        )
+        if os.path.isdir(staged):
+            shutil.rmtree(staged)
+        tmp = staged + "_build"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        (sliced.repartition(slices, "__slice")
+         .write.partitionBy("__slice").mode("overwrite").parquet(tmp))
+        os.makedirs(staged)
+        base_mtime = 1_000_000_000
+        for k in range(slices):
+            part_dir = os.path.join(tmp, f"__slice={k}")
+            parts = (
+                [f for f in sorted(os.listdir(part_dir))
+                 if f.endswith(".parquet")]
+                if os.path.isdir(part_dir) else []
+            )
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"time-ordered staging: slice {k} has {len(parts)} "
+                    f"files (need exactly 1 for watermark correctness)"
+                )
+            dst = os.path.join(staged, f"slice{k:04d}.parquet")
+            shutil.move(os.path.join(part_dir, parts[0]), dst)
+            # deterministic, strictly increasing: the file source
+            # orders by mtime, and same-second writes would tie
+            os.utime(dst, (base_mtime + k, base_mtime + k))
+        shutil.rmtree(tmp)
+        with open(marker, "w") as fh:
+            fh.write(str(slices))
+    # partitionBy dropped __slice from the data files; serve the
+    # original schema
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    if with_watermark:
+        stream = stream.withWatermark("ts", with_watermark)
+    return stream
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
@@ -153,9 +250,17 @@ _LAST_PROGRESS: dict = {}
 
 def _capture_progress(q) -> None:
     state_rows = 0
+    peak = 0
     batches = 0
     try:
-        batches = len(q.recentProgress)
+        progresses = q.recentProgress or []
+        batches = len(progresses)
+        for pr in progresses:
+            tot = sum(
+                int(op.get("numRowsTotal", 0) or 0)
+                for op in (pr.get("stateOperators", []) or [])
+            )
+            peak = max(peak, tot)
         lp = q.lastProgress or {}
         for op in lp.get("stateOperators", []) or []:
             state_rows += int(op.get("numRowsTotal", 0) or 0)
@@ -163,12 +268,16 @@ def _capture_progress(q) -> None:
         return
     _LAST_PROGRESS.clear()
     _LAST_PROGRESS.update(
-        {"state_rows": state_rows, "batches": batches}
+        {"state_rows": state_rows, "batches": batches,
+         "peak_state_rows": peak}
     )
 
 
 def last_stream_progress() -> dict:
     """State-store metrics of the most recent ``run_stream_to_memory``
     drain: {'state_rows': total rows held across stateful operators at
-    the final micro-batch, 'batches': micro-batch count}."""
+    the final micro-batch, 'batches': micro-batch count,
+    'peak_state_rows': the max held at ANY micro-batch — the number a
+    live unbounded stream's memory budget must cover (round 12; only
+    meaningful with a multi-batch time-ordered drain)}."""
     return dict(_LAST_PROGRESS)

@@ -276,6 +276,16 @@ GROUPS = {
         ("st_stream_neardup", 5_000, ("1x", "10x", "100x")),
         ("st_stream_warc_ingest", 5_000, ("1x", "10x", "100x")),
     ],
+    # round-12 streaming band (VERDICT r11 item 3): the SAME
+    # stream-stream join drained over TIME-ORDERED slice files, one per
+    # micro-batch, on the duration-extended tiers. Slice duration is
+    # fixed (~5 days), so batch COUNT grows with the tier while
+    # per-batch volume stays flat — the live-stream shape. The metric
+    # is peak_state_rows: flat across 100x duration = bounded state
+    # MEASURED per batch, retiring the r11s availableNow caveat.
+    "r12s": [
+        ("st_stream_join_timeordered", 100_000, ("1x", "10x", "100x")),
+    ],
     # the 100x fact tier (lineitem 60M rows) for the headline join/agg
     # shapes — VERDICT r8 item 7: prove the plans hold where the
     # LLM-pipeline operators already did. Dimensions stay fixed, so the
@@ -318,7 +328,7 @@ def generate(spark) -> None:
 
 def run(spark, group: str) -> None:
     results = {}
-    tiers_map = STREAM_TIERS if group == "r11s" else TIERS
+    tiers_map = STREAM_TIERS if group in ("r11s", "r12s") else TIERS
     for name, base_rows, tiers in GROUPS[group]:
         results[name] = {}
         for tier in tiers:
@@ -346,7 +356,7 @@ def run(spark, group: str) -> None:
                 "rows_per_sec": int(rows / best),
             }
             extra = ""
-            if group == "r11s":
+            if group in ("r11s", "r12s"):
                 from duckdb_server_spark.streaming import (
                     last_stream_progress,
                 )
@@ -354,7 +364,8 @@ def run(spark, group: str) -> None:
                 prog = last_stream_progress()
                 results[name][tier].update(prog)
                 extra = (f"  state_rows={prog.get('state_rows')} "
-                         f"batches={prog.get('batches')}")
+                         f"batches={prog.get('batches')} "
+                         f"peak={prog.get('peak_state_rows')}")
             print(
                 f"RES {name:28s} {tier:>4s}: {best:8.3f}s "
                 f"({int(rows / best):>11,} rows/s){extra}",
