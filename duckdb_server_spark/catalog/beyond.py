@@ -4827,6 +4827,188 @@ def b35f_mp3_midamp_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.orderBy(F.col("doc_id").asc_nulls_last())
 
 
+def _esc_hlen_lists() -> tuple[str, str, str]:
+    """Engine-profile hlen grids for the b35g oracle (deterministic at
+    import — see the _ENGINE_HUFF provenance note in mp3_l3.py): code
+    table 16 row x=15, code table 24 column y=15, table 13 full grid."""
+    from duckdb_server_spark.operators.mp3_l3 import _ENGINE_HUFF
+
+    h16_r15 = [_ENGINE_HUFF[16][(15, y)][0] for y in range(16)]
+    h24_c15 = [_ENGINE_HUFF[24][(x, 15)][0] for x in range(16)]
+    h13 = [_ENGINE_HUFF[13][(x, y)][0]
+           for x in range(16) for y in range(16)]
+    return (
+        "[" + ",".join(map(str, h16_r15)) + "]",
+        "[" + ",".join(map(str, h24_c15)) + "]",
+        "[" + ",".join(map(str, h13)) + "]",
+    )
+
+
+_H16R15_SQL, _H24C15_SQL, _H13_SQL = _esc_hlen_lists()
+
+# Per-position replay fragments for the b35g oracle. Position classes:
+# i <= 4 -> region 0 (table 20: code table 16, 6 linbits, x escaped),
+# i <= 6 -> region 1 (table 27: code table 24, 7 linbits, y escaped),
+# else   -> region 2 (table 13, full dim, no linbits). ``{K}`` is the
+# char expression (c[i] for granule 1, c[9-i] reversed for granule 2).
+_B35G_BITS = """
+               CASE
+                 WHEN i <= 4 THEN
+                   {h16}[({K}) % 8 + 1] + 7
+                   + CASE WHEN ({K}) % 8 > 0 THEN 1 ELSE 0 END
+                 WHEN i <= 6 THEN
+                   {h24}[(({K}) >> 5) % 8 + 1] + 8
+                   + CASE WHEN (({K}) >> 5) % 8 > 0 THEN 1 ELSE 0 END
+                 ELSE
+                   {h13}[((({K}) >> 4) % 16) * 16 + ({K}) % 16 + 1]
+                   + CASE WHEN (({K}) >> 4) % 16 > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN ({K}) % 16 > 0 THEN 1 ELSE 0 END
+               END"""
+_B35G_SUM = """
+               CASE
+                 WHEN i <= 4 THEN
+                   (1 - 2 * ((({K}) >> 6) % 2)) * (15 + ({K}) % 64)
+                   + (1 - 2 * ((({K}) >> 1) % 2)) * (({K}) % 8)
+                 WHEN i <= 6 THEN
+                   (1 - 2 * ((({K}) >> 6) % 2)) * ((({K}) >> 5) % 8)
+                   + (1 - 2 * ((({K}) >> 1) % 2)) * (15 + ({K}) % 128)
+                 ELSE
+                   (1 - 2 * ((({K}) >> 6) % 2)) * ((({K}) >> 4) % 16)
+                   + (1 - 2 * ((({K}) >> 1) % 2)) * (({K}) % 16)
+               END"""
+
+
+@query(
+    "b35g_mp3_esc_linbits",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(range(1, 9), i ->
+               ascii(substr(text || repeat('x', 8), CAST(i AS INT), 1)))
+               AS c
+      FROM documents
+    ),
+    acc AS (
+      SELECT doc_id, c,
+             list_transform(range(1, 9), i -> {_B35G_BITS.format(
+                 K="c[CAST(i AS INT)]", h16=_H16R15_SQL,
+                 h24=_H24C15_SQL, h13=_H13_SQL)}) AS bits1,
+             list_transform(range(1, 9), i -> {_B35G_BITS.format(
+                 K="c[CAST(9 - i AS INT)]", h16=_H16R15_SQL,
+                 h24=_H24C15_SQL, h13=_H13_SQL)}) AS bits2,
+             list_transform(range(1, 9), i -> {_B35G_SUM.format(
+                 K="c[CAST(i AS INT)]")}) AS sum1,
+             list_transform(range(1, 9), i -> {_B35G_SUM.format(
+                 K="c[CAST(9 - i AS INT)]")}) AS sum2,
+             list_transform(range(1, 9), i ->
+               CASE
+                 WHEN i <= 4 THEN
+                   1 + CASE WHEN c[CAST(i AS INT)] % 8 > 0
+                            THEN 1 ELSE 0 END
+                 WHEN i <= 6 THEN
+                   1 + CASE WHEN (c[CAST(i AS INT)] >> 5) % 8 > 0
+                            THEN 1 ELSE 0 END
+                 ELSE
+                   CASE WHEN (c[CAST(i AS INT)] >> 4) % 16 > 0
+                        THEN 1 ELSE 0 END
+                   + CASE WHEN c[CAST(i AS INT)] % 16 > 0
+                          THEN 1 ELSE 0 END
+               END) AS nz1
+      FROM chars
+    )
+    SELECT doc_id,
+           CAST(8 AS INT) AS bv,
+           CAST(list_sum(bits1) AS INT) AS g1_bits,
+           CAST(list_sum(sum1) AS INT) AS g1_sum,
+           CAST(list_sum(nz1) AS INT) AS g1_nonzero,
+           CAST(list_sum(bits2) AS INT) AS g2_bits,
+           CAST(list_sum(sum2) AS INT) AS g2_sum,
+           CAST(sum1[1] + sum1[2] + sum1[3] + sum1[4] AS INT)
+             AS esc_sum,
+           CAST((1 - 2 * ((c[7] >> 6) % 2)) * ((c[7] >> 4) % 16)
+                AS INT) AS r2_first
+    FROM acc
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b35g_mp3_esc_linbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 ESC/linbits big-values decode (round 12, VERDICT r11 item 1;
+    operators/mp3_l3.py): each document's 8 characters become
+    big-value pairs across all three regions — region 0 under table 20
+    (ESC family sharing code table 16, 6 linbits, x ALWAYS escaped:
+    x = 15 + c%64), region 1 under table 27 (code table 24, 7 linbits,
+    y escaped: y = 15 + c%128), region 2 under table 13 (full dim-15,
+    no linbits) — written by write_l3_fixture and decoded back under
+    ``esc_profile="engine"`` (the code tables are ENGINE-DEFINED, not
+    ISO transcriptions — see the _ENGINE_HUFF provenance note; foreign
+    streams stay fail-closed by default). Granule 2 re-encodes the
+    REVERSED characters, so each char crosses region/table class. The
+    oracle replays the engine hlen grids (embedded verbatim — code
+    table 16 escape row, code table 24 escape column, table 13's full
+    256-entry grid) plus linbits and sign accounting from the
+    definition: one wrong code length, a skipped linbits field, or a
+    sign slip breaks g1_bits/g2_bits/sums. Reference scope: blobs are
+    opaque passthrough (main.go:199)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _decode(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.mp3_l3 import (
+            decode_l3_spectral,
+            write_l3_fixture,
+        )
+
+        cols = ("doc_id", "bv", "g1_bits", "g1_sum", "g1_nonzero",
+                "g2_bits", "g2_sum", "esc_sum", "r2_first")
+
+        def _pairs(cs):
+            out = []
+            for i, c in enumerate(cs):
+                if i < 4:      # region 0 — table 20 (6 linbits)
+                    x, y = 15 + (c % 64), c % 8
+                elif i < 6:    # region 1 — table 27 (7 linbits)
+                    x, y = (c >> 5) % 8, 15 + (c % 128)
+                else:          # region 2 — table 13 (no linbits)
+                    x, y = (c >> 4) % 16, c % 16
+                out.append((x, y,
+                            (c >> 6) % 2 if x else 0,
+                            (c >> 1) % 2 if y else 0))
+            return out
+
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                cs = (((text_ or "") + "x" * 8)[:8]).encode("latin-1")
+                blob = write_l3_fixture(
+                    [[], []],
+                    granule_pairs=[_pairs(cs), _pairs(cs[::-1])],
+                    table_select=(20, 27, 13),
+                    region_counts=(1, 0),
+                    br_idx=5,
+                    esc_profile="engine",
+                )
+                fr = decode_l3_spectral(blob, esc_profile="engine")[0]
+                g1, g2 = fr["granules"]
+                rows["doc_id"].append(doc_id)
+                rows["bv"].append(g1["big_values"])
+                rows["g1_bits"].append(g1["part2_3_length"])
+                rows["g1_sum"].append(sum(g1["is"]))
+                rows["g1_nonzero"].append(sum(1 for v in g1["is"] if v))
+                rows["g2_bits"].append(g2["part2_3_length"])
+                rows["g2_sum"].append(sum(g2["is"]))
+                rows["esc_sum"].append(sum(g1["is"][:8]))
+                rows["r2_first"].append(g1["is"][12])
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _decode,
+        "doc_id long, bv int, g1_bits int, g1_sum int, g1_nonzero int, "
+        "g2_bits int, g2_sum int, esc_sum int, r2_first int",
+    )
+    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+
+
 @query(
     "b34c_vorbis_floor_residue",
     oracle="""
