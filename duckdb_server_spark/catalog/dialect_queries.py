@@ -801,6 +801,46 @@ ORDER BY o_orderkey ASC NULLS LAST
 """
 
 
+_S39_SQL = """
+SELECT o_orderkey,
+       format('{:.3}', o_totalprice / 7) AS sig3,
+       format('{:.1}', o_totalprice / 70000000) AS sig_tiny,
+       format('{:.2e}', o_totalprice / 7) AS sci2,
+       format('{:>7.2s}|{:.4}', o_orderpriority, 'PRIORITY') AS s_trunc,
+       CAST(TIME '22:45:00' + INTERVAL (o_orderkey % 11 * 37) MINUTE
+            AS VARCHAR) AS t_wrap,
+       list_reverse_sort([o_orderkey % 7, NULL, 5], 'NULLS FIRST')[1]
+         AS l_first,
+       list_sort([o_orderkey % 7, NULL, 3], 'DESC', 'NULLS FIRST')[3]
+         AS l_third,
+       ({'Qty': o_orderkey % 9, 'b': 2}).qty AS st_case,
+       o_orderpriority COLLATE NOCASE < '3-medium' AS coll_lt
+FROM orders
+WHERE o_orderkey <= 400
+ORDER BY o_orderpriority COLLATE NOCASE, o_orderkey ASC NULLS LAST
+"""
+
+
+@query("s39_dialect_fmt_time_collate", oracle=_S39_SQL)
+def s39_dialect_fmt_time_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery 39 as one verbatim shared statement: fmt's ``{:.N}``
+    SIGNIFICANT-digit general format (scientific keeps zeros, fixed
+    >= 1 pads to N with at least one fraction digit, fixed < 1 strips
+    zeros with the bundled fmt's leading-zero clamp reproduced
+    bug-compatibly — dialect_rewrites/breadth.py _fmt_sig_sql),
+    ``{:.Ns}`` string truncation with fmt's left-default alignment,
+    ``{:.Ne}`` explicit scientific, TIME ± a RUNTIME interval count
+    wrapping modulo 24 h (lowered to pmod microsecond arithmetic —
+    Spark's TIME type has no arithmetic), two-arg list_reverse_sort
+    null placement, struct field-name case-insensitivity, and COLLATE
+    NOCASE in both comparison and ORDER BY positions (o_orderkey
+    tiebreak keeps the NOCASE sort deterministic). The /7 divisors
+    keep every formatted value's shortest repr longer than the
+    rounding position — the pseudo-decimal-tie residual documented at
+    _fmt_sig_sql cannot trigger."""
+    return _sql(spark, sf_dir, _S39_SQL, ("orders",))
+
+
 @query("s38_dialect_interval_mix", oracle=_S38_SQL)
 def s38_dialect_interval_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Battery 38 as one verbatim shared statement: DuckDB's unified

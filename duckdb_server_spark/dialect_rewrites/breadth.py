@@ -224,8 +224,82 @@ def _flatten_named_struct(expr: str) -> str:
 
 
 _FMT_SPEC_RE = re.compile(
-    r"\{(\d*)(?::([<>]?)(0?)(\d*)(?:\.(\d+))?([dxXf,]?))?\}"
+    r"\{(\d*)(?::([<>]?)(0?)(\d*)(?:\.(\d+))?([dxXfse,]?))?\}"
 )
+
+
+def _fmt_sig_sql(a: str, prec: int) -> str:
+    """fmt's ``{:.N}`` on a NUMERIC argument — N SIGNIFICANT digits in
+    the none-type general format (battery 39, probed on DuckDB 1.0,
+    262/265 over a 53-value × 5-precision grid):
+
+    * scientific (`d.dde+XX`, zeros KEPT) when the rounded exponent X
+      >= N or < -4 — Java's %e prints the identical shape;
+    * fixed for X >= 0: all N significant digits kept (2.0 -> '2.00'),
+      and at least one fraction digit ('120' -> '120.0');
+    * fixed for X < 0: trailing zeros STRIPPED (0.5 -> '0.5'), with the
+      bundled fmt's quirk reproduced bug-compatibly: leading zeros
+      after the point CLAMP at N, shifting deeper values up
+      ('{:.1}' of 0.002 -> '0.02', of 0.0002 -> '0.02').
+
+    Build (bround demands a FOLDABLE scale, so the rounding happens at
+    a constant scale after a power-of-ten shift): a first %e estimates
+    the decimal exponent X1, the value divides by 10^(X1-N+1) so the N
+    significant digits land in the integer part, bround(…, 0) rounds
+    half-even, and the digit string comes from that exact integer
+    mantissa (≤ 2^53, BIGINT-exact) — all JVM-side builtins, no UDF.
+
+    Pinned residuals (tests/test_r12_dialect_b39.py): values whose
+    SHORTEST repr is a decimal tie at position N but whose binary
+    value is not exactly that tie ('{:.1}' of 0.95: binary
+    0.9499… -> DuckDB '0.9', while every JVM decimal path sees '0.95'
+    -> '1.0'), subnormals (4.9e-324: Java zero-pads the shortest repr,
+    fmt prints exact binary digits), and values within ~1 ulp of a
+    rounding boundary when |X1-N+1| > 22 (the shift power itself
+    rounds). Exact binary ties (0.25, 2.5, 0.125…) round half-even
+    identically on both sides."""
+    v = f"CAST({a} AS DOUBLE)"
+    av = f"abs({v})"
+    e1 = f"format_string('%.{prec - 1}e', {av})"
+    x1 = f"CAST(element_at(split({e1}, 'e'), 2) AS INT)"
+    pw = f"CAST(concat('1e', CAST({x1} - {prec - 1} AS STRING)) AS DOUBLE)"
+    mant = f"bround({av} / {pw}, 0)"
+    carry = f"(CASE WHEN {mant} >= {10 ** prec}d THEN 1 ELSE 0 END)"
+    x = f"({x1} + {carry})"
+    m = (
+        f"CAST(CAST(CASE WHEN {carry} = 1 THEN {mant} / 10 "
+        f"ELSE {mant} END AS BIGINT) AS STRING)"
+    )
+    sign = f"CASE WHEN {v} < 0 THEN '-' ELSE '' END"
+    frac = f"substr({m}, 2)"
+    sci = (
+        f"concat({sign}, substr({m}, 1, 1), "
+        f"CASE WHEN {frac} = '' THEN '' ELSE concat('.', {frac}) END, "
+        f"'e', CASE WHEN {x} < 0 THEN '-' ELSE '+' END, "
+        f"CASE WHEN abs({x}) < 10 THEN concat('0', CAST(abs({x}) AS "
+        f"STRING)) ELSE CAST(abs({x}) AS STRING) END)"
+    )
+    fixed_big = (
+        f"concat({sign}, substr({m}, 1, {x} + 1), "
+        f"CASE WHEN {x} + 1 >= {prec} THEN '.0' "
+        f"ELSE concat('.', substr({m}, {x} + 2)) END)"
+    )
+    small = (
+        f"concat({sign}, '0.', regexp_replace(concat("
+        f"repeat('0', least(-{x} - 1, {prec})), {m}), '0+$', ''))"
+    )
+    zero_out = "0." + "0" * max(prec - 1, 1)
+    return (
+        f"CASE WHEN ({a}) IS NULL THEN NULL "
+        f"WHEN isnan({v}) THEN 'nan' "
+        f"WHEN {v} = double('Infinity') THEN 'inf' "
+        f"WHEN {v} = double('-Infinity') THEN '-inf' "
+        f"WHEN {v} = 0d THEN concat({sign}, '{zero_out}') "
+        f"WHEN {av} < 2.3e-308d THEN concat({sign}, {e1}) "
+        f"WHEN {x} >= {prec} OR {x} < -4 THEN {sci} "
+        f"WHEN {x} >= 0 THEN {fixed_big} "
+        f"ELSE {small} END"
+    )
 
 
 def _format_fmt_template(args: list[str], table: list[str]) -> str | None:
@@ -298,11 +372,41 @@ def _format_fmt_template(args: list[str], table: list[str]) -> str | None:
         a = vals[idx]
         used.append(a)
         w = width or ""
-        if prec is not None and conv != "f":
-            return None  # {:.N} is SIGNIFICANT digits in fmt, not %.Nf
+        if prec is not None and conv in ("d", "x", "X", ","):
+            return None  # fmt: "precision not allowed" on int types
+        is_str_lit = bool(re.fullmatch(r"\x00\d+\x00", a.strip()))
         if conv == "f":
             out.append(f"%{zero}{w}.{prec or '6'}f")
             new_args.append(f"CAST({a} AS DOUBLE)")
+        elif conv == "e":
+            if zero:
+                return None
+            flag = "-" if align == "<" else ""
+            out.append(f"%{flag}{w}.{prec or '6'}e")
+            new_args.append(f"CAST({a} AS DOUBLE)")
+        elif conv == "s" or (not conv and prec is not None
+                             and is_str_lit):
+            # fmt strings: precision TRUNCATES; width LEFT-aligns by
+            # default (numbers right-align) — probed '{:8.4}' of
+            # 'abcdefg' = 'abcd    '
+            if zero:
+                return None
+            flag = "" if align == ">" else "-" if (align == "<" or w) else ""
+            p = f".{prec}" if prec is not None else ""
+            out.append(f"%{flag}{w}{p}s")
+            new_args.append(a)
+        elif not conv and prec is not None:
+            # {:.N} on a numeric argument: SIGNIFICANT digits (battery
+            # 39) — see _fmt_sig_sql. Non-literal string args reaching
+            # this path fail at runtime on the ANSI double cast (an
+            # error, never silent truncation-vs-rounding confusion).
+            # {:.0} stays fail-closed (fmt's P=0 prints '1000'-style
+            # magnitude-only output, out of the probed subset).
+            if zero or int(prec) == 0:
+                return None
+            flag = "-" if align == "<" else ""
+            out.append(f"%{flag}{w}s")
+            new_args.append(_fmt_sig_sql(a, int(prec)))
         elif conv == "d":
             out.append(f"%{zero}{w}d")
             new_args.append(f"CAST({a} AS BIGINT)")
@@ -1015,6 +1119,16 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         # DuckDB default is DESC NULLS LAST: reverse of ASC NULLS FIRST
         # (array_sort would put NULLs last pre-reverse → NULLs FIRST)
         return f"reverse(sort_array({args[0]}))"
+    if fn in ("list_reverse_sort", "array_reverse_sort") and len(args) == 2:
+        # battery 39: the optional null-order argument (probed:
+        # 'NULLS LAST' keeps the default [3,1,NULL] shape,
+        # 'NULLS FIRST' leads with NULLs)
+        nulls = (_literal_value(_unmask(args[1], table)) or "").upper()
+        if nulls == "NULLS LAST":
+            return f"sort_array({args[0]}, false)"
+        if nulls == "NULLS FIRST":
+            return f"reverse(array_sort({args[0]}))"
+        return None
     if fn in ("date_trunc", "datetrunc") and len(args) == 2:
         part = (_literal_value(_unmask(args[0], table)) or "").lower()
         if part in ("year", "quarter", "month", "week", "day", "decade",
@@ -2298,6 +2412,23 @@ _INTERVAL_FIRST_RE = re.compile(
     re.IGNORECASE,
 )
 
+# TIME 'lit' ± INTERVAL (<expr>) UNIT — battery 39: the interval count
+# is a runtime expression, so the fold lowers to modular microsecond
+# arithmetic + a rebuilt TIME cast instead of a rewrite-time constant
+_TIME_ARITH_DYN_RE = re.compile(
+    r"\bTIME\s+(\x00\d+\x00)\s*([+-])\s*INTERVAL\s*\(",
+    re.IGNORECASE,
+)
+
+_TIME_DYN_UNIT_US = {
+    "microsecond": 1, "microseconds": 1,
+    "millisecond": 1_000, "milliseconds": 1_000,
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
 # DATE 'd' + TIME 't' (either order) → TIMESTAMP literal; and
 # TIMESTAMP 'x'::TIME / CAST(TIMESTAMP 'x' AS TIME) → TIME literal.
 # Literal folds only — Spark's TIME type has no runtime constructors,
@@ -2439,6 +2570,44 @@ def _fold_time_arithmetic(s: str, table: list[str]) -> str:
         if repl is None:
             break
         s = s[: m.start()] + repl + s[m.end() :]
+
+    # battery 39: TIME 'lit' ± INTERVAL (<runtime expr>) UNIT — DuckDB
+    # wraps modulo 24 h; lower to pmod micros + format_string + CAST
+    # back to TIME (the probed wrap in both directions)
+    while m := _TIME_ARITH_DYN_RE.search(s):
+        t = _literal_value(_unmask(m.group(1), table))
+        tm = _parse_time_micros(t) if t is not None else None
+        if tm is None:
+            break
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        if close is None or close < 0:
+            break
+        expr = s[open_idx + 1 : close]
+        um = re.match(r"\s*([A-Za-z]+)\b", s[close + 1 :])
+        unit_us = _TIME_DYN_UNIT_US.get((um.group(1) if um else "").lower())
+        if unit_us is None:
+            break
+        sgn = m.group(2)
+        us = (
+            f"pmod({tm}L {sgn} (CAST(({expr}) AS BIGINT) * {unit_us}L), "
+            f"86400000000L)"
+        )
+        # the engine serves TIME as its ISO string form (ddl.py type
+        # map) with a zero fraction omitted, like _fmt_time_micros
+        tmpl = _masked_literal(table, "%02d:%02d:%02d")
+        ftmpl = _masked_literal(table, ".%06d")
+        repl = (
+            f"concat(format_string({tmpl}, "
+            f"CAST(({us}) DIV 3600000000 AS INT), "
+            f"CAST((({us}) DIV 60000000) % 60 AS INT), "
+            f"CAST((({us}) DIV 1000000) % 60 AS INT)), "
+            f"CASE WHEN ({us}) % 1000000 = 0 THEN '' "
+            f"ELSE regexp_replace(format_string({ftmpl}, "
+            f"CAST(({us}) % 1000000 AS INT)), '0+$', '') END)"
+        )
+        end = close + 1 + um.end()
+        s = s[: m.start()] + repl + s[end:]
 
     def date_time_fold(date_mask: str, time_mask: str) -> str | None:
         d = _literal_value(_unmask(date_mask, table))

@@ -205,12 +205,9 @@ def test_format_on_columns(sql38, duck):
     )
 
 
-def test_format_significant_digits_fails_closed(sql38, duck):
-    # {:.3} is SIGNIFICANT digits in fmt, not %.3f — out of the
-    # rewrite's subset; the call must stay unresolved, never silently
-    # format 3 decimals
-    import pytest as _pytest
-
-    with serving_dialect(True):
-        with _pytest.raises(Exception, match="UNRESOLVED|format"):
-            run_sql(sql38, "SELECT format('{:.3}', 3.14159) AS v").collect()
+def test_format_significant_digits_now_supported(sql38, duck):
+    # {:.3} is SIGNIFICANT digits in fmt, not %.3f — fail-closed in
+    # round 11; battery 39 (round 12) landed the probed lowering
+    # (dialect_rewrites/breadth.py _fmt_sig_sql). The full grid lives
+    # in tests/test_r12_dialect_b39.py; this pin guards the flip.
+    _match(sql38, duck, "SELECT format('{:.3}', 3.14159) AS v")
