@@ -84,6 +84,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # semantics). 7 new + 42 stale + 5 changed slightly overfills the
 # ~50/round budget (the p/o/u singles are sub-second); after this
 # round no declared query's stamp predates r4.
+# Round 12 (VERDICT r11 item 6): steady-state rotation, second turn —
+# oldest stamps head the budget. The new r12 queries go first (never
+# checked), then the 45 r4-stamped rows (the oldest evidence left after
+# the r11 rotation re-stamped the r3 band; histogram at rotation time:
+# 45×r4, 18×r5, 46×r7, 47×r8, 25×r9, 49×r10, 50×r11) cheapest families
+# first — fn/source singles, joins/TPC-H, beyond, streaming last — then
+# rows whose serving path changed this round (the format()/{:.N},
+# list_reverse_sort and TIME-arithmetic rewrites all live in
+# dialect_rewrites/breadth.py). 6 new + 45 stale slightly overfills the
+# ~50/round budget like r11 did (the fn/s singles are sub-second);
+# after this round no declared query's stamp predates r5.
+_PRIORITY_R12: tuple[str, ...] = (
+    # --- new in round 12 ---
+    "b35f_mp3_midamp_tables",    # new: B.7 tables 7-12 decode
+    "b35g_mp3_esc_linbits",      # new: ESC/linbits engine-profile decode
+    "b34d_vorbis_floor_curve",   # new: §7.2.4 floor-curve synthesis
+    "s39_dialect_fmt_time_collate",  # new: battery-39 parity statement
+    "b85b_crawl_fuzzy_e2e",      # new: crawl chain + MinHash-LSH stage
+    "st_stream_join_timeordered",  # new: multi-batch bounded-state join
+    # --- the 45 r4-stamped rows, cheapest families first ---
+    "fn_pandas_udf_scalar",
+    "fn_pandas_udaf",
+    "fn_udtf_lateral",
+    "fn_map_in_arrow",
+    "s02_csv_scan",
+    "s03_json_scan",
+    "s05_view",
+    "s06_inline_values",
+    "s07b_range_series",
+    "s09_http_scan",
+    "s09b_python_datasource",
+    "s10_federated_flight",
+    "s12_csv_sink_roundtrip",
+    "s12_parquet_sink_roundtrip",
+    "s13_merge_upsert",
+    "j07b_banded_range_join",
+    "k01_salted_agg",
+    "t09_product_type_profit",
+    "t10_returned_items",
+    "t11_important_part_value",
+    "t12_priority_lines",
+    "t13_customer_distribution",
+    "t14_promo_revenue",
+    "t15_top_supplier",
+    "t16_supplier_part_count",
+    "t17_small_quantity_revenue",
+    "t18_large_volume_customer",
+    "t19_disjunctive_filter",
+    "t20_potential_promotion",
+    "t21_waiting_supplier",
+    "t22_global_sales_opportunity",
+    "b15_pq_adc_topk",
+    "b40_training_data_pipeline",
+    "b51_tfidf_topk",
+    "b52_dup_cluster_keep_best",
+    "b53_bloom_decontam",
+    "b54_ivfpq_topk",
+    "st_tumbling_window",
+    "st_sliding_window",
+    "st_session_window",
+    "st_dedup",
+    "st_stateful_totals",
+    "st_stream_tumbling",
+    "st_stream_session",
+    "st_stream_tws_rollup",
+    # --- serving path changed this round (breadth.py rewrites) ---
+    "s18_dialect_passthrough",
+    "s26_dialect_scalar_tails",
+    "s33_dialect_nested",
+)
+
 _PRIORITY_R11: tuple[str, ...] = (
     # --- new in round 11 ---
     "b35c_mp3_bigvalues",       # new: big-values Huffman decode (B.7)
@@ -684,8 +755,9 @@ def load_all() -> None:
     for mod in _MODULE_ORDER:
         importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
 
-    head = list(_PRIORITY_R11)
-    for prior in (_PRIORITY_R10, _PRIORITY_R9, _PRIORITY_R8, _PRIORITY_R7,
+    head = list(_PRIORITY_R12)
+    for prior in (_PRIORITY_R11,
+                  _PRIORITY_R10, _PRIORITY_R9, _PRIORITY_R8, _PRIORITY_R7,
                   _PRIORITY_R6, _PRIORITY_R5):
         head += [n for n in prior if n not in head]
     ordered = [n for n in head if n in QUERIES]

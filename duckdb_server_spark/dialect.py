@@ -165,7 +165,7 @@ from duckdb_server_spark.dialect_rewrites.exprs import (  # noqa: F401
     _rewrite_xor,
     _scrub_bare_star,
     _series_expr,
-    _slice_length,
+    _slice_window,
     _step_slice_expr,
     _strftime_concat,
     _strftime_to_java,

@@ -508,6 +508,53 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
              f"ELSE ({a}) END)")
         start = f"greatest({p} + {c}, 1)"
         return f"substring({sarg}, {start}, {p} - {start})"
+    if (
+        fn in ("substr", "substring")
+        and len(args) == 3
+        and args[1].strip() == "0"
+    ):
+        # round-12 hunt: DuckDB's start 0 is a real (empty) position —
+        # the window [0, len-1] clips to characters 1..len-1
+        # (substring('hello', 0, 3) = 'he'); Spark treats 0 as 1.
+        # Literal zero only — negative starts count from the END on
+        # both sides and already agree.
+        return (
+            f"substring({args[0]}, 1, greatest(0, ({args[2]}) - 1))"
+        )
+    if fn == "regexp_extract" and len(args) == 2:
+        # round-12 hunt: DuckDB's default capture group is 0 (the FULL
+        # match); Spark's default is group 1 — silently different
+        # whenever the pattern has a capture group
+        return f"regexp_extract({args[0]}, {args[1]}, 0)"
+    if fn == "split_part" and len(args) == 3:
+        # round-12 hunt, probed: index 0 → '' (Spark raises); an EMPTY
+        # delimiter splits per character (negative index from the end —
+        # substr's native behavior); a NULL string or index returns ''
+        # (Spark returns NULL); a NULL delimiter acts as NOT FOUND
+        # (whole string at index ±1, '' elsewhere)
+        s_, d_, n_ = args
+        return (
+            f"(CASE WHEN ({s_}) IS NULL OR ({n_}) IS NULL OR "
+            f"({n_}) = 0 THEN '' "
+            f"WHEN ({d_}) IS NULL THEN "
+            f"CASE WHEN ({n_}) IN (1, -1) THEN ({s_}) ELSE '' END "
+            f"WHEN ({d_}) = '' THEN coalesce(substr({s_}, {n_}, 1), '') "
+            f"ELSE split_part({s_}, {d_}, {n_}) END)"
+        )
+    if (
+        fn == "round"
+        and len(args) in (1, 2)
+        and re.fullmatch(r"-?\d+\.\d+", args[0].strip())
+    ):
+        # round-12 hunt: DuckDB types 2.5 as DECIMAL(2,1), so round(2.5)
+        # is DECIMAL HALF_UP ('3'); Spark's bare literal is DOUBLE
+        # (HALF_EVEN, prints 3.0). Pin the literal's decimal type.
+        lit = args[0].strip()
+        digits = len(lit.lstrip("-").replace(".", ""))
+        scale = len(lit.split(".")[1])
+        cast = f"CAST({lit} AS DECIMAL({digits},{scale}))"
+        rest = f", {args[1]}" if len(args) == 2 else ""
+        return f"round({cast}{rest})"
     if fn == "sign" and len(args) == 1:
         # DuckDB returns TINYINT (-1/0/1) for every input type; Spark's
         # signum returns DOUBLE
@@ -615,6 +662,16 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         if field == "isodow":
             lit = _masked_literal(table, "DAYOFWEEK_ISO")
             return f"date_part({lit}, {args[1]})"
+        if field in _XFIELD_EXPRS:
+            # round-12 hunt: the part names Spark's extract lacks.
+            # Probed: isoyear('2005-01-01') = 2004 (= YEAROFWEEK);
+            # julian = epoch/86400 + 2440588 with the day fraction
+            # (DATE → .0, noon TIMESTAMP → .5); era 1 for CE; decade =
+            # floor(year/10) ('0001' → 0); century/millennium round UP
+            # (2000 → 20 / 2, 2001 → 21 / 3). Common-era dates only
+            # (the fixtures' domain — Spark's proleptic year() agrees
+            # there).
+            return _XFIELD_EXPRS[field].format(x=args[1])
         return None
     if fn == "log" and len(args) == 1:
         # DuckDB's 1-arg log is LOG BASE 10 (ln is ln); Spark's is the
@@ -1386,7 +1443,7 @@ _TEMPLATE_RE = re.compile(
     r"\b(to_base|list_reduce|date_sub|datesub|datepart|date_part|epoch|"
     r"list_extract|array_extract|list_contains|list_has|array_has|"
     r"list_concat|list_cat|array_concat|flatten|dayofweek|weekday|"
-    r"printf|sign|substr|substring|"
+    r"printf|sign|substr|substring|split_part|round|"
     r"json_extract|json_extract_path|json_extract_string|"
     r"json_array_length|"
     r"to_timestamp|strptime|try_strptime|list_distinct|list_prepend|array_prepend|array_push_front|typeof|version|txid_current|bit_count|chr|bar|struct_extract|current_schema|"
@@ -2645,6 +2702,28 @@ def _fold_time_arithmetic(s: str, table: list[str]) -> str:
 
 _EXTRACT_EPOCH_RE = re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\b", re.IGNORECASE)
 
+# round-12 hunt: the DuckDB extract fields Spark's EXTRACT lacks —
+# rewritten to the same expressions as the date_part('field', x) form
+# (the _template branch); 'isoyear' alone maps to a native Spark field
+_EXTRACT_XFIELD_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*(isoyear|isodow|dayofyear|doy|julian|era|decade|"
+    r"century|millennium)\s+FROM\b",
+    re.IGNORECASE,
+)
+
+_XFIELD_EXPRS = {
+    "isoyear": "extract(YEAROFWEEK FROM {x})",
+    "isodow": "(weekday({x}) + 1)",
+    "dayofyear": "dayofyear({x})",
+    "doy": "dayofyear({x})",
+    "julian": "(CAST(CAST({x} AS TIMESTAMP) AS DOUBLE) / 86400.0d"
+              " + 2440588.0d)",
+    "era": "(CASE WHEN year({x}) > 0 THEN 1 ELSE 0 END)",
+    "decade": "CAST(floor(year({x}) / 10.0d) AS BIGINT)",
+    "century": "CAST(ceil(year({x}) / 100.0d) AS BIGINT)",
+    "millennium": "CAST(ceil(year({x}) / 1000.0d) AS BIGINT)",
+}
+
 
 
 _TIME_LIT_INNER_RE = re.compile(
@@ -2685,6 +2764,12 @@ def _rewrite_extract_epoch(s: str, table: list[str] | None = None) -> str:
                 f"CAST(unix_micros(CAST(({inner}) AS TIMESTAMP)) AS DOUBLE)"
                 f" / 1000000"
             )
+        s = s[: m.start()] + repl + s[close + 1 :]
+    while m := _EXTRACT_XFIELD_RE.search(s):
+        open_idx = s.index("(", m.start())
+        close = _matching_paren(s, open_idx)
+        inner = s[m.end() : close].strip()
+        repl = _XFIELD_EXPRS[m.group(1).lower()].format(x=inner)
         s = s[: m.start()] + repl + s[close + 1 :]
     return s
 

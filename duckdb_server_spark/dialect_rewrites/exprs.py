@@ -810,6 +810,14 @@ def _rewrite_subscripts(
         return False
 
     def _is_string_base(base: str) -> bool:
+        base = base.strip()
+        # a parenthesized literal — ('hello')[0:3] — is still a string
+        # base (round-12 hunt)
+        while (
+            base.startswith("(") and base.endswith(")")
+            and _matching_paren(base, 0) == len(base) - 1
+        ):
+            base = base[1:-1].strip()
         mm = re.fullmatch(r"\x00(\d+)\x00", base)
         if mm:
             # _mask also masks double-quoted identifiers — only a
@@ -874,25 +882,16 @@ def _rewrite_subscripts(
                 if _is_string_base(base):
                     # string base (literal or schema-resolved column):
                     # DuckDB slices strings with the same inclusive
-                    # 1-based window → substr; a negative end counts
-                    # from the last character ('abcdef'[2:-2] = 'bcde')
-                    if not b:
-                        repl = f"substr({base}, {a})"
-                    else:
-                        end = (
-                            f"CASE WHEN ({b}) < 0 THEN length({base}) "
-                            f"+ ({b}) + 1 ELSE ({b}) END"
-                        )
-                        repl = (
-                            f"substr({base}, {a}, ({end}) - ({a}) + 1)"
-                        )
-                else:
-                    length = (
-                        f"size({base}) - ({a}) + 1"
-                        if not b
-                        else _slice_length(base, a, b)
+                    # 1-based window → substr; negative/zero bounds
+                    # normalize like list slices ('abcdef'[2:-2] =
+                    # 'bcde', 'hello'[0:3] = 'hel')
+                    na, ln = _slice_window(
+                        base, a, b or f"length({base})", "length"
                     )
-                    repl = f"slice({base}, {a}, {length})"
+                    repl = f"substr({base}, {na}, {ln})"
+                else:
+                    na, ln = _slice_window(base, a, b or f"size({base})")
+                    repl = f"slice({base}, {na}, {ln})"
             elif _is_string_base(base):
                 # single-character string subscript (DuckDB: '' for [0],
                 # negative wraps from the end — substr matches both)
@@ -931,11 +930,33 @@ def _rewrite_subscripts(
 
 
 def _step_slice_expr(arr: str, a: str, b: str, c: str) -> str:
-    """DuckDB stepped slice: elements at positions a, a+c, … ≤ end,
-    inclusive and clamped; a negative end counts from the last element.
-    ``slice(arr, 1, 0)`` supplies a correctly-typed empty result when
-    the window is empty (Spark's sequence errors on start > stop)."""
-    lo = f"greatest(({a}), 1)"
+    """DuckDB stepped slice: elements at positions a, a+c, … toward the
+    end bound, inclusive and clamped; negative bounds count from the
+    last element. A literal NEGATIVE step walks backwards (round-12
+    hunt — probed: [1..7][7:1:-1] reverses, [1..5][-1:-5:-2] = [5,3,1],
+    [1..5][100:0:-2] = [5,3,1], [1..5][2:5:-1] = []); the start then
+    clamps DOWN to size and the end UP to 1. ``slice(arr, 1, 0)``
+    supplies a correctly-typed empty result when the window is empty
+    (Spark's sequence errors on an illegal direction)."""
+    if re.fullmatch(r"\s*-\d+\s*", c):
+        lo = (
+            f"least(size({arr}), CASE WHEN ({a}) < 0 THEN size({arr}) "
+            f"+ ({a}) + 1 ELSE ({a}) END)"
+        )
+        end = (
+            f"greatest(1, CASE WHEN ({b}) < 0 THEN size({arr}) + ({b}) "
+            f"+ 1 ELSE ({b}) END)"
+        )
+        return (
+            f"CASE WHEN {lo} >= {end} THEN "
+            f"transform(sequence({lo}, {end}, ({c})), "
+            f"__dd_i -> element_at({arr}, CAST(__dd_i AS INT))) "
+            f"ELSE slice({arr}, 1, 0) END"
+        )
+    lo = (
+        f"greatest(1, CASE WHEN ({a}) < 0 THEN size({arr}) + ({a}) + 1 "
+        f"ELSE ({a}) END)"
+    )
     end = (
         f"least(CASE WHEN ({b}) < 0 THEN size({arr}) + ({b}) + 1 "
         f"ELSE ({b}) END, size({arr}))"
@@ -953,14 +974,32 @@ _SLICE_RE = re.compile(r"\b(?:list_slice|array_slice)\s*\(", re.IGNORECASE)
 
 
 
-def _slice_length(arr: str, a: str, b: str) -> str:
-    """Length argument for Spark ``slice`` from DuckDB's (start, end):
-    inclusive end, a negative end counts from the end of the list, and an
-    inverted window is empty (Spark errors on a negative length)."""
-    return (
-        f"greatest(0, (CASE WHEN ({b}) < 0 THEN size({arr}) + ({b}) + 1 "
-        f"ELSE ({b}) END) - ({a}) + 1)"
+def _slice_window(
+    arr: str, a: str, b: str, size_fn: str = "size"
+) -> tuple[str, str]:
+    """Normalized (start, length) for Spark ``slice``/``substr`` from
+    DuckDB's (start, end) slice window (round-12 hunt: negative and
+    zero STARTS were silently mis-sliced before): both bounds are
+    1-based inclusive, a negative bound counts from the end
+    (idx = size + bound + 1), the start clamps up to 1 and the end
+    down to size, and an inverted window is empty. Probed:
+    [1..5][-3:-2] = [3,4], [0:3] = [1,2,3], [-10:3] = [1,2,3],
+    [-1:2] = [], 'hello'[0:3] = 'hel'."""
+    na = (
+        f"greatest(1, CASE WHEN ({a}) < 0 THEN {size_fn}({arr}) + ({a}) "
+        f"+ 1 ELSE ({a}) END)"
     )
+    ne = (
+        f"least({size_fn}({arr}), CASE WHEN ({b}) < 0 THEN "
+        f"{size_fn}({arr}) + ({b}) + 1 ELSE ({b}) END)"
+    )
+    # greatest/least IGNORE NULLs in Spark, so a NULL bound must gate
+    # explicitly — DuckDB returns NULL for a NULL bound
+    ln = (
+        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+        f"ELSE greatest(0, ({ne}) - ({na}) + 1) END)"
+    )
+    return na, ln
 
 
 
@@ -994,19 +1033,15 @@ def _rewrite_slice(
         args = _split_top_commas(s[open_idx + 1 : close])
         if len(args) == 4:
             arr, a, b, c = args
-            if re.fullmatch(r"\s*-\d+\s*", c):
-                raise ValueError("negative slice steps are not supported")
             repl = _step_slice_expr(arr, a, b, c)
         elif len(args) == 3:
             arr, a, b = args
             if is_string(arr):
-                end = (
-                    f"(CASE WHEN ({b}) < 0 THEN length({arr}) + ({b}) + 1 "
-                    f"ELSE ({b}) END)"
-                )
-                repl = f"substr({arr}, {a}, greatest(0, {end} - ({a}) + 1))"
+                na, ln = _slice_window(arr, a, b, "length")
+                repl = f"substr({arr}, {na}, {ln})"
             else:
-                repl = f"slice({arr}, {a}, {_slice_length(arr, a, b)})"
+                na, ln = _slice_window(arr, a, b)
+                repl = f"slice({arr}, {na}, {ln})"
         else:
             raise ValueError("list_slice expects 3 or 4 arguments")
         s = s[: m.start()] + repl + s[close + 1 :]

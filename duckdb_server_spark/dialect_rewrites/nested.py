@@ -812,6 +812,17 @@ def _rewrite_libm(s: str) -> str:
         open_idx = s.index("(", m.start())
         close = _matching_paren(s, open_idx)
         args = _split_top_commas(s[open_idx + 1 : close])
+        # round-12 hunt: DECIMAL-typed rounding stays DECIMAL in DuckDB
+        # (round(2.5) = DECIMAL '3', HALF_UP) — the double shim would
+        # retype it. The templates pass already pinned decimal literals
+        # as CAST(… AS DECIMAL(p,s)); skip those, shim only doubles.
+        if re.fullmatch(
+            r"(?is)\s*CAST\s*\(\s*-?\d+\.\d+\s+AS\s+DECIMAL\s*\("
+            r"\d+\s*,\s*\d+\s*\)\s*\)\s*",
+            args[0],
+        ):
+            pos = close
+            continue
         inner = ", ".join(args) if len(args) == 2 else args[0] + ", 0"
         s = s[: m.start()] + f"dd_libm_round({inner})" + s[close + 1 :]
         # continue scanning INSIDE the arguments (nested rounds rewrite too)
