@@ -145,6 +145,7 @@ from duckdb_server_spark.dialect_rewrites.exprs import (  # noqa: F401
     _rewrite_len,
     _rewrite_list_aggregate,
     _rewrite_list_comprehension,
+    _rewrite_order_null_defaults,
     _rewrite_list_literals,
     _rewrite_median,
     _rewrite_ordered_aggs,
@@ -241,6 +242,7 @@ from duckdb_server_spark.dialect_rewrites.breadth import (  # noqa: F401
     _rewrite_concat_nullskip,
     _rewrite_date_arith,
     _rewrite_extract_epoch,
+    _rewrite_string_int_casts,
     _rewrite_fetch_limit,
     _rewrite_from_first_subquery,
     _rewrite_hash,
@@ -472,6 +474,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _fold_time_arithmetic(masked, table)
     masked = _rewrite_typed_literals(masked, table)
     masked = _rewrite_extract_epoch(masked, table)
+    masked = _rewrite_string_int_casts(masked, table)
     masked = _rewrite_unpivot_aliases(masked, table)
     masked = _rewrite_postfix_factorial(masked)
     masked = _rewrite_power(masked)
@@ -655,6 +658,9 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_glob(masked, table)
     masked = _rewrite_asof(masked)
     masked = _rewrite_qualify(masked)
+    # LAST: later passes copy ORDER BY keys into PARTITION BY lists
+    # (exclude frames), so the null-default annotation runs after them
+    masked = _rewrite_order_null_defaults(masked)
     return _unmask(masked, table)
 
 

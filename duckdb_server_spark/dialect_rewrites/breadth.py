@@ -197,6 +197,33 @@ def _arg_list_items(arg: str) -> list[str] | None:
 
 
 
+def _struct_ctor_values(arg: str) -> list[str] | None:
+    """Field VALUE expressions of a textual struct constructor —
+    row(a, b) / struct(a, b) / struct_pack(k := a) / named_struct('k',
+    a) — or None for anything else (round-12 hunt C)."""
+    t = arg.strip()
+    m = re.match(r"(?i)^(row|struct|struct_pack|named_struct)\s*\(", t)
+    if not m:
+        return None
+    open_idx = t.index("(", m.start())
+    if _matching_paren(t, open_idx) != len(t) - 1:
+        return None
+    items = _split_top_commas(t[open_idx + 1 : -1])
+    kind = m.group(1).lower()
+    if kind in ("row", "struct"):
+        return items or None
+    if kind == "struct_pack":
+        vals = []
+        for it in items:
+            if ":=" not in it:
+                return None
+            vals.append(it.split(":=", 1)[1])
+        return vals or None
+    if len(items) % 2:
+        return None
+    return items[1::2] or None
+
+
 def _flatten_named_struct(expr: str) -> str:
     """Textually flatten nested named_struct literals to their leaf
     (key, value) pairs — DuckDB's recursive struct unnest keeps the
@@ -555,6 +582,37 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         cast = f"CAST({lit} AS DECIMAL({digits},{scale}))"
         rest = f", {args[1]}" if len(args) == 2 else ""
         return f"round({cast}{rest})"
+    if fn == "list_intersect" and len(args) == 2:
+        # round-12 hunt B: DuckDB EXCLUDES a shared NULL from the
+        # intersection ([1,2,NULL] ∩ [2,3,NULL] = [2]); Spark keeps it
+        return (
+            f"filter(array_intersect({args[0]}, {args[1]}), "
+            f"__dd_x -> __dd_x IS NOT NULL)"
+        )
+    if fn == "list_zip" and len(args) == 2:
+        # round-12 hunt B: pads the shorter list with NULLs and keeps
+        # ELEMENT TYPES (the old dd_list_zip SQL UDF forced ARRAY<
+        # DOUBLE>, silently retyping integer zips). Pairs stay arrays —
+        # DuckDB's structs subscript positionally (p[1]) and the
+        # subscript lowering targets arrays, so array pairs keep every
+        # existing p[i] consumer working; the struct-vs-array repr at
+        # top level is the documented acceptance.
+        if re.fullmatch(r"(?i)\s*(true|false)\s*", args[-1]):
+            raise ValueError(
+                "list_zip: the truncate flag is not supported"
+            )
+        return (
+            f"zip_with({args[0]}, {args[1]}, "
+            f"(__dd_x, __dd_y) -> array(__dd_x, __dd_y))"
+        )
+    if fn == "list_zip" and len(args) > 2:
+        raise ValueError(
+            "list_zip: only the two-list form is supported"
+        )
+    if fn == "any_value" and len(args) == 1:
+        # round-12 hunt B: DuckDB's any_value returns the first
+        # NON-NULL value; Spark's default keeps NULLs eligible
+        return f"any_value({args[0]}, true)"
     if fn == "sign" and len(args) == 1:
         # DuckDB returns TINYINT (-1/0/1) for every input type; Spark's
         # signum returns DOUBLE
@@ -1397,6 +1455,22 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
             f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
             f"CAST(0 AS DOUBLE), (s, v) -> s + v))"
         )
+    if fn in ("max", "min") and len(args) == 1 and (
+        (vals := _struct_ctor_values(args[0])) is not None
+    ):
+        # round-12 hunt C: min/max over a STRUCT use DuckDB's total
+        # order — a NULL field sorts HIGHEST (max(row(v,i)) with a NULL
+        # v picks the NULL row; min skips it). Spark's struct ordering
+        # sorts NULL fields lowest, so the sort key becomes a flat
+        # (is_null, value) pair sequence via max_by/min_by. Constructor
+        # arguments only (row/struct/struct_pack/named_struct text);
+        # struct COLUMNS keep Spark ordering (documented residual).
+        # Ties (equal keys) are engine-defined, the arg_max precedent.
+        key = "struct(" + ", ".join(
+            f"(({v.strip()}) IS NULL), ({v.strip()})" for v in vals
+        ) + ")"
+        by = "max_by" if fn == "max" else "min_by"
+        return f"{by}({args[0]}, {key})"
     # ---- top-n aggregate forms (DuckDB max/min/arg_max with a count) ----
     if fn in ("max", "min") and len(args) == 2:
         sorted_ = f"array_sort(collect_list({args[0]}))"
@@ -1459,6 +1533,7 @@ _TEMPLATE_RE = re.compile(
     r"timezone_hour|timezone_minute|date_add|"
     r"list_sum|list_avg|list_any_value|"
     r"list_has_all|list_has_any|list_select|list_where|list_grade_up|list_resize|"
+    r"list_intersect|list_zip|any_value|"
     r"list_dot_product|list_inner_product|list_cosine_similarity|"
     r"array_dot_product|array_inner_product|array_cosine_similarity|"
     r"array_distance|list_sort|from_json|json_group_array|json_group_object|"
@@ -2698,6 +2773,81 @@ def _fold_time_arithmetic(s: str, table: list[str]) -> str:
         s = s[: m.start()] + f"TIME {lit}" + s[m.end() :]
     return s
 
+
+
+# round-12 hunt B: DuckDB parses string→integer casts through DECIMAL
+# and ROUNDS half-up away from zero ('12.7' → 13, '-12.5' → -13, '1e3'
+# → 1000, whitespace trimmed, '0x1A' hex → 26); Spark's ANSI cast
+# rejects fractional strings outright. Literal CASTs fold at rewrite
+# time (exact integer math, no double round-trip); TRY_CAST over any
+# expression adds a rounding fallback branch — the native branch keeps
+# integer-string exactness, the fallback only fires where the native
+# try returned NULL. String COLUMNS under plain CAST stay native (an
+# ANSI error where DuckDB succeeds — visible, never silently wrong);
+# the DOUBLE→int truncate-vs-round divergence is the standing
+# documented acceptance (declared queries floor first).
+_INT_TYPE_NAMES = r"(?:INTEGER|INT4|INT8|INT2|INT1|BIGINT|SMALLINT|TINYINT|LONG|INT)"
+_STR_INT_CAST_RE = re.compile(
+    rf"\bCAST\s*\(\s*(\x00\d+\x00)\s+AS\s+({_INT_TYPE_NAMES})\s*\)",
+    re.IGNORECASE,
+)
+_STR_INT_DCOLON_RE = re.compile(
+    rf"(\x00\d+\x00)\s*::\s*({_INT_TYPE_NAMES})\b", re.IGNORECASE
+)
+_TRY_CAST_INT_RE = re.compile(r"\bTRY_CAST\s*\(", re.IGNORECASE)
+
+_SPARK_INT_NAME = {
+    "int": "INT", "integer": "INT", "int4": "INT",
+    "bigint": "BIGINT", "int8": "BIGINT", "long": "BIGINT",
+    "smallint": "SMALLINT", "int2": "SMALLINT",
+    "tinyint": "TINYINT", "int1": "TINYINT",
+}
+
+
+def _duck_str_to_int(text: str) -> int | None:
+    t = text.strip()
+    try:
+        if re.fullmatch(r"[+-]?0x[0-9a-fA-F]+", t):
+            return int(t, 16)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(Decimal(t).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    except Exception:
+        return None
+
+
+def _rewrite_string_int_casts(s: str, table: list[str]) -> str:
+    def fold(m: "re.Match[str]") -> str:
+        entry = table[int(re.search(r"\x00(\d+)\x00", m.group(1)).group(1))]
+        if not entry.startswith("'"):
+            return m.group(0)
+        v = _duck_str_to_int(_literal_value(entry))
+        if v is None:
+            return m.group(0)  # DuckDB would error too — stay native
+        return f"CAST({v} AS {_SPARK_INT_NAME[m.group(2).lower()]})"
+
+    s = _STR_INT_CAST_RE.sub(fold, s)
+    s = _STR_INT_DCOLON_RE.sub(fold, s)
+    pos = 0
+    while m := _TRY_CAST_INT_RE.search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        inner = s[open_idx + 1 : close]
+        mm = re.search(
+            rf"\s+AS\s+({_INT_TYPE_NAMES})\s*$", inner, re.IGNORECASE
+        )
+        if not mm:
+            pos = close
+            continue
+        e = inner[: mm.start()]
+        t = _SPARK_INT_NAME[mm.group(1).lower()]
+        repl = (
+            f"coalesce(try_cast({e} AS {t}), "
+            f"try_cast(round(try_cast({e} AS DOUBLE)) AS {t}))"
+        )
+        s = s[: m.start()] + repl + s[close + 1 :]
+        pos = m.start() + len(repl)
+    return s
 
 
 _EXTRACT_EPOCH_RE = re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\b", re.IGNORECASE)

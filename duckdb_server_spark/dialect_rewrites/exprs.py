@@ -149,6 +149,9 @@ _FN_RENAMES = {
     "starts_with": "startswith",
     "ends_with": "endswith",
     "json_extract_string": "get_json_object",
+    # (list_intersect is ALSO a _template rewrite — DuckDB excludes a
+    # shared NULL from the intersection, Spark keeps it; this rename is
+    # the fallback for shapes the template declines)
     "list_intersect": "array_intersect",
     # (list_concat / list_cat / array_concat are _template rewrites:
     # DuckDB SKIPS NULL list arguments — concat would return NULL)
@@ -157,7 +160,9 @@ _FN_RENAMES = {
     # (list_prepend / array_prepend / array_push_front are _template
     # rewrites: DuckDB's argument order is (elem, list), Spark's is
     # (array, elem))
-    "list_zip": "dd_list_zip",
+    # (list_zip is a _template rewrite: arrays_zip pads with NULLs and
+    # keeps element types — the old dd_list_zip macro forced DOUBLE
+    # pairs-as-arrays; round-12 hunt B)
     "gen_random_uuid": "uuid",
     "greatest_common_divisor": "dd_gcd",
     "gcd": "dd_gcd",
@@ -375,20 +380,72 @@ def _rewrite_regexp_replace(s: str, table: list[str]) -> str:
 _LIST_AGG_RE = re.compile(r"\b(list_aggregate|list_aggr|array_aggregate)\s*\(", re.IGNORECASE)
 
 
-# list_aggregate(l, 'fname') → Spark array expression. sum/avg accumulate
-# in DOUBLE (DuckDB widens to HUGEINT for integer lists; callers needing
-# exact integer sums should use aggregate() directly).
+# list_aggregate(l, 'fname') → Spark array expression. SQL aggregate
+# NULL semantics (round-12 hunt B: the old sum lambda propagated NULL
+# elements and returned 0.0 for empty lists; DuckDB skips NULLs and
+# gives NULL on empty/all-NULL, like SUM over rows). sum's zero is
+# element-typed (first - first), so integer lists stay integral —
+# DuckDB widens to HUGEINT, so extreme-magnitude integer sums can
+# overflow where DuckDB's 128-bit accumulator would not (documented).
+_LIST_AGG_NN = "filter({l}, __dd_x -> __dd_x IS NOT NULL)"
 _LIST_AGG_MAP = {
     "min": "array_min({l})",
     "max": "array_max({l})",
-    "count": "size(filter({l}, x -> x IS NOT NULL))",
-    "sum": "aggregate({l}, CAST(0.0 AS DOUBLE), (a, x) -> a + x)",
+    "count": f"size({_LIST_AGG_NN})",
+    "sum": (
+        f"CASE WHEN size({_LIST_AGG_NN}) = 0 THEN NULL "
+        f"ELSE aggregate({_LIST_AGG_NN}, "
+        f"element_at({_LIST_AGG_NN}, 1) - element_at({_LIST_AGG_NN}, 1), "
+        "(a, x) -> a + x) END"
+    ),
     "avg": (
-        "aggregate({l}, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-        " / size(filter({l}, x -> x IS NOT NULL))"
+        f"CASE WHEN size({_LIST_AGG_NN}) = 0 THEN NULL "
+        f"ELSE aggregate({_LIST_AGG_NN}, CAST(0.0 AS DOUBLE), "
+        f"(a, x) -> a + x) / size({_LIST_AGG_NN}) END"
     ),
 }
 
+
+
+def _fold_literal_list_sum(arg: str, table: list[str]) -> str | None:
+    """Exact rewrite-time sum of a LITERAL numeric list (NULLs skipped,
+    empty/all-NULL → NULL): integer lists emit a plain integer literal,
+    decimal lists a DECIMAL cast at the widest element scale — both
+    repr-identical to DuckDB's HUGEINT / DECIMAL(38,s) results. Returns
+    None when the argument is not a literal numeric list."""
+    t = arg.strip()
+    if t.startswith("[") and t.endswith("]"):
+        items = _split_top_commas(t[1:-1])
+    elif (m := re.match(r"(?i)^array\s*\(", t)) and t.endswith(")"):
+        if _matching_paren(t, m.end() - 1) != len(t) - 1:
+            return None
+        items = _split_top_commas(t[m.end() : -1])
+    else:
+        return None
+    items = [x for x in items if x.strip()]
+    from decimal import Decimal
+
+    vals: list[Decimal] = []
+    scale = 0
+    for it in items:
+        t = it.strip()
+        if t.upper() == "NULL":
+            continue
+        if re.fullmatch(r"-?\d+", t):
+            vals.append(Decimal(t))
+        elif re.fullmatch(r"-?\d+\.\d+", t):
+            vals.append(Decimal(t))
+            scale = max(scale, len(t.split(".")[1]))
+        else:
+            return None
+    if not vals:
+        return "CAST(NULL AS BIGINT)" if not scale else (
+            "CAST(NULL AS DECIMAL(38,%d))" % scale
+        )
+    total = sum(vals)
+    if scale == 0:
+        return str(int(total))
+    return f"CAST({total:.{scale}f} AS DECIMAL(38,{scale}))"
 
 
 def _rewrite_list_aggregate(s: str, table: list[str]) -> str:
@@ -419,6 +476,14 @@ def _rewrite_list_aggregate(s: str, table: list[str]) -> str:
                 f"__dd_x -> struct(__dd_x, CAST(size(filter({e}, "
                 f"__dd_y -> __dd_y = __dd_x)) AS BIGINT)))))"
             )
+        elif fl == "sum" and len(args) == 2 and (
+            folded := _fold_literal_list_sum(args[0], table)
+        ) is not None:
+            # DECIMAL lists break the element-typed accumulator (Spark's
+            # aggregate needs a stable acc type; decimal + widens), so
+            # LITERAL lists fold exactly at rewrite time in decimal
+            # math — DuckDB's own arithmetic domain (round-12 hunt B)
+            repl = folded
         elif fname is not None and fl in _LIST_AGG_MAP and len(args) == 2:
             repl = "(" + _LIST_AGG_MAP[fl].format(l=args[0]) + ")"
         else:
@@ -1958,6 +2023,74 @@ _ORDERED_AGG_RE = re.compile(
 
 
 
+_ORDER_BY_KW_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_OB_STOP_KWS = (
+    "LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE", "GROUPS", "WINDOW",
+    "UNION", "INTERSECT", "EXCEPT", "USING", "SEPARATOR",
+)
+_OB_STOP_RE = re.compile(
+    r"(?i)\b(" + "|".join(_OB_STOP_KWS) + r")\b"
+)
+
+
+def _rewrite_order_null_defaults(s: str) -> str:
+    """DuckDB's default null placement is NULLS LAST for BOTH sort
+    directions (default_null_order); Spark's ASC default is NULLS
+    FIRST — a silent row-order divergence on every unannotated
+    ascending key over nullable data (round-12 hunt C; the declared
+    catalog always writes NULLS LAST explicitly, so this bites only
+    verbatim user SQL). Appends NULLS LAST to every ORDER BY item that
+    names neither a null order nor DESC (the DESC defaults agree),
+    in top-level, subquery, and OVER(...) clauses alike. 'ALL' keys
+    are left for the ORDER BY ALL expansion."""
+    idx = 0
+    while m := _ORDER_BY_KW_RE.search(s, idx):
+        start = m.end()
+        depth = 0
+        i = start
+        end = len(s)
+        while i < len(s):
+            c = s[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0 and (c.isalpha()) and (
+                i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+            ):
+                mm = _OB_STOP_RE.match(s, i)
+                if mm:
+                    end = i
+                    break
+            i += 1
+        clause = s[start:end]
+        items = _split_top_commas(clause)
+        changed = False
+        new_items = []
+        for it in items:
+            t = it.strip()
+            if (
+                not t
+                or re.search(r"(?i)\bNULLS\s+(FIRST|LAST)\s*$", t)
+                or re.search(r"(?i)\bDESC\s*$", t)
+                or re.fullmatch(r"(?i)ALL", t)
+            ):
+                new_items.append(t)
+            else:
+                new_items.append(t + " NULLS LAST")
+                changed = True
+        if changed:
+            repl = " " + ", ".join(new_items) + " "
+            s = s[:start] + repl + s[end:]
+            idx = start + len(repl)
+        else:
+            idx = end
+    return s
+
+
 def _parse_order_keys(order_part: str) -> list[tuple[str, bool, bool]]:
     """ORDER BY item list → [(expr, desc, nulls_last)]. DuckDB's default
     null order is NULLS LAST for both directions (default_null_order)."""
@@ -2141,9 +2274,13 @@ def _rewrite_ordered_aggs(s: str) -> str:
                 # DuckDB's list()/array_agg() KEEP null elements; Spark's
                 # collect_list drops them. Wrapping in a struct preserves
                 # them (a struct with a null field is itself non-null).
+                # Zero input rows give NULL, not [] (round-12 hunt C).
+                inner_s = inner.strip()
                 repl = (
-                    f"transform(collect_list(struct({inner.strip()} AS _v)),"
-                    f" x -> x._v)"
+                    f"CASE WHEN size(collect_list(struct({inner_s} AS _v)"
+                    f")) = 0 THEN NULL ELSE "
+                    f"transform(collect_list(struct({inner_s} AS _v)),"
+                    f" x -> x._v) END"
                 )
                 s = s[: m.start()] + repl + s[close + 1 :]
                 pos = m.start() + len(repl)

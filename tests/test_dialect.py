@@ -42,7 +42,8 @@ def test_exclude_frame_rewrites_algebraically():
     assert "PARTITION BY p, y" in out and "EXCLUDE" not in out
     # NO OTHERS is the default and simply drops
     out = rewrite("SELECT sum(x) OVER (ORDER BY y EXCLUDE NO OTHERS) FROM t")
-    assert out == "SELECT sum(x) OVER (ORDER BY y) FROM t"
+    # round 12: unannotated ASC keys gain DuckDB's NULLS LAST default
+    assert out == "SELECT sum(x) OVER (ORDER BY y NULLS LAST ) FROM t"
 
 
 def test_star_replace():
@@ -91,12 +92,18 @@ def test_subscripts_become_try_element_at():
         == "SELECT try_element_at(w, nullif(CAST(i + 1 AS INT), 0)) FROM t"
     )
     assert "CAST(NULL AS INT)" in rewrite("SELECT w[0] FROM t")
-    assert rewrite("SELECT e[2:4] FROM t").startswith("SELECT slice(e, 2,")
+    # round 12: slice bounds normalize (negative/zero starts clamp)
+    assert rewrite("SELECT e[2:4] FROM t").startswith("SELECT slice(e, greatest(1,")
 
 
 def test_list_aggregate():
+    # round 12: literal numeric lists fold exactly at rewrite time
+    # (DECIMAL domain); non-literal lists keep the element-typed
+    # aggregate with SQL NULL semantics
     out = rewrite("SELECT list_aggregate([1.0, 2.0], 'sum')")
-    assert out.startswith("SELECT (aggregate(array(1.0, 2.0)")
+    assert "CAST(3.0 AS DECIMAL(38,1))" in out
+    out = rewrite("SELECT list_aggregate(x, 'sum') FROM t")
+    assert "aggregate(filter(x" in out and "IS NOT NULL" in out
 
 
 def test_glob_operator():
@@ -115,14 +122,14 @@ def test_qualify_wraps_and_strips_tail_qualifiers():
     )
     assert out.startswith("SELECT * EXCEPT (__dss_qualify) FROM (")
     assert "WHERE __dss_qualify" in out
-    assert out.rstrip().endswith("ORDER BY a")
+    assert out.rstrip().endswith("ORDER BY a NULLS LAST")
 
 
 def test_asof_backward_rewrite_shape():
     out = rewrite(
         "SELECT e.x, o.y FROM e ASOF JOIN o ON e.k = o.k AND e.ts >= o.ts"
     )
-    assert "LEAD(__r.ts) OVER (PARTITION BY k ORDER BY __r.ts)" in out
+    assert "LEAD(__r.ts) OVER (PARTITION BY k ORDER BY __r.ts NULLS LAST )" in out
     assert "__asof_bound > e.ts" in out or "__asof_bound IS NULL" in out
     assert "ASOF" not in out
 
