@@ -1041,6 +1041,44 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
                 else f"sort_array({l}, false)"
             )
         return None
+    if (
+        fn in ("json_transform", "from_json_strict",
+               "json_transform_strict")
+        and len(args) == 2
+    ):
+        # round-12 hunt D: DuckDB's typed-JSON projection COERCES
+        # quoted scalars ('"7"' -> BIGINT 7), which Spark's from_json
+        # does not — so FLAT dict specs lower to per-field
+        # get_json_object + try_cast (string extraction then cast gets
+        # the DuckDB coercion; failures read NULL like the non-strict
+        # form). Nested specs stay out of the subset (unresolved —
+        # an error, never a silently uncoerced NULL).
+        spec_text = _literal_value(_unmask(args[1], table))
+        if spec_text is None:
+            return None
+        import json as _json
+
+        try:
+            spec = _json.loads(spec_text.replace("\\\\", "\\"))
+        except ValueError:
+            return None
+        if not isinstance(spec, dict) or not all(
+            isinstance(v, str) for v in spec.values()
+        ):
+            return None
+        pairs = []
+        for k, v in spec.items():
+            try:
+                ddl = _duck_json_spec_to_ddl(v)
+            except ValueError:
+                return None
+            key = _masked_literal(table, k)
+            path = _masked_literal(table, f"$.{k}")
+            pairs.append(
+                f"{key}, try_cast(get_json_object({args[0]}, {path}) "
+                f"AS {ddl})"
+            )
+        return "named_struct(" + ", ".join(pairs) + ")"
     if fn == "from_json" and len(args) == 2:
         spec_text = _literal_value(_unmask(args[1], table))
         if spec_text is None:
@@ -1519,7 +1557,7 @@ _TEMPLATE_RE = re.compile(
     r"list_concat|list_cat|array_concat|flatten|dayofweek|weekday|"
     r"printf|sign|substr|substring|split_part|round|"
     r"json_extract|json_extract_path|json_extract_string|"
-    r"json_array_length|"
+    r"json_array_length|json_transform|json_transform_strict|from_json_strict|"
     r"to_timestamp|strptime|try_strptime|list_distinct|list_prepend|array_prepend|array_push_front|typeof|version|txid_current|bit_count|chr|bar|struct_extract|current_schema|"
     r"current_database|kurtosis|histogram|quantile_disc|quantile|format|"
     r"list_reverse_sort|array_reverse_sort|dayname|monthname|geomean|"
@@ -2345,7 +2383,11 @@ def _rewrite_concat_nullskip(s: str, table: list[str]) -> str:
 _USING_SAMPLE_RE = re.compile(
     r"\b(?:USING\s+SAMPLE|TABLESAMPLE)\s+"
     r"(?:(bernoulli|system|reservoir)\s*\(\s*([^()]+?)\s*\)"
-    r"|(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?)"
+    r"|(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?"
+    # round-12 hunt D: the method-as-suffix spelling — USING SAMPLE
+    # 10 PERCENT (bernoulli[, seed])
+    r"(?:\s*\(\s*(?:bernoulli|system|reservoir)"
+    r"(?:\s*,\s*(\d+))?\s*\))?)"
     r"(\s*REPEATABLE\s*\(\s*\d+\s*\))?",
     re.IGNORECASE,
 )
@@ -2364,7 +2406,10 @@ def _rewrite_using_sample(s: str) -> str:
     matches."""
 
     def sub(m: re.Match) -> str:
-        method, marg, num, unit, rep = m.groups()
+        method, marg, num, unit, seed, rep = m.groups()
+        if seed and not rep:
+            # method-suffix seed — (bernoulli, 42) — maps to REPEATABLE
+            rep = f" REPEATABLE ({seed})"
         if method:
             am = re.match(
                 r"^(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?$",
@@ -2380,9 +2425,26 @@ def _rewrite_using_sample(s: str) -> str:
         spec = f"{num} {u}"
         return f"TABLESAMPLE ({spec}){rep or ''}"
 
-    return _USING_SAMPLE_RE.sub(sub, s)
+    s = _USING_SAMPLE_RE.sub(sub, s)
+    # round-12 hunt D: DuckDB puts the sample clause AFTER the alias
+    # (FROM t alias USING SAMPLE …); Spark's grammar wants TABLESAMPLE
+    # before it — swap when the preceding word shows the identifier is
+    # an alias (after ')' or another identifier), not the table itself
+    def swap(m: re.Match) -> str:
+        prev, ws, alias, ts = m.groups()
+        if prev.upper() in ("FROM", "JOIN", "LATERAL"):
+            return m.group(0)
+        return f"{prev}{ws}{ts} {alias}"
+
+    return _TS_ALIAS_SWAP_RE.sub(swap, s)
 
 
+
+_TS_ALIAS_SWAP_RE = re.compile(
+    r"(\)|[A-Za-z_]\w*)(\s+(?:AS\s+)?)([A-Za-z_]\w*)\s+"
+    r"(TABLESAMPLE\s*\([^()]*\)(?:\s*REPEATABLE\s*\(\s*\d+\s*\))?)",
+    re.IGNORECASE,
+)
 
 _AT_TZ_RE = re.compile(r"\bAT\s+TIME\s+ZONE\s*", re.IGNORECASE)
 

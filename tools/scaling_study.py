@@ -264,6 +264,18 @@ GROUPS = {
         ("b35c_mp3_bigvalues", 5_000, ("1x", "10x", "100x")),
         ("b85_crawl_e2e", 5_000, ("1x", "10x", "100x")),
     ],
+    # round-12 operator band: the ESC/linbits decode (scan-kernel CPU,
+    # no shuffle — linear expected), the Vorbis floor-curve synthesis
+    # (same shape), and the crawl chain WITH the fuzzy LSH stage
+    # (bodies shuffle once at the fingerprint window; the LSH exchanges
+    # carry 8-byte hashes — the near-dup pair volume stays banded, so
+    # the chain should hold the b85 linear shape with the extra
+    # shingle/minhash CPU)
+    "r12": [
+        ("b35g_mp3_esc_linbits", 5_000, ("1x", "10x", "100x")),
+        ("b34d_vorbis_floor_curve", 5_000, ("1x", "10x", "100x")),
+        ("b85b_crawl_fuzzy_e2e", 5_000, ("1x", "10x", "100x")),
+    ],
     # round-11 streaming band (VERDICT r10 item 4): availableNow drains
     # over DURATION-EXTENDED events (STREAM_TIERS) — wall clock should
     # grow linearly with input while state_rows (captured from the last
