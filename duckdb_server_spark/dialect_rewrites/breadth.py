@@ -624,6 +624,17 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         # DuckDB: 1-based, index 0 and out-of-range give NULL, negative
         # counts from the end; Spark's element_at RAISES on 0 under ANSI
         return f"try_element_at({args[0]}, nullif({args[1]}, 0))"
+    if (
+        fn == "contains"
+        and len(args) == 2
+        and (args[0].strip().startswith("[")
+             or re.match(r"(?i)^\s*array\s*\(", args[0]))
+    ):
+        # round-12 hunt E: DuckDB's contains() is polymorphic — a LIST
+        # first argument means membership (Spark's contains is
+        # string-only and analysis-errors). Textual list detection;
+        # list COLUMNS keep the native string resolution (documented).
+        return _template("list_contains", args, table)
     if fn in ("list_contains", "list_has", "array_has") and len(args) == 2:
         if args[1].strip().upper() == "NULL":
             # a bare NULL needle fails Spark analysis (untyped); DuckDB
@@ -1571,7 +1582,7 @@ _TEMPLATE_RE = re.compile(
     r"timezone_hour|timezone_minute|date_add|"
     r"list_sum|list_avg|list_any_value|"
     r"list_has_all|list_has_any|list_select|list_where|list_grade_up|list_resize|"
-    r"list_intersect|list_zip|any_value|"
+    r"list_intersect|list_zip|any_value|contains|"
     r"list_dot_product|list_inner_product|list_cosine_similarity|"
     r"array_dot_product|array_inner_product|array_cosine_similarity|"
     r"array_distance|list_sort|from_json|json_group_array|json_group_object|"

@@ -909,6 +909,10 @@ _LIBM_FNS = (
     # sqrt is IEEE-exact on both engines; it routes through the shim so
     # negative inputs RAISE like DuckDB instead of returning NaN
     "sqrt",
+    # round-12 hunt E: Java's cbrt is correctly-rounded (cbrt(27) = 3.0)
+    # while DuckDB's libm cbrt is not (3.0000000000000004) — the shim
+    # calls the same C libm
+    "cbrt",
 )
 
 _LIBM_RE = re.compile(
