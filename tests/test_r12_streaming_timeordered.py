@@ -55,9 +55,16 @@ def test_staging_is_one_file_per_slice_in_time_order(spark, sf_dir):
     import glob
     import tempfile
 
+    import hashlib
+
     read_events_stream_time_ordered(spark, sf_dir)  # stage
+    # resolve THIS sf_dir's staging dir by its key — the latest-mtime
+    # dir can belong to the scaling study's duration-extended tiers
+    # (more slices), whose staging lingers in the same tempdir
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     dirs = glob.glob(
-        os.path.join(tempfile.gettempdir(), "dss_stream_events_*_to*")
+        os.path.join(tempfile.gettempdir(),
+                     f"dss_stream_events_{key}_to*")
     )
     staged = [d for d in dirs if os.path.exists(
         os.path.join(d, "_STAGED_OK"))]
