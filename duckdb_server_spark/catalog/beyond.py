@@ -5343,6 +5343,236 @@ def b34d_vorbis_floor_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b34e_vorbis_pcm",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(range(1, 7), i ->
+               ascii(substr(text || repeat('x', 6), CAST(i AS INT), 1)))
+               AS c
+      FROM documents
+    ),
+    pk AS (SELECT doc_id, c, CAST(q AS BIGINT) AS q
+           FROM chars, range(0, 3) t(q)),
+    p AS (
+      SELECT doc_id, q, c,
+             (c[1] * 5 + 17 * q) % 160 + 16 AS y0,
+             (c[2] * 7 + 29 * q) % 160 + 16 AS y1,
+             (c[3] + q) % 63 + 1 AS p2,
+             (c[4] + 2 * q) % 63 + 1 AS p3,
+             (c[5] + 3 * q) % 63 + 1 AS p4
+      FROM pk
+    ),
+    a2 AS (
+      SELECT *, y0 + CASE WHEN y1 >= y0 THEN (8 * (y1 - y0)) // 64
+                          ELSE -((8 * (y0 - y1)) // 64) END AS pred2
+      FROM p
+    ),
+    a2f AS (
+      SELECT *, CASE
+        WHEN p2 >= 2 * least(256 - pred2, pred2) THEN
+          CASE WHEN 256 - pred2 > pred2 THEN p2 ELSE 255 - p2 END
+        WHEN p2 % 2 = 1 THEN pred2 - (p2 + 1) // 2
+        ELSE pred2 + p2 // 2 END AS f2
+      FROM a2
+    ),
+    a3 AS (
+      SELECT *, f2 + CASE WHEN y1 >= f2 THEN (8 * (y1 - f2)) // 56
+                          ELSE -((8 * (f2 - y1)) // 56) END AS pred3
+      FROM a2f
+    ),
+    a3f AS (
+      SELECT *, CASE
+        WHEN p3 >= 2 * least(256 - pred3, pred3) THEN
+          CASE WHEN 256 - pred3 > pred3 THEN p3 ELSE 255 - p3 END
+        WHEN p3 % 2 = 1 THEN pred3 - (p3 + 1) // 2
+        ELSE pred3 + p3 // 2 END AS f3
+      FROM a3
+    ),
+    a4 AS (
+      SELECT *, f3 + CASE WHEN y1 >= f3 THEN (16 * (y1 - f3)) // 48
+                          ELSE -((16 * (f3 - y1)) // 48) END AS pred4
+      FROM a3f
+    ),
+    a4f AS (
+      SELECT *, CASE
+        WHEN p4 >= 2 * least(256 - pred4, pred4) THEN
+          CASE WHEN 256 - pred4 > pred4 THEN p4 ELSE 255 - p4 END
+        WHEN p4 % 2 = 1 THEN pred4 - (p4 + 1) // 2
+        ELSE pred4 + p4 // 2 END AS f4
+      FROM a4
+    ),
+    curve AS (
+      SELECT doc_id, q, c,
+        list_transform(range(0, 8), xx -> y0
+          + CASE WHEN f2 >= y0 THEN (xx * (f2 - y0)) // 8
+                 ELSE -((xx * (y0 - f2)) // 8) END)
+        || list_transform(range(8, 16), xx -> f2
+          + CASE WHEN f3 >= f2 THEN ((xx - 8) * (f3 - f2)) // 8
+                 ELSE -(((xx - 8) * (f2 - f3)) // 8) END)
+        || list_transform(range(16, 32), xx -> f3
+          + CASE WHEN f4 >= f3 THEN ((xx - 16) * (f4 - f3)) // 16
+                 ELSE -(((xx - 16) * (f3 - f4)) // 16) END)
+        || list_transform(range(32, 64), xx -> f4
+          + CASE WHEN y1 >= f4 THEN ((xx - 32) * (y1 - f4)) // 32
+                 ELSE -(((xx - 32) * (f4 - y1)) // 32) END)
+        || list_transform(range(64, 128), xx -> CAST(y1 AS BIGINT))
+          AS cv
+      FROM a4f
+    ),
+    spec AS (
+      SELECT doc_id, q,
+        list_transform(range(0, 128), k ->
+          pow(10.0, ((cv[CAST(k AS INT) + 1] - 255) * 7.0) / 256.0)
+          * (-3.0 + CAST((((c[CAST(k // 4 % 6 AS INT) + 1] + k // 4
+                            + 13 * q) % 16) + (k % 4)) % 8 AS DOUBLE)))
+          AS sp
+      FROM curve
+    ),
+    imd AS (
+      SELECT doc_id, q,
+        list_transform(range(0, 256), j ->
+          list_sum(list_transform(range(0, 128), k ->
+            sp[CAST(k AS INT) + 1]
+            * cos(((pi() / 512) * (2 * j + 1 + 128)) * (2 * k + 1)))))
+          AS y
+      FROM spec
+    ),
+    win AS (
+      SELECT doc_id, q,
+        list_transform(range(0, 256), j ->
+          y[CAST(j AS INT) + 1]
+          * sin((pi() / 2)
+                * (sin((pi() / 256) * (j + 0.5))
+                   * sin((pi() / 256) * (j + 0.5))))) AS wy
+      FROM imd
+    ),
+    lap AS (
+      SELECT doc_id, list(wy ORDER BY q) AS ws FROM win GROUP BY doc_id
+    ),
+    pcm AS (
+      SELECT doc_id,
+        list_transform(range(0, 128), i ->
+          ws[1][CAST(i AS INT) + 129] + ws[2][CAST(i AS INT) + 1])
+        || list_transform(range(0, 128), i ->
+          ws[2][CAST(i AS INT) + 129] + ws[3][CAST(i AS INT) + 1])
+          AS pf
+      FROM lap
+    ),
+    q16 AS (
+      SELECT doc_id,
+        list_transform(pf, v ->
+          greatest(-32768, least(32767,
+            CAST(floor(v * 32767.0 + 0.5) AS BIGINT)))) AS p16
+      FROM pcm
+    )
+    SELECT doc_id,
+           CAST(256 AS INT) AS n_samples,
+           CAST(p16[1] AS INT) AS s0,
+           CAST(p16[18] AS INT) AS s17,
+           CAST(p16[64] AS INT) AS s63,
+           CAST(p16[129] AS INT) AS s128,
+           CAST(p16[201] AS INT) AS s200,
+           CAST(p16[256] AS INT) AS s255,
+           CAST(list_max(list_transform(p16, v -> abs(v))) AS INT)
+             AS peak,
+           CAST(list_sum(list_transform(p16, v -> abs(v))) AS BIGINT)
+             AS csum
+    FROM q16
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b34e_vorbis_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg-Vorbis FULL PCM decode (round 13, VERDICT r12 item 2;
+    operators/vorbis.py §10.1/§4.3): the engine's first
+    wild-stream-to-PCM audio codec. Each document becomes a 3-packet
+    mono Ogg-Vorbis stream (blocksize 256): floor posts stretched over
+    16..175 so amplitudes land mid-scale (no rail clipping) while the
+    escape branch stays reachable, residue VQ entries driven by doc
+    chars through the lookup-type-2 codebook. The decoder runs the
+    complete chain — Ogg demux, header parse, §7.2.3 posts, §7.2.4
+    integer curve, §10.1 inverse-dB via its CLOSED FORM
+    10^((i-255)·7/256) (provenance: matches the spec's published
+    entries to ≤7e-7, sub-PCM16-LSB — unlike MP3's discrete Huffman
+    tables a continuous curve cannot garble decode), direct
+    inverse-MDCT definition, the formula-defined sin(π/2·sin²) window,
+    §4.3.8 overlap-add (first frame primes the lap buffer), and
+    half-up PCM16 quantization. The oracle replays every float op in
+    SQL with pinned association order and left-to-right sums (shared
+    libm) — the pcm16 match is BIT-EXACT, verified across the probe
+    samples, the peak, and the all-256-sample abs-checksum. Reference
+    scope: blobs opaque (main.go:199). Scale shape: per-payload CPU in
+    mapInPandas; nothing crosses the driver, no shuffle."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _decode(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.vorbis import (
+            Codebook,
+            Floor1,
+            Residue2,
+            decode_ogg_vorbis_pcm,
+            encode_ogg_vorbis,
+            encode_vorbis_audio,
+        )
+
+        book_a = Codebook(1, 64, [6] * 64)
+        book_b = Codebook(
+            4, 16, [4] * 16, lookup_type=2, minimum=-3.0, delta=1.0,
+            multiplicands=[(e + j) % 8 for e in range(16)
+                           for j in range(4)],
+        )
+        book_c = Codebook(4, 16, [4] * 16)
+        books = [book_a, book_b, book_c]
+        floor = Floor1([0], [3], [0], multiplier=1, rangebits=6,
+                       x_list=[0, 64, 8, 16, 32])
+        residue = Residue2(0, 128, 32, 2, 2, cascades=[0, 1],
+                           books=[[-1] * 8, [1] + [-1] * 7])
+
+        cols = ("doc_id", "n_samples", "s0", "s17", "s63", "s128",
+                "s200", "s255", "peak", "csum")
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                cs = (((text_ or "") + "x" * 6)[:6]).encode("latin-1")
+                pkts = []
+                for q in range(3):
+                    posts = [
+                        (cs[0] * 5 + 17 * q) % 160 + 16,
+                        (cs[1] * 7 + 29 * q) % 160 + 16,
+                        (cs[2] + q) % 63 + 1,
+                        (cs[3] + 2 * q) % 63 + 1,
+                        (cs[4] + 3 * q) % 63 + 1,
+                    ]
+                    entries = [(cs[tt % 6] + tt + 13 * q) % 16
+                               for tt in range(32)]
+                    pkts.append(encode_vorbis_audio(
+                        posts, entries, [15], floor, residue, books))
+                out = decode_ogg_vorbis_pcm(
+                    encode_ogg_vorbis(pkts, books, floor, residue))
+                p16 = out["pcm16"]
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(out["n_samples"])
+                rows["s0"].append(p16[0])
+                rows["s17"].append(p16[17])
+                rows["s63"].append(p16[63])
+                rows["s128"].append(p16[128])
+                rows["s200"].append(p16[200])
+                rows["s255"].append(p16[255])
+                rows["peak"].append(max(abs(v) for v in p16))
+                rows["csum"].append(sum(abs(v) for v in p16))
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _decode,
+        "doc_id long, n_samples int, s0 int, s17 int, s63 int, "
+        "s128 int, s200 int, s255 int, peak int, csum long",
+    )
+    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
     "b75_warc_extract",
     oracle="""
     SELECT doc_id,
