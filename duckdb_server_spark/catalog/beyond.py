@@ -5010,6 +5010,125 @@ def b35g_mp3_esc_linbits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b35h_mp3_census",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(range(1, 5), i ->
+               ascii(substr(text || repeat('x', 4), CAST(i AS INT), 1)))
+               AS c
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id, doc_id % 4 AS k,
+             CASE doc_id % 4
+               WHEN 0 THEN 'decoded'
+               WHEN 1 THEN 'fail-closed:table-20'
+               WHEN 2 THEN 'fail-closed:joint-stereo'
+               ELSE 'error:malformed' END AS status,
+             CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS nf,
+             CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS ng,
+             CASE WHEN doc_id % 4 = 0 THEN
+               2 * (list_sum(list_transform(c, cc ->
+                 (1 - 2 * ((cc >> 6) % 2))
+                 * ((cc >> 3) % 2 + (cc >> 2) % 2
+                    + (cc >> 1) % 2 + cc % 2))))
+             ELSE 0 END AS sp
+      FROM chars
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(nf) AS BIGINT) AS total_frames,
+           CAST(sum(ng) AS BIGINT) AS total_granules,
+           CAST(sum(sp) AS BIGINT) AS total_spectral
+    FROM per
+    GROUP BY status
+    ORDER BY status ASC NULLS LAST
+    """,
+)
+def b35h_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 decode-status CENSUS (round 13, VERDICT r12 item 3;
+    operators/mp3_l3.py::mp3_decode_census): at 100 TB a fail-closed
+    frame must become a row, not a failed job. Each document becomes
+    one of four stream classes by doc_id % 4 — (0) a strict-decodable
+    count1 fixture whose signed spectral sum replays closed-form from
+    the chars, (1) an ESC-family stream (table 20) that the default
+    strict profile fail-closes BY NAME, (2) a joint-stereo (mode 1)
+    frame fail-closed at the mid/side float layer, (3) a non-MP3 byte
+    string. The scan kernel classifies every file into a stable status
+    string (never raising, never fabricating samples — n_frames still
+    comes from the header walk when spectral decode is blocked), and
+    the query aggregates the census the way a corpus sweep would:
+    files/frames/granules/spectral-evidence per status. The oracle
+    replays class membership and the decoded class's signed-popcount
+    spectral sum from the definition. Scale shape: per-payload CPU in
+    mapInPandas, then a 4-group hash aggregate on an 8-byte-ish status
+    key — the shuffle carries counts, not payloads."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _census(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.mp3_l3 import (
+            mp3_decode_census,
+            write_l3_fixture,
+        )
+
+        def _quads(cs):
+            return [((c >> 3) & 1, (c >> 2) & 1, (c >> 1) & 1, c & 1,
+                     (c >> 6) & 1) for c in cs]
+
+        def _esc_pairs(cs):
+            return [(15 + (c % 64), c % 8,
+                     (c >> 6) % 2 if c else 0, (c >> 1) % 2)
+                    for c in cs[:4]]
+
+        cols = ("doc_id", "status", "nf", "ng", "sp")
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                cs = (((text_ or "") + "x" * 4)[:4]).encode("latin-1")
+                k = doc_id % 4
+                if k == 0:
+                    blob = write_l3_fixture([_quads(cs),
+                                             _quads(cs[::-1])])
+                elif k == 1:
+                    blob = write_l3_fixture(
+                        [[], []],
+                        granule_pairs=[_esc_pairs(cs), _esc_pairs(cs)],
+                        table_select=(20, 0, 0), region_counts=(1, 0),
+                        br_idx=5, esc_profile="engine",
+                    )
+                elif k == 2:
+                    base = write_l3_fixture([_quads(cs),
+                                             _quads(cs[::-1])])
+                    blob = (base[:3]
+                            + bytes([(base[3] & 0x3F) | 0x40])
+                            + base[4:])
+                else:
+                    blob = b"NOTANMP3FILE" * 3
+                cen = mp3_decode_census(blob)
+                rows["doc_id"].append(doc_id)
+                rows["status"].append(cen["status"])
+                rows["nf"].append(cen["n_frames"])
+                rows["ng"].append(cen["n_granules"])
+                rows["sp"].append(cen["spectral_sum"] or 0)
+            yield _pd.DataFrame(rows)
+
+    per = docs.mapInPandas(
+        _census,
+        "doc_id long, status string, nf int, ng int, sp long",
+    )
+    agg = per.groupBy("status").agg(
+        F.count("*").alias("n_files"),
+        F.sum("nf").cast("long").alias("total_frames"),
+        F.sum("ng").cast("long").alias("total_granules"),
+        F.sum("sp").cast("long").alias("total_spectral"),
+    )
+    return agg.orderBy(F.col("status").asc_nulls_last())
+
+
+@query(
     "b34c_vorbis_floor_residue",
     oracle="""
     WITH chars AS (

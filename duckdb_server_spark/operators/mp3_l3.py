@@ -873,6 +873,91 @@ def decode_mp3_pcm(payload: bytes):
     )
 
 
+# --- decode-status census (round 13, VERDICT r12 item 3) ---------------------
+#
+# A 100 TB audio sweep must not turn one fail-closed frame into a failed
+# job: the census classifies each file into a stable status string instead
+# of raising, so coverage becomes a groupBy — decoded vs which declared
+# subset blocked it — while the decode path itself stays fail-closed (this
+# function never fabricates spectral values; it only catches and names).
+
+_CENSUS_TABLE_RE = None  # compiled lazily (module import stays light)
+
+
+def mp3_decode_census(payload: bytes,
+                      esc_profile: str = "strict") -> dict:
+    """Classify one MP3 payload for a coverage census. Returns
+    ``{"status", "n_frames", "n_granules", "spectral_sum"}`` where
+    status is one of:
+
+    * ``"decoded"`` — full integer-layer decode succeeded;
+      spectral_sum/n_granules carry the decode evidence;
+    * ``"fail-closed:table-N"`` — a frame selects an untranscribed B.7
+      Huffman table (N = the first blocking table);
+    * ``"fail-closed:joint-stereo"`` — mode 1 mid/side float layer;
+    * ``"fail-closed:short-blocks"`` — window_switching granules;
+    * ``"fail-closed:mpeg-version"`` — MPEG-2/2.5 frames;
+    * ``"fail-closed:<other>"`` — any other declared subset;
+    * ``"error:<reason>"`` — malformed container (bad sync, reservoir
+      underrun, truncation).
+
+    ``n_frames`` always comes from the header walk (it parses even when
+    spectral decode fail-closes), so the census still sizes the file."""
+    import re
+
+    global _CENSUS_TABLE_RE
+    if _CENSUS_TABLE_RE is None:
+        _CENSUS_TABLE_RE = re.compile(r"Huffman table (\d+)")
+
+    # header walk first: frame count survives spectral fail-close
+    n_frames = 0
+    try:
+        pos = skip_id3v2(payload)
+        while pos < len(payload):
+            h = parse_frame_header(payload, pos)
+            n_frames += 1
+            pos += h["length"]
+    except (ValueError, NotImplementedError, IndexError):
+        pass
+
+    out = {"status": "decoded", "n_frames": n_frames,
+           "n_granules": 0, "spectral_sum": None}
+    try:
+        frames = decode_l3_spectral(payload, esc_profile)
+    except NotImplementedError as exc:
+        msg = str(exc)
+        m = _CENSUS_TABLE_RE.search(msg)
+        if m:
+            out["status"] = f"fail-closed:table-{m.group(1)}"
+        elif "joint stereo" in msg:
+            out["status"] = "fail-closed:joint-stereo"
+        elif "short/mixed blocks" in msg:
+            out["status"] = "fail-closed:short-blocks"
+        elif "MPEG-1 frames only" in msg:
+            out["status"] = "fail-closed:mpeg-version"
+        else:
+            out["status"] = "fail-closed:other"
+        return out
+    except ValueError as exc:
+        msg = str(exc)
+        if "reservoir" in msg:
+            out["status"] = "error:reservoir-underrun"
+        elif "no frames" in msg:
+            out["status"] = "error:no-frames"
+        else:
+            out["status"] = "error:malformed"
+        return out
+    except IndexError:
+        out["status"] = "error:truncated"
+        return out
+    out["n_frames"] = len(frames)
+    out["n_granules"] = sum(len(f["granules"]) for f in frames)
+    out["spectral_sum"] = sum(
+        sum(g["is"]) for f in frames for g in f["granules"]
+    )
+    return out
+
+
 # --- independent fixture writer ---------------------------------------------
 
 
