@@ -699,6 +699,28 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         return None  # plain dd_json_extract rename applies
     if fn == "json_array_length" and len(args) == 2:
         return f"json_array_length(dd_json_extract({args[0]}, {args[1]}))"
+    if fn == "map_concat" and len(args) >= 2:
+        # round-13 hunt F: DuckDB's map_concat LAST-WINS on duplicate
+        # keys, keeping the FIRST occurrence's position (probed:
+        # {'a':1,'b':9} ++ {'b':2} → keys [a,b], values [1,2]); Spark's
+        # native map_concat raises DUPLICATED_MAP_KEY. Build last-win
+        # from entries: keep first-occurrence positions, take each
+        # key's last value. (Map LITERALS with duplicate keys error on
+        # both engines, so no global dedup policy is set.) The entries
+        # expression is textually repeated — map_concat args are small.
+        # single left fold: first occurrence keeps its POSITION, a later
+        # duplicate overwrites the VALUE in place (index-free — the
+        # dialect's 1-based lambda-index adapter must not touch this)
+        ents = "concat(" + ", ".join(
+            f"map_entries({a.strip()})" for a in args) + ")"
+        return (
+            f"map_from_entries(aggregate({ents}, slice({ents}, 1, 0), "
+            f"(__dd_acc, __dd_e) -> CASE WHEN exists(__dd_acc, "
+            f"__dd_p -> __dd_p.key <=> __dd_e.key) THEN "
+            f"transform(__dd_acc, __dd_p -> CASE WHEN "
+            f"__dd_p.key <=> __dd_e.key THEN __dd_e ELSE __dd_p END) "
+            f"ELSE concat(__dd_acc, array(__dd_e)) END))"
+        )
     if fn == "list_reduce" and len(args) == 2:
         lst, lam = args
         return (
@@ -709,6 +731,18 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         unit = (_literal_value(_unmask(args[0], table)) or "").lower().rstrip("s")
         if unit not in _TS_UNITS:
             return None
+        # round-13 hunt F: TIME literal operands fold here (this
+        # template runs before the TIME-arithmetic pass) — elapsed
+        # full units, truncated toward zero (probed ±89 for
+        # 10:00:30 ↔ 11:30:00)
+        ta = _time_literal_micros(args[1], table)
+        tb = _time_literal_micros(args[2], table)
+        if ta is not None and tb is not None:
+            unit_us = _TIME_DYN_UNIT_US.get(unit)
+            if unit_us is None or unit == "day":
+                return None  # DuckDB errors on date units for TIME
+            n = abs(tb - ta) // unit_us
+            return f"CAST({n if tb >= ta else -n} AS BIGINT)"
         return f"timestampdiff({unit.upper()}, {args[1]}, {args[2]})"
     if (
         fn in ("datepart", "date_part")
@@ -728,6 +762,17 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         field = (_literal_value(_unmask(args[0], table)) or "").lower()
         if field in _DOW_FIELDS:
             return f"(dayofweek({args[1]}) - 1)"
+        if field == "epoch":
+            # round-13 hunt F: date_part('epoch', x) — same fractional
+            # DOUBLE seconds as EXTRACT(EPOCH FROM x) / epoch(x); TIME
+            # literals fold to seconds-since-midnight
+            repl = _time_epoch_seconds(args[1], table)
+            if repl is not None:
+                return repl
+            return (
+                f"(CAST(unix_micros(CAST(({args[1]}) AS TIMESTAMP)) "
+                f"AS DOUBLE) / 1000000)"
+            )
         if field == "isodow":
             lit = _masked_literal(table, "DAYOFWEEK_ISO")
             return f"date_part({lit}, {args[1]})"
@@ -1592,7 +1637,7 @@ _TEMPLATE_RE = re.compile(
     r"julian|era|century|millennium|decade|epoch_ms|epoch_us|epoch_ns|"
     r"parse_filename|parse_dirpath|parse_dirname|parse_path|"
     r"bin|to_binary|make_time|make_timestamp|"
-    r"timezone|string_agg|group_concat|regexp_matches|"
+    r"timezone|string_agg|group_concat|regexp_matches|map_concat|"
     r"struct_insert|bitstring|get_bit|set_bit|bit_position|"
     r"to_years|to_months|to_decades|to_centuries|to_millennia|to_weeks|"
     r"to_days|to_hours|to_minutes|to_seconds|to_milliseconds|"
@@ -1872,9 +1917,119 @@ def _rewrite_collate(s: str, table: list[str]) -> str:
             repl = (f"{_collate_key(other, names)} {lm.group(1)} {key}")
             s = s[:lop_start] + repl + s[m.end() :]
             continue
+        # round-13 hunt F: IN / NOT IN list — the collation keys both
+        # the operand and every list element (probed: 'a' NOCASE IN
+        # ('A', NULL) → true; 'c' IN ('A', NULL) → NULL)
+        im = re.match(r"\s*(NOT\s+)?IN\s*\(", right, re.IGNORECASE)
+        if im:
+            open_idx = m.end() + im.end() - 1
+            close = _matching_paren(s, open_idx)
+            items = _split_top_commas(s[open_idx + 1 : close])
+            keyed = ", ".join(_collate_key(it.strip(), names)
+                              for it in items)
+            neg = "NOT " if im.group(1) else ""
+            repl = f"{key} {neg}IN ({keyed})"
+            s = s[:lstart] + repl + s[close + 1 :]
+            continue
+        # round-13 hunt F: BETWEEN under collation keys all three
+        # operands (probed: 'b' NOCASE BETWEEN 'A' AND 'C' → true where
+        # the bytewise compare is false)
+        bm = re.match(r"\s*(NOT\s+)?BETWEEN\s+", right, re.IGNORECASE)
+        if bm:
+            lo_start = m.end() + bm.end()
+            lo_end = _primary_fwd(s, lo_start)
+            am = re.match(r"\s*AND\s+", s[lo_end:], re.IGNORECASE)
+            if am:
+                hi_start = lo_end + am.end()
+                hi_end = _primary_fwd(s, hi_start)
+                lo = _collate_key(s[lo_start:lo_end].strip(), names)
+                hi = _collate_key(s[hi_start:hi_end].strip(), names)
+                neg = "NOT " if bm.group(1) else ""
+                repl = f"{key} {neg}BETWEEN {lo} AND {hi}"
+                s = s[:lstart] + repl + s[hi_end:]
+                continue
+        # round-13 hunt F: simple-CASE operand — CASE x COLLATE c WHEN
+        # v1 … END compares operand to each arm under the collation
+        # (probed: CASE 'A' NOCASE WHEN 'a' THEN 1 → 1); the arms in
+        # THIS case block get the key too
+        head = s[:lstart]
+        cm = re.search(r"\bCASE\s*$", head, re.IGNORECASE)
+        wm = re.match(r"\s*WHEN\b", right, re.IGNORECASE)
+        if cm and wm:
+            rest, consumed = _collate_case_arms(
+                s[m.end():], names)
+            s = s[:lstart] + key + rest + s[m.end() + consumed:]
+            continue
+        # round-13 hunt F: aggregate/function contexts. Probed on live
+        # DuckDB 1.0: min/max SELECT the extremum under the collation
+        # (ties are scan-order-dependent there — engine-defined here);
+        # nullif and arg_max/arg_min/max_by/min_by compare under it;
+        # upper/substr/||/greatest/least/string_agg/count(DISTINCT)
+        # IGNORE it (collation does not propagate through value
+        # functions), so the annotation is stripped there.
+        fn_name, fn_open, fn_start = _enclosing_call(s, lstart)
+        fl = fn_name.lower() if fn_name else ""
+        if fl in ("min", "max"):
+            close = _matching_paren(s, fn_open)
+            inner = s[fn_open + 1 : close].strip()
+            if inner == s[lstart : m.end()].strip():
+                pick = "max_by" if fl == "max" else "min_by"
+                repl = f"{pick}({operand}, {key})"
+                s = s[:fn_start] + repl + s[close + 1 :]
+                continue
+        if fl == "nullif":
+            close = _matching_paren(s, fn_open)
+            args = _split_top_commas(s[fn_open + 1 : close])
+            if len(args) == 2:
+                a_raw = args[0].strip()
+                b_raw = args[1].strip()
+                a_plain = re.sub(_COLLATE_RE, "", a_raw).strip()
+                b_plain = re.sub(_COLLATE_RE, "", b_raw).strip()
+                repl = (
+                    f"(CASE WHEN {_collate_key(a_plain, names)} = "
+                    f"{_collate_key(b_plain, names)} THEN NULL "
+                    f"ELSE {a_plain} END)"
+                )
+                s = s[:fn_start] + repl + s[close + 1 :]
+                continue
+        if fl in ("arg_max", "arg_min", "max_by", "min_by"):
+            close = _matching_paren(s, fn_open)
+            args = _split_top_commas(s[fn_open + 1 : close])
+            if len(args) == 2 and args[1].strip() == (
+                    s[lstart : m.end()].strip()):
+                pick = "max_by" if fl in ("arg_max", "max_by") else "min_by"
+                repl = f"{pick}({args[0].strip()}, {key})"
+                s = s[:fn_start] + repl + s[close + 1 :]
+                continue
+        if fl in _COLLATE_STRIP_FNS:
+            s = s[:lstart] + operand + s[m.end() :]
+            continue
+        # `||` either side: concatenation drops the annotation (probed)
+        if re.match(r"\s*\|\|", right) or re.search(
+                r"\|\|\s*$", head):
+            s = s[:lstart] + operand + s[m.end() :]
+            continue
+        # parenthesized group ('x' COLLATE c): the annotation rides the
+        # group — apply the group's OUTER context (comparison keys both
+        # sides, concatenation strips)
+        if fn_name is None and fn_open >= 0:
+            gclose = _matching_paren(s, fn_open)
+            after = s[gclose + 1 :] if gclose is not None else ""
+            before = s[:fn_open]
+            rm2 = re.match(r"\s*(<=|>=|<>|!=|=|<|>)\s*", after)
+            if rm2:
+                rop_start = gclose + 1 + rm2.end()
+                rop_end = _primary_fwd(s, rop_start)
+                other = s[rop_start:rop_end].strip()
+                repl = f"{key} {rm2.group(1)} {_collate_key(other, names)}"
+                s = s[:fn_open] + repl + s[rop_end:]
+                continue
+            if re.match(r"\s*\|\|", after) or re.search(
+                    r"\|\|\s*$", before):
+                s = s[:lstart] + operand + s[m.end() :]
+                continue
         # ORDER BY / GROUP BY key position: nearest clause keyword
         # before the operand must be ORDER BY / GROUP BY (commas allowed)
-        head = s[:lstart]
         km = None
         for km2 in re.finditer(
             r"\b(ORDER\s+BY|GROUP\s+BY|SELECT|WHERE|HAVING|FROM|ON)\b",
@@ -1889,10 +2044,105 @@ def _rewrite_collate(s: str, table: list[str]) -> str:
             s = s[:lstart] + key + s[m.end() :]
             continue
         raise DialectError(
-            "COLLATE is supported in comparisons and ORDER BY/GROUP BY "
-            "keys; other positions would change the projected value"
+            "COLLATE is supported in comparisons, IN/BETWEEN/CASE "
+            "operands, min/max/arg_max/nullif, probed value functions, "
+            "and ORDER BY/GROUP BY keys; other positions would change "
+            "the projected value"
         )
     return s
+
+
+# probed on live DuckDB 1.0 (round-13 hunt F): these functions compute
+# on the VALUE and ignore a COLLATE annotation on their argument — the
+# collation does not propagate through function application
+_COLLATE_STRIP_FNS = frozenset((
+    "upper", "lower", "ucase", "lcase", "substr", "substring", "concat",
+    "string_agg", "group_concat", "listagg", "greatest", "least",
+    "count", "length", "strlen", "len", "trim", "ltrim", "rtrim",
+    "replace", "reverse", "left", "right", "repeat", "first", "last",
+    "any_value", "strip_accents",
+))
+
+
+def _enclosing_call(s: str, pos: int) -> tuple[str | None, int, int]:
+    """(name, '(' index, name-start index) of the innermost function
+    call containing ``pos`` — scans back over balanced parens;
+    (None, -1, -1) when the position is not directly inside a call's
+    argument list."""
+    depth = 0
+    j = pos - 1
+    while j >= 0:
+        c = s[j]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                k = j - 1
+                while k >= 0 and s[k] in " \t\n":
+                    k -= 1
+                end = k + 1
+                while k >= 0 and (s[k].isalnum() or s[k] == "_"):
+                    k -= 1
+                name = s[k + 1 : end]
+                # a clause keyword before '(' is a plain group, not a
+                # function call
+                if name.upper() in (
+                    "SELECT", "WHERE", "AND", "OR", "ON", "WHEN",
+                    "THEN", "ELSE", "BY", "FROM", "AS", "IN", "NOT",
+                    "CASE", "HAVING", "DISTINCT", "ALL", "BETWEEN",
+                    "LIKE", "ILIKE", "EXISTS", "VALUES", "JOIN",
+                    "UNION", "INTERSECT", "EXCEPT", "LIMIT", "OFFSET",
+                ):
+                    return (None, j, j)
+                return (name or None, j, k + 1)
+            depth -= 1
+        j -= 1
+    return (None, -1, -1)
+
+
+def _collate_case_arms(rest: str, names: str) -> tuple[str, int]:
+    """Apply the collation key to each WHEN arm of the simple CASE
+    whose operand just ended: ``rest`` starts at the text after the
+    COLLATE spec (``WHEN v1 THEN r1 … END``). Returns the rewritten
+    block text and how many input chars it consumed (through END),
+    tracking nested CASE depth so inner CASEs pass through."""
+    out = []
+    i = 0
+    depth = 0
+    while i < len(rest):
+        wm = re.compile(r"\bWHEN\b|\bCASE\b|\bEND\b", re.IGNORECASE
+                        ).search(rest, i)
+        if wm is None:
+            break
+        word = wm.group(0).upper()
+        if word == "CASE":
+            depth += 1
+            out.append(rest[i:wm.end()])
+            i = wm.end()
+            continue
+        if word == "END":
+            if depth == 0:
+                out.append(rest[i:wm.end()])
+                return "".join(out), wm.end()
+            depth -= 1
+            out.append(rest[i:wm.end()])
+            i = wm.end()
+            continue
+        if depth > 0:
+            out.append(rest[i:wm.end()])
+            i = wm.end()
+            continue
+        # top-level WHEN: key the arm expression (ends at THEN)
+        tm = re.compile(r"\bTHEN\b", re.IGNORECASE).search(rest, wm.end())
+        if tm is None:
+            break
+        arm = rest[wm.end():tm.start()].strip()
+        out.append(rest[i:wm.end()])
+        out.append(f" {_collate_key(arm, names)} ")
+        i = tm.start()
+    raise DialectError(
+        "COLLATE simple-CASE operand: could not delimit the CASE block"
+    )
 
 
 
@@ -2844,7 +3094,49 @@ def _fold_time_arithmetic(s: str, table: list[str]) -> str:
             break
         lit = _masked_literal(table, _fmt_time_micros(tm))
         s = s[: m.start()] + f"TIME {lit}" + s[m.end() :]
+
+    # round-13 hunt F: date_diff / date_sub over TIME literals fold at
+    # rewrite time (Spark cannot cast TIME to TIMESTAMP). Probed on
+    # live 1.0: date_diff counts unit-BOUNDARY crossings
+    # (floor(b/u) - floor(a/u), signed), date_sub counts ELAPSED full
+    # units truncated toward zero (10:00:30→11:30:00 = 89; reversed =
+    # -89). Date-granular units error on TIME in DuckDB — left unfolded
+    # here, so Spark's TIME-cast error mirrors the fail mode.
+    while m := _TIME_DATEDIFF_RE.search(s):
+        fn = m.group(1).lower().replace("_", "")
+        unit = (_literal_value(_unmask(m.group(2), table)) or "").lower()
+        unit_us = _TIME_DYN_UNIT_US.get(unit)
+        a = _parse_time_micros(_literal_value(_unmask(m.group(3), table)) or "")
+        b = _parse_time_micros(_literal_value(_unmask(m.group(4), table)) or "")
+        if unit_us is None or unit == "day" or unit == "days" \
+                or a is None or b is None:
+            break
+        if fn.endswith("sub"):
+            n = abs(b - a) // unit_us
+            val = n if b >= a else -n
+        else:
+            val = b // unit_us - a // unit_us
+        s = s[: m.start()] + f"CAST({val} AS BIGINT)" + s[m.end() :]
     return s
+
+
+_TIME_DATEDIFF_RE = re.compile(
+    r"\b(date_?diff|date_?sub)\s*\(\s*(\x00\d+\x00)\s*,\s*"
+    r"TIME\s+(\x00\d+\x00)\s*,\s*TIME\s+(\x00\d+\x00)\s*\)",
+    re.IGNORECASE,
+)
+
+
+_TIME_LIT_ARG_RE = re.compile(r"^\s*TIME\s+(\x00\d+\x00)\s*$", re.IGNORECASE)
+
+
+def _time_literal_micros(arg: str, table: list[str]) -> int | None:
+    """Micros-since-midnight when ``arg`` is a masked TIME literal."""
+    m = _TIME_LIT_ARG_RE.match(arg)
+    if not m:
+        return None
+    t = _literal_value(_unmask(m.group(1), table))
+    return _parse_time_micros(t) if t is not None else None
 
 
 

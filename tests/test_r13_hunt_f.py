@@ -1,0 +1,268 @@
+"""Round-13 fuzz-hunt battery F pins (VERDICT r12 item 1): MAP
+functions, DISTINCT ON under the null-default pass, correlated
+aggregates in HAVING, COLLATE inside expressions, TIME / timestamptz
+arithmetic, GROUPING SETS, struct/list comparison — ~110 live
+differential probes against DuckDB 1.0.
+
+Silent wrong answers / coverage gaps FOUND AND FIXED this round:
+
+* ``map_concat`` on duplicate keys — DuckDB LAST-WINS keeping the
+  first occurrence's position; Spark's native map_concat raises
+  DUPLICATED_MAP_KEY. Lowered to an index-free entries fold
+  (breadth.py _template map_concat branch). Map LITERALS with
+  duplicate keys error on BOTH engines, so no global dedup policy.
+* COLLATE inside expressions beyond plain comparisons — probed on live
+  1.0 and implemented per context: IN/NOT IN lists key every element;
+  BETWEEN keys all three operands ('b' NOCASE BETWEEN 'A' AND 'C' is
+  true where the bytewise compare is false); simple-CASE operands key
+  every WHEN arm; min/max select the extremum UNDER the collation
+  (ties are scan-order-dependent in DuckDB → engine-defined here);
+  nullif and arg_max/arg_min/max_by/min_by compare under it; while
+  upper/substr/||/greatest/least/string_agg/count(DISTINCT) IGNORE the
+  annotation (collation does not propagate through value functions) —
+  an explicit probed strip-list, everything else still fails closed.
+* ``date_diff``/``datediff`` over TIME literals — boundary-crossing
+  counts (floor(b/u) − floor(a/u), signed); ``date_sub`` — elapsed
+  full units truncated toward zero. Both fold at rewrite time (Spark
+  cannot cast TIME to TIMESTAMP). Date-granular units error on TIME in
+  DuckDB; they stay unfolded → a visible error, never a silent value.
+* ``date_part('epoch', x)`` / ``datepart`` — the epoch field existed
+  for EXTRACT and epoch() but not the date_part spelling; now the same
+  fractional-seconds DOUBLE, with TIME literals folding to
+  seconds-since-midnight.
+* parenthesized COLLATE groups — ``('a' COLLATE NOCASE) = 'A'`` and
+  ``(… ) || …`` apply the group's outer context (the back-scan now
+  treats clause keywords before '(' as plain groups, not calls).
+
+Accepted representation divergence (pinned with canonicalization
+below): DuckDB's client returns TIMESTAMPTZ as tz-AWARE UTC datetimes;
+Spark returns the same instant as a naive datetime in the UTC session
+zone. Same instant, different repr — compared here after folding both
+to naive UTC.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from duckdb_server_spark.dialect import (
+    register_dialect_functions,
+    run_sql,
+    serving_dialect,
+)
+
+
+@pytest.fixture(scope="module")
+def sqlf(spark, duck, sf_dir):
+    register_dialect_functions(spark)
+    import os
+    for name in ("region", "nation", "orders"):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+    return spark
+
+
+def _canon(v):
+    """Fold engine client representations: DuckDB MAP dict-of-lists →
+    items; tz-aware datetimes → naive UTC; Rows → tuples."""
+    if isinstance(v, dict):
+        if set(v.keys()) == {"key", "value"} and isinstance(
+                v.get("key"), list):
+            v = dict(zip(v["key"], v["value"]))
+        return tuple(sorted((str(k), _canon(x)) for k, x in v.items()))
+    if hasattr(v, "asDict"):
+        return _canon(v.asDict())
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return str(v.astimezone(datetime.timezone.utc)
+                   .replace(tzinfo=None))
+    return str(v)
+
+
+def _match(spark, duck, sql: str):
+    theirs = duck.execute(sql).fetchall()
+    with serving_dialect(True):
+        ours = [tuple(r) for r in run_sql(spark, sql).collect()]
+    a = sorted([_canon(x) for x in r] for r in ours)
+    b = sorted([_canon(x) for x in r] for r in theirs)
+    assert a == b, f"{sql!r}: {ours[:4]} != {theirs[:4]}"
+
+
+@pytest.mark.parametrize("sql", [
+    # --- MAP type ------------------------------------------------------
+    "SELECT MAP {'a': 1, 'b': 2} AS m",
+    "SELECT map_keys(MAP {'a': 1, 'b': 2}) AS v",
+    "SELECT map_values(MAP {'a': 1, 'b': 2}) AS v",
+    "SELECT map_entries(MAP {'a': 1, 'b': 2}) AS v",
+    "SELECT cardinality(MAP {'a': 1, 'b': 2}) AS v",
+    "SELECT MAP {'a': 1, 'b': 2}['a'] AS v",
+    "SELECT MAP {'a': 1, 'b': 2}['z'] AS v",
+    "SELECT element_at(MAP {'a': 1, 'b': 2}, 'b') AS v",
+    "SELECT map_from_entries([{'k': 'x', 'v': 1}, {'k': 'y', 'v': 2}]) AS v",
+    "SELECT map([1, 2], ['x', 'y']) AS v",
+    "SELECT map()['a'] AS v",
+    "SELECT map_extract(MAP {'a': 1, 'b': 2}, 'a') AS v",
+    "SELECT MAP {1: 'one', 5: 'five'}[5] AS v",
+    # map_concat last-win (the found bug)
+    "SELECT map_concat(MAP {'a': 1}, MAP {'b': 2}) AS v",
+    "SELECT map_concat(MAP {'a': 1, 'b': 9}, MAP {'b': 2}) AS v",
+    "SELECT map_keys(map_concat(MAP {'a': 1, 'b': 9}, MAP {'b': 2})) AS v",
+    "SELECT map_values(map_concat(MAP {'a': 1, 'b': 9}, MAP {'b': 2})) AS v",
+    "SELECT map_concat(MAP {'a': 1}, MAP {'b': 2}, MAP {'a': 7}) AS v",
+    "SELECT map_values(map_concat(MAP {'a': 1}, MAP {'b': 2}, MAP {'a': 7})) AS v",
+    "SELECT cardinality(map_concat(MAP {'a': 1, 'b': 9}, MAP {'b': 2})) AS v",
+])
+def test_map_probes(sqlf, duck, sql):
+    _match(sqlf, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name FROM nation ORDER BY n_regionkey, n_name",
+    "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name FROM nation ORDER BY n_regionkey, n_name DESC",
+    "SELECT DISTINCT ON (o_custkey % 5) o_custkey % 5 AS k, o_orderkey FROM orders ORDER BY o_custkey % 5, o_orderkey",
+    "SELECT DISTINCT ON (r_regionkey % 2) r_regionkey % 2 AS k, r_name FROM region ORDER BY r_regionkey % 2, r_name DESC",
+    # nullable sort keys under the r12 null-default pass
+    "SELECT DISTINCT ON (x) x, y FROM (VALUES (1, 'a'), (NULL, 'b'), (1, 'c'), (NULL, 'd')) t(x, y) ORDER BY x, y",
+    "SELECT DISTINCT ON (x) x, y FROM (VALUES (1, 'a'), (NULL, 'b'), (1, 'c'), (NULL, 'd')) t(x, y) ORDER BY x DESC, y",
+])
+def test_distinct_on_probes(sqlf, duck, sql):
+    _match(sqlf, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT n_regionkey, count(*) AS c FROM nation GROUP BY n_regionkey HAVING count(*) > (SELECT avg(cnt) FROM (SELECT count(*) AS cnt FROM nation GROUP BY n_regionkey) s) ORDER BY n_regionkey",
+    "SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 1.5 * (SELECT avg(o_totalprice) FROM orders) * count(*) ORDER BY o_custkey LIMIT 5",
+    "SELECT r_regionkey, (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey) AS c FROM region ORDER BY r_regionkey",
+    "SELECT n_regionkey, max(n_nationkey) AS m FROM nation GROUP BY n_regionkey HAVING max(n_nationkey) > any(SELECT n_nationkey FROM nation WHERE n_regionkey = 0) ORDER BY n_regionkey",
+])
+def test_correlated_having_probes(sqlf, duck, sql):
+    _match(sqlf, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    # comparisons (pre-existing) and the new contexts
+    "SELECT 'HELLO' COLLATE NOCASE = 'hello' AS v",
+    "SELECT CASE WHEN 'X' COLLATE NOCASE = 'x' THEN 1 ELSE 0 END AS v",
+    "SELECT 'héllo' COLLATE NOACCENT = 'hello' AS v",
+    "SELECT 'HÉLLO' COLLATE NOCASE.NOACCENT = 'hello' AS v",
+    # IN / NOT IN with NULL three-valued logic
+    "SELECT 'a' COLLATE NOCASE IN ('A', 'B') AS v",
+    "SELECT 'a' COLLATE NOCASE NOT IN ('A', 'B') AS v",
+    "SELECT 'c' COLLATE NOCASE IN ('A', 'B') AS v",
+    "SELECT 'a' COLLATE NOCASE IN ('A', NULL) AS v",
+    "SELECT 'c' COLLATE NOCASE IN ('A', NULL) AS v",
+    # BETWEEN
+    "SELECT 'b' COLLATE NOCASE BETWEEN 'A' AND 'C' AS v",
+    "SELECT 'Foo' COLLATE NOCASE NOT BETWEEN 'fa' AND 'fz' AS v",
+    # simple-CASE operand keys every arm
+    "SELECT CASE 'A' COLLATE NOCASE WHEN 'a' THEN 1 ELSE 0 END AS v",
+    "SELECT CASE 'z' COLLATE NOCASE WHEN 'a' THEN 1 WHEN 'Z' THEN 2 ELSE 0 END AS v",
+    # min/max select under the collation (non-tie cases — ties are
+    # scan-order-dependent in DuckDB, engine-defined here)
+    "SELECT max(x COLLATE NOCASE) AS v FROM (VALUES ('a'), ('B')) t(x)",
+    "SELECT max(x COLLATE NOCASE) AS v FROM (VALUES ('B'), ('a')) t(x)",
+    "SELECT min(x COLLATE NOCASE) AS v FROM (VALUES ('b'), ('A')) t(x)",
+    # nullif / arg_max compare under it
+    "SELECT nullif('a' COLLATE NOCASE, 'A') AS v",
+    "SELECT nullif('c' COLLATE NOCASE, 'A') AS v",
+    "SELECT arg_max(x, x COLLATE NOCASE) AS v FROM (VALUES ('a'), ('B')) t(x)",
+    # probed value functions IGNORE the annotation
+    "SELECT upper(x COLLATE NOCASE) AS v FROM (VALUES ('a')) t(x)",
+    "SELECT substr('AbCd' COLLATE NOCASE, 1, 2) = 'ab' AS v",
+    "SELECT ('A' COLLATE NOCASE) || 'Z' AS v",
+    "SELECT string_agg(x COLLATE NOCASE, ',') AS v FROM (VALUES ('b')) t(x)",
+    "SELECT count(DISTINCT x COLLATE NOCASE) AS v FROM (VALUES ('a'), ('A'), ('b')) t(x)",
+    "SELECT greatest('a' COLLATE NOCASE, 'B') AS v",
+    # parenthesized group takes the outer context
+    "SELECT ('a' COLLATE NOCASE) = 'A' AS v",
+    "SELECT count(*) AS v FROM nation WHERE n_name COLLATE NOCASE = lower(n_name)",
+])
+def test_collate_probes(sqlf, duck, sql):
+    _match(sqlf, duck, sql)
+
+
+def test_collate_other_positions_still_fail_closed(sqlf):
+    from duckdb_server_spark.dialect import DialectError
+
+    with serving_dialect(True), pytest.raises(DialectError):
+        # DISTINCT projection under collation picks a scan-order
+        # representative in DuckDB — fail-closed, never silently wrong
+        run_sql(
+            sqlf,
+            "SELECT DISTINCT x COLLATE NOCASE FROM "
+            "(VALUES ('a'), ('A')) t(x)",
+        ).collect()
+
+
+@pytest.mark.parametrize("sql", [
+    # TIME ± INTERVAL (pre-existing wrap) still green beside the new ops
+    "SELECT TIME '11:30:00' + INTERVAL 2 HOUR AS v",
+    "SELECT TIME '23:30:00' + INTERVAL 2 HOUR AS v",
+    "SELECT TIME '01:30:00' - INTERVAL 3 HOUR AS v",
+    # date_diff boundary counts over TIME
+    "SELECT date_diff('minute', TIME '10:00:00', TIME '11:30:00') AS v",
+    "SELECT date_diff('minute', TIME '11:30:59', TIME '10:00:00') AS v",
+    "SELECT date_diff('hour', TIME '10:59:00', TIME '11:00:01') AS v",
+    "SELECT date_diff('second', TIME '10:00:00.9', TIME '10:00:01.1') AS v",
+    "SELECT date_diff('millisecond', TIME '10:00:00.0009', TIME '10:00:00.0011') AS v",
+    "SELECT date_diff('microsecond', TIME '10:00:00', TIME '10:00:01') AS v",
+    "SELECT datediff('minute', TIME '10:00:00', TIME '11:30:00') AS v",
+    # date_sub elapsed counts over TIME (truncate toward zero)
+    "SELECT date_sub('minute', TIME '10:00:30', TIME '11:30:00') AS v",
+    "SELECT date_sub('minute', TIME '11:30:00', TIME '10:00:30') AS v",
+    "SELECT date_sub('hour', TIME '10:00:00', TIME '09:00:01') AS v",
+    # date_part epoch — all spellings
+    "SELECT date_part('epoch', TIMESTAMP '2024-03-01 12:00:00') AS v",
+    "SELECT date_part('epoch', DATE '2024-03-01') AS v",
+    "SELECT date_part('epoch', TIME '10:00:30') AS v",
+    "SELECT datepart('epoch', TIMESTAMP '2024-03-01 12:00:00') AS v",
+    "SELECT date_part('epoch', TIMESTAMPTZ '2024-03-01 12:00:00+00') AS v",
+    # timestamptz values compare as instants (canonicalized)
+    "SELECT TIMESTAMPTZ '2024-03-01 12:00:00+00' AS v",
+    "SELECT TIMESTAMPTZ '2024-03-01 12:00:00+02' - TIMESTAMPTZ '2024-03-01 10:00:00+00' AS v",
+    "SELECT TIMESTAMP '2024-03-01 12:00:00' AT TIME ZONE 'UTC' AS v",
+    "SELECT date_trunc('hour', TIMESTAMPTZ '2024-03-01 12:34:56+00') AS v",
+    "SELECT date_diff('hour', TIMESTAMPTZ '2024-01-01 00:00:00+00', TIMESTAMPTZ '2024-01-02 03:00:00+00') AS v",
+    "SELECT age(TIMESTAMP '2024-03-15 10:00:00', TIMESTAMP '2022-01-10 08:30:00') AS v",
+    "SELECT TIME '10:11:12.345678' AS v",
+    "SELECT TIMESTAMP '2024-02-29 12:00:00' + INTERVAL 1 YEAR AS v",
+    "SELECT DATE '2024-01-31' + INTERVAL 1 MONTH AS v",
+    "SELECT TIMESTAMP '2024-01-01 00:00:00' - INTERVAL '90' MINUTE AS v",
+])
+def test_time_tz_probes(sqlf, duck, sql):
+    _match(sqlf, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT n_regionkey, count(*) AS c FROM nation GROUP BY ROLLUP (n_regionkey) ORDER BY n_regionkey NULLS LAST",
+    "SELECT n_regionkey, n_nationkey % 2 AS par, count(*) AS c FROM nation GROUP BY CUBE (n_regionkey, par) ORDER BY n_regionkey NULLS LAST, par NULLS LAST",
+    "SELECT n_regionkey, grouping(n_regionkey) AS g, count(*) AS c FROM nation GROUP BY GROUPING SETS ((n_regionkey), ()) ORDER BY n_regionkey NULLS LAST",
+])
+def test_grouping_sets_probes(sqlf, duck, sql):
+    _match(sqlf, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT {'a': 1, 'b': 'x'} = {'a': 1, 'b': 'x'} AS v",
+    "SELECT [1, 2, 3] < [1, 2, 4] AS v",
+    "SELECT [1, 2] < [1, 2, 0] AS v",
+    "SELECT [1, NULL] = [1, NULL] AS v",
+    "SELECT {'a': NULL} = {'a': NULL} AS v",
+    "SELECT list_sort([[2], [1, 0], []]) AS v",
+    "SELECT [1, 2, 3] BETWEEN [1, 2] AND [2] AS v",
+    "SELECT generate_series(1, 10, 3) AS v",
+    "SELECT generate_series(5, 1, -2) AS v",
+    "SELECT range(DATE '2024-01-01', DATE '2024-01-10', INTERVAL 3 DAY) AS v",
+    "SELECT unnest(generate_series(1, 3)) AS v",
+    "SELECT bit_count(255::BIGINT) AS v",
+    "SELECT xor(5, 3) AS v",
+    "SELECT 5 & 3 AS v, 5 | 3 AS w, ~5 AS x, 1 << 4 AS y, 256 >> 3 AS z",
+    "SELECT gen_random_uuid() IS NOT NULL AS v",
+    "SELECT uuid() != uuid() AS v",
+])
+def test_misc_probes(sqlf, duck, sql):
+    _match(sqlf, duck, sql)
