@@ -81,6 +81,37 @@ EXTRA = [
 ]
 
 
+def _control_seconds(spark) -> float:
+    """FROZEN host-speed control (round 13, VERDICT r12 item 4): a fixed
+    synthetic plan — 200M-row range → hash project → filter →
+    groupBy(id % 1001) sum/avg → top-100 sort — using only Spark
+    built-ins over ``spark.range``, touching NO repo code and NO input
+    files. Its cost depends on host/JVM state only, so
+    ``value / control`` separates host drift from repo regression
+    round-over-round: if the headline total moves but the ratio holds,
+    the host moved, not the plans. DO NOT EDIT this workload — its
+    definition being frozen across rounds is the point. Best-of-2 like
+    the headline rows."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        df = (
+            spark.range(0, 200_000_000, 1, 32)
+            .withColumn("k", F.col("id") % 1001)
+            .withColumn("v", (F.col("id") * 2654435761) % 1000003)
+            .filter(F.col("v") % 7 != 0)
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.avg("v").alias("a"))
+            .orderBy(F.desc("s"))
+            .limit(100)
+        )
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     from duckdb_server_spark import catalog
     from duckdb_server_spark.session import get_spark
@@ -95,6 +126,10 @@ def main() -> None:
     catalog.QUERIES[names[0]](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+
+    # A/B/A interleave: control before AND after the measured set, so a
+    # host-speed shift DURING the run is visible as pre/post spread.
+    control_pre = _control_seconds(spark)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -120,20 +155,33 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         extra[name] = round(best, 3)
 
+    control_post = _control_seconds(spark)
+    control = round(min(control_pre, control_post), 3)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra,
                 "sf": sf_val,
+                # frozen synthetic host-speed control (see
+                # _control_seconds): compare value_over_control across
+                # rounds to separate host drift from plan regressions
+                "control": control,
+                "control_pre": control_pre,
+                "control_post": control_post,
+                "value_over_control": round(total / control, 3)
+                if control
+                else None,
             }
         )
     )

@@ -338,6 +338,61 @@ def generate(spark) -> None:
                 os.symlink(f"{SRC}/{dim}.parquet", link)
 
 
+def run_r13s(spark) -> None:
+    """Round-13 amortization band (VERDICT r12 item 5): the r12s
+    time-ordered stream-stream join at the 100x tier, SAME total input,
+    at three slice durations — 5-day (the r12s shape, ~99 batches),
+    15-day (~33) and 50-day (~10). The r12s row's honest residue was
+    ~1 s/batch of micro-batch planning overhead at toy slice sizes;
+    throughput converging toward the availableNow figure as slices
+    fatten (overhead share falling) is the measurement that it
+    amortizes at real slice volumes."""
+    import subprocess
+
+    name = "st_stream_join_timeordered"
+    path, mult = STREAM_TIERS["100x"]
+    results = {}
+    for days in (5, 15, 50):
+        # fresh subprocess per slicing: the staged dir key includes the
+        # slice count, and env must be set before staging derives it
+        code = (
+            "import os, sys, time, json\n"
+            "sys.path.insert(0, '/root/repo')\n"
+            f"os.environ['DSS_STREAM_SLICE_DAYS'] = '{days}'\n"
+            "from duckdb_server_spark import catalog\n"
+            "from duckdb_server_spark.session import get_spark\n"
+            "catalog.load_all()\n"
+            "spark = get_spark(app_name='r13s', configs={'spark.driver.memory': '24g'})\n"
+            "spark.sparkContext.setLogLevel('ERROR')\n"
+            f"catalog.QUERIES['{name}'](spark, '{path}')\n"
+            "t0 = time.perf_counter()\n"
+            f"catalog.QUERIES['{name}'](spark, '{path}').write.format('noop').mode('overwrite').save()\n"
+            "sec = time.perf_counter() - t0\n"
+            "from duckdb_server_spark.streaming import last_stream_progress\n"
+            "prog = last_stream_progress()\n"
+            "print('R13S ' + json.dumps({'sec': round(sec, 3), **prog}))\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True
+        )
+        line = next((ln for ln in out.stdout.splitlines()
+                     if ln.startswith("R13S ")), None)
+        if line is None:
+            print(f"slice_days={days}: FAILED\n{out.stderr[-2000:]}")
+            continue
+        r = json.loads(line[5:])
+        rows = 100_000 * mult
+        r["rows_per_sec"] = int(rows / r["sec"])
+        r["sec_per_batch"] = round(r["sec"] / max(r.get("batches", 1), 1), 3)
+        results[f"slice_days_{days}"] = r
+        print(f"RES r13s slice_days={days}: {r['sec']:8.3f}s "
+              f"batches={r.get('batches')} peak={r.get('peak_state_rows')} "
+              f"({r['rows_per_sec']:,} rows/s, "
+              f"{r['sec_per_batch']}s/batch)", flush=True)
+    with open("/tmp/scaling_r13s.json", "w") as f:
+        json.dump(results, f)
+
+
 def run(spark, group: str) -> None:
     results = {}
     tiers_map = STREAM_TIERS if group in ("r11s", "r12s") else TIERS
@@ -398,6 +453,8 @@ def main() -> None:
         generate(spark)
     elif sys.argv[1] == "generate_stream":
         generate_stream(spark)
+    elif sys.argv[1] == "run" and sys.argv[2] == "r13s":
+        run_r13s(spark)
     else:
         run(spark, sys.argv[2])
 
