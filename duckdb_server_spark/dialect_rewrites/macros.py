@@ -1148,6 +1148,64 @@ def _rewrite_division(s: str) -> str:
 
 
 
+_PY_LAMBDA_RE = re.compile(
+    r"\blambda\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*:",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_python_lambdas(s: str) -> str:
+    """DuckDB 1.3+ Python-style lambdas — ``lambda x: expr`` /
+    ``lambda x, y: expr`` → the arrow form ``(x, y) -> expr`` the rest
+    of the layer already handles (round-13 version-policy item: the
+    reference embeds DuckDB 1.4.1, main.go:355, which accepts BOTH
+    spellings; the local 1.0 oracle only the arrow form — so these
+    probes pin against the arrow equivalent). The body extends to the
+    end of the enclosing argument: the first top-level ',' or
+    unmatched closing bracket."""
+    while m := _PY_LAMBDA_RE.search(s):
+        i = m.end()
+        depth = 0
+        while i < len(s):
+            c = s[i]
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            i += 1
+        names = [p.strip() for p in m.group(1).split(",")]
+        # Spark's parser rejects parens around a SINGLE lambda param
+        head = names[0] if len(names) == 1 else f"({', '.join(names)})"
+        body = s[m.end():i].strip()
+        s = s[: m.start()] + f"{head} -> {body}" + s[i:]
+    return s
+
+
+def _rewrite_int_div(s: str) -> str:
+    """``a // b`` → ``a DIV nullif(b, 0)`` — both engines truncate
+    toward zero on integers; the nullif makes a zero divisor yield NULL
+    (DuckDB) instead of the ANSI divide-by-zero error (round-13 hunt
+    F). Nonzero divisors are untouched by nullif."""
+    i = 0
+    while i < len(s):
+        if not (s[i] == "/" and i + 1 < len(s) and s[i + 1] == "/"):
+            i += 1
+            continue
+        r_end = _primary_end(s, i + 2)
+        right = s[i + 2 : r_end].strip()
+        if not right:
+            i += 2
+            continue
+        repl = f" DIV nullif({right}, 0)"
+        s = s[:i] + repl + s[r_end:]
+        i = i + len(repl)
+    return s
+
+
 def _rewrite_try_mod(s: str) -> str:
     """DuckDB-first only: ``l % r`` → ``try_mod(l, r)`` — DuckDB's
     modulo by zero yields NULL where ANSI Spark raises; values agree for
