@@ -95,6 +95,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # dialect_rewrites/breadth.py). 6 new + 45 stale slightly overfills the
 # ~50/round budget like r11 did (the fn/s singles are sub-second);
 # after this round no declared query's stamp predates r5.
+# Round 13 (VERDICT r12 item 6): steady-state rotation, third turn —
+# oldest stamps head the budget. The new r13 queries go first (never
+# checked), then the 19 rows whose stamps still predate r6 (the r4/r5
+# band left after the r12 rotation: the join family, windows, and
+# st_stream_tws_rollup), then the oldest r7-stamped rows cheapest-first
+# up to the ~50/round budget, then the dialect statements whose serving
+# path changed this round (battery F touched COLLATE, //, map_concat,
+# date_part — the sNN dialect rows traverse those rewrites).
+_PRIORITY_R13: tuple[str, ...] = (
+    # --- new in round 13 ---
+    "b34e_vorbis_pcm",            # new: full Ogg-Vorbis → PCM16 decode
+    "b35h_mp3_census",            # new: decode-status coverage census
+    "s40_dialect_map_collate_time",  # new: battery-F parity statement
+    # --- the 19 rows with pre-r6 stamps, cheapest families first ---
+    "w01_ranking",
+    "w02_lag_lead",
+    "w03_value_functions",
+    "w04_running_agg",
+    "w07_groups_frame",
+    "w07b_exclude_frames",
+    "w09_qualify",
+    "w10_window_filter",
+    "j03_cross_join",
+    "j04_natural_join",
+    "j05_semi_join",
+    "j06_anti_join",
+    "j07_theta_join",
+    "j08_asof_join",
+    "j08b_asof_forward",
+    "j09_lateral_explode",
+    "j09b_lateral_topk",
+    "j10_positional_join",
+    "st_stream_tws_rollup",
+    # --- oldest r7-stamped rows, cheapest first (partial band; the
+    # rest rotates in r14) ---
+    "j01_inner_join",
+    "j02_left_outer",
+    "j02_full_outer",
+    "j02b_right_outer",
+    "s12_json_sink_roundtrip",
+    "s12_orc_sink_roundtrip",
+    "s19_dialect_pivot",
+    "s19b_dialect_unpivot",
+    "s20_dialect_describe",
+    "s21_dialect_macro",
+    "s22_dialect_rewrite_combo",
+    "s23_dialect_list_comprehension",
+    "w06_range_frame",
+    "w06b_bucketed_range_frame",
+    "a20_funnel_analysis",
+    "a21_retention_cohorts",
+    "b03b_minhash_full_oracle",
+    "b04_simhash",
+    "b10_knn_bruteforce",
+    "b20_text_quality",
+    "b30b_png_decode",
+    "b31b_jpeg_decode",
+    "b33b_audio_decode",
+    "b49_repetition_filter",
+    "b56_zorder_layout",
+    "b57_quality_classifier",
+    # --- serving path changed this round (battery F rewrites) ---
+    "s18_dialect_passthrough",
+    "s26_dialect_scalar_tails",
+    "s33_dialect_nested",
+    "s39_dialect_fmt_time_collate",
+)
+
 _PRIORITY_R12: tuple[str, ...] = (
     # --- new in round 12 ---
     "b35f_mp3_midamp_tables",    # new: B.7 tables 7-12 decode
@@ -755,8 +823,8 @@ def load_all() -> None:
     for mod in _MODULE_ORDER:
         importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
 
-    head = list(_PRIORITY_R12)
-    for prior in (_PRIORITY_R11,
+    head = list(_PRIORITY_R13)
+    for prior in (_PRIORITY_R12, _PRIORITY_R11,
                   _PRIORITY_R10, _PRIORITY_R9, _PRIORITY_R8, _PRIORITY_R7,
                   _PRIORITY_R6, _PRIORITY_R5):
         head += [n for n in prior if n not in head]

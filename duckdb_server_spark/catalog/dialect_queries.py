@@ -851,3 +851,51 @@ def s38_dialect_interval_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign on the right block, and interval epoch extraction (years at
     31557600 s, remaining months at 2592000 s, trunc toward zero)."""
     return _sql(spark, sf_dir, _S38_SQL, ("orders",))
+
+
+_S40_SQL = """
+SELECT o_orderkey,
+       map_values(map_concat(MAP {'a': o_orderkey % 5, 'b': CAST(99 AS BIGINT)},
+                             MAP {'b': o_orderkey % 7}))[1] AS mc_v1,
+       map_values(map_concat(MAP {'a': o_orderkey % 5, 'b': CAST(99 AS BIGINT)},
+                             MAP {'b': o_orderkey % 7}))[2] AS mc_v2,
+       map_keys(map_concat(MAP {'a': CAST(1 AS BIGINT)}, MAP {'b': CAST(2 AS BIGINT)},
+                           MAP {'a': o_orderkey % 3}))[1] AS mc_k1,
+       map_concat(MAP {'a': CAST(1 AS BIGINT)}, MAP {'b': CAST(2 AS BIGINT)},
+                  MAP {'a': o_orderkey % 3})['a'][1] AS mc_a,
+       o_orderpriority COLLATE NOCASE IN ('1-urgent', '3-medium')
+         AS coll_in,
+       o_orderpriority COLLATE NOCASE BETWEEN '2-high'
+         AND '4-not specified' AS coll_btw,
+       CASE o_orderpriority COLLATE NOCASE WHEN '5-low' THEN 1
+            WHEN '1-urgent' THEN 2 ELSE 0 END AS coll_case,
+       nullif(o_orderpriority COLLATE NOCASE, '3-medium') AS coll_nlf,
+       (SELECT max(o2.o_orderpriority COLLATE NOCASE) FROM orders o2
+        WHERE o2.o_orderkey <= 100) AS coll_max,
+       date_diff('minute', TIME '10:00:00', TIME '11:30:45') AS td_b,
+       date_sub('minute', TIME '10:00:30', TIME '11:30:00') AS td_e,
+       date_part('epoch', o_orderdate) AS ep,
+       o_orderkey // (o_orderkey % 3) AS idiv0
+FROM orders
+WHERE o_orderkey <= 400
+ORDER BY o_orderkey ASC NULLS LAST
+"""
+
+
+@query("s40_dialect_map_collate_time", oracle=_S40_SQL)
+def s40_dialect_map_collate_time(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Battery F (round 13) as one verbatim shared statement:
+    map_concat LAST-WIN on duplicate keys with first-occurrence key
+    order (lowered to an index-free entries fold — Spark's native
+    map_concat raises DUPLICATED_MAP_KEY), COLLATE NOCASE applied in
+    every newly-supported expression context (IN list, BETWEEN,
+    simple-CASE operand keying each arm, nullif, a scalar-subquery
+    max() selecting the extremum UNDER the collation), date_diff's
+    unit-BOUNDARY count vs date_sub's ELAPSED count over TIME
+    literals (folded at rewrite time — Spark cannot cast TIME),
+    date_part('epoch', …) as fractional DOUBLE seconds, and ``//``
+    with a zero divisor yielding NULL (DIV-nullif) where ANSI Spark
+    raises. Every construct probed live in tests/test_r13_hunt_f.py;
+    this statement is the driver-contract witness."""
+    return _sql(spark, sf_dir, _S40_SQL, ("orders",))
