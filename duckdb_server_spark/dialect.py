@@ -269,6 +269,7 @@ from duckdb_server_spark.dialect_rewrites.breadth import (  # noqa: F401
     _rewrite_concat_nullskip,
     _rewrite_date_arith,
     _rewrite_extract_epoch,
+    _rewrite_decimal_literal_casts,
     _rewrite_string_int_casts,
     _rewrite_fetch_limit,
     _rewrite_from_first_subquery,
@@ -337,6 +338,7 @@ from duckdb_server_spark.dialect_rewrites.nested import (  # noqa: F401
     _nested_shape,
     _rewrite_interval_chain_arith,
     _rewrite_interval_epoch,
+    _rewrite_interval_fields,
     _rewrite_interval_varchar,
     _rewrite_libm,
     _rewrite_list_set_ops,
@@ -490,6 +492,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_dot_calls(masked)
     masked = _rewrite_interval_chain_arith(masked, table)
     masked = _rewrite_interval_epoch(masked, table)
+    masked = _rewrite_interval_fields(masked, table)
     masked = _rewrite_templates(masked, table)
     masked = _rewrite_similar_to(masked, table)
     masked = _rewrite_collate(masked, table)
@@ -504,6 +507,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _fold_time_arithmetic(masked, table)
     masked = _rewrite_typed_literals(masked, table)
     masked = _rewrite_extract_epoch(masked, table)
+    masked = _rewrite_decimal_literal_casts(masked)
     masked = _rewrite_string_int_casts(masked, table)
     masked = _rewrite_unpivot_aliases(masked, table)
     masked = _rewrite_postfix_factorial(masked)

@@ -3290,6 +3290,42 @@ def _rewrite_extract_epoch(s: str, table: list[str] | None = None) -> str:
 
 
 
+# round-13 hunt F wave 2: DuckDB's DECIMAL→DECIMAL scale-down cast
+# TRUNCATES toward zero (probed on live 1.0: 1.955→1.95, 1.959→1.95,
+# -1.959→-1.95, 2.5→2; overflow past the precision errors), while
+# Spark's decimal cast rounds HALF_UP — a silent wrong answer on every
+# down-scale cast of a decimal literal. DOUBLE→DECIMAL and
+# VARCHAR→DECIMAL *round* on both engines (no rewrite needed). Literal
+# casts fold here exactly; non-literal decimal-typed expressions keep
+# Spark's native rounding — the residual is type-inference-dependent
+# and flagged as an acceptance rather than silently guessed.
+_DEC_CAST_LIT_RE = re.compile(
+    r"\bCAST\s*\(\s*(-?\d+(?:\.\d+)?)\s+AS\s+DECIMAL\s*\(\s*(\d+)\s*,"
+    r"\s*(\d+)\s*\)\s*\)"
+    r"|(\d+(?:\.\d+)?)\s*::\s*DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_decimal_literal_casts(s: str) -> str:
+    from decimal import ROUND_DOWN, Decimal
+
+    def sub(m: re.Match) -> str:
+        lit = m.group(1) or m.group(4)
+        p = int(m.group(2) or m.group(5))
+        sc = int(m.group(3) or m.group(6))
+        if sc > p:
+            return m.group(0)
+        d = Decimal(lit).quantize(Decimal(1).scaleb(-sc),
+                                  rounding=ROUND_DOWN)
+        dt = d.as_tuple()
+        if len(dt.digits) + dt.exponent > p - sc:
+            return m.group(0)  # overflow: both engines error
+        return f"CAST({d} AS DECIMAL({p},{sc}))"
+
+    return _DEC_CAST_LIT_RE.sub(sub, s)
+
+
 _UNPIVOT_CLAUSE_RE = re.compile(
     r"\bUNPIVOT\s*(?:(?:INCLUDE|EXCLUDE)\s+NULLS\s*)?\(", re.IGNORECASE
 )

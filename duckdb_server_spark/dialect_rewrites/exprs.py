@@ -2582,13 +2582,44 @@ def _rewrite_time_bucket(
                 "or TIMESTAMP explicitly)"
             )
         origin = args[2].strip() if len(args) == 3 else None
-        if origin is not None and _tb_temporal_kind(origin, table, kinds) is None:
-            raise ValueError(
-                "time_bucket: origin must be a DATE/TIMESTAMP literal"
+        off_n = off_unit = None
+        if origin is not None:
+            om = re.match(
+                r"(?i)^INTERVAL\s+(?:(\x00\d+\x00)|(\d+)\s+([A-Za-z]+))$",
+                origin,
             )
+            if om:
+                # round-13 hunt F wave 2: the INTERVAL-offset form —
+                # buckets shift by the offset (probed: 15 MIN width,
+                # 5 MIN offset → 12:37 buckets to 12:35, 12:02 to
+                # 11:50): fold the offset into the origin
+                if om.group(1):
+                    olit = _literal_value(_unmask(om.group(1), table)) or ""
+                    oparts = olit.split()
+                    if len(oparts) != 2:
+                        raise ValueError(
+                            f"time_bucket: unsupported offset {olit!r}"
+                        )
+                    off_n, off_unit = int(oparts[0]), oparts[1].lower()
+                else:
+                    off_n, off_unit = int(om.group(2)), om.group(3).lower()
+                origin = None
+            elif _tb_temporal_kind(origin, table, kinds) is None:
+                raise ValueError(
+                    "time_bucket: origin must be a DATE/TIMESTAMP or "
+                    "INTERVAL literal"
+                )
         if unit in _INTERVAL_MONTHS:
             months = n * _INTERVAL_MONTHS[unit]
             o = origin or "DATE '2000-01-01'"
+            if off_unit is not None:
+                if off_unit not in _INTERVAL_MONTHS:
+                    raise ValueError(
+                        "time_bucket: month-width offsets must be "
+                        "month-granular"
+                    )
+                o = (f"add_months({o}, "
+                     f"{off_n * _INTERVAL_MONTHS[off_unit]})")
             mdiff = (
                 f"(12 * (year({x}) - year({o})) + month({x}) - month({o}))"
             )
@@ -2599,6 +2630,14 @@ def _rewrite_time_bucket(
         elif unit in _INTERVAL_DAYS:
             days = n * _INTERVAL_DAYS[unit]
             o = origin or "DATE '2000-01-03'"
+            if off_unit is not None:
+                if off_unit not in _INTERVAL_DAYS:
+                    raise ValueError(
+                        "time_bucket: day-width offsets must be "
+                        "day-granular"
+                    )
+                o = (f"date_add(CAST({o} AS DATE), "
+                     f"{off_n * _INTERVAL_DAYS[off_unit]})")
             dd = f"datediff(CAST({x} AS DATE), CAST({o} AS DATE))"
             base = (
                 f"date_add(CAST({o} AS DATE), {dd} - pmod({dd}, {days}))"
@@ -2618,6 +2657,18 @@ def _rewrite_time_bucket(
                 if origin
                 else str(_TB_EPOCH_ORIGIN)
             )
+            if off_unit is not None:
+                if off_unit in _INTERVAL_MICROS:
+                    off_us = off_n * _INTERVAL_MICROS[off_unit]
+                elif off_unit in _INTERVAL_DAYS:
+                    off_us = (off_n * _INTERVAL_DAYS[off_unit]
+                              * 86_400_000_000)
+                else:
+                    raise ValueError(
+                        "time_bucket: offsets on a sub-day width must "
+                        "be day- or time-granular"
+                    )
+                o_us = f"({o_us} + {off_us})"
             delta = f"(unix_micros(CAST({x} AS TIMESTAMP)) - {o_us})"
             base = (
                 f"timestamp_micros({delta} - pmod({delta}, {mus}) + {o_us})"

@@ -426,6 +426,95 @@ def _rewrite_interval_epoch(s: str, table: list[str]) -> str:
     return "".join(out)
 
 
+_FIELD_IVL_RE = re.compile(
+    r"(?i)\b(?:EXTRACT\s*\(\s*(year|month|quarter|decade|century|"
+    r"millennium|day|hour|minute|second|millisecond|microsecond)s?\s+"
+    r"FROM|date_?part\s*\(\s*(\x00\d+\x00)\s*,)\s*(?=INTERVAL\b|\()"
+)
+
+
+def _interval_field_value(field: str, months: int, days: int,
+                          micros: int) -> int | None:
+    """DuckDB's per-component interval field extraction (round-13 hunt
+    F wave 2, probed on live 1.0): hour is NOT mod-24 (26 HOUR → 26),
+    minute/second are remainders within the next unit, millisecond/
+    microsecond are the within-minute remainder scaled (90 SECOND →
+    ms 30000, us 30000000), year/decade divide total months, month is
+    the within-year remainder, quarter is month//3 + 1."""
+    def trunc(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    if field == "year":
+        return trunc(months, 12)
+    if field == "month":
+        return months - trunc(months, 12) * 12
+    if field == "quarter":
+        return (months - trunc(months, 12) * 12) // 3 + 1
+    if field == "decade":
+        return trunc(months, 120)
+    if field == "century":
+        return trunc(months, 1200)
+    if field == "millennium":
+        return trunc(months, 12000)
+    if field == "day":
+        return days
+    hours = trunc(micros, 3_600_000_000)
+    mins = trunc(micros, 60_000_000)
+    if field == "hour":
+        return hours
+    if field == "minute":
+        return mins - hours * 60
+    if field == "second":
+        return trunc(micros, 1_000_000) - mins * 60
+    if field == "millisecond":
+        return trunc(micros - mins * 60_000_000, 1_000)
+    if field == "microsecond":
+        return micros - mins * 60_000_000
+    return None
+
+
+def _rewrite_interval_fields(s: str, table: list[str]) -> str:
+    """``EXTRACT(field FROM <interval chain>)`` / ``date_part('field',
+    <chain>)`` for the non-epoch fields — folded to a BIGINT constant
+    (Spark cannot extract fields from intervals). Non-literal chains
+    fall through untouched (a visible analysis error, never a silent
+    value)."""
+    out = []
+    pos = 0
+    for m in _FIELD_IVL_RE.finditer(s):
+        if m.start() < pos:
+            continue
+        field = m.group(1)
+        if field is None:
+            lit = _literal_value(_unmask(m.group(2), table))
+            field = (lit or "").lower().rstrip("s")
+            if field in ("", "epoch"):
+                continue
+        else:
+            field = field.lower()
+        open_idx = s.rindex("(", m.start(), m.end())
+        close = _matching_paren(s, open_idx)
+        if close < 0:
+            continue
+        inner = s[m.end() : close].strip()
+        while (inner.startswith("(")
+               and _matching_paren(inner, 0) == len(inner) - 1):
+            inner = inner[1:-1].strip()
+        chain = _parse_ivl_chain(inner, table)
+        if chain is None:
+            continue
+        months, days, micros, _ = chain
+        val = _interval_field_value(field, months, days, micros)
+        if val is None:
+            continue
+        out.append(s[pos : m.start()])
+        out.append(f"CAST({val} AS BIGINT)")
+        pos = close + 1
+    out.append(s[pos:])
+    return "".join(out)
+
+
 def _rewrite_interval_chain_arith(s: str, table: list[str]) -> str:
     """``expr ± (INTERVAL a U ± INTERVAL b V …)`` — a parenthesized
     MIXED-class interval chain applied to a date/timestamp — unrolls to

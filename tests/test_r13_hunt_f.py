@@ -266,3 +266,127 @@ def test_grouping_sets_probes(sqlf, duck, sql):
 ])
 def test_misc_probes(sqlf, duck, sql):
     _match(sqlf, duck, sql)
+
+
+# --- wave 2 (round 13): decimal-cast truncation, interval fields,
+# time_bucket offsets, aggregate ORDER BY, regex/string corners -------------
+
+@pytest.mark.parametrize("sql", [
+    # DECIMAL→DECIMAL literal casts TRUNCATE toward zero (the wave-2
+    # silent wrong answer: Spark rounds HALF_UP)
+    "SELECT CAST(1.955 AS DECIMAL(4,2)) AS v",
+    "SELECT CAST(1.959 AS DECIMAL(4,2)) AS v",
+    "SELECT CAST(-1.959 AS DECIMAL(4,2)) AS v",
+    "SELECT 1.955::DECIMAL(4,2) AS v",
+    "SELECT CAST(2.5 AS DECIMAL(3,0)) AS v",
+    "SELECT CAST(1.9 AS DECIMAL(4,2)) AS v",
+    "SELECT CAST(2 AS DECIMAL(4,2)) AS v",
+    "SELECT CAST(1.955 AS DECIMAL(10,5)) AS v",
+    "SELECT CAST(-0.005 AS DECIMAL(3,2)) AS v",
+    # DOUBLE→DECIMAL and VARCHAR→DECIMAL round on BOTH engines
+    "SELECT CAST(CAST(1.955 AS DOUBLE) AS DECIMAL(4,2)) AS v",
+    "SELECT CAST('1.955' AS DECIMAL(4,2)) AS v",
+    "SELECT 19.55::DECIMAL(3,1) + 1 AS v",
+])
+def test_decimal_cast_truncation(sqlf, duck, sql):
+    _match(sqlf, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    # interval field extraction (hour NOT mod-24; remainders within
+    # the next unit; ms/us are within-minute remainders scaled)
+    "SELECT EXTRACT(hour FROM INTERVAL 90 MINUTE) AS v",
+    "SELECT EXTRACT(minute FROM INTERVAL 90 MINUTE) AS v",
+    "SELECT EXTRACT(second FROM INTERVAL 3661 SECOND) AS v",
+    "SELECT EXTRACT(millisecond FROM INTERVAL 90 SECOND) AS v",
+    "SELECT EXTRACT(microsecond FROM INTERVAL 90 SECOND) AS v",
+    "SELECT EXTRACT(hour FROM INTERVAL 26 HOUR) AS v",
+    "SELECT EXTRACT(day FROM INTERVAL 36 HOUR) AS v",
+    "SELECT EXTRACT(month FROM INTERVAL 14 MONTH) AS v",
+    "SELECT EXTRACT(year FROM INTERVAL 14 MONTH) AS v",
+    "SELECT EXTRACT(quarter FROM INTERVAL 14 MONTH) AS v",
+    "SELECT EXTRACT(decade FROM INTERVAL 25 YEAR) AS v",
+    "SELECT EXTRACT(minute FROM (INTERVAL 1 MONTH + INTERVAL 90 MINUTE)) AS v",
+    "SELECT date_part('day', INTERVAL 36 HOUR) AS v",
+    "SELECT date_part('hour', INTERVAL 90 MINUTE) AS v",
+    # time_bucket INTERVAL-offset third argument
+    "SELECT time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2024-03-01 12:37:11', INTERVAL 5 MINUTE) AS v",
+    "SELECT time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2024-03-01 12:02:11', INTERVAL 5 MINUTE) AS v",
+    "SELECT time_bucket(INTERVAL 1 WEEK, DATE '2024-03-07', DATE '2024-03-01') AS v",
+    "SELECT time_bucket(INTERVAL 1 MONTH, DATE '2024-03-17', INTERVAL 1 MONTH) AS v",
+    "SELECT time_bucket(INTERVAL 2 DAY, DATE '2024-03-07', INTERVAL 1 DAY) AS v",
+    "SELECT time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2024-03-01 12:37:11') AS v",
+])
+def test_interval_fields_and_buckets(sqlf, duck, sql):
+    _match(sqlf, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    # aggregate modifiers and string/regex corners that swept green
+    "SELECT array_agg(DISTINCT x ORDER BY x DESC) AS v FROM (VALUES (1),(2),(1),(3)) t(x)",
+    "SELECT string_agg(x, ',' ORDER BY x) AS v FROM (VALUES ('b'),('a'),('c')) t(x)",
+    "SELECT first(x ORDER BY y) AS v FROM (VALUES ('b', 2),('a', 1)) t(x, y)",
+    "SELECT last(x ORDER BY y) AS v FROM (VALUES ('b', 2),('a', 1)) t(x, y)",
+    "SELECT list_aggregate([1,2,3], 'sum') AS v",
+    "SELECT list_aggregate(['a','b'], 'string_agg', '|') AS v",
+    "SELECT struct_insert({'a': 1}, b := 7) AS v",
+    "SELECT struct_insert({'a': 1, 'c': 2}, b := 'x').b AS v",
+    "SELECT to_base(255, 16) AS v",
+    "SELECT to_base(255, 2) AS v",
+    "SELECT hex(255) AS v",
+    "SELECT unhex('ff') AS v",
+    "SELECT bit_length('abc') AS v",
+    "SELECT get_bit(bitstring('0110', 4), 1) AS v",
+    "SELECT ord('é') AS v",
+    "SELECT unicode('é') AS v",
+    "SELECT chr(233) AS v",
+    "SELECT repeat('ab', 0) AS v",
+    "SELECT repeat('ab', -1) AS v",
+    "SELECT 0.1 + 0.2 = 0.3 AS v",
+    "SELECT round(2.5) AS r1, round(3.5) AS r2, round(-2.5) AS r3",
+    "SELECT ceil(-0.5) AS v, floor(-0.5) AS w",
+    "SELECT regexp_replace('aaa', 'a', 'b') AS v",
+    "SELECT regexp_replace('aaa', 'a', 'b', 'g') AS v",
+    "SELECT regexp_extract('a1b2', '([a-z])(\\\\d)', 2) AS v",
+    "SELECT regexp_extract('a1b2', '([a-z])([0-9])', ['letter', 'digit']) AS v",
+    "SELECT regexp_split_to_array('a,b;c', '[,;]') AS v",
+    "SELECT 'abc' ~ 'a.c' AS v",
+    "SELECT 'abc' !~ 'x' AS v",
+    r"SELECT 'a%b' LIKE 'a\%b' ESCAPE '\' AS v",
+    "SELECT 'a_b' LIKE 'a$_b' ESCAPE '$' AS v",
+    "SELECT EXISTS (SELECT 1 WHERE 1 = 0) AS v",
+    "SELECT NOT EXISTS (SELECT 1) AS v",
+    "SELECT format_bytes(1234567) AS v",
+    "SELECT instr('hello', 'll') AS v",
+    "SELECT position('ll' IN 'hello') AS v",
+    "SELECT translate('abcba', 'ab', 'xy') AS v",
+    "SELECT lpad('7', 3, '0') AS v, rpad('7', 3, '*') AS w",
+    "SELECT greatest(1, NULL, 3) AS v",
+    "SELECT least(NULL, NULL) AS v",
+    "SELECT TIMESTAMP '2024-03-01 12:00:00' AT TIME ZONE 'America/New_York' AS v",
+    "SELECT TIMESTAMPTZ '2024-07-01 12:00:00+00' AT TIME ZONE 'Europe/Berlin' AS v",
+])
+def test_wave2_misc_probes(sqlf, duck, sql):
+    _match(sqlf, duck, sql)
+
+
+def test_named_group_list_extract_version_acceptance(sqlf, duck):
+    """DuckDB 1.0's regexp_extract with a NAME LIST extracts POSITIONAL
+    groups; when the pattern itself uses (?<name>…) named groups, 1.0
+    returns empty strings (its RE2 path drops named captures in this
+    form). This engine returns the matched values — the sane semantics
+    and what a later DuckDB produces — so the 1.0-quirk case is pinned
+    as an ACCEPTANCE (version-policy note in dialect.py), while the
+    positional form matches the oracle exactly."""
+    with serving_dialect(True):
+        rows = run_sql(
+            sqlf,
+            r"SELECT regexp_extract('a1b2', '(?<letter>[a-z])"
+            r"(?<digit>[0-9])', ['letter', 'digit']) AS v",
+        ).collect()
+    assert rows[0][0].asDict() == {"letter": "a", "digit": "1"}
+    theirs = duck.execute(
+        r"SELECT regexp_extract('a1b2', '(?<letter>[a-z])"
+        r"(?<digit>[0-9])', ['letter', 'digit']) AS v"
+    ).fetchall()
+    assert theirs[0][0] == {"letter": "", "digit": ""}  # the 1.0 quirk
