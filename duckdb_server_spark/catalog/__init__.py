@@ -107,6 +107,7 @@ _PRIORITY_R13: tuple[str, ...] = (
     # --- new in round 13 ---
     "b34e_vorbis_pcm",            # new: full Ogg-Vorbis → PCM16 decode
     "b35h_mp3_census",            # new: decode-status coverage census
+    "b35i_mp3_joint_stereo",      # new: MS + intensity float layer
     "s40_dialect_map_collate_time",  # new: battery-F parity statement
     # --- the 19 rows with pre-r6 stamps, cheapest families first ---
     "w01_ranking",

@@ -5022,18 +5022,17 @@ def b35g_mp3_esc_linbits(spark: SparkSession, sf_dir: str) -> DataFrame:
     per AS (
       SELECT doc_id, doc_id % 4 AS k,
              CASE doc_id % 4
-               WHEN 0 THEN 'decoded'
                WHEN 1 THEN 'fail-closed:table-20'
-               WHEN 2 THEN 'fail-closed:joint-stereo'
-               ELSE 'error:malformed' END AS status,
+               WHEN 3 THEN 'error:malformed'
+               ELSE 'decoded' END AS status,
              CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS nf,
-             CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS ng,
-             CASE WHEN doc_id % 4 = 0 THEN
-               2 * (list_sum(list_transform(c, cc ->
+             CASE doc_id % 4 WHEN 0 THEN 2 WHEN 2 THEN 4
+               ELSE 0 END AS ng,
+             CASE doc_id % 4 WHEN 0 THEN 2 WHEN 2 THEN 4 ELSE 0 END
+               * (list_sum(list_transform(c, cc ->
                  (1 - 2 * ((cc >> 6) % 2))
                  * ((cc >> 3) % 2 + (cc >> 2) % 2
-                    + (cc >> 1) % 2 + cc % 2))))
-             ELSE 0 END AS sp
+                    + (cc >> 1) % 2 + cc % 2)))) AS sp
       FROM chars
     )
     SELECT status,
@@ -5053,9 +5052,11 @@ def b35h_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     one of four stream classes by doc_id % 4 — (0) a strict-decodable
     count1 fixture whose signed spectral sum replays closed-form from
     the chars, (1) an ESC-family stream (table 20) that the default
-    strict profile fail-closes BY NAME, (2) a joint-stereo (mode 1)
-    frame fail-closed at the mid/side float layer, (3) a non-MP3 byte
-    string. The scan kernel classifies every file into a stable status
+    strict profile fail-closes BY NAME, (2) a joint-stereo (mode 1,
+    mode_extension MS) frame — DECODED since round 13 via the
+    formula-defined joint float layer (decode_l3_joint_float; the
+    census routes mode-1 through the joint path, 2 granules x 2
+    channels of M/S-coded evidence), (3) a non-MP3 byte string. The scan kernel classifies every file into a stable status
     string (never raising, never fabricating samples — n_frames still
     comes from the header walk when spectral decode is blocked), and
     the query aggregates the census the way a corpus sweep would:
@@ -5072,6 +5073,7 @@ def b35h_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         from duckdb_server_spark.operators.mp3_l3 import (
             mp3_decode_census,
             write_l3_fixture,
+            write_l3_stereo_fixture,
         )
 
         def _quads(cs):
@@ -5100,11 +5102,11 @@ def b35h_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                         br_idx=5, esc_profile="engine",
                     )
                 elif k == 2:
-                    base = write_l3_fixture([_quads(cs),
-                                             _quads(cs[::-1])])
-                    blob = (base[:3]
-                            + bytes([(base[3] & 0x3F) | 0x40])
-                            + base[4:])
+                    blob = write_l3_stereo_fixture(
+                        [[_quads(cs), _quads(cs[::-1])],
+                         [_quads(cs[::-1]), _quads(cs)]],
+                        mode=1, mode_extension=2,
+                    )
                 else:
                     blob = b"NOTANMP3FILE" * 3
                 cen = mp3_decode_census(blob)
@@ -5126,6 +5128,152 @@ def b35h_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sp").cast("long").alias("total_spectral"),
     )
     return agg.orderBy(F.col("status").asc_nulls_last())
+
+
+@query(
+    "b35i_mp3_joint_stereo",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(range(1, 5), i ->
+               ascii(substr(text || repeat('x', 4), CAST(i AS INT), 1)))
+               AS c
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, c, doc_id % 2 AS odd,
+        list_transform(range(0, 16), i ->
+          ((c[CAST(i // 4 AS INT) + 1] >> CAST(3 - i % 4 AS INT)) % 2)
+          * (1 - 2 * ((c[CAST(i // 4 AS INT) + 1] >> 6) % 2))) AS m,
+        list_transform(range(0, 16), i ->
+          ((c[CAST(4 - i // 4 AS INT)] >> CAST(3 - i % 4 AS INT)) % 2)
+          * (1 - 2 * ((c[CAST(4 - i // 4 AS INT)] >> 6) % 2))) AS s,
+        list_transform(range(0, 16), i ->
+          c[CAST(i // 4 % 4 AS INT) + 1] % 7) AS ip
+      FROM chars
+    ),
+    recon AS (
+      SELECT doc_id, odd,
+        CASE WHEN odd = 0 THEN
+          list_transform(range(0, 16), i ->
+            (m[CAST(i AS INT) + 1] * pow(2.0, 0.5)
+             + s[CAST(i AS INT) + 1] * pow(2.0, 0.5)) / sqrt(2.0))
+        ELSE
+          list_transform(range(0, 16), i ->
+            CASE WHEN ip[CAST(i AS INT) + 1] = 6
+                 THEN CAST(m[CAST(i AS INT) + 1] AS DOUBLE)
+                 ELSE m[CAST(i AS INT) + 1]
+                      * (tan(ip[CAST(i AS INT) + 1] * (pi() / 12))
+                         / (1.0 + tan(ip[CAST(i AS INT) + 1]
+                                      * (pi() / 12)))) END)
+        END AS l,
+        CASE WHEN odd = 0 THEN
+          list_transform(range(0, 16), i ->
+            (m[CAST(i AS INT) + 1] * pow(2.0, 0.5)
+             - s[CAST(i AS INT) + 1] * pow(2.0, 0.5)) / sqrt(2.0))
+        ELSE
+          list_transform(range(0, 16), i ->
+            CASE WHEN ip[CAST(i AS INT) + 1] = 6 THEN 0.0
+                 ELSE m[CAST(i AS INT) + 1]
+                      * (1.0 / (1.0 + tan(ip[CAST(i AS INT) + 1]
+                                          * (pi() / 12)))) END)
+        END AS r
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN odd = 0 THEN 2 ELSE 1 END AS INT) AS mext,
+           CAST(CASE WHEN odd = 0 THEN -1 ELSE 0 END AS INT)
+             AS ibound,
+           l[1] AS l0, r[1] AS r0,
+           l[2] AS l1, r[2] AS r1,
+           l[8] AS l7, r[8] AS r7,
+           l[16] AS l15, r[16] AS r15,
+           list_sum(l) AS lsum, list_sum(r) AS rsum
+    FROM recon
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b35i_mp3_joint_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 JOINT-STEREO float reconstruction (round 13, VERDICT r12
+    "same class" item; operators/mp3_l3.py::decode_l3_joint_float):
+    both joint modes are FORMULA-defined in ISO 11172-3 — no value
+    table, so the exact-recall risk that keeps the ESC Huffman tables
+    fail-closed does not apply (the argument that landed Vorbis PCM
+    this round). EVEN docs write a mode-1 MS frame (mode_extension 2,
+    global_gain 212 → requantize multiplier 2^0.5): channel 0 carries
+    M from the chars' count1 quadruples, channel 1 carries S from the
+    reversed chars, and the decoder reconstructs L = (M+S)/√2,
+    R = (M−S)/√2 on the requantized spectra. ODD docs write an
+    intensity frame (mode_extension 1): channel 1 is silent so the
+    intensity bound is line 0, its scalefactors carry is_pos (chars
+    mod 7, slen pair (3,0)), and the decoder applies
+    ratio = tan(is_pos·π/12), L = val·ratio/(1+ratio),
+    R = val/(1+ratio), with the is_pos = 6 limit (L, R) = (val, 0)
+    pinned exactly. The oracle replays every float op with pinned
+    association order and left-to-right sums (shared libm) — the
+    comparison is BIT-EXACT doubles, no rounding. Scale shape:
+    per-payload CPU in mapInPandas; no shuffle."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _decode(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.mp3_l3 import (
+            decode_l3_joint_float,
+            write_l3_stereo_fixture,
+        )
+
+        def _quads(cs):
+            return [((c >> 3) & 1, (c >> 2) & 1, (c >> 1) & 1, c & 1,
+                     (c >> 6) & 1) for c in cs]
+
+        cols = ("doc_id", "mext", "ibound", "l0", "r0", "l1", "r1",
+                "l7", "r7", "l15", "r15", "lsum", "rsum")
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                cs = (((text_ or "") + "x" * 4)[:4]).encode("latin-1")
+                if doc_id % 2 == 0:
+                    blob = write_l3_stereo_fixture(
+                        [[_quads(cs), _quads(cs[::-1])],
+                         [_quads(cs[::-1]), _quads(cs)]],
+                        mode=1, mode_extension=2, global_gain=212,
+                    )
+                else:
+                    sf1 = [cs[b % 4] % 7 for b in range(11)] + [0] * 10
+                    blob = write_l3_stereo_fixture(
+                        [[_quads(cs), []], [_quads(cs), []]],
+                        mode=1, mode_extension=1, global_gain=210,
+                        scalefac_compress=4,
+                        scalefacs=[[0] * 21, sf1],
+                    )
+                fr = decode_l3_joint_float(blob)[0]
+                g0 = fr["granule_channels"][0]
+                left, right = g0["left"], g0["right"]
+                rows["doc_id"].append(doc_id)
+                rows["mext"].append(fr["mode_extension"])
+                rows["ibound"].append(
+                    -1 if g0["intensity_bound"] is None
+                    else g0["intensity_bound"])
+                for j, nm in ((0, "0"), (1, "1"), (7, "7"), (15, "15")):
+                    rows[f"l{nm}"].append(left[j])
+                    rows[f"r{nm}"].append(right[j])
+                ls = 0.0
+                rs = 0.0
+                for j in range(16):
+                    ls += left[j]
+                    rs += right[j]
+                rows["lsum"].append(ls)
+                rows["rsum"].append(rs)
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _decode,
+        "doc_id long, mext int, ibound int, l0 double, r0 double, "
+        "l1 double, r1 double, l7 double, r7 double, l15 double, "
+        "r15 double, lsum double, rsum double",
+    )
+    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
 
 
 @query(

@@ -10,8 +10,11 @@ writer and a definition-replay oracle — the ADPCM/FLAC/VP8 playbook):
   scalefac_compress / window-switching / table_select / region counts /
   preflag / scalefac_scale / count1table_select — 136 bits (17 bytes)
   for mono, 256 bits (32 bytes) for stereo/dual, arithmetic
-  self-checked; joint stereo (mode 1) fails closed naming the
-  mid/side float-layer plug point;
+  self-checked; joint stereo (mode 1) DECODES since round 13 through
+  the formula-defined float layer (:func:`decode_l3_joint_float` —
+  MS matrix L=(M+S)/√2, R=(M−S)/√2 and intensity ratios
+  tan(is_pos·π/12), no value table; the default integer-layer call
+  still refuses to hand out M/S-coded integers unannotated);
 * scalefactor decoding via the §2.4.2.7 slen pair table
   (scalefac_compress → (slen1, slen2)), long-block band split 0-10/11-20;
 * the count1 spectral region under **count1 table B** — the spec's
@@ -687,7 +690,8 @@ def _decode_granule_spectral(
 
 
 def decode_l3_spectral(
-    payload: bytes, esc_profile: str = "strict"
+    payload: bytes, esc_profile: str = "strict",
+    joint_stereo: bool = False,
 ) -> list[dict]:
     """Decode every frame's granules to INTEGER spectral lines (exact —
     this is the entropy-coded layer, before any float math). Returns one
@@ -715,14 +719,20 @@ def decode_l3_spectral(
         if h["channels"] == 2:
             # round 11: the spectral INTEGER layer is per-channel for
             # every stereo flavor; only joint stereo's mid/side /
-            # intensity reconstruction is a FLOAT-layer transform —
-            # fail closed there rather than emit per-channel integers
-            # a caller might mistake for L/R
-            if mode == 1:
+            # intensity reconstruction is a FLOAT-layer transform.
+            # Round 13: that float layer exists (decode_l3_joint_float)
+            # — mode-1 frames decode when the caller opts in via
+            # ``joint_stereo=True`` (the integers are M/S-coded, not
+            # L/R, so the default stays fail-closed to keep the r11
+            # contract: never hand back integers a caller might
+            # mistake for channels).
+            if mode == 1 and not joint_stereo:
                 raise NotImplementedError(
                     "MP3 L3 subset: joint stereo (mode_extension "
-                    "MS/intensity) — the mid/side reconstruction is a "
-                    "float-layer plug point; stereo/dual streams decode"
+                    "MS/intensity) integers are M/S-coded — decode via "
+                    "decode_l3_joint_float (or pass joint_stereo=True "
+                    "for the raw coded layer); stereo/dual streams "
+                    "decode directly"
                 )
             si = _parse_side_info_stereo(body[:32])
             md = body[32:]
@@ -766,6 +776,8 @@ def decode_l3_spectral(
                 prev_sf = sf
                 granules.append({**g, "scalefacs": sf, "is": is_})
         frames.append({**h, "main_data_begin": si["main_data_begin"],
+                       "mode": mode,
+                       "mode_extension": (payload[pos + 3] >> 4) & 0x03,
                        "granules": granules})
         pool = (pool + md)[-511:]
         pos += h["length"]
@@ -861,6 +873,106 @@ def decode_l3_subbands(
     }
 
 
+# --- joint stereo FLOAT reconstruction (round 13, VERDICT r12 "same
+# class" item): both reconstructions are FORMULA-defined in ISO
+# 11172-3 — no value table, so the exact-recall risk that keeps the
+# ESC Huffman tables fail-closed does not apply here (the same argument
+# that landed Vorbis PCM this round).
+#
+# * MS stereo (§2.4.3.4.9.2): L = (M+S)/√2, R = (M−S)/√2 on the
+#   requantized spectra.
+# * Intensity stereo (§2.4.3.4.9.3): for bands at/above the right
+#   channel's zero boundary, is_pos = the right channel's scalefactor,
+#   ratio = tan(is_pos·π/12); L = val·ratio/(1+ratio),
+#   R = val/(1+ratio); is_pos 6 → ratio ∞ → (L, R) = (val, 0) exactly
+#   (π/2's tan is undefined — the spec's ratio table pins the limit);
+#   is_pos 7 is illegal/reserved — this decoder applies the common
+#   fallback (MS when MS is on, else plain L/R), flagged
+#   moderate-confidence.
+#
+# Transcription-confidence note: the intensity BOUND convention (first
+# scalefactor band whose lower edge reaches the right channel's rzero)
+# is the conventional decoder interpretation — moderate confidence;
+# engine streams round-trip regardless, and a correction is localized
+# to _intensity_bound.
+
+
+def _intensity_bound(right_is: list[int], edges: tuple[int, ...]) -> int:
+    """First spectral line where intensity reconstruction begins: the
+    lower edge of the first band at/after the right channel's last
+    nonzero line."""
+    nz = [i for i, v in enumerate(right_is) if v]
+    rzero = (nz[-1] + 1) if nz else 0
+    for b in range(22):
+        if edges[b] >= rzero:
+            return edges[b]
+    return 576
+
+
+def decode_l3_joint_float(
+    payload: bytes, esc_profile: str = "strict"
+) -> list[dict]:
+    """Decode MPEG-1 Layer III frames INCLUDING mode-1 joint stereo to
+    per-channel FLOAT spectra: per-channel §2.4.3.4 requantization,
+    then the formula-defined MS matrix and/or intensity ratios
+    (module note above). Plain stereo/dual frames pass through with
+    L/R = the two requantized channels; mono frames raise (callers
+    wanting mono floats use decode_l3_subbands)."""
+    frames = decode_l3_spectral(payload, esc_profile, joint_stereo=True)
+    out = []
+    for fr in frames:
+        if fr["channels"] != 2:
+            raise ValueError(
+                "decode_l3_joint_float expects 2-channel frames"
+            )
+        edges = SFB_LONG[fr["sample_rate"]]
+        ms_on = fr["mode"] == 1 and bool(fr["mode_extension"] & 2)
+        i_on = fr["mode"] == 1 and bool(fr["mode_extension"] & 1)
+        gpairs = []
+        by_g: dict[int, dict[int, dict]] = {}
+        for g in fr["granules"]:
+            by_g.setdefault(g["granule"], {})[g["channel"]] = g
+        for gi in sorted(by_g):
+            g0, g1 = by_g[gi][0], by_g[gi][1]
+            xm = _requantize(g0, fr["sample_rate"])
+            xs = _requantize(g1, fr["sample_rate"])
+            bound = (_intensity_bound(g1["is"], edges) if i_on else 576)
+            left = [0.0] * 576
+            right = [0.0] * 576
+            sqrt2 = math.sqrt(2.0)
+            for i in range(576):
+                if i < bound:
+                    if ms_on:
+                        left[i] = (xm[i] + xs[i]) / sqrt2
+                        right[i] = (xm[i] - xs[i]) / sqrt2
+                    else:
+                        left[i] = xm[i]
+                        right[i] = xs[i]
+                    continue
+                band = _band_of(i, edges)
+                is_pos = 0 if band == 21 else g1["scalefacs"][band]
+                if is_pos == 7:
+                    # illegal/reserved: common decoder fallback
+                    if ms_on:
+                        left[i] = (xm[i] + xs[i]) / sqrt2
+                        right[i] = (xm[i] - xs[i]) / sqrt2
+                    else:
+                        left[i] = xm[i]
+                        right[i] = xs[i]
+                elif is_pos == 6:
+                    left[i] = xm[i]
+                    right[i] = 0.0
+                else:
+                    ratio = math.tan(is_pos * (math.pi / 12.0))
+                    left[i] = xm[i] * (ratio / (1.0 + ratio))
+                    right[i] = xm[i] * (1.0 / (1.0 + ratio))
+            gpairs.append({"granule": gi, "left": left, "right": right,
+                           "intensity_bound": bound if i_on else None})
+        out.append({**{k: v for k, v in fr.items() if k != "granules"},
+                    "granule_channels": gpairs})
+    return out
+
+
 def decode_mp3_pcm(payload: bytes):
     """PCM output is the declared plug point: the polyphase synthesis
     window (ISO 11172-3 Table B.3, 512 coefficients) is a value table
@@ -923,14 +1035,23 @@ def mp3_decode_census(payload: bytes,
     out = {"status": "decoded", "n_frames": n_frames,
            "n_granules": 0, "spectral_sum": None}
     try:
-        frames = decode_l3_spectral(payload, esc_profile)
+        try:
+            frames = decode_l3_spectral(payload, esc_profile)
+        except NotImplementedError as exc:
+            if "joint stereo" not in str(exc):
+                raise
+            # round 13: mode-1 frames decode through the joint float
+            # path (decode_l3_joint_float) — the census counts them as
+            # decoded; the integer evidence below is the M/S-coded
+            # layer, which is what the default contract refuses to
+            # hand out unannotated
+            frames = decode_l3_spectral(payload, esc_profile,
+                                        joint_stereo=True)
     except NotImplementedError as exc:
         msg = str(exc)
         m = _CENSUS_TABLE_RE.search(msg)
         if m:
             out["status"] = f"fail-closed:table-{m.group(1)}"
-        elif "joint stereo" in msg:
-            out["status"] = "fail-closed:joint-stereo"
         elif "short/mixed blocks" in msg:
             out["status"] = "fail-closed:short-blocks"
         elif "MPEG-1 frames only" in msg:
@@ -1118,26 +1239,53 @@ def write_l3_stereo_fixture(
     sr_idx: int = 0,
     global_gain: int = 210,
     mode: int = 0,
+    mode_extension: int = 0,
+    scalefac_compress: int = 0,
+    scalefacs: list[list[int]] | None = None,
 ) -> bytes:
     """One self-contained TWO-CHANNEL MPEG-1 Layer III frame (round
     11): ``granules[gi][ch]`` carries count1 table-B quadruples per
     (granule, channel) in the spec's main-data order; 32-byte side
     info, per-channel scfsi off, ``mode`` 0 = stereo / 2 = dual
-    channel (1 = joint is decode-side fail-closed)."""
+    channel / 1 = joint stereo (round 13 — the ``mode_extension``
+    bits select MS (bit 1) / intensity (bit 0) for the float
+    reconstruction layer). ``scalefacs`` (round 13) optionally carries
+    21 long-block scalefactors PER CHANNEL (both granules, scfsi off)
+    under the ``scalefac_compress`` slen pair — for intensity fixtures
+    the right channel's scalefactors are the is_pos values."""
     if len(granules) != 2 or any(len(g) != 2 for g in granules):
         raise ValueError("fixture: 2 granules x 2 channels of quads")
-    if mode not in (0, 2):
-        raise ValueError("fixture: mode 0 (stereo) or 2 (dual) only")
-    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6])
+    if mode not in (0, 1, 2):
+        raise ValueError("fixture: mode 0/1/2")
+    if mode != 1 and mode_extension:
+        raise ValueError("fixture: mode_extension needs mode 1")
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2),
+                 (mode << 6) | (mode_extension << 4)])
     bitrate = BITRATES_V1_L3[br_idx] * 1000
     rate = SAMPLE_RATES[3][sr_idx]
     frame_len = 144 * bitrate // rate
 
+    slen1, slen2 = SLEN[scalefac_compress]
+    sf_by_ch = scalefacs or [[0] * 21, [0] * 21]
+    if len(sf_by_ch) != 2 or any(len(sf) != 21 for sf in sf_by_ch):
+        raise ValueError("fixture: 21 scalefactors per channel")
+    for sf in sf_by_ch:
+        for band, v in enumerate(sf):
+            width = slen1 if band < 11 else slen2
+            if v >= (1 << width):
+                raise ValueError(
+                    "fixture: scalefactor exceeds its slen field"
+                )
+
     main = _BitWriter()
     part23 = []
     for gr in granules:
-        for quads in gr:
+        for ch, quads in enumerate(gr):
             start = main.bit_length()
+            for band, v in enumerate(sf_by_ch[ch]):
+                width = slen1 if band < 11 else slen2
+                if width:
+                    main.write(v, width)
             for v, w, x, y, sign in quads:
                 vals = (v, w, x, y)
                 code = 0
@@ -1160,7 +1308,7 @@ def write_l3_stereo_fixture(
         side.write(p23, 12)
         side.write(0, 9)   # big_values
         side.write(global_gain, 8)
-        side.write(0, 4)   # scalefac_compress 0 -> slen (0, 0)
+        side.write(scalefac_compress, 4)
         side.write(0, 1)   # window_switching
         for _ in range(3):
             side.write(0, 5)

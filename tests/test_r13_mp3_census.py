@@ -64,11 +64,37 @@ def test_esc_table_decodes_under_engine_profile():
     assert cen["n_granules"] == 2
 
 
-def test_joint_stereo_fail_closed():
+def test_joint_stereo_decodes_via_float_path():
+    # round 13: a REAL mode-1 MS frame routes through the joint float
+    # path and counts as decoded (2 granules × 2 channels of M/S-coded
+    # integer evidence)
+    from duckdb_server_spark.operators.mp3_l3 import (
+        write_l3_stereo_fixture,
+    )
+
+    cs = b"Hal!"
+    blob = write_l3_stereo_fixture(
+        [[_quads(cs), _quads(cs[::-1])],
+         [_quads(cs[::-1]), _quads(cs)]],
+        mode=1, mode_extension=2,
+    )
+    cen = mp3_decode_census(blob)
+    assert cen["status"] == "decoded"
+    assert cen["n_frames"] == 1
+    assert cen["n_granules"] == 4
+    a = sum((1 - 2 * ((c >> 6) & 1)) * bin(c & 0xF).count("1")
+            for c in cs)
+    assert cen["spectral_sum"] == 4 * a
+
+
+def test_mode_bits_on_mono_body_is_malformed():
+    # the r13-retired class: a MONO frame with its header mode bits
+    # patched to joint — as a stereo frame the body is malformed, and
+    # the census says so instead of raising
     base = _strict_blob()
     patched = base[:3] + bytes([(base[3] & 0x3F) | 0x40]) + base[4:]
     cen = mp3_decode_census(patched)
-    assert cen["status"] == "fail-closed:joint-stereo"
+    assert cen["status"].startswith("error:")
     assert cen["n_frames"] == 1
 
 
