@@ -106,6 +106,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _PRIORITY_R13: tuple[str, ...] = (
     # --- new in round 13 ---
     "b34e_vorbis_pcm",            # new: full Ogg-Vorbis → PCM16 decode
+    "b34f_vorbis_stereo_pcm",     # new: stereo + square-polar coupling
     "b35h_mp3_census",            # new: decode-status coverage census
     "b35i_mp3_joint_stereo",      # new: MS + intensity float layer
     "s40_dialect_map_collate_time",  # new: battery-F parity statement

@@ -185,7 +185,12 @@ def test_silent_frame_decodes_to_zero_block():
 # --- fail-closed subsets ----------------------------------------------------
 
 
-def test_stereo_fails_closed():
+def test_stereo_no_longer_fails_closed():
+    # round 13 (later in the round than this file): 2-channel streams
+    # decode through the square-polar coupling layer — a headers-only
+    # stereo stream now yields zero samples instead of raising.
+    # tests/test_r13_vorbis_stereo.py covers the full stereo chain;
+    # >2-channel mappings remain the fail-closed subset.
     from duckdb_server_spark.operators.ogg import (
         encode_vorbis_id,
         write_stream,
@@ -193,12 +198,12 @@ def test_stereo_fails_closed():
     from duckdb_server_spark.operators.vorbis import _common_header
 
     books, floor, residue = _fixture()
-    ident = encode_vorbis_id(2, 8000)  # 2 channels → coupling
+    ident = encode_vorbis_id(2, 8000)
     comment = _common_header(3) + bytes(8) + b"\x01"
     setup = encode_vorbis_setup(books, floor, residue)
     payload = write_stream(0x77, [ident, comment, setup], [0, 0, 0])
-    with pytest.raises(NotImplementedError, match="coupling"):
-        decode_ogg_vorbis_pcm(payload)
+    out = decode_ogg_vorbis_pcm(payload)
+    assert out["channels"] == 2 and out["n_samples"] == 0
 
 
 def test_window_switching_fails_closed():
