@@ -53,12 +53,19 @@ writer and definition-replay oracles — the MP3/VP8/FLAC playbook):
   the per-channel float chain (b34f oracle replays the whole stereo
   chain bit-exactly).
 
+* **residue types 0 and 1** (§8.6.3/.4, round 13, MONO): pure layout
+  differences, no value table — type 1's sequential intra-partition
+  placement is identical to type 2's one-vector decode, type 0 places
+  VQ values at stride psz/dim; wild MONO Vorbis overwhelmingly uses
+  type 1, so this is the foreign-mono-decode subset.
+
 Declared plug points (fail closed, never garbage samples):
-* floor0 (LSP), residue types 0/1 standalone, mappings beyond 2
-  channels, and long/short window switching — streams using them
-  raise naming the feature. (Codebook lookup type 1 — the implicit
-  lattice — decodes for real since round 11: lookup1_values is
-  computable, not a value table.)
+* floor0 (LSP), residue types 0/1 in MULTI-channel mappings (the
+  per-partition channel interleave), mappings beyond 2 channels, and
+  long/short window switching — streams using them raise naming the
+  feature. (Codebook lookup type 1 — the implicit lattice — decodes
+  for real since round 11: lookup1_values is computable, not a value
+  table.)
 
 Transcription-confidence note (judge-facing): the bitpacking
 convention, ilog, float32 format, and the §3 worked example are
@@ -392,6 +399,8 @@ class Floor1:
 
 
 class Residue2:
+    TYPE = 2
+
     def __init__(self, begin: int, end: int, partition_size: int,
                  classifications: int, classbook: int,
                  cascades: list[int], books: list[list[int]]) -> None:
@@ -490,6 +499,72 @@ class Residue2:
         return vec
 
 
+class Residue1(Residue2):
+    """Residue TYPE 1 (§8.6.3, round 13): per-channel non-interleaved
+    partition VQ — for a SINGLE channel the classword/partition walk
+    and sequential intra-partition placement are identical to type 2's
+    one-vector decode, so the inherited ``decode_vector`` is exact.
+    Multi-channel type-1 streams (per-partition channel interleave of
+    classwords and VQ words) stay fail-closed at the stereo entry
+    points. Wild MONO Vorbis overwhelmingly uses type 1 — this is the
+    subset that matters for foreign mono decode."""
+
+    TYPE = 1
+
+
+class Residue0(Residue2):
+    """Residue TYPE 0 (§8.6.4, round 13): like type 1 but the VQ words
+    inside a partition place their values at STRIDE psz/dim —
+    the j-th value of the i-th word lands at offset + i + j·(psz/dim)
+    — a pure layout difference, no value table."""
+
+    TYPE = 0
+
+    def decode_vector(self, br: _BitReaderLSB,
+                      books: list[Codebook]) -> list[float]:
+        n = self.end - self.begin
+        if n % self.partition_size:
+            raise ValueError("Vorbis: residue range not partition-aligned")
+        n_part = n // self.partition_size
+        cbook = books[self.classbook]
+        grp = cbook.dimensions
+        vec = [0.0] * self.end
+        classes: list[int] = []
+        max_pass = max(
+            (p for c in range(self.classifications) for p in range(8)
+             if (self.cascades[c] >> p) & 1),
+            default=-1,
+        )
+        for pas in range(max_pass + 1):
+            i = 0
+            while i < n_part:
+                if pas == 0:
+                    e = cbook.decode_entry(br)
+                    group = []
+                    for _ in range(grp):
+                        group.append(e % self.classifications)
+                        e //= self.classifications
+                    classes.extend(reversed(group))
+                for _ in range(grp):
+                    if i >= n_part:
+                        break
+                    c = classes[i]
+                    book_idx = self.books[c][pas]
+                    if book_idx >= 0:
+                        book = books[book_idx]
+                        off = self.begin + i * self.partition_size
+                        words = self.partition_size // book.dimensions
+                        for w in range(words):
+                            vals = book.vq_vector(book.decode_entry(br))
+                            for j, v in enumerate(vals):
+                                vec[off + w + j * words] += v
+                    i += 1
+        return vec
+
+
+_RESIDUE_TYPES = {0: Residue0, 1: Residue1, 2: Residue2}
+
+
 def _common_header(kind: int) -> bytes:
     return bytes([kind]) + b"vorbis"
 
@@ -512,7 +587,7 @@ def encode_vorbis_setup(
     bw.write(1, 16)  # floor type 1
     floor.write_config(bw)
     bw.write(0, 6)   # residue count - 1
-    bw.write(2, 16)  # residue type 2
+    bw.write(residue.TYPE, 16)
     residue.write_config(bw)
     bw.write(0, 6)   # mapping count - 1
     bw.write(0, 16)  # mapping type 0
@@ -564,11 +639,12 @@ def parse_vorbis_setup(packet: bytes, channels: int = 1) -> dict:
     residues = []
     for _ in range(br.read(6) + 1):
         rt = br.read(16)
-        if rt != 2:
+        cls = _RESIDUE_TYPES.get(rt)
+        if cls is None:
             raise NotImplementedError(
-                f"Vorbis subset: residue type {rt} (type 2 only)"
+                f"Vorbis subset: residue type {rt} (types 0/1/2)"
             )
-        residues.append(Residue2.parse(br))
+        residues.append(cls.parse(br))
     coupling: list[tuple[int, int]] = []
     for _ in range(br.read(6) + 1):
         if br.read(16):
@@ -757,6 +833,11 @@ def decode_vorbis_audio_stereo(packet: bytes, setup: dict) -> dict:
     n_modes = len(setup["modes"])
     if n_modes > 1:
         br.read(ilog(n_modes - 1))
+    if setup["residue"].TYPE != 2:
+        raise NotImplementedError(
+            "Vorbis subset: stereo residue types 0/1 (the per-partition "
+            "channel interleave) — stereo decode needs type 2"
+        )
     posts_by_ch = [
         setup["floor"].decode_posts(br, setup["codebooks"])
         for _ in range(2)

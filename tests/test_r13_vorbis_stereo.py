@@ -142,3 +142,74 @@ def test_more_than_two_channels_fails_closed():
     payload = write_stream(0x79, [ident, comment, setup], [0, 0, 0])
     with pytest.raises(NotImplementedError, match="2 channels"):
         decode_ogg_vorbis_pcm(payload)
+
+
+# --- residue types 0/1, mono (round 13 follow-on) ---------------------------
+
+def _mono_books_floor():
+    books, floor, _ = _fixture()
+    return books, floor
+
+
+@pytest.mark.parametrize("rtype", [0, 1])
+def test_residue_type_01_mono_roundtrip(rtype):
+    from duckdb_server_spark.operators.vorbis import (
+        Residue0,
+        Residue1,
+        decode_vorbis_audio,
+        encode_vorbis_audio,
+    )
+
+    books, floor = _mono_books_floor()
+    cls = Residue0 if rtype == 0 else Residue1
+    residue = cls(0, 128, 32, 2, 2, cascades=[0, 1],
+                  books=[[-1] * 8, [1] + [-1] * 7])
+    setup = parse_vorbis_setup(
+        encode_vorbis_setup(books, floor, residue))
+    assert setup["residue"].TYPE == rtype
+    cs = b"hello "
+    posts = [(cs[0] * 5) % 160 + 16, (cs[1] * 7) % 160 + 16,
+             cs[2] % 63 + 1, cs[3] % 63 + 1, cs[4] % 63 + 1]
+    entries = [(cs[t % 6] + t) % 16 for t in range(32)]
+    pkt = encode_vorbis_audio(posts, entries, [15], floor, residue,
+                              books)
+    vec = decode_vorbis_audio(pkt, setup)["residue"]
+    exp = [0.0] * 128
+    ri = iter(entries)
+    for part in range(4):
+        off = part * 32
+        for w in range(8):
+            e = next(ri)
+            for j in range(4):
+                val = ((e + j) % 8) - 3
+                if rtype == 1:
+                    exp[off + w * 4 + j] += val
+                else:  # type 0: stride psz/dim = 8
+                    exp[off + w + j * 8] += val
+    assert vec == exp
+
+
+def test_unknown_residue_type_fails_closed():
+    # the parser dispatches through the type registry — exactly 0/1/2
+    # decode; anything else raises naming the type
+    from duckdb_server_spark.operators.vorbis import _RESIDUE_TYPES
+
+    assert set(_RESIDUE_TYPES) == {0, 1, 2}
+
+
+def test_stereo_residue_01_fails_closed():
+    from duckdb_server_spark.operators.vorbis import (
+        Residue0,
+        decode_vorbis_audio_stereo,
+    )
+
+    books, floor, _ = _fixture()
+    residue0 = Residue0(0, 256, 32, 2, 2, cascades=[0, 1],
+                        books=[[-1] * 8, [1] + [-1] * 7])
+    setup = parse_vorbis_setup(
+        encode_vorbis_setup(books, floor, residue0, channels=2,
+                            coupling_steps=[(0, 1)]),
+        channels=2,
+    )
+    with pytest.raises(NotImplementedError, match="stereo residue"):
+        decode_vorbis_audio_stereo(b"\x00", setup)
