@@ -390,3 +390,82 @@ def test_named_group_list_extract_version_acceptance(sqlf, duck):
         r"(?<digit>[0-9])', ['letter', 'digit']) AS v"
     ).fetchall()
     assert theirs[0][0] == {"letter": "", "digit": ""}  # the 1.0 quirk
+
+
+# --- wave 3 (round 13): windows, strftime/printf, list/json/aggregate
+# corners — 57/59 probes green on the first sweep; the one divergence
+# is a 1.0 oracle quirk pinned as an acceptance below ----------------------
+
+@pytest.mark.parametrize("sql", [
+    "SELECT x, first_value(x IGNORE NULLS) OVER (ORDER BY i) AS v FROM (VALUES (1, NULL), (2, 7), (3, 8)) t(i, x) ORDER BY x NULLS LAST",
+    "SELECT i, last_value(x IGNORE NULLS) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v FROM (VALUES (1, 5), (2, NULL), (3, 8)) t(i, x) ORDER BY i",
+    "SELECT i, ntile(3) OVER (ORDER BY i) AS v FROM (VALUES (1),(2),(3),(4),(5)) t(i) ORDER BY i",
+    "SELECT i, cume_dist() OVER (ORDER BY i) AS v FROM (VALUES (1),(2),(2),(4)) t(i) ORDER BY i, v",
+    "SELECT i, percent_rank() OVER (ORDER BY i) AS v FROM (VALUES (1),(2),(2),(4)) t(i) ORDER BY i, v",
+    "SELECT i, nth_value(i, 2) OVER (ORDER BY i) AS v FROM (VALUES (1),(2),(3)) t(i) ORDER BY i",
+    "SELECT strftime(TIMESTAMP '2024-03-05 07:08:09', '%a %A %b %B') AS v",
+    "SELECT strftime(DATE '2024-03-05', '%j') AS v",
+    "SELECT strftime(TIMESTAMP '2024-03-05 07:08:09', '%I %p') AS v",
+    "SELECT strftime(TIMESTAMP '2024-03-05 17:08:09', '%I %p') AS v",
+    "SELECT strftime(DATE '2024-03-05', '%y %-d %-m') AS v",
+    "SELECT strptime('05/03/2024', '%d/%m/%Y') AS v",
+    "SELECT printf('%5.2f|%d|%s', 3.14159, 42, 'x') AS v",
+    "SELECT printf('%05d|%x|%o', 42, 255, 8) AS v",
+    "SELECT printf('%+d %e', 7, 12345.678) AS v",
+    "SELECT printf('%-8s|', 'ab') AS v",
+    "SELECT list_grade_up([30, 10, 20]) AS v",
+    "SELECT list_select([10, 20, 30], [3, 1]) AS v",
+    "SELECT list_where([10, 20, 30], [true, false, true]) AS v",
+    "SELECT list_unique([1, 2, 2, NULL, NULL]) AS v",
+    "SELECT list_any_value([NULL, 7, 8]) AS v",
+    "SELECT flatten([[1, 2], [], [3]]) AS v",
+    "SELECT list_position([5, 6, 7], 7) AS v",
+    "SELECT list_position([5, 6], 9) AS v",
+    "SELECT to_json({'a': [1, 2], 'b': 'x'}) AS v",
+    "SELECT json_array(1, 'a', NULL) AS v",
+    "SELECT json_object('k', 7, 'm', 'v') AS v",
+    'SELECT json_extract(\'{"a": {"b": 7}}\', \'$.a.b\') AS v',
+    'SELECT json_extract_string(\'{"a": "x"}\', \'$.a\') AS v',
+    'SELECT json_valid(\'{"a": 1}\') AS v, json_valid(\'{bad\') AS w',
+    'SELECT json_keys(\'{"a": 1, "b": 2}\') AS v',
+    'SELECT json_structure(\'{"a": [1, 2]}\') AS v',
+    "SELECT bar(3, 0, 10, 10) AS v",
+    "SELECT make_date(2024, 2, 29) AS v",
+    "SELECT make_timestamp(2024, 2, 29, 13, 30, 59.5) AS v",
+    "SELECT make_timestamp(1709212271000000) AS v",
+    "SELECT try_cast('abc' AS INTEGER) AS v",
+    "SELECT try_cast('2024-13-01' AS DATE) AS v",
+    "SELECT try_cast('inf' AS DOUBLE) AS v",
+    "SELECT x FROM (VALUES (1), (2.5)) t(x) ORDER BY x",
+    "WITH t AS (SELECT 1 AS a), s AS (SELECT a + 1 AS a FROM t) SELECT a FROM s",
+    "WITH RECURSIVE f(n, v) AS (SELECT 1, 1 UNION ALL SELECT n+1, v*(n+1) FROM f WHERE n < 6) SELECT max(v) AS v FROM f",
+    "SELECT i FROM (VALUES (1),(2),(3),(4)) t(i) ORDER BY i LIMIT 2 OFFSET 1",
+    "SELECT i FROM (VALUES (1),(2),(3),(4)) t(i) ORDER BY i OFFSET 2",
+    "SELECT i FROM (VALUES (1),(2),(3),(4)) t(i) ORDER BY i LIMIT 1 + 1",
+    "SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 3 AS b, 4 AS a ORDER BY a",
+    "SELECT product(x) AS v FROM (VALUES (2.0), (3.0), (4.0)) t(x)",
+    "SELECT bool_and(x) AS v, bool_or(y) AS w FROM (VALUES (true, false), (true, false)) t(x, y)",
+    "SELECT bit_and(x) AS v, bit_or(x) AS w, bit_xor(x) AS u FROM (VALUES (12), (10)) t(x)",
+    "SELECT entropy(x) AS v FROM (VALUES ('a'), ('a'), ('b'), ('c')) t(x)",
+    "SELECT mode(x) AS v FROM (VALUES (3), (3), (5)) t(x)",
+    "SELECT median(x) AS v FROM (VALUES (1), (3), (7)) t(x)",
+])
+def test_wave3_probes(sqlf, duck, sql):
+    _match(sqlf, duck, sql)
+
+
+def test_strptime_dayofyear_version_acceptance(sqlf, duck):
+    """DuckDB 1.0's strptime silently IGNORES %j (day-of-year):
+    strptime('2024-066', '%Y-%j') returns 2024-01-01. This engine
+    parses it (2024-03-06 = day 66) — the correct/later-DuckDB
+    semantics — pinned as a version acceptance per the dialect.py
+    policy note (a from-memory bug replication would actively hurt
+    users)."""
+    with serving_dialect(True):
+        ours = run_sql(sqlf,
+                       "SELECT strptime('2024-066', '%Y-%j') AS v"
+                       ).collect()
+    assert str(ours[0][0]) == "2024-03-06 00:00:00"
+    theirs = duck.execute(
+        "SELECT strptime('2024-066', '%Y-%j') AS v").fetchall()
+    assert str(theirs[0][0]) == "2024-01-01 00:00:00"  # the 1.0 quirk
