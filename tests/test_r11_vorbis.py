@@ -118,7 +118,11 @@ def test_silent_floor_skips_residue():
     assert fr["posts"] is None and fr["residue"] is None
 
 
-def test_pcm_fails_closed_naming_the_plug_point():
+def test_pcm_plug_point_retired_in_round_13():
+    # r11 pinned PCM as fail-closed naming the inverse-dB plug point;
+    # round 13 landed the float layer (closed-form table + formula
+    # IMDCT/window — tests/test_r13_vorbis_pcm.py), so the same call
+    # now returns the windowed time-domain block
     books, floor, residue = _subset()
     pkt = encode_vorbis_audio([1, 2, 3, 4, 5], [], [0], floor, residue,
                               books)
@@ -128,8 +132,9 @@ def test_pcm_fails_closed_naming_the_plug_point():
             fromlist=["encode_vorbis_setup"],
         ).encode_vorbis_setup(books, floor, residue)
     )
-    with pytest.raises(NotImplementedError, match="inverse-dB"):
-        decode_vorbis_pcm(pkt, setup)
+    block = decode_vorbis_pcm(pkt, setup)
+    assert len(block) == 256
+    assert all(isinstance(v, float) for v in block[:4])
 
 
 def test_routed_through_decode_ogg_audio():

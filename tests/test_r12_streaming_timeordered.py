@@ -69,7 +69,11 @@ def test_staging_is_one_file_per_slice_in_time_order(spark, sf_dir):
     staged = [d for d in dirs if os.path.exists(
         os.path.join(d, "_STAGED_OK"))]
     assert staged
-    d = max(staged, key=os.path.getmtime)
+    # pick the DEFAULT 5-day staging (suffix _to6 at this span) — the
+    # r13 amortization test stages fatter-slice variants of the same
+    # sf_dir into sibling dirs, so newest-mtime is no longer unique
+    by_suffix = [x for x in staged if x.endswith("_to6")]
+    d = by_suffix[0] if by_suffix else max(staged, key=os.path.getmtime)
     files = sorted(
         f for f in os.listdir(d) if f.endswith(".parquet")
     )
