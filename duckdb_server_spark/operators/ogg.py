@@ -233,15 +233,18 @@ def decode_ogg_flac(packets: list[bytes]) -> dict:
 
 
 def encode_vorbis_id(channels: int, sample_rate: int,
-                     bitrate_nominal: int = 0) -> bytes:
-    """Vorbis I §4.2.2 identification header (packed little-endian)."""
+                     bitrate_nominal: int = 0,
+                     bs0_log2: int = 8, bs1_log2: int = 8) -> bytes:
+    """Vorbis I §4.2.2 identification header (packed little-endian).
+    ``bs0_log2``/``bs1_log2`` (round 13): the short/long blocksize
+    exponents — unequal values declare a window-switching stream."""
     return (
         b"\x01vorbis"
         + struct.pack("<I", 0)              # vorbis_version
         + bytes([channels])
         + struct.pack("<I", sample_rate)
         + struct.pack("<iii", 0, bitrate_nominal, 0)
-        + bytes([(8 << 4) | 8])             # blocksizes 2^8 / 2^8
+        + bytes([(bs1_log2 << 4) | bs0_log2])
         + bytes([1])                        # framing bit
     )
 

@@ -59,13 +59,21 @@ writer and definition-replay oracles — the MP3/VP8/FLAC playbook):
   VQ values at stride psz/dim; wild MONO Vorbis overwhelmingly uses
   type 1, so this is the foreign-mono-decode subset.
 
+* **long/short WINDOW SWITCHING** (§4.3.1/.8, round 13, MONO): shaped
+  windows (a long block with a short neighbor narrows the matching
+  slope to bs0/2 samples centered at n/4 / 3n/4 — formula, verified
+  Princen-Bradley across the unequal lap), the §8.6.2 residue clamp
+  to min(end, n/2), and center-to-center lapping (np/4 + nc/4
+  returned samples; overlap_add_switched) — every piece formula-
+  defined, no table.
+
 Declared plug points (fail closed, never garbage samples):
 * floor0 (LSP), residue types 0/1 in MULTI-channel mappings (the
   per-partition channel interleave), mappings beyond 2 channels, and
-  long/short window switching — streams using them raise naming the
-  feature. (Codebook lookup type 1 — the implicit lattice — decodes
-  for real since round 11: lookup1_values is computable, not a value
-  table.)
+  window switching in STEREO mappings — streams using them raise
+  naming the feature. (Codebook lookup type 1 — the implicit lattice —
+  decodes for real since round 11: lookup1_values is computable, not
+  a value table.)
 
 Transcription-confidence note (judge-facing): the bitpacking
 convention, ilog, float32 format, and the §3 worked example are
@@ -453,11 +461,16 @@ class Residue2:
         return cls(begin, end, psize, ncls, classbook, cascades, books)
 
     def decode_vector(self, br: _BitReaderLSB,
-                      books: list[Codebook]) -> list[float]:
+                      books: list[Codebook],
+                      limit: int | None = None) -> list[float]:
         """§8.6.2 decode over ONE interleaved vector (type 2, mono):
         per-pass classword groups through the classbook, then VQ
-        accumulation for cascade-set (class, pass) cells."""
-        n = self.end - self.begin
+        accumulation for cascade-set (class, pass) cells. ``limit``
+        (round 13, window switching) clamps the decoded range to
+        [begin, min(end, limit)) — the spec's actual-spectrum-size
+        clamp for short blocks."""
+        end = self.end if limit is None else min(self.end, limit)
+        n = end - self.begin
         if n % self.partition_size:
             raise ValueError("Vorbis: residue range not partition-aligned")
         n_part = n // self.partition_size
@@ -521,14 +534,16 @@ class Residue0(Residue2):
     TYPE = 0
 
     def decode_vector(self, br: _BitReaderLSB,
-                      books: list[Codebook]) -> list[float]:
-        n = self.end - self.begin
+                      books: list[Codebook],
+                      limit: int | None = None) -> list[float]:
+        end = self.end if limit is None else min(self.end, limit)
+        n = end - self.begin
         if n % self.partition_size:
             raise ValueError("Vorbis: residue range not partition-aligned")
         n_part = n // self.partition_size
         cbook = books[self.classbook]
         grp = cbook.dimensions
-        vec = [0.0] * self.end
+        vec = [0.0] * end
         classes: list[int] = []
         max_pass = max(
             (p for c in range(self.classifications) for p in range(8)
@@ -573,6 +588,7 @@ def encode_vorbis_setup(
     codebooks: list[Codebook], floor: Floor1, residue: Residue2,
     channels: int = 1,
     coupling_steps: list[tuple[int, int]] | None = None,
+    mode_blockflags: tuple[int, ...] = (0,),
 ) -> bytes:
     """Setup header. ``channels``/``coupling_steps`` (round 13): a
     2-channel mapping with square-polar coupling steps — each step is
@@ -608,11 +624,12 @@ def encode_vorbis_setup(
     bw.write(0, 8)
     bw.write(0, 8)   # floor number
     bw.write(0, 8)   # residue number
-    bw.write(0, 6)   # mode count - 1
-    bw.write(0, 1)   # mode 0: blockflag 0 (short/only window)
-    bw.write(0, 16)  # window type
-    bw.write(0, 16)  # transform type
-    bw.write(0, 8)   # mapping number
+    bw.write(len(mode_blockflags) - 1, 6)  # mode count - 1
+    for bf in mode_blockflags:
+        bw.write(bf, 1)   # blockflag (1 = long window, round 13)
+        bw.write(0, 16)   # window type
+        bw.write(0, 16)   # transform type
+        bw.write(0, 8)    # mapping number
     bw.write(1, 1)   # framing bit
     return _common_header(5) + bw.render()
 
@@ -667,14 +684,12 @@ def parse_vorbis_setup(packet: bytes, channels: int = 1) -> dict:
         residue_n = br.read(8)
     modes = []
     for _ in range(br.read(6) + 1):
-        blockflag = br.read(1)
-        if blockflag:
-            raise NotImplementedError(
-                "Vorbis subset: long/short window switching"
-            )
+        blockflag = br.read(1)  # round 13: long-window modes parse;
+        # the switched mono PCM path handles them, other entry points
+        # fail closed when a packet selects one
         br.read(16)
         br.read(16)
-        modes.append(br.read(8))
+        modes.append({"blockflag": blockflag, "mapping": br.read(8)})
     if not br.read(1):
         raise ValueError("Vorbis: setup framing bit unset")
     return {
@@ -831,8 +846,11 @@ def decode_vorbis_audio_stereo(packet: bytes, setup: dict) -> dict:
     if br.read(1):
         raise ValueError("Vorbis: not an audio packet")
     n_modes = len(setup["modes"])
-    if n_modes > 1:
-        br.read(ilog(n_modes - 1))
+    mode_num = br.read(ilog(n_modes - 1)) if n_modes > 1 else 0
+    if setup["modes"][mode_num]["blockflag"]:
+        raise NotImplementedError(
+            "Vorbis subset: window switching in stereo mappings"
+        )
     if setup["residue"].TYPE != 2:
         raise NotImplementedError(
             "Vorbis subset: stereo residue types 0/1 (the per-partition "
@@ -891,8 +909,12 @@ def decode_vorbis_audio(packet: bytes, setup: dict) -> dict:
     if br.read(1):
         raise ValueError("Vorbis: not an audio packet")
     n_modes = len(setup["modes"])
-    if n_modes > 1:
-        br.read(ilog(n_modes - 1))
+    mode_num = br.read(ilog(n_modes - 1)) if n_modes > 1 else 0
+    if setup["modes"][mode_num]["blockflag"]:
+        raise NotImplementedError(
+            "Vorbis subset: long-window packet outside the switched "
+            "mono path (decode_ogg_vorbis_pcm routes these)"
+        )
     posts = setup["floor"].decode_posts(br, setup["codebooks"])
     if posts is None:
         return {"posts": None, "residue": None}
@@ -1115,6 +1137,138 @@ def decode_vorbis_pcm(packet: bytes, setup: dict,
     return [y[i] * w[i] for i in range(n)]
 
 
+def vorbis_window_shaped(n: int, bs0: int, blockflag: int,
+                         prev_flag: int, next_flag: int) -> list[float]:
+    """§4.3.1 window for a SWITCHED stream (round 13): a long block
+    (blockflag 1) whose neighbor is short narrows the matching slope
+    to bs0/2 samples centered at n/4 (left) / 3n/4 (right), with a
+    flat-1 plateau between and zeros outside — all formula, no table.
+    A short block (blockflag 0) is the uniform window."""
+    if not blockflag:
+        return vorbis_window(n)
+    left_n = n // 2 if prev_flag else bs0 // 2
+    left_start = 0 if prev_flag else n // 4 - bs0 // 4
+    right_n = n // 2 if next_flag else bs0 // 2
+    right_start = n // 2 if next_flag else 3 * n // 4 - bs0 // 4
+    w = [0.0] * n
+    for i in range(left_start, left_start + left_n):
+        s = math.sin((math.pi / (2 * left_n)) * ((i - left_start) + 0.5))
+        w[i] = math.sin((0.5 * math.pi) * (s * s))
+    for i in range(left_start + left_n, right_start):
+        w[i] = 1.0
+    for i in range(right_start, right_start + right_n):
+        s = math.sin((math.pi / (2 * right_n)) * ((i - right_start) + 0.5)
+                     + 0.5 * math.pi)
+        w[i] = math.sin((0.5 * math.pi) * (s * s))
+    return w
+
+
+def encode_vorbis_audio_switched(
+    posts: list[int], residue_entries: list[int],
+    classwords: list[int], floor: Floor1, residue: Residue2,
+    codebooks: list[Codebook], mode_num: int, n_modes: int,
+    blockflag: int, prev_flag: int = 0, next_flag: int = 0,
+    bs0: int = 64, bs1: int = 256,
+) -> bytes:
+    """One MONO audio packet for a multi-mode (window-switching)
+    stream: mode number at ilog(n_modes-1) bits, then — long blocks
+    only — the prev/next window flags, then floor posts and the
+    residue payload (the caller sizes entries/classwords to the
+    CLAMPED spectrum: min(residue.end, n/2))."""
+    bw = _BitWriterLSB()
+    bw.write(0, 1)  # audio packet
+    if n_modes > 1:
+        bw.write(mode_num, ilog(n_modes - 1))
+    if blockflag:
+        bw.write(prev_flag, 1)
+        bw.write(next_flag, 1)
+    _write_floor_posts(bw, posts, floor, codebooks)
+    cbook = codebooks[residue.classbook]
+    ri = iter(residue_entries)
+    grp = cbook.dimensions
+    # mirror the decoder's clamped walk: n_part partitions over
+    # [begin, min(end, n/2)); the last classword group may cover
+    # fewer than grp partitions
+    n = bs1 if blockflag else bs0
+    half = n // 2
+    end = min(residue.end, half)
+    n_part = (end - residue.begin) // residue.partition_size
+    i = 0
+    for cw in classwords:
+        ln, code = cbook.codes[cw]
+        for b in range(ln - 1, -1, -1):
+            bw.write((code >> b) & 1, 1)
+        group = []
+        e = cw
+        for _ in range(grp):
+            group.append(e % residue.classifications)
+            e //= residue.classifications
+        for c in reversed(group):
+            if i >= n_part:
+                break
+            bidx = residue.books[c][0]
+            if bidx >= 0:
+                book = codebooks[bidx]
+                for _ in range(residue.partition_size // book.dimensions):
+                    entry = next(ri)
+                    ln, code = book.codes[entry]
+                    for b in range(ln - 1, -1, -1):
+                        bw.write((code >> b) & 1, 1)
+            i += 1
+    return bw.render()
+
+
+def decode_vorbis_pcm_switched(packet: bytes, setup: dict,
+                               bs0: int, bs1: int) -> tuple[list[float], int]:
+    """One MONO audio packet of a window-switching stream → (windowed
+    block, blocksize): mode number selects the blocksize, long blocks
+    carry prev/next window flags shaping the slopes, the floor curve
+    and residue clamp to the block's n/2 spectrum, then the b34e float
+    chain with the shaped window."""
+    br = _BitReaderLSB(packet)
+    if br.read(1):
+        raise ValueError("Vorbis: not an audio packet")
+    n_modes = len(setup["modes"])
+    mode_num = br.read(ilog(n_modes - 1)) if n_modes > 1 else 0
+    blockflag = setup["modes"][mode_num]["blockflag"]
+    n = bs1 if blockflag else bs0
+    prev_flag = next_flag = 1
+    if blockflag:
+        prev_flag = br.read(1)
+        next_flag = br.read(1)
+    half = n // 2
+    posts = setup["floor"].decode_posts(br, setup["codebooks"])
+    if posts is None:
+        return [0.0] * n, n
+    curve = synthesize_floor_curve(setup["floor"], posts, half)
+    res = setup["residue"].decode_vector(br, setup["codebooks"],
+                                         limit=half)
+    spec = [FLOOR1_INVERSE_DB[curve[k]]
+            * (res[k] if k < len(res) else 0.0) for k in range(half)]
+    y = imdct(spec, n)
+    w = vorbis_window_shaped(n, bs0, blockflag, prev_flag, next_flag)
+    return [y[i] * w[i] for i in range(n)], n
+
+
+def overlap_add_switched(prev: list[float], cur: list[float]
+                         ) -> list[float]:
+    """§4.3.8 lapping for (possibly) unequal consecutive blocks: the
+    returned span runs from the previous window's center to the
+    current one's — length np/4 + nc/4 — summing the previous block's
+    right part with the current block's left part aligned at centers
+    (out[t] = prev[np/2+t] + cur[nc/4 − np/4 + t], indexes outside a
+    block contributing zero). Equal sizes reduce to the b34e lap."""
+    np_, nc = len(prev), len(cur)
+    ret = np_ // 4 + nc // 4
+    out = []
+    for t in range(ret):
+        a = prev[np_ // 2 + t] if np_ // 2 + t < np_ else 0.0
+        ci = nc // 4 - np_ // 4 + t
+        b = cur[ci] if 0 <= ci < nc else 0.0
+        out.append(a + b)
+    return out
+
+
 def pcm16_quantize(v: float) -> int:
     """Float sample → 16-bit PCM: floor(v·32767 + 0.5) clamped —
     half-up rounding, pinned identically in the SQL oracle."""
@@ -1143,15 +1297,32 @@ def decode_ogg_vorbis_pcm(payload: bytes) -> dict:
             "Vorbis PCM: mappings beyond 2 channels (channels="
             f"{meta['channels']}) are a declared fail-closed subset"
         )
-    if meta["blocksize_0"] != meta["blocksize_1"]:
+    bs0, bs1 = meta["blocksize_0"], meta["blocksize_1"]
+    if bs0 != bs1 and meta["channels"] != 1:
         raise NotImplementedError(
-            "Vorbis PCM: long/short window switching is a declared "
-            "fail-closed subset"
+            "Vorbis PCM: window switching in multi-channel mappings "
+            "is a declared fail-closed subset"
         )
-    n = meta["blocksize_0"]
     if packets[1][:7] != _common_header(3):
         raise ValueError("Vorbis: missing comment header")
     setup = parse_vorbis_setup(packets[2], channels=meta["channels"])
+    if bs0 != bs1:
+        # round 13: MONO window-switching path — shaped windows and the
+        # unequal-block §4.3.8 lap
+        pcm_s: list[float] = []
+        prev_b: list[float] | None = None
+        for p in packets[3:]:
+            cur_b, _n = decode_vorbis_pcm_switched(p, setup, bs0, bs1)
+            if prev_b is not None:
+                pcm_s.extend(overlap_add_switched(prev_b, cur_b))
+            prev_b = cur_b
+        return {
+            "sample_rate": meta["sample_rate"],
+            "n_samples": len(pcm_s),
+            "pcm": pcm_s,
+            "pcm16": [pcm16_quantize(v) for v in pcm_s],
+        }
+    n = bs0
     half = n // 2
     if meta["channels"] == 1:
         pcm: list[float] = []
@@ -1195,19 +1366,23 @@ def encode_ogg_vorbis(packets_payload: list[bytes],
                       residue: Residue2, sample_rate: int = 8000,
                       serial: int = 0x0D55, channels: int = 1,
                       coupling_steps: list[tuple[int, int]] | None = None,
+                      bs0_log2: int = 8, bs1_log2: int = 8,
+                      mode_blockflags: tuple[int, ...] = (0,),
                       ) -> bytes:
     """A complete Ogg-Vorbis stream: id + comment + setup headers, then
     the given audio packets. ``channels``/``coupling_steps`` (round
     13): stereo streams with square-polar coupling."""
     from duckdb_server_spark.operators.ogg import encode_vorbis_id
 
-    ident = encode_vorbis_id(channels, sample_rate)
+    ident = encode_vorbis_id(channels, sample_rate,
+                             bs0_log2=bs0_log2, bs1_log2=bs1_log2)
     comment = _common_header(3) + bytes([0, 0, 0, 0]) + bytes(
         [0, 0, 0, 0]
     ) + b"\x01"
     setup = encode_vorbis_setup(codebooks, floor, residue,
                                 channels=channels,
-                                coupling_steps=coupling_steps)
+                                coupling_steps=coupling_steps,
+                                mode_blockflags=mode_blockflags)
     packets = [ident, comment, setup, *packets_payload]
     # header packets carry granule 0; audio packets advance by the
     # fixed short-window hop (blocksize/2 = 128 samples)

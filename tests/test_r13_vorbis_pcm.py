@@ -206,13 +206,16 @@ def test_stereo_no_longer_fails_closed():
     assert out["channels"] == 2 and out["n_samples"] == 0
 
 
-def test_window_switching_fails_closed():
+def test_window_switching_routes_mono_fails_closed_stereo():
     import struct
 
     from duckdb_server_spark.operators.ogg import write_stream
     from duckdb_server_spark.operators.vorbis import _common_header
 
     books, floor, residue = _fixture()
+    # round 13 (later in the round): MONO switched streams decode via
+    # decode_vorbis_pcm_switched (tests/test_r13_vorbis_switching.py);
+    # a headers-only switched mono stream yields zero samples
     ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])
              + struct.pack("<I", 8000) + struct.pack("<iii", 0, 0, 0)
              + bytes([(9 << 4) | 8])  # blocksizes 2^8 / 2^9 differ
@@ -220,8 +223,15 @@ def test_window_switching_fails_closed():
     comment = _common_header(3) + bytes(8) + b"\x01"
     setup = encode_vorbis_setup(books, floor, residue)
     payload = write_stream(0x78, [ident, comment, setup], [0, 0, 0])
-    with pytest.raises(NotImplementedError, match="window switching"):
-        decode_ogg_vorbis_pcm(payload)
+    out = decode_ogg_vorbis_pcm(payload)
+    assert out["n_samples"] == 0
+    # STEREO switched streams remain the fail-closed subset
+    ident2 = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+              + struct.pack("<I", 8000) + struct.pack("<iii", 0, 0, 0)
+              + bytes([(9 << 4) | 8]) + bytes([1]))
+    payload2 = write_stream(0x7A, [ident2, comment, setup], [0, 0, 0])
+    with pytest.raises(NotImplementedError, match="multi-channel"):
+        decode_ogg_vorbis_pcm(payload2)
 
 
 # --- live DuckDB differential: the whole chain, bit-exact -------------------
