@@ -168,6 +168,7 @@ from duckdb_server_spark.dialect_rewrites.exprs import (  # noqa: F401
     _rewrite_glob,
     _rewrite_hex_cast,
     _rewrite_lateral_unnest,
+    _rewrite_parallel_unnest,
     _rewrite_lateral_values,
     _rewrite_len,
     _rewrite_list_aggregate,
@@ -682,6 +683,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     # last by-zero operator (`/` and `%` already route through
     # try_divide/try_mod).
     masked = _rewrite_int_div(masked)
+    masked = _rewrite_parallel_unnest(masked)
     masked = _rewrite_fn_names(masked)
     if duckdb_first:
         masked = _rewrite_libm(masked)

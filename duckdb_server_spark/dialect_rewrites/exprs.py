@@ -569,6 +569,14 @@ def _rewrite_star_replace(s: str, spark=None) -> str:
                         cols = spark.table(sm.group(1)).columns
                     except Exception:
                         cols = None
+                if cols is None and src.strip():
+                    # round-13 hunt F wave 4: subquery/VALUES sources —
+                    # analysis-only schema resolve (no job); masked
+                    # literals in src make this raise → same fallback
+                    try:
+                        cols = spark.sql(f"SELECT * FROM {src}").columns
+                    except Exception:
+                        cols = None
                 if cols:
                     cols_l = {c.lower() for c in cols}
                     needed = [n.lower() for n in names] + [
@@ -2387,6 +2395,57 @@ _LATERAL_UNNEST_RE = re.compile(
     r"(,|\bCROSS\s+JOIN\b)\s*unnest\s*\(", re.IGNORECASE
 )
 
+
+
+_PARALLEL_UNNEST_RE = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
+
+
+def _rewrite_parallel_unnest(s: str) -> str:
+    """Round-13 hunt F wave 4: DuckDB ZIPS parallel unnests in one
+    select list (``SELECT unnest([1,2]), unnest([10,20])`` → rows
+    (1,10),(2,20), shorter lists padded with NULL); Spark's multiple
+    generators don't. When EVERY top-level select item is an
+    ``unnest(expr) [AS alias]`` and there is no FROM tail, lower to
+    one ``explode(arrays_zip(...))`` over a dual row (arrays_zip pads
+    with NULL identically). A FROM-ful parallel unnest fails closed —
+    the old path produced silently wrong cross-ish rows."""
+    m = re.match(r"(?is)^\s*SELECT\s+(.*)$", s)
+    if not m:
+        return s
+    body = m.group(1)
+    if len(_PARALLEL_UNNEST_RE.findall(body)) < 2:
+        return s
+    items = _split_top_commas(body)
+    parsed = []
+    for item in items:
+        im = re.match(
+            r"(?is)^\s*unnest\s*\((.*)\)\s*(?:AS\s+([A-Za-z_]\w*))?\s*$",
+            item,
+        )
+        if not im or _matching_paren(
+                item, item.lower().index("(")) < 0:
+            parsed = None
+            break
+        parsed.append((im.group(1), im.group(2)))
+    if parsed and len(parsed) >= 2:
+        zip_args = ", ".join(p[0] for p in parsed)
+        cols = ", ".join(
+            f"__dd_zz.`{i}` AS {alias or f'unnest_{i}'}"
+            for i, (_, alias) in enumerate(parsed)
+        )
+        return (
+            f"SELECT {cols} FROM (SELECT "
+            f"explode(arrays_zip({zip_args})) AS __dd_zz)"
+        )
+    from_idx, _ = _find_top_keyword(body, ("FROM",))
+    head = body[:from_idx] if from_idx >= 0 else body
+    if len(_PARALLEL_UNNEST_RE.findall(head)) >= 2:
+        raise DialectError(
+            "parallel unnest: DuckDB zips the vectors row-wise — only "
+            "a single unnest per select list, or the FROM-less "
+            "all-unnest zip form, is supported"
+        )
+    return s
 
 
 def _rewrite_lateral_unnest(s: str) -> str:

@@ -469,3 +469,70 @@ def test_strptime_dayofyear_version_acceptance(sqlf, duck):
     theirs = duck.execute(
         "SELECT strptime('2024-066', '%Y-%j') AS v").fetchall()
     assert str(theirs[0][0]) == "2024-01-01 00:00:00"  # the 1.0 quirk
+
+
+# --- wave 4 (round 13): parallel unnest zip, star EXCLUDE+REPLACE
+# ordering, RANGE-interval frames, similarity fns, ANY/ALL -----------------
+
+@pytest.mark.parametrize("sql", [
+    # parallel unnest ZIPS row-wise (found silently cross-ish before;
+    # FROM-less all-unnest form lowers to explode(arrays_zip(...)),
+    # shorter vectors NULL-pad on both engines)
+    "SELECT unnest([1, 2]) AS a, unnest([10, 20]) AS b",
+    "SELECT unnest([1, 2, 3]) AS a, unnest([10, 20]) AS b",
+    "SELECT unnest(['x','y']) AS a, unnest([1.5, 2.5]) AS b, unnest([7, 8]) AS c",
+    # star EXCLUDE + REPLACE keeps the replaced column's ORIGINAL
+    # position (schema now resolves through subquery/VALUES sources)
+    "SELECT * EXCLUDE (b) REPLACE (a * 10 AS a) FROM (VALUES (1, 2, 3)) t(a, b, c)",
+    "SELECT * REPLACE (c + 1 AS c) FROM (VALUES (1, 2, 3)) t(a, b, c)",
+    "SELECT unnest([5, 6]) AS v",
+    # RANGE frames over temporal keys with interval bounds
+    "SELECT ts, sum(v) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS s FROM (VALUES (TIMESTAMP '2024-01-01 10:00:00', 1), (TIMESTAMP '2024-01-01 10:30:00', 2), (TIMESTAMP '2024-01-01 12:00:00', 4)) t(ts, v) ORDER BY ts",
+    "SELECT d, sum(v) OVER (ORDER BY d RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND INTERVAL 1 DAY FOLLOWING) AS s FROM (VALUES (DATE '2024-01-01', 1), (DATE '2024-01-02', 2), (DATE '2024-01-05', 4)) t(d, v) ORDER BY d",
+    # IS [NOT] DISTINCT FROM incl. list operands
+    "SELECT NULL IS DISTINCT FROM NULL AS a, 1 IS DISTINCT FROM NULL AS b, 1 IS NOT DISTINCT FROM 1 AS c",
+    "SELECT [1, NULL] IS NOT DISTINCT FROM [1, NULL] AS v",
+    # quantified comparisons
+    "SELECT 3 = ANY (SELECT * FROM (VALUES (1),(3)) t(x)) AS v",
+    "SELECT 3 > ALL (SELECT * FROM (VALUES (1),(2)) t(x)) AS v",
+    "SELECT 3 >= SOME (SELECT * FROM (VALUES (5),(2)) t(x)) AS v",
+    # string similarity family
+    "SELECT jaccard('duck', 'luck') AS v",
+    "SELECT damerau_levenshtein('abc', 'acb') AS v",
+    "SELECT hamming('1010', '1001') AS v",
+    "SELECT jaro_similarity('martha', 'marhta') > 0.9 AS v",
+    "SELECT jaro_winkler_similarity('martha', 'marhta') > 0.95 AS v",
+    "SELECT editdist3('kitten', 'sitting') AS v",
+    # star/COLUMNS combos and list comprehensions
+    "SELECT COLUMNS('[ac]') FROM (VALUES (1, 2, 3)) t(a, b, c)",
+    "SELECT min(COLUMNS(*)) FROM (VALUES (1, 2), (5, 0)) t(a, b)",
+    "SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1] AS v",
+    "SELECT [u FOR u IN string_split('a,b,c', ',')] AS v",
+    # nested struct/array access
+    "SELECT [{'a': 1}, {'a': 2}][2].a AS v",
+    "SELECT list_transform([{'a': 1}, {'a': 5}], s -> s.a + 1) AS v",
+    "SELECT {'p': {'q': [1, 2]}}.p.q[2] AS v",
+    "SELECT unnest(map_entries(MAP {'a': 1}))",
+    # date landmarks
+    "SELECT date_trunc('week', DATE '2024-01-01') AS v",
+    "SELECT date_trunc('quarter', DATE '2024-05-15') AS v",
+    "SELECT last_day(DATE '2024-02-05') AS v",
+    # aggregate FILTER (both spellings)
+    "SELECT count(*) FILTER (WHERE x > 1) AS c, sum(x) FILTER (x > 1) AS s FROM (VALUES (1),(2),(3)) t(x)",
+    # DISTINCT ON over derived keys
+    "SELECT DISTINCT ON (k) k, v FROM (SELECT x % 2 AS k, x AS v FROM (VALUES (1),(2),(3),(4)) t(x)) s ORDER BY k, v DESC",
+])
+def test_wave4_probes(sqlf, duck, sql):
+    _match(sqlf, duck, sql)
+
+
+def test_parallel_unnest_with_from_fails_closed(sqlf):
+    from duckdb_server_spark.dialect import DialectError
+
+    with serving_dialect(True), pytest.raises(DialectError,
+                                              match="parallel unnest"):
+        run_sql(
+            sqlf,
+            "SELECT unnest(a) AS x, unnest(b) AS y FROM "
+            "(SELECT [1,2] AS a, [3,4] AS b) t",
+        ).collect()
