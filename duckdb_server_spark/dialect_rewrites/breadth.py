@@ -1924,10 +1924,23 @@ def _rewrite_collate(s: str, table: list[str]) -> str:
         if im:
             open_idx = m.end() + im.end() - 1
             close = _matching_paren(s, open_idx)
-            items = _split_top_commas(s[open_idx + 1 : close])
+            body = s[open_idx + 1 : close]
+            neg = "NOT " if im.group(1) else ""
+            # round-14 ADVICE: IN (SELECT …) — probed on live DuckDB
+            # 1.0: the collation does NOT propagate into an IN-subquery
+            # ('A' NOCASE IN (SELECT 'a') → false; 'a' NOCASE IN
+            # (SELECT 'a') → true — bytewise), so the lowering strips
+            # the annotation and compares raw values on both sides
+            if re.match(r"\s*(SELECT|WITH|VALUES)\b", body, re.IGNORECASE):
+                # the derived-table wrap also defuses Spark's
+                # typed-literal parse of ``IN (SELECT 'a')``
+                repl = (f"{operand} {neg}IN (SELECT __collate_c FROM "
+                        f"({body.strip()}) AS __collate_sub(__collate_c))")
+                s = s[:lstart] + repl + s[close + 1 :]
+                continue
+            items = _split_top_commas(body)
             keyed = ", ".join(_collate_key(it.strip(), names)
                               for it in items)
-            neg = "NOT " if im.group(1) else ""
             repl = f"{key} {neg}IN ({keyed})"
             s = s[:lstart] + repl + s[close + 1 :]
             continue

@@ -1202,7 +1202,10 @@ def _rewrite_int_div(s: str) -> str:
             continue
         repl = f" DIV nullif({right}, 0)"
         s = s[:i] + repl + s[r_end:]
-        i = i + len(repl)
+        # Resume INSIDE the wrapped divisor (not past it) so a nested
+        # `//` in a parenthesized right operand — `a // (b // c)` —
+        # is rewritten on the next pass (round-14 ADVICE, medium).
+        i = i + len(" DIV nullif(")
     return s
 
 

@@ -1006,12 +1006,17 @@ def mp3_decode_census(payload: bytes,
       spectral_sum/n_granules carry the decode evidence;
     * ``"fail-closed:table-N"`` — a frame selects an untranscribed B.7
       Huffman table (N = the first blocking table);
-    * ``"fail-closed:joint-stereo"`` — mode 1 mid/side float layer;
     * ``"fail-closed:short-blocks"`` — window_switching granules;
     * ``"fail-closed:mpeg-version"`` — MPEG-2/2.5 frames;
     * ``"fail-closed:<other>"`` — any other declared subset;
     * ``"error:<reason>"`` — malformed container (bad sync, reservoir
       underrun, truncation).
+
+    Mode-1 (joint-stereo) frames are NOT a fail-close: since round 13
+    they re-decode through the MS+intensity float path
+    (decode_l3_joint_float) and count as ``"decoded"`` (round-14
+    ADVICE: the former ``fail-closed:joint-stereo`` status is
+    unreachable and is no longer documented).
 
     ``n_frames`` always comes from the header walk (it parses even when
     spectral decode fail-closes), so the census still sizes the file."""
