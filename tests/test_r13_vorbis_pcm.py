@@ -206,7 +206,7 @@ def test_stereo_no_longer_fails_closed():
     assert out["channels"] == 2 and out["n_samples"] == 0
 
 
-def test_window_switching_routes_mono_fails_closed_stereo():
+def test_window_switching_routes_mono_and_stereo():
     import struct
 
     from duckdb_server_spark.operators.ogg import write_stream
@@ -225,13 +225,15 @@ def test_window_switching_routes_mono_fails_closed_stereo():
     payload = write_stream(0x78, [ident, comment, setup], [0, 0, 0])
     out = decode_ogg_vorbis_pcm(payload)
     assert out["n_samples"] == 0
-    # STEREO switched streams remain the fail-closed subset
+    # round 14: STEREO switched streams decode through the generic
+    # per-mode path (headers-only -> zero samples; payload coverage in
+    # tests/test_r14_vorbis_stereo_switching.py)
     ident2 = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
               + struct.pack("<I", 8000) + struct.pack("<iii", 0, 0, 0)
               + bytes([(9 << 4) | 8]) + bytes([1]))
     payload2 = write_stream(0x7A, [ident2, comment, setup], [0, 0, 0])
-    with pytest.raises(NotImplementedError, match="multi-channel"):
-        decode_ogg_vorbis_pcm(payload2)
+    out2 = decode_ogg_vorbis_pcm(payload2)
+    assert out2["n_samples"] == 0 and out2["channels"] == 2
 
 
 # --- live DuckDB differential: the whole chain, bit-exact -------------------

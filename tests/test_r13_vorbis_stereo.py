@@ -127,7 +127,11 @@ def test_stereo_pcm_end_to_end():
     assert out["pcm16"][0] != out["pcm16"][1]
 
 
-def test_more_than_two_channels_fails_closed():
+def test_more_than_two_channels_decodes_since_round_14():
+    # round 14 retired the >2-channel guard: a headers-only 6-channel
+    # stream decodes to zero samples through the generic per-mode path
+    # (tests/test_r14_vorbis_stereo_switching.py carries the payload
+    # coverage)
     import struct
 
     from duckdb_server_spark.operators.ogg import write_stream
@@ -140,8 +144,8 @@ def test_more_than_two_channels_fails_closed():
     comment = _common_header(3) + bytes(8) + b"\x01"
     setup = encode_vorbis_setup(books, floor, residue)
     payload = write_stream(0x79, [ident, comment, setup], [0, 0, 0])
-    with pytest.raises(NotImplementedError, match="2 channels"):
-        decode_ogg_vorbis_pcm(payload)
+    out = decode_ogg_vorbis_pcm(payload)
+    assert out["n_samples"] == 0 and out["channels"] == 6
 
 
 # --- residue types 0/1, mono (round 13 follow-on) ---------------------------
