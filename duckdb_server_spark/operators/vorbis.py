@@ -1405,6 +1405,35 @@ def decode_vorbis_pcm_multi_switched(
     mapping's steps (§4.3.5), then the per-channel float chain with
     the shaped window. A floor-silent channel yields a zero block; if
     every channel is silent the packet carries no residue payload."""
+    lay = _decode_packet_integer_layer(packet, setup, bs0, bs1)
+    n, half = lay["n"], lay["n"] // 2
+    ch = setup["channels"]
+    if lay["res_by_ch"] is None:
+        return [[0.0] * n for _ in range(ch)], n
+    w = vorbis_window_shaped(n, bs0, lay["blockflag"],
+                             lay["prev_flag"], lay["next_flag"])
+    blocks = []
+    for c in range(ch):
+        posts = lay["posts_by_ch"][c]
+        if posts is None:
+            blocks.append([0.0] * n)
+            continue
+        curve = synthesize_floor_curve(lay["floor"], posts, half)
+        res = lay["res_by_ch"][c]
+        spec = [FLOOR1_INVERSE_DB[curve[k]]
+                * (res[k] if k < len(res) else 0.0) for k in range(half)]
+        y = imdct(spec, n)
+        blocks.append([y[i] * w[i] for i in range(n)])
+    return blocks, n
+
+
+def _decode_packet_integer_layer(packet: bytes, setup: dict,
+                                 bs0: int, bs1: int) -> dict:
+    """The INTEGER layer of one audio packet, shared by the exact and
+    fast float profiles (round 14): mode/mapping selection, window
+    flags, per-channel floor posts, the clamped interleaved type-2
+    residue decode, and §4.3.5 decoupling. ``res_by_ch`` is None when
+    every channel is floor-silent (no residue payload on the wire)."""
     br = _BitReaderLSB(packet)
     if br.read(1):
         raise ValueError("Vorbis: not an audio packet")
@@ -1424,8 +1453,11 @@ def decode_vorbis_pcm_multi_switched(
         next_flag = br.read(1)
     posts_by_ch = [floor.decode_posts(br, setup["codebooks"])
                    for _ in range(ch)]
+    out = {"n": n, "blockflag": blockflag, "prev_flag": prev_flag,
+           "next_flag": next_flag, "floor": floor,
+           "posts_by_ch": posts_by_ch, "res_by_ch": None}
     if all(p is None for p in posts_by_ch):
-        return [[0.0] * n for _ in range(ch)], n
+        return out
     if ch == 1:
         res_by_ch = [residue.decode_vector(br, setup["codebooks"],
                                            limit=half)]
@@ -1449,20 +1481,115 @@ def decode_vorbis_pcm_multi_switched(
                                             res_by_ch[ang_ch][i])
                 res_by_ch[mag_ch][i] = m
                 res_by_ch[ang_ch][i] = a
-    w = vorbis_window_shaped(n, bs0, blockflag, prev_flag, next_flag)
+    out["res_by_ch"] = res_by_ch
+    return out
+
+
+# --- fast (vectorized) float profile — round 14, VERDICT r13 item 3 --------
+#
+# The exact profile's IMDCT is a deliberate pure-`math` double loop so the
+# SQL oracle can replay the association order bit-exactly; at 100 TB scan
+# scale that constant factor is the wrong default. The fast profile keeps
+# the SAME IEEE-754 double arithmetic element-wise (inverse-dB lookup,
+# spectrum multiply, window multiply, quantize) and evaluates the IMDCT as
+# a cached cos-matrix GEMV (numpy/BLAS) — the one place summation ORDER can
+# differ from left-to-right by final-ulp amounts. The equivalence test
+# (tests/test_r14_vorbis_fast.py) pins pcm16 equality against the exact
+# profile across the fixture corpus; oracle-facing rows stay on the exact
+# profile by construction.
+
+_FAST_IMDCT_CACHE: dict = {}
+_FAST_WINDOW_CACHE: dict = {}
+_INVDB_NP = None
+
+
+def _fast_imdct_matrix(n: int):
+    import numpy as np
+
+    m = _FAST_IMDCT_CACHE.get(n)
+    if m is None:
+        half = n // 2
+        j = np.arange(n, dtype=np.float64)
+        a = (np.pi / (2.0 * n)) * (2.0 * j + 1.0 + half)
+        k = np.arange(half, dtype=np.float64)
+        m = np.cos(a[:, None] * (2.0 * k[None, :] + 1.0))
+        _FAST_IMDCT_CACHE[n] = m
+    return m
+
+
+def _fast_window(n: int, bs0: int, blockflag: int,
+                 prev_flag: int, next_flag: int):
+    import numpy as np
+
+    key = (n, bs0, blockflag, prev_flag, next_flag)
+    w = _FAST_WINDOW_CACHE.get(key)
+    if w is None:
+        w = np.asarray(
+            vorbis_window_shaped(n, bs0, blockflag, prev_flag,
+                                 next_flag),
+            dtype=np.float64)
+        _FAST_WINDOW_CACHE[key] = w
+    return w
+
+
+def _fast_blocks(lay: dict, setup: dict, bs0: int):
+    """Fast float chain for one packet's integer layer: vectorized
+    inverse-dB lookup + spectrum multiply, cos-matrix IMDCT, window
+    multiply. Returns per-channel numpy blocks."""
+    import numpy as np
+
+    global _INVDB_NP
+    if _INVDB_NP is None:
+        _INVDB_NP = np.asarray(FLOOR1_INVERSE_DB, dtype=np.float64)
+    n, half = lay["n"], lay["n"] // 2
+    ch = setup["channels"]
+    if lay["res_by_ch"] is None:
+        return [np.zeros(n) for _ in range(ch)]
+    m = _fast_imdct_matrix(n)
+    w = _fast_window(n, bs0, lay["blockflag"], lay["prev_flag"],
+                     lay["next_flag"])
     blocks = []
     for c in range(ch):
-        posts = posts_by_ch[c]
+        posts = lay["posts_by_ch"][c]
         if posts is None:
-            blocks.append([0.0] * n)
+            blocks.append(np.zeros(n))
             continue
-        curve = synthesize_floor_curve(floor, posts, half)
-        res = res_by_ch[c]
-        spec = [FLOOR1_INVERSE_DB[curve[k]]
-                * (res[k] if k < len(res) else 0.0) for k in range(half)]
-        y = imdct(spec, n)
-        blocks.append([y[i] * w[i] for i in range(n)])
-    return blocks, n
+        curve = np.asarray(
+            synthesize_floor_curve(lay["floor"], posts, half))
+        res = np.zeros(half)
+        rv = lay["res_by_ch"][c][:half]
+        res[: len(rv)] = rv
+        spec = _INVDB_NP[curve] * res
+        # row-wise reduction instead of BLAS GEMV: at 256x128 the
+        # matrix is tiny and multithreaded BLAS adds erratic spin-up
+        # latency inside executor processes
+        blocks.append(w * (m * spec).sum(axis=1))
+    return blocks
+
+
+def _fast_overlap_add(prev, cur):
+    """Vectorized §4.3.8 unequal-block lap — same single addition per
+    output sample as overlap_add_switched."""
+    import numpy as np
+
+    np_, nc = len(prev), len(cur)
+    ret = np_ // 4 + nc // 4
+    out = np.zeros(ret)
+    avail = min(ret, np_ - np_ // 2)
+    out[:avail] += prev[np_ // 2 : np_ // 2 + avail]
+    off = nc // 4 - np_ // 4
+    t0 = max(0, -off)
+    t1 = min(ret, nc - off)
+    out[t0:t1] += cur[t0 + off : t1 + off]
+    return out
+
+
+def _fast_quantize16(v):
+    """Vectorized pcm16_quantize: floor(v·32767 + 0.5) clamped."""
+    import numpy as np
+
+    q = np.floor(v * 32767.0 + 0.5)
+    return np.clip(q, -32768, 32767).astype(np.int64)
 
 
 def pcm16_quantize(v: float) -> int:
@@ -1472,7 +1599,8 @@ def pcm16_quantize(v: float) -> int:
     return -32768 if q < -32768 else (32767 if q > 32767 else q)
 
 
-def decode_ogg_vorbis_pcm(payload: bytes) -> dict:
+def decode_ogg_vorbis_pcm(payload: bytes,
+                          pcm_profile: str = "exact") -> dict:
     """Full Ogg-Vorbis stream → PCM16 (round 13): demux, parse headers,
     decode every audio packet to its windowed block, overlap-add
     (right half of frame m-1 + left half of frame m; the first frame
@@ -1485,7 +1613,14 @@ def decode_ogg_vorbis_pcm(payload: bytes) -> dict:
     (decode_vorbis_pcm_multi_switched). Remaining fail-closed subsets
     live below the packet layer (floor0, residue 0/1 multi-channel
     interleave, multiple submaps) and raise naming the feature —
-    never garbage samples."""
+    never garbage samples.
+
+    ``pcm_profile`` (round 14, VERDICT r13 item 3): ``"exact"`` keeps
+    the pure-`math` left-to-right float chain the SQL oracles replay
+    bit-exactly; ``"fast"`` runs the vectorized cos-matrix profile
+    (same IEEE-754 element-wise ops, BLAS-ordered IMDCT sums) — the
+    100 TB-scan default, pcm16-equivalent on the fixture corpus
+    (tests/test_r14_vorbis_fast.py)."""
     from duckdb_server_spark.operators.ogg import demux_ogg, parse_vorbis_id
 
     streams = demux_ogg(payload)
@@ -1499,6 +1634,37 @@ def decode_ogg_vorbis_pcm(payload: bytes) -> dict:
     if packets[1][:7] != _common_header(3):
         raise ValueError("Vorbis: missing comment header")
     setup = parse_vorbis_setup(packets[2], channels=meta["channels"])
+    if pcm_profile == "fast":
+        ch = meta["channels"]
+        pcm_f: list = [[] for _ in range(ch)]
+        prev_f = None
+        for p in packets[3:]:
+            lay = _decode_packet_integer_layer(p, setup, bs0, bs1)
+            cur_f = _fast_blocks(lay, setup, bs0)
+            if prev_f is not None:
+                for c in range(ch):
+                    pcm_f[c].append(
+                        _fast_overlap_add(prev_f[c], cur_f[c]))
+            prev_f = cur_f
+        import numpy as _np
+
+        pcm_cat = [(_np.concatenate(c) if c else _np.zeros(0))
+                   for c in pcm_f]
+        pcm16_f = [_fast_quantize16(c).tolist() for c in pcm_cat]
+        out = {
+            "sample_rate": meta["sample_rate"],
+            "n_samples": len(pcm16_f[0]),
+            "pcm": [c.tolist() for c in pcm_cat],
+            "pcm16": pcm16_f,
+        }
+        if ch == 1:
+            # match the exact profile's mono shape (flat lists)
+            out["pcm"], out["pcm16"] = out["pcm"][0], out["pcm16"][0]
+        else:
+            out["channels"] = ch
+        return out
+    if pcm_profile != "exact":
+        raise ValueError(f"Vorbis: unknown pcm_profile {pcm_profile!r}")
     if meta["channels"] >= 2 and (bs0 != bs1 or meta["channels"] > 2):
         # round 14: the generic per-mode path — coupling × window
         # switching composed, any channel count, per-channel §4.3.8
