@@ -6434,6 +6434,219 @@ def b34g_vorbis_switched_stereo_pcm(spark: SparkSession,
 
 
 @query(
+    "b86_multimodal_census",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, doc_id % 11 AS k,
+             list_transform(range(1, 7), i ->
+               ascii(substr(text || repeat('x', 6), CAST(i AS INT), 1)))
+               AS c
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN k IN (0, 1, 2) THEN 'ogg-vorbis'
+           WHEN k IN (3, 4) THEN 'flac'
+           WHEN k = 5 THEN 'wav'
+           WHEN k = 6 THEN 'mp3'
+           WHEN k IN (7, 8) THEN 'image'
+           WHEN k = 9 THEN 'webm'
+           ELSE 'unknown' END AS family,
+      CASE WHEN k = 2 THEN 'fail-closed:vorbis-floor0'
+           WHEN k = 4 THEN 'fail-closed:flac-subset'
+           WHEN k = 8 THEN 'fail-closed:vp8-dims'
+           WHEN k = 10 THEN 'not-media'
+           ELSE 'decoded' END AS status,
+      CAST(CASE WHEN k = 0 THEN 256 WHEN k = 1 THEN 160
+           WHEN k = 3 THEN 64 WHEN k = 5 THEN 32
+           WHEN k = 6 THEN 1 WHEN k = 7 THEN 256
+           WHEN k = 9 THEN 3 ELSE 0 END AS INT) AS n_units,
+      CAST(CASE
+        WHEN k = 3 THEN list_sum(list_transform(range(0, 64), t ->
+          c[CAST(t % 6 AS INT) + 1] * (t // 8 + 1) - 480))
+        WHEN k = 5 THEN list_sum(list_transform(range(0, 32), t ->
+          c[CAST(t % 6 AS INT) + 1] - 100))
+        WHEN k IN (7, 9) THEN 256 * (128 + c[1] % 2)
+        ELSE NULL END AS BIGINT) AS evidence
+    FROM chars
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b86_multimodal_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFIED MULTIMODAL CENSUS (round 14, VERDICT r13 item 4;
+    operators/multimodal.py::media_census): the b35h template — "a
+    fail-closed frame becomes a status row, never a failed job" —
+    extended across every codec family the engine carries. Each
+    document becomes one of ELEVEN payload classes by doc_id % 11:
+    (0) mono Ogg-Vorbis, (1) the round-14 switched-STEREO Ogg-Vorbis,
+    (2) a Vorbis stream whose setup declares floor type 0 →
+    fail-closed BY NAME, (3) FLAC, (4) FLAC whose STREAMINFO is
+    patched to stereo → fail-closed subset, (5) PCM WAV, (6) a
+    decodable MP3 frame (via mp3_decode_census, the round-13
+    template), (7) a lossy-WebP VP8 key frame, (8) the same frame
+    with its width field patched off 16-alignment → fail-closed,
+    (9) a 3-frame WebM carrying bare VP8, (10) non-media bytes. The
+    scan kernel sniffs magic bytes, decodes (Vorbis through the
+    round-14 FAST profile — the census needs classification, not
+    oracle-exact floats), and NEVER raises: status ∈ decoded /
+    fail-closed:<slug> / error:malformed / not-media. ``evidence``
+    carries a decode proof where cheap (FLAC/WAV sample sums, VP8/WebM
+    pixel sums — all replayed from the character definition in the
+    oracle). Scale shape: per-payload CPU in mapInPandas, zero
+    shuffle (per-doc rows); the aggregation a real sweep would add is
+    a tiny count-by-status on top. Reference scope: blobs opaque
+    (main.go:199)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _census(pdf_iter):
+        import math as _math
+        import struct as _struct
+
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.flac import encode_flac
+        from duckdb_server_spark.operators.mp3_l3 import write_l3_fixture
+        from duckdb_server_spark.operators.multimodal import media_census
+        from duckdb_server_spark.operators.ogg import (
+            encode_vorbis_id,
+            write_stream,
+        )
+        from duckdb_server_spark.operators.vorbis import (
+            Codebook,
+            Floor1,
+            Residue2,
+            _BitWriterLSB,
+            _common_header,
+            encode_ogg_vorbis,
+            encode_vorbis_audio,
+            encode_vorbis_audio_multi_switched,
+        )
+        from duckdb_server_spark.operators.vp8_fixture import (
+            encode_vp8_fixture_gray,
+        )
+        from duckdb_server_spark.operators.webm import encode_webm_mjpeg
+
+        book_a = Codebook(1, 64, [6] * 64)
+        book_b = Codebook(
+            4, 16, [4] * 16, lookup_type=2, minimum=-3.0, delta=1.0,
+            multiplicands=[(e + j) % 8 for e in range(16)
+                           for j in range(4)],
+        )
+        book_c = Codebook(4, 16, [4] * 16)
+        books = [book_a, book_b, book_c]
+        floor = Floor1([0], [3], [0], multiplier=1, rangebits=6,
+                       x_list=[0, 64, 8, 16, 32])
+        res128 = Residue2(0, 128, 32, 2, 2, cascades=[0, 1],
+                          books=[[-1] * 8, [1] + [-1] * 7])
+        res256 = Residue2(0, 256, 32, 2, 2, cascades=[0, 1],
+                          books=[[-1] * 8, [1] + [-1] * 7])
+
+        def _posts(cs, q, sh=0):
+            return [(cs[0] * 5 + 17 * q + sh) % 160 + 16,
+                    (cs[1] * 7 + 29 * q + sh) % 160 + 16,
+                    (cs[2] + q) % 63 + 1, (cs[3] + 2 * q) % 63 + 1,
+                    (cs[4] + 3 * q) % 63 + 1]
+
+        def _quads(cc):
+            return [((c >> 3) & 1, (c >> 2) & 1, (c >> 1) & 1, c & 1,
+                     (c >> 6) & 1) for c in cc]
+
+        def _payload(doc_id, cs):
+            k = doc_id % 11
+            if k == 0:
+                pkts = [encode_vorbis_audio(
+                    _posts(cs, q),
+                    [(cs[t % 6] + t + 13 * q) % 16 for t in range(32)],
+                    [15], floor, res128, books) for q in range(3)]
+                return encode_ogg_vorbis(pkts, books, floor, res128)
+            if k == 1:
+                pkts = []
+                for q, (bf, pf, nf) in enumerate(
+                        [(1, 1, 0), (0, 0, 0), (1, 0, 1)]):
+                    n = 256 if bf else 64
+                    n_part = min(256, 2 * (n // 2)) // 32
+                    entries = [(cs[t % 6] + t + 13 * q) % 16
+                               for t in range(n_part * 8)]
+                    pkts.append(encode_vorbis_audio_multi_switched(
+                        [_posts(cs, q, 0), _posts(cs, q, 31)], entries,
+                        [15] * _math.ceil(n_part / 4), floor, res256,
+                        books, mode_num=bf, n_modes=2, blockflag=bf,
+                        prev_flag=pf, next_flag=nf))
+                return encode_ogg_vorbis(
+                    pkts, books, floor, res256, channels=2,
+                    coupling_steps=[(0, 1)], bs0_log2=6, bs1_log2=8,
+                    mode_blockflags=(0, 1))
+            if k == 2:
+                bw = _BitWriterLSB()
+                bw.write(0, 8)
+                book_a.write_header(bw)
+                bw.write(0, 6)
+                bw.write(0, 16)
+                bw.write(0, 6)
+                bw.write(0, 16)  # floor TYPE 0 -> fail-closed by name
+                setup0 = _common_header(5) + bw.render()
+                comment = _common_header(3) + bytes(8) + b"\x01"
+                return write_stream(
+                    0x22, [encode_vorbis_id(1, 8000), comment, setup0],
+                    [0, 0, 0])
+            if k in (3, 4):
+                samples = [cs[t % 6] * (t // 8 + 1) - 480
+                           for t in range(64)]
+                blob = encode_flac(samples, 8000)
+                if k == 4:
+                    b = bytearray(blob)
+                    # STREAMINFO channels-1 bits -> stereo (no CRC on
+                    # metadata blocks)
+                    b[20] = (b[20] & ~0x0E) | 0x02
+                    blob = bytes(b)
+                return blob
+            if k == 5:
+                from duckdb_server_spark.operators.wav import encode_wav
+
+                return encode_wav([cs[t % 6] - 100 for t in range(32)],
+                                  8000)
+            if k == 6:
+                return write_l3_fixture([_quads(cs[:4]),
+                                         _quads(cs[:4][::-1])])
+            if k in (7, 8):
+                v = 128 + (cs[0] % 2)
+                blob = encode_vp8_fixture_gray(bytes([v]) * 256, 16, 16)
+                if k == 8:
+                    b = bytearray(blob)
+                    w16 = _struct.unpack("<H", b[26:28])[0]
+                    b[26:28] = _struct.pack(
+                        "<H", (w16 & ~0x3FFF) | 17)  # off 16-alignment
+                    blob = bytes(b)
+                return blob
+            if k == 9:
+                v = 128 + (cs[0] % 2)
+                tile = encode_vp8_fixture_gray(bytes([v]) * 256, 16, 16)
+                n = int.from_bytes(tile[16:20], "little")
+                return encode_webm_mjpeg([tile[20:20 + n]] * 3, 16, 16,
+                                         fps=10, codec_id=b"V_VP8")
+            return b"just some text " + cs
+
+        cols = ("doc_id", "family", "status", "n_units", "evidence")
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                cs = (((text_ or "") + "x" * 6)[:6]).encode("latin-1")
+                out = media_census(_payload(doc_id, cs))
+                rows["doc_id"].append(doc_id)
+                rows["family"].append(out["family"])
+                rows["status"].append(out["status"])
+                rows["n_units"].append(out["n_units"])
+                rows["evidence"].append(out["evidence"])
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _census,
+        "doc_id long, family string, status string, n_units int, "
+        "evidence long",
+    )
+    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
     "b75_warc_extract",
     oracle="""
     SELECT doc_id,

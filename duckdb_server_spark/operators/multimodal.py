@@ -462,3 +462,124 @@ def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFram
 def extract_features(binary_df: DataFrame) -> DataFrame:
     """Distributed feature extraction via mapInPandas (Arrow batches)."""
     return binary_df.mapInPandas(_byte_features, FEATURE_SCHEMA)
+
+
+# --- unified media census (round 14, VERDICT r13 item 4) ---------------------
+#
+# The b35h MP3 census proved the shape: at 100 TB a fail-closed or
+# malformed file must become a STATUS ROW, never a failed job. The
+# unified census extends the same contract across every codec family
+# the engine carries — one scan kernel, stable status strings, counts
+# instead of exceptions; a mixed-media sweep degrades to a coverage
+# report.
+
+_CENSUS_FAIL_SLUGS = (
+    ("floor type 0", "vorbis-floor0"),
+    ("floor type", "vorbis-floor"),
+    ("multiple submaps", "vorbis-submaps"),
+    ("residue type", "vorbis-residue"),
+    ("2 channels", "vorbis-channels"),
+    ("mono 16-bit subset", "flac-subset"),
+    ("multi-byte frame numbers", "flac-framenum"),
+    ("LPC", "flac-lpc"),
+    ("fixed order", "flac-order"),
+    ("wasted bits", "flac-wasted"),
+    ("dims must be 16-aligned", "vp8-dims"),
+    ("segmentation", "vp8-segmentation"),
+    ("B_PRED", "vp8-bpred"),
+    ("loop filter", "vp8-loopfilter"),
+    ("token partition", "vp8-partitions"),
+    ("interframes", "vp8-interframe"),
+)
+
+
+def _census_fail_slug(msg: str) -> str:
+    for sub, slug in _CENSUS_FAIL_SLUGS:
+        if sub in msg:
+            return slug
+    return "other"
+
+
+def media_census(payload: bytes) -> dict:
+    """Classify one opaque payload for a mixed-media coverage census:
+    ``{"family", "status", "n_units", "evidence"}`` with status ∈
+    ``decoded`` / ``fail-closed:<feature>`` / ``error:malformed`` /
+    ``not-media`` — NEVER an exception. ``n_units`` is the structural
+    size (samples / frames / pixels); ``evidence`` is a cheap decode
+    proof (sample or pixel sum) where the family's decode emits one.
+    MP3 delegates to mp3_decode_census (the round-13 template)."""
+    family = "unknown"
+    try:
+        if (len(payload) >= 35 and payload[:4] == b"OggS"
+                and payload[28:35] == b"\x01vorbis"):
+            family = "ogg-vorbis"
+            from duckdb_server_spark.operators.vorbis import (
+                decode_ogg_vorbis_pcm,
+            )
+
+            out = decode_ogg_vorbis_pcm(payload, pcm_profile="fast")
+            return {"family": family, "status": "decoded",
+                    "n_units": out["n_samples"], "evidence": None}
+        if payload[:4] == b"fLaC":
+            family = "flac"
+            from duckdb_server_spark.operators.flac import decode_flac
+
+            out = decode_flac(payload)
+            return {"family": family, "status": "decoded",
+                    "n_units": len(out["samples"]),
+                    "evidence": sum(out["samples"])}
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            family = "wav"
+            from duckdb_server_spark.operators.wav import decode_wav
+
+            out = decode_wav(payload)
+            return {"family": family, "status": "decoded",
+                    "n_units": len(out["samples"]),
+                    "evidence": sum(out["samples"])}
+        if payload[:3] == b"ID3" or (
+                len(payload) > 1 and payload[0] == 0xFF
+                and payload[1] & 0xE0 == 0xE0):
+            family = "mp3"
+            from duckdb_server_spark.operators.mp3_l3 import (
+                mp3_decode_census,
+            )
+
+            c = mp3_decode_census(payload)
+            return {"family": family, "status": c["status"],
+                    "n_units": c["n_frames"], "evidence": None}
+        if payload[:4] == b"\x1aE\xdf\xa3":
+            family = "webm"
+            from duckdb_server_spark.operators.vp8 import decode_vp8_frame
+            from duckdb_server_spark.operators.webm import (
+                decode_webm_frame,
+                probe_webm,
+            )
+
+            info = probe_webm(payload)
+            frame = decode_webm_frame(payload, 0, info)
+            img = decode_vp8_frame(frame)
+            return {"family": family, "status": "decoded",
+                    "n_units": len(info["clusters"]),
+                    "evidence": sum(img["pixels"])}
+        from duckdb_server_spark.operators.gif import GIF_SIGNATURES
+        from duckdb_server_spark.operators.png import PNG_SIGNATURE
+
+        if (payload[:8] == PNG_SIGNATURE or payload[:2] == b"\xff\xd8"
+                or payload[:6] in GIF_SIGNATURES
+                or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP")
+                or (len(payload) > 6 and payload[3:6] == b"\x9d\x01\x2a"
+                    and not payload[0] & 1)):
+            family = "image"
+            out = decode_image(payload)
+            return {"family": family, "status": "decoded",
+                    "n_units": out["width"] * out["height"],
+                    "evidence": sum(out["pixels"])}
+        return {"family": "unknown", "status": "not-media",
+                "n_units": 0, "evidence": None}
+    except NotImplementedError as exc:
+        return {"family": family,
+                "status": f"fail-closed:{_census_fail_slug(str(exc))}",
+                "n_units": 0, "evidence": None}
+    except Exception:
+        return {"family": family, "status": "error:malformed",
+                "n_units": 0, "evidence": None}
