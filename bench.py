@@ -11,6 +11,15 @@ Execution uses the ``noop`` sink so the full physical plan runs on the
 executors (scan → shuffle → agg) without driver-side materialization —
 the honest analog of a 1000-executor run, unlike ``collect()`` which
 rewards tiny results, or ``count()`` which lets Catalyst prune the work.
+
+Ratio regression gate (round 14, VERDICT r13 item 5): the accepted
+``value_over_control`` quiet band is RATIO_BAND (recorded 14-16 on a
+quiet host across the r13 close-out quadruple + judge re-run,
+BENCH_NOTES items 23/25); a ratio outside the band by >25% prints
+``band_verdict: "regression-check-required"`` and demands a per-query
+diff against the prior round's record before close-out — value and
+control moving TOGETHER is host drift, value moving alone is a plan
+regression.
 """
 
 from __future__ import annotations
@@ -79,6 +88,27 @@ EXTRA = [
     "a20_funnel_analysis",   # ordered event funnel (r4)
     "a21_retention_cohorts", # weekly retention matrix (r4)
 ]
+
+
+# Accepted value_over_control quiet band (BENCH_NOTES items 23/25/27).
+# Update ONLY with a recorded multi-run measurement on a quiet host.
+RATIO_BAND = (14.0, 16.0)
+
+
+def _band_verdict(ratio: float | None) -> str:
+    """Classify this run's ratio against the recorded quiet band:
+    in-band / above-band / below-band are informational; >25% outside
+    either edge demands a per-query diff before close-out."""
+    if ratio is None:
+        return "no-control"
+    lo, hi = RATIO_BAND
+    if ratio > hi * 1.25 or ratio < lo / 1.25:
+        return "regression-check-required"
+    if ratio > hi:
+        return "above-band"
+    if ratio < lo:
+        return "below-band"
+    return "in-band"
 
 
 def _control_seconds(spark) -> float:
@@ -182,6 +212,9 @@ def main() -> None:
                 "value_over_control": round(total / control, 3)
                 if control
                 else None,
+                "ratio_band": list(RATIO_BAND),
+                "band_verdict": _band_verdict(
+                    total / control if control else None),
             }
         )
     )

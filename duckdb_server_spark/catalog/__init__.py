@@ -103,6 +103,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # up to the ~50/round budget, then the dialect statements whose serving
 # path changed this round (battery F touched COLLATE, //, map_concat,
 # date_part — the sNN dialect rows traverse those rewrites).
+# Round 14 (VERDICT r13 item 6): steady-state rotation, fourth turn —
+# oldest stamps head the budget. The new r14 queries go first (never
+# checked), then ALL 20 remaining r7-stamped rows (the oldest evidence
+# left; histogram at rotation time: 20×r7, 47×r8, 25×r9, 49×r10,
+# 50×r11, 50×r12, 50×r13), then the r8-stamped aggregate/function/
+# beyond singles cheapest-first up to the ~50/round budget (the rest of
+# the r8 band — codec rows, streaming rows, s08/s10b/s24, b65-b67 —
+# rotates in r15), then the rows whose serving path changed this round
+# (the Vorbis decode refactor behind b34e/b34f; the COLLATE-IN and
+# int-div rewrites behind the sNN dialect rows).
+_PRIORITY_R14: tuple[str, ...] = (
+    # --- new in round 14 ---
+    "b34g_vorbis_switched_stereo_pcm",  # new: coupling x switching PCM
+    "b86_multimodal_census",            # new: unified decode-status census
+    # --- the 20 remaining r7-stamped rows, cheapest first ---
+    "s18_dialect_passthrough",
+    "s18b_dialect_init_sql",
+    "s18c_dialect_asof_qualify",
+    "s18d_dialect_file_reads",
+    "b03_minhash_lsh_pairs",
+    "b12_embedding_near_dup",
+    "b59_rag_chunks",
+    "b63_mixture_sample",
+    "b64_source_overlap",
+    "b32b_video_frames",
+    "b32c_mp4_frames",
+    "b33c_g711_audio",
+    "b33d_adpcm_audio",
+    "b61_bpe_train",
+    "b61b_bpe_encode",
+    "b62_pagerank",
+    "b60_kmeans_train",
+    "b55_semdedup",
+    "b58_fuzzy_dedup_e2e",
+    "b06_substring_dedup",
+    # --- r8-stamped rows, cheapest families first (partial band) ---
+    "fn_array_core",
+    "fn_conditional",
+    "fn_datetime_arith",
+    "fn_json",
+    "a01_groupby_having",
+    "a04_distinct_aggs",
+    "a05_agg_filter",
+    "a06_cube",
+    "a06_grouping_sets",
+    "a06_rollup",
+    "a08_stats_aggs",
+    "a09_median_percentile",
+    "a09b_median_percentile_vectorized",
+    "a11_arg_max_min",
+    "a12_first_last",
+    "a13_bool_aggs",
+    "a14_distinct_on",
+    "a15_pivot",
+    "a16_unpivot",
+    "b01_exact_dedup",
+    "b02_ngram_jaccard",
+    "b05_dup_components",
+    "b21_lang_id",
+    "b22_fingerprint_dedup",
+    "b23_token_count_bpe",
+    "b41_balanced_sample",
+    "b42_token_shards",
+    # --- serving path changed this round ---
+    "b34e_vorbis_pcm",      # vorbis decode refactor (integer-layer split)
+    "b34f_vorbis_stereo_pcm",
+    "s40_dialect_map_collate_time",  # COLLATE-IN + nested // rewrites
+)
+
 _PRIORITY_R13: tuple[str, ...] = (
     # --- new in round 13 ---
     "b34e_vorbis_pcm",            # new: full Ogg-Vorbis → PCM16 decode
@@ -825,8 +894,8 @@ def load_all() -> None:
     for mod in _MODULE_ORDER:
         importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
 
-    head = list(_PRIORITY_R13)
-    for prior in (_PRIORITY_R12, _PRIORITY_R11,
+    head = list(_PRIORITY_R14)
+    for prior in (_PRIORITY_R13, _PRIORITY_R12, _PRIORITY_R11,
                   _PRIORITY_R10, _PRIORITY_R9, _PRIORITY_R8, _PRIORITY_R7,
                   _PRIORITY_R6, _PRIORITY_R5):
         head += [n for n in prior if n not in head]
