@@ -51,12 +51,24 @@ lowering is version-independent.** Concretely:
   follows its verifiable oracle (NULL); the divergence is documented
   here rather than guessed at — flipping it is a one-line change to
   ``_rewrite_division`` if a 1.4 oracle ever lands in the container.
+* **map[key] extraction** (round-14 sweep, VERDICT r13 item 8):
+  the 1.0 oracle returns the LIST of matches (``[]`` missing, ``[v]``
+  present — probed live; the subscript rewrite reproduces exactly
+  that), while DuckDB's 1.2 release notes list "map[key] returns the
+  value directly" as a breaking change — the reference's 1.4.1
+  returns ``v``/NULL. Per policy the engine follows its verifiable
+  oracle; the flip is a one-line change to the map branch of
+  ``_rewrite_subscripts`` if a 1.2+ oracle lands
+  (tests/test_r14_version_policy.py pins the 1.0 shape).
 * Everything else pinned by the dialect batteries (list_sort null
   defaults, string→int casts, ORDER BY null placement, …) is pinned
   at 1.0 behavior for the same reason: a live differential beats a
-  from-memory changelog. New 1.1–1.4 features with no 1.0 equivalent
-  (e.g. MERGE INTO arrived upstream in 1.4; this engine's s13 merge
-  predates it) are implemented against their documented public
+  from-memory changelog. Round-14 sweep of the 1.1–1.4 notes for
+  SEMANTIC deltas to already-implemented functions found exactly the
+  two recorded above (ieee_floating_point, map[key]); new features
+  with no 1.0 equivalent (MERGE INTO upstream in 1.4 — this engine's
+  s13 merge predates it; FILL window function; UUIDv7) are
+  implemented — where implemented — against their documented public
   semantics and flagged in their own docstrings.
 """
 
@@ -268,9 +280,13 @@ from duckdb_server_spark.dialect_rewrites.breadth import (  # noqa: F401
     _rewrite_at_time_zone,
     _rewrite_collate,
     _rewrite_concat_nullskip,
+    _rewrite_interval_cmp,
+    _rewrite_list_null_concat,
     _rewrite_date_arith,
     _rewrite_extract_epoch,
     _rewrite_decimal_literal_casts,
+    _rewrite_avg_decimal,
+    _rewrite_float_int_casts,
     _rewrite_string_int_casts,
     _rewrite_fetch_limit,
     _rewrite_from_first_subquery,
@@ -344,6 +360,7 @@ from duckdb_server_spark.dialect_rewrites.nested import (  # noqa: F401
     _rewrite_libm,
     _rewrite_list_set_ops,
     _rewrite_nested_cast_types,
+    _rewrite_in_subquery_3vl,
     _rewrite_nested_comparisons,
     _struct_cmp_sql,
     _tok_after,
@@ -486,6 +503,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
             table[i] = entry.replace("\\", "\\\\")
     masked = _rewrite_python_lambdas(masked)
     masked = _rewrite_concat_nullskip(masked, table)
+    masked = _rewrite_list_null_concat(masked)
     masked = _rewrite_list_comprehension(masked)
     masked = _rewrite_struct_literals(masked, table)
     masked = _rewrite_positional_join(masked, spark)
@@ -494,9 +512,11 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_interval_chain_arith(masked, table)
     masked = _rewrite_interval_epoch(masked, table)
     masked = _rewrite_interval_fields(masked, table)
+    masked = _rewrite_interval_cmp(masked, table)
     masked = _rewrite_templates(masked, table)
     masked = _rewrite_similar_to(masked, table)
     masked = _rewrite_collate(masked, table)
+    masked = _rewrite_in_subquery_3vl(masked)
     masked = _rewrite_underscore_numerics(masked)
     masked = _rewrite_materialized_cte(masked)
     masked = _rewrite_fetch_limit(masked)
@@ -528,6 +548,8 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     # drop the DML filter-context markers (balanced: name( -> ( )
     masked = re.sub(r"(?i)__dd_boolctx\s*\(", "(", masked)
     masked = _rewrite_len(masked, kinds)
+    masked = _rewrite_float_int_casts(masked, kinds)
+    masked = _rewrite_avg_decimal(masked, kinds)
     masked = _rewrite_median(masked, kinds)
     masked = _rewrite_date_arith(masked, kinds)
     masked = _rewrite_hash(masked, table, kinds)

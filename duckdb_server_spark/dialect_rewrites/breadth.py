@@ -1342,8 +1342,14 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
         part = (_literal_value(_unmask(args[0], table)) or "").lower()
         if part in ("year", "quarter", "month", "week", "day", "decade",
                     "century", "millennium", "yearweek", "isoyear"):
-            # DuckDB returns DATE for date-granular truncation (even on
-            # TIMESTAMP input); Spark always returns TIMESTAMP
+            # DuckDB returns DATE for date-granular truncation on
+            # TIMESTAMP/DATE input — but keeps TIMESTAMPTZ for tz
+            # input (round-14 hunt G probe); Spark always returns
+            # TIMESTAMP
+            if re.match(r"(?is)^\s*TIMESTAMPTZ\b", args[1]) or re.search(
+                    r"(?is)(\bAS\s+TIMESTAMPTZ\s*\)|::\s*TIMESTAMPTZ)\s*$",
+                    args[1]):
+                return None  # native date_trunc keeps the timestamp
             return f"CAST(date_trunc({args[0]}, {args[1]}) AS DATE)"
         return None
     if fn == "encode" and len(args) == 1:
@@ -2629,6 +2635,24 @@ _CONCAT_FN_RE = re.compile(r"\bconcat\s*\(", re.IGNORECASE)
 
 
 
+_LIST_NULL_CONCAT_RE = re.compile(
+    r"(\[[^\[\]]*\])\s*\|\|\s*NULL\b|\bNULL\s*\|\|\s*(\[[^\[\]]*\])",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_list_null_concat(s: str) -> str:
+    """Round-14 hunt G: ``[1, 2] || NULL`` is NULL in DuckDB but a
+    type-resolution error in Spark (concat cannot unify an array with
+    an untyped NULL). ``if(false, <list>, NULL)`` yields the same
+    typed NULL. String/number operands keep the native propagating
+    ``||``."""
+    while m := _LIST_NULL_CONCAT_RE.search(s):
+        lst = m.group(1) or m.group(2)
+        s = s[: m.start()] + f"if(false, {lst}, NULL)" + s[m.end() :]
+    return s
+
+
 def _rewrite_concat_nullskip(s: str, table: list[str]) -> str:
     """DuckDB's ``concat()`` stringifies EVERY argument (lists render as
     their display text) and SKIPS NULLs — Spark's concat returns NULL if
@@ -2946,6 +2970,91 @@ _INTERVAL_UNIT_MICROS = {
 
 _DAY_MICROS = 86_400_000_000
 
+# DuckDB's interval TOTAL ORDER normalization (round-14 hunt G):
+# comparisons treat 1 month = 30 days and 1 day = 24 hours, so
+# INTERVAL 1 MONTH = INTERVAL 30 DAY is TRUE — Spark cannot even
+# compare a year-month interval with a day-time one. Literal-vs-
+# literal comparisons fold to integers at rewrite time.
+_IV_TOTAL_MICROS = {
+    "microsecond": 1, "microseconds": 1, "us": 1,
+    "millisecond": 1_000, "milliseconds": 1_000, "ms": 1_000,
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": _DAY_MICROS, "days": _DAY_MICROS,
+    "week": 7 * _DAY_MICROS, "weeks": 7 * _DAY_MICROS,
+    "month": 30 * _DAY_MICROS, "months": 30 * _DAY_MICROS,
+    "quarter": 90 * _DAY_MICROS, "quarters": 90 * _DAY_MICROS,
+    "year": 360 * _DAY_MICROS, "years": 360 * _DAY_MICROS,
+    "decade": 3_600 * _DAY_MICROS, "decades": 3_600 * _DAY_MICROS,
+    "century": 36_000 * _DAY_MICROS, "centuries": 36_000 * _DAY_MICROS,
+}
+
+_IV_LIT = (
+    r"INTERVAL\s+(?:(\x00\d+\x00)|(-?\d+))\s*([A-Za-z]+)?"
+)
+_IV_CMP_RE = re.compile(
+    rf"\b{_IV_LIT}\s*(=|<>|!=|<=|>=|<|>)\s*\b{_IV_LIT}",
+    re.IGNORECASE,
+)
+
+
+def _interval_total_micros(
+    masked_lit: str | None, num: str | None, unit: str | None,
+    table: list[str],
+) -> int | None:
+    """One INTERVAL literal → DuckDB-normalized total microseconds
+    (month = 30 days, day = 24 h); None if the spelling is out of
+    scope (TO-range forms, column operands)."""
+    if num is not None and unit:
+        u = unit.lower()
+        if u in _IV_TOTAL_MICROS:
+            return int(num) * _IV_TOTAL_MICROS[u]
+        return None
+    if masked_lit is None:
+        return None
+    text = _literal_value(_unmask(masked_lit, table)) or ""
+    if unit:  # INTERVAL '3' HOUR form
+        u = unit.lower()
+        if u not in _IV_TOTAL_MICROS:
+            return None
+        try:
+            return int(text.strip()) * _IV_TOTAL_MICROS[u]
+        except ValueError:
+            return None
+    total, pos = 0, 0
+    for m in re.finditer(r"(-?\d+)\s*([A-Za-z]+)", text):
+        if text[pos : m.start()].strip():
+            return None
+        u = m.group(2).lower()
+        if u not in _IV_TOTAL_MICROS:
+            return None
+        total += int(m.group(1)) * _IV_TOTAL_MICROS[u]
+        pos = m.end()
+    if text[pos:].strip() or pos == 0:
+        return None
+    return total
+
+
+def _rewrite_interval_cmp(s: str, table: list[str]) -> str:
+    """Fold comparisons between two INTERVAL literals to integer
+    comparisons under DuckDB's normalization (round-14 hunt G) —
+    Spark raises a type error across the year-month/day-time class
+    boundary where DuckDB compares 1 month = 30 days = 720 hours."""
+    pos = 0
+    while m := _IV_CMP_RE.search(s, pos):
+        a = _interval_total_micros(m.group(1), m.group(2), m.group(3),
+                                   table)
+        b = _interval_total_micros(m.group(5), m.group(6), m.group(7),
+                                   table)
+        if a is None or b is None:
+            pos = m.end()
+            continue
+        repl = f"{a} {m.group(4)} {b}"
+        s = s[: m.start()] + repl + s[m.end() :]
+        pos = m.start() + len(repl)
+    return s
+
 
 
 def _parse_interval_micros(text: str, unit: str) -> int | None:
@@ -3192,6 +3301,135 @@ def _duck_str_to_int(text: str) -> int | None:
         return int(Decimal(t).quantize(Decimal(1), rounding=ROUND_HALF_UP))
     except Exception:
         return None
+
+
+_FLOAT_INT_CAST_RE = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+_FLOAT_INT_DCOLON_RE = re.compile(
+    rf"::\s*({_INT_TYPE_NAMES})\b", re.IGNORECASE
+)
+_AVG_RE = re.compile(r"\bAVG\s*\(", re.IGNORECASE)
+
+
+def _float_src_round(expr: str, kinds: dict[str, str] | None) -> str | None:
+    """Classify an integer-cast SOURCE for DuckDB's rounding rule
+    (round-14 hunt G): ``'even'`` — DOUBLE/FLOAT casts round half to
+    even (nearbyint: 2.5→2, 3.5→4, −7.5→−8); ``'away'`` — DECIMAL
+    casts round half away from zero (2.5→3, −2.5→−3); None — source
+    type unknown (int/string/computed expressions stay on the native
+    cast — a computed float expression without a visible cast is the
+    documented residual)."""
+    e = expr.strip()
+    while e.startswith("(") and _matching_paren(e, 0) == len(e) - 1:
+        e = e[1:-1].strip()
+    if re.fullmatch(r"[+-]?\d+\.\d*", e):
+        return "away"  # decimal literal (parenthesized/signed form)
+    if re.fullmatch(r"[+-]?\d*\.?\d+[eE][+-]?\d+", e):
+        return "even"  # scientific literal is DOUBLE in DuckDB
+    if re.match(r"(?is)^(?:TRY_)?CAST\s*\(", e):
+        open_idx = e.index("(")
+        if _matching_paren(e, open_idx) == len(e) - 1:
+            mm = re.search(
+                r"(?is)\bAS\s+([A-Za-z_]\w*)\s*"
+                r"(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?\s*\)$",
+                e,
+            )
+            if mm:
+                t = mm.group(1).lower()
+                if t in ("double", "float", "real", "float4", "float8"):
+                    return "even"
+                if t in ("decimal", "numeric", "dec"):
+                    return "away"
+        return None
+    if kinds and re.fullmatch(r"[A-Za-z_][\w.]*", e):
+        k = kinds.get(e.split(".")[-1].lower())
+        if k == "double":
+            return "even"
+        if k == "decimal":
+            return "away"
+    return None
+
+
+def _rewrite_float_int_casts(
+    s: str, kinds: dict[str, str] | None
+) -> str:
+    """Round-14 hunt G: numeric→integer casts ROUND in DuckDB but
+    TRUNCATE in Spark — silent wrong answers for any fractional part
+    ≥ .5. DOUBLE/FLOAT sources take bround (half-even, matching
+    DuckDB's nearbyint); DECIMAL sources take round (half away from
+    zero). Applied where the source type is visible (an explicit
+    inner cast, or a schema-resolved column); unknown sources stay
+    native."""
+    pos = 0
+    while m := _FLOAT_INT_CAST_RE.search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        if close < 0:
+            pos = m.end()
+            continue
+        inner = s[open_idx + 1 : close]
+        mm = re.search(
+            rf"\s+AS\s+({_INT_TYPE_NAMES})\s*$", inner, re.IGNORECASE
+        )
+        if not mm:
+            pos = m.end()
+            continue
+        e = inner[: mm.start()]
+        kind = _float_src_round(e, kinds)
+        if kind is None:
+            pos = m.end()
+            continue
+        t = _SPARK_INT_NAME[mm.group(1).lower()]
+        fn = "bround" if kind == "even" else "round"
+        repl = f"CAST({fn}({e.strip()}, 0) AS {t})"
+        s = s[: m.start()] + repl + s[close + 1 :]
+        pos = m.start() + len(repl)
+    pos = 0
+    while m := _FLOAT_INT_DCOLON_RE.search(s, pos):
+        lstart = _primary_back(s, m.start())
+        e = s[lstart : m.start()].strip()
+        kind = _float_src_round(e, kinds)
+        if kind is None:
+            pos = m.end()
+            continue
+        t = _SPARK_INT_NAME[m.group(1).lower()]
+        fn = "bround" if kind == "even" else "round"
+        repl = f"CAST({fn}({e}, 0) AS {t})"
+        s = s[:lstart] + repl + s[m.end() :]
+        pos = lstart + len(repl)
+    return s
+
+
+def _rewrite_avg_decimal(s: str, kinds: dict[str, str] | None) -> str:
+    """Round-14 hunt G: ``avg(DECIMAL)`` returns DOUBLE in DuckDB 1.0
+    but DECIMAL(p+4, s+4) in Spark — a type (and hash) divergence.
+    Wrap the aggregate (including a trailing OVER clause) in a DOUBLE
+    cast when the argument's decimal type is visible."""
+    pos = 0
+    while m := _AVG_RE.search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        if close < 0:
+            pos = m.end()
+            continue
+        arg = s[open_idx + 1 : close].strip()
+        arg = re.sub(r"(?is)^(?:DISTINCT|ALL)\s+", "", arg)
+        if _float_src_round(arg, kinds) != "away":
+            pos = m.end()
+            continue
+        end = close + 1
+        tail = s[end:]
+        om = re.match(r"\s*OVER\s*\(", tail, re.IGNORECASE)
+        if om:
+            oc = _matching_paren(s, end + om.end() - 1)
+            if oc > 0:
+                end = oc + 1
+        elif re.match(r"\s*OVER\s+[A-Za-z_]\w*", tail, re.IGNORECASE):
+            end += re.match(r"\s*OVER\s+[A-Za-z_]\w*", tail,
+                            re.IGNORECASE).end()
+        repl = f"CAST({s[m.start():end]} AS DOUBLE)"
+        s = s[: m.start()] + repl + s[end:]
+        pos = m.start() + len(repl)
+    return s
 
 
 def _rewrite_string_int_casts(s: str, table: list[str]) -> str:

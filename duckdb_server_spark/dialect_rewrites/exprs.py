@@ -882,6 +882,17 @@ def _rewrite_subscripts(
             return kinds.get(b.split(".")[-1].lower()) == "map"
         return False
 
+    def _is_struct_base(base: str) -> bool:
+        b = base.strip()
+        while b.startswith("(") and _matching_paren(b, 0) == len(b) - 1:
+            b = b[1:-1].strip()
+        if re.match(r"(?i)^(named_struct|struct)\s*\(", b):
+            return True
+        if kinds and re.fullmatch(r"[A-Za-z_][\w.]*", b):
+            k = kinds.get(b.split(".")[-1].lower())
+            return bool(k and k.startswith("struct:"))
+        return False
+
     def _is_string_base(base: str) -> bool:
         base = base.strip()
         # a parenthesized literal — ('hello')[0:3] — is still a string
@@ -972,6 +983,16 @@ def _rewrite_subscripts(
                     repl = f"substr({base}, 2, 0)"
                 else:
                     repl = f"substr({base}, {content}, 1)"
+            elif (
+                _is_struct_base(base)
+                and table is not None
+                and (sm := re.fullmatch(r"\x00(\d+)\x00", content))
+                and table[int(sm.group(1))].startswith("'")
+            ):
+                # round-14 hunt G: DuckDB allows STRING subscripts on
+                # STRUCTs — struct['a'] ≡ struct.a; Spark's element_at
+                # lowering only fits maps/lists
+                repl = f"{base}.`{_literal_value(table[int(sm.group(1))])}`"
             elif _is_map_base(base):
                 # DuckDB map[key] yields the LIST of matches — [] for a
                 # missing key, [v] when present (even a NULL v); a NULL

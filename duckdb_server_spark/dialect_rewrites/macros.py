@@ -978,9 +978,36 @@ def _register_libm_shims(spark: SparkSession) -> None:
 
     # gamma/lgamma have NO Spark spelling at all (not just a divergent
     # one), so they rename to these shims unconditionally, not only
-    # under DuckDB-first serving
-    impl["gamma"] = math.gamma
-    impl["lgamma"] = math.lgamma
+    # under DuckDB-first serving. Round-14 hunt G: CPython's
+    # math.gamma/math.lgamma are its OWN Lanczos implementation, off
+    # DuckDB's C-libm tgamma/lgamma by a final ulp (gamma(0.5):
+    # …055159 vs libm's …05516; lgamma(0.5): …7004 vs …7001) — call
+    # the same libm through ctypes; math.* stays the fallback where
+    # libm.so.6 is absent
+    def _lazy_libm(name: str, fallback):
+        # ctypes handles cannot ride a cloudpickle closure — resolve
+        # libm on the EXECUTOR, once per process
+        state: dict = {}
+
+        def call(v: float) -> float:
+            f = state.get("f")
+            if f is None:
+                try:
+                    import ctypes
+
+                    lib = ctypes.CDLL("libm.so.6")
+                    f = getattr(lib, name)
+                    f.restype = ctypes.c_double
+                    f.argtypes = [ctypes.c_double]
+                except (OSError, AttributeError):
+                    f = fallback
+                state["f"] = f
+            return f(v)
+
+        return call
+
+    impl["gamma"] = _lazy_libm("tgamma", math.gamma)
+    impl["lgamma"] = _lazy_libm("lgamma", math.lgamma)
     for name, f in impl.items():
         spark.udf.register(
             f"dd_libm_{name}", pandas_udf(make(f, name), "double")

@@ -598,13 +598,31 @@ def _rewrite_nested_cast_types(s: str) -> str:
         s,
         flags=re.IGNORECASE,
     )
-    return re.sub(
+    s = re.sub(
         r"(::\s*|\bAS\s+)MAP\s*\(\s*([A-Za-z]+)\s*,\s*([A-Za-z]+)\s*\)",
         lambda mm: "{}MAP<{}, {}>".format(
             mm.group(1),
             re.sub(r"(?i)^VARCHAR$", "STRING", mm.group(2)),
             re.sub(r"(?i)^VARCHAR$", "STRING", mm.group(3)),
         ),
+        s,
+        flags=re.IGNORECASE,
+    )
+    # round-14 hunt G: the []-array suffix on PARENTHESIZED type
+    # spellings — DECIMAL(5,2)[] and STRUCT(...)[]/MAP(...)[] (the
+    # latter already angle-converted above); the bare-word form
+    # (INT[]) is handled by the generic type pass
+    s = re.sub(
+        r"(::\s*|\bAS\s+)((?:DECIMAL|NUMERIC|DEC)\s*"
+        r"\(\s*\d+\s*(?:,\s*\d+)?\s*\))\s*\[\s*\d*\s*\]",
+        lambda mm: f"{mm.group(1)}ARRAY<{mm.group(2)}>",
+        s,
+        flags=re.IGNORECASE,
+    )
+    return re.sub(
+        r"(::\s*|\bAS\s+)((?:STRUCT|MAP)<[^<>]*(?:<[^<>]*>[^<>]*)*>)"
+        r"\s*\[\s*\d*\s*\]",
+        lambda mm: f"{mm.group(1)}ARRAY<{mm.group(2)}>",
         s,
         flags=re.IGNORECASE,
     )
@@ -745,6 +763,76 @@ def _cmp_bool_context(s: str, lstart: int, rend: int) -> bool:
             return True
         return False
 
+
+
+_IN_SUBQ_RE = re.compile(r"(?i)\b(NOT\s+)?IN\s*\(")
+
+
+def _rewrite_in_subquery_3vl(s: str) -> str:
+    """Round-14 hunt G: Spark's IN-subquery collapses NULL to FALSE in
+    VALUE positions (``SELECT 'c' IN (SELECT col FROM (VALUES ('A'),
+    (NULL)) v(col))`` → false; DuckDB → NULL per 3VL: no match + NULL
+    in the set). Filter/ON/HAVING/CASE-condition consumers agree on
+    both engines (NULL is not-true either way) and keep Spark's
+    null-aware join plans, so the rewrite fires ONLY in value context
+    (via the battery-37 classifier): the IN lowers to a CASE spelling
+    the full 3VL truth table — match → true; empty set → false;
+    NULL probe or NULL member with no match → NULL. The derived-table
+    wrap also defuses Spark's typed-literal parse of ``IN
+    (SELECT 'a')``."""
+    pos = 0
+    while m := _IN_SUBQ_RE.search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        if close < 0:
+            pos = m.end()
+            continue
+        body = s[open_idx + 1 : close].strip()
+        if not re.match(r"(?i)(SELECT|VALUES|WITH)\b", body):
+            pos = m.end()
+            continue
+        op_end = m.start()
+        while op_end > 0 and s[op_end - 1] in " \t\n":
+            op_end -= 1
+        lstart = _primary_back(s, op_end)
+        operand = s[lstart:op_end].strip()
+        if not operand:
+            pos = m.end()
+            continue
+        # context decision happens at the HEAD of the boolean chain:
+        # walk out over grouping parens that wrap exactly this
+        # expression and over prefix NOTs (``SELECT NOT (x IN (sub))``
+        # is value context; ``WHERE NOT (x IN (sub))`` is filter
+        # context — the NOT itself stays outside the rewrite either
+        # way, and NOT(NULL) = NULL preserves the 3VL result)
+        g_start, g_end = lstart, close + 1
+        while True:
+            tok, at = _tok_before(s, g_start)
+            if tok == "NOT":
+                g_start = at
+                continue
+            if tok == "(" and _tok_after(s, g_end) == ")":
+                g_start = at
+                g_end = s.index(")", g_end) + 1
+                continue
+            break
+        if _cmp_bool_context(s, g_start, g_end):
+            pos = close + 1
+            continue
+        t_, f_ = ("false", "true") if m.group(1) else ("true", "false")
+        repl = (
+            f"CASE WHEN ({operand}) IN (SELECT __in3_c FROM ({body}) "
+            f"AS __in3_sub(__in3_c)) THEN {t_} "
+            f"WHEN NOT EXISTS (SELECT 1 FROM ({body}) AS __in3_e) "
+            f"THEN {f_} "
+            f"WHEN ({operand}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN EXISTS (SELECT 1 FROM ({body}) AS __in3_n(__in3_c) "
+            f"WHERE __in3_c IS NULL) THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE {f_} END"
+        )
+        s = s[:lstart] + repl + s[close + 1 :]
+        pos = lstart  # rescan: nested value-position INs inside body
+    return s
 
 
 def _rewrite_nested_comparisons(

@@ -472,7 +472,11 @@ def _parse_literal_token(tok: str):
     try:
         return float(tok)
     except ValueError:
-        raise ValueError(f"EXECUTE: unsupported argument {tok!r}") from None
+        pass
+    # round-14 hunt G: DuckDB accepts list literals, typed literals,
+    # and expressions as EXECUTE arguments — binding is textual
+    # substitution, so pass the argument text through verbatim
+    return _RawSQL(tok)
 
 
 
@@ -1680,12 +1684,22 @@ _DOLLAR_PARAM_RE = re.compile(r"\$(\d+)")
 
 
 
+class _RawSQL(str):
+    """An EXECUTE argument carried as VERBATIM SQL text (round-14 hunt
+    G): DuckDB accepts list literals, typed literals, and expressions
+    as bind arguments (``EXECUTE q([1, 2, 3])``, ``EXECUTE
+    q(TIMESTAMP '…')``); since binding is textual substitution, the
+    faithful lowering is to splice the argument text unchanged."""
+
+
 def render_sql_literal(v) -> str:
     """One Python value → a SQL literal both Spark and DuckDB parse to the
     same typed constant."""
     import datetime
     import decimal
 
+    if isinstance(v, _RawSQL):
+        return str(v)
     if v is None:
         return "NULL"
     if isinstance(v, bool):

@@ -101,18 +101,21 @@ def test_contains_list_polymorphism(sqlE, duck):
 
 
 def test_lgamma_one_ulp_acceptance(sqlE, duck):
-    # DuckDB bundles its own lgamma (correctly rounded: lgamma(5) =
-    # ln(24) = 3.1780538303479458); this host's C libm — the best any
-    # shim can call — is 1 ulp under. Pinned so a drift in either
-    # direction (or a future correctly-rounded shim) shows up.
+    # Round 12 pinned a 1-ulp acceptance here, attributing the gap to
+    # "this host's C libm" — the divergent value was actually
+    # CPython's OWN math.lgamma (its non-libm implementation). Round
+    # 14's hunt G rebound the shim to the real C libm via ctypes
+    # (glibc lgamma(5) = 3.1780538303479458 = DuckDB exactly, probed
+    # across 9 points incl. negatives) — the acceptance tightens to
+    # bit-exact equality.
     import math
 
     d = duck.execute("SELECT lgamma(5)").fetchone()[0]
     with serving_dialect(True):
         s = run_sql(sqlE, "SELECT lgamma(5) AS v").collect()[0].v
     assert d == 3.1780538303479458
-    assert s == math.lgamma(5.0)
-    assert abs(s - d) <= 2 * math.ulp(d)
+    assert s == d
+    assert abs(s - math.lgamma(5.0)) <= 2 * math.ulp(d)
 
 
 def test_approx_count_distinct_tolerance(sqlE, duck):

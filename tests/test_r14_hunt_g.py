@@ -1,0 +1,319 @@
+"""Round-14 fuzz-hunt battery G pins (VERDICT r13 item 2): IN-subquery
+three-valued logic, numeric→integer cast rounding, DECIMAL aggregate
+types, EXECUTE argument shapes, date_trunc over TIMESTAMPTZ,
+parenthesized array-type syntax, list-literal ``||`` NULL, libm
+gamma/lgamma, interval cross-class comparison, struct string
+subscripts — live differential probes against DuckDB 1.0.
+
+Silent wrong answers / coverage gaps FOUND AND FIXED this round:
+
+* **IN (subquery) in VALUE positions collapses NULL to FALSE in
+  Spark** (``SELECT 'c' IN (SELECT col FROM (VALUES ('A'), (NULL))
+  v(col))`` → false; DuckDB → NULL: no match + NULL member). Filter /
+  ON / HAVING / CASE-condition consumers agree on both engines (NULL
+  is not-true) and keep Spark's null-aware join plans; value-context
+  INs lower to a CASE spelling the full 3VL truth table
+  (nested.py::_rewrite_in_subquery_3vl, with a NOT/paren-transparent
+  chain-head context walk).
+* **numeric→integer casts TRUNCATE in Spark, ROUND in DuckDB** —
+  silent for any fractional part ≥ .5. DOUBLE/FLOAT sources round
+  half-to-EVEN (nearbyint: 3.5→4, 2.5→2, −7.5→−8) → bround; DECIMAL
+  sources round half-AWAY (2.5→3, −2.5→−3) → round. Applied where the
+  source type is visible (inner cast, schema-resolved column, decimal
+  or scientific literal); an untyped computed float expression is the
+  documented residual (breadth.py::_rewrite_float_int_casts).
+* **avg(DECIMAL) returns DOUBLE in DuckDB, DECIMAL(p+4,s+4) in
+  Spark** — wrapped in a DOUBLE cast when the argument type is
+  visible (breadth.py::_rewrite_avg_decimal).
+* **EXECUTE arguments beyond scalars** — DuckDB accepts list
+  literals, typed literals, and expressions (binding is textual);
+  unparseable tokens now pass through verbatim (_RawSQL) instead of
+  raising.
+* **date_trunc('day'/…, TIMESTAMPTZ) keeps TIMESTAMPTZ in DuckDB**
+  (only TIMESTAMP/DATE inputs produce DATE) — the DATE-cast rewrite
+  now skips visible tz inputs.
+* **TYPE(...)[] array syntax** — DECIMAL(5,2)[] / STRUCT(...)[] were
+  Spark parse errors (only bare-word [] handled).
+* **[list] || NULL** — NULL in DuckDB, a type-resolution error in
+  Spark (concat cannot unify array with untyped NULL) →
+  ``if(false, <list>, NULL)``.
+* **gamma/lgamma shims called CPython's own Lanczos implementation**,
+  a final ulp off DuckDB's C libm (gamma(0.5): …159 vs …16) — rebound
+  to the real libm via ctypes, resolved lazily on the executor;
+  lgamma is now BIT-exact (the r12 1-ulp acceptance tightened).
+* **interval comparisons across the year-month/day-time boundary** —
+  DuckDB's total order treats 1 month = 30 days = 720 hours; Spark
+  raises a type error. Literal-vs-literal comparisons fold to
+  integers at rewrite time (breadth.py::_rewrite_interval_cmp).
+* **struct['field'] string subscripts** — DuckDB sugar for struct.
+  field; the element_at lowering only fits maps/lists. Struct
+  literals and schema-resolved struct columns now emit field access;
+  an untyped derived-table alias is the documented kinds boundary.
+
+Accepted divergences (pinned below):
+* list_distinct ORDER is engine-defined in DuckDB (hash-table
+  iteration; docs make no promise) — compared sorted.
+* DuckDB's anonymous ``row(1, 'x')`` has unnamed fields; Spark names
+  them col1/col2 — same values, client-representation difference.
+* ``GROUP BY x COLLATE NOCASE`` fails closed by name (the projected
+  group value is scan-order-dependent in DuckDB — engine-defined).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from duckdb_server_spark.dialect import (
+    register_dialect_functions,
+    run_script,
+    run_sql,
+    serving_dialect,
+)
+
+
+@pytest.fixture(scope="module")
+def sqlg(spark, duck, sf_dir):
+    register_dialect_functions(spark)
+    import os
+
+    for name in ("region", "nation", "orders"):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+    return spark
+
+
+def _canon(v):
+    if isinstance(v, dict):
+        if set(v.keys()) == {"key", "value"} and isinstance(
+                v.get("key"), list):
+            v = dict(zip(v["key"], v["value"]))
+        return tuple(sorted((str(k), _canon(x)) for k, x in v.items()))
+    if hasattr(v, "asDict"):
+        return _canon(v.asDict())
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return str(v.astimezone(datetime.timezone.utc)
+                   .replace(tzinfo=None))
+    return str(v)
+
+
+def _match(spark, duck, sql: str):
+    if ";" in sql:
+        for part in (p for p in sql.split(";") if p.strip()):
+            cur = duck.execute(part)
+        theirs = cur.fetchall()
+        with serving_dialect(True):
+            ours = [tuple(r) for r in run_script(spark, sql)[-1].collect()]
+    else:
+        theirs = duck.execute(sql).fetchall()
+        with serving_dialect(True):
+            ours = [tuple(r) for r in run_sql(spark, sql).collect()]
+    a = sorted(([_canon(x) for x in r] for r in ours), key=repr)
+    b = sorted(([_canon(x) for x in r] for r in theirs), key=repr)
+    assert a == b, f"{sql!r}: {ours[:4]} != {theirs[:4]}"
+
+
+@pytest.mark.parametrize("sql", [
+    # --- value-position 3VL ---
+    "SELECT 'c' IN (SELECT col FROM (VALUES ('A'), (NULL)) v(col)) AS r",
+    "SELECT 'A' IN (SELECT col FROM (VALUES ('A'), (NULL)) v(col)) AS r",
+    "SELECT 'c' NOT IN (SELECT col FROM (VALUES ('A'), (NULL)) v(col)) AS r",
+    "SELECT NULL IN (SELECT col FROM (VALUES ('A')) v(col)) AS r",
+    "SELECT NULL IN (SELECT col FROM (VALUES ('A')) v(col) WHERE false) AS r",
+    "SELECT 1 IN (SELECT CAST(NULL AS INT)) AS r",
+    "SELECT x, x IN (SELECT n_regionkey FROM nation) AS r"
+    " FROM (VALUES (1), (99), (NULL)) t(x) ORDER BY x",
+    "SELECT x, x NOT IN (SELECT n_regionkey FROM nation"
+    " WHERE n_regionkey < 2) AS r"
+    " FROM (VALUES (1), (99), (NULL)) t(x) ORDER BY x",
+    # typed-literal parse defusal
+    "SELECT ('A' IN (SELECT 'a')) IS NULL AS r",
+    # NOT-chain heads are still value context
+    "SELECT NOT (1 IN (SELECT CAST(NULL AS INT))) AS r",
+    "SELECT NOT ('c' IN (SELECT col FROM (VALUES ('A'), (NULL)) v(col))) AS r",
+    "SELECT coalesce('c' IN (SELECT col FROM (VALUES ('A'), (NULL))"
+    " v(col)), false) AS r",
+    # COLLATE + IN-subquery: bytewise (r14 ADVICE) AND 3VL
+    "SELECT 'c' COLLATE NOCASE IN (SELECT col FROM (VALUES ('A'),"
+    " (NULL)) v(col)) AS r",
+    "SELECT 'a' COLLATE NOCASE IN (SELECT col FROM (VALUES ('a'),"
+    " (NULL)) v(col)) AS r",
+    # filter positions keep native null-aware plans
+    "SELECT n_name FROM nation WHERE n_regionkey IN (SELECT r_regionkey"
+    " FROM region WHERE r_regionkey < 2) ORDER BY n_name LIMIT 3",
+    "SELECT n_name FROM nation WHERE n_regionkey NOT IN (SELECT"
+    " r_regionkey FROM region WHERE r_regionkey > 2)"
+    " ORDER BY n_name LIMIT 3",
+    "SELECT n_name FROM nation WHERE NOT (n_regionkey IN (SELECT"
+    " r_regionkey FROM region WHERE r_regionkey < 2))"
+    " ORDER BY n_name LIMIT 3",
+    "SELECT CASE WHEN 1 IN (SELECT n_regionkey FROM nation)"
+    " THEN 'y' ELSE 'n' END AS r",
+    "SELECT 2 IN (1, NULL) AS r",
+])
+def test_in_subquery_3vl(sqlg, duck, sql):
+    _match(sqlg, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT CAST(2.5 AS DOUBLE)::INT AS v",
+    "SELECT CAST(3.5 AS DOUBLE)::INT AS v",
+    "SELECT CAST(-2.5 AS DOUBLE)::INT AS v",
+    "SELECT CAST(2.4 AS DOUBLE)::INT AS v",
+    "SELECT CAST(2.6 AS DOUBLE)::INT AS v",
+    "SELECT CAST(1.999999 AS DOUBLE)::BIGINT AS v",
+    "SELECT CAST(CAST(3.5 AS DOUBLE) AS BIGINT) AS v",
+    "SELECT CAST(2.5 AS FLOAT)::INT AS v",
+    "SELECT CAST(CAST(2.5 AS DECIMAL(2,1)) AS INT) AS v",
+    "SELECT CAST(-2.5 AS DECIMAL(2,1))::INT AS v",
+    "SELECT 2.5::INT AS v",
+    "SELECT (-7.5)::SMALLINT AS v",
+    "SELECT (2.5)::INT AS v",
+    "SELECT 2.5e0::INT AS v",
+    "SELECT (2.5e0)::INT AS v",
+    "SELECT o_totalprice::INT AS v FROM orders ORDER BY o_orderkey LIMIT 3",
+    "SELECT CAST(o_totalprice AS BIGINT) AS v FROM orders"
+    " ORDER BY o_orderkey LIMIT 3",
+    # string→int stays on the earlier fold
+    "SELECT CAST('42' AS INT) AS v",
+    # avg(DECIMAL) → DOUBLE
+    "SELECT avg(CAST(x AS DECIMAL(10,2))) AS v FROM (VALUES (1.5), (2.5)) t(x)",
+    "SELECT avg(CAST(x AS DECIMAL(5,2))) AS v FROM (VALUES (1.11), (2.22)) t(x)",
+    "SELECT avg(x) AS v FROM (VALUES (1), (2)) t(x)",
+    "SELECT sum(CAST(x AS DECIMAL(5,2))) AS v FROM (VALUES (1.11), (2.22)) t(x)",
+])
+def test_int_cast_rounding(sqlg, duck, sql):
+    _match(sqlg, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    "PREPARE t1 AS SELECT $1 + 1 AS v; EXECUTE t1(41)",
+    "PREPARE t2 AS SELECT len($1) AS v; EXECUTE t2([1, 2, 3])",
+    "PREPARE t3 AS SELECT $1 + INTERVAL 1 DAY AS v;"
+    " EXECUTE t3(TIMESTAMP '2024-01-01 10:00:00')",
+    "PREPARE t4 AS SELECT $1[2] AS v; EXECUTE t4(['a', 'b', 'c'])",
+    "PREPARE t5 AS SELECT $1 AS v; EXECUTE t5(DATE '2024-06-01')",
+    "PREPARE t6 AS SELECT $1::DATE + 1 AS v; EXECUTE t6('2024-01-31')",
+    "PREPARE t7 AS SELECT $a + $b AS v; EXECUTE t7(a := 5, b := 6)",
+    "PREPARE t8 AS SELECT ? + ? AS v; EXECUTE t8(1, 2)",
+    "PREPARE t9 AS SELECT count(*) AS v FROM orders"
+    " WHERE o_totalprice > $1; EXECUTE t9(200000)",
+])
+def test_execute_argument_shapes(sqlg, duck, sql):
+    _match(sqlg, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT date_trunc('day', TIMESTAMPTZ '2024-03-10 15:30:00+00:00') AS v",
+    "SELECT date_trunc('month', TIMESTAMPTZ '2024-03-10 15:30:00+00:00') AS v",
+    "SELECT date_trunc('day', CAST('2024-03-10 15:30:00+00:00'"
+    " AS TIMESTAMPTZ)) AS v",
+    "SELECT date_trunc('month', '2024-03-10 15:30:00'::TIMESTAMPTZ) AS v",
+    "SELECT date_trunc('hour', TIMESTAMPTZ '2024-03-10 15:30:00+00:00') AS v",
+    "SELECT date_trunc('day', TIMESTAMP '2024-03-10 15:30:00') AS v",
+    "SELECT date_trunc('week', TIMESTAMP '2024-03-10 15:30:00') AS v",
+    "SELECT date_trunc('year', DATE '2024-03-10') AS v",
+])
+def test_date_trunc_tz_type(sqlg, duck, sql):
+    _match(sqlg, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT CAST(NULL AS STRUCT(k VARCHAR, v INT)[]) AS v",
+    "SELECT CAST(NULL AS DECIMAL(5,2)[]) AS v",
+    "SELECT CAST([{'k': 'a', 'v': 1}] AS STRUCT(k VARCHAR, v INT)[]) AS v",
+    "SELECT CAST([] AS INT[]) AS v",
+    "SELECT [1, 2] || NULL AS v",
+    "SELECT NULL || [1, 2] AS v",
+    "SELECT [1] || [2] AS v",
+    "SELECT 'a' || NULL AS v",
+])
+def test_type_syntax_and_list_null_concat(sqlg, duck, sql):
+    _match(sqlg, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT gamma(0.5) AS v",
+    "SELECT gamma(5.5) AS v",
+    "SELECT gamma(-0.5) AS v",
+    "SELECT gamma(3.0) AS v",
+    "SELECT lgamma(0.5) AS v",
+    "SELECT lgamma(5) AS v",
+    "SELECT lgamma(12.3) AS v",
+    "SELECT lgamma(-0.5) AS v",
+])
+def test_gamma_libm_bitexact(sqlg, duck, sql):
+    _match(sqlg, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT INTERVAL 1 MONTH = INTERVAL 30 DAY AS v",
+    "SELECT INTERVAL 1 MONTH > INTERVAL 29 DAY AS v",
+    "SELECT INTERVAL 1 YEAR = INTERVAL 12 MONTH AS v",
+    "SELECT INTERVAL 1 DAY > INTERVAL 23 HOUR AS v",
+    "SELECT INTERVAL '1 day 2 hours' < INTERVAL '27 hours' AS v",
+    "SELECT INTERVAL 1 DAY = INTERVAL 24 HOUR AS v",
+    "SELECT INTERVAL 90 MINUTE = INTERVAL '90 minutes' AS v",
+    "SELECT TIMESTAMP '2024-01-01' + INTERVAL 1 MONTH AS v",
+])
+def test_interval_cross_class_compare(sqlg, duck, sql):
+    _match(sqlg, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT ({'a': 7})['a'] AS v",
+    "SELECT {'a': 7, 'b': 2}['b'] AS v",
+    "SELECT MAP {'a': 1}['a'] AS v",
+    "SELECT [10, 20][2] AS v",
+    "SELECT 'hello'[2] AS v",
+    "SELECT struct_extract({'a': 1, 'b': 2}, 'b') AS v",
+])
+def test_struct_string_subscript(sqlg, duck, sql):
+    _match(sqlg, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    # COLLATE in window ORDER BY (probed green; pinned to stay green)
+    "SELECT x, rank() OVER (ORDER BY x COLLATE NOCASE) AS r"
+    " FROM (VALUES ('a'), ('B'), ('c')) t(x) ORDER BY x",
+    "SELECT x, row_number() OVER (ORDER BY x COLLATE NOCASE, x) AS r"
+    " FROM (VALUES ('a'), ('A'), ('b')) t(x) ORDER BY x, r",
+    # maps x NULL (probed green)
+    "SELECT element_at(MAP {'a': 1}, NULL) AS v",
+    "SELECT MAP {'a': 1}[NULL] AS v",
+    "SELECT map_values(MAP {'a': NULL, 'b': 2}) AS v",
+    # list x NULL (probed green)
+    "SELECT list_contains([1, NULL], NULL) AS v",
+    "SELECT list_concat([1], NULL) AS v",
+    "SELECT flatten([[1], NULL, [2]]) AS v",
+    "SELECT list_sort([1, NULL, 2]) AS v",
+    # engine-defined list_distinct order: compare sorted
+    "SELECT list_sort(list_distinct([1, 2, NULL, 2, NULL])) AS v",
+])
+def test_probed_green_pins(sqlg, duck, sql):
+    _match(sqlg, duck, sql)
+
+
+def test_group_by_collate_fails_closed_by_name(sqlg):
+    from duckdb_server_spark.dialect_rewrites.core import DialectError
+
+    with serving_dialect(True), pytest.raises(
+            (DialectError, ValueError), match="COLLATE"):
+        run_sql(
+            sqlg,
+            "SELECT x COLLATE NOCASE AS k, count(*) AS c FROM "
+            "(VALUES ('a'), ('A')) t(x) GROUP BY x COLLATE NOCASE",
+        ).collect()
+
+
+def test_row_constructor_value_equivalence(sqlg, duck):
+    # representation acceptance: DuckDB's anonymous row has unnamed
+    # fields, Spark names them col1/col2 — the VALUES agree
+    with serving_dialect(True):
+        s = run_sql(sqlg, "SELECT row(1, 'x') AS v").collect()[0].v
+    d = duck.execute("SELECT row(1, 'x') AS v").fetchone()[0]
+    assert tuple(s) == d
