@@ -286,6 +286,7 @@ from duckdb_server_spark.dialect_rewrites.breadth import (  # noqa: F401
     _rewrite_extract_epoch,
     _rewrite_decimal_literal_casts,
     _rewrite_avg_decimal,
+    _rewrite_bitstring_casts,
     _rewrite_float_int_casts,
     _rewrite_string_int_casts,
     _rewrite_fetch_limit,
@@ -530,6 +531,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_extract_epoch(masked, table)
     masked = _rewrite_decimal_literal_casts(masked)
     masked = _rewrite_string_int_casts(masked, table)
+    masked = _rewrite_bitstring_casts(masked, table)
     masked = _rewrite_unpivot_aliases(masked, table)
     masked = _rewrite_postfix_factorial(masked)
     masked = _rewrite_power(masked)

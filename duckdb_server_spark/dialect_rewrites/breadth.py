@@ -818,6 +818,13 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
     if fn == "decade" and len(args) == 1:
         return f"CAST(floor(year({args[0]}) / 10.0) AS BIGINT)"
     if fn == "epoch_ms" and len(args) == 1:
+        # round-14 hunt G: epoch_ms is OVERLOADED in DuckDB —
+        # epoch_ms(TIMESTAMP) → BIGINT milliseconds, but
+        # epoch_ms(BIGINT ms) → TIMESTAMP (the inverse). An integer
+        # literal selects the inverse; non-literal integer expressions
+        # are the documented residual (no kinds at template depth)
+        if re.fullmatch(r"\s*[+-]?\d+\s*", args[0]):
+            return f"timestamp_millis({args[0]})"
         return f"unix_millis(CAST({args[0]} AS TIMESTAMP))"
     if fn == "epoch_us" and len(args) == 1:
         return f"unix_micros(CAST({args[0]} AS TIMESTAMP))"
@@ -1352,6 +1359,12 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
                 return None  # native date_trunc keeps the timestamp
             return f"CAST(date_trunc({args[0]}, {args[1]}) AS DATE)"
         return None
+    if fn == "bit_length" and len(args) == 1 and re.search(
+            r"(?i)\bBIT(?:STRING)?\b", args[0]):
+        # round-14 hunt G: bit_length(BIT) counts the BITS (= chars of
+        # the 0/1 rendering the round-9 family carries); VARCHAR args
+        # keep the native 8x-bytes semantics
+        return f"length({args[0]})"
     if fn == "encode" and len(args) == 1:
         return f"CAST({args[0]} AS BINARY)"   # DuckDB: VARCHAR → BLOB
     if fn == "decode" and len(args) == 1:
@@ -1644,7 +1657,7 @@ _TEMPLATE_RE = re.compile(
     r"parse_filename|parse_dirpath|parse_dirname|parse_path|"
     r"bin|to_binary|make_time|make_timestamp|"
     r"timezone|string_agg|group_concat|regexp_matches|map_concat|"
-    r"struct_insert|bitstring|get_bit|set_bit|bit_position|"
+    r"struct_insert|bitstring|get_bit|set_bit|bit_position|bit_length|"
     r"to_years|to_months|to_decades|to_centuries|to_millennia|to_weeks|"
     r"to_days|to_hours|to_minutes|to_seconds|to_milliseconds|"
     r"to_microseconds)\s*\(",
@@ -3428,6 +3441,56 @@ def _rewrite_avg_decimal(s: str, kinds: dict[str, str] | None) -> str:
                             re.IGNORECASE).end()
         repl = f"CAST({s[m.start():end]} AS DOUBLE)"
         s = s[: m.start()] + repl + s[end:]
+        pos = m.start() + len(repl)
+    return s
+
+
+_BITSTR_DCOLON_RE = re.compile(r"::\s*BIT(?:STRING)?\b", re.IGNORECASE)
+_BITSTR_CAST_AS_RE = re.compile(
+    r"\s+AS\s+BIT(?:STRING)?\s*$", re.IGNORECASE
+)
+
+
+def _rewrite_bitstring_casts(s: str, table: list[str]) -> str:
+    """Round-14 hunt G: the BITSTRING/BIT type, represented as its 0/1
+    rendering (identical to DuckDB's own VARCHAR cast of a BIT). A
+    cast validates the pattern: CAST errors on non-binary input like
+    DuckDB's conversion error; TRY_CAST yields NULL."""
+    rx = _masked_literal(table, "^[01]+$")
+
+    def wrap(op: str, is_try: bool) -> str:
+        if is_try:
+            return f"(CASE WHEN {op} RLIKE {rx} THEN {op} END)"
+        msg = _masked_literal(
+            table, "Conversion Error: string is not a valid bitstring")
+        return (f"(CASE WHEN {op} RLIKE {rx} THEN {op} "
+                f"ELSE raise_error({msg}) END)")
+
+    pos = 0
+    while m := _BITSTR_DCOLON_RE.search(s, pos):
+        lstart = _primary_back(s, m.start())
+        op = s[lstart : m.start()].strip()
+        if not op:
+            pos = m.end()
+            continue
+        repl = wrap(op, is_try=False)
+        s = s[:lstart] + repl + s[m.end() :]
+        pos = lstart + len(repl)
+    pos = 0
+    while m := re.compile(r"\b(TRY_)?CAST\s*\(",
+                          re.IGNORECASE).search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        if close < 0:
+            pos = m.end()
+            continue
+        inner = s[open_idx + 1 : close]
+        am = _BITSTR_CAST_AS_RE.search(inner)
+        if not am:
+            pos = m.end()
+            continue
+        repl = wrap(inner[: am.start()].strip(), is_try=bool(m.group(1)))
+        s = s[: m.start()] + repl + s[close + 1 :]
         pos = m.start() + len(repl)
     return s
 

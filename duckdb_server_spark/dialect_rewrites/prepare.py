@@ -372,6 +372,26 @@ def _columns_match(arg: str, table: list[str], cols: list[str]) -> list[str]:
             raise ValueError(
                 f"COLUMNS lambda predicate not supported: {pred!r}"
             )
+    elif re.fullmatch(r"\[[^\[\]]*\]", arg.strip()):
+        # round-14 hunt G: the LIST-of-names form —
+        # COLUMNS(['a', 'b']) selects exactly those columns, in the
+        # list's order (names are masked string literals here)
+        names = []
+        for item in arg.strip()[1:-1].split(","):
+            item = item.strip()
+            mm = re.fullmatch(r"\x00\d+\x00", item)
+            if not mm:
+                raise ValueError(
+                    f"COLUMNS list items must be string literals: {item!r}"
+                )
+            names.append(_literal_value(_unmask(item, table)))
+        by_lower = {c.lower(): c for c in cols}
+        missing = [n for n in names if n.lower() not in by_lower]
+        if missing:
+            raise ValueError(
+                f"COLUMNS list names not in FROM clause: {missing}"
+            )
+        sel = [by_lower[n.lower()] for n in names]
     else:
         raise ValueError(f"COLUMNS() argument not supported: {arg!r}")
     if not sel:

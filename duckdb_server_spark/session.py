@@ -66,6 +66,10 @@ def default_configs(shuffle_partitions: int | None = None) -> dict[str, str]:
         # yields NULL for division by zero while ANSI Spark raises —
         # declared queries guard denominators (tests/test_semantics.py).
         "spark.sql.ansi.enabled": "true",
+        # round-14 hunt G: Spark 4.1 gates the TIME type off by default
+        # (literals parse, but CAST/to_time/make_time raise) — DuckDB's
+        # TIME casts need it live
+        "spark.sql.timeType.enabled": "true",
         # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark
         # rejects by default; read as int64 ns and normalize in load_table.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -164,6 +168,10 @@ def tune_session(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "true")
+    # round-14 hunt G: Spark 4.1 gates the TIME type off by default
+    # (literals parse, but CAST/to_time/make_time raise
+    # UNSUPPORTED_TIME_TYPE) — DuckDB's TIME casts need it live
+    spark.conf.set("spark.sql.timeType.enabled", "true")
     try:
         if spark.conf.get("spark.dss.tuned", "") == "true":
             return

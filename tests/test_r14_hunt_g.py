@@ -298,6 +298,105 @@ def test_probed_green_pins(sqlg, duck, sql):
     _match(sqlg, duck, sql)
 
 
+@pytest.mark.parametrize("sql", [
+    # wave 2: epoch_ms OVERLOAD — integer argument selects the
+    # ms→TIMESTAMP inverse (the old lowering multiplied by 1000)
+    "SELECT epoch_ms(1700000000123) AS v",
+    "SELECT epoch_ms(TIMESTAMP '2023-11-14 22:13:20.123') AS v",
+    # wave 2: the TIME type is config-gated in Spark 4.1
+    # (spark.sql.timeType.enabled, now on in default_configs) —
+    # casts/make_time raised UNSUPPORTED_TIME_TYPE
+    "SELECT CAST('23:59:59' AS TIME) AS v",
+    "SELECT CAST('23:59:59.25' AS TIME) AS v",
+    "SELECT '10:30:00'::TIME AS v",
+    "SELECT CAST(TIMESTAMP '2024-01-01 10:30:00' AS TIME) AS v",
+    "SELECT CAST(TIME '10:30:00' AS VARCHAR) AS v",
+    "SELECT make_time(23, 59, 59.5) AS v",
+    "SELECT try_cast('25:00:00' AS TIME) AS v",
+    # wave 2 green pins: cast strictness / ordered aggs / indexing
+    "SELECT CAST('t' AS BOOLEAN) AS v",
+    "SELECT try_cast('maybe' AS BOOLEAN) AS v",
+    "SELECT CAST(2 AS BOOLEAN) AS v",
+    "SELECT CAST(' 42 ' AS INT) AS v",
+    "SELECT CAST('2024-1-5' AS DATE) AS v",
+    "SELECT first(n_name ORDER BY n_nationkey) AS v FROM nation",
+    "SELECT last(n_name ORDER BY n_nationkey) AS v FROM nation",
+    "SELECT string_agg(n_name, '|' ORDER BY n_nationkey) AS v"
+    " FROM nation WHERE n_regionkey = 0",
+    "SELECT [1, 2, 3][-1] AS v",
+    "SELECT [1, 2, 3][4] AS v",
+    "SELECT 'hello'[-2] AS v",
+    "SELECT last_day(DATE '2024-02-05') AS v",
+    "SELECT yearweek(DATE '2021-01-01') AS v",
+    "SELECT make_timestamp(2024, 3, 10, 1, 30, 15.5) AS v",
+    "SELECT time_bucket(INTERVAL '15 minutes',"
+    " TIMESTAMP '2024-03-10 10:37:00') AS v",
+])
+def test_wave2_time_epoch_and_green_pins(sqlg, duck, sql):
+    sqlg.conf.set("spark.sql.timeType.enabled", "true")
+    _match(sqlg, duck, sql)
+
+
+@pytest.mark.parametrize("sql", [
+    # wave 3: BITSTRING casts (the round-9 0/1-text family gains the
+    # ::BITSTRING / CAST(... AS BIT) spellings; CAST errors on
+    # non-binary input, TRY_CAST yields NULL) + bit_length on BITs
+    "SELECT '1010'::BITSTRING AS v",
+    "SELECT CAST('0110' AS BITSTRING) AS v",
+    "SELECT '1010'::BIT AS v",
+    "SELECT get_bit('0110'::BITSTRING, 1) AS v",
+    "SELECT set_bit('0110'::BITSTRING, 0, 1) AS v",
+    "SELECT try_cast('12x' AS BITSTRING) AS v",
+    "SELECT bit_length('1010'::BITSTRING) AS v",
+    "SELECT bit_length('abc') AS v",
+    "SELECT CAST('1010'::BITSTRING AS VARCHAR) AS v",
+    # wave 3: COLUMNS list-of-names form
+    "SELECT min(COLUMNS(['r_regionkey'])) FROM region",
+    "SELECT min(COLUMNS(['r_regionkey', 'r_name'])) FROM region",
+    "SELECT COLUMNS(['n_name', 'n_regionkey']) FROM nation"
+    " ORDER BY n_name LIMIT 2",
+    # wave 3 green pins: LIKE escapes, recursion, star modifiers,
+    # string-similarity family, VALUES unification
+    "SELECT 'a%c' LIKE 'a!%c' ESCAPE '!' AS v",
+    "SELECT like_escape('a%c', 'a!%c', '!') AS v",
+    "SELECT 'abc' SIMILAR TO 'a(b|d)c' AS v",
+    "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t"
+    " WHERE n < 5) SELECT sum(n) AS v FROM t",
+    "WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT (n % 3) + 1 FROM t)"
+    " SELECT count(*) AS v FROM t",
+    "SELECT n_regionkey % 2 AS p, n_regionkey % 3 AS q, count(*) AS c"
+    " FROM nation GROUP BY ALL ORDER BY ALL",
+    "SELECT * REPLACE (upper(r_name) AS r_name) FROM region"
+    " ORDER BY r_regionkey LIMIT 2",
+    "SELECT format_bytes(1048576) AS v",
+    "SELECT to_base(255, 16) AS v",
+    "SELECT chr(960) AS v",
+    "SELECT damerau_levenshtein('abc', 'acb') AS v",
+    "SELECT jaro_winkler_similarity('martha', 'marhta') AS v",
+    "SELECT x FROM (VALUES (1), (2.5)) t(x) ORDER BY x",
+])
+def test_wave3_bitstring_columns_and_green_pins(sqlg, duck, sql):
+    _match(sqlg, duck, sql)
+
+
+def test_bit_position_1_0_padding_quirk_acceptance(sqlg, duck):
+    # DuckDB 1.0's bit_position returns 0 for SOME present patterns
+    # (probed: '10' in '0110' → 0 although the pattern occurs at 3 —
+    # a first-byte-padding artifact of the BIT storage; '01'/'110'/
+    # '0110' in the same haystack are found correctly). The engine
+    # returns the correct position (3); the quirk is pinned here as a
+    # documented acceptance, not replicated.
+    assert duck.execute(
+        "SELECT bit_position('10'::BITSTRING, '0110'::BITSTRING)"
+    ).fetchone()[0] == 0
+    with serving_dialect(True):
+        s = run_sql(
+            sqlg,
+            "SELECT bit_position('10'::BITSTRING, '0110'::BITSTRING)"
+            " AS v").collect()[0].v
+    assert s == 3
+
+
 def test_group_by_collate_fails_closed_by_name(sqlg):
     from duckdb_server_spark.dialect_rewrites.core import DialectError
 
