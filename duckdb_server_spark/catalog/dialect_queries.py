@@ -882,6 +882,58 @@ ORDER BY o_orderkey ASC NULLS LAST
 """
 
 
+_S41_SQL = """
+SELECT o_orderkey,
+       (o_orderkey % 97) IN (SELECT x FROM (VALUES (1), (NULL)) v(x))
+         AS in3,
+       (o_orderkey % 97) NOT IN (SELECT x FROM (VALUES (1), (NULL)) v(x))
+         AS nin3,
+       CAST(o_orderkey + 0.5 AS DOUBLE)::INT AS rnd_he,
+       CAST(o_orderkey + 0.5 AS DECIMAL(10,1))::INT AS rnd_ha,
+       o_totalprice::BIGINT AS rnd_col,
+       (SELECT avg(CAST(o2.o_orderkey AS DECIMAL(10,2))) FROM orders o2
+        WHERE o2.o_orderkey <= 100) AS avgdec,
+       CAST(CAST('12:34:56' AS TIME) = TIME '12:34:56' AS BOOLEAN)
+         AS teq,
+       epoch_ms(1700000000123) = TIMESTAMP '2023-11-14 22:13:20.123'
+         AS ems,
+       INTERVAL 1 MONTH = INTERVAL 30 DAY AS ivm,
+       INTERVAL 1 DAY > INTERVAL 23 HOUR AS ivd,
+       gamma(0.5 + o_orderkey % 3) AS gm,
+       lgamma(5 + o_orderkey % 7) AS lgm,
+       get_bit(bitstring('101', CAST(3 + o_orderkey % 3 AS INTEGER)), 1) AS gb,
+       bit_length('1010'::BITSTRING) AS bl,
+       ({'k': o_orderkey})['k'] AS ssub,
+       ([o_orderkey] || NULL) IS NULL AS lcn,
+       date_trunc('day', TIMESTAMPTZ '2024-03-10 15:30:00+00:00')
+         = TIMESTAMPTZ '2024-03-10 00:00:00+00:00' AS dtz
+FROM orders
+WHERE o_orderkey <= 400
+ORDER BY o_orderkey ASC NULLS LAST
+"""
+
+
+@query("s41_dialect_threevl_casts_time", oracle=_S41_SQL)
+def s41_dialect_threevl_casts_time(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Battery G (round 14) as one verbatim shared statement: value-
+    position IN/NOT IN subqueries keeping THREE-VALUED results (the
+    modulus hits 1 / misses with a NULL member / NULL row — Spark
+    natively collapses the NULL cases to false), DOUBLE→INT casts
+    rounding half-EVEN (nearbyint) vs DECIMAL→INT half-AWAY on
+    explicit .5 ties, a schema-resolved double column cast, a scalar
+    subquery avg over DECIMAL returning DOUBLE, the Spark-4.1-gated
+    TIME type live for CASTs, epoch_ms's integer→TIMESTAMP overload,
+    interval comparison across the year-month/day-time class boundary
+    (1 month = 30 days), the C-libm gamma/lgamma shims (bit-exact vs
+    DuckDB), the round-9 BITSTRING family reached through the
+    ::BITSTRING cast spelling, struct string subscripts, and the
+    list‖NULL typed-NULL lowering. Every construct probed live in
+    tests/test_r14_hunt_g.py; this statement is the driver-contract
+    witness."""
+    return _sql(spark, sf_dir, _S41_SQL, ("orders",))
+
+
 @query("s40_dialect_map_collate_time", oracle=_S40_SQL)
 def s40_dialect_map_collate_time(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
