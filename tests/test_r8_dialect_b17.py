@@ -155,11 +155,20 @@ def test_make_time_timestamp_b17(sql_session, duck, sql):
     _match(sql_session, duck, sql)
 
 
-def test_make_time_fails_closed_on_columns_b17(sql_session):
-    # non-literal make_time arguments must raise, never mis-answer
-    with serving_dialect(True), pytest.raises(Exception):
-        run_sql(
+def test_make_time_on_columns_live_since_r14(sql_session):
+    # round 8 pinned this fail-closed (Spark's TIME type was gated
+    # off: non-literal make_time could not be represented); round 14
+    # enables spark.sql.timeType.enabled, so column arguments now
+    # evaluate for real instead of raising
+    sql_session.conf.set("spark.sql.timeType.enabled", "true")
+    with serving_dialect(True):
+        rows = run_sql(
             sql_session,
-            "SELECT make_time(CAST(o_orderkey AS INT) % 24, 0, 0)"
-            " FROM orders LIMIT 1",
+            "SELECT o_orderkey, "
+            "make_time(CAST(o_orderkey AS INT) % 24, 0, 0) AS t"
+            " FROM orders ORDER BY o_orderkey LIMIT 3",
         ).collect()
+    import datetime
+
+    for r in rows:
+        assert r.t == datetime.time(r.o_orderkey % 24, 0, 0)
