@@ -884,10 +884,10 @@ ORDER BY o_orderkey ASC NULLS LAST
 
 _S41_SQL = """
 SELECT o_orderkey,
-       (o_orderkey % 97) IN (SELECT x FROM (VALUES (1), (NULL)) v(x))
-         AS in3,
-       (o_orderkey % 97) NOT IN (SELECT x FROM (VALUES (1), (NULL)) v(x))
-         AS nin3,
+       CAST((o_orderkey % 97) IN (SELECT x FROM (VALUES (1), (NULL))
+         v(x)) AS INT) AS in3,
+       CAST((o_orderkey % 97) NOT IN (SELECT x FROM (VALUES (1),
+         (NULL)) v(x)) AS INT) AS nin3,
        CAST(o_orderkey + 0.5 AS DOUBLE)::INT AS rnd_he,
        CAST(o_orderkey + 0.5 AS DECIMAL(10,1))::INT AS rnd_ha,
        o_totalprice::BIGINT AS rnd_col,

