@@ -2292,6 +2292,19 @@ def _rewrite_ordered_aggs(s: str) -> str:
         ):
             pos = close + 1  # window form — Spark-native first/last
             continue
+        # round-14 hunt G wave 4: a trailing FILTER (WHERE …) — DuckDB
+        # allows it on ordered/null-keeping aggregates, but the
+        # transform(array_sort(collect_list(…))) lowering cannot carry
+        # a FILTER clause on the OUTER expression; attach it to the
+        # inner collection aggregate instead
+        filt, fend = "", close
+        fm = re.match(r"\s*FILTER\s*\(", s[close + 1 :], re.IGNORECASE)
+        if fm:
+            fopen = close + 1 + fm.end() - 1
+            fclose = _matching_paren(s, fopen)
+            if fclose > 0:
+                filt = " FILTER " + s[fopen : fclose + 1]
+                fend = fclose
         ob_idx, _ = _find_top_keyword(inner, ("ORDER",))
         if ob_idx < 0:
             if fn == "arbitrary":
@@ -2307,11 +2320,11 @@ def _rewrite_ordered_aggs(s: str) -> str:
                 inner_s = inner.strip()
                 repl = (
                     f"CASE WHEN size(collect_list(struct({inner_s} AS _v)"
-                    f")) = 0 THEN NULL ELSE "
-                    f"transform(collect_list(struct({inner_s} AS _v)),"
-                    f" x -> x._v) END"
+                    f"){filt}) = 0 THEN NULL ELSE "
+                    f"transform(collect_list(struct({inner_s} AS _v))"
+                    f"{filt}, x -> x._v) END"
                 )
-                s = s[: m.start()] + repl + s[close + 1 :]
+                s = s[: m.start()] + repl + s[fend + 1 :]
                 pos = m.start() + len(repl)
                 continue
             pos = close + 1
@@ -2320,8 +2333,8 @@ def _rewrite_ordered_aggs(s: str) -> str:
         if fn in ("min", "max", "count", "bool_and", "bool_or"):
             # order-INSENSITIVE aggregates: DuckDB accepts the ORDER BY
             # clause and ignores it — strip it (battery 35)
-            repl = f"{fn}({expr_part})"
-            s = s[: m.start()] + repl + s[close + 1 :]
+            repl = f"{fn}({expr_part}){filt}"
+            s = s[: m.start()] + repl + s[fend + 1 :]
             pos = m.start() + len(repl)
             continue
         order_part = re.sub(
@@ -2354,7 +2367,7 @@ def _rewrite_ordered_aggs(s: str) -> str:
                 raise ValueError(
                     "list(DISTINCT …) supports ordering by the element only"
                 )
-            repl = f"array_sort(collect_set({e}))"
+            repl = f"array_sort(collect_set({e}){filt})"
             if keys[0][1]:
                 repl = f"reverse({repl})"
         else:
@@ -2363,7 +2376,7 @@ def _rewrite_ordered_aggs(s: str) -> str:
                 + [f"{expr_part} AS _v"]
             )
             sorted_expr = (
-                f"array_sort(collect_list(struct({fields})), "
+                f"array_sort(collect_list(struct({fields})){filt}, "
                 f"{_order_comparator(keys)})"
             )
             repl = f"transform({sorted_expr}, x -> x._v)"
@@ -2390,7 +2403,8 @@ def _rewrite_ordered_aggs(s: str) -> str:
                     if fn == "sum"
                     else f"(CAST({agg} AS DOUBLE) / nullif(size({vals}), 0))"
                 )
-        s = s[: m.start()] + repl + s[close + 1 :]
+        tail = fend if (filt and fn not in ("string_agg", "group_concat")) else close
+        s = s[: m.start()] + repl + s[tail + 1 :]
         pos = m.start() + len(repl)
     return s
 

@@ -379,6 +379,86 @@ def test_wave3_bitstring_columns_and_green_pins(sqlg, duck, sql):
     _match(sqlg, duck, sql)
 
 
+@pytest.mark.parametrize("sql", [
+    # wave 4: FILTER on ordered/null-keeping aggregates — the
+    # transform(array_sort(collect_list(…))) lowering cannot carry an
+    # outer FILTER clause; it now attaches to the inner collection
+    "SELECT n_regionkey, array_agg(n_name ORDER BY n_name)"
+    " FILTER (WHERE n_nationkey % 2 = 0) AS v FROM nation"
+    " GROUP BY n_regionkey ORDER BY n_regionkey",
+    "SELECT n_regionkey, list(n_nationkey ORDER BY n_nationkey DESC)"
+    " FILTER (WHERE n_nationkey > 5) AS v FROM nation"
+    " GROUP BY n_regionkey ORDER BY n_regionkey",
+    "SELECT n_regionkey, array_agg(n_name)"
+    " FILTER (WHERE n_nationkey % 2 = 0) AS v FROM nation"
+    " GROUP BY n_regionkey ORDER BY n_regionkey",
+    "SELECT min(n_name ORDER BY n_nationkey)"
+    " FILTER (WHERE n_regionkey = 1) AS v FROM nation",
+    "SELECT first(n_name ORDER BY n_nationkey)"
+    " FILTER (WHERE n_regionkey = 2) AS v FROM nation",
+    "SELECT sum(n_nationkey ORDER BY n_name)"
+    " FILTER (WHERE n_regionkey < 2) AS v FROM nation",
+    "SELECT array_agg(DISTINCT n_regionkey ORDER BY n_regionkey)"
+    " FILTER (WHERE n_nationkey > 10) AS v FROM nation",
+    # unfiltered forms unchanged
+    "SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS v"
+    " FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+    "SELECT list(x) AS v FROM (VALUES (1), (NULL), (2)) t(x)",
+    # wave 4 green pins
+    "SELECT o_orderkey, count(*) OVER (ORDER BY o_orderdate RANGE"
+    " BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS c"
+    " FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey",
+    "SELECT * FROM generate_series(10, 1, -3) t(v)",
+    "SELECT * FROM generate_series(DATE '2024-01-01',"
+    " DATE '2024-01-10', INTERVAL 3 DAY) t(v)",
+    "SELECT strptime('10/Mar/2024', '%d/%b/%Y') AS v",
+    "SELECT list_transform(['a','b','c'],"
+    " (x, i) -> x || CAST(i AS VARCHAR)) AS v",
+    "SELECT list_reduce([1,2,3,4], (a, b) -> a + b) AS v",
+    "SELECT 1 AS v UNION SELECT 2.5",
+    "SELECT n_name FROM nation n WHERE n_nationkey = (SELECT"
+    " max(n2.n_nationkey) FROM nation n2 WHERE n2.n_regionkey ="
+    " n.n_regionkey) ORDER BY n_name",
+    "SELECT quantile_disc(o_orderkey, [0.25, 0.75]) AS v FROM orders"
+    " WHERE o_orderkey <= 100",
+    "SELECT first_value(x IGNORE NULLS) OVER (ORDER BY i ROWS BETWEEN"
+    " UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v FROM"
+    " (VALUES (1, NULL), (2, 'a'), (3, 'b')) t(i, x) ORDER BY i",
+    "SELECT t.* FROM region r, LATERAL (SELECT n_name FROM nation"
+    " WHERE n_regionkey = r.r_regionkey ORDER BY n_name LIMIT 1) t"
+    " ORDER BY n_name",
+    "SELECT regr_slope(o_totalprice, o_orderkey) AS v FROM orders"
+    " WHERE o_orderkey <= 500",
+    "SELECT stddev_pop(o_totalprice) AS v FROM orders"
+    " WHERE o_orderkey <= 500",
+])
+def test_wave4_ordered_agg_filter_and_green_pins(sqlg, duck, sql):
+    _match(sqlg, duck, sql)
+
+
+@pytest.mark.parametrize("sql,rel_tol", [
+    # accepted float-tail divergences: distributed moment/entropy
+    # accumulation order differs between engines (the FIXTURES.md
+    # float-aggregate class — declared queries round; the serving path
+    # pins a relative tolerance)
+    ("SELECT skewness(o_totalprice) AS v FROM orders"
+     " WHERE o_orderkey <= 1000", 1e-8),
+    ("SELECT kurtosis(o_totalprice) AS v FROM orders"
+     " WHERE o_orderkey <= 1000", 1e-10),
+    ("SELECT entropy(o_orderpriority) AS v FROM orders"
+     " WHERE o_orderkey <= 100", 1e-12),
+    ("SELECT corr(o_totalprice, o_orderkey) AS v FROM orders"
+     " WHERE o_orderkey <= 1000", 1e-10),
+    ("SELECT covar_samp(o_totalprice, o_orderkey) AS v FROM orders"
+     " WHERE o_orderkey <= 500", 1e-12),
+])
+def test_float_tail_acceptances(sqlg, duck, sql, rel_tol):
+    d = duck.execute(sql).fetchone()[0]
+    with serving_dialect(True):
+        s = run_sql(sqlg, sql).collect()[0][0]
+    assert s == pytest.approx(d, rel=rel_tol)
+
+
 def test_bit_position_1_0_padding_quirk_acceptance(sqlg, duck):
     # DuckDB 1.0's bit_position returns 0 for SOME present patterns
     # (probed: '10' in '0110' → 0 although the pattern occurs at 3 —
