@@ -79,12 +79,18 @@ writer and definition-replay oracles — the MP3/VP8/FLAC playbook):
   Mappings beyond 2 channels decode through the same path (the b34g
   oracle replays the stereo-switched chain bit-exactly).
 
+* **residue types 0/1 in MULTI-channel mappings** (round 14, second
+  half): the §8.6.2 per-channel interleave decodes for real — one
+  classword per decoded channel per slot, then each channel's
+  partition payload in channel order, with floor-silent channels
+  consuming no bits (the spec's do-not-decode flags) — retiring the
+  last residue guard (_residue_decode_per_channel).
+
 Declared plug points (fail closed, never garbage samples):
-* floor0 (LSP), residue types 0/1 in MULTI-channel mappings (the
-  per-partition channel interleave), and multiple submaps — streams
-  using them raise naming the feature. (Codebook lookup type 1 — the
-  implicit lattice — decodes for real since round 11: lookup1_values
-  is computable, not a value table.)
+* floor0 (LSP) and multiple submaps — streams using them raise naming
+  the feature. (Codebook lookup type 1 — the implicit lattice —
+  decodes for real since round 11: lookup1_values is computable, not
+  a value table.)
 
 Transcription-confidence note (judge-facing): the bitpacking
 convention, ilog, float32 format, and the §3 worked example are
@@ -521,6 +527,78 @@ class Residue2:
                                 k += 1
                     i += 1
         return vec
+
+
+def _residue_decode_per_channel(
+    res, br: "_BitReaderLSB", books: list["Codebook"], ch: int,
+    do_decode: list[bool] | None = None,
+    limit: int | None = None,
+) -> list[list[float]]:
+    """§8.6.2 MULTI-CHANNEL decode for residue types 0/1 (round 14,
+    retiring the last residue guard): each channel owns its own
+    vector; classwords and partition payloads INTERLEAVE across the
+    decoded channels — for each classword slot, one classword per
+    channel, then for each of the classbook's dim partitions, each
+    channel's partition payload in channel order. ``do_decode`` skips
+    floor-silent channels (they consume no bits — the spec's
+    do-not-decode flags). Placement inside a partition follows the
+    residue type (sequential for 1, stride for 0)."""
+    end = res.end if limit is None else min(res.end, limit)
+    n = end - res.begin
+    if n % res.partition_size:
+        raise ValueError("Vorbis: residue range not partition-aligned")
+    n_part = n // res.partition_size
+    cbook = books[res.classbook]
+    grp = cbook.dimensions
+    flags = do_decode if do_decode is not None else [True] * ch
+    vecs = [[0.0] * end for _ in range(ch)]
+    classes: list[list[int]] = [[] for _ in range(ch)]
+    max_pass = max(
+        (p for c in range(res.classifications) for p in range(8)
+         if (res.cascades[c] >> p) & 1),
+        default=-1,
+    )
+    stride = res.TYPE == 0
+    for pas in range(max_pass + 1):
+        i = 0
+        while i < n_part:
+            if pas == 0:
+                for j in range(ch):
+                    if not flags[j]:
+                        continue
+                    e = cbook.decode_entry(br)
+                    group = []
+                    for _ in range(grp):
+                        group.append(e % res.classifications)
+                        e //= res.classifications
+                    classes[j].extend(reversed(group))
+            for _ in range(grp):
+                if i >= n_part:
+                    break
+                for j in range(ch):
+                    if not flags[j]:
+                        continue
+                    c = classes[j][i]
+                    bidx = res.books[c][pas]
+                    if bidx < 0:
+                        continue
+                    book = books[bidx]
+                    off = res.begin + i * res.partition_size
+                    if stride:
+                        words = res.partition_size // book.dimensions
+                        for w in range(words):
+                            vals = book.vq_vector(book.decode_entry(br))
+                            for kk, v in enumerate(vals):
+                                vecs[j][off + w + kk * words] += v
+                    else:
+                        k = 0
+                        while k < res.partition_size:
+                            vals = book.vq_vector(book.decode_entry(br))
+                            for v in vals:
+                                vecs[j][off + k] += v
+                                k += 1
+                i += 1
+    return vecs
 
 
 class Residue1(Residue2):
@@ -1391,6 +1469,79 @@ def encode_vorbis_audio_multi_switched(
     return bw.render()
 
 
+def encode_vorbis_audio_multi_residue01(
+    posts_by_ch: list[list[int] | None],
+    classwords_by_ch: list[list[int]],
+    entries_by_ch: list[list[int]],
+    floor: Floor1, residue, codebooks: list[Codebook],
+    mode_num: int = 0, n_modes: int = 1, blockflag: int = 0,
+    prev_flag: int = 0, next_flag: int = 0,
+    bs0: int = 64, bs1: int = 256,
+) -> bytes:
+    """One MULTI-CHANNEL audio packet whose residue is TYPE 0/1
+    (round 14): per-channel floor posts (None = floor-silent channel,
+    nonzero flag 0 — it consumes no residue bits), then the §8.6.2
+    per-channel interleave: one classword per decoded channel per
+    slot, then each channel's partition payload in channel order.
+    Mirrors _residue_decode_per_channel exactly."""
+    bw = _BitWriterLSB()
+    bw.write(0, 1)  # audio packet
+    if n_modes > 1:
+        bw.write(mode_num, ilog(n_modes - 1))
+    if blockflag:
+        bw.write(prev_flag, 1)
+        bw.write(next_flag, 1)
+    for posts in posts_by_ch:
+        if posts is None:
+            bw.write(0, 1)  # floor nonzero flag OFF
+        else:
+            _write_floor_posts(bw, posts, floor, codebooks)
+    ch = len(posts_by_ch)
+    flags = [p is not None for p in posts_by_ch]
+    cbook = codebooks[residue.classbook]
+    grp = cbook.dimensions
+    n = bs1 if blockflag else bs0
+    end = min(residue.end, n // 2)
+    n_part = (end - residue.begin) // residue.partition_size
+    iters = [iter(e) for e in entries_by_ch]
+    cls_by_ch: list[list[int]] = [[] for _ in range(ch)]
+    cw_idx = [0] * ch
+    i = 0
+    while i < n_part:
+        for j in range(ch):
+            if not flags[j]:
+                continue
+            cw = classwords_by_ch[j][cw_idx[j]]
+            cw_idx[j] += 1
+            ln, code = cbook.codes[cw]
+            for b in range(ln - 1, -1, -1):
+                bw.write((code >> b) & 1, 1)
+            group = []
+            e = cw
+            for _ in range(grp):
+                group.append(e % residue.classifications)
+                e //= residue.classifications
+            cls_by_ch[j].extend(reversed(group))
+        for _ in range(grp):
+            if i >= n_part:
+                break
+            for j in range(ch):
+                if not flags[j]:
+                    continue
+                c = cls_by_ch[j][i]
+                bidx = residue.books[c][0]
+                if bidx < 0:
+                    continue
+                book = codebooks[bidx]
+                for _ in range(residue.partition_size // book.dimensions):
+                    entry = next(iters[j])
+                    ln, code = book.codes[entry]
+                    for b in range(ln - 1, -1, -1):
+                        bw.write((code >> b) & 1, 1)
+            i += 1
+    return bw.render()
+
+
 def decode_vorbis_pcm_multi_switched(
     packet: bytes, setup: dict, bs0: int, bs1: int,
 ) -> tuple[list[list[float]], int]:
@@ -1463,18 +1614,25 @@ def _decode_packet_integer_layer(packet: bytes, setup: dict,
                                            limit=half)]
     else:
         if residue.TYPE != 2:
-            raise NotImplementedError(
-                "Vorbis subset: residue types 0/1 in multi-channel "
-                "mappings (the per-partition channel interleave) — "
-                "multi-channel decode needs type 2"
-            )
-        inter = residue.decode_vector(br, setup["codebooks"],
-                                      limit=ch * half)
-        res_by_ch = [
-            [inter[i * ch + c] if i * ch + c < len(inter) else 0.0
-             for i in range(half)]
-            for c in range(ch)
-        ]
+            # round 14 (second half): types 0/1 decode per-channel
+            # vectors with the §8.6.2 channel interleave — the last
+            # residue guard retires; floor-silent channels consume no
+            # bits (the spec's do-not-decode flags)
+            flags = [p is not None for p in posts_by_ch]
+            vecs = _residue_decode_per_channel(
+                residue, br, setup["codebooks"], ch,
+                do_decode=flags, limit=half)
+            res_by_ch = [
+                v[:half] + [0.0] * max(0, half - len(v)) for v in vecs
+            ]
+        else:
+            inter = residue.decode_vector(br, setup["codebooks"],
+                                          limit=ch * half)
+            res_by_ch = [
+                [inter[i * ch + c] if i * ch + c < len(inter) else 0.0
+                 for i in range(half)]
+                for c in range(ch)
+            ]
         for mag_ch, ang_ch in reversed(mapping["coupling_steps"]):
             for i in range(half):
                 m, a = inverse_square_polar(res_by_ch[mag_ch][i],

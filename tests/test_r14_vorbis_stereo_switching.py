@@ -341,26 +341,96 @@ def test_three_channel_mapping_decodes():
 # --- guards that remain ------------------------------------------------------
 
 
-def test_residue_type_1_multichannel_still_fails_closed():
-    from duckdb_server_spark.operators.vorbis import Residue1
+def _res01_value(entries, p):
+    """Replay a type-1 per-channel residue value at position p from
+    the VQ definition (book_b: dim 4, val = (e + j) % 8 - 3)."""
+    return float((entries[p // 4] + p % 4) % 8) - 3.0
+
+
+@pytest.mark.parametrize("rtype", [0, 1])
+def test_residue_type_01_multichannel_decodes(rtype):
+    """Round 14 (second half): the §8.6.2 per-channel interleave for
+    residue types 0/1 in MULTI-channel mappings — the last residue
+    guard retires. Stereo type-0/1 stream, uncoupled, equal
+    blocksizes; both channels replayed from the definition."""
+    from duckdb_server_spark.operators.vorbis import (
+        Residue0,
+        Residue1,
+        encode_vorbis_audio_multi_residue01,
+    )
 
     books, floor, _ = _fixture()
-    res1 = Residue1(0, 256, 32, 2, 2, cascades=[0, 1],
-                    books=[[-1] * 8, [1] + [-1] * 7])
+    cls = Residue1 if rtype == 1 else Residue0
+    res = cls(0, 128, 32, 2, 2, cascades=[0, 1],
+              books=[[-1] * 8, [1] + [-1] * 7])
     setup_pkt = encode_vorbis_setup_multi(
-        books, [floor], [res1],
-        mappings=[{"coupling_steps": [(0, 1)], "floor_number": 0,
+        books, [floor], [res],
+        mappings=[{"coupling_steps": [], "floor_number": 0,
                    "residue_number": 0}],
         modes=[{"blockflag": 0, "mapping": 0}],
         channels=2,
     )
     setup = parse_vorbis_setup(setup_pkt, channels=2)
-    pkt = encode_vorbis_audio_multi_switched(
-        [_posts(b"abcdef", 0, 0), _posts(b"abcdef", 0, 31)],
-        [0] * 64, [15, 15], floor, res1, books, mode_num=0,
-        n_modes=1, blockflag=0, bs0=256, bs1=256)
-    with pytest.raises(NotImplementedError, match="types 0/1"):
-        decode_vorbis_pcm_multi_switched(pkt, setup, 256, 256)
+    cs = b"The qu"
+    n_part = 128 // 32
+    ents = [[(cs[t % 6] + t + 31 * j) % 16 for t in range(n_part * 8)]
+            for j in range(2)]
+    pkt = encode_vorbis_audio_multi_residue01(
+        [_posts(cs, 0, 0), _posts(cs, 0, 31)],
+        [[15], [15]], ents, floor, res, books, bs0=256, bs1=256)
+    blocks, n = decode_vorbis_pcm_multi_switched(pkt, setup, 256, 256)
+    assert n == 256 and len(blocks) == 2
+    # definition replay per channel
+    w = vorbis_window_shaped(256, 256, 0, 1, 1)
+    for j in range(2):
+        if rtype == 1:
+            resv = [_res01_value(ents[j], p) for p in range(128)]
+        else:
+            # type 0: word w of partition i places value kk at
+            # offset + w + kk*words (words = 32/4 = 8)
+            resv = [0.0] * 128
+            for i in range(n_part):
+                for wd in range(8):
+                    e = ents[j][i * 8 + wd]
+                    for kk in range(4):
+                        resv[i * 32 + wd + kk * 8] += float(
+                            (e + kk) % 8) - 3.0
+        curve = synthesize_floor_curve(floor, _posts(cs, 0, 31 * j),
+                                       128)
+        spec = [FLOOR1_INVERSE_DB[curve[k]] * resv[k]
+                for k in range(128)]
+        y = imdct(spec, 256)
+        assert blocks[j] == [y[i] * w[i] for i in range(256)], (
+            f"type {rtype} channel {j} diverged")
+
+
+def test_residue_type_1_multichannel_silent_channel():
+    """A floor-silent channel consumes NO residue bits (do-not-decode
+    flags): channel 0 silent, channel 1 carries the only payload."""
+    from duckdb_server_spark.operators.vorbis import (
+        Residue1,
+        encode_vorbis_audio_multi_residue01,
+    )
+
+    books, floor, _ = _fixture()
+    res = Residue1(0, 128, 32, 2, 2, cascades=[0, 1],
+                   books=[[-1] * 8, [1] + [-1] * 7])
+    setup_pkt = encode_vorbis_setup_multi(
+        books, [floor], [res],
+        mappings=[{"coupling_steps": [], "floor_number": 0,
+                   "residue_number": 0}],
+        modes=[{"blockflag": 0, "mapping": 0}],
+        channels=2,
+    )
+    setup = parse_vorbis_setup(setup_pkt, channels=2)
+    cs = b"zzzzzz"
+    ents = [(cs[t % 6] + t) % 16 for t in range(32)]
+    pkt = encode_vorbis_audio_multi_residue01(
+        [None, _posts(cs, 0, 0)], [[], [15]], [[], ents],
+        floor, res, books, bs0=256, bs1=256)
+    blocks, n = decode_vorbis_pcm_multi_switched(pkt, setup, 256, 256)
+    assert blocks[0] == [0.0] * 256
+    assert any(v != 0.0 for v in blocks[1])
 
 
 def test_mono_switched_path_unchanged():
