@@ -754,7 +754,15 @@ def encode_vorbis_setup_multi(
     bw.write(len(mappings) - 1, 6)
     for mp in mappings:
         bw.write(0, 16)  # mapping type 0
-        bw.write(0, 1)   # submaps flag -> 1 submap
+        subs = mp.get("submaps") or [
+            {"floor_number": mp.get("floor_number", 0),
+             "residue_number": mp.get("residue_number", 0)}
+        ]
+        if len(subs) > 1:
+            bw.write(1, 1)
+            bw.write(len(subs) - 1, 4)
+        else:
+            bw.write(0, 1)   # 1 submap
         steps = mp.get("coupling_steps") or []
         if steps:
             if channels < 2:
@@ -768,9 +776,13 @@ def encode_vorbis_setup_multi(
         else:
             bw.write(0, 1)
         bw.write(0, 2)   # reserved
-        bw.write(0, 8)   # submap 0: time cfg
-        bw.write(mp.get("floor_number", 0), 8)
-        bw.write(mp.get("residue_number", 0), 8)
+        if len(subs) > 1:
+            for m_ in mp["mux"]:
+                bw.write(m_, 4)
+        for scfg in subs:
+            bw.write(0, 8)   # time cfg
+            bw.write(scfg.get("floor_number", 0), 8)
+            bw.write(scfg.get("residue_number", 0), 8)
     bw.write(len(modes) - 1, 6)
     for md in modes:
         bw.write(md["blockflag"], 1)
@@ -821,10 +833,10 @@ def parse_vorbis_setup(packet: bytes, channels: int = 1) -> dict:
     for _ in range(br.read(6) + 1):
         if br.read(16):
             raise ValueError("Vorbis: nonzero mapping type")
-        if br.read(1):
-            raise NotImplementedError(
-                "Vorbis subset: multiple submaps not implemented"
-            )
+        # round 14 (second half): MULTIPLE SUBMAPS parse for real —
+        # §4.2.4's channel-group partitioning (a 5.1 file typically
+        # groups LFE separately); purely structural, no value table
+        n_submaps = br.read(4) + 1 if br.read(1) else 1
         coupling: list[tuple[int, int]] = []
         if br.read(1):
             if channels < 2:
@@ -834,14 +846,26 @@ def parse_vorbis_setup(packet: bytes, channels: int = 1) -> dict:
             w = ilog(channels - 1)
             for _ in range(br.read(8) + 1):
                 coupling.append((br.read(w), br.read(w)))
-        br.read(2)
-        br.read(8)
-        floor_n = br.read(8)
-        residue_n = br.read(8)
+        if br.read(2):
+            raise ValueError("Vorbis: nonzero mapping reserved bits")
+        mux = [0] * channels
+        if n_submaps > 1:
+            mux = [br.read(4) for _ in range(channels)]
+            if any(m >= n_submaps for m in mux):
+                raise ValueError("Vorbis: channel mux out of range")
+        sub_cfg = []
+        for _ in range(n_submaps):
+            br.read(8)  # time configuration (placeholder)
+            sub_cfg.append({
+                "floor_number": br.read(8),
+                "residue_number": br.read(8),
+            })
         mappings.append({
             "coupling_steps": coupling,
-            "floor_number": floor_n,
-            "residue_number": residue_n,
+            "mux": mux,
+            "submaps": sub_cfg,
+            "floor_number": sub_cfg[0]["floor_number"],
+            "residue_number": sub_cfg[0]["residue_number"],
         })
     modes = []
     for _ in range(br.read(6) + 1):
@@ -1569,7 +1593,8 @@ def decode_vorbis_pcm_multi_switched(
         if posts is None:
             blocks.append([0.0] * n)
             continue
-        curve = synthesize_floor_curve(lay["floor"], posts, half)
+        curve = synthesize_floor_curve(lay["floors_by_ch"][c], posts,
+                                       half)
         res = lay["res_by_ch"][c]
         spec = [FLOOR1_INVERSE_DB[curve[k]]
                 * (res[k] if k < len(res) else 0.0) for k in range(half)]
@@ -1593,52 +1618,72 @@ def _decode_packet_integer_layer(packet: bytes, setup: dict,
     mode = setup["modes"][mode_num]
     blockflag = mode["blockflag"]
     mapping = setup["mappings"][mode["mapping"]]
-    floor = setup["floors"][mapping["floor_number"]]
-    residue = setup["residues"][mapping["residue_number"]]
     ch = setup["channels"]
+    sub_cfg = mapping.get("submaps") or [
+        {"floor_number": mapping["floor_number"],
+         "residue_number": mapping["residue_number"]}
+    ]
+    mux = mapping.get("mux") or [0] * ch
+    floors_by_ch = [
+        setup["floors"][sub_cfg[mux[j]]["floor_number"]]
+        for j in range(ch)
+    ]
     n = bs1 if blockflag else bs0
     half = n // 2
     prev_flag = next_flag = 1
     if blockflag:
         prev_flag = br.read(1)
         next_flag = br.read(1)
-    posts_by_ch = [floor.decode_posts(br, setup["codebooks"])
-                   for _ in range(ch)]
+    posts_by_ch = [floors_by_ch[j].decode_posts(br, setup["codebooks"])
+                   for j in range(ch)]
     out = {"n": n, "blockflag": blockflag, "prev_flag": prev_flag,
-           "next_flag": next_flag, "floor": floor,
+           "next_flag": next_flag, "floor": floors_by_ch[0],
+           "floors_by_ch": floors_by_ch,
            "posts_by_ch": posts_by_ch, "res_by_ch": None}
     if all(p is None for p in posts_by_ch):
         return out
-    if ch == 1:
-        res_by_ch = [residue.decode_vector(br, setup["codebooks"],
-                                           limit=half)]
-    else:
-        if residue.TYPE != 2:
-            # round 14 (second half): types 0/1 decode per-channel
-            # vectors with the §8.6.2 channel interleave — the last
-            # residue guard retires; floor-silent channels consume no
-            # bits (the spec's do-not-decode flags)
-            flags = [p is not None for p in posts_by_ch]
+    # round 14 (second half): residues decode PER SUBMAP (§4.3.2) —
+    # each submap's residue runs over its own channel group, in submap
+    # order; a submap whose channels are all floor-silent reads no bits
+    res_by_ch: list[list[float]] = [[0.0] * half for _ in range(ch)]
+    for s_i, scfg in enumerate(sub_cfg):
+        ch_idx = [j for j in range(ch) if mux[j] == s_i]
+        if not ch_idx:
+            continue
+        residue = setup["residues"][scfg["residue_number"]]
+        flags = [posts_by_ch[j] is not None for j in ch_idx]
+        if not any(flags):
+            continue
+        if len(ch_idx) == 1 or residue.TYPE != 2:
             vecs = _residue_decode_per_channel(
-                residue, br, setup["codebooks"], ch,
-                do_decode=flags, limit=half)
-            res_by_ch = [
-                v[:half] + [0.0] * max(0, half - len(v)) for v in vecs
-            ]
+                residue, br, setup["codebooks"], len(ch_idx),
+                do_decode=flags, limit=half,
+            ) if residue.TYPE != 2 else None
+            if vecs is None:
+                # single-channel type 2 = the plain one-vector decode
+                v = residue.decode_vector(br, setup["codebooks"],
+                                          limit=half)
+                vecs = [v]
+            for k, j in enumerate(ch_idx):
+                v = vecs[k]
+                res_by_ch[j] = (list(v[:half])
+                                + [0.0] * max(0, half - len(v)))
         else:
+            nsc = len(ch_idx)
             inter = residue.decode_vector(br, setup["codebooks"],
-                                          limit=ch * half)
-            res_by_ch = [
-                [inter[i * ch + c] if i * ch + c < len(inter) else 0.0
-                 for i in range(half)]
-                for c in range(ch)
-            ]
-        for mag_ch, ang_ch in reversed(mapping["coupling_steps"]):
-            for i in range(half):
-                m, a = inverse_square_polar(res_by_ch[mag_ch][i],
-                                            res_by_ch[ang_ch][i])
-                res_by_ch[mag_ch][i] = m
-                res_by_ch[ang_ch][i] = a
+                                          limit=nsc * half)
+            for k, j in enumerate(ch_idx):
+                res_by_ch[j] = [
+                    inter[i * nsc + k] if i * nsc + k < len(inter)
+                    else 0.0
+                    for i in range(half)
+                ]
+    for mag_ch, ang_ch in reversed(mapping["coupling_steps"]):
+        for i in range(half):
+            m, a = inverse_square_polar(res_by_ch[mag_ch][i],
+                                        res_by_ch[ang_ch][i])
+            res_by_ch[mag_ch][i] = m
+            res_by_ch[ang_ch][i] = a
     out["res_by_ch"] = res_by_ch
     return out
 
@@ -1713,7 +1758,8 @@ def _fast_blocks(lay: dict, setup: dict, bs0: int):
             blocks.append(np.zeros(n))
             continue
         curve = np.asarray(
-            synthesize_floor_curve(lay["floor"], posts, half))
+            synthesize_floor_curve(lay["floors_by_ch"][c], posts,
+                                   half))
         res = np.zeros(half)
         rv = lay["res_by_ch"][c][:half]
         res[: len(rv)] = rv

@@ -341,6 +341,155 @@ def test_three_channel_mapping_decodes():
 # --- guards that remain ------------------------------------------------------
 
 
+def test_multiple_submaps_decode():
+    """Round 14 (second half): MULTIPLE SUBMAPS (§4.2.4/§4.3.2) — the
+    5.1-style channel grouping: channels 0+1 form submap 0 (its own
+    floor, type-2 residue, square-polar coupling), channel 2 (the
+    LFE-ish group) forms submap 1 with a DIFFERENT floor and a type-1
+    residue. Floors decode per channel in channel order; residues
+    decode per submap in submap order; coupling applies on global
+    channel indices. Pinned by a full definition replay of all three
+    channels."""
+    from duckdb_server_spark.operators.vorbis import (
+        Residue1,
+        _BitWriterLSB,
+        _write_floor_posts,
+    )
+
+    book_a = Codebook(1, 64, [6] * 64)
+    book_b = Codebook(
+        4, 16, [4] * 16, lookup_type=2, minimum=-3.0, delta=1.0,
+        multiplicands=[(e + j) % 8 for e in range(16) for j in range(4)],
+    )
+    books = [book_a, book_b]
+    floor_s = Floor1([0], [3], [0], multiplier=1, rangebits=6,
+                     x_list=[0, 64, 8, 16, 32])
+    floor_l = Floor1([0], [3], [0], multiplier=1, rangebits=6,
+                     x_list=[0, 64, 12, 24, 48])
+    res2 = Residue2(0, 256, 32, 2, 1, cascades=[0, 1],
+                    books=[[-1] * 8, [1] + [-1] * 7])
+    res1 = Residue1(0, 128, 32, 2, 1, cascades=[0, 1],
+                    books=[[-1] * 8, [1] + [-1] * 7])
+    setup_pkt = encode_vorbis_setup_multi(
+        books, [floor_s, floor_l], [res2, res1],
+        mappings=[{
+            "coupling_steps": [(0, 1)],
+            "mux": [0, 0, 1],
+            "submaps": [
+                {"floor_number": 0, "residue_number": 0},
+                {"floor_number": 1, "residue_number": 1},
+            ],
+        }],
+        modes=[{"blockflag": 0, "mapping": 0}],
+        channels=3,
+    )
+    setup = parse_vorbis_setup(setup_pkt, channels=3)
+    assert len(setup["mappings"][0]["submaps"]) == 2
+    assert setup["mappings"][0]["mux"] == [0, 0, 1]
+
+    cs = b"submap"
+
+    def _val(p, off):
+        e = (cs[(p // 4) % 6] + p // 4 + off) % 16
+        return float((e + p % 4) % 8) - 3.0
+
+    # hand-assemble the packet: 3 floors (ch2 on floor_l), then
+    # submap-0's interleaved type-2 payload, then submap-1's type-1
+    bw = _BitWriterLSB()
+    bw.write(0, 1)  # audio packet (1 mode -> no mode bits)
+    posts3 = [_posts(cs, 0, 0), _posts(cs, 0, 17), _posts(cs, 0, 31)]
+    for j, posts in enumerate(posts3):
+        _write_floor_posts(bw, posts, floor_l if j == 2 else floor_s,
+                           books)
+
+    # classifications=2, classbook dim 4: classword for all-class-1
+    # digits is 0b1111 = 15
+    def _write_type2_cw15(entries):
+        cbook = books[res2.classbook]
+        ri = iter(entries)
+        n_part = 256 // 32
+        i = 0
+        n_cw = math.ceil(n_part / cbook.dimensions)
+        for cw in [15] * n_cw:
+            ln, code = cbook.codes[cw]
+            for b in range(ln - 1, -1, -1):
+                bw.write((code >> b) & 1, 1)
+            group = []
+            e = cw
+            for _ in range(cbook.dimensions):
+                group.append(e % res2.classifications)
+                e //= res2.classifications
+            for c in reversed(group):
+                if i >= n_part:
+                    break
+                bidx = res2.books[c][0]
+                if bidx >= 0:
+                    book = books[bidx]
+                    for _ in range(res2.partition_size
+                                   // book.dimensions):
+                        entry = next(ri)
+                        ln, code = book.codes[entry]
+                        for b in range(ln - 1, -1, -1):
+                            bw.write((code >> b) & 1, 1)
+                i += 1
+
+    ents2 = [(cs[t % 6] + t) % 16 for t in range(64)]
+    _write_type2_cw15(ents2)
+    # submap 1: type-1 single channel over 128/2 = wait res1 end=128,
+    # limit=half=128 -> n_part 4, classwords [15]
+    cbook = books[res1.classbook]
+    ents1 = [(cs[t % 6] + t + 7) % 16 for t in range(32)]
+    ri = iter(ents1)
+    i = 0
+    for cw in [15]:
+        ln, code = cbook.codes[cw]
+        for b in range(ln - 1, -1, -1):
+            bw.write((code >> b) & 1, 1)
+        group = []
+        e = cw
+        for _ in range(cbook.dimensions):
+            group.append(e % res1.classifications)
+            e //= res1.classifications
+        for c in reversed(group):
+            if i >= 4:
+                break
+            bidx = res1.books[c][0]
+            if bidx >= 0:
+                book = books[bidx]
+                for _ in range(res1.partition_size // book.dimensions):
+                    entry = next(ri)
+                    ln, code = book.codes[entry]
+                    for b in range(ln - 1, -1, -1):
+                        bw.write((code >> b) & 1, 1)
+            i += 1
+    pkt = bw.render()
+
+    blocks, n = decode_vorbis_pcm_multi_switched(pkt, setup, 256, 256)
+    assert n == 256 and len(blocks) == 3
+
+    # definition replay: submap 0 interleaved type-2 + coupling
+    half = 128
+    mag = [_val(2 * i, 0) for i in range(half)]
+    ang = [_val(2 * i + 1, 0) for i in range(half)]
+    dec01 = [[0.0] * half, [0.0] * half]
+    for i in range(half):
+        m, a = inverse_square_polar(mag[i], ang[i])
+        dec01[0][i], dec01[1][i] = m, a
+    # submap 1: type-1 sequential placement, limit=half but res1.end
+    # = 128 = half so the full range decodes
+    res_ch2 = [float(((cs[(p // 4) % 6] + p // 4 + 7) % 16 + p % 4)
+                     % 8) - 3.0 for p in range(128)]
+    w = vorbis_window_shaped(256, 256, 0, 1, 1)
+    for j, resv in enumerate([dec01[0], dec01[1], res_ch2]):
+        fl = floor_l if j == 2 else floor_s
+        curve = synthesize_floor_curve(fl, posts3[j], half)
+        spec = [FLOOR1_INVERSE_DB[curve[k]] * resv[k]
+                for k in range(half)]
+        y = imdct(spec, 256)
+        assert blocks[j] == [y[i] * w[i] for i in range(256)], (
+            f"channel {j} diverged")
+
+
 def _res01_value(entries, p):
     """Replay a type-1 per-channel residue value at position p from
     the VQ definition (book_b: dim 4, val = (e + j) % 8 - 3)."""
