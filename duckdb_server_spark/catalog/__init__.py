@@ -118,6 +118,7 @@ _PRIORITY_R14: tuple[str, ...] = (
     "b34g_vorbis_switched_stereo_pcm",  # new: coupling x switching PCM
     "b86_multimodal_census",            # new: unified decode-status census
     "s41_dialect_threevl_casts_time",   # new: battery-G parity statement
+    "b34h_vorbis_submaps_pcm",          # new: multi-submap 3-channel PCM
     # --- the 20 remaining r7-stamped rows, cheapest first ---
     "s18_dialect_passthrough",
     "s18b_dialect_init_sql",

@@ -6434,6 +6434,338 @@ def b34g_vorbis_switched_stereo_pcm(spark: SparkSession,
 
 
 @query(
+    "b34h_vorbis_submaps_pcm",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(range(1, 7), i ->
+               ascii(substr(text || repeat('x', 6), CAST(i AS INT), 1)))
+               AS c
+      FROM documents
+    ),
+    pk AS (SELECT doc_id, c, CAST(q AS BIGINT) AS q, CAST(ch AS INT) AS ch,
+                  CASE ch WHEN 0 THEN 0 WHEN 1 THEN 17 ELSE 31 END AS sh,
+                  CASE WHEN ch = 2 THEN 12 ELSE 8 END AS x2,
+                  CASE WHEN ch = 2 THEN 24 ELSE 16 END AS x3,
+                  CASE WHEN ch = 2 THEN 48 ELSE 32 END AS x4
+           FROM chars, range(0, 3) tq(q), range(0, 3) tc(ch)),
+    p AS (
+      SELECT doc_id, q, ch, c, x2, x3, x4,
+             (c[1] * 5 + 17 * q + sh) % 160 + 16 AS y0,
+             (c[2] * 7 + 29 * q + sh) % 160 + 16 AS y1,
+             (c[3] + q) % 63 + 1 AS p2,
+             (c[4] + 2 * q) % 63 + 1 AS p3,
+             (c[5] + 3 * q) % 63 + 1 AS p4
+      FROM pk
+    ),
+    a2 AS (
+      SELECT *, y0 + CASE WHEN y1 >= y0 THEN (x2 * (y1 - y0)) // 64
+                          ELSE -((x2 * (y0 - y1)) // 64) END AS pred2
+      FROM p
+    ),
+    a2f AS (
+      SELECT *, CASE
+        WHEN p2 >= 2 * least(256 - pred2, pred2) THEN
+          CASE WHEN 256 - pred2 > pred2 THEN p2 ELSE 255 - p2 END
+        WHEN p2 % 2 = 1 THEN pred2 - (p2 + 1) // 2
+        ELSE pred2 + p2 // 2 END AS f2
+      FROM a2
+    ),
+    a3 AS (
+      SELECT *, f2 + CASE WHEN y1 >= f2
+                          THEN ((x3 - x2) * (y1 - f2)) // (64 - x2)
+                          ELSE -(((x3 - x2) * (f2 - y1)) // (64 - x2))
+                     END AS pred3
+      FROM a2f
+    ),
+    a3f AS (
+      SELECT *, CASE
+        WHEN p3 >= 2 * least(256 - pred3, pred3) THEN
+          CASE WHEN 256 - pred3 > pred3 THEN p3 ELSE 255 - p3 END
+        WHEN p3 % 2 = 1 THEN pred3 - (p3 + 1) // 2
+        ELSE pred3 + p3 // 2 END AS f3
+      FROM a3
+    ),
+    a4 AS (
+      SELECT *, f3 + CASE WHEN y1 >= f3
+                          THEN ((x4 - x3) * (y1 - f3)) // (64 - x3)
+                          ELSE -(((x4 - x3) * (f3 - y1)) // (64 - x3))
+                     END AS pred4
+      FROM a3f
+    ),
+    a4f AS (
+      SELECT *, CASE
+        WHEN p4 >= 2 * least(256 - pred4, pred4) THEN
+          CASE WHEN 256 - pred4 > pred4 THEN p4 ELSE 255 - p4 END
+        WHEN p4 % 2 = 1 THEN pred4 - (p4 + 1) // 2
+        ELSE pred4 + p4 // 2 END AS f4
+      FROM a4
+    ),
+    curve AS (
+      SELECT doc_id, q, ch, c,
+        list_transform(range(0, 128), xx -> CASE
+          WHEN xx < x2 THEN y0
+            + CASE WHEN f2 >= y0 THEN (xx * (f2 - y0)) // x2
+                   ELSE -((xx * (y0 - f2)) // x2) END
+          WHEN xx < x3 THEN f2
+            + CASE WHEN f3 >= f2 THEN ((xx - x2) * (f3 - f2)) // (x3 - x2)
+                   ELSE -(((xx - x2) * (f2 - f3)) // (x3 - x2)) END
+          WHEN xx < x4 THEN f3
+            + CASE WHEN f4 >= f3 THEN ((xx - x3) * (f4 - f3)) // (x4 - x3)
+                   ELSE -(((xx - x3) * (f3 - f4)) // (x4 - x3)) END
+          WHEN xx < 64 THEN f4
+            + CASE WHEN y1 >= f4 THEN ((xx - x4) * (y1 - f4)) // (64 - x4)
+                   ELSE -(((xx - x4) * (f4 - y1)) // (64 - x4)) END
+          ELSE CAST(y1 AS BIGINT) END) AS cv
+      FROM a4f
+    ),
+    resid AS (
+      SELECT doc_id, CAST(q AS BIGINT) AS q,
+        list_transform(range(0, 128), i ->
+          (((c[CAST((2 * i) // 4 % 6 AS INT) + 1] + (2 * i) // 4
+             + 13 * q) % 16) + ((2 * i) % 4)) % 8 - 3) AS mv,
+        list_transform(range(0, 128), i ->
+          (((c[CAST((2 * i + 1) // 4 % 6 AS INT) + 1] + (2 * i + 1) // 4
+             + 13 * q) % 16) + ((2 * i + 1) % 4)) % 8 - 3) AS av,
+        list_transform(range(0, 128), i ->
+          (((c[CAST(i // 4 % 6 AS INT) + 1] + i // 4 + 7
+             + 13 * q) % 16) + (i % 4)) % 8 - 3) AS lv
+      FROM chars, range(0, 3) tq(q)
+    ),
+    decoup AS (
+      SELECT doc_id, q, lv,
+        list_transform(mv, (m, i) ->
+          CASE WHEN m > 0 THEN
+                 CASE WHEN av[i] > 0 THEN m ELSE m + av[i] END
+               ELSE
+                 CASE WHEN av[i] > 0 THEN m ELSE m - av[i] END END)
+          AS d0,
+        list_transform(mv, (m, i) ->
+          CASE WHEN m > 0 THEN
+                 CASE WHEN av[i] > 0 THEN m - av[i] ELSE m END
+               ELSE
+                 CASE WHEN av[i] > 0 THEN m + av[i] ELSE m END END)
+          AS d1
+      FROM resid
+    ),
+    spec AS (
+      SELECT cu.doc_id, cu.q, cu.ch,
+        list_transform(range(0, 128), k ->
+          pow(10.0, ((cv[CAST(k AS INT) + 1] - 255) * 7.0) / 256.0)
+          * CAST(CASE WHEN cu.ch = 0 THEN d0[CAST(k AS INT) + 1]
+                      WHEN cu.ch = 1 THEN d1[CAST(k AS INT) + 1]
+                      ELSE lv[CAST(k AS INT) + 1] END AS DOUBLE))
+          AS sp
+      FROM curve cu JOIN decoup d
+        ON cu.doc_id = d.doc_id AND cu.q = d.q
+    ),
+    imd AS (
+      SELECT doc_id, q, ch,
+        list_transform(range(0, 256), j ->
+          list_sum(list_transform(range(0, 128), k ->
+            sp[CAST(k AS INT) + 1]
+            * cos(((pi() / 512) * (2 * j + 1 + 128)) * (2 * k + 1)))))
+          AS y
+      FROM spec
+    ),
+    win AS (
+      SELECT doc_id, q, ch,
+        list_transform(range(0, 256), j ->
+          y[CAST(j AS INT) + 1]
+          * sin((pi() / 2)
+                * (sin((pi() / 256) * (j + 0.5))
+                   * sin((pi() / 256) * (j + 0.5))))) AS wy
+      FROM imd
+    ),
+    lap AS (
+      SELECT doc_id, ch, list(wy ORDER BY q) AS ws
+      FROM win GROUP BY doc_id, ch
+    ),
+    pcm AS (
+      SELECT doc_id, ch,
+        list_transform(range(0, 128), i ->
+          ws[1][CAST(i AS INT) + 129] + ws[2][CAST(i AS INT) + 1])
+        || list_transform(range(0, 128), i ->
+          ws[2][CAST(i AS INT) + 129] + ws[3][CAST(i AS INT) + 1])
+          AS pf
+      FROM lap
+    ),
+    q16 AS (
+      SELECT doc_id, ch,
+        list_transform(pf, v ->
+          greatest(-32768, least(32767,
+            CAST(floor(v * 32767.0 + 0.5) AS BIGINT)))) AS p16
+      FROM pcm
+    )
+    SELECT doc_id,
+           CAST(256 AS INT) AS n_samples,
+           CAST(max(CASE WHEN ch = 0 THEN p16[18] END) AS INT) AS c0_s17,
+           CAST(max(CASE WHEN ch = 0 THEN
+             list_sum(list_transform(p16, v -> abs(v))) END) AS BIGINT)
+             AS c0_csum,
+           CAST(max(CASE WHEN ch = 1 THEN p16[129] END) AS INT)
+             AS c1_s128,
+           CAST(max(CASE WHEN ch = 1 THEN
+             list_sum(list_transform(p16, v -> abs(v))) END) AS BIGINT)
+             AS c1_csum,
+           CAST(max(CASE WHEN ch = 2 THEN p16[64] END) AS INT) AS c2_s63,
+           CAST(max(CASE WHEN ch = 2 THEN p16[256] END) AS INT)
+             AS c2_s255,
+           CAST(max(CASE WHEN ch = 2 THEN
+             list_sum(list_transform(p16, v -> abs(v))) END) AS BIGINT)
+             AS c2_csum
+    FROM q16
+    GROUP BY doc_id
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def b34h_vorbis_submaps_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SUBMAP Ogg-Vorbis → PCM (round 14, second half;
+    operators/vorbis.py §4.2.4/§4.3.2): the 5.1-style channel-group
+    partitioning plus the §8.6.2 per-channel residue interleave — the
+    last two structural Vorbis guards, retired. Each document becomes
+    a 3-packet THREE-channel stream with TWO submaps: channels 0+1
+    form submap 0 (floor with x_list [0,64,8,16,32], ONE type-2
+    residue over their interleaved vector, square-polar coupling
+    (0,1)); channel 2 forms submap 1 with a DIFFERENT floor (x_list
+    [0,64,12,24,48] — different neighbor geometry, predictions, and
+    Bresenham divisors, all parametrized in the oracle) and its own
+    TYPE-1 residue (the per-channel sequential walk). The decoder
+    demuxes, parses the multi-submap mapping, decodes three floors in
+    channel order, two residues in submap order, decouples on global
+    channel indices, and runs the b34e float chain per channel. The
+    oracle replays ALL THREE channels bit-exactly in SQL. Reference
+    scope: blobs opaque (main.go:199). Scale shape: per-payload CPU in
+    mapInPandas; no shuffle."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _decode(pdf_iter):
+        import math as _math
+
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.vorbis import (
+            Codebook,
+            Floor1,
+            Residue1,
+            Residue2,
+            _BitWriterLSB,
+            _write_floor_posts,
+            decode_ogg_vorbis_pcm,
+            encode_ogg_vorbis,
+            encode_vorbis_setup_multi,
+        )
+
+        book_a = Codebook(1, 64, [6] * 64)
+        book_b = Codebook(
+            4, 16, [4] * 16, lookup_type=2, minimum=-3.0, delta=1.0,
+            multiplicands=[(e + j) % 8 for e in range(16)
+                           for j in range(4)],
+        )
+        books = [book_a, book_b]
+        floor_s = Floor1([0], [3], [0], multiplier=1, rangebits=6,
+                         x_list=[0, 64, 8, 16, 32])
+        floor_l = Floor1([0], [3], [0], multiplier=1, rangebits=6,
+                         x_list=[0, 64, 12, 24, 48])
+        res2 = Residue2(0, 256, 32, 2, 1, cascades=[0, 1],
+                        books=[[-1] * 8, [1] + [-1] * 7])
+        res1 = Residue1(0, 128, 32, 2, 1, cascades=[0, 1],
+                        books=[[-1] * 8, [1] + [-1] * 7])
+        setup_pkt = encode_vorbis_setup_multi(
+            books, [floor_s, floor_l], [res2, res1],
+            mappings=[{
+                "coupling_steps": [(0, 1)],
+                "mux": [0, 0, 1],
+                "submaps": [
+                    {"floor_number": 0, "residue_number": 0},
+                    {"floor_number": 1, "residue_number": 1},
+                ],
+            }],
+            modes=[{"blockflag": 0, "mapping": 0}],
+            channels=3,
+        )
+
+        cols = ("doc_id", "n_samples", "c0_s17", "c0_csum", "c1_s128",
+                "c1_csum", "c2_s63", "c2_s255", "c2_csum")
+        for pdf in pdf_iter:
+            rows = {k: [] for k in cols}
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                cs = (((text_ or "") + "x" * 6)[:6]).encode("latin-1")
+
+                def _posts(q, sh):
+                    return [
+                        (cs[0] * 5 + 17 * q + sh) % 160 + 16,
+                        (cs[1] * 7 + 29 * q + sh) % 160 + 16,
+                        (cs[2] + q) % 63 + 1,
+                        (cs[3] + 2 * q) % 63 + 1,
+                        (cs[4] + 3 * q) % 63 + 1,
+                    ]
+
+                def _build(q):
+                    bw = _BitWriterLSB()
+                    bw.write(0, 1)
+                    for j, sh in enumerate((0, 17, 31)):
+                        _write_floor_posts(
+                            bw, _posts(q, sh),
+                            floor_l if j == 2 else floor_s, books)
+
+                    def _wr(res, entries, n_part):
+                        cbook = books[res.classbook]
+                        ri = iter(entries)
+                        i = 0
+                        for cw in [15] * _math.ceil(n_part / 4):
+                            ln, code = cbook.codes[cw]
+                            for b in range(ln - 1, -1, -1):
+                                bw.write((code >> b) & 1, 1)
+                            grp = []
+                            e = cw
+                            for _ in range(4):
+                                grp.append(e % 2)
+                                e //= 2
+                            for cc in reversed(grp):
+                                if i >= n_part:
+                                    break
+                                if res.books[cc][0] >= 0:
+                                    bk = books[res.books[cc][0]]
+                                    for _ in range(res.partition_size
+                                                   // bk.dimensions):
+                                        en = next(ri)
+                                        ln, code = bk.codes[en]
+                                        for b in range(ln - 1, -1, -1):
+                                            bw.write((code >> b) & 1, 1)
+                                i += 1
+
+                    _wr(res2, [(cs[tt % 6] + tt + 13 * q) % 16
+                               for tt in range(64)], 8)
+                    _wr(res1, [(cs[tt % 6] + tt + 7 + 13 * q) % 16
+                               for tt in range(32)], 4)
+                    return bw.render()
+
+                out = decode_ogg_vorbis_pcm(encode_ogg_vorbis(
+                    [_build(q) for q in range(3)], books, floor_s,
+                    res2, channels=3, setup_packet=setup_pkt))
+                p0, p1, p2 = out["pcm16"]
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(out["n_samples"])
+                rows["c0_s17"].append(p0[17])
+                rows["c0_csum"].append(sum(abs(v) for v in p0))
+                rows["c1_s128"].append(p1[128])
+                rows["c1_csum"].append(sum(abs(v) for v in p1))
+                rows["c2_s63"].append(p2[63])
+                rows["c2_s255"].append(p2[255])
+                rows["c2_csum"].append(sum(abs(v) for v in p2))
+            yield _pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        _decode,
+        "doc_id long, n_samples int, c0_s17 int, c0_csum long, "
+        "c1_s128 int, c1_csum long, c2_s63 int, c2_s255 int, "
+        "c2_csum long",
+    )
+    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+
+
+@query(
     "b86_multimodal_census",
     oracle="""
     WITH chars AS (
