@@ -119,6 +119,7 @@ _PRIORITY_R14: tuple[str, ...] = (
     "b86_multimodal_census",            # new: unified decode-status census
     "s41_dialect_threevl_casts_time",   # new: battery-G parity statement
     "b34h_vorbis_submaps_pcm",          # new: multi-submap 3-channel PCM
+    "st_stream_media_census",           # new: census inside streaming
     # --- the 20 remaining r7-stamped rows, cheapest first ---
     "s18_dialect_passthrough",
     "s18b_dialect_init_sql",

@@ -1013,3 +1013,106 @@ def st_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("score_ppm").desc(), F.col("doc_id").asc()
     ).limit(30)
+
+
+@query(
+    "st_stream_media_census",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, doc_id % 11 AS k,
+             list_transform(range(1, 7), i ->
+               ascii(substr(text || repeat('x', 6), CAST(i AS INT), 1)))
+               AS c
+      FROM documents
+    ),
+    rows_ AS (
+      SELECT
+        CASE WHEN k IN (0, 1, 2) THEN 'ogg-vorbis'
+             WHEN k IN (3, 4) THEN 'flac'
+             WHEN k = 5 THEN 'wav'
+             WHEN k = 6 THEN 'mp3'
+             WHEN k IN (7, 8) THEN 'image'
+             WHEN k = 9 THEN 'webm'
+             ELSE 'unknown' END AS family,
+        CASE WHEN k = 2 THEN 'fail-closed:vorbis-floor0'
+             WHEN k = 4 THEN 'fail-closed:flac-subset'
+             WHEN k = 8 THEN 'fail-closed:vp8-dims'
+             WHEN k = 10 THEN 'not-media'
+             ELSE 'decoded' END AS status,
+        CASE WHEN k = 0 THEN 256 WHEN k = 1 THEN 160
+             WHEN k = 3 THEN 64 WHEN k = 5 THEN 32
+             WHEN k = 6 THEN 1 WHEN k = 7 THEN 256
+             WHEN k = 9 THEN 3 ELSE 0 END AS n_units,
+        CASE
+          WHEN k = 3 THEN list_sum(list_transform(range(0, 64), t ->
+            c[CAST(t % 6 AS INT) + 1] * (t // 8 + 1) - 480))
+          WHEN k = 5 THEN list_sum(list_transform(range(0, 32), t ->
+            c[CAST(t % 6 AS INT) + 1] - 100))
+          WHEN k IN (7, 9) THEN 256 * (128 + c[1] % 2)
+          ELSE NULL END AS evidence
+      FROM chars
+    )
+    SELECT family, status,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_units) AS BIGINT) AS units_total,
+           CAST(sum(evidence) AS BIGINT) AS evidence_total
+    FROM rows_
+    GROUP BY family, status
+    ORDER BY family ASC NULLS LAST, status ASC NULLS LAST
+    """,
+)
+def st_stream_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-14 UNIFIED MEDIA CENSUS executed INSIDE Structured
+    Streaming (the 100 TB crawl-ingestion shape): a file-source stream
+    over documents → the eleven-class mixed-media fixture corpus →
+    media_census as a stateless mapInPandas stage of the STREAMING
+    plan → a grouped coverage aggregate (family × status → files /
+    units / decode-proof evidence) in complete mode, drained with an
+    available-now trigger. The exact shape a continuous ingestion
+    pipeline needs: fail-closed and malformed files flow through as
+    census rows — the stream never dies on a bad payload. Same class
+    membership + evidence oracle as b86, aggregated."""
+    import hashlib
+    import os as _os
+    import tempfile as _tf
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staged = _os.path.join(_tf.gettempdir(), f"dss_stream_docs_{key}")
+    marker = _os.path.join(staged, "_SUCCESS")
+    batch = t(spark, sf_dir, "documents").select("doc_id", "text")
+    if not _os.path.exists(marker):
+        batch.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(batch.schema).parquet(staged)
+
+    def _census(pdf_iter):
+        import pandas as _pd
+
+        from duckdb_server_spark.operators.multimodal import (
+            build_census_fixture,
+            media_census,
+        )
+
+        for pdf in pdf_iter:
+            fams, stats, units, evs = [], [], [], []
+            for doc_id, text_ in zip(pdf["doc_id"], pdf["text"]):
+                cs = (((text_ or "") + "x" * 6)[:6]).encode("latin-1")
+                out = media_census(build_census_fixture(doc_id, cs))
+                fams.append(out["family"])
+                stats.append(out["status"])
+                units.append(out["n_units"])
+                evs.append(out["evidence"])
+            yield _pd.DataFrame({"family": fams, "status": stats,
+                                 "n_units": units, "evidence": evs})
+
+    census = stream.mapInPandas(
+        _census, "family string, status string, n_units int, "
+        "evidence long")
+    agg = census.groupBy("family", "status").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_units").cast("long").alias("units_total"),
+        F.sum("evidence").cast("long").alias("evidence_total"),
+    )
+    return run_stream_to_memory(agg, output_mode="complete").orderBy(
+        F.col("family").asc_nulls_last(),
+        F.col("status").asc_nulls_last(),
+    )

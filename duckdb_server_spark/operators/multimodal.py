@@ -583,3 +583,123 @@ def media_census(payload: bytes) -> dict:
     except Exception:
         return {"family": family, "status": "error:malformed",
                 "n_units": 0, "evidence": None}
+
+
+def build_census_fixture(doc_id: int, cs: bytes) -> bytes:
+    """One deterministic mixed-media payload per (doc_id, first-6-
+    chars): ELEVEN classes by doc_id % 11 — the b86 census corpus,
+    shared by the batch and streaming census queries (round 14)."""
+    import math as _math
+    import struct as _struct
+
+    from duckdb_server_spark.operators.flac import encode_flac
+    from duckdb_server_spark.operators.mp3_l3 import write_l3_fixture
+    from duckdb_server_spark.operators.ogg import (
+        encode_vorbis_id,
+        write_stream,
+    )
+    from duckdb_server_spark.operators.vorbis import (
+        Codebook,
+        Floor1,
+        Residue2,
+        _BitWriterLSB,
+        _common_header,
+        encode_ogg_vorbis,
+        encode_vorbis_audio,
+        encode_vorbis_audio_multi_switched,
+    )
+    from duckdb_server_spark.operators.vp8_fixture import (
+        encode_vp8_fixture_gray,
+    )
+    from duckdb_server_spark.operators.webm import encode_webm_mjpeg
+
+    book_a = Codebook(1, 64, [6] * 64)
+    book_b = Codebook(
+        4, 16, [4] * 16, lookup_type=2, minimum=-3.0, delta=1.0,
+        multiplicands=[(e + j) % 8 for e in range(16) for j in range(4)],
+    )
+    book_c = Codebook(4, 16, [4] * 16)
+    books = [book_a, book_b, book_c]
+    floor = Floor1([0], [3], [0], multiplier=1, rangebits=6,
+                   x_list=[0, 64, 8, 16, 32])
+    res128 = Residue2(0, 128, 32, 2, 2, cascades=[0, 1],
+                      books=[[-1] * 8, [1] + [-1] * 7])
+    res256 = Residue2(0, 256, 32, 2, 2, cascades=[0, 1],
+                      books=[[-1] * 8, [1] + [-1] * 7])
+
+    def _posts(q, sh=0):
+        return [(cs[0] * 5 + 17 * q + sh) % 160 + 16,
+                (cs[1] * 7 + 29 * q + sh) % 160 + 16,
+                (cs[2] + q) % 63 + 1, (cs[3] + 2 * q) % 63 + 1,
+                (cs[4] + 3 * q) % 63 + 1]
+
+    def _quads(cc):
+        return [((c >> 3) & 1, (c >> 2) & 1, (c >> 1) & 1, c & 1,
+                 (c >> 6) & 1) for c in cc]
+
+    k = doc_id % 11
+    if k == 0:
+        pkts = [encode_vorbis_audio(
+            _posts(q), [(cs[t % 6] + t + 13 * q) % 16 for t in range(32)],
+            [15], floor, res128, books) for q in range(3)]
+        return encode_ogg_vorbis(pkts, books, floor, res128)
+    if k == 1:
+        pkts = []
+        for q, (bf, pf, nf) in enumerate(
+                [(1, 1, 0), (0, 0, 0), (1, 0, 1)]):
+            n = 256 if bf else 64
+            n_part = min(256, 2 * (n // 2)) // 32
+            entries = [(cs[t % 6] + t + 13 * q) % 16
+                       for t in range(n_part * 8)]
+            pkts.append(encode_vorbis_audio_multi_switched(
+                [_posts(q, 0), _posts(q, 31)], entries,
+                [15] * _math.ceil(n_part / 4), floor, res256, books,
+                mode_num=bf, n_modes=2, blockflag=bf,
+                prev_flag=pf, next_flag=nf))
+        return encode_ogg_vorbis(
+            pkts, books, floor, res256, channels=2,
+            coupling_steps=[(0, 1)], bs0_log2=6, bs1_log2=8,
+            mode_blockflags=(0, 1))
+    if k == 2:
+        bw = _BitWriterLSB()
+        bw.write(0, 8)
+        book_a.write_header(bw)
+        bw.write(0, 6)
+        bw.write(0, 16)
+        bw.write(0, 6)
+        bw.write(0, 16)  # floor TYPE 0 -> fail-closed by name
+        setup0 = _common_header(5) + bw.render()
+        comment = _common_header(3) + bytes(8) + b"\x01"
+        return write_stream(
+            0x22, [encode_vorbis_id(1, 8000), comment, setup0],
+            [0, 0, 0])
+    if k in (3, 4):
+        samples = [cs[t % 6] * (t // 8 + 1) - 480 for t in range(64)]
+        blob = encode_flac(samples, 8000)
+        if k == 4:
+            b = bytearray(blob)
+            b[20] = (b[20] & ~0x0E) | 0x02
+            blob = bytes(b)
+        return blob
+    if k == 5:
+        from duckdb_server_spark.operators.wav import encode_wav
+
+        return encode_wav([cs[t % 6] - 100 for t in range(32)], 8000)
+    if k == 6:
+        return write_l3_fixture([_quads(cs[:4]), _quads(cs[:4][::-1])])
+    if k in (7, 8):
+        v = 128 + (cs[0] % 2)
+        blob = encode_vp8_fixture_gray(bytes([v]) * 256, 16, 16)
+        if k == 8:
+            b = bytearray(blob)
+            w16 = _struct.unpack("<H", b[26:28])[0]
+            b[26:28] = _struct.pack("<H", (w16 & ~0x3FFF) | 17)
+            blob = bytes(b)
+        return blob
+    if k == 9:
+        v = 128 + (cs[0] % 2)
+        tile = encode_vp8_fixture_gray(bytes([v]) * 256, 16, 16)
+        n = int.from_bytes(tile[16:20], "little")
+        return encode_webm_mjpeg([tile[20:20 + n]] * 3, 16, 16,
+                                 fps=10, codec_id=b"V_VP8")
+    return b"just some text " + cs
