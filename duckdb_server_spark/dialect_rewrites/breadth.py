@@ -589,6 +589,27 @@ def _template(fn: str, args: list[str], table: list[str]) -> str | None:
             f"filter(array_intersect({args[0]}, {args[1]}), "
             f"__dd_x -> __dd_x IS NOT NULL)"
         )
+    if fn == "map_from_entries" and len(args) == 1:
+        # round-14 hunt G wave 5: the map-building idiom
+        # map_from_entries(list_zip(k, v)) — the pairs-as-arrays
+        # list_zip lowering cannot feed map_from_entries (and mixed
+        # key/value types cannot share an array); Spark's
+        # map_from_arrays IS this composition
+        a0 = args[0].strip()
+        # the inner list_zip has already been template-rewritten to
+        # the pairs-as-arrays zip_with form — match that shape
+        zm = re.match(r"(?is)^(?:list_zip|zip_with)\s*\(", a0)
+        if zm:
+            open_idx = a0.index("(")
+            close = _matching_paren(a0, open_idx)
+            if close == len(a0) - 1:
+                inner = _split_top_commas(a0[open_idx + 1 : close])
+                if len(inner) >= 2 and (
+                        len(inner) == 2
+                        or "array(__dd_x, __dd_y)" in inner[2]):
+                    return (f"map_from_arrays({inner[0].strip()}, "
+                            f"{inner[1].strip()})")
+        return None
     if fn == "list_zip" and len(args) == 2:
         # round-12 hunt B: pads the shorter list with NULLs and keeps
         # ELEMENT TYPES (the old dd_list_zip SQL UDF forced ARRAY<
@@ -1658,6 +1679,7 @@ _TEMPLATE_RE = re.compile(
     r"bin|to_binary|make_time|make_timestamp|"
     r"timezone|string_agg|group_concat|regexp_matches|map_concat|"
     r"struct_insert|bitstring|get_bit|set_bit|bit_position|bit_length|"
+    r"map_from_entries|"
     r"to_years|to_months|to_decades|to_centuries|to_millennia|to_weeks|"
     r"to_days|to_hours|to_minutes|to_seconds|to_milliseconds|"
     r"to_microseconds)\s*\(",

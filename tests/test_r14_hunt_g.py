@@ -459,6 +459,70 @@ def test_float_tail_acceptances(sqlg, duck, sql, rel_tol):
     assert s == pytest.approx(d, rel=rel_tol)
 
 
+@pytest.mark.parametrize("sql", [
+    # wave 5: the map-building idiom — map_from_entries over list_zip
+    # lowers to map_from_arrays (the pairs-as-arrays zip cannot feed
+    # map_from_entries, and mixed key/value types cannot share an
+    # array)
+    "SELECT map_from_entries(list_zip(['a','b'], [1, 2])) AS v",
+    "SELECT map_from_entries(list_zip(['a','b'], [1, 2]))['b'] AS v",
+    "SELECT map_from_entries(list_zip([1,2], ['x','y'])) AS v",
+    "SELECT map_values(map_from_entries(list_zip(['a','b'],"
+    " [10, 20]))) AS v",
+    "SELECT map_from_entries([{'k': 'x', 'v': 1}, {'k': 'y', 'v': 2}]) AS v",
+    "SELECT list_zip([1,2,3], [4,5]) AS v",
+    # wave 5 green pins: DML scripts, QUALIFY, unicode, formatting
+    "CREATE TABLE g5a AS SELECT * FROM (VALUES (1, 'a'), (2, 'b'))"
+    " t(id, v); UPDATE g5a SET v = upper(v) WHERE id = 2;"
+    " SELECT * FROM g5a ORDER BY id",
+    "CREATE TABLE g5c (id INT PRIMARY KEY, n INT); INSERT INTO g5c"
+    " VALUES (1, 10); INSERT INTO g5c VALUES (1, 99) ON CONFLICT (id)"
+    " DO UPDATE SET n = excluded.n; SELECT * FROM g5c",
+    "CREATE TABLE g5d AS SELECT 1 AS a; ALTER TABLE g5d ADD COLUMN b"
+    " INT DEFAULT 7; SELECT * FROM g5d",
+    "SELECT n_name, n_regionkey FROM nation QUALIFY row_number() OVER"
+    " (PARTITION BY n_regionkey ORDER BY n_name) <= 2"
+    " ORDER BY n_regionkey, n_name",
+    "SELECT n_name, rank() OVER (ORDER BY n_nationkey) AS r"
+    " FROM nation QUALIFY r <= 3 ORDER BY r",
+    "SELECT reverse('héllo') AS v",
+    "SELECT lpad('é', 4, 'ü') AS v",
+    "SELECT format('{:,}', 1234567) AS v",
+    "SELECT printf('%5.2f|%03d|%x', 3.14159, 7, 255) AS v",
+    "SELECT round(-2.5) AS v",
+])
+def test_wave5_map_from_zip_and_green_pins(sqlg, duck, sql):
+    _match(sqlg, duck, sql)
+
+
+def test_upper_sharp_s_acceptance(sqlg, duck):
+    # DuckDB 1.0 uppercases ß to the CAPITAL SHARP S (U+1E9E,
+    # 'STRAẞE') — a tailored mapping; the JVM follows the standard
+    # Unicode full case mapping ('STRASSE'). Both are defensible;
+    # pinned as a documented divergence, not silently "fixed" with a
+    # per-row Python shim on every upper() call.
+    assert duck.execute("SELECT upper('straße')").fetchone()[0] == (
+        "STRAẞE")
+    with serving_dialect(True):
+        s = run_sql(sqlg, "SELECT upper('straße') AS v").collect()[0].v
+    assert s == "STRASSE"
+
+
+def test_qualify_rownumber_tie_engine_defined(sqlg, duck):
+    # row_number over a tied ORDER BY key picks an arbitrary row on
+    # BOTH engines (no tiebreak in the window order) — engine-defined,
+    # like arg_max ties; pinned that both return exactly one row with
+    # the tied count
+    q = ("SELECT n_regionkey, count(*) AS c FROM nation GROUP BY"
+         " n_regionkey QUALIFY row_number() OVER"
+         " (ORDER BY count(*) DESC) = 1")
+    d = duck.execute(q).fetchall()
+    with serving_dialect(True):
+        s = [tuple(r) for r in run_sql(sqlg, q).collect()]
+    assert len(d) == len(s) == 1
+    assert d[0][1] == s[0][1]  # the tied top count agrees
+
+
 def test_bit_position_1_0_padding_quirk_acceptance(sqlg, duck):
     # DuckDB 1.0's bit_position returns 0 for SOME present patterns
     # (probed: '10' in '0110' → 0 although the pattern occurs at 3 —
