@@ -495,6 +495,34 @@ def test_wave5_map_from_zip_and_green_pins(sqlg, duck, sql):
     _match(sqlg, duck, sql)
 
 
+@pytest.mark.parametrize("sql", [
+    # wave 6: final-sweep coverage pins — 34/34 green on first probe
+    # (operators, libm tails, graphemes, vector ops); no fixes needed
+    "SELECT 1 // 0 AS v",
+    "SELECT 1 % 0 AS v",
+    "SELECT 2 ** 10 AS v",
+    "SELECT @(-7) AS v",
+    "SELECT 5! AS v",
+    "SELECT nextafter(1.0, 2.0) AS v",
+    "SELECT cbrt(27.0) AS v",
+    "SELECT cot(1.0) AS v",
+    "SELECT even(-2.5) AS v",
+    "SELECT signbit(-0.0) AS v",
+    "SELECT isinf(1.0/0.0) AS v",
+    "SELECT log(2, 8) AS v",
+    "SELECT 'abc' ^@ 'ab' AS v",
+    "SELECT left_grapheme('héllo', 2) AS v",
+    "SELECT md5_number_lower('abc') AS v",
+    "SELECT from_hex('ff') AS v",
+    "SELECT list_any_value([NULL, 3, 5]) AS v",
+    "SELECT list_cosine_similarity([1.0, 0.0], [1.0, 0.0]) AS v",
+    "SELECT list_distance([0.0, 0.0], [3.0, 4.0]) AS v",
+    "SELECT list_grade_up([30, 10, 20]) AS v",
+])
+def test_wave6_final_sweep_pins(sqlg, duck, sql):
+    _match(sqlg, duck, sql)
+
+
 def test_upper_sharp_s_acceptance(sqlg, duck):
     # DuckDB 1.0 uppercases ß to the CAPITAL SHARP S (U+1E9E,
     # 'STRAẞE') — a tailored mapping; the JVM follows the standard
