@@ -12,14 +12,17 @@ executors (scan → shuffle → agg) without driver-side materialization —
 the honest analog of a 1000-executor run, unlike ``collect()`` which
 rewards tiny results, or ``count()`` which lets Catalyst prune the work.
 
-Ratio regression gate (round 14, VERDICT r13 item 5): the accepted
-``value_over_control`` quiet band is RATIO_BAND (recorded 14-16 on a
-quiet host across the r13 close-out quadruple + judge re-run,
-BENCH_NOTES items 23/25); a ratio outside the band by >25% prints
-``band_verdict: "regression-check-required"`` and demands a per-query
-diff against the prior round's record before close-out — value and
-control moving TOGETHER is host drift, value moving alone is a plan
-regression.
+Ratio regression gate (round 14, VERDICT r13 item 5; recalibrated
+round 15 per VERDICT r14 + BENCH_NOTES item 30): the accepted
+``value_over_control`` quiet band is RATIO_BAND, where the ratio's
+denominator is ``max(control, CONTROL_FLOOR)`` — the floor removes
+the low-control false-positive mode where a quiet host's shrinking
+control inflates the ratio past the band while the headline (which
+has a fixed planning floor) holds still. A ratio outside the band by
+>25% prints ``band_verdict: "regression-check-required"`` and demands
+a per-query diff against the prior round's record before close-out —
+value and control moving TOGETHER is host drift, value moving alone
+is a plan regression.
 """
 
 from __future__ import annotations
@@ -90,15 +93,29 @@ EXTRA = [
 ]
 
 
-# Accepted value_over_control quiet band (BENCH_NOTES items 23/25/27).
+# Accepted value_over_control quiet band. Round-15 recalibration
+# (VERDICT r14 "what's wrong" item 1, BENCH_NOTES item 30): the r14
+# gate flagged most QUIET-host runs because a sub-0.6 s control
+# shrinks faster than the headline's fixed planning floor. Two
+# changes, both prescribed by the r14 notes: (1) the ratio denominator
+# is max(control, CONTROL_FLOOR) — the floor is the observed quiet-
+# host control median (r14 recorded controls: 0.505-0.767, median
+# 0.65), so a freakishly fast control can no longer inflate the ratio;
+# (2) the band is recomputed from the EIGHT recorded r14 (value,
+# control) pairs under that normalization: 14.08 / 14.61 / 15.58 /
+# 15.81 / 15.88 / 17.07 / 17.50 / 17.58 → band (13.5, 18.0) with
+# margin. The control WORKLOAD itself stays frozen (r13 definition).
 # Update ONLY with a recorded multi-run measurement on a quiet host.
-RATIO_BAND = (14.0, 16.0)
+RATIO_BAND = (13.5, 18.0)
+CONTROL_FLOOR = 0.65
 
 
 def _band_verdict(ratio: float | None) -> str:
-    """Classify this run's ratio against the recorded quiet band:
-    in-band / above-band / below-band are informational; >25% outside
-    either edge demands a per-query diff before close-out."""
+    """Classify this run's floor-normalized ratio against the recorded
+    quiet band: in-band / above-band / below-band are informational;
+    >25% outside either edge demands a per-query diff before
+    close-out (at the r15 band: ratio > 22.5 ≈ a +29% headline
+    excursion at a floored control, or < 10.8)."""
     if ratio is None:
         return "no-control"
     lo, hi = RATIO_BAND
@@ -209,12 +226,19 @@ def main() -> None:
                 "control": control,
                 "control_pre": control_pre,
                 "control_post": control_post,
-                "value_over_control": round(total / control, 3)
+                # r15: the gate ratio divides by max(control, FLOOR)
+                # so a quiet-host sub-floor control cannot inflate it
+                # (BENCH_NOTES item 30); raw value/control is still
+                # derivable from the recorded fields above
+                "control_floor": CONTROL_FLOOR,
+                "value_over_control": round(
+                    total / max(control, CONTROL_FLOOR), 3)
                 if control
                 else None,
                 "ratio_band": list(RATIO_BAND),
                 "band_verdict": _band_verdict(
-                    total / control if control else None),
+                    total / max(control, CONTROL_FLOOR)
+                    if control else None),
             }
         )
     )

@@ -2671,7 +2671,12 @@ _CONCAT_FN_RE = re.compile(r"\bconcat\s*\(", re.IGNORECASE)
 
 
 _LIST_NULL_CONCAT_RE = re.compile(
-    r"(\[[^\[\]]*\])\s*\|\|\s*NULL\b|\bNULL\s*\|\|\s*(\[[^\[\]]*\])",
+    # r15 ADVICE: the lookbehind keeps subscript brackets out — in
+    # `arr[1] || NULL` the `[1]` group follows an identifier char (or
+    # `)`/`]`/`}`/mask marker for computed bases), so only standalone
+    # list LITERALS match. Subscript-into-NULL concat stays native ||.
+    r"(?<![\w)\]}\x00])(\[[^\[\]]*\])\s*\|\|\s*NULL\b"
+    r"|\bNULL\s*\|\|\s*(?<![\w)\]}\x00])(\[[^\[\]]*\])",
     re.IGNORECASE,
 )
 

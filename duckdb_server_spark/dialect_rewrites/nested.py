@@ -820,6 +820,17 @@ def _rewrite_in_subquery_3vl(s: str) -> str:
             pos = close + 1
             continue
         t_, f_ = ("false", "true") if m.group(1) else ("true", "false")
+        # r15 ADVICE (accepted cost): the body appears three times
+        # (IN + empty-probe + null-probe), so an expensive subquery
+        # plans up to 3x. The single-scan alternative — one scalar
+        # aggregate subquery classifying match/empty/has-null — must
+        # reference the OPERAND inside the aggregate, turning it into
+        # a correlated scalar-aggregate subquery, a shape Spark's
+        # DecorrelateInnerQuery rejects for non-equality predicates.
+        # Value-position IN-subqueries are rare and the bodies small
+        # in every observed workload; AQE additionally dedups the two
+        # uncorrelated EXISTS probes via subquery reuse when the body
+        # is deterministic.
         repl = (
             f"CASE WHEN ({operand}) IN (SELECT __in3_c FROM ({body}) "
             f"AS __in3_sub(__in3_c)) THEN {t_} "

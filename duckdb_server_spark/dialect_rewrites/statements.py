@@ -474,8 +474,9 @@ def _parse_literal_token(tok: str):
     except ValueError:
         pass
     # round-14 hunt G: DuckDB accepts list literals, typed literals,
-    # and expressions as EXECUTE arguments — binding is textual
-    # substitution, so pass the argument text through verbatim
+    # and expressions as EXECUTE arguments — carry the text and let
+    # render_sql_literal parenthesize it at the substitution site
+    # (DuckDB binds the evaluated value, so precedence must hold)
     return _RawSQL(tok)
 
 
@@ -1685,11 +1686,39 @@ _DOLLAR_PARAM_RE = re.compile(r"\$(\d+)")
 
 
 class _RawSQL(str):
-    """An EXECUTE argument carried as VERBATIM SQL text (round-14 hunt
-    G): DuckDB accepts list literals, typed literals, and expressions
-    as bind arguments (``EXECUTE q([1, 2, 3])``, ``EXECUTE
-    q(TIMESTAMP '…')``); since binding is textual substitution, the
-    faithful lowering is to splice the argument text unchanged."""
+    """An EXECUTE argument carried as SQL text (round-14 hunt G):
+    DuckDB accepts list literals, typed literals, and expressions as
+    bind arguments (``EXECUTE q([1, 2, 3])``, ``EXECUTE
+    q(TIMESTAMP '…')``). DuckDB binds the evaluated VALUE of the
+    argument, not its text — so the splice is parenthesized
+    (render_sql_literal) to preserve value semantics under operator
+    precedence at the substitution site."""
+
+
+def _self_delimiting(tok: str) -> bool:
+    """True when a _RawSQL EXECUTE argument is a single atom whose
+    precedence cannot interact with the substitution site: a complete
+    bracket/paren group, a typed literal (``TIMESTAMP '…'``), or a
+    bare identifier/number token. Such atoms splice without the
+    value-semantics parens (r15 ADVICE)."""
+    tok = tok.strip()
+    if not tok:
+        return False
+    if re.fullmatch(r"[A-Za-z_]\w*(\s+'[^']*')?", tok):
+        return True  # bare word or typed literal
+    if re.fullmatch(r"[\w.]+", tok):
+        return True  # number-ish token (no operators)
+    if tok[0] in "[(" and tok[-1] in "])":
+        # complete single group: the opener's match is the last char
+        depth = 0
+        for i, ch in enumerate(tok):
+            if ch in "[(":
+                depth += 1
+            elif ch in "])":
+                depth -= 1
+                if depth == 0:
+                    return i == len(tok) - 1
+    return False
 
 
 def render_sql_literal(v) -> str:
@@ -1699,7 +1728,16 @@ def render_sql_literal(v) -> str:
     import decimal
 
     if isinstance(v, _RawSQL):
-        return str(v)
+        # r15 ADVICE: parenthesize the spliced text. DuckDB binds the
+        # EVALUATED argument value, so `EXECUTE q(1+1)` against
+        # `SELECT $1 * 2` is 4 — a bare textual splice gives `1+1*2`=3.
+        # Self-delimiting atoms (a complete [list]/(group), a typed
+        # literal, a bare word) splice unwrapped so literal-shape
+        # rewrites (e.g. len([…])→size) still see them; anything with
+        # top-level structure gets parens. A multi-occurrence param
+        # still re-evaluates the expression once per site (volatile
+        # expressions could differ; literals cannot).
+        return str(v) if _self_delimiting(str(v)) else f"({v})"
     if v is None:
         return "NULL"
     if isinstance(v, bool):

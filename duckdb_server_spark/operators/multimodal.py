@@ -504,7 +504,10 @@ def media_census(payload: bytes) -> dict:
     """Classify one opaque payload for a mixed-media coverage census:
     ``{"family", "status", "n_units", "evidence"}`` with status ∈
     ``decoded`` / ``fail-closed:<feature>`` / ``error:malformed`` /
-    ``not-media`` — NEVER an exception. ``n_units`` is the structural
+    ``not-media`` — never an exception for DATA faults (environment
+    faults — ImportError / MemoryError / RecursionError — re-raise so
+    an infra problem fails the job instead of masquerading as
+    corpus corruption; r15 ADVICE). ``n_units`` is the structural
     size (samples / frames / pixels); ``evidence`` is a cheap decode
     proof (sample or pixel sum) where the family's decode emits one.
     MP3 delegates to mp3_decode_census (the round-13 template)."""
@@ -580,6 +583,11 @@ def media_census(payload: bytes) -> dict:
         return {"family": family,
                 "status": f"fail-closed:{_census_fail_slug(str(exc))}",
                 "n_units": 0, "evidence": None}
+    except (ImportError, MemoryError, RecursionError):
+        # r15 ADVICE: environment faults are NOT data corruption — an
+        # absent numpy (fast vorbis profile) or resource exhaustion
+        # must surface as a job error, not an 'error:malformed' row.
+        raise
     except Exception:
         return {"family": family, "status": "error:malformed",
                 "n_units": 0, "evidence": None}
