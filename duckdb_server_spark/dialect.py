@@ -171,9 +171,13 @@ from duckdb_server_spark.dialect_rewrites.exprs import (  # noqa: F401
     _rewrite_asof,
     _rewrite_datediff_units,
     _rewrite_distinct_on,
+    _fold_const_int_intervals,
     _rewrite_dyn_interval,
     _rewrite_exclude,
+    _inline_named_windows,
     _rewrite_exclude_frames,
+    _rewrite_std_pivot_count,
+    _rewrite_unordered_rank,
     _rewrite_filter_shorthand,
     _rewrite_fn_names,
     _rewrite_generate_subscripts,
@@ -361,6 +365,7 @@ from duckdb_server_spark.dialect_rewrites.nested import (  # noqa: F401
     _rewrite_libm,
     _rewrite_list_set_ops,
     _rewrite_nested_cast_types,
+    _rewrite_string_array_casts,
     _rewrite_in_subquery_3vl,
     _rewrite_nested_comparisons,
     _struct_cmp_sql,
@@ -507,7 +512,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_list_null_concat(masked)
     masked = _rewrite_list_comprehension(masked)
     masked = _rewrite_struct_literals(masked, table)
-    masked = _rewrite_positional_join(masked, spark)
+    masked = _rewrite_positional_join(masked, spark, table)
     masked = _rewrite_list_set_ops(masked)
     masked = _rewrite_dot_calls(masked)
     masked = _rewrite_interval_chain_arith(masked, table)
@@ -533,6 +538,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_string_int_casts(masked, table)
     masked = _rewrite_bitstring_casts(masked, table)
     masked = _rewrite_unpivot_aliases(masked, table)
+    masked = _rewrite_std_pivot_count(masked, table)
     masked = _rewrite_postfix_factorial(masked)
     masked = _rewrite_power(masked)
     masked = _rewrite_at_abs(masked)
@@ -563,6 +569,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_generate_subscripts(masked)
     masked = _rewrite_from_first_subquery(masked)
     masked = _rewrite_range(masked)
+    masked = _fold_const_int_intervals(masked)
     masked = _rewrite_time_bucket(masked, table, kinds)
     masked = _rewrite_dyn_interval(masked)
     masked = _rewrite_hex_cast(masked, table)
@@ -572,6 +579,7 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_datediff_units(masked, table)
     masked = _rewrite_interval_varchar(masked, table)
     masked = _rewrite_nested_cast_types(masked)
+    masked = _rewrite_string_array_casts(masked)
     masked = _rewrite_struct_map(masked, table)
     masked = _rewrite_ordered_aggs(masked)
     masked = _rewrite_lateral_values(masked)
@@ -714,6 +722,8 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_list_aggregate(masked, table)
     masked = _rewrite_subscripts(masked, kinds, table)
     masked = _rewrite_distinct_on(masked)
+    masked = _inline_named_windows(masked)
+    masked = _rewrite_unordered_rank(masked)
     masked = _rewrite_window_filter(masked)
     masked = _rewrite_exclude_frames(masked)
     masked = _rewrite_exclude(masked)

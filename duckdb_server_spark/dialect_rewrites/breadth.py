@@ -2082,6 +2082,19 @@ def _rewrite_collate(s: str, table: list[str]) -> str:
                     r"\|\|\s*$", before):
                 s = s[:lstart] + operand + s[m.end() :]
                 continue
+        # DISTINCT ON key position (hunt H r15): the collated key
+        # groups rows under the collation — same key-replaces-sort-key
+        # shape as ORDER BY (the later DISTINCT ON lowering turns these
+        # keys into PARTITION BY / window ORDER BY keys; the projected
+        # value is untouched)
+        dm = None
+        for dm2 in re.finditer(r"(?i)\bDISTINCT\s+ON\s*\(", s[:lstart]):
+            dm = dm2
+        if dm:
+            dclose = _matching_paren(s, dm.end() - 1)
+            if dclose is not None and dclose >= m.end():
+                s = s[:lstart] + key + s[m.end() :]
+                continue
         # ORDER BY / GROUP BY key position: nearest clause keyword
         # before the operand must be ORDER BY / GROUP BY (commas allowed)
         km = None
@@ -2525,6 +2538,22 @@ def _rewrite_window_chain(s: str) -> str:
         # splice expanded bodies back (reverse order keeps offsets valid)
         for start, end, _name, body in reversed(spans):
             s = s[:start] + body + s[end:]
+        # OVER-site chaining (hunt H r15): ``agg(x) OVER (w ORDER BY …
+        # ROWS …)`` extends a named window inline — DuckDB allows it,
+        # Spark only accepts ``OVER w`` or a self-contained spec, so
+        # the reference inlines here too.
+        pos2 = 0
+        while om := re.compile(
+            r"(?i)\bOVER\s*\(\s*([A-Za-z_]\w*)\b"
+        ).search(s, pos2):
+            name = om.group(1)
+            if name in defs and name.upper() not in (
+                    "PARTITION", "ORDER", "ROWS", "RANGE", "GROUPS"):
+                s = (s[: om.start(1)] + defs[name]
+                     + s[om.start(1) + len(name) :])
+                pos2 = om.start(1) + len(defs[name])
+            else:
+                pos2 = om.end()
         break  # one WINDOW clause per statement level is the common case
     return s
 
@@ -2670,26 +2699,58 @@ _CONCAT_FN_RE = re.compile(r"\bconcat\s*\(", re.IGNORECASE)
 
 
 
-_LIST_NULL_CONCAT_RE = re.compile(
-    # r15 ADVICE: the lookbehind keeps subscript brackets out — in
-    # `arr[1] || NULL` the `[1]` group follows an identifier char (or
-    # `)`/`]`/`}`/mask marker for computed bases), so only standalone
-    # list LITERALS match. Subscript-into-NULL concat stays native ||.
-    r"(?<![\w)\]}\x00])(\[[^\[\]]*\])\s*\|\|\s*NULL\b"
-    r"|\bNULL\s*\|\|\s*(?<![\w)\]}\x00])(\[[^\[\]]*\])",
-    re.IGNORECASE,
+_NULL_CONCAT_RE = re.compile(
+    r"\|\|\s*NULL(?!\w)|\bNULL\s*\|\|", re.IGNORECASE
 )
 
 
 def _rewrite_list_null_concat(s: str) -> str:
-    """Round-14 hunt G: ``[1, 2] || NULL`` is NULL in DuckDB but a
-    type-resolution error in Spark (concat cannot unify an array with
-    an untyped NULL). ``if(false, <list>, NULL)`` yields the same
-    typed NULL. String/number operands keep the native propagating
-    ``||``."""
-    while m := _LIST_NULL_CONCAT_RE.search(s):
-        lst = m.group(1) or m.group(2)
-        s = s[: m.start()] + f"if(false, {lst}, NULL)" + s[m.end() :]
+    """Round-14 hunt G, generalized in round 15 (hunt H): ``X || NULL``
+    is NULL — of X's type — in DuckDB for EVERY operand type, but a
+    type-resolution error in Spark whenever X is array/map-typed
+    (concat cannot unify a container with an untyped NULL; r14 handled
+    only list LITERALS, hunt H found ``m[k] || NULL`` and
+    ``list_fn(…) || NULL`` still broke). ``if(false, X, NULL)`` yields
+    the same typed NULL for any X, so the non-NULL operand is walked
+    with the primary-expression scanner and wrapped regardless of
+    shape; string/number operands produce the identical NULL either
+    way. Left-associativity keeps chains correct: in ``a || b ||
+    NULL`` only ``b`` wraps, and concat(a, NULL-of-b's-type) is still
+    NULL."""
+    pos = 0
+    while m := _NULL_CONCAT_RE.search(s, pos):
+        if m.group(0).upper().replace(" ", "").startswith("||"):
+            # X || NULL: operand is the primary ending before ||
+            op_end = m.start()
+            while op_end > 0 and s[op_end - 1] in " \t\n":
+                op_end -= 1
+            lstart = _primary_back(s, op_end)
+            operand = s[lstart:op_end].strip()
+            if not operand or operand.upper() == "NULL":
+                pos = m.end()
+                continue
+            repl = f"if(false, {operand}, NULL)"
+            s = s[:lstart] + repl + s[m.end() :]
+            pos = lstart + len(repl)
+        else:
+            # NULL || X: operand is the primary starting after ||.
+            # Guard: `x IS [NOT] NULL || y` parses as IS NOT (NULL||y)
+            # under DuckDB's precedence — leave the IS-chain alone.
+            head = s[: m.start()].rstrip()
+            if re.search(r"(?i)\b(?:IS|NOT)$", head):
+                pos = m.end()
+                continue
+            start = m.end()
+            while start < len(s) and s[start] in " \t\n":
+                start += 1
+            rend = _primary_fwd(s, start)
+            operand = s[start:rend].strip()
+            if not operand or operand.upper() == "NULL":
+                pos = m.end()
+                continue
+            repl = f"if(false, {operand}, NULL)"
+            s = s[: m.start()] + repl + s[rend:]
+            pos = m.start() + len(repl)
     return s
 
 
@@ -3756,48 +3817,128 @@ def _rewrite_templates(s: str, table: list[str]) -> str:
 
 
 
-_POSITIONAL_RE = re.compile(
-    r"\bFROM\s+([A-Za-z_][\w.]*)\s+POSITIONAL\s+JOIN\s+([A-Za-z_][\w.]*)",
-    re.IGNORECASE,
-)
+_POSITIONAL_RE = re.compile(r"\bPOSITIONAL\s+JOIN\b", re.IGNORECASE)
+
+_PJ_STOP_WORDS = frozenset((
+    "POSITIONAL", "JOIN", "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET",
+    "ON", "USING", "HAVING", "QUALIFY", "UNION", "INTERSECT", "EXCEPT",
+    "WINDOW", "FETCH",
+))
+
+
+def _pj_parse_source(s: str, pos: int):
+    """Parse one table source at ``pos``: a bare name or a
+    parenthesized derived table, with an optional ``[AS] alias
+    [(col, …)]``. Returns (end, source_sql, alias, cols|None) or
+    None when the text is not a source."""
+    wm = re.match(r"\s*", s[pos:])
+    pos += wm.end()
+    if pos < len(s) and s[pos] == "(":
+        close = _matching_paren(s, pos)
+        src = s[pos : close + 1]
+        end = close + 1
+        derived = True
+    else:
+        im = re.match(r"[A-Za-z_][\w.]*", s[pos:])
+        if not im:
+            return None
+        src = im.group(0)
+        end = pos + im.end()
+        derived = False
+    alias = cols = None
+    am = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", s[end:], re.IGNORECASE)
+    if am and am.group(1).upper() not in _PJ_STOP_WORDS:
+        alias = am.group(1)
+        end += am.end()
+        cm = re.match(r"\s*\(", s[end:])
+        if cm and derived:
+            open2 = end + cm.end() - 1
+            close2 = _matching_paren(s, open2)
+            cols = [c.strip() for c in
+                    _split_top_commas(s[open2 + 1 : close2])]
+            end = close2 + 1
+    return end, src, alias, cols
 
 
 
-def _rewrite_positional_join(s: str, spark) -> str:
+def _rewrite_positional_join(s: str, spark, table=None) -> str:
     """``FROM a POSITIONAL JOIN b`` → rank-paired FULL join (DuckDB pads
     the shorter side with NULLs). Without this rewrite Spark parses
     POSITIONAL as a table alias and silently returns a CROSS join — so
     any unsupported shape fails closed instead of falling through.
     Row order follows the scan via monotonically_increasing_id, which is
-    DuckDB's contract too (file order, not a semantic ordering)."""
+    DuckDB's contract too (file order, not a semantic ordering). Round
+    15 (hunt H): sides may be derived tables — ``(VALUES …) a(d)
+    POSITIONAL JOIN (SELECT …) b`` — column names come from the alias
+    column list when given, else a LIMIT-0 schema probe."""
     while m := _POSITIONAL_RE.search(s):
         if spark is None:
             raise ValueError("POSITIONAL JOIN requires a session")
-        names = (m.group(1), m.group(2))
-        sides = []
-        for name, alias in zip(names, ("l", "r")):
-            cols = spark.table(name).columns
-            sides.append(
-                [f"{alias}.`{c}`" for c in cols]
+        # left source: the nearest FROM/JOIN whose source parse ends
+        # exactly at the POSITIONAL keyword (a nested FROM inside a
+        # derived-table side parses short and is skipped)
+        left = fm = None
+        for fm2 in list(
+            re.finditer(r"(?i)\b(?:FROM|JOIN)\s+", s[: m.start()])
+        )[::-1]:
+            cand = _pj_parse_source(s, fm2.end())
+            if cand and not s[cand[0] : m.start()].strip():
+                left, fm = cand, fm2
+                break
+        if left is None:
+            raise ValueError(
+                "POSITIONAL JOIN: cannot parse the left source"
             )
-        col_list = ", ".join(sides[0] + sides[1])
+        right = _pj_parse_source(s, m.end())
+        if not right:
+            raise ValueError(
+                "POSITIONAL JOIN: cannot parse the right source"
+            )
 
-        def ranked(tbl: str) -> str:
+        def side_cols(src: str, alias, cols, out_alias: str):
+            if cols is not None:
+                return [f"{out_alias}.`{c}`" for c in cols]
+            if not src.startswith("("):
+                return [f"{out_alias}.`{c}`"
+                        for c in spark.table(src).columns]
+            probe = src if table is None else _unmask(src, table)
+            try:
+                probed = spark.sql(
+                    f"SELECT * FROM {probe} __dd_pjp LIMIT 0"
+                ).columns
+            except Exception as exc:
+                raise ValueError(
+                    "POSITIONAL JOIN: cannot resolve columns of a "
+                    f"derived side ({exc})"
+                ) from None
+            return [f"{out_alias}.`{c}`" for c in probed]
+
+        l_end, l_src, l_alias, l_cols = left
+        r_end, r_src, r_alias, r_cols = right
+        col_list = ", ".join(
+            side_cols(l_src, l_alias, l_cols, "l")
+            + side_cols(r_src, r_alias, r_cols, "r")
+        )
+
+        def ranked(src: str, alias, cols) -> str:
+            ref = src
+            if src.startswith("("):
+                ref = f"{src} {alias or '__dd_pjs'}"
+                if cols is not None:
+                    ref += "(" + ", ".join(cols) + ")"
             return (
                 f"(SELECT *, row_number() OVER (ORDER BY __dd_mid) AS __dd_rn "
                 f"FROM (SELECT *, monotonically_increasing_id() AS __dd_mid "
-                f"FROM {tbl}))"
+                f"FROM {ref}))"
             )
 
+        kw = s[fm.start() : fm.end()].strip().upper()
         repl = (
-            f"FROM (SELECT {col_list} FROM {ranked(names[0])} l "
-            f"FULL JOIN {ranked(names[1])} r ON l.__dd_rn = r.__dd_rn) __dd_pj"
+            f"{kw} (SELECT {col_list} FROM "
+            f"{ranked(l_src, l_alias, l_cols)} l "
+            f"FULL JOIN {ranked(r_src, r_alias, r_cols)} r "
+            f"ON l.__dd_rn = r.__dd_rn) __dd_pj"
         )
-        s = s[: m.start()] + repl + s[m.end() :]
-    if re.search(r"\bPOSITIONAL\s+JOIN\b", s, re.IGNORECASE):
-        raise ValueError(
-            "POSITIONAL JOIN is supported only between plain table "
-            "references (no aliases/subqueries)"
-        )
+        s = s[: fm.start()] + repl + s[r_end:]
     return s
 

@@ -662,19 +662,41 @@ def _rewrite_qualify(s: str) -> str:
 
 # --- ASOF JOIN -------------------------------------------------------------
 
-def _scrub_bare_star(s: str) -> str:
-    """If the main query block projects a bare ``*``, exclude the helper
-    column the ASOF rewrite added to the right side. Depth-0 only — CTE
-    bodies and the inserted subquery (which uses ``__r.*``) are inside
-    parentheses and untouched."""
-    idx, _ = _find_top_keyword(s, ("SELECT",))
-    if idx < 0:
+def _scrub_bare_star(s: str, join_pos: int) -> str:
+    """If the query block CONTAINING the rewritten ASOF join projects a
+    bare ``*``, exclude the helper column the rewrite added to the
+    right side. Round 15 (hunt H): the scrub previously always hit the
+    top-level SELECT — wrong when the ASOF join sits inside a derived
+    table (e.g. a PIVOT source) whose own select list is explicit; the
+    bound column never escapes that subquery, and the outer EXCEPT
+    then referenced a nonexistent name. The enclosing SELECT is found
+    by walking back from the join at matching paren depth."""
+    depth = 0
+    i = join_pos
+    sel_idx = None
+    while i >= 0:
+        c = s[i]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                break  # left our query block: no SELECT to scrub here
+            depth -= 1
+        elif (depth == 0 and c in "Ss"
+              and re.match(r"(?i)SELECT\b", s[i:])
+              and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))):
+            sel_idx = i
+            break
+        i -= 1
+    if sel_idx is None:
         return s
     m = re.match(
-        r"SELECT\s+\*(?!\s*EXCEPT)(?=\s*,|\s+FROM)", s[idx:], re.IGNORECASE
+        r"SELECT\s+\*(?!\s*EXCEPT)(?=\s*,|\s+FROM)", s[sel_idx:],
+        re.IGNORECASE,
     )
     if m:
-        s = s[:idx] + "SELECT * EXCEPT (__asof_bound)" + s[idx + m.end():]
+        star_end = sel_idx + m.end()
+        s = s[:star_end] + " EXCEPT (__asof_bound)" + s[star_end:]
     return s
 
 
@@ -812,7 +834,7 @@ def _rewrite_asof(s: str) -> str:
             + f"{join_kind} {sub} ON {new_cond}"
             + s[cond_end:]
             )
-        s = _scrub_bare_star(s)
+        s = _scrub_bare_star(s, m.start())
 
 
 
@@ -1582,6 +1604,213 @@ def _window_spec_parts(spec: str) -> tuple[str, str]:
         orders = ", ".join(keys)
     return parts, orders
 
+
+
+_WINDOW_KW_RE = re.compile(r"\bWINDOW\s+(?=[A-Za-z_]\w*\s+AS\s*\()",
+                           re.IGNORECASE)
+
+
+def _inline_named_windows(s: str) -> str:
+    """Inline a named WINDOW definition into its ``OVER name`` uses
+    when the definition carries a frame only the inline-OVER rewrites
+    can lower (``EXCLUDE …`` / ``GROUPS`` — hunt H r15: ``WINDOW w AS
+    (… EXCLUDE CURRENT ROW)`` previously failed closed because
+    _rewrite_exclude_frames only sees ``OVER ( … )``). Definitions
+    without such frames stay in the native WINDOW clause (Spark
+    supports it)."""
+    changed = True
+    while changed:
+        changed = False
+        for wm in _WINDOW_KW_RE.finditer(s):
+            pos = wm.end()
+            defs: list[tuple[str, str]] = []
+            clause_end = pos
+            while True:
+                dm = re.match(r"([A-Za-z_]\w*)\s+AS\s*\(", s[pos:],
+                              re.IGNORECASE)
+                if not dm:
+                    break
+                open_idx = pos + dm.end() - 1
+                close = _matching_paren(s, open_idx)
+                defs.append((dm.group(1), s[open_idx + 1 : close]))
+                clause_end = close + 1
+                nxt = re.match(r"\s*,\s*", s[close + 1 :])
+                if not nxt:
+                    break
+                pos = close + 1 + nxt.end()
+            inline = [
+                d for d in defs
+                if re.search(r"(?i)\bEXCLUDE\s+(?:CURRENT|GROUP|TIES|"
+                             r"NO\s+OTHERS)|\bGROUPS\b", d[1])
+            ]
+            if not inline:
+                continue
+            keep = [d for d in defs if d not in inline]
+            clause = ("WINDOW " + ", ".join(f"{n} AS ({sp})"
+                                            for n, sp in keep)
+                      if keep else "")
+            s = s[: wm.start()] + clause + s[clause_end:]
+            for name, spec in inline:
+                s = re.sub(rf"(?i)\bOVER\s+{name}\b", f"OVER ({spec})",
+                           s)
+            changed = True
+            break
+    return s
+
+
+_STD_PIVOT_COUNT_RE = re.compile(r"\bPIVOT\s*\(\s*count\s*\(",
+                                 re.IGNORECASE)
+
+
+def _rewrite_std_pivot_count(s: str, table: list[str]) -> str:
+    """SQL-standard ``PIVOT (count(…) FOR c IN (v1, v2))``: DuckDB
+    fills absent (group, value) cells with 0 for count, Spark's native
+    PIVOT leaves NULL (hunt H r15 — the composed probe was PIVOT over
+    an ASOF-join source). The pivot output's value-column names are
+    known from the IN list, so the source+PIVOT segment wraps in a
+    projection that coalesces exactly those columns; other aggregates
+    (sum/min/max/avg) are NULL-celled in both engines and stay
+    native."""
+    pos = 0
+    while m := _STD_PIVOT_COUNT_RE.search(s, pos):
+        piv_open = s.index("(", m.start())
+        piv_close = _matching_paren(s, piv_open)
+        body = s[piv_open + 1 : piv_close]
+        bm = re.match(
+            r"(?is)\s*count\s*\(.*?\)\s+FOR\s+[A-Za-z_]\w*\s+IN\s*\(",
+            body,
+        )
+        if not bm:
+            pos = piv_close + 1
+            continue
+        in_open = piv_open + 1 + bm.end() - 1
+        in_close = _matching_paren(s, in_open)
+        names = []
+        for v in _split_top_commas(s[in_open + 1 : in_close]):
+            v = v.strip()
+            vm = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_]\w*|\x00\d+\x00)"
+                          r"\s*$", v)
+            raw = vm.group(2) if vm else v
+            raw = _unmask(raw, table).strip()
+            if (len(raw) >= 2 and raw[0] == raw[-1]
+                    and raw[0] in "'\""):
+                raw = raw[1:-1]
+            names.append(raw)
+        # source: the paren group or dotted identifier just before PIVOT
+        src_end = m.start()
+        while src_end > 0 and s[src_end - 1] in " \t\n":
+            src_end -= 1
+        if src_end and s[src_end - 1] == ")":
+            depth, j = 0, src_end - 1
+            while j >= 0:
+                if s[j] == ")":
+                    depth += 1
+                elif s[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            src_start = j
+        else:
+            im = re.search(r"[A-Za-z_][\w.]*$", s[:src_end])
+            if not im:
+                pos = piv_close + 1
+                continue
+            src_start = im.start()
+        # optional trailing alias stays outside the wrap
+        am2 = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", s[piv_close + 1 :],
+                       re.IGNORECASE)
+        alias = ""
+        tail_start = piv_close + 1
+        if am2 and am2.group(1).upper() not in ("WHERE", "GROUP", "ORDER",
+                                                "LIMIT", "QUALIFY", "ON",
+                                                "JOIN", "UNION", "HAVING",
+                                                "WINDOW", "OFFSET"):
+            alias = " " + am2.group(1)
+            tail_start += am2.end()
+        quoted = ", ".join(f"`{n}`" for n in names)
+        cos = ", ".join(f"coalesce(`{n}`, 0) AS `{n}`" for n in names)
+        seg = s[src_start : piv_close + 1]
+        repl = (f"(SELECT * EXCEPT ({quoted}), {cos} FROM {seg})"
+                f"{alias or ' __dd_pvt'}")
+        s = s[:src_start] + repl + s[tail_start:]
+        pos = src_start + len(repl)
+    return s
+
+
+_RANK_OVER_RE = re.compile(
+    r"\b(row_number|rank|dense_rank|percent_rank|cume_dist|ntile|lead"
+    r"|lag)\s*\([^()]*\)\s*OVER\s*(\(|[A-Za-z_]\w*)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_unordered_rank(s: str) -> str:
+    """Rank-family window functions over a spec WITHOUT ``ORDER BY``
+    (hunt H r15): DuckDB permits them — rows number in arbitrary
+    (scan) order — while Spark requires an ordered window. ``ORDER BY
+    1`` (a constant) reproduces the arbitrary-order contract exactly.
+    Only the rank family is touched: appending an ORDER BY to an
+    AGGREGATE's window would silently shrink its default frame from
+    the whole partition to range-to-current-row. Named windows are
+    expanded at the call site (patching the shared WINDOW definition
+    would hit aggregate users too)."""
+    # named-window defs, for call-site expansion
+    defs: dict[str, str] = {}
+    for wm in _WINDOW_KW_RE.finditer(s):
+        pos = wm.end()
+        while True:
+            dm = re.match(r"([A-Za-z_]\w*)\s+AS\s*\(", s[pos:],
+                          re.IGNORECASE)
+            if not dm:
+                break
+            open_idx = pos + dm.end() - 1
+            close = _matching_paren(s, open_idx)
+            defs[dm.group(1).lower()] = s[open_idx + 1 : close]
+            nxt = re.match(r"\s*,\s*", s[close + 1 :])
+            if not nxt:
+                break
+            pos = close + 1 + nxt.end()
+
+    def _no_order(spec: str) -> bool:
+        depth = 0
+        up = spec.upper()
+        i = 0
+        while i < len(up):
+            c = up[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and up.startswith("ORDER", i) and (
+                    i == 0 or not (up[i - 1].isalnum() or up[i - 1] == "_")):
+                return False
+            i += 1
+        return True
+
+    pos = 0
+    while m := _RANK_OVER_RE.search(s, pos):
+        tgt = m.group(2)
+        if tgt == "(":
+            open_idx = m.end() - 1
+            close = _matching_paren(s, open_idx)
+            spec = s[open_idx + 1 : close]
+            if _no_order(spec):
+                ins = (" ORDER BY 1" if spec.strip() else "ORDER BY 1")
+                s = s[:close] + ins + s[close:]
+                pos = close + len(ins) + 1
+            else:
+                pos = close + 1
+            continue
+        name = tgt.lower()
+        if name in defs and _no_order(defs[name]):
+            spec = (defs[name].strip() + " ORDER BY 1").strip()
+            repl = f"({spec})"
+            s = s[: m.start(2)] + repl + s[m.end(2) :]
+            pos = m.start(2) + len(repl)
+        else:
+            pos = m.end()
+    return s
 
 
 def _rewrite_exclude_frames(s: str) -> str:
@@ -2817,6 +3046,107 @@ _TO_YM_SCALE = {"to_decades": 120, "to_centuries": 1200, "to_millennia": 12000}
 
 
 
+def _fold_int_arith(expr: str):
+    """Evaluate PURE integer constant arithmetic with DuckDB's
+    semantics (``//`` and ``%`` truncate toward zero, unlike Python's
+    floor). Returns None when the text contains anything beyond
+    digits, ``+ - * // %`` and parens — columns, functions, floats,
+    and ``/`` (float division) all keep the dynamic path."""
+    toks = re.findall(r"\d+|//|[-+*%()]", expr)
+    if "".join(toks) != re.sub(r"\s+", "", expr):
+        return None
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def p_expr():
+        nonlocal pos
+        v = p_term()
+        while peek() in ("+", "-"):
+            op = toks[pos]
+            pos += 1
+            r = p_term()
+            v = v + r if op == "+" else v - r
+        return v
+
+    def p_term():
+        nonlocal pos
+        v = p_unary()
+        while peek() in ("*", "//", "%"):
+            op = toks[pos]
+            pos += 1
+            r = p_unary()
+            if op == "*":
+                v *= r
+            elif r == 0:
+                raise ValueError("division by zero")
+            elif op == "//":
+                v = trunc_div(v, r)
+            else:
+                v = v - r * trunc_div(v, r)
+        return v
+
+    def p_unary():
+        nonlocal pos
+        if peek() in ("-", "+"):
+            op = toks[pos]
+            pos += 1
+            v = p_unary()
+            return -v if op == "-" else v
+        return p_primary()
+
+    def p_primary():
+        nonlocal pos
+        t = peek()
+        if t == "(":
+            pos += 1
+            v = p_expr()
+            if peek() != ")":
+                raise ValueError("unbalanced")
+            pos += 1
+            return v
+        if t is None or not t.isdigit():
+            raise ValueError("not a constant")
+        pos += 1
+        return int(t)
+
+    try:
+        v = p_expr()
+        return v if pos == len(toks) else None
+    except ValueError:
+        return None
+
+
+def _fold_const_int_intervals(s: str) -> str:
+    """``INTERVAL (<integer constant arithmetic>) UNIT`` → ``INTERVAL n
+    UNIT`` (round-15 hunt H): Spark requires LITERAL window-frame
+    bounds and time_bucket widths, while DuckDB folds any constant
+    expression — ``RANGE BETWEEN INTERVAL (90 // 1) MINUTE PRECEDING``
+    and ``time_bucket(INTERVAL (60 // 4) MINUTE, …)`` previously
+    errored. Folding uses DuckDB's truncating ``//``/``%``; anything
+    non-constant keeps the make_dt_interval dynamic path."""
+    pos = 0
+    while m := _DYN_INTERVAL_RE.search(s, pos):
+        open_idx = m.end() - 1
+        close = _matching_paren(s, open_idx)
+        um = re.match(r"\s*([A-Za-z]+)\b", s[close + 1 :])
+        unit = um.group(1) if um else None
+        n = _fold_int_arith(s[open_idx + 1 : close])
+        if (unit is None or n is None or n < 0
+                or unit.lower() not in _DYN_INTERVAL_UNITS):
+            pos = close + 1
+            continue
+        repl = f"INTERVAL {n} {unit}"
+        s = s[: m.start()] + repl + s[close + 1 + um.end() :]
+        pos = m.start() + len(repl)
+    return s
+
+
 def _rewrite_dyn_interval(s: str) -> str:
     """DuckDB's dynamic interval ``INTERVAL (expr) UNIT`` → the matching
     make_dt_interval/make_ym_interval constructor (Spark interval
@@ -2887,6 +3217,25 @@ def _rewrite_distinct_on(s: str) -> str:
             raise ValueError("DISTINCT ON: no FROM clause")
         sel = select_from[:fm_idx].strip()
         source = select_from[fm_idx + len("FROM"):].strip()
+        # ORDER BY ALL (hunt H r15): Spark resolves ALL natively in the
+        # outer ORDER BY, but the window's ORDER BY cannot — expand to
+        # the projected select list (DuckDB's ALL = output columns
+        # left-to-right; a bare-column projection keeps names valid
+        # inside the window subquery).
+        am = re.fullmatch(r"(?i)ALL(\s+(?:ASC|DESC))?(\s+NULLS\s+\w+)?",
+                          order_list.strip())
+        if am:
+            if "*" in sel:
+                raise ValueError(
+                    "DISTINCT ON … ORDER BY ALL: expand * to explicit "
+                    "columns (the window ordering needs a column list)"
+                )
+            sfx = (am.group(1) or "") + (am.group(2) or "")
+            order_list = ", ".join(
+                re.split(r"(?i)\s+AS\s+[A-Za-z_\"]\w*\s*$",
+                         c.strip())[0] + sfx
+                for c in _split_top_commas(sel)
+            )
         repl = (
             f"SELECT {sel} FROM (SELECT *, row_number() OVER "
             f"(PARTITION BY {keys} ORDER BY {order_list}) AS __dd_don "

@@ -573,6 +573,49 @@ def _rewrite_interval_chain_arith(s: str, table: list[str]) -> str:
 
 
 
+_STR_ARRAY_CAST_RE = re.compile(
+    # string-typed operands recognizable from text: a string literal
+    # (mask token, optionally ::JSON-annotated and parenthesized) or a
+    # json_extract call (the dd_ rename happens later in the pipeline)
+    r"\bCAST\s*\(\s*(?:(?:dd_)?json_extract\w*\s*\(|\(?\s*\x00\d+\x00"
+    r"(?:\s*::\s*JSON\b)?\s*\)?\s+AS\b)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_string_array_casts(s: str) -> str:
+    """``CAST(<json/string text> AS ARRAY<T>)`` → ``from_json`` (round-15
+    hunt H): DuckDB casts VARCHAR/JSON text to a LIST by parsing the
+    bracket syntax — ``('{"a":[1,2,3]}'::JSON)->'a'`` then ``::INT[]``
+    is the idiomatic extraction chain — while Spark has no STRING→ARRAY
+    cast. Covers the two textually-recognizable string-typed operands:
+    a string literal (mask token) and the dd_json_extract shims; JSON
+    text is valid from_json input by construction. Runs after
+    _rewrite_nested_cast_types (which spells the ARRAY<> target)."""
+    pos = 0
+    while m := _STR_ARRAY_CAST_RE.search(s, pos):
+        cast_open = s.index("(", m.start())
+        cast_close = _matching_paren(s, cast_open)
+        body = s[cast_open + 1 : cast_close]
+        am = re.search(
+            r"(?i)\s+AS\s+(ARRAY\s*<.*>|[A-Za-z_]\w*"
+            r"(?:\s*\(\s*\d+\s*(?:,\s*\d+)?\s*\))?\s*\[\s*\])\s*$",
+            body,
+        )
+        if not am:
+            pos = cast_close + 1
+            continue
+        operand = body[: am.start()].strip()
+        ty = am.group(1).strip()
+        if ty.endswith("]"):  # bare-word T[] → ARRAY<T>
+            ty = "ARRAY<" + re.sub(r"\s*\[\s*\]$", "", ty) + ">"
+        ty = re.sub(r"(?i)\bVARCHAR\b|\bBPCHAR\b|\bTEXT\b", "STRING", ty)
+        repl = f"from_json({operand}, '{ty}')"
+        s = s[: m.start()] + repl + s[cast_close + 1 :]
+        pos = m.start() + len(repl)
+    return s
+
+
 def _rewrite_nested_cast_types(s: str) -> str:
     """DuckDB STRUCT(name TYPE, ...) / MAP(K, V) type spellings in cast
     position → Spark STRUCT<name: TYPE, ...> / MAP<K, V> (one level;

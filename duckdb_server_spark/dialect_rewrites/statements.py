@@ -1706,6 +1706,11 @@ def _self_delimiting(tok: str) -> bool:
         return False
     if re.fullmatch(r"[A-Za-z_]\w*(\s+'[^']*')?", tok):
         return True  # bare word or typed literal
+    if re.fullmatch(r"(?i)INTERVAL\s+('[^']*'|\d+)(\s+[A-Za-z]+)?", tok):
+        # interval literal: a primary; wrapping it in parens would hide
+        # it from the date-arithmetic rewrites (DATE + INTERVAL must
+        # yield TIMESTAMP — hunt H r15 found the paren broke that)
+        return True
     if re.fullmatch(r"[\w.]+", tok):
         return True  # number-ish token (no operators)
     if tok[0] in "[(" and tok[-1] in "])":

@@ -227,12 +227,11 @@ def test_positional_join_pads_shorter_side(sql_session, duck):
     )
 
 
-def test_positional_join_unsupported_shape_fails_closed(sql_session):
-    with serving_dialect(True), pytest.raises(Exception):
-        run_sql(
-            sql_session,
-            "SELECT * FROM (SELECT 1) a POSITIONAL JOIN (SELECT 2) b",
-        ).collect()
+def test_positional_join_derived_sides(sql_session, duck):
+    # round 15 (hunt H): derived-table sides are SUPPORTED — previously
+    # fail-closed; columns resolve via a LIMIT-0 probe or alias list
+    _match(sql_session, duck,
+           "SELECT * FROM (SELECT 1) a POSITIONAL JOIN (SELECT 2) b")
 
 
 # --- batch 3 (second probe battery) ----------------------------------------
