@@ -6783,12 +6783,12 @@ def b34h_vorbis_submaps_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHEN k IN (7, 8) THEN 'image'
            WHEN k = 9 THEN 'webm'
            ELSE 'unknown' END AS family,
-      CASE WHEN k = 2 THEN 'fail-closed:vorbis-floor0'
-           WHEN k = 4 THEN 'fail-closed:flac-subset'
+      CASE WHEN k = 4 THEN 'fail-closed:flac-subset'
            WHEN k = 8 THEN 'fail-closed:vp8-dims'
            WHEN k = 10 THEN 'not-media'
            ELSE 'decoded' END AS status,
       CAST(CASE WHEN k = 0 THEN 256 WHEN k = 1 THEN 160
+           WHEN k = 2 THEN 256
            WHEN k = 3 THEN 64 WHEN k = 5 THEN 32
            WHEN k = 6 THEN 1 WHEN k = 7 THEN 256
            WHEN k = 9 THEN 3 ELSE 0 END AS INT) AS n_units,
@@ -6810,8 +6810,9 @@ def b86_multimodal_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     extended across every codec family the engine carries. Each
     document becomes one of ELEVEN payload classes by doc_id % 11:
     (0) mono Ogg-Vorbis, (1) the round-14 switched-STEREO Ogg-Vorbis,
-    (2) a Vorbis stream whose setup declares floor type 0 →
-    fail-closed BY NAME, (3) FLAC, (4) FLAC whose STREAMINFO is
+    (2) a mono FLOOR-TYPE-0 (LSP) Vorbis stream — DECODED since round
+    15 (VERDICT r14 item 7 retired the engine's last structural
+    Vorbis guard), (3) FLAC, (4) FLAC whose STREAMINFO is
     patched to stereo → fail-closed subset, (5) PCM WAV, (6) a
     decodable MP3 frame (via mp3_decode_census, the round-13
     template), (7) a lossy-WebP VP8 key frame, (8) the same frame

@@ -1034,12 +1034,12 @@ def st_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN k IN (7, 8) THEN 'image'
              WHEN k = 9 THEN 'webm'
              ELSE 'unknown' END AS family,
-        CASE WHEN k = 2 THEN 'fail-closed:vorbis-floor0'
-             WHEN k = 4 THEN 'fail-closed:flac-subset'
+        CASE WHEN k = 4 THEN 'fail-closed:flac-subset'
              WHEN k = 8 THEN 'fail-closed:vp8-dims'
              WHEN k = 10 THEN 'not-media'
              ELSE 'decoded' END AS status,
         CASE WHEN k = 0 THEN 256 WHEN k = 1 THEN 160
+             WHEN k = 2 THEN 256
              WHEN k = 3 THEN 64 WHEN k = 5 THEN 32
              WHEN k = 6 THEN 1 WHEN k = 7 THEN 256
              WHEN k = 9 THEN 3 ELSE 0 END AS n_units,

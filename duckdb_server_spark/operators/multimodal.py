@@ -669,18 +669,29 @@ def build_census_fixture(doc_id: int, cs: bytes) -> bytes:
             coupling_steps=[(0, 1)], bs0_log2=6, bs1_log2=8,
             mode_blockflags=(0, 1))
     if k == 2:
-        bw = _BitWriterLSB()
-        bw.write(0, 8)
-        book_a.write_header(bw)
-        bw.write(0, 6)
-        bw.write(0, 16)
-        bw.write(0, 6)
-        bw.write(0, 16)  # floor TYPE 0 -> fail-closed by name
-        setup0 = _common_header(5) + bw.render()
-        comment = _common_header(3) + bytes(8) + b"\x01"
-        return write_stream(
-            0x22, [encode_vorbis_id(1, 8000), comment, setup0],
-            [0, 0, 0])
+        # round 15 (VERDICT r14 item 7): floor type 0 DECODES — class
+        # 2 upgrades from fail-closed:vorbis-floor0 to a real mono
+        # LSP-floor stream (fixed ascending coefficients in (0, π);
+        # amplitude + residue vary with the document characters)
+        from duckdb_server_spark.operators.vorbis import (
+            Floor0,
+            encode_vorbis_audio_floor0,
+        )
+
+        book_d = Codebook(
+            4, 16, [4] * 16, lookup_type=2, minimum=0.0, delta=0.125,
+            multiplicands=[3 * j + e % 4 + 1
+                           for e in range(16) for j in range(4)],
+        )
+        f0 = Floor0(order=8, rate=8000, bark_map_size=64,
+                    amplitude_bits=6, amplitude_offset=10,
+                    book_list=[3])
+        books0 = books + [book_d]
+        pkts0 = [encode_vorbis_audio_floor0(
+            (cs[0] + q) % 63 + 1, 0, [5, 9],
+            [(cs[t % 6] + t + 13 * q) % 16 for t in range(32)],
+            [15], f0, res128, books0) for q in range(3)]
+        return encode_ogg_vorbis(pkts0, books0, f0, res128)
     if k in (3, 4):
         samples = [cs[t % 6] * (t // 8 + 1) - 480 for t in range(64)]
         blob = encode_flac(samples, 8000)

@@ -205,7 +205,9 @@ def test_residue_through_type1_codebook():
     assert vec[32:] == [0.0] * 96
 
 
-def test_floor0_fails_closed():
+def test_unknown_floor_type_fails_closed():
+    # round 15: floor type 0 DECODES (tests/test_r15_vorbis_floor0) —
+    # the fail-closed pin moves to the spec-invalid type 2
     from duckdb_server_spark.operators.vorbis import (
         _BitWriterLSB,
         _common_header,
@@ -218,8 +220,8 @@ def test_floor0_fails_closed():
     bw.write(0, 6)
     bw.write(0, 16)
     bw.write(0, 6)
-    bw.write(0, 16)  # floor type 0 -> LSP, out of subset
-    with pytest.raises(NotImplementedError, match="floor type 0"):
+    bw.write(2, 16)  # floor type 2: not in the spec's 0/1 set
+    with pytest.raises(NotImplementedError, match="floor type 2"):
         parse_vorbis_setup(_common_header(5) + bw.render())
 
 

@@ -85,7 +85,11 @@ def test_vorbis_switched_stereo_decoded():
     assert out["status"] == "decoded" and out["n_units"] == 160
 
 
-def test_vorbis_floor0_fail_closed_by_name():
+def test_vorbis_truncated_floor0_setup_is_malformed():
+    # round 15: floor type 0 DECODES (tests/test_r15_vorbis_floor0);
+    # this round-14 stub — a setup header that declares floor type 0
+    # then ends — is now a DATA fault (truncated config), not a
+    # named fail-closed subset
     books, _, _ = _fixture()
     bw = _BitWriterLSB()
     bw.write(0, 8)
@@ -93,14 +97,33 @@ def test_vorbis_floor0_fail_closed_by_name():
     bw.write(0, 6)
     bw.write(0, 16)
     bw.write(0, 6)
-    bw.write(0, 16)  # floor type 0
+    bw.write(0, 16)  # floor type 0, config missing
+    setup0 = _common_header(5) + bw.render()
+    comment = _common_header(3) + bytes(8) + b"\x01"
+    payload = write_stream(
+        0x22, [encode_vorbis_id(1, 8000), comment, setup0], [0, 0, 0])
+    out = media_census(payload)
+    assert out["family"] == "ogg-vorbis"
+    assert out["status"].startswith(("error:", "fail-closed:"))
+    assert out["status"] != "fail-closed:vorbis-floor0"
+
+
+def test_vorbis_floor_type_2_fails_closed_by_name():
+    books, _, _ = _fixture()
+    bw = _BitWriterLSB()
+    bw.write(0, 8)
+    books[0].write_header(bw)
+    bw.write(0, 6)
+    bw.write(0, 16)
+    bw.write(0, 6)
+    bw.write(2, 16)  # floor type 2: not in the spec's 0/1 set
     setup0 = _common_header(5) + bw.render()
     comment = _common_header(3) + bytes(8) + b"\x01"
     payload = write_stream(
         0x22, [encode_vorbis_id(1, 8000), comment, setup0], [0, 0, 0])
     out = media_census(payload)
     assert out == {"family": "ogg-vorbis",
-                   "status": "fail-closed:vorbis-floor0",
+                   "status": "fail-closed:vorbis-floor",
                    "n_units": 0, "evidence": None}
 
 
