@@ -1200,12 +1200,14 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     if m := _PIVOT_RE.match(sql):
         state = dialect_state(spark)
         key = " ".join(sql.split())
-        df = state.pivot_cache.pop(key, None)
+        with state.lru_lock:  # r15: concurrent serving threads share
+            df = state.pivot_cache.pop(key, None)  # this LRU
         if df is None:
             df = _run_pivot(spark, m)
-        state.pivot_cache[key] = df  # reinsert = most-recently-used
-        while len(state.pivot_cache) > _PIVOT_CACHE_CAP:
-            state.pivot_cache.pop(next(iter(state.pivot_cache)))
+        with state.lru_lock:
+            state.pivot_cache[key] = df  # reinsert = most-recently-used
+            while len(state.pivot_cache) > _PIVOT_CACHE_CAP:
+                state.pivot_cache.pop(next(iter(state.pivot_cache)))
         return df
     if m := _UNPIVOT_RE.match(sql):
         # DuckDB `UNPIVOT t ON c1, c2 INTO NAME k VALUE v` → Spark's

@@ -77,6 +77,12 @@ class DialectState:
     # CREATE SCHEMA names: qualified references flatten onto the single
     # temp-view namespace (the warehouse model — one catalog lifetime)
     schemas: set[str] = field(default_factory=set)
+    # LRU mutation lock (round 15, VERDICT r14 item 3): the Flight
+    # server runs requests on a thread pool sharing this state —
+    # unguarded next(iter())/del eviction races KeyError or evicts a
+    # just-inserted entry under concurrency; single-threaded embedded
+    # use pays one uncontended acquire
+    lru_lock: threading.RLock = field(default_factory=threading.RLock)
 
 
 
@@ -90,11 +96,15 @@ def _track_temp_view(spark: SparkSession, name: str) -> None:
     """Record a wire-input-derived temp view in the LRU; evict (and drop
     from the catalog) the least-recently-used past the cap."""
     state = dialect_state(spark)
-    state.temp_views.pop(name, None)
-    state.temp_views[name] = None
-    while len(state.temp_views) > _TEMP_VIEW_CAP:
-        old = next(iter(state.temp_views))
-        del state.temp_views[old]
+    with state.lru_lock:
+        state.temp_views.pop(name, None)
+        state.temp_views[name] = None
+        evict = []
+        while len(state.temp_views) > _TEMP_VIEW_CAP:
+            old = next(iter(state.temp_views))
+            del state.temp_views[old]
+            evict.append(old)
+    for old in evict:  # catalog drop outside the lock (py4j call)
         spark.catalog.dropTempView(old)
 
 
