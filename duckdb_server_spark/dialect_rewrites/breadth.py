@@ -3786,11 +3786,39 @@ def _rewrite_from_first_subquery(s: str) -> str:
 
 def _rewrite_postfix_factorial(s: str) -> str:
     """DuckDB's postfix ``x!`` → ``factorial(x)`` for simple operands
-    (numbers/identifiers); other shapes fall through to a parse error
-    rather than silently changing meaning."""
+    (numbers/identifiers) and — round 15, hunt-H grammar fuzzer —
+    parenthesized groups (``(n % 2 + 2)!``, which DuckDB 1.0 accepts);
+    other shapes fall through to a parse error rather than silently
+    changing meaning."""
     out = s
     while m := _POSTFIX_FACT_RE.search(out):
         out = out[: m.start()] + f"factorial({m.group(1)})" + out[m.end() :]
+    pos = 0
+    while m := re.search(r"\)\s*!(?![=~])", out[pos:]):
+        close = pos + m.start()
+        depth, j = 0, close
+        while j >= 0:
+            if out[j] == ")":
+                depth += 1
+            elif out[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            pos = close + 1
+            continue
+        # only when the group is a bare operand (not a call's arglist)
+        w = re.search(r"([A-Za-z_]\w*)\s*$", out[:j])
+        if w and w.group(1).upper() not in (
+                "AND", "OR", "NOT", "WHEN", "THEN", "ELSE", "IN",
+                "SELECT", "WHERE", "BY", "ON", "AS", "BETWEEN"):
+            pos = close + 1  # f(...)!: factorial of a CALL — leave it
+            continue
+        grp = out[j : close + 1]
+        end = pos + m.end()
+        out = out[:j] + f"factorial{grp}" + out[end:]
+        pos = j
     return out
 
 

@@ -838,6 +838,44 @@ def _rewrite_in_subquery_3vl(s: str) -> str:
         while op_end > 0 and s[op_end - 1] in " \t\n":
             op_end -= 1
         lstart = _primary_back(s, op_end)
+        # round-15 hunt H (grammar fuzzer): IN binds LOOSER than every
+        # arithmetic/concat operator, so ``x % 5 IN (sub)`` means
+        # ``(x % 5) IN (sub)`` — the operand must span the whole
+        # arithmetic chain, not just the rightmost primary (the r14
+        # primary-only capture rewrote the ``5`` alone, gluing the
+        # CASE onto ``x %``). Walk left over binary operators whose
+        # left side is a real primary; a leading unary sign joins too.
+        while lstart > 0:
+            k = lstart - 1
+            while k >= 0 and s[k] in " \t\n":
+                k -= 1
+            if k < 0:
+                break
+            if k >= 1 and s[k - 1 : k + 1] in ("<<", ">>", "||", "//"):
+                opk = k - 1
+            elif s[k] in "+-*/%&^":
+                opk = k
+            else:
+                break
+            j = opk - 1
+            while j >= 0 and s[j] in " \t\n":
+                j -= 1
+            if j < 0 or s[j] in "(,":
+                if s[opk] in "+-":
+                    lstart = opk  # unary sign on the operand
+                break
+            prev_start = _primary_back(s, j + 1)
+            prev = s[prev_start : j + 1].strip()
+            if (not prev
+                    or (re.fullmatch(r"[A-Za-z_]\w*", prev)
+                        and prev.upper() in _CMP_LEFT_BOOL | {
+                            "THEN", "ELSE", "SELECT", "BY", "ALL",
+                            "DISTINCT", "AS", "IN", "BETWEEN", "LIKE",
+                            "RETURN", "CASE", "OVER", "SET"})):
+                if s[opk] in "+-":
+                    lstart = opk
+                break
+            lstart = prev_start
         operand = s[lstart:op_end].strip()
         if not operand:
             pos = m.end()

@@ -54,6 +54,24 @@ Silent wrong answers / coverage gaps FOUND AND FIXED this round
   string-typed operands (literals, json_extract chains) lower to
   from_json (nested.py::_rewrite_string_array_casts).
 
+Wave 3 — the GRAMMAR FUZZER (tools/hunt_h_fuzz.py): a seeded product
+of 4 sources × 55 expression pairs × 6 wrappers = 1,320 compositions,
+each executed on both engines. Finds (both fixed, pinned in
+test_fuzzer_finds):
+
+* **IN (subquery) after arithmetic**: IN binds looser than every
+  arithmetic/concat operator, so ``x % 5 IN (sub)`` is ``(x % 5) IN
+  (sub)`` — the 3VL rewrite captured only the rightmost primary and
+  glued its CASE onto ``x %`` (nested.py operand-chain walk, with
+  keyword/unary-sign guards).
+* **Parenthesized postfix factorial**: ``(n % 2 + 2)!`` is valid
+  DuckDB; only bare identifiers/numbers rewrote
+  (breadth.py::_rewrite_postfix_factorial group branch).
+
+Final sweep after fixes: **1,320/1,320 compositions match, zero
+one-sided errors** (/tmp/hh_fuzz3.log; rerun with
+``python tools/hunt_h_fuzz.py``).
+
 Accepted divergences (pinned below):
 * list_intersect element ORDER is engine-defined in DuckDB (hash
   iteration) — compared sorted.
@@ -583,6 +601,39 @@ def test_wave2_compositions(sqlh, duck, sql):
     "n_nationkey LIMIT 4",
 ])
 def test_wave2_prepare_window_chain(sqlh, duck, sql):
+    _match(sqlh, duck, sql)
+
+
+# --- wave 3: grammar-fuzzer finds (tools/hunt_h_fuzz.py) -------------------
+# The seeded product of 4 sources × 55 expression pairs × 6 wrappers
+# (1,320 compositions) ran against DuckDB 1.0: ZERO silent mismatches;
+# two one-sided error classes found and fixed, pinned here.
+
+@pytest.mark.parametrize("sql", [
+    # IN (subquery) binds LOOSER than arithmetic/concat — the operand
+    # must span the whole chain (the r14 primary-only capture glued
+    # the 3VL CASE onto `x %`)
+    "SELECT n_nationkey AS id0, (n_nationkey % 5 IN (SELECT "
+    "r_regionkey FROM region)) AS e2 FROM nation ORDER BY 1 LIMIT 4",
+    "SELECT (1 + 2 IN (SELECT 3)) AS r",
+    "SELECT (-1 IN (SELECT -1)) AS r",
+    "SELECT ('a' || 'b' IN (SELECT 'ab')) AS r",
+    "SELECT (2 * 3 IN (SELECT x FROM (VALUES (1), (NULL)) v(x))) AS r",
+    "SELECT (2 * 3 IN (SELECT x FROM (VALUES (6), (NULL)) v(x))) AS r",
+    # …and the chain extension must NOT swallow keywords/unary signs
+    "SELECT CASE WHEN 5 IN (SELECT n_regionkey FROM nation) THEN 'y' "
+    "ELSE 'n' END AS r",
+    "SELECT coalesce('c' IN (SELECT col FROM (VALUES ('A'), (NULL)) "
+    "v(col)), false) AS r",
+    # parenthesized postfix factorial — (expr)! is valid DuckDB
+    "SELECT (3 + 0)! AS r",
+    "SELECT ([10, 20, 30, 40, 50, 60])[1:(1 % 2 + 2)!] AS r",
+    "WITH c AS (SELECT n_nationkey AS id0, ([10, 20, 30, 40, 50, 60])"
+    "[1:(n_nationkey % 2 + 2)!] AS e2 FROM nation) SELECT * FROM c "
+    "ORDER BY 1 LIMIT 4",
+    "SELECT CASE WHEN true THEN (2 + 1)! ELSE 0 END AS r",
+])
+def test_fuzzer_finds(sqlh, duck, sql):
     _match(sqlh, duck, sql)
 
 

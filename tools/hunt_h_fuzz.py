@@ -58,22 +58,38 @@ EXPRS = [
     "try_cast(CAST({i} AS VARCHAR) AS INT) // 2",
     "([10, 20, 30, 40, 50, 60])[1:({i} % 2 + 2)!]",
     "string_split({s} || '_tail', '_')[1:2]",
+    # wave 4 grammar extensions
+    "([{i} % 3, 1] < [2, 0])",
+    "CAST(('{{\"a\": [1, 2]}}'::JSON)->'a' AS INT[])[{i} % 2 + 1]",
+    "len(list_distinct([{i} % 2, 1, {i} % 2]))",
+    "date_trunc('month', DATE '2024-03-15' + INTERVAL ({i} % 4) "
+    "MONTH)",
+    "coalesce(nullif({i} % 3, 0), -1) // 2",
+    "greatest({i} % 7, 2, least({i}, 5))",
 ]
 
 WRAPPERS = [
-    # {sel} = projected expression list, {src} = FROM text,
-    # {i}/{s} columns usable in the wrapper itself
+    # {sel} = projected expression list (always led by the source's
+    # UNIQUE key as id0, so every ORDER BY ... LIMIT is fully
+    # determined — an under-ordered LIMIT would let each engine keep
+    # a different tied subset and flag false mismatches),
+    # {src} = FROM text, {i}/{s} columns usable in the wrapper itself
     "SELECT {sel} FROM {src} ORDER BY 1 LIMIT 4",
     "WITH c AS (SELECT {sel} FROM {src}) SELECT * FROM c "
-    "ORDER BY ALL LIMIT 4",
+    "ORDER BY 1 LIMIT 4",
     "SELECT {sel} FROM {src} QUALIFY row_number() OVER (ORDER BY {i}) "
     "<= 3 ORDER BY 1",
-    "SELECT {sel2}, count(*) AS c FROM {src} GROUP BY ALL "
-    "ORDER BY ALL LIMIT 4",
-    "SELECT {sel} FROM {src} ORDER BY ALL OFFSET 1 LIMIT 3",
+    "SELECT {sel}, count(*) AS c FROM {src} GROUP BY ALL "
+    "ORDER BY 1 LIMIT 4",
+    "SELECT {sel} FROM {src} ORDER BY 1 OFFSET 1 LIMIT 3",
     "WITH RECURSIVE it(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM it "
     "WHERE n < 2) SELECT it.n, {sel} FROM it, {src} "
     "ORDER BY 1, 2 LIMIT 5",
+    # wave 4 grammar extensions
+    "SELECT * FROM (SELECT {sel} FROM {src}) u UNION ALL "
+    "SELECT * FROM (SELECT {sel} FROM {src}) w ORDER BY 1 LIMIT 4",
+    "SELECT e1, count(*) AS c FROM (SELECT {sel} FROM {src}) "
+    "GROUP BY e1 HAVING count(*) >= 1 ORDER BY 1 LIMIT 3",
 ]
 
 
@@ -91,8 +107,8 @@ def compositions():
             continue  # unordered pair: half the product
         a = e1.format(i=icol, s=scol)
         b = e2.format(i=icol, s=scol)
-        sel = f"{a} AS e1, {b} AS e2"
-        sql = w.format(sel=sel, sel2=sel, src=src, i=icol, s=scol)
+        sel = f"{icol} AS id0, {a} AS e1, {b} AS e2"
+        sql = w.format(sel=sel, src=src, i=icol, s=scol)
         yield cid, sql
 
 
