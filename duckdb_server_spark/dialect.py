@@ -774,6 +774,30 @@ _DESCRIBE_RE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
 )
 
+# DuckDB allows DESCRIBE as a table subquery — ``SELECT … FROM
+# (DESCRIBE t)`` (round 15, hunt H wave 5); the describe frame
+# materializes as a temp view and the name splices in, the embedded-
+# PIVOT template.
+_EMBEDDED_DESCRIBE_RE = re.compile(
+    r"\(\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _resolve_embedded_describes(spark: SparkSession, sql: str) -> str:
+    import hashlib
+
+    masked, table_ = _mask(sql)
+    while m := _EMBEDDED_DESCRIBE_RE.search(masked):
+        name = m.group(1)
+        df = describe_frame(spark, spark.table(name))
+        vname = "__dd_desc_" + hashlib.md5(
+            name.encode()).hexdigest()[:10]
+        df.createOrReplaceTempView(vname)
+        _track_temp_view(spark, vname)
+        masked = masked[: m.start()] + vname + masked[m.end() :]
+    return _unmask(masked, table_)
+
 # DuckDB SHOW TABLES returns a single `name` column; SHOW <table> is an
 # alias of DESCRIBE. Spark-specific SHOW forms (DATABASES/FUNCTIONS/…)
 # fall through to native.
@@ -1243,6 +1267,8 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         sql = _resolve_union_by_name(spark, sql)
     if re.search(r"\(\s*PIVOT\b", sql, re.IGNORECASE):
         sql = _resolve_embedded_pivots(spark, sql)
+    if _EMBEDDED_DESCRIBE_RE.search(sql):
+        sql = _resolve_embedded_describes(spark, sql)
     if _duckdb_first(state):
         # DuckDB-first mode — the Flight serving default (wrapped per
         # request via serving_dialect) and the ``SET dialect='duckdb'``

@@ -626,7 +626,36 @@ def _rewrite_qualify(s: str) -> str:
     compute the predicate as a projected column inside a subquery, filter
     outside — the standard expansion (window functions cannot sit in
     WHERE). Works with CTE prefixes: the WITH list is parenthesized, so
-    the first depth-0 SELECT/FROM belong to the main query block."""
+    the first depth-0 SELECT/FROM belong to the main query block.
+    Round 15 (hunt H wave 5): QUALIFY inside a parenthesized subquery
+    (an IN-subquery predicate, a CTE body) rewrites recursively — the
+    top-level-only expansion left those raw (a Spark parse error)."""
+    changed = True
+    while changed:
+        changed = False
+        for qm in re.finditer(r"(?i)\bQUALIFY\b", s):
+            depth, j, open_idx = 0, qm.start() - 1, None
+            while j >= 0:
+                c = s[j]
+                if c == ")":
+                    depth += 1
+                elif c == "(":
+                    if depth == 0:
+                        open_idx = j
+                        break
+                    depth -= 1
+                j -= 1
+            if open_idx is None:
+                continue  # depth-0 QUALIFY: the block logic below
+            close = _matching_paren(s, open_idx)
+            inner = s[open_idx + 1 : close]
+            if not re.match(r"(?i)\s*\(*\s*(SELECT|WITH)\b", inner):
+                continue
+            new_inner = _rewrite_qualify(inner)
+            if new_inner != inner:
+                s = s[: open_idx + 1] + new_inner + s[close:]
+                changed = True
+                break
     q_idx, _ = _find_top_keyword(s, ("QUALIFY",))
     if q_idx < 0:
         return s

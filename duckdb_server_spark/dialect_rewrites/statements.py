@@ -816,7 +816,30 @@ def _run_copy(spark: SparkSession, m: re.Match) -> None:
                        re.IGNORECASE)
         if dm:
             writer = writer.option("sep", dm.group(1))
-    getattr(writer, fmt)(path)
+    if pb:
+        getattr(writer, fmt)(path)
+        return
+    # round 15 (hunt H wave 5): DuckDB's unpartitioned COPY TO writes a
+    # single plain FILE at the path — Spark's coalesce(1) still leaves
+    # a directory with one part file, which breaks any downstream tool
+    # (DuckDB included) that opens the path as a file. Write to a side
+    # directory and move the part file into place (local-path,
+    # init-phase export only — the serving path never writes).
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    tmp_dir = path + ".__dd_copy_tmp__"
+    getattr(writer, fmt)(tmp_dir)
+    parts = sorted(_glob.glob(_os.path.join(tmp_dir, "part-*")))
+    if len(parts) != 1:
+        raise ValueError(
+            f"COPY TO: expected one part file, found {len(parts)}"
+        )
+    if _os.path.isdir(path):
+        _shutil.rmtree(path)
+    _os.replace(parts[0], path)
+    _shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 

@@ -125,19 +125,45 @@ def _canon(v):
 
 
 def _match(spark, duck, sql: str):
+    def _cmp(ours, theirs, label):
+        a = sorted(([_canon(x) for x in r] for r in ours), key=repr)
+        b = sorted(([_canon(x) for x in r] for r in theirs), key=repr)
+        assert a == b, f"{label!r}: {ours[:4]} != {theirs[:4]}"
+
     if ";" in sql:
-        for part in (p for p in sql.split(";") if p.strip()):
+        # compare EVERY statement's frame, not just the trailing one —
+        # a script ending in DROP must still verify its SELECTs
+        parts = [p.strip() for p in sql.split(";") if p.strip()]
+        duck_frames = []
+        for part in parts:
             cur = duck.execute(part)
-        theirs = cur.fetchall()
+            try:
+                duck_frames.append(cur.fetchall())
+            except Exception:
+                duck_frames.append(None)
         with serving_dialect(True):
-            ours = [tuple(r) for r in run_script(spark, sql)[-1].collect()]
+            frames = run_script(spark, sql)
+        assert len(frames) == len(parts), (len(frames), len(parts))
+        compared = 0
+        for part, ours_f, duck_f in zip(parts, frames, duck_frames):
+            if ours_f is None or duck_f is None:
+                continue  # DDL: no frame on one side — nothing to pin
+            rows = [tuple(r) for r in ours_f.collect()]
+            if not rows and not duck_f:
+                continue
+            if (len(rows) == 1 and len(rows[0]) == 1
+                    and part.upper().startswith(
+                        ("INSERT", "UPDATE", "DELETE", "COPY"))
+                    and "RETURNING" not in part.upper()):
+                continue  # DML Count rows: shapes differ per engine
+            _cmp(rows, duck_f, part)
+            compared += 1
+        assert compared >= 1, f"script compared nothing: {sql!r}"
     else:
         theirs = duck.execute(sql).fetchall()
         with serving_dialect(True):
             ours = [tuple(r) for r in run_sql(spark, sql).collect()]
-    a = sorted(([_canon(x) for x in r] for r in ours), key=repr)
-    b = sorted(([_canon(x) for x in r] for r in theirs), key=repr)
-    assert a == b, f"{sql!r}: {ours[:4]} != {theirs[:4]}"
+        _cmp(ours, theirs, sql)
 
 
 @pytest.mark.parametrize("sql", [
@@ -635,6 +661,92 @@ def test_wave2_prepare_window_chain(sqlh, duck, sql):
 ])
 def test_fuzzer_finds(sqlh, duck, sql):
     _match(sqlh, duck, sql)
+
+
+# --- wave 5: SCRIPT-level composition (transactions, COPY, enums) ----------
+# Finds (fixed): QUALIFY inside any parenthesized subquery (an
+# IN-subquery predicate, a CTE body) now rewrites recursively;
+# ``(DESCRIBE t)`` works as a table subquery; unpartitioned COPY TO
+# writes a single plain FILE at the path (the DuckDB contract — the
+# Spark part-directory broke any tool opening the path as a file).
+
+@pytest.mark.parametrize("sql", [
+    # transactions × dialect expressions/state
+    "CREATE OR REPLACE TABLE t1 AS SELECT 1 AS id, [1, 2] AS l; "
+    "BEGIN; UPDATE t1 SET l = l || [9] WHERE id = 1; ROLLBACK; "
+    "SELECT l FROM t1; DROP TABLE t1",
+    "CREATE OR REPLACE TABLE t2 AS SELECT 10 AS v; BEGIN; "
+    "UPDATE t2 SET v = v // 3; COMMIT; SELECT v FROM t2; DROP TABLE t2",
+    "CREATE SEQUENCE sq_h5; BEGIN; SELECT nextval('sq_h5') AS a; "
+    "ROLLBACK; SELECT nextval('sq_h5') AS b; DROP SEQUENCE sq_h5",
+    # macros × DDL / chained expansion
+    "CREATE OR REPLACE TABLE mt AS SELECT 3 AS x UNION ALL SELECT 7; "
+    "CREATE MACRO dbl(v) AS v * 2; SELECT dbl(x) AS d FROM mt "
+    "ORDER BY d; DROP MACRO dbl; DROP TABLE mt",
+    "CREATE MACRO f1(v) AS v + 1; CREATE MACRO f2(v) AS f1(v) * 2; "
+    "SELECT f2(5) AS r; DROP MACRO f2; DROP MACRO f1",
+    "CREATE MACRO trip(v) AS v * 3; PREPARE pm AS SELECT trip($1) "
+    "AS r; EXECUTE pm(4); DROP MACRO trip",
+    # enums × ordering / comparison
+    "CREATE TYPE lvl AS ENUM ('low', 'mid', 'high'); CREATE TABLE "
+    "et (l lvl); INSERT INTO et VALUES ('high'), ('low'), ('mid'); "
+    "SELECT l FROM et ORDER BY l; DROP TABLE et; DROP TYPE lvl",
+    "CREATE TYPE sz AS ENUM ('s', 'm', 'l'); CREATE TABLE st2 (v sz);"
+    " INSERT INTO st2 VALUES ('s'), ('l'); SELECT count(*) AS c FROM "
+    "st2 WHERE v > 's'; DROP TABLE st2; DROP TYPE sz",
+    # insert variants × dialect
+    "CREATE OR REPLACE TABLE ib (a INT, b VARCHAR); INSERT INTO ib "
+    "BY NAME SELECT 'z' AS b, 9 AS a; SELECT * FROM ib; DROP TABLE ib",
+    "CREATE OR REPLACE TABLE oc (k INT PRIMARY KEY, v INT); "
+    "INSERT INTO oc VALUES (1, 10); INSERT INTO oc VALUES (1, 20) "
+    "ON CONFLICT (k) DO UPDATE SET v = excluded.v; "
+    "SELECT * FROM oc; DROP TABLE oc",
+    "CREATE OR REPLACE TABLE ir (v INT); INSERT INTO ir SELECT 17 "
+    "RETURNING v // 4 AS q; DROP TABLE ir",
+    # DML × IN-subquery × QUALIFY (the wave-5 recursion fix)
+    "CREATE OR REPLACE TABLE uf AS SELECT n_nationkey AS k, 0 AS fl "
+    "FROM nation LIMIT 6; UPDATE uf SET fl = 1 WHERE k IN (SELECT "
+    "n_nationkey FROM nation QUALIFY row_number() OVER (ORDER BY "
+    "n_nationkey) <= 3); SELECT sum(fl) AS s FROM uf; DROP TABLE uf",
+    "SELECT count(*) AS c FROM nation WHERE n_nationkey IN (SELECT "
+    "n_nationkey FROM nation QUALIFY rank() OVER (ORDER BY "
+    "n_nationkey) <= 5)",
+    "WITH q AS (SELECT n_regionkey FROM nation QUALIFY row_number() "
+    "OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1) "
+    "SELECT count(*) AS c FROM q",
+    # (DESCRIBE t) as a table subquery (the wave-5 resolver)
+    "CREATE OR REPLACE TABLE dt (a INT, b VARCHAR[]); "
+    "SELECT count(*) AS c FROM (DESCRIBE dt); DROP TABLE dt",
+    # DELETE predicated through a subquery
+    "CREATE OR REPLACE TABLE du AS SELECT n_nationkey AS k FROM "
+    "nation LIMIT 10; DELETE FROM du WHERE k IN (SELECT r_regionkey "
+    "FROM region); SELECT count(*) AS c FROM du; DROP TABLE du",
+    # schema-qualified access × //
+    "CREATE SCHEMA sch1; CREATE TABLE sch1.t AS SELECT 4 AS v; "
+    "SELECT v // 3 AS d FROM sch1.t; DROP TABLE sch1.t; "
+    "DROP SCHEMA sch1",
+])
+def test_wave5_script_compositions(sqlh, duck, sql):
+    _match(sqlh, duck, sql)
+
+
+def test_wave5_copy_single_file(sqlh, duck, tmp_path):
+    # unpartitioned COPY TO must leave a plain FILE DuckDB can open
+    import os
+
+    from duckdb_server_spark.dialect import execute_statement
+
+    out = str(tmp_path / "w5.parquet")
+    with serving_dialect(True):
+        execute_statement(
+            sqlh,
+            f"COPY (SELECT n_nationkey FROM nation ORDER BY "
+            f"n_nationkey LIMIT 4) TO '{out}' (FORMAT PARQUET)",
+        )
+    assert os.path.isfile(out)
+    assert duck.execute(
+        f"SELECT count(*) FROM read_parquet('{out}')"
+    ).fetchone()[0] == 4
 
 
 class TestAcceptedDivergences:

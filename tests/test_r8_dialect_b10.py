@@ -71,8 +71,12 @@ def test_copy_csv_delimiter(sql_session, tmp_path):
         f"COPY (SELECT o_orderkey, o_orderstatus FROM orders "
         f"WHERE o_orderkey < 10) TO '{out}' (FORMAT csv, DELIMITER '|')",
     )
-    (part,) = glob.glob(out + "/part-*")
-    assert open(part).readline().strip() == "o_orderkey|o_orderstatus"
+    # round 15: unpartitioned COPY TO writes a single plain FILE at the
+    # path (the DuckDB contract), not a Spark part-file directory
+    import os
+
+    assert os.path.isfile(out)
+    assert open(out).readline().strip() == "o_orderkey|o_orderstatus"
 
 
 def test_copy_plain_single_file_unchanged(sql_session, duck, tmp_path):
@@ -82,8 +86,13 @@ def test_copy_plain_single_file_unchanged(sql_session, duck, tmp_path):
         f"COPY (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5) "
         f"TO '{out}'",
     )
+    # round 15: DuckDB opens the path AS A FILE — the exact interop the
+    # directory shape used to break
+    import os
+
+    assert os.path.isfile(out)
     n = duck.execute(
-        f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
+        f"SELECT count(*) FROM read_parquet('{out}')"
     ).fetchone()[0]
     assert n == 5
 
