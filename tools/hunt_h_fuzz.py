@@ -68,6 +68,22 @@ EXPRS = [
     "greatest({i} % 7, 2, least({i}, 5))",
 ]
 
+# wave 6: window-bearing expressions — excluded from aggregating
+# wrappers (GROUP BY ALL / HAVING reject window functions identically
+# in both engines, which would just produce both-error noise)
+WINDOW_EXPRS = [
+    "row_number() OVER (ORDER BY {i})",
+    "sum({i}) OVER (ORDER BY {i} ROWS BETWEEN 1 PRECEDING AND "
+    "CURRENT ROW)",
+    "lag({s}, 1) OVER (ORDER BY {i})",
+    "rank() OVER (PARTITION BY {i} % 2 ORDER BY {i})",
+    "count(*) FILTER ({i} % 2 = 0) OVER (ORDER BY {i})",
+]
+# GROUP BY ALL / HAVING reject windows in both engines; the
+# recursive-CTE cross join duplicates every {i} value, making
+# rank-order among ties engine-arbitrary — all three stay scalar-only
+AGG_WRAPPERS = {3, 5, 7}
+
 WRAPPERS = [
     # {sel} = projected expression list (always led by the source's
     # UNIQUE key as id0, so every ORDER BY ... LIMIT is fully
@@ -107,6 +123,22 @@ def compositions():
             continue  # unordered pair: half the product
         a = e1.format(i=icol, s=scol)
         b = e2.format(i=icol, s=scol)
+        sel = f"{icol} AS id0, {a} AS e1, {b} AS e2"
+        sql = w.format(sel=sel, src=src, i=icol, s=scol)
+        yield cid, sql
+    # wave 6: one window expression × one scalar expression per
+    # non-aggregating wrapper
+    for (si, (icol, scol, src)), (wei, we), (ei, e), (wi, w) in (
+        itertools.product(
+            enumerate(SOURCES), enumerate(WINDOW_EXPRS),
+            enumerate(EXPRS), enumerate(WRAPPERS),
+        )
+    ):
+        cid += 1
+        if wi in AGG_WRAPPERS:
+            continue
+        a = we.format(i=icol, s=scol)
+        b = e.format(i=icol, s=scol)
         sel = f"{icol} AS id0, {a} AS e1, {b} AS e2"
         sql = w.format(sel=sel, src=src, i=icol, s=scol)
         yield cid, sql
