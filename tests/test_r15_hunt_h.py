@@ -68,8 +68,10 @@ test_fuzzer_finds):
   DuckDB; only bare identifiers/numbers rewrote
   (breadth.py::_rewrite_postfix_factorial group branch).
 
-Final sweep after fixes: **1,320/1,320 compositions match, zero
-one-sided errors** (/tmp/hh_fuzz3.log; rerun with
+Final sweeps after fixes: **1,320/1,320** (wave-3 grammar), then the
+wave-4/6 extensions (16 scalar expressions, 8 wrappers, plus a
+WINDOW-expression axis over the non-aggregating wrappers) —
+**5,952/5,952 compositions match, zero one-sided errors** (rerun with
 ``python tools/hunt_h_fuzz.py``).
 
 Accepted divergences (pinned below):
@@ -658,6 +660,19 @@ def test_wave2_prepare_window_chain(sqlh, duck, sql):
     "[1:(n_nationkey % 2 + 2)!] AS e2 FROM nation) SELECT * FROM c "
     "ORDER BY 1 LIMIT 4",
     "SELECT CASE WHEN true THEN (2 + 1)! ELSE 0 END AS r",
+    # wave-6 window-axis representatives (full sweep clean)
+    "SELECT n_nationkey AS id0, count(*) FILTER (n_nationkey % 2 = 0)"
+    " OVER (ORDER BY n_nationkey) AS e1, list_intersect([n_nationkey "
+    "% 3, 1, 2], [1, 2, 9]) || NULL AS e2 FROM nation "
+    "ORDER BY 1 LIMIT 4",
+    "SELECT n_nationkey AS id0, lag(n_name, 1) OVER (ORDER BY "
+    "n_nationkey) AS e1, (DATE '2024-01-01' + INTERVAL ((n_nationkey "
+    "% 7 + 9) // 2) DAY) AS e2 FROM nation QUALIFY row_number() OVER "
+    "(ORDER BY n_nationkey) <= 3 ORDER BY 1",
+    "WITH c AS (SELECT n_nationkey AS id0, sum(n_nationkey) OVER "
+    "(ORDER BY n_nationkey ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) "
+    "AS e1, try_cast(CAST(n_nationkey AS VARCHAR) AS INT) // 2 AS e2 "
+    "FROM nation) SELECT * FROM c ORDER BY 1 LIMIT 4",
 ])
 def test_fuzzer_finds(sqlh, duck, sql):
     _match(sqlh, duck, sql)
