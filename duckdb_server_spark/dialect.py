@@ -573,7 +573,8 @@ def rewrite(sql: str, spark=None, duckdb_first: bool = False) -> str:
     masked = _rewrite_window_chain(masked)
     masked = _rewrite_windowed_distinct(masked)
     masked = _rewrite_list_literals(masked)
-    kinds = _column_kinds(spark, masked) if spark is not None else None
+    kinds = (_column_kinds(spark, masked, table)
+             if spark is not None else None)
     masked = _rewrite_nested_comparisons(masked, table, kinds)
     # drop the DML filter-context markers (balanced: name( -> ( )
     masked = re.sub(r"(?i)__dd_boolctx\s*\(", "(", masked)

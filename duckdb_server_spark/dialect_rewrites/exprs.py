@@ -1393,7 +1393,8 @@ _LEN_ARRAY_NAMES = {"w", "words", "embedding", "tokens", "toks", "shingles"}
 
 
 
-def _column_kinds(spark, masked: str) -> dict[str, str]:
+def _column_kinds(spark, masked: str,
+                  table: list[str] | None = None) -> dict[str, str]:
     """Column name (lowercased) → kind ('array' / 'string' / 'other'),
     resolved from the session catalog schema of every relation referenced
     at a FROM/JOIN position in the (masked) statement. Names whose kind
@@ -1472,6 +1473,41 @@ def _column_kinds(spark, masked: str) -> dict[str, str]:
             kinds[nm] = k
     for nm in conflicted:
         kinds.pop(nm, None)
+    # round 15 (hunt H wave 2's documented boundary, now closed):
+    # ``UNNEST([{…}, …]) AS t(s)`` — the derived column's STRUCT kind
+    # (and its field names) are visible from the literal text itself,
+    # no catalog needed, so ``t.s['a']`` can lower to field access
+    # (struct literals have already lowered to named_struct(key, val,
+    # …) and UNNEST([…]) to explode(array(…)) by this point in the
+    # pipeline — keys are masked strings)
+    for um in re.finditer(
+        r"(?i)\b(?:UNNEST|explode)\s*\(\s*(?:\[|array\s*\()\s*"
+        r"named_struct\s*\(",
+        masked,
+    ):
+        open_idx = masked.index("(", um.start())
+        close = _matching_paren(masked, open_idx)
+        am = re.match(
+            r"\s*(?:AS\s+)?[A-Za-z_]\w*\s*\(\s*([A-Za-z_]\w*)\s*\)",
+            masked[close + 1 :], re.IGNORECASE,
+        )
+        if not am:
+            continue
+        col = am.group(1).lower()
+        ns_open = masked.index("(", um.end() - 1)
+        ns_close = _matching_paren(masked, ns_open)
+        args = _split_top_commas(masked[ns_open + 1 : ns_close])
+        fields = []
+        for key in args[::2]:  # named_struct alternates key, value
+            key = key.strip()
+            if table is not None and key.startswith("\x00"):
+                key = _unmask(key, table).strip().strip("'\"")
+            if not re.fullmatch(r"[A-Za-z_]\w*", key):
+                fields = []
+                break
+            fields.append(key)
+        if fields and col not in conflicted and col not in kinds:
+            kinds[col] = "struct:" + ",".join(fields)
     return kinds
 
 

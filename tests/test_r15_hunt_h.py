@@ -224,23 +224,24 @@ def test_collate_compositions(sqlh, duck, sql):
 @pytest.mark.parametrize("sql", [
     # macro returning struct/list fed into nested comparisons
     "CREATE MACRO mk(a, b) AS {'x': a, 'y': b}; "
-    "SELECT mk(1, 2) < mk(1, 3) AS r",
+    "SELECT mk(1, 2) < mk(1, 3) AS r; DROP MACRO mk",
     "CREATE MACRO ml(a) AS [a, a + 1]; SELECT ml(1) < ml(2) AS r, "
-    "ml(3) = [3, 4] AS s",
+    "ml(3) = [3, 4] AS s; DROP MACRO ml",
     # macro inside QUALIFY
     "CREATE MACRO top2(k) AS k <= 2; SELECT n_nationkey FROM nation "
     "QUALIFY top2(row_number() OVER (ORDER BY n_nationkey)) "
-    "ORDER BY n_nationkey",
+    "ORDER BY n_nationkey; DROP MACRO top2",
     # macro result struct-subscripted both ways
     "CREATE MACRO pt(a) AS {'x': a * 2, 'y': a + 1}; "
-    "SELECT pt(3)['x'] AS x, pt(3).y AS y",
+    "SELECT pt(3)['x'] AS x, pt(3).y AS y; DROP MACRO pt",
     # macro inside a recursive CTE step
     "CREATE MACRO nxt(v) AS (v * 3 + 1) % 10; "
     "WITH RECURSIVE s(n, i) AS (SELECT 7, 0 UNION ALL SELECT nxt(n), "
-    "i + 1 FROM s WHERE i < 5) SELECT n, i FROM s ORDER BY i",
+    "i + 1 FROM s WHERE i < 5) SELECT n, i FROM s ORDER BY i; "
+    "DROP MACRO nxt",
     # macro call as EXECUTE argument (evaluates before binding)
     "CREATE MACRO inc(v) AS v + 1; PREPARE q AS SELECT $1 * 10 AS r; "
-    "EXECUTE q(inc(4))",
+    "EXECUTE q(inc(4)); DROP MACRO inc",
 ])
 def test_macro_compositions(sqlh, duck, sql):
     _match(sqlh, duck, sql)
@@ -618,10 +619,11 @@ def test_wave2_compositions(sqlh, duck, sql):
     "PREPARE il AS SELECT count(*) AS c FROM nation WHERE n_regionkey "
     "IN (SELECT unnest($1)); EXECUTE il([0, 1])",
     # macro × PIVOT × QUALIFY (quoted pivot-value column)
-    "CREATE MACRO sq(x) AS x * x; WITH p AS (SELECT * FROM (SELECT "
+    "CREATE MACRO sq_h5(x) AS x * x; WITH p AS (SELECT * FROM (SELECT "
     "n_regionkey AS r, n_nationkey % 2 AS par FROM nation) PIVOT "
-    "(count(*) FOR par IN (0, 1))) SELECT r, sq(\"0\") AS s FROM p "
-    "QUALIFY row_number() OVER (ORDER BY r) <= 2 ORDER BY r",
+    "(count(*) FOR par IN (0, 1))) SELECT r, sq_h5(\"0\") AS s FROM p "
+    "QUALIFY row_number() OVER (ORDER BY r) <= 2 ORDER BY r; "
+    "DROP MACRO sq_h5",
     # OVER-site window chaining with a frame (r15 fix)
     "SELECT n_nationkey, sum(n_nationkey) OVER (w ORDER BY "
     "n_nationkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM "
@@ -819,15 +821,17 @@ class TestAcceptedDivergences:
             rows = [tuple(r) for r in run_sql(sqlh, sql).collect()]
         assert rows == [(0, 1), (1, 1), (1, 2)]
 
-    def test_unnest_struct_subscript_kinds_boundary(self, sqlh, duck):
-        # struct['field'] on an UNNEST-derived alias: the kinds table
-        # cannot see the struct type, so the subscript lowers to
-        # element_at and fails CLOSED (analysis error), while DuckDB
-        # answers — the documented hunt-G kinds boundary, pinned here
-        # so a future kinds extension flips this test
-        sql = ("SELECT t.s['a'] AS a FROM UNNEST([{'a': 1}, {'a': 2}])"
-               " AS t(s) ORDER BY a")
-        assert duck.execute(sql).fetchall() == [(1,), (2,)]
-        with pytest.raises(Exception):
-            with serving_dialect(True):
-                run_sql(sqlh, sql).collect()
+    def test_unnest_struct_subscript_closed(self, sqlh, duck):
+        # the hunt-G kinds boundary CLOSED (round 15): an UNNEST of a
+        # struct-literal list carries its struct kind + field names in
+        # the statement text itself, so t.s['field'] lowers to field
+        # access without any catalog schema
+        _match(sqlh, duck,
+               "SELECT t.s['a'] AS a FROM UNNEST([{'a': 1}, "
+               "{'a': 2}]) AS t(s) ORDER BY a")
+        _match(sqlh, duck,
+               "SELECT s['b'] AS b FROM UNNEST([{'a': 1, 'b': 'x'}, "
+               "{'a': 2, 'b': 'y'}]) AS t(s) ORDER BY b")
+        _match(sqlh, duck,
+               "SELECT s FROM UNNEST([{'a': 1}, {'a': 2}]) AS t(s) "
+               "WHERE s < {'a': 2}")
