@@ -366,8 +366,12 @@ _MACRO_RE = re.compile(
     re.IGNORECASE,
 )
 
+# ``DROP MACRO [TABLE] name`` — DuckDB requires the TABLE keyword for
+# table macros and rejects it for scalar ones (hunt H r15 wave 5); the
+# router checks the stored macro's shape and mirrors both errors.
 _DROP_MACRO_RE = re.compile(
-    r"^\s*DROP\s+(?:MACRO|FUNCTION)\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+    r"^\s*DROP\s+(?:MACRO|FUNCTION)\s+(TABLE\s+)?(?:IF\s+EXISTS\s+)?"
+    r"([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -1195,7 +1199,15 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
     if (m := _MACRO_RE.match(stmt)) and _register_macro(state, stmt, m):
         return None
     if m := _DROP_MACRO_RE.match(stmt):
-        state.macros.pop(m.group(1).lower(), None)
+        name = m.group(2).lower()
+        mac = state.macros.get(name)
+        if mac is not None and bool(m.group(1)) != bool(mac.is_table):
+            raise ValueError(
+                f"DROP MACRO: {name} is a "
+                f"{'TABLE' if mac.is_table else 'scalar'} macro — "
+                f"{'add' if mac.is_table else 'drop'} the TABLE keyword"
+            )
+        state.macros.pop(name, None)
         return None
     if m := _DROP_RELATION_RE.match(stmt):
         _txn_record(spark, state, m.group(2))

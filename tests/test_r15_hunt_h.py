@@ -747,6 +747,37 @@ def test_wave5_script_compositions(sqlh, duck, sql):
     _match(sqlh, duck, sql)
 
 
+def test_wave5_drop_macro_table_keyword(sqlh, duck):
+    # DuckDB requires DROP MACRO TABLE for table macros and rejects it
+    # for scalar ones — both mirrored (hunt H r15 wave 5)
+    _match(sqlh, duck,
+           "CREATE MACRO nums_h5() AS TABLE SELECT unnest([1, 2, 3]) "
+           "AS n; SELECT sum(n) AS s FROM nums_h5(); "
+           "DROP MACRO TABLE nums_h5")
+    for bad in (
+        "CREATE MACRO nm2_h5() AS TABLE SELECT 1 AS n; "
+        "DROP MACRO nm2_h5",
+        "CREATE MACRO sc_h5(v) AS v + 1; DROP MACRO TABLE sc_h5",
+    ):
+        with pytest.raises(Exception):
+            for part in (p for p in bad.split(";") if p.strip()):
+                duck.execute(part)
+        with pytest.raises(Exception):
+            with serving_dialect(True):
+                run_script(sqlh, bad)
+        # cleanup the half-created macros on both sides
+        for part in ("DROP MACRO TABLE nm2_h5", "DROP MACRO sc_h5"):
+            try:
+                duck.execute(part)
+            except Exception:
+                pass
+            try:
+                with serving_dialect(True):
+                    run_script(sqlh, part)
+            except Exception:
+                pass
+
+
 def test_wave5_copy_single_file(sqlh, duck, tmp_path):
     # unpartitioned COPY TO must leave a plain FILE DuckDB can open
     import os
