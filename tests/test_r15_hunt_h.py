@@ -797,6 +797,32 @@ def test_wave5_copy_single_file(sqlh, duck, tmp_path):
     ).fetchone()[0] == 4
 
 
+def test_wave5_copy_from_duckdb_artifact(sqlh, duck, tmp_path):
+    # the reverse interop direction: DuckDB writes its single-file CSV,
+    # the engine ingests it through COPY ... FROM with options
+    src = str(tmp_path / "dd_out.csv")
+    duck.execute(
+        "COPY (SELECT r_regionkey AS k, r_name AS s FROM region "
+        f"ORDER BY k) TO '{src}' (FORMAT CSV, HEADER, DELIMITER '|')"
+    )
+    from duckdb_server_spark.dialect import execute_statement
+
+    with serving_dialect(True):
+        execute_statement(
+            sqlh, "CREATE OR REPLACE TABLE w5_in (k INT, s VARCHAR)")
+        execute_statement(
+            sqlh,
+            f"COPY w5_in FROM '{src}' (FORMAT CSV, HEADER, "
+            f"DELIMITER '|')",
+        )
+        rows = run_sql(sqlh, "SELECT k, s FROM w5_in ORDER BY k"
+                       ).collect()
+        execute_statement(sqlh, "DROP TABLE w5_in")
+    expect = duck.execute(
+        "SELECT r_regionkey, r_name FROM region ORDER BY 1").fetchall()
+    assert [tuple(r) for r in rows] == expect
+
+
 class TestAcceptedDivergences:
     def test_list_intersect_order_engine_defined(self, sqlh, duck):
         sql = ("SELECT CASE WHEN list_has_any([1, 2], [2, 3]) THEN "

@@ -44,6 +44,11 @@ SOURCES = [
      "(SELECT r, CASE WHEN \"0\" > 2 THEN 'hi' ELSE 'lo' END AS g FROM "
      "(SELECT n_regionkey AS r, n_nationkey % 2 AS par FROM nation) "
      "PIVOT (count(*) FOR par IN (0, 1))) p"),
+    # wave 7: a JOINED relation source (equi-join + filtered dim)
+    ("jk", "jn",
+     "(SELECT n.n_nationkey AS jk, n.n_name AS jn FROM nation n JOIN "
+     "region r2 ON n.n_regionkey = r2.r_regionkey "
+     "WHERE r2.r_regionkey < 3) j"),
 ]
 
 # each expression template gets {i} = int column, {s} = string column
