@@ -113,6 +113,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rotates in r15), then the rows whose serving path changed this round
 # (the Vorbis decode refactor behind b34e/b34f; the COLLATE-IN and
 # int-div rewrites behind the sNN dialect rows).
+# Round 16 (VERDICT r15 items 1+4): the r15 round shipped no priority
+# rotation, so the driver re-sampled r14's exact 50-row head — this list
+# restores the steady-state rotation AND puts the promoted b03 first.
+# Head: b03_minhash_lsh_pairs (re-declared this round with the portable
+# md5 hash + full oracle — the last permanently-red ledger row turns
+# green only when the driver re-samples it), the queries ADDED in r16,
+# then ALL 22 remaining r8-stamped rows (the oldest evidence; histogram
+# at rotation time: 22×r8, 25×r9, 49×r10, 50×r11/r12/r13, 50×r15), then
+# the 25 r9-stamped rows cheapest-first. 1 changed + new + 47 stale
+# slightly overfills the ~50/round budget like r11/r12 did; after this
+# round no declared query's stamp predates r10.
+_PRIORITY_R16: tuple[str, ...] = (
+    # --- changed this round: the b03 full-oracle promotion ---
+    "b03_minhash_lsh_pairs",     # portable-md5 + full oracle (was rows-only)
+    "b03x_minhash_lsh_xxhash",   # new name: the xxhash64 production path
+    # --- new in round 16 ---
+    "s42_dialect_session_script",  # battery-I parity statement (scripted session)
+    "b30f_vp8_bpred",              # VP8 B_PRED intra-4x4 decode
+    # --- the 22 remaining r8-stamped rows, cheapest families first ---
+    "s08_s3_scan",
+    "s10b_attach_remote_catalog",
+    "s24_attach_duckdb_file",
+    "s27_dialect_dml_txn",
+    "s28_dialect_upsert",
+    "s29_dialect_seq_enum",
+    "s30_dialect_dml_breadth",
+    "b41_balanced_sample",
+    "b42_token_shards",
+    "b65_dsir_importance",
+    "b66_ngram_novelty",
+    "b67_cluster_balanced_sample",
+    "b30c_gif_decode",
+    "b30d_webp_decode",
+    "b30e_vp8_decode",
+    "b32d_webm_frames",
+    "b32e_webm_vp8",
+    "b33e_flac_audio",
+    "st_stream_image_decode",
+    "st_stream_decontam",
+    "st_stream_dsir",
+    "st_stream_neardup",
+    # --- the 25 r9-stamped rows, cheapest families first ---
+    "p16_try_cast",
+    "p17_star_replace",
+    "o09_order_by_all",
+    "u04_union_by_name",
+    "a07_approx_count_distinct",
+    "a09c_distributed_quantiles",
+    "a10_collect_aggs",
+    "a17_group_by_all",
+    "a18_pivot_dynamic",
+    "a19_approx_quantile_tolerance",
+    "a20_bit_aggs",
+    "a21_histogram",
+    "s07_capability_registry",
+    "s15_bucketed_join",
+    "s16_partition_pruning",
+    "s17_time_series_gapfill",
+    "b11_lsh_topk",
+    "b11b_lsh_multiprobe",
+    "b13_ivf_topk",
+    "b14_label_centroids",
+    "b30_multimodal_features",
+    "b31_multimodal_metadata",
+    "b32_frame_sample",
+    "b43_token_topk",
+    "b45_pii_scrub",
+)
+
 _PRIORITY_R14: tuple[str, ...] = (
     # --- new in round 14 ---
     "b34g_vorbis_switched_stereo_pcm",  # new: coupling x switching PCM
@@ -897,8 +966,8 @@ def load_all() -> None:
     for mod in _MODULE_ORDER:
         importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
 
-    head = list(_PRIORITY_R14)
-    for prior in (_PRIORITY_R13, _PRIORITY_R12, _PRIORITY_R11,
+    head = list(_PRIORITY_R16)
+    for prior in (_PRIORITY_R14, _PRIORITY_R13, _PRIORITY_R12, _PRIORITY_R11,
                   _PRIORITY_R10, _PRIORITY_R9, _PRIORITY_R8, _PRIORITY_R7,
                   _PRIORITY_R6, _PRIORITY_R5):
         head += [n for n in prior if n not in head]
