@@ -3930,10 +3930,20 @@ def _rewrite_positional_join(s: str, spark, table=None) -> str:
                 return [f"{out_alias}.`{c}`"
                         for c in spark.table(src).columns]
             probe = src if table is None else _unmask(src, table)
+            # r16 (ADVICE r15 item 4): the probe text is DuckDB dialect —
+            # run it through the full rewrite before the LIMIT-0 parse so
+            # a derived side using DuckDB-only syntax the pipeline CAN
+            # lower (list literals, ::casts, //) probes successfully
+            # instead of hard-erroring on the native parse.
+            from duckdb_server_spark.dialect import rewrite as _dd_rewrite
+
+            probe_sql = f"SELECT * FROM {probe} __dd_pjp LIMIT 0"
             try:
-                probed = spark.sql(
-                    f"SELECT * FROM {probe} __dd_pjp LIMIT 0"
-                ).columns
+                probe_sql = _dd_rewrite(probe_sql, spark)
+            except Exception:
+                pass  # unlowerable text: let the native parse report it
+            try:
+                probed = spark.sql(probe_sql).columns
             except Exception as exc:
                 raise ValueError(
                     "POSITIONAL JOIN: cannot resolve columns of a "

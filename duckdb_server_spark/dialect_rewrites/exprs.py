@@ -1732,8 +1732,25 @@ def _inline_named_windows(s: str) -> str:
     return s
 
 
-_STD_PIVOT_COUNT_RE = re.compile(r"\bPIVOT\s*\(\s*count\s*\(",
-                                 re.IGNORECASE)
+_STD_PIVOT_RE = re.compile(r"\bPIVOT\s*\(", re.IGNORECASE)
+
+
+def _pivot_body_parts(body: str):
+    """Split a standard-PIVOT body into (agg items, FOR column, IN-open
+    offset within body). Returns None when the body is not the
+    ``aggs FOR col IN (…)`` shape."""
+    depth = 0
+    for fm in re.finditer(r"(?i)\bFOR\b", body):
+        depth = body[: fm.start()].count("(") - body[: fm.start()].count(")")
+        if depth == 0:
+            im = re.match(r"\s*[A-Za-z_]\w*\s+IN\s*\(", body[fm.end() :],
+                          re.IGNORECASE)
+            if im:
+                return (
+                    _split_top_commas(body[: fm.start()]),
+                    fm.end() + im.end() - 1,
+                )
+    return None
 
 
 def _rewrite_std_pivot_count(s: str, table: list[str]) -> str:
@@ -1744,20 +1761,60 @@ def _rewrite_std_pivot_count(s: str, table: list[str]) -> str:
     known from the IN list, so the source+PIVOT segment wraps in a
     projection that coalesces exactly those columns; other aggregates
     (sum/min/max/avg) are NULL-celled in both engines and stay
-    native."""
+    native.
+
+    r16 (ADVICE r15 item 1): the original shape match required the
+    count to be the FIRST and ONLY aggregate with no alias, so
+    ``count(*) AS n FOR …`` or ``sum(x) AS s, count(*) AS n FOR …``
+    stayed native and silently kept Spark's NULL cells. Now the agg
+    list is parsed: any count aggregate in any position is coalesced,
+    with the engines' naming conventions reconciled — single aliased
+    agg: DuckDB names ``{value}_{alias}`` while Spark ignores the
+    alias (probed on both engines), so the wrap renames; multi-agg:
+    both engines name ``{value}_{alias-or-text}`` identically. The one
+    shape whose Spark/DuckDB names cannot be reconciled textually —
+    an UNALIASED ``count(*)`` among multiple aggregates (DuckDB
+    ``count_star()`` vs Spark ``count(1)`` suffixes) — fails closed
+    with DialectError instead of diverging silently."""
     pos = 0
-    while m := _STD_PIVOT_COUNT_RE.search(s, pos):
+    while m := _STD_PIVOT_RE.search(s, pos):
         piv_open = s.index("(", m.start())
         piv_close = _matching_paren(s, piv_open)
         body = s[piv_open + 1 : piv_close]
-        bm = re.match(
-            r"(?is)\s*count\s*\(.*?\)\s+FOR\s+[A-Za-z_]\w*\s+IN\s*\(",
-            body,
-        )
-        if not bm:
+        parts = _pivot_body_parts(body)
+        if parts is None:
             pos = piv_close + 1
             continue
-        in_open = piv_open + 1 + bm.end() - 1
+        agg_items, in_off = parts
+        aggs = []  # (expr_text, alias_or_None, is_count)
+        for item in agg_items:
+            item = item.strip()
+            am = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*|\x00\d+\x00)\s*$",
+                           item)
+            alias = None
+            expr = item
+            if am:
+                alias = _unmask(am.group(1), table).strip()
+                if (len(alias) >= 2 and alias[0] == alias[-1]
+                        and alias[0] in "'\""):
+                    alias = alias[1:-1]
+                expr = item[: am.start()].strip()
+            aggs.append((expr, alias,
+                         bool(re.match(r"(?is)^count\s*\(", expr))))
+        if not any(is_cnt for _, _, is_cnt in aggs):
+            pos = piv_close + 1
+            continue
+        if len(aggs) > 1 and any(
+            is_cnt and alias is None and "*" in expr
+            for expr, alias, is_cnt in aggs
+        ):
+            raise DialectError(
+                "PIVOT with an unaliased count(*) among multiple "
+                "aggregates: Spark (count(1)) and DuckDB (count_star()) "
+                "derive different column suffixes — alias the count "
+                "(e.g. count(*) AS n) to pivot this shape"
+            )
+        in_open = piv_open + 1 + in_off
         in_close = _matching_paren(s, in_open)
         names = []
         for v in _split_top_commas(s[in_open + 1 : in_close]):
@@ -1802,8 +1859,30 @@ def _rewrite_std_pivot_count(s: str, table: list[str]) -> str:
                                                 "WINDOW", "OFFSET"):
             alias = " " + am2.group(1)
             tail_start += am2.end()
-        quoted = ", ".join(f"`{n}`" for n in names)
-        cos = ", ".join(f"coalesce(`{n}`, 0) AS `{n}`" for n in names)
+        # Per (value, aggregate) output column: Spark's native name, the
+        # DuckDB-parity name, and whether it needs the count-0 fill. The
+        # wrap EXCEPTs every pivot column and re-emits ALL of them in
+        # native order (group columns stay first), so column order —
+        # positionally significant under a downstream UNION — survives.
+        sel_items, except_cols = [], []
+        for n in names:
+            for expr, agg_alias, is_cnt in aggs:
+                if len(aggs) == 1:
+                    spark_name = n
+                    duck_name = f"{n}_{agg_alias}" if agg_alias else n
+                else:
+                    suffix = agg_alias if agg_alias else expr
+                    spark_name = duck_name = f"{n}_{suffix}"
+                except_cols.append(f"`{spark_name}`")
+                if is_cnt:
+                    sel_items.append(
+                        f"coalesce(`{spark_name}`, 0) AS `{duck_name}`")
+                elif spark_name != duck_name:
+                    sel_items.append(f"`{spark_name}` AS `{duck_name}`")
+                else:
+                    sel_items.append(f"`{spark_name}`")
+        quoted = ", ".join(except_cols)
+        cos = ", ".join(sel_items)
         seg = s[src_start : piv_close + 1]
         repl = (f"(SELECT * EXCEPT ({quoted}), {cos} FROM {seg})"
                 f"{alias or ' __dd_pvt'}")

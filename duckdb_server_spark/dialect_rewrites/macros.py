@@ -1178,17 +1178,28 @@ def _rewrite_division(s: str, ieee: bool = False) -> str:
             i += 1
             continue
         if ieee:
-            ld = f"CAST({operand} AS DOUBLE)"
-            rd = f"CAST({right} AS DOUBLE)"
             # the zero-divisor arm multiplies by power(r, -1): Java's
             # Math.pow(±0.0, -1) is ±Infinity (sign of −0.0 preserved,
             # which neither a CAST-to-STRING probe nor a comparison
             # can see), so l × power(r, −1) reproduces the full IEEE
             # table — signed infinities, 0/0 and NaN/0 → NaN, NULL
-            # operands → NULL — without tripping ANSI DIVIDE_BY_ZERO
+            # operands → NULL — without tripping ANSI DIVIDE_BY_ZERO.
+            # Operands bind ONCE through a single-element higher-order
+            # transform (r16, ADVICE r15 item 2: the old spelling
+            # spliced the divisor text three times and the numerator
+            # twice, so a volatile divisor — rand() — could take
+            # inconsistent branches and an expensive scalar subquery
+            # was planned thrice); the lambda references x.n/x.d freely
+            # without re-evaluating either.
+            # element_at(…, 1), not […][0]: the generated text flows
+            # through later dialect passes, where a bracket subscript
+            # is DuckDB 1-based indexing and would be re-lowered.
             repl = (
-                f"if({rd} = 0.0d, {ld} * power({rd}, -1), "
-                f"try_divide({ld}, {right}))"
+                f"element_at(transform(array(named_struct("
+                f"'n', CAST({operand} AS DOUBLE), "
+                f"'d', CAST({right} AS DOUBLE))), "
+                f"x -> if(x.d = 0.0d, x.n * power(x.d, -1), "
+                f"try_divide(x.n, x.d))), 1)"
             )
         else:
             repl = f"try_divide(CAST({operand} AS DOUBLE), {right})"

@@ -833,17 +833,33 @@ def _run_copy(spark: SparkSession, m: re.Match) -> None:
     import os as _os
     import shutil as _shutil
 
+    # r16 (ADVICE r15 item 5): tmp dir is removed on EVERY exit path
+    # (the zero-part-file assertion previously leaked it), and a
+    # pre-existing DIRECTORY at the target is only replaced when it is
+    # recognizably a previous engine/Spark write (part files or a
+    # _SUCCESS marker) — DuckDB errors writing a file over a foreign
+    # directory, so we refuse rather than rmtree user data.
     tmp_dir = path + ".__dd_copy_tmp__"
-    getattr(writer, fmt)(tmp_dir)
-    parts = sorted(_glob.glob(_os.path.join(tmp_dir, "part-*")))
-    if len(parts) != 1:
-        raise ValueError(
-            f"COPY TO: expected one part file, found {len(parts)}"
-        )
-    if _os.path.isdir(path):
-        _shutil.rmtree(path)
-    _os.replace(parts[0], path)
-    _shutil.rmtree(tmp_dir, ignore_errors=True)
+    try:
+        getattr(writer, fmt)(tmp_dir)
+        parts = sorted(_glob.glob(_os.path.join(tmp_dir, "part-*")))
+        if len(parts) != 1:
+            raise ValueError(
+                f"COPY TO: expected one part file, found {len(parts)}"
+            )
+        if _os.path.isdir(path):
+            spark_written = _os.path.exists(
+                _os.path.join(path, "_SUCCESS")
+            ) or _glob.glob(_os.path.join(path, "part-*"))
+            if not spark_written and _os.listdir(path):
+                raise ValueError(
+                    f"COPY TO: {path!r} is an existing directory not "
+                    "written by this engine — refusing to overwrite"
+                )
+            _shutil.rmtree(path)
+        _os.replace(parts[0], path)
+    finally:
+        _shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 
@@ -852,6 +868,28 @@ def _strip_quotes(v: str) -> str:
     if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
         return v[1:-1].replace(v[0] * 2, v[0])
     return v
+
+
+def _apply_setting(state: DialectState, name: str, value: str) -> None:
+    """Route one engine-setting assignment (SET or PRAGMA-assignment
+    form). r16 (ADVICE r15 item 3): ``duckdb_version_semantics`` is
+    validated HERE — the SET statement itself errors on a non-version
+    value, like DuckDB's typed settings, instead of deferring the
+    DialectError to whatever query happens to run next — and flipping
+    it invalidates state.pivot_cache: a cached PIVOT DataFrame built
+    under the old semantics (map[key] / division lowering baked into
+    its plan) must not be served under the new ones."""
+    if name == "duckdb_version_semantics":
+        try:
+            tuple(int(x) for x in value.split(".")[:2])
+        except ValueError:
+            raise ValueError(
+                f"SET duckdb_version_semantics: {value!r} is not a "
+                "DuckDB version (expected e.g. '1.0' or '1.4')"
+            ) from None
+        if state.settings.get(name, "1.0") != value:
+            state.pivot_cache.clear()
+    state.settings[name] = value
 
 
 
@@ -1141,7 +1179,7 @@ def execute_statement(spark: SparkSession, stmt: str) -> DataFrame | None:
         state.pivot_cache.clear()
         return None
     if m := _SET_RE.match(stmt):
-        state.settings[m.group(1).lower()] = _strip_quotes(m.group(2))
+        _apply_setting(state, m.group(1).lower(), _strip_quotes(m.group(2)))
         return None
     if m := _PRAGMA_RE.match(stmt):
         return _run_pragma(
@@ -1901,7 +1939,7 @@ def _run_pragma(spark: SparkSession, state, name: str, call_arg, assign_arg):
         return spark.createDataFrame([("memory",)], schema)
     if assign_arg is not None:
         # assignment form — engine setting, routed like SET
-        state.settings[name] = _strip_quotes(assign_arg.strip())
+        _apply_setting(state, name, _strip_quotes(assign_arg.strip()))
         return None
     if call_arg is None:
         # bare flag PRAGMAs (DuckDB's enable_/disable_ pairs) toggle the
