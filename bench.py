@@ -55,7 +55,7 @@ HEADLINE = [
     "w04_running_agg",       # W4/W5: window frames
     "st_session_window",     # §2.10: gaps-and-islands sessionization
     "b01_exact_dedup",       # beyond: exact dedup
-    "b03x_minhash_lsh_xxhash",  # beyond: MinHash LSH near-dup (xxhash64 fast path)
+    "b03_minhash_lsh_pairs", # beyond: MinHash LSH near-dup
     "b10_knn_bruteforce",    # beyond: cosine top-k
     "b20_text_quality",      # beyond: text quality scoring
     "b40_training_data_pipeline",  # beyond: filter -> dedup -> budget

@@ -125,12 +125,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # slightly overfills the ~50/round budget like r11/r12 did; after this
 # round no declared query's stamp predates r10.
 _PRIORITY_R16: tuple[str, ...] = (
-    # --- changed this round: the b03 full-oracle promotion ---
-    "b03_minhash_lsh_pairs",     # portable-md5 + full oracle (was rows-only)
-    "b03x_minhash_lsh_xxhash",   # new name: the xxhash64 production path
-    # --- new in round 16 ---
-    "s42_dialect_session_script",  # battery-I parity statement (scripted session)
-    "b30f_vp8_bpred",              # VP8 B_PRED intra-4x4 decode
+    # (r16 is an optimization round: no queries were added or changed, so
+    # the head is pure oldest-evidence rotation. The mid-build b03
+    # full-oracle promotion that briefly led this list was reverted — it
+    # cost 24 s of bench headline, a 40× pessimization of the operator —
+    # see OPTIMIZATION_r16.md "Inherited state".)
     # --- the 22 remaining r8-stamped rows, cheapest families first ---
     "s08_s3_scan",
     "s10b_attach_remote_catalog",

@@ -95,18 +95,11 @@ def _with_planted_dup(docs: DataFrame) -> DataFrame:
     return docs.unionByName(planted)
 
 
-@query("b03x_minhash_lsh_xxhash")  # rows-only: bucket ids derive from xxhash64
-def b03x_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs, PRODUCTION hash profile (xxhash64 —
-    one JVM-intrinsic call per shingle vs md5's 4): signatures scan-side,
-    one shuffle on (band_id, band_hash); pairs only materialize within
-    buckets — never the N² cross join.
-
-    This is the bench/production spelling of the b03 operator (r16: the
-    driver-facing ``b03_minhash_lsh_pairs`` now carries the portable-md5
-    hash so it full-oracles — VERDICT r15 item 1; this variant keeps the
-    fast path measured in bench.py and covered rows-only + planted guard,
-    the a09b/a09c fast/exact twin pattern in reverse).
+@query("b03_minhash_lsh_pairs")  # rows-only: bucket ids derive from xxhash64
+def b03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: signatures scan-side, one shuffle on
+    (band_id, band_hash); pairs only materialize within buckets — never the
+    N² cross join.
 
     Regression guard: the corpus carries a planted exact duplicate
     (doc -1 ≡ doc 0, identical signature → collides in every band), and
@@ -143,14 +136,12 @@ def b03x_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Full-oracle MinHash-LSH: the banded algorithm is deterministic given a
-# hash function both engines can compute. b03x keeps the fast xxhash64
+# hash function both engines can compute. b03 keeps the fast xxhash64
 # spelling (rows-only + planted guard — it is a headline bench query);
-# the b03/b03b pair swaps in the portable md5-derived hash (60 bits via
-# conv/CAST-'0x', the b04 technique) so DuckDB replays the ENTIRE
-# pipeline — shingles, base hash, all 32 permutation minima, band keys,
-# bucket self-join — and the candidate pairs hash-match. b03 runs the
-# full corpus (the driver-facing headline row, r16); b03b pins the
-# doc_id<200 subset spelling that established the technique.
+# this variant swaps in the portable md5-derived hash (60 bits via
+# conv/CAST-'0x', the b04 technique) over a doc subset so DuckDB replays
+# the ENTIRE pipeline — shingles, base hash, all 32 permutation minima,
+# band keys, bucket self-join — and the candidate pairs hash-match.
 _B03B_N, _B03B_BANDS, _B03B_ROWS = 32, 8, 4
 _B03B_MINS_SQL = ",\n      ".join(
     f"min(CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || ',{i}'), 1, 15)) "
@@ -162,12 +153,9 @@ _B03B_BANDS_SQL = ", ".join(
     % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
     for b in range(_B03B_BANDS)
 )
-def _minhash_portable_oracle(where: str) -> str:
-    """The portable-md5 banded-MinHash oracle, parametrized over the
-    corpus predicate (b03 = full corpus, b03b = the doc_id<200 subset)."""
-    return f"""
+_B03B_ORACLE = f"""
     WITH corpus AS (
-      SELECT doc_id, text FROM documents{where}
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
       UNION ALL
       SELECT -1 AS doc_id, text FROM documents WHERE doc_id = 0
     ),
@@ -204,33 +192,6 @@ def _minhash_portable_oracle(where: str) -> str:
     WHERE l.doc_id < r.doc_id
     ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST
     """
-
-
-_B03_ORACLE = _minhash_portable_oracle("")
-_B03B_ORACLE = _minhash_portable_oracle(" WHERE doc_id < 200")
-
-
-@query("b03_minhash_lsh_pairs", oracle=_B03_ORACLE)
-def b03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs over the FULL corpus, portable-md5
-    hash profile — every stage (shingles, base hash, 32 permutation
-    minima, 8 band keys, bucketed self-join) replays in DuckDB, so the
-    driver's differential hash-matches the exact pair set (r16: promoted
-    from rows-only per VERDICT r15 item 1; the xxhash64 production
-    spelling lives on as ``b03x_minhash_lsh_xxhash`` and stays in
-    bench.py's headline list).
-
-    The planted exact duplicate (doc -1 ≡ doc 0) remains in the corpus:
-    identical text → identical signature → collides in every band, so
-    the pair (-1, 0) is ground truth BOTH sides must emit — recall
-    regressions surface as a hash mismatch, not just a test failure.
-    Plan shape is identical to b03x: shingles explode map-side, one
-    groupBy(doc) computes all 32 minima, bands explode, one shuffle on
-    (band_id, band_key)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    return _portable_band_pairs(_with_planted_dup(docs)).orderBy(
-        F.col("id_a").asc_nulls_last(), F.col("id_b").asc_nulls_last()
-    )
 
 
 @query("b03b_minhash_full_oracle", oracle=_B03B_ORACLE)

@@ -77,7 +77,7 @@ def test_b03_planted_pair_guard(spark, sf_dir):
     """The rows-only b03 entry must never go vacuous: the query plants an
     exact duplicate (doc -1 ≡ doc 0) and reports candidate recall over it
     in every row — assert the guard column is live and positive."""
-    rows = catalog.QUERIES["b03x_minhash_lsh_xxhash"](spark, sf_dir).limit(5).collect()
+    rows = catalog.QUERIES["b03_minhash_lsh_pairs"](spark, sf_dir).limit(5).collect()
     assert rows, "b03 returned zero candidate pairs (vacuous)"
     assert all(r.planted_pairs_found >= 1 for r in rows)
 
@@ -90,7 +90,7 @@ def test_b03_main_branch_emits_planted_pair(spark, sf_dir):
     full-corpus branch cannot hide behind a green guard column."""
     from pyspark.sql import functions as F
 
-    cands = catalog.QUERIES["b03x_minhash_lsh_xxhash"](spark, sf_dir)
+    cands = catalog.QUERIES["b03_minhash_lsh_pairs"](spark, sf_dir)
     touching = cands.filter((F.col("id_a") == -1) | (F.col("id_b") == -1)).count()
     assert touching >= 1, "planted pair missing from the full-corpus output"
 

@@ -193,7 +193,7 @@ def test_b03_guard_branch_is_bucket_pruned(spark, sf_dir):
     at least one parquet scan of documents carries the pushed
     EqualTo(doc_id,0) filter, so the guard costs a 2-document pipeline
     instead of re-executing the full-corpus LSH (the r3 +70% regression)."""
-    df = catalog.QUERIES["b03x_minhash_lsh_xxhash"](spark, sf_dir)
+    df = catalog.QUERIES["b03_minhash_lsh_pairs"](spark, sf_dir)
     pushed = " ".join(plans.pushed_filters(df))
     assert "EqualTo(doc_id" in pushed
     # the main branch still scans the full table alongside the pruned branch

@@ -119,7 +119,7 @@ GROUPS = {
         ("b51_tfidf_topk", 5_000, ("1x", "10x", "100x")),
         ("b53_bloom_decontam", 5_000, ("1x", "10x", "100x")),
         ("b06_substring_dedup", 5_000, ("1x", "10x", "100x")),
-        ("b03x_minhash_lsh_xxhash", 5_000, ("1x", "10x", "100x")),
+        ("b03_minhash_lsh_pairs", 5_000, ("1x", "10x", "100x")),
         ("b55_semdedup", 2_000, ("1x", "10x", "100x")),
     ],
     # pure-python multimodal codecs (JPEG/AVI/WAV inside mapInPandas):
