@@ -2706,17 +2706,26 @@ def b53_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 100 < 90, "val")
         .otherwise("test"),
     )
-    w = dedup.with_words(docs.select("doc_id", "split", "text"), "text").filter(
-        F.size("__words") >= 5
-    )
-    sh = w.select(
+    # r16 (guide §2.3/§2.4/§4.2): the hashed-shingle frame feeds FOUR
+    # consumers (bloom build, semi-join train side, test totals, test
+    # candidates) — without a shared materialization the documents scan +
+    # shingle stage ran four times, and the JVM zip_with shingle fold was
+    # the scan bottleneck (interpreted HOFs, the b06 lesson). One Arrow
+    # generator pass (span_hashes_arrow — hash equality is all any
+    # consumer uses, see its docstring) hashes distinct spans once, and
+    # one lazy localCheckpoint of the (doc, split, hash) rows serves all
+    # four consumers. The train side also dropped its .distinct():
+    # bit_or absorbs duplicate spans map-side and a semi join ignores
+    # build-side duplicates, so the distinct's exchange+aggregate bought
+    # nothing.
+    sh = dedup.span_hashes_arrow(
+        docs.select("doc_id", "split", "text"),
+        "text",
         "doc_id",
-        "split",
-        F.explode(
-            dedup.shingles_from_words(F.col("__words"), "text", 5)
-        ).alias("__shingle"),
-    ).select("doc_id", "split", F.xxhash64("__shingle").alias("__sh"))
-    train = sh.filter(F.col("split") == "train").select("__sh").distinct()
+        n=5,
+        carry=(("split", "string"),),
+    ).localCheckpoint(eager=False)
+    train = sh.filter(F.col("split") == "train").select("__sh")
     filt = bloom.bloom_build(train, "__sh")
     test = sh.filter(F.col("split") == "test")
     totals = test.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))

@@ -303,9 +303,12 @@ def shingle_dup_stats(
     hashed = sh.select(
         id_col, F.xxhash64("__shingle").alias("__sh")
     ).localCheckpoint(eager=False)
-    freq = hashed.groupBy("__sh").agg(
-        F.count_distinct(id_col).alias("__ndocs")
-    )
+    # (id, span) pairs are unique by construction (shingles_from_words
+    # array_distincts per doc), so plain count(*) equals
+    # count_distinct(id) — and unlike the distinct aggregate it gets
+    # map-side partial aggregation and one exchange instead of two
+    # (guide §2.3 "aggregate before you shuffle"; r16).
+    freq = hashed.groupBy("__sh").agg(F.count(F.lit(1)).alias("__ndocs"))
     return (
         hashed.join(freq, "__sh")
         .groupBy(id_col)
@@ -321,31 +324,43 @@ def shingle_dup_stats(
     )
 
 
-def shingle_dup_stats_arrow(
-    df: DataFrame, text_col: str, id_col: str, n: int = 5
+def span_hashes_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    carry: tuple[tuple[str, str], ...] = (),
 ) -> DataFrame:
-    """Arrow-vectorized :func:`shingle_dup_stats`: same output, same
-    shuffle shape, different scan stage.
-
-    The JVM form builds shingles via ``zip_with`` folds — interpreted
-    HOFs, the family's measured bottleneck (SCALING.md). Here one
+    """Arrow-vectorized distinct word n-gram span hashing: one
     mapInPandas pass per document splits, shingles, dedupes, and hashes
-    (blake2b-64 — the hash is internal grouping state only; the output is
-    hash-free counts, so any deterministic 64-bit hash yields identical
-    results up to the same negligible collision odds as xxhash64).
-    Everything after the generator is unchanged: one shuffle of 8-byte
-    span hashes for the frequency aggregate, join back, per-doc reduce."""
+    (blake2b-64). Documents with fewer than ``n`` words emit nothing.
+
+    The hash is internal grouping/join state only — every consumer
+    compares spans by hash EQUALITY between rows of this same generator
+    and outputs hash-free counts, so any deterministic 64-bit hash
+    yields identical results up to the same negligible collision odds
+    as xxhash64. ``carry`` = extra (column, sql_type) pairs passed
+    through per span row (e.g. a split label).
+
+    The JVM zip_with-fold spelling of shingling is the family's measured
+    scan-stage bottleneck (SCALING.md; interpreted HOFs — guide §4.2);
+    this generator is shared by the substring-dedup stats and the bloom
+    decontamination chain (r16)."""
     import hashlib
     import re as _re
 
     ws_re = _re.compile(r"\s+")
+    carry_names = [c for c, _ in carry]
 
     def gen(pdf_iter):
         import pandas as _pd
 
         for pdf in pdf_iter:
             ids, hashes = [], []
-            for doc_id, s in zip(pdf[id_col], pdf[text_col]):
+            extras: list[list] = [[] for _ in carry_names]
+            for row in zip(pdf[id_col], pdf[text_col],
+                           *[pdf[c] for c in carry_names]):
+                doc_id, s = row[0], row[1]
                 if s is None:
                     continue
                 ws = ws_re.split(s)
@@ -354,6 +369,8 @@ def shingle_dup_stats_arrow(
                 spans = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
                 for sp in spans:
                     ids.append(doc_id)
+                    for acc, v in zip(extras, row[2:]):
+                        acc.append(v)
                     hashes.append(
                         int.from_bytes(
                             hashlib.blake2b(
@@ -365,17 +382,47 @@ def shingle_dup_stats_arrow(
                     )
             yield _pd.DataFrame(
                 {id_col: _pd.Series(ids, dtype="int64"),
+                 **{c: _pd.Series(vals)
+                    for c, vals in zip(carry_names, extras)},
                  "__sh": _pd.Series(hashes, dtype="int64")}
             )
 
-    hashed = (
-        df.select(id_col, text_col)
-        .mapInPandas(gen, f"{id_col} long, __sh long")
-        .localCheckpoint(eager=False)
+    schema = ", ".join(
+        [f"{id_col} long", *[f"{c} {t}" for c, t in carry], "__sh long"]
     )
-    freq = hashed.groupBy("__sh").agg(
-        F.count_distinct(id_col).alias("__ndocs")
+    src = df.select(id_col, *carry_names, text_col)
+    # The generator's per-task cost is Python compute, so its wall time
+    # is bounded by the SCAN's parallelism. A small corpus can split into
+    # fewer tasks than the session has cores (e.g. one sub-split-size
+    # file → every span hashed on one core); redistributing the texts
+    # once costs one narrow shuffle and buys full-width Python
+    # throughput. Data-derived, not host-tuned: on a real warehouse the
+    # scan already saturates the cores and this is a no-op.
+    try:
+        scan_parts = src.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive (plan→RDD quirks)
+        scan_parts = None
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if scan_parts is not None and scan_parts < par:
+        src = src.repartition(par)
+    return src.mapInPandas(gen, schema)
+
+
+def shingle_dup_stats_arrow(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Arrow-vectorized :func:`shingle_dup_stats`: same output, same
+    shuffle shape, different scan stage (span_hashes_arrow — see its
+    docstring for the hash-equivalence argument). Everything after the
+    generator is unchanged: one shuffle of 8-byte span hashes for the
+    frequency aggregate, join back, per-doc reduce."""
+    hashed = span_hashes_arrow(df, text_col, id_col, n).localCheckpoint(
+        eager=False
     )
+    # (id, span) pairs are unique by construction (the generator emits a
+    # per-doc SET of spans), so count(*) equals count_distinct(id) and
+    # skips the distinct aggregate's second exchange (guide §2.3; r16).
+    freq = hashed.groupBy("__sh").agg(F.count(F.lit(1)).alias("__ndocs"))
     return (
         hashed.join(freq, "__sh")
         .groupBy(id_col)

@@ -46,30 +46,57 @@ def with_global_index(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add a 1-based global rank column ``out`` ordered by ``keys``
-    without a single-partition window."""
+    without a single-partition window.
+
+    r16 optimization (guide §2.4 — remove shuffles outright): the local
+    rank used to be ``row_number() OVER (PARTITION BY __pid ORDER BY
+    keys)``. Spark cannot see that ``__pid`` IS the physical partition
+    id, so WindowExec demanded ``hashpartitioning(__pid)`` — a full
+    extra Exchange + Sort of the data per consumer (a09c's plan carried
+    it twice). ``monotonically_increasing_id()`` encodes the same
+    information shuffle-free: within a partition it is
+    ``(pid << 33) + local_row_index`` assigned in physical row order,
+    which after ``sortWithinPartitions`` *is* the key order. So
+    ``__pid = __mono >> 33``, ``local rank = (__mono & (2^33-1)) + 1``,
+    and the global rank is offset[pid] + local rank — no Window, no
+    extra Exchange, identical ranks (ties were already interchangeable:
+    the window ordered by the same keys the partition is sorted by).
+    Requires < 2^33 rows per partition — at 8 GiB-class task sizing that
+    is orders of magnitude of headroom."""
     order = _cols(keys)
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
     from pyspark import StorageLevel
 
+    mask = (1 << 33) - 1
+    # The sorted frame is persisted (see module docstring): repartitionByRange
+    # samples fresh boundaries per evaluation AND monotonically_increasing_id
+    # is assignment-order-dependent, so both passes must share one
+    # materialization to see one consistent (partitioning, id) layout.
     sorted_df = (
         df.repartitionByRange(int(parts), *order)
         .sortWithinPartitions(*order)
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mono", F.monotonically_increasing_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = sorted_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    pid = F.shiftright(F.col("__mono"), 33)
+    counts = sorted_df.groupBy(pid.alias("__pid")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
     # Prefix sum over #partitions rows — single-partition is fine here.
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "__pid", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off")
     )
-    w_local = Window.partitionBy("__pid").orderBy(*order)
     return (
-        sorted_df.join(F.broadcast(offsets), "__pid")
-        .withColumn(out, F.col("__off") + F.row_number().over(w_local))
-        .drop("__pid", "__off")
+        sorted_df.withColumn("__pid", pid)
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out,
+            F.col("__off") + F.col("__mono").bitwiseAND(F.lit(mask)) + F.lit(1),
+        )
+        .drop("__pid", "__off", "__mono")
     )
 
 

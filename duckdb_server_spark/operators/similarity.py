@@ -352,14 +352,13 @@ def pq_adc_topk(
             *[_l2_slice_to(col, starts[j], cw) for cw in codebooks[j]]
         )
 
-    def code(col, j: int) -> F.Column:
-        d = dist_table(col, j)
-        return F.array_position(d, F.array_min(d)).cast("int")
-
-    c = corpus.select(
-        F.col(corpus_id),
-        *[code(F.col(vec_col), j).alias(f"__code_{j}") for j in range(m)],
-    )
+    # Corpus side: Arrow/numpy kernel (quantize_arrow — r16, guide §4.2).
+    # The old JVM spelling additionally evaluated each subspace distance
+    # table TWICE per row (array_position(d, array_min(d)) inlines d —
+    # HOFs are outside Spark's CSE). Codes are integer argmins, so the
+    # swap is result-exact; the query-side distance tables stay JVM
+    # because their float values feed the output sum.
+    c = quantize_arrow(corpus, corpus_id, vec_col, codebooks=codebooks)
     q = F.broadcast(
         queries.select(
             F.col(query_id),
@@ -462,31 +461,12 @@ def ivfpq_topk(
     def sub(vecd, j: int):
         return F.slice(vecd, starts[j], widths[j])
 
-    # Distance arrays materialize as real columns before the argmin
-    # references them twice: Spark does not CSE higher-order-function
-    # expressions, so inlining would evaluate each one twice per row.
-    c = (
-        with_quantizers(corpus.select(F.col(corpus_id), F.col(vec_col)))
-        .withColumn("__vecd", _as_double(F.col(vec_col)))
-        .select(
-            F.col(corpus_id),
-            _l2_array(F.col("__vecd"), F.col("__cent")).alias("__cd"),
-            *[
-                _l2_array(sub(F.col("__vecd"), j), F.col(f"__cb_{j}")).alias(
-                    f"__dtc_{j}"
-                )
-                for j in range(m)
-            ],
-        )
-        .select(
-            F.col(corpus_id),
-            (_argmin_pos(F.col("__cd")) - 1).cast("int").alias("__cell"),
-            *[
-                _argmin_pos(F.col(f"__dtc_{j}")).cast("int").alias(f"__code_{j}")
-                for j in range(m)
-            ],
-        )
-    )
+    # Corpus side: Arrow/numpy kernel (quantize_arrow — r16, guide §4.2;
+    # the HOF-fold spelling cost 0.9 s of b54's 1.7 s at sf0.1). Integer
+    # argmin outputs only, so the swap is result-exact (see the kernel's
+    # parity note); the query side stays JVM — its float distance TABLES
+    # feed the output sum and must keep the fold's summation order.
+    c = quantize_arrow(corpus, corpus_id, vec_col, centroids, codebooks)
     probe_cells = F.slice(
         F.transform(
             F.array_sort(
@@ -530,6 +510,79 @@ def ivfpq_topk(
         .filter(F.col("__rn") <= k)
         .select(query_id, corpus_id, "approx_d", F.col("__rn").alias("rank"))
     )
+
+
+def quantize_arrow(
+    df: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Arrow-vectorized corpus-side quantization: nearest-centroid cell
+    (``__cell``, 0-based) and/or per-subspace PQ codes (``__code_j``,
+    1-based — ``element_at`` lookups are 1-based downstream).
+
+    r16 (guide §4.2): the JVM spelling evaluates one interpreted
+    zip_with/aggregate fold per (row × centroid/codeword) — higher-order
+    functions never reach codegen, and ``array_position(d, array_min(d))``
+    shapes evaluate the distance array twice. Measured on b54's corpus
+    pass at sf0.1: 0.9 s of the query's 1.7 s. Here one numpy broadcast
+    per Arrow batch does all distances ((V-C)² matrix sum) in BLAS-class
+    code.
+
+    Result parity: outputs are ARGMIN INDICES, never float distances —
+    numpy's summation order differs from the fold's left-to-right order
+    only in final ulps, which cannot flip an argmin unless two distances
+    tie to ~1e-16 relative (distinct random vectors never do; exact
+    duplicates give exact equality in BOTH orders and both sides then
+    take the lowest index — numpy argmin and the oracle's row_number
+    tie-break agree). Vectors must be non-null (corpus contract).
+    """
+    import numpy as np
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in (codebooks or [])]
+    m = len(cbs)
+    widths = [cb.shape[1] for cb in cbs]
+    starts = [sum(widths[:j]) for j in range(m)]
+    cent = np.asarray(centroids, dtype=np.float64) if centroids is not None else None
+
+    fields = [f"{corpus_id} long"]
+    if cent is not None:
+        fields.append("__cell int")
+    fields += [f"__code_{j} int" for j in range(m)]
+    if keep_vec:
+        fields.append(f"{vec_col} {df.schema[vec_col].dataType.simpleString()}")
+    schema = ", ".join(fields)
+
+    def gen(pdf_iter):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in pdf_iter:
+            cols = {corpus_id: pdf[corpus_id]}
+            if len(pdf):
+                v = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+                if cent is not None:
+                    d = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                    cols["__cell"] = _pd.Series(d.argmin(axis=1).astype("int32"))
+                for j in range(m):
+                    sub = v[:, starts[j] : starts[j] + widths[j]]
+                    dj = ((sub[:, None, :] - cbs[j][None, :, :]) ** 2).sum(axis=2)
+                    cols[f"__code_{j}"] = _pd.Series(
+                        (dj.argmin(axis=1) + 1).astype("int32")
+                    )
+            else:  # empty tail batch
+                if cent is not None:
+                    cols["__cell"] = _pd.Series([], dtype="int32")
+                for j in range(m):
+                    cols[f"__code_{j}"] = _pd.Series([], dtype="int32")
+            if keep_vec:
+                cols[vec_col] = pdf[vec_col]
+            yield _pd.DataFrame(cols)
+
+    return df.select(corpus_id, vec_col).mapInPandas(gen, schema)
 
 
 def _cell_of(
@@ -599,25 +652,40 @@ def semdedup_drop_list(
             F.col(vec_col),
             F.xxhash64(F.col(vec_col)).alias("__fp"),
         )
-        groups = fp.groupBy("__fp").agg(
-            F.min(corpus_id).alias("__rep"),
-            # vectors are identical within a hash group → first() stable
-            F.first(vec_col).alias(vec_col),
+        # r16 (guide §2.3/§2.4): rep selection used to be
+        # groupBy(__fp).agg(min(id), first(vec)) — the array-typed
+        # first() forced a SortAggregate that SORTED AND SHUFFLED every
+        # vector, and the plan then recomputed it per consumer. Now only
+        # (fp, id) pairs aggregate (map-side partial, 16-byte rows); the
+        # reps' vectors ride in via one join, shared by every consumer
+        # through a lazy localCheckpoint, and the reps' cells come from
+        # the SAME signature pass the pairwise stage uses instead of a
+        # second _cell_of scan. Plan: SortAggregate gone, one corpus
+        # vector shuffle instead of two, one cell-assignment pass
+        # instead of two.
+        rep_ids = fp.groupBy("__fp").agg(F.min(corpus_id).alias("__rep"))
+        tagged = fp.join(rep_ids, "__fp").localCheckpoint(eager=False)
+        reps = tagged.filter(F.col(corpus_id) == F.col("__rep")).select(
+            corpus_id, vec_col
         )
-        reps = groups.select(F.col("__rep").alias(corpus_id), vec_col)
-        base = semdedup_drop_list(
-            reps, centroids, threshold, corpus_id, vec_col,
-            exact_prepass=False,
+        sig = _semdedup_sig(reps, centroids, corpus_id, vec_col)
+        # The drop list feeds BOTH the output union and the member
+        # expansion (rep_drops); without a shared materialization the
+        # within-cell pairwise stage — the operator's dominant cost —
+        # executes twice (AQE reuses its input shuffles, not the
+        # post-shuffle pair compute). The list is ≤ |corpus| tiny rows.
+        base = _semdedup_pairs_drop(sig, threshold, corpus_id).localCheckpoint(
+            eager=False
         )
         # Every non-rep member is dropped: witness = rep's witness if the
         # rep was dropped too (it is lower), else the rep itself; its
         # max cosine is its clone-mate's 1.0 (or the rep's higher-ulp
         # raw max — both round identically). The rep's cell rides in
-        # from a scan-side re-assignment of the (already distinct) reps.
-        members = fp.join(groups.select("__fp", "__rep"), "__fp").filter(
-            F.col(corpus_id) != F.col("__rep")
+        # from the shared signature pass over the (already distinct) reps.
+        members = tagged.filter(F.col(corpus_id) != F.col("__rep")).select(
+            F.col(corpus_id), F.col("__rep")
         )
-        rep_cells = _cell_of(reps, centroids, corpus_id, vec_col).select(
+        rep_cells = sig.select(
             F.col(corpus_id).alias("__rep"), F.col("__cell").alias("__rep_cell")
         )
         rep_drops = base.select(
@@ -638,32 +706,59 @@ def semdedup_drop_list(
             )
         )
         return base.unionByName(member_rows)
-    # One scan-side pass: double-cast vector, its norm, and the cell —
-    # centroids ride along as a broadcast matrix column (_matrix_lit, so
-    # k scales without blowing up the expression tree), the distance
-    # array materializes as a column so the argmin doesn't evaluate it
-    # twice (HOFs are outside Spark's CSE), and norms are computed once
-    # per VECTOR, not once per pair.
-    sig = (
-        _matrix_lit(corpus.select(F.col(corpus_id), F.col(vec_col)), "__cent", centroids)
-        .withColumn("__vecd", _as_double(F.col(vec_col)))
+    sig = _semdedup_sig(corpus, centroids, corpus_id, vec_col)
+    return _semdedup_pairs_drop(sig, threshold, corpus_id)
+
+
+def _semdedup_sig(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    corpus_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """One scan-side signature pass: double-cast vector, its norm, and
+    the quantizer cell — centroids ride along as a broadcast matrix
+    column (_matrix_lit, so k scales without blowing up the expression
+    tree), the distance array materializes as a column so the argmin
+    doesn't evaluate it twice (HOFs are outside Spark's CSE), and norms
+    are computed once per VECTOR, not once per pair. Lazily
+    localCheckpointed: both self-join sides (and, under the exact
+    prepass, the member-expansion cell lookup) consume it."""
+    return (
+        (
+            _matrix_lit(
+                corpus.select(F.col(corpus_id), F.col(vec_col)),
+                "__cent",
+                centroids,
+            )
+            .withColumn("__vecd", _as_double(F.col(vec_col)))
+            .select(
+                F.col(corpus_id),
+                F.col("__vecd"),
+                _l2_array(F.col("__vecd"), F.col("__cent")).alias("__cd"),
+            )
+        )
         .select(
             F.col(corpus_id),
             F.col("__vecd"),
-            _l2_array(F.col("__vecd"), F.col("__cent")).alias("__cd"),
+            F.sqrt(
+                F.aggregate(
+                    F.col("__vecd"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ).alias("__norm"),
+            (F.array_position(F.col("__cd"), F.array_min("__cd")) - 1)
+            .cast("int")
+            .alias("__cell"),
         )
-    ).select(
-        F.col(corpus_id),
-        F.col("__vecd"),
-        F.sqrt(
-            F.aggregate(
-                F.col("__vecd"), F.lit(0.0), lambda acc, x: acc + x * x
-            )
-        ).alias("__norm"),
-        (F.array_position(F.col("__cd"), F.array_min("__cd")) - 1)
-        .cast("int")
-        .alias("__cell"),
-    ).localCheckpoint(eager=False)  # both join sides consume the signatures
+        .localCheckpoint(eager=False)
+    )
+
+
+def _semdedup_pairs_drop(
+    sig: DataFrame, threshold: float, corpus_id: str
+) -> DataFrame:
+    """Within-cell pairwise stage over a signature frame: self-join on
+    the cell, cosine from the precomputed norms, drop-list reduce."""
     a = sig.select(
         F.col("__cell"),
         F.col(corpus_id).alias("id_a"),
