@@ -568,35 +568,48 @@ def t19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 analog (late = shipped >60 days after order date,
     standing in for receipt>commit). Sole-late-supplier-in-a-
-    multi-supplier-order: EXISTS → left-semi on (orderkey, suppkey≠),
-    NOT EXISTS → left-anti against the same late set. The late set is
-    computed once and reused for probe and anti sides."""
+    multi-supplier-order, in per-order aggregate form (r16, guide
+    §2.3/§2.4): for a late row l1,
+
+    - EXISTS another-supplier row  ⟺  its order has ≥ 2 distinct
+      suppliers  ⟺  min(l_suppkey) ≠ max(l_suppkey) over the order;
+    - NOT EXISTS another-supplier LATE row  ⟺  every late row of the
+      order carries l1's own supplier  ⟺  min = max over the late rows.
+
+    Both order sets come from single-pass min/max aggregates (map-side
+    partial combine — per-order traffic only), and l1 is the late set
+    semi-joined against them on the already-co-partitioned orderkey.
+    The previous correlated spelling broadcast the FULL lineitem
+    projection as the semi-join build side (a fact-table broadcast:
+    driver collect + hash relation per run; an 8 GB cap blowout at
+    warehouse scale) and sort-merge-anti-joined the late set against
+    itself (two more full exchanges + sorts). Plan: 3 lineitem scans →
+    2, fact broadcast gone, SortMergeJoin LeftAnti gone. The late set
+    is lazily localCheckpointed: it feeds both its own aggregate and
+    the probe side, and the checkpoint keeps it one computation."""
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     late = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
         .select("l_orderkey", "l_suppkey")
+        .localCheckpoint(eager=False)
     )
-    other = li.select(
-        F.col("l_orderkey").alias("o2_ok"), F.col("l_suppkey").alias("o2_sk")
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("__lo"), F.max("l_suppkey").alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select(F.col("l_orderkey").alias("o2_ok"))
     )
-    other_late = late.select(
-        F.col("l_orderkey").alias("o3_ok"), F.col("l_suppkey").alias("o3_sk")
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("__lo"), F.max("l_suppkey").alias("__hi"))
+        .filter(F.col("__lo") == F.col("__hi"))
+        .select(F.col("l_orderkey").alias("o3_ok"))
     )
-    l1 = (
-        late.join(
-            other,
-            (F.col("o2_ok") == F.col("l_orderkey"))
-            & (F.col("o2_sk") != F.col("l_suppkey")),
-            "leftsemi",
-        ).join(
-            other_late,
-            (F.col("o3_ok") == F.col("l_orderkey"))
-            & (F.col("o3_sk") != F.col("l_suppkey")),
-            "leftanti",
-        )
-    )
+    l1 = late.join(
+        multi_supp, F.col("o2_ok") == F.col("l_orderkey"), "leftsemi"
+    ).join(sole_late, F.col("o3_ok") == F.col("l_orderkey"), "leftsemi")
     sup = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
     return (
         l1.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))

@@ -390,21 +390,9 @@ def span_hashes_arrow(
     schema = ", ".join(
         [f"{id_col} long", *[f"{c} {t}" for c, t in carry], "__sh long"]
     )
-    src = df.select(id_col, *carry_names, text_col)
-    # The generator's per-task cost is Python compute, so its wall time
-    # is bounded by the SCAN's parallelism. A small corpus can split into
-    # fewer tasks than the session has cores (e.g. one sub-split-size
-    # file → every span hashed on one core); redistributing the texts
-    # once costs one narrow shuffle and buys full-width Python
-    # throughput. Data-derived, not host-tuned: on a real warehouse the
-    # scan already saturates the cores and this is a no-op.
-    try:
-        scan_parts = src.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - defensive (plan→RDD quirks)
-        scan_parts = None
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if scan_parts is not None and scan_parts < par:
-        src = src.repartition(par)
+    from duckdb_server_spark.operators import spread_small_scan
+
+    src = spread_small_scan(df.select(id_col, *carry_names, text_col))
     return src.mapInPandas(gen, schema)
 
 

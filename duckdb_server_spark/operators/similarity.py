@@ -172,12 +172,13 @@ def ivf_topk(
     dists = lambda col: F.array(  # noqa: E731
         *[l2_distance_to(col, c) for c in centroids]
     )
-    cell = lambda col: (  # noqa: E731 — argmin over the distance array
-        F.array_position(dists(col), F.array_min(dists(col))) - 1
-    ).cast("int")
-
-    c = corpus.select(
-        F.col(corpus_id), F.col(vec_col).alias("__cvec"), cell(F.col(vec_col)).alias("__cell")
+    # Corpus cell assignment via the Arrow/numpy kernel (r16, guide
+    # §4.2): the HOF spelling evaluated the k-distance array TWICE per
+    # row (array_position(d, array_min(d)) — HOFs escape CSE) in
+    # interpreted lambdas. Integer argmin output → result-exact swap;
+    # the probe-side distances below stay JVM (tiny query side).
+    c = quantize_arrow(corpus, corpus_id, vec_col, centroids, keep_vec=True).select(
+        F.col(corpus_id), F.col(vec_col).alias("__cvec"), F.col("__cell")
     )
     # Query probes: indices of the n_probe smallest centroid distances.
     probe_cells = F.slice(
@@ -831,17 +832,16 @@ def kmeans_refine(
     cents = [[float(v) for v in c] for c in init_centroids]
     out = None
     for _ in range(iters):
-        assigned = (
-            _matrix_lit(
-                corpus.select(F.col(corpus_id), F.col(vec_col)), "__cent", cents
-            )
-            .withColumn("__vecd", _as_double(F.col(vec_col)))
-            .withColumn("__cd", _l2_array(F.col("__vecd"), F.col("__cent")))
-            .select(
-                F.col(corpus_id),
-                (_argmin_pos(F.col("__cd")) - 1).cast("int").alias("cid"),
-                F.col("__vecd"),
-            )
+        # Cell assignment via the Arrow/numpy kernel (r16, guide §4.2 —
+        # integer argmins, result-exact; see quantize_arrow's parity
+        # note). The per-dimension averaging stays JVM: its float merge
+        # order is the value the oracle replays.
+        assigned = quantize_arrow(
+            corpus, corpus_id, vec_col, cents, keep_vec=True
+        ).select(
+            F.col(corpus_id),
+            F.col("__cell").alias("cid"),
+            _as_double(F.col(vec_col)).alias("__vecd"),
         )
         out = (
             assigned.select("cid", F.posexplode("__vecd").alias("dim", "__v"))

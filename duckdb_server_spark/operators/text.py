@@ -286,7 +286,15 @@ def tfidf_topk(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFra
     document's vocabulary, not the corpus'."""
     text = F.col(text_col)
     toks = df.select(F.col(id_col), F.explode(_words(text)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency aggregate and the scoring
+    # join; without a shared materialization the token explode and the
+    # (doc, term) hash-agg execute twice (r16, guide §2.4 — branched
+    # lineage gets no exchange reuse above the agg).
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
