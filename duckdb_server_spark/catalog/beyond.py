@@ -218,7 +218,19 @@ def _portable_band_pairs(staged: DataFrame) -> DataFrame:
     minima → 8 bands → bucketed self-join) as a reusable builder over any
     (doc_id, text) frame; returns distinct candidate pairs id_a < id_b.
     Every stage replays in DuckDB via _B03B_MINS_SQL/_B03B_BANDS_SQL."""
-    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    # Word array through a Generate node (with_words idiom, r16): the
+    # trigram lambda references it via element_at per element, so a
+    # plain alias would re-run the regex split once per trigram —
+    # O(words²) per document. Values are unchanged: same expressions,
+    # shared computation.
+    wordsed = staged.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.array(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""))
+        ).alias("__w"),
+    )
+    words = F.col("__w")
     k = F.size(words) - 2
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
@@ -234,7 +246,7 @@ def _portable_band_pairs(staged: DataFrame) -> DataFrame:
     def md5_60(col):
         return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    hashed = staged.select(
+    hashed = wordsed.select(
         "doc_id", F.explode(sh).alias("__s")
     ).select("doc_id", md5_60(F.col("__s")).alias("__h"))
     mins = [
@@ -3692,11 +3704,19 @@ def b65_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's TakeOrderedAndProject (per-partition heads, no global
     sort). The 100 TB cost is exactly two scans of the token stream."""
     docs = t(spark, sf_dir, "documents")
+    # Tokens ride through a Generate node (explode(array(..))) — the
+    # with_words idiom: a plain select alias is inlined by
+    # CollapseProject into EVERY downstream reference, and `w` appears
+    # inside a per-element transform lambda, so the regex re-split ran
+    # once per bigram = O(words²) per document (r16 — measured 11.5 s
+    # for the explode stage alone at sf0.1; 0.5 s with sharing).
     tok = docs.select(
         "doc_id",
         "lang",
-        F.expr(
-            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        F.explode(
+            F.array(
+                F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+            )
         ).alias("w"),
     )
     feats = tok.select(
@@ -3709,15 +3729,22 @@ def b65_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE slice(w, 1, 0) END)"
         ).alias("fs"),
     )
-    fx = feats.select(
-        "doc_id", "lang", F.explode("fs").alias("f")
-    ).select(
-        "doc_id",
-        "lang",
-        (
-            F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long")
-            % 1024
-        ).alias("b"),
+    # fx feeds FOUR consumers (tots, raw_tab, tgt_tab, scored) — without
+    # a shared materialization the tokenize + bigram + explode + md5
+    # subtree (the operator's dominant scan cost) executes four times
+    # (r16, guide §2.4). The checkpoint holds (doc_id, lang, bucket)
+    # ints only.
+    fx = (
+        feats.select("doc_id", "lang", F.explode("fs").alias("f"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long")
+                % 1024
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=False)
     )
     tots = fx.agg(
         F.count("*").alias("r_tot"),
@@ -3806,10 +3833,15 @@ def b66_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size (the b06/b22 span-hash discipline, pointed the other
     way: uniqueness instead of collision)."""
     docs = t(spark, sf_dir, "documents")
+    # Generate-shared tokens (with_words idiom, r16): `w` is referenced
+    # inside the per-span lambda below, so a plain select alias would
+    # re-run the regex split once per span — O(words²) per document.
     w = docs.select(
         "doc_id",
-        F.expr(
-            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        F.explode(
+            F.array(
+                F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+            )
         ).alias("w"),
     ).filter(F.expr("size(w) >= 8"))
     spans = w.select(

@@ -756,11 +756,19 @@ def _portable_banded_stateless(df: DataFrame) -> DataFrame:
     )
 
     words = with_words(df.select("doc_id", "text"), "text")
+    # __h rides through its own Generate node (r16): it is referenced by
+    # all 32 permutation lambdas below, and a plain select alias would be
+    # CollapseProject-inlined into each — recomputing the shingle build +
+    # base md5 pass 32× per row. Stateless per-row, so stream-safe.
     hashed = words.select(
         "doc_id",
-        F.transform(
-            shingles_from_words(F.col("__words"), "text", 3),
-            lambda s: _md5_60(s),
+        F.explode(
+            F.array(
+                F.transform(
+                    shingles_from_words(F.col("__words"), "text", 3),
+                    lambda s: _md5_60(s),
+                )
+            )
         ).alias("__h"),
     )
     sig = hashed.select(
@@ -917,11 +925,17 @@ _ST_DSIR_ORACLE = """
 def _dsir_features(df):
     """doc_id → exploded (doc_id, lang, bucket) rows — b65's feature
     chain as stateless per-row expressions (beyond.py::b65)."""
+    # Generate-shared tokens (with_words idiom, r16 — see b65): a plain
+    # alias is inlined into the per-bigram lambda, re-splitting the text
+    # once per bigram. explode(array(..)) pins the split in a Generate
+    # node (streaming-compatible: stateless, per-row).
     tok = df.select(
         "doc_id",
         "lang",
-        F.expr(
-            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        F.explode(
+            F.array(
+                F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+            )
         ).alias("w"),
     )
     feats = tok.select(
