@@ -113,16 +113,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rotates in r15), then the rows whose serving path changed this round
 # (the Vorbis decode refactor behind b34e/b34f; the COLLATE-IN and
 # int-div rewrites behind the sNN dialect rows).
-# Round 16 (VERDICT r15 items 1+4): the r15 round shipped no priority
+# Round 16 (VERDICT r15 item 4): the r15 round shipped no priority
 # rotation, so the driver re-sampled r14's exact 50-row head — this list
-# restores the steady-state rotation AND puts the promoted b03 first.
-# Head: b03_minhash_lsh_pairs (re-declared this round with the portable
-# md5 hash + full oracle — the last permanently-red ledger row turns
-# green only when the driver re-samples it), the queries ADDED in r16,
-# then ALL 22 remaining r8-stamped rows (the oldest evidence; histogram
-# at rotation time: 22×r8, 25×r9, 49×r10, 50×r11/r12/r13, 50×r15), then
-# the 25 r9-stamped rows cheapest-first. 1 changed + new + 47 stale
-# slightly overfills the ~50/round budget like r11/r12 did; after this
+# restores the steady-state rotation. Head: ALL 22 remaining r8-stamped
+# rows (the oldest evidence; histogram at rotation time: 22×r8, 25×r9,
+# 49×r10, 50×r11/r12/r13, 50×r15), then the 25 r9-stamped rows
+# cheapest-first. 47 stale rows fit the ~50/round budget; after this
 # round no declared query's stamp predates r10.
 _PRIORITY_R16: tuple[str, ...] = (
     # (r16 is an optimization round: no queries were added or changed, so

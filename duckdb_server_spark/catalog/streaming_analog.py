@@ -620,10 +620,15 @@ def st_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     docs = t(spark, sf_dir, "documents").withColumn("split", split_col)
+    # train feeds the Bloom build AND the exact-verify join side, and the
+    # static side of a stream-static join is re-evaluated every
+    # micro-batch — one lazy localCheckpoint makes the scan + shingle +
+    # distinct chain a single computation (r16, guide §2.4).
     train = (
         _shingles(docs.filter(F.col("split") == "train"))
         .select("__sh")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     filt = bloom.bloom_build(train, "__sh")
     marked = train.withColumn("__hit", F.lit(1))

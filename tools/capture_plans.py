@@ -37,6 +37,8 @@ def main() -> None:
     names = [n for n in bench.HEADLINE + bench.EXTRA if n in catalog.QUERIES]
     if only:
         names = [n for n in names if any(o in n for o in only)]
+        if not names:  # not benched — fall back to the full catalog
+            names = [n for n in catalog.QUERIES if any(o in n for o in only)]
     os.makedirs(OUT_DIR, exist_ok=True)
     for name in names:
         spark.sparkContext.setJobDescription(f"capture-plan: {name}")
