@@ -159,40 +159,45 @@ def float32_pack(v: float) -> int:
 
 
 class _BitReaderLSB:
-    """§2: least-significant-bit-first bit cursor over a packet."""
+    """§2: least-significant-bit-first bit cursor over a packet.
+
+    Round 17 (guide §4.2/§4.5): the per-bit Python loop is replaced by
+    one ``int.from_bytes(data, "little")`` at construction plus a
+    shift-and-mask per read — bit k of the little-endian integer IS bit
+    (k & 7) of byte (k >> 3), the exact LSB-first convention the loop
+    implemented, so every field value is unchanged."""
 
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
+        self._nbits = len(data) * 8
+        self._val = int.from_bytes(data, "little")
 
     def read(self, n: int) -> int:
-        if self.pos + n > len(self.data) * 8:
+        p = self.pos
+        if p + n > self._nbits:
             raise ValueError("Vorbis: bitstream underrun")
-        v = 0
-        for k in range(n):
-            byte = self.data[(self.pos + k) >> 3]
-            bit = (byte >> ((self.pos + k) & 7)) & 1
-            v |= bit << k
-        self.pos += n
-        return v
+        self.pos = p + n
+        return (self._val >> p) & ((1 << n) - 1)
 
 
 class _BitWriterLSB:
+    """LSB-first bit emitter. Round 17: accumulate into one integer
+    (value bits land at the current offset — identical layout to the
+    old per-bit list) and render via ``int.to_bytes(..., "little")``."""
+
     def __init__(self) -> None:
-        self.bits: list[int] = []
+        self._acc = 0
+        self._n = 0
 
     def write(self, value: int, width: int) -> None:
         if value < 0 or (width < 32 and value >= (1 << width)):
             raise ValueError("Vorbis writer: value out of field range")
-        for k in range(width):
-            self.bits.append((value >> k) & 1)
+        self._acc |= value << self._n
+        self._n += width
 
     def render(self) -> bytes:
-        out = bytearray((len(self.bits) + 7) // 8)
-        for i, b in enumerate(self.bits):
-            if b:
-                out[i >> 3] |= 1 << (i & 7)
-        return bytes(out)
+        return self._acc.to_bytes((self._n + 7) // 8, "little")
 
 
 def lookup1_values(entries: int, dimensions: int) -> int:
@@ -229,6 +234,50 @@ def assign_codewords(lengths: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
+# Round 17 (guide §4.5 — hoist table setup once per process): every row
+# of the b34* fixture families parses its own setup header, so the same
+# codeword assignment and decode LUT were being rebuilt per row. Both
+# are pure functions of the length list; memoize them process-wide.
+# This is derived-table setup shared across rows, not result caching —
+# nothing here depends on the input data directory.
+_CODES_MEMO: dict[tuple[int, ...], dict[int, tuple[int, int]]] = {}
+_LUT_MEMO: dict[tuple[int, ...], tuple | None] = {}
+
+_LUT_MAX_BITS = 15  # LUT decode up to 2^15 cells; longer books walk bits
+
+
+def _codebook_lut(lengths_key: tuple[int, ...],
+                  codes: dict[int, tuple[int, int]]) -> tuple | None:
+    """(lut, maxlen, mask) mapping the next ``maxlen`` stream bits
+    (LSB-first peek) to ``(entry, length)``; None when the book's max
+    length exceeds _LUT_MAX_BITS. The stream sends each codeword
+    MSB-first, so the LUT key's low ``length`` bits are the codeword
+    bit-reversed; every high-bit extension maps to the same entry
+    (prefix-free). Cells no codeword covers stay None (invalid code /
+    underrun — resolved by the bit-walk fallback for exactness)."""
+    lut_entry = _LUT_MEMO.get(lengths_key)
+    if lut_entry is not None or lengths_key in _LUT_MEMO:
+        return lut_entry
+    maxlen = max((ln for ln, _ in codes.values()), default=0)
+    if maxlen == 0 or maxlen > _LUT_MAX_BITS:
+        _LUT_MEMO[lengths_key] = None
+        return None
+    size = 1 << maxlen
+    lut: list[tuple[int, int] | None] = [None] * size
+    for entry, (ln, code) in codes.items():
+        rev = 0
+        c = code
+        for _ in range(ln):
+            rev = (rev << 1) | (c & 1)
+            c >>= 1
+        step = 1 << ln
+        for key in range(rev, size, step):
+            lut[key] = (entry, ln)
+    out = (lut, maxlen, size - 1)
+    _LUT_MEMO[lengths_key] = out
+    return out
+
+
 class Codebook:
     def __init__(self, dimensions: int, entries: int,
                  lengths: list[int], lookup_type: int = 0,
@@ -243,10 +292,32 @@ class Codebook:
         self.delta = delta
         self.sequence_p = sequence_p
         self.multiplicands = multiplicands or []
-        self.codes = assign_codewords(lengths)
-        self._dec = {v: k for k, v in self.codes.items()}
+        key = tuple(lengths)
+        codes = _CODES_MEMO.get(key)
+        if codes is None:
+            codes = assign_codewords(lengths)
+            _CODES_MEMO[key] = codes
+        self.codes = codes
+        self._dec = {v: k for k, v in codes.items()}
+        self._lut = _codebook_lut(key, codes)
+        self._vq_memo: dict[int, list[float]] = {}
 
     def decode_entry(self, br: _BitReaderLSB) -> int:
+        # Round 17 (guide §4.2): one table probe on the next maxlen
+        # peeked bits replaces the per-bit read + dict walk. Falls back
+        # to the exact bit-walk on LUT holes / oversized books so the
+        # error behavior of corrupt streams is unchanged.
+        lut3 = self._lut
+        if lut3 is not None:
+            lut, _maxlen, mask = lut3
+            p = br.pos
+            hit = lut[(br._val >> p) & mask]
+            if hit is not None:
+                entry, ln = hit
+                if p + ln <= br._nbits:
+                    br.pos = p + ln
+                    return entry
+                raise ValueError("Vorbis: bitstream underrun")
         code = 0
         for n in range(1, 33):
             code = (code << 1) | br.read(1)
@@ -259,7 +330,17 @@ class Codebook:
         """§3.3 VQ lookup: type 2 (explicit entries×dims table) or
         type 1 (implicit lattice — round 11: the multiplicand index for
         dimension j is digit j of the entry number in base
-        lookup1_values)."""
+        lookup1_values). Round 17: the per-entry vector is a pure
+        function of the book — memoized per instance (guide §4.5);
+        callers only iterate the returned list."""
+        memo = self._vq_memo.get(entry)
+        if memo is not None:
+            return memo
+        vec = self._vq_vector_compute(entry)
+        self._vq_memo[entry] = vec
+        return vec
+
+    def _vq_vector_compute(self, entry: int) -> list[float]:
         if self.lookup_type == 1:
             lv = lookup1_values(self.entries, self.dimensions)
             out = []
@@ -1503,32 +1584,65 @@ FLOOR1_INVERSE_DB = tuple(
 )
 
 
+_WINDOW_MEMO: dict[int, list[float]] = {}
+
+
 def vorbis_window(n: int) -> list[float]:
     """§4.3.1 window for uniform blocksize n:
     w[i] = sin((π/2)·s·s), s = sin((π/n)·(i+0.5)) — satisfies the
     Princen-Bradley condition w²[i] + w²[i+n/2] = 1 for perfect
-    overlap-add reconstruction."""
+    overlap-add reconstruction. Round 17: memoized per n — the values
+    are a pure function of n and callers never mutate the list (the
+    per-packet recomputation was measured per-row cost, guide §4.5)."""
+    out = _WINDOW_MEMO.get(n)
+    if out is not None:
+        return out
     out = []
     for i in range(n):
         s = math.sin((math.pi / n) * (i + 0.5))
         out.append(math.sin((0.5 * math.pi) * (s * s)))
+    _WINDOW_MEMO[n] = out
     return out
+
+
+# Round 17 (the r16 VERDICT's top item): the exact-profile IMDCT was 87%
+# of every b34e-h row (profiled: 2.45 s self + 0.78 s math.cos of a
+# 3.71 s 50-row run — 32768 cos calls per packet recomputed every time).
+# The cos factors are a pure function of (n, j, k) — cache the rows once
+# per process, computed by the IDENTICAL expressions (same doubles). The
+# row sum stays STRICTLY left-to-right: CPython's builtin ``sum`` uses a
+# sequential float fast path (0 + p0 + p1 + ... in order), the exact
+# association order of the old ``s += ...`` loop, so every output double
+# is bit-identical and the SQL oracle replay still matches. Pinned by
+# tests/test_r17_vorbis_fastpath.py against a frozen reimplementation of
+# the old loop.
+_IMDCT_COS_MEMO: dict[int, list[list[float]]] = {}
+
+
+def _imdct_cos_rows(n: int) -> list[list[float]]:
+    rows = _IMDCT_COS_MEMO.get(n)
+    if rows is None:
+        half = n // 2
+        rows = []
+        for j in range(n):
+            a = (math.pi / (2.0 * n)) * (2 * j + 1 + half)
+            rows.append([math.cos(a * (2 * k + 1)) for k in range(half)])
+        _IMDCT_COS_MEMO[n] = rows
+    return rows
 
 
 def imdct(spectrum: list[float], n: int) -> list[float]:
     """Inverse MDCT, direct definition (spectrum length n/2 → n time
     samples): y[j] = Σ_{k<n/2} X[k]·cos((π/(2n))·(2j+1+n/2)·(2k+1)).
     Direct O(n²/2) evaluation — the definition itself, deliberately not
-    an FFT factorization, so the oracle replay is the same arithmetic."""
+    an FFT factorization, so the oracle replay is the same arithmetic
+    (left-to-right sums; see the cache provenance note above)."""
     half = n // 2
-    out = []
-    for j in range(n):
-        a = (math.pi / (2.0 * n)) * (2 * j + 1 + half)
-        s = 0.0
-        for k in range(half):
-            s += spectrum[k] * math.cos(a * (2 * k + 1))
-        out.append(s)
-    return out
+    if len(spectrum) != half:
+        raise ValueError("Vorbis: IMDCT spectrum length != n/2")
+    from operator import mul
+
+    return [sum(map(mul, spectrum, row)) for row in _imdct_cos_rows(n)]
 
 
 def decode_vorbis_pcm(packet: bytes, setup: dict,
@@ -1557,15 +1671,24 @@ def decode_vorbis_pcm(packet: bytes, setup: dict,
     return [y[i] * w[i] for i in range(n)]
 
 
+_WINDOW_SHAPED_MEMO: dict[tuple[int, int, int, int, int],
+                          list[float]] = {}
+
+
 def vorbis_window_shaped(n: int, bs0: int, blockflag: int,
                          prev_flag: int, next_flag: int) -> list[float]:
     """§4.3.1 window for a SWITCHED stream (round 13): a long block
     (blockflag 1) whose neighbor is short narrows the matching slope
     to bs0/2 samples centered at n/4 (left) / 3n/4 (right), with a
     flat-1 plateau between and zeros outside — all formula, no table.
-    A short block (blockflag 0) is the uniform window."""
+    A short block (blockflag 0) is the uniform window. Round 17:
+    memoized per shape key (pure function, callers read-only)."""
     if not blockflag:
         return vorbis_window(n)
+    memo_key = (n, bs0, blockflag, prev_flag, next_flag)
+    cached = _WINDOW_SHAPED_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     left_n = n // 2 if prev_flag else bs0 // 2
     left_start = 0 if prev_flag else n // 4 - bs0 // 4
     right_n = n // 2 if next_flag else bs0 // 2
@@ -1580,6 +1703,7 @@ def vorbis_window_shaped(n: int, bs0: int, blockflag: int,
         s = math.sin((math.pi / (2 * right_n)) * ((i - right_start) + 0.5)
                      + 0.5 * math.pi)
         w[i] = math.sin((0.5 * math.pi) * (s * s))
+    _WINDOW_SHAPED_MEMO[memo_key] = w
     return w
 
 
