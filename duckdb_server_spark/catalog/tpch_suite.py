@@ -584,19 +584,38 @@ def t21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collect + hash relation per run; an 8 GB cap blowout at
     warehouse scale) and sort-merge-anti-joined the late set against
     itself (two more full exchanges + sorts). Plan: 3 lineitem scans →
-    2, fact broadcast gone, SortMergeJoin LeftAnti gone. The late set
-    is lazily localCheckpointed: it feeds both its own aggregate and
-    the probe side, and the checkpoint keeps it one computation."""
-    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    2, fact broadcast gone, SortMergeJoin LeftAnti gone.
+
+    Round 17 (VERDICT r16 item 2): ``multi_supp`` no longer aggregates
+    the FULL lineitem table — only lineitems of 'F'-status orders can
+    survive the later semi-join (``late``'s keys all come from 'F'
+    orders, and the inner join on the UNIQUE o_orderkey neither drops
+    nor duplicates lineitem rows within a kept order, so per-order
+    min/max are unchanged). One joined frame carries a ``__late`` flag
+    and is lazily localCheckpointed (branched lineage: it feeds the
+    multi-supplier aggregate, the sole-late aggregate, and the probe
+    side — guide §2.4/§3.2); the fact table is now scanned ONCE per
+    run (was 2), and the per-order aggregate runs over the ~half of
+    lineitem that the order-status filter keeps."""
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    late = (
+    joined = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
-        .select("l_orderkey", "l_suppkey")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ).alias("__late"),
+        )
         .localCheckpoint(eager=False)
     )
+    late = joined.filter(F.col("__late")).select("l_orderkey", "l_suppkey")
     multi_supp = (
-        li.groupBy("l_orderkey")
+        joined.groupBy("l_orderkey")
         .agg(F.min("l_suppkey").alias("__lo"), F.max("l_suppkey").alias("__hi"))
         .filter(F.col("__lo") != F.col("__hi"))
         .select(F.col("l_orderkey").alias("o2_ok"))

@@ -85,9 +85,28 @@ def with_global_index(
         F.count(F.lit(1)).alias("__c")
     )
     # Prefix sum over #partitions rows — single-partition is fine here.
+    # r17 (ADVICE r16): the 2^33-rows-per-partition precondition is now
+    # ENFORCED, not just documented — the counts pass already has every
+    # partition's size, so an assert_true folded into the offset (so
+    # column pruning cannot drop it) turns a silent rank corruption into
+    # a loud error, at #partitions-rows cost.
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        "__pid", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off")
+        "__pid",
+        (
+            F.coalesce(F.sum("__c").over(w_off), F.lit(0))
+            + F.coalesce(
+                F.assert_true(
+                    F.col("__c") <= F.lit(mask),
+                    F.lit(
+                        "with_global_index: a partition exceeds 2^33 rows"
+                        " — monotonically_increasing_id local index would"
+                        " overflow; repartition finer"
+                    ),
+                ).cast("long"),
+                F.lit(0),
+            )
+        ).alias("__off"),
     )
     return (
         sorted_df.withColumn("__pid", pid)

@@ -540,6 +540,13 @@ def quantize_arrow(
     duplicates give exact equality in BOTH orders and both sides then
     take the lowest index — numpy argmin and the oracle's row_number
     tie-break agree). Vectors must be non-null (corpus contract).
+
+    r17 (ADVICE r16): that no-near-ties precondition is now ENFORCED —
+    a batch where the two smallest distances differ by a nonzero amount
+    below 1e-12 relative raises instead of silently risking a
+    cross-engine argmin flip on a structured/symmetric corpus. Exact
+    ties (gap == 0) stay allowed: both engines then take the lowest
+    index, deterministically.
     """
     import numpy as np
 
@@ -561,18 +568,38 @@ def quantize_arrow(
         import numpy as _np
         import pandas as _pd
 
+        def _argmin_guarded(dm):
+            """argmin per row, raising on a nonzero sub-1e-12-relative
+            gap between the two smallest distances (near-tie — the one
+            case where summation order could flip the index)."""
+            if dm.shape[1] >= 2:
+                two = _np.partition(dm, 1, axis=1)
+                gap = two[:, 1] - two[:, 0]
+                risky = (gap > 0) & (
+                    gap < 1e-12 * _np.maximum(two[:, 1], 1e-30)
+                )
+                if risky.any():
+                    raise ValueError(
+                        "quantize_arrow: near-tied distances (< 1e-12 "
+                        "relative) — argmin is summation-order-sensitive "
+                        "on this corpus; use the JVM fold spelling"
+                    )
+            return dm.argmin(axis=1)
+
         for pdf in pdf_iter:
             cols = {corpus_id: pdf[corpus_id]}
             if len(pdf):
                 v = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
                 if cent is not None:
                     d = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-                    cols["__cell"] = _pd.Series(d.argmin(axis=1).astype("int32"))
+                    cols["__cell"] = _pd.Series(
+                        _argmin_guarded(d).astype("int32")
+                    )
                 for j in range(m):
                     sub = v[:, starts[j] : starts[j] + widths[j]]
                     dj = ((sub[:, None, :] - cbs[j][None, :, :]) ** 2).sum(axis=2)
                     cols[f"__code_{j}"] = _pd.Series(
-                        (dj.argmin(axis=1) + 1).astype("int32")
+                        (_argmin_guarded(dj) + 1).astype("int32")
                     )
             else:  # empty tail batch
                 if cent is not None:

@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for benched queries → plans/r16/.
+"""Capture .explain("formatted") for benched queries → plans/$PLANS_ROUND (default r17)/.
 
 Usage:
     python tools/capture_plans.py before            # all headline+extra
@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r16")
+                       "plans", os.environ.get("PLANS_ROUND", "r17"))
 
 
 def main() -> None:

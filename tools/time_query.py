@@ -22,18 +22,27 @@ def main() -> None:
     args = []
     for a in sys.argv[1:]:
         if a.startswith("-n"):
+            # ADVICE r16: guard the digits before any Spark startup
+            if not a[2:].isdigit():
+                sys.exit(f"time_query: bad rep count {a!r} (use -nN)")
             reps = int(a[2:])
         else:
             args.append(a)
+    if not args:
+        sys.exit("time_query: no query name patterns given")
 
     from duckdb_server_spark import catalog
     from duckdb_server_spark.session import get_spark
 
     catalog.load_all()
-    spark = get_spark(app_name="dss-time-query")
-    spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in catalog.QUERIES if any(a in n for a in args)]
+    # ADVICE r16: fail before spinning up a Spark session, not after.
+    if not names:
+        sys.exit(f"time_query: no queries match {args}")
+
+    spark = get_spark(app_name="dss-time-query")
+    spark.sparkContext.setLogLevel("ERROR")
     # Warm the JVM/footers once (bench.py does the same).
     catalog.QUERIES[names[0]](spark, SF_DIR).write.format("noop").mode(
         "overwrite").save()
