@@ -638,12 +638,16 @@ def b12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b20_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring (C4/Gopher-style cheap filters), served by the
-    Arrow-vectorized pass (operators/text.py::text_quality_arrow — the
-    avg-word-length HOF fold was the family's interpreted bottleneck;
-    values equality-tested against the Column forms in
-    tests/test_r5_ops.py). Still zero shuffle — one projection."""
-    return text.text_quality_arrow(
+    """Quality scoring (C4/Gopher-style cheap filters), served since
+    r17 by ONE codegen JVM projection (operators/text.py::
+    text_quality_cols — VERDICT r16 item 3): the interpreted
+    avg-word-length HOF fold that forced the r5 Arrow detour now has a
+    closed form (stripped-whitespace length / token count), so the
+    ArrowEvalPython stage — a serialization boundary and a per-task
+    Python worker at 100 TB scan scale — is gone. Values identical
+    (tests/test_r17_opt.py equality-tests the three spellings). Still
+    zero shuffle — one projection."""
+    return text.text_quality_cols(
         t(spark, sf_dir, "documents"), "text", "doc_id"
     )
 
@@ -3001,15 +3005,19 @@ def b56_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b57_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frozen-weight logistic quality classifier — the trained-model
-    stage above the b20/b49 heuristic gates. Served by the
-    Arrow-vectorized implementation (operators/text.py::
-    quality_logreg_arrow): the pure-Catalyst HOF form interprets
-    per-token lambda calls and saturates ~11k docs/s (SCALING.md); the
-    pandas_udf computes all four token features in one C-regex pass per
-    document. Values are identical (tests/test_r4_ops.py asserts the two
-    implementations agree row-for-row); the oracle replays features,
-    logit, and sigmoid at the 6-decimal-rounded keep threshold."""
-    return text.quality_logreg_arrow(
+    stage above the b20/b49 heuristic gates. Served since r17 by the
+    lambda-free codegen JVM projection (operators/text.py::
+    quality_logreg_cols — VERDICT r16 item 3): the pure-Catalyst HOF
+    form interprets per-token lambda calls (~11k docs/s, SCALING.md)
+    and the r6 Arrow variant that replaced it paid a Python worker +
+    serialization boundary per task; every token feature turns out to
+    have a lambda-free spelling (regexp_count / closed-form length sum /
+    array_distinct / lookaround stopword count), so this is now one
+    ArrowEvalPython-free, HOF-free projection. Values are identical
+    (tests/test_r17_opt.py equality-tests all three spellings); the
+    oracle replays features, logit, and sigmoid at the 6-decimal-rounded
+    keep threshold."""
+    return text.quality_logreg_cols(
         t(spark, sf_dir, "documents"), "text", "doc_id"
     ).orderBy(F.col("doc_id").asc_nulls_last())
 

@@ -63,3 +63,107 @@ def test_spread_small_scan_noop_on_wide_input(spark, tmp_path):
 def test_spread_small_scan_non_file_source_left_alone(spark):
     df = spark.range(0, 100)
     assert spread_small_scan(df) is df
+
+
+EDGE_TEXTS = [
+    (0, "hello world the quick brown fox and the lazy dog"),
+    (1, ""),
+    (2, "   "),
+    (3, "one"),
+    (4, "the the the the the"),
+    (5, "a  b\t\tc\nd"),
+    (6, "THE AND OF TO IN"),
+    (7, "the, and. of! to? in;"),
+    (8, "x" * 30),
+    (9, None),
+    (10, "words with  punct-uation, 123 numbers & sym!bols"),
+    (11, " leading and trailing "),
+    (12, "to to to in in of"),
+]
+
+
+def _docs(spark):
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType(), True),
+    ])
+    return spark.createDataFrame(EDGE_TEXTS, schema)
+
+
+def _rows(df):
+    return sorted(
+        [tuple(r) for r in df.collect()], key=lambda r: (r[0] is None, r[0])
+    )
+
+
+def test_text_quality_cols_equals_arrow_spelling(spark):
+    """b20's r17 codegen form computes byte-identical values to the r5
+    Arrow form it replaces, across the edge corpus AND the real test
+    corpus (VERDICT r16 item 3)."""
+    from duckdb_server_spark.operators import text as T
+
+    docs = _docs(spark)
+    assert _rows(T.text_quality_cols(docs, "text", "doc_id")) == _rows(
+        T.text_quality_arrow(docs, "text", "doc_id")
+    )
+    path = os.path.join(SF_DIR, "documents.parquet")
+    if os.path.exists(path) or glob.glob(path + "/*"):
+        real = spark.read.parquet(path).select("doc_id", "text")
+        assert _rows(T.text_quality_cols(real, "text", "doc_id")) == _rows(
+            T.text_quality_arrow(real, "text", "doc_id")
+        )
+
+
+def test_quality_logreg_cols_equals_arrow_and_hof_spellings(spark):
+    """b57's r17 lambda-free codegen form computes identical values to
+    both earlier spellings (VERDICT r16 item 3)."""
+    from duckdb_server_spark.operators import text as T
+
+    docs = _docs(spark)
+    new = _rows(T.quality_logreg_cols(docs, "text", "doc_id"))
+    assert new == _rows(T.quality_logreg_arrow(docs, "text", "doc_id"))
+    assert new == _rows(T.quality_logreg(docs, "text", "doc_id"))
+    path = os.path.join(SF_DIR, "documents.parquet")
+    if os.path.exists(path) or glob.glob(path + "/*"):
+        real = spark.read.parquet(path).select("doc_id", "text")
+        assert _rows(
+            T.quality_logreg_cols(real, "text", "doc_id")
+        ) == _rows(T.quality_logreg_arrow(real, "text", "doc_id"))
+
+
+def test_a09b_partition_select_matches_full_sort():
+    """a09b's O(n) two-rank selection returns byte-identical quantiles
+    to the full-sort spelling it replaced (r17): np.partition places
+    exact order statistics at the requested ranks."""
+    import numpy as np
+
+    rng = np.random.default_rng(0x17EE)
+    for n in (1, 2, 3, 7, 100, 9973):
+        for p in (0.5, 0.9, 0.0, 1.0, 0.37):
+            x = rng.uniform(-1e6, 1e6, n)
+            pos = p * (n - 1)
+            lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+            s = np.sort(x)
+            old = float(s[lo] + (pos - lo) * (s[hi] - s[lo]))
+            part = np.partition(x, [lo, hi])
+            new = float(part[lo] + (pos - lo) * (part[hi] - part[lo]))
+            assert new == old
+
+
+def test_b20_and_b57_plans_have_no_python_nodes(spark):
+    """The ArrowEvalPython stage is gone from both queries' plans
+    (VERDICT r16 item 3 'done' criterion)."""
+    from duckdb_server_spark import catalog
+
+    catalog.load_all()
+    for name in ("b20_text_quality", "b57_quality_classifier"):
+        plan = (
+            catalog.QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
