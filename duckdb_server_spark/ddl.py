@@ -360,11 +360,92 @@ def _duck_expr(spark: SparkSession, text: str):
 
 
 def enforce_constraints(spark: SparkSession, state, target: str,
-                        df: DataFrame) -> None:
+                        df: DataFrame,
+                        extras: dict | None = None) -> dict:
     """NOT NULL / CHECK / PRIMARY KEY-UNIQUE / enum-membership checks on
-    a candidate table state, with DuckDB's error spellings. Each check
-    is a limit(1) probe or a key-grouped count — bounded work, no
-    collects of data rows."""
+    a candidate table state, with DuckDB's error spellings.
+
+    r17 (VERDICT r16 item 6 — batch the script DML's driver-side jobs):
+    the happy path is ONE aggregate action computing every violation
+    count at once (plus any caller-supplied ``extras`` aggregate
+    columns, returned by name — DML statements piggyback their Count
+    bookkeeping on the same job). The per-key duplicate flag is
+    conservative (count vs count-distinct over the non-null key domain,
+    plus a ≥2-null-key-rows flag); when ANY flag fires, the original
+    sequential limit(1)/grouped probes below re-run verbatim, so error
+    ORDER, messages, and exemplar values are byte-identical to the
+    per-probe implementation. Returns the extras dict (empty if none
+    requested)."""
+    meta = state.tables.get(target.lower())
+    enum_cols = state.enum_columns.get(target.lower(), {})
+    by_lower = {c.lower(): c for c in df.columns}
+    aggs: list = []
+    n_flags = 0
+    if meta is not None:
+        for c in meta.not_null:
+            col = by_lower.get(c)
+            if col:
+                aggs.append(F.count(F.when(F.col(col).isNull(), 1)))
+        for check in meta.checks:
+            aggs.append(
+                F.count(
+                    F.when(
+                        ~F.coalesce(
+                            _duck_expr(spark, check).cast("boolean"),
+                            F.lit(True),
+                        ),
+                        1,
+                    )
+                )
+            )
+        for keys in meta.keysets():
+            cols = [by_lower[k] for k in keys if k in by_lower]
+            if len(cols) != len(keys):
+                continue
+            nn = F.lit(True)
+            for c in cols:
+                nn = nn & F.col(c).isNotNull()
+            total_nn = F.count(F.when(nn, 1))
+            distinct_nn = F.count_distinct(*[F.col(c) for c in cols])
+            null_rows = F.count(F.when(~nn, 1))
+            # dup among non-null keys is exact; for the PK (whose probe
+            # groups null keys too) ≥2 null-key rows only MIGHT collide
+            # — the re-probe decides
+            dup_flag = total_nn - distinct_nn
+            if keys == meta.pk:
+                dup_flag = dup_flag + F.when(null_rows >= 2, 1).otherwise(0)
+            aggs.append(dup_flag)
+    for c, ename in enum_cols.items():
+        col = by_lower.get(c)
+        members = state.enums.get(ename)
+        if not col or not members:
+            continue
+        aggs.append(
+            F.count(
+                F.when(
+                    F.col(col).isNotNull()
+                    & ~F.col(col).isin(list(members)),
+                    1,
+                )
+            )
+        )
+    n_flags = len(aggs)
+    extra_names = list(extras or {})
+    aggs.extend((extras or {}).values())
+    if not aggs:
+        return {}
+    row = df.agg(*aggs).collect()[0]
+    out = {name: row[n_flags + i] for i, name in enumerate(extra_names)}
+    if not any(bool(row[i]) for i in range(n_flags)):
+        return out
+    _enforce_constraints_probes(spark, state, target, df)
+    return out
+
+
+def _enforce_constraints_probes(spark: SparkSession, state, target: str,
+                                df: DataFrame) -> None:
+    """The original sequential probe implementation — the error path
+    (and the source of the exact error order/messages/exemplars)."""
     meta = state.tables.get(target.lower())
     enum_cols = state.enum_columns.get(target.lower(), {})
     by_lower = {c.lower(): c for c in df.columns}
@@ -485,7 +566,10 @@ def apply_generated(spark: SparkSession, state, target: str,
             col,
             _duck_expr(spark, expr).cast(schema_of.schema[col].dataType),
         )
-    return df.select(*schema_of.columns)
+    # internal bookkeeping tags (__dd_tag_*) ride through — r17's DML
+    # Count piggybacking needs them downstream of the recompute
+    tags = [c for c in df.columns if c.startswith("__dd_tag_")]
+    return df.select(*schema_of.columns, *tags)
 
 
 def build_insert_source(spark: SparkSession, state, target: str,
@@ -823,47 +907,65 @@ def run_upsert(spark: SparkSession, state, target: str, old: DataFrame,
             )
         else:
             projs.append(f"({e}) AS `{c}`")
+    # r17 (VERDICT r16 item 6): DuckDB's Count = rows inserted + rows
+    # actually updated. Both used to be separate full-frame actions
+    # (n_old count, a matched-count SQL, merged count). Each leg now
+    # carries __dd_tag_* booleans, and the counts ride the SAME single
+    # aggregate action as constraint enforcement — one job where four
+    # ran, with identical values (the matched tag reproduces the old
+    # guarded count; the insert tag is the insert leg's cardinality,
+    # which equals merged − old under UNION ALL by construction).
+    if conflict.action in ("update", "replace"):
+        if guard:
+            upd_tag = (
+                f"coalesce(CAST((__dd_boolctx({guard})) AS BOOLEAN), "
+                f"false)"
+            )
+        else:
+            upd_tag = "true"
+    else:
+        upd_tag = "false"
     kept_sql = (
-        f"SELECT {', '.join(f't.`{c}`' for c in old.columns)} "
+        f"SELECT {', '.join(f't.`{c}`' for c in old.columns)}, "
+        f"false AS __dd_tag_ins, false AS __dd_tag_upd "
         f"FROM {target} t LEFT ANTI JOIN {src_view} s ON {join}"
     )
     matched_sql = (
-        f"SELECT {', '.join(projs)} "
+        f"SELECT {', '.join(projs)}, "
+        f"false AS __dd_tag_ins, {upd_tag} AS __dd_tag_upd "
         f"FROM {target} t JOIN {src_view} s ON {join}"
     )
     ins_cols = ", ".join(
         f"s.`__dd_e_{c.lower()}` AS `{c}`" for c in old.columns
     )
     inserted_sql = (
-        f"SELECT {ins_cols} FROM {src_view} s "
-        f"LEFT ANTI JOIN {target} t ON {join}"
+        f"SELECT {ins_cols}, true AS __dd_tag_ins, false AS __dd_tag_upd "
+        f"FROM {src_view} s LEFT ANTI JOIN {target} t ON {join}"
     )
-    n_old = old.count()
-    n_updated = 0
-    if conflict.action in ("update", "replace"):
-        upd_sql = (
-            f"SELECT count(*) AS n FROM {target} t "
-            f"JOIN {src_view} s ON {join}"
-        )
-        if guard:
-            upd_sql += (
-                f" WHERE coalesce(CAST((__dd_boolctx({guard})) AS BOOLEAN), false)"
-            )
-        n_updated = run_sql(spark, upd_sql).collect()[0][0]
     merged = run_sql(
         spark,
         f"{kept_sql} UNION ALL {matched_sql} UNION ALL {inserted_sql}",
     )
     merged = merged.select(
-        *[F.col(c).cast(old.schema[c].dataType) for c in old.columns]
+        *[F.col(c).cast(old.schema[c].dataType) for c in old.columns],
+        "__dd_tag_ins",
+        "__dd_tag_upd",
     )
     merged = _materialize(
         spark, apply_generated(spark, state, target, merged, old)
     )
-    n_inserted = merged.count() - n_old
-    enforce_constraints(spark, state, target, merged)
-    merged.createOrReplaceTempView(target)
-    return _count_frame(spark, n_inserted + n_updated)
+    counts = enforce_constraints(
+        spark,
+        state,
+        target,
+        merged,
+        extras={
+            "n_ins": F.count(F.when(F.col("__dd_tag_ins"), 1)),
+            "n_upd": F.count(F.when(F.col("__dd_tag_upd"), 1)),
+        },
+    )
+    merged.select(*old.columns).createOrReplaceTempView(target)
+    return _count_frame(spark, counts["n_ins"] + counts["n_upd"])
 
 
 def or_action_conflict(or_action: str) -> Conflict:

@@ -9,6 +9,7 @@ from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from duckdb_server_spark.dialect_rewrites.core import (  # noqa: F401
     _PLACEHOLDER,
@@ -580,14 +581,29 @@ def _run_insert(spark: SparkSession, m: re.Match) -> DataFrame:
     )
     if conflict is not None:
         return ddl.run_upsert(spark, state, target, old, new, conflict)
-    n_before = old.count()
+    # r17 (VERDICT r16 item 6): DuckDB's Count for a plain INSERT is the
+    # number of appended rows — under UNION ALL that is count(new) by
+    # construction, so the two full-table counts (old before, merged
+    # after) are gone; the tag count rides the constraint-enforcement
+    # aggregate, one action total.
     new = _materialize(spark, new)
-    merged = _materialize(spark, old.unionByName(new))
-    ddl.enforce_constraints(spark, state, target, merged)
-    merged.createOrReplaceTempView(target)
+    merged = _materialize(
+        spark,
+        old.withColumn("__dd_tag_ins", F.lit(False)).unionByName(
+            new.withColumn("__dd_tag_ins", F.lit(True))
+        ),
+    )
+    counts = ddl.enforce_constraints(
+        spark,
+        state,
+        target,
+        merged,
+        extras={"n_ins": F.count(F.when(F.col("__dd_tag_ins"), 1))},
+    )
+    merged.select(*old.columns).createOrReplaceTempView(target)
     if returning is not None:
         return ddl.project_returning(spark, new, returning)
-    return _count_frame(spark, merged.count() - n_before)
+    return _count_frame(spark, counts["n_ins"])
 
 
 
@@ -627,7 +643,6 @@ def _run_delete(
 
     name = target.split(".")[-1]
     old = spark.table(name)
-    total = old.count()
     if using:
         if not cond:
             raise ValueError("DELETE USING requires a WHERE predicate")
@@ -655,17 +670,27 @@ def _run_delete(
     else:
         keep = old.limit(0)
         doomed_sql = f"SELECT * FROM {name}"
+    # r17 (VERDICT r16 item 6): keep/doomed partition the table exactly
+    # (the coalesce(cond,false) split, the anti/semi USING pair, and the
+    # limit(0)/all pair are each complements), so the deleted Count is
+    # ONE count over the doomed predicate — the two full-table counts
+    # (total before, kept after) are gone: 3 driver actions → 2. Under
+    # RETURNING the count was never used — skipped outright.
+    n_deleted = None
+    if returning is None:
+        n_deleted = _run_sql_late(
+            spark, f"SELECT count(*) AS n FROM ({doomed_sql})"
+        ).collect()[0][0]
     doomed = (
         _materialize(spark, _run_sql_late(spark, doomed_sql))
         if returning is not None
         else None
     )
     kept = _materialize(spark, keep)
-    n_kept = kept.count()
     kept.createOrReplaceTempView(name)
     if returning is not None:
         return ddl.project_returning(spark, doomed, returning)
-    return _count_frame(spark, total - n_kept)
+    return _count_frame(spark, n_deleted)
 
 
 
@@ -727,15 +752,21 @@ def _run_update(spark: SparkSession, m: re.Match) -> DataFrame:
             )
         else:
             projs.append(f"({e}) AS `{c}`")
-    n = _run_sql_late(
-        spark,
-        f"SELECT count(*) AS n FROM {target}"
-        + (
-            f" WHERE coalesce(CAST((__dd_boolctx({cond})) AS BOOLEAN), false)"
-            if cond
-            else ""
-        ),
-    ).collect()[0][0]
+    # r17 (VERDICT r16 item 6): the matched Count is only the statement's
+    # result when there is no RETURNING clause — skip the count action
+    # entirely under RETURNING (the post-image materialization evaluates
+    # the same predicate anyway).
+    n = None
+    if returning is None:
+        n = _run_sql_late(
+            spark,
+            f"SELECT count(*) AS n FROM {target}"
+            + (
+                f" WHERE coalesce(CAST((__dd_boolctx({cond})) AS BOOLEAN), false)"
+                if cond
+                else ""
+            ),
+        ).collect()[0][0]
     meta = dialect_state(spark).tables.get(target.lower())
     if meta is not None:
         for col in assigns:
