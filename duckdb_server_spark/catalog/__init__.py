@@ -120,6 +120,71 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # 49×r10, 50×r11/r12/r13, 50×r15), then the 25 r9-stamped rows
 # cheapest-first. 47 stale rows fit the ~50/round budget; after this
 # round no declared query's stamp predates r10.
+_PRIORITY_R17: tuple[str, ...] = (
+    # Round 17 (optimization round 2: no queries added or changed) —
+    # pure oldest-evidence rotation, continuing VERDICT r16 item 8.
+    # Head: ALL 49 r10-stamped rows (the oldest evidence after r16
+    # retired the r8/r9 bands; histogram at rotation time: 49×r10,
+    # 50×r11/r12/r13, 47×r15, 50×r16), cheapest families first. 49 rows
+    # fit the ~50/round budget; after this round no declared query's
+    # stamp predates r11.
+    # --- scalar/function batteries (sub-second each) ---
+    "fn_array_transform",
+    "fn_datetime_extract",
+    "fn_levenshtein",
+    "fn_numeric_core",
+    "fn_regexp_extract_all",
+    "fn_string_accents",
+    "fn_string_declared",
+    "fn_string_extended",
+    "fn_struct_map",
+    "fn_trig",
+    "fn_vector_ops",
+    # --- dialect statement rows ---
+    "s25_dialect_aggregate_tails",
+    "s26_dialect_scalar_tails",
+    "s31_dialect_prepare",
+    "s32_dialect_hash_ops",
+    "s33_dialect_nested",
+    "s34_dialect_datetime_string",
+    "s35_dialect_agg_corners",
+    # --- cheap LLM-pipeline rows ---
+    "b46_unigram_lm_score",
+    "b47_stratified_split",
+    "b48_decontamination",
+    "b68_epoch_shuffle",
+    "b69_length_bucket_packing",
+    "b70_gram_matrix",
+    "b71_random_projection",
+    "b72_hard_negatives",
+    "b73_paragraph_dedup",
+    "b79_url_canonical",
+    "b80_html_extract",
+    "b81_group_split",
+    "b82_heavy_hitters_cms",
+    "b83_snapshot_diff",
+    "b84_robots_filter",
+    "t21b_waiting_supplier_bucketed",
+    # --- archive/container rows ---
+    "b74_gzip_corpus",
+    "b75_warc_extract",
+    "b77_zip_members",
+    "b78_tar_bundle",
+    # --- streaming rows ---
+    "st_stream_file_sink",
+    "st_stream_stream_join",
+    "st_stream_warc_ingest",
+    "st_stream_watermark_append",
+    # --- codec probes, then the heavy decodes last ---
+    "b36_exif_probe",
+    "b34b_ogg_probe",
+    "b30f_vp8_default_probs",
+    "b32f_webm_default_probs",
+    "b34_ogg_flac_audio",
+    "b35_mp3_probe",
+    "b35b_mp3_l3_decode",
+)
+
 _PRIORITY_R16: tuple[str, ...] = (
     # (r16 is an optimization round: no queries were added or changed, so
     # the head is pure oldest-evidence rotation. The mid-build b03
@@ -961,8 +1026,9 @@ def load_all() -> None:
     for mod in _MODULE_ORDER:
         importlib.import_module(f"duckdb_server_spark.catalog.{mod}")
 
-    head = list(_PRIORITY_R16)
-    for prior in (_PRIORITY_R14, _PRIORITY_R13, _PRIORITY_R12, _PRIORITY_R11,
+    head = list(_PRIORITY_R17)
+    for prior in (_PRIORITY_R16,
+                  _PRIORITY_R14, _PRIORITY_R13, _PRIORITY_R12, _PRIORITY_R11,
                   _PRIORITY_R10, _PRIORITY_R9, _PRIORITY_R8, _PRIORITY_R7,
                   _PRIORITY_R6, _PRIORITY_R5):
         head += [n for n in prior if n not in head]
