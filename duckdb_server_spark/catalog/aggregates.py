@@ -538,6 +538,15 @@ def a09b_median_percentile_vectorized(spark: SparkSession, sf_dir: str) -> DataF
         .select("l_linestatus", "l_quantity", "l_extendedprice")
         .groupBy("l_linestatus")
         .applyInPandas(q, "l_linestatus string, med_qty double, p90_price double")
+        # r17 shield exchange: the final orderBy's RangePartitioning
+        # sample pass re-executes its child, which here is the WHOLE
+        # per-group kernel (the group shuffle below it is reused, the
+        # FlatMapGroupsInPandas above it is not) — the query paid the
+        # 600k-row quantile kernel twice. One hash repartition of the
+        # THREE output rows pins a reusable shuffle boundary between
+        # kernel and sort; the sample pass replays that shuffle read
+        # instead of the kernel. Rows/values unchanged.
+        .repartition("l_linestatus")
         .orderBy(F.col("l_linestatus").asc_nulls_last())
     )
 

@@ -32,6 +32,26 @@ from duckdb_server_spark.operators import (
 )
 from duckdb_server_spark.session import load_table as t
 
+
+def _docs_sorted(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """documents input pre-sorted by doc_id — the ordering shape of the
+    decode-style rows (r17). RangePartitioning's sample pass re-executes
+    the whole child plan, so a top-level ``orderBy`` above a mapInPandas
+    decode ran the full decode TWICE (measured 2.05× on b34e). The
+    global sort therefore happens HERE, below the Python stage, on the
+    cheap (doc_id, text) rows; consumers finish with
+    ``sortWithinPartitions(doc_id, …)`` — partitions are
+    doc_id-range-disjoint after this exchange and every decode kernel
+    is 1:N per doc (no row leaves its partition), so the
+    within-partition sort IS the total order, with no sampling above
+    the decode. Results byte-identical (oracle-checked per row)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(*cols)
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -802,7 +822,7 @@ def b30b_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from duckdb_server_spark.operators.png import encode_png
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
         for pdf in pdf_iter:
@@ -817,7 +837,7 @@ def b30b_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     png_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.png_features(png_df).orderBy(
+    return multimodal.png_features(png_df).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -858,7 +878,7 @@ def b30c_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     reordering are lossless. WebP remains the one image plug point."""
     from duckdb_server_spark.operators.gif import encode_gif  # noqa: F401 — worker import below
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
@@ -876,7 +896,7 @@ def b30c_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     gif_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.png_features(gif_df).orderBy(
+    return multimodal.png_features(gif_df).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -915,7 +935,7 @@ def b30d_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (character codes) with no notion of WebP — a hash-match proves the
     entropy coding, backref copying, and transform inversion are
     lossless. Lossy VP8 is closed too (b30e, operators/vp8.py)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
@@ -931,7 +951,7 @@ def b30d_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     webp_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.png_features(webp_df).orderBy(
+    return multimodal.png_features(webp_df).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -975,7 +995,7 @@ def b30e_vp8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient level, where the spec's integer WHT->IDCT->predict
     pipeline reproduces each target value bit-for-bit (vp8.py docstring;
     the lossy pipeline is lossless on the uniform-macroblock subset)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
@@ -998,7 +1018,7 @@ def b30e_vp8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     vp8_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.png_features(vp8_df).orderBy(
+    return multimodal.png_features(vp8_df).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -1039,7 +1059,7 @@ def b30f_vp8_default_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays the pixels from the bit DEFINITION with no notion
     of VP8. A hash match proves default-table token decode, context
     evolution, delta parsing, and the update-flag replacement path."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
@@ -1078,7 +1098,7 @@ def b30f_vp8_default_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     fx_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.png_features(fx_df).orderBy(
+    return multimodal.png_features(fx_df).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -1200,7 +1220,17 @@ def b31b_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("coeff_sum").alias("ac_coeff_sum"),
         F.col("coeff_nonzero").alias("ac_nonzero"),
     )
-    return a.join(b, "doc_id").orderBy(F.col("doc_id").asc_nulls_last())
+    # r17 shield exchange: when the planner broadcasts one feature
+    # branch, the streamed branch's JPEG decode sits directly under the
+    # final orderBy, whose range-sample pass re-executes it. One hash
+    # repartition of the joined stats rows pins a
+    # reusable shuffle boundary below the sort regardless of join
+    # strategy. Rows/values unchanged.
+    return (
+        a.join(b, "doc_id")
+        .repartition("doc_id")
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )
 
 
 # b32b: REAL video decode. Every document becomes a 6-frame MJPEG AVI
@@ -1240,7 +1270,7 @@ def b32b_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames — decode cost tracks the sample, not the footage, which is
     the shape frame-sampling needs at 100 TB. MP4/WebM stay declared
     plug points behind the same dispatch."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
@@ -1271,7 +1301,7 @@ def b32b_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     avi_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.video_frame_features(avi_df, stride=2).orderBy(
+    return multimodal.video_frame_features(avi_df, stride=2).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -1311,7 +1341,7 @@ def b32c_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes sampled-frame pixel statistics from the frame DEFINITION
     (character codes) with no notion of MP4 or JPEG. Matroska/WebM is
     covered by b32d (operators/webm.py)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
@@ -1337,7 +1367,7 @@ def b32c_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     mp4_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.video_frame_features(mp4_df, stride=3).orderBy(
+    return multimodal.video_frame_features(mp4_df, stride=3).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -1381,7 +1411,7 @@ def b32d_webm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     VP8 key frames decode for real since b30e (operators/vp8.py); the
     container fixtures here carry stored frames, so demux and codec stay
     independently oracled."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
@@ -1407,7 +1437,7 @@ def b32d_webm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     webm_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.video_frame_features(webm_df, stride=3).orderBy(
+    return multimodal.video_frame_features(webm_df, stride=3).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -1446,7 +1476,7 @@ def b32e_webm_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes) with no notion of EBML or VP8 — exact because the VP8
     encoder's quantized-coefficient construction is bit-lossless on
     uniform macroblocks (operators/vp8.py docstring)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
@@ -1477,7 +1507,7 @@ def b32e_webm_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     webm_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.video_frame_features(webm_df, stride=3).orderBy(
+    return multimodal.video_frame_features(webm_df, stride=3).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -1513,7 +1543,7 @@ def b32f_webm_default_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SeekHead → Cues and sampled at stride 2. Frame value = 128 + text
     bit, so the oracle replays every sampled pixel from the character
     DEFINITION with no notion of EBML or VP8."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
@@ -1546,7 +1576,7 @@ def b32f_webm_default_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     webm_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.video_frame_features(webm_df, stride=2).orderBy(
+    return multimodal.video_frame_features(webm_df, stride=2).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -1599,7 +1629,7 @@ def b33b_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     points behind decode_audio's dispatch."""
     from duckdb_server_spark.operators.wav import encode_wav
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
@@ -1616,7 +1646,7 @@ def b33b_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     wav_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.audio_features(wav_df).orderBy(
+    return multimodal.audio_features(wav_df).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -1687,7 +1717,7 @@ def b33c_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     came back. MP3/Opus (entropy-coded) remain declared plug points."""
     from duckdb_server_spark.operators.wav import encode_wav
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
@@ -1709,7 +1739,7 @@ def b33c_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     wav_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.audio_features(wav_df).orderBy(
+    return multimodal.audio_features(wav_df).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -1727,7 +1757,7 @@ def b33e_flac_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MP3/Opus) stay declared plug points."""
     from duckdb_server_spark.operators.flac import encode_flac
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
@@ -1744,7 +1774,7 @@ def b33e_flac_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     flac_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.audio_features(flac_df).orderBy(
+    return multimodal.audio_features(flac_df).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -1849,7 +1879,7 @@ def b33d_adpcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     remain declared plug points."""
     from duckdb_server_spark.operators.wav import encode_wav
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
@@ -1866,7 +1896,7 @@ def b33d_adpcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     wav_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.audio_features(wav_df).orderBy(
+    return multimodal.audio_features(wav_df).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -2514,8 +2544,8 @@ def b49_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle entirely; values equality-tested against the JVM form in
     tests/test_r5_ops.py, oracle unchanged)."""
     return text.repetition_stats_arrow(
-        t(spark, sf_dir, "documents"), "text", "doc_id"
-    ).orderBy(F.col("doc_id").asc_nulls_last())
+        _docs_sorted(spark, sf_dir, "doc_id", "text"), "text", "doc_id"
+    ).sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -3018,8 +3048,8 @@ def b57_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays features, logit, and sigmoid at the 6-decimal-rounded
     keep threshold."""
     return text.quality_logreg_cols(
-        t(spark, sf_dir, "documents"), "text", "doc_id"
-    ).orderBy(F.col("doc_id").asc_nulls_last())
+        _docs_sorted(spark, sf_dir, "doc_id", "text"), "text", "doc_id"
+    ).sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 # b58's full differential oracle (the b03b playbook extended to the whole
@@ -3988,7 +4018,7 @@ def b34_ogg_flac_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (entropy-coded plug point, like MP3/Opus)."""
     from duckdb_server_spark.operators.ogg import encode_ogg_flac
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _encode(pdf_iter):
         import pandas as _pd
@@ -4006,7 +4036,7 @@ def b34_ogg_flac_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     ogg_df = docs.mapInPandas(_encode, "doc_id long, payload binary")
-    return multimodal.audio_features(ogg_df).orderBy(
+    return multimodal.audio_features(ogg_df).sortWithinPartitions(
         F.col("doc_id").asc_nulls_last()
     )
 
@@ -4044,7 +4074,7 @@ def b34b_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays all fields from the document DEFINITION, proving the
     packed-struct parses (Vorbis I §4.2.2) and granule bookkeeping
     field for field."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _probe(pdf_iter):
         import pandas as _pd
@@ -4082,7 +4112,7 @@ def b34b_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, channels int, sample_rate int, "
         "bitrate_nominal int, n_packets int, granule_total long",
     )
-    return probed.orderBy(F.col("doc_id").asc_nulls_last())
+    return probed.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -4263,7 +4293,7 @@ def b35_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     with MP3 audio decode itself fail-closed (entropy plug point, like
     Vorbis/Opus). The oracle replays frame geometry from the character
     DEFINITION through the same public bitrate/rate tables."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _probe(pdf_iter):
         import pandas as _pd
@@ -4299,7 +4329,7 @@ def b35_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames int, bitrate int, sample_rate int, "
         "channels int, duration_ms long",
     )
-    return probed.orderBy(F.col("doc_id").asc_nulls_last())
+    return probed.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -4355,7 +4385,7 @@ def b35b_mp3_l3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the whole float pipeline (linear maps preserve zero). PCM
     stays fail-closed pending the Table B.3 synthesis window
     (documented plug point)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _decode(pdf_iter):
         import pandas as _pd
@@ -4408,7 +4438,7 @@ def b35b_mp3_l3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g1_nonzero int, g2_nonzero int, first_line int, "
         "silence_energy int",
     )
-    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+    return decoded.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -4475,7 +4505,7 @@ def b35c_mp3_bigvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
     the character DEFINITION, so a single mis-length codeword or sign
     flip breaks the hash. Reference scope: blobs are opaque passthrough
     (main.go:199) — beyond-reference multimodal capability."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _decode(pdf_iter):
         import pandas as _pd
@@ -4527,7 +4557,7 @@ def b35c_mp3_bigvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, bv int, g1_bits int, g1_sum int, g1_nonzero int, "
         "g2_bits int, g2_sum int, g2_nonzero int, first_x int",
     )
-    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+    return decoded.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -4577,7 +4607,7 @@ def b35d_mp3_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     plug point: real-world MP3s use the reservoir pervasively.
     Reference scope: blobs are opaque passthrough (main.go:199). Scale
     shape: per-payload CPU in mapInPandas."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _decode(pdf_iter):
         import pandas as _pd
@@ -4622,7 +4652,7 @@ def b35d_mp3_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames int, f1_sum int, f1_nz int, f2_sum int, "
         "f2_nz int, mdb1 int, mdb2 int",
     )
-    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+    return decoded.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -4669,7 +4699,7 @@ def b35e_mp3_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays per-channel sums and bit accounting from the
     character DEFINITION. Scale shape: per-payload CPU in
     mapInPandas."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _decode(pdf_iter):
         import pandas as _pd
@@ -4712,7 +4742,7 @@ def b35e_mp3_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, channels int, l_sum int, l_nz int, r_sum int, "
         "r_nz int, l_bits int, r_bits int",
     )
-    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+    return decoded.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -4822,7 +4852,7 @@ def b35f_mp3_midamp_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     value slip breaks the sums. Reference scope: blobs are opaque
     passthrough (main.go:199) — beyond-reference multimodal
     capability."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _decode(pdf_iter):
         import pandas as _pd
@@ -4873,7 +4903,7 @@ def b35f_mp3_midamp_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, bv int, g1_bits int, g1_sum int, g1_nonzero int, "
         "g2_bits int, g2_sum int, r0_sum int, r2_first int",
     )
-    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+    return decoded.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 def _esc_hlen_lists() -> tuple[str, str, str]:
@@ -4998,7 +5028,7 @@ def b35g_mp3_esc_linbits(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition: one wrong code length, a skipped linbits field, or a
     sign slip breaks g1_bits/g2_bits/sums. Reference scope: blobs are
     opaque passthrough (main.go:199)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _decode(pdf_iter):
         import pandas as _pd
@@ -5055,7 +5085,7 @@ def b35g_mp3_esc_linbits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, bv int, g1_bits int, g1_sum int, g1_nonzero int, "
         "g2_bits int, g2_sum int, esc_sum int, r2_first int",
     )
-    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+    return decoded.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -5262,7 +5292,7 @@ def b35i_mp3_joint_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     association order and left-to-right sums (shared libm) — the
     comparison is BIT-EXACT doubles, no rounding. Scale shape:
     per-payload CPU in mapInPandas; no shuffle."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _decode(pdf_iter):
         import pandas as _pd
@@ -5322,7 +5352,7 @@ def b35i_mp3_joint_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l1 double, r1 double, l7 double, r7 double, l15 double, "
         "r15 double, lsum double, rsum double",
     )
-    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+    return decoded.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -5384,7 +5414,7 @@ def b34c_vorbis_floor_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
     IMDCT stay the declared plug point — decode stops at the exact
     integer layer, the MP3-subbands pattern. Scale shape: per-payload
     CPU in mapInPandas; nothing crosses the driver."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _decode(pdf_iter):
         import pandas as _pd
@@ -5446,7 +5476,7 @@ def b34c_vorbis_floor_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, y0 int, y1 int, posts_sum int, n_class1 int, "
         "residue_sum int, residue_nonzero int, sr int",
     )
-    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+    return decoded.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -5584,7 +5614,7 @@ def b34d_vorbis_floor_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverse-dB table + IMDCT remain the float plug point. Reference
     scope: blobs opaque (main.go:199). Scale shape: per-payload CPU in
     mapInPandas; nothing crosses the driver."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _decode(pdf_iter):
         import pandas as _pd
@@ -5655,7 +5685,7 @@ def b34d_vorbis_floor_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v5 int, v12 int, v20 int, v40 int, v77 int, v100 int, "
         "csum int",
     )
-    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+    return decoded.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -5818,8 +5848,19 @@ def b34e_vorbis_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm) — the pcm16 match is BIT-EXACT, verified across the probe
     samples, the peak, and the all-256-sample abs-checksum. Reference
     scope: blobs opaque (main.go:199). Scale shape: per-payload CPU in
-    mapInPandas; nothing crosses the driver, no shuffle."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    mapInPandas; nothing crosses the driver, no shuffle.
+
+    r17 ordering shape: the global sort moved BELOW the decode (range-
+    exchange the cheap (doc_id, text) rows; RangePartitioning's sample
+    pass re-executes the whole child, so a top-level orderBy ran the
+    full decode twice), with an explicit sortWithinPartitions above —
+    partitions are doc_id-range-disjoint, so the within-partition sort
+    IS the total order. Decode runs once; rows byte-identical."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )
 
     def _decode(pdf_iter):
         import pandas as _pd
@@ -5885,7 +5926,7 @@ def b34e_vorbis_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples int, s0 int, s17 int, s63 int, "
         "s128 int, s200 int, s255 int, peak int, csum long",
     )
-    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+    return decoded.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -6093,7 +6134,7 @@ def b34f_vorbis_stereo_pcm(spark: SparkSession,
     pcm16 on both channels (probes + all-256-sample abs-checksums).
     Reference scope: blobs opaque (main.go:199). Scale shape:
     per-payload CPU in mapInPandas; no shuffle."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _decode(pdf_iter):
         import pandas as _pd
@@ -6163,7 +6204,7 @@ def b34f_vorbis_stereo_pcm(spark: SparkSession,
         "c0_s255 int, c0_csum long, c1_s17 int, c1_s128 int, "
         "c1_s255 int, c1_csum long",
     )
-    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+    return decoded.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -6396,7 +6437,7 @@ def b34g_vorbis_switched_stereo_pcm(spark: SparkSession,
     last packet-layer Vorbis guard. Reference scope: blobs opaque
     (main.go:199). Scale shape: per-payload CPU in mapInPandas; no
     shuffle, nothing crosses the driver."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _decode(pdf_iter):
         import math as _math
@@ -6479,7 +6520,7 @@ def b34g_vorbis_switched_stereo_pcm(spark: SparkSession,
         "c0_s100 int, c0_s159 int, c0_csum long, c1_s10 int, "
         "c1_s60 int, c1_s100 int, c1_s159 int, c1_csum long",
     )
-    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+    return decoded.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -6686,7 +6727,7 @@ def b34h_vorbis_submaps_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays ALL THREE channels bit-exactly in SQL. Reference
     scope: blobs opaque (main.go:199). Scale shape: per-payload CPU in
     mapInPandas; no shuffle."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _decode(pdf_iter):
         import math as _math
@@ -6811,7 +6852,7 @@ def b34h_vorbis_submaps_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c1_s128 int, c1_csum long, c2_s63 int, c2_s255 int, "
         "c2_csum long",
     )
-    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+    return decoded.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -6877,7 +6918,7 @@ def b86_multimodal_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (per-doc rows); the aggregation a real sweep would add is
     a tiny count-by-status on top. Reference scope: blobs opaque
     (main.go:199)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _census(pdf_iter):
         import pandas as _pd
@@ -6905,7 +6946,7 @@ def b86_multimodal_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, family string, status string, n_units int, "
         "evidence long",
     )
-    return decoded.orderBy(F.col("doc_id").asc_nulls_last())
+    return decoded.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -6936,7 +6977,7 @@ def b75_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash-match proves the whole container → record → HTTP → text
     chain byte-for-byte. Scale shape: linear per-payload walk inside
     mapInPandas; nothing crosses the driver."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _roundtrip(pdf_iter):
         import pandas as _pd
@@ -6999,7 +7040,7 @@ def b75_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "n_records", "rec_type", "uri", "http_status",
         "n_chars", _md5_60(F.col("text")).alias("fp"),
-    ).orderBy(F.col("doc_id").asc_nulls_last())
+    ).sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -7028,7 +7069,7 @@ def b76_multistream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-for-byte across all three containers. Scale shape: stream
     boundaries are the split points — linear per-payload walk in
     mapInPandas."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _roundtrip(pdf_iter):
         import pandas as _pd
@@ -7085,7 +7126,7 @@ def b76_multistream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "codec", "n_streams", "n_chars",
         _md5_60(F.col("text")).alias("fp"),
-    ).orderBy(F.col("doc_id").asc_nulls_last())
+    ).sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -7113,7 +7154,7 @@ def b77_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEFINITION; a hash-match proves directory walk, offset seek,
     inflate, and CRC byte-for-byte. Scale shape: per-payload walk in
     mapInPandas; directory walk O(entries), member fetch O(1)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _roundtrip(pdf_iter):
         import pandas as _pd
@@ -7160,7 +7201,7 @@ def b77_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "n_entries", "text_method", "text_usize", "n_chars",
         _md5_60(F.col("text")).alias("fp"), "meta",
-    ).orderBy(F.col("doc_id").asc_nulls_last())
+    ).sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -7187,7 +7228,7 @@ def b78_tar_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint replay from the document DEFINITION prove
     gzip → tar → member byte-for-byte. Scale shape: linear header walk
     per payload in mapInPandas."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _roundtrip(pdf_iter):
         import pandas as _pd
@@ -7238,7 +7279,7 @@ def b78_tar_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "n_members", "text_size", "n_chars",
         _md5_60(F.col("text")).alias("fp"), "meta",
-    ).orderBy(F.col("doc_id").asc_nulls_last())
+    ).sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -7336,7 +7377,7 @@ def b80_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment removal, tag stripping, and entity decode byte-for-byte on
     arbitrary corpus text. Scale shape: per-payload regex kernel in
     mapInPandas."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _extract(pdf_iter):
         import pandas as _pd
@@ -7363,7 +7404,7 @@ def b80_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return decoded.select(
         "doc_id", "n_chars", _md5_60(F.col("text")).alias("fp"),
-    ).orderBy(F.col("doc_id").asc_nulls_last())
+    ).sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -7640,7 +7681,7 @@ def b84_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected verdict per path family from the DEFINITION. The rule set
     parses once per task (broadcast-sized); the per-URL decision is
     embarrassingly parallel."""
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_sorted(spark, sf_dir, "doc_id")
 
     def _filter(pdf_iter):
         import pandas as _pd
@@ -7678,7 +7719,7 @@ def b84_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInPandas(
         _filter, "doc_id long, path string, verdict string"
-    ).orderBy(F.col("doc_id").asc_nulls_last())
+    ).sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -8200,7 +8241,7 @@ def b36_exif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pass. Oracle replays every field from the document
     DEFINITION; the JPEG itself still decodes with the segment spliced
     in (pinned in tests)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _probe(pdf_iter):
         import pandas as _pd
@@ -8241,7 +8282,7 @@ def b36_exif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, make string, model string, orientation int, "
         "datetime string, pixel_x long, pixel_y long, byte_order string",
     )
-    return probed.orderBy(F.col("doc_id").asc_nulls_last())
+    return probed.sortWithinPartitions(F.col("doc_id").asc_nulls_last())
 
 
 @query(
@@ -8532,7 +8573,7 @@ def b74_gzip_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     member walk and inflate returned the corpus byte-for-byte. Scale
     shape: a linear walk per payload inside mapInPandas; nothing
     crosses the driver."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_sorted(spark, sf_dir, "doc_id", "text")
 
     def _roundtrip(pdf_iter):
         import pandas as _pd
@@ -8575,4 +8616,4 @@ def b74_gzip_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "n_members", "n_chars", "n_words",
         _md5_60(F.col("text")).alias("fp"),
-    ).orderBy(F.col("doc_id").asc_nulls_last())
+    ).sortWithinPartitions(F.col("doc_id").asc_nulls_last())

@@ -205,7 +205,17 @@ def st_stream_tws_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold runs via batch applyInPandas (streaming/tws.py docstring)."""
     from duckdb_server_spark.streaming.tws import user_rollup
 
-    return user_rollup(spark, sf_dir).orderBy(F.col("user_id").asc_nulls_last())
+    # r17 shield exchange: in the batch-applyInPandas fallback the final
+    # orderBy's range-sample pass re-executed the whole per-user kernel
+    # (its group shuffle is reused, the Python stage above it is not).
+    # One hash repartition of the per-user rollup rows pins a reusable
+    # shuffle boundary below the sort; on the TWS path the input is an
+    # already-materialized memory sink and the extra exchange is noise.
+    return (
+        user_rollup(spark, sf_dir)
+        .repartition("user_id")
+        .orderBy(F.col("user_id").asc_nulls_last())
+    )
 
 
 @query(

@@ -67,10 +67,13 @@ def test_dedup_shuffle_carries_hash_not_text(spark, sf_dir):
 
 def test_no_python_udf_in_core_queries(spark, sf_dir):
     """The relational core must not contain ANY Python evaluation nodes —
-    the JVM-side guarantee. Text-feature queries (b20/b49/b57) are
-    deliberately Arrow-vectorized (ArrowEvalPython, measured 4-9× the
-    interpreted HOF forms at the 100× tier, SCALING.md) but must never
-    regress to row-at-a-time BatchEvalPython."""
+    the JVM-side guarantee. Since r17, b20/b57 are lambda-free codegen
+    projections (the avg-word-length fold's closed form removed the
+    reason for their r5 Arrow detour — tests/test_r17_opt.py pins value
+    equality), so they join the no-Python set. b49's top-bigram counter
+    stays deliberately Arrow-vectorized (measured 4-9× the interpreted
+    HOF form at the 100× tier, SCALING.md) but must never regress to
+    row-at-a-time BatchEvalPython."""
     for name in (
         "q01_pricing_summary",
         "j01_inner_join",
@@ -78,10 +81,12 @@ def test_no_python_udf_in_core_queries(spark, sf_dir):
         "w04_running_agg",
         "b01_exact_dedup",
         "b10_knn_bruteforce",
+        "b20_text_quality",
+        "b57_quality_classifier",
     ):
         text = plans.explain_string(catalog.QUERIES[name](spark, sf_dir), "simple")
         assert "EvalPython" not in text, f"{name} fell off the JVM path"
-    for name in ("b20_text_quality", "b49_repetition_filter", "b57_quality_classifier"):
+    for name in ("b49_repetition_filter",):
         text = plans.explain_string(catalog.QUERIES[name](spark, sf_dir), "simple")
         assert "BatchEvalPython" not in text, f"{name} uses row-at-a-time Python"
         assert "ArrowEvalPython" in text, f"{name} lost its Arrow path"

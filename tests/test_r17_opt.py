@@ -167,3 +167,80 @@ def test_b20_and_b57_plans_have_no_python_nodes(spark):
             .toString()
         )
         assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+# --- r17 sort-below-decode restructure (the range-sample double-eval fix) ---
+
+_RESTRUCTURED = (
+    "b34e_vorbis_pcm",        # decoded.orderBy → presort + sortWithinPartitions
+    "b30b_png_decode",
+    "b86_multimodal_census",
+    "b76_multistream_corpus",
+    "b49_repetition_filter",
+)
+_SHIELDED = (
+    "a09b_median_percentile_vectorized",  # kernel-above-exchange: shield repartition
+    "st_stream_tws_rollup",
+    "b31b_jpeg_decode",
+)
+
+
+def test_decode_rows_python_stage_not_under_range_exchange(spark):
+    """RangePartitioning's sample pass re-executes its child, so a
+    Python decode stage must never sit under a range Exchange (r17;
+    measured 2.05× on b34e). Presorted rows: the Python node must
+    appear ABOVE the range exchange in the plan tree (parents print
+    first). Shielded rows: a reusable non-range exchange must sit
+    between the range exchange and the Python node."""
+    from duckdb_server_spark import catalog
+
+    catalog.load_all()
+    for name in _RESTRUCTURED:
+        plan = (
+            catalog.QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        py = min(
+            (plan.find(k) for k in ("MapInPandas", "ArrowEvalPython")
+             if plan.find(k) != -1),
+            default=-1,
+        )
+        rng = plan.find("rangepartitioning")
+        assert py != -1, name
+        assert rng == -1 or py < rng, (
+            f"{name}: Python stage under the range exchange again"
+        )
+    for name in _SHIELDED:
+        plan = (
+            catalog.QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        rng = plan.find("rangepartitioning")
+        py = min(
+            (plan.find(k) for k in
+             ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython")
+             if plan.find(k) != -1),
+            default=-1,
+        )
+        if py == -1 or rng == -1:
+            continue  # TWS env path / fully-JVM plan — nothing to shield
+        between = plan[rng:py]
+        assert "hashpartitioning" in between or "Exchange" in between, (
+            f"{name}: no reusable exchange shields the Python stage "
+            f"from the range-sample pass"
+        )
+
+
+def test_restructured_rows_emit_globally_sorted_output(spark):
+    """The presorted/shielded spellings must still emit rows in the
+    declared global order — collected output equals an explicit
+    orderBy of itself."""
+    from duckdb_server_spark import catalog
+
+    catalog.load_all()
+    for name in _RESTRUCTURED + _SHIELDED:
+        df = catalog.QUERIES[name](spark, SF_DIR)
+        key = df.columns[0]
+        got = df.collect()
+        want = df.orderBy(F.col(key).asc_nulls_last()).collect()
+        assert got == want, f"{name}: output no longer globally sorted"
