@@ -585,8 +585,13 @@ def _run_insert(spark: SparkSession, m: re.Match) -> DataFrame:
     # number of appended rows — under UNION ALL that is count(new) by
     # construction, so the two full-table counts (old before, merged
     # after) are gone; the tag count rides the constraint-enforcement
-    # aggregate, one action total.
-    new = _materialize(spark, new)
+    # aggregate, one action total. `new` itself only needs its own
+    # materialization under RETURNING (its projection is evaluated
+    # after the view swap); otherwise its lineage is evaluated exactly
+    # once, inside merged's checkpoint — one fewer driver action per
+    # INSERT.
+    if returning is not None:
+        new = _materialize(spark, new)
     merged = _materialize(
         spark,
         old.withColumn("__dd_tag_ins", F.lit(False)).unionByName(
