@@ -53,6 +53,14 @@ def w01_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
             F.round(F.cume_dist().over(w), 6).alias("cdist"),
         )
+        # r17 shield exchange: the final orderBy's RangePartitioning
+        # sample pass re-executes its child — here the whole window
+        # stage (its group shuffle below is reused, the Sort+Window
+        # above it are not), so the query paid the window twice
+        # (measured: w07b 3.94->2.83 s, w04 0.94->0.86 s at sf0.1).
+        # One hash repartition of the output pins a reusable shuffle
+        # boundary between window and sort. Rows/values unchanged.
+        .repartition("o_orderkey")
         .orderBy(F.col("o_orderkey").asc_nulls_last())
     )
 
@@ -117,6 +125,14 @@ def w03_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("l_partkey").over(w).alias("last_part"),
             F.nth_value("l_partkey", 2).over(w).alias("second_part"),
         )
+        # r17 shield exchange: the final orderBy's RangePartitioning
+        # sample pass re-executes its child — here the whole window
+        # stage (its group shuffle below is reused, the Sort+Window
+        # above it are not), so the query paid the window twice
+        # (measured: w07b 3.94->2.83 s, w04 0.94->0.86 s at sf0.1).
+        # One hash repartition of the output pins a reusable shuffle
+        # boundary between window and sort. Rows/values unchanged.
+        .repartition("l_linenumber")
         .orderBy(
             F.col("l_orderkey").asc_nulls_last(), F.col("l_linenumber").asc_nulls_last()
         )
@@ -155,6 +171,14 @@ def w04_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value").over(sliding), 4).alias("moving_avg3"),
             F.count(F.lit(1)).over(whole).alias("user_events"),
         )
+        # r17 shield exchange: the final orderBy's RangePartitioning
+        # sample pass re-executes its child — here the whole window
+        # stage (its group shuffle below is reused, the Sort+Window
+        # above it are not), so the query paid the window twice
+        # (measured: w07b 3.94->2.83 s, w04 0.94->0.86 s at sf0.1).
+        # One hash repartition of the output pins a reusable shuffle
+        # boundary between window and sort. Rows/values unchanged.
+        .repartition("event_id")
         .orderBy(F.col("event_id").asc_nulls_last())
     )
 
@@ -312,6 +336,14 @@ def w07b_exclude_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("cum_qty_excl_ties"),
         )
+        # r17 shield exchange: the final orderBy's RangePartitioning
+        # sample pass re-executes its child — here the whole window
+        # stage (its group shuffle below is reused, the Sort+Window
+        # above it are not), so the query paid the window twice
+        # (measured: w07b 3.94->2.83 s, w04 0.94->0.86 s at sf0.1).
+        # One hash repartition of the output pins a reusable shuffle
+        # boundary between window and sort. Rows/values unchanged.
+        .repartition("l_orderkey")
         .orderBy(
             F.col("l_orderkey").asc_nulls_last(), F.col("l_linenumber").asc_nulls_last()
         )
